@@ -1,0 +1,176 @@
+package graft.core
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Uniform projected grid — the Spark-native analog of
+  * `pyresample/geometry.py:1510` (AreaDefinition). Pure metadata: the pixel
+  * table is *generated* on demand (`spark.range`), never stored, mirroring
+  * the lazy lon/lat derivation at `geometry.py:2558-2645`.
+  *
+  * extent = (xLL, yLL, xUR, yUR) in projection metres
+  * (`geometry.py:1593-1595`); pixel (0,0) is the upper-left cell, row-major.
+  */
+final case class AreaDef(
+    id: String,
+    crs: Crs,
+    width: Int,
+    height: Int,
+    xLL: Double,
+    yLL: Double,
+    xUR: Double,
+    yUR: Double) {
+
+  require(width > 0 && height > 0, s"bad shape ${width}x$height")
+
+  val pixelSizeX: Double = (xUR - xLL) / width
+  val pixelSizeY: Double = (yUR - yLL) / height
+  def size: Long = width.toLong * height.toLong
+  def extent: (Double, Double, Double, Double) = (xLL, yLL, xUR, yUR)
+
+  /** Projected x of pixel-centre column c (`geometry.py:2407-2488`). */
+  def projX(cIdx: Int): Double = xLL + (cIdx + 0.5) * pixelSizeX
+  /** Projected y of pixel-centre row r (row 0 at the top). */
+  def projY(rIdx: Int): Double = yUR - (rIdx + 0.5) * pixelSizeY
+
+  def lonLatOf(rIdx: Int, cIdx: Int): (Double, Double) =
+    crs.inverse(projX(cIdx), projY(rIdx))
+
+  /** Column/row (fractional) of a projected point; floor() gives the cell —
+    * the exact arithmetic of `pyresample/bucket/__init__.py:168-203` and
+    * EWA ll2cr (`ewa/_ll2cr.pyx:208-272`). */
+  def fracCol(x: Double): Double = (x - xLL) / pixelSizeX
+  def fracRow(y: Double): Double = (yUR - y) / pixelSizeY
+
+  def contains(x: Double, y: Double): Boolean =
+    x >= xLL && x < xUR && y > yLL && y <= yUR
+
+  /** Flat cell id = row * width + col (`bucket/__init__.py:200`: ravel). */
+  def cellOf(x: Double, y: Double): Long = {
+    val cIdx = math.floor(fracCol(x)).toLong
+    val rIdx = math.floor(fracRow(y)).toLong
+    if (cIdx < 0 || cIdx >= width || rIdx < 0 || rIdx >= height) -1L
+    else rIdx * width + cIdx
+  }
+
+  /** Materialize the pixel grid as rows (y, x, proj_x, proj_y, cell
+    * [, lon, lat]). Generated arithmetically from `spark.range` — no data
+    * movement, partitions evenly, scales to any grid size. */
+  def grid(spark: SparkSession, withLonLat: Boolean = false): DataFrame = {
+    val base = spark
+      .range(size)
+      .withColumn("y", (col("id") / width).cast("int"))
+      .withColumn("x", (col("id") % width).cast("int"))
+      .withColumn("proj_x", lit(xLL) + (col("x") + lit(0.5)) * lit(pixelSizeX))
+      .withColumn("proj_y", lit(yUR) - (col("y") + lit(0.5)) * lit(pixelSizeY))
+      .withColumnRenamed("id", "cell")
+    if (!withLonLat) base
+    else if (crs.isLonLat)
+      base.withColumn("lon", col("proj_x")).withColumn("lat", col("proj_y"))
+    else {
+      val inv = GeomUdfs.inverseUdf(crs)
+      base
+        .withColumn("_ll", inv(col("proj_x"), col("proj_y")))
+        .withColumn("lon", col("_ll._1"))
+        .withColumn("lat", col("_ll._2"))
+        .drop("_ll")
+    }
+  }
+
+  /** Shrink by integer factor — `geometry.py:1708-1712` (aggregate). */
+  def aggregate(kx: Int, ky: Int): AreaDef =
+    copy(id = s"$id/agg${kx}x$ky", width = width / kx, height = height / ky)
+
+  /** Row/col slice — extent arithmetic of `geometry.py:2664-2689`. */
+  def slice(rowStart: Int, rowEnd: Int, colStart: Int, colEnd: Int): AreaDef = {
+    val r0 = math.max(0, rowStart); val r1 = math.min(height, rowEnd)
+    val c0 = math.max(0, colStart); val c1 = math.min(width, colEnd)
+    AreaDef(
+      s"$id/slice",
+      crs,
+      c1 - c0,
+      r1 - r0,
+      xLL + c0 * pixelSizeX,
+      yUR - r1 * pixelSizeY,
+      xLL + c1 * pixelSizeX,
+      yUR - r0 * pixelSizeY)
+  }
+
+  /** Lon/lat bounding box of the area outline (sampled boundary), with a
+    * buffer in degrees — drives the coarse data-reduction predicate
+    * (`pyresample/data_reduce.py:224-307`). */
+  def lonLatBBox(samplesPerSide: Int = 50): (Double, Double, Double, Double) = {
+    var lonMin = Double.MaxValue; var lonMax = Double.MinValue
+    var latMin = Double.MaxValue; var latMax = Double.MinValue
+    val n = samplesPerSide
+    def visit(x: Double, y: Double): Unit = {
+      val (lo, la) = crs.inverse(x, y)
+      if (!lo.isNaN && !la.isNaN) {
+        if (lo < lonMin) lonMin = lo
+        if (lo > lonMax) lonMax = lo
+        if (la < latMin) latMin = la
+        if (la > latMax) latMax = la
+      }
+    }
+    var i = 0
+    while (i <= n) {
+      val fx = xLL + (xUR - xLL) * i / n
+      val fy = yLL + (yUR - yLL) * i / n
+      visit(fx, yLL); visit(fx, yUR); visit(xLL, fy); visit(xUR, fy)
+      i += 1
+    }
+    (lonMin, latMin, lonMax, latMax)
+  }
+
+  /** Semantic hash for LUT cache keys (`geometry.py:129-140`). */
+  def semanticHash: String = {
+    val s = s"${crs.proj4}|$width|$height|$xLL|$yLL|$xUR|$yUR"
+    java.security.MessageDigest
+      .getInstance("SHA-1")
+      .digest(s.getBytes("UTF-8"))
+      .map("%02x".format(_))
+      .mkString
+  }
+}
+
+object AreaDef {
+  /** Smallest area covering several same-CRS areas —
+    * `geometry.py:3106-3143` (enclose_areas). */
+  def enclose(areas: Seq[AreaDef]): AreaDef = {
+    require(areas.nonEmpty, "enclose of empty set")
+    val h = areas.head
+    require(areas.forall(_.crs.proj4 == h.crs.proj4), "mixed CRS in enclose")
+    require(
+      areas.forall(a => math.abs(a.pixelSizeX - h.pixelSizeX) < 1e-9 &&
+        math.abs(a.pixelSizeY - h.pixelSizeY) < 1e-9),
+      "mixed resolution in enclose")
+    val xll = areas.map(_.xLL).min; val yll = areas.map(_.yLL).min
+    val xur = areas.map(_.xUR).max; val yur = areas.map(_.yUR).max
+    AreaDef(
+      "enclosed",
+      h.crs,
+      math.round((xur - xll) / h.pixelSizeX).toInt,
+      math.round((yur - yll) / h.pixelSizeY).toInt,
+      xll, yll, xur, yur)
+  }
+
+  /** Vertical concatenation of row-adjacent areas —
+    * `geometry.py:2879-2965` (StackedAreaDefinition squeezed). */
+  def concatVertical(top: AreaDef, bottom: AreaDef): AreaDef = {
+    require(top.width == bottom.width && top.xLL == bottom.xLL && top.xUR == bottom.xUR,
+      "areas not column-aligned")
+    require(math.abs(top.yLL - bottom.yUR) < 1e-6, "areas not row-adjacent")
+    AreaDef(s"${top.id}+${bottom.id}", top.crs, top.width, top.height + bottom.height,
+      top.xLL, bottom.yLL, top.xUR, top.yUR)
+  }
+}
+
+/** UDF wrappers for the projection kernel. Kept in one place so a later
+  * upgrade to codegen Expressions is a single-file change (SURVEY §7.3). */
+object GeomUdfs {
+  import org.apache.spark.sql.expressions.UserDefinedFunction
+  def forwardUdf(crs: Crs): UserDefinedFunction =
+    udf((lon: Double, lat: Double) => crs.forward(lon, lat))
+  def inverseUdf(crs: Crs): UserDefinedFunction =
+    udf((x: Double, y: Double) => crs.inverse(x, y))
+}

@@ -1,0 +1,472 @@
+package graft.core
+
+/** Coordinate reference systems and projection math.
+  *
+  * The reference (pyresample) delegates all projection work to PROJ via
+  * pyproj (e.g. `pyresample/geometry.py:2616-2636`). No JVM PROJ binding is
+  * available offline, so the forward/inverse kernels for the projection
+  * families the reference exercises (longlat, merc, laea, stere, geos, aeqd
+  * — see `pyresample/test/test_files/areas.yaml`, `test_kd_tree.py:38-44`,
+  * `geometry.py:2793`) are implemented here from the published formulas in
+  * J.P. Snyder, "Map Projections — A Working Manual" (USGS PP 1395, 1987).
+  *
+  * All angles at the API boundary are degrees (matching PROJ conventions);
+  * projected coordinates are metres.
+  */
+final case class Ellipsoid(a: Double, b: Double) {
+  val f: Double = if (a == b) 0.0 else (a - b) / a
+  val e2: Double = 2 * f - f * f // first eccentricity squared
+  val e: Double = math.sqrt(e2)
+  val isSphere: Boolean = e2 == 0.0
+  /** Authalic (equal-area) radius — used to fall back to spherical formulas. */
+  lazy val authalicRadius: Double =
+    if (isSphere) a
+    else math.sqrt((a * a / 2) * (1 + ((1 - e2) / e) * 0.5 * math.log((1 + e) / (1 - e))))
+}
+
+object Ellipsoid {
+  val WGS84: Ellipsoid = Ellipsoid(6378137.0, 6356752.314245179)
+  def sphere(r: Double): Ellipsoid = Ellipsoid(r, r)
+  /** Mean earth radius used by pyresample for geocentric XYZ
+    * (`pyresample/_spatial_mp.py:149`). */
+  val R: Double = 6370997.0
+}
+
+/** A projection: forward (lon,lat deg -> x,y m) and inverse. Implementations
+  * must be total: out-of-domain points map to NaN (mirrors PROJ's inf
+  * convention relied on by `pyresample/geometry.py:2811-2877`). */
+sealed trait Projection extends Serializable {
+  def ell: Ellipsoid
+  def forward(lonDeg: Double, latDeg: Double): (Double, Double)
+  def inverse(x: Double, y: Double): (Double, Double)
+  /** True when x == lon, y == lat (degrees). */
+  def isLonLat: Boolean = false
+}
+
+object Projection {
+  val Deg2Rad: Double = math.Pi / 180.0
+  val Rad2Deg: Double = 180.0 / math.Pi
+  @inline def wrapLonDeg(lon: Double): Double = {
+    // normalize to [-180, 180) — same contract as
+    // `pyresample/utils/__init__.py:186` (wrap_longitudes)
+    val w = lon - 360.0 * math.floor((lon + 180.0) / 360.0)
+    w
+  }
+}
+
+import Projection._
+
+/** proj=longlat / latlong: identity in degrees. */
+final case class LonLatProj(ell: Ellipsoid) extends Projection {
+  override def isLonLat: Boolean = true
+  def forward(lon: Double, lat: Double): (Double, Double) = (lon, lat)
+  def inverse(x: Double, y: Double): (Double, Double) = (x, y)
+}
+
+/** proj=eqc (equirectangular / plate carrée), x = a·λ·cosφts, y = a·φ. */
+final case class EquirectProj(lon0: Double, latTs: Double, ell: Ellipsoid) extends Projection {
+  private val cosTs = math.cos(latTs * Deg2Rad)
+  def forward(lon: Double, lat: Double): (Double, Double) = {
+    val lam = wrapLonDeg(lon - lon0) * Deg2Rad
+    (ell.a * lam * cosTs, ell.a * lat * Deg2Rad)
+  }
+  def inverse(x: Double, y: Double): (Double, Double) =
+    (wrapLonDeg(lon0 + (x / (ell.a * cosTs)) * Rad2Deg), (y / ell.a) * Rad2Deg)
+}
+
+/** proj=merc — Mercator (Snyder 7-2/7-4 sphere; 7-7/7-8 ellipsoid). */
+final case class MercatorProj(lon0: Double, latTs: Double, ell: Ellipsoid) extends Projection {
+  private val e = ell.e
+  // k0 from standard parallel (Snyder 7-5 / 14-15)
+  private val k0 = {
+    val ts = latTs * Deg2Rad
+    if (ell.isSphere) math.cos(ts)
+    else math.cos(ts) / math.sqrt(1 - ell.e2 * math.sin(ts) * math.sin(ts))
+  }
+  def forward(lon: Double, lat: Double): (Double, Double) = {
+    if (math.abs(lat) >= 90.0) return (Double.NaN, Double.NaN)
+    val lam = wrapLonDeg(lon - lon0) * Deg2Rad
+    val phi = lat * Deg2Rad
+    val x = ell.a * k0 * lam
+    val y =
+      if (ell.isSphere) ell.a * k0 * math.log(math.tan(math.Pi / 4 + phi / 2))
+      else {
+        val esin = e * math.sin(phi)
+        ell.a * k0 * math.log(math.tan(math.Pi / 4 + phi / 2) * math.pow((1 - esin) / (1 + esin), e / 2))
+      }
+    (x, y)
+  }
+  def inverse(x: Double, y: Double): (Double, Double) = {
+    val lam = x / (ell.a * k0)
+    val phi =
+      if (ell.isSphere) math.Pi / 2 - 2 * math.atan(math.exp(-y / (ell.a * k0)))
+      else {
+        val t = math.exp(-y / (ell.a * k0))
+        var p = math.Pi / 2 - 2 * math.atan(t)
+        var i = 0
+        while (i < 15) { // Snyder 7-9 fixed point
+          val esin = e * math.sin(p)
+          val pNew = math.Pi / 2 - 2 * math.atan(t * math.pow((1 - esin) / (1 + esin), e / 2))
+          if (math.abs(pNew - p) < 1e-12) { p = pNew; i = 15 } else { p = pNew; i += 1 }
+        }
+        p
+      }
+    (wrapLonDeg(lon0 + lam * Rad2Deg), phi * Rad2Deg)
+  }
+}
+
+/** proj=laea — Lambert azimuthal equal-area.
+  * Sphere: Snyder 24-2..24-14. Ellipsoid: authalic-latitude formulation
+  * (Snyder 24-16..24-34, 3-11/3-12), incl. polar aspects. */
+final case class LaeaProj(lon0: Double, lat0: Double, ell: Ellipsoid) extends Projection {
+  private val e = ell.e
+  private val phi0 = lat0 * Deg2Rad
+  private val northPolar = lat0 >= 89.999999
+  private val southPolar = lat0 <= -89.999999
+
+  private def qOf(phi: Double): Double = {
+    // Snyder 3-12
+    val s = math.sin(phi)
+    if (ell.isSphere) 2 * s
+    else (1 - ell.e2) * (s / (1 - ell.e2 * s * s) - (1 / (2 * e)) * math.log((1 - e * s) / (1 + e * s)))
+  }
+  private val qp = qOf(math.Pi / 2)
+  private val rq = ell.a * math.sqrt(qp / 2)
+  private def beta(phi: Double): Double = {
+    val r = qOf(phi) / qp
+    math.asin(math.max(-1.0, math.min(1.0, r)))
+  }
+  private val beta1 = beta(phi0)
+  private val sinB1 = math.sin(beta1)
+  private val cosB1 = math.cos(beta1)
+  private val m1 = {
+    val s = math.sin(phi0); val c = math.cos(phi0)
+    c / math.sqrt(1 - ell.e2 * s * s)
+  }
+  private val d = if (northPolar || southPolar || cosB1 == 0) 1.0 else ell.a * m1 / (rq * cosB1)
+
+  def forward(lon: Double, lat: Double): (Double, Double) = {
+    val lam = wrapLonDeg(lon - lon0) * Deg2Rad
+    val phi = lat * Deg2Rad
+    if (northPolar || southPolar) {
+      val q = qOf(phi)
+      val rho =
+        if (northPolar) ell.a * math.sqrt(math.max(0.0, qp - q))
+        else ell.a * math.sqrt(math.max(0.0, qp + q))
+      val x = rho * math.sin(lam)
+      val y = if (northPolar) -rho * math.cos(lam) else rho * math.cos(lam)
+      (x, y)
+    } else {
+      val b = beta(phi)
+      val sinB = math.sin(b); val cosB = math.cos(b)
+      val denom = 1 + sinB1 * sinB + cosB1 * cosB * math.cos(lam)
+      if (denom <= 1e-14) return (Double.NaN, Double.NaN) // antipode
+      val bFac = rq * math.sqrt(2 / denom)
+      val x = bFac * d * cosB * math.sin(lam)
+      val y = (bFac / d) * (cosB1 * sinB - sinB1 * cosB * math.cos(lam))
+      (x, y)
+    }
+  }
+  def inverse(x: Double, y: Double): (Double, Double) = {
+    if (northPolar || southPolar) {
+      val rho = math.hypot(x, y)
+      if (rho > ell.a * math.sqrt(2 * qp / 2) * 2) return (Double.NaN, Double.NaN)
+      val qVal = {
+        val r = rho / ell.a
+        if (northPolar) qp - r * r else -(qp - r * r)
+      }
+      val phi = phiFromQ(qVal)
+      val lam = if (northPolar) math.atan2(x, -y) else math.atan2(x, y)
+      (wrapLonDeg(lon0 + lam * Rad2Deg), phi * Rad2Deg)
+    } else {
+      val xs = x / d
+      val ys = y * d
+      val rho = math.hypot(xs, ys)
+      if (rho < 1e-12) return (wrapLonDeg(lon0), lat0)
+      val arg = rho / (2 * rq)
+      if (arg > 1) return (Double.NaN, Double.NaN)
+      val ce = 2 * math.asin(arg)
+      val sinCe = math.sin(ce); val cosCe = math.cos(ce)
+      val sinB = cosCe * sinB1 + (ys * sinCe * cosB1) / rho
+      val q = qp * math.max(-1.0, math.min(1.0, sinB))
+      val phi = phiFromQ(q)
+      val lam = math.atan2(xs * sinCe, rho * cosB1 * cosCe - ys * sinB1 * sinCe)
+      (wrapLonDeg(lon0 + lam * Rad2Deg), phi * Rad2Deg)
+    }
+  }
+  private def phiFromQ(q: Double): Double = {
+    if (ell.isSphere) return math.asin(math.max(-1.0, math.min(1.0, q / 2)))
+    if (math.abs(math.abs(q) - math.abs(qp)) < 1e-12) return if (q >= 0) math.Pi / 2 else -math.Pi / 2
+    var phi = math.asin(math.max(-1.0, math.min(1.0, q / 2)))
+    var i = 0
+    while (i < 15) { // Snyder 3-16
+      val s = math.sin(phi); val c = math.cos(phi)
+      val esin = e * s
+      val corr = (math.pow(1 - esin * esin, 2) / (2 * c)) *
+        (q / (1 - ell.e2) - s / (1 - esin * esin) + (1 / (2 * e)) * math.log((1 - esin) / (1 + esin)))
+      phi += corr
+      if (math.abs(corr) < 1e-12) i = 15 else i += 1
+    }
+    phi
+  }
+}
+
+/** proj=stere — stereographic. Sphere: Snyder 21-2..21-4, 20-14..20-18.
+  * Ellipsoid: polar (21-33..21-41) and oblique via conformal latitude
+  * (21-27..21-32, 3-1). lat_ts sets true-scale parallel for polar aspects. */
+final case class StereProj(lon0: Double, lat0: Double, latTs: Double, k0In: Double, ell: Ellipsoid)
+    extends Projection {
+  private val e = ell.e
+  private val phi0 = lat0 * Deg2Rad
+  private val northPolar = lat0 >= 89.999999
+  private val southPolar = lat0 <= -89.999999
+
+  private def tsfn(phi: Double): Double = {
+    // Snyder 15-9: t = tan(pi/4 - phi/2) / ((1-e sin phi)/(1+e sin phi))^(e/2)
+    val esin = e * math.sin(phi)
+    math.tan(math.Pi / 4 - phi / 2) / math.pow((1 - esin) / (1 + esin), e / 2)
+  }
+  private def msfn(phi: Double): Double = {
+    val s = math.sin(phi)
+    math.cos(phi) / math.sqrt(1 - ell.e2 * s * s)
+  }
+  /** conformal latitude chi (Snyder 3-1). */
+  private def chiOf(phi: Double): Double = {
+    if (ell.isSphere) phi
+    else {
+      val esin = e * math.sin(phi)
+      2 * math.atan(math.tan(math.Pi / 4 + phi / 2) * math.pow((1 - esin) / (1 + esin), e / 2)) - math.Pi / 2
+    }
+  }
+  /** inverse of conformal latitude (Snyder 3-4 iteration). */
+  private def phiFromChi(chi: Double): Double = {
+    if (ell.isSphere) return chi
+    var phi = chi
+    var i = 0
+    while (i < 15) {
+      val esin = e * math.sin(phi)
+      val next = 2 * math.atan(math.tan(math.Pi / 4 + chi / 2) * math.pow((1 + esin) / (1 - esin), e / 2)) - math.Pi / 2
+      if (math.abs(next - phi) < 1e-12) { phi = next; i = 15 } else { phi = next; i += 1 }
+    }
+    phi
+  }
+
+  // scale: for polar with lat_ts, true at lat_ts; else k0 (default 1).
+  private val tsAbs = math.abs(latTs) * Deg2Rad
+  private val polarTs = (northPolar || southPolar) && math.abs(latTs) < 89.999999
+
+  private val chi1 = chiOf(if (math.abs(latTs) < 89.999999 && !northPolar && !southPolar) phi0 else phi0)
+  private val sinChi1 = math.sin(chiOf(phi0))
+  private val cosChi1 = math.cos(chiOf(phi0))
+  private val k0 = k0In
+
+  def forward(lon: Double, lat: Double): (Double, Double) = {
+    val lam = wrapLonDeg(lon - lon0) * Deg2Rad
+    val phi = lat * Deg2Rad
+    if (northPolar || southPolar) {
+      val sign = if (southPolar) -1.0 else 1.0
+      val phiS = sign * phi
+      val t = if (ell.isSphere) math.tan(math.Pi / 4 - phiS / 2) else tsfn(phiS)
+      val rho =
+        if (polarTs) {
+          val tc = if (ell.isSphere) math.tan(math.Pi / 4 - tsAbs / 2) else tsfn(tsAbs)
+          val mc = if (ell.isSphere) math.cos(tsAbs) else msfn(tsAbs)
+          ell.a * mc * t / tc
+        } else {
+          // Snyder 21-33 with k0
+          if (ell.isSphere) 2 * ell.a * k0 * t
+          else 2 * ell.a * k0 * t / math.sqrt(math.pow(1 + e, 1 + e) * math.pow(1 - e, 1 - e))
+        }
+      val x = rho * math.sin(lam)
+      val y = -sign * rho * math.cos(lam)
+      (x, y)
+    } else if (ell.isSphere) {
+      val sinP = math.sin(phi); val cosP = math.cos(phi)
+      val sinP0 = math.sin(phi0); val cosP0 = math.cos(phi0)
+      val denom = 1 + sinP0 * sinP + cosP0 * cosP * math.cos(lam)
+      if (denom <= 1e-14) return (Double.NaN, Double.NaN)
+      val k = 2 * k0 / denom
+      (ell.a * k * cosP * math.sin(lam), ell.a * k * (cosP0 * sinP - sinP0 * cosP * math.cos(lam)))
+    } else {
+      // oblique ellipsoidal, conformal sphere (Snyder 21-27..21-32)
+      val chi = chiOf(phi)
+      val sinChi = math.sin(chi); val cosChi = math.cos(chi)
+      val m1v = msfn(phi0)
+      val aFac = 2 * ell.a * k0 * m1v / (cosChi1 * (1 + sinChi1 * sinChi + cosChi1 * cosChi * math.cos(lam)))
+      (aFac * cosChi * math.sin(lam), aFac * (cosChi1 * sinChi - sinChi1 * cosChi * math.cos(lam)))
+    }
+  }
+
+  def inverse(x: Double, y: Double): (Double, Double) = {
+    if (northPolar || southPolar) {
+      val sign = if (southPolar) -1.0 else 1.0
+      val rho = math.hypot(x, y)
+      val t =
+        if (polarTs) {
+          val tc = if (ell.isSphere) math.tan(math.Pi / 4 - tsAbs / 2) else tsfn(tsAbs)
+          val mc = if (ell.isSphere) math.cos(tsAbs) else msfn(tsAbs)
+          rho * tc / (ell.a * mc)
+        } else {
+          if (ell.isSphere) rho / (2 * ell.a * k0)
+          else rho * math.sqrt(math.pow(1 + e, 1 + e) * math.pow(1 - e, 1 - e)) / (2 * ell.a * k0)
+        }
+      val chi = math.Pi / 2 - 2 * math.atan(t)
+      val phi = sign * phiFromChi(chi)
+      val lam = math.atan2(x, -sign * y) // north: atan2(x, -y)
+      (wrapLonDeg(lon0 + sign * lam * Rad2Deg), phi * Rad2Deg)
+    } else {
+      val rho = math.hypot(x, y)
+      if (rho < 1e-12) return (wrapLonDeg(lon0), lat0)
+      val (sc, cc) = (sinChi1, cosChi1)
+      val ce =
+        if (ell.isSphere) 2 * math.atan2(rho, 2 * ell.a * k0)
+        else 2 * math.atan2(rho * cosChi1, 2 * ell.a * k0 * msfn(phi0))
+      val sinCe = math.sin(ce); val cosCe = math.cos(ce)
+      val chi = math.asin(math.max(-1.0, math.min(1.0, cosCe * sc + (y * sinCe * cc) / rho)))
+      val lam = math.atan2(x * sinCe, rho * cc * cosCe - y * sc * sinCe)
+      (wrapLonDeg(lon0 + lam * Rad2Deg), phiFromChi(chi) * Rad2Deg)
+    }
+  }
+}
+
+/** proj=aeqd — azimuthal equidistant, spherical formulas (Snyder 25-1..25-15)
+  * on the authalic radius when an ellipsoid is given. */
+final case class AeqdProj(lon0: Double, lat0: Double, ell: Ellipsoid) extends Projection {
+  private val r = if (ell.isSphere) ell.a else ell.authalicRadius
+  private val phi0 = lat0 * Deg2Rad
+  private val sinP0 = math.sin(phi0)
+  private val cosP0 = math.cos(phi0)
+  def forward(lon: Double, lat: Double): (Double, Double) = {
+    val lam = wrapLonDeg(lon - lon0) * Deg2Rad
+    val phi = lat * Deg2Rad
+    val sinP = math.sin(phi); val cosP = math.cos(phi)
+    val cosC = sinP0 * sinP + cosP0 * cosP * math.cos(lam)
+    val c = math.acos(math.max(-1.0, math.min(1.0, cosC)))
+    val k = if (c < 1e-12) 1.0 else c / math.sin(c)
+    (r * k * cosP * math.sin(lam), r * k * (cosP0 * sinP - sinP0 * cosP * math.cos(lam)))
+  }
+  def inverse(x: Double, y: Double): (Double, Double) = {
+    val rho = math.hypot(x, y)
+    if (rho < 1e-12) return (wrapLonDeg(lon0), lat0)
+    val c = rho / r
+    if (c > math.Pi) return (Double.NaN, Double.NaN)
+    val sinC = math.sin(c); val cosC = math.cos(c)
+    val phi = math.asin(math.max(-1.0, math.min(1.0, cosC * sinP0 + (y * sinC * cosP0) / rho)))
+    val lam = math.atan2(x * sinC, rho * cosP0 * cosC - y * sinP0 * sinC)
+    (wrapLonDeg(lon0 + lam * Rad2Deg), phi * Rad2Deg)
+  }
+}
+
+/** proj=geos — geostationary satellite view (CGMS LRIT/HRIT global spec;
+  * same model as PROJ's geos). `h` = satellite height above ellipsoid;
+  * sweep axis 'y' (default, GOES uses 'x'). Off-disk points map to NaN —
+  * the convention `pyresample/geometry.py:2811-2877` depends on. */
+final case class GeosProj(lon0: Double, h: Double, sweepX: Boolean, ell: Ellipsoid) extends Projection {
+  private val radiusG1 = h / ell.a
+  private val radiusG = 1.0 + radiusG1 // distance sat from centre, in units of a
+  private val c = radiusG * radiusG - 1.0
+  private val flat = ell.e2
+  private val oneE2 = 1 - ell.e2
+  private val radiusP = math.sqrt(oneE2) // polar radius in units of a
+  private val radiusP2 = oneE2
+  private val radiusPInv2 = 1 / radiusP2
+  def forward(lon: Double, lat: Double): (Double, Double) = {
+    val lam = wrapLonDeg(lon - lon0) * Deg2Rad
+    // geocentric latitude (spec: tan(psi) = (b^2/a^2) tan(phi))
+    val phiC = math.atan(radiusP2 * math.tan(lat * Deg2Rad))
+    // geocentric radius in units of a: r = rp / sqrt(rp^2 cos^2 + sin^2)
+    val rr = radiusP / math.hypot(radiusP * math.cos(phiC), math.sin(phiC))
+    val vx = rr * math.cos(phiC) * math.cos(lam)
+    val vy = rr * math.cos(phiC) * math.sin(lam)
+    val vz = rr * math.sin(phiC)
+    val tmp = radiusG - vx
+    // visibility from the satellite (same predicate as the LRIT spec)
+    if (((radiusG - vx) * vx - vy * vy - vz * vz * radiusPInv2) < 0.0)
+      return (Double.NaN, Double.NaN)
+    val (xr, yr) =
+      if (sweepX) (math.atan(vy / math.hypot(vz, tmp)), math.atan(vz / tmp))
+      else (math.atan(vy / tmp), math.atan(vz / math.hypot(vy, tmp)))
+    (h * xr, h * yr)
+  }
+  def inverse(x: Double, y: Double): (Double, Double) = {
+    // viewing-direction vector from the satellite (vx toward earth centre)
+    val vx0 = -1.0
+    var vy0 = 0.0; var vz0 = 0.0
+    if (sweepX) {
+      vz0 = math.tan(y / h)
+      vy0 = math.tan(x / h) * math.hypot(1.0, vz0)
+    } else {
+      vy0 = math.tan(x / h)
+      vz0 = math.tan(y / h) * math.hypot(1.0, vy0)
+    }
+    val aq = vy0 * vy0 + (vz0 / radiusP) * (vz0 / radiusP) + vx0 * vx0
+    val bq = 2 * radiusG * vx0
+    val disc = bq * bq - 4 * aq * c
+    if (disc < 0) return (Double.NaN, Double.NaN)
+    val k = (-bq - math.sqrt(disc)) / (2 * aq)
+    val sx = radiusG + k * vx0
+    val sy = k * vy0
+    val sz = k * vz0
+    val lam = math.atan2(sy, sx)
+    val phiC = math.atan(sz * math.cos(lam) / sx)
+    val phi = math.atan(radiusPInv2 * math.tan(phiC))
+    (wrapLonDeg(lon0 + lam * Rad2Deg), phi * Rad2Deg)
+  }
+}
+
+/** A parsed CRS: projection + raw proj4 params (mirrors what
+  * `pyresample/utils/proj4.py:29-99` keeps around). */
+final case class Crs(proj: Projection, proj4: String, params: Map[String, String]) {
+  def isLonLat: Boolean = proj.isLonLat
+  def forward(lon: Double, lat: Double): (Double, Double) = proj.forward(lon, lat)
+  def inverse(x: Double, y: Double): (Double, Double) = proj.inverse(x, y)
+}
+
+object Crs {
+  /** Parse a proj4 string ("+proj=laea +lat_0=-90 +lon_0=0 +a=6371228")
+    * — grammar per `pyresample/utils/proj4.py:45` (proj4_str_to_dict). */
+  def fromProj4(s: String): Crs = {
+    val params: Map[String, String] = s.trim
+      .split("\\s+")
+      .iterator
+      .filter(_.nonEmpty)
+      .map(_.stripPrefix("+"))
+      .map { kv =>
+        kv.split("=", 2) match {
+          case Array(k, v) => k -> v
+          case Array(k)    => k -> "true"
+        }
+      }
+      .toMap
+    fromParams(params, s)
+  }
+
+  def fromParams(params: Map[String, String], raw: String = ""): Crs = {
+    def d(k: String, default: Double): Double = params.get(k).map(_.toDouble).getOrElse(default)
+    val ell: Ellipsoid = (params.get("a"), params.get("b"), params.get("rf"), params.get("ellps"), params.get("R")) match {
+      case (_, _, _, _, Some(r))     => Ellipsoid.sphere(r.toDouble)
+      case (Some(a), Some(b), _, _, _) => Ellipsoid(a.toDouble, b.toDouble)
+      case (Some(a), None, Some(rf), _, _) =>
+        val av = a.toDouble; Ellipsoid(av, av * (1 - 1 / rf.toDouble))
+      case (Some(a), None, None, _, _) => Ellipsoid.sphere(a.toDouble)
+      case (None, _, _, Some("sphere"), _) => Ellipsoid.sphere(6370997.0)
+      case _ => Ellipsoid.WGS84
+    }
+    val lon0 = d("lon_0", 0.0)
+    val lat0 = d("lat_0", 0.0)
+    val latTs = d("lat_ts", 0.0)
+    val k0 = d("k_0", d("k", 1.0))
+    val projName = params.getOrElse("proj", "longlat")
+    val proj: Projection = projName match {
+      case "longlat" | "latlong" | "lonlat" | "latlon" => LonLatProj(ell)
+      case "eqc"   => EquirectProj(lon0, latTs, ell)
+      case "merc"  => MercatorProj(lon0, latTs, ell)
+      case "laea"  => LaeaProj(lon0, lat0, ell)
+      case "stere" => StereProj(lon0, lat0, if (params.contains("lat_ts")) latTs else 90.0 * math.signum(if (lat0 == 0) 1 else lat0), k0, ell)
+      case "aeqd"  => AeqdProj(lon0, lat0, ell)
+      case "geos"  => GeosProj(lon0, d("h", 35785831.0), params.get("sweep").contains("x"), ell)
+      case other   => throw new IllegalArgumentException(s"unsupported projection: $other (supported: longlat, eqc, merc, laea, stere, aeqd, geos)")
+    }
+    Crs(proj, if (raw.nonEmpty) raw else params.map { case (k, v) => s"+$k=$v" }.mkString(" "), params)
+  }
+}

@@ -1,0 +1,163 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Document deduplication for large-scale training-data pipelines (builder
+  * extension beyond the reference surface — SURVEY §7.1 item 10).
+  *
+  * Every variant is a shuffle-on-key aggregation or a band-bucketed
+  * self-join: no pairwise O(n^2) stage ever materializes, so all of these
+  * scale to 100 TB document sets. Hashes are md5/xxhash64 of the content —
+  * portable, seedable, engine-independent.
+  */
+object Dedup {
+
+  /** Distinct shingle set of a document: n=1 -> distinct words; n=2 ->
+    * distinct word bigrams ("a b"). Bigrams are the default for MinHash —
+    * single words collide pathologically on small vocabularies. */
+  def shingleArray(textCol: String, n: Int): org.apache.spark.sql.Column = {
+    val ws = split(col(textCol), " ")
+    n match {
+      case 1 => array_distinct(ws)
+      case 2 =>
+        array_distinct(zip_with(
+          slice(ws, lit(1), size(ws) - 1),
+          slice(ws, lit(2), size(ws) - 1),
+          (a, b) => concat(a, lit(" "), b)))
+      case other => throw new IllegalArgumentException(s"shingle n=$other unsupported")
+    }
+  }
+
+  private def words(docs: DataFrame, textCol: String, idCol: String, shingleN: Int = 1): DataFrame =
+    docs.select(col(idCol), explode(shingleArray(textCol, shingleN)).as("word"))
+
+  /** Exact dedup: hash-groupBy on content digest. One shuffle. */
+  def exact(docs: DataFrame, textCol: String = "text", idCol: String = "doc_id"): DataFrame =
+    docs
+      .groupBy(md5(col(textCol)).as("h"))
+      .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n"))
+
+  /** Word-order-insensitive fingerprint: md5 of the sorted distinct word
+    * set (a deterministic document signature; rolling-hash analog). */
+  def fingerprint(docs: DataFrame, textCol: String = "text", idCol: String = "doc_id"): DataFrame =
+    docs
+      .groupBy(md5(array_join(array_sort(array_distinct(split(col(textCol), " "))), " ")).as("fp"))
+      .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n"))
+
+  /** MinHash + LSH near-dup detection.
+    *
+    * Hash family: h_i(doc) = min over words of md5(word || "#i") — the
+    * lexicographic min of a uniform hex digest is a valid min-hash. Bands of
+    * `rowsPerBand` signatures are concatenated; docs sharing any band bucket
+    * become candidate pairs (the classic banding scheme); candidates are
+    * verified with exact word-set Jaccard, all relationally:
+    * shuffle keys are (band value) then (word) — never all-pairs.
+    */
+  def minhashLsh(
+      docs: DataFrame,
+      textCol: String = "text",
+      idCol: String = "doc_id",
+      numHashes: Int = 8,
+      rowsPerBand: Int = 4,
+      threshold: Double = 0.4,
+      shingleN: Int = 2): DataFrame = {
+    require(numHashes % rowsPerBand == 0, "numHashes must be divisible by rowsPerBand")
+    val w = words(docs, textCol, idCol, shingleN)
+    val sigCols = (1 to numHashes).map(i => min(md5(concat(col("word"), lit(s"#$i")))).as(s"h$i"))
+    val sig = w.groupBy(col(idCol)).agg(sigCols.head, sigCols.tail: _*)
+    val nBands = numHashes / rowsPerBand
+    val bands = (0 until nBands).map { b =>
+      val hs = (1 to rowsPerBand).map(r => col(s"h${b * rowsPerBand + r}"))
+      sig.select(col(idCol), lit(b).as("band_idx"), concat(hs: _*).as("band"))
+    }.reduce(_ unionByName _)
+    val cand = bands.as("a")
+      .join(bands.as("b"),
+        col("a.band_idx") === col("b.band_idx") && col("a.band") === col("b.band") &&
+          col(s"a.$idCol") < col(s"b.$idCol"))
+      .select(col(s"a.$idCol").as("d1"), col(s"b.$idCol").as("d2"))
+      .distinct()
+    verifyJaccard(w, idCol, cand, threshold)
+  }
+
+  /** Exact word-set Jaccard over candidate pairs that share the given
+    * blocking keys (n-gram Jaccard dedup with structural candidate
+    * generation). */
+  def ngramJaccard(
+      docs: DataFrame,
+      blockKeys: Seq[String],
+      textCol: String = "text",
+      idCol: String = "doc_id",
+      threshold: Double = 0.3,
+      shingleN: Int = 1): DataFrame = {
+    val cand = docs.as("a")
+      .join(docs.as("b"),
+        blockKeys.map(k => col(s"a.$k") === col(s"b.$k")).reduce(_ && _) &&
+          col(s"a.$idCol") < col(s"b.$idCol"))
+      .select(col(s"a.$idCol").as("d1"), col(s"b.$idCol").as("d2"))
+    verifyJaccard(words(docs, textCol, idCol, shingleN), idCol, cand, threshold)
+  }
+
+  /** (d1, d2, jaccard) for candidate pairs, computed relationally:
+    * intersection via a word equi-join, sizes via per-doc counts. */
+  private def verifyJaccard(
+      w: DataFrame, idCol: String, cand: DataFrame, threshold: Double): DataFrame = {
+    val sizes = w.groupBy(col(idCol)).agg(count(lit(1)).as("sz"))
+    val inter = cand
+      .join(w.select(col(idCol).as("d1"), col("word").as("wa")), "d1")
+      .join(w.select(col(idCol).as("_d2b"), col("word").as("wb")),
+        col("d2") === col("_d2b") && col("wb") === col("wa"))
+      .groupBy("d1", "d2")
+      .agg(count(lit(1)).as("inter"))
+    inter
+      .join(sizes.select(col(idCol).as("d1"), col("sz").as("n1")), "d1")
+      .join(sizes.select(col(idCol).as("d2"), col("sz").as("n2")), "d2")
+      .withColumn("jaccard",
+        col("inter").cast("double") / (col("n1") + col("n2") - col("inter")).cast("double"))
+      .filter(col("jaccard") >= threshold)
+      .select("d1", "d2", "jaccard")
+  }
+
+  /** 64-bit SimHash per document: xxhash64 per distinct word, per-bit
+    * majority vote folded back into one long. 64 map-side partial sums →
+    * single hash aggregation; no explode-by-64. */
+  def simhash(docs: DataFrame, textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    val w = words(docs, textCol, idCol).withColumn("h", xxhash64(col("word")))
+    val bitSums = (0 until 64).map { i =>
+      sum(shiftright(col("h"), i).bitwiseAND(1) * 2 - 1).as(s"b$i")
+    }
+    val voted = w.groupBy(col(idCol)).agg(bitSums.head, bitSums.tail: _*)
+    // 2^63 overflows a positive long; bit 63 contributes Long.MinValue
+    val simSafe = (0 until 63)
+      .map(i => when(col(s"b$i") > 0, lit(1L << i)).otherwise(0L))
+      .reduce(_ + _) + when(col("b63") > 0, lit(Long.MinValue)).otherwise(0L)
+    voted.select(col(idCol), simSafe.as("simhash"))
+  }
+
+  /** SimHash near-dup pairs within `maxHamming` bits, found by banding the
+    * 64-bit hash into 4 x 16-bit chunks (pigeonhole: any pair within
+    * hamming<=3 shares at least one exact chunk), then verifying hamming
+    * distance exactly via bit_count. */
+  def simhashNearDup(
+      docs: DataFrame,
+      maxHamming: Int = 3,
+      textCol: String = "text",
+      idCol: String = "doc_id"): DataFrame = {
+    require(maxHamming <= 3, "4-chunk banding guarantees recall only for hamming <= 3")
+    val s = simhash(docs, textCol, idCol)
+    val chunks = (0 until 4).map { c =>
+      s.select(col(idCol), lit(c).as("chunk_idx"),
+        shiftrightunsigned(col("simhash"), c * 16).bitwiseAND(0xffffL).as("chunk"),
+        col("simhash"))
+    }.reduce(_ unionByName _)
+    chunks.as("a")
+      .join(chunks.as("b"),
+        col("a.chunk_idx") === col("b.chunk_idx") && col("a.chunk") === col("b.chunk") &&
+          col(s"a.$idCol") < col(s"b.$idCol"))
+      .select(col(s"a.$idCol").as("d1"), col(s"b.$idCol").as("d2"),
+        bit_count(col("a.simhash").bitwiseXOR(col("b.simhash"))).as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxHamming)
+  }
+}

@@ -1,0 +1,161 @@
+package graft.operators
+
+import graft.functions.GeoFunctions._
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** k-nearest-neighbour radius resampling — the Spark-native reformulation of
+  * pyresample's kd-tree family (`pyresample/kd_tree.py`):
+  * `get_neighbour_info` (`:281`) + `get_sample_from_neighbour_info` (`:566`).
+  *
+  * Instead of broadcasting a kd-tree, both sides are assigned 3-D geocentric
+  * grid-cell ids at pitch = radius_of_influence; each target row joins the 27
+  * neighbouring cells of its own cell. Because cell pitch >= radius, every
+  * source point within the radius of a target is guaranteed to share one of
+  * those 27 cells (SURVEY §7.4 proof obligation) — the join is exact, the
+  * equivalent of kd-tree `epsilon=0` (`kd_tree.py:68`).
+  *
+  * Scale: one shuffle per side keyed by cell id; the 27x fan-out is on the
+  * *target* side (the generated grid — cheap rows). Hash join + per-target
+  * rank window. Skewed cells (dense swath regions) are handled by AQE skew
+  * split since the join key is the cell id.
+  */
+object KnnResample {
+
+  /** Coordinate space for the distance metric: geocentric XYZ chord metres
+    * (the reference's kd-tree space, `kd_tree.py:975`) or planar — raw
+    * (lon, lat, 0) degrees, pure arithmetic (useful where the exact-join
+    * result must be replayable by a SQL oracle without trig). */
+  def coordsOf(planar: Boolean): (Column, Column) => (Column, Column, Column) =
+    if (planar) (lon, lat) => (lon, lat, lit(0.0))
+    else (lon, lat) => (lonlat2x(lon, lat), lonlat2y(lon, lat), lonlat2z(lat))
+
+  /** J1 (`kd_tree.py:281-386`): neighbour table
+    * (dst_id, src_id, dist2) with dist2 = squared distance in the chosen
+    * coordinate space, at most k rows per target, nearest-first rank.
+    * Ties broken by src_id for determinism. */
+  def neighbours(
+      source: DataFrame, // (src_id, lon, lat, ...)
+      target: DataFrame, // (dst_id, lon, lat, ...)
+      radius: Double,
+      k: Int,
+      planar: Boolean = false): DataFrame = {
+
+    val coords = coordsOf(planar)
+    val (sxE, syE, szE) = coords(col("lon"), col("lat"))
+    val src = source
+      .filter(legalLonLat(col("lon"), col("lat")))
+      .withColumn("sx", sxE)
+      .withColumn("sy", syE)
+      .withColumn("sz", szE)
+      .withColumn("cx", floor(col("sx") / radius).cast("long"))
+      .withColumn("cy", floor(col("sy") / radius).cast("long"))
+      .withColumn("cz", floor(col("sz") / radius).cast("long"))
+
+    val offsets = (for { dx <- -1 to 1; dy <- -1 to 1; dz <- -1 to 1 } yield (dx, dy, dz)).toArray
+    val offCol = array(offsets.map { case (dx, dy, dz) =>
+      struct(lit(dx).as("dx"), lit(dy).as("dy"), lit(dz).as("dz"))
+    }: _*)
+
+    val (txE, tyE, tzE) = coords(col("lon"), col("lat"))
+    val tgt = target
+      .filter(legalLonLat(col("lon"), col("lat")))
+      .withColumn("tx", txE)
+      .withColumn("ty", tyE)
+      .withColumn("tz", tzE)
+      .withColumn("_off", explode(offCol))
+      .withColumn("cx", floor(col("tx") / radius).cast("long") + col("_off.dx"))
+      .withColumn("cy", floor(col("ty") / radius).cast("long") + col("_off.dy"))
+      .withColumn("cz", floor(col("tz") / radius).cast("long") + col("_off.dz"))
+      .drop("_off")
+
+    val dist2 =
+      (col("tx") - col("sx")) * (col("tx") - col("sx")) +
+        (col("ty") - col("sy")) * (col("ty") - col("sy")) +
+        (col("tz") - col("sz")) * (col("tz") - col("sz"))
+
+    val joined = tgt
+      .join(src.select(col("src_id"), col("sx"), col("sy"), col("sz"), col("cx"), col("cy"), col("cz")),
+        Seq("cx", "cy", "cz"))
+      .withColumn("dist2", dist2)
+      .filter(col("dist2") <= lit(radius * radius))
+
+    val w = Window.partitionBy("dst_id").orderBy(col("dist2").asc, col("src_id").asc)
+    joined
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("dst_id", "src_id", "dist2", "rank")
+  }
+
+  /** J2 (`kd_tree.py:64-110`): nearest-neighbour gather. Returns
+    * (dst_id, value...) for targets with a neighbour in radius. */
+  def nearest(
+      source: DataFrame,
+      target: DataFrame,
+      radius: Double,
+      valueCols: Seq[String],
+      planar: Boolean = false): DataFrame = {
+    val idx = neighbours(source, target, radius, k = 1, planar)
+    idx
+      .join(source.select(("src_id" +: valueCols).map(col): _*), "src_id")
+      .select(("dst_id" +: valueCols).map(col): _*)
+  }
+
+  /** J3/J4 + A9 (`kd_tree.py:741-859`): distance-weighted merge of the k
+    * nearest neighbours. `weight` maps the dist2 column to a weight column
+    * (gauss: exp(-d2/sigma2) — `:163-165`; custom f(d) — `:192-253`).
+    * `uncertainty=true` adds the unbiased weighted stddev + neighbour count
+    * using the algebraic decomposition of `:821-859`:
+    *   stddev = sqrt( v1/(v1^2 - v2) * (sum(w*x^2) - (sum(w*x))^2/v1) )
+    * (pure partial sums -> single hash aggregation, no second pass). */
+  def weighted(
+      source: DataFrame,
+      target: DataFrame,
+      radius: Double,
+      k: Int,
+      valueCol: String,
+      weight: Column => Column,
+      uncertainty: Boolean = false,
+      planar: Boolean = false): DataFrame = {
+
+    val idx = neighbours(source, target, radius, k, planar)
+    val joined = idx
+      .join(source.select(col("src_id"), col(valueCol).as("_v")), "src_id")
+      .withColumn("_w", weight(col("dist2")))
+
+    val agg = joined
+      .groupBy("dst_id")
+      .agg(
+        sum(col("_w") * col("_v")).as("_swv"),
+        sum(col("_w")).as("_sw"),
+        sum(col("_w") * col("_w")).as("_sw2"),
+        sum(col("_w") * col("_v") * col("_v")).as("_swv2"),
+        count(lit(1)).as("n"))
+
+    val mean = col("_swv") / col("_sw")
+    val base = agg.withColumn(valueCol, mean)
+    val out =
+      if (!uncertainty) base.select("dst_id", valueCol)
+      else {
+        val v1 = col("_sw"); val v2 = col("_sw2")
+        val wvar = col("_swv2") - (col("_swv") * col("_swv")) / v1
+        base
+          .withColumn("stddev", sqrt((v1 / (v1 * v1 - v2)) * wvar))
+          .select("dst_id", valueCol, "stddev", "n")
+      }
+    out
+  }
+
+  /** Gaussian weighting (`kd_tree.py:113-189`): sigma from sigmas param. */
+  def gauss(
+      source: DataFrame,
+      target: DataFrame,
+      radius: Double,
+      sigma: Double,
+      valueCol: String,
+      k: Int = 8,
+      uncertainty: Boolean = false): DataFrame =
+    weighted(source, target, radius, k, valueCol,
+      d2 => exp(-d2 / lit(sigma * sigma)), uncertainty)
+}

@@ -1,0 +1,109 @@
+package graft.operators
+
+import graft.functions.GeoFunctions.{cosineSimilarity, dotProduct, l2Norm}
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Similarity search over an embedding column (builder extension).
+  *
+  * Baseline: brute-force cosine top-k (exact; crossJoin + rank — only for
+  * bounded query sets). Scale path: random-hyperplane LSH — each vector gets
+  * a `nBits`-bit signature; candidates share a signature band; exact rerank
+  * on candidates only. Signature computation is pure `functions._` array
+  * algebra (codegen'd); hyperplanes are a deterministic driver-side constant
+  * broadcast into the plan as literals.
+  */
+object Similarity {
+
+  /** All-pairs cosine similarity for two bounded sets (qid/cid naming). */
+  def cosinePairs(queries: DataFrame, candidates: DataFrame,
+      idQ: String = "qid", idC: String = "cid", vecCol: String = "embedding"): DataFrame =
+    queries.select(col(idQ), col(vecCol).as("_qv"))
+      .crossJoin(candidates.select(col(idC), col(vecCol).as("_cv")))
+      .withColumn("sim", cosineSimilarity(col("_qv"), col("_cv")))
+      .drop("_qv", "_cv")
+
+  /** Exact brute-force cosine top-k per query. `roundDigits` quantizes the
+    * similarity before ranking so the rank order is reproducible across
+    * engines/float orders; ties break on candidate id. */
+  def bruteForceTopK(
+      queries: DataFrame,
+      candidates: DataFrame,
+      k: Int,
+      idQ: String = "qid",
+      idC: String = "cid",
+      vecCol: String = "embedding",
+      roundDigits: Int = 6): DataFrame = {
+    val pairs = cosinePairs(queries, candidates, idQ, idC, vecCol)
+      .withColumn("sim_r", round(col("sim"), roundDigits))
+    val w = Window.partitionBy(idQ).orderBy(col("sim_r").desc, col(idC).asc)
+    pairs
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col(idQ), col(idC), col("rank"), col("sim_r").as("sim"))
+  }
+
+  /** Deterministic pseudo-random unit-ish hyperplanes (xorshift-based,
+    * seeded) — avoids any RNG library dependency in the plan. */
+  private def hyperplanes(nBits: Int, dim: Int, seed: Long): Array[Array[Double]] = {
+    var s = seed
+    def next(): Double = {
+      s ^= s << 13; s ^= s >>> 7; s ^= s << 17
+      (s.toDouble / Long.MaxValue)
+    }
+    Array.fill(nBits)(Array.fill(dim)(next()))
+  }
+
+  /** Random-hyperplane LSH signature (one long, nBits<=63) per vector. */
+  def withLshSignature(
+      df: DataFrame,
+      dim: Int,
+      nBits: Int = 16,
+      seed: Long = 42L,
+      vecCol: String = "embedding"): DataFrame = {
+    val planes = hyperplanes(nBits, dim, seed)
+    val sig = planes.zipWithIndex
+      .map { case (p, i) =>
+        val planeCol = array(p.map(lit): _*)
+        when(dotProduct(col(vecCol), planeCol) >= 0, lit(1L << i)).otherwise(0L)
+      }
+      .reduce(_ + _)
+    df.withColumn("lsh_sig", sig)
+  }
+
+  /** LSH-bucketed approximate top-k: candidates = vectors sharing any
+    * 8-bit band of the signature with the query; exact cosine rerank on
+    * candidates. Recall < 1 by construction (approximate), cost ~ bucket
+    * sizes instead of |Q| x |C|. */
+  def lshTopK(
+      queries: DataFrame,
+      candidates: DataFrame,
+      dim: Int,
+      k: Int,
+      nBits: Int = 16,
+      seed: Long = 42L,
+      idQ: String = "qid",
+      idC: String = "cid",
+      vecCol: String = "embedding"): DataFrame = {
+    val nBands = nBits / 8
+    def banded(df: DataFrame, id: String, v: String): DataFrame = {
+      val s = withLshSignature(df.select(col(id), col(vecCol).as(v)), dim, nBits, seed, v)
+      (0 until nBands).map { b =>
+        s.select(col(id), col(v), lit(b).as("band_idx"),
+          shiftrightunsigned(col("lsh_sig"), b * 8).bitwiseAND(0xffL).as("band"))
+      }.reduce(_ unionByName _)
+    }
+    val q = banded(queries, idQ, "_qv")
+    val c = banded(candidates, idC, "_cv")
+    val cand = q.join(c, Seq("band_idx", "band"))
+      .select(col(idQ), col(idC), col("_qv"), col("_cv"))
+      .distinct()
+      .withColumn("sim_r", round(cosineSimilarity(col("_qv"), col("_cv")), 6))
+    val w = Window.partitionBy(idQ).orderBy(col("sim_r").desc, col(idC).asc)
+    cand
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col(idQ), col(idC), col("rank"), col("sim_r").as("sim"))
+  }
+}

@@ -1,0 +1,692 @@
+package graft.queries
+
+import graft.core.{AreaDef, Crs}
+import graft.functions.GeoFunctions._
+import graft.operators._
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** The driver-facing query surface: one entry per SURVEY §2 operator, each
+  * with a DuckDB oracle SQL that reproduces the Spark result **bit-exactly**.
+  *
+  * Exactness discipline (the whole file follows these rules):
+  *   - synthetic geo columns derive from keys by pure +,-,*,/,%,floor —
+  *     IEEE-exact and identical across engines;
+  *   - sums of data values go through DECIMAL (exact) and are cast to DOUBLE
+  *     only at the end; averages are CAST(sum AS DOUBLE)/count — a single
+  *     correctly-rounded division, never a float running sum;
+  *   - weighted k-NN merges pivot the k neighbours into fixed columns and
+  *     add them in a fixed textual order — no order-nondeterministic SUM;
+  *   - transcendentals (exp/trig) are rounded to a fixed scale immediately,
+  *     making 1-ulp libm differences between the JVM and DuckDB invisible;
+  *   - every query ends in a deterministic ORDER BY;
+  *   - ties anywhere are broken by an id column.
+  */
+object Queries {
+
+  final case class Q(build: (SparkSession, String) => DataFrame, sql: Option[String])
+
+  def table(spark: SparkSession, dir: String, name: String): DataFrame =
+    spark.read.parquet(s"$dir/$name.parquet")
+
+  // ------------------------------------------------------------ fixtures
+
+  /** 1-degree world grid on longlat — the oracle-checkable target area
+    * (projection = identity, so cell arithmetic is pure). */
+  val world: AreaDef =
+    AreaDef("world1deg", Crs.fromProj4("+proj=longlat"), 360, 180, -180, -90, 180, 90)
+
+  /** Synthetic swath derived from lineitem by exact integer/float
+    * arithmetic (lon in [-179.95, 179.95], lat in [-84.95, 84.95]). */
+  val swathExprs: Seq[String] = Seq(
+    "l_orderkey * 10 + l_linenumber AS pid",
+    "((l_orderkey * 37 + l_linenumber * 11) % 3600) / CAST(10 AS DOUBLE) - 180.0 + 0.05 AS lon",
+    "((l_partkey * 53 + l_suppkey * 17) % 1700) / CAST(10 AS DOUBLE) - 85.0 + 0.05 AS lat",
+    "l_quantity AS value",
+    "CASE WHEN l_linenumber = 3 THEN NULL ELSE l_quantity END AS value_n",
+    "(l_orderkey * 10 + l_linenumber) % 97 AS iy",
+    "l_partkey % 89 AS ix",
+    "l_returnflag AS flag")
+
+  def swath(spark: SparkSession, dir: String): DataFrame =
+    table(spark, dir, "lineitem").selectExpr(swathExprs: _*)
+
+  val swathSql: String = s"swath AS (SELECT ${swathExprs.mkString(", ")} FROM lineitem)"
+
+  /** Target points derived from customer keys. */
+  val tgtExprs: Seq[String] = Seq(
+    "c_custkey AS dst_id",
+    "((c_custkey * 29) % 3600) / CAST(10 AS DOUBLE) - 180.0 + 0.05 AS lon",
+    "((c_custkey * 31) % 1700) / CAST(10 AS DOUBLE) - 85.0 + 0.05 AS lat")
+
+  def tgt(spark: SparkSession, dir: String): DataFrame =
+    table(spark, dir, "customer").selectExpr(tgtExprs: _*)
+
+  val tgtSql: String = s"tgt AS (SELECT ${tgtExprs.mkString(", ")} FROM customer)"
+
+  /** The SQL twin of GeoFunctions.cellIndex on the world grid. */
+  val cellSql: String =
+    "(CAST(FLOOR((90.0 - lat) / 1.0) AS BIGINT) * 360 + CAST(FLOOR((lon - -180.0) / 1.0) AS BIGINT))"
+
+  val swCellSql: String = s"sw AS (SELECT *, $cellSql AS cell FROM swath)"
+
+  private def bucket = BucketResampler(world)
+
+  private val dec = DecimalType(18, 2)
+
+  // ======================================================== bucket family
+
+  val q01_bucket_count: Q = Q(
+    (s, d) => bucket.count(swath(s, d)).orderBy("cell"),
+    Some(s"""WITH $swathSql, $swCellSql
+      SELECT cell, CAST(COUNT(*) AS BIGINT) AS n FROM sw GROUP BY cell ORDER BY cell"""))
+
+  val q02_bucket_sum: Q = Q(
+    (s, d) =>
+      bucket.withCell(swath(s, d)).groupBy("cell")
+        .agg(sum(col("value_n").cast(dec)).cast("double").as("sum_v"))
+        .orderBy("cell"),
+    Some(s"""WITH $swathSql, $swCellSql
+      SELECT cell, CAST(SUM(CAST(value_n AS DECIMAL(18,2))) AS DOUBLE) AS sum_v
+      FROM sw GROUP BY cell ORDER BY cell"""))
+
+  val q03_bucket_sum_noskip: Q = Q(
+    (s, d) =>
+      bucket.withCell(swath(s, d)).groupBy("cell")
+        .agg(
+          sum(col("value_n").cast(dec)).cast("double").as("_s"),
+          max(when(col("value_n").isNull, 1).otherwise(0)).as("_bad"))
+        .select(col("cell"),
+          when(col("_bad") === 1, lit(null).cast("double")).otherwise(col("_s")).as("sum_v"))
+        .orderBy("cell"),
+    Some(s"""WITH $swathSql, $swCellSql
+      SELECT cell,
+        CASE WHEN MAX(CASE WHEN value_n IS NULL THEN 1 ELSE 0 END) = 1 THEN NULL
+             ELSE CAST(SUM(CAST(value_n AS DECIMAL(18,2))) AS DOUBLE) END AS sum_v
+      FROM sw GROUP BY cell ORDER BY cell"""))
+
+  val q04_bucket_avg: Q = Q(
+    (s, d) =>
+      bucket.withCell(swath(s, d)).groupBy("cell")
+        .agg(
+          sum(col("value_n").cast(dec)).cast("double").as("_s"),
+          count(col("value_n")).as("_n"))
+        .select(col("cell"), (col("_s") / col("_n")).as("avg_v"))
+        .orderBy("cell"),
+    Some(s"""WITH $swathSql, $swCellSql
+      SELECT cell,
+        CAST(SUM(CAST(value_n AS DECIMAL(18,2))) AS DOUBLE) / COUNT(value_n) AS avg_v
+      FROM sw GROUP BY cell ORDER BY cell"""))
+
+  val q05_bucket_minmax: Q = Q(
+    (s, d) =>
+      bucket.withCell(swath(s, d)).groupBy("cell")
+        .agg(min("value").as("min_v"), max("value").as("max_v"))
+        .orderBy("cell"),
+    Some(s"""WITH $swathSql, $swCellSql
+      SELECT cell, MIN(value) AS min_v, MAX(value) AS max_v
+      FROM sw GROUP BY cell ORDER BY cell"""))
+
+  val q06_bucket_absmax: Q = Q(
+    (s, d) => {
+      val w = Window.partitionBy("cell")
+        .orderBy(abs(col("v2")).desc, col("v2").desc, col("pid").asc)
+      bucket.withCell(swath(s, d))
+        .withColumn("v2", col("value") - lit(25.0))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("cell"), col("v2").as("abs_max"))
+        .orderBy("cell")
+    },
+    Some(s"""WITH $swathSql, $swCellSql,
+      v AS (SELECT cell, value - 25.0 AS v2, pid FROM sw),
+      r AS (SELECT cell, v2, ROW_NUMBER() OVER
+              (PARTITION BY cell ORDER BY ABS(v2) DESC, v2 DESC, pid ASC) AS rn FROM v)
+      SELECT cell, v2 AS abs_max FROM r WHERE rn = 1 ORDER BY cell"""))
+
+  val q07_bucket_fractions: Q = Q(
+    (s, d) => bucket.fractions(swath(s, d), "flag")
+      .select("cell", "flag", "fraction").orderBy("cell", "flag"),
+    Some(s"""WITH $swathSql, $swCellSql,
+      c AS (SELECT cell, flag, COUNT(*) AS n FROM sw GROUP BY cell, flag),
+      t AS (SELECT cell, COUNT(*) AS tot FROM sw GROUP BY cell)
+      SELECT c.cell, c.flag, CAST(c.n AS DOUBLE) / CAST(t.tot AS DOUBLE) AS fraction
+      FROM c JOIN t ON c.cell = t.cell ORDER BY c.cell, c.flag"""))
+
+  // ================================================= filters / predicates
+
+  val q08_reduce_bbox: Q = Q(
+    (s, d) =>
+      swath(s, d)
+        .filter(DataReduce.bboxPredicate(col("lon"), col("lat"), 150.0, -30.0, -150.0, 30.0))
+        .groupBy("flag")
+        .agg(
+          count(lit(1)).as("n"),
+          sum(col("value").cast(dec)).cast("double").as("sum_v"))
+        .orderBy("flag"),
+    Some(s"""WITH $swathSql
+      SELECT flag, CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_v
+      FROM swath
+      WHERE (lat >= -30.0 AND lat <= 30.0) AND (lon >= 150.0 OR lon <= -150.0)
+      GROUP BY flag ORDER BY flag"""))
+
+  val q09_wrap_lon: Q = Q(
+    (s, d) =>
+      tgt(s, d).filter(col("dst_id") % 40 === 0)
+        .select(col("dst_id"), wrapLon(col("lon") * lit(3.0)).as("wrapped"))
+        .orderBy("dst_id"),
+    Some(s"""WITH $tgtSql
+      SELECT dst_id,
+        (lon * 3.0) - 360.0 * FLOOR(((lon * 3.0) + 180.0) / 360.0) AS wrapped
+      FROM tgt WHERE dst_id % 40 = 0 ORDER BY dst_id"""))
+
+  val q10_union_concat: Q = Q(
+    (s, d) => {
+      val sw = swath(s, d)
+      bucket.count(sw.filter(col("pid") % 10 === 1).unionByName(sw.filter(col("pid") % 10 === 2)))
+        .orderBy("cell")
+    },
+    Some(s"""WITH $swathSql,
+      u AS (SELECT * FROM swath WHERE pid % 10 = 1
+            UNION ALL SELECT * FROM swath WHERE pid % 10 = 2),
+      uc AS (SELECT *, $cellSql AS cell FROM u)
+      SELECT cell, CAST(COUNT(*) AS BIGINT) AS n FROM uc GROUP BY cell ORDER BY cell"""))
+
+  val q11_grid_filter: Q = Q(
+    (s, d) => {
+      val mask = bucket.count(swath(s, d)).filter(col("n") >= 8)
+      DataReduce.gridFilter(tgt(s, d), world, mask)
+        .select("dst_id", "cell").orderBy("dst_id")
+    },
+    Some(s"""WITH $swathSql, $swCellSql, $tgtSql,
+      m AS (SELECT cell FROM sw GROUP BY cell HAVING COUNT(*) >= 8),
+      tc AS (SELECT dst_id, $cellSql AS cell FROM tgt)
+      SELECT dst_id, cell FROM tc WHERE cell IN (SELECT cell FROM m) ORDER BY dst_id"""))
+
+  val q12_linesample: Q = Q(
+    (s, d) => {
+      val grid = bucket.withCell(swath(s, d)).groupBy("cell")
+        .agg(
+          sum(col("value").cast(dec)).cast("double").as("_s"),
+          count(col("value")).as("_n"))
+        .select(col("cell"), (col("_s") / col("_n")).as("avg_v"))
+      Linesample.sample(tgt(s, d), world, grid)
+        .select("dst_id", "cell", "avg_v").orderBy("dst_id")
+    },
+    Some(s"""WITH $swathSql, $swCellSql, $tgtSql,
+      g AS (SELECT cell, CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) / COUNT(value) AS avg_v
+            FROM sw GROUP BY cell),
+      tc AS (SELECT dst_id, $cellSql AS cell FROM tgt)
+      SELECT tc.dst_id, tc.cell, g.avg_v FROM tc LEFT JOIN g ON g.cell = tc.cell
+      ORDER BY tc.dst_id"""))
+
+  val q13_area_grid: Q = Q(
+    (s, d) => {
+      val eu = AreaDef("eu", Crs.fromProj4("+proj=longlat"), 40, 30, -10, 35, 30, 65)
+      eu.grid(s).select("cell", "y", "x", "proj_x", "proj_y").orderBy("cell")
+    },
+    Some("""SELECT cell,
+        CAST(FLOOR(cell / 40) AS INTEGER) AS y,
+        CAST(cell % 40 AS INTEGER) AS x,
+        -10.0 + ((cell % 40) + 0.5) * 1.0 AS proj_x,
+        65.0 - (CAST(FLOOR(cell / 40) AS INTEGER) + 0.5) * 1.0 AS proj_y
+      FROM range(0, 1200) t(cell) ORDER BY cell"""))
+
+  // ============================================== k-NN join family (J1-J4)
+
+  /** k-NN source point set: a DISTINCT projection keyed by a collision-free
+    * composite id (lineitem rows are NOT unique on (orderkey, linenumber) in
+    * this synthetic data; the id must be unique for deterministic rank
+    * tie-breaks and fan-out-free value gathers). */
+  private val ksrcExprs: Seq[String] = Seq(
+    "(((l_orderkey * 8 + l_linenumber) * 1048576 + l_partkey) * 16384 + l_suppkey) * 64 + CAST(FLOOR(l_quantity) AS BIGINT) AS src_id",
+    "((l_orderkey * 37 + l_linenumber * 11) % 3600) / CAST(10 AS DOUBLE) - 180.0 + 0.05 AS lon",
+    "((l_partkey * 53 + l_suppkey * 17) % 1700) / CAST(10 AS DOUBLE) - 85.0 + 0.05 AS lat",
+    "l_quantity AS value")
+
+  private val ksrcSql: String =
+    s"ksrc AS (SELECT DISTINCT ${ksrcExprs.mkString(", ")} FROM lineitem)"
+
+  private def srcForKnn(s: SparkSession, d: String): DataFrame =
+    table(s, d, "lineitem").selectExpr(ksrcExprs: _*).distinct()
+
+  /** Shared SQL: brute-force candidates within radius 2.0 deg + rank. */
+  private val knnRankedSql: String =
+    s"""$ksrcSql,
+    cand AS (
+      SELECT t.dst_id, s.src_id,
+             (t.lon - s.lon) * (t.lon - s.lon) + (t.lat - s.lat) * (t.lat - s.lat) AS dist2,
+             s.value
+      FROM tgt t CROSS JOIN ksrc s
+      WHERE (t.lon - s.lon) * (t.lon - s.lon) + (t.lat - s.lat) * (t.lat - s.lat) <= 4.0),
+    ranked AS (
+      SELECT dst_id, src_id, dist2, value,
+             ROW_NUMBER() OVER (PARTITION BY dst_id ORDER BY dist2 ASC, src_id ASC) AS rank
+      FROM cand)"""
+
+  val q14_knn_nearest: Q = Q(
+    (s, d) => {
+      val src = srcForKnn(s, d)
+      KnnResample.neighbours(src, tgt(s, d), 2.0, 1, planar = true)
+        .join(src.select("src_id", "value"), "src_id")
+        .select("dst_id", "src_id", "dist2", "value")
+        .orderBy("dst_id")
+    },
+    Some(s"""WITH $swathSql, $tgtSql, $knnRankedSql
+      SELECT dst_id, src_id, dist2, value FROM ranked WHERE rank = 1 ORDER BY dst_id"""))
+
+  /** Fixed-order pivot sum over k ranks: exact double addition order. */
+  private def pivotAgg(nbrs: DataFrame, k: Int, extra: Boolean): DataFrame = {
+    val aggs = (1 to k).flatMap { i =>
+      Seq(
+        max(when(col("rank") === i, col("w") * col("value"))).as(s"wv$i"),
+        max(when(col("rank") === i, col("w"))).as(s"w$i")) ++
+        (if (extra)
+          Seq(
+            max(when(col("rank") === i, col("w") * col("value") * col("value"))).as(s"wvv$i"),
+            max(when(col("rank") === i, col("w") * col("w"))).as(s"ww$i"))
+        else Nil)
+    }
+    nbrs.groupBy("dst_id").agg(aggs.head, aggs.tail: _*)
+  }
+  private def fixedSum(prefix: String, k: Int): Column =
+    (1 to k).map(i => coalesce(col(s"$prefix$i"), lit(0.0))).reduce(_ + _)
+  private def fixedSumSql(prefix: String, k: Int): String =
+    (1 to k).map(i => s"COALESCE($prefix$i, 0.0)").mkString(" + ")
+  private def pivotSql(k: Int, wExpr: String, extra: Boolean): String = {
+    val cols = (1 to k).flatMap { i =>
+      Seq(
+        s"MAX(CASE WHEN rank = $i THEN ($wExpr) * value END) AS wv$i",
+        s"MAX(CASE WHEN rank = $i THEN $wExpr END) AS w$i") ++
+        (if (extra)
+          Seq(
+            s"MAX(CASE WHEN rank = $i THEN ($wExpr) * value * value END) AS wvv$i",
+            s"MAX(CASE WHEN rank = $i THEN ($wExpr) * ($wExpr) END) AS ww$i")
+        else Nil)
+    }
+    s"piv AS (SELECT dst_id, ${cols.mkString(", ")} FROM ranked WHERE rank <= $k GROUP BY dst_id)"
+  }
+
+  val q15_knn_custom: Q = Q(
+    (s, d) => {
+      val src = srcForKnn(s, d)
+      val nbrs = KnnResample.neighbours(src, tgt(s, d), 2.0, 5, planar = true)
+        .join(src.select("src_id", "value"), "src_id")
+        .withColumn("w", lit(4.5) - col("dist2"))
+      pivotAgg(nbrs, 5, extra = false)
+        .select(col("dst_id"), (fixedSum("wv", 5) / fixedSum("w", 5)).as("custom_v"))
+        .orderBy("dst_id")
+    },
+    Some(s"""WITH $swathSql, $tgtSql, $knnRankedSql, ${pivotSql(5, "4.5 - dist2", extra = false)}
+      SELECT dst_id, (${fixedSumSql("wv", 5)}) / (${fixedSumSql("w", 5)}) AS custom_v
+      FROM piv ORDER BY dst_id"""))
+
+  val q16_knn_gauss: Q = Q(
+    (s, d) => {
+      val src = srcForKnn(s, d)
+      val nbrs = KnnResample.neighbours(src, tgt(s, d), 2.0, 8, planar = true)
+        .join(src.select("src_id", "value"), "src_id")
+        .withColumn("w", round(exp(-col("dist2") / lit(2.25)), 7))
+      pivotAgg(nbrs, 8, extra = false)
+        .select(col("dst_id"), (fixedSum("wv", 8) / fixedSum("w", 8)).as("gauss_v"))
+        .orderBy("dst_id")
+    },
+    Some(s"""WITH $swathSql, $tgtSql, $knnRankedSql,
+      ${pivotSql(8, "ROUND(EXP(-dist2 / 2.25), 7)", extra = false)}
+      SELECT dst_id, (${fixedSumSql("wv", 8)}) / (${fixedSumSql("w", 8)}) AS gauss_v
+      FROM piv ORDER BY dst_id"""))
+
+  val q17_knn_uncertainty: Q = Q(
+    (s, d) => {
+      val src = srcForKnn(s, d)
+      val nbrs = KnnResample.neighbours(src, tgt(s, d), 2.0, 8, planar = true)
+        .join(src.select("src_id", "value"), "src_id")
+        .withColumn("w", round(exp(-col("dist2") / lit(2.25)), 7))
+      val g = pivotAgg(nbrs, 8, extra = true)
+      val v1 = fixedSum("w", 8); val v2 = fixedSum("ww", 8)
+      val swv = fixedSum("wv", 8); val swvv = fixedSum("wvv", 8)
+      val n = (1 to 8).map(i => when(col(s"w$i").isNotNull, 1L).otherwise(0L)).reduce(_ + _)
+      g.withColumn("n", n)
+        .filter(col("n") >= 2)
+        .select(
+          col("dst_id"),
+          (swv / v1).as("mean_v"),
+          sqrt(greatest((v1 / (v1 * v1 - v2)) * (swvv - (swv * swv) / v1), lit(0.0))).as("stddev"),
+          col("n"))
+        .orderBy("dst_id")
+    },
+    Some {
+      val v1 = s"(${fixedSumSql("w", 8)})"; val v2 = s"(${fixedSumSql("ww", 8)})"
+      val swv = s"(${fixedSumSql("wv", 8)})"; val swvv = s"(${fixedSumSql("wvv", 8)})"
+      val n = "CAST(" + (1 to 8).map(i => s"(CASE WHEN w$i IS NOT NULL THEN 1 ELSE 0 END)").mkString(" + ") + " AS BIGINT)"
+      s"""WITH $swathSql, $tgtSql, $knnRankedSql,
+      ${pivotSql(8, "ROUND(EXP(-dist2 / 2.25), 7)", extra = true)},
+      f AS (SELECT dst_id, $swv / $v1 AS mean_v,
+              SQRT(GREATEST(($v1 / ($v1 * $v1 - $v2)) * ($swvv - ($swv * $swv) / $v1), 0.0)) AS stddev,
+              $n AS n
+            FROM piv)
+      SELECT dst_id, mean_v, stddev, n FROM f WHERE n >= 2 ORDER BY dst_id"""
+    })
+
+  // ===================================================== scalar functions
+
+  val q18_haversine: Q = Q(
+    (s, d) =>
+      tgt(s, d).filter(col("dst_id") % 10 === 0)
+        .select(col("dst_id"),
+          round(haversine(col("lon"), col("lat"), lit(0.0), lit(0.0)), 2).as("hav_m"))
+        .orderBy("dst_id"),
+    Some(s"""WITH $tgtSql
+      SELECT dst_id,
+        ROUND(12741994.0 * ASIN(LEAST(1.0, SQRT(
+          POWER(SIN((RADIANS(0.0) - RADIANS(lat)) / 2), 2) +
+          COS(RADIANS(lat)) * COS(RADIANS(0.0)) *
+          POWER(SIN((RADIANS(0.0) - RADIANS(lon)) / 2), 2)))), 2) AS hav_m
+      FROM tgt WHERE dst_id % 10 = 0 ORDER BY dst_id"""))
+
+  val q19_lonlat2xyz: Q = Q(
+    (s, d) =>
+      tgt(s, d).filter(col("dst_id") % 10 === 0)
+        .select(col("dst_id"),
+          round(lonlat2x(col("lon"), col("lat")), 4).as("gx"),
+          round(lonlat2y(col("lon"), col("lat")), 4).as("gy"),
+          round(lonlat2z(col("lat")), 4).as("gz"))
+        .orderBy("dst_id"),
+    Some(s"""WITH $tgtSql
+      SELECT dst_id,
+        ROUND(COS(RADIANS(lat)) * COS(RADIANS(lon)) * 6370997.0, 4) AS gx,
+        ROUND(COS(RADIANS(lat)) * SIN(RADIANS(lon)) * 6370997.0, 4) AS gy,
+        ROUND(SIN(RADIANS(lat)) * 6370997.0, 4) AS gz
+      FROM tgt WHERE dst_id % 10 = 0 ORDER BY dst_id"""))
+
+  val q20_swath_aggregate: Q = Q(
+    (s, d) =>
+      swath(s, d)
+        .withColumn("by", floor(col("iy") / lit(8.0)).cast("long"))
+        .withColumn("bx", floor(col("ix") / lit(8.0)).cast("long"))
+        .groupBy("by", "bx")
+        .agg(
+          sum(col("lon").cast(DecimalType(9, 2))).cast("double").as("_slon"),
+          sum(col("lat").cast(DecimalType(9, 2))).cast("double").as("_slat"),
+          count(lit(1)).as("n"))
+        .select(col("by"), col("bx"),
+          (col("_slon") / col("n")).as("avg_lon"),
+          (col("_slat") / col("n")).as("avg_lat"),
+          col("n"))
+        .orderBy("by", "bx"),
+    Some(s"""WITH $swathSql
+      SELECT CAST(FLOOR(iy / 8.0) AS BIGINT) AS by, CAST(FLOOR(ix / 8.0) AS BIGINT) AS bx,
+        CAST(SUM(CAST(lon AS DECIMAL(9,2))) AS DOUBLE) / COUNT(*) AS avg_lon,
+        CAST(SUM(CAST(lat AS DECIMAL(9,2))) AS DOUBLE) / COUNT(*) AS avg_lat,
+        CAST(COUNT(*) AS BIGINT) AS n
+      FROM swath GROUP BY 1, 2 ORDER BY 1, 2"""))
+
+  // ===================================================== relational bench
+
+  val q21_pricing_agg: Q = Q(
+    (s, d) =>
+      table(s, d, "lineitem")
+        .filter(expr("l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+          sum(col("l_quantity").cast(dec)).cast("double").as("sum_qty"),
+          sum(col("l_extendedprice").cast(dec)).cast("double").as("sum_base"),
+          sum(col("l_extendedprice").cast(dec) *
+            (lit(BigDecimal("1.00")).cast(DecimalType(3, 2)) - col("l_discount").cast(DecimalType(4, 2))))
+            .cast("double").as("sum_disc"),
+          count(lit(1)).as("n"))
+        .orderBy("l_returnflag", "l_linestatus"),
+    Some("""SELECT l_returnflag, l_linestatus,
+        CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+        CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base,
+        CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) *
+             (CAST(1.00 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS sum_disc,
+        CAST(COUNT(*) AS BIGINT) AS n
+      FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+      GROUP BY l_returnflag, l_linestatus ORDER BY l_returnflag, l_linestatus"""))
+
+  val q22_top_revenue: Q = Q(
+    (s, d) => {
+      val rev = table(s, d, "lineitem")
+        .groupBy("l_orderkey")
+        .agg(sum(col("l_extendedprice").cast(dec) *
+          (lit(BigDecimal("1.00")).cast(DecimalType(3, 2)) - col("l_discount").cast(DecimalType(4, 2))))
+          .cast("double").as("revenue"))
+      rev.join(table(s, d, "orders"), col("l_orderkey") === col("o_orderkey"))
+        .select("l_orderkey", "revenue", "o_orderstatus")
+        .orderBy(col("revenue").desc, col("l_orderkey").asc)
+        .limit(10)
+    },
+    Some("""WITH r AS (
+        SELECT l_orderkey,
+          CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) *
+               (CAST(1.00 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS revenue
+        FROM lineitem GROUP BY l_orderkey)
+      SELECT r.l_orderkey, r.revenue, o.o_orderstatus
+      FROM r JOIN orders o ON o.o_orderkey = r.l_orderkey
+      ORDER BY r.revenue DESC, r.l_orderkey ASC LIMIT 10"""))
+
+  // ========================================== dedup / text (extension ops)
+
+  val q23_dedup_exact: Q = Q(
+    (s, d) => Dedup.exact(table(s, d, "documents")).orderBy("h"),
+    Some("""SELECT md5(text) AS h, MIN(doc_id) AS keep_id, CAST(COUNT(*) AS BIGINT) AS n
+      FROM documents GROUP BY md5(text) ORDER BY h"""))
+
+  val q24_fingerprint: Q = Q(
+    (s, d) => Dedup.fingerprint(table(s, d, "documents")).orderBy("fp"),
+    Some("""SELECT md5(array_to_string(list_sort(list_distinct(string_split(text, ' '))), ' ')) AS fp,
+        MIN(doc_id) AS keep_id, CAST(COUNT(*) AS BIGINT) AS n
+      FROM documents GROUP BY 1 ORDER BY fp"""))
+
+  private val bigramWordsSql: String =
+    """wp AS (SELECT doc_id, unnest(string_split(text, ' ')) AS word,
+               unnest(range(len(string_split(text, ' ')))) AS pos FROM documents),
+      words AS (SELECT DISTINCT a.doc_id, a.word || ' ' || b.word AS word
+                FROM wp a JOIN wp b ON b.doc_id = a.doc_id AND b.pos = a.pos + 1)"""
+
+  private val jaccardTailSql: String =
+    """wc AS (SELECT doc_id, COUNT(*) AS sz FROM words GROUP BY doc_id),
+      inter AS (SELECT c.d1, c.d2, COUNT(*) AS i
+                FROM cand c
+                JOIN words wa ON wa.doc_id = c.d1
+                JOIN words wb ON wb.doc_id = c.d2 AND wb.word = wa.word
+                GROUP BY c.d1, c.d2)"""
+
+  val q25_minhash_lsh: Q = Q(
+    (s, d) => Dedup.minhashLsh(table(s, d, "documents")).orderBy("d1", "d2"),
+    Some {
+      val sigs = (1 to 8).map(i => s"MIN(md5(word || '#$i')) AS h$i").mkString(", ")
+      s"""WITH $bigramWordsSql,
+      sig AS (SELECT doc_id, $sigs FROM words GROUP BY doc_id),
+      bands AS (
+        SELECT doc_id, 0 AS band_idx, h1 || h2 || h3 || h4 AS band FROM sig
+        UNION ALL SELECT doc_id, 1 AS band_idx, h5 || h6 || h7 || h8 AS band FROM sig),
+      cand AS (SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+               FROM bands a JOIN bands b
+                 ON a.band_idx = b.band_idx AND a.band = b.band AND a.doc_id < b.doc_id),
+      $jaccardTailSql
+      SELECT i.d1, i.d2, CAST(i.i AS DOUBLE) / CAST(w1.sz + w2.sz - i.i AS DOUBLE) AS jaccard
+      FROM inter i JOIN wc w1 ON w1.doc_id = i.d1 JOIN wc w2 ON w2.doc_id = i.d2
+      WHERE CAST(i.i AS DOUBLE) / CAST(w1.sz + w2.sz - i.i AS DOUBLE) >= 0.4
+      ORDER BY i.d1, i.d2"""
+    })
+
+  val q26_ngram_jaccard: Q = Q(
+    (s, d) => Dedup.ngramJaccard(table(s, d, "documents"), Seq("lang", "n_chars"))
+      .orderBy("d1", "d2"),
+    Some(s"""WITH
+      words AS (SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS word FROM documents),
+      cand AS (SELECT a.doc_id AS d1, b.doc_id AS d2 FROM documents a JOIN documents b
+               ON a.lang = b.lang AND a.n_chars = b.n_chars AND a.doc_id < b.doc_id),
+      $jaccardTailSql
+      SELECT i.d1, i.d2, CAST(i.i AS DOUBLE) / CAST(w1.sz + w2.sz - i.i AS DOUBLE) AS jaccard
+      FROM inter i JOIN wc w1 ON w1.doc_id = i.d1 JOIN wc w2 ON w2.doc_id = i.d2
+      WHERE CAST(i.i AS DOUBLE) / CAST(w1.sz + w2.sz - i.i AS DOUBLE) >= 0.3
+      ORDER BY i.d1, i.d2"""))
+
+  val q27_token_stats: Q = Q(
+    (s, d) => TextAnalysis.tokenStats(table(s, d, "documents")).orderBy("doc_id"),
+    Some("""SELECT doc_id,
+        CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words,
+        CAST(length(text) AS BIGINT) AS n_chars,
+        CAST(CAST(length(text) AS BIGINT) AS DOUBLE) / CAST(len(string_split(text, ' ')) AS BIGINT) AS chars_per_word
+      FROM documents ORDER BY doc_id"""))
+
+  val q28_quality: Q = Q(
+    (s, d) => TextAnalysis.quality(table(s, d, "documents")).orderBy("doc_id"),
+    Some {
+      val stops = TextAnalysis.EnStopwords.map(w => s"('$w')").mkString(", ")
+      s"""WITH stops(word) AS (VALUES $stops),
+      wa AS (SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents),
+      hits AS (SELECT wa.doc_id, COUNT(*) AS stop_hits FROM wa JOIN stops ON wa.word = stops.word
+               GROUP BY wa.doc_id)
+      SELECT d.doc_id,
+        CAST(len(string_split(d.text, ' ')) AS BIGINT) AS n_words,
+        CAST(length(d.text) - length(regexp_replace(d.text, '[.,!?;]', '', 'g')) AS BIGINT) AS n_punct,
+        CAST(length(d.text) AS BIGINT) AS n_chars,
+        COALESCE(h.stop_hits, 0) AS stop_hits,
+        CAST(COALESCE(h.stop_hits, 0) AS DOUBLE) / CAST(len(string_split(d.text, ' ')) AS BIGINT) AS stop_ratio,
+        CAST(CAST(length(d.text) - length(regexp_replace(d.text, '[.,!?;]', '', 'g')) AS BIGINT) AS DOUBLE)
+          / CAST(length(d.text) AS BIGINT) AS punct_ratio
+      FROM documents d LEFT JOIN hits h ON h.doc_id = d.doc_id ORDER BY d.doc_id"""
+    })
+
+  val q29_langid: Q = Q(
+    (s, d) => TextAnalysis.langId(table(s, d, "documents")).orderBy("doc_id"),
+    Some {
+      val kw = TextAnalysis.LangKeywords.map { case (l, w) => s"('$l', '$w')" }.mkString(", ")
+      s"""WITH kw(pred_lang, word) AS (VALUES $kw),
+      wa AS (SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents),
+      scores AS (SELECT wa.doc_id, kw.pred_lang, COUNT(*) AS hits
+                 FROM wa JOIN kw ON wa.word = kw.word GROUP BY wa.doc_id, kw.pred_lang),
+      r AS (SELECT doc_id, pred_lang, hits,
+              ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY hits DESC, pred_lang ASC) AS rn
+            FROM scores)
+      SELECT doc_id, pred_lang, hits FROM r WHERE rn = 1 ORDER BY doc_id"""
+    })
+
+  // ============================================ embeddings (extension ops)
+
+  val q30_cosine_sim: Q = Q(
+    (s, d) => {
+      val emb = table(s, d, "embeddings")
+      val q = emb.filter(col("vec_id") % 500 === 0).select(col("vec_id").as("qid"), col("embedding"))
+      val c = emb.filter(col("vec_id") % 7 === 0).select(col("vec_id").as("cid"), col("embedding"))
+      Similarity.cosinePairs(q, c)
+        .select(col("qid"), col("cid"), round(col("sim"), 6).as("sim"))
+        .orderBy("qid", "cid")
+    },
+    Some("""SELECT q.vec_id AS qid, c.vec_id AS cid,
+        ROUND(list_cosine_similarity(CAST(q.embedding AS DOUBLE[]), CAST(c.embedding AS DOUBLE[])), 6) AS sim
+      FROM embeddings q CROSS JOIN embeddings c
+      WHERE q.vec_id % 500 = 0 AND c.vec_id % 7 = 0 ORDER BY qid, cid"""))
+
+  val q31_ann_topk: Q = Q(
+    (s, d) => {
+      val emb = table(s, d, "embeddings")
+      val q = emb.filter(col("vec_id") % 500 === 0).select(col("vec_id").as("qid"), col("embedding"))
+      val c = emb.select(col("vec_id").as("cid"), col("embedding"))
+      Similarity.bruteForceTopK(q, c, k = 10).orderBy("qid", "rank")
+    },
+    Some("""WITH pairs AS (
+        SELECT q.vec_id AS qid, c.vec_id AS cid,
+          ROUND(list_cosine_similarity(CAST(q.embedding AS DOUBLE[]), CAST(c.embedding AS DOUBLE[])), 6) AS sim_r
+        FROM embeddings q CROSS JOIN embeddings c WHERE q.vec_id % 500 = 0),
+      r AS (SELECT qid, cid, sim_r,
+              CAST(ROW_NUMBER() OVER (PARTITION BY qid ORDER BY sim_r DESC, cid ASC) AS INTEGER) AS rank
+            FROM pairs)
+      SELECT qid, cid, rank, sim_r AS sim FROM r WHERE rank <= 10 ORDER BY qid, rank"""))
+
+  // ================================= real-projection resampling (no oracle)
+
+  /** The kd-tree golden-test stere area (`test_kd_tree.py:35-48`), at 200x200. */
+  def stereArea(w: Int = 200, h: Int = 200): AreaDef =
+    AreaDef("stere_eu",
+      Crs.fromProj4("+proj=stere +a=6378144 +b=6356759 +lat_0=50 +lat_ts=50 +lon_0=8"),
+      w, h, -1370912.72, -909968.64, 1029087.28, 1490031.36)
+
+  val q40_nearest_stere: Q = Q(
+    (s, d) => {
+      val area = stereArea()
+      val src = DataReduce.reduceToArea(
+        swath(s, d).withColumnRenamed("pid", "src_id"), area, 50000.0)
+      val target = area.grid(s, withLonLat = true).select(col("cell").as("dst_id"), col("lon"), col("lat"))
+      KnnResample.nearest(src, target, 50000.0, Seq("value")).orderBy("dst_id")
+    },
+    None)
+
+  val q41_bucket_stere: Q = Q(
+    (s, d) => {
+      val area = stereArea()
+      BucketResampler(area).average(
+        DataReduce.reduceToArea(swath(s, d), area, 0.0), "value").orderBy("cell")
+    },
+    None)
+
+  val q42_gauss_stere: Q = Q(
+    (s, d) => {
+      val area = stereArea()
+      val src = DataReduce.reduceToArea(
+        swath(s, d).withColumnRenamed("pid", "src_id"), area, 50000.0)
+      val target = area.grid(s, withLonLat = true).select(col("cell").as("dst_id"), col("lon"), col("lat"))
+      KnnResample.gauss(src, target, 50000.0, 25000.0, "value").orderBy("dst_id")
+    },
+    None)
+
+  val q43_simhash_neardup: Q = Q(
+    (s, d) => Dedup.simhashNearDup(table(s, d, "documents")).orderBy("d1", "d2"),
+    None)
+
+  val q44_lsh_topk: Q = Q(
+    (s, d) => {
+      val emb = table(s, d, "embeddings")
+      val q = emb.filter(col("vec_id") % 500 === 0).select(col("vec_id").as("qid"), col("embedding"))
+      val c = emb.select(col("vec_id").as("cid"), col("embedding"))
+      Similarity.lshTopK(q, c, dim = 64, k = 10).orderBy("qid", "rank")
+    },
+    None)
+
+  // -------------------------------------------------------------- registry
+
+  val all: Seq[(String, Q)] = Seq(
+    "q01_bucket_count" -> q01_bucket_count,
+    "q02_bucket_sum" -> q02_bucket_sum,
+    "q03_bucket_sum_noskip" -> q03_bucket_sum_noskip,
+    "q04_bucket_avg" -> q04_bucket_avg,
+    "q05_bucket_minmax" -> q05_bucket_minmax,
+    "q06_bucket_absmax" -> q06_bucket_absmax,
+    "q07_bucket_fractions" -> q07_bucket_fractions,
+    "q08_reduce_bbox" -> q08_reduce_bbox,
+    "q09_wrap_lon" -> q09_wrap_lon,
+    "q10_union_concat" -> q10_union_concat,
+    "q11_grid_filter" -> q11_grid_filter,
+    "q12_linesample" -> q12_linesample,
+    "q13_area_grid" -> q13_area_grid,
+    "q14_knn_nearest" -> q14_knn_nearest,
+    "q15_knn_custom" -> q15_knn_custom,
+    "q16_knn_gauss" -> q16_knn_gauss,
+    "q17_knn_uncertainty" -> q17_knn_uncertainty,
+    "q18_haversine" -> q18_haversine,
+    "q19_lonlat2xyz" -> q19_lonlat2xyz,
+    "q20_swath_aggregate" -> q20_swath_aggregate,
+    "q21_pricing_agg" -> q21_pricing_agg,
+    "q22_top_revenue" -> q22_top_revenue,
+    "q23_dedup_exact" -> q23_dedup_exact,
+    "q24_fingerprint" -> q24_fingerprint,
+    "q25_minhash_lsh" -> q25_minhash_lsh,
+    "q26_ngram_jaccard" -> q26_ngram_jaccard,
+    "q27_token_stats" -> q27_token_stats,
+    "q28_quality" -> q28_quality,
+    "q29_langid" -> q29_langid,
+    "q30_cosine_sim" -> q30_cosine_sim,
+    "q31_ann_topk" -> q31_ann_topk,
+    "q40_nearest_stere" -> q40_nearest_stere,
+    "q41_bucket_stere" -> q41_bucket_stere,
+    "q42_gauss_stere" -> q42_gauss_stere,
+    "q43_simhash_neardup" -> q43_simhash_neardup,
+    "q44_lsh_topk" -> q44_lsh_topk)
+}
