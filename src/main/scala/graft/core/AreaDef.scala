@@ -119,6 +119,16 @@ final case class AreaDef(
       visit(fx, yLL); visit(fx, yUR); visit(xLL, fy); visit(xUR, fy)
       i += 1
     }
+    // A pole inside the extent never shows on the boundary sweep: the min/max
+    // latitude is then at the grid interior and every longitude occurs
+    // (the pole case of `data_reduce.py:289-295`).
+    Seq(90.0, -90.0).foreach { pole =>
+      val (px, py) = crs.forward(0.0, pole)
+      if (!px.isNaN && !py.isNaN && contains(px, py)) {
+        if (pole > 0) latMax = 90.0 else latMin = -90.0
+        lonMin = -180.0; lonMax = 180.0
+      }
+    }
     (lonMin, latMin, lonMax, latMax)
   }
 

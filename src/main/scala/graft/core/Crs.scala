@@ -312,8 +312,9 @@ final case class StereProj(lon0: Double, lat0: Double, latTs: Double, k0In: Doub
         }
       val chi = math.Pi / 2 - 2 * math.atan(t)
       val phi = sign * phiFromChi(chi)
-      val lam = math.atan2(x, -sign * y) // north: atan2(x, -y)
-      (wrapLonDeg(lon0 + sign * lam * Rad2Deg), phi * Rad2Deg)
+      // forward wrote x = rho sin(lam), y = -sign rho cos(lam)
+      val lam = math.atan2(x, -sign * y)
+      (wrapLonDeg(lon0 + lam * Rad2Deg), phi * Rad2Deg)
     } else {
       val rho = math.hypot(x, y)
       if (rho < 1e-12) return (wrapLonDeg(lon0), lat0)

@@ -60,7 +60,7 @@ object Dedup {
       textCol: String = "text",
       idCol: String = "doc_id",
       numHashes: Int = 8,
-      rowsPerBand: Int = 4,
+      rowsPerBand: Int = 2,
       threshold: Double = 0.4,
       shingleN: Int = 2): DataFrame = {
     require(numHashes % rowsPerBand == 0, "numHashes must be divisible by rowsPerBand")

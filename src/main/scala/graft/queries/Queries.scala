@@ -503,8 +503,10 @@ object Queries {
       s"""WITH $bigramWordsSql,
       sig AS (SELECT doc_id, $sigs FROM words GROUP BY doc_id),
       bands AS (
-        SELECT doc_id, 0 AS band_idx, h1 || h2 || h3 || h4 AS band FROM sig
-        UNION ALL SELECT doc_id, 1 AS band_idx, h5 || h6 || h7 || h8 AS band FROM sig),
+        SELECT doc_id, 0 AS band_idx, h1 || h2 AS band FROM sig
+        UNION ALL SELECT doc_id, 1 AS band_idx, h3 || h4 AS band FROM sig
+        UNION ALL SELECT doc_id, 2 AS band_idx, h5 || h6 AS band FROM sig
+        UNION ALL SELECT doc_id, 3 AS band_idx, h7 || h8 AS band FROM sig),
       cand AS (SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
                FROM bands a JOIN bands b
                  ON a.band_idx = b.band_idx AND a.band = b.band AND a.doc_id < b.doc_id),

@@ -1,0 +1,118 @@
+package graft.core
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Projection kernel: forward/inverse round-trips over dense deterministic
+  * lon/lat lattices (the property layer the reference lacks, SURVEY §5)
+  * plus anchor values derivable by hand. */
+class CrsSpec extends AnyFunSuite {
+
+  private def roundTrip(crs: Crs, lon: Double, lat: Double, tolDeg: Double = 1e-6): Unit = {
+    val (x, y) = crs.forward(lon, lat)
+    assert(!x.isNaN && !y.isNaN, s"forward($lon,$lat) NaN for ${crs.proj4}")
+    val (lon2, lat2) = crs.inverse(x, y)
+    val dLon = math.abs(Projection.wrapLonDeg(lon2 - lon))
+    assert(dLon < tolDeg || math.abs(dLon - 360) < tolDeg, s"lon $lon -> $lon2 (${crs.proj4})")
+    assert(math.abs(lat2 - lat) < tolDeg, s"lat $lat -> $lat2 (${crs.proj4})")
+  }
+
+  /** Deterministic lattice sweep (steps chosen to avoid exact poles/dateline). */
+  private def sweep(crs: Crs, lonMin: Double, lonMax: Double, latMin: Double, latMax: Double,
+      tol: Double = 1e-6, n: Int = 23): Unit = {
+    var i = 0
+    while (i <= n) {
+      var j = 0
+      while (j <= n) {
+        val lon = lonMin + (lonMax - lonMin) * i / n
+        val lat = latMin + (latMax - latMin) * j / n
+        roundTrip(crs, lon, lat, tol)
+        j += 1
+      }
+      i += 1
+    }
+  }
+
+  test("merc sphere + ellipsoid round-trip") {
+    sweep(Crs.fromProj4("+proj=merc +a=6371000"), -179.9, 179.9, -85, 85)
+    sweep(Crs.fromProj4("+proj=merc +a=6378137 +b=6356752.314245179 +lat_ts=20"), -179.9, 179.9, -85, 85)
+  }
+
+  test("merc anchors: equator scale") {
+    val c = Crs.fromProj4("+proj=merc +a=6371000")
+    val (x, y) = c.forward(90, 0)
+    assert(math.abs(x - 6371000 * math.Pi / 2) < 1e-6)
+    assert(math.abs(y) < 1e-9)
+  }
+
+  test("laea polar (ease_sh-style) round-trip and anchors") {
+    val c = Crs.fromProj4("+proj=laea +lat_0=-90 +lon_0=0 +a=6371228")
+    val (x0, y0) = c.forward(0, -90)
+    assert(math.abs(x0) < 1e-6 && math.abs(y0) < 1e-6)
+    // equator circle at rho = R*sqrt(2) (Snyder 24-8 with phi=0)
+    val (xe, ye) = c.forward(0, 0)
+    assert(math.abs(math.hypot(xe, ye) - 6371228 * math.sqrt(2.0)) < 1e-3)
+    sweep(c, -179.9, 179.9, -89.9, 20, 1e-5)
+  }
+
+  test("laea polar ellipsoid round-trip") {
+    val c = Crs.fromProj4("+proj=laea +lat_0=90 +lon_0=0 +a=6378137 +b=6356752.314245179")
+    sweep(c, -179.9, 179.9, 10, 89.9, 1e-5)
+  }
+
+  test("laea oblique sphere + ellipsoid round-trip") {
+    sweep(Crs.fromProj4("+proj=laea +lat_0=45 +lon_0=10 +a=6370997"), -60, 80, -20, 84, 1e-5)
+    sweep(Crs.fromProj4("+proj=laea +lat_0=52 +lon_0=10 +a=6378137 +b=6356752.314245179"),
+      -60, 80, -20, 84, 1e-5)
+  }
+
+  test("stere oblique ellipsoid (kd-tree golden test CRS) round-trip") {
+    val c = Crs.fromProj4("+proj=stere +a=6378144 +b=6356759 +lat_0=50 +lat_ts=50 +lon_0=8")
+    sweep(c, -40, 60, 20, 80, 1e-5)
+    val (x, y) = c.forward(8, 50)
+    assert(math.abs(x) < 1e-6 && math.abs(y) < 1e-6)
+  }
+
+  test("stere polar round-trip") {
+    sweep(Crs.fromProj4("+proj=stere +lat_0=90 +lat_ts=70 +lon_0=-45 +a=6378137 +b=6356752.314245179"),
+      -179.9, 179.9, 30, 89.9, 1e-5)
+    sweep(Crs.fromProj4("+proj=stere +lat_0=-90 +a=6371000"), -179.9, 179.9, -89.9, -30, 1e-5)
+  }
+
+  test("aeqd round-trip") {
+    sweep(Crs.fromProj4("+proj=aeqd +lat_0=40 +lon_0=-100 +a=6371000"), -179.9, 179.9, -85, 85, 1e-5)
+  }
+
+  test("eqc + longlat round-trip") {
+    sweep(Crs.fromProj4("+proj=eqc +a=6371000 +lat_ts=30"), -179.9, 179.9, -85, 85)
+    val ll = Crs.fromProj4("+proj=longlat")
+    assert(ll.isLonLat && ll.forward(12.5, -33.25) == ((12.5, -33.25)))
+  }
+
+  test("geos: sub-satellite point at origin; visible disk round-trips; off-disk NaN") {
+    val c = Crs.fromProj4("+proj=geos +lon_0=0 +h=35785831 +a=6378169 +b=6356583.8")
+    val (x0, y0) = c.forward(0, 0)
+    assert(math.abs(x0) < 1e-6 && math.abs(y0) < 1e-6)
+    sweep(c, -55, 55, -55, 55, 1e-4)
+    val (xn, yn) = c.forward(180, 0)
+    assert(xn.isNaN && yn.isNaN)
+  }
+
+  test("geos sweep=x variant round-trips") {
+    val c = Crs.fromProj4("+proj=geos +lon_0=-75 +h=35786023 +a=6378137 +b=6356752.31414 +sweep=x")
+    sweep(c, -125, -25, -55, 55, 1e-4)
+  }
+
+  test("proj4 parser: params, ellipsoid resolution, errors") {
+    val c = Crs.fromProj4("+proj=laea +lat_0=-90 +lon_0=0 +a=6371228 +units=m")
+    assert(c.params("proj") == "laea" && c.params("a") == "6371228")
+    assert(Crs.fromProj4("+proj=merc +ellps=sphere").proj.ell.isSphere)
+    assertThrows[IllegalArgumentException](Crs.fromProj4("+proj=unknownproj"))
+  }
+
+  test("wrap_longitudes contract (utils/__init__.py:186)") {
+    assert(Projection.wrapLonDeg(190.0) == -170.0)
+    assert(Projection.wrapLonDeg(-190.0) == 170.0)
+    assert(Projection.wrapLonDeg(540.0) == 180.0 || Projection.wrapLonDeg(540.0) == -180.0)
+    assert(Projection.wrapLonDeg(0.0) == 0.0)
+  }
+}

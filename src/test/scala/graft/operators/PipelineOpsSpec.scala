@@ -1,0 +1,133 @@
+package graft.operators
+
+import graft.SparkSpec
+import graft.core.{AreaDef, Crs}
+
+/** Extension-operator specs: dedup family, text analysis, similarity
+  * search, data reduction, linesample. */
+class PipelineOpsSpec extends SparkSpec {
+  import org.apache.spark.sql.functions._
+
+  private lazy val docs = {
+    val s = spark
+    import s.implicits._
+    Seq(
+      (1L, "the quick brown fox jumps over the lazy dog", "en", 43L),
+      (2L, "the quick brown fox jumps over the lazy dog", "en", 43L), // exact dup of 1
+      (3L, "the quick brown fox leaps over the lazy dog", "en", 43L), // near dup of 1
+      (4L, "der schnelle braune fuchs springt und ist gut", "de", 45L),
+      (5L, "completely different text about spark engines and data", "en", 54L),
+      (6L, "dog lazy the over jumps fox brown quick the", "en", 43L)) // permutation of 1
+      .toDF("doc_id", "text", "lang", "n_chars")
+  }
+
+  test("exact dedup groups identical texts (hash-groupBy)") {
+    val r = Dedup.exact(docs).collect()
+    val dup = r.filter(_.getAs[Long]("n") == 2L)
+    assert(dup.length == 1 && dup(0).getAs[Long]("keep_id") == 1L)
+    assert(r.length == 5)
+  }
+
+  test("fingerprint is word-order-insensitive") {
+    val r = Dedup.fingerprint(docs).collect()
+    // 1, 2 and 6 share the same sorted word set
+    val big = r.filter(_.getAs[Long]("n") == 3L)
+    assert(big.length == 1 && big(0).getAs[Long]("keep_id") == 1L)
+  }
+
+  test("minhash LSH finds exact and near dups, not unrelated docs") {
+    val pairs = Dedup.minhashLsh(docs, threshold = 0.3).collect()
+      .map(r => (r.getAs[Long]("d1"), r.getAs[Long]("d2"))).toSet
+    assert(pairs.contains((1L, 2L)))
+    assert(pairs.contains((1L, 3L)) || pairs.contains((2L, 3L)))
+    assert(!pairs.exists { case (a, b) => a == 5L || b == 5L })
+  }
+
+  test("ngram jaccard with blocking keys") {
+    val pairs = Dedup.ngramJaccard(docs, Seq("lang", "n_chars"), threshold = 0.5)
+      .collect().map(r => (r.getAs[Long]("d1"), r.getAs[Long]("d2"), r.getAs[Double]("jaccard")))
+    val exact = pairs.find(p => p._1 == 1L && p._2 == 2L)
+    assert(exact.exists(_._3 == 1.0))
+    // 1 vs 3: 7 shared of 9 distinct words each, union 11 -> wait: jaccard = 7/9? compute: sets differ by jumps/leaps
+    val near = pairs.find(p => p._1 == 1L && p._2 == 3L)
+    assert(near.exists(p => p._3 > 0.7 && p._3 < 1.0))
+  }
+
+  test("simhash: identical docs identical hash; near dups within hamming 3") {
+    val h = Dedup.simhash(docs).collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("simhash")).toMap
+    assert(h(1L) == h(2L))
+    val pairs = Dedup.simhashNearDup(docs, maxHamming = 3).collect()
+      .map(r => (r.getAs[Long]("d1"), r.getAs[Long]("d2"))).toSet
+    assert(pairs.contains((1L, 2L)))
+  }
+
+  test("tokenStats + quality + langId") {
+    val ts = TextAnalysis.tokenStats(docs).collect().map(r => r.getAs[Long]("doc_id") -> r).toMap
+    assert(ts(1L).getAs[Long]("n_words") == 9L)
+    assert(ts(1L).getAs[Long]("n_chars") == 43L)
+
+    val q = TextAnalysis.quality(docs).collect().map(r => r.getAs[Long]("doc_id") -> r).toMap
+    assert(q(1L).getAs[Double]("stop_ratio") == 2.0 / 9) // two "the"
+    assert(q(5L).getAs[Long]("stop_hits") == 1L) // "and"
+    assert(q(4L).getAs[Long]("stop_hits") == 0L)
+
+    val l = TextAnalysis.langId(docs).collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("pred_lang")).toMap
+    assert(l(1L) == "en" && l(4L) == "de")
+  }
+
+  test("similarity: brute-force top-k ranks identical vector first") {
+    val s = spark
+    import s.implicits._
+    val base = Array.tabulate(8)(i => 1.0f / (i + 1))
+    def rot(k: Int) = Array.tabulate(8)(i => base((i + k) % 8))
+    val cands = (0 until 8).map(k => (k.toLong, rot(k))).toDF("cid", "embedding")
+    val qs = Seq((100L, rot(3))).toDF("qid", "embedding")
+    val top = Similarity.bruteForceTopK(qs, cands, k = 3).collect()
+    assert(top.head.getAs[Long]("cid") == 3L)
+    assert(approx(top.head.getAs[Double]("sim"), 1.0, 1e-9))
+    assert(top.map(_.getAs[Int]("rank")).toSeq == Seq(1, 2, 3))
+  }
+
+  test("similarity: LSH top-k recalls the exact match") {
+    val s = spark
+    import s.implicits._
+    val rnd = new scala.util.Random(7)
+    val cands = (0 until 200).map(i => (i.toLong, Array.fill(16)(rnd.nextFloat() - 0.5f)))
+    val candsDf = cands.toDF("cid", "embedding")
+    val qs = Seq((999L, cands(42)._2)).toDF("qid", "embedding")
+    val top = Similarity.lshTopK(qs, candsDf, dim = 16, k = 5)
+    val first = top.orderBy(col("rank")).collect().head
+    assert(first.getAs[Long]("cid") == 42L && approx(first.getAs[Double]("sim"), 1.0, 1e-6))
+  }
+
+  test("data reduction keeps in-bbox points incl. date-line wrap (P5)") {
+    val s = spark
+    import s.implicits._
+    val pts = Seq((1L, 170.0, 0.0), (2L, -170.0, 0.0), (3L, 0.0, 0.0), (4L, 170.0, 60.0))
+      .toDF("id", "lon", "lat")
+    val kept = pts.filter(DataReduce.bboxPredicate(col("lon"), col("lat"), 150.0, -30.0, -150.0, 30.0))
+      .collect().map(_.getLong(0)).toSet
+    assert(kept == Set(1L, 2L))
+  }
+
+  test("reduceToArea prunes far-away swath points") {
+    val s = spark
+    import s.implicits._
+    val area = AreaDef("eu", Crs.fromProj4("+proj=laea +lat_0=50 +lon_0=10 +a=6371000"),
+      100, 100, -1000000, -1000000, 1000000, 1000000)
+    val pts = Seq((1L, 10.0, 50.0), (2L, 11.0, 48.0), (3L, -120.0, -60.0), (4L, 140.0, 50.0))
+      .toDF("id", "lon", "lat")
+    val kept = DataReduce.reduceToArea(pts, area, 50000.0).collect().map(_.getLong(0)).toSet
+    assert(kept.contains(1L) && kept.contains(2L) && !kept.contains(3L) && !kept.contains(4L))
+  }
+
+  test("linesample gathers by projected cell; misses stay NULL (J9)") {
+    val s = spark
+    import s.implicits._
+    val area = AreaDef("g", Crs.fromProj4("+proj=longlat"), 10, 10, 0, 0, 10, 10)
+    val grid = Seq((area.cellOf(0.5, 0.5), 42.0)).toDF("cell", "v")
+    val t = Seq((1L, 0.4, 0.6), (2L, 9.5, 9.5)).toDF("dst_id", "lon", "lat")
+    val r = Linesample.sample(t, area, grid).collect().map(r => r.getAs[Long]("dst_id") -> Option(r.getAs[Any]("v"))).toMap
+    assert(r(1L).contains(42.0) && r(2L).isEmpty)
+  }
+}
