@@ -1,0 +1,193 @@
+package graft.operators
+
+import graft.core.AreaDef
+import graft.functions.GeoFunctions._
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.functions._
+
+/** Bilinear resampling of irregular swaths — the Spark form of
+  * `pyresample/bilinear/_base.py` (J5).
+  *
+  * Pipeline: cell-bucketed k-NN join (k=32, `bilinear/_base.py:50`) in
+  * geocentric space -> per-target gather of candidates (bounded array,
+  * sorted nearest-first) -> corner selection by quadrant sign pattern
+  * (`:523-536`) -> fractional distances (t, s) via the quadratic solve
+  * (`:367-449`, parallel-uprights `:482-495`, parallelogram `:498-520`) ->
+  * interpolation p1(1-s)(1-t)+p2 s(1-t)+p3(1-s)t+p4 s t (`:635-641`).
+  *
+  * The candidate gather is a single hash aggregation producing a <=k array
+  * per target; the solve runs in one pass over that array (deterministic,
+  * no driver collect). The (t, s, corner-ids) table is the persistable
+  * precompute (`bilinear/xarr.py:198-219`).
+  */
+object BilinearResample {
+
+  /** Fractional distances (t, s) for one target given 4 corner points in
+    * target-projection coordinates. NaN when the target is outside the
+    * quadrilateral. Ports the maths of `bilinear/_base.py:367-520`. */
+  private[operators] def fracDistances(
+      p1x: Double, p1y: Double, p2x: Double, p2y: Double,
+      p3x: Double, p3y: Double, p4x: Double, p4y: Double,
+      outX: Double, outY: Double): (Double, Double) = {
+
+    def inUnit(v: Double): Boolean = v >= 0.0 && v <= 1.0
+
+    // Same root set and preference order as `_solve_quadratic` (`:382-413`)
+    // but via the numerically stable form q = -(b + sign(b) sqrt(disc))/2,
+    // roots {c/q, q/a}: the reference's textbook (-b + sqrt)/2a cancels
+    // catastrophically when the corners form a near-parallelogram (a ~ ulp)
+    // and returns garbage that can land inside [0, 1].
+    def solveQuadratic(a: Double, b: Double, c: Double): Double = {
+      val disc = b * b - 4 * a * c
+      val q = -0.5 * (b + math.signum(b) * math.sqrt(disc))
+      // x1 is the reference's (-b + sqrt(disc)) / (2a) branch
+      val (x1, x2) = if (b >= 0) (c / q, q / a) else (q / a, c / q)
+      val x3 = -c / b // linear fallback
+      var x = if (inUnit(x1)) x1 else x2
+      if (!inUnit(x)) x = x3
+      if (inUnit(x)) x else Double.NaN
+    }
+
+    // `_calc_abc` (`:423-449`) over corner order (q1, q2, q3, q4)
+    def abc(q1x: Double, q1y: Double, q2x: Double, q2y: Double,
+        q3x: Double, q3y: Double, q4x: Double, q4y: Double): (Double, Double, Double) = {
+      val x21 = q2x - q1x; val x31 = q3x - q1x; val x42 = q4x - q2x
+      val y21 = q2y - q1y; val y31 = q3y - q1y; val y42 = q4y - q2y
+      val a = x31 * y42 - y31 * x42
+      val b = outY * (x42 - x31) - outX * (y42 - y31) +
+        x31 * q2y - y31 * q2x + y42 * q1x - x42 * q1y
+      val c = outY * x21 - outX * y21 + q1x * q2y - q2x * q1y
+      (a, b, c)
+    }
+
+    // `_solve_another_fractional_distance` (`:452-471`)
+    def other(f: Double, y1: Double, y2: Double, y3: Double, y4: Double): Double = {
+      val y21 = y2 - y1; val y43 = y4 - y3
+      val g = (outY - y1 - y21 * f) / (y3 + y43 * f - y1 - y21 * f)
+      if (inUnit(g)) g else Double.NaN
+    }
+
+    // 1. irregular rectangle (`:367-379`)
+    var t = {
+      val (a, b, c) = abc(p1x, p1y, p2x, p2y, p3x, p3y, p4x, p4y)
+      solveQuadratic(a, b, c)
+    }
+    var s = if (t.isNaN) Double.NaN else other(t, p1y, p3y, p2y, p4y)
+
+    // 2. uprights parallel (`:482-495`): solve s first with pt2/pt3 swapped
+    if (t.isNaN || s.isNaN) {
+      val (a, b, c) = abc(p1x, p1y, p3x, p3y, p2x, p2y, p4x, p4y)
+      val s2 = solveQuadratic(a, b, c)
+      val t2 = if (s2.isNaN) Double.NaN else other(s2, p1y, p2y, p3y, p4y)
+      if (!t2.isNaN && !s2.isNaN) { t = t2; s = s2 }
+    }
+
+    // 3. parallelogram (`:498-520`): only 3 corners needed
+    if (t.isNaN || s.isNaN) {
+      val x21 = p2x - p1x; val x31 = p3x - p1x
+      val y21 = p2y - p1y; val y31 = p3y - p1y
+      val t3 = (x21 * (outY - p1y) - y21 * (outX - p1x)) / (x21 * y31 - y21 * x31)
+      if (inUnit(t3)) {
+        val s3 = (outX - p1x + x31 * t3) / x21
+        if (inUnit(s3)) { t = t3; s = s3 }
+      }
+    }
+
+    if (t.isNaN || s.isNaN) (Double.NaN, Double.NaN) else (t, s)
+  }
+
+  /** Corner pick (`:523-536`): from the nearest-first candidate list, the
+    * first candidate in each quadrant of (out - in) sign space:
+    * UL (dx>0, dy<0), UR (dx<0, dy<0), LL (dx>0, dy>0), LR (dx<0, dy>0).
+    * Returns (idx1..idx4) into the candidate arrays or null. */
+  private def pickCorners(xs: Seq[Double], ys: Seq[Double], outX: Double, outY: Double): Option[(Int, Int, Int, Int)] = {
+    var ul, ur, ll, lr = -1
+    var i = 0
+    while (i < xs.length && (ul < 0 || ur < 0 || ll < 0 || lr < 0)) {
+      val dx = outX - xs(i); val dy = outY - ys(i)
+      if (dx > 0 && dy < 0 && ul < 0) ul = i
+      else if (dx < 0 && dy < 0 && ur < 0) ur = i
+      else if (dx > 0 && dy > 0 && ll < 0) ll = i
+      else if (dx < 0 && dy > 0 && lr < 0) lr = i
+      i += 1
+    }
+    if (ul < 0 || ur < 0 || ll < 0 || lr < 0) None else Some((ul, ur, ll, lr))
+  }
+
+  /** Precompute LUT: (dst_id, s1..s4 source ids, t, s). Persist with
+    * `.write.parquet` keyed by geometry hash to reuse across datasets
+    * (`resampler.py:80-141`). */
+  def lut(
+      source: DataFrame, // (src_id, lon, lat)
+      target: DataFrame, // (dst_id, lon, lat, out_x, out_y) — target-proj coords
+      area: AreaDef,
+      radius: Double,
+      k: Int = 32): DataFrame = {
+
+    // source coordinates in the target projection (bilinear/xarr.py in_coords)
+    val srcProj = withProjected(source, area.crs)
+      .select(col("src_id"), col("lon"), col("lat"),
+        col("proj_x").as("in_x"), col("proj_y").as("in_y"))
+
+    val nbrs = KnnResample.neighbours(srcProj, target, radius, k)
+      .join(srcProj.select("src_id", "in_x", "in_y"), "src_id")
+
+    val gathered = nbrs
+      .groupBy("dst_id")
+      .agg(sort_array(collect_list(struct(
+        col("rank"), col("src_id"), col("in_x"), col("in_y")))).as("cand"))
+      .join(target.select(col("dst_id"), col("out_x"), col("out_y")), "dst_id")
+
+    val solve = udf { (cand: Seq[Row], outX: Double, outY: Double) =>
+      val ids = cand.map(_.getAs[Long]("src_id"))
+      val xs = cand.map(_.getAs[Double]("in_x"))
+      val ys = cand.map(_.getAs[Double]("in_y"))
+      pickCorners(xs, ys, outX, outY).flatMap { case (i1, i2, i3, i4) =>
+        val (t, s) = fracDistances(
+          xs(i1), ys(i1), xs(i2), ys(i2), xs(i3), ys(i3), xs(i4), ys(i4), outX, outY)
+        if (t.isNaN) None
+        else Some((ids(i1), ids(i2), ids(i3), ids(i4), t, s))
+      }
+    }
+
+    gathered
+      .withColumn("_r", solve(col("cand"), col("out_x"), col("out_y")))
+      .filter(col("_r").isNotNull)
+      .select(
+        col("dst_id"),
+        col("_r._1").as("s1"), col("_r._2").as("s2"),
+        col("_r._3").as("s3"), col("_r._4").as("s4"),
+        col("_r._5").as("t"), col("_r._6").as("s"))
+  }
+
+  /** Compute phase: gather the 4 corner values by equi-join against the LUT
+    * and interpolate (`:635-641`). */
+  def compute(lutDf: DataFrame, source: DataFrame, valueCol: String = "value"): DataFrame = {
+    val v = source.select(col("src_id"), col(valueCol).as("_v"))
+    lutDf
+      .join(v.withColumnRenamed("src_id", "s1").withColumnRenamed("_v", "v1"), "s1")
+      .join(v.withColumnRenamed("src_id", "s2").withColumnRenamed("_v", "v2"), "s2")
+      .join(v.withColumnRenamed("src_id", "s3").withColumnRenamed("_v", "v3"), "s3")
+      .join(v.withColumnRenamed("src_id", "s4").withColumnRenamed("_v", "v4"), "s4")
+      .select(col("dst_id"),
+        (col("v1") * (lit(1.0) - col("s")) * (lit(1.0) - col("t")) +
+          col("v2") * col("s") * (lit(1.0) - col("t")) +
+          col("v3") * (lit(1.0) - col("s")) * col("t") +
+          col("v4") * col("s") * col("t")).as(valueCol))
+  }
+
+  /** One-shot swath -> area bilinear resample onto the generated grid. */
+  def resample(
+      source: DataFrame, // (src_id, lon, lat, value)
+      area: AreaDef,
+      radius: Double,
+      k: Int = 32,
+      valueCol: String = "value"): DataFrame = {
+    val spark = source.sparkSession
+    val target = area.grid(spark, withLonLat = true)
+      .select(col("cell").as("dst_id"), col("lon"), col("lat"),
+        col("proj_x").as("out_x"), col("proj_y").as("out_y"))
+    val l = lut(source.select("src_id", "lon", "lat"), target, area, radius, k)
+    compute(l, source, valueCol)
+  }
+}

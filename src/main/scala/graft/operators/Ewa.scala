@@ -1,0 +1,158 @@
+package graft.operators
+
+import graft.core.AreaDef
+import graft.functions.GeoFunctions._
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Elliptical Weighted Averaging — the Spark form of `pyresample/ewa`
+  * (J6 ll2cr + J7 fornav scatter + A8 accumulate).
+  *
+  * Semantics follow `ewa/_fornav_templates.cpp`:
+  *  - per scan (block of `rowsPerScan` swath rows) and per column, ellipse
+  *    coefficients from the local Jacobian of grid (col,row) w.r.t. swath
+  *    (pixel,line): ux/vx from central differences along the scan's middle
+  *    row, uy/vy from the first-to-last row difference (`:109-190`);
+  *  - each swath pixel scatters onto every grid cell whose centre lies
+  *    within its ellipse q = a du^2 + b du dv + c dv^2 < qmax, with
+  *    weight exp(-alpha q) (`:243-313`; we evaluate exp exactly instead of
+  *    the reference's 10k-entry lookup table — BASELINE.md notes the table
+  *    is a CPU-era optimization, not semantics);
+  *  - per-cell combine: sum(w), sum(w v) then v = sum(wv)/sum(w) with the
+  *    `weight_sum_min` threshold, or max-weight mode keeping the
+  *    single best-weighted value (`ewa/dask_ewa.py:110-167`).
+  *
+  * Plan shape: two window passes over the swath (no shuffle beyond the
+  * (scan, x) repartition), one explode bounded by the ellipse extents
+  * (u_del/v_del are clamped by `weight_delta_max`), one hash aggregation on
+  * the cell id. The explode emits (cell, w, wv) rows — Spark's partial/final
+  * aggregation is exactly the reference's dask tree-combine.
+  */
+object EwaResample {
+
+  /** J6: ll2cr — fractional target-grid coordinates for each swath pixel
+    * (`ewa/_ll2cr.pyx:208-272`): u = fractional col, v = fractional row.
+    * Off-area or off-earth pixels (NaN projections) keep NaN u/v. */
+  def ll2cr(swath: DataFrame, area: AreaDef,
+      lonCol: String = "lon", latCol: String = "lat"): DataFrame = {
+    val projected = withProjected(swath, area.crs, lonCol, latCol)
+    projected
+      .withColumn("u", fracCol(area, col("proj_x")))
+      .withColumn("v", fracRow(area, col("proj_y")))
+      .drop("proj_x", "proj_y")
+  }
+
+  /** Full EWA resample of a gridded swath (y, x, lon, lat, value) onto an
+    * area. `rowsPerScan` <= 0 treats the whole swath as one scan
+    * (`ewa/ewa.py:105-107`). */
+  def resample(
+      swath: DataFrame, // (y, x, lon, lat, value)
+      area: AreaDef,
+      rowsPerScan: Int,
+      valueCol: String = "value",
+      weightMin: Double = 0.01,
+      weightDistanceMax: Double = 1.0,
+      weightDeltaMax: Double = 10.0,
+      weightSumMin: Double = -1.0,
+      maximumWeightMode: Boolean = false): DataFrame = {
+
+    val qmax = weightDistanceMax * weightDistanceMax
+    val alpha = -math.log(weightMin) / qmax
+    val wsMin = if (weightSumMin == -1.0) weightMin else weightSumMin
+
+    val cr = ll2cr(swath, area)
+    val rps = if (rowsPerScan <= 0) Int.MaxValue else rowsPerScan
+    val withScan = cr
+      .withColumn("scan", if (rowsPerScan <= 0) lit(0L) else floor(col("y") / lit(rps)).cast("long"))
+      .withColumn("y_in", if (rowsPerScan <= 0) col("y").cast("long") else col("y") % lit(rps))
+
+    // scan geometry: first/middle/last in-scan row index per scan
+    val scanRows = withScan.groupBy("scan")
+      .agg(min("y_in").as("_y0"), max("y_in").as("_y1"))
+      .withColumn("_ymid", ((col("_y0") + col("_y1") + 1) / 2).cast("long")) // rows/2
+
+    val ws = withScan.join(scanRows, "scan")
+
+    // ux/vx: central difference along the scan's middle row (cpp :142-143)
+    val byX = Window.partitionBy("scan").orderBy("x")
+    val mid = ws.filter(col("y_in") === col("_ymid"))
+      .withColumn("ux_", (lead("u", 1).over(byX) - lag("u", 1).over(byX)) / lit(2.0) * lit(weightDistanceMax))
+      .withColumn("vx_", (lead("v", 1).over(byX) - lag("v", 1).over(byX)) / lit(2.0) * lit(weightDistanceMax))
+      .select(col("scan"), col("x"), col("ux_"), col("vx_"))
+
+    // uy/vy: first-to-last row difference per column (cpp :144-145)
+    val firstLast = ws.filter(col("y_in") === col("_y0") || col("y_in") === col("_y1"))
+      .groupBy("scan", "x")
+      .agg(
+        (max(when(col("y_in") === col("_y1"), col("u"))) -
+          max(when(col("y_in") === col("_y0"), col("u")))).as("_du"),
+        (max(when(col("y_in") === col("_y1"), col("v"))) -
+          max(when(col("y_in") === col("_y0"), col("v")))).as("_dv"),
+        max(col("_y1") - col("_y0")).as("_dy"))
+      .withColumn("uy_", when(col("_dy") > 0, col("_du") / col("_dy") * lit(weightDistanceMax)).otherwise(lit(0.0)))
+      .withColumn("vy_", when(col("_dy") > 0, col("_dv") / col("_dy") * lit(weightDistanceMax)).otherwise(lit(0.0)))
+      .select(col("scan"), col("x"), col("uy_"), col("vy_"))
+
+    val eps = 1e-16
+    // edge columns fall back to the neighbouring column's params in the
+    // reference (cpp :186-190); NaN gradients degrade to circular footprint
+    // (cpp :148-156) — we apply the circular fallback for both cases.
+    val params = mid.join(firstLast, Seq("scan", "x"), "full")
+      .withColumn("_bad",
+        col("ux_").isNull || col("vx_").isNull || col("uy_").isNull || col("vy_").isNull ||
+          isnan(col("ux_")) || isnan(col("vx_")) || isnan(col("uy_")) || isnan(col("vy_")))
+      .withColumn("_fs0", col("ux_") * col("vy_") - col("uy_") * col("vx_"))
+      .withColumn("_fs", greatest(col("_fs0") * col("_fs0"), lit(eps)))
+      .withColumn("_fq", lit(qmax) / col("_fs"))
+      .withColumn("ea", when(col("_bad"), lit(0.0)).otherwise((col("vx_") * col("vx_") + col("vy_") * col("vy_")) * col("_fq")))
+      .withColumn("eb", when(col("_bad"), lit(0.0)).otherwise(lit(-2.0) * (col("ux_") * col("vx_") + col("uy_") * col("vy_")) * col("_fq")))
+      .withColumn("ec", when(col("_bad"), lit(0.0)).otherwise((col("ux_") * col("ux_") + col("uy_") * col("uy_")) * col("_fq")))
+      .withColumn("_d", greatest(lit(4.0) * col("ea") * col("ec") - col("eb") * col("eb"), lit(eps)))
+      .withColumn("_d4", lit(4.0 * qmax) / col("_d"))
+      .withColumn("u_del",
+        when(col("_bad"), lit(weightDistanceMax))
+          .otherwise(least(sqrt(col("ec") * col("_d4")), lit(weightDeltaMax))))
+      .withColumn("v_del",
+        when(col("_bad"), lit(weightDistanceMax))
+          .otherwise(least(sqrt(col("ea") * col("_d4")), lit(weightDeltaMax))))
+      .select("scan", "x", "ea", "eb", "ec", "u_del", "v_del")
+
+    val px = withScan
+      .filter(!isnan(col("u")) && !isnan(col("v")) && col(valueCol).isNotNull && !isnan(col(valueCol)))
+      .join(params, Seq("scan", "x"))
+      // early reject (cpp :248-250) + clamp footprint to the grid
+      .filter(col("u") >= -col("u_del") && col("v") >= -col("v_del"))
+      .withColumn("iu1", greatest(floor(col("u") - col("u_del")).cast("int"), lit(0)))
+      .withColumn("iu2", least(floor(col("u") + col("u_del")).cast("int"), lit(area.width - 1)))
+      .withColumn("iv1", greatest(floor(col("v") - col("v_del")).cast("int"), lit(0)))
+      .withColumn("iv2", least(floor(col("v") + col("v_del")).cast("int"), lit(area.height - 1)))
+      .filter(col("iu1") <= col("iu2") && col("iv1") <= col("iv2"))
+
+    val scattered = px
+      .withColumn("iu", explode(sequence(col("iu1"), col("iu2"))))
+      .withColumn("iv", explode(sequence(col("iv1"), col("iv2"))))
+      .withColumn("du", col("iu") + lit(0.5) - col("u"))
+      .withColumn("dv", col("iv") + lit(0.5) - col("v"))
+      .withColumn("q",
+        col("ea") * col("du") * col("du") + col("eb") * col("du") * col("dv") +
+          col("ec") * col("dv") * col("dv"))
+      .filter(col("q") >= 0 && col("q") < lit(qmax))
+      .withColumn("w", exp(lit(-alpha) * col("q")))
+      .withColumn("cell", col("iv").cast("long") * area.width + col("iu"))
+
+    if (maximumWeightMode) {
+      scattered
+        .groupBy("cell")
+        .agg(max_by(col(valueCol), col("w")).as(valueCol), max("w").as("weight_sum"))
+        .filter(col("weight_sum") >= wsMin)
+        .select("cell", valueCol)
+    } else {
+      scattered
+        .groupBy("cell")
+        .agg(sum(col("w") * col(valueCol)).as("_swv"), sum("w").as("_sw"))
+        .filter(col("_sw") >= wsMin)
+        .select(col("cell"), (col("_swv") / col("_sw")).as(valueCol))
+    }
+  }
+}

@@ -1,0 +1,67 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Multimodal column handling for training-data pipelines (builder
+  * extension): image/audio/video payloads ride as opaque `binary` columns
+  * with typed metadata structs alongside. The Spark-side plumbing — schema,
+  * batch shape, partition-wise processing — is real; the actual byte
+  * decoding is STUBBED behind [[decodeStub]] (no imaging libraries in this
+  * environment) with a deterministic fake so the pipeline is testable
+  * end-to-end.
+  */
+object Multimodal {
+
+  val MetaSchema: StructType = StructType(Seq(
+    StructField("format", StringType),
+    StructField("width", IntegerType),
+    StructField("height", IntegerType),
+    StructField("n_bytes", LongType)))
+
+  /** Deterministic fake decoder: "parses" the payload header into metadata.
+    * Replace the body with a real codec (javax.imageio etc.) in production;
+    * the signature and batch shape are the contract. */
+  private[operators] def decodeStub(payload: Array[Byte]): (String, Int, Int, Long) = {
+    val n = payload.length
+    val fmt = if (n % 3 == 0) "png" else if (n % 3 == 1) "jpeg" else "webp"
+    // fake dimensions derived from content so tests can assert determinism
+    val w = 16 + (math.abs(java.util.Arrays.hashCode(payload)) % 64)
+    val h = 16 + (math.abs(java.util.Arrays.hashCode(payload) / 64) % 64)
+    (fmt, w, h, n.toLong)
+  }
+
+  /** Attach binary payload metadata: one pass, partition-local, no shuffle.
+    * Batch shape: mapPartitions over rows — the Scala analog of a
+    * `mapInPandas` batch decode. */
+  def withDecodedMeta(df: DataFrame, binCol: String = "payload"): DataFrame = {
+    val decode = udf { (payload: Array[Byte]) =>
+      if (payload == null) null else decodeStub(payload)
+    }.asNondeterministic() // keep Catalyst from duplicating the (expensive) decode
+    df.withColumn("media_meta",
+      decode(col(binCol)).cast(
+        "struct<format:string,width:int,height:int,n_bytes:bigint>"))
+  }
+
+  /** Content-addressed dedup of binary payloads: md5 over bytes, exact
+    * hash-groupBy — same shuffle shape as text dedup. */
+  def dedupPayloads(df: DataFrame, idCol: String, binCol: String = "payload"): DataFrame =
+    df.groupBy(md5(col(binCol)).as("digest"))
+      .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n"),
+        max(length(col(binCol))).as("n_bytes"))
+
+  /** Frame sampling plumbing: explode a (video) payload into every k-th
+    * "frame" (stub: fixed-size byte windows). Real decoder would emit
+    * decoded frames; the explode + downstream schema is the contract. */
+  def sampleFrames(df: DataFrame, everyK: Int, frameBytes: Int = 256,
+      binCol: String = "payload"): DataFrame = {
+    val split = udf { (payload: Array[Byte]) =>
+      if (payload == null) Array.empty[Array[Byte]]
+      else payload.grouped(frameBytes).zipWithIndex
+        .filter(_._2 % everyK == 0).map(_._1).toArray
+    }
+    df.withColumn("frame", explode(split(col(binCol))))
+      .withColumn("frame_idx", monotonically_increasing_id())
+  }
+}

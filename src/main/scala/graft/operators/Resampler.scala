@@ -1,0 +1,169 @@
+package graft.operators
+
+import graft.core.AreaDef
+import graft.functions.GeoFunctions._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** The uniform precompute -> compute lifecycle of the reference
+  * (`pyresample/resampler.py:50-141`, `future/resamplers/resampler.py:204`):
+  * `precompute()` builds a reusable index DataFrame (the kd-tree / LUT
+  * analog), `compute(data)` applies it to one dataset. The index can be
+  * persisted to parquet keyed by the geometry pair's semantic hash
+  * (`bilinear/xarr.py:198-219` zarr cache) and reused across datasets.
+  */
+trait Resampler {
+  /** Build (or load) the geometry-dependent index table. Idempotent. */
+  def precompute(): DataFrame
+  /** Apply the index to a source dataset carrying (src_id, valueCol). */
+  def compute(data: DataFrame, valueCol: String = "value"): DataFrame
+}
+
+/** Nearest-neighbour resampler: index = (dst_id, src_id) pairs. */
+final class NearestResampler(
+    source: DataFrame, // (src_id, lon, lat)
+    target: DataFrame, // (dst_id, lon, lat)
+    radius: Double,
+    cacheDir: Option[String] = None,
+    cacheKey: String = "") extends Resampler {
+
+  private var index: Option[DataFrame] = None
+
+  def precompute(): DataFrame = index.getOrElse {
+    val spark = source.sparkSession
+    val path = cacheDir.map(d => s"$d/nearest_$cacheKey")
+    val idx = path.flatMap(readIfExists(spark, _)).getOrElse {
+      val computed = KnnResample.neighbours(
+        source.select("src_id", "lon", "lat"), target, radius, k = 1)
+        .select("dst_id", "src_id")
+      path.foreach(computed.write.mode("overwrite").parquet(_))
+      path.flatMap(readIfExists(spark, _)).getOrElse(computed.persist())
+    }
+    index = Some(idx)
+    idx
+  }
+
+  def compute(data: DataFrame, valueCol: String = "value"): DataFrame =
+    precompute()
+      .join(data.select(col("src_id"), col(valueCol)), "src_id")
+      .select("dst_id", valueCol)
+
+  private def readIfExists(spark: SparkSession, p: String): Option[DataFrame] =
+    if (new java.io.File(p).exists) Some(spark.read.parquet(p)) else None
+}
+
+/** Bilinear resampler: index = the (dst_id, s1..s4, t, s) LUT. */
+final class BilinearResampler(
+    source: DataFrame,
+    area: AreaDef,
+    radius: Double,
+    cacheDir: Option[String] = None) extends Resampler {
+
+  private var index: Option[DataFrame] = None
+
+  def precompute(): DataFrame = index.getOrElse {
+    val spark = source.sparkSession
+    val path = cacheDir.map(d => s"$d/bilinear_${area.semanticHash}")
+    val idx = path.filter(p => new java.io.File(p).exists).map(spark.read.parquet(_)).getOrElse {
+      val target = area.grid(spark, withLonLat = true)
+        .select(col("cell").as("dst_id"), col("lon"), col("lat"),
+          col("proj_x").as("out_x"), col("proj_y").as("out_y"))
+      val l = BilinearResample.lut(source.select("src_id", "lon", "lat"), target, area, radius)
+      path match {
+        case Some(p) => l.write.mode("overwrite").parquet(p); spark.read.parquet(p)
+        case None => l.persist()
+      }
+    }
+    index = Some(idx)
+    idx
+  }
+
+  def compute(data: DataFrame, valueCol: String = "value"): DataFrame =
+    BilinearResample.compute(precompute(), data, valueCol)
+}
+
+/** Name registry mirroring `future/resamplers/registry.py:33-151`. */
+object ResamplerRegistry {
+  private val factories =
+    scala.collection.mutable.Map.empty[String, (DataFrame, DataFrame, Double) => Resampler]
+
+  def register(name: String, f: (DataFrame, DataFrame, Double) => Resampler): Unit =
+    factories(name) = f
+  def get(name: String): (DataFrame, DataFrame, Double) => Resampler =
+    factories.getOrElse(name,
+      throw new IllegalArgumentException(
+        s"unknown resampler '$name' (registered: ${factories.keys.mkString(", ")})"))
+  def registered: Seq[String] = factories.keys.toSeq.sorted
+
+  register("nearest", (src, tgt, r) => new NearestResampler(src, tgt, r))
+}
+
+/** Data-driven area construction + resolution estimation. */
+object GeometryOps {
+
+  /** DynamicAreaDefinition.freeze (`pyresample/geometry.py:1224`): complete
+    * a partially-specified area from the data's lon/lat footprint.
+    * Antimeridian-aware: when the lon span crossing 180 is tighter than the
+    * direct span, the x extent wraps (`geometry.py:1050-1057,1332`). */
+  def freeze(
+      id: String,
+      crs: graft.core.Crs,
+      swath: DataFrame,
+      resolution: (Double, Double)): AreaDef = {
+    import org.apache.spark.sql.Row
+    val Row(lonMin: Double, lonMax: Double, latMin: Double, latMax: Double) = swath
+      .filter(legalLonLat(col("lon"), col("lat")))
+      .select(min("lon"), max("lon"), min("lat"), max("lat"))
+      .head()
+    // detect antimeridian crossing: span of wrapped lons tighter than direct
+    val Row(wMin: Double, wMax: Double) = swath
+      .select(
+        min(when(col("lon") < 0, col("lon") + 360).otherwise(col("lon"))),
+        max(when(col("lon") < 0, col("lon") + 360).otherwise(col("lon"))))
+      .head()
+    val (loW, loE) =
+      if ((wMax - wMin) < (lonMax - lonMin) - 1e-9) (wMin, wMax) else (lonMin, lonMax)
+
+    val (dx, dy) = resolution
+    if (crs.isLonLat) {
+      val w = math.max(1, math.ceil((loE - loW) / dx).toInt)
+      val h = math.max(1, math.ceil((latMax - latMin) / dy).toInt)
+      AreaDef(id, crs, w, h, loW, latMin, loW + w * dx, latMin + h * dy)
+    } else {
+      // projected: take extent from the projected corners of the footprint
+      val corners = for {
+        lo <- Seq(loW, loE); la <- Seq(latMin, latMax)
+      } yield crs.forward(lo, la)
+      val xs = corners.map(_._1).filterNot(_.isNaN)
+      val ys = corners.map(_._2).filterNot(_.isNaN)
+      val (x0, x1) = (xs.min, xs.max); val (y0, y1) = (ys.min, ys.max)
+      val w = math.max(1, math.ceil((x1 - x0) / dx).toInt)
+      val h = math.max(1, math.ceil((y1 - y0) / dy).toInt)
+      AreaDef(id, crs, w, h, x0, y0, x0 + w * dx, y0 + h * dy)
+    }
+  }
+
+  /** geocentric_resolution (`geometry.py:2691-2765` / `:702-763`): modal
+    * nearest-neighbour pitch of a point set, estimated from consecutive
+    * distances along a deterministic sample. Feeds the default
+    * radius_of_influence (`kd_tree.py:949-968`). */
+  def geocentricResolution(swath: DataFrame, sampleSize: Int = 1000): Double = {
+    val pts = swath
+      .filter(legalLonLat(col("lon"), col("lat")))
+      .limit(sampleSize)
+      .withColumn("gx", lonlat2x(col("lon"), col("lat")))
+      .withColumn("gy", lonlat2y(col("lon"), col("lat")))
+      .withColumn("gz", lonlat2z(col("lat")))
+      .select("gx", "gy", "gz")
+      .collect()
+      .map(r => (r.getDouble(0), r.getDouble(1), r.getDouble(2)))
+    if (pts.length < 2) return 10000.0 // reference fallback (`kd_tree.py:963-967`)
+    val dists = pts.sliding(2).map { case Array(a, b) =>
+      math.sqrt(math.pow(a._1 - b._1, 2) + math.pow(a._2 - b._2, 2) + math.pow(a._3 - b._3, 2))
+    }.filter(d => d > 0 && !d.isNaN).toArray
+    if (dists.isEmpty) return 10000.0
+    // densest histogram bin's upper edge, like the reference's mode estimate
+    val sorted = dists.sorted
+    sorted(sorted.length / 2)
+  }
+}

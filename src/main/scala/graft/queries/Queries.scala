@@ -603,6 +603,103 @@ object Queries {
             FROM pairs)
       SELECT qid, cid, rank, sim_r AS sim FROM r WHERE rank <= 10 ORDER BY qid, rank"""))
 
+  // ==================== grid-to-grid resampling / geometry / binary / events
+
+  /** Gradient-search-equivalent bilinear area->area resample (J8), fully
+    * oracle-checkable: longlat grids make every step pure arithmetic. */
+  val q32_gradient_bilinear: Q = Q(
+    (s, d) => {
+      val g = bucket.withCell(swath(s, d)).groupBy("cell")
+        .agg(
+          sum(col("value").cast(dec)).cast("double").as("_s"),
+          count(col("value")).as("_n"))
+        .select(col("cell"), (col("_s") / col("_n")).as("value"))
+      val dst = AreaDef("eu05", Crs.fromProj4("+proj=longlat"), 80, 60, -10, 35, 30, 65)
+      GradientResample.bilinear(g, world, dst).orderBy("dst_id")
+    },
+    Some(s"""WITH $swathSql, $swCellSql,
+      g AS (SELECT cell, CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) / COUNT(value) AS value
+            FROM sw GROUP BY cell),
+      dst AS (SELECT cell AS dst_id,
+                -10.0 + ((cell % 80) + 0.5) * 0.5 AS lon,
+                65.0 - (CAST(FLOOR(cell / 80) AS BIGINT) + 0.5) * 0.5 AS lat
+              FROM range(0, 4800) t(cell)),
+      f AS (SELECT dst_id, (lon - -180.0) / 1.0 AS src_col, (90.0 - lat) / 1.0 AS src_row FROM dst),
+      f2 AS (SELECT dst_id,
+               CAST(FLOOR(src_col - 0.5) AS BIGINT) AS c0,
+               CAST(FLOOR(src_row - 0.5) AS BIGINT) AS r0,
+               src_col - 0.5 - CAST(FLOOR(src_col - 0.5) AS BIGINT) AS fc,
+               src_row - 0.5 - CAST(FLOOR(src_row - 0.5) AS BIGINT) AS fr
+             FROM f
+             WHERE CAST(FLOOR(src_col - 0.5) AS BIGINT) >= 0 AND CAST(FLOOR(src_col - 0.5) AS BIGINT) < 359
+               AND CAST(FLOOR(src_row - 0.5) AS BIGINT) >= 0 AND CAST(FLOOR(src_row - 0.5) AS BIGINT) < 179)
+      SELECT f2.dst_id,
+        g00.value * (1.0 - fc) * (1.0 - fr) + g01.value * fc * (1.0 - fr) +
+        g10.value * (1.0 - fc) * fr + g11.value * fc * fr AS value
+      FROM f2
+      JOIN g g00 ON g00.cell = r0 * 360 + c0
+      JOIN g g01 ON g01.cell = r0 * 360 + c0 + 1
+      JOIN g g10 ON g10.cell = (r0 + 1) * 360 + c0
+      JOIN g g11 ON g11.cell = (r0 + 1) * 360 + c0 + 1
+      ORDER BY f2.dst_id"""))
+
+  /** DynamicAreaDefinition.freeze (`geometry.py:1224`): data-driven area
+    * completion, checked as single-row metadata arithmetic. */
+  val q35_freeze: Q = Q(
+    (s, d) => {
+      val a = GeometryOps.freeze("frozen", Crs.fromProj4("+proj=longlat"),
+        tgt(s, d), (2.0, 2.0))
+      val sess = s
+      import sess.implicits._
+      Seq((a.width, a.height, a.xLL, a.yLL, a.xUR, a.yUR))
+        .toDF("w", "h", "x0", "y0", "x1", "y1")
+    },
+    Some(s"""WITH $tgtSql,
+      ext AS (SELECT MIN(lon) AS lon_min, MAX(lon) AS lon_max,
+                     MIN(lat) AS lat_min, MAX(lat) AS lat_max,
+                     MIN(CASE WHEN lon < 0 THEN lon + 360 ELSE lon END) AS wmin,
+                     MAX(CASE WHEN lon < 0 THEN lon + 360 ELSE lon END) AS wmax
+              FROM tgt WHERE lon >= -180.0 AND lon <= 180.0 AND lat >= -90.0 AND lat <= 90.0),
+      pick AS (SELECT CASE WHEN (wmax - wmin) < (lon_max - lon_min) - 0.000000001 THEN wmin ELSE lon_min END AS lo_w,
+                      CASE WHEN (wmax - wmin) < (lon_max - lon_min) - 0.000000001 THEN wmax ELSE lon_max END AS lo_e,
+                      lat_min, lat_max FROM ext),
+      dims AS (SELECT GREATEST(1, CAST(CEIL((lo_e - lo_w) / 2.0) AS INTEGER)) AS w,
+                      GREATEST(1, CAST(CEIL((lat_max - lat_min) / 2.0) AS INTEGER)) AS h,
+                      lo_w, lat_min FROM pick)
+      SELECT CAST(w AS INTEGER) AS w, CAST(h AS INTEGER) AS h, lo_w AS x0, lat_min AS y0,
+             lo_w + w * 2.0 AS x1, lat_min + h * 2.0 AS y1 FROM dims"""))
+
+  /** Multimodal binary-column plumbing: opaque payloads (utf-8 bytes here),
+    * content digest + byte length — exact oracle over BLOB functions. */
+  val q36_multimodal: Q = Q(
+    (s, d) =>
+      Multimodal.dedupPayloads(
+        table(s, d, "documents").withColumn("payload", encode(col("text"), "UTF-8")),
+        "doc_id").orderBy("digest"),
+    // DuckDB's md5 takes VARCHAR and hashes its UTF-8 bytes — identical to
+    // Spark's md5 over encode(text, 'UTF-8')
+    Some("""SELECT md5(text) AS digest, MIN(doc_id) AS keep_id,
+        CAST(COUNT(*) AS BIGINT) AS n,
+        CAST(MAX(octet_length(encode(text))) AS INTEGER) AS n_bytes
+      FROM documents GROUP BY md5(text) ORDER BY digest"""))
+
+  /** Batch twin of the streaming windowed aggregation (SURVEY §2.10):
+    * tumbling 1h event-time windows over the events table (ns timestamps
+    * read as long via spark.sql.legacy.parquet.nanosAsLong). */
+  val q37_events_window: Q = Q(
+    (s, d) =>
+      table(s, d, "events")
+        .withColumn("win", expr("ts div 3600000000000"))
+        .groupBy("win", "event_type")
+        .agg(
+          count(lit(1)).as("n"),
+          sum(col("value").cast(DecimalType(18, 6))).cast("double").as("sum_v"))
+        .orderBy("win", "event_type"),
+    Some("""SELECT epoch_ns(ts) // 3600000000000 AS win, event_type,
+        CAST(COUNT(*) AS BIGINT) AS n,
+        CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_v
+      FROM events GROUP BY 1, 2 ORDER BY 1, 2"""))
+
   // ================================= real-projection resampling (no oracle)
 
   /** The kd-tree golden-test stere area (`test_kd_tree.py:35-48`), at 200x200. */
@@ -652,6 +749,33 @@ object Queries {
     },
     None)
 
+  /** Bilinear swath resample onto the stere area (J5, geocentric k-NN). */
+  val q45_bilinear_stere: Q = Q(
+    (s, d) => {
+      val area = stereArea(100, 100)
+      val src = DataReduce.reduceToArea(
+        swath(s, d).withColumnRenamed("pid", "src_id"), area, 400000.0)
+      BilinearResample.resample(src, area, radius = 400000.0).orderBy("dst_id")
+    },
+    None)
+
+  /** EWA resample of a structured synthetic swath (J6/J7/A8). */
+  val q46_ewa_stere: Q = Q(
+    (s, d) => {
+      val area = stereArea(100, 100)
+      // structured swath: smooth lon/lat over a (y, x) grid derived from keys
+      val sw = table(s, d, "lineitem").selectExpr(
+        "CAST(l_orderkey % 200 AS INT) AS y",
+        "CAST(l_partkey % 100 AS INT) AS x",
+        "l_quantity AS value")
+        .selectExpr("y", "x",
+          "x * 0.45 - 15.0 + y * 0.01 AS lon",
+          "62.0 - y * 0.11 + x * 0.004 AS lat",
+          "value")
+      EwaResample.resample(sw, area, rowsPerScan = 50).orderBy("cell")
+    },
+    None)
+
   // -------------------------------------------------------------- registry
 
   val all: Seq[(String, Q)] = Seq(
@@ -686,9 +810,15 @@ object Queries {
     "q29_langid" -> q29_langid,
     "q30_cosine_sim" -> q30_cosine_sim,
     "q31_ann_topk" -> q31_ann_topk,
+    "q32_gradient_bilinear" -> q32_gradient_bilinear,
+    "q35_freeze" -> q35_freeze,
+    "q36_multimodal" -> q36_multimodal,
+    "q37_events_window" -> q37_events_window,
     "q40_nearest_stere" -> q40_nearest_stere,
     "q41_bucket_stere" -> q41_bucket_stere,
     "q42_gauss_stere" -> q42_gauss_stere,
     "q43_simhash_neardup" -> q43_simhash_neardup,
-    "q44_lsh_topk" -> q44_lsh_topk)
+    "q44_lsh_topk" -> q44_lsh_topk,
+    "q45_bilinear_stere" -> q45_bilinear_stere,
+    "q46_ewa_stere" -> q46_ewa_stere)
 }

@@ -1,0 +1,118 @@
+package graft.operators
+
+import graft.SparkSpec
+import graft.core.{AreaDef, Crs}
+import java.nio.file.Files
+
+/** Resampler lifecycle (precompute/compute + LUT persistence), registry,
+  * dynamic-area freeze, geocentric resolution, multimodal plumbing,
+  * streaming bucket stats. */
+class FacadeSpec extends SparkSpec {
+  import org.apache.spark.sql.functions._
+
+  private lazy val source = {
+    val s = spark
+    import s.implicits._
+    Seq(
+      (1L, 11.280789, 56.011037, 1.0),
+      (2L, 12.649354, 55.629675, 2.0),
+      (3L, 12.080402, 55.641535, 3.0)).toDF("src_id", "lon", "lat", "value")
+  }
+  private lazy val target = {
+    val s = spark
+    import s.implicits._
+    Seq((1L, 12.562036, 55.715613)).toDF("dst_id", "lon", "lat")
+  }
+
+  test("nearest resampler: precompute once, reuse across datasets (resampler.py:80-141)") {
+    val dir = Files.createTempDirectory("lut").toString
+    val r = new NearestResampler(source, target, 100000.0, Some(dir), "t1")
+    val out1 = r.compute(source).collect()
+    assert(out1.length == 1 && out1(0).getAs[Double]("value") == 2.0)
+    // second dataset, same geometries — LUT reused from parquet
+    val s = spark
+    import s.implicits._
+    val data2 = Seq((1L, 10.0), (2L, 20.0), (3L, 30.0)).toDF("src_id", "value")
+    val out2 = r.compute(data2).collect()
+    assert(out2(0).getAs[Double]("value") == 20.0)
+    // a fresh resampler instance loads the persisted LUT
+    val r2 = new NearestResampler(source, target, 100000.0, Some(dir), "t1")
+    assert(r2.compute(data2).collect()(0).getAs[Double]("value") == 20.0)
+  }
+
+  test("registry lookup and error (future/resamplers/registry.py)") {
+    val f = ResamplerRegistry.get("nearest")
+    val r = f(source, target, 100000.0)
+    assert(r.compute(source).count() == 1)
+    assertThrows[IllegalArgumentException](ResamplerRegistry.get("bogus"))
+  }
+
+  test("freeze: lonlat footprint with resolution (geometry.py:1224)") {
+    val s = spark
+    import s.implicits._
+    val sw = Seq((0.5, 10.0), (9.5, 19.0), (4.0, 15.0)).toDF("lon", "lat")
+    val a = GeometryOps.freeze("f", Crs.fromProj4("+proj=longlat"), sw, (1.0, 1.0))
+    assert(a.width == 9 && a.height == 9)
+    assert(a.xLL == 0.5 && a.yLL == 10.0)
+  }
+
+  test("freeze: antimeridian-crossing footprint wraps (geometry.py:1050-1057)") {
+    val s = spark
+    import s.implicits._
+    val sw = Seq((175.0, 0.0), (-175.0, 5.0), (179.0, 2.0)).toDF("lon", "lat")
+    val a = GeometryOps.freeze("f", Crs.fromProj4("+proj=longlat"), sw, (1.0, 1.0))
+    assert(a.width == 10, s"width ${a.width}") // 175..185, not 350 cells
+  }
+
+  test("geocentricResolution estimates lattice pitch (geometry.py:2691)") {
+    val s = spark
+    import s.implicits._
+    val sw = (0 until 400).map(i => ((i % 20) * 0.5, (i / 20) * 0.5)).toDF("lon", "lat")
+    val res = GeometryOps.geocentricResolution(sw)
+    // 0.5 deg ~ 55.6 km at the equator; consecutive-sample estimate within 2x
+    assert(res > 20000 && res < 120000, s"res $res")
+  }
+
+  test("multimodal: deterministic stub decode + payload dedup + frame sampling") {
+    val s = spark
+    import s.implicits._
+    val df = Seq(
+      (1L, "abcdef".getBytes), (2L, "abcdef".getBytes), (3L, "other-bytes".getBytes))
+      .toDF("id", "payload")
+    val meta = Multimodal.withDecodedMeta(df).select("id", "media_meta.*").collect()
+      .map(r => r.getAs[Long]("id") -> (r.getAs[String]("format"), r.getAs[Int]("width"), r.getAs[Long]("n_bytes"))).toMap
+    assert(meta(1L) == meta(2L))
+    assert(meta(1L)._3 == 6L)
+
+    val dedup = Multimodal.dedupPayloads(df, "id").collect()
+    assert(dedup.length == 2 && dedup.exists(_.getAs[Long]("n") == 2L))
+
+    val frames = Multimodal.sampleFrames(df.filter(col("id") === 3L), everyK = 1, frameBytes = 4)
+    assert(frames.count() == 3) // 11 bytes -> 3 windows of 4
+  }
+
+  test("streaming bucket stats over a rate-less memory stream (SURVEY §2.10)") {
+    val s = spark
+    import s.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.streaming.Trigger
+
+    implicit val sq = s.sqlContext
+    val mem = MemoryStream[(java.sql.Timestamp, Double, Double, Double)]
+    val area = AreaDef("s", Crs.fromProj4("+proj=longlat"), 10, 10, 0, 0, 10, 10)
+    val stream = mem.toDF.toDF("ts", "lon", "lat", "value")
+    val t0 = java.sql.Timestamp.valueOf("2026-01-01 10:00:10")
+    val t1 = java.sql.Timestamp.valueOf("2026-01-01 10:00:40")
+    mem.addData((t0, 1.5, 1.5, 2.0), (t1, 1.6, 1.6, 4.0), (t1, 5.5, 5.5, 10.0))
+    val q = graft.streaming.StreamingOps.bucketStats(stream, area, "1 minute", "2 minutes")
+      .writeStream.format("memory").queryName("bucket_stream")
+      .outputMode("update").trigger(Trigger.AvailableNow()).start()
+    q.processAllAvailable()
+    q.stop()
+    val rows = s.sql("SELECT cell, n, sum_v, avg_v FROM bucket_stream").collect()
+    val byCell = rows.map(r => r.getAs[Long]("cell") -> r).toMap
+    assert(byCell(area.cellOf(1.5, 1.5)).getAs[Long]("n") == 2L)
+    assert(byCell(area.cellOf(1.5, 1.5)).getAs[Double]("avg_v") == 3.0)
+    assert(byCell(area.cellOf(5.5, 5.5)).getAs[Double]("sum_v") == 10.0)
+  }
+}
