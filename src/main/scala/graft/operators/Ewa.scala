@@ -55,7 +55,8 @@ object EwaResample {
       weightDistanceMax: Double = 1.0,
       weightDeltaMax: Double = 10.0,
       weightSumMin: Double = -1.0,
-      maximumWeightMode: Boolean = false): DataFrame = {
+      maximumWeightMode: Boolean = false,
+      quantizeWeights: Option[Int] = None): DataFrame = {
 
     val qmax = weightDistanceMax * weightDistanceMax
     val alpha = -math.log(weightMin) / qmax
@@ -147,12 +148,29 @@ object EwaResample {
         .agg(max_by(col(valueCol), col("w")).as(valueCol), max("w").as("weight_sum"))
         .filter(col("weight_sum") >= wsMin)
         .select("cell", valueCol)
-    } else {
-      scattered
-        .groupBy("cell")
-        .agg(sum(col("w") * col(valueCol)).as("_swv"), sum("w").as("_sw"))
-        .filter(col("_sw") >= wsMin)
-        .select(col("cell"), (col("_swv") / col("_sw")).as(valueCol))
+    } else quantizeWeights match {
+      case None =>
+        scattered
+          .groupBy("cell")
+          .agg(sum(col("w") * col(valueCol)).as("_swv"), sum("w").as("_sw"))
+          .filter(col("_sw") >= wsMin)
+          .select(col("cell"), (col("_swv") / col("_sw")).as(valueCol))
+      case Some(scale) =>
+        // exactly-reproducible mode: weights quantized to `scale` decimals
+        // and summed as DECIMAL (exact, order-free) — a SQL oracle running
+        // the identical arithmetic produces bit-equal results even though
+        // the per-cell contribution count is unbounded
+        import org.apache.spark.sql.types.DecimalType
+        val wq = round(col("w"), scale).cast(DecimalType(16, scale))
+        val vq = col(valueCol).cast(DecimalType(18, 6))
+        scattered
+          .withColumn("_wq", wq)
+          .withColumn("_vq", vq)
+          .groupBy("cell")
+          .agg(sum(col("_wq") * col("_vq")).as("_swv"), sum(col("_wq")).as("_sw"))
+          .filter(col("_sw").cast("double") >= wsMin)
+          .select(col("cell"),
+            (col("_swv").cast("double") / col("_sw").cast("double")).as(valueCol))
     }
   }
 }

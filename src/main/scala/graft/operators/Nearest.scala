@@ -81,11 +81,23 @@ object KnnResample {
       .withColumn("dist2", dist2)
       .filter(col("dist2") <= lit(radius * radius))
 
-    val w = Window.partitionBy("dst_id").orderBy(col("dist2").asc, col("src_id").asc)
-    joined
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select("dst_id", "src_id", "dist2", "rank")
+    if (k == 1) {
+      // k=1 fast path: lexicographic min(struct(dist2, src_id)) — identical
+      // selection and tie-break as the rank window, but a hash aggregation
+      // with map-side partial combine: the 27x candidate fan-out collapses
+      // before the shuffle instead of being sorted after it.
+      joined
+        .groupBy("dst_id")
+        .agg(min(struct(col("dist2"), col("src_id"))).as("_m"))
+        .select(col("dst_id"), col("_m.src_id").as("src_id"),
+          col("_m.dist2").as("dist2"), lit(1).as("rank"))
+    } else {
+      val w = Window.partitionBy("dst_id").orderBy(col("dist2").asc, col("src_id").asc)
+      joined
+        .withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= k)
+        .select("dst_id", "src_id", "dist2", "rank")
+    }
   }
 
   /** J2 (`kd_tree.py:64-110`): nearest-neighbour gather. Returns

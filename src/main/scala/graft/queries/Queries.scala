@@ -643,6 +643,92 @@ object Queries {
       JOIN g g11 ON g11.cell = (r0 + 1) * 360 + c0 + 1
       ORDER BY f2.dst_id"""))
 
+  /** EWA on a longlat grid with decimal-quantized weights — the whole
+    * per-scan Jacobian + footprint-scatter pipeline reproduced bit-exactly
+    * by the oracle (weights rounded to 7 decimals and summed as DECIMAL,
+    * so the unbounded per-cell contribution count has an order-free sum). */
+  val q33_ewa: Q = Q(
+    (s, d) => {
+      val area = AreaDef("ewa_ll", Crs.fromProj4("+proj=longlat"), 80, 40, -15, 40, 25, 60)
+      val sw = table(s, d, "lineitem").selectExpr(
+        "CAST(l_orderkey % 100 AS INT) AS y",
+        "CAST(l_partkey % 80 AS INT) AS x",
+        "l_quantity AS q0")
+        .groupBy("y", "x").agg(min("q0").as("value"))
+        .selectExpr("y", "x",
+          "x * 0.45 - 12.0 + y * 0.01 AS lon",
+          "58.0 - y * 0.18 + x * 0.004 AS lat",
+          "value")
+      EwaResample.resample(sw, area, rowsPerScan = 25, quantizeWeights = Some(7))
+        .orderBy("cell")
+    },
+    Some {
+      val negAlpha = (-(-math.log(0.01) / 1.0)).toString // -alpha, exact double literal
+      s"""WITH pix AS (SELECT CAST(l_orderkey % 100 AS INT) AS y, CAST(l_partkey % 80 AS INT) AS x,
+                  MIN(l_quantity) AS value FROM lineitem GROUP BY 1, 2),
+      sw AS (SELECT y, x, x * 0.45 - 12.0 + y * 0.01 AS lon, 58.0 - y * 0.18 + x * 0.004 AS lat, value FROM pix),
+      cr AS (SELECT *, (lon - -15.0) / 0.5 AS u, (60.0 - lat) / 0.5 AS v FROM sw),
+      wscan AS (SELECT *, CAST(FLOOR(y / 25) AS BIGINT) AS scan, y % 25 AS y_in FROM cr),
+      srows AS (SELECT scan, MIN(y_in) AS y0, MAX(y_in) AS y1,
+                  CAST(FLOOR((MIN(y_in) + MAX(y_in) + 1) / 2) AS BIGINT) AS ymid
+                FROM wscan GROUP BY scan),
+      ws AS (SELECT w.*, s.y0, s.y1, s.ymid FROM wscan w JOIN srows s ON s.scan = w.scan),
+      mid AS (SELECT scan, x,
+               (LEAD(u, 1) OVER (PARTITION BY scan ORDER BY x) -
+                LAG(u, 1) OVER (PARTITION BY scan ORDER BY x)) / 2.0 * 1.0 AS ux,
+               (LEAD(v, 1) OVER (PARTITION BY scan ORDER BY x) -
+                LAG(v, 1) OVER (PARTITION BY scan ORDER BY x)) / 2.0 * 1.0 AS vx
+             FROM ws WHERE y_in = ymid),
+      fl AS (SELECT scan, x,
+               MAX(CASE WHEN y_in = y1 THEN u END) - MAX(CASE WHEN y_in = y0 THEN u END) AS du,
+               MAX(CASE WHEN y_in = y1 THEN v END) - MAX(CASE WHEN y_in = y0 THEN v END) AS dv,
+               MAX(y1 - y0) AS dy
+             FROM ws WHERE y_in = y0 OR y_in = y1 GROUP BY scan, x),
+      fl2 AS (SELECT scan, x, CASE WHEN dy > 0 THEN du / dy * 1.0 ELSE 0.0 END AS uy,
+                CASE WHEN dy > 0 THEN dv / dy * 1.0 ELSE 0.0 END AS vy FROM fl),
+      par0 AS (SELECT scan, x, ux, vx, uy, vy FROM mid FULL OUTER JOIN fl2 USING (scan, x)),
+      par1 AS (SELECT *,
+                 (ux IS NULL OR vx IS NULL OR uy IS NULL OR vy IS NULL OR
+                  isnan(ux) OR isnan(vx) OR isnan(uy) OR isnan(vy)) AS bad,
+                 GREATEST((ux * vy - uy * vx) * (ux * vy - uy * vx), 0.0000000000000001) AS fs
+               FROM par0),
+      par2 AS (SELECT scan, x, bad,
+                 CASE WHEN bad THEN 0.0 ELSE (vx * vx + vy * vy) * (1.0 / fs) END AS ea,
+                 CASE WHEN bad THEN 0.0 ELSE -2.0 * (ux * vx + uy * vy) * (1.0 / fs) END AS eb,
+                 CASE WHEN bad THEN 0.0 ELSE (ux * ux + uy * uy) * (1.0 / fs) END AS ec
+               FROM par1),
+      par3 AS (SELECT *, GREATEST(4.0 * ea * ec - eb * eb, 0.0000000000000001) AS d FROM par2),
+      par AS (SELECT scan, x, ea, eb, ec,
+                CASE WHEN bad THEN 1.0 ELSE LEAST(SQRT(ec * (4.0 / d)), 10.0) END AS udel,
+                CASE WHEN bad THEN 1.0 ELSE LEAST(SQRT(ea * (4.0 / d)), 10.0) END AS vdel
+              FROM par3),
+      px0 AS (SELECT w.u, w.v, w.value, p.ea, p.eb, p.ec, p.udel, p.vdel
+              FROM wscan w JOIN par p ON p.scan = w.scan AND p.x = w.x
+              WHERE NOT isnan(w.u) AND NOT isnan(w.v) AND w.value IS NOT NULL AND NOT isnan(w.value)
+                AND w.u >= -p.udel AND w.v >= -p.vdel),
+      px1 AS (SELECT *,
+                GREATEST(CAST(FLOOR(u - udel) AS INTEGER), 0) AS iu1,
+                LEAST(CAST(FLOOR(u + udel) AS INTEGER), 79) AS iu2,
+                GREATEST(CAST(FLOOR(v - vdel) AS INTEGER), 0) AS iv1,
+                LEAST(CAST(FLOOR(v + vdel) AS INTEGER), 39) AS iv2
+              FROM px0),
+      px2 AS (SELECT * FROM px1 WHERE iu1 <= iu2 AND iv1 <= iv2),
+      scA AS (SELECT px2.*, unnest(generate_series(iu1, iu2)) AS iu FROM px2),
+      sc0 AS (SELECT scA.*, unnest(generate_series(iv1, iv2)) AS iv FROM scA),
+      sc1 AS (SELECT *, iu + 0.5 - u AS du, iv + 0.5 - v AS dv FROM sc0),
+      sc2 AS (SELECT *, ea * du * du + eb * du * dv + ec * dv * dv AS q FROM sc1
+              WHERE ea * du * du + eb * du * dv + ec * dv * dv >= 0
+                AND ea * du * du + eb * du * dv + ec * dv * dv < 1.0),
+      sc3 AS (SELECT CAST(iv AS BIGINT) * 80 + iu AS cell,
+                CAST(ROUND(EXP($negAlpha * q), 7) AS DECIMAL(16,7)) AS wq,
+                CAST(value AS DECIMAL(18,6)) AS vq
+              FROM sc2)
+      SELECT cell, CAST(SUM(wq * vq) AS DOUBLE) / CAST(SUM(wq) AS DOUBLE) AS value
+      FROM sc3 GROUP BY cell
+      HAVING CAST(SUM(wq) AS DOUBLE) >= 0.01
+      ORDER BY cell"""
+    })
+
   /** DynamicAreaDefinition.freeze (`geometry.py:1224`): data-driven area
     * completion, checked as single-row metadata arithmetic. */
   val q35_freeze: Q = Q(
@@ -753,9 +839,12 @@ object Queries {
   val q45_bilinear_stere: Q = Q(
     (s, d) => {
       val area = stereArea(100, 100)
+      // radius sized to the synthetic swath's density: ~20 candidates per
+      // 250 km disc at sf0.01 — enough for the 4-corner pick, and the cell
+      // join stays ~27 candidate cells per target
       val src = DataReduce.reduceToArea(
-        swath(s, d).withColumnRenamed("pid", "src_id"), area, 400000.0)
-      BilinearResample.resample(src, area, radius = 400000.0).orderBy("dst_id")
+        swath(s, d).withColumnRenamed("pid", "src_id"), area, 250000.0)
+      BilinearResample.resample(src, area, radius = 250000.0).orderBy("dst_id")
     },
     None)
 
@@ -763,11 +852,15 @@ object Queries {
   val q46_ewa_stere: Q = Q(
     (s, d) => {
       val area = stereArea(100, 100)
-      // structured swath: smooth lon/lat over a (y, x) grid derived from keys
+      // structured swath: smooth lon/lat over a (y, x) grid derived from
+      // keys; one row per pixel (gridded swaths are unique per (y, x) —
+      // collapsing duplicates also keeps the footprint explode linear in
+      // the number of PIXELS, not input rows)
       val sw = table(s, d, "lineitem").selectExpr(
         "CAST(l_orderkey % 200 AS INT) AS y",
         "CAST(l_partkey % 100 AS INT) AS x",
         "l_quantity AS value")
+        .groupBy("y", "x").agg(avg("value").as("value"))
         .selectExpr("y", "x",
           "x * 0.45 - 15.0 + y * 0.01 AS lon",
           "62.0 - y * 0.11 + x * 0.004 AS lat",
@@ -811,6 +904,7 @@ object Queries {
     "q30_cosine_sim" -> q30_cosine_sim,
     "q31_ann_topk" -> q31_ann_topk,
     "q32_gradient_bilinear" -> q32_gradient_bilinear,
+    "q33_ewa" -> q33_ewa,
     "q35_freeze" -> q35_freeze,
     "q36_multimodal" -> q36_multimodal,
     "q37_events_window" -> q37_events_window,
