@@ -274,6 +274,69 @@ object AreaConfig {
     if (regions.isEmpty) all else all.filter(a => regions.contains(a.id))
   }
 
+  /** CF-conventions grid_mapping -> area (the attribute-inference semantics
+    * of `pyresample/utils/cf.py:413` / `geometry.py:1936` without the
+    * NetCDF IO, which is unavailable offline): `attrs` are the grid-mapping
+    * variable's attributes; x/y are the projection coordinate first/last
+    * values (metres or degrees per CF) and counts. */
+  def fromCfGridMapping(
+      name: String,
+      attrs: Map[String, Double],
+      gridMappingName: String,
+      width: Int, height: Int,
+      xFirst: Double, xLast: Double,
+      yFirst: Double, yLast: Double): AreaDef = {
+    def a(k: String, default: Double = 0.0): Double = attrs.getOrElse(k, default)
+    val ellParams: Map[String, String] =
+      (attrs.get("semi_major_axis"), attrs.get("semi_minor_axis"), attrs.get("earth_radius")) match {
+        case (_, _, Some(r)) => Map("a" -> r.toString)
+        case (Some(aa), Some(b), _) => Map("a" -> aa.toString, "b" -> b.toString)
+        case (Some(aa), None, _) => Map("a" -> aa.toString)
+        case _ => Map.empty
+      }
+    val projParams: Map[String, String] = gridMappingName match {
+      case "latitude_longitude" => Map("proj" -> "longlat")
+      case "lambert_azimuthal_equal_area" =>
+        Map("proj" -> "laea",
+          "lat_0" -> a("latitude_of_projection_origin").toString,
+          "lon_0" -> a("longitude_of_projection_origin").toString)
+      case "polar_stereographic" =>
+        Map("proj" -> "stere",
+          "lat_0" -> a("latitude_of_projection_origin", 90).toString,
+          "lat_ts" -> a("standard_parallel", a("latitude_of_projection_origin", 90)).toString,
+          "lon_0" -> a("straight_vertical_longitude_from_pole").toString)
+      case "mercator" =>
+        Map("proj" -> "merc",
+          "lon_0" -> a("longitude_of_projection_origin").toString,
+          "lat_ts" -> a("standard_parallel").toString)
+      case "geostationary" =>
+        Map("proj" -> "geos",
+          "lon_0" -> a("longitude_of_projection_origin").toString,
+          "h" -> a("perspective_point_height", 35785831.0).toString) ++
+          (if (a("sweep_angle_axis_is_x") == 1.0) Map("sweep" -> "x") else Map.empty)
+      case other =>
+        throw new IllegalArgumentException(s"unsupported grid_mapping_name: $other")
+    }
+    val crs = Crs.fromParams(projParams ++ ellParams)
+    // CF coordinates are cell centres: extend by half a pixel each side
+    val dx = (xLast - xFirst) / (width - 1)
+    val dy = (yFirst - yLast) / (height - 1) // y decreasing row-major
+    AreaDef(name, crs,
+      width, height,
+      xFirst - dx / 2, yLast - dy / 2, xLast + dx / 2, yFirst + dy / 2)
+  }
+
+  /** GDAL/rasterio geotransform -> area — the semantics of
+    * `pyresample/utils/rasterio.py:77` without the TIFF IO:
+    * gt = (originX, pixelW, 0, originY, 0, -pixelH). */
+  def fromGeoTransform(
+      name: String, proj4: String, gt: Seq[Double], width: Int, height: Int): AreaDef = {
+    require(gt.length == 6 && gt(2) == 0 && gt(4) == 0, "rotation terms unsupported")
+    val xUL = gt(0); val dx = gt(1); val yUL = gt(3); val dy = -gt(5)
+    AreaDef(name, Crs.fromProj4(proj4), width, height,
+      xUL, yUL - height * dy, xUL + width * dx, yUL)
+  }
+
   /** AreaDefinition.dump (`geometry.py:2045-2093`): serialize to YAML. */
   def toYaml(a: AreaDef): String = {
     val proj = a.crs.params.map { case (k, v) => s"$k: $v" }.mkString("{", ", ", "}")

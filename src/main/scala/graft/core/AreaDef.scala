@@ -67,14 +67,12 @@ final case class AreaDef(
     if (!withLonLat) base
     else if (crs.isLonLat)
       base.withColumn("lon", col("proj_x")).withColumn("lat", col("proj_y"))
-    else {
-      val inv = GeomUdfs.inverseUdf(crs)
+    else
       base
-        .withColumn("_ll", inv(col("proj_x"), col("proj_y")))
-        .withColumn("lon", col("_ll._1"))
-        .withColumn("lat", col("_ll._2"))
+        .withColumn("_ll", graft.functions.ProjectExpr.projectInv(crs, col("proj_x"), col("proj_y")))
+        .withColumn("lon", col("_ll.x"))
+        .withColumn("lat", col("_ll.y"))
         .drop("_ll")
-    }
   }
 
   /** Shrink by integer factor — `geometry.py:1708-1712` (aggregate). */
@@ -131,6 +129,32 @@ final case class AreaDef(
     }
     (lonMin, latMin, lonMax, latMax)
   }
+
+  /** Clockwise boundary polygon of the area outline on the sphere, with
+    * stride decimation (`boundary/legacy_boundary.py:30-135` + decimate
+    * `:105`). Feeds overlap predicates and slicing (J11/U1). */
+  def boundaryPolygon(samplesPerSide: Int = 20): Spherical.SphPolygon = {
+    val pts = scala.collection.mutable.ArrayBuffer.empty[(Double, Double)]
+    val n = math.max(1, samplesPerSide)
+    def push(x: Double, y: Double): Unit = {
+      val (lo, la) = crs.inverse(x, y)
+      if (!lo.isNaN && !la.isNaN) pts += ((lo, la))
+    }
+    // clockwise in projected space: top edge L->R, right T->B, bottom R->L, left B->T
+    (0 until n).foreach(i => push(xLL + (xUR - xLL) * i / n, yUR))
+    (0 until n).foreach(i => push(xUR, yUR - (yUR - yLL) * i / n))
+    (0 until n).foreach(i => push(xUR - (xUR - xLL) * i / n, yLL))
+    (0 until n).foreach(i => push(xLL, yLL + (yUR - yLL) * i / n))
+    Spherical.SphPolygon.fromDegrees(pts.toSeq)
+  }
+
+  /** Spherical overlap test with another area (`geometry.py:540-582`). */
+  def overlaps(other: AreaDef): Boolean =
+    boundaryPolygon().overlaps(other.boundaryPolygon())
+
+  /** Fraction of this area covered by `other` (`geometry.py:605-620`). */
+  def overlapRate(other: AreaDef): Double =
+    boundaryPolygon().overlapRate(other.boundaryPolygon())
 
   /** Semantic hash for LUT cache keys (`geometry.py:129-140`). */
   def semanticHash: String = {

@@ -415,12 +415,55 @@ final case class GeosProj(lon0: Double, h: Double, sweepX: Boolean, ell: Ellipso
   }
 }
 
+/** proj=omerc — oblique Mercator, spherical formulation (Snyder 9-1..9-10)
+  * on the authalic radius. Parameterised PROJ-style by the centre
+  * (lonc, lat_0) and the azimuth `alpha` of the centre line — the form
+  * pyresample's `compute_optimal_bb_area` produces (`geometry.py:946-951`).
+  * gamma=0, no_rot semantics. */
+final case class OmercProj(lonc: Double, lat0: Double, alphaDeg: Double, ell: Ellipsoid)
+    extends Projection {
+  private val r = if (ell.isSphere) ell.a else ell.authalicRadius
+  private val phiC = lat0 * Deg2Rad
+  private val alpha = alphaDeg * Deg2Rad
+  // pole of the oblique graticule (Snyder 9-1, 9-2)
+  private val phiP = math.asin(math.cos(phiC) * math.sin(alpha))
+  private val lamP = math.atan2(-math.cos(alpha), -math.sin(phiC) * math.sin(alpha)) + lonc * Deg2Rad
+  private val lam0 = lamP + math.Pi / 2
+  private val sinPp = math.sin(phiP)
+  private val cosPp = math.cos(phiP)
+
+  def forward(lon: Double, lat: Double): (Double, Double) = {
+    val lam = wrapLonDeg(lon) * Deg2Rad - lam0
+    val phi = lat * Deg2Rad
+    val a = sinPp * math.sin(phi) - cosPp * math.cos(phi) * math.sin(lam)
+    if (math.abs(a) >= 1.0 - 1e-12) return (Double.NaN, Double.NaN)
+    val x = r * math.atan2(math.tan(phi) * cosPp + sinPp * math.sin(lam), math.cos(lam))
+    val y = (r / 2) * math.log((1 + a) / (1 - a))
+    (x, y)
+  }
+  def inverse(x: Double, y: Double): (Double, Double) = {
+    val xr = x / r; val yr = y / r
+    val phi = math.asin(math.max(-1, math.min(1,
+      sinPp * math.tanh(yr) + cosPp * math.sin(xr) / math.cosh(yr))))
+    val lam = lam0 + math.atan2(
+      sinPp * math.sin(xr) - cosPp * math.sinh(yr), math.cos(xr))
+    (wrapLonDeg(lam * Rad2Deg), phi * Rad2Deg)
+  }
+}
+
 /** A parsed CRS: projection + raw proj4 params (mirrors what
   * `pyresample/utils/proj4.py:29-99` keeps around). */
 final case class Crs(proj: Projection, proj4: String, params: Map[String, String]) {
   def isLonLat: Boolean = proj.isLonLat
   def forward(lon: Double, lat: Double): (Double, Double) = proj.forward(lon, lat)
   def inverse(x: Double, y: Double): (Double, Double) = proj.inverse(x, y)
+  // primitive-array forms for codegen call sites (functions/ProjectExpr.scala)
+  def forwardArray(lon: Double, lat: Double): Array[Double] = {
+    val (x, y) = proj.forward(lon, lat); Array(x, y)
+  }
+  def inverseArray(x: Double, y: Double): Array[Double] = {
+    val (lo, la) = proj.inverse(x, y); Array(lo, la)
+  }
 }
 
 object Crs {
@@ -466,7 +509,8 @@ object Crs {
       case "stere" => StereProj(lon0, lat0, if (params.contains("lat_ts")) latTs else 90.0 * math.signum(if (lat0 == 0) 1 else lat0), k0, ell)
       case "aeqd"  => AeqdProj(lon0, lat0, ell)
       case "geos"  => GeosProj(lon0, d("h", 35785831.0), params.get("sweep").contains("x"), ell)
-      case other   => throw new IllegalArgumentException(s"unsupported projection: $other (supported: longlat, eqc, merc, laea, stere, aeqd, geos)")
+      case "omerc" => OmercProj(d("lonc", lon0), lat0, d("alpha", 0.0), ell)
+      case other   => throw new IllegalArgumentException(s"unsupported projection: $other (supported: longlat, eqc, merc, laea, stere, aeqd, geos, omerc)")
     }
     Crs(proj, if (raw.nonEmpty) raw else params.map { case (k, v) => s"+$k=$v" }.mkString(" "), params)
   }

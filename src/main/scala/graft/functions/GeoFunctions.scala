@@ -79,18 +79,16 @@ object GeoFunctions {
   }
 
   /** Forward projection: adds `proj_x`, `proj_y` columns from lon/lat.
-    * Identity (no UDF) for lonlat CRS. */
+    * Identity for lonlat CRS; a native codegen Expression otherwise. */
   def withProjected(df: org.apache.spark.sql.DataFrame, crs: Crs,
       lonCol: String = "lon", latCol: String = "lat"): org.apache.spark.sql.DataFrame = {
     if (crs.isLonLat)
       df.withColumn("proj_x", col(lonCol)).withColumn("proj_y", col(latCol))
-    else {
-      val f = GeomUdfs.forwardUdf(crs)
-      df.withColumn("_xy", f(col(lonCol), col(latCol)))
-        .withColumn("proj_x", col("_xy._1"))
-        .withColumn("proj_y", col("_xy._2"))
+    else
+      df.withColumn("_xy", ProjectExpr.projectFwd(crs, col(lonCol), col(latCol)))
+        .withColumn("proj_x", col("_xy.x"))
+        .withColumn("proj_y", col("_xy.y"))
         .drop("_xy")
-    }
   }
 
   // --------------------------------------------------- embedding algebra

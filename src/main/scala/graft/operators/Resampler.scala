@@ -143,6 +143,48 @@ object GeometryOps {
     }
   }
 
+  /** compute_optimal_bb_area (`pyresample/geometry.py:1019`,
+    * `_compute_omerc_parameters:911-951`): fit an oblique-Mercator area to
+    * a gridded swath — azimuth from the swath centreline (middle column),
+    * centre at the centreline midpoint, extent frozen from the projected
+    * footprint. */
+  def computeOptimalBbArea(
+      swath: DataFrame, // (y, x, lon, lat)
+      resolutionMetres: Double,
+      id: String = "omerc_otf"): AreaDef = {
+    import org.apache.spark.sql.Row
+    val Row(xMid: Int) = swath.select(((max("x") + min("x")) / 2).cast("int")).head()
+    val centre = swath.filter(col("x") === xMid)
+      .select("y", "lon", "lat").orderBy("y").collect()
+    require(centre.length >= 2, "swath centreline too short")
+    val (lo1, la1) = (centre.head.getDouble(1), centre.head.getDouble(2))
+    val (lo2, la2) = (centre.last.getDouble(1), centre.last.getDouble(2))
+    val mid = centre(centre.length / 2)
+    val (lonc, lat0) = (mid.getDouble(1), mid.getDouble(2))
+    // initial great-circle bearing 1 -> 2 (the centreline azimuth)
+    val (p1, p2) = (math.toRadians(la1), math.toRadians(la2))
+    val dl = math.toRadians(lo2 - lo1)
+    val az = math.toDegrees(math.atan2(
+      math.sin(dl) * math.cos(p2),
+      math.cos(p1) * math.sin(p2) - math.sin(p1) * math.cos(p2) * math.cos(dl)))
+    val alpha = if (math.abs(az) > 90) az - 180 * math.signum(az) else az
+    val crs = graft.core.Crs.fromParams(Map(
+      "proj" -> "omerc", "lonc" -> lonc.toString, "lat_0" -> lat0.toString,
+      "alpha" -> alpha.toString, "a" -> "6370997.0"))
+    // freeze the extent from the projected footprint
+    val fwd = graft.core.GeomUdfs.forwardUdf(crs)
+    val Row(x0: Double, x1: Double, y0: Double, y1: Double) = swath
+      .filter(legalLonLat(col("lon"), col("lat")))
+      .withColumn("_xy", fwd(col("lon"), col("lat")))
+      .agg(min(col("_xy._1")), max(col("_xy._1")), min(col("_xy._2")), max(col("_xy._2")))
+      .head()
+    val w = math.max(1, math.ceil((x1 - x0) / resolutionMetres).toInt)
+    val h = math.max(1, math.ceil((y1 - y0) / resolutionMetres).toInt)
+    // anchor top-left: pixel coverage is [xLL, xUR) x (yLL, yUR], so the
+    // footprint extrema (x0 left, y1 top) sit on the inclusive edges
+    AreaDef(id, crs, w, h, x0, y1 - h * resolutionMetres, x0 + w * resolutionMetres, y1)
+  }
+
   /** geocentric_resolution (`geometry.py:2691-2765` / `:702-763`): modal
     * nearest-neighbour pitch of a point set, estimated from consecutive
     * distances along a deterministic sample. Feeds the default

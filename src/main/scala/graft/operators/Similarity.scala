@@ -72,6 +72,50 @@ object Similarity {
     df.withColumn("lsh_sig", sig)
   }
 
+  /** IVF-flavoured approximate top-k: a deterministic centroid subset
+    * partitions the candidate set (assignment = nearest centroid by
+    * cosine); each query probes its `nProbe` nearest centroid lists and
+    * reranks exactly within them. Scale path: the assignment is one
+    * broadcast-join + argmax over nCentroids, the probe is an equi-join on
+    * the centroid id — the classic IVF inverted-list shape. */
+  def ivfTopK(
+      queries: DataFrame,
+      candidates: DataFrame,
+      k: Int,
+      nCentroids: Int = 16,
+      nProbe: Int = 4,
+      idQ: String = "qid",
+      idC: String = "cid",
+      vecCol: String = "embedding"): DataFrame = {
+    // deterministic "training": every (n/nCentroids)-th candidate is a centroid
+    val wn = Window.orderBy(col(idC))
+    val numbered = candidates.select(col(idC), col(vecCol))
+      .withColumn("_rn", row_number().over(wn))
+    val total = numbered.count()
+    val stride = math.max(1L, total / nCentroids)
+    val centroids = numbered.filter((col("_rn") % stride) === 1).limit(nCentroids)
+      .select(col(idC).as("centroid_id"), col(vecCol).as("_ctr"))
+
+    def assign(df: DataFrame, id: String, v: String, keep: Int): DataFrame = {
+      val w = Window.partitionBy(id).orderBy(col("_csim").desc, col("centroid_id").asc)
+      df.crossJoin(broadcast(centroids))
+        .withColumn("_csim", cosineSimilarity(col(v), col("_ctr")))
+        .withColumn("_crk", row_number().over(w))
+        .filter(col("_crk") <= keep)
+        .drop("_ctr", "_csim", "_crk")
+    }
+
+    val cAssigned = assign(candidates.select(col(idC), col(vecCol).as("_cv")), idC, "_cv", 1)
+    val qAssigned = assign(queries.select(col(idQ), col(vecCol).as("_qv")), idQ, "_qv", nProbe)
+
+    val w = Window.partitionBy(idQ).orderBy(col("sim_r").desc, col(idC).asc)
+    qAssigned.join(cAssigned, "centroid_id")
+      .withColumn("sim_r", round(cosineSimilarity(col("_qv"), col("_cv")), 6))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col(idQ), col(idC), col("rank"), col("sim_r").as("sim"))
+  }
+
   /** LSH-bucketed approximate top-k: candidates = vectors sharing any
     * 8-bit band of the signature with the query; exact cosine rerank on
     * candidates. Recall < 1 by construction (approximate), cost ~ bucket
