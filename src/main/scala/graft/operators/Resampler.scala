@@ -96,6 +96,20 @@ object ResamplerRegistry {
   def registered: Seq[String] = factories.keys.toSeq.sorted
 
   register("nearest", (src, tgt, r) => new NearestResampler(src, tgt, r))
+
+  /** Gauss-weighted resampler (k=8 default, `kd_tree.py:114`). */
+  register("gauss", (src, tgt, r) => new Resampler {
+    def precompute(): DataFrame =
+      KnnResample.neighbours(src.select("src_id", "lon", "lat"), tgt, r, k = 8).persist()
+    def compute(data: DataFrame, valueCol: String): DataFrame = {
+      val sigma = r / 2
+      precompute()
+        .join(data.select(col("src_id"), col(valueCol).as("_v")), "src_id")
+        .withColumn("_w", exp(-col("dist2") / lit(sigma * sigma)))
+        .groupBy("dst_id")
+        .agg((sum(col("_w") * col("_v")) / sum(col("_w"))).as(valueCol))
+    }
+  })
 }
 
 /** Data-driven area construction + resolution estimation. */

@@ -786,6 +786,26 @@ object Queries {
         CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_v
       FROM events GROUP BY 1, 2 ORDER BY 1, 2"""))
 
+  /** JSON property extraction over the events stream table (incidental
+    * semi-structured support — Spark get_json_object vs DuckDB JSON). */
+  val q38_events_json: Q = Q(
+    (s, d) =>
+      table(s, d, "events")
+        .withColumn("k", get_json_object(col("props"), "$.k").cast("long"))
+        .groupBy("event_type")
+        .agg(
+          count(col("k")).as("n"),
+          sum(col("k")).as("sum_k"),
+          min(col("k")).as("min_k"),
+          max(col("k")).as("max_k"))
+        .orderBy("event_type"),
+    Some("""SELECT event_type,
+        CAST(COUNT(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS n,
+        CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+        MIN(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS min_k,
+        MAX(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k
+      FROM events GROUP BY event_type ORDER BY event_type"""))
+
   // ================================= real-projection resampling (no oracle)
 
   /** The kd-tree golden-test stere area (`test_kd_tree.py:35-48`), at 200x200. */
@@ -908,6 +928,7 @@ object Queries {
     "q35_freeze" -> q35_freeze,
     "q36_multimodal" -> q36_multimodal,
     "q37_events_window" -> q37_events_window,
+    "q38_events_json" -> q38_events_json,
     "q40_nearest_stere" -> q40_nearest_stere,
     "q41_bucket_stere" -> q41_bucket_stere,
     "q42_gauss_stere" -> q42_gauss_stere,
