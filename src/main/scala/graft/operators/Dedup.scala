@@ -68,10 +68,15 @@ object Dedup {
     val sigCols = (1 to numHashes).map(i => min(md5(concat(col("word"), lit(s"#$i")))).as(s"h$i"))
     val sig = w.groupBy(col(idCol)).agg(sigCols.head, sigCols.tail: _*)
     val nBands = numHashes / rowsPerBand
-    val bands = (0 until nBands).map { b =>
+    // explode instead of union: a union of N projections re-runs the
+    // signature aggregation N times; one explode computes it once
+    val bandStructs = (0 until nBands).map { b =>
       val hs = (1 to rowsPerBand).map(r => col(s"h${b * rowsPerBand + r}"))
-      sig.select(col(idCol), lit(b).as("band_idx"), concat(hs: _*).as("band"))
-    }.reduce(_ unionByName _)
+      struct(lit(b).as("band_idx"), concat(hs: _*).as("band"))
+    }
+    val bands = sig
+      .select(col(idCol), explode(array(bandStructs: _*)).as("_b"))
+      .select(col(idCol), col("_b.band_idx").as("band_idx"), col("_b.band").as("band"))
     val cand = bands.as("a")
       .join(bands.as("b"),
         col("a.band_idx") === col("b.band_idx") && col("a.band") === col("b.band") &&
@@ -146,11 +151,14 @@ object Dedup {
       idCol: String = "doc_id"): DataFrame = {
     require(maxHamming <= 3, "4-chunk banding guarantees recall only for hamming <= 3")
     val s = simhash(docs, textCol, idCol)
-    val chunks = (0 until 4).map { c =>
-      s.select(col(idCol), lit(c).as("chunk_idx"),
-        shiftrightunsigned(col("simhash"), c * 16).bitwiseAND(0xffffL).as("chunk"),
+    val chunkStructs = (0 until 4).map { c =>
+      struct(lit(c).as("chunk_idx"),
+        shiftrightunsigned(col("simhash"), c * 16).bitwiseAND(0xffffL).as("chunk"))
+    }
+    val chunks = s
+      .select(col(idCol), col("simhash"), explode(array(chunkStructs: _*)).as("_c"))
+      .select(col(idCol), col("_c.chunk_idx").as("chunk_idx"), col("_c.chunk").as("chunk"),
         col("simhash"))
-    }.reduce(_ unionByName _)
     chunks.as("a")
       .join(chunks.as("b"),
         col("a.chunk_idx") === col("b.chunk_idx") && col("a.chunk") === col("b.chunk") &&

@@ -133,10 +133,12 @@ object Similarity {
     val nBands = nBits / 8
     def banded(df: DataFrame, id: String, v: String): DataFrame = {
       val s = withLshSignature(df.select(col(id), col(vecCol).as(v)), dim, nBits, seed, v)
-      (0 until nBands).map { b =>
-        s.select(col(id), col(v), lit(b).as("band_idx"),
+      val bandStructs = (0 until nBands).map { b =>
+        struct(lit(b).as("band_idx"),
           shiftrightunsigned(col("lsh_sig"), b * 8).bitwiseAND(0xffL).as("band"))
-      }.reduce(_ unionByName _)
+      }
+      s.select(col(id), col(v), explode(array(bandStructs: _*)).as("_b"))
+        .select(col(id), col(v), col("_b.band_idx").as("band_idx"), col("_b.band").as("band"))
     }
     val q = banded(queries, idQ, "_qv")
     val c = banded(candidates, idC, "_cv")
