@@ -79,6 +79,35 @@ class BucketSpec extends SparkSpec {
     assert(c0("a") == 2.0 / 3 && c0("b") == 1.0 / 3)
   }
 
+  test("golden bucket indices on polar stere WGS84 (test_bucket.py:128-135)") {
+    // eurol area; expected x_idxs [1710,1710,1707,1705], y_idxs [465,465,459,455]
+    val eurol = graft.core.AreaDef("eurol",
+      Crs.fromProj4("+proj=stere +lat_0=90.0 +lat_ts=60.0 +lon_0=0.0 +a=6378137 +b=6356752.314245179"),
+      2560, 2048, -3780000.0, -7644000.0, 3900000.0, -1500000.0)
+    val pts = Seq((25.0, 60.0), (25.0, 60.00001), (25.0, 60.2), (25.0, 60.3))
+    val expected = Seq((1710, 465), (1710, 465), (1707, 459), (1705, 455))
+    pts.zip(expected).foreach { case ((lon, lat), (ex, ey)) =>
+      val (px, py) = eurol.crs.forward(lon, lat)
+      val xi = math.floor(eurol.fracCol(px)).toInt
+      val yi = math.floor(eurol.fracRow(py)).toInt
+      assert((xi, yi) == ((ex, ey)), s"($lon,$lat) -> ($xi,$yi) expected ($ex,$ey)")
+    }
+  }
+
+  test("golden bucket indices on latlong incl. out-of-grid (test_bucket.py:138-152)") {
+    val a = graft.core.AreaDef("t", Crs.fromProj4("+proj=longlat"), 2, 2, -10, -10, 10, 10)
+    val pts = Seq(
+      (-10.0, -10.0), (-9.9, -9.9), (-0.1, -0.1), (0.0, 0.0), (0.1, 0.1),
+      (9.9, 9.9), (10.0, 10.0), (-10.1, 0.0), (0.0, 10.1))
+    // reference x/y indices with -1 when the pair is out of grid
+    val exp = Seq((-1, -1), (0, 1), (0, 1), (1, 1), (1, 0), (1, 0), (-1, -1), (-1, -1), (-1, -1))
+    pts.zip(exp).foreach { case ((lon, lat), (ex, ey)) =>
+      val cell = a.cellOf(lon, lat)
+      val got = if (cell < 0) (-1, -1) else ((cell % 2).toInt, (cell / 2).toInt)
+      assert(got == ((ex, ey)), s"($lon,$lat) -> $got expected ($ex,$ey)")
+    }
+  }
+
   test("toGrid fills empty buckets (full_result scatter)") {
     val g = bucket.toGrid(bucket.count(swath), lit(0L))
     assert(g.count() == 100)
