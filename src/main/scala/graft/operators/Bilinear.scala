@@ -176,7 +176,11 @@ object BilinearResample {
           col("v4") * col("s") * col("t")).as(valueCol))
   }
 
-  /** One-shot swath -> area bilinear resample onto the generated grid. */
+  /** One-shot swath -> area bilinear resample onto the generated grid.
+    * Values ride along with the k-NN candidates, so the corner pick, the
+    * (t, s) solve and the interpolation happen in the same pass — no LUT
+    * materialization and no 4-way value gather joins (use
+    * [[lut]] + [[compute]] when the index is to be reused across datasets). */
   def resample(
       source: DataFrame, // (src_id, lon, lat, value)
       area: AreaDef,
@@ -187,7 +191,37 @@ object BilinearResample {
     val target = area.grid(spark, withLonLat = true)
       .select(col("cell").as("dst_id"), col("lon"), col("lat"),
         col("proj_x").as("out_x"), col("proj_y").as("out_y"))
-    val l = lut(source.select("src_id", "lon", "lat"), target, area, radius, k)
-    compute(l, source, valueCol)
+
+    val srcProj = withProjected(source, area.crs)
+      .select(col("src_id"), col("lon"), col("lat"), col(valueCol).as("_v"),
+        col("proj_x").as("in_x"), col("proj_y").as("in_y"))
+
+    val nbrs = KnnResample.neighbours(srcProj, target, radius, k)
+      .join(srcProj.select("src_id", "in_x", "in_y", "_v"), "src_id")
+
+    val gathered = nbrs
+      .groupBy("dst_id")
+      .agg(sort_array(collect_list(struct(
+        col("rank"), col("in_x"), col("in_y"), col("_v")))).as("cand"))
+      .join(target.select(col("dst_id"), col("out_x"), col("out_y")), "dst_id")
+
+    val solveAndBlend = udf { (cand: Seq[Row], outX: Double, outY: Double) =>
+      val xs = cand.map(_.getAs[Double]("in_x"))
+      val ys = cand.map(_.getAs[Double]("in_y"))
+      val vs = cand.map(_.getAs[Double]("_v"))
+      pickCorners(xs, ys, outX, outY).flatMap { case (i1, i2, i3, i4) =>
+        val (t, s) = fracDistances(
+          xs(i1), ys(i1), xs(i2), ys(i2), xs(i3), ys(i3), xs(i4), ys(i4), outX, outY)
+        if (t.isNaN) None
+        else Some(
+          vs(i1) * (1 - s) * (1 - t) + vs(i2) * s * (1 - t) +
+            vs(i3) * (1 - s) * t + vs(i4) * s * t)
+      }
+    }
+
+    gathered
+      .withColumn(valueCol, solveAndBlend(col("cand"), col("out_x"), col("out_y")))
+      .filter(col(valueCol).isNotNull)
+      .select("dst_id", valueCol)
   }
 }

@@ -576,7 +576,7 @@ object Queries {
   val q30_cosine_sim: Q = Q(
     (s, d) => {
       val emb = table(s, d, "embeddings")
-      val q = emb.filter(col("vec_id") % 500 === 0).select(col("vec_id").as("qid"), col("embedding"))
+      val q = emb.filter(col("vec_id") % 100 === 0).select(col("vec_id").as("qid"), col("embedding"))
       val c = emb.filter(col("vec_id") % 7 === 0).select(col("vec_id").as("cid"), col("embedding"))
       Similarity.cosinePairs(q, c)
         .select(col("qid"), col("cid"), round(col("sim"), 6).as("sim"))
@@ -585,19 +585,19 @@ object Queries {
     Some("""SELECT q.vec_id AS qid, c.vec_id AS cid,
         ROUND(list_cosine_similarity(CAST(q.embedding AS DOUBLE[]), CAST(c.embedding AS DOUBLE[])), 6) AS sim
       FROM embeddings q CROSS JOIN embeddings c
-      WHERE q.vec_id % 500 = 0 AND c.vec_id % 7 = 0 ORDER BY qid, cid"""))
+      WHERE q.vec_id % 100 = 0 AND c.vec_id % 7 = 0 ORDER BY qid, cid"""))
 
   val q31_ann_topk: Q = Q(
     (s, d) => {
       val emb = table(s, d, "embeddings")
-      val q = emb.filter(col("vec_id") % 500 === 0).select(col("vec_id").as("qid"), col("embedding"))
+      val q = emb.filter(col("vec_id") % 100 === 0).select(col("vec_id").as("qid"), col("embedding"))
       val c = emb.select(col("vec_id").as("cid"), col("embedding"))
       Similarity.bruteForceTopK(q, c, k = 10).orderBy("qid", "rank")
     },
     Some("""WITH pairs AS (
         SELECT q.vec_id AS qid, c.vec_id AS cid,
           ROUND(list_cosine_similarity(CAST(q.embedding AS DOUBLE[]), CAST(c.embedding AS DOUBLE[])), 6) AS sim_r
-        FROM embeddings q CROSS JOIN embeddings c WHERE q.vec_id % 500 = 0),
+        FROM embeddings q CROSS JOIN embeddings c WHERE q.vec_id % 100 = 0),
       r AS (SELECT qid, cid, sim_r,
               CAST(ROW_NUMBER() OVER (PARTITION BY qid ORDER BY sim_r DESC, cid ASC) AS INTEGER) AS rank
             FROM pairs)
@@ -849,7 +849,7 @@ object Queries {
   val q44_lsh_topk: Q = Q(
     (s, d) => {
       val emb = table(s, d, "embeddings")
-      val q = emb.filter(col("vec_id") % 500 === 0).select(col("vec_id").as("qid"), col("embedding"))
+      val q = emb.filter(col("vec_id") % 100 === 0).select(col("vec_id").as("qid"), col("embedding"))
       val c = emb.select(col("vec_id").as("cid"), col("embedding"))
       Similarity.lshTopK(q, c, dim = 64, k = 10).orderBy("qid", "rank")
     },

@@ -40,6 +40,27 @@ class FacadeSpec extends SparkSpec {
     assert(r2.compute(data2).collect()(0).getAs[Double]("value") == 20.0)
   }
 
+  test("bilinear resampler LUT persists and recomputes across datasets") {
+    val s = spark
+    import s.implicits._
+    val area = graft.core.AreaDef("b", graft.core.Crs.fromProj4("+proj=longlat"),
+      8, 8, 0, 0, 8, 8)
+    val pts = (for { i <- 0 until 12; j <- 0 until 12 } yield
+      (i.toLong * 100 + j, i * 0.8 - 1 + 0.05 * j, j * 0.8 - 1 + 0.03 * i)).toSeq
+    val src = pts.map { case (id, lo, la) => (id, lo, la, 2.0 * lo + la) }
+      .toDF("src_id", "lon", "lat", "value")
+    val dir = java.nio.file.Files.createTempDirectory("blut").toString
+    val r = new BilinearResampler(src, area, radius = 2.5 * 111320, Some(dir))
+    val out1 = r.compute(src).collect()
+    assert(out1.length > 10)
+    // second dataset on the same geometries reuses the persisted LUT
+    val src2 = pts.map { case (id, lo, la) => (id, lo, la, 5.0) }
+      .toDF("src_id", "lon", "lat", "value")
+    val r2 = new BilinearResampler(src, area, radius = 2.5 * 111320, Some(dir))
+    val out2 = r2.compute(src2).collect()
+    assert(out2.nonEmpty && out2.forall(row => approx(row.getAs[Double]("value"), 5.0, 1e-9)))
+  }
+
   test("registry lookup and error (future/resamplers/registry.py)") {
     val f = ResamplerRegistry.get("nearest")
     val r = f(source, target, 100000.0)
