@@ -53,7 +53,10 @@ object KnnResample {
       .withColumn("cy", floor(col("sy") / radius).cast("long"))
       .withColumn("cz", floor(col("sz") / radius).cast("long"))
 
-    val offsets = (for { dx <- -1 to 1; dy <- -1 to 1; dz <- -1 to 1 } yield (dx, dy, dz)).toArray
+    // planar space is flat in z (z = 0 both sides): 9 neighbour cells
+    // suffice, cutting the exploded target rows by 3x
+    val zOffsets = if (planar) Seq(0) else -1 to 1
+    val offsets = (for { dx <- -1 to 1; dy <- -1 to 1; dz <- zOffsets } yield (dx, dy, dz)).toArray
     val offCol = array(offsets.map { case (dx, dy, dz) =>
       struct(lit(dx).as("dx"), lit(dy).as("dy"), lit(dz).as("dz"))
     }: _*)
