@@ -173,6 +173,32 @@ object Queries {
       WHERE (lat >= -30.0 AND lat <= 30.0) AND (lon >= 150.0 OR lon <= -150.0)
       GROUP BY flag ORDER BY flag"""))
 
+  /** Geo-radius filter through the native HaversineDist expression with the
+    * GeoRadiusPruning rule active: the optimizer injects the bbox conjunct
+    * (scan-prunable); result identical to the bare predicate. */
+  val q39_georadius: Q = Q(
+    (s, d) => {
+      if (!s.experimental.extraOptimizations.contains(graft.functions.GeoRadiusPruning))
+        s.experimental.extraOptimizations =
+          s.experimental.extraOptimizations :+ graft.functions.GeoRadiusPruning
+      swath(s, d)
+        .filter(graft.functions.HaversineDist(col("lon"), col("lat"), lit(10.0), lit(50.0)) <= lit(2000000.0))
+        .groupBy("flag")
+        .agg(
+          count(lit(1)).as("n"),
+          sum(col("value").cast(dec)).cast("double").as("sum_v"))
+        .orderBy("flag")
+    },
+    Some(s"""WITH $swathSql
+      SELECT flag, CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_v
+      FROM swath
+      WHERE 2.0 * 6370997.0 * ASIN(LEAST(1.0, SQRT(
+              POWER(SIN((RADIANS(50.0) - RADIANS(lat)) / 2), 2) +
+              COS(RADIANS(lat)) * COS(RADIANS(50.0)) *
+              POWER(SIN((RADIANS(10.0) - RADIANS(lon)) / 2), 2)))) <= 2000000.0
+      GROUP BY flag ORDER BY flag"""))
+
   val q09_wrap_lon: Q = Q(
     (s, d) =>
       tgt(s, d).filter(col("dst_id") % 40 === 0)
@@ -929,6 +955,7 @@ object Queries {
     "q36_multimodal" -> q36_multimodal,
     "q37_events_window" -> q37_events_window,
     "q38_events_json" -> q38_events_json,
+    "q39_georadius" -> q39_georadius,
     "q40_nearest_stere" -> q40_nearest_stere,
     "q41_bucket_stere" -> q41_bucket_stere,
     "q42_gauss_stere" -> q42_gauss_stere,

@@ -16,6 +16,24 @@ class ResampleSpec extends SparkSpec {
     assert(approx(t, 0.25, 1e-12), s"t=$t")
   }
 
+  test("bilinear fracDistances goldens (test_bilinear.py:179-207)") {
+    // pts_irregular: p1(-1,1) p2(1,2) p3(-2,-1) p4(2,-4), target (0,0) -> (t,s)=(0.375, 0.5)
+    val (tI, sI) = BilinearResample.fracDistances(-1, 1, 1, 2, -2, -1, 2, -4, 0, 0)
+    assert(approx(tI, 0.375, 1e-10) && approx(sI, 0.5, 1e-10), s"($tI, $sI)")
+    // pts_both_parallel: -> (0.5, 0.5)
+    val (tB, sB) = BilinearResample.fracDistances(-1, 1, 1, 1, -1, -1, 1, -1, 0, 0)
+    assert(approx(tB, 0.5, 1e-10) && approx(sB, 0.5, 1e-10), s"($tB, $sB)")
+    // pts_vert_parallel: -> (0.5, 0.5)
+    val (tV, sV) = BilinearResample.fracDistances(-1, 1, 1, 2, -1, -1, 1, -2, 0, 0)
+    assert(approx(tV, 0.5, 1e-10) && approx(sV, 0.5, 1e-10), s"($tV, $sV)")
+    // division-by-zero regression corners (test_bilinear.py:195-207)
+    val (tD, sD) = BilinearResample.fracDistances(
+      -64.9936752319336, -5.140199184417725, -64.98487091064453, -5.142156600952148,
+      -64.98683166503906, -5.151054859161377, -64.97802734375, -5.153012275695801,
+      -64.985, -5.145)
+    assert(approx(tD, 0.30769689, 1e-6) && approx(sD, 0.74616628, 1e-6), s"($tD, $sD)")
+  }
+
   test("bilinear fracDistances: outside quad -> NaN") {
     val (t, s) = BilinearResample.fracDistances(0, 1, 1, 1, 0, 0, 1, 0, 2.5, 0.5)
     assert(t.isNaN && s.isNaN)
