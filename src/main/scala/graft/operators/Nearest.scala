@@ -162,6 +162,25 @@ object KnnResample {
     out
   }
 
+  /** Multi-channel weighted merge (`kd_tree.py:607-615`: trailing channel
+    * dimension): every channel shares the neighbour set and weights; one
+    * aggregation computes all channels' weighted means. */
+  def weightedMulti(
+      source: DataFrame,
+      target: DataFrame,
+      radius: Double,
+      k: Int,
+      valueCols: Seq[String],
+      weight: Column => Column,
+      planar: Boolean = false): DataFrame = {
+    val idx = neighbours(source, target, radius, k, planar)
+    val joined = idx
+      .join(source.select(("src_id" +: valueCols).map(col): _*), "src_id")
+      .withColumn("_w", weight(col("dist2")))
+    val aggs = valueCols.map(c => (sum(col("_w") * col(c)) / sum(col("_w"))).as(c))
+    joined.groupBy("dst_id").agg(aggs.head, aggs.tail: _*)
+  }
+
   /** Gaussian weighting (`kd_tree.py:113-189`): sigma from sigmas param. */
   def gauss(
       source: DataFrame,

@@ -74,6 +74,21 @@ class KnnSpec extends SparkSpec {
     assert(row.getAs[Long]("n") == 3L)
   }
 
+  test("multi-channel weighted merge shares neighbours and weights (kd_tree.py:607-615)") {
+    val s = spark
+    import s.implicits._
+    val multi = Seq(
+      (1L, 11.280789, 56.011037, 1.0, 10.0),
+      (2L, 12.649354, 55.629675, 2.0, 20.0),
+      (3L, 12.080402, 55.641535, 3.0, 30.0))
+      .toDF("src_id", "lon", "lat", "ch1", "ch2")
+    val r = KnnResample.weightedMulti(multi, target, 50000.0, 8, Seq("ch1", "ch2"),
+      d2 => exp(-d2 / lit(25000.0 * 25000.0))).collect()
+    assert(r.length == 1)
+    assert(approx(r(0).getAs[Double]("ch1"), 2.2020729, 1e-5))
+    assert(approx(r(0).getAs[Double]("ch2"), 22.020729, 1e-4))
+  }
+
   test("radius cut: no neighbours -> empty result, no fabricated rows") {
     val r = KnnResample.nearest(source, target, 1000.0, Seq("value"))
     assert(r.count() == 0)
