@@ -330,6 +330,56 @@ final case class StereProj(lon0: Double, lat0: Double, latTs: Double, k0In: Doub
   }
 }
 
+/** proj=lcc — Lambert conformal conic, 1 or 2 standard parallels
+  * (Snyder 15-1..15-11 ellipsoid; the sphere falls out at e=0). */
+final case class LccProj(lon0: Double, lat0: Double, lat1: Double, lat2: Double, ell: Ellipsoid)
+    extends Projection {
+  private val e = ell.e
+  private def tsfn(phi: Double): Double = {
+    val esin = e * math.sin(phi)
+    math.tan(math.Pi / 4 - phi / 2) / math.pow((1 - esin) / (1 + esin), e / 2)
+  }
+  private def msfn(phi: Double): Double = {
+    val s = math.sin(phi); math.cos(phi) / math.sqrt(1 - ell.e2 * s * s)
+  }
+  private val p1 = lat1 * Deg2Rad
+  private val p2 = lat2 * Deg2Rad
+  private val p0 = lat0 * Deg2Rad
+  private val n =
+    if (math.abs(lat1 - lat2) < 1e-10) math.sin(p1)
+    else math.log(msfn(p1) / msfn(p2)) / math.log(tsfn(p1) / tsfn(p2))
+  private val f = msfn(p1) / (n * math.pow(tsfn(p1), n))
+  private val rho0 = ell.a * f * math.pow(tsfn(p0), n)
+
+  def forward(lon: Double, lat: Double): (Double, Double) = {
+    val phi = lat * Deg2Rad
+    // the pole opposite the cone is at infinity
+    if (n > 0 && lat <= -89.999999) return (Double.NaN, Double.NaN)
+    if (n < 0 && lat >= 89.999999) return (Double.NaN, Double.NaN)
+    val rho =
+      if (math.abs(math.abs(phi) - math.Pi / 2) < 1e-10) 0.0
+      else ell.a * f * math.pow(tsfn(phi), n)
+    val th = n * wrapLonDeg(lon - lon0) * Deg2Rad
+    (rho * math.sin(th), rho0 - rho * math.cos(th))
+  }
+  def inverse(x: Double, y: Double): (Double, Double) = {
+    val rho = math.signum(n) * math.hypot(x, rho0 - y)
+    val th = math.atan2(math.signum(n) * x, math.signum(n) * (rho0 - y))
+    val lam = th / n + lon0 * Deg2Rad
+    if (rho == 0.0) return (wrapLonDeg(lam * Rad2Deg), if (n > 0) 90.0 else -90.0)
+    val t = math.pow(rho / (ell.a * f), 1 / n)
+    // invert tsfn (Snyder 7-9 iteration)
+    var phi = math.Pi / 2 - 2 * math.atan(t)
+    var i = 0
+    while (i < 15) {
+      val esin = e * math.sin(phi)
+      val next = math.Pi / 2 - 2 * math.atan(t * math.pow((1 - esin) / (1 + esin), e / 2))
+      if (math.abs(next - phi) < 1e-12) { phi = next; i = 15 } else { phi = next; i += 1 }
+    }
+    (wrapLonDeg(lam * Rad2Deg), phi * Rad2Deg)
+  }
+}
+
 /** proj=aeqd — azimuthal equidistant, spherical formulas (Snyder 25-1..25-15)
   * on the authalic radius when an ellipsoid is given. */
 final case class AeqdProj(lon0: Double, lat0: Double, ell: Ellipsoid) extends Projection {
@@ -510,6 +560,7 @@ object Crs {
       case "aeqd"  => AeqdProj(lon0, lat0, ell)
       case "geos"  => GeosProj(lon0, d("h", 35785831.0), params.get("sweep").contains("x"), ell)
       case "omerc" => OmercProj(d("lonc", lon0), lat0, d("alpha", 0.0), ell)
+      case "lcc"   => LccProj(lon0, lat0, d("lat_1", lat0), d("lat_2", d("lat_1", lat0)), ell)
       case other   => throw new IllegalArgumentException(s"unsupported projection: $other (supported: longlat, eqc, merc, laea, stere, aeqd, geos, omerc)")
     }
     Crs(proj, if (raw.nonEmpty) raw else params.map { case (k, v) => s"+$k=$v" }.mkString(" "), params)

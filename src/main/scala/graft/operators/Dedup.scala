@@ -124,6 +124,18 @@ object Dedup {
       .select("d1", "d2", "jaccard")
   }
 
+  /** Pipeline convenience: the deduplicated corpus itself. Exact mode keeps
+    * the lowest id per content digest; near-dup mode drops the later member
+    * (d2, always the higher id) of every candidate pair — the standard
+    * keep-first policy for training-data pipelines. */
+  def dropExactDuplicates(docs: DataFrame, textCol: String = "text", idCol: String = "doc_id"): DataFrame =
+    docs.join(
+      exact(docs, textCol, idCol).select(col("keep_id").as(idCol)),
+      Seq(idCol), "left_semi")
+
+  def dropNearDuplicates(docs: DataFrame, pairs: DataFrame, idCol: String = "doc_id"): DataFrame =
+    docs.join(pairs.select(col("d2").as(idCol)).distinct(), Seq(idCol), "left_anti")
+
   /** 64-bit SimHash per document: xxhash64 per distinct word, per-bit
     * majority vote folded back into one long. 64 map-side partial sums →
     * single hash aggregation; no explode-by-64. */

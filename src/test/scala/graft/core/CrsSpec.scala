@@ -102,6 +102,20 @@ class CrsSpec extends AnyFunSuite {
     sweep(c, -125, -25, -55, 55, 1e-4)
   }
 
+  test("lcc 1- and 2-parallel round-trip, sphere + ellipsoid") {
+    sweep(Crs.fromProj4("+proj=lcc +lat_0=40 +lat_1=33 +lat_2=45 +lon_0=-96 +a=6378137 +b=6356752.314245179"),
+      -150, -40, 5, 75, 1e-5)
+    sweep(Crs.fromProj4("+proj=lcc +lat_0=-30 +lat_1=-30 +lon_0=140 +a=6371000"),
+      100, 179, -70, 5, 1e-5)
+    // centre maps to (0, 0)
+    val c = Crs.fromProj4("+proj=lcc +lat_0=40 +lat_1=33 +lat_2=45 +lon_0=-96 +a=6378137 +b=6356752.314245179")
+    val (x0, y0) = c.forward(-96, 40)
+    assert(math.abs(x0) < 1e-6 && math.abs(y0) < 1e-6)
+    // cone pole maps to rho=0
+    val (xp, yp) = c.forward(0, 90)
+    assert(math.abs(xp) < 1e-6)
+  }
+
   test("proj4 parser: params, ellipsoid resolution, errors") {
     val c = Crs.fromProj4("+proj=laea +lat_0=-90 +lon_0=0 +a=6371228 +units=m")
     assert(c.params("proj") == "laea" && c.params("a") == "6371228")

@@ -43,6 +43,15 @@ class PipelineOpsSpec extends SparkSpec {
     assert(!pairs.exists { case (a, b) => a == 5L || b == 5L })
   }
 
+  test("dropExactDuplicates / dropNearDuplicates keep-first policy") {
+    val kept = Dedup.dropExactDuplicates(docs).select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(kept == Set(1L, 3L, 4L, 5L, 6L)) // doc 2 is the exact dup of 1
+    val pairs = Dedup.minhashLsh(docs, threshold = 0.3)
+    val near = Dedup.dropNearDuplicates(docs, pairs).select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(near.contains(1L) && !near.contains(2L)) // 2 dropped as later member
+    assert(near.contains(4L) && near.contains(5L)) // unrelated docs kept
+  }
+
   test("ngram jaccard with blocking keys") {
     val pairs = Dedup.ngramJaccard(docs, Seq("lang", "n_chars"), threshold = 0.5)
       .collect().map(r => (r.getAs[Long]("d1"), r.getAs[Long]("d2"), r.getAs[Double]("jaccard")))
