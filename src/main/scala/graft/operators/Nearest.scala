@@ -95,11 +95,18 @@ object KnnResample {
         .select(col("dst_id"), col("_m.src_id").as("src_id"),
           col("_m.dist2").as("dist2"), lit(1).as("rank"))
     } else {
-      val w = Window.partitionBy("dst_id").orderBy(col("dist2").asc, col("src_id").asc)
+      // k>1: bounded-memory top-k aggregation (TypedImperativeAggregate
+      // with a k-slot heap). Identical ordering and tie-break as a
+      // row_number window over (dist2 asc, src_id asc), but with a partial
+      // phase: each map task ships at most k candidates per target into
+      // the shuffle, and state is O(k) irrespective of candidate counts.
       joined
-        .withColumn("rank", row_number().over(w))
-        .filter(col("rank") <= k)
-        .select("dst_id", "src_id", "dist2", "rank")
+        .groupBy("dst_id")
+        .agg(graft.functions.TopKNearest.topkNearest(
+          struct(col("dist2"), col("src_id")), k).as("_top"))
+        .select(col("dst_id"), posexplode(col("_top")).as(Seq("_pos", "_t")))
+        .select(col("dst_id"), col("_t.src_id").as("src_id"),
+          col("_t.dist2").as("dist2"), (col("_pos") + 1).cast("int").as("rank"))
     }
   }
 
