@@ -844,7 +844,7 @@ object Queries {
     (s, d) => {
       val area = stereArea()
       val src = DataReduce.reduceToArea(
-        swath(s, d).withColumnRenamed("pid", "src_id"), area, 50000.0)
+        srcForKnn(s, d), area, 50000.0)
       val target = area.grid(s, withLonLat = true).select(col("cell").as("dst_id"), col("lon"), col("lat"))
       KnnResample.nearest(src, target, 50000.0, Seq("value")).orderBy("dst_id")
     },
@@ -862,7 +862,7 @@ object Queries {
     (s, d) => {
       val area = stereArea()
       val src = DataReduce.reduceToArea(
-        swath(s, d).withColumnRenamed("pid", "src_id"), area, 50000.0)
+        srcForKnn(s, d), area, 50000.0)
       val target = area.grid(s, withLonLat = true).select(col("cell").as("dst_id"), col("lon"), col("lat"))
       KnnResample.gauss(src, target, 50000.0, 25000.0, "value").orderBy("dst_id")
     },
@@ -889,7 +889,7 @@ object Queries {
       // 250 km disc at sf0.01 — enough for the 4-corner pick, and the cell
       // join stays ~27 candidate cells per target
       val src = DataReduce.reduceToArea(
-        swath(s, d).withColumnRenamed("pid", "src_id"), area, 250000.0)
+        srcForKnn(s, d), area, 250000.0)
       BilinearResample.resample(src, area, radius = 250000.0).orderBy("dst_id")
     },
     None)
