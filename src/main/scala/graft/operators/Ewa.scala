@@ -26,8 +26,8 @@ import org.apache.spark.sql.functions._
   * Plan shape: two window passes over the swath (no shuffle beyond the
   * (scan, x) repartition), one explode bounded by the ellipse extents
   * (u_del/v_del are clamped by `weight_delta_max`), one hash aggregation on
-  * the cell id. The explode emits (cell, w, wv) rows — Spark's partial/final
-  * aggregation is exactly the reference's dask tree-combine.
+  * the cell id. The explode emits (cell, w, value...) rows — Spark's
+  * partial/final aggregation is exactly the reference's dask tree-combine.
   */
 object EwaResample {
 
@@ -43,24 +43,20 @@ object EwaResample {
       .drop("proj_x", "proj_y")
   }
 
-  /** Full EWA resample of a gridded swath (y, x, lon, lat, value) onto an
-    * area. `rowsPerScan` <= 0 treats the whole swath as one scan
-    * (`ewa/ewa.py:105-107`). */
-  def resample(
-      swath: DataFrame, // (y, x, lon, lat, value)
+  /** The scatter pipeline shared by all EWA variants: per-scan ellipse
+    * parameters + footprint explode. Emits (cell, w, carryCols...). */
+  private def scatter(
+      swath: DataFrame,
       area: AreaDef,
       rowsPerScan: Int,
-      valueCol: String = "value",
-      weightMin: Double = 0.01,
-      weightDistanceMax: Double = 1.0,
-      weightDeltaMax: Double = 10.0,
-      weightSumMin: Double = -1.0,
-      maximumWeightMode: Boolean = false,
-      quantizeWeights: Option[Int] = None): DataFrame = {
+      carryCols: Seq[String],
+      weightMin: Double,
+      weightDistanceMax: Double,
+      weightDeltaMax: Double,
+      validity: Column): DataFrame = {
 
     val qmax = weightDistanceMax * weightDistanceMax
     val alpha = -math.log(weightMin) / qmax
-    val wsMin = if (weightSumMin == -1.0) weightMin else weightSumMin
 
     val cr = ll2cr(swath, area)
     val rps = if (rowsPerScan <= 0) Int.MaxValue else rowsPerScan
@@ -68,10 +64,9 @@ object EwaResample {
       .withColumn("scan", if (rowsPerScan <= 0) lit(0L) else floor(col("y") / lit(rps)).cast("long"))
       .withColumn("y_in", if (rowsPerScan <= 0) col("y").cast("long") else col("y") % lit(rps))
 
-    // scan geometry: first/middle/last in-scan row index per scan
     val scanRows = withScan.groupBy("scan")
       .agg(min("y_in").as("_y0"), max("y_in").as("_y1"))
-      .withColumn("_ymid", ((col("_y0") + col("_y1") + 1) / 2).cast("long")) // rows/2
+      .withColumn("_ymid", ((col("_y0") + col("_y1") + 1) / 2).cast("long"))
 
     val ws = withScan.join(scanRows, "scan")
 
@@ -120,7 +115,7 @@ object EwaResample {
       .select("scan", "x", "ea", "eb", "ec", "u_del", "v_del")
 
     val px = withScan
-      .filter(!isnan(col("u")) && !isnan(col("v")) && col(valueCol).isNotNull && !isnan(col(valueCol)))
+      .filter(!isnan(col("u")) && !isnan(col("v")) && validity)
       .join(params, Seq("scan", "x"))
       // early reject (cpp :248-250) + clamp footprint to the grid
       .filter(col("u") >= -col("u_del") && col("v") >= -col("v_del"))
@@ -130,7 +125,7 @@ object EwaResample {
       .withColumn("iv2", least(floor(col("v") + col("v_del")).cast("int"), lit(area.height - 1)))
       .filter(col("iu1") <= col("iu2") && col("iv1") <= col("iv2"))
 
-    val scattered = px
+    px
       .withColumn("iu", explode(sequence(col("iu1"), col("iu2"))))
       .withColumn("iv", explode(sequence(col("iv1"), col("iv2"))))
       .withColumn("du", col("iu") + lit(0.5) - col("u"))
@@ -141,6 +136,28 @@ object EwaResample {
       .filter(col("q") >= 0 && col("q") < lit(qmax))
       .withColumn("w", exp(lit(-alpha) * col("q")))
       .withColumn("cell", col("iv").cast("long") * area.width + col("iu"))
+      .select((Seq("cell", "w") ++ carryCols).map(col): _*)
+  }
+
+  /** Full EWA resample of a gridded swath (y, x, lon, lat, value) onto an
+    * area. `rowsPerScan` <= 0 treats the whole swath as one scan
+    * (`ewa/ewa.py:105-107`). */
+  def resample(
+      swath: DataFrame, // (y, x, lon, lat, value)
+      area: AreaDef,
+      rowsPerScan: Int,
+      valueCol: String = "value",
+      weightMin: Double = 0.01,
+      weightDistanceMax: Double = 1.0,
+      weightDeltaMax: Double = 10.0,
+      weightSumMin: Double = -1.0,
+      maximumWeightMode: Boolean = false,
+      quantizeWeights: Option[Int] = None): DataFrame = {
+
+    val wsMin = if (weightSumMin == -1.0) weightMin else weightSumMin
+    val scattered = scatter(swath, area, rowsPerScan, Seq(valueCol),
+      weightMin, weightDistanceMax, weightDeltaMax,
+      col(valueCol).isNotNull && !isnan(col(valueCol)))
 
     if (maximumWeightMode) {
       scattered
@@ -161,16 +178,42 @@ object EwaResample {
         // the identical arithmetic produces bit-equal results even though
         // the per-cell contribution count is unbounded
         import org.apache.spark.sql.types.DecimalType
-        val wq = round(col("w"), scale).cast(DecimalType(16, scale))
-        val vq = col(valueCol).cast(DecimalType(18, 6))
         scattered
-          .withColumn("_wq", wq)
-          .withColumn("_vq", vq)
+          .withColumn("_wq", round(col("w"), scale).cast(DecimalType(16, scale)))
+          .withColumn("_vq", col(valueCol).cast(DecimalType(18, 6)))
           .groupBy("cell")
           .agg(sum(col("_wq") * col("_vq")).as("_swv"), sum(col("_wq")).as("_sw"))
           .filter(col("_sw").cast("double") >= wsMin)
           .select(col("cell"),
             (col("_swv").cast("double") / col("_sw").cast("double")).as(valueCol))
     }
+  }
+
+  /** Multi-channel EWA (`ewa/_fornav.pyx` chan_count): all channels share
+    * the scan geometry, footprints and weights; one aggregation computes
+    * every channel's weighted mean with per-channel validity (fill pixels
+    * skip only their own channel's accumulators, cpp :300-303). */
+  def resampleMulti(
+      swath: DataFrame, // (y, x, lon, lat, ch...)
+      area: AreaDef,
+      rowsPerScan: Int,
+      valueCols: Seq[String],
+      weightMin: Double = 0.01,
+      weightDistanceMax: Double = 1.0,
+      weightDeltaMax: Double = 10.0,
+      weightSumMin: Double = -1.0): DataFrame = {
+    require(valueCols.nonEmpty)
+    val wsMin = if (weightSumMin == -1.0) weightMin else weightSumMin
+    val scattered = scatter(swath, area, rowsPerScan, valueCols,
+      weightMin, weightDistanceMax, weightDeltaMax, lit(true))
+    val aggs = valueCols.map { c =>
+      (sum(when(col(c).isNotNull && !isnan(col(c)), col("w") * col(c))) /
+        sum(when(col(c).isNotNull && !isnan(col(c)), col("w")))).as(c)
+    } :+ sum("w").as("_sw")
+    scattered
+      .groupBy("cell")
+      .agg(aggs.head, aggs.tail: _*)
+      .filter(col("_sw") >= wsMin)
+      .drop("_sw")
   }
 }

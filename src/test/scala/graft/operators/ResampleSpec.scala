@@ -89,6 +89,24 @@ class ResampleSpec extends SparkSpec {
     vals.foreach(v => assert(approx(v, 5.0, 1e-9), s"got $v"))
   }
 
+  test("ewa multi-channel shares weights; per-channel validity") {
+    val s = spark
+    import s.implicits._
+    val area = AreaDef("e", Crs.fromProj4("+proj=longlat"), 12, 12, 0, 0, 12, 12)
+    val sw = (for { y <- 0 until 24; x <- 0 until 24 } yield
+      (y, x, x * 0.5 + 0.25, 11.75 - y * 0.5, 5.0,
+        if ((y + x) % 2 == 0) 7.0 else Double.NaN)).toDF("y", "x", "lon", "lat", "c1", "c2")
+    val out = EwaResample.resampleMulti(sw, area, rowsPerScan = 8, Seq("c1", "c2"))
+    val rows = out.collect()
+    assert(rows.length > 100)
+    rows.foreach { r =>
+      assert(approx(r.getAs[Double]("c1"), 5.0, 1e-9))
+      val c2 = r.getAs[Double]("c2")
+      assert(c2.isNaN || approx(c2, 7.0, 1e-9)) // NaN only where every contributor was invalid
+    }
+    assert(rows.count(r => !r.getAs[Double]("c2").isNaN) > 50)
+  }
+
   test("ewa maximum_weight_mode keeps a single observed value") {
     val s = spark
     import s.implicits._
