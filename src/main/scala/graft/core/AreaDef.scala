@@ -130,6 +130,46 @@ final case class AreaDef(
     (lonMin, latMin, lonMax, latMax)
   }
 
+  /** Crop this (source) area to the part that can influence `target`, with
+    * `bufferCells` rows/cols of margin — `pyresample/slicer.py:38-248`
+    * (AreaSlicer: target polygon projected into source coordinates, bounds
+    * converted to index slices, buffered by one resolution). Returns the
+    * sliced AreaDef plus the (rowStart, colStart) offsets into this grid;
+    * None when the footprints don't overlap. */
+  def cropAround(target: AreaDef, bufferCells: Int = 1): Option[(AreaDef, Int, Int)] = {
+    var cMin = Double.MaxValue; var cMax = Double.MinValue
+    var rMin = Double.MaxValue; var rMax = Double.MinValue
+    val n = 25
+    var i = 0
+    while (i <= 4 * n) {
+      // walk the target boundary in its own projected space
+      val t = i % n
+      val (tx, ty) = (i / n) match {
+        case 0 => (target.xLL + (target.xUR - target.xLL) * t / n, target.yUR)
+        case 1 => (target.xUR, target.yUR - (target.yUR - target.yLL) * t / n)
+        case 2 => (target.xUR - (target.xUR - target.xLL) * t / n, target.yLL)
+        case _ => (target.xLL, target.yLL + (target.yUR - target.yLL) * t / n)
+      }
+      val (lo, la) = target.crs.inverse(tx, ty)
+      if (!lo.isNaN && !la.isNaN) {
+        val (sx, sy) = crs.forward(lo, la)
+        if (!sx.isNaN && !sy.isNaN) {
+          val c = fracCol(sx); val r = fracRow(sy)
+          if (c < cMin) cMin = c; if (c > cMax) cMax = c
+          if (r < rMin) rMin = r; if (r > rMax) rMax = r
+        }
+      }
+      i += 1
+    }
+    if (cMin > cMax || rMin > rMax) return None
+    val c0 = math.max(0, math.floor(cMin).toInt - bufferCells)
+    val c1 = math.min(width, math.ceil(cMax).toInt + bufferCells)
+    val r0 = math.max(0, math.floor(rMin).toInt - bufferCells)
+    val r1 = math.min(height, math.ceil(rMax).toInt + bufferCells)
+    if (c0 >= c1 || r0 >= r1) None
+    else Some((slice(r0, r1, c0, c1), r0, c0))
+  }
+
   /** Clockwise boundary polygon of the area outline on the sphere, with
     * stride decimation (`boundary/legacy_boundary.py:30-135` + decimate
     * `:105`). Feeds overlap predicates and slicing (J11/U1). */

@@ -72,6 +72,25 @@ class AreaSpec extends AnyFunSuite {
     assertThrows[IllegalArgumentException](AreaDef.concatVertical(bottom, top))
   }
 
+  test("cropAround slices the source to the target footprint (slicer.py:38-248)") {
+    val src = AreaDef("src", Crs.fromProj4("+proj=longlat"), 360, 180, -180, -90, 180, 90)
+    val dst = AreaDef("dst", Crs.fromProj4("+proj=laea +lat_0=50 +lon_0=10 +a=6371000"),
+      100, 100, -500000, -500000, 500000, 500000)
+    val Some((cropped, r0, c0)) = src.cropAround(dst)
+    // the laea window spans roughly lon 3..17, lat 45..55
+    assert(cropped.width < 30 && cropped.height < 20, s"${cropped.width}x${cropped.height}")
+    val (lonMin, latMin, lonMax, latMax) = (cropped.xLL, cropped.yLL, cropped.xUR, cropped.yUR)
+    assert(lonMin < 3 && lonMax > 17 && latMin < 46 && latMax > 54,
+      s"($lonMin,$latMin,$lonMax,$latMax)")
+    assert(c0 == math.round((lonMin + 180) / 1.0))
+    // disjoint target -> None
+    val far = AreaDef("far", Crs.fromProj4("+proj=laea +lat_0=-60 +lon_0=-150 +a=6371000"),
+      10, 10, -100000, -100000, 100000, 100000)
+    val crop2 = src.cropAround(far)
+    assert(crop2.isDefined) // longlat source covers the globe: still a slice
+    assert(crop2.get._1.width <= 6)
+  }
+
   test("lonLatBBox covers the southern cap") {
     val (lonMin, latMin, lonMax, latMax) = easeSh.lonLatBBox()
     assert(latMin < -89 || latMin == -90)
