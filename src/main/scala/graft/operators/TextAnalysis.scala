@@ -23,11 +23,17 @@ object TextAnalysis {
   val EnStopwords: Seq[String] =
     Seq("the", "and", "of", "to", "is", "in", "a", "that", "it", "for")
 
-  /** Whitespace token + char counts and the chars-per-token ratio. */
+  /** BPE-style pre-tokenizer pattern (contractions, letter runs, digit
+    * runs, punctuation runs — the GPT-2 pre-split shape, in portable
+    * regex syntax). */
+  val BpeTokenPattern: String = "'(?:s|t|re|ve|m|ll|d)| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9 ']+"
+
+  /** Whitespace + BPE-ish token counts, char count, chars-per-token. */
   def tokenStats(docs: DataFrame, textCol: String = "text", idCol: String = "doc_id"): DataFrame =
     docs.select(
       col(idCol),
       size(split(col(textCol), " ")).cast("long").as("n_words"),
+      regexp_count(col(textCol), lit(BpeTokenPattern)).cast("long").as("n_bpe_tokens"),
       length(col(textCol)).cast("long").as("n_chars"))
       .withColumn("chars_per_word", col("n_chars").cast("double") / col("n_words"))
 

@@ -558,8 +558,9 @@ object Queries {
 
   val q27_token_stats: Q = Q(
     (s, d) => TextAnalysis.tokenStats(table(s, d, "documents")).orderBy("doc_id"),
-    Some("""SELECT doc_id,
+    Some(s"""SELECT doc_id,
         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words,
+        CAST(len(regexp_extract_all(text, '${TextAnalysis.BpeTokenPattern.replace("'", "''")}')) AS BIGINT) AS n_bpe_tokens,
         CAST(length(text) AS BIGINT) AS n_chars,
         CAST(CAST(length(text) AS BIGINT) AS DOUBLE) / CAST(len(string_split(text, ' ')) AS BIGINT) AS chars_per_word
       FROM documents ORDER BY doc_id"""))
