@@ -43,6 +43,39 @@ class GoldenRasterSpec extends SparkSpec {
     assert(mismatches == 0, s"$mismatches of 640000 pixels differ")
   }
 
+  test("quick resample from the MSG geos disk matches mask_grid.dat on every pixel (test_image.py:102-114)") {
+    val s = spark
+    import s.implicits._
+    // source: full-globe MSG geostationary image 3712x3712, columns >= 1865
+    // masked; target: areaD. Quick resampling = projection linesample (J9):
+    // the source mask is a pure function of the source column index, so no
+    // source table is materialized — the per-pixel check is entirely about
+    // the geos forward projection and index arithmetic.
+    val msg = AreaDef("msg_full",
+      Crs.fromProj4("+proj=geos +lon_0=0 +h=35785831.0 +a=6378169.0 +b=6356584.0"),
+      3712, 3712, -5568742.4, -5568742.4, 5568742.4, 5568742.4)
+    val frac = GradientResample.withFractionalIndices(
+      areaD.grid(spark, withLonLat = true).select(col("cell").as("dst_id"), col("lon"), col("lat")),
+      msg)
+    val gotMask = frac
+      .withColumn("c", floor(col("src_col")).cast("long"))
+      .withColumn("r", floor(col("src_row")).cast("long"))
+      .select(col("dst_id"),
+        when(isnan(col("src_col")) || isnan(col("src_row")) ||
+          col("c") < 0 || col("c") >= 3712 || col("r") < 0 || col("r") >= 3712, 1)
+          .when(col("c") >= 1865, 1)
+          .otherwise(0).as("m"))
+      .collect().map(row => row.getAs[Long]("dst_id") -> row.getAs[Int]("m")).toMap
+    val expected = loadDat("mask_grid.dat")
+    var mismatches = 0
+    var cell = 0
+    while (cell < 640000) {
+      if (gotMask(cell.toLong) != expected(cell).toInt) mismatches += 1
+      cell += 1
+    }
+    assert(mismatches == 0, s"$mismatches of 640000 pixels differ")
+  }
+
   test("masked nearest matches mask_test_nearest_{data,mask}.dat on every pixel (test_kd_tree.py:488-505)") {
     val s = spark
     import s.implicits._
@@ -56,15 +89,20 @@ class GoldenRasterSpec extends SparkSpec {
         (r.getAs[Double]("value"), r.getAs[Double]("m"))).toMap
     val expData = loadDat("mask_test_nearest_data.dat")
     val expMask = loadDat("mask_test_nearest_mask.dat")
+    // fill_value=None variant (test_kd_tree.py:564-581): mask = gathered
+    // mask OR unfilled
+    val expFullFill = loadDat("mask_test_full_fill.dat")
     var mismatches = 0
     var cell = 0
     while (cell < 640000) {
       got.get(cell.toLong) match {
         case Some((v, m)) =>
           if (v != expData(cell) || m != expMask(cell)) mismatches += 1
+          if (expFullFill(cell) != m) mismatches += 1
         case None =>
           // unfilled: reference fills data with 0, mask stays 0
           if (expData(cell) != 0.0 || expMask(cell) != 0.0) mismatches += 1
+          if (expFullFill(cell) != 1.0) mismatches += 1
       }
       cell += 1
     }
