@@ -167,8 +167,11 @@ object GeometryOps {
       resolutionMetres: Double,
       id: String = "omerc_otf"): AreaDef = {
     import org.apache.spark.sql.Row
-    val Row(xMid: Int) = swath.select(((max("x") + min("x")) / 2).cast("int")).head()
-    val centre = swath.filter(col("x") === xMid)
+    val swathD = swath
+      .withColumn("lon", col("lon").cast("double"))
+      .withColumn("lat", col("lat").cast("double"))
+    val Row(xMid: Int) = swathD.select(((max("x") + min("x")) / 2).cast("int")).head()
+    val centre = swathD.filter(col("x") === xMid)
       .select("y", "lon", "lat").orderBy("y").collect()
     require(centre.length >= 2, "swath centreline too short")
     val (lo1, la1) = (centre.head.getDouble(1), centre.head.getDouble(2))
@@ -187,7 +190,7 @@ object GeometryOps {
       "alpha" -> alpha.toString, "a" -> "6370997.0"))
     // freeze the extent from the projected footprint
     val fwd = graft.core.GeomUdfs.forwardUdf(crs)
-    val Row(x0: Double, x1: Double, y0: Double, y1: Double) = swath
+    val Row(x0: Double, x1: Double, y0: Double, y1: Double) = swathD
       .filter(legalLonLat(col("lon"), col("lat")))
       .withColumn("_xy", fwd(col("lon"), col("lat")))
       .agg(min(col("_xy._1")), max(col("_xy._1")), min(col("_xy._2")), max(col("_xy._2")))

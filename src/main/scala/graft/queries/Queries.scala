@@ -882,6 +882,25 @@ object Queries {
     },
     None)
 
+  /** compute_optimal_bb_area in the data plane: fit an oblique-Mercator
+    * frame to a structured swath, then bucket-count onto the fitted grid
+    * (omerc forward projection per row). */
+  val q47_optimal_bb: Q = Q(
+    (s, d) => {
+      val sw = table(s, d, "lineitem").selectExpr(
+        "CAST(l_orderkey % 200 AS INT) AS y",
+        "CAST(l_partkey % 50 AS INT) AS x",
+        "l_quantity AS value")
+        .groupBy("y", "x").agg(min("value").as("value"))
+        .selectExpr("y", "x",
+          "x * 0.3 - 5.0 + y * 0.12 AS lon",
+          "30.0 + y * 0.15 + x * 0.02 AS lat",
+          "value")
+      val area = GeometryOps.computeOptimalBbArea(sw, resolutionMetres = 50000, id = "omerc_q47")
+      BucketResampler(area).count(sw).orderBy("cell")
+    },
+    None)
+
   /** Bilinear swath resample onto the stere area (J5, geocentric k-NN). */
   val q45_bilinear_stere: Q = Q(
     (s, d) => {
@@ -963,5 +982,6 @@ object Queries {
     "q43_simhash_neardup" -> q43_simhash_neardup,
     "q44_lsh_topk" -> q44_lsh_topk,
     "q45_bilinear_stere" -> q45_bilinear_stere,
-    "q46_ewa_stere" -> q46_ewa_stere)
+    "q46_ewa_stere" -> q46_ewa_stere,
+    "q47_optimal_bb" -> q47_optimal_bb)
 }
