@@ -931,7 +931,9 @@ object Queries {
           "x * 0.45 - 15.0 + y * 0.01 AS lon",
           "62.0 - y * 0.11 + x * 0.004 AS lat",
           "value")
-      EwaResample.resample(sw, area, rowsPerScan = 50).orderBy("cell")
+      // quantized weights -> run-to-run deterministic values regardless of
+      // partitioning (float-sum order would otherwise wobble at 1e-13)
+      EwaResample.resample(sw, area, rowsPerScan = 50, quantizeWeights = Some(7)).orderBy("cell")
     },
     None)
 
