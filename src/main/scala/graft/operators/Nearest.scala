@@ -188,6 +188,26 @@ object KnnResample {
     joined.groupBy("dst_id").agg(aggs.head, aggs.tail: _*)
   }
 
+  /** Per-channel weight functions (`kd_tree.py:192-253`: resample_custom
+    * accepts one weight function per channel): channels share the
+    * neighbour set; each gets its own weighting, all in one aggregation. */
+  def weightedMultiPerChannel(
+      source: DataFrame,
+      target: DataFrame,
+      radius: Double,
+      k: Int,
+      channels: Seq[(String, Column => Column)],
+      planar: Boolean = false): DataFrame = {
+    val idx = neighbours(source, target, radius, k, planar)
+    val joined = idx.join(
+      source.select(("src_id" +: channels.map(_._1)).map(col): _*), "src_id")
+    val aggs = channels.map { case (c, wf) =>
+      val w = wf(col("dist2"))
+      (sum(w * col(c)) / sum(w)).as(c)
+    }
+    joined.groupBy("dst_id").agg(aggs.head, aggs.tail: _*)
+  }
+
   /** Gaussian weighting (`kd_tree.py:113-189`): sigma from sigmas param. */
   def gauss(
       source: DataFrame,

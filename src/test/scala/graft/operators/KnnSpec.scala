@@ -89,6 +89,23 @@ class KnnSpec extends SparkSpec {
     assert(approx(r(0).getAs[Double]("ch2"), 22.020729, 1e-4))
   }
 
+  test("per-channel weight functions hit both goldens at once (kd_tree.py:192-253)") {
+    val s = spark
+    import s.implicits._
+    val multi = Seq(
+      (1L, 11.280789, 56.011037, 1.0, 1.0),
+      (2L, 12.649354, 55.629675, 2.0, 2.0),
+      (3L, 12.080402, 55.641535, 3.0, 3.0))
+      .toDF("src_id", "lon", "lat", "cg", "cc")
+    val r = KnnResample.weightedMultiPerChannel(multi, target, 50000.0, 8, Seq(
+      "cg" -> (d2 => exp(-d2 / lit(25000.0 * 25000.0))), // gauss sigma 25000
+      "cc" -> (d2 => lit(1.0) - sqrt(d2) / lit(100000.0)))) // custom 1 - d/1e5
+      .collect()
+    assert(r.length == 1)
+    assert(approx(r(0).getAs[Double]("cg"), 2.2020729, 1e-5))
+    assert(approx(r(0).getAs[Double]("cc"), 2.4356757, 1e-5))
+  }
+
   test("radius cut: no neighbours -> empty result, no fabricated rows") {
     val r = KnnResample.nearest(source, target, 1000.0, Seq("value"))
     assert(r.count() == 0)
