@@ -53,7 +53,9 @@ object Multimodal {
 
   /** Frame sampling plumbing: explode a (video) payload into every k-th
     * "frame" (stub: fixed-size byte windows). Real decoder would emit
-    * decoded frames; the explode + downstream schema is the contract. */
+    * decoded frames; the explode + downstream schema is the contract.
+    * `frame_idx` is the frame's index within its own payload (posexplode
+    * position x everyK) — deterministic under any partitioning. */
   def sampleFrames(df: DataFrame, everyK: Int, frameBytes: Int = 256,
       binCol: String = "payload"): DataFrame = {
     val split = udf { (payload: Array[Byte]) =>
@@ -61,7 +63,9 @@ object Multimodal {
       else payload.grouped(frameBytes).zipWithIndex
         .filter(_._2 % everyK == 0).map(_._1).toArray
     }
-    df.withColumn("frame", explode(split(col(binCol))))
-      .withColumn("frame_idx", monotonically_increasing_id())
+    df.withColumn("_frames", split(col(binCol)))
+      .select(col("*"), posexplode(col("_frames")).as(Seq("_pos", "frame")))
+      .withColumn("frame_idx", (col("_pos").cast("long") * everyK))
+      .drop("_frames", "_pos")
   }
 }

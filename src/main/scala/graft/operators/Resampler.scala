@@ -49,7 +49,17 @@ final class NearestResampler(
       .select("dst_id", valueCol)
 
   private def readIfExists(spark: SparkSession, p: String): Option[DataFrame] =
-    if (new java.io.File(p).exists) Some(spark.read.parquet(p)) else None
+    if (Resampler.pathExists(spark, p)) Some(spark.read.parquet(p)) else None
+}
+
+object Resampler {
+  /** Existence probe through the Hadoop FileSystem API — works for any
+    * supported scheme (file:/, hdfs:/, s3a:/ ...), unlike java.io.File
+    * which silently misses on distributed stores. */
+  private[operators] def pathExists(spark: SparkSession, p: String): Boolean = {
+    val hp = new org.apache.hadoop.fs.Path(p)
+    hp.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(hp)
+  }
 }
 
 /** Bilinear resampler: index = the (dst_id, s1..s4, t, s) LUT. */
@@ -64,7 +74,7 @@ final class BilinearResampler(
   def precompute(): DataFrame = index.getOrElse {
     val spark = source.sparkSession
     val path = cacheDir.map(d => s"$d/bilinear_${area.semanticHash}")
-    val idx = path.filter(p => new java.io.File(p).exists).map(spark.read.parquet(_)).getOrElse {
+    val idx = path.filter(p => Resampler.pathExists(spark, p)).map(spark.read.parquet(_)).getOrElse {
       val target = area.grid(spark, withLonLat = true)
         .select(col("cell").as("dst_id"), col("lon"), col("lat"),
           col("proj_x").as("out_x"), col("proj_y").as("out_y"))

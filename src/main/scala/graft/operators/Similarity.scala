@@ -87,14 +87,13 @@ object Similarity {
       idQ: String = "qid",
       idC: String = "cid",
       vecCol: String = "embedding"): DataFrame = {
-    // deterministic "training": every (n/nCentroids)-th candidate is a centroid
-    val wn = Window.orderBy(col(idC))
-    val numbered = candidates.select(col(idC), col(vecCol))
-      .withColumn("_rn", row_number().over(wn))
-    val total = numbered.count()
-    val stride = math.max(1L, total / nCentroids)
-    val centroids = numbered.filter((col("_rn") % stride) === 1).limit(nCentroids)
-      .select(col(idC).as("centroid_id"), col(vecCol).as("_ctr"))
+    // deterministic "training": the nCentroids candidates with the smallest
+    // id-hash — a uniform pseudo-random subset. orderBy+limit compiles to
+    // TakeOrderedAndProject (per-partition top-k + driver merge): no global
+    // sort exchange, no extra count() action, scales to any candidate count.
+    val centroids = candidates.select(col(idC).as("centroid_id"), col(vecCol).as("_ctr"))
+      .orderBy(xxhash64(col("centroid_id")), col("centroid_id"))
+      .limit(nCentroids)
 
     def assign(df: DataFrame, id: String, v: String, keep: Int): DataFrame = {
       val w = Window.partitionBy(id).orderBy(col("_csim").desc, col("centroid_id").asc)
@@ -142,9 +141,14 @@ object Similarity {
     }
     val q = banded(queries, idQ, "_qv")
     val c = banded(candidates, idC, "_cv")
-    val cand = q.join(c, Seq("band_idx", "band"))
-      .select(col(idQ), col(idC), col("_qv"), col("_cv"))
+    // dedup on the id pair only (slim shuffle rows), then join the vectors
+    // back for the rerank — the distinct's exchange never carries embeddings
+    val cand = q.select(col(idQ), col("band_idx"), col("band"))
+      .join(c.select(col(idC), col("band_idx"), col("band")), Seq("band_idx", "band"))
+      .select(col(idQ), col(idC))
       .distinct()
+      .join(queries.select(col(idQ), col(vecCol).as("_qv")), idQ)
+      .join(candidates.select(col(idC), col(vecCol).as("_cv")), idC)
       .withColumn("sim_r", round(cosineSimilarity(col("_qv"), col("_cv")), 6))
     val w = Window.partitionBy(idQ).orderBy(col("sim_r").desc, col(idC).asc)
     cand

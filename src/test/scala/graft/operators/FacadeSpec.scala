@@ -110,6 +110,12 @@ class FacadeSpec extends SparkSpec {
 
     val frames = Multimodal.sampleFrames(df.filter(col("id") === 3L), everyK = 1, frameBytes = 4)
     assert(frames.count() == 3) // 11 bytes -> 3 windows of 4
+    // frame_idx is the position within the payload — stable under partitioning
+    val idx1 = frames.select("frame_idx").collect().map(_.getLong(0)).sorted
+    assert(idx1.sameElements(Array(0L, 1L, 2L)))
+    val idxRep = Multimodal.sampleFrames(df.repartition(7), everyK = 2, frameBytes = 2)
+      .filter(col("id") === 3L).select("frame_idx").collect().map(_.getLong(0)).sorted
+    assert(idxRep.sameElements(Array(0L, 2L, 4L))) // 11 bytes -> 6 windows, every 2nd
   }
 
   test("streaming bucket stats over a rate-less memory stream (SURVEY §2.10)") {

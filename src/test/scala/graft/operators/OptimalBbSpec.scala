@@ -43,5 +43,11 @@ class OptimalBbSpec extends SparkSpec {
     assert(first(900L) == 123L && first(901L) == 7L)
     val approxTop = Similarity.ivfTopK(qs, candsDf, k = 5, nCentroids = 8, nProbe = 2)
     assert(approxTop.filter(col("rank") === 1).count() == 2) // returns something per query
+
+    // scale guard: the centroid pick must not force a single-partition global
+    // sort (row_number over an unpartitioned window) — orderBy+limit compiles
+    // to TakeOrderedAndProject and the only windows left are per-query ranks
+    val plan = top.queryExecution.executedPlan.toString
+    assert(!plan.contains("SinglePartition"), s"global exchange in ivfTopK plan:\n$plan")
   }
 }
