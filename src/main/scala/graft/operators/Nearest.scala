@@ -26,10 +26,25 @@ object KnnResample {
   /** Coordinate space for the distance metric: geocentric XYZ chord metres
     * (the reference's kd-tree space, `kd_tree.py:975`) or planar — raw
     * (lon, lat, 0) degrees, pure arithmetic (useful where the exact-join
-    * result must be replayable by a SQL oracle without trig). */
-  def coordsOf(planar: Boolean): (Column, Column) => (Column, Column, Column) =
-    if (planar) (lon, lat) => (lon, lat, lit(0.0))
-    else (lon, lat) => (lonlat2x(lon, lat), lonlat2y(lon, lat), lonlat2z(lat))
+    * result must be replayable by a SQL oracle without trig).
+    * `quantize` rounds the XYZ coordinates to that many decimals of a
+    * metre: every downstream distance becomes pure IEEE arithmetic on
+    * engine-identical inputs, so a SQL oracle replays ranks and radius
+    * membership bit-exactly even though the trig itself may differ by an
+    * ulp between libms. Metre-level rounding is far below any sensible
+    * radius_of_influence, so results are unchanged in practice. */
+  def coordsOf(planar: Boolean, quantize: Option[Int] = None): (Column, Column) => (Column, Column, Column) = {
+    val base: (Column, Column) => (Column, Column, Column) =
+      if (planar) (lon, lat) => (lon, lat, lit(0.0))
+      else (lon, lat) => (lonlat2x(lon, lat), lonlat2y(lon, lat), lonlat2z(lat))
+    quantize match {
+      case None => base
+      case Some(n) => (lon, lat) => {
+        val (x, y, z) = base(lon, lat)
+        (round(x, n), round(y, n), round(z, n))
+      }
+    }
+  }
 
   /** J1 (`kd_tree.py:281-386`): neighbour table
     * (dst_id, src_id, dist2) with dist2 = squared distance in the chosen
@@ -40,9 +55,10 @@ object KnnResample {
       target: DataFrame, // (dst_id, lon, lat, ...)
       radius: Double,
       k: Int,
-      planar: Boolean = false): DataFrame = {
+      planar: Boolean = false,
+      quantize: Option[Int] = None): DataFrame = {
 
-    val coords = coordsOf(planar)
+    val coords = coordsOf(planar, quantize)
     val (sxE, syE, szE) = coords(col("lon"), col("lat"))
     val src = source
       .filter(legalLonLat(col("lon"), col("lat")))
@@ -117,8 +133,9 @@ object KnnResample {
       target: DataFrame,
       radius: Double,
       valueCols: Seq[String],
-      planar: Boolean = false): DataFrame = {
-    val idx = neighbours(source, target, radius, k = 1, planar)
+      planar: Boolean = false,
+      quantize: Option[Int] = None): DataFrame = {
+    val idx = neighbours(source, target, radius, k = 1, planar, quantize)
     idx
       .join(source.select(("src_id" +: valueCols).map(col): _*), "src_id")
       .select(("dst_id" +: valueCols).map(col): _*)

@@ -30,27 +30,36 @@ object DataReduce {
     latOk && lonOk
   }
 
-  /** Reduce a swath to points that can influence the target area, with
-    * `radius` metres of buffer converted to degrees at the worst-case
-    * latitude (mirrors the buffering in `data_reduce.py:264-275`). */
-  def reduceToArea(swath: DataFrame, area: AreaDef, radiusMetres: Double,
-      lonCol: String = "lon", latCol: String = "lat"): DataFrame = {
+  /** Driver-side bounds of [[reduceToArea]]'s predicate, exposed so an
+    * external SQL oracle can bake the *identical* constants.
+    * Left((latLo, latHi)) = pole/wide case, a latitude band only;
+    * Right((lonW, latLo, lonE, latHi)) = the buffered bbox. */
+  def reducedBounds(area: AreaDef, radiusMetres: Double)
+      : Either[(Double, Double), (Double, Double, Double, Double)] = {
     val (lonMin, latMin, lonMax, latMax) = area.lonLatBBox()
     val latBuf = radiusMetres / 111320.0
     val maxAbsLat = math.min(89.0, math.max(math.abs(latMin), math.abs(latMax)) + latBuf)
     val lonBuf = latBuf / math.cos(maxAbsLat * math.Pi / 180)
     // pole-covering targets degrade to a latitude band (pole case of
     // `data_reduce.py:289-295`)
-    if (latMax + latBuf >= 89.5 || latMin - latBuf <= -89.5 || (lonMax - lonMin) > 330) {
-      swath.filter(col(latCol).between(
-        math.max(-90, latMin - latBuf), math.min(90, latMax + latBuf)))
-    } else {
-      val w = Projection2.wrap(lonMin - lonBuf)
-      val e = Projection2.wrap(lonMax + lonBuf)
-      swath.filter(bboxPredicate(col(lonCol), col(latCol),
-        w, math.max(-90, latMin - latBuf), e, math.min(90, latMax + latBuf)))
-    }
+    if (latMax + latBuf >= 89.5 || latMin - latBuf <= -89.5 || (lonMax - lonMin) > 330)
+      Left((math.max(-90, latMin - latBuf), math.min(90, latMax + latBuf)))
+    else
+      Right((Projection2.wrap(lonMin - lonBuf), math.max(-90, latMin - latBuf),
+        Projection2.wrap(lonMax + lonBuf), math.min(90, latMax + latBuf)))
   }
+
+  /** Reduce a swath to points that can influence the target area, with
+    * `radius` metres of buffer converted to degrees at the worst-case
+    * latitude (mirrors the buffering in `data_reduce.py:264-275`). */
+  def reduceToArea(swath: DataFrame, area: AreaDef, radiusMetres: Double,
+      lonCol: String = "lon", latCol: String = "lat"): DataFrame =
+    reducedBounds(area, radiusMetres) match {
+      case Left((latLo, latHi)) =>
+        swath.filter(col(latCol).between(latLo, latHi))
+      case Right((w, latLo, e, latHi)) =>
+        swath.filter(bboxPredicate(col(lonCol), col(latCol), w, latLo, e, latHi))
+    }
 
   private object Projection2 {
     def wrap(lon: Double): Double = lon - 360.0 * math.floor((lon + 180.0) / 360.0)

@@ -841,33 +841,86 @@ object Queries {
       Crs.fromProj4("+proj=stere +a=6378144 +b=6356759 +lat_0=50 +lat_ts=50 +lon_0=8"),
       w, h, -1370912.72, -909968.64, 1029087.28, 1490031.36)
 
+  /** Shared oracle CTEs for the stere k-NN family: target grid -> unrolled
+    * inverse projection -> metre-quantized geocentric XYZ; reduced source ->
+    * quantized XYZ; brute-force radius join + (dist2, src_id) rank — exactly
+    * the cell-join's candidate set (SURVEY §7.4 equivalence proof). */
+  private def stereKnnSql(area: AreaDef, radius: Double): String = {
+    val st = OracleSql.StereSql(area)
+    val (gx, gy, gz) = OracleSql.xyzSql("lon", "lat", 0)
+    val legal = "lon >= -180.0 AND lon <= 180.0 AND lat >= -90.0 AND lat <= 90.0"
+    s"""${OracleSql.gridCte("tg", area)},
+    ${st.invCtes("tll", "tg", Seq("cell AS dst_id"), "px", "py")},
+    txyz AS (SELECT dst_id, $gx AS tx, $gy AS ty, $gz AS tz FROM tll WHERE $legal),
+    $ksrcSql,
+    red AS (SELECT * FROM ksrc
+            WHERE ${OracleSql.reducePredSql(area, radius)} AND $legal),
+    sxyz AS (SELECT src_id, value, $gx AS sx, $gy AS sy, $gz AS sz FROM red),
+    cand AS (SELECT t.dst_id, s.src_id, s.value,
+               (t.tx - s.sx) * (t.tx - s.sx) + (t.ty - s.sy) * (t.ty - s.sy) + (t.tz - s.sz) * (t.tz - s.sz) AS dist2
+             FROM txyz t CROSS JOIN sxyz s
+             WHERE (t.tx - s.sx) * (t.tx - s.sx) + (t.ty - s.sy) * (t.ty - s.sy) + (t.tz - s.sz) * (t.tz - s.sz)
+                   <= ${OracleSql.slit(radius * radius)}),
+    ranked AS (SELECT dst_id, src_id, dist2, value,
+                 ROW_NUMBER() OVER (PARTITION BY dst_id ORDER BY dist2 ASC, src_id ASC) AS rank FROM cand)"""
+  }
+
   val q40_nearest_stere: Q = Q(
     (s, d) => {
       val area = stereArea()
       val src = DataReduce.reduceToArea(
         srcForKnn(s, d), area, 50000.0)
       val target = area.grid(s, withLonLat = true).select(col("cell").as("dst_id"), col("lon"), col("lat"))
-      KnnResample.nearest(src, target, 50000.0, Seq("value")).orderBy("dst_id")
+      KnnResample.nearest(src, target, 50000.0, Seq("value"), quantize = Some(0)).orderBy("dst_id")
     },
-    None)
+    Some(s"""WITH ${stereKnnSql(stereArea(), 50000.0)}
+      SELECT dst_id, value FROM ranked WHERE rank = 1 ORDER BY dst_id"""))
 
+  /** Bucket average onto the real ellipsoidal-stere grid. Oracle: the full
+    * forward projection is replayed in DuckDB (OracleSql.StereSql); no
+    * quantization needed — cell binning is floor() with 12 km cells, so
+    * libm 1-ulp differences (~1e-9 m) cannot flip any cell assignment. */
   val q41_bucket_stere: Q = Q(
     (s, d) => {
       val area = stereArea()
       BucketResampler(area).average(
         DataReduce.reduceToArea(swath(s, d), area, 0.0), "value").orderBy("cell")
     },
-    None)
+    Some {
+      val area = stereArea()
+      val st = OracleSql.StereSql(area)
+      s"""WITH $swathSql,
+      leg AS (SELECT lon, lat, value FROM swath
+              WHERE ${OracleSql.reducePredSql(area, 0.0)}
+                AND lon >= -180.0 AND lon <= 180.0 AND lat >= -90.0 AND lat <= 90.0),
+      ${st.fwdCtes("prj", "leg", Seq("value"))},
+      cc AS (SELECT value, ${OracleSql.fracColSql(area, "proj_x")} AS c,
+                    ${OracleSql.fracRowSql(area, "proj_y")} AS r FROM prj),
+      cells AS (SELECT r * ${area.width} + c AS cell, value FROM cc
+                WHERE c >= 0 AND c < ${area.width} AND r >= 0 AND r < ${area.height})
+      SELECT cell, SUM(value) / COUNT(value) AS avg FROM cells GROUP BY cell ORDER BY cell"""
+    })
 
+  /** Gauss-weighted k=8 merge on the stere grid — same weighting as
+    * `KnnResample.gauss` (sigma 25 km) but with the q16 exactness
+    * discipline: weights rounded to 7 decimals, fixed-order pivot sums. */
   val q42_gauss_stere: Q = Q(
     (s, d) => {
       val area = stereArea()
       val src = DataReduce.reduceToArea(
         srcForKnn(s, d), area, 50000.0)
       val target = area.grid(s, withLonLat = true).select(col("cell").as("dst_id"), col("lon"), col("lat"))
-      KnnResample.gauss(src, target, 50000.0, 25000.0, "value").orderBy("dst_id")
+      val nbrs = KnnResample.neighbours(src, target, 50000.0, 8, quantize = Some(0))
+        .join(src.select("src_id", "value"), "src_id")
+        .withColumn("w", round(exp(-col("dist2") / lit(25000.0 * 25000.0)), 7))
+      pivotAgg(nbrs, 8, extra = false)
+        .select(col("dst_id"), (fixedSum("wv", 8) / fixedSum("w", 8)).as("gauss_v"))
+        .orderBy("dst_id")
     },
-    None)
+    Some(s"""WITH ${stereKnnSql(stereArea(), 50000.0)},
+      ${pivotSql(8, s"ROUND(EXP(-dist2 / ${OracleSql.slit(25000.0 * 25000.0)}), 7)", extra = false)}
+      SELECT dst_id, (${fixedSumSql("wv", 8)}) / (${fixedSumSql("w", 8)}) AS gauss_v
+      FROM piv ORDER BY dst_id"""))
 
   val q43_simhash_neardup: Q = Q(
     (s, d) => Dedup.simhashNearDup(table(s, d, "documents")).orderBy("d1", "d2"),
