@@ -181,22 +181,36 @@ object BilinearResample {
     * (t, s) solve and the interpolation happen in the same pass — no LUT
     * materialization and no 4-way value gather joins (use
     * [[lut]] + [[compute]] when the index is to be reused across datasets). */
+  /** `quantizeXyz` / `quantizeProj` round the geocentric candidate-join
+    * coordinates and the source's target-projection coordinates: with both
+    * set, the corner pick, the (t, s) solve and the blend are pure IEEE
+    * arithmetic on engine-identical inputs — a SQL oracle replays the whole
+    * operator bit-exactly (cm-level rounding; semantically invisible). */
   def resample(
       source: DataFrame, // (src_id, lon, lat, value)
       area: AreaDef,
       radius: Double,
       k: Int = 32,
-      valueCol: String = "value"): DataFrame = {
+      valueCol: String = "value",
+      quantizeXyz: Option[Int] = None,
+      quantizeProj: Option[Int] = None): DataFrame = {
     val spark = source.sparkSession
     val target = area.grid(spark, withLonLat = true)
       .select(col("cell").as("dst_id"), col("lon"), col("lat"),
         col("proj_x").as("out_x"), col("proj_y").as("out_y"))
 
-    val srcProj = withProjected(source, area.crs)
+    val srcProj0 = withProjected(source, area.crs)
+    val srcProjQ = quantizeProj match {
+      case Some(n) => srcProj0
+        .withColumn("proj_x", round(col("proj_x"), n))
+        .withColumn("proj_y", round(col("proj_y"), n))
+      case None => srcProj0
+    }
+    val srcProj = srcProjQ
       .select(col("src_id"), col("lon"), col("lat"), col(valueCol).as("_v"),
         col("proj_x").as("in_x"), col("proj_y").as("in_y"))
 
-    val nbrs = KnnResample.neighbours(srcProj, target, radius, k)
+    val nbrs = KnnResample.neighbours(srcProj, target, radius, k, quantize = quantizeXyz)
       .join(srcProj.select("src_id", "in_x", "in_y", "_v"), "src_id")
 
     val gathered = nbrs

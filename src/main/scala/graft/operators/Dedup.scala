@@ -136,24 +136,30 @@ object Dedup {
   def dropNearDuplicates(docs: DataFrame, pairs: DataFrame, idCol: String = "doc_id"): DataFrame =
     docs.join(pairs.select(col("d2").as(idCol)).distinct(), Seq(idCol), "left_anti")
 
-  /** 64-bit SimHash per document: xxhash64 per distinct word, per-bit
-    * majority vote folded back into one long. 64 map-side partial sums →
-    * single hash aggregation; no explode-by-64. */
+  /** SimHash bit width: 60 bits = 15 hex chars of md5 — fits a positive
+    * signed 64-bit integer in ANY engine (no unsigned-shift tricks), so a
+    * SQL oracle can replay the hash via a plain hex cast. */
+  val SimhashBits: Int = 60
+
+  /** 60-bit SimHash per document: per distinct word, a hash from the first
+    * 15 hex chars of its md5 (portable: any engine reproduces md5 of UTF-8
+    * text); per-bit majority vote folded back into one long. 60 map-side
+    * partial sums → single hash aggregation; no explode-by-60. */
   def simhash(docs: DataFrame, textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
-    val w = words(docs, textCol, idCol).withColumn("h", xxhash64(col("word")))
-    val bitSums = (0 until 64).map { i =>
+    val w = words(docs, textCol, idCol)
+      .withColumn("h", conv(substring(md5(col("word")), 1, 15), 16, 10).cast("long"))
+    val bitSums = (0 until SimhashBits).map { i =>
       sum(shiftright(col("h"), i).bitwiseAND(1) * 2 - 1).as(s"b$i")
     }
     val voted = w.groupBy(col(idCol)).agg(bitSums.head, bitSums.tail: _*)
-    // 2^63 overflows a positive long; bit 63 contributes Long.MinValue
-    val simSafe = (0 until 63)
+    val sim = (0 until SimhashBits)
       .map(i => when(col(s"b$i") > 0, lit(1L << i)).otherwise(0L))
-      .reduce(_ + _) + when(col("b63") > 0, lit(Long.MinValue)).otherwise(0L)
-    voted.select(col(idCol), simSafe.as("simhash"))
+      .reduce(_ + _)
+    voted.select(col(idCol), sim.as("simhash"))
   }
 
   /** SimHash near-dup pairs within `maxHamming` bits, found by banding the
-    * 64-bit hash into 4 x 16-bit chunks (pigeonhole: any pair within
+    * 60-bit hash into 4 x 15-bit chunks (pigeonhole: any pair within
     * hamming<=3 shares at least one exact chunk), then verifying hamming
     * distance exactly via bit_count. */
   def simhashNearDup(
@@ -165,7 +171,7 @@ object Dedup {
     val s = simhash(docs, textCol, idCol)
     val chunkStructs = (0 until 4).map { c =>
       struct(lit(c).as("chunk_idx"),
-        shiftrightunsigned(col("simhash"), c * 16).bitwiseAND(0xffffL).as("chunk"))
+        shiftrightunsigned(col("simhash"), c * 15).bitwiseAND(0x7fffL).as("chunk"))
     }
     val chunks = s
       .select(col(idCol), col("simhash"), explode(array(chunkStructs: _*)).as("_c"))

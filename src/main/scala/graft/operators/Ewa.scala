@@ -35,11 +35,22 @@ object EwaResample {
     * (`ewa/_ll2cr.pyx:208-272`): u = fractional col, v = fractional row.
     * Off-area or off-earth pixels (NaN projections) keep NaN u/v. */
   def ll2cr(swath: DataFrame, area: AreaDef,
-      lonCol: String = "lon", latCol: String = "lat"): DataFrame = {
+      lonCol: String = "lon", latCol: String = "lat",
+      quantize: Option[Int] = None): DataFrame = {
     val projected = withProjected(swath, area.crs, lonCol, latCol)
+    val u0 = fracCol(area, col("proj_x"))
+    val v0 = fracRow(area, col("proj_y"))
+    // quantized mode: round the fractional grid coordinates so that libm
+    // 1-ulp projection differences cannot reach any downstream comparison —
+    // everything after this point is pure IEEE arithmetic a SQL oracle
+    // replays exactly. 1e-6 of a cell is metres-level; harmless.
+    val (u, v) = quantize match {
+      case Some(n) => (round(u0, n), round(v0, n))
+      case None    => (u0, v0)
+    }
     projected
-      .withColumn("u", fracCol(area, col("proj_x")))
-      .withColumn("v", fracRow(area, col("proj_y")))
+      .withColumn("u", u)
+      .withColumn("v", v)
       .drop("proj_x", "proj_y")
   }
 
@@ -53,12 +64,13 @@ object EwaResample {
       weightMin: Double,
       weightDistanceMax: Double,
       weightDeltaMax: Double,
-      validity: Column): DataFrame = {
+      validity: Column,
+      quantizeCr: Option[Int]): DataFrame = {
 
     val qmax = weightDistanceMax * weightDistanceMax
     val alpha = -math.log(weightMin) / qmax
 
-    val cr = ll2cr(swath, area)
+    val cr = ll2cr(swath, area, quantize = quantizeCr)
     val rps = if (rowsPerScan <= 0) Int.MaxValue else rowsPerScan
     val withScan = cr
       .withColumn("scan", if (rowsPerScan <= 0) lit(0L) else floor(col("y") / lit(rps)).cast("long"))
@@ -152,12 +164,13 @@ object EwaResample {
       weightDeltaMax: Double = 10.0,
       weightSumMin: Double = -1.0,
       maximumWeightMode: Boolean = false,
-      quantizeWeights: Option[Int] = None): DataFrame = {
+      quantizeWeights: Option[Int] = None,
+      quantizeCr: Option[Int] = None): DataFrame = {
 
     val wsMin = if (weightSumMin == -1.0) weightMin else weightSumMin
     val scattered = scatter(swath, area, rowsPerScan, Seq(valueCol),
       weightMin, weightDistanceMax, weightDeltaMax,
-      col(valueCol).isNotNull && !isnan(col(valueCol)))
+      col(valueCol).isNotNull && !isnan(col(valueCol)), quantizeCr)
 
     if (maximumWeightMode) {
       scattered
@@ -205,7 +218,7 @@ object EwaResample {
     require(valueCols.nonEmpty)
     val wsMin = if (weightSumMin == -1.0) weightMin else weightSumMin
     val scattered = scatter(swath, area, rowsPerScan, valueCols,
-      weightMin, weightDistanceMax, weightDeltaMax, lit(true))
+      weightMin, weightDistanceMax, weightDeltaMax, lit(true), None)
     val aggs = valueCols.map { c =>
       (sum(when(col(c).isNotNull && !isnan(col(c)), col("w") * col(c))) /
         sum(when(col(c).isNotNull && !isnan(col(c)), col("w")))).as(c)

@@ -198,12 +198,11 @@ object GeometryOps {
     val crs = graft.core.Crs.fromParams(Map(
       "proj" -> "omerc", "lonc" -> lonc.toString, "lat_0" -> lat0.toString,
       "alpha" -> alpha.toString, "a" -> "6370997.0"))
-    // freeze the extent from the projected footprint
-    val fwd = graft.core.GeomUdfs.forwardUdf(crs)
-    val Row(x0: Double, x1: Double, y0: Double, y1: Double) = swathD
-      .filter(legalLonLat(col("lon"), col("lat")))
-      .withColumn("_xy", fwd(col("lon"), col("lat")))
-      .agg(min(col("_xy._1")), max(col("_xy._1")), min(col("_xy._2")), max(col("_xy._2")))
+    // freeze the extent from the projected footprint (native codegen
+    // ProjectExpr — not a ScalaUDF: no boxing on the full-swath scan)
+    val Row(x0: Double, x1: Double, y0: Double, y1: Double) = withProjected(
+      swathD.filter(legalLonLat(col("lon"), col("lat"))), crs)
+      .agg(min(col("proj_x")), max(col("proj_x")), min(col("proj_y")), max(col("proj_y")))
       .head()
     val w = math.max(1, math.ceil((x1 - x0) / resolutionMetres).toInt)
     val h = math.max(1, math.ceil((y1 - y0) / resolutionMetres).toInt)

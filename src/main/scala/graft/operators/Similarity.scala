@@ -46,7 +46,7 @@ object Similarity {
 
   /** Deterministic pseudo-random unit-ish hyperplanes (xorshift-based,
     * seeded) — avoids any RNG library dependency in the plan. */
-  private def hyperplanes(nBits: Int, dim: Int, seed: Long): Array[Array[Double]] = {
+  private[graft] def hyperplanes(nBits: Int, dim: Int, seed: Long): Array[Array[Double]] = {
     var s = seed
     def next(): Double = {
       s ^= s << 13; s ^= s >>> 7; s ^= s << 17

@@ -35,6 +35,10 @@ object OracleSql {
     s"($s)"
   }
 
+  /** `Projection.wrapLonDeg` twin: normalize to [-180, 180). */
+  def wrapSql(v: String): String =
+    s"(($v) - 360.0 * FLOOR((($v) + 180.0) / 360.0))"
+
   /** Geocentric XYZ expressions (mirrors `GeoFunctions.lonlat2x/y/z`),
     * rounded to `decimals` so libm ulps cannot flip any comparison. */
   def xyzSql(lon: String, lat: String, decimals: Int): (String, String, String) = (
@@ -111,9 +115,7 @@ object OracleSql {
     private val D2RL = slit(D2R); private val R2DL = slit(R2D)
     private val LON0 = slit(lon0)
 
-    /** wrapLonDeg twin (`Projection.wrapLonDeg`). */
-    private def wrap(v: String): String =
-      s"(($v) - 360.0 * FLOOR((($v) + 180.0) / 360.0))"
+    private def wrap(v: String): String = wrapSql(v)
 
     /** CTE chain `{pfx}a`..`{pfx}` adding forward-projected coordinates.
       * Final CTE selects `keep` columns plus `$outX`, `$outY` (optionally

@@ -845,23 +845,35 @@ object Queries {
     * inverse projection -> metre-quantized geocentric XYZ; reduced source ->
     * quantized XYZ; brute-force radius join + (dist2, src_id) rank — exactly
     * the cell-join's candidate set (SURVEY §7.4 equivalence proof). */
-  private def stereKnnSql(area: AreaDef, radius: Double): String = {
+  private def stereKnnSql(area: AreaDef, radius: Double,
+      srcProjQuantize: Option[Int] = None): String = {
     val st = OracleSql.StereSql(area)
     val (gx, gy, gz) = OracleSql.xyzSql("lon", "lat", 0)
     val legal = "lon >= -180.0 AND lon <= 180.0 AND lat >= -90.0 AND lat <= 90.0"
+    // optionally carry the source's target-projection coordinates (rounded)
+    // through the candidate join — the bilinear corner solve needs them
+    val (srcPrj, srcFrom, carry) = srcProjQuantize match {
+      case Some(n) =>
+        (st.fwdCtes("sprj", "red", Seq("src_id", "value", "lon", "lat"),
+          outX = "in_x", outY = "in_y", quantize = Some(n)) + ",",
+          "sprj", ", s.in_x, s.in_y")
+      case None => ("", "red", "")
+    }
+    val carryR = if (carry.isEmpty) "" else ", in_x, in_y"
     s"""${OracleSql.gridCte("tg", area)},
     ${st.invCtes("tll", "tg", Seq("cell AS dst_id"), "px", "py")},
     txyz AS (SELECT dst_id, $gx AS tx, $gy AS ty, $gz AS tz FROM tll WHERE $legal),
     $ksrcSql,
     red AS (SELECT * FROM ksrc
             WHERE ${OracleSql.reducePredSql(area, radius)} AND $legal),
-    sxyz AS (SELECT src_id, value, $gx AS sx, $gy AS sy, $gz AS sz FROM red),
-    cand AS (SELECT t.dst_id, s.src_id, s.value,
+    $srcPrj
+    sxyz AS (SELECT src_id, value${if (carry.isEmpty) "" else ", in_x, in_y"}, $gx AS sx, $gy AS sy, $gz AS sz FROM $srcFrom),
+    cand AS (SELECT t.dst_id, s.src_id, s.value$carry,
                (t.tx - s.sx) * (t.tx - s.sx) + (t.ty - s.sy) * (t.ty - s.sy) + (t.tz - s.sz) * (t.tz - s.sz) AS dist2
              FROM txyz t CROSS JOIN sxyz s
              WHERE (t.tx - s.sx) * (t.tx - s.sx) + (t.ty - s.sy) * (t.ty - s.sy) + (t.tz - s.sz) * (t.tz - s.sz)
                    <= ${OracleSql.slit(radius * radius)}),
-    ranked AS (SELECT dst_id, src_id, dist2, value,
+    ranked AS (SELECT dst_id, src_id, dist2, value$carryR,
                  ROW_NUMBER() OVER (PARTITION BY dst_id ORDER BY dist2 ASC, src_id ASC) AS rank FROM cand)"""
   }
 
@@ -924,7 +936,26 @@ object Queries {
 
   val q43_simhash_neardup: Q = Q(
     (s, d) => Dedup.simhashNearDup(table(s, d, "documents")).orderBy("d1", "d2"),
-    None)
+    Some {
+      val bits = Dedup.SimhashBits
+      val bitSums = (0 until bits)
+        .map(i => s"SUM((h // ${1L << i}) % 2 * 2 - 1) AS b$i").mkString(", ")
+      val fold = (0 until bits)
+        .map(i => s"CASE WHEN b$i > 0 THEN CAST(${1L << i} AS BIGINT) ELSE CAST(0 AS BIGINT) END")
+        .mkString(" + ")
+      val chunkDiv = s"CASE ci.i WHEN 0 THEN 1 WHEN 1 THEN ${1L << 15} WHEN 2 THEN ${1L << 30} ELSE ${1L << 45} END"
+      s"""WITH wa AS (SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS word FROM documents),
+      hs AS (SELECT doc_id, CAST('0x' || substr(md5(word), 1, 15) AS BIGINT) AS h FROM wa),
+      votes AS (SELECT doc_id, $bitSums FROM hs GROUP BY doc_id),
+      sim AS (SELECT doc_id, $fold AS simhash FROM votes),
+      chunks AS (SELECT doc_id, simhash, ci.i AS chunk_idx, (simhash // ($chunkDiv)) % ${1L << 15} AS chunk
+                 FROM sim CROSS JOIN (VALUES (0), (1), (2), (3)) ci(i)),
+      pairs AS (SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2,
+                  CAST(bit_count(xor(a.simhash, b.simhash)) AS INTEGER) AS hamming
+                FROM chunks a JOIN chunks b
+                  ON a.chunk_idx = b.chunk_idx AND a.chunk = b.chunk AND a.doc_id < b.doc_id)
+      SELECT d1, d2, hamming FROM pairs WHERE hamming <= 3 ORDER BY d1, d2"""
+    })
 
   val q44_lsh_topk: Q = Q(
     (s, d) => {
@@ -933,28 +964,123 @@ object Queries {
       val c = emb.select(col("vec_id").as("cid"), col("embedding"))
       Similarity.lshTopK(q, c, dim = 64, k = 10).orderBy("qid", "rank")
     },
-    None)
+    Some {
+      // the exact hyperplane constants inside the Spark plan, baked as list
+      // literals; signature bit = sign of the (left-fold) dot product
+      val planes = Similarity.hyperplanes(nBits = 16, dim = 64, seed = 42L)
+      val sig = planes.zipWithIndex.map { case (p, i) =>
+        val lst = p.map(OracleSql.slit).mkString("[", ", ", "]")
+        s"CASE WHEN list_inner_product(CAST(embedding AS DOUBLE[]), $lst) >= 0 THEN CAST(${1L << i} AS BIGINT) ELSE CAST(0 AS BIGINT) END"
+      }.mkString(" + ")
+      s"""WITH sigs AS (SELECT vec_id, $sig AS sig FROM embeddings),
+      qb AS (SELECT vec_id AS qid, bi.i AS band_idx, (sig // (CASE bi.i WHEN 0 THEN 1 ELSE 256 END)) % 256 AS band
+             FROM sigs CROSS JOIN (VALUES (0), (1)) bi(i) WHERE vec_id % 100 = 0),
+      cb AS (SELECT vec_id AS cid, bi.i AS band_idx, (sig // (CASE bi.i WHEN 0 THEN 1 ELSE 256 END)) % 256 AS band
+             FROM sigs CROSS JOIN (VALUES (0), (1)) bi(i)),
+      cpair AS (SELECT DISTINCT qid, cid FROM qb JOIN cb USING (band_idx, band)),
+      rr AS (SELECT qid, cid,
+               ROUND(list_cosine_similarity(CAST(q.embedding AS DOUBLE[]), CAST(c.embedding AS DOUBLE[])), 6) AS sim_r
+             FROM cpair JOIN embeddings q ON q.vec_id = qid JOIN embeddings c ON c.vec_id = cid),
+      rk AS (SELECT qid, cid, sim_r,
+               CAST(ROW_NUMBER() OVER (PARTITION BY qid ORDER BY sim_r DESC, cid ASC) AS INTEGER) AS rank FROM rr)
+      SELECT qid, cid, rank, sim_r AS sim FROM rk WHERE rank <= 10 ORDER BY qid, rank"""
+    })
+
+  /** The q47/q48 gridded swath: tiny after the groupBy (<=10k rows at any
+    * SF), so the driver-side omerc fit persists it once and every fit
+    * action plus the final bucket pass reads the cache — lineitem is
+    * scanned exactly once. */
+  private def omercSwath(s: SparkSession, d: String): DataFrame =
+    table(s, d, "lineitem").selectExpr(
+      "CAST(l_orderkey % 200 AS INT) AS y",
+      "CAST(l_partkey % 50 AS INT) AS x",
+      "l_quantity AS value")
+      .groupBy("y", "x").agg(min("value").as("value"))
+      .selectExpr("y", "x",
+        "x * 0.3 - 5.0 + y * 0.12 AS lon",
+        "30.0 + y * 0.15 + x * 0.02 AS lat",
+        "value")
 
   /** compute_optimal_bb_area in the data plane: fit an oblique-Mercator
     * frame to a structured swath, then bucket-count onto the fitted grid
-    * (omerc forward projection per row). */
+    * (omerc forward projection per row). The fit itself is oracle-checked
+    * by q48; this query's bucket count stays rows-only (the omerc forward
+    * feeds floor-binning, deterministic but grid-parameterized by the fit). */
   val q47_optimal_bb: Q = Q(
     (s, d) => {
-      val sw = table(s, d, "lineitem").selectExpr(
-        "CAST(l_orderkey % 200 AS INT) AS y",
-        "CAST(l_partkey % 50 AS INT) AS x",
-        "l_quantity AS value")
-        .groupBy("y", "x").agg(min("value").as("value"))
-        .selectExpr("y", "x",
-          "x * 0.3 - 5.0 + y * 0.12 AS lon",
-          "30.0 + y * 0.15 + x * 0.02 AS lat",
-          "value")
+      val sw = omercSwath(s, d).persist()
       val area = GeometryOps.computeOptimalBbArea(sw, resolutionMetres = 50000, id = "omerc_q47")
       BucketResampler(area).count(sw).orderBy("cell")
     },
     None)
 
-  /** Bilinear swath resample onto the stere area (J5, geocentric k-NN). */
+  /** The omerc fit parameters as a single-row query (like q35): centreline
+    * endpoints/midpoint, great-circle azimuth, frozen projected extent —
+    * the full `_compute_omerc_parameters` analog (`geometry.py:911-951`),
+    * replayed by DuckDB including the spherical omerc forward kernel. */
+  val q48_omerc_fit: Q = Q(
+    (s, d) => {
+      val sw = omercSwath(s, d).persist()
+      val area = GeometryOps.computeOptimalBbArea(sw, resolutionMetres = 50000, id = "omerc_q48")
+      val p = area.crs.params
+      val sess = s
+      import sess.implicits._
+      Seq((p("lonc").toDouble, p("lat_0").toDouble, p("alpha").toDouble,
+        area.width, area.height, area.xLL, area.yLL, area.xUR, area.yUR))
+        .toDF("lonc", "lat0", "alpha", "w", "h", "x0", "y0", "x1", "y1")
+        .select(
+          round(col("lonc"), 6).as("lonc"), round(col("lat0"), 6).as("lat0"),
+          round(col("alpha"), 6).as("alpha"), col("w"), col("h"),
+          round(col("x0"), 3).as("x0"), round(col("y0"), 3).as("y0"),
+          round(col("x1"), 3).as("x1"), round(col("y1"), 3).as("y1"))
+    },
+    Some {
+      val D2R = OracleSql.slit(math.Pi / 180.0)
+      val PI2 = OracleSql.slit(math.Pi / 2)
+      val R = OracleSql.slit(6370997.0)
+      s"""WITH pix AS (SELECT CAST(l_orderkey % 200 AS INT) AS y, CAST(l_partkey % 50 AS INT) AS x,
+                  MIN(l_quantity) AS value FROM lineitem GROUP BY 1, 2),
+      sw AS (SELECT y, x, CAST(x * 0.3 - 5.0 + y * 0.12 AS DOUBLE) AS lon,
+                    CAST(30.0 + y * 0.15 + x * 0.02 AS DOUBLE) AS lat FROM pix),
+      xm AS (SELECT CAST(TRUNC((MAX(x) + MIN(x)) / 2) AS INTEGER) AS xv FROM sw),
+      ctr AS (SELECT y, lon, lat FROM sw, xm WHERE x = xv),
+      oc AS (SELECT *, ROW_NUMBER() OVER (ORDER BY y) AS rn, COUNT(*) OVER () AS n FROM ctr),
+      pts AS (SELECT MAX(CASE WHEN rn = 1 THEN lon END) AS lo1, MAX(CASE WHEN rn = 1 THEN lat END) AS la1,
+                     MAX(CASE WHEN rn = n THEN lon END) AS lo2, MAX(CASE WHEN rn = n THEN lat END) AS la2,
+                     MAX(CASE WHEN rn = CAST(FLOOR(n / 2) AS BIGINT) + 1 THEN lon END) AS lonc,
+                     MAX(CASE WHEN rn = CAST(FLOOR(n / 2) AS BIGINT) + 1 THEN lat END) AS lat0 FROM oc),
+      az0 AS (SELECT *, RADIANS(la1) AS pr1, RADIANS(la2) AS pr2, RADIANS(lo2 - lo1) AS dl FROM pts),
+      az1 AS (SELECT *, DEGREES(ATAN2(SIN(dl) * COS(pr2),
+                          COS(pr1) * SIN(pr2) - SIN(pr1) * COS(pr2) * COS(dl))) AS az FROM az0),
+      fit AS (SELECT lonc, lat0, CASE WHEN ABS(az) > 90 THEN az - 180 * SIGN(az) ELSE az END AS alpha FROM az1),
+      om1 AS (SELECT *, lat0 * $D2R AS phiC, alpha * $D2R AS alphaR FROM fit),
+      om2 AS (SELECT *, ASIN(COS(phiC) * SIN(alphaR)) AS phiP,
+                     ATAN2(-COS(alphaR), -SIN(phiC) * SIN(alphaR)) + lonc * $D2R AS lamP FROM om1),
+      om3 AS (SELECT *, lamP + $PI2 AS lam0, SIN(phiP) AS sinPp, COS(phiP) AS cosPp FROM om2),
+      prj AS (SELECT s.lon, s.lat, o.* FROM sw s CROSS JOIN om3 o
+              WHERE s.lon >= -180.0 AND s.lon <= 180.0 AND s.lat >= -90.0 AND s.lat <= 90.0),
+      pp1 AS (SELECT *, ${OracleSql.wrapSql("lon")} * $D2R - lam0 AS lam, lat * $D2R AS phi FROM prj),
+      pp2 AS (SELECT *, sinPp * SIN(phi) - cosPp * COS(phi) * SIN(lam) AS aa FROM pp1),
+      pp3 AS (SELECT $R * ATAN2(TAN(phi) * cosPp + sinPp * SIN(lam), COS(lam)) AS xx,
+                     ($R / 2) * LN((1 + aa) / (1 - aa)) AS yy, lonc, lat0, alpha FROM pp2),
+      ext AS (SELECT MIN(xx) AS x0f, MAX(xx) AS x1f, MIN(yy) AS y0f, MAX(yy) AS y1f,
+                     MAX(lonc) AS lonc, MAX(lat0) AS lat0, MAX(alpha) AS alpha FROM pp3),
+      dims AS (SELECT *, GREATEST(1, CAST(CEIL((x1f - x0f) / 50000.0) AS INTEGER)) AS w,
+                      GREATEST(1, CAST(CEIL((y1f - y0f) / 50000.0) AS INTEGER)) AS h FROM ext)
+      SELECT ROUND(lonc, 6) AS lonc, ROUND(lat0, 6) AS lat0, ROUND(alpha, 6) AS alpha,
+        CAST(w AS INTEGER) AS w, CAST(h AS INTEGER) AS h,
+        ROUND(x0f, 3) AS x0, ROUND(y1f - h * 50000.0, 3) AS y0,
+        ROUND(x0f + w * 50000.0, 3) AS x1, ROUND(y1f, 3) AS y1
+      FROM dims"""
+    })
+
+  /** Bilinear swath resample onto the stere area (J5, geocentric k-NN).
+    * Oracle: the full operator — quadrant corner pick, quadratic (t, s)
+    * solve with its two fallbacks, and the blend — transcribed op-for-op
+    * into SQL; with XYZ and projection coordinates quantized, every
+    * division/sqrt is IEEE-identical, so the result hash-matches. Scala
+    * NaN paths (sqrt of negative disc, division by zero) map to DuckDB
+    * NULLs; both fail the in-unit check the same way. */
   val q45_bilinear_stere: Q = Q(
     (s, d) => {
       val area = stereArea(100, 100)
@@ -963,9 +1089,72 @@ object Queries {
       // join stays ~27 candidate cells per target
       val src = DataReduce.reduceToArea(
         srcForKnn(s, d), area, 250000.0)
-      BilinearResample.resample(src, area, radius = 250000.0).orderBy("dst_id")
+      BilinearResample.resample(src, area, radius = 250000.0,
+        quantizeXyz = Some(0), quantizeProj = Some(2)).orderBy("dst_id")
     },
-    None)
+    Some {
+      val area = stereArea(100, 100)
+      def inU(v: String) = s"COALESCE($v >= 0.0 AND $v <= 1.0, FALSE)"
+      s"""WITH ${stereKnnSql(area, 250000.0, srcProjQuantize = Some(2))},
+      quads AS (SELECT r.*, t.px AS out_x, t.py AS out_y,
+                  CASE WHEN t.px - r.in_x > 0 AND t.py - r.in_y < 0 THEN 1
+                       WHEN t.px - r.in_x < 0 AND t.py - r.in_y < 0 THEN 2
+                       WHEN t.px - r.in_x > 0 AND t.py - r.in_y > 0 THEN 3
+                       WHEN t.px - r.in_x < 0 AND t.py - r.in_y > 0 THEN 4 END AS quad
+                FROM ranked r JOIN tg t ON t.cell = r.dst_id
+                WHERE r.rank <= 32),
+      fp AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY dst_id, quad ORDER BY rank) AS qrn
+             FROM quads WHERE quad IS NOT NULL),
+      corners AS (SELECT dst_id,
+          MAX(CASE WHEN quad = 1 THEN in_x END) AS p1x, MAX(CASE WHEN quad = 1 THEN in_y END) AS p1y,
+          MAX(CASE WHEN quad = 1 THEN value END) AS v1,
+          MAX(CASE WHEN quad = 2 THEN in_x END) AS p2x, MAX(CASE WHEN quad = 2 THEN in_y END) AS p2y,
+          MAX(CASE WHEN quad = 2 THEN value END) AS v2,
+          MAX(CASE WHEN quad = 3 THEN in_x END) AS p3x, MAX(CASE WHEN quad = 3 THEN in_y END) AS p3y,
+          MAX(CASE WHEN quad = 3 THEN value END) AS v3,
+          MAX(CASE WHEN quad = 4 THEN in_x END) AS p4x, MAX(CASE WHEN quad = 4 THEN in_y END) AS p4y,
+          MAX(CASE WHEN quad = 4 THEN value END) AS v4,
+          MAX(out_x) AS out_x, MAX(out_y) AS out_y
+        FROM fp WHERE qrn = 1 GROUP BY dst_id HAVING COUNT(*) = 4),
+      d1 AS (SELECT *, p2x - p1x AS x21_1, p3x - p1x AS x31_1, p4x - p2x AS x42_1,
+                       p2y - p1y AS y21_1, p3y - p1y AS y31_1, p4y - p2y AS y42_1 FROM corners),
+      d2 AS (SELECT *, x31_1 * y42_1 - y31_1 * x42_1 AS a1,
+               out_y * (x42_1 - x31_1) - out_x * (y42_1 - y31_1) + x31_1 * p2y - y31_1 * p2x + y42_1 * p1x - x42_1 * p1y AS b1,
+               out_y * x21_1 - out_x * y21_1 + p1x * p2y - p2x * p1y AS c1 FROM d1),
+      d3 AS (SELECT *, b1 * b1 - 4 * a1 * c1 AS disc1 FROM d2),
+      d4 AS (SELECT *, CASE WHEN disc1 >= 0 THEN -0.5 * (b1 + SIGN(b1) * SQRT(disc1)) END AS qq1 FROM d3),
+      d5 AS (SELECT *, CASE WHEN b1 >= 0 THEN c1 / qq1 ELSE qq1 / a1 END AS x1a,
+                       CASE WHEN b1 >= 0 THEN qq1 / a1 ELSE c1 / qq1 END AS x1b,
+                       -c1 / b1 AS x1c FROM d4),
+      d6 AS (SELECT *, CASE WHEN ${inU("x1a")} THEN x1a WHEN ${inU("x1b")} THEN x1b WHEN ${inU("x1c")} THEN x1c END AS t1 FROM d5),
+      d7 AS (SELECT *, CASE WHEN t1 IS NOT NULL THEN (out_y - p1y - y31_1 * t1) / (p2y + y42_1 * t1 - p1y - y31_1 * t1) END AS g1 FROM d6),
+      d8 AS (SELECT *, CASE WHEN ${inU("g1")} THEN g1 END AS s1 FROM d7),
+      e1 AS (SELECT *, p3x - p1x AS x21_2, p2x - p1x AS x31_2, p4x - p3x AS x42_2,
+                       p3y - p1y AS y21_2, p2y - p1y AS y31_2, p4y - p3y AS y42_2 FROM d8),
+      e2 AS (SELECT *, x31_2 * y42_2 - y31_2 * x42_2 AS a2,
+               out_y * (x42_2 - x31_2) - out_x * (y42_2 - y31_2) + x31_2 * p3y - y31_2 * p3x + y42_2 * p1x - x42_2 * p1y AS b2,
+               out_y * x21_2 - out_x * y21_2 + p1x * p3y - p3x * p1y AS c2 FROM e1),
+      e3 AS (SELECT *, b2 * b2 - 4 * a2 * c2 AS disc2 FROM e2),
+      e4 AS (SELECT *, CASE WHEN disc2 >= 0 THEN -0.5 * (b2 + SIGN(b2) * SQRT(disc2)) END AS qq2 FROM e3),
+      e5 AS (SELECT *, CASE WHEN b2 >= 0 THEN c2 / qq2 ELSE qq2 / a2 END AS x2a,
+                       CASE WHEN b2 >= 0 THEN qq2 / a2 ELSE c2 / qq2 END AS x2b,
+                       -c2 / b2 AS x2c FROM e4),
+      e6 AS (SELECT *, CASE WHEN ${inU("x2a")} THEN x2a WHEN ${inU("x2b")} THEN x2b WHEN ${inU("x2c")} THEN x2c END AS s2 FROM e5),
+      e7 AS (SELECT *, CASE WHEN s2 IS NOT NULL THEN (out_y - p1y - y31_2 * s2) / (p3y + y42_2 * s2 - p1y - y31_2 * s2) END AS g2 FROM e6),
+      e8 AS (SELECT *, CASE WHEN ${inU("g2")} THEN g2 END AS t2 FROM e7),
+      f1 AS (SELECT *, (x21_1 * (out_y - p1y) - y21_1 * (out_x - p1x)) / (x21_1 * y31_1 - y21_1 * x31_1) AS t3c FROM e8),
+      f2 AS (SELECT *, CASE WHEN ${inU("t3c")} THEN (out_x - p1x + x31_1 * t3c) / x21_1 END AS s3c FROM f1),
+      f3 AS (SELECT *,
+               CASE WHEN t1 IS NOT NULL AND s1 IS NOT NULL THEN t1
+                    WHEN t2 IS NOT NULL AND s2 IS NOT NULL THEN t2
+                    WHEN ${inU("t3c")} AND ${inU("s3c")} THEN t3c END AS tf,
+               CASE WHEN t1 IS NOT NULL AND s1 IS NOT NULL THEN s1
+                    WHEN t2 IS NOT NULL AND s2 IS NOT NULL THEN s2
+                    WHEN ${inU("t3c")} AND ${inU("s3c")} THEN s3c END AS sf FROM f2)
+      SELECT dst_id,
+        v1 * (1 - sf) * (1 - tf) + v2 * sf * (1 - tf) + v3 * (1 - sf) * tf + v4 * sf * tf AS value
+      FROM f3 WHERE tf IS NOT NULL AND sf IS NOT NULL ORDER BY dst_id"""
+    })
 
   /** EWA resample of a structured synthetic swath (J6/J7/A8). */
   val q46_ewa_stere: Q = Q(
@@ -984,11 +1173,83 @@ object Queries {
           "x * 0.45 - 15.0 + y * 0.01 AS lon",
           "62.0 - y * 0.11 + x * 0.004 AS lat",
           "value")
-      // quantized weights -> run-to-run deterministic values regardless of
-      // partitioning (float-sum order would otherwise wobble at 1e-13)
-      EwaResample.resample(sw, area, rowsPerScan = 50, quantizeWeights = Some(7)).orderBy("cell")
+      // quantized weights + quantized ll2cr -> the full per-scan Jacobian
+      // pipeline on a REAL projection is replayable bit-exactly by the
+      // DuckDB oracle (the q33 chain with the stere forward inserted)
+      EwaResample.resample(sw, area, rowsPerScan = 50,
+        quantizeWeights = Some(7), quantizeCr = Some(6)).orderBy("cell")
     },
-    None)
+    Some {
+      val area = stereArea(100, 100)
+      val st = OracleSql.StereSql(area)
+      val negAlpha = OracleSql.slit(-(-math.log(0.01) / 1.0))
+      val xLL = OracleSql.slit(area.xLL); val yUR = OracleSql.slit(area.yUR)
+      val psx = OracleSql.slit(area.pixelSizeX); val psy = OracleSql.slit(area.pixelSizeY)
+      s"""WITH pix AS (SELECT CAST(l_orderkey % 200 AS INT) AS y, CAST(l_partkey % 100 AS INT) AS x,
+                  AVG(l_quantity) AS value FROM lineitem GROUP BY 1, 2),
+      sw AS (SELECT y, x, x * 0.45 - 15.0 + y * 0.01 AS lon, 62.0 - y * 0.11 + x * 0.004 AS lat, value FROM pix),
+      ${st.fwdCtes("prj", "sw", Seq("y", "x", "value"))},
+      cr AS (SELECT *, ROUND((proj_x - $xLL) / $psx, 6) AS u, ROUND(($yUR - proj_y) / $psy, 6) AS v FROM prj),
+      wscan AS (SELECT *, CAST(FLOOR(y / 50) AS BIGINT) AS scan, y % 50 AS y_in FROM cr),
+      srows AS (SELECT scan, MIN(y_in) AS y0, MAX(y_in) AS y1,
+                  CAST(FLOOR((MIN(y_in) + MAX(y_in) + 1) / 2) AS BIGINT) AS ymid
+                FROM wscan GROUP BY scan),
+      ws AS (SELECT w.*, s.y0, s.y1, s.ymid FROM wscan w JOIN srows s ON s.scan = w.scan),
+      mid AS (SELECT scan, x,
+               (LEAD(u, 1) OVER (PARTITION BY scan ORDER BY x) -
+                LAG(u, 1) OVER (PARTITION BY scan ORDER BY x)) / 2.0 * 1.0 AS ux,
+               (LEAD(v, 1) OVER (PARTITION BY scan ORDER BY x) -
+                LAG(v, 1) OVER (PARTITION BY scan ORDER BY x)) / 2.0 * 1.0 AS vx
+             FROM ws WHERE y_in = ymid),
+      fl AS (SELECT scan, x,
+               MAX(CASE WHEN y_in = y1 THEN u END) - MAX(CASE WHEN y_in = y0 THEN u END) AS du,
+               MAX(CASE WHEN y_in = y1 THEN v END) - MAX(CASE WHEN y_in = y0 THEN v END) AS dv,
+               MAX(y1 - y0) AS dy
+             FROM ws WHERE y_in = y0 OR y_in = y1 GROUP BY scan, x),
+      fl2 AS (SELECT scan, x, CASE WHEN dy > 0 THEN du / dy * 1.0 ELSE 0.0 END AS uy,
+                CASE WHEN dy > 0 THEN dv / dy * 1.0 ELSE 0.0 END AS vy FROM fl),
+      par0 AS (SELECT scan, x, ux, vx, uy, vy FROM mid FULL OUTER JOIN fl2 USING (scan, x)),
+      par1 AS (SELECT *,
+                 (ux IS NULL OR vx IS NULL OR uy IS NULL OR vy IS NULL OR
+                  isnan(ux) OR isnan(vx) OR isnan(uy) OR isnan(vy)) AS bad,
+                 GREATEST((ux * vy - uy * vx) * (ux * vy - uy * vx), 0.0000000000000001) AS fs
+               FROM par0),
+      par2 AS (SELECT scan, x, bad,
+                 CASE WHEN bad THEN 0.0 ELSE (vx * vx + vy * vy) * (1.0 / fs) END AS ea,
+                 CASE WHEN bad THEN 0.0 ELSE -2.0 * (ux * vx + uy * vy) * (1.0 / fs) END AS eb,
+                 CASE WHEN bad THEN 0.0 ELSE (ux * ux + uy * uy) * (1.0 / fs) END AS ec
+               FROM par1),
+      par3 AS (SELECT *, GREATEST(4.0 * ea * ec - eb * eb, 0.0000000000000001) AS d FROM par2),
+      par AS (SELECT scan, x, ea, eb, ec,
+                CASE WHEN bad THEN 1.0 ELSE LEAST(SQRT(ec * (4.0 / d)), 10.0) END AS udel,
+                CASE WHEN bad THEN 1.0 ELSE LEAST(SQRT(ea * (4.0 / d)), 10.0) END AS vdel
+              FROM par3),
+      px0 AS (SELECT w.u, w.v, w.value, p.ea, p.eb, p.ec, p.udel, p.vdel
+              FROM wscan w JOIN par p ON p.scan = w.scan AND p.x = w.x
+              WHERE NOT isnan(w.u) AND NOT isnan(w.v) AND w.value IS NOT NULL AND NOT isnan(w.value)
+                AND w.u >= -p.udel AND w.v >= -p.vdel),
+      px1 AS (SELECT *,
+                GREATEST(CAST(FLOOR(u - udel) AS INTEGER), 0) AS iu1,
+                LEAST(CAST(FLOOR(u + udel) AS INTEGER), ${area.width - 1}) AS iu2,
+                GREATEST(CAST(FLOOR(v - vdel) AS INTEGER), 0) AS iv1,
+                LEAST(CAST(FLOOR(v + vdel) AS INTEGER), ${area.height - 1}) AS iv2
+              FROM px0),
+      px2 AS (SELECT * FROM px1 WHERE iu1 <= iu2 AND iv1 <= iv2),
+      scA AS (SELECT px2.*, unnest(generate_series(iu1, iu2)) AS iu FROM px2),
+      sc0 AS (SELECT scA.*, unnest(generate_series(iv1, iv2)) AS iv FROM scA),
+      sc1 AS (SELECT *, iu + 0.5 - u AS du, iv + 0.5 - v AS dv FROM sc0),
+      sc2 AS (SELECT *, ea * du * du + eb * du * dv + ec * dv * dv AS q FROM sc1
+              WHERE ea * du * du + eb * du * dv + ec * dv * dv >= 0
+                AND ea * du * du + eb * du * dv + ec * dv * dv < 1.0),
+      sc3 AS (SELECT CAST(iv AS BIGINT) * ${area.width} + iu AS cell,
+                CAST(ROUND(EXP($negAlpha * q), 7) AS DECIMAL(16,7)) AS wq,
+                CAST(value AS DECIMAL(18,6)) AS vq
+              FROM sc2)
+      SELECT cell, CAST(SUM(wq * vq) AS DOUBLE) / CAST(SUM(wq) AS DOUBLE) AS value
+      FROM sc3 GROUP BY cell
+      HAVING CAST(SUM(wq) AS DOUBLE) >= 0.01
+      ORDER BY cell"""
+    })
 
   // -------------------------------------------------------------- registry
 
@@ -1038,5 +1299,6 @@ object Queries {
     "q44_lsh_topk" -> q44_lsh_topk,
     "q45_bilinear_stere" -> q45_bilinear_stere,
     "q46_ewa_stere" -> q46_ewa_stere,
-    "q47_optimal_bb" -> q47_optimal_bb)
+    "q47_optimal_bb" -> q47_optimal_bb,
+    "q48_omerc_fit" -> q48_omerc_fit)
 }
