@@ -137,19 +137,37 @@ final case class AreaDef(
     * sliced AreaDef plus the (rowStart, colStart) offsets into this grid;
     * None when the footprints don't overlap. */
   def cropAround(target: AreaDef, bufferCells: Int = 1): Option[(AreaDef, Int, Int)] = {
-    var cMin = Double.MaxValue; var cMax = Double.MinValue
-    var rMin = Double.MaxValue; var rMax = Double.MinValue
+    // densified target boundary in the target's own projected space
     val n = 25
-    var i = 0
-    while (i <= 4 * n) {
-      // walk the target boundary in its own projected space
+    val boundaryPts: Seq[(Double, Double)] = (0 to 4 * n).map { i =>
       val t = i % n
-      val (tx, ty) = (i / n) match {
+      (i / n) match {
         case 0 => (target.xLL + (target.xUR - target.xLL) * t / n, target.yUR)
         case 1 => (target.xUR, target.yUR - (target.yUR - target.yLL) * t / n)
         case 2 => (target.xUR - (target.xUR - target.xLL) * t / n, target.yLL)
         case _ => (target.xLL, target.yLL + (target.yUR - target.yLL) * t / n)
       }
+    }
+    // geostationary source: intersect the target outline with the visible
+    // disk IN TARGET COORDINATES before mapping into the source grid
+    // (`slicer.py:176-184`). Without this, a target that pokes past the
+    // disk edge maps its off-disk corners to NaN and the crop collapses.
+    val effectivePts: Seq[(Double, Double)] =
+      if (!GeosGeometry.isGeostationary(crs)) boundaryPts
+      else {
+        val diskInTarget = GeosGeometry.diskPolygonInExtent(this, 360)
+          .map { case (sx, sy) =>
+            val (lo, la) = crs.inverse(sx, sy)
+            target.crs.forward(lo, la)
+          }
+          .filterNot(p => p._1.isNaN || p._2.isNaN)
+        if (diskInTarget.size < 3) return None // extent entirely off-disk
+        GeosGeometry.clipPolygon(boundaryPts, diskInTarget)
+      }
+
+    var cMin = Double.MaxValue; var cMax = Double.MinValue
+    var rMin = Double.MaxValue; var rMax = Double.MinValue
+    effectivePts.foreach { case (tx, ty) =>
       val (lo, la) = target.crs.inverse(tx, ty)
       if (!lo.isNaN && !la.isNaN) {
         val (sx, sy) = crs.forward(lo, la)
@@ -159,7 +177,6 @@ final case class AreaDef(
           if (r < rMin) rMin = r; if (r > rMax) rMax = r
         }
       }
-      i += 1
     }
     if (cMin > cMax || rMin > rMax) return None
     val c0 = math.max(0, math.floor(cMin).toInt - bufferCells)

@@ -202,6 +202,46 @@ object EwaResample {
     }
   }
 
+  /** Dynamic-grid EWA — `ewa/_ll2cr.pyx:66` (ll2cr_dynamic) + fornav: the
+    * grid origin and shape are derived from the swath's projected footprint
+    * (one aggregation pass — the Spark form of the reference's min/max
+    * sweep), then the static pipeline runs on the frozen area. Mirrors the
+    * reference's fit: origin = (xmin, ymax) upper-left, width/height =
+    * truncated extent / cell size (`_ll2cr.pyx:178-182` int() semantics,
+    * floored at 1 cell). The reference's projected-antimeridian shift
+    * (`:151-169`) is not applied — wrap-crossing swaths should go through
+    * `GeometryOps.freeze` on a lonlat grid instead. Returns the fitted
+    * area with the resampled frame. */
+  def resampleDynamic(
+      swath: DataFrame, // (y, x, lon, lat, value)
+      crs: graft.core.Crs,
+      cellWidth: Double,
+      cellHeight: Double,
+      rowsPerScan: Int,
+      id: String = "ewa_dynamic",
+      valueCol: String = "value",
+      weightMin: Double = 0.01,
+      weightDistanceMax: Double = 1.0,
+      weightDeltaMax: Double = 10.0,
+      weightSumMin: Double = -1.0,
+      quantizeWeights: Option[Int] = None,
+      quantizeCr: Option[Int] = None): (AreaDef, DataFrame) = {
+    import org.apache.spark.sql.Row
+    val proj = withProjected(
+      swath.filter(legalLonLat(col("lon"), col("lat"))), crs)
+      .filter(!isnan(col("proj_x")) && !isnan(col("proj_y")))
+    val Row(xmin: Double, xmax: Double, ymin: Double, ymax: Double) = proj
+      .agg(min("proj_x"), max("proj_x"), min("proj_y"), max("proj_y"))
+      .head()
+    val w = math.max(1, math.abs((xmax - xmin) / cellWidth).toInt)
+    val h = math.max(1, math.abs((ymax - ymin) / cellHeight).toInt)
+    val area = AreaDef(id, crs, w, h,
+      xmin, ymax - h * cellHeight, xmin + w * cellWidth, ymax)
+    (area, resample(swath, area, rowsPerScan, valueCol, weightMin,
+      weightDistanceMax, weightDeltaMax, weightSumMin,
+      maximumWeightMode = false, quantizeWeights, quantizeCr))
+  }
+
   /** Multi-channel EWA (`ewa/_fornav.pyx` chan_count): all channels share
     * the scan geometry, footprints and weights; one aggregation computes
     * every channel's weighted mean with per-channel validity (fill pixels

@@ -188,7 +188,11 @@ object KnnResample {
 
   /** Multi-channel weighted merge (`kd_tree.py:607-615`: trailing channel
     * dimension): every channel shares the neighbour set and weights; one
-    * aggregation computes all channels' weighted means. */
+    * aggregation computes all channels' weighted means. With
+    * `uncertainty = true` each channel also gets its unbiased weighted
+    * stddev (`kd_tree.py:821-859` — same algebraic decomposition as the
+    * single-channel path) plus a shared neighbour count `n`; still one
+    * hash aggregation, partial sums only. */
   def weightedMulti(
       source: DataFrame,
       target: DataFrame,
@@ -196,13 +200,34 @@ object KnnResample {
       k: Int,
       valueCols: Seq[String],
       weight: Column => Column,
-      planar: Boolean = false): DataFrame = {
+      planar: Boolean = false,
+      uncertainty: Boolean = false): DataFrame = {
     val idx = neighbours(source, target, radius, k, planar)
     val joined = idx
       .join(source.select(("src_id" +: valueCols).map(col): _*), "src_id")
       .withColumn("_w", weight(col("dist2")))
-    val aggs = valueCols.map(c => (sum(col("_w") * col(c)) / sum(col("_w"))).as(c))
-    joined.groupBy("dst_id").agg(aggs.head, aggs.tail: _*)
+    if (!uncertainty) {
+      val aggs = valueCols.map(c => (sum(col("_w") * col(c)) / sum(col("_w"))).as(c))
+      joined.groupBy("dst_id").agg(aggs.head, aggs.tail: _*)
+    } else {
+      val shared = Seq(
+        sum(col("_w")).as("_sw"),
+        sum(col("_w") * col("_w")).as("_sw2"),
+        count(lit(1)).as("n"))
+      val perChannel = valueCols.flatMap { c =>
+        Seq(sum(col("_w") * col(c)).as(s"_swv_$c"),
+          sum(col("_w") * col(c) * col(c)).as(s"_swvv_$c"))
+      }
+      val agg = joined.groupBy("dst_id").agg(shared.head, (shared.tail ++ perChannel): _*)
+      val v1 = col("_sw"); val v2 = col("_sw2")
+      val outCols = valueCols.flatMap { c =>
+        val swv = col(s"_swv_$c"); val swvv = col(s"_swvv_$c")
+        Seq((swv / v1).as(c),
+          sqrt(greatest((v1 / (v1 * v1 - v2)) * (swvv - (swv * swv) / v1), lit(0.0)))
+            .as(s"stddev_$c"))
+      } :+ col("n")
+      agg.select(col("dst_id") +: outCols: _*)
+    }
   }
 
   /** Per-channel weight functions (`kd_tree.py:192-253`: resample_custom

@@ -271,7 +271,10 @@ object Queries {
     "(((l_orderkey * 8 + l_linenumber) * 1048576 + l_partkey) * 16384 + l_suppkey) * 64 + CAST(FLOOR(l_quantity) AS BIGINT) AS src_id",
     "((l_orderkey * 37 + l_linenumber * 11) % 3600) / CAST(10 AS DOUBLE) - 180.0 + 0.05 AS lon",
     "((l_partkey * 53 + l_suppkey * 17) % 1700) / CAST(10 AS DOUBLE) - 85.0 + 0.05 AS lat",
-    "l_quantity AS value")
+    "l_quantity AS value",
+    // second channel for multi-channel merges; a pure function of the id's
+    // key components, so the DISTINCT row set is unchanged
+    "CAST(l_partkey % 83 AS DOUBLE) + l_quantity AS value2")
 
   private val ksrcSql: String =
     s"ksrc AS (SELECT DISTINCT ${ksrcExprs.mkString(", ")} FROM lineitem)"
@@ -285,11 +288,11 @@ object Queries {
     cand AS (
       SELECT t.dst_id, s.src_id,
              (t.lon - s.lon) * (t.lon - s.lon) + (t.lat - s.lat) * (t.lat - s.lat) AS dist2,
-             s.value
+             s.value, s.value2
       FROM tgt t CROSS JOIN ksrc s
       WHERE (t.lon - s.lon) * (t.lon - s.lon) + (t.lat - s.lat) * (t.lat - s.lat) <= 4.0),
     ranked AS (
-      SELECT dst_id, src_id, dist2, value,
+      SELECT dst_id, src_id, dist2, value, value2,
              ROW_NUMBER() OVER (PARTITION BY dst_id ORDER BY dist2 ASC, src_id ASC) AS rank
       FROM cand)"""
 
@@ -395,6 +398,69 @@ object Queries {
               $n AS n
             FROM piv)
       SELECT dst_id, mean_v, stddev, n FROM f WHERE n >= 2 ORDER BY dst_id"""
+    })
+
+  /** Multi-channel uncertainty merge (`kd_tree.py:607-615` + `:821-859`):
+    * two channels share the neighbour set and gauss weights; each gets its
+    * weighted mean + unbiased weighted stddev, plus the shared count — the
+    * exactness-disciplined twin of `KnnResample.weightedMulti(uncertainty
+    * = true)` (same pivot rules as q17, doubled per channel). */
+  val q50_multi_uncertainty: Q = Q(
+    (s, d) => {
+      val src = srcForKnn(s, d)
+      val nbrs = KnnResample.neighbours(src, tgt(s, d), 2.0, 8, planar = true)
+        .join(src.select("src_id", "value", "value2"), "src_id")
+        .withColumn("w", round(exp(-col("dist2") / lit(2.25)), 7))
+      val aggs = (1 to 8).flatMap { i =>
+        Seq(
+          max(when(col("rank") === i, col("w"))).as(s"w$i"),
+          max(when(col("rank") === i, col("w") * col("w"))).as(s"ww$i"),
+          max(when(col("rank") === i, col("w") * col("value"))).as(s"wva$i"),
+          max(when(col("rank") === i, col("w") * col("value") * col("value"))).as(s"wvva$i"),
+          max(when(col("rank") === i, col("w") * col("value2"))).as(s"wvb$i"),
+          max(when(col("rank") === i, col("w") * col("value2") * col("value2"))).as(s"wvvb$i"))
+      }
+      val g = nbrs.groupBy("dst_id").agg(aggs.head, aggs.tail: _*)
+      val v1 = fixedSum("w", 8); val v2 = fixedSum("ww", 8)
+      val swva = fixedSum("wva", 8); val swvva = fixedSum("wvva", 8)
+      val swvb = fixedSum("wvb", 8); val swvvb = fixedSum("wvvb", 8)
+      val n = (1 to 8).map(i => when(col(s"w$i").isNotNull, 1L).otherwise(0L)).reduce(_ + _)
+      g.withColumn("n", n)
+        .filter(col("n") >= 2)
+        .select(
+          col("dst_id"),
+          (swva / v1).as("mean_a"),
+          sqrt(greatest((v1 / (v1 * v1 - v2)) * (swvva - (swva * swva) / v1), lit(0.0))).as("stddev_a"),
+          (swvb / v1).as("mean_b"),
+          sqrt(greatest((v1 / (v1 * v1 - v2)) * (swvvb - (swvb * swvb) / v1), lit(0.0))).as("stddev_b"),
+          col("n"))
+        .orderBy("dst_id")
+    },
+    Some {
+      val wE = "ROUND(EXP(-dist2 / 2.25), 7)"
+      val cols = (1 to 8).flatMap { i =>
+        Seq(
+          s"MAX(CASE WHEN rank = $i THEN $wE END) AS w$i",
+          s"MAX(CASE WHEN rank = $i THEN ($wE) * ($wE) END) AS ww$i",
+          s"MAX(CASE WHEN rank = $i THEN ($wE) * value END) AS wva$i",
+          s"MAX(CASE WHEN rank = $i THEN ($wE) * value * value END) AS wvva$i",
+          s"MAX(CASE WHEN rank = $i THEN ($wE) * value2 END) AS wvb$i",
+          s"MAX(CASE WHEN rank = $i THEN ($wE) * value2 * value2 END) AS wvvb$i")
+      }
+      val v1 = s"(${fixedSumSql("w", 8)})"; val v2 = s"(${fixedSumSql("ww", 8)})"
+      val swva = s"(${fixedSumSql("wva", 8)})"; val swvva = s"(${fixedSumSql("wvva", 8)})"
+      val swvb = s"(${fixedSumSql("wvb", 8)})"; val swvvb = s"(${fixedSumSql("wvvb", 8)})"
+      val n = "CAST(" + (1 to 8).map(i => s"(CASE WHEN w$i IS NOT NULL THEN 1 ELSE 0 END)").mkString(" + ") + " AS BIGINT)"
+      s"""WITH $swathSql, $tgtSql, $knnRankedSql,
+      piv AS (SELECT dst_id, ${cols.mkString(", ")} FROM ranked WHERE rank <= 8 GROUP BY dst_id),
+      f AS (SELECT dst_id,
+              $swva / $v1 AS mean_a,
+              SQRT(GREATEST(($v1 / ($v1 * $v1 - $v2)) * ($swvva - ($swva * $swva) / $v1), 0.0)) AS stddev_a,
+              $swvb / $v1 AS mean_b,
+              SQRT(GREATEST(($v1 / ($v1 * $v1 - $v2)) * ($swvvb - ($swvb * $swvb) / $v1), 0.0)) AS stddev_b,
+              $n AS n
+            FROM piv)
+      SELECT dst_id, mean_a, stddev_a, mean_b, stddev_b, n FROM f WHERE n >= 2 ORDER BY dst_id"""
     })
 
   // ===================================================== scalar functions
@@ -1251,6 +1317,54 @@ object Queries {
       ORDER BY cell"""
     })
 
+  /** SwathSlicer (slicer.py:94-160): crop a structured swath to the blocks
+    * whose lon/lat bbox intersects a target area, assembled to one (y, x)
+    * rectangle. Output = the assembled bounds plus aggregates over the
+    * cropped swath — the oracle recomputes block bboxes, the planar
+    * intersection test, the assembly, and the crop entirely in SQL. */
+  val q49_swath_slice: Q = Q(
+    (s, d) => {
+      val target = AreaDef("eu_slice", Crs.fromProj4("+proj=longlat"), 30, 20, 0, 45, 15, 55)
+      val sw = table(s, d, "lineitem").selectExpr(
+        "CAST(l_orderkey % 200 AS INT) AS y",
+        "CAST(l_partkey % 100 AS INT) AS x",
+        "l_quantity AS value")
+        .groupBy("y", "x").agg(min("value").as("value"))
+        .selectExpr("y", "x",
+          "x * 0.45 - 15.0 + y * 0.01 AS lon",
+          "62.0 - y * 0.11 + x * 0.004 AS lat",
+          "value")
+      val Some((r0, r1, c0, c1)) = SwathSlicer.sliceBounds(sw, target, blockRows = 8, blockCols = 8)
+      SwathSlicer.slice(sw, target, blockRows = 8, blockCols = 8)
+        .agg(
+          count(lit(1)).as("n"),
+          sum(col("value").cast(dec)).cast("double").as("sum_v"))
+        .select(lit(r0).as("r0"), lit(r1).as("r1"), lit(c0).as("c0"), lit(c1).as("c1"),
+          col("n"), col("sum_v"))
+    },
+    Some {
+      val t = AreaDef("eu_slice", Crs.fromProj4("+proj=longlat"), 30, 20, 0, 45, 15, 55)
+      import OracleSql.slit
+      s"""WITH pix AS (SELECT CAST(l_orderkey % 200 AS INT) AS y, CAST(l_partkey % 100 AS INT) AS x,
+                  MIN(l_quantity) AS value FROM lineitem GROUP BY 1, 2),
+      sw AS (SELECT y, x, x * 0.45 - 15.0 + y * 0.01 AS lon, 62.0 - y * 0.11 + x * 0.004 AS lat, value FROM pix),
+      blk AS (SELECT CAST(FLOOR(y / 8) AS BIGINT) AS by, CAST(FLOOR(x / 8) AS BIGINT) AS bx,
+                CAST(MIN(y) AS BIGINT) AS y0, CAST(MAX(y) AS BIGINT) AS y1,
+                CAST(MIN(x) AS BIGINT) AS x0, CAST(MAX(x) AS BIGINT) AS x1,
+                MIN(CAST(lon AS DOUBLE)) AS lon_min, MAX(CAST(lon AS DOUBLE)) AS lon_max,
+                MIN(CAST(lat AS DOUBLE)) AS lat_min, MAX(CAST(lat AS DOUBLE)) AS lat_max
+              FROM sw GROUP BY 1, 2),
+      hit AS (SELECT * FROM blk
+              WHERE lon_min <= ${slit(t.xUR)} AND lon_max >= ${slit(t.xLL)}
+                AND lat_min <= ${slit(t.yUR)} AND lat_max >= ${slit(t.yLL)}),
+      bounds AS (SELECT MIN(y0) - 1 AS r0, MAX(y1) + 1 AS r1, MIN(x0) - 1 AS c0, MAX(x1) + 1 AS c1 FROM hit)
+      SELECT b.r0, b.r1, b.c0, b.c1, CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_v
+      FROM sw, bounds b
+      WHERE y >= b.r0 AND y <= b.r1 AND x >= b.c0 AND x <= b.c1
+      GROUP BY b.r0, b.r1, b.c0, b.c1"""
+    })
+
   // -------------------------------------------------------------- registry
 
   val all: Seq[(String, Q)] = Seq(
@@ -1300,5 +1414,7 @@ object Queries {
     "q45_bilinear_stere" -> q45_bilinear_stere,
     "q46_ewa_stere" -> q46_ewa_stere,
     "q47_optimal_bb" -> q47_optimal_bb,
-    "q48_omerc_fit" -> q48_omerc_fit)
+    "q48_omerc_fit" -> q48_omerc_fit,
+    "q49_swath_slice" -> q49_swath_slice,
+    "q50_multi_uncertainty" -> q50_multi_uncertainty)
 }
