@@ -501,6 +501,137 @@ final case class OmercProj(lonc: Double, lat0: Double, alphaDeg: Double, ell: El
   }
 }
 
+/** proj=omerc on an ellipsoid — Hotine oblique Mercator, Snyder
+  * 9-11..9-49 ("Alternative B" / PROJ conventions: alpha at the centre
+  * point, gamma = 0 rotation, u_0 offset subtracted as PROJ does by
+  * default). The spherical [[OmercProj]] keeps Snyder's unrotated axis
+  * convention; this class matches PROJ, which the reference drives through
+  * pyproj (`geometry.py:946-951`). */
+final case class HotineOmercProj(lonc: Double, lat0: Double, alphaDeg: Double, ell: Ellipsoid)
+    extends Projection {
+  private val e = ell.e
+  private val e2 = ell.e2
+  private val k0 = 1.0
+  private val phi0 = lat0 * Deg2Rad
+  private val lamC = lonc * Deg2Rad
+  private val alphaC = alphaDeg * Deg2Rad
+
+  private def tsfn(phi: Double): Double = {
+    val esin = e * math.sin(phi)
+    math.tan(math.Pi / 4 - phi / 2) / math.pow((1 - esin) / (1 + esin), e / 2)
+  }
+  private def phiFromT(t: Double): Double = {
+    var phi = math.Pi / 2 - 2 * math.atan(t)
+    var i = 0
+    while (i < 15) {
+      val esin = e * math.sin(phi)
+      val next = math.Pi / 2 - 2 * math.atan(t * math.pow((1 - esin) / (1 + esin), e / 2))
+      if (math.abs(next - phi) < 1e-13) { phi = next; i = 15 } else { phi = next; i += 1 }
+    }
+    phi
+  }
+
+  // Snyder 9-11..9-16 at the centre latitude
+  private val cosPhi0 = math.cos(phi0)
+  private val sinPhi0 = math.sin(phi0)
+  private val bB = math.sqrt(1 + e2 * math.pow(cosPhi0, 4) / (1 - e2))
+  private val aA = ell.a * bB * k0 * math.sqrt(1 - e2) / (1 - e2 * sinPhi0 * sinPhi0)
+  private val t0 = tsfn(phi0)
+  private val dD = math.max(bB * math.sqrt(1 - e2) / (cosPhi0 * math.sqrt(1 - e2 * sinPhi0 * sinPhi0)), 1.0)
+  private val fF = dD + math.sqrt(dD * dD - 1) * (if (phi0 < 0) -1.0 else 1.0)
+  private val eE = fF * math.pow(t0, bB)
+  private val gG = (fF - 1 / fF) / 2
+  // 9-26..9-27 + PROJ's u_0 centre offset
+  private val gamma0 = math.asin(math.sin(alphaC) / dD)
+  private val lam0 = lamC - math.asin(gG * math.tan(gamma0)) / bB
+  private val sinG0 = math.sin(gamma0)
+  private val cosG0 = math.cos(gamma0)
+  private val u0 =
+    math.abs(aA / bB * math.atan2(math.sqrt(dD * dD - 1), math.cos(alphaC))) *
+      (if (phi0 < 0) -1.0 else 1.0)
+
+  def forward(lon: Double, lat: Double): (Double, Double) = {
+    val phi = lat * Deg2Rad
+    if (math.abs(math.abs(phi) - math.Pi / 2) < 1e-12) return (Double.NaN, Double.NaN)
+    val dLam = wrapLonDeg((lon * Deg2Rad - lam0) * Rad2Deg) * Deg2Rad
+    val q = eE / math.pow(tsfn(phi), bB)
+    val s = (q - 1 / q) / 2
+    val t = (q + 1 / q) / 2
+    val v = math.sin(bB * dLam)
+    val u = (-v * cosG0 + s * sinG0) / t
+    if (math.abs(u) >= 1.0 - 1e-15) return (Double.NaN, Double.NaN)
+    val vOut = aA * math.log((1 - u) / (1 + u)) / (2 * bB)
+    val uOut = aA / bB * math.atan2(s * cosG0 + v * sinG0, math.cos(bB * dLam)) - u0
+    // gamma = 0 rotation: x = cross-track v, y = along-track u (PROJ)
+    (vOut, uOut)
+  }
+
+  def inverse(x: Double, y: Double): (Double, Double) = {
+    val v = x
+    val u = y + u0
+    val qp = math.exp(-bB * v / aA)
+    val sp = (qp - 1 / qp) / 2
+    val tp = (qp + 1 / qp) / 2
+    val vp = math.sin(bB * u / aA)
+    val up = (vp * cosG0 + sp * sinG0) / tp
+    if (math.abs(up) >= 1.0) return (wrapLonDeg(lam0 * Rad2Deg), if (up >= 0) 90.0 else -90.0)
+    val t = math.pow(eE / math.sqrt((1 + up) / (1 - up)), 1 / bB)
+    val phi = phiFromT(t)
+    val lam = lam0 - math.atan2(sp * cosG0 - vp * sinG0, math.cos(bB * u / aA)) / bB
+    (wrapLonDeg(lam * Rad2Deg), phi * Rad2Deg)
+  }
+}
+
+object HotineOmercProj {
+  /** Natural origin of the TWO-POINT oblique Mercator (Snyder 9-17..9-24):
+    * the (lonc, lat_0) that PROJ's `omerc +lat_1 +lon_1 +lat_2 +lon_2`
+    * returns for `inverse(0, 0)` — the first step of the reference's
+    * `_compute_omerc_parameters` (`geometry.py:928-932`). Closed form: at
+    * (u, v) = (0, 0) the inverse reduces to (lambda_0, phi(E^(1/B))). */
+  def twoPointNaturalOrigin(
+      lat0Mid: Double, lon1: Double, lat1: Double, lon2: Double, lat2: Double,
+      ell: Ellipsoid): (Double, Double) = {
+    val e = ell.e; val e2 = ell.e2
+    val phi0 = lat0Mid * Projection.Deg2Rad
+    def tsfn(phi: Double): Double = {
+      val esin = e * math.sin(phi)
+      math.tan(math.Pi / 4 - phi / 2) / math.pow((1 - esin) / (1 + esin), e / 2)
+    }
+    val cosPhi0 = math.cos(phi0); val sinPhi0 = math.sin(phi0)
+    val bB = math.sqrt(1 + e2 * math.pow(cosPhi0, 4) / (1 - e2))
+    val t0 = tsfn(phi0)
+    val dD = math.max(bB * math.sqrt(1 - e2) / (cosPhi0 * math.sqrt(1 - e2 * sinPhi0 * sinPhi0)), 1.0)
+    val fF = dD + math.sqrt(dD * dD - 1) * (if (phi0 < 0) -1.0 else 1.0)
+    val eE = fF * math.pow(t0, bB)
+    val phi1 = lat1 * Projection.Deg2Rad; val phi2 = lat2 * Projection.Deg2Rad
+    val lam1 = lon1 * Projection.Deg2Rad; val lam2 = lon2 * Projection.Deg2Rad
+    val hH = math.pow(tsfn(phi1), bB)
+    val lL = math.pow(tsfn(phi2), bB)
+    val f9 = eE / hH
+    val gG = (f9 - 1 / f9) / 2
+    val jJ = (eE * eE - lL * hH) / (eE * eE + lL * hH)
+    val pP = (lL - hH) / (lL + hH)
+    val lam12 = {
+      // keep the mid-longitude branch consistent when crossing the date line
+      var d = lam1 - lam2
+      if (d > math.Pi) d -= 2 * math.Pi
+      if (d < -math.Pi) d += 2 * math.Pi
+      d
+    }
+    val lam0 = (lam1 + lam2) / 2 - math.atan(jJ * math.tan(bB * lam12 / 2) / pP) / bB
+    // phi at the natural origin from t = E^(1/B)
+    val tOrigin = math.pow(eE, 1 / bB)
+    var phi = math.Pi / 2 - 2 * math.atan(tOrigin)
+    var i = 0
+    while (i < 15) {
+      val esin = e * math.sin(phi)
+      val next = math.Pi / 2 - 2 * math.atan(tOrigin * math.pow((1 - esin) / (1 + esin), e / 2))
+      if (math.abs(next - phi) < 1e-13) { phi = next; i = 15 } else { phi = next; i += 1 }
+    }
+    (Projection.wrapLonDeg(lam0 * Projection.Rad2Deg), phi * Projection.Rad2Deg)
+  }
+}
+
 /** A parsed CRS: projection + raw proj4 params (mirrors what
   * `pyresample/utils/proj4.py:29-99` keeps around). */
 final case class Crs(proj: Projection, proj4: String, params: Map[String, String]) {
@@ -559,7 +690,11 @@ object Crs {
       case "stere" => StereProj(lon0, lat0, if (params.contains("lat_ts")) latTs else 90.0 * math.signum(if (lat0 == 0) 1 else lat0), k0, ell)
       case "aeqd"  => AeqdProj(lon0, lat0, ell)
       case "geos"  => GeosProj(lon0, d("h", 35785831.0), params.get("sweep").contains("x"), ell)
-      case "omerc" => OmercProj(d("lonc", lon0), lat0, d("alpha", 0.0), ell)
+      case "omerc" =>
+        // sphere: Snyder's unrotated spherical form (the optimal-bb fit
+        // path); ellipsoid: the Hotine/PROJ-convention form
+        if (ell.isSphere) OmercProj(d("lonc", lon0), lat0, d("alpha", 0.0), ell)
+        else HotineOmercProj(d("lonc", lon0), lat0, d("alpha", 0.0), ell)
       case "lcc"   => LccProj(lon0, lat0, d("lat_1", lat0), d("lat_2", d("lat_1", lat0)), ell)
       case other   => throw new IllegalArgumentException(s"unsupported projection: $other (supported: longlat, eqc, merc, laea, stere, aeqd, geos, omerc)")
     }

@@ -211,6 +211,63 @@ object GeometryOps {
     AreaDef(id, crs, w, h, x0, y1 - h * resolutionMetres, x0 + w * resolutionMetres, y1)
   }
 
+  /** The reference's `_compute_omerc_parameters` (`geometry.py:911-951`)
+    * on the ellipsoid, op-for-op: the two-point Hotine natural origin gives
+    * (lonc, lat_0) (pyproj's `Proj(two-point omerc)(0, 0, inverse=True)`),
+    * then geodesic forward/back azimuths from the origin to the centreline
+    * endpoints are averaged into `alpha`. Matches pyresample's own golden
+    * values (`test_swath.py:252-283`) — see OmercRefSpec. Inputs are the
+    * middle-column centreline: first point, middle latitude, last point. */
+  def computeOmercParametersRef(
+      lon1: Double, lat1: Double, latMid: Double, lon2: Double, lat2: Double,
+      ell: graft.core.Ellipsoid = graft.core.Ellipsoid.WGS84): (Double, Double, Double) = {
+    val (lonc, lat0) =
+      graft.core.HotineOmercProj.twoPointNaturalOrigin(latMid, lon1, lat1, lon2, lat2, ell)
+    val (_, az1a, _) = graft.core.Geodesic.inverse(lonc, lat0, lon2, lat2, ell)
+    var azimuth = az1a
+    val (_, az1b, az2b) = graft.core.Geodesic.inverse(lonc, lat0, lon1, lat1, ell)
+    if (math.abs(az1b - azimuth) > 1) {
+      if (math.abs(az2b - azimuth) <= 1) { azimuth += az2b; azimuth /= 2 }
+      // else: no consistent azimuth — keep az1a (the reference logs a warning)
+    } else { azimuth += az1b; azimuth /= 2 }
+    if (math.abs(azimuth) > 90) azimuth = 180 + azimuth
+    (lonc, lat0, azimuth)
+  }
+
+  /** `compute_optimal_bb_area` with the reference's ellipsoidal fit: the
+    * centreline is extracted exactly like [[computeOptimalBbArea]], but the
+    * frame parameters come from [[computeOmercParametersRef]] (PROJ-
+    * convention Hotine omerc) and the extent is frozen from the projected
+    * footprint in that frame. */
+  def computeOptimalBbAreaRef(
+      swath: DataFrame, // (y, x, lon, lat)
+      resolutionMetres: Double,
+      id: String = "omerc_ref",
+      ell: graft.core.Ellipsoid = graft.core.Ellipsoid.WGS84): AreaDef = {
+    import org.apache.spark.sql.Row
+    val swathD = swath
+      .withColumn("lon", col("lon").cast("double"))
+      .withColumn("lat", col("lat").cast("double"))
+    val Row(xMid: Int) = swathD.select(((max("x") + min("x")) / 2).cast("int")).head()
+    val centre = swathD.filter(col("x") === xMid)
+      .select("y", "lon", "lat").orderBy("y").collect()
+    require(centre.length >= 2, "swath centreline too short")
+    val (lo1, la1) = (centre.head.getDouble(1), centre.head.getDouble(2))
+    val (lo2, la2) = (centre.last.getDouble(1), centre.last.getDouble(2))
+    val laMid = centre(centre.length / 2).getDouble(2)
+    val (lonc, lat0, alpha) = computeOmercParametersRef(lo1, la1, laMid, lo2, la2, ell)
+    val crs = graft.core.Crs.fromParams(Map(
+      "proj" -> "omerc", "lonc" -> lonc.toString, "lat_0" -> lat0.toString,
+      "alpha" -> alpha.toString, "a" -> ell.a.toString, "b" -> ell.b.toString))
+    val Row(x0: Double, x1: Double, y0: Double, y1: Double) = withProjected(
+      swathD.filter(legalLonLat(col("lon"), col("lat"))), crs)
+      .agg(min(col("proj_x")), max(col("proj_x")), min(col("proj_y")), max(col("proj_y")))
+      .head()
+    val w = math.max(1, math.ceil((x1 - x0) / resolutionMetres).toInt)
+    val h = math.max(1, math.ceil((y1 - y0) / resolutionMetres).toInt)
+    AreaDef(id, crs, w, h, x0, y1 - h * resolutionMetres, x0 + w * resolutionMetres, y1)
+  }
+
   /** geocentric_resolution (`geometry.py:2691-2765` / `:702-763`): modal
     * nearest-neighbour pitch of a point set, estimated from consecutive
     * distances along a deterministic sample. Feeds the default
