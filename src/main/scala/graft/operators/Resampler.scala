@@ -234,14 +234,18 @@ object GeometryOps {
     (lonc, lat0, azimuth)
   }
 
-  /** `compute_optimal_bb_area` with the reference's ellipsoidal fit: the
-    * centreline is extracted exactly like [[computeOptimalBbArea]], but the
-    * frame parameters come from [[computeOmercParametersRef]] (PROJ-
-    * convention Hotine omerc) and the extent is frozen from the projected
-    * footprint in that frame. */
+  /** `compute_optimal_bb_area` with the reference's FULL ellipsoidal
+    * pipeline (`geometry.py:977-1041`), reproducing its golden outputs
+    * (OmercRefSpec): frame parameters from [[computeOmercParametersRef]]
+    * (PROJ-convention Hotine omerc); uniform shape from geodesic row
+    * widths / centreline height with the 1.1 margin and int() truncation
+    * (`_compute_uniform_shape`); extent frozen from the projected swath
+    * EDGE points treated as pixel centres (`compute_domain`:1168-1177).
+    * Driver-side work is bounded: one centreline collect + one grid-edge
+    * collect. */
   def computeOptimalBbAreaRef(
-      swath: DataFrame, // (y, x, lon, lat)
-      resolutionMetres: Double,
+      swath: DataFrame, // (y, x, lon, lat) gridded
+      resolutionMetres: Option[Double] = None,
       id: String = "omerc_ref",
       ell: graft.core.Ellipsoid = graft.core.Ellipsoid.WGS84): AreaDef = {
     import org.apache.spark.sql.Row
@@ -259,13 +263,44 @@ object GeometryOps {
     val crs = graft.core.Crs.fromParams(Map(
       "proj" -> "omerc", "lonc" -> lonc.toString, "lat_0" -> lat0.toString,
       "alpha" -> alpha.toString, "a" -> ell.a.toString, "b" -> ell.b.toString))
-    val Row(x0: Double, x1: Double, y0: Double, y1: Double) = withProjected(
-      swathD.filter(legalLonLat(col("lon"), col("lat"))), crs)
-      .agg(min(col("proj_x")), max(col("proj_x")), min(col("proj_y")), max(col("proj_y")))
-      .head()
-    val w = math.max(1, math.ceil((x1 - x0) / resolutionMetres).toInt)
-    val h = math.max(1, math.ceil((y1 - y0) / resolutionMetres).toInt)
-    AreaDef(id, crs, w, h, x0, y1 - h * resolutionMetres, x0 + w * resolutionMetres, y1)
+
+    // grid bounds + edge rows/columns (bounded collect: 2(rows+cols) points)
+    val Row(yLo: Int, yHi: Int, xLo: Int, xHi: Int) =
+      swathD.agg(min("y"), max("y"), min("x"), max("x")).head()
+    val edge = swathD
+      .filter(col("y") === yLo || col("y") === yHi || col("x") === xLo || col("x") === xHi)
+      .filter(legalLonLat(col("lon"), col("lat")))
+      .select("y", "x", "lon", "lat").collect()
+    def pointAt(yv: Int, xv: Int): Option[(Double, Double)] =
+      edge.find(r => r.getInt(0) == yv && r.getInt(1) == xv)
+        .map(r => (r.getDouble(2), r.getDouble(3)))
+
+    // _compute_uniform_shape: geodesic widths of the first/last rows, height
+    // along the centreline; min width; 1.1 margin; int() truncation
+    val widths = Seq(
+      (pointAt(yLo, xLo), pointAt(yLo, xHi)),
+      (pointAt(yHi, xLo), pointAt(yHi, xHi))).flatMap {
+      case (Some((loA, laA)), Some((loB, laB))) =>
+        Some(graft.core.Geodesic.inverse(loA, laA, loB, laB, ell)._1)
+      case _ => None
+    }
+    require(widths.nonEmpty, "swath edge rows missing")
+    val width = widths.min
+    val height = graft.core.Geodesic.inverse(lo1, la1, lo2, la2, ell)._1
+    val nRows = yHi - yLo + 1; val nCols = xHi - xLo + 1
+    val res = resolutionMetres.getOrElse(math.min(height / nRows, width / nCols))
+    val wPix = math.max(2, (width * 1.1 / res).toInt)
+    val hPix = math.max(2, (height * 1.1 / res).toInt)
+
+    // freeze over the projected edge points as pixel centres
+    val pts = edge.map(r => crs.forward(r.getDouble(2), r.getDouble(3)))
+      .filterNot(p => p._1.isNaN || p._2.isNaN)
+    require(pts.nonEmpty, "no projectable edge points")
+    val xs = pts.map(_._1); val ys = pts.map(_._2)
+    val xres = (xs.max - xs.min) / (wPix - 1)
+    val yres = (ys.max - ys.min) / (hPix - 1)
+    AreaDef(id, crs, wPix, hPix,
+      xs.min - xres / 2, ys.min - yres / 2, xs.max + xres / 2, ys.max + yres / 2)
   }
 
   /** geocentric_resolution (`geometry.py:2691-2765` / `:702-763`): modal
