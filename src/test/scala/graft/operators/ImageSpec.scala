@@ -1,0 +1,71 @@
+package graft.operators
+
+import graft.SparkSpec
+import graft.core.{AreaDef, Crs}
+import org.apache.spark.sql.functions._
+
+/** ImageContainer facade (`pyresample/image.py`). */
+class ImageSpec extends SparkSpec {
+
+  private val ll = Crs.fromProj4("+proj=longlat")
+
+  test("ImageContainerQuick resamples area->area by projection (image.py:133-200)") {
+    val s = spark
+    import s.implicits._
+    val src = AreaDef("src", ll, 10, 10, 0, 0, 10, 10)
+    // value = cell id, so the gather is directly checkable
+    val data = (0 until 100).map(c => (c.toLong, c.toDouble)).toDF("cell", "v")
+    val img = new ImageContainerQuick(AreaImage(data, src, Seq("v")))
+    val dstArea = AreaDef("dst", ll, 5, 5, 0, 0, 5, 5) // lower-left quadrant at half res
+    val out = img.resample(dstArea)
+    assert(out.area == dstArea && out.channels == Seq("v"))
+    val got = out.data.collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(got.size == 25)
+    // target cell 0 centre = (0.5, 4.5) -> source row 5, col 0 -> cell 50
+    assert(got(0L) == 50.0)
+    // target cell 24 centre = (4.5, 0.5) -> source row 9, col 4 -> cell 94
+    assert(got(24L) == 94.0)
+    // chains: resampling the result again is possible (contract of image.py)
+    val again = new ImageContainerQuick(out).resample(src)
+    assert(again.data.count() == 100)
+  }
+
+  test("ImageContainerNearest resamples a swath with reduce_data (image.py:203-280)") {
+    val s = spark
+    import s.implicits._
+    val sw = (1 to 500).map { i =>
+      val lon = (i % 25).toDouble; val lat = (i / 25).toDouble
+      (i.toLong, lon, lat, lon + lat)
+    }.toDF("src_id", "lon", "lat", "v")
+    val dstArea = AreaDef("dst", ll, 10, 10, 2, 2, 12, 12)
+    val img = new ImageContainerNearest(SwathImage(sw, Seq("v")), radiusOfInfluence = 120000.0)
+    val out = img.resample(dstArea)
+    val got = out.data.collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(got.nonEmpty)
+    // centre of target cell (row 0, col 0) = lon 2.5, lat 11.5 -> nearest
+    // swath point within ~0.7 deg; value = lon + lat of that point
+    got.foreach { case (cell, v) => assert(v >= 0 && v <= 40, s"cell $cell v $v") }
+    // filled() scatters onto the full grid with the fill value in holes
+    val full = out.filled(lit(-1.0))
+    assert(full.count() == 100)
+  }
+
+  test("ImageContainerBilinear smoke (image.py:283-342)") {
+    val s = spark
+    import s.implicits._
+    val sw = (for { y <- 0 until 30; x <- 0 until 30 } yield {
+      val lon = x * 0.5; val lat = y * 0.5
+      ((y * 30 + x).toLong, lon, lat, lon * 2 + lat)
+    }).toDF("src_id", "lon", "lat", "v")
+    val dstArea = AreaDef("dst", ll, 6, 6, 3, 3, 9, 9)
+    val out = new ImageContainerBilinear(SwathImage(sw, Seq("v")), 200000.0).resample(dstArea)
+    val got = out.data.collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(got.nonEmpty)
+    // bilinear of the linear field lon*2 + lat reproduces it at the centres
+    got.foreach { case (cell, v) =>
+      val lon = dstArea.projX((cell % 6).toInt)
+      val lat = dstArea.projY((cell / 6).toInt)
+      assert(approx(v, lon * 2 + lat, 1e-6), s"cell $cell: $v vs ${lon * 2 + lat}")
+    }
+  }
+}
