@@ -131,13 +131,16 @@ object Queries {
 
   val q06_bucket_absmax: Q = Q(
     (s, d) => {
-      val w = Window.partitionBy("cell")
-        .orderBy(abs(col("v2")).desc, col("v2").desc, col("pid").asc)
+      // lexicographic max(struct(|v2|, v2, -pid)) selects exactly the row a
+      // row_number window over (|v2| DESC, v2 DESC, pid ASC) would rank
+      // first — but as a hash aggregation with map-side partial combine:
+      // one slim row per (task, cell) enters the shuffle instead of every
+      // swath row passing through a sort
       bucket.withCell(swath(s, d))
         .withColumn("v2", col("value") - lit(25.0))
-        .withColumn("rn", row_number().over(w))
-        .filter(col("rn") === 1)
-        .select(col("cell"), col("v2").as("abs_max"))
+        .groupBy("cell")
+        .agg(max(struct(abs(col("v2")), col("v2"), (-col("pid")).as("_np"))).as("_m"))
+        .select(col("cell"), col("_m.v2").as("abs_max"))
         .orderBy("cell")
     },
     Some(s"""WITH $swathSql, $swCellSql,
