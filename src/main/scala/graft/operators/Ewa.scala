@@ -242,6 +242,114 @@ object EwaResample {
       maximumWeightMode = false, quantizeWeights, quantizeCr))
   }
 
+  /** Pure-Scala per-scan scatter kernel: the same semantics as [[scatter]]
+    * restricted to ONE scan's pixels, for call sites that hold a complete
+    * scan in memory — the streaming path's state-timeout flush
+    * (`streaming/StreamingOps.ewaStream`). Emits (cell, w, w*value).
+    * Mirrors the DataFrame pipeline exactly: lead/lag over the PRESENT
+    * mid-row columns, first/last-row column gradients, circular fallback
+    * on missing/NaN params, pixels whose column has no params are dropped. */
+  private[graft] def scatterScan(
+      pts: Seq[(Int, Int, Double, Double, Double)], // (y, x, lon, lat, value)
+      area: AreaDef,
+      rowsPerScan: Int,
+      weightMin: Double = 0.01,
+      weightDistanceMax: Double = 1.0,
+      weightDeltaMax: Double = 10.0): Iterator[(Long, Double, Double)] = {
+    if (pts.isEmpty) return Iterator.empty
+    val qmax = weightDistanceMax * weightDistanceMax
+    val alpha = -math.log(weightMin) / qmax
+    val rps = if (rowsPerScan <= 0) Int.MaxValue else rowsPerScan
+
+    final case class P(yIn: Long, x: Int, u: Double, v: Double, value: Double)
+    val ps = pts.map { case (y, x, lon, lat, value) =>
+      val (px, py) = area.crs.forward(lon, lat)
+      val legal = lon >= -180 && lon <= 180 && lat >= -90 && lat <= 90
+      P(if (rowsPerScan <= 0) y.toLong else (y % rps).toLong, x,
+        if (legal) area.fracCol(px) else Double.NaN,
+        if (legal) area.fracRow(py) else Double.NaN, value)
+    }
+    val y0 = ps.map(_.yIn).min
+    val y1 = ps.map(_.yIn).max
+    val ymid = (y0 + y1 + 1) / 2
+
+    // ux/vx: central differences over the present mid-row columns
+    val mid = ps.filter(_.yIn == ymid).sortBy(_.x)
+    val midParams: Map[Int, (Option[Double], Option[Double])] =
+      mid.indices.map { i =>
+        val uxvx =
+          if (i == 0 || i == mid.size - 1) (None, None)
+          else (Some((mid(i + 1).u - mid(i - 1).u) / 2.0 * weightDistanceMax),
+            Some((mid(i + 1).v - mid(i - 1).v) / 2.0 * weightDistanceMax))
+        mid(i).x -> uxvx
+      }.toMap
+
+    // uy/vy: first-to-last row difference per column
+    val flParams: Map[Int, (Option[Double], Option[Double])] = ps
+      .filter(p => p.yIn == y0 || p.yIn == y1)
+      .groupBy(_.x)
+      .map { case (x, rows) =>
+        val uF = rows.find(_.yIn == y0).map(_.u)
+        val uL = rows.find(_.yIn == y1).map(_.u)
+        val vF = rows.find(_.yIn == y0).map(_.v)
+        val vL = rows.find(_.yIn == y1).map(_.v)
+        val dy = y1 - y0
+        val du = for { a <- uL; b <- uF } yield a - b
+        val dv = for { a <- vL; b <- vF } yield a - b
+        x -> (
+          du.map(d => if (dy > 0) d / dy * weightDistanceMax else 0.0),
+          dv.map(d => if (dy > 0) d / dy * weightDistanceMax else 0.0))
+      }
+
+    val eps = 1e-16
+    val paramXs = midParams.keySet ++ flParams.keySet
+    val params: Map[Int, (Double, Double, Double, Double, Double)] = paramXs.map { x =>
+      val (uxO, vxO) = midParams.getOrElse(x, (None, None))
+      val (uyO, vyO) = flParams.getOrElse(x, (None, None))
+      val bad = uxO.isEmpty || vxO.isEmpty || uyO.isEmpty || vyO.isEmpty ||
+        (uxO ++ vxO ++ uyO ++ vyO).exists(_.isNaN)
+      if (bad) x -> (0.0, 0.0, 0.0, weightDistanceMax, weightDistanceMax)
+      else {
+        val ux = uxO.get; val vx = vxO.get; val uy = uyO.get; val vy = vyO.get
+        val fs0 = ux * vy - uy * vx
+        val fs = math.max(fs0 * fs0, eps)
+        val fq = qmax / fs
+        val ea = (vx * vx + vy * vy) * fq
+        val eb = -2.0 * (ux * vx + uy * vy) * fq
+        val ec = (ux * ux + uy * uy) * fq
+        val d = math.max(4.0 * ea * ec - eb * eb, eps)
+        val d4 = 4.0 * qmax / d
+        x -> (ea, eb, ec,
+          math.min(math.sqrt(ec * d4), weightDeltaMax),
+          math.min(math.sqrt(ea * d4), weightDeltaMax))
+      }
+    }.toMap
+
+    ps.iterator
+      .filter(p => !p.u.isNaN && !p.v.isNaN && !p.value.isNaN && params.contains(p.x))
+      .flatMap { p =>
+        val (ea, eb, ec, uDel, vDel) = params(p.x)
+        if (p.u < -uDel || p.v < -vDel) Iterator.empty
+        else {
+          val iu1 = math.max(math.floor(p.u - uDel).toInt, 0)
+          val iu2 = math.min(math.floor(p.u + uDel).toInt, area.width - 1)
+          val iv1 = math.max(math.floor(p.v - vDel).toInt, 0)
+          val iv2 = math.min(math.floor(p.v + vDel).toInt, area.height - 1)
+          for {
+            iu <- (iu1 to iu2).iterator
+            iv <- (iv1 to iv2).iterator
+            du = iu + 0.5 - p.u
+            dv = iv + 0.5 - p.v
+            q = ea * du * du + eb * du * dv + ec * dv * dv
+            if q >= 0 && q < qmax
+          } yield {
+            val w = math.exp(-alpha * q)
+            (iv.toLong * area.width + iu, w, w * p.value)
+          }
+        }
+      }
+  }
+
   /** Multi-channel EWA (`ewa/_fornav.pyx` chan_count): all channels share
     * the scan geometry, footprints and weights; one aggregation computes
     * every channel's weighted mean with per-channel validity (fill pixels

@@ -44,4 +44,77 @@ object StreamingOps {
       .withWatermark("ts", watermark)
       .groupBy(window(col("ts"), windowDuration), col("event_type"))
       .agg(count(lit(1)).as("n"), sum(col("value")).as("sum_v"))
+
+  /** One swath pixel on the stream. */
+  final case class EwaPixel(ts: java.sql.Timestamp, y: Int, x: Int,
+      lon: Double, lat: Double, value: Double)
+  /** Keyed state: the scan's buffered pixels + max event time seen. */
+  final case class ScanBuffer(pixels: Seq[(Int, Int, Double, Double, Double)], maxTs: Long)
+  /** One scattered contribution: cell id, weight, weight x value. */
+  final case class CellPartial(cell: Long, w: Double, wv: Double)
+
+  /** Streaming EWA (extension of A8/J7 to incremental swaths): pixels of a
+    * scan arrive out of order; each scan (block of `rowsPerScan` swath
+    * rows) buffers in keyed state via `flatMapGroupsWithState` until its
+    * event-time timeout fires (`flushDelayMs` past the scan's last pixel),
+    * then the complete scan runs the per-scan Jacobian + footprint-scatter
+    * kernel (`EwaResample.scatterScan` — identical semantics to the batch
+    * pipeline) and emits per-cell (w, w*value) partials. Feed the result to
+    * [[ewaRunningMean]] for the running per-cell weighted mean.
+    *
+    * State is O(rowsPerScan x scan width) per in-flight scan and is freed
+    * on flush — bounded regardless of stream length. */
+  def ewaStream(
+      stream: DataFrame, // (ts TIMESTAMP, y, x, lon, lat, value)
+      area: AreaDef,
+      rowsPerScan: Int,
+      flushDelayMs: Long = 60000L,
+      watermark: String = "2 minutes",
+      weightMin: Double = 0.01,
+      weightDistanceMax: Double = 1.0,
+      weightDeltaMax: Double = 10.0): DataFrame = {
+    import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
+    val spark = stream.sparkSession
+    import spark.implicits._
+    stream
+      .withWatermark("ts", watermark)
+      .as[EwaPixel]
+      .groupByKey(p => if (rowsPerScan <= 0) 0L else (p.y / rowsPerScan).toLong)
+      .flatMapGroupsWithState[ScanBuffer, CellPartial](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        case (_, rows, state) =>
+          if (state.hasTimedOut) {
+            val buf = state.get
+            state.remove()
+            graft.operators.EwaResample
+              .scatterScan(buf.pixels, area, rowsPerScan,
+                weightMin, weightDistanceMax, weightDeltaMax)
+              .map { case (cell, w, wv) => CellPartial(cell, w, wv) }
+          } else {
+            val prev = state.getOption.getOrElse(ScanBuffer(Nil, 0L))
+            val fresh = rows.map(p => ((p.y, p.x, p.lon, p.lat, p.value), p.ts.getTime)).toSeq
+            val maxTs = (prev.maxTs +: fresh.map(_._2)).max
+            state.update(ScanBuffer(prev.pixels ++ fresh.map(_._1), maxTs))
+            state.setTimeoutTimestamp(maxTs + flushDelayMs)
+            Iterator.empty
+          }
+      }
+      .toDF()
+  }
+
+  /** Running per-cell weighted mean over [[ewaStream]] partials — an
+    * incremental aggregation (update/complete output modes).
+    *
+    * Note: Spark statically flags any aggregation downstream of
+    * flatMapGroupsWithState as a possible late-row hazard. The partials
+    * here carry no event time and the aggregation is a running total
+    * (complete/update mode — nothing is watermark-discarded), so the
+    * warning does not apply; run the query with
+    * `spark.sql.streaming.statefulOperator.checkCorrectness.enabled=false`. */
+  def ewaRunningMean(partials: DataFrame, weightSumMin: Double = 0.01): DataFrame =
+    partials
+      .groupBy("cell")
+      .agg(sum(col("wv")).as("_swv"), sum(col("w")).as("_sw"))
+      .filter(col("_sw") >= weightSumMin)
+      .select(col("cell"), (col("_swv") / col("_sw")).as("value"), col("_sw").as("weight_sum"))
 }

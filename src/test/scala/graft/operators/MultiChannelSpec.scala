@@ -42,6 +42,53 @@ class MultiChannelSpec extends SparkSpec {
     }
   }
 
+  test("streaming EWA (flatMapGroupsWithState) matches the batch pipeline after scan flush") {
+    val s = spark
+    import s.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sq = s.sqlContext
+
+    // running-total aggregation after flatMapGroupsWithState: the static
+    // late-row check does not apply (see ewaRunningMean scaladoc)
+    s.conf.set("spark.sql.streaming.statefulOperator.checkCorrectness.enabled", "false")
+    val area = AreaDef("ewa_s", Crs.fromProj4("+proj=longlat"), 20, 10, 0, 0, 20, 10)
+    val mem = MemoryStream[(java.sql.Timestamp, Int, Int, Double, Double, Double)]
+    val stream = mem.toDF.toDF("ts", "y", "x", "lon", "lat", "value")
+    val partials = graft.streaming.StreamingOps.ewaStream(
+      stream, area, rowsPerScan = 5, flushDelayMs = 1000, watermark = "0 seconds")
+    val query = graft.streaming.StreamingOps.ewaRunningMean(partials)
+      .writeStream.format("memory").queryName("ewa_stream_test")
+      .outputMode("complete").start()
+    try {
+      val t0 = java.sql.Timestamp.valueOf("2026-01-01 10:00:00")
+      // two complete scans (y 0..4 and 5..9) on a clean grid: u = x+0.5, v = y+0.5
+      val pixels = for { y <- 0 until 10; x <- 0 until 20 } yield
+        (y, x, x + 0.5, 10.0 - (y + 0.5), (y * 3 + x).toDouble % 17)
+      mem.addData(pixels.map { case (y, x, lo, la, v) => (t0, y, x, lo, la, v) })
+      query.processAllAvailable()
+      // advance the watermark far past the scans' flush deadline, twice:
+      // the timeout fires on the batch AFTER the watermark moves
+      val later = new java.sql.Timestamp(t0.getTime + 3600L * 1000)
+      mem.addData(Seq((later, 1000, 0, 0.5, 9.5, 1.0)))
+      query.processAllAvailable()
+      mem.addData(Seq((new java.sql.Timestamp(later.getTime + 1000), 1000, 1, 1.5, 9.5, 1.0)))
+      query.processAllAvailable()
+
+      val got = s.table("ewa_stream_test").collect()
+        .map(r => r.getAs[Long]("cell") -> r.getAs[Double]("value")).toMap
+      val batch = EwaResample.resample(
+        pixels.toDF("y", "x", "lon", "lat", "value"), area, rowsPerScan = 5)
+        .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+      assert(batch.nonEmpty)
+      assert(got.keySet == batch.keySet,
+        s"cells differ: extra=${got.keySet -- batch.keySet} missing=${batch.keySet -- got.keySet}")
+      batch.foreach { case (c, v) => assert(approx(got(c), v, 1e-9), s"cell $c: ${got(c)} vs $v") }
+    } finally {
+      query.stop()
+      s.conf.set("spark.sql.streaming.statefulOperator.checkCorrectness.enabled", "true")
+    }
+  }
+
   test("dynamic-grid EWA fits the footprint and matches the static grid (ll2cr_dynamic)") {
     val s = spark
     import s.implicits._
