@@ -88,17 +88,21 @@ object Similarity {
       idC: String = "cid",
       vecCol: String = "embedding"): DataFrame = {
     // deterministic "training": the nCentroids candidates with the smallest
-    // id-hash — a uniform pseudo-random subset. orderBy+limit compiles to
-    // TakeOrderedAndProject (per-partition top-k + driver merge): no global
-    // sort exchange, no extra count() action, scales to any candidate count.
+    // id-hash (md5-derived, engine-portable) — a uniform pseudo-random
+    // subset. orderBy+limit compiles to TakeOrderedAndProject (per-partition
+    // top-k + driver merge): no global sort exchange, no extra count()
+    // action, scales to any candidate count.
+    val idHash = conv(substring(md5(col("centroid_id").cast("string")), 1, 15), 16, 10).cast("long")
     val centroids = candidates.select(col(idC).as("centroid_id"), col(vecCol).as("_ctr"))
-      .orderBy(xxhash64(col("centroid_id")), col("centroid_id"))
+      .orderBy(idHash, col("centroid_id"))
       .limit(nCentroids)
 
     def assign(df: DataFrame, id: String, v: String, keep: Int): DataFrame = {
+      // similarity quantized before ranking so the assignment is identical
+      // across engines/float orders; ties break on centroid id
       val w = Window.partitionBy(id).orderBy(col("_csim").desc, col("centroid_id").asc)
       df.crossJoin(broadcast(centroids))
-        .withColumn("_csim", cosineSimilarity(col(v), col("_ctr")))
+        .withColumn("_csim", round(cosineSimilarity(col(v), col("_ctr")), 6))
         .withColumn("_crk", row_number().over(w))
         .filter(col("_crk") <= keep)
         .drop("_ctr", "_csim", "_crk")

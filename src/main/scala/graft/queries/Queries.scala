@@ -1368,6 +1368,41 @@ object Queries {
       GROUP BY b.r0, b.r1, b.c0, b.c1"""
     })
 
+  /** IVF ANN (inverted-list probe): deterministic md5-hash centroid subset,
+    * argmax-cosine assignment, nProbe-list probe + exact rerank — the whole
+    * pipeline replayed in DuckDB (centroid pick via the same md5-derived
+    * 60-bit hash, assignment/rerank on round-6 cosine). */
+  val q51_ivf_topk: Q = Q(
+    (s, d) => {
+      val emb = table(s, d, "embeddings")
+      val q = emb.filter(col("vec_id") % 100 === 0).select(col("vec_id").as("qid"), col("embedding"))
+      val c = emb.select(col("vec_id").as("cid"), col("embedding"))
+      Similarity.ivfTopK(q, c, k = 10, nCentroids = 16, nProbe = 4).orderBy("qid", "rank")
+    },
+    Some("""WITH hs AS (SELECT vec_id, embedding,
+               CAST('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 15) AS BIGINT) AS h
+             FROM embeddings),
+      ctr AS (SELECT vec_id AS centroid_id, embedding AS cemb FROM hs ORDER BY h, vec_id LIMIT 16),
+      ca AS (SELECT e.vec_id AS cid, e.embedding, t.centroid_id,
+               ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY
+                 ROUND(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), CAST(t.cemb AS DOUBLE[])), 6) DESC,
+                 t.centroid_id ASC) AS crk
+             FROM embeddings e CROSS JOIN ctr t),
+      cass AS (SELECT cid, embedding, centroid_id FROM ca WHERE crk = 1),
+      qa AS (SELECT e.vec_id AS qid, e.embedding, t.centroid_id,
+               ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY
+                 ROUND(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), CAST(t.cemb AS DOUBLE[])), 6) DESC,
+                 t.centroid_id ASC) AS crk
+             FROM embeddings e CROSS JOIN ctr t
+             WHERE e.vec_id % 100 = 0),
+      qass AS (SELECT qid, embedding, centroid_id FROM qa WHERE crk <= 4),
+      rr AS (SELECT q.qid, c.cid,
+               ROUND(list_cosine_similarity(CAST(q.embedding AS DOUBLE[]), CAST(c.embedding AS DOUBLE[])), 6) AS sim_r
+             FROM qass q JOIN cass c ON c.centroid_id = q.centroid_id),
+      rk AS (SELECT qid, cid, sim_r,
+               CAST(ROW_NUMBER() OVER (PARTITION BY qid ORDER BY sim_r DESC, cid ASC) AS INTEGER) AS rank FROM rr)
+      SELECT qid, cid, rank, sim_r AS sim FROM rk WHERE rank <= 10 ORDER BY qid, rank"""))
+
   // -------------------------------------------------------------- registry
 
   val all: Seq[(String, Q)] = Seq(
@@ -1419,5 +1454,6 @@ object Queries {
     "q47_optimal_bb" -> q47_optimal_bb,
     "q48_omerc_fit" -> q48_omerc_fit,
     "q49_swath_slice" -> q49_swath_slice,
-    "q50_multi_uncertainty" -> q50_multi_uncertainty)
+    "q50_multi_uncertainty" -> q50_multi_uncertainty,
+    "q51_ivf_topk" -> q51_ivf_topk)
 }
