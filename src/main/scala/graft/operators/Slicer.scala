@@ -55,23 +55,38 @@ object SwathSlicer {
   /** The assembled (rowStart, rowEnd, colStart, colEnd) — inclusive — of
     * blocks whose bbox intersects the target, expanded by one pixel
     * (`slicer.py:157-159` expand_slice + `:122-128` _assemble_slices).
-    * None when nothing intersects (`IncompatibleAreas`). */
+    * None when nothing intersects (`IncompatibleAreas`).
+    *
+    * Lon/lat targets run fully distributed (the planar overlap test is a
+    * filter + one min/max aggregation — no block collect, any swath size).
+    * Projected targets need the spherical polygon test per block, so the
+    * block table is collected — bounded by (grid size / block size)²;
+    * raise blockRows/blockCols for very large swaths. */
   def sliceBounds(swath: DataFrame, target: AreaDef,
       blockRows: Int = 32, blockCols: Int = 32,
       yCol: String = "y", xCol: String = "x",
       lonCol: String = "lon", latCol: String = "lat"): Option[(Long, Long, Long, Long)] = {
     val blocks = blockBounds(swath, blockRows, blockCols, yCol, xCol, lonCol, latCol)
-      .collect() // bounded: one row per tile of the swath grid
-    lazy val targetPoly = target.boundaryPolygon()
-    val hits = blocks.filter { r =>
-      bboxIntersectsTarget(target,
-        r.getAs[Double]("lon_min"), r.getAs[Double]("lat_min"),
-        r.getAs[Double]("lon_max"), r.getAs[Double]("lat_max"), targetPoly)
+    if (target.crs.isLonLat) {
+      val hit = blocks.filter(
+        col("lon_min") <= target.xUR && col("lon_max") >= target.xLL &&
+          col("lat_min") <= target.yUR && col("lat_max") >= target.yLL)
+      val r = hit.agg(min("y0"), max("y1"), min("x0"), max("x1")).head()
+      if (r.isNullAt(0)) None
+      else Some((r.getLong(0) - 1, r.getLong(1) + 1, r.getLong(2) - 1, r.getLong(3) + 1))
+    } else {
+      val collected = blocks.collect()
+      lazy val targetPoly = target.boundaryPolygon()
+      val hits = collected.filter { r =>
+        bboxIntersectsTarget(target,
+          r.getAs[Double]("lon_min"), r.getAs[Double]("lat_min"),
+          r.getAs[Double]("lon_max"), r.getAs[Double]("lat_max"), targetPoly)
+      }
+      if (hits.isEmpty) None
+      else Some((
+        hits.map(_.getAs[Long]("y0")).min - 1, hits.map(_.getAs[Long]("y1")).max + 1,
+        hits.map(_.getAs[Long]("x0")).min - 1, hits.map(_.getAs[Long]("x1")).max + 1))
     }
-    if (hits.isEmpty) None
-    else Some((
-      hits.map(_.getAs[Long]("y0")).min - 1, hits.map(_.getAs[Long]("y1")).max + 1,
-      hits.map(_.getAs[Long]("x0")).min - 1, hits.map(_.getAs[Long]("x1")).max + 1))
   }
 
   /** Crop the swath to the assembled slice — a pushdown-friendly range
