@@ -119,6 +119,42 @@ object Similarity {
       .select(col(idQ), col(idC), col("rank"), col("sim_r").as("sim"))
   }
 
+  /** Embedding-cosine near-duplicate pairs: candidates share an LSH
+    * signature band; exact cosine verify keeps pairs >= threshold. The
+    * dedup flavour of [[lshTopK]] — same banded join (no all-pairs), pair
+    * output (id1 < id2) ready for `Dedup.dropNearDuplicates`. Recall < 1 by
+    * construction (banding); raise nBits/band count for tighter recall. */
+  def cosineNearDup(
+      items: DataFrame,
+      dim: Int,
+      threshold: Double,
+      nBits: Int = 16,
+      seed: Long = 42L,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame = {
+    val nBands = nBits / 8
+    val sig = withLshSignature(items.select(col(idCol), col(vecCol)), dim, nBits, seed, vecCol)
+    val bandStructs = (0 until nBands).map { b =>
+      struct(lit(b).as("band_idx"),
+        shiftrightunsigned(col("lsh_sig"), b * 8).bitwiseAND(0xffL).as("band"))
+    }
+    val bands = sig
+      .select(col(idCol), explode(array(bandStructs: _*)).as("_b"))
+      .select(col(idCol), col("_b.band_idx").as("band_idx"), col("_b.band").as("band"))
+    val cand = bands.as("a")
+      .join(bands.as("b"),
+        col("a.band_idx") === col("b.band_idx") && col("a.band") === col("b.band") &&
+          col(s"a.$idCol") < col(s"b.$idCol"))
+      .select(col(s"a.$idCol").as("d1"), col(s"b.$idCol").as("d2"))
+      .distinct()
+    cand
+      .join(items.select(col(idCol).as("d1"), col(vecCol).as("_v1")), "d1")
+      .join(items.select(col(idCol).as("d2"), col(vecCol).as("_v2")), "d2")
+      .withColumn("sim", round(cosineSimilarity(col("_v1"), col("_v2")), 6))
+      .filter(col("sim") >= threshold)
+      .select("d1", "d2", "sim")
+  }
+
   /** LSH-bucketed approximate top-k: candidates = vectors sharing any
     * 8-bit band of the signature with the query; exact cosine rerank on
     * candidates. Recall < 1 by construction (approximate), cost ~ bucket

@@ -1403,6 +1403,32 @@ object Queries {
                CAST(ROW_NUMBER() OVER (PARTITION BY qid ORDER BY sim_r DESC, cid ASC) AS INTEGER) AS rank FROM rr)
       SELECT qid, cid, rank, sim_r AS sim FROM rk WHERE rank <= 10 ORDER BY qid, rank"""))
 
+  /** Embedding-cosine near-duplicate detection (the dedup flavour of the
+    * LSH pipeline): banded signature join -> exact round-6 cosine verify at
+    * a threshold. Oracle: same hyperplane literals + band arithmetic as
+    * q44, plus the verify filter. */
+  val q52_cosine_neardup: Q = Q(
+    (s, d) =>
+      Similarity.cosineNearDup(table(s, d, "embeddings"), dim = 64, threshold = 0.2)
+        .orderBy("d1", "d2"),
+    Some {
+      val planes = Similarity.hyperplanes(nBits = 16, dim = 64, seed = 42L)
+      val sig = planes.zipWithIndex.map { case (p, i) =>
+        val lst = p.map(OracleSql.slit).mkString("[", ", ", "]")
+        s"CASE WHEN list_inner_product(CAST(embedding AS DOUBLE[]), $lst) >= 0 THEN CAST(${1L << i} AS BIGINT) ELSE CAST(0 AS BIGINT) END"
+      }.mkString(" + ")
+      s"""WITH sigs AS (SELECT vec_id, $sig AS sig FROM embeddings),
+      bands AS (SELECT vec_id, bi.i AS band_idx, (sig // (CASE bi.i WHEN 0 THEN 1 ELSE 256 END)) % 256 AS band
+                FROM sigs CROSS JOIN (VALUES (0), (1)) bi(i)),
+      cand AS (SELECT DISTINCT a.vec_id AS d1, b.vec_id AS d2
+               FROM bands a JOIN bands b
+                 ON a.band_idx = b.band_idx AND a.band = b.band AND a.vec_id < b.vec_id),
+      vv AS (SELECT c.d1, c.d2,
+               ROUND(list_cosine_similarity(CAST(e1.embedding AS DOUBLE[]), CAST(e2.embedding AS DOUBLE[])), 6) AS sim
+             FROM cand c JOIN embeddings e1 ON e1.vec_id = c.d1 JOIN embeddings e2 ON e2.vec_id = c.d2)
+      SELECT d1, d2, sim FROM vv WHERE sim >= 0.2 ORDER BY d1, d2"""
+    })
+
   // -------------------------------------------------------------- registry
 
   val all: Seq[(String, Q)] = Seq(
@@ -1455,5 +1481,6 @@ object Queries {
     "q48_omerc_fit" -> q48_omerc_fit,
     "q49_swath_slice" -> q49_swath_slice,
     "q50_multi_uncertainty" -> q50_multi_uncertainty,
-    "q51_ivf_topk" -> q51_ivf_topk)
+    "q51_ivf_topk" -> q51_ivf_topk,
+    "q52_cosine_neardup" -> q52_cosine_neardup)
 }
