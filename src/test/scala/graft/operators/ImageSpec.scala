@@ -50,6 +50,31 @@ class ImageSpec extends SparkSpec {
     assert(full.count() == 100)
   }
 
+  test("Quick resample of the MSG function image matches the reference cross-sum (test_image.py:77-84)") {
+    val s = spark
+    // the reference's full-globe MSG geos source and Europe stere target
+    val msg = AreaDef("msg_full",
+      Crs.fromProj4("+proj=geos +lon_0=0 +h=35785831.0 +a=6378169.0 +b=6356584.0"),
+      3712, 3712, -5568742.4, -5568742.4, 5568742.4, 5568742.4)
+    val areaD = AreaDef("areaD",
+      Crs.fromProj4("+proj=stere +a=6378144 +b=6356759 +lat_0=50 +lat_ts=50 +lon_0=8"),
+      800, 800, -1370912.72, -909968.64, 1029087.28, 1490031.36)
+    // data = fromfunction(y * x * 1e-6): (y*x) exact in double, * 1e-6 once
+    val src = s.range(3712L * 3712L)
+      .selectExpr("id AS cell",
+        "CAST(CAST(id / 3712 AS BIGINT) * (id % 3712) AS DOUBLE) * 1e-6 AS v")
+    val out = new ImageContainerQuick(AreaImage(src, msg, Seq("v"))).resample(areaD)
+    // numpy's pairwise sum is within ~1e-9 of the true sum here; a decimal
+    // sum (values rounded at 1e-15) is within ~3e-10 — both inside the
+    // reference's assertAlmostEqual(places=7) window
+    val total = out.data
+      .agg(sum(col("v").cast(org.apache.spark.sql.types.DataTypes.createDecimalType(27, 15))))
+      .head().getDecimal(0).doubleValue()
+    info(f"cross_sum = $total%.8f (golden 399936.39392500359)")
+    assert(math.abs(total - 399936.39392500359) < 5e-8,
+      s"cross-sum $total differs from the reference golden")
+  }
+
   test("ImageContainerBilinear smoke (image.py:283-342)") {
     val s = spark
     import s.implicits._
