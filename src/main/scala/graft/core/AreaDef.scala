@@ -152,6 +152,11 @@ final case class AreaDef(
     // disk IN TARGET COORDINATES before mapping into the source grid
     // (`slicer.py:176-184`). Without this, a target that pokes past the
     // disk edge maps its off-disk corners to NaN and the crop collapses.
+    // The disk outline is convex in geos coordinates; after reprojection it
+    // is treated as convex by the Sutherland-Hodgman clip — mild
+    // reprojection concavity can over-clip by a fraction of a sample step,
+    // absorbed by `bufferCells` (the reference's shapely intersection is
+    // exact but serves the same +-1-cell slice).
     val effectivePts: Seq[(Double, Double)] =
       if (!GeosGeometry.isGeostationary(crs)) boundaryPts
       else {

@@ -9,8 +9,9 @@ import org.apache.spark.sql.functions._
   *
   * Every variant is a shuffle-on-key aggregation or a band-bucketed
   * self-join: no pairwise O(n^2) stage ever materializes, so all of these
-  * scale to 100 TB document sets. Hashes are md5/xxhash64 of the content —
-  * portable, seedable, engine-independent.
+  * scale to 100 TB document sets. Hashes are md5-derived throughout —
+  * portable and engine-independent, so every variant's result is
+  * replayable by the SQL oracle.
   */
 object Dedup {
 

@@ -31,6 +31,8 @@ object CrsProperties extends Properties("graft.core") {
     roundTrips(Crs.fromProj4("+proj=lcc +lat_0=40 +lat_1=33 +lat_2=45 +lon_0=-96 +a=6378137 +b=6356752.314245179"), 1e-4)
   property("aeqd round-trip") =
     roundTrips(Crs.fromProj4("+proj=aeqd +lat_0=10 +lon_0=60 +a=6371000"), 1e-5)
+  property("hotine omerc (ellipsoidal) round-trip") =
+    roundTrips(Crs.fromProj4("+proj=omerc +lonc=-11.39 +lat_0=-0.28 +alpha=9.19 +ellps=WGS84"), 1e-4)
 
   property("wrapLon lands in [-180, 180) and is idempotent") =
     Prop.forAll(Gen.choose(-2000.0, 2000.0)) { lon =>
