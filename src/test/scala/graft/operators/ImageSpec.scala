@@ -75,6 +75,29 @@ class ImageSpec extends SparkSpec {
       s"cross-sum $total differs from the reference golden")
   }
 
+  test("Nearest resample of the MSG function image matches the reference cross-sum (test_image.py:131-138)") {
+    val s = spark
+    val msg = AreaDef("msg_full",
+      Crs.fromProj4("+proj=geos +lon_0=0 +h=35785831.0 +a=6378169.0 +b=6356584.0"),
+      3712, 3712, -5568742.4, -5568742.4, 5568742.4, 5568742.4)
+    val areaD = AreaDef("areaD",
+      Crs.fromProj4("+proj=stere +a=6378144 +b=6356759 +lat_0=50 +lat_ts=50 +lon_0=8"),
+      800, 800, -1370912.72, -909968.64, 1029087.28, 1490031.36)
+    // the MSG grid AS a swath: per-pixel lon/lat from the geos inverse
+    // (off-disk pixels get NaN and are filtered by the kNN's legal check)
+    val src = msg.grid(s, withLonLat = true)
+      .filter(!isnan(col("lon")) && !isnan(col("lat")))
+      .selectExpr("cell AS src_id", "lon", "lat",
+        "CAST(y AS DOUBLE) * CAST(x AS DOUBLE) * 1e-6 AS v")
+    val out = new ImageContainerNearest(SwathImage(src, Seq("v")), 50000.0).resample(areaD)
+    val total = out.data
+      .agg(sum(col("v").cast(org.apache.spark.sql.types.DataTypes.createDecimalType(27, 15))))
+      .head().getDecimal(0).doubleValue()
+    info(f"cross_sum = $total%.8f (golden 399936.70287099993)")
+    assert(math.abs(total - 399936.70287099993) < 5e-8,
+      s"cross-sum $total differs from the reference golden")
+  }
+
   test("ImageContainerBilinear smoke (image.py:283-342)") {
     val s = spark
     import s.implicits._
