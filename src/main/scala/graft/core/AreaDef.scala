@@ -110,12 +110,20 @@ final case class AreaDef(
         if (la > latMax) latMax = la
       }
     }
-    var i = 0
-    while (i <= n) {
-      val fx = xLL + (xUR - xLL) * i / n
-      val fy = yLL + (yUR - yLL) * i / n
-      visit(fx, yLL); visit(fx, yUR); visit(xLL, fy); visit(xUR, fy)
-      i += 1
+    if (GeosGeometry.isGeostationary(crs)) {
+      // a (near-)full-disk geos extent has its entire rectangle boundary
+      // off-earth: the footprint outline is the visible disk clipped to the
+      // extent (`geometry.py:2811-2863`), not the extent rectangle
+      GeosGeometry.diskPolygonInExtent(this, 4 * n)
+        .foreach { case (x, y) => visit(x, y) }
+    } else {
+      var i = 0
+      while (i <= n) {
+        val fx = xLL + (xUR - xLL) * i / n
+        val fy = yLL + (yUR - yLL) * i / n
+        visit(fx, yLL); visit(fx, yUR); visit(xLL, fy); visit(xUR, fy)
+        i += 1
+      }
     }
     // A pole inside the extent never shows on the boundary sweep: the min/max
     // latitude is then at the grid interior and every longitude occurs
@@ -137,17 +145,21 @@ final case class AreaDef(
     * sliced AreaDef plus the (rowStart, colStart) offsets into this grid;
     * None when the footprints don't overlap. */
   def cropAround(target: AreaDef, bufferCells: Int = 1): Option[(AreaDef, Int, Int)] = {
-    // densified target boundary in the target's own projected space
+    // densified target boundary in the target's own projected space; a
+    // geostationary target's real outline is its visible disk
     val n = 25
-    val boundaryPts: Seq[(Double, Double)] = (0 to 4 * n).map { i =>
-      val t = i % n
-      (i / n) match {
-        case 0 => (target.xLL + (target.xUR - target.xLL) * t / n, target.yUR)
-        case 1 => (target.xUR, target.yUR - (target.yUR - target.yLL) * t / n)
-        case 2 => (target.xUR - (target.xUR - target.xLL) * t / n, target.yLL)
-        case _ => (target.xLL, target.yLL + (target.yUR - target.yLL) * t / n)
+    val boundaryPts: Seq[(Double, Double)] =
+      if (GeosGeometry.isGeostationary(target.crs))
+        GeosGeometry.diskPolygonInExtent(target, 4 * n)
+      else (0 to 4 * n).map { i =>
+        val t = i % n
+        (i / n) match {
+          case 0 => (target.xLL + (target.xUR - target.xLL) * t / n, target.yUR)
+          case 1 => (target.xUR, target.yUR - (target.yUR - target.yLL) * t / n)
+          case 2 => (target.xUR - (target.xUR - target.xLL) * t / n, target.yLL)
+          case _ => (target.xLL, target.yLL + (target.yUR - target.yLL) * t / n)
+        }
       }
-    }
     // geostationary source: intersect the target outline with the visible
     // disk IN TARGET COORDINATES before mapping into the source grid
     // (`slicer.py:176-184`). Without this, a target that pokes past the
@@ -202,11 +214,18 @@ final case class AreaDef(
       val (lo, la) = crs.inverse(x, y)
       if (!lo.isNaN && !la.isNaN) pts += ((lo, la))
     }
-    // clockwise in projected space: top edge L->R, right T->B, bottom R->L, left B->T
-    (0 until n).foreach(i => push(xLL + (xUR - xLL) * i / n, yUR))
-    (0 until n).foreach(i => push(xUR, yUR - (yUR - yLL) * i / n))
-    (0 until n).foreach(i => push(xUR - (xUR - xLL) * i / n, yLL))
-    (0 until n).foreach(i => push(xLL, yLL + (yUR - yLL) * i / n))
+    if (GeosGeometry.isGeostationary(crs))
+      // visible-disk outline (clipped to the extent); reverse for the
+      // clockwise convention (the disk polygon is CCW in proj space)
+      GeosGeometry.diskPolygonInExtent(this, 4 * n).reverse
+        .foreach { case (x, y) => push(x, y) }
+    else {
+      // clockwise in projected space: top edge L->R, right T->B, bottom R->L, left B->T
+      (0 until n).foreach(i => push(xLL + (xUR - xLL) * i / n, yUR))
+      (0 until n).foreach(i => push(xUR, yUR - (yUR - yLL) * i / n))
+      (0 until n).foreach(i => push(xUR - (xUR - xLL) * i / n, yLL))
+      (0 until n).foreach(i => push(xLL, yLL + (yUR - yLL) * i / n))
+    }
     Spherical.SphPolygon.fromDegrees(pts.toSeq)
   }
 

