@@ -60,8 +60,15 @@ object GeosGeometry {
         val dx = q._1 - p._1; val dy = q._2 - p._2
         // solve cross(b-a, p + t*d - a) = 0 for t
         val denom = (bx - ax) * dy - (by - ay) * dx
-        val t = ((bx - ax) * (ay - p._2) - (by - ay) * (ax - p._1)) / denom
-        (p._1 + t * dx, p._2 + t * dy)
+        if (denom == 0.0) {
+          // subject edge collinear/parallel with the clip edge: there is no
+          // single crossing point — fall back to the endpoint on the inside
+          // so no NaN vertex is fabricated
+          if (inside(q)) q else p
+        } else {
+          val t = ((bx - ax) * (ay - p._2) - (by - ay) * (ax - p._1)) / denom
+          (p._1 + t * dx, p._2 + t * dy)
+        }
       }
       val in = out
       out = in.indices.flatMap { j =>
@@ -75,7 +82,32 @@ object GeosGeometry {
       }
       i += 1
     }
-    out
+    out.filter(p => java.lang.Double.isFinite(p._1) && java.lang.Double.isFinite(p._2))
+  }
+
+  /** Re-sample a polygon outline to ~`targetPoints` vertices spread by
+    * perimeter length (linear interpolation along each edge in proj space).
+    * A Sutherland–Hodgman clip of a sub-disk extent degenerates to the few
+    * rectangle corners; without re-densifying, lon/lat extrema that occur
+    * mid-edge (e.g. the min latitude at the bottom-edge centre of a
+    * northern-hemisphere cut-out) are missed by every boundary consumer.
+    * Existing vertices are always kept, so a clipped full-disk outline
+    * (already ~targetPoints dense) passes through unchanged. */
+  def densify(poly: Seq[(Double, Double)], targetPoints: Int): Seq[(Double, Double)] = {
+    if (poly.size < 2) return poly
+    val edges = poly.indices.map { i =>
+      val p = poly(i); val q = poly((i + 1) % poly.size)
+      (p, q, math.hypot(q._1 - p._1, q._2 - p._2))
+    }
+    val perimeter = edges.map(_._3).sum
+    if (perimeter == 0.0) return poly
+    edges.flatMap { case (p, q, len) =>
+      val segs = math.max(1, math.round(targetPoints * len / perimeter).toInt)
+      (0 until segs).map { j =>
+        val t = j.toDouble / segs
+        (p._1 + (q._1 - p._1) * t, p._2 + (q._2 - p._2) * t)
+      }
+    }
   }
 
   /** Disk boundary clipped to the area's extent rectangle —
@@ -86,7 +118,10 @@ object GeosGeometry {
     val rect = Seq(
       (area.xLL, area.yLL), (area.xUR, area.yLL),
       (area.xUR, area.yUR), (area.xLL, area.yUR))
-    clipPolygon(disk, rect)
+    // re-densify after clipping: a sub-disk extent clips to ~4 rectangle
+    // corners, and every consumer (lonLatBBox, boundaryPolygon, cropAround)
+    // needs edge-sampled vertices to see mid-edge lon/lat extrema
+    densify(clipPolygon(disk, rect), nbPoints)
   }
 
   /** Visible-disk boundary in lon/lat — `get_geostationary_bounding_box_in_

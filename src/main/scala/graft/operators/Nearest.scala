@@ -191,8 +191,10 @@ object KnnResample {
     * aggregation computes all channels' weighted means. With
     * `uncertainty = true` each channel also gets its unbiased weighted
     * stddev (`kd_tree.py:821-859` — same algebraic decomposition as the
-    * single-channel path) plus a shared neighbour count `n`; still one
-    * hash aggregation, partial sums only. */
+    * single-channel path) plus its own valid-neighbour count `n_<c>`;
+    * null/NaN channel values are masked out of that channel's sums and
+    * weight normalisation (the reference's masked-array semantics); still
+    * one hash aggregation, partial sums only. */
   def weightedMulti(
       source: DataFrame,
       target: DataFrame,
@@ -206,26 +208,34 @@ object KnnResample {
     val joined = idx
       .join(source.select(("src_id" +: valueCols).map(col): _*), "src_id")
       .withColumn("_w", weight(col("dist2")))
+    // a null/NaN channel value must not poison that cell's mean/stddev for
+    // the channel, and must not count as a used neighbour — mask every
+    // per-channel partial (values AND weights) on the channel's validity,
+    // exactly what the reference's masked arrays do (`kd_tree.py:821-859`)
+    def valid(c: String): Column = col(c).isNotNull && !isnan(col(c).cast("double"))
     if (!uncertainty) {
-      val aggs = valueCols.map(c => (sum(col("_w") * col(c)) / sum(col("_w"))).as(c))
+      val aggs = valueCols.map { c =>
+        (sum(when(valid(c), col("_w") * col(c))) / sum(when(valid(c), col("_w")))).as(c)
+      }
       joined.groupBy("dst_id").agg(aggs.head, aggs.tail: _*)
     } else {
-      val shared = Seq(
-        sum(col("_w")).as("_sw"),
-        sum(col("_w") * col("_w")).as("_sw2"),
-        count(lit(1)).as("n"))
       val perChannel = valueCols.flatMap { c =>
-        Seq(sum(col("_w") * col(c)).as(s"_swv_$c"),
-          sum(col("_w") * col(c) * col(c)).as(s"_swvv_$c"))
+        Seq(
+          sum(when(valid(c), col("_w"))).as(s"_sw_$c"),
+          sum(when(valid(c), col("_w") * col("_w"))).as(s"_sw2_$c"),
+          sum(when(valid(c), col("_w") * col(c))).as(s"_swv_$c"),
+          sum(when(valid(c), col("_w") * col(c) * col(c))).as(s"_swvv_$c"),
+          count(when(valid(c), lit(1))).as(s"n_$c"))
       }
-      val agg = joined.groupBy("dst_id").agg(shared.head, (shared.tail ++ perChannel): _*)
-      val v1 = col("_sw"); val v2 = col("_sw2")
+      val agg = joined.groupBy("dst_id").agg(perChannel.head, perChannel.tail: _*)
       val outCols = valueCols.flatMap { c =>
+        val v1 = col(s"_sw_$c"); val v2 = col(s"_sw2_$c")
         val swv = col(s"_swv_$c"); val swvv = col(s"_swvv_$c")
         Seq((swv / v1).as(c),
           sqrt(greatest((v1 / (v1 * v1 - v2)) * (swvv - (swv * swv) / v1), lit(0.0)))
-            .as(s"stddev_$c"))
-      } :+ col("n")
+            .as(s"stddev_$c"),
+          col(s"n_$c"))
+      }
       agg.select(col("dst_id") +: outCols: _*)
     }
   }

@@ -1337,13 +1337,24 @@ object Queries {
           "x * 0.45 - 15.0 + y * 0.01 AS lon",
           "62.0 - y * 0.11 + x * 0.004 AS lat",
           "value")
-      val Some((r0, r1, c0, c1)) = SwathSlicer.sliceBounds(sw, target, blockRows = 8, blockCols = 8)
-      SwathSlicer.slice(sw, target, blockRows = 8, blockCols = 8)
-        .agg(
-          count(lit(1)).as("n"),
-          sum(col("value").cast(dec)).cast("double").as("sum_v"))
-        .select(lit(r0).as("r0"), lit(r1).as("r1"), lit(c0).as("c0"), lit(c1).as("c1"),
-          col("n"), col("sum_v"))
+      // match the Option explicitly (disjoint footprints -> clean empty
+      // result, not a MatchError) and reuse the computed bounds for the
+      // crop filter instead of recomputing them through slice()
+      SwathSlicer.sliceBounds(sw, target, blockRows = 8, blockCols = 8) match {
+        case Some((r0, r1, c0, c1)) =>
+          sw.filter(col("y").between(r0, r1) && col("x").between(c0, c1))
+            .agg(
+              count(lit(1)).as("n"),
+              sum(col("value").cast(dec)).cast("double").as("sum_v"))
+            .select(lit(r0).as("r0"), lit(r1).as("r1"), lit(c0).as("c0"), lit(c1).as("c1"),
+              col("n"), col("sum_v"))
+        case None =>
+          sw.limit(0)
+            .agg(count(lit(1)).as("n"), sum(col("value").cast(dec)).cast("double").as("sum_v"))
+            .select(lit(0L).as("r0"), lit(0L).as("r1"), lit(0L).as("c0"), lit(0L).as("c1"),
+              col("n"), col("sum_v"))
+            .where(col("n") > 0)
+      }
     },
     Some {
       val t = AreaDef("eu_slice", Crs.fromProj4("+proj=longlat"), 30, 20, 0, 45, 15, 55)

@@ -55,13 +55,19 @@ object Npz {
     val fortran = field("fortran_order").trim.startsWith("True")
     val shape = field("shape").dropWhile(_ != '(').drop(1).takeWhile(_ != ')')
       .split(",").map(_.trim).filter(_.nonEmpty).map(_.toInt).toSeq
-    val n = shape.product.max(if (shape.isEmpty) 1 else 0)
-
     val elemSize = descr match {
       case "<f4" | "<i4" => 4
       case "<f8" | "<i8" => 8
       case other => throw new IllegalArgumentException(s"unsupported NPY dtype $other")
     }
+    // element and byte counts in Long: Int arithmetic overflows at 2 GiB
+    // and would surface as an opaque NegativeArraySizeException
+    val nLong = shape.foldLeft(1L)(_ * _.toLong)
+    val byteCount = nLong * elemSize
+    require(nLong >= 0 && byteCount >= 0 && byteCount <= Int.MaxValue - 8,
+      s"NPY array too large for driver-side read: shape ${shape.mkString("x")} " +
+        s"($byteCount bytes) — convert to parquet with a chunked external tool instead")
+    val n = nLong.toInt
     val raw = new Array[Byte](n * elemSize)
     d.readFully(raw)
     val buf = ByteBuffer.wrap(raw).order(ByteOrder.LITTLE_ENDIAN)

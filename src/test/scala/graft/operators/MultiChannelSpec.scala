@@ -38,7 +38,52 @@ class MultiChannelSpec extends SparkSpec {
       assert(approx(m.getAs[Double]("stddev_va"), a(id).getAs[Double]("stddev"), 1e-9))
       assert(approx(m.getAs[Double]("vb"), b(id).getAs[Double]("value"), 1e-9))
       assert(approx(m.getAs[Double]("stddev_vb"), b(id).getAs[Double]("stddev"), 1e-9))
-      assert(m.getAs[Long]("n") == a(id).getAs[Long]("n"))
+      assert(m.getAs[Long]("n_va") == a(id).getAs[Long]("n"))
+      assert(m.getAs[Long]("n_vb") == b(id).getAs[Long]("n"))
+    }
+  }
+
+  test("weightedMulti uncertainty masks NaN/null per channel without cross-poisoning") {
+    val s = spark
+    import s.implicits._
+    val rnd = new scala.util.Random(11)
+    val rows = (1 to 200).map { i =>
+      val va = if (i % 17 == 0) Double.NaN else rnd.nextInt(50).toDouble
+      (i.toLong, rnd.nextDouble() * 20 - 10, rnd.nextDouble() * 20 - 10,
+        va, rnd.nextInt(90).toDouble)
+    }
+    val src = rows.toDF("src_id", "lon", "lat", "va", "vb")
+    val tgtDf = (1 to 30).map(i =>
+      (i.toLong, rnd.nextDouble() * 16 - 8, rnd.nextDouble() * 16 - 8)).toDF("dst_id", "lon", "lat")
+    val wf: org.apache.spark.sql.Column => org.apache.spark.sql.Column =
+      d2 => exp(-d2 / lit(4.0))
+
+    val multi = KnnResample.weightedMulti(src, tgtDf, 3.0, 8, Seq("va", "vb"), wf,
+      planar = true, uncertainty = true)
+      .collect().map(r => r.getAs[Long]("dst_id") -> r).toMap
+
+    // va must match the single-channel run over the pre-filtered source;
+    // vb must match the single-channel run over the UNfiltered source
+    // (the NaN rows still have valid vb and still count for vb)
+    val aClean = KnnResample.weighted(
+      src.filter(!isnan(col("va"))).withColumnRenamed("va", "value"),
+      tgtDf, 3.0, 8, "value", wf, uncertainty = true, planar = true)
+      .collect().map(r => r.getAs[Long]("dst_id") -> r).toMap
+    val bAll = KnnResample.weighted(src.withColumnRenamed("vb", "value"), tgtDf, 3.0, 8,
+      "value", wf, uncertainty = true, planar = true)
+      .collect().map(r => r.getAs[Long]("dst_id") -> r).toMap
+
+    multi.foreach { case (id, m) =>
+      assert(!m.getAs[Double]("vb").isNaN && !m.getAs[Double]("stddev_vb").isNaN)
+      assert(approx(m.getAs[Double]("vb"), bAll(id).getAs[Double]("value"), 1e-9))
+      assert(m.getAs[Long]("n_vb") == bAll(id).getAs[Long]("n"))
+      // the masked channel never reports NaN stats; where the neighbour
+      // SET is unaffected by the dropped rows, values match the clean run
+      assert(!m.getAs[Double]("va").isNaN && !m.getAs[Double]("stddev_va").isNaN)
+      aClean.get(id).foreach { ac =>
+        if (m.getAs[Long]("n_va") == ac.getAs[Long]("n") && m.getAs[Long]("n_va") == m.getAs[Long]("n_vb"))
+          assert(approx(m.getAs[Double]("va"), ac.getAs[Double]("value"), 1e-9))
+      }
     }
   }
 

@@ -91,6 +91,61 @@ class SlicerSpec extends SparkSpec {
     assert(approx(area(clipped2), 8.0, 1e-9)) // half the square
   }
 
+  test("sub-disk geos extent keeps mid-edge lon/lat extrema (densified clip)") {
+    // MSG-Europe-style cut-out, fully on-disk: every rectangle corner is
+    // on-earth, so the Sutherland-Hodgman clip degenerates to the 4 corners.
+    // The true min latitude is at the BOTTOM-EDGE CENTRE (nadir column),
+    // which only a densified boundary can see.
+    val msgEu = geosFd.copy(id = "msg_eu",
+      xLL = -2000000.0, yLL = 2300000.0, xUR = 2000000.0, yUR = 4800000.0)
+    val (lonMin, latMin, lonMax, latMax) = msgEu.lonLatBBox()
+
+    // brute-force truth: dense sweep of the extent rectangle boundary
+    var bfLonMin = Double.MaxValue; var bfLonMax = Double.MinValue
+    var bfLatMin = Double.MaxValue; var bfLatMax = Double.MinValue
+    val n = 2000
+    (0 to n).foreach { i =>
+      val fx = msgEu.xLL + (msgEu.xUR - msgEu.xLL) * i / n
+      val fy = msgEu.yLL + (msgEu.yUR - msgEu.yLL) * i / n
+      Seq((fx, msgEu.yLL), (fx, msgEu.yUR), (msgEu.xLL, fy), (msgEu.xUR, fy)).foreach {
+        case (x, y) =>
+          val (lo, la) = msgEu.crs.inverse(x, y)
+          if (!lo.isNaN && !la.isNaN) {
+            bfLonMin = math.min(bfLonMin, lo); bfLonMax = math.max(bfLonMax, lo)
+            bfLatMin = math.min(bfLatMin, la); bfLatMax = math.max(bfLatMax, la)
+          }
+      }
+    }
+    // the corner-only bbox would sit well above the true min latitude
+    val cornerLatMin = Seq(
+      (msgEu.xLL, msgEu.yLL), (msgEu.xUR, msgEu.yLL)).map { case (x, y) =>
+      msgEu.crs.inverse(x, y)._2
+    }.min
+    assert(cornerLatMin - bfLatMin > 0.5,
+      s"fixture too easy: corners alone already capture latMin ($cornerLatMin vs $bfLatMin)")
+    assert(math.abs(latMin - bfLatMin) < 0.1, s"latMin $latMin vs brute-force $bfLatMin")
+    assert(math.abs(latMax - bfLatMax) < 0.1, s"latMax $latMax vs brute-force $bfLatMax")
+    assert(math.abs(lonMin - bfLonMin) < 0.1, s"lonMin $lonMin vs brute-force $bfLonMin")
+    assert(math.abs(lonMax - bfLonMax) < 0.1, s"lonMax $lonMax vs brute-force $bfLonMax")
+  }
+
+  test("clipPolygon: collinear subject/clip edges produce no NaN vertices") {
+    val clip = Seq((0.0, 0.0), (4.0, 0.0), (4.0, 4.0), (0.0, 4.0))
+    // subject shares part of the clip's bottom edge (collinear segment)
+    val subject = Seq((1.0, 0.0), (3.0, 0.0), (3.0, 2.0), (1.0, 2.0))
+    val out = GeosGeometry.clipPolygon(subject, clip)
+    assert(out.nonEmpty)
+    assert(out.forall { case (x, y) =>
+      java.lang.Double.isFinite(x) && java.lang.Double.isFinite(y)
+    }, s"non-finite vertex in $out")
+    // and a subject poking below, with the crossing segment collinear
+    val subject2 = Seq((0.0, -1.0), (4.0, -1.0), (4.0, 1.0), (0.0, 1.0))
+    val out2 = GeosGeometry.clipPolygon(subject2, clip)
+    assert(out2.nonEmpty && out2.forall { case (x, y) =>
+      java.lang.Double.isFinite(x) && java.lang.Double.isFinite(y)
+    })
+  }
+
   test("geos cropAround: target fully off-disk -> None (test_slicer.py:95-110)") {
     // Kasimbar, Indonesia (lon_0=120) is past the limb for a 0-deg geos sat
     val merc = AreaDef("kasimbar",
