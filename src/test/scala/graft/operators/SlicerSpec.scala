@@ -97,7 +97,7 @@ class SlicerSpec extends SparkSpec {
     // The true min latitude is at the BOTTOM-EDGE CENTRE (nadir column),
     // which only a densified boundary can see.
     val msgEu = geosFd.copy(id = "msg_eu",
-      xLL = -2000000.0, yLL = 2300000.0, xUR = 2000000.0, yUR = 4800000.0)
+      xLL = -3400000.0, yLL = 2300000.0, xUR = 3400000.0, yUR = 3900000.0)
     val (lonMin, latMin, lonMax, latMax) = msgEu.lonLatBBox()
 
     // brute-force truth: dense sweep of the extent rectangle boundary
