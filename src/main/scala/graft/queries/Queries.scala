@@ -1070,44 +1070,19 @@ object Queries {
         "30.0 + y * 0.15 + x * 0.02 AS lat",
         "value")
 
-  /** compute_optimal_bb_area in the data plane: fit an oblique-Mercator
-    * frame to a structured swath, then bucket-count onto the fitted grid
-    * (omerc forward projection per row). The fit itself is oracle-checked
-    * by q48; this query's bucket count stays rows-only (the omerc forward
-    * feeds floor-binning, deterministic but grid-parameterized by the fit). */
-  val q47_optimal_bb: Q = Q(
-    (s, d) => {
-      val sw = omercSwath(s, d).persist()
-      val area = GeometryOps.computeOptimalBbArea(sw, resolutionMetres = 50000, id = "omerc_q47")
-      BucketResampler(area).count(sw).orderBy("cell")
-    },
-    None)
-
-  /** The omerc fit parameters as a single-row query (like q35): centreline
-    * endpoints/midpoint, great-circle azimuth, frozen projected extent —
-    * the full `_compute_omerc_parameters` analog (`geometry.py:911-951`),
-    * replayed by DuckDB including the spherical omerc forward kernel. */
-  val q48_omerc_fit: Q = Q(
-    (s, d) => {
-      val sw = omercSwath(s, d).persist()
-      val area = GeometryOps.computeOptimalBbArea(sw, resolutionMetres = 50000, id = "omerc_q48")
-      val p = area.crs.params
-      val sess = s
-      import sess.implicits._
-      Seq((p("lonc").toDouble, p("lat_0").toDouble, p("alpha").toDouble,
-        area.width, area.height, area.xLL, area.yLL, area.xUR, area.yUR))
-        .toDF("lonc", "lat0", "alpha", "w", "h", "x0", "y0", "x1", "y1")
-        .select(
-          round(col("lonc"), 6).as("lonc"), round(col("lat0"), 6).as("lat0"),
-          round(col("alpha"), 6).as("alpha"), col("w"), col("h"),
-          round(col("x0"), 3).as("x0"), round(col("y0"), 3).as("y0"),
-          round(col("x1"), 3).as("x1"), round(col("y1"), 3).as("y1"))
-    },
-    Some {
-      val D2R = OracleSql.slit(math.Pi / 180.0)
-      val PI2 = OracleSql.slit(math.Pi / 2)
-      val R = OracleSql.slit(6370997.0)
-      s"""WITH pix AS (SELECT CAST(l_orderkey % 200 AS INT) AS y, CAST(l_partkey % 50 AS INT) AS x,
+  /** Shared DuckDB CTE chain replaying `computeOptimalBbArea` end-to-end:
+    * rebuild the omerc swath, fit (centreline endpoints/midpoint +
+    * great-circle azimuth), spherical omerc forward over every point, then
+    * the frozen extent and grid dims. Ends at `pp3` (per-point xx/yy) and
+    * `dims` (x0f/y1f/w/h + fit params). Cross-engine trig ulps (~1e-9 m)
+    * are absorbed by the 50 km floor-binning / 6-decimal rounding
+    * downstream — the q41 "no quantize needed before coarse floors"
+    * discipline (see OracleSql scaladoc). */
+  private def omercFitCtes: String = {
+    val D2R = OracleSql.slit(math.Pi / 180.0)
+    val PI2 = OracleSql.slit(math.Pi / 2)
+    val R = OracleSql.slit(6370997.0)
+    s"""pix AS (SELECT CAST(l_orderkey % 200 AS INT) AS y, CAST(l_partkey % 50 AS INT) AS x,
                   MIN(l_quantity) AS value FROM lineitem GROUP BY 1, 2),
       sw AS (SELECT y, x, CAST(x * 0.3 - 5.0 + y * 0.12 AS DOUBLE) AS lon,
                     CAST(30.0 + y * 0.15 + x * 0.02 AS DOUBLE) AS lat FROM pix),
@@ -1135,7 +1110,58 @@ object Queries {
       ext AS (SELECT MIN(xx) AS x0f, MAX(xx) AS x1f, MIN(yy) AS y0f, MAX(yy) AS y1f,
                      MAX(lonc) AS lonc, MAX(lat0) AS lat0, MAX(alpha) AS alpha FROM pp3),
       dims AS (SELECT *, GREATEST(1, CAST(CEIL((x1f - x0f) / 50000.0) AS INTEGER)) AS w,
-                      GREATEST(1, CAST(CEIL((y1f - y0f) / 50000.0) AS INTEGER)) AS h FROM ext)
+                      GREATEST(1, CAST(CEIL((y1f - y0f) / 50000.0) AS INTEGER)) AS h FROM ext)"""
+  }
+
+  /** compute_optimal_bb_area in the data plane: fit an oblique-Mercator
+    * frame to a structured swath, then bucket-count onto the fitted grid
+    * (omerc forward projection per row). Oracle: the shared fit chain
+    * ([[omercFitCtes]], already 6-dp-verified by q48) continued with the
+    * exact `cellIndex` binning — pixel sizes derived from the frozen
+    * extent with the same association order as `AreaDef.pixelSizeX/Y`. */
+  val q47_optimal_bb: Q = Q(
+    (s, d) => {
+      val sw = omercSwath(s, d).persist()
+      val area = GeometryOps.computeOptimalBbArea(sw, resolutionMetres = 50000, id = "omerc_q47")
+      BucketResampler(area).count(sw).orderBy("cell")
+    },
+    Some {
+      val RES = OracleSql.slit(50000.0)
+      s"""WITH $omercFitCtes,
+      area AS (SELECT x0f, y1f, w, h,
+          ((x0f + CAST(w AS DOUBLE) * $RES) - x0f) / CAST(w AS DOUBLE) AS pix_x,
+          (y1f - (y1f - CAST(h AS DOUBLE) * $RES)) / CAST(h AS DOUBLE) AS pix_y FROM dims),
+      cc AS (SELECT CAST(FLOOR((p.xx - a.x0f) / a.pix_x) AS BIGINT) AS c,
+                    CAST(FLOOR((a.y1f - p.yy) / a.pix_y) AS BIGINT) AS r,
+                    CAST(a.w AS BIGINT) AS wb, CAST(a.h AS BIGINT) AS hb
+             FROM pp3 p CROSS JOIN area a),
+      cells AS (SELECT r * wb + c AS cell FROM cc
+                WHERE c >= 0 AND c < wb AND r >= 0 AND r < hb)
+      SELECT cell, COUNT(*) AS n FROM cells GROUP BY cell ORDER BY cell"""
+    })
+
+  /** The omerc fit parameters as a single-row query (like q35): centreline
+    * endpoints/midpoint, great-circle azimuth, frozen projected extent —
+    * the full `_compute_omerc_parameters` analog (`geometry.py:911-951`),
+    * replayed by DuckDB including the spherical omerc forward kernel. */
+  val q48_omerc_fit: Q = Q(
+    (s, d) => {
+      val sw = omercSwath(s, d).persist()
+      val area = GeometryOps.computeOptimalBbArea(sw, resolutionMetres = 50000, id = "omerc_q48")
+      val p = area.crs.params
+      val sess = s
+      import sess.implicits._
+      Seq((p("lonc").toDouble, p("lat_0").toDouble, p("alpha").toDouble,
+        area.width, area.height, area.xLL, area.yLL, area.xUR, area.yUR))
+        .toDF("lonc", "lat0", "alpha", "w", "h", "x0", "y0", "x1", "y1")
+        .select(
+          round(col("lonc"), 6).as("lonc"), round(col("lat0"), 6).as("lat0"),
+          round(col("alpha"), 6).as("alpha"), col("w"), col("h"),
+          round(col("x0"), 3).as("x0"), round(col("y0"), 3).as("y0"),
+          round(col("x1"), 3).as("x1"), round(col("y1"), 3).as("y1"))
+    },
+    Some {
+      s"""WITH $omercFitCtes
       SELECT ROUND(lonc, 6) AS lonc, ROUND(lat0, 6) AS lat0, ROUND(alpha, 6) AS alpha,
         CAST(w AS INTEGER) AS w, CAST(h AS INTEGER) AS h,
         ROUND(x0f, 3) AS x0, ROUND(y1f - h * 50000.0, 3) AS y0,
