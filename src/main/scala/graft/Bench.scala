@@ -4,11 +4,21 @@ import org.apache.spark.sql.SparkSession
 
 /** Benchmark main: runs the headline queries on SPARK_GRAFT_SF_DIR and
   * prints one JSON line (driver contract). Each query is forced with a
-  * count() so the full plan executes. */
+  * count() so the full plan executes.
+  *
+  * Each query runs SPARK_GRAFT_BENCH_ITERS times (default 3) and the
+  * reported per-query number is the MEDIAN; `queries_min` carries the
+  * per-query minimum. Single runs on a shared local[32] JVM showed up to
+  * ±90% noise between rounds on untouched operators — medians make
+  * round-over-round regressions detectable. The cache is cleared between
+  * iterations so persist() calls inside queries can't carry state across
+  * runs (each iteration pays its own materialization, like the driver's
+  * one-shot run would). */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val iters = sys.env.getOrElse("SPARK_GRAFT_BENCH_ITERS", "3").toInt.max(1)
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -24,15 +34,20 @@ object Bench {
     spark.read.parquet(s"$sfDir/lineitem.parquet").count()
     spark.read.parquet(s"$sfDir/region.parquet").count()
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch {
-        case e: Throwable => System.err.println(s"[bench] $name failed: ${e.getMessage}"); -1L
-      }
-      name -> (System.nanoTime() - t0) / 1e9
+      val times = (1 to iters).map { _ =>
+        spark.catalog.clearCache()
+        val t0 = System.nanoTime()
+        try { fn(spark, sfDir).count() } catch {
+          case e: Throwable => System.err.println(s"[bench] $name failed: ${e.getMessage}"); -1L
+        }
+        (System.nanoTime() - t0) / 1e9
+      }.sorted
+      (name, times(times.length / 2), times.head)
     }
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
+    def jmap(f: ((String, Double, Double)) => Double): String =
+      results.map { case r @ (k, _, _) => "\"" + k + "\":" + f(r) }.mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":${jmap(_._2)},"queries_min":${jmap(_._3)},"iters":$iters,"sf":"$sfDir"}""")
     spark.stop()
   }
 }
