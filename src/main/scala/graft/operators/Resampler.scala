@@ -135,16 +135,17 @@ object GeometryOps {
       swath: DataFrame,
       resolution: (Double, Double)): AreaDef = {
     import org.apache.spark.sql.Row
-    val Row(lonMin: Double, lonMax: Double, latMin: Double, latMax: Double) = swath
+    // one filtered scan computes the direct AND wrapped lon spans: the
+    // legality filter must apply to both, or a fill value (lon=-999) drags
+    // the wrapped min down and silently disables antimeridian detection
+    val wrapped = when(col("lon") < 0, col("lon") + 360).otherwise(col("lon"))
+    val Row(lonMin: Double, lonMax: Double, latMin: Double, latMax: Double,
+        wMin: Double, wMax: Double) = swath
       .filter(legalLonLat(col("lon"), col("lat")))
-      .select(min("lon"), max("lon"), min("lat"), max("lat"))
+      .select(min("lon"), max("lon"), min("lat"), max("lat"),
+        min(wrapped), max(wrapped))
       .head()
     // detect antimeridian crossing: span of wrapped lons tighter than direct
-    val Row(wMin: Double, wMax: Double) = swath
-      .select(
-        min(when(col("lon") < 0, col("lon") + 360).otherwise(col("lon"))),
-        max(when(col("lon") < 0, col("lon") + 360).otherwise(col("lon"))))
-      .head()
     val (loW, loE) =
       if ((wMax - wMin) < (lonMax - lonMin) - 1e-9) (wMin, wMax) else (lonMin, lonMax)
 
@@ -306,10 +307,20 @@ object GeometryOps {
   /** geocentric_resolution (`geometry.py:2691-2765` / `:702-763`): modal
     * nearest-neighbour pitch of a point set, estimated from consecutive
     * distances along a deterministic sample. Feeds the default
-    * radius_of_influence (`kd_tree.py:949-968`). */
+    * radius_of_influence (`kd_tree.py:949-968`).
+    *
+    * The sample is ordered before the limit — by (y, x) when the swath is
+    * gridded (the reference's mid-swath row walk), else by (lat, lon) — so
+    * the estimate is identical under any partitioning/repartition. The
+    * ordered limit compiles to TakeOrderedAndProject (per-partition top-N
+    * + driver merge), not a global sort exchange. */
   def geocentricResolution(swath: DataFrame, sampleSize: Int = 1000): Double = {
+    val orderCols =
+      if (swath.columns.contains("y") && swath.columns.contains("x")) Seq(col("y"), col("x"))
+      else Seq(col("lat"), col("lon"))
     val pts = swath
       .filter(legalLonLat(col("lon"), col("lat")))
+      .orderBy(orderCols: _*)
       .limit(sampleSize)
       .withColumn("gx", lonlat2x(col("lon"), col("lat")))
       .withColumn("gy", lonlat2y(col("lon"), col("lat")))

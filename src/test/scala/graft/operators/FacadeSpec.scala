@@ -94,6 +94,35 @@ class FacadeSpec extends SparkSpec {
     assert(res > 20000 && res < 120000, s"res $res")
   }
 
+  test("geocentricResolution is identical under any partition layout") {
+    val s = spark
+    import s.implicits._
+    // 2500 points, sample cap 1000: without a deterministic ordering the
+    // limit()'s pick (and so the estimate) changed with the layout
+    val sw = (0 until 2500).map { i =>
+      (i / 50, i % 50, (i % 50) * 0.37 - 3.0, 40.0 + (i / 50) * 0.21) }
+      .toDF("y", "x", "lon", "lat")
+    val r1 = GeometryOps.geocentricResolution(sw.repartition(1), sampleSize = 1000)
+    val r32 = GeometryOps.geocentricResolution(sw.repartition(32), sampleSize = 1000)
+    assert(r1 == r32, s"layout-dependent estimate: $r1 vs $r32")
+    // ungridded swaths order by (lat, lon) — same invariant
+    val flat = sw.select("lon", "lat")
+    val f1 = GeometryOps.geocentricResolution(flat.repartition(1), sampleSize = 1000)
+    val f32 = GeometryOps.geocentricResolution(flat.repartition(32), sampleSize = 1000)
+    assert(f1 == f32, s"layout-dependent estimate (lat/lon order): $f1 vs $f32")
+  }
+
+  test("freeze: antimeridian detection survives fill-value rows (one filtered scan)") {
+    val s = spark
+    import s.implicits._
+    // a lon=-999 fill row used to reach the unfiltered wrapped-span scan,
+    // dragging wMin to -639 and silently disabling wrap detection
+    val sw = Seq((175.0, 0.0), (-175.0, 5.0), (179.0, 2.0), (-999.0, -999.0))
+      .toDF("lon", "lat")
+    val a = GeometryOps.freeze("f", Crs.fromProj4("+proj=longlat"), sw, (1.0, 1.0))
+    assert(a.width == 10, s"wrap detection lost on dirty data: width ${a.width}")
+  }
+
   test("multimodal: deterministic stub decode + payload dedup + frame sampling") {
     val s = spark
     import s.implicits._
