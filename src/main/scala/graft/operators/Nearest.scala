@@ -191,10 +191,21 @@ object KnnResample {
     * aggregation computes all channels' weighted means. With
     * `uncertainty = true` each channel also gets its unbiased weighted
     * stddev (`kd_tree.py:821-859` — same algebraic decomposition as the
-    * single-channel path) plus its own valid-neighbour count `n_<c>`;
-    * null/NaN channel values are masked out of that channel's sums and
-    * weight normalisation (the reference's masked-array semantics); still
-    * one hash aggregation, partial sums only. */
+    * single-channel path) plus its own valid-neighbour count `n_<c>` and a
+    * shared `n` (count of joined neighbours, the reference's shared count).
+    *
+    * Masking is an INTENTIONAL DIVERGENCE from the reference: pyresample's
+    * `_remask_data` (`kd_tree.py:1198-1205`) masks every output pixel any
+    * masked neighbour contributes to and keeps one shared neighbour count
+    * across channels; we instead drop the invalid value from that channel's
+    * sums and renormalise over the remaining valid neighbours — a partially
+    * observed cell keeps its estimate instead of going null, and channels
+    * cannot cross-poison each other. Schema note (changed in round 4): the
+    * uncertainty output interleaves per-channel `n_<c>` columns; the shared
+    * `n` column is appended last for consumers of the old shape. A channel
+    * with fewer than 2 valid neighbours reports a NULL stddev (the
+    * reference emits NaN for count < 2). Still one hash aggregation,
+    * partial sums only. */
   def weightedMulti(
       source: DataFrame,
       target: DataFrame,
@@ -226,16 +237,19 @@ object KnnResample {
           sum(when(valid(c), col("_w") * col(c))).as(s"_swv_$c"),
           sum(when(valid(c), col("_w") * col(c) * col(c))).as(s"_swvv_$c"),
           count(when(valid(c), lit(1))).as(s"n_$c"))
-      }
+      } :+ count(lit(1)).as("n")
       val agg = joined.groupBy("dst_id").agg(perChannel.head, perChannel.tail: _*)
       val outCols = valueCols.flatMap { c =>
         val v1 = col(s"_sw_$c"); val v2 = col(s"_sw2_$c")
         val swv = col(s"_swv_$c"); val swvv = col(s"_swvv_$c")
         Seq((swv / v1).as(c),
-          sqrt(greatest((v1 / (v1 * v1 - v2)) * (swvv - (swv * swv) / v1), lit(0.0)))
+          // < 2 valid neighbours: the decomposition divides by v1^2 - v2 = 0
+          // (0.0 or NaN slips out of greatest) — report NULL instead
+          when(col(s"n_$c") >= 2,
+            sqrt(greatest((v1 / (v1 * v1 - v2)) * (swvv - (swv * swv) / v1), lit(0.0))))
             .as(s"stddev_$c"),
           col(s"n_$c"))
-      }
+      } :+ col("n")
       agg.select(col("dst_id") +: outCols: _*)
     }
   }

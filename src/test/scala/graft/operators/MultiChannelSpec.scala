@@ -87,6 +87,21 @@ class MultiChannelSpec extends SparkSpec {
     }
   }
 
+  test("weightedMulti uncertainty: <2 valid neighbours -> NULL stddev, shared n kept") {
+    val s = spark
+    import s.implicits._
+    val src = Seq((1L, 0.4, 0.0, Double.NaN, 3.0), (2L, -0.4, 0.0, 7.0, 5.0))
+      .toDF("src_id", "lon", "lat", "va", "vb")
+    val tgt = Seq((10L, 0.0, 0.0)).toDF("dst_id", "lon", "lat")
+    val r = KnnResample.weightedMulti(src, tgt, 3.0, 8, Seq("va", "vb"),
+      d2 => exp(-d2), planar = true, uncertainty = true).collect()(0)
+    assert(r.getAs[Long]("n") == 2L) // shared count: both joined neighbours
+    assert(r.getAs[Long]("n_va") == 1L && r.getAs[Long]("n_vb") == 2L)
+    assert(r.isNullAt(r.fieldIndex("stddev_va")), "single-sample stddev must be NULL, not 0.0")
+    assert(!r.isNullAt(r.fieldIndex("stddev_vb")))
+    assert(r.getAs[Double]("va") == 7.0) // mean over the one valid neighbour
+  }
+
   test("streaming EWA (flatMapGroupsWithState) matches the batch pipeline after scan flush") {
     val s = spark
     import s.implicits._
