@@ -60,13 +60,21 @@ object Npz {
       case "<f8" | "<i8" => 8
       case other => throw new IllegalArgumentException(s"unsupported NPY dtype $other")
     }
-    // element and byte counts in Long: Int arithmetic overflows at 2 GiB
-    // and would surface as an opaque NegativeArraySizeException
-    val nLong = shape.foldLeft(1L)(_ * _.toLong)
-    val byteCount = nLong * elemSize
-    require(nLong >= 0 && byteCount >= 0 && byteCount <= Int.MaxValue - 8,
+    // element and byte counts via multiplyExact: plain Long multiplication
+    // can wrap around to a small positive value for pathological shapes
+    // with several huge dimensions, defeating a >= 0 guard
+    require(shape.forall(_ >= 0), s"negative NPY dim in shape ${shape.mkString("x")}")
+    val byteCount =
+      try {
+        val n = shape.foldLeft(1L)((acc, s) => Math.multiplyExact(acc, s.toLong))
+        Math.multiplyExact(n, elemSize.toLong)
+      } catch {
+        case _: ArithmeticException => Long.MaxValue
+      }
+    require(byteCount <= Int.MaxValue - 8,
       s"NPY array too large for driver-side read: shape ${shape.mkString("x")} " +
-        s"($byteCount bytes) — convert to parquet with a chunked external tool instead")
+        s"— convert to parquet with a chunked external tool instead")
+    val nLong = byteCount / elemSize
     val n = nLong.toInt
     val raw = new Array[Byte](n * elemSize)
     d.readFully(raw)
