@@ -3,6 +3,7 @@ package graft.queries
 import graft.core.{AreaDef, Crs}
 import graft.functions.GeoFunctions._
 import graft.operators._
+import graft.sources.Tiled
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -1466,6 +1467,41 @@ object Queries {
       SELECT d1, d2, sim FROM vv WHERE sim >= 0.2 ORDER BY d1, d2"""
     })
 
+  /** Tiled-source scan pruning (the Spark analog of the reference's
+    * `resample_blocks` per-chunk crop, `resampler.py:330-352`): the swath
+    * is written once as tile-partitioned parquet (30-degree tile_y/tile_x
+    * Hive layout, `Tiled.ensureTiled`) and joined against the distinct
+    * tile set of a regional target window. Spark's dynamic partition
+    * pruning turns the broadcast tile set into a runtime filter on the
+    * partition columns, so only the touched tile directories are scanned
+    * (TiledDppSpec asserts the pruned partition count and the
+    * dynamicpruning expression in the physical plan). The result is pure
+    * tile algebra — partitioning is a physical detail — so the DuckDB twin
+    * replays it off the raw table with the same floor arithmetic. */
+  val q53_tiled_dpp: Q = Q(
+    (s, d) => {
+      val path = s"/root/repo/target/tmp/tiled_${d.replaceAll("[^A-Za-z0-9]+", "_")}"
+      val tiled = Tiled.ensureTiled(s, swath(s, d), path, tileDeg = 30.0)
+      val tiles = Tiled.withTiles(
+          tgt(s, d).filter(col("lon") >= 0.0 && col("lon") < 90.0 &&
+            col("lat") >= 0.0 && col("lat") < 60.0), 30.0)
+        .select("tile_y", "tile_x").distinct()
+      Tiled.prunedJoin(tiled, tiles)
+        .groupBy("tile_y", "tile_x")
+        .agg(count(lit(1)).as("n"), sum(col("value").cast(dec)).cast("double").as("sum_v"))
+        .orderBy("tile_y", "tile_x")
+    },
+    Some(s"""WITH $swathSql, $tgtSql,
+      st AS (SELECT *, CAST(FLOOR((lon + 180.0) / 30.0) AS INTEGER) AS tile_x,
+                       CAST(FLOOR((90.0 - lat) / 30.0) AS INTEGER) AS tile_y FROM swath),
+      tt AS (SELECT DISTINCT CAST(FLOOR((lon + 180.0) / 30.0) AS INTEGER) AS tile_x,
+                             CAST(FLOOR((90.0 - lat) / 30.0) AS INTEGER) AS tile_y
+             FROM tgt WHERE lon >= 0.0 AND lon < 90.0 AND lat >= 0.0 AND lat < 60.0)
+      SELECT tile_y, tile_x, COUNT(*) AS n,
+             CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_v
+      FROM st JOIN tt USING (tile_y, tile_x)
+      GROUP BY tile_y, tile_x ORDER BY tile_y, tile_x"""))
+
   // -------------------------------------------------------------- registry
 
   val all: Seq[(String, Q)] = Seq(
@@ -1519,5 +1555,6 @@ object Queries {
     "q49_swath_slice" -> q49_swath_slice,
     "q50_multi_uncertainty" -> q50_multi_uncertainty,
     "q51_ivf_topk" -> q51_ivf_topk,
-    "q52_cosine_neardup" -> q52_cosine_neardup)
+    "q52_cosine_neardup" -> q52_cosine_neardup,
+    "q53_tiled_dpp" -> q53_tiled_dpp)
 }
