@@ -49,14 +49,25 @@ object KnnResample {
   /** J1 (`kd_tree.py:281-386`): neighbour table
     * (dst_id, src_id, dist2) with dist2 = squared distance in the chosen
     * coordinate space, at most k rows per target, nearest-first rank.
-    * Ties broken by src_id for determinism. */
+    * Ties broken by src_id for determinism.
+    *
+    * `salt` > 1 splits skewed cells: the source side gets a deterministic
+    * salt bucket `pmod(hash(src_id), salt)` appended to its cell key, and
+    * the target side explodes every neighbour cell across all salt values,
+    * so each (target, source) candidate pair still meets exactly once.
+    * A cell holding S source rows shuffles/joins as `salt` keys of ~S/salt
+    * rows — the manual fallback for dense-swath / polar-convergence skew
+    * when AQE's skew split isn't available (e.g. inside a non-AQE stage).
+    * Results are identical for any salt; cost is a salt× multiplier on the
+    * exploded target rows (the cheap side). */
   def neighbours(
       source: DataFrame, // (src_id, lon, lat, ...)
       target: DataFrame, // (dst_id, lon, lat, ...)
       radius: Double,
       k: Int,
       planar: Boolean = false,
-      quantize: Option[Int] = None): DataFrame = {
+      quantize: Option[Int] = None,
+      salt: Int = 1): DataFrame = {
 
     val coords = coordsOf(planar, quantize)
     val (sxE, syE, szE) = coords(col("lon"), col("lat"))
@@ -89,14 +100,21 @@ object KnnResample {
       .withColumn("cz", floor(col("tz") / radius).cast("long") + col("_off.dz"))
       .drop("_off")
 
+    val (srcK, tgtK, joinKeys) =
+      if (salt <= 1) (src, tgt, Seq("cx", "cy", "cz"))
+      else (
+        src.withColumn("_salt", pmod(hash(col("src_id")), lit(salt))),
+        tgt.withColumn("_salt", explode(array((0 until salt).map(lit): _*))),
+        Seq("cx", "cy", "cz", "_salt"))
+
     val dist2 =
       (col("tx") - col("sx")) * (col("tx") - col("sx")) +
         (col("ty") - col("sy")) * (col("ty") - col("sy")) +
         (col("tz") - col("sz")) * (col("tz") - col("sz"))
 
-    val joined = tgt
-      .join(src.select(col("src_id"), col("sx"), col("sy"), col("sz"), col("cx"), col("cy"), col("cz")),
-        Seq("cx", "cy", "cz"))
+    val srcCols = Seq("src_id", "sx", "sy", "sz") ++ joinKeys
+    val joined = tgtK
+      .join(srcK.select(srcCols.map(col): _*), joinKeys)
       .withColumn("dist2", dist2)
       .filter(col("dist2") <= lit(radius * radius))
 
