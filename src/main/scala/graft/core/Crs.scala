@@ -554,6 +554,11 @@ final case class HotineOmercProj(lonc: Double, lat0: Double, alphaDeg: Double, e
     val phi = lat * Deg2Rad
     if (math.abs(math.abs(phi) - math.Pi / 2) < 1e-12) return (Double.NaN, Double.NaN)
     val dLam = wrapLonDeg((lon * Deg2Rad - lam0) * Rad2Deg) * Deg2Rad
+    // B > 1 on an ellipsoid, so the atan2 the inverse relies on only
+    // recovers B*dLam within (-pi, pi]: the ~(B-1)*180 deg band at the
+    // antipodal meridian aliases by 2*pi/B (PROJ wraps the same way and is
+    // equally non-injective there) — declare it outside the domain
+    if (math.abs(bB * dLam) > math.Pi) return (Double.NaN, Double.NaN)
     val q = eE / math.pow(tsfn(phi), bB)
     val s = (q - 1 / q) / 2
     val t = (q + 1 / q) / 2

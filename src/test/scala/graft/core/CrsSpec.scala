@@ -129,4 +129,22 @@ class CrsSpec extends AnyFunSuite {
     assert(Projection.wrapLonDeg(540.0) == 180.0 || Projection.wrapLonDeg(540.0) == -180.0)
     assert(Projection.wrapLonDeg(0.0) == 0.0)
   }
+
+  test("hotine omerc: antipodal aliasing band is outside the domain (NaN)") {
+    // Regression for a ScalaCheck falsification: with ellipsoidal B > 1 the
+    // inverse atan2 only recovers B*dLam in (-pi, pi], so the ~0.6 deg band
+    // at the antipodal meridian aliased by 2*pi/B (168.91 -> 167.70). The
+    // forward must declare it out-of-domain instead of round-tripping wrong.
+    val c = Crs.fromProj4("+proj=omerc +lonc=-11.39 +lat_0=-0.28 +alpha=9.19 +ellps=WGS84")
+    val (xa, ya) = c.forward(168.91018286062754, -75.00713947450184)
+    assert(xa.isNaN && ya.isNaN)
+    // just inside the band on either side still round-trips
+    for (lon <- Seq(167.5, 170.2); lat <- Seq(-75.0, 0.0, 40.0)) {
+      val (x, y) = c.forward(lon, lat)
+      assert(!x.isNaN && !y.isNaN, s"($lon,$lat) unexpectedly out of domain")
+      val (lon2, lat2) = c.inverse(x, y)
+      assert(math.abs(Projection.wrapLonDeg(lon2 - lon)) < 1e-4 && math.abs(lat2 - lat) < 1e-4,
+        s"($lon,$lat) -> ($lon2,$lat2)")
+    }
+  }
 }
