@@ -23,6 +23,11 @@ object Bench {
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.adaptive.enabled", "true")
+      // ObjectHashAggregate (top-k heaps) falls back to sort-based after
+      // this many distinct keys per task; the default 128 is far below any
+      // real target-grid cardinality, and a k-slot heap is O(100B), so
+      // 128k entries is still only ~MBs per task
+      .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold", "131072")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")

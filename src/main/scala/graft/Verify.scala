@@ -10,6 +10,8 @@ object Verify {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      // see Bench.scala: keep top-k heap aggregation on the hash path
+      .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold", "131072")
       .config("spark.sql.session.timeZone", "UTC")
       // events.parquet carries INT64 nanosecond timestamps; read them as
       // long nanos (matches the oracle's epoch_ns arithmetic)

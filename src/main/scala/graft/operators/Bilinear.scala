@@ -129,8 +129,8 @@ object BilinearResample {
       .select(col("src_id"), col("lon"), col("lat"),
         col("proj_x").as("in_x"), col("proj_y").as("in_y"))
 
-    val nbrs = KnnResample.neighbours(srcProj, target, radius, k)
-      .join(srcProj.select("src_id", "in_x", "in_y"), "src_id")
+    val nbrs = KnnResample.neighbours(srcProj, target, radius, k,
+      carry = Seq("in_x", "in_y"))
 
     val gathered = nbrs
       .groupBy("dst_id")
@@ -210,8 +210,8 @@ object BilinearResample {
       .select(col("src_id"), col("lon"), col("lat"), col(valueCol).as("_v"),
         col("proj_x").as("in_x"), col("proj_y").as("in_y"))
 
-    val nbrs = KnnResample.neighbours(srcProj, target, radius, k, quantize = quantizeXyz)
-      .join(srcProj.select("src_id", "in_x", "in_y", "_v"), "src_id")
+    val nbrs = KnnResample.neighbours(srcProj, target, radius, k, quantize = quantizeXyz,
+      carry = Seq("in_x", "in_y", "_v"))
 
     val gathered = nbrs
       .groupBy("dst_id")

@@ -59,7 +59,13 @@ object KnnResample {
     * rows — the manual fallback for dense-swath / polar-convergence skew
     * when AQE's skew split isn't available (e.g. inside a non-AQE stage).
     * Results are identical for any salt; cost is a salt× multiplier on the
-    * exploded target rows (the cheap side). */
+    * exploded target rows (the cheap side).
+    *
+    * `carry` names DOUBLE source columns to ride the aggregation into the
+    * output (appended after rank): the winners' values arrive with their
+    * ranks, so the caller needs NO second source scan + join-back on
+    * src_id — on a wide source that join is a full extra scan, a full
+    * distinct/shuffle, and a broadcast build of the whole source. */
   def neighbours(
       source: DataFrame, // (src_id, lon, lat, ...)
       target: DataFrame, // (dst_id, lon, lat, ...)
@@ -67,7 +73,8 @@ object KnnResample {
       k: Int,
       planar: Boolean = false,
       quantize: Option[Int] = None,
-      salt: Int = 1): DataFrame = {
+      salt: Int = 1,
+      carry: Seq[String] = Nil): DataFrame = {
 
     val coords = coordsOf(planar, quantize)
     val (sxE, syE, szE) = coords(col("lon"), col("lat"))
@@ -112,36 +119,27 @@ object KnnResample {
         (col("ty") - col("sy")) * (col("ty") - col("sy")) +
         (col("tz") - col("sz")) * (col("tz") - col("sz"))
 
-    val srcCols = Seq("src_id", "sx", "sy", "sz") ++ joinKeys
+    val srcCols = Seq("src_id", "sx", "sy", "sz") ++ joinKeys ++ carry
     val joined = tgtK
       .join(srcK.select(srcCols.map(col): _*), joinKeys)
       .withColumn("dist2", dist2)
       .filter(col("dist2") <= lit(radius * radius))
 
-    if (k == 1) {
-      // k=1 fast path: lexicographic min(struct(dist2, src_id)) — identical
-      // selection and tie-break as the rank window, but a hash aggregation
-      // with map-side partial combine: the 27x candidate fan-out collapses
-      // before the shuffle instead of being sorted after it.
-      joined
-        .groupBy("dst_id")
-        .agg(min(struct(col("dist2"), col("src_id"))).as("_m"))
-        .select(col("dst_id"), col("_m.src_id").as("src_id"),
-          col("_m.dist2").as("dist2"), lit(1).as("rank"))
-    } else {
-      // k>1: bounded-memory top-k aggregation (TypedImperativeAggregate
-      // with a k-slot heap). Identical ordering and tie-break as a
-      // row_number window over (dist2 asc, src_id asc), but with a partial
-      // phase: each map task ships at most k candidates per target into
-      // the shuffle, and state is O(k) irrespective of candidate counts.
-      joined
-        .groupBy("dst_id")
-        .agg(graft.functions.TopKNearest.topkNearest(
-          struct(col("dist2"), col("src_id")), k).as("_top"))
-        .select(col("dst_id"), posexplode(col("_top")).as(Seq("_pos", "_t")))
-        .select(col("dst_id"), col("_t.src_id").as("src_id"),
-          col("_t.dist2").as("dist2"), (col("_pos") + 1).cast("int").as("rank"))
-    }
+    // Bounded-memory top-k aggregation (TypedImperativeAggregate with a
+    // k-slot heap), k=1 included. Identical ordering and tie-break as a
+    // row_number window over (dist2 asc, src_id asc), but with a partial
+    // phase — each map task ships at most k candidates per target into the
+    // shuffle, state O(k) — and it hash-aggregates (ObjectHashAggregate),
+    // where the min(struct)/window alternatives sort every candidate row.
+    val structIn = struct(
+      (Seq(col("dist2"), col("src_id")) ++ carry.map(c => col(c).cast("double"))): _*)
+    joined
+      .groupBy("dst_id")
+      .agg(graft.functions.TopKNearest.topkNearest(structIn, k, carry).as("_top"))
+      .select(col("dst_id"), posexplode(col("_top")).as(Seq("_pos", "_t")))
+      .select(Seq(col("dst_id"), col("_t.src_id").as("src_id"),
+        col("_t.dist2").as("dist2"), (col("_pos") + 1).cast("int").as("rank")) ++
+        carry.map(c => col(s"_t.$c").as(c)): _*)
   }
 
   /** J2 (`kd_tree.py:64-110`): nearest-neighbour gather. Returns
@@ -153,10 +151,12 @@ object KnnResample {
       valueCols: Seq[String],
       planar: Boolean = false,
       quantize: Option[Int] = None): DataFrame = {
-    val idx = neighbours(source, target, radius, k = 1, planar, quantize)
-    idx
-      .join(source.select(("src_id" +: valueCols).map(col): _*), "src_id")
-      .select(("dst_id" +: valueCols).map(col): _*)
+    // values ride the top-1 aggregation (carry) — no second source scan or
+    // join-back; cast back to the source dtypes since carry travels DOUBLE
+    val types = source.select(valueCols.map(col): _*).schema
+      .map(f => f.name -> f.dataType).toMap
+    neighbours(source, target, radius, k = 1, planar, quantize, carry = valueCols)
+      .select(col("dst_id") +: valueCols.map(c => col(c).cast(types(c)).as(c)): _*)
   }
 
   /** J3/J4 + A9 (`kd_tree.py:741-859`): distance-weighted merge of the k
@@ -176,9 +176,9 @@ object KnnResample {
       uncertainty: Boolean = false,
       planar: Boolean = false): DataFrame = {
 
-    val idx = neighbours(source, target, radius, k, planar)
+    val idx = neighbours(source, target, radius, k, planar, carry = Seq(valueCol))
     val joined = idx
-      .join(source.select(col("src_id"), col(valueCol).as("_v")), "src_id")
+      .withColumn("_v", col(valueCol))
       .withColumn("_w", weight(col("dist2")))
 
     val agg = joined
@@ -233,9 +233,8 @@ object KnnResample {
       weight: Column => Column,
       planar: Boolean = false,
       uncertainty: Boolean = false): DataFrame = {
-    val idx = neighbours(source, target, radius, k, planar)
+    val idx = neighbours(source, target, radius, k, planar, carry = valueCols)
     val joined = idx
-      .join(source.select(("src_id" +: valueCols).map(col): _*), "src_id")
       .withColumn("_w", weight(col("dist2")))
     // a null/NaN channel value must not poison that cell's mean/stddev for
     // the channel, and must not count as a used neighbour — mask every
@@ -282,9 +281,7 @@ object KnnResample {
       k: Int,
       channels: Seq[(String, Column => Column)],
       planar: Boolean = false): DataFrame = {
-    val idx = neighbours(source, target, radius, k, planar)
-    val joined = idx.join(
-      source.select(("src_id" +: channels.map(_._1)).map(col): _*), "src_id")
+    val joined = neighbours(source, target, radius, k, planar, carry = channels.map(_._1))
     val aggs = channels.map { case (c, wf) =>
       val w = wf(col("dist2"))
       (sum(w * col(c)) / sum(w)).as(c)

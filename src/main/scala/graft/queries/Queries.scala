@@ -303,8 +303,7 @@ object Queries {
   val q14_knn_nearest: Q = Q(
     (s, d) => {
       val src = srcForKnn(s, d)
-      KnnResample.neighbours(src, tgt(s, d), 2.0, 1, planar = true)
-        .join(src.select("src_id", "value"), "src_id")
+      KnnResample.neighbours(src, tgt(s, d), 2.0, 1, planar = true, carry = Seq("value"))
         .select("dst_id", "src_id", "dist2", "value")
         .orderBy("dst_id")
     },
@@ -346,8 +345,7 @@ object Queries {
   val q15_knn_custom: Q = Q(
     (s, d) => {
       val src = srcForKnn(s, d)
-      val nbrs = KnnResample.neighbours(src, tgt(s, d), 2.0, 5, planar = true)
-        .join(src.select("src_id", "value"), "src_id")
+      val nbrs = KnnResample.neighbours(src, tgt(s, d), 2.0, 5, planar = true, carry = Seq("value"))
         .withColumn("w", lit(4.5) - col("dist2"))
       pivotAgg(nbrs, 5, extra = false)
         .select(col("dst_id"), (fixedSum("wv", 5) / fixedSum("w", 5)).as("custom_v"))
@@ -360,8 +358,7 @@ object Queries {
   val q16_knn_gauss: Q = Q(
     (s, d) => {
       val src = srcForKnn(s, d)
-      val nbrs = KnnResample.neighbours(src, tgt(s, d), 2.0, 8, planar = true)
-        .join(src.select("src_id", "value"), "src_id")
+      val nbrs = KnnResample.neighbours(src, tgt(s, d), 2.0, 8, planar = true, carry = Seq("value"))
         .withColumn("w", round(exp(-col("dist2") / lit(2.25)), 7))
       pivotAgg(nbrs, 8, extra = false)
         .select(col("dst_id"), (fixedSum("wv", 8) / fixedSum("w", 8)).as("gauss_v"))
@@ -375,8 +372,7 @@ object Queries {
   val q17_knn_uncertainty: Q = Q(
     (s, d) => {
       val src = srcForKnn(s, d)
-      val nbrs = KnnResample.neighbours(src, tgt(s, d), 2.0, 8, planar = true)
-        .join(src.select("src_id", "value"), "src_id")
+      val nbrs = KnnResample.neighbours(src, tgt(s, d), 2.0, 8, planar = true, carry = Seq("value"))
         .withColumn("w", round(exp(-col("dist2") / lit(2.25)), 7))
       val g = pivotAgg(nbrs, 8, extra = true)
       val v1 = fixedSum("w", 8); val v2 = fixedSum("ww", 8)
@@ -412,8 +408,8 @@ object Queries {
   val q50_multi_uncertainty: Q = Q(
     (s, d) => {
       val src = srcForKnn(s, d)
-      val nbrs = KnnResample.neighbours(src, tgt(s, d), 2.0, 8, planar = true)
-        .join(src.select("src_id", "value", "value2"), "src_id")
+      val nbrs = KnnResample.neighbours(src, tgt(s, d), 2.0, 8, planar = true,
+          carry = Seq("value", "value2"))
         .withColumn("w", round(exp(-col("dist2") / lit(2.25)), 7))
       val aggs = (1 to 8).flatMap { i =>
         Seq(
@@ -992,8 +988,8 @@ object Queries {
       val src = DataReduce.reduceToArea(
         srcForKnn(s, d), area, 50000.0)
       val target = area.grid(s, withLonLat = true).select(col("cell").as("dst_id"), col("lon"), col("lat"))
-      val nbrs = KnnResample.neighbours(src, target, 50000.0, 8, quantize = Some(0))
-        .join(src.select("src_id", "value"), "src_id")
+      val nbrs = KnnResample.neighbours(src, target, 50000.0, 8, quantize = Some(0),
+          carry = Seq("value"))
         .withColumn("w", round(exp(-col("dist2") / lit(25000.0 * 25000.0)), 7))
       pivotAgg(nbrs, 8, extra = false)
         .select(col("dst_id"), (fixedSum("wv", 8) / fixedSum("w", 8)).as("gauss_v"))

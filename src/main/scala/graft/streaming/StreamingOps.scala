@@ -102,6 +102,28 @@ object StreamingOps {
       .toDF()
   }
 
+  /** Streaming exact deduplication on ingest (the streaming twin of
+    * `Dedup.exact`): keep one document per content digest — the first
+    * across micro-batches (inside a single micro-batch the survivor is
+    * arbitrary), dropping later copies. State is the digest set, bounded by the
+    * watermark: `dropDuplicatesWithinWatermark` evicts digests once they
+    * age past it, so state is O(unique digests per watermark window), not
+    * O(stream length) — the only way exact dedup stays bounded on an
+    * unbounded ingest feed. Duplicates farther apart than the watermark are
+    * left for the batch pass (the standard lambda split).
+    *
+    * At 100 TB-scale ingest the digest state shards by key across
+    * executors (HDFSBackedStateStore / RocksDB), and the pre-watermark
+    * dedup cuts the downstream write volume before anything lands. */
+  def dedupStream(
+      stream: DataFrame, // (ts TIMESTAMP, text, ...)
+      watermark: String = "10 minutes",
+      textCol: String = "text"): DataFrame =
+    stream
+      .withColumn("digest", md5(col(textCol))) // same digest as Dedup.exact
+      .withWatermark("ts", watermark)
+      .dropDuplicatesWithinWatermark("digest")
+
   /** Running per-cell weighted mean over [[ewaStream]] partials — an
     * incremental aggregation (update/complete output modes).
     *
