@@ -129,13 +129,10 @@ object BilinearResample {
       .select(col("src_id"), col("lon"), col("lat"),
         col("proj_x").as("in_x"), col("proj_y").as("in_y"))
 
-    val nbrs = KnnResample.neighbours(srcProj, target, radius, k,
+    // the top-k aggregation's array IS the nearest-first candidate list —
+    // no explode / re-collect_list / sort_array round-trip
+    val gathered = KnnResample.neighboursAgg(srcProj, target, radius, k,
       carry = Seq("in_x", "in_y"))
-
-    val gathered = nbrs
-      .groupBy("dst_id")
-      .agg(sort_array(collect_list(struct(
-        col("rank"), col("src_id"), col("in_x"), col("in_y")))).as("cand"))
       .join(target.select(col("dst_id"), col("out_x"), col("out_y")), "dst_id")
 
     val solve = udf { (cand: Seq[Row], outX: Double, outY: Double) =>
@@ -210,14 +207,16 @@ object BilinearResample {
       .select(col("src_id"), col("lon"), col("lat"), col(valueCol).as("_v"),
         col("proj_x").as("in_x"), col("proj_y").as("in_y"))
 
-    val nbrs = KnnResample.neighbours(srcProj, target, radius, k, quantize = quantizeXyz,
-      carry = Seq("in_x", "in_y", "_v"))
-
-    val gathered = nbrs
-      .groupBy("dst_id")
-      .agg(sort_array(collect_list(struct(
-        col("rank"), col("in_x"), col("in_y"), col("_v")))).as("cand"))
-      .join(target.select(col("dst_id"), col("out_x"), col("out_y")), "dst_id")
+    // the top-k aggregation's array IS the nearest-first candidate list (no
+    // explode / re-collect_list round-trip), and the target-projection
+    // centre coordinates are pure arithmetic on the cell id (AreaDef.grid's
+    // own formula) — no join back to the target grid at all
+    val gathered = KnnResample.neighboursAgg(srcProj, target, radius, k,
+      quantize = quantizeXyz, carry = Seq("in_x", "in_y", "_v"))
+      .withColumn("out_x",
+        lit(area.xLL) + (col("dst_id") % area.width + lit(0.5)) * lit(area.pixelSizeX))
+      .withColumn("out_y",
+        lit(area.yUR) - (floor(col("dst_id") / area.width) + lit(0.5)) * lit(area.pixelSizeY))
 
     val solveAndBlend = udf { (cand: Seq[Row], outX: Double, outY: Double) =>
       val xs = cand.map(_.getAs[Double]("in_x"))

@@ -74,6 +74,29 @@ object KnnResample {
       planar: Boolean = false,
       quantize: Option[Int] = None,
       salt: Int = 1,
+      carry: Seq[String] = Nil): DataFrame =
+    neighboursAgg(source, target, radius, k, planar, quantize, salt, carry)
+      .select(col("dst_id"), posexplode(col("cand")).as(Seq("_pos", "_t")))
+      .select(Seq(col("dst_id"), col("_t.src_id").as("src_id"),
+        col("_t.dist2").as("dist2"), (col("_pos") + 1).cast("int").as("rank")) ++
+        carry.map(c => col(s"_t.$c").as(c)): _*)
+
+  /** [[neighbours]] in aggregated form: one row per target,
+    * `cand: array<struct<dist2, src_id[, carry...]>>` holding the <=k
+    * nearest candidates ascending (dist2, src_id) — i.e. rank order.
+    * Consumers that want the whole candidate list per target (bilinear's
+    * corner solve) read this directly: the top-k heap aggregation already
+    * produces the sorted bounded array, so exploding it back to rows only
+    * to re-collect_list + sort_array them per target would pay a second
+    * full aggregation pass for nothing. */
+  def neighboursAgg(
+      source: DataFrame, // (src_id, lon, lat, ...)
+      target: DataFrame, // (dst_id, lon, lat, ...)
+      radius: Double,
+      k: Int,
+      planar: Boolean = false,
+      quantize: Option[Int] = None,
+      salt: Int = 1,
       carry: Seq[String] = Nil): DataFrame = {
 
     val coords = coordsOf(planar, quantize)
@@ -135,11 +158,7 @@ object KnnResample {
       (Seq(col("dist2"), col("src_id")) ++ carry.map(c => col(c).cast("double"))): _*)
     joined
       .groupBy("dst_id")
-      .agg(graft.functions.TopKNearest.topkNearest(structIn, k, carry).as("_top"))
-      .select(col("dst_id"), posexplode(col("_top")).as(Seq("_pos", "_t")))
-      .select(Seq(col("dst_id"), col("_t.src_id").as("src_id"),
-        col("_t.dist2").as("dist2"), (col("_pos") + 1).cast("int").as("rank")) ++
-        carry.map(c => col(s"_t.$c").as(c)): _*)
+      .agg(graft.functions.TopKNearest.topkNearest(structIn, k, carry).as("cand"))
   }
 
   /** J2 (`kd_tree.py:64-110`): nearest-neighbour gather. Returns

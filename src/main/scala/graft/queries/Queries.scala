@@ -284,7 +284,14 @@ object Queries {
     s"ksrc AS (SELECT DISTINCT ${ksrcExprs.mkString(", ")} FROM lineitem)"
 
   private def srcForKnn(s: SparkSession, d: String): DataFrame =
+    // explicit repartition after the dedup: AQE coalesces the distinct's
+    // tiny output to ONE partition (sub-minPartitionSize), and the
+    // downstream cell join's 100-fold candidate fan-out + partial top-k
+    // aggregation then run in a single task. Round-robin over the default
+    // parallelism costs one exchange of the already-deduped rows and
+    // restores full parallelism to every k-NN query fed from here.
     table(s, d, "lineitem").selectExpr(ksrcExprs: _*).distinct()
+      .repartition(s.sparkContext.defaultParallelism)
 
   /** Shared SQL: brute-force candidates within radius 2.0 deg + rank. */
   private val knnRankedSql: String =
