@@ -72,9 +72,18 @@ object EwaResample {
 
     val cr = ll2cr(swath, area, quantize = quantizeCr)
     val rps = if (rowsPerScan <= 0) Int.MaxValue else rowsPerScan
+    // Persist the ll2cr output: it feeds FOUR consumers (scan-row bounds,
+    // the mid-row window, the first/last-row gradient agg, and the
+    // footprint explode itself) — without it each consumer re-runs the
+    // upstream swath scan + the projection trig. One row per swath pixel;
+    // the reference materializes this same intermediate as its separate
+    // ll2cr step (`ewa/_ll2cr.pyx`). MEMORY_AND_DISK so a 100 TB swath
+    // spills instead of OOMing (at that scale, write it to parquet as the
+    // reference does and read it back for fornav).
     val withScan = cr
       .withColumn("scan", if (rowsPerScan <= 0) lit(0L) else floor(col("y") / lit(rps)).cast("long"))
       .withColumn("y_in", if (rowsPerScan <= 0) col("y").cast("long") else col("y") % lit(rps))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
     val scanRows = withScan.groupBy("scan")
       .agg(min("y_in").as("_y0"), max("y_in").as("_y1"))
