@@ -284,14 +284,17 @@ object Queries {
     s"ksrc AS (SELECT DISTINCT ${ksrcExprs.mkString(", ")} FROM lineitem)"
 
   private def srcForKnn(s: SparkSession, d: String): DataFrame =
-    // explicit repartition after the dedup: AQE coalesces the distinct's
-    // tiny output to ONE partition (sub-minPartitionSize), and the
-    // downstream cell join's 100-fold candidate fan-out + partial top-k
-    // aggregation then run in a single task. Round-robin over the default
-    // parallelism costs one exchange of the already-deduped rows and
-    // restores full parallelism to every k-NN query fed from here.
     table(s, d, "lineitem").selectExpr(ksrcExprs: _*).distinct()
-      .repartition(s.sparkContext.defaultParallelism)
+
+  /** [[srcForKnn]] with parallelism restored for the geocentric stere
+    * queries: AQE coalesces the distinct's tiny output to ONE partition
+    * (sub-minPartitionSize), and the 27-cell geocentric join's ~170x
+    * candidate fan-out + partial top-k aggregation then run in a single
+    * task (~4s of q45's 6s). One round-robin exchange of the deduped rows
+    * fixes that. The planar 9-cell queries skip it — their fan-out is small
+    * enough that the extra exchange costs more than the serial join. */
+  private def srcForKnnRebalanced(s: SparkSession, d: String): DataFrame =
+    srcForKnn(s, d).repartition(s.sparkContext.defaultParallelism)
 
   /** Shared SQL: brute-force candidates within radius 2.0 deg + rank. */
   private val knnRankedSql: String =
@@ -581,6 +584,16 @@ object Queries {
         MIN(doc_id) AS keep_id, CAST(COUNT(*) AS BIGINT) AS n
       FROM documents GROUP BY 1 ORDER BY fp"""))
 
+  /** documents with parallelism restored: the sf tables are single-row-group
+    * parquet files, so the scan is one task and AQE keeps every downstream
+    * stage at one partition — the shingle explode + signature aggregation of
+    * the dedup queries then run single-threaded. One cheap round-robin
+    * exchange of the raw docs spreads them (same rationale as srcForKnn's
+    * post-distinct repartition; at real scale a many-file table scan is
+    * already parallel and this helper would be the identity). */
+  private def docsRebalanced(s: SparkSession, d: String): DataFrame =
+    table(s, d, "documents").repartition(s.sparkContext.defaultParallelism)
+
   private val bigramWordsSql: String =
     """wp AS (SELECT doc_id, unnest(string_split(text, ' ')) AS word,
                unnest(range(len(string_split(text, ' ')))) AS pos FROM documents),
@@ -596,7 +609,7 @@ object Queries {
                 GROUP BY c.d1, c.d2)"""
 
   val q25_minhash_lsh: Q = Q(
-    (s, d) => Dedup.minhashLsh(table(s, d, "documents")).orderBy("d1", "d2"),
+    (s, d) => Dedup.minhashLsh(docsRebalanced(s, d)).orderBy("d1", "d2"),
     Some {
       val sigs = (1 to 8).map(i => s"MIN(md5(word || '#$i')) AS h$i").mkString(", ")
       s"""WITH $bigramWordsSql,
@@ -954,7 +967,7 @@ object Queries {
     (s, d) => {
       val area = stereArea()
       val src = DataReduce.reduceToArea(
-        srcForKnn(s, d), area, 50000.0)
+        srcForKnnRebalanced(s, d), area, 50000.0)
       val target = area.grid(s, withLonLat = true).select(col("cell").as("dst_id"), col("lon"), col("lat"))
       KnnResample.nearest(src, target, 50000.0, Seq("value"), quantize = Some(0)).orderBy("dst_id")
     },
@@ -993,7 +1006,7 @@ object Queries {
     (s, d) => {
       val area = stereArea()
       val src = DataReduce.reduceToArea(
-        srcForKnn(s, d), area, 50000.0)
+        srcForKnnRebalanced(s, d), area, 50000.0)
       val target = area.grid(s, withLonLat = true).select(col("cell").as("dst_id"), col("lon"), col("lat"))
       val nbrs = KnnResample.neighbours(src, target, 50000.0, 8, quantize = Some(0),
           carry = Seq("value"))
@@ -1187,7 +1200,7 @@ object Queries {
       // 250 km disc at sf0.01 — enough for the 4-corner pick, and the cell
       // join stays ~27 candidate cells per target
       val src = DataReduce.reduceToArea(
-        srcForKnn(s, d), area, 250000.0)
+        srcForKnnRebalanced(s, d), area, 250000.0)
       BilinearResample.resample(src, area, radius = 250000.0,
         quantizeXyz = Some(0), quantizeProj = Some(2)).orderBy("dst_id")
     },
