@@ -111,6 +111,38 @@ class KnnSpec extends SparkSpec {
     assert(r.count() == 0)
   }
 
+  test("carry payloads ride the heap: values, nulls, and ordering") {
+    val s = spark
+    import s.implicits._
+    // null channel value + a second channel; winners' payloads must match a
+    // plain join-back on src_id, and nulls must survive the heap round-trip
+    val src = Seq(
+      (1L, 11.280789, 56.011037, Some(1.0), 10.0),
+      (2L, 12.649354, 55.629675, None, 20.0),
+      (3L, 12.080402, 55.641535, Some(3.0), 30.0))
+      .toDF("src_id", "lon", "lat", "v1", "v2")
+    val viaCarry = KnnResample.neighbours(src, target, 100000.0, 3, carry = Seq("v1", "v2"))
+      .select("dst_id", "src_id", "rank", "v1", "v2").collect()
+      .map(r => (r.getAs[Long]("src_id"), r.getAs[Int]("rank"),
+        Option(r.getAs[Any]("v1")), r.getAs[Double]("v2"))).sortBy(_._2)
+    assert(viaCarry.map(_._1).toSeq == Seq(2L, 3L, 1L))
+    assert(viaCarry.map(_._3).toSeq == Seq(None, Some(3.0), Some(1.0)))
+    assert(viaCarry.map(_._4).toSeq == Seq(20.0, 30.0, 10.0))
+  }
+
+  test("neighboursAgg array equals exploded neighbours, rank order") {
+    val exploded = KnnResample.neighbours(source, target, 100000.0, 3, carry = Seq("value"))
+      .orderBy("rank")
+      .collect().map(r => (r.getAs[Double]("dist2"), r.getAs[Long]("src_id"), r.getAs[Double]("value")))
+    val agg = KnnResample.neighboursAgg(source, target, 100000.0, 3, carry = Seq("value"))
+      .collect()
+    assert(agg.length == 1)
+    val cand = agg(0).getAs[scala.collection.Seq[org.apache.spark.sql.Row]]("cand")
+      .map(r => (r.getAs[Double]("dist2"), r.getAs[Long]("src_id"), r.getAs[Double]("value"))).toSeq
+    assert(cand == exploded.toSeq)
+    assert(cand.map(_._1) == cand.map(_._1).sorted) // ascending dist2
+  }
+
   test("cell-join exactness vs brute force on a lattice") {
     val s = spark
     import s.implicits._
