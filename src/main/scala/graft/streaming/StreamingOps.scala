@@ -124,6 +124,66 @@ object StreamingOps {
       .withWatermark("ts", watermark)
       .dropDuplicatesWithinWatermark("digest")
 
+  /** Streaming training-data ingest cleaner: token/quality stats +
+    * language ID as PURE per-row expressions (higher-order `filter` over
+    * the word array against literal keyword arrays — no join, no window,
+    * fully codegen and stateless, so they run in append mode on an
+    * unbounded stream), followed by watermark-bounded exact dedup
+    * ([[dedupStream]]). The batch `TextAnalysis.quality`/`langId` use a
+    * broadcast join + rank window — equivalent results, but those plans
+    * are not executable on a stream; this is the streaming re-expression,
+    * the standard quality-gate-then-dedup shape of a 100 TB ingest feed.
+    *
+    * Output adds: n_words, stop_ratio, punct_ratio, pred_lang (null when
+    * no keyword hits — same no-row semantics as the batch argmax, kept as
+    * null so the stream stays one-row-per-doc). Rows failing the gates are
+    * dropped before dedup state is touched, shrinking the digest state. */
+  def cleanIngest(
+      stream: DataFrame, // (ts TIMESTAMP, doc_id, text, ...)
+      watermark: String = "10 minutes",
+      minWords: Int = 5,
+      minStopRatio: Double = 0.0,
+      maxPunctRatio: Double = 1.0,
+      stopwords: Seq[String] = graft.operators.TextAnalysis.EnStopwords,
+      keywords: Seq[(String, String)] = graft.operators.TextAnalysis.LangKeywords,
+      textCol: String = "text"): DataFrame = {
+    val scored = scoreDocs(stream, stopwords, keywords, textCol)
+      .filter(col("n_words") >= minWords &&
+        col("stop_ratio") >= minStopRatio && col("punct_ratio") <= maxPunctRatio)
+    dedupStream(scored, watermark, textCol)
+  }
+
+  /** The per-row scoring stage of [[cleanIngest]]: adds n_words,
+    * stop_ratio, punct_ratio, pred_lang. Pure column expressions, so it
+    * runs unchanged on a batch OR streaming DataFrame (the batch/stream
+    * parity is spec-asserted against `TextAnalysis.langId`). */
+  def scoreDocs(
+      docs: DataFrame,
+      stopwords: Seq[String] = graft.operators.TextAnalysis.EnStopwords,
+      keywords: Seq[(String, String)] = graft.operators.TextAnalysis.LangKeywords,
+      textCol: String = "text"): DataFrame = {
+    val words = split(col(textCol), " ")
+    val stopArr = array(stopwords.map(lit): _*)
+    val nWords = size(words).cast("long")
+    val stopHits = size(filter(words, w => array_contains(stopArr, w))).cast("long")
+    val punct = (length(col(textCol)) -
+      length(regexp_replace(col(textCol), "[.,!?;]", ""))).cast("long")
+    // per-language hit counts -> argmax via min(struct(-hits, lang)):
+    // -hits ascending == hits descending, lang ascending breaks ties —
+    // identical selection to TextAnalysis.langId's (desc, asc) window
+    val langStructs = keywords.groupBy(_._1).toSeq.sortBy(_._1).map { case (lang, kws) =>
+      val kwArr = array(kws.map(k => lit(k._2)): _*)
+      struct((-size(filter(words, w => array_contains(kwArr, w)))).as("neg"),
+        lit(lang).as("lang"))
+    }
+    val best = array_min(array(langStructs: _*))
+    docs
+      .withColumn("n_words", nWords)
+      .withColumn("stop_ratio", stopHits.cast("double") / nWords)
+      .withColumn("punct_ratio", punct.cast("double") / length(col(textCol)))
+      .withColumn("pred_lang", when(best.getField("neg") < 0, best.getField("lang")))
+  }
+
   /** Running per-cell weighted mean over [[ewaStream]] partials — an
     * incremental aggregation (update/complete output modes).
     *
