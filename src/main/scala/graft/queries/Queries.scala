@@ -684,6 +684,35 @@ object Queries {
       SELECT doc_id, pred_lang, hits FROM r WHERE rn = 1 ORDER BY doc_id"""
     })
 
+  /** Per-row doc scoring (the streaming ingest cleaner's scoring stage,
+    * `StreamingOps.scoreDocs`): higher-order-function stop/punct ratios +
+    * join-free language argmax — the oracle replays the same lambda
+    * filters with DuckDB's list functions and the argmax via the same
+    * (hits desc, lang asc) rank. */
+  val q54_score_docs: Q = Q(
+    (s, d) => graft.streaming.StreamingOps.scoreDocs(table(s, d, "documents"))
+      .select("doc_id", "n_words", "stop_ratio", "punct_ratio", "pred_lang")
+      .orderBy("doc_id"),
+    Some {
+      val stops = TextAnalysis.EnStopwords.map(w => s"'$w'").mkString(", ")
+      val kw = TextAnalysis.LangKeywords.map { case (l, w) => s"('$l', '$w')" }.mkString(", ")
+      s"""WITH kw(lang, word) AS (VALUES $kw),
+      wa AS (SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents),
+      scores AS (SELECT wa.doc_id, kw.lang, COUNT(*) AS hits
+                 FROM wa JOIN kw ON wa.word = kw.word GROUP BY wa.doc_id, kw.lang),
+      r AS (SELECT doc_id, lang, ROW_NUMBER() OVER (
+              PARTITION BY doc_id ORDER BY hits DESC, lang ASC) AS rn FROM scores)
+      SELECT d.doc_id,
+        CAST(len(string_split(d.text, ' ')) AS BIGINT) AS n_words,
+        CAST(len(list_filter(string_split(d.text, ' '), x -> list_contains([$stops], x))) AS DOUBLE)
+          / CAST(len(string_split(d.text, ' ')) AS BIGINT) AS stop_ratio,
+        CAST(length(d.text) - length(regexp_replace(d.text, '[.,!?;]', '', 'g')) AS DOUBLE)
+          / CAST(length(d.text) AS BIGINT) AS punct_ratio,
+        r.lang AS pred_lang
+      FROM documents d LEFT JOIN r ON r.doc_id = d.doc_id AND r.rn = 1
+      ORDER BY d.doc_id"""
+    })
+
   // ============================================ embeddings (extension ops)
 
   val q30_cosine_sim: Q = Q(
@@ -1572,5 +1601,6 @@ object Queries {
     "q50_multi_uncertainty" -> q50_multi_uncertainty,
     "q51_ivf_topk" -> q51_ivf_topk,
     "q52_cosine_neardup" -> q52_cosine_neardup,
-    "q53_tiled_dpp" -> q53_tiled_dpp)
+    "q53_tiled_dpp" -> q53_tiled_dpp,
+    "q54_score_docs" -> q54_score_docs)
 }
