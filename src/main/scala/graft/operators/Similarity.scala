@@ -119,6 +119,93 @@ object Similarity {
       .select(col(idQ), col(idC), col("rank"), col("sim_r").as("sim"))
   }
 
+  /** Distributed Lloyd k-means over the embedding column — the trained
+    * alternative to [[ivfTopK]]'s hash-picked centroids. Per iteration:
+    * assignment is a pure codegen argmax against the k literal centroid
+    * arrays (no join, no shuffle), and the re-centering is ONE aggregation
+    * keyed by (cluster, dimension) after a posexplode — k*dim keys, so the
+    * shuffle is bounded by the model size, not the data. The k*dim partial
+    * sums collected per iteration are the model itself (same bounded-driver
+    * contract as the omerc fit). Seeding is the md5-id-hash subset (engine-
+    * portable, deterministic); an emptied cluster keeps its previous
+    * centroid. At 100 TB you train on a sample (standard practice) and
+    * assign the full set with the final centroids — assignment is the
+    * map-only argmax, embarrassingly parallel. */
+  def kmeansCentroids(
+      items: DataFrame,
+      k: Int,
+      iters: Int = 5,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding"): Seq[Array[Double]] = {
+    val idHash = conv(substring(md5(col(idCol).cast("string")), 1, 15), 16, 10).cast("long")
+    var centroids: Seq[Array[Double]] = items
+      .select(col(idCol), col(vecCol).cast("array<double>").as("_v"))
+      .orderBy(idHash, col(idCol))
+      .limit(k)
+      .collect()
+      .map(_.getSeq[Double](1).toArray).toSeq
+    for (_ <- 0 until iters) {
+      val cStructs = centroids.zipWithIndex.map { case (c, i) =>
+        struct((-round(cosineSimilarity(col("_v"), array(c.map(lit): _*)), 9)).as("negSim"),
+          lit(i).as("cid"))
+      }
+      val sums = items
+        .select(col(vecCol).cast("array<double>").as("_v"))
+        .withColumn("cid", array_min(array(cStructs: _*)).getField("cid"))
+        .select(col("cid"), posexplode(col("_v")).as(Seq("pos", "x")))
+        .groupBy("cid", "pos")
+        .agg(sum("x").as("sx"), count(lit(1)).as("n"))
+        .collect()
+        .groupBy(_.getInt(0))
+      centroids = centroids.zipWithIndex.map { case (old, i) =>
+        sums.get(i) match {
+          case Some(rows) =>
+            rows.sortBy(_.getInt(1)).map(r => r.getDouble(2) / r.getLong(3)).toArray
+          case None => old // emptied cluster keeps its previous centroid
+        }
+      }
+    }
+    centroids
+  }
+
+  /** [[ivfTopK]] with explicit (e.g. [[kmeansCentroids]]-trained) centroid
+    * vectors instead of the hash-picked candidate subset. Same inverted-
+    * list shape: broadcast argmax assignment, equi-join probe, exact
+    * rerank within the probed lists. */
+  def ivfTopKWith(
+      queries: DataFrame,
+      candidates: DataFrame,
+      centroidVecs: Seq[Array[Double]],
+      k: Int,
+      nProbe: Int = 4,
+      idQ: String = "qid",
+      idC: String = "cid",
+      vecCol: String = "embedding"): DataFrame = {
+    val s = candidates.sparkSession
+    import s.implicits._
+    val centroids = broadcast(
+      centroidVecs.zipWithIndex.map { case (c, i) => (i.toLong, c) }
+        .toDF("centroid_id", "_ctr"))
+
+    def assign(df: DataFrame, id: String, v: String, keep: Int): DataFrame = {
+      val w = Window.partitionBy(id).orderBy(col("_csim").desc, col("centroid_id").asc)
+      df.crossJoin(centroids)
+        .withColumn("_csim", round(cosineSimilarity(col(v), col("_ctr")), 6))
+        .withColumn("_crk", row_number().over(w))
+        .filter(col("_crk") <= keep)
+        .drop("_ctr", "_csim", "_crk")
+    }
+
+    val cAssigned = assign(candidates.select(col(idC), col(vecCol).as("_cv")), idC, "_cv", 1)
+    val qAssigned = assign(queries.select(col(idQ), col(vecCol).as("_qv")), idQ, "_qv", nProbe)
+    val w = Window.partitionBy(idQ).orderBy(col("sim_r").desc, col(idC).asc)
+    qAssigned.join(cAssigned, "centroid_id")
+      .withColumn("sim_r", round(cosineSimilarity(col("_qv"), col("_cv")), 6))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col(idQ), col(idC), col("rank"), col("sim_r").as("sim"))
+  }
+
   /** Embedding-cosine near-duplicate pairs: candidates share an LSH
     * signature band; exact cosine verify keeps pairs >= threshold. The
     * dedup flavour of [[lshTopK]] — same banded join (no all-pairs), pair

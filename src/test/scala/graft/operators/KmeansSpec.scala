@@ -1,0 +1,51 @@
+package graft.operators
+
+import graft.SparkSpec
+
+/** Trained IVF: Lloyd k-means on a separable 3-cluster fixture recovers
+  * the cluster means, and IVF with the trained centroids + full probe
+  * returns exactly the brute-force top-k. */
+class KmeansSpec extends SparkSpec {
+
+  // three well-separated clusters on coordinate axes in 4-d, slightly
+  // perturbed per point (deterministic)
+  private def clusterPoint(axis: Int, j: Int): Array[Double] = {
+    val v = Array.fill(4)(0.05 * ((j * 7 + axis * 3) % 5))
+    v(axis) = 10.0 + 0.1 * (j % 3)
+    v
+  }
+
+  private lazy val items = {
+    val s = spark
+    import s.implicits._
+    (for { axis <- 0 until 3; j <- 0 until 20 } yield
+      ((axis * 20 + j).toLong, clusterPoint(axis, j)))
+      .toDF("vec_id", "embedding")
+  }
+
+  test("kmeans recovers the three separable cluster directions") {
+    val got = Similarity.kmeansCentroids(items, k = 3, iters = 4)
+    assert(got.length == 3)
+    // each true cluster axis must dominate exactly one centroid
+    val domAxes = got.map(c => c.indexOf(c.max)).sorted.toSeq
+    assert(domAxes == Seq(0, 1, 2), s"dominant axes $domAxes of $got")
+    // dominant component ~10, others small
+    got.foreach { c =>
+      assert(c.max > 9.0 && c.sorted.init.forall(_ < 1.0), c.mkString(","))
+    }
+  }
+
+  test("trained IVF with full probe == brute force top-k") {
+    val s = spark
+    import org.apache.spark.sql.functions.col
+    val queries = items.filter(col("vec_id") % 10 === 0)
+      .select(col("vec_id").as("qid"), col("embedding"))
+    val cands = items.select(col("vec_id").as("cid"), col("embedding"))
+    val trained = Similarity.kmeansCentroids(items, k = 3, iters = 4)
+    val ivf = Similarity.ivfTopKWith(queries, cands, trained, k = 5, nProbe = 3)
+      .collect().map(r => (r.getLong(0), r.getInt(2), r.getLong(1))).toSet
+    val bf = Similarity.bruteForceTopK(queries, cands, k = 5)
+      .collect().map(r => (r.getLong(0), r.getInt(2), r.getLong(1))).toSet
+    assert(ivf == bf, s"ivf ${ivf.size} vs bf ${bf.size}")
+  }
+}
