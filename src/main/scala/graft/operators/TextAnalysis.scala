@@ -65,6 +65,90 @@ object TextAnalysis {
       .withColumn("punct_ratio", col("n_punct").cast("double") / col("n_chars"))
   }
 
+  /** SQL fragment: the array of word `n`-grams of the word array column
+    * `w`, joined by single spaces; empty when the doc has fewer than `n`
+    * words (`sequence(0, negative)` would otherwise count *down*). */
+  private def gramsSql(n: Int): String = {
+    val parts = (0 until n).map(j => s"w[i + $j]").mkString(", ")
+    s"CASE WHEN size(w) >= $n THEN transform(sequence(0, size(w) - $n), i -> concat_ws(' ', $parts)) " +
+      "ELSE CAST(array() AS ARRAY<STRING>) END"
+  }
+
+  /** Gopher-style repetition statistics, per document: the share of the doc
+    * taken by its most frequent word 2-gram / 3-gram and the fraction of
+    * duplicated 5-grams. The classic repetitious-text quality filters
+    * (Rae et al. 2021 §A1.1) for pretraining-data cleaning.
+    *
+    * Scale: entirely per-row — n-gram arrays, a sort, and a run-length
+    * fold via higher-order functions. Zero shuffles, no groupBy on the
+    * (huge) gram key space; at 100 TB this is a pure map stage pipelined
+    * into the scan.
+    *
+    * Output per doc: `n_words`, `top2_n`/`top2_frac` (count and share of
+    * the modal bigram among the `n_words-1` bigrams), `top3_n`/`top3_frac`,
+    * `dup5_n`/`dup5_frac` (5-gram occurrences beyond first, over total
+    * 5-grams). Fractions are NULL when the doc is too short to have any
+    * n-gram of that order.
+    */
+  def repetitionStats(docs: DataFrame, textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    // modal-gram count = longest run in the sorted gram array: a single
+    // per-row fold, so the per-doc mode never touches a shuffle
+    def maxRun(grams: String): String =
+      s"""aggregate(array_sort($grams),
+         named_struct('prev', CAST(NULL AS STRING), 'run', 0L, 'best', 0L),
+         (acc, x) -> named_struct(
+           'prev', x,
+           'run',  IF(x <=> acc.prev, acc.run + 1L, 1L),
+           'best', GREATEST(acc.best, IF(x <=> acc.prev, acc.run + 1L, 1L))),
+         acc -> acc.best)"""
+    docs
+      .select(col(idCol), split(col(textCol), " ").as("w"))
+      .withColumn("n_words", size(col("w")).cast("long"))
+      .withColumn("top2_n", expr(maxRun(gramsSql(2))))
+      .withColumn("top3_n", expr(maxRun(gramsSql(3))))
+      .withColumn("_g5", expr(gramsSql(5)))
+      .withColumn("_n5", size(col("_g5")).cast("long"))
+      .withColumn("_d5", size(array_distinct(col("_g5"))).cast("long"))
+      .select(
+        col(idCol),
+        col("n_words"),
+        col("top2_n"),
+        when(col("n_words") >= 2, col("top2_n").cast("double") / (col("n_words") - 1))
+          .as("top2_frac"),
+        col("top3_n"),
+        when(col("n_words") >= 3, col("top3_n").cast("double") / (col("n_words") - 2))
+          .as("top3_frac"),
+        (col("_n5") - col("_d5")).as("dup5_n"),
+        when(col("_n5") > 0, (col("_n5") - col("_d5")).cast("double") / col("_n5"))
+          .as("dup5_frac"))
+  }
+
+  /** Corpus-level repeated n-gram detection: word `n`-grams appearing in at
+    * least `minDocs` distinct documents, with how many docs and total
+    * occurrences — the boilerplate / benchmark-contamination sweep over a
+    * training corpus.
+    *
+    * Scale: explode → two keyed aggregations, both with map-side partial
+    * combine. The first groups on (doc, gram) so the second's `count(*)`
+    * IS the distinct-doc count — no `countDistinct` (which would be a
+    * second shuffle per key) anywhere. Gram keys hash-partition evenly;
+    * no all-pairs, no driver state.
+    */
+  def repeatedNgrams(
+      docs: DataFrame,
+      n: Int = 6,
+      minDocs: Int = 3,
+      textCol: String = "text",
+      idCol: String = "doc_id"): DataFrame =
+    docs
+      .select(col(idCol), split(col(textCol), " ").as("w"))
+      .select(col(idCol), explode(expr(gramsSql(n))).as("ngram"))
+      .groupBy(col(idCol), col("ngram"))
+      .agg(count(lit(1)).as("n_occ_doc"))
+      .groupBy("ngram")
+      .agg(count(lit(1)).as("n_docs"), sum("n_occ_doc").as("n_occ"))
+      .filter(col("n_docs") >= minDocs)
+
   /** Stopword-vote language ID: count keyword hits per (doc, lang), pick the
     * argmax with a deterministic (count desc, lang asc) tie-break. */
   def langId(

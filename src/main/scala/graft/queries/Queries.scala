@@ -713,6 +713,58 @@ object Queries {
       ORDER BY d.doc_id"""
     })
 
+  /** DuckDB n-gram list: word n-grams of `w` via `list_transform` over a
+    * 1-based `range` (end-exclusive), mirroring `TextAnalysis.gramsSql`. */
+  private def duckGrams(n: Int): String = {
+    val parts = (0 until n).map(j => s"w[i + $j]").mkString(" || ' ' || ")
+    val hi = if (n == 2) "len(w)" else s"len(w) - ${n - 2}"
+    s"list_transform(range(1, $hi), i -> $parts)"
+  }
+
+  /** Gopher-style per-doc repetition stats (`TextAnalysis.repetitionStats`):
+    * modal 2/3-gram share + duplicated-5-gram fraction. Spark computes the
+    * mode as a per-row sorted-run fold (zero shuffles); the oracle recomputes
+    * it relationally (unnest → GROUP BY → MAX). Counts are integers and each
+    * fraction is a single long/long division — bit-exact across engines. */
+  val q55_repetition: Q = Q(
+    (s, d) => TextAnalysis.repetitionStats(table(s, d, "documents")).orderBy("doc_id"),
+    Some(s"""WITH ws AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+      g2 AS (SELECT doc_id, unnest(${duckGrams(2)}) AS g FROM ws),
+      t2 AS (SELECT doc_id, MAX(n) AS top2_n
+             FROM (SELECT doc_id, g, COUNT(*) AS n FROM g2 GROUP BY doc_id, g) GROUP BY doc_id),
+      g3 AS (SELECT doc_id, unnest(${duckGrams(3)}) AS g FROM ws),
+      t3 AS (SELECT doc_id, MAX(n) AS top3_n
+             FROM (SELECT doc_id, g, COUNT(*) AS n FROM g3 GROUP BY doc_id, g) GROUP BY doc_id),
+      g5 AS (SELECT doc_id, unnest(${duckGrams(5)}) AS g FROM ws),
+      t5 AS (SELECT doc_id, COUNT(*) AS n5, COUNT(DISTINCT g) AS d5 FROM g5 GROUP BY doc_id)
+      SELECT w.doc_id,
+        CAST(len(w.w) AS BIGINT) AS n_words,
+        COALESCE(t2.top2_n, 0) AS top2_n,
+        CASE WHEN len(w.w) >= 2
+          THEN CAST(COALESCE(t2.top2_n, 0) AS DOUBLE) / CAST(len(w.w) - 1 AS BIGINT) END AS top2_frac,
+        COALESCE(t3.top3_n, 0) AS top3_n,
+        CASE WHEN len(w.w) >= 3
+          THEN CAST(COALESCE(t3.top3_n, 0) AS DOUBLE) / CAST(len(w.w) - 2 AS BIGINT) END AS top3_frac,
+        COALESCE(t5.n5, 0) - COALESCE(t5.d5, 0) AS dup5_n,
+        CASE WHEN COALESCE(t5.n5, 0) > 0
+          THEN CAST(t5.n5 - t5.d5 AS DOUBLE) / CAST(t5.n5 AS BIGINT) END AS dup5_frac
+      FROM ws w
+      LEFT JOIN t2 ON t2.doc_id = w.doc_id
+      LEFT JOIN t3 ON t3.doc_id = w.doc_id
+      LEFT JOIN t5 ON t5.doc_id = w.doc_id
+      ORDER BY w.doc_id"""))
+
+  /** Corpus-level repeated 6-grams (`TextAnalysis.repeatedNgrams`): the
+    * boilerplate/contamination sweep — word 6-grams seen in ≥3 distinct
+    * docs, with doc and occurrence counts. Pure integer aggregation. */
+  val q56_repeated_ngrams: Q = Q(
+    (s, d) => TextAnalysis.repeatedNgrams(table(s, d, "documents")).orderBy("ngram"),
+    Some(s"""WITH ws AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+      g6 AS (SELECT doc_id, unnest(${duckGrams(6)}) AS g FROM ws),
+      c AS (SELECT doc_id, g, COUNT(*) AS n FROM g6 GROUP BY doc_id, g)
+      SELECT g AS ngram, COUNT(*) AS n_docs, CAST(SUM(n) AS BIGINT) AS n_occ
+      FROM c GROUP BY g HAVING COUNT(*) >= 3 ORDER BY ngram"""))
+
   // ============================================ embeddings (extension ops)
 
   val q30_cosine_sim: Q = Q(
@@ -1602,5 +1654,7 @@ object Queries {
     "q51_ivf_topk" -> q51_ivf_topk,
     "q52_cosine_neardup" -> q52_cosine_neardup,
     "q53_tiled_dpp" -> q53_tiled_dpp,
-    "q54_score_docs" -> q54_score_docs)
+    "q54_score_docs" -> q54_score_docs,
+    "q55_repetition" -> q55_repetition,
+    "q56_repeated_ngrams" -> q56_repeated_ngrams)
 }

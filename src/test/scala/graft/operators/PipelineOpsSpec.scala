@@ -130,6 +130,62 @@ class PipelineOpsSpec extends SparkSpec {
     assert(kept.contains(1L) && kept.contains(2L) && !kept.contains(3L) && !kept.contains(4L))
   }
 
+  test("repetitionStats: modal n-gram share and duplicated-5-gram fraction") {
+    val s = spark
+    import s.implicits._
+    val d = Seq(
+      (1L, "a b a b a b c"),            // 7 words; bigrams: ab,ba,ab,ba,ab,bc -> top2=3
+      (2L, "x y z w v x y z w v x"),    // 11 words, 7 5-grams; positions 5,6 repeat 0,1 -> dup5_n=2
+      (3L, "hi"))                       // 1 word: no n-grams at all
+      .toDF("doc_id", "text")
+    val r = TextAnalysis.repetitionStats(d).collect()
+      .map(x => x.getAs[Long]("doc_id") -> x).toMap
+    assert(r(1L).getAs[Long]("n_words") == 7L)
+    assert(r(1L).getAs[Long]("top2_n") == 3L)
+    assert(approx(r(1L).getAs[Double]("top2_frac"), 3.0 / 6.0))
+    assert(r(1L).getAs[Long]("top3_n") == 2L) // "a b a" and "b a b" both twice, "a b c" once
+    assert(approx(r(1L).getAs[Double]("top3_frac"), 2.0 / 5.0))
+    assert(r(2L).getAs[Long]("dup5_n") == 2L)
+    assert(approx(r(2L).getAs[Double]("dup5_frac"), 2.0 / 7.0))
+    assert(r(3L).getAs[Long]("top2_n") == 0L && r(3L).isNullAt(r(3L).fieldIndex("top2_frac")))
+    assert(r(3L).getAs[Long]("dup5_n") == 0L && r(3L).isNullAt(r(3L).fieldIndex("dup5_frac")))
+  }
+
+  test("repetitionStats modal count matches a relational groupBy recompute") {
+    val s = spark
+    import s.implicits._
+    val d = docs // the shared 6-doc fixture
+    val got = TextAnalysis.repetitionStats(d).select("doc_id", "top2_n").collect()
+      .map(x => x.getLong(0) -> x.getLong(1)).toMap
+    // brute force: explode bigrams, group, max
+    val w = d.select(col("doc_id"), split(col("text"), " ").as("w"))
+    val big = w.select(col("doc_id"), expr(
+      "explode(transform(sequence(0, size(w) - 2), i -> concat_ws(' ', w[i], w[i + 1])))").as("g"))
+    val brute = big.groupBy("doc_id", "g").count()
+      .groupBy("doc_id").agg(max("count").as("m")).collect()
+      .map(x => x.getLong(0) -> x.getLong(1)).toMap
+    assert(got == brute)
+  }
+
+  test("repeatedNgrams flags cross-doc boilerplate at the minDocs threshold") {
+    val s = spark
+    import s.implicits._
+    val boiler = "terms of service apply to all"
+    val d = Seq(
+      (1L, s"alpha beta $boiler gamma"),
+      (2L, s"$boiler delta epsilon"),
+      (3L, s"zeta $boiler"),
+      (4L, "pair only here shared twice not thrice"),
+      (5L, "pair only here shared twice not thrice zz"))
+      .toDF("doc_id", "text")
+    val r3 = TextAnalysis.repeatedNgrams(d, n = 6, minDocs = 3).collect()
+    assert(r3.map(_.getAs[String]("ngram")).toSet == Set(boiler))
+    assert(r3.head.getAs[Long]("n_docs") == 3L && r3.head.getAs[Long]("n_occ") == 3L)
+    val r2 = TextAnalysis.repeatedNgrams(d, n = 6, minDocs = 2)
+      .collect().map(_.getAs[String]("ngram")).toSet
+    assert(r2.contains("pair only here shared twice not") && r2.contains(boiler))
+  }
+
   test("linesample gathers by projected cell; misses stay NULL (J9)") {
     val s = spark
     import s.implicits._

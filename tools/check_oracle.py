@@ -9,6 +9,10 @@ import numpy as np
 
 sfdir, outdir = sys.argv[1], sys.argv[2]
 con = duckdb.connect()
+# bound the allocator explicitly: the default (80% of RAM, nproc threads)
+# trips spurious bad-alloc under constrained/sandboxed environments
+con.execute("SET threads=4")
+con.execute("SET memory_limit='16GB'")
 for t in ["region","nation","customer","supplier","part","orders","lineitem",
           "events","documents","embeddings"]:
     con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sfdir}/{t}.parquet')")
