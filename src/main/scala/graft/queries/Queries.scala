@@ -1538,6 +1538,42 @@ object Queries {
                CAST(ROW_NUMBER() OVER (PARTITION BY qid ORDER BY sim_r DESC, cid ASC) AS INTEGER) AS rank FROM rr)
       SELECT qid, cid, rank, sim_r AS sim FROM rk WHERE rank <= 10 ORDER BY qid, rank"""))
 
+  /** Trained-model IVF ANN: the [[TrainedCentroids]] k=8 Lloyd model (an
+    * offline build artifact — see `tools/TrainCentroids`) drives
+    * `Similarity.ivfTopKWith`: broadcast argmax assignment, 2-list probe,
+    * exact round-6 rerank. The oracle replays the identical literals from
+    * a `VALUES` table — same q51 discipline, but with the trained model
+    * instead of the md5-picked candidate subset. */
+  val q57_ivf_trained: Q = Q(
+    (s, d) => {
+      val emb = table(s, d, "embeddings")
+      val q = emb.filter(col("vec_id") % 100 === 0).select(col("vec_id").as("qid"), col("embedding"))
+      val c = emb.select(col("vec_id").as("cid"), col("embedding"))
+      Similarity.ivfTopKWith(q, c, TrainedCentroids.sf001k8, k = 10, nProbe = 2)
+        .orderBy("qid", "rank")
+    },
+    Some(s"""WITH ctr(centroid_id, cemb) AS (VALUES
+      ${TrainedCentroids.sf001k8Sql}),
+      ca AS (SELECT e.vec_id AS cid, e.embedding, t.centroid_id,
+               ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY
+                 ROUND(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), t.cemb), 6) DESC,
+                 t.centroid_id ASC) AS crk
+             FROM embeddings e CROSS JOIN ctr t),
+      cass AS (SELECT cid, embedding, centroid_id FROM ca WHERE crk = 1),
+      qa AS (SELECT e.vec_id AS qid, e.embedding, t.centroid_id,
+               ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY
+                 ROUND(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), t.cemb), 6) DESC,
+                 t.centroid_id ASC) AS crk
+             FROM embeddings e CROSS JOIN ctr t
+             WHERE e.vec_id % 100 = 0),
+      qass AS (SELECT qid, embedding, centroid_id FROM qa WHERE crk <= 2),
+      rr AS (SELECT q.qid, c.cid,
+               ROUND(list_cosine_similarity(CAST(q.embedding AS DOUBLE[]), CAST(c.embedding AS DOUBLE[])), 6) AS sim_r
+             FROM qass q JOIN cass c ON c.centroid_id = q.centroid_id),
+      rk AS (SELECT qid, cid, sim_r,
+               CAST(ROW_NUMBER() OVER (PARTITION BY qid ORDER BY sim_r DESC, cid ASC) AS INTEGER) AS rank FROM rr)
+      SELECT qid, cid, rank, sim_r AS sim FROM rk WHERE rank <= 10 ORDER BY qid, rank"""))
+
   /** Embedding-cosine near-duplicate detection (the dedup flavour of the
     * LSH pipeline): banded signature join -> exact round-6 cosine verify at
     * a threshold. Oracle: same hyperplane literals + band arithmetic as
@@ -1656,5 +1692,6 @@ object Queries {
     "q53_tiled_dpp" -> q53_tiled_dpp,
     "q54_score_docs" -> q54_score_docs,
     "q55_repetition" -> q55_repetition,
-    "q56_repeated_ngrams" -> q56_repeated_ngrams)
+    "q56_repeated_ngrams" -> q56_repeated_ngrams,
+    "q57_ivf_trained" -> q57_ivf_trained)
 }
