@@ -68,11 +68,23 @@ object TextAnalysis {
   /** SQL fragment: the array of word `n`-grams of the word array column
     * `w`, joined by single spaces; empty when the doc has fewer than `n`
     * words (`sequence(0, negative)` would otherwise count *down*). */
-  private def gramsSql(n: Int): String = {
-    val parts = (0 until n).map(j => s"w[i + $j]").mkString(", ")
-    s"CASE WHEN size(w) >= $n THEN transform(sequence(0, size(w) - $n), i -> concat_ws(' ', $parts)) " +
+  private[graft] def gramsSql(n: Int, w: String = "w"): String = {
+    val parts = (0 until n).map(j => s"$w[i + $j]").mkString(", ")
+    s"CASE WHEN size($w) >= $n THEN transform(sequence(0, size($w) - $n), i -> concat_ws(' ', $parts)) " +
       "ELSE CAST(array() AS ARRAY<STRING>) END"
   }
+
+  /** SQL fragment: count of the most frequent element of the gram array =
+    * longest run in its sorted form — a single per-row fold, so the
+    * per-doc mode never touches a shuffle (streaming-safe: stateless). */
+  private[graft] def maxRunSql(grams: String): String =
+    s"""aggregate(array_sort($grams),
+       named_struct('prev', CAST(NULL AS STRING), 'run', 0L, 'best', 0L),
+       (acc, x) -> named_struct(
+         'prev', x,
+         'run',  IF(x <=> acc.prev, acc.run + 1L, 1L),
+         'best', GREATEST(acc.best, IF(x <=> acc.prev, acc.run + 1L, 1L))),
+       acc -> acc.best)"""
 
   /** Gopher-style repetition statistics, per document: the share of the doc
     * taken by its most frequent word 2-gram / 3-gram and the fraction of
@@ -90,22 +102,12 @@ object TextAnalysis {
     * 5-grams). Fractions are NULL when the doc is too short to have any
     * n-gram of that order.
     */
-  def repetitionStats(docs: DataFrame, textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
-    // modal-gram count = longest run in the sorted gram array: a single
-    // per-row fold, so the per-doc mode never touches a shuffle
-    def maxRun(grams: String): String =
-      s"""aggregate(array_sort($grams),
-         named_struct('prev', CAST(NULL AS STRING), 'run', 0L, 'best', 0L),
-         (acc, x) -> named_struct(
-           'prev', x,
-           'run',  IF(x <=> acc.prev, acc.run + 1L, 1L),
-           'best', GREATEST(acc.best, IF(x <=> acc.prev, acc.run + 1L, 1L))),
-         acc -> acc.best)"""
+  def repetitionStats(docs: DataFrame, textCol: String = "text", idCol: String = "doc_id"): DataFrame =
     docs
       .select(col(idCol), split(col(textCol), " ").as("w"))
       .withColumn("n_words", size(col("w")).cast("long"))
-      .withColumn("top2_n", expr(maxRun(gramsSql(2))))
-      .withColumn("top3_n", expr(maxRun(gramsSql(3))))
+      .withColumn("top2_n", expr(maxRunSql(gramsSql(2))))
+      .withColumn("top3_n", expr(maxRunSql(gramsSql(3))))
       .withColumn("_g5", expr(gramsSql(5)))
       .withColumn("_n5", size(col("_g5")).cast("long"))
       .withColumn("_d5", size(array_distinct(col("_g5"))).cast("long"))
@@ -121,7 +123,6 @@ object TextAnalysis {
         (col("_n5") - col("_d5")).as("dup5_n"),
         when(col("_n5") > 0, (col("_n5") - col("_d5")).cast("double") / col("_n5"))
           .as("dup5_frac"))
-  }
 
   /** Corpus-level repeated n-gram detection: word `n`-grams appearing in at
     * least `minDocs` distinct documents, with how many docs and total

@@ -115,6 +115,10 @@ object StreamingOps {
     * At 100 TB-scale ingest the digest state shards by key across
     * executors (HDFSBackedStateStore / RocksDB), and the pre-watermark
     * dedup cuts the downstream write volume before anything lands. */
+  /** Caveat: Spark's initial watermark is 0, and rows at or below the
+    * watermark are discarded as late BEFORE any stateful operator sees
+    * them — an event time of exactly the epoch never enters the dedup
+    * state (real feeds are unaffected; synthetic epoch-0 fixtures are). */
   def dedupStream(
       stream: DataFrame, // (ts TIMESTAMP, text, ...)
       watermark: String = "10 minutes",
@@ -137,19 +141,35 @@ object StreamingOps {
     * Output adds: n_words, stop_ratio, punct_ratio, pred_lang (null when
     * no keyword hits — same no-row semantics as the batch argmax, kept as
     * null so the stream stays one-row-per-doc). Rows failing the gates are
-    * dropped before dedup state is touched, shrinking the digest state. */
+    * dropped before dedup state is touched, shrinking the digest state.
+    *
+    * `maxTop2Frac` < 1.0 additionally gates on the Gopher repetition
+    * filter (share of the modal word bigram, `TextAnalysis
+    * .repetitionStats` semantics) — the fold is per-row and stateless, so
+    * it streams unchanged; docs with fewer than 2 words pass the gate
+    * (no bigrams to judge — `minWords` owns that case). */
   def cleanIngest(
       stream: DataFrame, // (ts TIMESTAMP, doc_id, text, ...)
       watermark: String = "10 minutes",
       minWords: Int = 5,
       minStopRatio: Double = 0.0,
       maxPunctRatio: Double = 1.0,
+      maxTop2Frac: Double = 1.0,
       stopwords: Seq[String] = graft.operators.TextAnalysis.EnStopwords,
       keywords: Seq[(String, String)] = graft.operators.TextAnalysis.LangKeywords,
       textCol: String = "text"): DataFrame = {
-    val scored = scoreDocs(stream, stopwords, keywords, textCol)
+    import graft.operators.TextAnalysis
+    val scored0 = scoreDocs(stream, stopwords, keywords, textCol)
       .filter(col("n_words") >= minWords &&
         col("stop_ratio") >= minStopRatio && col("punct_ratio") <= maxPunctRatio)
+    val scored =
+      if (maxTop2Frac >= 1.0) scored0
+      else scored0
+        .withColumn("_w", split(col(textCol), " "))
+        .withColumn("_top2", expr(TextAnalysis.maxRunSql(TextAnalysis.gramsSql(2, "_w"))))
+        .filter(col("n_words") < 2 ||
+          col("_top2").cast("double") / (col("n_words") - 1) <= maxTop2Frac)
+        .drop("_w", "_top2")
     dedupStream(scored, watermark, textCol)
   }
 

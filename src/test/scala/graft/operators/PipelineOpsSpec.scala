@@ -167,6 +167,14 @@ class PipelineOpsSpec extends SparkSpec {
     assert(got == brute)
   }
 
+  test("repetition plan shapes: per-row fold is shuffle-free, ngram sweep shuffles exactly twice") {
+    val p1 = TextAnalysis.repetitionStats(docs).queryExecution.executedPlan.toString
+    assert(!p1.contains("Exchange"), s"repetitionStats must be a pure map stage:\n$p1")
+    val p2 = TextAnalysis.repeatedNgrams(docs).queryExecution.executedPlan.toString
+    val nEx = "(?m)Exchange hashpartitioning".r.findAllIn(p2).length
+    assert(nEx == 2, s"expected the two keyed aggregations only, got $nEx exchanges:\n$p2")
+  }
+
   test("repeatedNgrams flags cross-doc boilerplate at the minDocs threshold") {
     val s = spark
     import s.implicits._
