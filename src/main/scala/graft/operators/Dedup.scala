@@ -137,6 +137,13 @@ object Dedup {
   def dropNearDuplicates(docs: DataFrame, pairs: DataFrame, idCol: String = "doc_id"): DataFrame =
     docs.join(pairs.select(col("d2").as(idCol)).distinct(), Seq(idCol), "left_anti")
 
+  /** Keep the lowest id per word-set fingerprint ([[fingerprint]]) — the
+    * word-order-insensitive flavour of [[dropExactDuplicates]]. */
+  def dropFingerprintDuplicates(docs: DataFrame, textCol: String = "text", idCol: String = "doc_id"): DataFrame =
+    docs.join(
+      fingerprint(docs, textCol, idCol).select(col("keep_id").as(idCol)),
+      Seq(idCol), "left_semi")
+
   /** SimHash bit width: 60 bits = 15 hex chars of md5 — fits a positive
     * signed 64-bit integer in ANY engine (no unsigned-shift tricks), so a
     * SQL oracle can replay the hash via a plain hex cast. */

@@ -765,6 +765,58 @@ object Queries {
       SELECT g AS ngram, COUNT(*) AS n_docs, CAST(SUM(n) AS BIGINT) AS n_occ
       FROM c GROUP BY g HAVING COUNT(*) >= 3 ORDER BY ngram"""))
 
+  /** End-to-end corpus cleaning — the C4/Gopher-style pipeline as ONE
+    * declarative plan: join-free per-row scoring (`StreamingOps.scoreDocs`)
+    * + the modal-bigram repetition gate + word-set-fingerprint dedup
+    * (keep-first). Everything up to the final dedup join is a pure map
+    * stage; the dedup is one digest-keyed aggregation + semi-join. The
+    * oracle replays scoring (q54 idiom), the repetition fold relationally
+    * (q55 idiom), and the q24 fingerprint — all integer counts and single
+    * long/long divisions, bit-exact. */
+  val q58_clean_corpus: Q = Q(
+    (s, d) => {
+      val docs = table(s, d, "documents")
+      val scored = graft.streaming.StreamingOps.scoreDocs(docs)
+        .withColumn("_w", split(col("text"), " "))
+        .withColumn("top2_n", expr(TextAnalysis.maxRunSql(TextAnalysis.gramsSql(2, "_w"))))
+        .withColumn("top2_frac", col("top2_n").cast("double") / (col("n_words") - 1))
+      val gated = scored.filter(col("n_words") >= 25 &&
+        col("stop_ratio") >= 0.03 && col("top2_frac") <= 0.12)
+      Dedup.dropFingerprintDuplicates(gated)
+        .select("doc_id", "n_words", "stop_ratio", "top2_frac", "pred_lang")
+        .orderBy("doc_id")
+    },
+    Some {
+      val stops = TextAnalysis.EnStopwords.map(w => s"'$w'").mkString(", ")
+      val kw = TextAnalysis.LangKeywords.map { case (l, w) => s"('$l', '$w')" }.mkString(", ")
+      s"""WITH kw(lang, word) AS (VALUES $kw),
+      s AS (SELECT doc_id, text, string_split(text, ' ') AS w FROM documents),
+      sc AS (SELECT doc_id, text, w, CAST(len(w) AS BIGINT) AS n_words,
+               CAST(len(list_filter(w, x -> list_contains([$stops], x))) AS DOUBLE)
+                 / CAST(len(w) AS BIGINT) AS stop_ratio
+             FROM s),
+      g2 AS (SELECT doc_id, unnest(${duckGrams(2)}) AS g FROM s),
+      t2 AS (SELECT doc_id, MAX(n) AS top2_n
+             FROM (SELECT doc_id, g, COUNT(*) AS n FROM g2 GROUP BY doc_id, g) GROUP BY doc_id),
+      wa AS (SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents),
+      scores AS (SELECT wa.doc_id, kw.lang, COUNT(*) AS hits
+                 FROM wa JOIN kw ON wa.word = kw.word GROUP BY wa.doc_id, kw.lang),
+      r AS (SELECT doc_id, lang, ROW_NUMBER() OVER (
+              PARTITION BY doc_id ORDER BY hits DESC, lang ASC) AS rn FROM scores),
+      gate AS (SELECT sc.doc_id, sc.text, sc.n_words, sc.stop_ratio,
+                 CAST(t2.top2_n AS DOUBLE) / CAST(sc.n_words - 1 AS BIGINT) AS top2_frac
+               FROM sc JOIN t2 USING (doc_id)
+               WHERE sc.n_words >= 25 AND sc.stop_ratio >= 0.03
+                 AND CAST(t2.top2_n AS DOUBLE) / CAST(sc.n_words - 1 AS BIGINT) <= 0.12),
+      fp AS (SELECT MIN(doc_id) AS keep_id FROM gate
+             GROUP BY md5(array_to_string(list_sort(list_distinct(string_split(text, ' '))), ' ')))
+      SELECT g.doc_id, g.n_words, g.stop_ratio, g.top2_frac, r.lang AS pred_lang
+      FROM gate g
+      JOIN fp ON fp.keep_id = g.doc_id
+      LEFT JOIN r ON r.doc_id = g.doc_id AND r.rn = 1
+      ORDER BY g.doc_id"""
+    })
+
   // ============================================ embeddings (extension ops)
 
   val q30_cosine_sim: Q = Q(
@@ -1693,5 +1745,6 @@ object Queries {
     "q54_score_docs" -> q54_score_docs,
     "q55_repetition" -> q55_repetition,
     "q56_repeated_ngrams" -> q56_repeated_ngrams,
-    "q57_ivf_trained" -> q57_ivf_trained)
+    "q57_ivf_trained" -> q57_ivf_trained,
+    "q58_clean_corpus" -> q58_clean_corpus)
 }

@@ -130,6 +130,13 @@ class PipelineOpsSpec extends SparkSpec {
     assert(kept.contains(1L) && kept.contains(2L) && !kept.contains(3L) && !kept.contains(4L))
   }
 
+  test("dropFingerprintDuplicates keeps the lowest id per word set") {
+    // docs 1, 2, 6 share the same word set (2 exact dup, 6 permutation)
+    val kept = Dedup.dropFingerprintDuplicates(docs).select("doc_id")
+      .collect().map(_.getLong(0)).toSet
+    assert(kept == Set(1L, 3L, 4L, 5L))
+  }
+
   test("repetitionStats: modal n-gram share and duplicated-5-gram fraction") {
     val s = spark
     import s.implicits._
