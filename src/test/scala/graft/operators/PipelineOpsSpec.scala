@@ -182,6 +182,34 @@ class PipelineOpsSpec extends SparkSpec {
     assert(nEx == 2, s"expected the two keyed aggregations only, got $nEx exchanges:\n$p2")
   }
 
+  test("repetitionStats property sweep: 300 seeded random docs vs Scala brute force") {
+    val s = spark
+    import s.implicits._
+    // tiny vocab + short docs force heavy gram collisions, the regime
+    // where a run-length fold bug would hide
+    val rnd = new scala.util.Random(20260812L)
+    val vocab = Array("a", "b", "c", "d")
+    val fixture = (1L to 300L).map { id =>
+      val n = 1 + rnd.nextInt(24)
+      (id, Array.fill(n)(vocab(rnd.nextInt(vocab.length))).mkString(" "))
+    }
+    def brute(text: String): (Long, Long, Long, Long) = {
+      val w = text.split(" ", -1)
+      def top(n: Int): Long =
+        if (w.length < n) 0L
+        else w.sliding(n).toSeq.groupBy(_.toSeq).values.map(_.size).max.toLong
+      val g5 = if (w.length < 5) Seq.empty else w.sliding(5).map(_.toSeq).toSeq
+      (top(2), top(3), (g5.size - g5.distinct.size).toLong, g5.size.toLong)
+    }
+    val got = TextAnalysis.repetitionStats(fixture.toDF("doc_id", "text")).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("top2_n"), r.getAs[Long]("top3_n"), r.getAs[Long]("dup5_n"))).toMap
+    fixture.foreach { case (id, text) =>
+      val (t2, t3, d5, _) = brute(text)
+      assert(got(id) == ((t2, t3, d5)), s"doc $id '$text'")
+    }
+  }
+
   test("repeatedNgrams flags cross-doc boilerplate at the minDocs threshold") {
     val s = spark
     import s.implicits._
