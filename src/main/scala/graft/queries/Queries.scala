@@ -775,14 +775,30 @@ object Queries {
     * long/long divisions, bit-exact. */
   val q58_clean_corpus: Q = Q(
     (s, d) => {
-      val docs = table(s, d, "documents")
-      val scored = graft.streaming.StreamingOps.scoreDocs(docs)
+      // Plan discipline: the scoring/fold expressions are interpreted
+      // (higher-order functions are CodegenFallback), so they must be
+      // evaluated exactly ONCE, at full parallelism. A gate `filter`
+      // before the dedup would be pushed below the rebalance exchange
+      // onto the unsplittable single-row-group test scan (1 task) with
+      // the whole fold inlined into the predicate; and the semi-join
+      // `dropFingerprintDuplicates(gated)` form would inline it TWICE.
+      // Instead: materialize every column once post-rebalance, and rank
+      // each fingerprint group with gated docs FIRST — "rn=1 AND gate"
+      // picks the min-id gated doc per group, which is exactly
+      // gate-then-keep-first, while the window blocks any pushdown of
+      // the (non-partition-key) gate predicate below the heavy project.
+      val scored = graft.streaming.StreamingOps.scoreDocs(docsRebalanced(s, d))
         .withColumn("_w", split(col("text"), " "))
         .withColumn("top2_n", expr(TextAnalysis.maxRunSql(TextAnalysis.gramsSql(2, "_w"))))
         .withColumn("top2_frac", col("top2_n").cast("double") / (col("n_words") - 1))
-      val gated = scored.filter(col("n_words") >= 25 &&
-        col("stop_ratio") >= 0.03 && col("top2_frac") <= 0.12)
-      Dedup.dropFingerprintDuplicates(gated)
+        .withColumn("_fp", md5(array_join(array_sort(array_distinct(col("_w"))), " ")))
+        .withColumn("_ok", col("n_words") >= 25 &&
+          col("stop_ratio") >= 0.03 && col("top2_frac") <= 0.12)
+      val w = Window.partitionBy(col("_fp"))
+        .orderBy(col("_ok").desc, col("doc_id").asc)
+      scored
+        .withColumn("_rn", row_number().over(w))
+        .filter(col("_ok") && col("_rn") === 1)
         .select("doc_id", "n_words", "stop_ratio", "top2_frac", "pred_lang")
         .orderBy("doc_id")
     },
