@@ -93,17 +93,15 @@ object GeoFunctions {
 
   // --------------------------------------------------- embedding algebra
 
-  /** Dot product of two Array[Float/Double] columns as a deterministic
-    * left-to-right fold (functions.aggregate + zip_with — codegen'd, no UDF). */
-  def dotProduct(a: Column, b: Column): Column =
-    aggregate(
-      zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
-      lit(0.0),
-      (acc, x) => acc + x)
+  /** Dot product of two Array[Float/Double] columns — native codegen
+    * kernel ([[VectorExpr]]); same deterministic left-to-right element
+    * order as the `aggregate`+`zip_with` fold it replaces. */
+  def dotProduct(a: Column, b: Column): Column = VectorExpr.dot(a, b)
 
   def l2Norm(a: Column): Column =
     sqrt(aggregate(a, lit(0.0), (acc, x) => acc + x.cast("double") * x.cast("double")))
 
-  def cosineSimilarity(a: Column, b: Column): Column =
-    dotProduct(a, b) / (l2Norm(a) * l2Norm(b))
+  /** Cosine similarity — fused native kernel, bit-identical to
+    * `dotProduct(a,b) / (l2Norm(a) * l2Norm(b))`. */
+  def cosineSimilarity(a: Column, b: Column): Column = VectorExpr.cosine(a, b)
 }
