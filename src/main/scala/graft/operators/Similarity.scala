@@ -168,6 +168,26 @@ object Similarity {
     centroids
   }
 
+  /** Model serving: assign every row to its nearest centroid (round-6
+    * cosine, ties to the lowest id — the same selection as [[ivfTopKWith]]'s
+    * rank-1 assignment). The centroids are literals in the plan, so this is
+    * a pure per-row codegen argmax — no join, no shuffle, no state — and
+    * therefore runs unchanged on a streaming DataFrame: the
+    * train-offline/serve-online shape for cluster routing at ingest. */
+  def assignClusters(
+      df: DataFrame,
+      centroidVecs: Seq[Array[Double]],
+      vecCol: String = "embedding"): DataFrame = {
+    val cStructs = centroidVecs.zipWithIndex.map { case (c, i) =>
+      struct(
+        (-round(cosineSimilarity(col(vecCol), array(c.map(lit): _*)), 6)).as("negSim"),
+        lit(i.toLong).as("cid"))
+    }
+    val best = array_min(array(cStructs: _*))
+    df.withColumn("centroid_id", best.getField("cid"))
+      .withColumn("centroid_sim", -best.getField("negSim"))
+  }
+
   /** [[ivfTopK]] with explicit (e.g. [[kmeansCentroids]]-trained) centroid
     * vectors instead of the hash-picked candidate subset. Same inverted-
     * list shape: broadcast argmax assignment, equi-join probe, exact

@@ -1642,6 +1642,25 @@ object Queries {
                CAST(ROW_NUMBER() OVER (PARTITION BY qid ORDER BY sim_r DESC, cid ASC) AS INTEGER) AS rank FROM rr)
       SELECT qid, cid, rank, sim_r AS sim FROM rk WHERE rank <= 10 ORDER BY qid, rank"""))
 
+  /** Model serving (`Similarity.assignClusters`): every embedding routed
+    * to its nearest [[TrainedCentroids]] centroid as a pure per-row codegen
+    * argmax — no join, no shuffle (streaming-safe). Oracle replays the
+    * argmax via the q57 assignment CTE at crk=1. */
+  val q59_cluster_assign: Q = Q(
+    (s, d) => Similarity.assignClusters(table(s, d, "embeddings"), TrainedCentroids.sf001k8)
+      .select(col("vec_id"), col("centroid_id"), round(col("centroid_sim"), 6).as("centroid_sim"))
+      .orderBy("vec_id"),
+    Some(s"""WITH ctr(centroid_id, cemb) AS (VALUES
+      ${TrainedCentroids.sf001k8Sql}),
+      ca AS (SELECT e.vec_id, t.centroid_id,
+               ROUND(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), t.cemb), 6) AS sim,
+               ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY
+                 ROUND(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), t.cemb), 6) DESC,
+                 t.centroid_id ASC) AS crk
+             FROM embeddings e CROSS JOIN ctr t)
+      SELECT vec_id, CAST(centroid_id AS BIGINT) AS centroid_id, ROUND(sim, 6) AS centroid_sim
+      FROM ca WHERE crk = 1 ORDER BY vec_id"""))
+
   /** Embedding-cosine near-duplicate detection (the dedup flavour of the
     * LSH pipeline): banded signature join -> exact round-6 cosine verify at
     * a threshold. Oracle: same hyperplane literals + band arithmetic as
@@ -1762,5 +1781,6 @@ object Queries {
     "q55_repetition" -> q55_repetition,
     "q56_repeated_ngrams" -> q56_repeated_ngrams,
     "q57_ivf_trained" -> q57_ivf_trained,
-    "q58_clean_corpus" -> q58_clean_corpus)
+    "q58_clean_corpus" -> q58_clean_corpus,
+    "q59_cluster_assign" -> q59_cluster_assign)
 }

@@ -35,6 +35,18 @@ class KmeansSpec extends SparkSpec {
     }
   }
 
+  test("assignClusters routes each point to its dominant-axis centroid") {
+    val trained = Similarity.kmeansCentroids(items, k = 3, iters = 4)
+    val axisOfCentroid = trained.map(c => c.indexOf(c.max)).zipWithIndex
+      .map { case (axis, cid) => cid.toLong -> axis }.toMap
+    val got = Similarity.assignClusters(items, trained).collect()
+      .map(r => r.getAs[Long]("vec_id") -> r.getAs[Long]("centroid_id"))
+    got.foreach { case (vid, cid) =>
+      val trueAxis = (vid / 20).toInt // fixture: 20 points per axis cluster
+      assert(axisOfCentroid(cid) == trueAxis, s"vec $vid -> centroid $cid")
+    }
+  }
+
   test("trained IVF with full probe == brute force top-k") {
     val s = spark
     import org.apache.spark.sql.functions.col
