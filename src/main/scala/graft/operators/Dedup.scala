@@ -66,14 +66,25 @@ object Dedup {
       shingleN: Int = 2): DataFrame = {
     require(numHashes % rowsPerBand == 0, "numHashes must be divisible by rowsPerBand")
     val w = words(docs, textCol, idCol, shingleN)
-    val sigCols = (1 to numHashes).map(i => min(md5(concat(col("word"), lit(s"#$i")))).as(s"h$i"))
+    // numeric (60-bit md5-prefix) hashes, not hex strings: min(LONG) keeps
+    // the signature aggregation on the fast mutable-buffer HashAggregate —
+    // min(STRING) has an immutable buffer and silently degrades the whole
+    // explode output to a SortAggregate. Equal-length hex compares
+    // lexicographically == numerically, so the argmin (hence the banding)
+    // is the same hash family as the string form.
+    val sigCols = (1 to numHashes).map { i =>
+      min(conv(substring(md5(concat(col("word"), lit(s"#$i"))), 1, 15), 16, 10).cast("long"))
+        .as(s"h$i")
+    }
     val sig = w.groupBy(col(idCol)).agg(sigCols.head, sigCols.tail: _*)
     val nBands = numHashes / rowsPerBand
     // explode instead of union: a union of N projections re-runs the
-    // signature aggregation N times; one explode computes it once
+    // signature aggregation N times; one explode computes it once.
+    // Band keys are built post-aggregation over one row per doc — string
+    // concat is fine here, the hot path is the aggregation above.
     val bandStructs = (0 until nBands).map { b =>
-      val hs = (1 to rowsPerBand).map(r => col(s"h${b * rowsPerBand + r}"))
-      struct(lit(b).as("band_idx"), concat(hs: _*).as("band"))
+      val hs = (1 to rowsPerBand).map(r => col(s"h${b * rowsPerBand + r}").cast("string"))
+      struct(lit(b).as("band_idx"), concat_ws("_", hs: _*).as("band"))
     }
     val bands = sig
       .select(col(idCol), explode(array(bandStructs: _*)).as("_b"))

@@ -611,14 +611,16 @@ object Queries {
   val q25_minhash_lsh: Q = Q(
     (s, d) => Dedup.minhashLsh(docsRebalanced(s, d)).orderBy("d1", "d2"),
     Some {
-      val sigs = (1 to 8).map(i => s"MIN(md5(word || '#$i')) AS h$i").mkString(", ")
+      val sigs = (1 to 8)
+        .map(i => s"MIN(CAST('0x' || substr(md5(word || '#$i'), 1, 15) AS BIGINT)) AS h$i")
+        .mkString(", ")
       s"""WITH $bigramWordsSql,
       sig AS (SELECT doc_id, $sigs FROM words GROUP BY doc_id),
       bands AS (
-        SELECT doc_id, 0 AS band_idx, h1 || h2 AS band FROM sig
-        UNION ALL SELECT doc_id, 1 AS band_idx, h3 || h4 AS band FROM sig
-        UNION ALL SELECT doc_id, 2 AS band_idx, h5 || h6 AS band FROM sig
-        UNION ALL SELECT doc_id, 3 AS band_idx, h7 || h8 AS band FROM sig),
+        SELECT doc_id, 0 AS band_idx, CAST(h1 AS VARCHAR) || '_' || CAST(h2 AS VARCHAR) AS band FROM sig
+        UNION ALL SELECT doc_id, 1 AS band_idx, CAST(h3 AS VARCHAR) || '_' || CAST(h4 AS VARCHAR) AS band FROM sig
+        UNION ALL SELECT doc_id, 2 AS band_idx, CAST(h5 AS VARCHAR) || '_' || CAST(h6 AS VARCHAR) AS band FROM sig
+        UNION ALL SELECT doc_id, 3 AS band_idx, CAST(h7 AS VARCHAR) || '_' || CAST(h8 AS VARCHAR) AS band FROM sig),
       cand AS (SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
                FROM bands a JOIN bands b
                  ON a.band_idx = b.band_idx AND a.band = b.band AND a.doc_id < b.doc_id),
