@@ -1050,6 +1050,50 @@ object Queries {
         CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_v
       FROM events GROUP BY 1, 2 ORDER BY 1, 2"""))
 
+  /** Gap-based sessionization over the events table: a new session starts
+    * after >30 min of user inactivity (lag + running-sum windows, both over
+    * the same (user, time) ordering → ONE shuffle keyed by user, no
+    * self-join). Session stats aggregate with the decimal-sum discipline.
+    * The classic behavioural-pipeline operator the reference lacks. */
+  val q60_sessionize: Q = Q(
+    (s, d) => {
+      // microsecond floor on both engines: DuckDB's parquet reader maps
+      // the ns timestamps at µs precision, so ns-exact values are not
+      // replayable — floor(ns/1000) here == epoch_us there, bit-equal
+      val tus = expr("ts div 1000")
+      val ev = table(s, d, "events").withColumn("tus", tus)
+      val w = Window.partitionBy("user_id").orderBy(col("tus").asc, col("event_id").asc)
+      val gapUs = 30L * 60L * 1000000L
+      val isNew = when(
+        lag(col("tus"), 1).over(w).isNull || col("tus") - lag(col("tus"), 1).over(w) > gapUs, 1L)
+        .otherwise(0L)
+      ev
+        .withColumn("session_idx", sum(isNew).over(
+          w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .groupBy("user_id", "session_idx")
+        .agg(
+          count(lit(1)).as("n_events"),
+          min(col("tus")).as("ts_start_us"),
+          max(col("tus")).as("ts_end_us"),
+          sum(col("value").cast(dec)).cast("double").as("sum_v"))
+        .orderBy("user_id", "session_idx")
+    },
+    Some("""WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS tus, value FROM events),
+      flag AS (SELECT user_id, event_id, tus, value,
+          CASE WHEN LAG(tus) OVER w IS NULL
+                 OR tus - LAG(tus) OVER w > 1800000000 THEN 1 ELSE 0 END AS is_new
+        FROM e WINDOW w AS (PARTITION BY user_id ORDER BY tus ASC, event_id ASC)),
+      sess AS (SELECT user_id, tus, value,
+          CAST(SUM(is_new) OVER (PARTITION BY user_id ORDER BY tus ASC, event_id ASC
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_idx
+        FROM flag)
+      SELECT user_id, session_idx,
+        CAST(COUNT(*) AS BIGINT) AS n_events,
+        MIN(tus) AS ts_start_us,
+        MAX(tus) AS ts_end_us,
+        CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_v
+      FROM sess GROUP BY user_id, session_idx ORDER BY user_id, session_idx"""))
+
   /** JSON property extraction over the events stream table (incidental
     * semi-structured support — Spark get_json_object vs DuckDB JSON). */
   val q38_events_json: Q = Q(
@@ -1784,5 +1828,6 @@ object Queries {
     "q56_repeated_ngrams" -> q56_repeated_ngrams,
     "q57_ivf_trained" -> q57_ivf_trained,
     "q58_clean_corpus" -> q58_clean_corpus,
-    "q59_cluster_assign" -> q59_cluster_assign)
+    "q59_cluster_assign" -> q59_cluster_assign,
+    "q60_sessionize" -> q60_sessionize)
 }
