@@ -115,6 +115,29 @@ object StreamingOps {
     * At 100 TB-scale ingest the digest state shards by key across
     * executors (HDFSBackedStateStore / RocksDB), and the pre-watermark
     * dedup cuts the downstream write volume before anything lands. */
+  /** Streaming gap-based sessionization — the unbounded twin of the batch
+    * q60 window-function formulation, expressed with Spark's native
+    * `session_window` (merging session state per user, watermark-bounded;
+    * sessions emit in append mode once the watermark passes their close).
+    * Same semantics: a session extends while consecutive events arrive
+    * within `gap`. */
+  def sessionize(
+      stream: DataFrame, // (ts TIMESTAMP, user_id, value, ...)
+      gap: String = "30 minutes",
+      watermark: String = "1 hour",
+      valueCol: String = "value"): DataFrame =
+    stream
+      .withWatermark("ts", watermark)
+      .groupBy(session_window(col("ts"), gap), col("user_id"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        sum(col(valueCol)).as("sum_v"))
+      .select(
+        col("user_id"),
+        col("session_window.start").as("session_start"),
+        col("session_window.end").as("session_end"),
+        col("n_events"), col("sum_v"))
+
   /** Caveat: Spark's initial watermark is 0, and rows at or below the
     * watermark are discarded as late BEFORE any stateful operator sees
     * them — an event time of exactly the epoch never enters the dedup
