@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -149,6 +149,56 @@ object TextAnalysis {
       .groupBy("ngram")
       .agg(count(lit(1)).as("n_docs"), sum("n_occ_doc").as("n_occ"))
       .filter(col("n_docs") >= minDocs)
+
+  /** Deterministic stratified sampling: keep `perStratum` docs per stratum,
+    * chosen by md5-hash order (a uniform pseudo-random draw that every
+    * engine reproduces) with id tie-break. The data-mixing/balancing stage
+    * of a curation pipeline. One rank window per stratum — shuffle keyed by
+    * the stratum column; at 100 TB use a composite stratum (e.g.
+    * lang × hash-shard) if single strata are hot. */
+  def stratifiedSample(
+      docs: DataFrame,
+      strataCol: String,
+      perStratum: Int,
+      idCol: String = "doc_id"): DataFrame = {
+    val w = Window.partitionBy(col(strataCol))
+      .orderBy(md5(col(idCol).cast("string")).asc, col(idCol).asc)
+    docs
+      .withColumn("sample_rank", row_number().over(w))
+      .filter(col("sample_rank") <= perStratum)
+  }
+
+  /** Sequence packing (concat-and-split pretraining convention): within
+    * each (stratum, shard) stream, docs are laid end-to-end in id order
+    * and cut into fixed `budget`-token chunks; a doc's chunk is where its
+    * first token lands. Computed as one running-sum window — offset =
+    * inclusive-cumsum − own length, chunk = offset div budget.
+    *
+    * `nShards` parallelizes the inherently-sequential cumsum: packing is
+    * valid under ANY consistent partitioning of docs into streams, so
+    * sharding by `id % nShards` trades nothing away and multiplies the
+    * available parallelism — at 100 TB set nShards ≈ cores so no single
+    * language serializes the window. */
+  def packSequences(
+      docs: DataFrame,
+      budget: Long,
+      strataCol: String = "lang",
+      nShards: Int = 4,
+      tokensCol: Column = null,
+      idCol: String = "doc_id"): DataFrame = {
+    val tokens = Option(tokensCol).getOrElse(size(split(col("text"), " ")).cast("long"))
+    val shard = pmod(col(idCol), lit(nShards)).cast("int")
+    val w = Window.partitionBy(col(strataCol), col("_shard")).orderBy(col(idCol).asc)
+    docs
+      .withColumn("_shard", shard)
+      .withColumn("n_tokens", tokens)
+      .withColumn("_cum", sum(col("n_tokens")).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("pack_offset", col("_cum") - col("n_tokens"))
+      .withColumn("chunk_id", expr(s"pack_offset div ${budget}"))
+      .select(col(idCol), col(strataCol), col("_shard").as("shard"),
+        col("n_tokens"), col("pack_offset"), col("chunk_id"))
+  }
 
   /** Stopword-vote language ID: count keyword hits per (doc, lang), pick the
     * argmax with a deterministic (count desc, lang asc) tie-break. */

@@ -835,6 +835,39 @@ object Queries {
       ORDER BY g.doc_id"""
     })
 
+  /** Deterministic stratified sampling (`TextAnalysis.stratifiedSample`):
+    * 40 docs per language by md5-hash order — the data-mixing stage.
+    * Pure integer/string rank logic, trivially bit-exact. */
+  val q61_stratified_sample: Q = Q(
+    (s, d) => TextAnalysis.stratifiedSample(table(s, d, "documents"), "lang", perStratum = 40)
+      .select("doc_id", "lang", "sample_rank")
+      .orderBy("lang", "sample_rank"),
+    Some("""WITH r AS (SELECT doc_id, lang,
+          CAST(ROW_NUMBER() OVER (PARTITION BY lang
+            ORDER BY md5(CAST(doc_id AS VARCHAR)) ASC, doc_id ASC) AS INTEGER) AS sample_rank
+        FROM documents)
+      SELECT doc_id, lang, sample_rank FROM r WHERE sample_rank <= 40
+      ORDER BY lang, sample_rank"""))
+
+  /** Sequence packing (`TextAnalysis.packSequences`): docs laid end-to-end
+    * per (lang, id%4 shard) and cut into 2048-token chunks via one
+    * running-sum window. Integer arithmetic end-to-end. */
+  val q62_pack_sequences: Q = Q(
+    (s, d) => TextAnalysis.packSequences(table(s, d, "documents"), budget = 2048L)
+      .orderBy("lang", "shard", "doc_id"),
+    Some("""WITH t AS (SELECT doc_id, lang,
+          CAST(doc_id % 4 AS INTEGER) AS shard,
+          CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+        FROM documents),
+      c AS (SELECT doc_id, lang, shard, n_tokens,
+          SUM(n_tokens) OVER (PARTITION BY lang, shard ORDER BY doc_id ASC
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tokens AS pack_offset
+        FROM t)
+      SELECT doc_id, lang, shard, n_tokens,
+        CAST(pack_offset AS BIGINT) AS pack_offset,
+        CAST(pack_offset // 2048 AS BIGINT) AS chunk_id
+      FROM c ORDER BY lang, shard, doc_id"""))
+
   // ============================================ embeddings (extension ops)
 
   val q30_cosine_sim: Q = Q(
@@ -1829,5 +1862,7 @@ object Queries {
     "q57_ivf_trained" -> q57_ivf_trained,
     "q58_clean_corpus" -> q58_clean_corpus,
     "q59_cluster_assign" -> q59_cluster_assign,
-    "q60_sessionize" -> q60_sessionize)
+    "q60_sessionize" -> q60_sessionize,
+    "q61_stratified_sample" -> q61_stratified_sample,
+    "q62_pack_sequences" -> q62_pack_sequences)
 }

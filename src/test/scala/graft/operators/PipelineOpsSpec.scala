@@ -229,6 +229,38 @@ class PipelineOpsSpec extends SparkSpec {
     assert(r2.contains("pair only here shared twice not") && r2.contains(boiler))
   }
 
+  test("stratifiedSample: caps per stratum, deterministic under repartition") {
+    val s = spark
+    import s.implicits._
+    val d = (1L to 100L).map(i => (i, if (i % 3 == 0) "a" else "b", s"text $i"))
+      .toDF("doc_id", "lang", "text")
+    val r1 = TextAnalysis.stratifiedSample(d, "lang", 10)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(r1.size == 20) // 10 per stratum, both strata have >10 docs
+    val r2 = TextAnalysis.stratifiedSample(d.repartition(7), "lang", 10)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(r1 == r2, "hash-order draw must not depend on partitioning")
+  }
+
+  test("packSequences: offsets chain within each shard stream, chunks cut at the budget") {
+    val s = spark
+    import s.implicits._
+    val d = (1L to 60L).map(i => (i, "en", Array.fill((i % 7 + 1).toInt)("w").mkString(" ")))
+      .toDF("doc_id", "lang", "text")
+    val rows = TextAnalysis.packSequences(d, budget = 10L, nShards = 2)
+      .orderBy("lang", "shard", "doc_id").collect()
+    rows.groupBy(r => (r.getAs[String]("lang"), r.getAs[Int]("shard"))).foreach {
+      case (_, rs) =>
+        var expectedOffset = 0L
+        rs.sortBy(_.getAs[Long]("doc_id")).foreach { r =>
+          assert(r.getAs[Long]("pack_offset") == expectedOffset, s"row $r")
+          assert(r.getAs[Long]("chunk_id") == expectedOffset / 10L, s"row $r")
+          expectedOffset += r.getAs[Long]("n_tokens")
+        }
+    }
+    assert(rows.forall(r => r.getAs[Int]("shard") == (r.getAs[Long]("doc_id") % 2).toInt))
+  }
+
   test("linesample gathers by projected cell; misses stay NULL (J9)") {
     val s = spark
     import s.implicits._
