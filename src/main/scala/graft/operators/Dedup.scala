@@ -40,11 +40,18 @@ object Dedup {
       .groupBy(md5(col(textCol)).as("h"))
       .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n"))
 
+  /** The word-set fingerprint digest of a text column — md5 of the sorted
+    * distinct word set. ONE definition shared by [[fingerprint]],
+    * [[dropFingerprintDuplicates]] and the q58 cleaning pipeline, so the
+    * Spark/oracle equivalence cannot silently de-sync. */
+  def fingerprintExpr(textCol: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    md5(array_join(array_sort(array_distinct(split(textCol, " "))), " "))
+
   /** Word-order-insensitive fingerprint: md5 of the sorted distinct word
     * set (a deterministic document signature; rolling-hash analog). */
   def fingerprint(docs: DataFrame, textCol: String = "text", idCol: String = "doc_id"): DataFrame =
     docs
-      .groupBy(md5(array_join(array_sort(array_distinct(split(col(textCol), " "))), " ")).as("fp"))
+      .groupBy(fingerprintExpr(col(textCol)).as("fp"))
       .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n"))
 
   /** MinHash + LSH near-dup detection.

@@ -719,8 +719,7 @@ object Queries {
     * 1-based `range` (end-exclusive), mirroring `TextAnalysis.gramsSql`. */
   private def duckGrams(n: Int): String = {
     val parts = (0 until n).map(j => s"w[i + $j]").mkString(" || ' ' || ")
-    val hi = if (n == 2) "len(w)" else s"len(w) - ${n - 2}"
-    s"list_transform(range(1, $hi), i -> $parts)"
+    s"list_transform(range(1, len(w) - ${n - 2}), i -> $parts)"
   }
 
   /** Gopher-style per-doc repetition stats (`TextAnalysis.repetitionStats`):
@@ -793,7 +792,7 @@ object Queries {
         .withColumn("_w", split(col("text"), " "))
         .withColumn("top2_n", expr(TextAnalysis.maxRunSql(TextAnalysis.gramsSql(2, "_w"))))
         .withColumn("top2_frac", col("top2_n").cast("double") / (col("n_words") - 1))
-        .withColumn("_fp", md5(array_join(array_sort(array_distinct(col("_w"))), " ")))
+        .withColumn("_fp", Dedup.fingerprintExpr(col("text")))
         .withColumn("_ok", col("n_words") >= 25 &&
           col("stop_ratio") >= 0.03 && col("top2_frac") <= 0.12)
       val w = Window.partitionBy(col("_fp"))
@@ -856,7 +855,7 @@ object Queries {
     (s, d) => TextAnalysis.packSequences(table(s, d, "documents"), budget = 2048L)
       .orderBy("lang", "shard", "doc_id"),
     Some("""WITH t AS (SELECT doc_id, lang,
-          CAST(doc_id % 4 AS INTEGER) AS shard,
+          CAST(((doc_id % 4) + 4) % 4 AS INTEGER) AS shard,
           CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
         FROM documents),
       c AS (SELECT doc_id, lang, shard, n_tokens,

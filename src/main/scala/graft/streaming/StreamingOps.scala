@@ -114,31 +114,9 @@ object StreamingOps {
     *
     * At 100 TB-scale ingest the digest state shards by key across
     * executors (HDFSBackedStateStore / RocksDB), and the pre-watermark
-    * dedup cuts the downstream write volume before anything lands. */
-  /** Streaming gap-based sessionization — the unbounded twin of the batch
-    * q60 window-function formulation, expressed with Spark's native
-    * `session_window` (merging session state per user, watermark-bounded;
-    * sessions emit in append mode once the watermark passes their close).
-    * Same semantics: a session extends while consecutive events arrive
-    * within `gap`. */
-  def sessionize(
-      stream: DataFrame, // (ts TIMESTAMP, user_id, value, ...)
-      gap: String = "30 minutes",
-      watermark: String = "1 hour",
-      valueCol: String = "value"): DataFrame =
-    stream
-      .withWatermark("ts", watermark)
-      .groupBy(session_window(col("ts"), gap), col("user_id"))
-      .agg(
-        count(lit(1)).as("n_events"),
-        sum(col(valueCol)).as("sum_v"))
-      .select(
-        col("user_id"),
-        col("session_window.start").as("session_start"),
-        col("session_window.end").as("session_end"),
-        col("n_events"), col("sum_v"))
-
-  /** Caveat: Spark's initial watermark is 0, and rows at or below the
+    * dedup cuts the downstream write volume before anything lands.
+    *
+    * Caveat: Spark's initial watermark is 0, and rows at or below the
     * watermark are discarded as late BEFORE any stateful operator sees
     * them — an event time of exactly the epoch never enters the dedup
     * state (real feeds are unaffected; synthetic epoch-0 fixtures are). */
@@ -150,6 +128,31 @@ object StreamingOps {
       .withColumn("digest", md5(col(textCol))) // same digest as Dedup.exact
       .withWatermark("ts", watermark)
       .dropDuplicatesWithinWatermark("digest")
+
+  /** Streaming gap-based sessionization — the unbounded twin of the batch
+    * q60 window-function formulation, expressed with Spark's native
+    * `session_window` (merging session state per user, watermark-bounded;
+    * sessions emit in append mode once the watermark passes their close).
+    * Same semantics: a session extends while consecutive events arrive
+    * within `gap`; `sum_v` goes through the decimal-sum discipline so the
+    * emitted value is independent of micro-batch/merge order. */
+  def sessionize(
+      stream: DataFrame, // (ts TIMESTAMP, user_id, value, ...)
+      gap: String = "30 minutes",
+      watermark: String = "1 hour",
+      valueCol: String = "value"): DataFrame =
+    stream
+      .withWatermark("ts", watermark)
+      .groupBy(session_window(col("ts"), gap), col("user_id"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        sum(col(valueCol).cast(org.apache.spark.sql.types.DecimalType(18, 2)))
+          .cast("double").as("sum_v"))
+      .select(
+        col("user_id"),
+        col("session_window.start").as("session_start"),
+        col("session_window.end").as("session_end"),
+        col("n_events"), col("sum_v"))
 
   /** Streaming training-data ingest cleaner: token/quality stats +
     * language ID as PURE per-row expressions (higher-order `filter` over

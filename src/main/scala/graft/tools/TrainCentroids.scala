@@ -32,9 +32,9 @@ object TrainCentroids {
       .map(_.map(x => BigDecimal(x).setScale(scale, BigDecimal.RoundingMode.HALF_EVEN).toDouble))
     println("// ---- Scala (Seq[Array[Double]]) ----")
     println(cs.map(c => c.mkString("Array(", ", ", ")")).mkString("Seq(\n  ", ",\n  ", ")"))
-    println("-- ---- DuckDB VALUES (centroid_id, ctr) ----")
+    println("-- ---- DuckDB VALUES (centroid_id, cemb) — the sf001k8Sql shape ----")
     println(cs.zipWithIndex
-      .map { case (c, i) => s"($i, ${c.mkString("[", ", ", "]")})" }
+      .map { case (c, i) => s"($i, CAST([${c.mkString(", ")}] AS DOUBLE[]))" }
       .mkString(",\n"))
     spark.stop()
   }
