@@ -200,6 +200,30 @@ object TextAnalysis {
         col("n_tokens"), col("pack_offset"), col("chunk_id"))
   }
 
+  /** Benchmark decontamination: drop every corpus doc sharing at least one
+    * word `n`-gram with the benchmark set — the standard eval-leakage
+    * sweep before pretraining. Distinct grams per side, gram-keyed
+    * equi-join to find contaminated ids, then a left-anti join back:
+    * shuffle volume is the (deduplicated) gram tables, never all-pairs;
+    * the benchmark side is usually small enough to broadcast.
+    */
+  def decontaminate(
+      corpus: DataFrame,
+      benchmark: DataFrame,
+      n: Int = 6,
+      textCol: String = "text",
+      idCol: String = "doc_id"): DataFrame = {
+    def grams(df: DataFrame) = df
+      .select(col(idCol), split(col(textCol), " ").as("w"))
+      .select(col(idCol), explode(expr(gramsSql(n))).as("ngram"))
+      .distinct()
+    val contaminated = grams(corpus)
+      .join(grams(benchmark).select(col("ngram")).distinct(), Seq("ngram"))
+      .select(col(idCol))
+      .distinct()
+    corpus.join(contaminated, Seq(idCol), "left_anti")
+  }
+
   /** Stopword-vote language ID: count keyword hits per (doc, lang), pick the
     * argmax with a deterministic (count desc, lang asc) tie-break. */
   def langId(

@@ -867,6 +867,26 @@ object Queries {
         CAST(pack_offset // 2048 AS BIGINT) AS chunk_id
       FROM c ORDER BY lang, shard, doc_id"""))
 
+  /** Benchmark decontamination (`TextAnalysis.decontaminate`): the corpus
+    * minus every doc sharing a 6-gram with the held-out "benchmark"
+    * slice (doc_id % 11 == 0, which the sweep itself removes via
+    * self-overlap). Pure set algebra over distinct grams — bit-exact. */
+  val q63_decontaminate: Q = Q(
+    (s, d) => {
+      val docs = table(s, d, "documents")
+      val bench = docs.filter(col("doc_id") % 11 === 0)
+      TextAnalysis.decontaminate(docs, bench)
+        .select("doc_id", "lang", "n_chars")
+        .orderBy("doc_id")
+    },
+    Some(s"""WITH ws AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+      g AS (SELECT DISTINCT doc_id, unnest(${duckGrams(6)}) AS ngram FROM ws),
+      bg AS (SELECT DISTINCT ngram FROM g WHERE doc_id % 11 = 0),
+      bad AS (SELECT DISTINCT g.doc_id FROM g JOIN bg ON bg.ngram = g.ngram)
+      SELECT d.doc_id, d.lang, d.n_chars FROM documents d
+      WHERE d.doc_id NOT IN (SELECT doc_id FROM bad)
+      ORDER BY d.doc_id"""))
+
   // ============================================ embeddings (extension ops)
 
   val q30_cosine_sim: Q = Q(
@@ -1863,5 +1883,6 @@ object Queries {
     "q59_cluster_assign" -> q59_cluster_assign,
     "q60_sessionize" -> q60_sessionize,
     "q61_stratified_sample" -> q61_stratified_sample,
-    "q62_pack_sequences" -> q62_pack_sequences)
+    "q62_pack_sequences" -> q62_pack_sequences,
+    "q63_decontaminate" -> q63_decontaminate)
 }

@@ -229,6 +229,18 @@ class PipelineOpsSpec extends SparkSpec {
     assert(r2.contains("pair only here shared twice not") && r2.contains(boiler))
   }
 
+  test("decontaminate drops docs sharing a 6-gram with the benchmark, keeps the rest") {
+    val s = spark
+    import s.implicits._
+    // benchmark = doc 1's text; docs 1 and 2 share it verbatim, doc 3
+    // differs inside every 6-gram window ("leaps" vs "jumps"), doc 6 is a
+    // permutation (no ordered 6-gram survives)
+    val bench = Seq((100L, "the quick brown fox jumps over the lazy dog")).toDF("doc_id", "text")
+    val kept = TextAnalysis.decontaminate(docs, bench).select("doc_id")
+      .collect().map(_.getLong(0)).toSet
+    assert(kept == Set(3L, 4L, 5L, 6L), s"got $kept")
+  }
+
   test("stratifiedSample: caps per stratum, deterministic under repartition") {
     val s = spark
     import s.implicits._
