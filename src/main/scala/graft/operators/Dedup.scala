@@ -40,12 +40,16 @@ object Dedup {
       .groupBy(md5(col(textCol)).as("h"))
       .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n"))
 
-  /** The word-set fingerprint digest of a text column — md5 of the sorted
-    * distinct word set. ONE definition shared by [[fingerprint]],
+  /** The word-set fingerprint digest — md5 of the sorted distinct word
+    * set. ONE definition shared by [[fingerprint]],
     * [[dropFingerprintDuplicates]] and the q58 cleaning pipeline, so the
-    * Spark/oracle equivalence cannot silently de-sync. */
+    * Spark/oracle equivalence cannot silently de-sync. The word-array
+    * overload lets callers that already materialized the split reuse it. */
+  def fingerprintExprFromWords(wordsCol: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    md5(array_join(array_sort(array_distinct(wordsCol)), " "))
+
   def fingerprintExpr(textCol: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
-    md5(array_join(array_sort(array_distinct(split(textCol, " "))), " "))
+    fingerprintExprFromWords(split(textCol, " "))
 
   /** Word-order-insensitive fingerprint: md5 of the sorted distinct word
     * set (a deterministic document signature; rolling-hash analog). */

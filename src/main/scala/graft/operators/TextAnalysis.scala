@@ -213,12 +213,18 @@ object TextAnalysis {
       n: Int = 6,
       textCol: String = "text",
       idCol: String = "doc_id"): DataFrame = {
-    def grams(df: DataFrame) = df
+    val corpusGrams = corpus
       .select(col(idCol), split(col(textCol), " ").as("w"))
       .select(col(idCol), explode(expr(gramsSql(n))).as("ngram"))
       .distinct()
-    val contaminated = grams(corpus)
-      .join(grams(benchmark).select(col("ngram")).distinct(), Seq("ngram"))
+    // benchmark side never needs ids: distinct over the bare gram column,
+    // one aggregation instead of a (doc, gram) distinct + a second one
+    val benchGrams = benchmark
+      .select(split(col(textCol), " ").as("w"))
+      .select(explode(expr(gramsSql(n))).as("ngram"))
+      .distinct()
+    val contaminated = corpusGrams
+      .join(benchGrams, Seq("ngram"))
       .select(col(idCol))
       .distinct()
     corpus.join(contaminated, Seq(idCol), "left_anti")

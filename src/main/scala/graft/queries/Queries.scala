@@ -792,7 +792,7 @@ object Queries {
         .withColumn("_w", split(col("text"), " "))
         .withColumn("top2_n", expr(TextAnalysis.maxRunSql(TextAnalysis.gramsSql(2, "_w"))))
         .withColumn("top2_frac", col("top2_n").cast("double") / (col("n_words") - 1))
-        .withColumn("_fp", Dedup.fingerprintExpr(col("text")))
+        .withColumn("_fp", Dedup.fingerprintExprFromWords(col("_w")))
         .withColumn("_ok", col("n_words") >= 25 &&
           col("stop_ratio") >= 0.03 && col("top2_frac") <= 0.12)
       val w = Window.partitionBy(col("_fp"))
@@ -869,8 +869,9 @@ object Queries {
 
   /** Benchmark decontamination (`TextAnalysis.decontaminate`): the corpus
     * minus every doc sharing a 6-gram with the held-out "benchmark"
-    * slice (doc_id % 11 == 0, which the sweep itself removes via
-    * self-overlap). Pure set algebra over distinct grams — bit-exact. */
+    * slice (doc_id % 11 == 0; any benchmark doc with >= 6 words removes
+    * itself via self-overlap — shorter ones have no 6-grams to match).
+    * Pure set algebra over distinct grams — bit-exact. */
   val q63_decontaminate: Q = Q(
     (s, d) => {
       val docs = table(s, d, "documents")

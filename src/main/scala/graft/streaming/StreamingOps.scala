@@ -31,8 +31,12 @@ object StreamingOps {
       .groupBy(window(col("ts"), windowDuration), col("cell"))
       .agg(
         count(lit(1)).as("n"),
-        sum(col(valueCol)).as("sum_v"),
-        avg(col(valueCol)).as("avg_v"))
+        // decimal-sum discipline (same as sessionize / the batch bucket
+        // family): the emitted sums are independent of micro-batch and
+        // partial-merge order
+        sum(col(valueCol).cast(org.apache.spark.sql.types.DecimalType(18, 6)))
+          .cast("double").as("sum_v"))
+      .withColumn("avg_v", col("sum_v") / col("n"))
   }
 
   /** Streaming event-type counts (events-table shape): tumbling windows. */
@@ -43,7 +47,9 @@ object StreamingOps {
     stream
       .withWatermark("ts", watermark)
       .groupBy(window(col("ts"), windowDuration), col("event_type"))
-      .agg(count(lit(1)).as("n"), sum(col("value")).as("sum_v"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast(org.apache.spark.sql.types.DecimalType(18, 6)))
+          .cast("double").as("sum_v"))
 
   /** One swath pixel on the stream. */
   final case class EwaPixel(ts: java.sql.Timestamp, y: Int, x: Int,

@@ -5,11 +5,12 @@ import org.apache.spark.sql.SparkSession
 
 /** Dev tool: run the distributed Lloyd trainer
   * ([[graft.operators.Similarity.kmeansCentroids]]) over an sf dir's
-  * embeddings table and print the resulting centroids as (a) Scala literal
-  * source and (b) a DuckDB `VALUES` list — the artifacts baked into
-  * `q57_ivf_trained` and its oracle. The production shape at 100 TB is
-  * exactly this: train on a bounded sample offline, bake/broadcast the
-  * model, assign the full set with the map-only argmax.
+  * embeddings table and print the resulting centroids as Scala literal
+  * source for `queries/TrainedCentroids.scala` (whose DuckDB `VALUES`
+  * twin is DERIVED from the Scala literals — one definition). The
+  * production shape at 100 TB is exactly this: train on a bounded sample
+  * offline, bake/broadcast the model, assign the full set with the
+  * map-only argmax.
   *
   * Usage: runMain graft.tools.TrainCentroids [sfDir] [k] [iters] [scale]
   * Centroids are rounded to `scale` decimals (default 6) so the literals
@@ -30,12 +31,11 @@ object TrainCentroids {
     val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
     val cs = Similarity.kmeansCentroids(emb, k = k, iters = iters)
       .map(_.map(x => BigDecimal(x).setScale(scale, BigDecimal.RoundingMode.HALF_EVEN).toDouble))
-    println("// ---- Scala (Seq[Array[Double]]) ----")
+    // only the Scala Seq is an artifact: TrainedCentroids.sf001k8Sql is
+    // DERIVED from it, so printing a SQL block here would invite pasting a
+    // second copy and re-creating the dual-definition de-sync hazard
+    println("// ---- Scala (Seq[Array[Double]]) — paste into TrainedCentroids ----")
     println(cs.map(c => c.mkString("Array(", ", ", ")")).mkString("Seq(\n  ", ",\n  ", ")"))
-    println("-- ---- DuckDB VALUES (centroid_id, cemb) — the sf001k8Sql shape ----")
-    println(cs.zipWithIndex
-      .map { case (c, i) => s"($i, CAST([${c.mkString(", ")}] AS DOUBLE[]))" }
-      .mkString(",\n"))
     spark.stop()
   }
 }
