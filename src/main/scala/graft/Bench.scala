@@ -13,22 +13,24 @@ import org.apache.spark.sql.SparkSession
   * round-over-round regressions detectable. The cache is cleared between
   * iterations so persist() calls inside queries can't carry state across
   * runs (each iteration pays its own materialization, like the driver's
-  * one-shot run would). */
+  * one-shot run would).
+  *
+  * Output is TWO JSON lines: a "detail" line (full query names, per-query
+  * minima and medians) and, LAST, the contract "total" line with medians
+  * under short keys plus the load-probe dispersion — the driver archives
+  * a 2000-char stdout tail, and the last line is sized to survive it. */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val iters = sys.env.getOrElse("SPARK_GRAFT_BENCH_ITERS", "3").toInt.max(1)
-    val spark = SparkSession.builder()
+    // GraftExtensions.install carries the ObjectHashAggregate fallback
+    // threshold (top-k heap aggregation stays on the hash path)
+    val spark = graft.functions.GraftExtensions.install(SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.adaptive.enabled", "true")
-      // ObjectHashAggregate (top-k heaps) falls back to sort-based after
-      // this many distinct keys per task; the default 128 is far below any
-      // real target-grid cardinality, and a k-slot heap is O(100B), so
-      // 128k entries is still only ~MBs per task
-      .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold", "131072")
-      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.session.timeZone", "UTC"))
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
@@ -43,7 +45,19 @@ object Bench {
     val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY").map(_.split(",").toSeq)
     val selected = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (n, _) => only.forall(_.exists(n.startsWith)) }
+    // noise sentinel: a fixed CPU-bound probe re-timed before every query.
+    // Its dispersion makes external machine load visible IN the artifact —
+    // r5's driver run benched under concurrent load and four healthy
+    // queries read as 3-4x regressions with nothing in the JSON to say why.
+    def probeSec(): Double = {
+      val t0 = System.nanoTime()
+      spark.range(4000000L).selectExpr("sum(id)").collect()
+      (System.nanoTime() - t0) / 1e9
+    }
+    probeSec() // compile/warm the probe itself before sampling
+    val probes = scala.collection.mutable.ArrayBuffer[Double]()
     val results = selected.map { case (name, fn) =>
+      probes += probeSec()
       val times = (1 to iters).map { _ =>
         spark.catalog.clearCache()
         val t0 = System.nanoTime()
@@ -54,10 +68,19 @@ object Bench {
       }.sorted
       (name, times(times.length / 2), times.head)
     }
-    def jmap(f: ((String, Double, Double)) => Double): String =
-      results.map { case r @ (k, _, _) => "\"" + k + "\":" + f(r) }.mkString("{", ",", "}")
+    def fmt(v: Double): String = "%.4f".formatLocal(java.util.Locale.ROOT, v)
+    def jmap(key: String => String, f: ((String, Double, Double)) => Double): String =
+      results.map { case r @ (k, _, _) => "\"" + key(k) + "\":" + fmt(f(r)) }.mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":${jmap(_._2)},"queries_min":${jmap(_._3)},"iters":$iters,"sf":"$sfDir"}""")
+    val ps = probes.sorted
+    val probe = s""""probe_med":${fmt(ps(ps.length / 2))},"probe_max":${fmt(ps.last)}"""
+    // the driver's artifact keeps only a 2000-char TAIL of stdout, so the
+    // summary prints in two lines: full names + per-query minima first
+    // (clippable), then the contract line LAST with total, medians under
+    // short query keys (q01...), and the probe dispersion — sized to
+    // always survive the tail whole
+    println(s"""{"metric":"detail","queries_min":${jmap(identity, _._3)},"queries_med_full":${jmap(identity, _._2)}}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":${jmap(_.split("_").head, _._2)},$probe,"iters":$iters,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

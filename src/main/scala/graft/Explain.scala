@@ -31,11 +31,10 @@ object Explain {
     val names = if (args.length > 1) args.tail.toSeq else Seq("q01_bucket_count", "q14_knn_nearest", "q21_pricing_agg")
     val exec = sys.env.get("EXEC").contains("1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", if (exec) "32" else "4")
-    val spark = SparkSession.builder()
+    val spark = graft.functions.GraftExtensions.install(SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.sql.adaptive.enabled", "true")
-      .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold", "131072")
+      .config("spark.sql.adaptive.enabled", "true"))
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
       .getOrCreate()

@@ -7,12 +7,10 @@ object Verify {
   def main(args: Array[String]): Unit = {
     val Array(sfDir, outDir) = args
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val spark = SparkSession.builder()
+    val spark = graft.functions.GraftExtensions.install(SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
-      // see Bench.scala: keep top-k heap aggregation on the hash path
-      .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold", "131072")
-      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.session.timeZone", "UTC"))
       // events.parquet carries INT64 nanosecond timestamps; read them as
       // long nanos (matches the oracle's epoch_ns arithmetic)
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")

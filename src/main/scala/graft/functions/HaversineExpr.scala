@@ -140,9 +140,48 @@ object GeoRadiusPruning extends Rule[LogicalPlan] {
 
 /** SparkSessionExtensions installer:
   * `--conf spark.sql.extensions=graft.functions.GraftExtensions`
-  * or `GraftExtensions.install(builder)`. */
+  * or `GraftExtensions.install(builder)`.
+  *
+  * Besides the optimizer rule, installation applies [[GraftExtensions
+  * .EngineDefaults]] to the session (unless the user set a key
+  * explicitly), so the engine's required runtime config travels with the
+  * library rather than with each harness. */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
-    ext.injectOptimizerRule(_ => GeoRadiusPruning)
+    ext.injectOptimizerRule { session =>
+      // rule builders run once per session when its optimizer is first
+      // built — before any query is planned — which makes this the one
+      // extension hook with access to the live session's conf
+      GraftExtensions.applyEngineDefaults(session)
+      GeoRadiusPruning
+    }
   }
+}
+
+object GraftExtensions {
+  /** Conf the engine needs at runtime regardless of how the session was
+    * built. `TopKNearest`'s bounded-heap aggregation plans as
+    * ObjectHashAggregate, and Spark's default 128-key fallback threshold
+    * silently degrades every k-NN query to sort-based aggregation at any
+    * real target-grid cardinality; a k-slot heap is O(100 B), so 128k
+    * keys per task is still only MBs. */
+  val EngineDefaults: Map[String, String] = Map(
+    "spark.sql.objectHashAggregate.sortBased.fallbackThreshold" -> "131072")
+
+  /** Recommended session entry point: installs the extensions and bakes
+    * [[EngineDefaults]] into the builder. */
+  def install(builder: SparkSession.Builder): SparkSession.Builder = {
+    EngineDefaults.foreach { case (k, v) => builder.config(k, v) }
+    builder.withExtensions(new GraftExtensions)
+  }
+
+  /** Sets each engine default unless the user set the key explicitly
+    * (session conf or spark-submit --conf). */
+  private[graft] def applyEngineDefaults(session: SparkSession): Unit =
+    EngineDefaults.foreach { case (k, v) =>
+      if (!Bridge.sessionConfContains(session, k) &&
+          !session.sparkContext.getConf.contains(k)) {
+        session.conf.set(k, v)
+      }
+    }
 }

@@ -159,6 +159,72 @@ object Dedup {
   def dropNearDuplicates(docs: DataFrame, pairs: DataFrame, idCol: String = "doc_id"): DataFrame =
     docs.join(pairs.select(col("d2").as(idCol)).distinct(), Seq(idCol), "left_anti")
 
+  /** Connected components over a near-dup pair table (d1, d2) by
+    * iterative min-id label propagation: every vertex starts labelled
+    * with its own id; each round, a vertex adopts the minimum label among
+    * itself and its neighbours; at fixpoint, the label IS the component's
+    * minimum id. The same transitive closure as the reference's
+    * driver-side union-find over pairwise overlaps
+    * (`spherical_utils.py:28-131`), re-expressed as data-plane iteration.
+    *
+    * Scale shape: each round is ONE shuffle keyed by vertex id (edge-label
+    * join + min aggregation); the edge table — symmetrized pairs — is tiny
+    * relative to the corpus and stays cached across rounds; `
+    * localCheckpoint` truncates the growing lineage each round so round N
+    * doesn't replay rounds 1..N-1. Rounds needed = component diameter;
+    * near-dup clusters are small and dense, so a handful in practice
+    * (`maxIters` bounds the worst case; adversarially long path graphs
+    * would want the large-star/small-star variant, which the same loop
+    * accommodates).
+    *
+    * Returns (id, cluster_id) for every vertex that appears in a pair. */
+  def connectedComponents(pairs: DataFrame, maxIters: Int = 20): DataFrame = {
+    val edges = pairs.select(col("d1").as("src"), col("d2").as("dst"))
+      .union(pairs.select(col("d2").as("src"), col("d1").as("dst")))
+      .distinct()
+      .persist()
+    var labels = edges.select(col("src").as("id")).distinct()
+      .withColumn("label", col("id"))
+      .localCheckpoint()
+    var converged = false
+    var i = 0
+    while (!converged && i < maxIters) {
+      val viaNeighbour = edges
+        .join(labels.select(col("id").as("dst"), col("label")), "dst")
+        .select(col("src").as("id"), col("label"))
+      val next = labels.union(viaNeighbour)
+        .groupBy("id").agg(min("label").as("label"))
+        .localCheckpoint()
+      converged = next.as("n")
+        .join(labels.as("o"), "id")
+        .filter(col("n.label") =!= col("o.label"))
+        .isEmpty
+      labels = next
+      i += 1
+    }
+    edges.unpersist()
+    labels.select(col("id"), col("label").as("cluster_id"))
+  }
+
+  /** Cluster-canonical near-dup policy: every doc tagged with its
+    * component's minimum id ([[connectedComponents]] over `pairs`;
+    * singletons are their own cluster) and `keep` = is the canonical
+    * member. Unlike [[dropNearDuplicates]]' independent per-pair drop —
+    * which on a chain A~B, B~C (no A~C pair) drops BOTH B and C — this
+    * keeps exactly one doc per transitive component. */
+  def nearDupClusters(
+      docs: DataFrame,
+      pairs: DataFrame,
+      idCol: String = "doc_id",
+      maxIters: Int = 20): DataFrame = {
+    val cc = connectedComponents(pairs, maxIters)
+      .select(col("id").as(idCol), col("cluster_id").as("_cc"))
+    docs.join(cc, Seq(idCol), "left")
+      .withColumn("cluster_id", coalesce(col("_cc"), col(idCol)))
+      .withColumn("keep", col("cluster_id") === col(idCol))
+      .drop("_cc")
+  }
+
   /** Keep the lowest id per word-set fingerprint ([[fingerprint]]) — the
     * word-order-insensitive flavour of [[dropExactDuplicates]]. */
   def dropFingerprintDuplicates(docs: DataFrame, textCol: String = "text", idCol: String = "doc_id"): DataFrame =

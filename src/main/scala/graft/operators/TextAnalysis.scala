@@ -230,6 +230,45 @@ object TextAnalysis {
     corpus.join(contaminated, Seq(idCol), "left_anti")
   }
 
+  /** PII patterns for [[redactPii]] — deliberately in the Java ∩ RE2
+    * regex subset (no lookaround, no backrefs) so any SQL engine replays
+    * them verbatim. */
+  val EmailRegex: String = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val Ipv4Regex: String = "\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b"
+  val PhoneRegex: String = "\\b[0-9]{3}[-. ][0-9]{4}\\b"
+
+  /** PII scrub — the standard redaction stage of a cleaning pipeline:
+    * emails, IPv4 addresses and phone-shaped digit runs replaced by
+    * `<EMAIL>`/`<IP>`/`<PHONE>` tokens, with per-doc match counts. A pure
+    * `regexp_count` + `regexp_replace` chain: per-row, join-free and
+    * stateless, so it runs unchanged on a stream (composes with
+    * `cleanIngest`) and costs one map stage at any scale. Replacement
+    * order is fixed (email → ip → phone): email local parts and IPv4
+    * octets both contain digit runs a later phone pass could otherwise
+    * clip differently. */
+  /** The replacement chain of [[redactPii]] as a bare Column (for callers
+    * that only want the scrubbed text, e.g. `cleanIngest`). */
+  def redactedText(t: Column): Column =
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(t, lit(EmailRegex), lit("<EMAIL>")),
+        lit(Ipv4Regex), lit("<IP>")),
+      lit(PhoneRegex), lit("<PHONE>"))
+
+  def redactPii(
+      docs: DataFrame,
+      textCol: String = "text",
+      idCol: String = "doc_id"): DataFrame = {
+    val t = col(textCol)
+    val red = redactedText(t)
+    docs
+      .withColumn("n_emails", regexp_count(t, lit(EmailRegex)).cast("long"))
+      .withColumn("n_ips", regexp_count(t, lit(Ipv4Regex)).cast("long"))
+      .withColumn("n_phones", regexp_count(t, lit(PhoneRegex)).cast("long"))
+      .withColumn("n_redactions", col("n_emails") + col("n_ips") + col("n_phones"))
+      .withColumn("redacted", red)
+  }
+
   /** Stopword-vote language ID: count keyword hits per (doc, lang), pick the
     * argmax with a deterministic (count desc, lang asc) tie-break. */
   def langId(

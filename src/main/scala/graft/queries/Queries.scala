@@ -655,65 +655,44 @@ object Queries {
 
   val q28_quality: Q = Q(
     (s, d) => TextAnalysis.quality(table(s, d, "documents")).orderBy("doc_id"),
-    Some {
-      val stops = TextAnalysis.EnStopwords.map(w => s"('$w')").mkString(", ")
-      s"""WITH stops(word) AS (VALUES $stops),
-      wa AS (SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents),
-      hits AS (SELECT wa.doc_id, COUNT(*) AS stop_hits FROM wa JOIN stops ON wa.word = stops.word
-               GROUP BY wa.doc_id)
-      SELECT d.doc_id,
-        CAST(len(string_split(d.text, ' ')) AS BIGINT) AS n_words,
-        CAST(length(d.text) - length(regexp_replace(d.text, '[.,!?;]', '', 'g')) AS BIGINT) AS n_punct,
-        CAST(length(d.text) AS BIGINT) AS n_chars,
-        COALESCE(h.stop_hits, 0) AS stop_hits,
-        CAST(COALESCE(h.stop_hits, 0) AS DOUBLE) / CAST(len(string_split(d.text, ' ')) AS BIGINT) AS stop_ratio,
-        CAST(CAST(length(d.text) - length(regexp_replace(d.text, '[.,!?;]', '', 'g')) AS BIGINT) AS DOUBLE)
-          / CAST(length(d.text) AS BIGINT) AS punct_ratio
-      FROM documents d LEFT JOIN hits h ON h.doc_id = d.doc_id ORDER BY d.doc_id"""
-    })
+    Some(s"""SELECT doc_id,
+        CAST(len(w) AS BIGINT) AS n_words,
+        CAST(length(text) - length(regexp_replace(text, '[.,!?;]', '', 'g')) AS BIGINT) AS n_punct,
+        CAST(length(text) AS BIGINT) AS n_chars,
+        CAST($duckStopHits AS BIGINT) AS stop_hits,
+        CAST($duckStopHits AS DOUBLE) / CAST(len(w) AS BIGINT) AS stop_ratio,
+        CAST(CAST(length(text) - length(regexp_replace(text, '[.,!?;]', '', 'g')) AS BIGINT) AS DOUBLE)
+          / CAST(length(text) AS BIGINT) AS punct_ratio
+      FROM (SELECT doc_id, text, string_split(text, ' ') AS w FROM documents) ORDER BY doc_id"""))
 
   val q29_langid: Q = Q(
     (s, d) => TextAnalysis.langId(table(s, d, "documents")).orderBy("doc_id"),
-    Some {
-      val kw = TextAnalysis.LangKeywords.map { case (l, w) => s"('$l', '$w')" }.mkString(", ")
-      s"""WITH kw(pred_lang, word) AS (VALUES $kw),
-      wa AS (SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents),
-      scores AS (SELECT wa.doc_id, kw.pred_lang, COUNT(*) AS hits
-                 FROM wa JOIN kw ON wa.word = kw.word GROUP BY wa.doc_id, kw.pred_lang),
-      r AS (SELECT doc_id, pred_lang, hits,
-              ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY hits DESC, pred_lang ASC) AS rn
-            FROM scores)
-      SELECT doc_id, pred_lang, hits FROM r WHERE rn = 1 ORDER BY doc_id"""
-    })
+    Some(s"""WITH h AS (SELECT doc_id, $duckLangHitDefs
+        FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents))
+      SELECT doc_id, $duckLangArgmax AS pred_lang,
+        CAST(greatest($duckLangCols) AS BIGINT) AS hits
+      FROM h WHERE greatest($duckLangCols) > 0 ORDER BY doc_id"""))
 
   /** Per-row doc scoring (the streaming ingest cleaner's scoring stage,
     * `StreamingOps.scoreDocs`): higher-order-function stop/punct ratios +
     * join-free language argmax — the oracle replays the same lambda
-    * filters with DuckDB's list functions and the argmax via the same
-    * (hits desc, lang asc) rank. */
+    * filters with DuckDB's list functions and the argmax as an
+    * alphabetical-first CASE cascade (identical to the (hits desc,
+    * lang asc) selection), all row-local. */
   val q54_score_docs: Q = Q(
     (s, d) => graft.streaming.StreamingOps.scoreDocs(table(s, d, "documents"))
       .select("doc_id", "n_words", "stop_ratio", "punct_ratio", "pred_lang")
       .orderBy("doc_id"),
-    Some {
-      val stops = TextAnalysis.EnStopwords.map(w => s"'$w'").mkString(", ")
-      val kw = TextAnalysis.LangKeywords.map { case (l, w) => s"('$l', '$w')" }.mkString(", ")
-      s"""WITH kw(lang, word) AS (VALUES $kw),
-      wa AS (SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents),
-      scores AS (SELECT wa.doc_id, kw.lang, COUNT(*) AS hits
-                 FROM wa JOIN kw ON wa.word = kw.word GROUP BY wa.doc_id, kw.lang),
-      r AS (SELECT doc_id, lang, ROW_NUMBER() OVER (
-              PARTITION BY doc_id ORDER BY hits DESC, lang ASC) AS rn FROM scores)
-      SELECT d.doc_id,
-        CAST(len(string_split(d.text, ' ')) AS BIGINT) AS n_words,
-        CAST(len(list_filter(string_split(d.text, ' '), x -> list_contains([$stops], x))) AS DOUBLE)
-          / CAST(len(string_split(d.text, ' ')) AS BIGINT) AS stop_ratio,
-        CAST(length(d.text) - length(regexp_replace(d.text, '[.,!?;]', '', 'g')) AS DOUBLE)
-          / CAST(length(d.text) AS BIGINT) AS punct_ratio,
-        r.lang AS pred_lang
-      FROM documents d LEFT JOIN r ON r.doc_id = d.doc_id AND r.rn = 1
-      ORDER BY d.doc_id"""
-    })
+    Some(s"""WITH h AS (SELECT doc_id, text, w,
+        $duckLangHitDefs
+      FROM (SELECT doc_id, text, string_split(text, ' ') AS w FROM documents))
+      SELECT doc_id,
+        CAST(len(w) AS BIGINT) AS n_words,
+        CAST($duckStopHits AS DOUBLE) / CAST(len(w) AS BIGINT) AS stop_ratio,
+        CAST(length(text) - length(regexp_replace(text, '[.,!?;]', '', 'g')) AS DOUBLE)
+          / CAST(length(text) AS BIGINT) AS punct_ratio,
+        $duckLangArgmax AS pred_lang
+      FROM h ORDER BY doc_id"""))
 
   /** DuckDB n-gram list: word n-grams of `w` via `list_transform` over a
     * 1-based `range` (end-exclusive), mirroring `TextAnalysis.gramsSql`. */
@@ -722,58 +701,99 @@ object Queries {
     s"list_transform(range(1, len(w) - ${n - 2}), i -> $parts)"
   }
 
+  // Row-local oracle fragments. The text oracles used to unnest every
+  // word/gram occurrence into relational (doc_id, token) tables and
+  // re-aggregate — correct, but the exploded intermediates were the
+  // largest allocations in the whole oracle suite and tripped the
+  // checker's degraded allocator (r5: q54–q58 red on DuckDB OOM while
+  // bit-exact on re-run). These fragments compute the identical values
+  // per row with list lambdas/histograms, so peak memory stays at
+  // one document's tokens instead of the corpus'.
+
+  /** Stopword list literal (single source: `TextAnalysis.EnStopwords`). */
+  private def duckStopList: String =
+    TextAnalysis.EnStopwords.map(w => s"'$w'").mkString(", ")
+
+  /** Per-row stop-hit count over the split word list `w`. */
+  private def duckStopHits: String =
+    s"len(list_filter(w, x -> list_contains([$duckStopList], x)))"
+
+  private def duckLangs: Seq[(String, Seq[String])] =
+    TextAnalysis.LangKeywords.groupBy(_._1).toSeq.sortBy(_._1)
+      .map { case (l, kw) => (l, kw.map(_._2)) }
+
+  /** Per-language hit-count columns (`h_de`, `h_en`, …) as row-local
+    * list folds over `w` — no unnest, no keyword join. */
+  private def duckLangHitDefs: String =
+    duckLangs.map { case (l, ws) =>
+      val lst = ws.map(w => s"'$w'").mkString(", ")
+      s"len(list_filter(w, x -> list_contains([$lst], x))) AS h_$l"
+    }.mkString(",\n        ")
+
+  private def duckLangCols: String = duckLangs.map(l => s"h_${l._1}").mkString(", ")
+
+  /** Alphabetical-first argmax over the `h_<lang>` columns — the same
+    * selection as `scoreDocs`' `min(struct(-hits, lang))` (hits desc,
+    * lang asc); NULL when no keyword hits at all. */
+  private def duckLangArgmax: String = {
+    val ls = duckLangs.map(_._1)
+    val cases = ls.init.map { l =>
+      val conds = ls.filter(_ != l).map(m => s"h_$l >= h_$m").mkString(" AND ")
+      s"WHEN $conds THEN '$l'"
+    }.mkString(" ")
+    s"CASE WHEN greatest($duckLangCols) = 0 THEN NULL $cases ELSE '${ls.last}' END"
+  }
+
+  /** Modal n-gram count per row: max histogram value of the gram list
+    * (0 when the doc has no n-grams). */
+  private def duckTopGramN(n: Int): String =
+    s"COALESCE(list_max(map_values(list_aggregate(${duckGrams(n)}, 'histogram'))), 0)"
+
   /** Gopher-style per-doc repetition stats (`TextAnalysis.repetitionStats`):
     * modal 2/3-gram share + duplicated-5-gram fraction. Spark computes the
-    * mode as a per-row sorted-run fold (zero shuffles); the oracle recomputes
-    * it relationally (unnest → GROUP BY → MAX). Counts are integers and each
-    * fraction is a single long/long division — bit-exact across engines. */
+    * mode as a per-row sorted-run fold (zero shuffles); the oracle mirrors
+    * it row-locally (list histogram → max value). Counts are integers and
+    * each fraction is a single long/long division — bit-exact across
+    * engines. */
   val q55_repetition: Q = Q(
     (s, d) => TextAnalysis.repetitionStats(table(s, d, "documents")).orderBy("doc_id"),
-    Some(s"""WITH ws AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
-      g2 AS (SELECT doc_id, unnest(${duckGrams(2)}) AS g FROM ws),
-      t2 AS (SELECT doc_id, MAX(n) AS top2_n
-             FROM (SELECT doc_id, g, COUNT(*) AS n FROM g2 GROUP BY doc_id, g) GROUP BY doc_id),
-      g3 AS (SELECT doc_id, unnest(${duckGrams(3)}) AS g FROM ws),
-      t3 AS (SELECT doc_id, MAX(n) AS top3_n
-             FROM (SELECT doc_id, g, COUNT(*) AS n FROM g3 GROUP BY doc_id, g) GROUP BY doc_id),
-      g5 AS (SELECT doc_id, unnest(${duckGrams(5)}) AS g FROM ws),
-      t5 AS (SELECT doc_id, COUNT(*) AS n5, COUNT(DISTINCT g) AS d5 FROM g5 GROUP BY doc_id)
-      SELECT w.doc_id,
-        CAST(len(w.w) AS BIGINT) AS n_words,
-        COALESCE(t2.top2_n, 0) AS top2_n,
-        CASE WHEN len(w.w) >= 2
-          THEN CAST(COALESCE(t2.top2_n, 0) AS DOUBLE) / CAST(len(w.w) - 1 AS BIGINT) END AS top2_frac,
-        COALESCE(t3.top3_n, 0) AS top3_n,
-        CASE WHEN len(w.w) >= 3
-          THEN CAST(COALESCE(t3.top3_n, 0) AS DOUBLE) / CAST(len(w.w) - 2 AS BIGINT) END AS top3_frac,
-        COALESCE(t5.n5, 0) - COALESCE(t5.d5, 0) AS dup5_n,
-        CASE WHEN COALESCE(t5.n5, 0) > 0
-          THEN CAST(t5.n5 - t5.d5 AS DOUBLE) / CAST(t5.n5 AS BIGINT) END AS dup5_frac
-      FROM ws w
-      LEFT JOIN t2 ON t2.doc_id = w.doc_id
-      LEFT JOIN t3 ON t3.doc_id = w.doc_id
-      LEFT JOIN t5 ON t5.doc_id = w.doc_id
-      ORDER BY w.doc_id"""))
+    Some(s"""WITH h AS (SELECT doc_id, CAST(len(w) AS BIGINT) AS n_words,
+        ${duckTopGramN(2)} AS top2_n,
+        ${duckTopGramN(3)} AS top3_n,
+        CAST(len(${duckGrams(5)}) AS BIGINT) AS n5,
+        CAST(len(list_distinct(${duckGrams(5)})) AS BIGINT) AS d5
+      FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents))
+      SELECT doc_id, n_words,
+        CAST(top2_n AS BIGINT) AS top2_n,
+        CASE WHEN n_words >= 2
+          THEN CAST(top2_n AS DOUBLE) / CAST(n_words - 1 AS BIGINT) END AS top2_frac,
+        CAST(top3_n AS BIGINT) AS top3_n,
+        CASE WHEN n_words >= 3
+          THEN CAST(top3_n AS DOUBLE) / CAST(n_words - 2 AS BIGINT) END AS top3_frac,
+        n5 - d5 AS dup5_n,
+        CASE WHEN n5 > 0
+          THEN CAST(n5 - d5 AS DOUBLE) / CAST(n5 AS BIGINT) END AS dup5_frac
+      FROM h ORDER BY doc_id"""))
 
   /** Corpus-level repeated 6-grams (`TextAnalysis.repeatedNgrams`): the
     * boilerplate/contamination sweep — word 6-grams seen in ≥3 distinct
     * docs, with doc and occurrence counts. Pure integer aggregation. */
   val q56_repeated_ngrams: Q = Q(
     (s, d) => TextAnalysis.repeatedNgrams(table(s, d, "documents")).orderBy("ngram"),
-    Some(s"""WITH ws AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
-      g6 AS (SELECT doc_id, unnest(${duckGrams(6)}) AS g FROM ws),
-      c AS (SELECT doc_id, g, COUNT(*) AS n FROM g6 GROUP BY doc_id, g)
+    Some(s"""WITH h AS (SELECT doc_id, list_aggregate(${duckGrams(6)}, 'histogram') AS hist
+        FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents) WHERE len(w) >= 6),
+      e AS (SELECT unnest(map_keys(hist)) AS g, unnest(map_values(hist)) AS n FROM h)
       SELECT g AS ngram, COUNT(*) AS n_docs, CAST(SUM(n) AS BIGINT) AS n_occ
-      FROM c GROUP BY g HAVING COUNT(*) >= 3 ORDER BY ngram"""))
+      FROM e GROUP BY g HAVING COUNT(*) >= 3 ORDER BY ngram"""))
 
   /** End-to-end corpus cleaning — the C4/Gopher-style pipeline as ONE
     * declarative plan: join-free per-row scoring (`StreamingOps.scoreDocs`)
     * + the modal-bigram repetition gate + word-set-fingerprint dedup
     * (keep-first). Everything up to the final dedup join is a pure map
     * stage; the dedup is one digest-keyed aggregation + semi-join. The
-    * oracle replays scoring (q54 idiom), the repetition fold relationally
-    * (q55 idiom), and the q24 fingerprint — all integer counts and single
-    * long/long divisions, bit-exact. */
+    * oracle replays scoring (q54 idiom), the repetition fold (q55's
+    * row-local histogram), and the q24 fingerprint — all integer counts
+    * and single long/long divisions, bit-exact. */
   val q58_clean_corpus: Q = Q(
     (s, d) => {
       // Plan discipline: the scoring/fold expressions are interpreted
@@ -803,36 +823,22 @@ object Queries {
         .select("doc_id", "n_words", "stop_ratio", "top2_frac", "pred_lang")
         .orderBy("doc_id")
     },
-    Some {
-      val stops = TextAnalysis.EnStopwords.map(w => s"'$w'").mkString(", ")
-      val kw = TextAnalysis.LangKeywords.map { case (l, w) => s"('$l', '$w')" }.mkString(", ")
-      s"""WITH kw(lang, word) AS (VALUES $kw),
-      s AS (SELECT doc_id, text, string_split(text, ' ') AS w FROM documents),
-      sc AS (SELECT doc_id, text, w, CAST(len(w) AS BIGINT) AS n_words,
-               CAST(len(list_filter(w, x -> list_contains([$stops], x))) AS DOUBLE)
-                 / CAST(len(w) AS BIGINT) AS stop_ratio
-             FROM s),
-      g2 AS (SELECT doc_id, unnest(${duckGrams(2)}) AS g FROM s),
-      t2 AS (SELECT doc_id, MAX(n) AS top2_n
-             FROM (SELECT doc_id, g, COUNT(*) AS n FROM g2 GROUP BY doc_id, g) GROUP BY doc_id),
-      wa AS (SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents),
-      scores AS (SELECT wa.doc_id, kw.lang, COUNT(*) AS hits
-                 FROM wa JOIN kw ON wa.word = kw.word GROUP BY wa.doc_id, kw.lang),
-      r AS (SELECT doc_id, lang, ROW_NUMBER() OVER (
-              PARTITION BY doc_id ORDER BY hits DESC, lang ASC) AS rn FROM scores),
-      gate AS (SELECT sc.doc_id, sc.text, sc.n_words, sc.stop_ratio,
-                 CAST(t2.top2_n AS DOUBLE) / CAST(sc.n_words - 1 AS BIGINT) AS top2_frac
-               FROM sc JOIN t2 USING (doc_id)
-               WHERE sc.n_words >= 25 AND sc.stop_ratio >= 0.03
-                 AND CAST(t2.top2_n AS DOUBLE) / CAST(sc.n_words - 1 AS BIGINT) <= 0.12),
+    Some(s"""WITH sc AS (SELECT doc_id, w, CAST(len(w) AS BIGINT) AS n_words,
+        CAST($duckStopHits AS DOUBLE) / CAST(len(w) AS BIGINT) AS stop_ratio,
+        ${duckTopGramN(2)} AS top2_n,
+        $duckLangHitDefs
+      FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents)),
+      gate AS (SELECT doc_id, w, n_words, stop_ratio,
+          CAST(top2_n AS DOUBLE) / CAST(n_words - 1 AS BIGINT) AS top2_frac,
+          $duckLangArgmax AS pred_lang
+        FROM sc
+        WHERE n_words >= 25 AND stop_ratio >= 0.03
+          AND CAST(top2_n AS DOUBLE) / CAST(n_words - 1 AS BIGINT) <= 0.12),
       fp AS (SELECT MIN(doc_id) AS keep_id FROM gate
-             GROUP BY md5(array_to_string(list_sort(list_distinct(string_split(text, ' '))), ' ')))
-      SELECT g.doc_id, g.n_words, g.stop_ratio, g.top2_frac, r.lang AS pred_lang
-      FROM gate g
-      JOIN fp ON fp.keep_id = g.doc_id
-      LEFT JOIN r ON r.doc_id = g.doc_id AND r.rn = 1
-      ORDER BY g.doc_id"""
-    })
+             GROUP BY md5(array_to_string(list_sort(list_distinct(w)), ' ')))
+      SELECT g.doc_id, g.n_words, g.stop_ratio, g.top2_frac, g.pred_lang
+      FROM gate g JOIN fp ON fp.keep_id = g.doc_id
+      ORDER BY g.doc_id"""))
 
   /** Deterministic stratified sampling (`TextAnalysis.stratifiedSample`):
     * 40 docs per language by md5-hash order — the data-mixing stage.
@@ -887,6 +893,79 @@ object Queries {
       SELECT d.doc_id, d.lang, d.n_chars FROM documents d
       WHERE d.doc_id NOT IN (SELECT doc_id FROM bad)
       ORDER BY d.doc_id"""))
+
+  /** Transitive near-dup clustering (`Dedup.nearDupClusters`): connected
+    * components by iterative min-id label propagation over the q26
+    * blocked-Jaccard pair table — the cluster-canonical policy that keeps
+    * exactly one doc per component where pairwise keep-first can drop a
+    * whole chain. The oracle replays the same pair table and closes it
+    * with a recursive CTE: `walk` enumerates every (vertex, reachable
+    * label) and the min per vertex is the component minimum — fixpoint
+    * semantics identical to the propagation loop. */
+  val q64_neardup_clusters: Q = Q(
+    (s, d) => {
+      val docs = table(s, d, "documents")
+      val pairs = Dedup.ngramJaccard(docs, Seq("lang", "n_chars")).select("d1", "d2")
+      Dedup.nearDupClusters(docs, pairs)
+        .select("doc_id", "cluster_id", "keep")
+        .orderBy("doc_id")
+    },
+    Some(s"""WITH RECURSIVE
+      words AS (SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS word FROM documents),
+      cand AS (SELECT a.doc_id AS d1, b.doc_id AS d2 FROM documents a JOIN documents b
+               ON a.lang = b.lang AND a.n_chars = b.n_chars AND a.doc_id < b.doc_id),
+      $jaccardTailSql,
+      pairs AS (SELECT i.d1, i.d2
+        FROM inter i JOIN wc w1 ON w1.doc_id = i.d1 JOIN wc w2 ON w2.doc_id = i.d2
+        WHERE CAST(i.i AS DOUBLE) / CAST(w1.sz + w2.sz - i.i AS DOUBLE) >= 0.3),
+      verts(id) AS (SELECT d1 FROM pairs UNION SELECT d2 FROM pairs),
+      edges AS (SELECT d1 AS src, d2 AS dst FROM pairs
+                UNION ALL SELECT d2 AS src, d1 AS dst FROM pairs),
+      walk(id, label) AS (
+        SELECT id, id FROM verts
+        UNION
+        SELECT e.src, w.label FROM edges e JOIN walk w ON w.id = e.dst),
+      lab AS (SELECT id, MIN(label) AS cluster_id FROM walk GROUP BY id)
+      SELECT d.doc_id, COALESCE(l.cluster_id, d.doc_id) AS cluster_id,
+        (COALESCE(l.cluster_id, d.doc_id) = d.doc_id) AS keep
+      FROM documents d LEFT JOIN lab l ON l.id = d.doc_id
+      ORDER BY d.doc_id"""))
+
+  /** PII redaction (`TextAnalysis.redactPii`). The synthetic corpus
+    * carries no digits at all, so the query first plants deterministic
+    * PII derived from doc_id — the SAME concat on both engines — then
+    * scrubs it; md5 of the redacted text makes replacement-position
+    * parity bit-checkable, not just the counts. */
+  val q65_redact_pii: Q = Q(
+    (s, d) => {
+      val pii = table(s, d, "documents").withColumn("text",
+        concat(col("text"),
+          lit(" contact u"), col("doc_id").cast("string"), lit("@mail.example.com or 10.0."),
+          pmod(col("doc_id"), lit(256)).cast("string"), lit(".7 ext 555-"),
+          (pmod(col("doc_id"), lit(9000)) + 1000).cast("string")))
+      TextAnalysis.redactPii(pii)
+        .select(col("doc_id"), col("n_emails"), col("n_ips"), col("n_phones"),
+          col("n_redactions"), md5(col("redacted")).as("red_md5"))
+        .orderBy("doc_id")
+    },
+    Some {
+      val (e, i, p) = (TextAnalysis.EmailRegex, TextAnalysis.Ipv4Regex, TextAnalysis.PhoneRegex)
+      s"""WITH pii AS (SELECT doc_id,
+        text || ' contact u' || CAST(doc_id AS VARCHAR) || '@mail.example.com or 10.0.' ||
+          CAST(((doc_id % 256) + 256) % 256 AS VARCHAR) || '.7 ext 555-' ||
+          CAST(((doc_id % 9000) + 9000) % 9000 + 1000 AS VARCHAR) AS text
+        FROM documents),
+      c AS (SELECT doc_id,
+          CAST(len(regexp_extract_all(text, '$e')) AS BIGINT) AS n_emails,
+          CAST(len(regexp_extract_all(text, '$i')) AS BIGINT) AS n_ips,
+          CAST(len(regexp_extract_all(text, '$p')) AS BIGINT) AS n_phones,
+          md5(regexp_replace(regexp_replace(regexp_replace(text,
+            '$e', '<EMAIL>', 'g'), '$i', '<IP>', 'g'), '$p', '<PHONE>', 'g')) AS red_md5
+        FROM pii)
+      SELECT doc_id, n_emails, n_ips, n_phones,
+        n_emails + n_ips + n_phones AS n_redactions, red_md5
+      FROM c ORDER BY doc_id"""
+    })
 
   // ============================================ embeddings (extension ops)
 
@@ -1885,5 +1964,7 @@ object Queries {
     "q60_sessionize" -> q60_sessionize,
     "q61_stratified_sample" -> q61_stratified_sample,
     "q62_pack_sequences" -> q62_pack_sequences,
-    "q63_decontaminate" -> q63_decontaminate)
+    "q63_decontaminate" -> q63_decontaminate,
+    "q64_neardup_clusters" -> q64_neardup_clusters,
+    "q65_redact_pii" -> q65_redact_pii)
 }

@@ -179,7 +179,10 @@ object StreamingOps {
     * filter (share of the modal word bigram, `TextAnalysis
     * .repetitionStats` semantics) — the fold is per-row and stateless, so
     * it streams unchanged; docs with fewer than 2 words pass the gate
-    * (no bigrams to judge — `minWords` owns that case). */
+    * (no bigrams to judge — `minWords` owns that case).
+    *
+    * `redact=true` prepends the `TextAnalysis.redactPii` scrub, replacing
+    * the text column before anything else reads it. */
   def cleanIngest(
       stream: DataFrame, // (ts TIMESTAMP, doc_id, text, ...)
       watermark: String = "10 minutes",
@@ -187,11 +190,17 @@ object StreamingOps {
       minStopRatio: Double = 0.0,
       maxPunctRatio: Double = 1.0,
       maxTop2Frac: Double = 1.0,
+      redact: Boolean = false,
       stopwords: Seq[String] = graft.operators.TextAnalysis.EnStopwords,
       keywords: Seq[(String, String)] = graft.operators.TextAnalysis.LangKeywords,
       textCol: String = "text"): DataFrame = {
     import graft.operators.TextAnalysis
-    val scored0 = scoreDocs(stream, stopwords, keywords, textCol)
+    // PII scrub first (per-row regexp_replace chain — streaming-safe), so
+    // scoring, gating AND the dedup digest all see the scrubbed text
+    val source =
+      if (redact) stream.withColumn(textCol, TextAnalysis.redactedText(col(textCol)))
+      else stream
+    val scored0 = scoreDocs(source, stopwords, keywords, textCol)
       .filter(col("n_words") >= minWords &&
         col("stop_ratio") >= minStopRatio && col("punct_ratio") <= maxPunctRatio)
     val scored =

@@ -1,0 +1,99 @@
+package graft.tools
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Measured scaling evidence (VERDICT r5 next-round #5): run the heaviest
+  * queries at sf0.1 and at a synthetic 10x blow-up of the same tables,
+  * and report the observed time ratio + scaling exponent per query
+  * (exp = log10(t10/t1); 1.0 = perfectly linear on fixed cores).
+  *
+  * The blow-up unions 10 key-shifted copies of each source table so the
+  * workload grows 10x WITHOUT changing its nature:
+  *  - lineitem/customer: integer keys shift by copy x (max_key + 1) —
+  *    derived swath/target coordinates spread over the same domain, so
+  *    geo queries see 10x the points on the SAME grid;
+  *  - documents: ids shift, and every word gets a per-copy suffix, so
+  *    gram/fingerprint key spaces grow 10x with NO cross-copy near-dup
+  *    pairs (10 verbatim copies would instead create O(100x) candidate
+  *    pairs and measure a different, artificially-quadratic workload).
+  *
+  * Usage: sbt "runMain graft.tools.ScaleBench" — writes the blow-up to
+  * target/tmp/ once (reused across runs), prints one JSON line.
+  */
+object ScaleBench {
+  private val HeavyQueries =
+    Seq("q25_minhash_lsh", "q42_gauss_stere", "q45_bilinear_stere",
+      "q56_repeated_ngrams", "q63_decontaminate")
+
+  def main(args: Array[String]): Unit = {
+    val base = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val factor = sys.env.getOrElse("SPARK_GRAFT_SCALE_FACTOR", "10").toInt
+    val out = s"/root/repo/target/tmp/${base.split('/').last}x$factor"
+    val iters = sys.env.getOrElse("SPARK_GRAFT_BENCH_ITERS", "2").toInt.max(1)
+    val spark = graft.functions.GraftExtensions.install(SparkSession.builder()
+      .master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC"))
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    if (!new java.io.File(s"$out/documents.parquet").exists()) {
+      System.err.println(s"[scale] building ${factor}x blow-up at $out")
+      blowUpKeys(spark, base, out, "lineitem",
+        Seq("l_orderkey", "l_partkey", "l_suppkey"), factor)
+      blowUpKeys(spark, base, out, "customer", Seq("c_custkey"), factor)
+      blowUpDocs(spark, base, out, factor)
+    }
+
+    def time(dir: String, name: String): Double = {
+      val fn = graft.SparkEntry.queries(name)
+      (1 to iters).map { _ =>
+        spark.catalog.clearCache()
+        val t0 = System.nanoTime()
+        fn(spark, dir).count()
+        (System.nanoTime() - t0) / 1e9
+      }.min
+    }
+    val rows = HeavyQueries.map { q =>
+      val t1 = time(base, q)
+      val tN = time(out, q)
+      val ratio = tN / t1
+      val exp = math.log(ratio) / math.log(factor)
+      System.err.println(f"[scale] $q%-22s t1=$t1%7.2fs t$factor=$tN%7.2fs ratio=$ratio%5.2f exp=$exp%4.2f")
+      s""""$q":{"t1":${f"$t1%.2f"},"t$factor":${f"$tN%.2f"},"ratio":${f"$ratio%.2f"},"exp":${f"$exp%.2f"}}"""
+    }
+    println(s"""{"metric":"scale","factor":$factor,"iters":$iters,"queries":{${rows.mkString(",")}}}""")
+    spark.stop()
+  }
+
+  /** Union `factor` copies with each key column shifted by
+    * copy x (max+1) — preserves key arithmetic ranges modulo the derived
+    * coordinate formulas while keeping copies disjoint. */
+  private def blowUpKeys(
+      spark: SparkSession, base: String, out: String,
+      name: String, keyCols: Seq[String], factor: Int): Unit = {
+    val src = spark.read.parquet(s"$base/$name.parquet")
+    val offs = keyCols.map(k => k -> (src.agg(max(col(k))).head().getLong(0) + 1L)).toMap
+    val copies = (0 until factor).map { i =>
+      keyCols.foldLeft(src) { (df, k) => df.withColumn(k, col(k) + lit(i * offs(k))) }
+    }
+    copies.reduce(_ unionByName _).write.mode("overwrite").parquet(s"$out/$name.parquet")
+  }
+
+  /** Documents blow-up: shifted ids + per-copy word suffix (copy 0 stays
+    * verbatim), so dedup/gram key spaces scale without cross-copy hits. */
+  private def blowUpDocs(spark: SparkSession, base: String, out: String, factor: Int): Unit = {
+    val src = spark.read.parquet(s"$base/documents.parquet")
+    val off = src.agg(max(col("doc_id"))).head().getLong(0) + 1L
+    val copies = (0 until factor).map { i =>
+      val shifted = src.withColumn("doc_id", col("doc_id") + lit(i * off))
+      if (i == 0) shifted
+      else shifted.withColumn("text", regexp_replace(col("text"), "(\\S+)", "$1x" + i))
+    }
+    copies.reduce(_ unionByName _).write.mode("overwrite").parquet(s"$out/documents.parquet")
+  }
+}

@@ -11,4 +11,11 @@ import org.apache.spark.sql.classic.ExpressionUtils
 object Bridge {
   def column(e: Expression): Column = ExpressionUtils.column(e)
   def expression(c: Column): Expression = ExpressionUtils.expression(c)
+
+  /** Whether `key` was EXPLICITLY set on this session (session-conf
+    * settings map — not a registered default). `RuntimeConfig.getOption`
+    * can't answer this: it falls back to the conf's default value. */
+  def sessionConfContains(session: org.apache.spark.sql.SparkSession, key: String): Boolean =
+    session.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+      .sessionState.conf.contains(key)
 }

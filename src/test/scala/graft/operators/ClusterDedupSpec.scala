@@ -1,0 +1,65 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Dedup.connectedComponents / nearDupClusters: the transitive closure
+  * the pairwise keep-first policy lacks — a chain A~B, B~C with no A~C
+  * pair must resolve to ONE cluster keeping exactly its minimum id. */
+class ClusterDedupSpec extends SparkSpec {
+
+  test("chain A~B~C collapses to one cluster; keep-first would drop two") {
+    val s = spark
+    import s.implicits._
+    val docs = (1L to 6L).map(i => (i, s"doc $i")).toDF("doc_id", "text")
+    // chain 1-2-3 (no 1~3 pair), pair 4-5, singleton 6
+    val pairs = Seq((1L, 2L), (2L, 3L), (4L, 5L)).toDF("d1", "d2")
+
+    val out = Dedup.nearDupClusters(docs, pairs).orderBy("doc_id")
+      .select("doc_id", "cluster_id", "keep")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2)))
+    assert(out.toSeq == Seq(
+      (1L, 1L, true), (2L, 1L, false), (3L, 1L, false),
+      (4L, 4L, true), (5L, 4L, false), (6L, 6L, true)))
+
+    // contrast: the per-pair policy drops every d2 independently — on the
+    // chain that leaves only doc 1 of {1,2,3}, same outcome here, but on
+    // a reversed chain it can drop ALL members (see next test)
+    val kept = Dedup.dropNearDuplicates(docs, pairs).select("doc_id")
+      .collect().map(_.getLong(0)).sorted
+    assert(kept.toSeq == Seq(1L, 4L, 6L))
+  }
+
+  test("long path graph needs multiple propagation rounds and converges") {
+    val s = spark
+    import s.implicits._
+    // path 10-11-12-...-19: min label must travel 9 hops
+    val docs = (10L to 19L).map(i => (i, s"d$i")).toDF("doc_id", "text")
+    val pairs = (10L until 19L).map(i => (i, i + 1)).toDF("d1", "d2")
+    val out = Dedup.nearDupClusters(docs, pairs)
+    assert(out.select("cluster_id").distinct().collect().map(_.getLong(0)).toSeq == Seq(10L))
+    assert(out.filter(col("keep")).select("doc_id").collect().map(_.getLong(0)).toSeq == Seq(10L))
+  }
+
+  test("pair direction does not matter: one keeper per component either way") {
+    val s = spark
+    import s.implicits._
+    val docs = (1L to 3L).map(i => (i, s"d$i")).toDF("doc_id", "text")
+    // reversed-order pairs (higher id first): keep-first drops by d2 so it
+    // would keep only doc 3... cluster policy still keeps exactly min id
+    val pairs = Seq((3L, 2L), (2L, 1L)).toDF("d1", "d2")
+    val out = Dedup.nearDupClusters(docs, pairs).orderBy("doc_id")
+      .collect().map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("cluster_id"), r.getAs[Boolean]("keep")))
+    assert(out.toSeq == Seq((1L, 1L, true), (2L, 1L, false), (3L, 1L, false)))
+  }
+
+  test("empty pair table: every doc is its own kept singleton") {
+    val s = spark
+    import s.implicits._
+    val docs = (1L to 4L).map(i => (i, s"d$i")).toDF("doc_id", "text")
+    val pairs = Seq.empty[(Long, Long)].toDF("d1", "d2")
+    val out = Dedup.nearDupClusters(docs, pairs)
+    assert(out.filter(col("keep")).count() == 4)
+    assert(out.filter(col("cluster_id") =!= col("doc_id")).count() == 0)
+  }
+}
