@@ -186,7 +186,15 @@ object Dedup {
     var labels = edges.select(col("src").as("id")).distinct()
       .withColumn("label", col("id"))
       .localCheckpoint()
-    var converged = false
+    // convergence probe: labels are non-increasing under min-propagation,
+    // so the label sum strictly decreases on ANY change — one aggregate
+    // per round instead of a change-detection self-join (decimal sum:
+    // overflow-safe at any vertex count)
+    def labelSum(df: DataFrame): Option[java.math.BigDecimal] =
+      Option(df.agg(sum(col("label").cast(org.apache.spark.sql.types.DecimalType(38, 0))))
+        .head().getDecimal(0))
+    var prevSum = labelSum(labels)
+    var converged = prevSum.isEmpty // no vertices at all
     var i = 0
     while (!converged && i < maxIters) {
       val viaNeighbour = edges
@@ -195,10 +203,9 @@ object Dedup {
       val next = labels.union(viaNeighbour)
         .groupBy("id").agg(min("label").as("label"))
         .localCheckpoint()
-      converged = next.as("n")
-        .join(labels.as("o"), "id")
-        .filter(col("n.label") =!= col("o.label"))
-        .isEmpty
+      val s = labelSum(next)
+      converged = s == prevSum
+      prevSum = s
       labels = next
       i += 1
     }

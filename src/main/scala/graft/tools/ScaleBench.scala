@@ -8,11 +8,15 @@ import org.apache.spark.sql.functions._
   * and report the observed time ratio + scaling exponent per query
   * (exp = log10(t10/t1); 1.0 = perfectly linear on fixed cores).
   *
-  * The blow-up unions 10 key-shifted copies of each source table so the
+  * The blow-up unions 10 shifted copies of each SOURCE table so the
   * workload grows 10x WITHOUT changing its nature:
-  *  - lineitem/customer: integer keys shift by copy x (max_key + 1) —
-  *    derived swath/target coordinates spread over the same domain, so
-  *    geo queries see 10x the points on the SAME grid;
+  *  - lineitem: keys shift by the copy index only (+i) — the derived
+  *    swath coordinates decorrelate per copy while key magnitudes stay
+  *    inside the bit budget of packed-key expressions (large additive
+  *    offsets overflow q42's source-point key under ANSI mode);
+  *  - customer (the target grid) stays UNSCALED: the natural reading of
+  *    "10x the data" for resampling is 10x the swath onto the same grid —
+  *    scaling both sides would measure an artificial quadratic join;
   *  - documents: ids shift, and every word gets a per-copy suffix, so
   *    gram/fingerprint key spaces grow 10x with NO cross-copy near-dup
   *    pairs (10 verbatim copies would instead create O(100x) candidate
@@ -45,7 +49,8 @@ object ScaleBench {
       System.err.println(s"[scale] building ${factor}x blow-up at $out")
       blowUpKeys(spark, base, out, "lineitem",
         Seq("l_orderkey", "l_partkey", "l_suppkey"), factor)
-      blowUpKeys(spark, base, out, "customer", Seq("c_custkey"), factor)
+      spark.read.parquet(s"$base/customer.parquet")
+        .write.mode("overwrite").parquet(s"$out/customer.parquet")
       blowUpDocs(spark, base, out, factor)
     }
 
@@ -70,16 +75,15 @@ object ScaleBench {
     spark.stop()
   }
 
-  /** Union `factor` copies with each key column shifted by
-    * copy x (max+1) — preserves key arithmetic ranges modulo the derived
-    * coordinate formulas while keeping copies disjoint. */
+  /** Union `factor` copies with each key column shifted by just the copy
+    * index: the modular coordinate formulas decorrelate the copies while
+    * key magnitudes stay essentially unchanged (packed-key safe). */
   private def blowUpKeys(
       spark: SparkSession, base: String, out: String,
       name: String, keyCols: Seq[String], factor: Int): Unit = {
     val src = spark.read.parquet(s"$base/$name.parquet")
-    val offs = keyCols.map(k => k -> (src.agg(max(col(k))).head().getLong(0) + 1L)).toMap
     val copies = (0 until factor).map { i =>
-      keyCols.foldLeft(src) { (df, k) => df.withColumn(k, col(k) + lit(i * offs(k))) }
+      keyCols.foldLeft(src) { (df, k) => df.withColumn(k, col(k) + lit(i.toLong)) }
     }
     copies.reduce(_ unionByName _).write.mode("overwrite").parquet(s"$out/$name.parquet")
   }
