@@ -594,12 +594,6 @@ object Queries {
   private def docsRebalanced(s: SparkSession, d: String): DataFrame =
     table(s, d, "documents").repartition(s.sparkContext.defaultParallelism)
 
-  private val bigramWordsSql: String =
-    """wp AS (SELECT doc_id, unnest(string_split(text, ' ')) AS word,
-               unnest(range(len(string_split(text, ' ')))) AS pos FROM documents),
-      words AS (SELECT DISTINCT a.doc_id, a.word || ' ' || b.word AS word
-                FROM wp a JOIN wp b ON b.doc_id = a.doc_id AND b.pos = a.pos + 1)"""
-
   private val jaccardTailSql: String =
     """wc AS (SELECT doc_id, COUNT(*) AS sz FROM words GROUP BY doc_id),
       inter AS (SELECT c.d1, c.d2, COUNT(*) AS i
@@ -610,12 +604,20 @@ object Queries {
 
   val q25_minhash_lsh: Q = Q(
     (s, d) => Dedup.minhashLsh(docsRebalanced(s, d)).orderBy("d1", "d2"),
+    // Row-local oracle form (same allocator discipline as q54-q58): the
+    // per-doc bigram SET is one list column; each minhash is a
+    // list_transform fold over it, and the Jaccard verify intersects the
+    // two lists per candidate pair — the former relational form
+    // (unnest-all-bigrams → MIN group-by → 3-way word join) was the last
+    // oracle still failing a 100 MB memory_limit stress.
     Some {
       val sigs = (1 to 8)
-        .map(i => s"MIN(CAST('0x' || substr(md5(word || '#$i'), 1, 15) AS BIGINT)) AS h$i")
+        .map(i => "list_min(list_transform(bgs, x -> " +
+          s"CAST('0x' || substr(md5(x || '#$i'), 1, 15) AS BIGINT))) AS h$i")
         .mkString(", ")
-      s"""WITH $bigramWordsSql,
-      sig AS (SELECT doc_id, $sigs FROM words GROUP BY doc_id),
+      s"""WITH bg AS (SELECT doc_id, list_distinct(${duckGrams(2)}) AS bgs
+        FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents)),
+      sig AS (SELECT doc_id, $sigs FROM bg),
       bands AS (
         SELECT doc_id, 0 AS band_idx, CAST(h1 AS VARCHAR) || '_' || CAST(h2 AS VARCHAR) AS band FROM sig
         UNION ALL SELECT doc_id, 1 AS band_idx, CAST(h3 AS VARCHAR) || '_' || CAST(h4 AS VARCHAR) AS band FROM sig
@@ -624,11 +626,13 @@ object Queries {
       cand AS (SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
                FROM bands a JOIN bands b
                  ON a.band_idx = b.band_idx AND a.band = b.band AND a.doc_id < b.doc_id),
-      $jaccardTailSql
-      SELECT i.d1, i.d2, CAST(i.i AS DOUBLE) / CAST(w1.sz + w2.sz - i.i AS DOUBLE) AS jaccard
-      FROM inter i JOIN wc w1 ON w1.doc_id = i.d1 JOIN wc w2 ON w2.doc_id = i.d2
-      WHERE CAST(i.i AS DOUBLE) / CAST(w1.sz + w2.sz - i.i AS DOUBLE) >= 0.4
-      ORDER BY i.d1, i.d2"""
+      v AS (SELECT c.d1, c.d2,
+              CAST(len(list_intersect(b1.bgs, b2.bgs)) AS BIGINT) AS i,
+              CAST(len(b1.bgs) AS BIGINT) AS sz1, CAST(len(b2.bgs) AS BIGINT) AS sz2
+            FROM cand c JOIN bg b1 ON b1.doc_id = c.d1 JOIN bg b2 ON b2.doc_id = c.d2)
+      SELECT d1, d2, CAST(i AS DOUBLE) / CAST(sz1 + sz2 - i AS DOUBLE) AS jaccard
+      FROM v WHERE CAST(i AS DOUBLE) / CAST(sz1 + sz2 - i AS DOUBLE) >= 0.4
+      ORDER BY d1, d2"""
     })
 
   val q26_ngram_jaccard: Q = Q(
