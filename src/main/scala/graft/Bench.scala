@@ -72,7 +72,7 @@ object Bench {
     def jmap(key: String => String, f: ((String, Double, Double)) => Double): String =
       results.map { case r @ (k, _, _) => "\"" + key(k) + "\":" + fmt(f(r)) }.mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    val ps = probes.sorted
+    val ps = if (probes.isEmpty) Seq(0.0) else probes.sorted.toSeq // empty selection
     val probe = s""""probe_med":${fmt(ps(ps.length / 2))},"probe_max":${fmt(ps.last)}"""
     // the driver's artifact keeps only a 2000-char TAIL of stdout, so the
     // summary prints in two lines: full names + per-query minima first

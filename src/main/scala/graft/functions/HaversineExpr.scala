@@ -168,12 +168,14 @@ object GraftExtensions {
   val EngineDefaults: Map[String, String] = Map(
     "spark.sql.objectHashAggregate.sortBased.fallbackThreshold" -> "131072")
 
-  /** Recommended session entry point: installs the extensions and bakes
-    * [[EngineDefaults]] into the builder. */
-  def install(builder: SparkSession.Builder): SparkSession.Builder = {
-    EngineDefaults.foreach { case (k, v) => builder.config(k, v) }
+  /** Recommended session entry point. Deliberately does NOT write
+    * [[EngineDefaults]] into the builder: a `builder.config(k, v)` here
+    * would overwrite a value the caller set BEFORE install(). The
+    * defaults land through [[applyEngineDefaults]] at rule-injection
+    * time instead, which checks for explicit settings first — so user
+    * config wins regardless of ordering around install(). */
+  def install(builder: SparkSession.Builder): SparkSession.Builder =
     builder.withExtensions(new GraftExtensions)
-  }
 
   /** Sets each engine default unless the user set the key explicitly
     * (session conf or spark-submit --conf). */

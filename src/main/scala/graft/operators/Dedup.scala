@@ -179,8 +179,14 @@ object Dedup {
     *
     * Returns (id, cluster_id) for every vertex that appears in a pair. */
   def connectedComponents(pairs: DataFrame, maxIters: Int = 20): DataFrame = {
-    val edges = pairs.select(col("d1").as("src"), col("d2").as("dst"))
-      .union(pairs.select(col("d2").as("src"), col("d1").as("dst")))
+    // symmetrize via explode, not union: a union's two branches would
+    // each re-evaluate the (potentially expensive) upstream pair plan —
+    // explode reads it once
+    val edges = pairs
+      .select(explode(array(
+        struct(col("d1").as("src"), col("d2").as("dst")),
+        struct(col("d2").as("src"), col("d1").as("dst")))).as("_e"))
+      .select(col("_e.src").as("src"), col("_e.dst").as("dst"))
       .distinct()
       .persist()
     var labels = edges.select(col("src").as("id")).distinct()
@@ -210,6 +216,15 @@ object Dedup {
       i += 1
     }
     edges.unpersist()
+    if (!converged) {
+      // adversarially long chains (diameter > maxIters) stop short of the
+      // fixpoint: some vertices keep a non-minimal label, so a caller
+      // like nearDupClusters would keep >1 doc in that component. Make
+      // truncation loud rather than silently under-deduplicating.
+      System.err.println(
+        s"[graft] connectedComponents: maxIters=$maxIters reached before fixpoint; " +
+          "labels are an upper bound — raise maxIters for longer chains")
+    }
     labels.select(col("id"), col("label").as("cluster_id"))
   }
 

@@ -259,14 +259,19 @@ object TextAnalysis {
       docs: DataFrame,
       textCol: String = "text",
       idCol: String = "doc_id"): DataFrame = {
+    // each count is taken on its stage's INPUT text, so n_redactions
+    // equals the number of tokens actually written — a phone-shaped run
+    // inside an email local part is consumed by the email pass and not
+    // double-counted
     val t = col(textCol)
-    val red = redactedText(t)
+    val afterEmail = regexp_replace(t, lit(EmailRegex), lit("<EMAIL>"))
+    val afterIp = regexp_replace(afterEmail, lit(Ipv4Regex), lit("<IP>"))
     docs
       .withColumn("n_emails", regexp_count(t, lit(EmailRegex)).cast("long"))
-      .withColumn("n_ips", regexp_count(t, lit(Ipv4Regex)).cast("long"))
-      .withColumn("n_phones", regexp_count(t, lit(PhoneRegex)).cast("long"))
+      .withColumn("n_ips", regexp_count(afterEmail, lit(Ipv4Regex)).cast("long"))
+      .withColumn("n_phones", regexp_count(afterIp, lit(PhoneRegex)).cast("long"))
       .withColumn("n_redactions", col("n_emails") + col("n_ips") + col("n_phones"))
-      .withColumn("redacted", red)
+      .withColumn("redacted", regexp_replace(afterIp, lit(PhoneRegex), lit("<PHONE>")))
   }
 
   /** Stopword-vote language ID: count keyword hits per (doc, lang), pick the

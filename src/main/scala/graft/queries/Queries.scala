@@ -594,13 +594,17 @@ object Queries {
   private def docsRebalanced(s: SparkSession, d: String): DataFrame =
     table(s, d, "documents").repartition(s.sparkContext.defaultParallelism)
 
-  private val jaccardTailSql: String =
-    """wc AS (SELECT doc_id, COUNT(*) AS sz FROM words GROUP BY doc_id),
-      inter AS (SELECT c.d1, c.d2, COUNT(*) AS i
-                FROM cand c
-                JOIN words wa ON wa.doc_id = c.d1
-                JOIN words wb ON wb.doc_id = c.d2 AND wb.word = wa.word
-                GROUP BY c.d1, c.d2)"""
+  /** Blocked word-set Jaccard pair CTEs shared by q26/q64 — row-local
+    * form (one distinct-word list per doc, `list_intersect` per candidate
+    * pair): same allocator discipline as the other text oracles. */
+  private val blockedJaccardPairsSql: String =
+    """ws AS (SELECT doc_id, list_distinct(string_split(text, ' ')) AS dw FROM documents),
+      cand AS (SELECT a.doc_id AS d1, b.doc_id AS d2 FROM documents a JOIN documents b
+               ON a.lang = b.lang AND a.n_chars = b.n_chars AND a.doc_id < b.doc_id),
+      v AS (SELECT c.d1, c.d2,
+              CAST(len(list_intersect(w1.dw, w2.dw)) AS BIGINT) AS i,
+              CAST(len(w1.dw) AS BIGINT) AS sz1, CAST(len(w2.dw) AS BIGINT) AS sz2
+            FROM cand c JOIN ws w1 ON w1.doc_id = c.d1 JOIN ws w2 ON w2.doc_id = c.d2)"""
 
   val q25_minhash_lsh: Q = Q(
     (s, d) => Dedup.minhashLsh(docsRebalanced(s, d)).orderBy("d1", "d2"),
@@ -638,15 +642,10 @@ object Queries {
   val q26_ngram_jaccard: Q = Q(
     (s, d) => Dedup.ngramJaccard(table(s, d, "documents"), Seq("lang", "n_chars"))
       .orderBy("d1", "d2"),
-    Some(s"""WITH
-      words AS (SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS word FROM documents),
-      cand AS (SELECT a.doc_id AS d1, b.doc_id AS d2 FROM documents a JOIN documents b
-               ON a.lang = b.lang AND a.n_chars = b.n_chars AND a.doc_id < b.doc_id),
-      $jaccardTailSql
-      SELECT i.d1, i.d2, CAST(i.i AS DOUBLE) / CAST(w1.sz + w2.sz - i.i AS DOUBLE) AS jaccard
-      FROM inter i JOIN wc w1 ON w1.doc_id = i.d1 JOIN wc w2 ON w2.doc_id = i.d2
-      WHERE CAST(i.i AS DOUBLE) / CAST(w1.sz + w2.sz - i.i AS DOUBLE) >= 0.3
-      ORDER BY i.d1, i.d2"""))
+    Some(s"""WITH $blockedJaccardPairsSql
+      SELECT d1, d2, CAST(i AS DOUBLE) / CAST(sz1 + sz2 - i AS DOUBLE) AS jaccard
+      FROM v WHERE CAST(i AS DOUBLE) / CAST(sz1 + sz2 - i AS DOUBLE) >= 0.3
+      ORDER BY d1, d2"""))
 
   val q27_token_stats: Q = Q(
     (s, d) => TextAnalysis.tokenStats(table(s, d, "documents")).orderBy("doc_id"),
@@ -914,14 +913,9 @@ object Queries {
         .select("doc_id", "cluster_id", "keep")
         .orderBy("doc_id")
     },
-    Some(s"""WITH RECURSIVE
-      words AS (SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS word FROM documents),
-      cand AS (SELECT a.doc_id AS d1, b.doc_id AS d2 FROM documents a JOIN documents b
-               ON a.lang = b.lang AND a.n_chars = b.n_chars AND a.doc_id < b.doc_id),
-      $jaccardTailSql,
-      pairs AS (SELECT i.d1, i.d2
-        FROM inter i JOIN wc w1 ON w1.doc_id = i.d1 JOIN wc w2 ON w2.doc_id = i.d2
-        WHERE CAST(i.i AS DOUBLE) / CAST(w1.sz + w2.sz - i.i AS DOUBLE) >= 0.3),
+    Some(s"""WITH RECURSIVE $blockedJaccardPairsSql,
+      pairs AS (SELECT d1, d2 FROM v
+                WHERE CAST(i AS DOUBLE) / CAST(sz1 + sz2 - i AS DOUBLE) >= 0.3),
       verts(id) AS (SELECT d1 FROM pairs UNION SELECT d2 FROM pairs),
       edges AS (SELECT d1 AS src, d2 AS dst FROM pairs
                 UNION ALL SELECT d2 AS src, d1 AS dst FROM pairs),
@@ -959,13 +953,14 @@ object Queries {
           CAST(((doc_id % 256) + 256) % 256 AS VARCHAR) || '.7 ext 555-' ||
           CAST(((doc_id % 9000) + 9000) % 9000 + 1000 AS VARCHAR) AS text
         FROM documents),
+      s1 AS (SELECT doc_id, text, regexp_replace(text, '$e', '<EMAIL>', 'g') AS t1 FROM pii),
+      s2 AS (SELECT doc_id, text, t1, regexp_replace(t1, '$i', '<IP>', 'g') AS t2 FROM s1),
       c AS (SELECT doc_id,
           CAST(len(regexp_extract_all(text, '$e')) AS BIGINT) AS n_emails,
-          CAST(len(regexp_extract_all(text, '$i')) AS BIGINT) AS n_ips,
-          CAST(len(regexp_extract_all(text, '$p')) AS BIGINT) AS n_phones,
-          md5(regexp_replace(regexp_replace(regexp_replace(text,
-            '$e', '<EMAIL>', 'g'), '$i', '<IP>', 'g'), '$p', '<PHONE>', 'g')) AS red_md5
-        FROM pii)
+          CAST(len(regexp_extract_all(t1, '$i')) AS BIGINT) AS n_ips,
+          CAST(len(regexp_extract_all(t2, '$p')) AS BIGINT) AS n_phones,
+          md5(regexp_replace(t2, '$p', '<PHONE>', 'g')) AS red_md5
+        FROM s2)
       SELECT doc_id, n_emails, n_ips, n_phones,
         n_emails + n_ips + n_phones AS n_redactions, red_md5
       FROM c ORDER BY doc_id"""

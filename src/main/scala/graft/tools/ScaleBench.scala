@@ -33,7 +33,8 @@ object ScaleBench {
   def main(args: Array[String]): Unit = {
     val base = args.headOption.getOrElse("/root/testdata/sf0.1")
     val factor = sys.env.getOrElse("SPARK_GRAFT_SCALE_FACTOR", "10").toInt
-    val out = s"/root/repo/target/tmp/${base.split('/').last}x$factor"
+    val out = sys.env.getOrElse("SPARK_GRAFT_SCALE_DIR",
+      s"target/tmp/${base.split('/').last}x$factor")
     val iters = sys.env.getOrElse("SPARK_GRAFT_BENCH_ITERS", "2").toInt.max(1)
     val spark = graft.functions.GraftExtensions.install(SparkSession.builder()
       .master("local[32]")
@@ -98,6 +99,12 @@ object ScaleBench {
       if (i == 0) shifted
       else shifted.withColumn("text", regexp_replace(col("text"), "(\\S+)", "$1x" + i))
     }
-    copies.reduce(_ unionByName _).write.mode("overwrite").parquet(s"$out/documents.parquet")
+    copies.reduce(_ unionByName _)
+      // keep derived metadata consistent with the rewritten text: a stale
+      // n_chars would give all copies of a doc identical block keys and
+      // reintroduce the cross-copy candidate pairs this construction
+      // exists to avoid (q26/q64 block on (lang, n_chars))
+      .withColumn("n_chars", length(col("text")).cast("long"))
+      .write.mode("overwrite").parquet(s"$out/documents.parquet")
   }
 }

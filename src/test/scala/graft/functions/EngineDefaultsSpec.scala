@@ -32,9 +32,10 @@ class EngineDefaultsSpec extends SparkSpec {
     SparkSession.setDefaultSession(spark)
   }
 
-  test("install() bakes the ObjectHashAggregate threshold into the session") {
+  test("install() applies the ObjectHashAggregate threshold on first query") {
     val s = freshSession(GraftExtensions.install)
     try {
+      s.range(1).count() // defaults land when the optimizer is first built
       assert(s.conf.get(Key) == "131072")
     } finally restoreShared()
   }
@@ -53,11 +54,19 @@ class EngineDefaultsSpec extends SparkSpec {
     } finally restoreShared()
   }
 
-  test("an explicit user setting is never overridden") {
+  test("an explicit user setting is never overridden (set after install)") {
     val s = freshSession(b => GraftExtensions.install(b).config(Key, "777"))
     try {
       s.range(1).count()
       assert(s.conf.get(Key) == "777")
+    } finally restoreShared()
+  }
+
+  test("an explicit user setting is never overridden (set before install)") {
+    val s = freshSession(b => GraftExtensions.install(b.config(Key, "888")))
+    try {
+      s.range(1).count()
+      assert(s.conf.get(Key) == "888")
     } finally restoreShared()
   }
 
