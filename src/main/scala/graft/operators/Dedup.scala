@@ -167,15 +167,16 @@ object Dedup {
     * driver-side union-find over pairwise overlaps
     * (`spherical_utils.py:28-131`), re-expressed as data-plane iteration.
     *
-    * Scale shape: each round is ONE shuffle keyed by vertex id (edge-label
-    * join + min aggregation); the edge table — symmetrized pairs — is tiny
-    * relative to the corpus and stays cached across rounds; `
-    * localCheckpoint` truncates the growing lineage each round so round N
-    * doesn't replay rounds 1..N-1. Rounds needed = component diameter;
-    * near-dup clusters are small and dense, so a handful in practice
-    * (`maxIters` bounds the worst case; adversarially long path graphs
-    * would want the large-star/small-star variant, which the same loop
-    * accommodates).
+    * Scale shape: each round is one edge-label join + min aggregation
+    * (one hop of propagation) followed by one pointer-jumping self-join
+    * (label := label(label) — every vertex adopts its current label
+    * vertex's label, which at least halves the remaining distance to the
+    * component minimum). The hop+jump combination converges in O(log
+    * diameter) rounds — the same guarantee as large-star/small-star —
+    * so even adversarially long chains finish well inside `maxIters`.
+    * The edge table — symmetrized pairs — is tiny relative to the corpus
+    * and stays cached across rounds; `localCheckpoint` truncates the
+    * growing lineage each round so round N doesn't replay rounds 1..N-1.
     *
     * Returns (id, cluster_id) for every vertex that appears in a pair. */
   def connectedComponents(pairs: DataFrame, maxIters: Int = 20): DataFrame = {
@@ -206,8 +207,16 @@ object Dedup {
       val viaNeighbour = edges
         .join(labels.select(col("id").as("dst"), col("label")), "dst")
         .select(col("src").as("id"), col("label"))
-      val next = labels.union(viaNeighbour)
+      val oneHop = labels.union(viaNeighbour)
         .groupBy("id").agg(min("label").as("label"))
+        .localCheckpoint() // materialize: the jump below reads it twice
+      // pointer jump: label(x) := label(label(x)). The label is the min id
+      // seen so far, hence itself a vertex of the same component, so the
+      // inner join always matches; its label is <= ours (monotonicity),
+      // so the jump only ever lowers labels.
+      val next = oneHop
+        .join(oneHop.select(col("id").as("label"), col("label").as("_l2")), "label")
+        .select(col("id"), col("_l2").as("label"))
         .localCheckpoint()
       val s = labelSum(next)
       converged = s == prevSum

@@ -28,7 +28,7 @@ import org.apache.spark.sql.functions._
 object ScaleBench {
   private val HeavyQueries =
     Seq("q25_minhash_lsh", "q42_gauss_stere", "q45_bilinear_stere",
-      "q56_repeated_ngrams", "q63_decontaminate")
+      "q56_repeated_ngrams", "q63_decontaminate", "q64_neardup_clusters")
 
   def main(args: Array[String]): Unit = {
     val base = args.headOption.getOrElse("/root/testdata/sf0.1")
