@@ -150,6 +150,53 @@ object TextAnalysis {
       .agg(count(lit(1)).as("n_docs"), sum("n_occ_doc").as("n_occ"))
       .filter(col("n_docs") >= minDocs)
 
+  /** Corpus-boilerplate span removal — the rewrite stage downstream of
+    * [[repeatedNgrams]] (detection): every occurrence of an n-gram that
+    * appears in ≥ `minDocs` distinct docs is excised from every doc (a
+    * word survives iff NO bad-gram span covers its position), and the doc
+    * is reassembled in order. The C4-style boilerplate scrub.
+    *
+    * Scale shape: the corpus-level bad-gram set comes from one
+    * detection aggregation; each doc then joins only the bad grams IT
+    * contains (gram-keyed equi-join + collect_set — carried state is
+    * per-doc boilerplate, not the global set), and the rewrite is one
+    * per-row projection: mark bad gram START positions (O(grams ×
+    * |doc's bad set|) membership tests — never words × window), flatten
+    * the covered spans, filter the word array. No broadcast of the
+    * global gram set, no per-word window scans. */
+  def removeBoilerplate(
+      docs: DataFrame,
+      n: Int = 6,
+      minDocs: Int = 3,
+      textCol: String = "text",
+      idCol: String = "doc_id"): DataFrame = {
+    val bad = repeatedNgrams(docs, n, minDocs, textCol, idCol).select(col("ngram"))
+    val withGrams = docs
+      .withColumn("_w", split(col(textCol), " "))
+      .withColumn("_g", expr(gramsSql(n, "_w")))
+    val docBad = withGrams
+      .select(col(idCol), explode(array_distinct(col("_g"))).as("ngram"))
+      .join(bad, Seq("ngram"))
+      .groupBy(col(idCol))
+      .agg(collect_set(col("ngram")).as("_bad"))
+    withGrams
+      .join(docBad, Seq(idCol), "left")
+      .withColumn("_bad", coalesce(col("_bad"), expr("CAST(array() AS ARRAY<STRING>)")))
+      // start positions of bad grams; guard the empty cases so no
+      // descending sequence() is ever built
+      .withColumn("_badIdx", expr(
+        """CASE WHEN size(_g) = 0 OR size(_bad) = 0 THEN CAST(array() AS ARRAY<INT>)
+           ELSE filter(sequence(0, size(_g) - 1), i -> array_contains(_bad, _g[i])) END"""))
+      .withColumn("_cov", expr(
+        s"array_distinct(flatten(transform(_badIdx, i -> sequence(i, i + ${n - 1}))))"))
+      .withColumn("_keep", expr(
+        "filter(sequence(0, size(_w) - 1), j -> NOT array_contains(_cov, j))"))
+      .select(col(idCol),
+        size(col("_w")).cast("long").as("n_words"),
+        (size(col("_w")) - size(col("_keep"))).cast("long").as("n_removed"),
+        concat_ws(" ", expr("transform(_keep, j -> _w[j])")).as("clean_text"))
+  }
+
   /** Deterministic stratified sampling: keep `perStratum` docs per stratum,
     * chosen by md5-hash order (a uniform pseudo-random draw that every
     * engine reproduces) with id tie-break. The data-mixing/balancing stage

@@ -966,6 +966,45 @@ object Queries {
       FROM c ORDER BY doc_id"""
     })
 
+  /** Boilerplate span removal (`TextAnalysis.removeBoilerplate`): the
+    * rewrite stage downstream of q56's detection — every 6-gram seen in
+    * ≥3 docs is excised from every doc, which is reassembled in order.
+    * md5 of the cleaned text makes the rewrite (positions, ordering,
+    * separator discipline) bit-checkable. The oracle mirrors the same
+    * shape row-locally: q56's histogram idiom for the bad set, a
+    * gram-keyed join for each doc's own bad list, then pure list algebra
+    * (start positions → flattened covered spans → filtered words). */
+  val q66_remove_boilerplate: Q = Q(
+    (s, d) => TextAnalysis.removeBoilerplate(docsRebalanced(s, d))
+      .select(col("doc_id"), col("n_words"), col("n_removed"),
+        md5(col("clean_text")).as("clean_md5"))
+      .orderBy("doc_id"),
+    Some(s"""WITH g AS (SELECT doc_id, w, ${duckGrams(6)} AS gl
+        FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents)),
+      hh AS (SELECT doc_id, list_aggregate(gl, 'histogram') AS hist FROM g WHERE len(gl) > 0),
+      e AS (SELECT unnest(map_keys(hist)) AS ngram FROM hh),
+      bad AS (SELECT ngram FROM e GROUP BY ngram HAVING COUNT(*) >= 3),
+      dg AS (SELECT doc_id, unnest(list_distinct(gl)) AS ngram FROM g),
+      db AS (SELECT dg.doc_id, list(dg.ngram) AS badl
+             FROM dg JOIN bad USING (ngram) GROUP BY dg.doc_id),
+      r AS (SELECT g.doc_id, g.w, g.gl,
+              COALESCE(db.badl, CAST([] AS VARCHAR[])) AS badl
+            FROM g LEFT JOIN db USING (doc_id)),
+      cv AS (SELECT doc_id, w,
+              list_distinct(flatten(list_transform(
+                CASE WHEN len(gl) = 0 OR len(badl) = 0 THEN CAST([] AS BIGINT[])
+                     ELSE list_filter(range(0, len(gl)), i -> list_contains(badl, gl[i + 1])) END,
+                i -> range(i, i + 6)))) AS cov
+            FROM r),
+      k AS (SELECT doc_id, w,
+              list_filter(range(0, len(w)), j -> NOT list_contains(cov, j)) AS keep0
+            FROM cv)
+      SELECT doc_id,
+        CAST(len(w) AS BIGINT) AS n_words,
+        CAST(len(w) - len(keep0) AS BIGINT) AS n_removed,
+        md5(COALESCE(array_to_string(list_transform(keep0, j -> w[j + 1]), ' '), '')) AS clean_md5
+      FROM k ORDER BY doc_id"""))
+
   // ============================================ embeddings (extension ops)
 
   val q30_cosine_sim: Q = Q(
@@ -1965,5 +2004,6 @@ object Queries {
     "q62_pack_sequences" -> q62_pack_sequences,
     "q63_decontaminate" -> q63_decontaminate,
     "q64_neardup_clusters" -> q64_neardup_clusters,
-    "q65_redact_pii" -> q65_redact_pii)
+    "q65_redact_pii" -> q65_redact_pii,
+    "q66_remove_boilerplate" -> q66_remove_boilerplate)
 }

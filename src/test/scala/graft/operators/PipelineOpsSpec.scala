@@ -229,6 +229,37 @@ class PipelineOpsSpec extends SparkSpec {
     assert(r2.contains("pair only here shared twice not") && r2.contains(boiler))
   }
 
+  test("removeBoilerplate excises covered spans, keeps the rest in order") {
+    val s = spark
+    import s.implicits._
+    val boiler = "terms of service apply to all"
+    val d = Seq(
+      (1L, s"alpha beta $boiler gamma"),
+      (2L, s"$boiler delta epsilon"),
+      (3L, s"zeta $boiler"),
+      (4L, "completely unrelated text with no shared grams at all"))
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.removeBoilerplate(d, n = 6, minDocs = 3)
+      .orderBy("doc_id")
+      .collect().map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("n_removed"),
+        r.getAs[String]("clean_text")))
+    assert(out(0) == (1L, 6L, "alpha beta gamma"))
+    assert(out(1) == (2L, 6L, "delta epsilon"))
+    assert(out(2) == (3L, 6L, "zeta"))
+    assert(out(3)._2 == 0L &&
+      out(3)._3 == "completely unrelated text with no shared grams at all")
+
+    // overlapping occurrences union their spans: "a b c d e f a b c d e f"
+    // has the repeated gram "a b c d e f" at positions 0 and 6 (and no
+    // other doc needed — force minDocs=1); everything is covered
+    val rep = Seq((9L, "a b c d e f a b c d e f"), (10L, "x y z q w e r t"))
+      .toDF("doc_id", "text")
+    val covered = TextAnalysis.removeBoilerplate(rep, n = 6, minDocs = 1)
+      .filter(col("doc_id") === 9L).head()
+    assert(covered.getAs[Long]("n_removed") == 12L)
+    assert(covered.getAs[String]("clean_text") == "")
+  }
+
   test("decontaminate drops docs sharing a 6-gram with the benchmark, keeps the rest") {
     val s = spark
     import s.implicits._
