@@ -28,7 +28,8 @@ import org.apache.spark.sql.functions._
 object ScaleBench {
   private val HeavyQueries =
     Seq("q25_minhash_lsh", "q42_gauss_stere", "q45_bilinear_stere",
-      "q56_repeated_ngrams", "q63_decontaminate", "q64_neardup_clusters")
+      "q56_repeated_ngrams", "q63_decontaminate", "q64_neardup_clusters",
+      "q66_remove_boilerplate")
 
   def main(args: Array[String]): Unit = {
     val base = args.headOption.getOrElse("/root/testdata/sf0.1")
