@@ -41,6 +41,18 @@ class ClusterDedupSpec extends SparkSpec {
     assert(out.filter(col("keep")).select("doc_id").collect().map(_.getLong(0)).toSeq == Seq(10L))
   }
 
+  test("50-node path converges within default maxIters (pointer jumping)") {
+    val s = spark
+    import s.implicits._
+    // diameter 49 > maxIters 20: one-hop-per-round propagation could not
+    // finish — the pointer-jump step makes rounds O(log diameter)
+    val docs = (100L to 149L).map(i => (i, s"d$i")).toDF("doc_id", "text")
+    val pairs = (100L until 149L).map(i => (i, i + 1)).toDF("d1", "d2")
+    val out = Dedup.nearDupClusters(docs, pairs)
+    assert(out.select("cluster_id").distinct().collect().map(_.getLong(0)).toSeq == Seq(100L))
+    assert(out.filter(col("keep")).count() == 1)
+  }
+
   test("pair direction does not matter: one keeper per component either way") {
     val s = spark
     import s.implicits._
