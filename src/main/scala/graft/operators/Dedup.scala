@@ -263,6 +263,28 @@ object Dedup {
       fingerprint(docs, textCol, idCol).select(col("keep_id").as(idCol)),
       Seq(idCol), "left_semi")
 
+  /** Incremental cross-corpus dedup: drop every incoming doc whose
+    * word-set fingerprint ([[fingerprintExpr]] — the single shared digest
+    * definition) already exists in the reference corpus. The ingestion-
+    * time "is this new data actually new" stage: a fingerprint left-anti
+    * join, so the shuffle carries one 32-char digest per doc on each
+    * side — never text — and the reference side reduces to its DISTINCT
+    * digest set (bounded by unique content, broadcastable when the
+    * reference is a curated corpus). */
+  def dedupAgainstReference(
+      incoming: DataFrame,
+      reference: DataFrame,
+      textCol: String = "text",
+      idCol: String = "doc_id"): DataFrame = {
+    val refFps = reference
+      .select(fingerprintExpr(col(textCol)).as("_fp"))
+      .distinct()
+    incoming
+      .withColumn("_fp", fingerprintExpr(col(textCol)))
+      .join(refFps, Seq("_fp"), "left_anti")
+      .drop("_fp")
+  }
+
   /** SimHash bit width: 60 bits = 15 hex chars of md5 — fits a positive
     * signed 64-bit integer in ANY engine (no unsigned-shift tricks), so a
     * SQL oracle can replay the hash via a plain hex cast. */

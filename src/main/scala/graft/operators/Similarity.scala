@@ -1,7 +1,7 @@
 package graft.operators
 
 import graft.functions.GeoFunctions.{cosineSimilarity, dotProduct, l2Norm}
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -224,6 +224,91 @@ object Similarity {
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select(col(idQ), col(idC), col("rank"), col("sim_r").as("sim"))
+  }
+
+  /** SemDeDup-style semantic deduplication (Abbas et al. 2023,
+    * arXiv:2303.09540): partition the embedding space with a trained
+    * centroid model (assignment = the same per-row codegen argmax as
+    * [[assignClusters]]), compare pairs ONLY within a cluster, and drop
+    * every item that has a smaller-id cluster-mate with cosine >=
+    * `threshold`. Output: (id, centroid_id, keep).
+    *
+    * Scale shape: the clustering bounds the quadratic — pair count is
+    * Σ|c|² over clusters, never n²; the pair stage is an equi-join on
+    * `centroid_id` (hash-partitioned, no crossJoin), and the dup-id set
+    * joined back is ids only. At 100 TB, k grows with the corpus
+    * (SemDeDup trains k ≈ √n clusters) so per-cluster sizes — and with
+    * them each join partition — stay bounded; skewed clusters fall to
+    * AQE skew-join splitting like any hot key. */
+  def semanticDedup(
+      items: DataFrame,
+      centroidVecs: Seq[Array[Double]],
+      threshold: Double,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame = {
+    val assigned = assignClusters(items.select(col(idCol), col(vecCol)), centroidVecs, vecCol)
+      .select(col(idCol), col("centroid_id"), col(vecCol))
+    val dupIds = assigned.as("a")
+      .join(assigned.as("b"),
+        col("a.centroid_id") === col("b.centroid_id") && col(s"a.$idCol") < col(s"b.$idCol"))
+      .filter(round(cosineSimilarity(col(s"a.$vecCol"), col(s"b.$vecCol")), 6) >= threshold)
+      .select(col(s"b.$idCol").as(idCol))
+      .distinct()
+      .withColumn("_dup", lit(true))
+    assigned
+      .join(dupIds, Seq(idCol), "left")
+      .select(col(idCol), col("centroid_id"),
+        coalesce(col("_dup"), lit(false)).unary_!.as("keep"))
+  }
+
+  /** Scalar int8 quantization of an embedding column: each component
+    * becomes `round(x * 127)` — integer-valued, exactly representable, 4x
+    * smaller on disk/wire when stored as bytes. The multiply is exact
+    * (a float mantissa x 127 fits a double), so `x*127` lands on a .5
+    * boundary only for inputs that are exact half-integers (x = m/2 makes
+    * 127x = 63.5m) — and there Spark's HALF_UP and DuckDB's round both go
+    * away from zero. Engine-portable on every input. */
+  def quantizeInt8(v: Column): Column =
+    transform(v.cast("array<double>"), x => round(x * lit(127)))
+
+  /** Two-stage quantized top-k (the flat-SQ8 "scan codes, rerank
+    * survivors" ANN shape): stage 1 scores every candidate by the integer
+    * dot product of int8-quantized vectors — exact integer arithmetic, so
+    * order-insensitive and bit-portable — and keeps `k * rerankFactor`
+    * per query; stage 2 fetches full-precision vectors for the survivors
+    * only and reranks by exact round-6 cosine.
+    *
+    * Scale shape: the stage-1 scan touches only the slim (id, int8 code)
+    * projection — a 4x bandwidth cut over scanning raw floats — and the
+    * full-precision column is read for k·factor ids per query via
+    * equi-joins. The scan itself is exhaustive (documented flat
+    * baseline); compose with [[ivfTopKWith]]'s inverted lists to bound
+    * the scanned set at 100 TB — quantized scoring inside probed lists is
+    * exactly IVF-SQ8. */
+  def quantizedTopK(
+      queries: DataFrame,
+      candidates: DataFrame,
+      k: Int,
+      rerankFactor: Int = 3,
+      idQ: String = "qid",
+      idC: String = "cid",
+      vecCol: String = "embedding"): DataFrame = {
+    val qq = queries.select(col(idQ), quantizeInt8(col(vecCol)).as("_qq"))
+    val cq = candidates.select(col(idC), quantizeInt8(col(vecCol)).as("_cq"))
+    val w1 = Window.partitionBy(idQ).orderBy(col("qdot").desc, col(idC).asc)
+    val survivors = qq.crossJoin(cq)
+      .withColumn("qdot", dotProduct(col("_qq"), col("_cq")))
+      .withColumn("_r1", row_number().over(w1))
+      .filter(col("_r1") <= k * rerankFactor)
+      .select(col(idQ), col(idC), col("qdot").cast("long").as("qdot"))
+    val w2 = Window.partitionBy(idQ).orderBy(col("sim_r").desc, col(idC).asc)
+    survivors
+      .join(queries.select(col(idQ), col(vecCol).as("_qv")), idQ)
+      .join(candidates.select(col(idC), col(vecCol).as("_cv")), idC)
+      .withColumn("sim_r", round(cosineSimilarity(col("_qv"), col("_cv")), 6))
+      .withColumn("rank", row_number().over(w2))
+      .filter(col("rank") <= k)
+      .select(col(idQ), col(idC), col("rank"), col("sim_r").as("sim"), col("qdot"))
   }
 
   /** Embedding-cosine near-duplicate pairs: candidates share an LSH

@@ -247,6 +247,46 @@ object TextAnalysis {
         col("n_tokens"), col("pack_offset"), col("chunk_id"))
   }
 
+  /** Temperature-weighted mixture sampling (the multi-source data-mixing
+    * stage): each stratum (language / source) gets a token quota
+    * proportional to `sqrt(stratum_tokens)` — the α = 0.5 temperature
+    * reweighting that upsamples low-resource strata relative to
+    * proportional sampling (the multilingual-pretraining convention,
+    * e.g. Conneau & Lample 2019 §3.1) — then docs fill each quota in
+    * md5-hash order (a uniform, engine-portable draw) until the stratum
+    * budget is exhausted.
+    *
+    * Exactness: stratum token sums are integers; `floor(sqrt(long))` is
+    * deterministic across engines (IEEE sqrt is correctly rounded);
+    * quotas are integer `div`; the fill is one integer running-sum
+    * window. Scale: one tiny per-stratum aggregate (broadcast back), one
+    * rank window keyed by stratum — same shuffle shape as
+    * [[stratifiedSample]]; shard hot strata the same way if needed. */
+  def temperatureMixture(
+      docs: DataFrame,
+      budget: Long,
+      strataCol: String = "lang",
+      idCol: String = "doc_id",
+      tokensCol: Column = null): DataFrame = {
+    val tokens = Option(tokensCol).getOrElse(size(split(col("text"), " ")).cast("long"))
+    val withT = docs.withColumn("n_tokens", tokens)
+    val weights = withT.groupBy(col(strataCol))
+      .agg(sum("n_tokens").as("strat_tokens"))
+      .withColumn("_w", floor(sqrt(col("strat_tokens").cast("double"))).cast("long"))
+    val quotas = weights
+      .crossJoin(weights.agg(sum("_w").as("_tw")))
+      .withColumn("quota_tokens", expr(s"(${budget}L * _w) div _tw"))
+      .select(col(strataCol), col("quota_tokens"))
+    val w = Window.partitionBy(col(strataCol))
+      .orderBy(md5(col(idCol).cast("string")).asc, col(idCol).asc)
+    withT
+      .join(broadcast(quotas), strataCol)
+      .withColumn("cum_tokens", sum(col("n_tokens")).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .filter(col("cum_tokens") <= col("quota_tokens"))
+      .select(col(idCol), col(strataCol), col("n_tokens"), col("cum_tokens"), col("quota_tokens"))
+  }
+
   /** Benchmark decontamination: drop every corpus doc sharing at least one
     * word `n`-gram with the benchmark set — the standard eval-leakage
     * sweep before pretraining. Distinct grams per side, gram-keyed
@@ -275,6 +315,36 @@ object TextAnalysis {
       .select(col(idCol))
       .distinct()
     corpus.join(contaminated, Seq(idCol), "left_anti")
+  }
+
+  /** TF-IDF top terms per document — the keyword-extraction / topic-
+    * filtering stage of a curation pipeline. tf = in-doc term count,
+    * idf = round-6 `ln(N / df)` with df = distinct-doc frequency, score =
+    * tf·idf, top `k` per doc with a term tie-break.
+    *
+    * Scale shape: two keyed aggregations with map-side combine — (doc,
+    * term) counts, whose row count already IS the distinct pair set, then
+    * term-keyed df (`count(*)`, never `countDistinct`) — a term-keyed
+    * join back, and a bounded per-doc top-k window. N joins in as a
+    * 1-row broadcast. The idf is rounded to 6 before the multiply so the
+    * ln's last-ulp libm variance can't reorder ranks across engines. */
+  def tfidfTopTerms(
+      docs: DataFrame,
+      k: Int = 5,
+      textCol: String = "text",
+      idCol: String = "doc_id"): DataFrame = {
+    val terms = docs.select(col(idCol), explode(split(col(textCol), " ")).as("term"))
+    val tf = terms.groupBy(col(idCol), col("term")).agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val n = docs.agg(count(lit(1)).as("_n"))
+    val w = Window.partitionBy(idCol).orderBy(col("score").desc, col("term").asc)
+    tf.join(dfreq, "term")
+      .crossJoin(broadcast(n))
+      .withColumn("idf", round(log(col("_n").cast("double") / col("df")), 6))
+      .withColumn("score", col("tf") * col("idf"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col(idCol), col("term"), col("tf"), col("df"), col("idf"), col("score"), col("rank"))
   }
 
   /** PII patterns for [[redactPii]] — deliberately in the Java ∩ RE2

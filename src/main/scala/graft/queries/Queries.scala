@@ -1005,6 +1005,76 @@ object Queries {
         md5(COALESCE(array_to_string(list_transform(keep0, j -> w[j + 1]), ' '), '')) AS clean_md5
       FROM k ORDER BY doc_id"""))
 
+  /** Temperature-weighted mixture sampling (`TextAnalysis
+    * .temperatureMixture`): per-language token quotas proportional to
+    * `floor(sqrt(lang_tokens))` (α = 0.5 upsampling of low-resource
+    * languages), filled in md5-hash order until each quota is exhausted.
+    * Integer quota `div`, integer running sum — bit-exact. */
+  val q68_temperature_mix: Q = Q(
+    (s, d) => TextAnalysis.temperatureMixture(table(s, d, "documents"), budget = 12000L)
+      .orderBy("lang", "doc_id"),
+    Some("""WITH t AS (SELECT doc_id, lang,
+          CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens FROM documents),
+      wts AS (SELECT lang,
+          CAST(FLOOR(SQRT(CAST(SUM(n_tokens) AS DOUBLE))) AS BIGINT) AS w
+        FROM t GROUP BY lang),
+      q AS (SELECT lang,
+          CAST((12000 * w) // (SELECT SUM(w) FROM wts) AS BIGINT) AS quota_tokens FROM wts),
+      c AS (SELECT t.doc_id, t.lang, t.n_tokens,
+          SUM(t.n_tokens) OVER (PARTITION BY t.lang
+            ORDER BY md5(CAST(t.doc_id AS VARCHAR)) ASC, t.doc_id ASC
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_tokens,
+          q.quota_tokens
+        FROM t JOIN q USING (lang))
+      SELECT doc_id, lang, n_tokens, CAST(cum_tokens AS BIGINT) AS cum_tokens, quota_tokens
+      FROM c WHERE cum_tokens <= quota_tokens ORDER BY lang, doc_id"""))
+
+  /** TF-IDF top terms (`TextAnalysis.tfidfTopTerms`): per-doc top-5 terms
+    * by tf·idf with a term tie-break; idf rounded to 6 before the multiply
+    * (libm-ulp discipline). The oracle computes per-doc tf row-locally
+    * (list histogram) and df from the histogram keys. */
+  val q70_tfidf_terms: Q = Q(
+    (s, d) => TextAnalysis.tfidfTopTerms(table(s, d, "documents"), k = 5)
+      .orderBy("doc_id", "rank"),
+    Some("""WITH w AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+      hh AS (SELECT doc_id, list_aggregate(w, 'histogram') AS h FROM w),
+      tf AS (SELECT doc_id, unnest(map_keys(h)) AS term,
+               CAST(unnest(map_values(h)) AS BIGINT) AS tf FROM hh),
+      df AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY term),
+      n AS (SELECT COUNT(*) AS n FROM documents),
+      sc AS (SELECT t.doc_id, t.term, t.tf, d.df,
+               ROUND(LN(CAST(n.n AS DOUBLE) / d.df), 6) AS idf
+             FROM tf t JOIN df d USING (term) CROSS JOIN n),
+      rk AS (SELECT doc_id, term, tf, df, idf, tf * idf AS score,
+               CAST(ROW_NUMBER() OVER (PARTITION BY doc_id
+                 ORDER BY tf * idf DESC, term ASC) AS INTEGER) AS rank
+             FROM sc)
+      SELECT doc_id, term, tf, df, idf, score, rank FROM rk
+      WHERE rank <= 5 ORDER BY doc_id, rank"""))
+
+  /** Incremental cross-corpus dedup (`Dedup.dedupAgainstReference`):
+    * "incoming" docs (id % 3 = 0) anti-joined on word-set fingerprint
+    * against a "reference" corpus (id % 2 = 0). Docs at id % 6 = 0 are
+    * literal reference members, so the drop set is non-empty by
+    * construction; any cross-id content dup goes with them. */
+  val q71_dedup_incremental: Q = Q(
+    (s, d) => {
+      val docs = table(s, d, "documents")
+      Dedup.dedupAgainstReference(
+          docs.filter(col("doc_id") % 3 === 0),
+          docs.filter(col("doc_id") % 2 === 0))
+        .select("doc_id", "lang", "n_chars")
+        .orderBy("doc_id")
+    },
+    Some("""WITH fp AS (SELECT doc_id,
+          md5(array_to_string(list_sort(list_distinct(string_split(text, ' '))), ' ')) AS fp
+        FROM documents),
+      ref AS (SELECT DISTINCT fp FROM fp WHERE doc_id % 2 = 0)
+      SELECT d.doc_id, d.lang, d.n_chars
+      FROM documents d JOIN fp ON fp.doc_id = d.doc_id
+      WHERE d.doc_id % 3 = 0 AND fp.fp NOT IN (SELECT fp FROM ref)
+      ORDER BY d.doc_id"""))
+
   // ============================================ embeddings (extension ops)
 
   val q30_cosine_sim: Q = Q(
@@ -1903,6 +1973,63 @@ object Queries {
       SELECT d1, d2, sim FROM vv WHERE sim >= 0.2 ORDER BY d1, d2"""
     })
 
+  /** SemDeDup semantic deduplication (`Similarity.semanticDedup`): the
+    * trained k=8 centroid model partitions the space, pairwise round-6
+    * cosine runs only within clusters, and every vec with a smaller-id
+    * cluster-mate above the threshold is dropped. The oracle replays the
+    * q59 assignment CTE and the within-cluster self-join. */
+  val q67_semantic_dedup: Q = Q(
+    (s, d) => Similarity.semanticDedup(
+        table(s, d, "embeddings"), TrainedCentroids.sf001k8, threshold = 0.2)
+      .orderBy("vec_id"),
+    Some(s"""WITH ctr(centroid_id, cemb) AS (VALUES
+      ${TrainedCentroids.sf001k8Sql}),
+      ca AS (SELECT e.vec_id, e.embedding, t.centroid_id,
+               ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY
+                 ROUND(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), t.cemb), 6) DESC,
+                 t.centroid_id ASC) AS crk
+             FROM embeddings e CROSS JOIN ctr t),
+      ass AS (SELECT vec_id, embedding, centroid_id FROM ca WHERE crk = 1),
+      dup AS (SELECT DISTINCT b.vec_id FROM ass a JOIN ass b
+                ON a.centroid_id = b.centroid_id AND a.vec_id < b.vec_id
+               WHERE ROUND(list_cosine_similarity(
+                 CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])), 6) >= 0.2)
+      SELECT s.vec_id, CAST(s.centroid_id AS BIGINT) AS centroid_id,
+        (d.vec_id IS NULL) AS keep
+      FROM ass s LEFT JOIN dup d ON d.vec_id = s.vec_id
+      ORDER BY s.vec_id"""))
+
+  /** Quantized two-stage ANN (`Similarity.quantizedTopK`): int8 codes
+    * (`round(x*127)` — exact, portable; see the operator scaladoc) score
+    * every candidate by integer dot product, the top 3k survive, and the
+    * exact round-6 cosine reranks survivors to top-10. Integer stage-1
+    * scores make the candidate set bit-identical across engines. */
+  val q69_quantized_topk: Q = Q(
+    (s, d) => {
+      val emb = table(s, d, "embeddings")
+      val q = emb.filter(col("vec_id") % 100 === 0).select(col("vec_id").as("qid"), col("embedding"))
+      val c = emb.select(col("vec_id").as("cid"), col("embedding"))
+      Similarity.quantizedTopK(q, c, k = 10).orderBy("qid", "rank")
+    },
+    Some("""WITH qv AS (SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS v,
+          list_transform(CAST(embedding AS DOUBLE[]), x -> ROUND(x * 127)) AS qq
+        FROM embeddings WHERE vec_id % 100 = 0),
+      cv AS (SELECT vec_id AS cid, CAST(embedding AS DOUBLE[]) AS v,
+          list_transform(CAST(embedding AS DOUBLE[]), x -> ROUND(x * 127)) AS qq
+        FROM embeddings),
+      s1 AS (SELECT q.qid, c.cid, list_inner_product(q.qq, c.qq) AS qdot,
+          ROW_NUMBER() OVER (PARTITION BY q.qid
+            ORDER BY list_inner_product(q.qq, c.qq) DESC, c.cid ASC) AS r1
+        FROM qv q CROSS JOIN cv c),
+      s2 AS (SELECT s.qid, s.cid, CAST(s.qdot AS BIGINT) AS qdot,
+          ROUND(list_cosine_similarity(q.v, c.v), 6) AS sim_r
+        FROM s1 s JOIN qv q ON q.qid = s.qid JOIN cv c ON c.cid = s.cid
+        WHERE s.r1 <= 30),
+      rk AS (SELECT qid, cid, qdot, sim_r,
+          CAST(ROW_NUMBER() OVER (PARTITION BY qid ORDER BY sim_r DESC, cid ASC) AS INTEGER) AS rank
+        FROM s2)
+      SELECT qid, cid, rank, sim_r AS sim, qdot FROM rk WHERE rank <= 10 ORDER BY qid, rank"""))
+
   /** Tiled-source scan pruning (the Spark analog of the reference's
     * `resample_blocks` per-chunk crop, `resampler.py:330-352`): the swath
     * is written once as tile-partitioned parquet (30-degree tile_y/tile_x
@@ -2005,5 +2132,10 @@ object Queries {
     "q63_decontaminate" -> q63_decontaminate,
     "q64_neardup_clusters" -> q64_neardup_clusters,
     "q65_redact_pii" -> q65_redact_pii,
-    "q66_remove_boilerplate" -> q66_remove_boilerplate)
+    "q66_remove_boilerplate" -> q66_remove_boilerplate,
+    "q67_semantic_dedup" -> q67_semantic_dedup,
+    "q68_temperature_mix" -> q68_temperature_mix,
+    "q69_quantized_topk" -> q69_quantized_topk,
+    "q70_tfidf_terms" -> q70_tfidf_terms,
+    "q71_dedup_incremental" -> q71_dedup_incremental)
 }

@@ -29,7 +29,8 @@ object ScaleBench {
   private val HeavyQueries =
     Seq("q25_minhash_lsh", "q42_gauss_stere", "q45_bilinear_stere",
       "q56_repeated_ngrams", "q63_decontaminate", "q64_neardup_clusters",
-      "q66_remove_boilerplate")
+      "q66_remove_boilerplate", "q67_semantic_dedup", "q69_quantized_topk",
+      "q70_tfidf_terms")
 
   def main(args: Array[String]): Unit = {
     val base = args.headOption.getOrElse("/root/testdata/sf0.1")
@@ -54,6 +55,10 @@ object ScaleBench {
       spark.read.parquet(s"$base/customer.parquet")
         .write.mode("overwrite").parquet(s"$out/customer.parquet")
       blowUpDocs(spark, base, out, factor)
+    }
+    if (!new java.io.File(s"$out/embeddings.parquet").exists()) {
+      System.err.println(s"[scale] building ${factor}x embeddings blow-up at $out")
+      blowUpEmbeddings(spark, base, out, factor)
     }
 
     def time(dir: String, name: String): Double = {
@@ -88,6 +93,29 @@ object ScaleBench {
       keyCols.foldLeft(src) { (df, k) => df.withColumn(k, col(k) + lit(i.toLong)) }
     }
     copies.reduce(_ unionByName _).write.mode("overwrite").parquet(s"$out/$name.parquet")
+  }
+
+  /** Embeddings blow-up: shifted ids + per-copy cyclic rotation of the
+    * vector (copy 0 stays verbatim). Rotation keeps the norm and, for
+    * generic vectors, decorrelates the copies — so ANN/dedup candidate
+    * spaces grow ~10x without planting 10 exact duplicates of every
+    * vector (which would measure an artificial all-dup workload). The id
+    * offset is chosen ≢ 0 (mod 100) so the `vec_id % 100 = 0` QUERY set
+    * stays the unscaled copy-0 set — "10x the corpus, same queries",
+    * mirroring the fixed resampling target grid. */
+  private def blowUpEmbeddings(
+      spark: SparkSession, base: String, out: String, factor: Int): Unit = {
+    val src = spark.read.parquet(s"$base/embeddings.parquet")
+    val maxId = src.agg(max(col("vec_id"))).head().getLong(0)
+    val off = ((maxId / 100) + 1) * 100 + 7 // ≢ 0 mod 100 for copies 1..9
+    val copies = (0 until factor).map { i =>
+      val shifted = src.withColumn("vec_id", col("vec_id") + lit(i * off))
+      if (i == 0) shifted
+      else shifted.withColumn("embedding", expr(
+        s"concat(slice(embedding, ${i + 1}, size(embedding) - $i), slice(embedding, 1, $i))"))
+    }
+    copies.reduce(_ unionByName _)
+      .write.mode("overwrite").parquet(s"$out/embeddings.parquet")
   }
 
   /** Documents blow-up: shifted ids + per-copy word suffix (copy 0 stays

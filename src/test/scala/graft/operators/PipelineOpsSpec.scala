@@ -285,6 +285,66 @@ class PipelineOpsSpec extends SparkSpec {
     assert(r1 == r2, "hash-order draw must not depend on partitioning")
   }
 
+  test("temperatureMixture: sqrt quotas upsample the small stratum, fills stop at the quota") {
+    val s = spark
+    import s.implicits._
+    // stratum a: 90 docs x 10 tokens = 900; stratum b: 10 docs x 10 = 100
+    val d = ((1L to 90L).map(i => (i, "a")) ++ (91L to 100L).map(i => (i, "b")))
+      .map { case (i, l) => (i, l, Array.fill(10)("w").mkString(" ")) }
+      .toDF("doc_id", "lang", "text")
+    val out = TextAnalysis.temperatureMixture(d, budget = 400L).collect()
+    val byLang = out.groupBy(_.getAs[String]("lang"))
+    // weights: floor(sqrt(900))=30, floor(sqrt(100))=10 -> quotas 300/100:
+    // proportional sampling would give b only 40 tokens; sqrt gives it 100
+    val quota = byLang.view.mapValues(_.head.getAs[Long]("quota_tokens")).toMap
+    assert(quota == Map("a" -> 300L, "b" -> 100L))
+    // fills: 30 docs of a (300 tokens), all 10 of b
+    assert(byLang("a").length == 30 && byLang("b").length == 10)
+    // every kept doc's inclusive cumsum respects its quota
+    assert(out.forall(r => r.getAs[Long]("cum_tokens") <= r.getAs[Long]("quota_tokens")))
+    // deterministic under repartition (hash-order draw)
+    val out2 = TextAnalysis.temperatureMixture(d.repartition(7), budget = 400L)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(out2 == out.map(_.getAs[Long]("doc_id")).toSet)
+  }
+
+  test("tfidfTopTerms: scores rank rare terms above ubiquitous ones") {
+    val s = spark
+    import s.implicits._
+    val d = Seq(
+      (1L, "apple apple banana common"),
+      (2L, "banana cherry common"),
+      (3L, "cherry common common")
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.tfidfTopTerms(d, k = 2).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Int]("rank")) ->
+        (r.getAs[String]("term"), r.getAs[Long]("tf"), r.getAs[Long]("df"), r.getAs[Double]("score")))
+      .toMap
+    // doc 1: apple tf=2 df=1 idf=ln(3)≈1.098612 -> score 2.197224 beats banana (df=2)
+    assert(out((1L, 1))._1 == "apple")
+    assert(out((1L, 1))._2 == 2L && out((1L, 1))._3 == 1L)
+    assert(approx(out((1L, 1))._4, 2 * 1.098612))
+    // "common" is in every doc: idf = ln(3/3) = 0 -> never outranks a real term
+    assert(out.values.count(_._1 == "common") <= 1) // only reachable as a 0-score filler
+    out.values.filter(_._1 == "common").foreach(t => assert(t._4 == 0.0))
+    // doc 2: banana and cherry tie (tf=1, df=2) -> term-asc tie-break
+    assert(out((2L, 1))._1 == "banana" && out((2L, 2))._1 == "cherry")
+  }
+
+  test("dedupAgainstReference drops fingerprint matches incl. word-order permutations") {
+    val s = spark
+    import s.implicits._
+    val reference = Seq((10L, "the quick brown fox"), (11L, "hello world")).toDF("doc_id", "text")
+    val incoming = Seq(
+      (1L, "fox brown quick the"),   // permutation of ref 10 -> dropped
+      (2L, "hello world"),           // exact ref 11 -> dropped
+      (3L, "genuinely new content")  // kept
+    ).toDF("doc_id", "text")
+    val kept = Dedup.dedupAgainstReference(incoming, reference)
+      .select("doc_id").collect().map(_.getLong(0)).toSeq
+    assert(kept == Seq(3L))
+  }
+
   test("packSequences: offsets chain within each shard stream, chunks cut at the budget") {
     val s = spark
     import s.implicits._
