@@ -331,6 +331,22 @@ class PipelineOpsSpec extends SparkSpec {
     assert(out((2L, 1))._1 == "banana" && out((2L, 2))._1 == "cherry")
   }
 
+  test("tfidf/dedupAgainstReference plan shapes: hash aggs only, digest-keyed anti-join") {
+    val s = spark
+    import s.implicits._
+    val d = (1L to 40L).map(i => (i, s"w${i % 5} w${i % 7} w${i % 11}")).toDF("doc_id", "text")
+    val p1 = TextAnalysis.tfidfTopTerms(d).queryExecution.executedPlan.toString
+    // both keyed counts must stay on HashAggregate; the 1-row N table must
+    // ride a broadcast, not shuffle the tf table again
+    assert(!p1.contains("SortAggregate"), s"tf/df counts degraded to SortAggregate:\n$p1")
+    assert(p1.contains("BroadcastNestedLoopJoin") || p1.contains("BroadcastExchange"),
+      s"the corpus-count join must broadcast the 1-row side:\n$p1")
+    val p2 = Dedup.dedupAgainstReference(d.filter($"doc_id" % 3 === 0), d)
+      .queryExecution.executedPlan.toString
+    assert(p2.contains("LeftAnti"), s"expected a fingerprint anti-join:\n$p2")
+    assert(!p2.contains("CartesianProduct"), s"anti-join must stay digest-keyed:\n$p2")
+  }
+
   test("dedupAgainstReference drops fingerprint matches incl. word-order permutations") {
     val s = spark
     import s.implicits._

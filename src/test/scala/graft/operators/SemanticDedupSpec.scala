@@ -80,6 +80,19 @@ class SemanticDedupSpec extends SparkSpec {
     assert(quant == exact)
   }
 
+  test("semanticDedup plan shape: pair stage is an equi-join on centroid_id, never a cross product") {
+    val s = spark
+    import s.implicits._
+    val items = (1L to 50L).map(i => (i, vec(i % 7, i % 5, i % 3, 1))).toDF("vec_id", "embedding")
+    val centroids = Seq(Array(1.0, 0, 0, 0), Array(0, 1.0, 0, 0))
+    val plan = Similarity.semanticDedup(items, centroids, 0.9)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"),
+      s"within-cluster pairing must not plan a cross product:\n$plan")
+    assert(!plan.contains("BroadcastNestedLoopJoin"),
+      s"within-cluster pairing must be a hash/merge equi-join:\n$plan")
+  }
+
   test("quantizedTopK qdot is the exact integer dot of the quantized codes") {
     val s = spark
     import s.implicits._
