@@ -347,6 +347,76 @@ object TextAnalysis {
       .select(col(idCol), col("term"), col("tf"), col("df"), col("idf"), col("score"), col("rank"))
   }
 
+  /** Overlapping document chunking (the RAG / context-window splitter):
+    * each doc's word stream is cut into `chunkTokens`-token windows that
+    * start every `chunkTokens - overlap` tokens, so consecutive chunks
+    * share `overlap` tokens and no token is lost. Windows stop once one
+    * reaches the end of the doc (last start = ceil((n-chunk)/stride) ·
+    * stride — the tokenizer-stride convention), so no trailing window
+    * that adds zero new tokens is ever emitted. Purely row-local — start
+    * offsets via `sequence`, windows via `slice`, one posexplode — a
+    * zero-shuffle map stage pipelined into the scan at any scale
+    * (streaming-safe: stateless). Short docs yield one (short) chunk. */
+  def chunkDocuments(
+      docs: DataFrame,
+      chunkTokens: Int = 64,
+      overlap: Int = 16,
+      textCol: String = "text",
+      idCol: String = "doc_id"): DataFrame = {
+    require(overlap >= 0 && overlap < chunkTokens, "need 0 <= overlap < chunkTokens")
+    val stride = chunkTokens - overlap
+    docs
+      .select(col(idCol), split(col(textCol), " ").as("_w"))
+      .select(col(idCol), col("_w"),
+        posexplode(expr(
+          s"sequence(0, greatest(0, ((size(_w) - $chunkTokens + ${stride - 1}) div $stride) * $stride), $stride)"))
+          .as(Seq("chunk_id", "chunk_start")))
+      .select(
+        col(idCol),
+        col("chunk_id").cast("long").as("chunk_id"),
+        col("chunk_start").cast("long").as("chunk_start"),
+        expr(s"slice(_w, chunk_start + 1, $chunkTokens)").as("_c"))
+      .select(col(idCol), col("chunk_id"), col("chunk_start"),
+        size(col("_c")).cast("long").as("n_chunk_tokens"),
+        concat_ws(" ", col("_c")).as("chunk_text"))
+  }
+
+  /** Per-doc benchmark-contamination report — the observability twin of
+    * [[decontaminate]]: for every corpus doc, how many of its distinct
+    * word `n`-grams also occur in the benchmark set, as count and
+    * fraction (0.0 for clean docs; docs too short for any n-gram report
+    * NULL fraction). Same scale shape as the drop variant: distinct
+    * grams per side, gram-keyed equi-join, one per-doc count — shuffle
+    * volume is the deduplicated gram tables, never all-pairs. */
+  def contaminationReport(
+      corpus: DataFrame,
+      benchmark: DataFrame,
+      n: Int = 6,
+      textCol: String = "text",
+      idCol: String = "doc_id"): DataFrame = {
+    val corpusGrams = corpus
+      .select(col(idCol), split(col(textCol), " ").as("w"))
+      .select(col(idCol), explode(expr(gramsSql(n))).as("ngram"))
+      .distinct()
+    val benchGrams = benchmark
+      .select(split(col(textCol), " ").as("w"))
+      .select(explode(expr(gramsSql(n))).as("ngram"))
+      .distinct()
+    val perDoc = corpusGrams.groupBy(col(idCol)).agg(count(lit(1)).as("n_grams"))
+    val hits = corpusGrams
+      .join(benchGrams, Seq("ngram"))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_contaminated"))
+    corpus.select(col(idCol))
+      .join(perDoc, Seq(idCol), "left")
+      .join(hits, Seq(idCol), "left")
+      .withColumn("n_grams", coalesce(col("n_grams"), lit(0L)))
+      .withColumn("n_contaminated", coalesce(col("n_contaminated"), lit(0L)))
+      .withColumn("contamination",
+        when(col("n_grams") > 0,
+          col("n_contaminated").cast("double") / col("n_grams")))
+  }
+
   /** PII patterns for [[redactPii]] — deliberately in the Java ∩ RE2
     * regex subset (no lookaround, no backrefs) so any SQL engine replays
     * them verbatim. */

@@ -1075,6 +1075,57 @@ object Queries {
       WHERE d.doc_id % 3 = 0 AND fp.fp NOT IN (SELECT fp FROM ref)
       ORDER BY d.doc_id"""))
 
+  /** Overlapping document chunking (`TextAnalysis.chunkDocuments`):
+    * 64-token windows every 48 tokens (16-token overlap). md5 of each
+    * chunk makes the slice arithmetic bit-checkable without dumping
+    * text. The oracle replays the same start set — 0..ceil((n-64)/48)·48
+    * via end-exclusive `range` — and windows via 1-based inclusive
+    * `list_slice`. (DuckDB `//` floors where Spark `div` truncates, but
+    * they only disagree on negative operands, where both collapse to the
+    * same `greatest(0, …)`.) */
+  val q72_chunk_docs: Q = Q(
+    (s, d) => TextAnalysis.chunkDocuments(table(s, d, "documents"), chunkTokens = 64, overlap = 16)
+      .select(col("doc_id"), col("chunk_id"), col("chunk_start"),
+        col("n_chunk_tokens"), md5(col("chunk_text")).as("chunk_md5"))
+      .orderBy("doc_id", "chunk_id"),
+    Some("""WITH w AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+      st AS (SELECT doc_id, w,
+               unnest(range(0, greatest(0, ((len(w) - 64 + 47) // 48) * 48) + 1, 48)) AS s
+             FROM w),
+      c AS (SELECT doc_id, CAST(s // 48 AS BIGINT) AS chunk_id, CAST(s AS BIGINT) AS chunk_start,
+              list_slice(w, s + 1, s + 64) AS chunk
+            FROM st)
+      SELECT doc_id, chunk_id, chunk_start,
+        CAST(len(chunk) AS BIGINT) AS n_chunk_tokens,
+        md5(COALESCE(array_to_string(chunk, ' '), '')) AS chunk_md5
+      FROM c ORDER BY doc_id, chunk_id"""))
+
+  /** Per-doc contamination report (`TextAnalysis.contaminationReport`):
+    * the observability twin of q63 — distinct-6-gram overlap count and
+    * fraction per corpus doc against the held-out benchmark slice
+    * (doc_id % 11 = 0). Integer counts + one long/long division. */
+  val q73_contamination_report: Q = Q(
+    (s, d) => {
+      val docs = table(s, d, "documents")
+      TextAnalysis.contaminationReport(docs, docs.filter(col("doc_id") % 11 === 0))
+        .orderBy("doc_id")
+    },
+    Some(s"""WITH ws AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+      g AS (SELECT DISTINCT doc_id, unnest(${duckGrams(6)}) AS ngram FROM ws),
+      bg AS (SELECT DISTINCT ngram FROM g WHERE doc_id % 11 = 0),
+      pd AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_grams FROM g GROUP BY doc_id),
+      h AS (SELECT g.doc_id, CAST(COUNT(*) AS BIGINT) AS n_contaminated
+            FROM g JOIN bg USING (ngram) GROUP BY g.doc_id)
+      SELECT d.doc_id,
+        COALESCE(pd.n_grams, 0) AS n_grams,
+        COALESCE(h.n_contaminated, 0) AS n_contaminated,
+        CASE WHEN COALESCE(pd.n_grams, 0) > 0
+             THEN CAST(COALESCE(h.n_contaminated, 0) AS DOUBLE) / pd.n_grams END AS contamination
+      FROM documents d
+      LEFT JOIN pd ON pd.doc_id = d.doc_id
+      LEFT JOIN h ON h.doc_id = d.doc_id
+      ORDER BY d.doc_id"""))
+
   // ============================================ embeddings (extension ops)
 
   val q30_cosine_sim: Q = Q(
@@ -2137,5 +2188,7 @@ object Queries {
     "q68_temperature_mix" -> q68_temperature_mix,
     "q69_quantized_topk" -> q69_quantized_topk,
     "q70_tfidf_terms" -> q70_tfidf_terms,
-    "q71_dedup_incremental" -> q71_dedup_incremental)
+    "q71_dedup_incremental" -> q71_dedup_incremental,
+    "q72_chunk_docs" -> q72_chunk_docs,
+    "q73_contamination_report" -> q73_contamination_report)
 }

@@ -347,6 +347,60 @@ class PipelineOpsSpec extends SparkSpec {
     assert(!p2.contains("CartesianProduct"), s"anti-join must stay digest-keyed:\n$p2")
   }
 
+  test("chunkDocuments: overlapping windows cover every token; short docs get one chunk") {
+    val s = spark
+    import s.implicits._
+    val d = Seq(
+      (1L, (1 to 10).map(i => s"t$i").mkString(" ")), // 10 tokens
+      (2L, "a b c")                                   // 3 tokens < chunk
+    ).toDF("doc_id", "text")
+    val rows = TextAnalysis.chunkDocuments(d, chunkTokens = 4, overlap = 2)
+      .orderBy("doc_id", "chunk_id").collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("chunk_id"),
+        r.getAs[Long]("chunk_start"), r.getAs[Long]("n_chunk_tokens"), r.getAs[String]("chunk_text")))
+    // doc 1: starts 0,2,4,6 (stride 2) — the window at 6 reaches the end,
+    // so no further (zero-new-token) window is emitted
+    val d1 = rows.filter(_._1 == 1L)
+    assert(d1.map(t => (t._2, t._3)).toSeq == Seq((0L, 0L), (1L, 2L), (2L, 4L), (3L, 6L)))
+    assert(d1.head._5 == "t1 t2 t3 t4")
+    assert(d1(1)._5 == "t3 t4 t5 t6") // 2-token overlap
+    assert(d1.last._4 == 4L && d1.last._5 == "t7 t8 t9 t10")
+    // every token index is covered by at least one chunk
+    val covered = d1.flatMap(t => t._3 until (t._3 + t._4)).toSet
+    assert(covered == (0L until 10L).toSet)
+    // doc 2: a single short chunk
+    assert(rows.filter(_._1 == 2L).toSeq == Seq((2L, 0L, 0L, 3L, "a b c")))
+    // row-local: no exchange in the plan
+    val plan = TextAnalysis.chunkDocuments(d, 4, 2).queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"chunking must be a pure map stage:\n$plan")
+  }
+
+  test("contaminationReport: overlap fractions match the decontaminate drop set") {
+    val s = spark
+    import s.implicits._
+    val mk = (i: Int) => (1 to 8).map(j => s"w${i}_$j").mkString(" ")
+    val d = Seq(
+      (1L, mk(1)),                          // benchmark member (1 % 1 == ...)
+      (2L, mk(1)),                          // verbatim copy of the benchmark doc
+      (3L, mk(3)),                          // clean
+      (4L, "a b c")                         // too short for any 6-gram
+    ).toDF("doc_id", "text")
+    val bench = d.filter($"doc_id" === 1L)
+    val r = TextAnalysis.contaminationReport(d, bench).collect()
+      .map(x => x.getAs[Long]("doc_id") ->
+        (x.getAs[Long]("n_grams"), x.getAs[Long]("n_contaminated"), Option(x.getAs[Any]("contamination"))))
+      .toMap
+    assert(r(1L)._1 == 3L && r(1L)._2 == 3L && r(1L)._3.contains(1.0)) // self-overlap
+    assert(r(2L)._1 == 3L && r(2L)._2 == 3L && r(2L)._3.contains(1.0)) // copy fully contaminated
+    assert(r(3L)._2 == 0L && r(3L)._3.contains(0.0))
+    assert(r(4L)._1 == 0L && r(4L)._3.isEmpty) // no 6-grams -> NULL fraction
+    // consistency with the drop variant: contaminated docs == dropped docs
+    val dropped = d.select("doc_id").except(
+      TextAnalysis.decontaminate(d, bench).select("doc_id"))
+      .collect().map(_.getLong(0)).toSet
+    assert(dropped == r.filter(_._2._2 > 0).keySet)
+  }
+
   test("dedupAgainstReference drops fingerprint matches incl. word-order permutations") {
     val s = spark
     import s.implicits._
