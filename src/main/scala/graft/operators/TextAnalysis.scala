@@ -270,11 +270,16 @@ object TextAnalysis {
       tokensCol: Column = null): DataFrame = {
     val tokens = Option(tokensCol).getOrElse(size(split(col("text"), " ")).cast("long"))
     val withT = docs.withColumn("n_tokens", tokens)
-    val weights = withT.groupBy(col(strataCol))
+    // the weight total comes from a single-partition window over the
+    // per-stratum table (#strata rows — bounded by the label space, not
+    // the corpus) instead of a second aggregate branch: the corpus is
+    // scanned once for the weights, not twice
+    val wAll = Window.partitionBy(lit(0))
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val quotas = withT.groupBy(col(strataCol))
       .agg(sum("n_tokens").as("strat_tokens"))
       .withColumn("_w", floor(sqrt(col("strat_tokens").cast("double"))).cast("long"))
-    val quotas = weights
-      .crossJoin(weights.agg(sum("_w").as("_tw")))
+      .withColumn("_tw", sum(col("_w")).over(wAll))
       .withColumn("quota_tokens", expr(s"(${budget}L * _w) div _tw"))
       .select(col(strataCol), col("quota_tokens"))
     val w = Window.partitionBy(col(strataCol))
