@@ -327,12 +327,15 @@ object TextAnalysis {
     * idf = round-6 `ln(N / df)` with df = distinct-doc frequency, score =
     * tf·idf, top `k` per doc with a term tie-break.
     *
-    * Scale shape: two keyed aggregations with map-side combine — (doc,
-    * term) counts, whose row count already IS the distinct pair set, then
-    * term-keyed df (`count(*)`, never `countDistinct`) — a term-keyed
-    * join back, and a bounded per-doc top-k window. N joins in as a
-    * 1-row broadcast. The idf is rounded to 6 before the multiply so the
-    * ln's last-ulp libm variance can't reorder ranks across engines. */
+    * Scale shape: ONE keyed aggregation with map-side combine — (doc,
+    * term) counts, whose row count already IS the distinct pair set —
+    * then df as a term-partitioned `count(*)` window over that same tf
+    * table (a groupBy+join formulation physically re-evaluates the whole
+    * tf subtree, i.e. a second corpus explode+aggregate pass; the window
+    * reads it once), and a bounded per-doc top-k window. N joins in as a
+    * 1-row broadcast (its `count(*)` is a parquet-footer scan). The idf
+    * is rounded to 6 before the multiply so the ln's last-ulp libm
+    * variance can't reorder ranks across engines. */
   def tfidfTopTerms(
       docs: DataFrame,
       k: Int = 5,
@@ -340,14 +343,15 @@ object TextAnalysis {
       idCol: String = "doc_id"): DataFrame = {
     val terms = docs.select(col(idCol), explode(split(col(textCol), " ")).as("term"))
     val tf = terms.groupBy(col(idCol), col("term")).agg(count(lit(1)).as("tf"))
-    val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
     val n = docs.agg(count(lit(1)).as("_n"))
-    val w = Window.partitionBy(idCol).orderBy(col("score").desc, col("term").asc)
-    tf.join(dfreq, "term")
+    val wTerm = Window.partitionBy("term")
+    val wDoc = Window.partitionBy(idCol).orderBy(col("score").desc, col("term").asc)
+    tf
+      .withColumn("df", count(lit(1)).over(wTerm))
       .crossJoin(broadcast(n))
       .withColumn("idf", round(log(col("_n").cast("double") / col("df")), 6))
       .withColumn("score", col("tf") * col("idf"))
-      .withColumn("rank", row_number().over(w))
+      .withColumn("rank", row_number().over(wDoc))
       .filter(col("rank") <= k)
       .select(col(idCol), col("term"), col("tf"), col("df"), col("idf"), col("score"), col("rank"))
   }
