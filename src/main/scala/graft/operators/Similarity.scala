@@ -279,12 +279,15 @@ object Similarity {
     * only and reranks by exact round-6 cosine.
     *
     * Scale shape: the stage-1 scan touches only the slim (id, int8 code)
-    * projection — a 4x bandwidth cut over scanning raw floats — and the
-    * full-precision column is read for k·factor ids per query via
-    * equi-joins. The scan itself is exhaustive (documented flat
-    * baseline); compose with [[ivfTopKWith]]'s inverted lists to bound
-    * the scanned set at 100 TB — quantized scoring inside probed lists is
-    * exactly IVF-SQ8. */
+    * projection — a 4x bandwidth cut over scanning raw floats when the
+    * codes are materialized as a stored column — and the stage-2 rerank
+    * joins survivors back by id, so only k·factor full vectors per query
+    * cross the shuffle (the rerank-side scan still reads the
+    * full-precision column; an id-bucketed layout prunes it to survivor
+    * buckets). The scan itself is exhaustive (documented flat baseline);
+    * compose with [[ivfTopKWith]]'s inverted lists to bound the scanned
+    * set at 100 TB — quantized scoring inside probed lists is exactly
+    * IVF-SQ8. */
   def quantizedTopK(
       queries: DataFrame,
       candidates: DataFrame,

@@ -394,9 +394,13 @@ object TextAnalysis {
     * [[decontaminate]]: for every corpus doc, how many of its distinct
     * word `n`-grams also occur in the benchmark set, as count and
     * fraction (0.0 for clean docs; docs too short for any n-gram report
-    * NULL fraction). Same scale shape as the drop variant: distinct
-    * grams per side, gram-keyed equi-join, one per-doc count — shuffle
-    * volume is the deduplicated gram tables, never all-pairs. */
+    * NULL fraction). Same scale shape as the drop variant — distinct
+    * grams per side, gram-keyed equi-join, never all-pairs — but both
+    * per-doc counts come from ONE aggregation over the flagged gram
+    * table (a left join against the benchmark set marks each gram, then
+    * `count(*)` / `count(flag)` split totals from hits), so the
+    * expensive corpus-gram distinct is computed once, not re-evaluated
+    * per consuming aggregate. */
   def contaminationReport(
       corpus: DataFrame,
       benchmark: DataFrame,
@@ -411,14 +415,13 @@ object TextAnalysis {
       .select(split(col(textCol), " ").as("w"))
       .select(explode(expr(gramsSql(n))).as("ngram"))
       .distinct()
-    val perDoc = corpusGrams.groupBy(col(idCol)).agg(count(lit(1)).as("n_grams"))
-    val hits = corpusGrams
-      .join(benchGrams, Seq("ngram"))
+      .withColumn("_hit", lit(1))
+    val perDoc = corpusGrams
+      .join(benchGrams, Seq("ngram"), "left")
       .groupBy(col(idCol))
-      .agg(count(lit(1)).as("n_contaminated"))
+      .agg(count(lit(1)).as("n_grams"), count(col("_hit")).as("n_contaminated"))
     corpus.select(col(idCol))
       .join(perDoc, Seq(idCol), "left")
-      .join(hits, Seq(idCol), "left")
       .withColumn("n_grams", coalesce(col("n_grams"), lit(0L)))
       .withColumn("n_contaminated", coalesce(col("n_contaminated"), lit(0L)))
       .withColumn("contamination",
