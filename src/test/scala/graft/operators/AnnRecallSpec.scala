@@ -1,0 +1,66 @@
+package graft.operators
+
+import graft.SparkSpec
+import graft.queries.TrainedCentroids
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Measured recall@10 of every approximate ANN variant against the exact
+  * brute-force ranking on the sf0.001 embeddings — the approximation
+  * quality the "recall < 1 by construction" scaladocs promise but the
+  * bit-exact oracles (which pin the approximate outputs, not their
+  * quality) can't see. Floors are deliberately below the observed values
+  * (printed per variant) so data-noise can't flake the suite, but high
+  * enough that a broken candidate stage (empty buckets, wrong banding,
+  * mis-assigned lists) fails loudly.
+  */
+class AnnRecallSpec extends SparkSpec {
+
+  private val dir = "/root/testdata/sf0.001"
+
+  private def topKSet(df: DataFrame): Map[Long, Set[Long]] =
+    df.select("qid", "cid").collect()
+      .groupBy(_.getLong(0)).view.mapValues(_.map(_.getLong(1)).toSet).toMap
+
+  private def recall(approx: Map[Long, Set[Long]], exact: Map[Long, Set[Long]]): Double = {
+    val per = exact.map { case (q, t) =>
+      approx.getOrElse(q, Set.empty).intersect(t).size.toDouble / t.size
+    }
+    per.sum / per.size
+  }
+
+  test("recall@10 vs brute force: quantized ~exact, LSH and IVF above their floors") {
+    val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+    val q = emb.filter(col("vec_id") % 20 === 0).select(col("vec_id").as("qid"), col("embedding"))
+    val c = emb.select(col("vec_id").as("cid"), col("embedding"))
+    assert(q.count() >= 5, "need a meaningful query set")
+
+    val exact = topKSet(Similarity.bruteForceTopK(q, c, k = 10))
+
+    val rQuant = recall(topKSet(Similarity.quantizedTopK(q, c, k = 10)), exact)
+    val rLsh16 = recall(topKSet(Similarity.lshTopK(q, c, dim = 64, k = 10)), exact)
+    val rLsh32 = recall(topKSet(Similarity.lshTopK(q, c, dim = 64, k = 10, nBits = 32)), exact)
+    val rIvf2 = recall(topKSet(
+      Similarity.ivfTopKWith(q, c, TrainedCentroids.sf001k8, k = 10, nProbe = 2)), exact)
+    val rIvf4 = recall(topKSet(
+      Similarity.ivfTopKWith(q, c, TrainedCentroids.sf001k8, k = 10, nProbe = 4)), exact)
+    val rIvfHash = recall(topKSet(Similarity.ivfTopK(q, c, k = 10)), exact)
+
+    info(f"recall@10  quantized=$rQuant%.3f  lsh16=$rLsh16%.3f  lsh32=$rLsh32%.3f  " +
+      f"ivf_trained(p2)=$rIvf2%.3f  ivf_trained(p4)=$rIvf4%.3f  ivf_hash=$rIvfHash%.3f")
+
+    // int8 + 3x overfetch loses almost nothing: quantization error is far
+    // below typical top-10 similarity gaps (observed 1.000)
+    assert(rQuant >= 0.95, f"quantized recall collapsed: $rQuant%.3f")
+    // banded LSH on weakly-correlated synthetic vectors is a low-recall
+    // regime (top-10 cosines are small, so few band collisions) — the
+    // floor only guards against a broken bucket join sitting at ~0, and
+    // the documented knob must actually work: more bands => more recall
+    assert(rLsh16 >= 0.05, f"LSH recall collapsed: $rLsh16%.3f")
+    assert(rLsh32 >= rLsh16, f"raising the band count must not lose recall: $rLsh32%.3f < $rLsh16%.3f")
+    // inverted lists: probing more lists must not lose recall either
+    assert(rIvf2 >= 0.30, f"trained-IVF recall collapsed: $rIvf2%.3f")
+    assert(rIvf4 >= rIvf2, f"nProbe 4 must not lose recall vs 2: $rIvf4%.3f < $rIvf2%.3f")
+    assert(rIvfHash >= 0.30, f"hash-IVF recall collapsed: $rIvfHash%.3f")
+  }
+}
