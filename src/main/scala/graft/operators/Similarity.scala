@@ -247,12 +247,9 @@ object Similarity {
       idCol: String = "vec_id",
       vecCol: String = "embedding"): DataFrame = {
     val assigned = assignClusters(items.select(col(idCol), col(vecCol)), centroidVecs, vecCol)
-      .select(col(idCol), col("centroid_id"), col(vecCol))
-    val dupIds = assigned.as("a")
-      .join(assigned.as("b"),
-        col("a.centroid_id") === col("b.centroid_id") && col(s"a.$idCol") < col(s"b.$idCol"))
-      .filter(round(cosineSimilarity(col(s"a.$vecCol"), col(s"b.$vecCol")), 6) >= threshold)
-      .select(col(s"b.$idCol").as(idCol))
+      .select(col(idCol), col("centroid_id"))
+    val dupIds = semanticDedupPairs(items, centroidVecs, threshold, idCol, vecCol)
+      .select(col("d2").as(idCol))
       .distinct()
       .withColumn("_dup", lit(true))
     assigned
@@ -260,6 +257,45 @@ object Similarity {
       .select(col(idCol), col("centroid_id"),
         coalesce(col("_dup"), lit(false)).unary_!.as("keep"))
   }
+
+  /** The within-cluster near-dup PAIRS behind [[semanticDedup]] —
+    * exposed so callers can choose a keep policy. */
+  def semanticDedupPairs(
+      items: DataFrame,
+      centroidVecs: Seq[Array[Double]],
+      threshold: Double,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame = {
+    val assigned = assignClusters(items.select(col(idCol), col(vecCol)), centroidVecs, vecCol)
+      .select(col(idCol), col("centroid_id"), col(vecCol))
+    assigned.as("a")
+      .join(assigned.as("b"),
+        col("a.centroid_id") === col("b.centroid_id") && col(s"a.$idCol") < col(s"b.$idCol"))
+      .filter(round(cosineSimilarity(col(s"a.$vecCol"), col(s"b.$vecCol")), 6) >= threshold)
+      .select(col(s"a.$idCol").as("d1"), col(s"b.$idCol").as("d2"))
+  }
+
+  /** Cluster-canonical semantic dedup: [[semanticDedupPairs]] closed
+    * transitively by `Dedup.connectedComponents` (min-id label
+    * propagation), keeping exactly ONE item per similarity component.
+    * The fix for chains that [[semanticDedup]]'s pairwise keep-first
+    * policy drops entirely: A~B, B~C with no A~C pair keeps only A here,
+    * where the pairwise rule can drop both B and C and still keep A —
+    * same keep set on chains rooted at the minimum, but components whose
+    * pairs arrive in other shapes (see ClusterDedupSpec's reversed
+    * chain) can lose every member under keep-first. Same bounded
+    * iteration as q64: the pair table is orders of magnitude smaller
+    * than the corpus. Output: (id, cluster_id, keep). */
+  def semanticDedupClusters(
+      items: DataFrame,
+      centroidVecs: Seq[Array[Double]],
+      threshold: Double,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame =
+    Dedup.nearDupClusters(
+      items.select(col(idCol)),
+      semanticDedupPairs(items, centroidVecs, threshold, idCol, vecCol),
+      idCol)
 
   /** Scalar int8 quantization of an embedding column: each component
     * becomes `round(x * 127)` — integer-valued, exactly representable, 4x

@@ -80,6 +80,30 @@ class SemanticDedupSpec extends SparkSpec {
     assert(quant == exact)
   }
 
+  test("semanticDedupClusters closes chains transitively: one keeper per component") {
+    val s = spark
+    import s.implicits._
+    // chain inside one cluster: unit vectors at 0, 1 and 2 degrees —
+    // adjacent cosines ~0.99985 pass the 0.9996 threshold, the 1~3
+    // cosine ~0.99939 does not: a strict chain. Pairwise keep-first and
+    // CC agree on the keep set here (keep 1), but only the CC output
+    // labels the whole chain as ONE cluster
+    def deg(d: Double) = vec(math.cos(math.toRadians(d)), math.sin(math.toRadians(d)), 0, 0)
+    val items = Seq(
+      (1L, deg(0)), (2L, deg(1)), (3L, deg(2)),
+      (4L, vec(0, 0, 1, 0)) // other cluster, untouched
+    ).toDF("vec_id", "embedding")
+    val centroids = Seq(Array(1.0, 0, 0, 0), Array(0, 0, 1.0, 0))
+    val thr = 0.9996
+    val pairs = Similarity.semanticDedupPairs(items, centroids, thr)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs == Set((1L, 2L), (2L, 3L)), s"fixture must form a strict chain, got $pairs")
+    val out = Similarity.semanticDedupClusters(items, centroids, thr)
+      .orderBy("vec_id").collect()
+      .map(r => (r.getLong(0), r.getAs[Long]("cluster_id"), r.getAs[Boolean]("keep")))
+    assert(out.toSeq == Seq((1L, 1L, true), (2L, 1L, false), (3L, 1L, false), (4L, 4L, true)))
+  }
+
   test("semanticDedup plan shape: pair stage is an equi-join on centroid_id, never a cross product") {
     val s = spark
     import s.implicits._
