@@ -63,4 +63,41 @@ class AnnRecallSpec extends SparkSpec {
     assert(rIvf4 >= rIvf2, f"nProbe 4 must not lose recall vs 2: $rIvf4%.3f < $rIvf2%.3f")
     assert(rIvfHash >= 0.30, f"hash-IVF recall collapsed: $rIvfHash%.3f")
   }
+
+  test("cosineNearDup: planted near-duplicates are recalled ~fully; weak-pair tail is knob-monotone") {
+    val s = spark
+    import s.implicits._
+    // the synthetic embeddings contain NO true near-dups (max pairwise
+    // cosine 0.479 at sf0.001), so genuine dedup recall needs planting:
+    // a lightly-perturbed copy of 20 vectors (cosine ≈ 0.9999 to its
+    // original — the regime the banding is built for, where per-bit
+    // collision probability approaches 1)
+    val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+    val base = emb.filter(col("vec_id") % 10 === 0).limit(20)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("e"))
+      .collect().map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
+    val planted = base.map { case (id, e) =>
+      val p = e.clone(); p(0) = p(0) + 0.01f
+      (id + 100000L, p.map(_.toFloat))
+    }
+    val all = emb.select(col("vec_id"),
+        col("embedding").cast("array<float>").as("embedding"))
+      .unionByName(planted.toSeq.toDF("vec_id", "embedding"))
+    val expected = base.map { case (id, _) => (id, id + 100000L) }.toSet
+
+    def pairs(nBits: Int, thr: Double): Set[(Long, Long)] =
+      Similarity.cosineNearDup(all, dim = 64, threshold = thr, nBits = nBits)
+        .select("d1", "d2").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+
+    val found = pairs(16, 0.99).intersect(expected)
+    info(f"planted near-dup recall (16 bits) = ${found.size.toDouble / expected.size}%.3f of ${expected.size}")
+    assert(found.size >= 17, s"banding must recall ~all true near-duplicates, got ${found.size}/20")
+
+    // the weak-similarity tail (0.2 on this data) is honestly low-recall;
+    // the band-count knob must still be monotone there
+    val b16 = pairs(16, 0.2)
+    val b32 = pairs(32, 0.2)
+    assert(b32.size >= b16.size,
+      s"raising the band count must not lose pairs: ${b32.size} < ${b16.size}")
+  }
 }
