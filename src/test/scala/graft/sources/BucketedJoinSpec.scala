@@ -47,4 +47,30 @@ class BucketedJoinSpec extends SparkSpec {
         s"bucket-key aggregation should not shuffle:\n${aplan.take(2000)}")
     } finally s.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
+
+  test("quantized-ANN rerank against a vec_id-bucketed vector store: store side never shuffles") {
+    val s = spark
+    import s.implicits._
+    // the Similarity.quantizedTopK scaladoc claims an id-bucketed layout
+    // spares the full-precision store its rerank shuffle — demonstrate
+    // exactly that join shape: tiny survivor set joined by id against a
+    // bucketed store. Only the survivor side may exchange.
+    val store = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .select(col("vec_id").as("cid"), col("embedding"))
+    Bucketed.ensureBucketed(s, store, "b_vecstore", Seq("cid"), 4,
+      sortCols = Seq("cid"), path = Some("/tmp/graft_bucketed/b_vecstore"))
+    val survivors = Seq((0L, 0L, 100L), (0L, 20L, 90L), (100L, 40L, 80L))
+      .toDF("qid", "cid", "qdot")
+    val prev = s.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      s.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val rerank = survivors.join(s.table("b_vecstore"), "cid")
+      // AdaptiveSparkPlan's toString appends the pre-AQE "Initial Plan";
+      // count exchanges in the executed final section only
+      val plan = executedPlanString(rerank).split("== Initial Plan ==")(0)
+      val nEx = "Exchange".r.findAllIn(plan).length
+      assert(nEx == 1, s"only the survivor side may shuffle, got $nEx exchanges:\n${plan.take(2000)}")
+      assert(rerank.count() == 3)
+    } finally s.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
 }
