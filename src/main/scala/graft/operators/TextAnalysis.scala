@@ -429,6 +429,42 @@ object TextAnalysis {
           col("n_contaminated").cast("double") / col("n_grams")))
   }
 
+  /** Unigram-LM perplexity scoring (the CCNet-style quality signal,
+    * Wenzek et al. 2020 §4.3 — docs far from the corpus language model
+    * are tail quality): train a unigram model on the corpus itself
+    * (p(w) = count/total), score every doc by its mean word log-prob and
+    * report perplexity `exp(-avg_logp)`.
+    *
+    * Exactness discipline: each word's log-prob is rounded to 6 and
+    * stored as an integer MICRO-log (×1e6, long), so the per-doc sum is
+    * integer arithmetic — addition-order-free across engines — and the
+    * only float steps are one division at the end and a round-6 exp.
+    *
+    * Scale shape: the corpus explodes twice — once collapsed map-side
+    * into the vocab model (shuffle = vocab-sized), once for scoring,
+    * where the model joins in (broadcast when the vocabulary fits, the
+    * usual case). The model total rides a single-partition window over
+    * the vocab table, never a second corpus aggregate. */
+  def lmScore(
+      docs: DataFrame,
+      textCol: String = "text",
+      idCol: String = "doc_id"): DataFrame = {
+    val terms = docs.select(col(idCol), explode(split(col(textCol), " ")).as("w"))
+    val wTot = Window.partitionBy(lit(0))
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val lm = terms.groupBy("w").agg(count(lit(1)).as("cnt"))
+      .withColumn("_tt", sum(col("cnt")).over(wTot))
+      .withColumn("li",
+        round(round(log(col("cnt").cast("double") / col("_tt")), 6) * 1e6).cast("long"))
+      .select("w", "li")
+    terms.join(lm, "w")
+      .groupBy(col(idCol))
+      .agg(sum("li").as("_sli"), count(lit(1)).as("n_scored"))
+      .withColumn("avg_logp", col("_sli").cast("double") / (col("n_scored") * lit(1000000L)))
+      .withColumn("ppl", round(exp(-col("avg_logp")), 6))
+      .select(col(idCol), col("n_scored"), col("avg_logp"), col("ppl"))
+  }
+
   /** PII patterns for [[redactPii]] — deliberately in the Java ∩ RE2
     * regex subset (no lookaround, no backrefs) so any SQL engine replays
     * them verbatim. */

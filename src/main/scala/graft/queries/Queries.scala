@@ -1126,6 +1126,27 @@ object Queries {
       LEFT JOIN h ON h.doc_id = d.doc_id
       ORDER BY d.doc_id"""))
 
+  /** Unigram-LM perplexity scoring (`TextAnalysis.lmScore`): per-doc
+    * mean word log-prob + perplexity under the corpus's own unigram
+    * model. Word log-probs become round-6 integer micro-logs, so the
+    * per-doc sum is addition-order-free; one end division + round-6 exp
+    * are the only float steps. */
+  val q74_lm_perplexity: Q = Q(
+    (s, d) => TextAnalysis.lmScore(table(s, d, "documents")).orderBy("doc_id"),
+    Some("""WITH t AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents),
+      c AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS cnt FROM t GROUP BY w),
+      tot AS (SELECT CAST(SUM(cnt) AS BIGINT) AS tt FROM c),
+      lp AS (SELECT w,
+               CAST(ROUND(ROUND(LN(CAST(cnt AS DOUBLE) / tt), 6) * 1000000) AS BIGINT) AS li
+             FROM c CROSS JOIN tot),
+      d AS (SELECT t.doc_id, CAST(SUM(lp.li) AS BIGINT) AS sli,
+              CAST(COUNT(*) AS BIGINT) AS n_scored
+            FROM t JOIN lp USING (w) GROUP BY t.doc_id)
+      SELECT doc_id, n_scored,
+        CAST(sli AS DOUBLE) / (n_scored * 1000000) AS avg_logp,
+        ROUND(EXP(-(CAST(sli AS DOUBLE) / (n_scored * 1000000))), 6) AS ppl
+      FROM d ORDER BY doc_id"""))
+
   // ============================================ embeddings (extension ops)
 
   val q30_cosine_sim: Q = Q(
@@ -2190,5 +2211,6 @@ object Queries {
     "q70_tfidf_terms" -> q70_tfidf_terms,
     "q71_dedup_incremental" -> q71_dedup_incremental,
     "q72_chunk_docs" -> q72_chunk_docs,
-    "q73_contamination_report" -> q73_contamination_report)
+    "q73_contamination_report" -> q73_contamination_report,
+    "q74_lm_perplexity" -> q74_lm_perplexity)
 }

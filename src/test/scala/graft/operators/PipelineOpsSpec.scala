@@ -401,6 +401,28 @@ class PipelineOpsSpec extends SparkSpec {
     assert(dropped == r.filter(_._2._2 > 0).keySet)
   }
 
+  test("lmScore: hand-computed unigram perplexity; repetitive docs score as more predictable") {
+    val s = spark
+    import s.implicits._
+    val d = Seq(
+      (1L, "a a a b"),  // mostly the most frequent word
+      (2L, "b c d e")   // one-off words -> lower logp, higher perplexity
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.lmScore(d).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("n_scored"), r.getAs[Double]("avg_logp"), r.getAs[Double]("ppl")))
+      .toMap
+    // corpus: 8 tokens; p(a)=3/8, p(b)=2/8, p(c)=p(d)=p(e)=1/8
+    def micro(p: Double): Long = math.round(BigDecimal(math.log(p))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble * 1e6)
+    val exp1 = (3 * micro(3.0 / 8) + micro(2.0 / 8)).toDouble / (4 * 1e6)
+    val exp2 = (micro(2.0 / 8) + 3 * micro(1.0 / 8)).toDouble / (4 * 1e6)
+    assert(out(1L)._1 == 4L && math.abs(out(1L)._2 - exp1) < 1e-12)
+    assert(out(2L)._1 == 4L && math.abs(out(2L)._2 - exp2) < 1e-12)
+    assert(out(1L)._3 < out(2L)._3, "the repetitive doc must have lower perplexity")
+    assert(math.abs(out(1L)._3 - math.exp(-exp1)) < 1e-5)
+  }
+
   test("dedupAgainstReference drops fingerprint matches incl. word-order permutations") {
     val s = spark
     import s.implicits._
