@@ -448,22 +448,42 @@ object TextAnalysis {
   def lmScore(
       docs: DataFrame,
       textCol: String = "text",
-      idCol: String = "doc_id"): DataFrame = {
-    val terms = docs.select(col(idCol), explode(split(col(textCol), " ")).as("w"))
+      idCol: String = "doc_id"): DataFrame =
+    lmScoreWith(docs, unigramLm(docs, textCol), textCol, idCol)
+
+  /** The unigram model half of [[lmScore]]: (word, round-6 micro-log-
+    * prob) trained on `corpus`. A build artifact — persist it and score
+    * incremental batches with [[lmScoreWith]] (CCNet proper trains the
+    * model on a REFERENCE corpus, e.g. Wikipedia, and scores the crawl
+    * under it — exactly this split). */
+  def unigramLm(corpus: DataFrame, textCol: String = "text"): DataFrame = {
     val wTot = Window.partitionBy(lit(0))
       .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
-    val lm = terms.groupBy("w").agg(count(lit(1)).as("cnt"))
+    corpus.select(explode(split(col(textCol), " ")).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("cnt"))
       .withColumn("_tt", sum(col("cnt")).over(wTot))
       .withColumn("li",
         round(round(log(col("cnt").cast("double") / col("_tt")), 6) * 1e6).cast("long"))
       .select("w", "li")
-    terms.join(lm, "w")
+  }
+
+  /** The scoring half of [[lmScore]] against an explicit (possibly
+    * reference-corpus-trained) model. Out-of-vocabulary words are
+    * excluded from the mean (the inner model join drops them) and
+    * `n_scored` counts only in-vocab words — callers filtering on
+    * coverage can compare `n_scored` to a separate token count. */
+  def lmScoreWith(
+      docs: DataFrame,
+      lm: DataFrame,
+      textCol: String = "text",
+      idCol: String = "doc_id"): DataFrame =
+    docs.select(col(idCol), explode(split(col(textCol), " ")).as("w"))
+      .join(lm, "w")
       .groupBy(col(idCol))
       .agg(sum("li").as("_sli"), count(lit(1)).as("n_scored"))
       .withColumn("avg_logp", col("_sli").cast("double") / (col("n_scored") * lit(1000000L)))
       .withColumn("ppl", round(exp(-col("avg_logp")), 6))
       .select(col(idCol), col("n_scored"), col("avg_logp"), col("ppl"))
-  }
 
   /** PII patterns for [[redactPii]] — deliberately in the Java ∩ RE2
     * regex subset (no lookaround, no backrefs) so any SQL engine replays

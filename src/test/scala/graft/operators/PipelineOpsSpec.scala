@@ -421,6 +421,16 @@ class PipelineOpsSpec extends SparkSpec {
     assert(out(2L)._1 == 4L && math.abs(out(2L)._2 - exp2) < 1e-12)
     assert(out(1L)._3 < out(2L)._3, "the repetitive doc must have lower perplexity")
     assert(math.abs(out(1L)._3 - math.exp(-exp1)) < 1e-5)
+
+    // reference-model split (the CCNet shape): score a new batch under
+    // the model trained above; OOV words are excluded and n_scored says so
+    val lm = TextAnalysis.unigramLm(d)
+    val batch = Seq((10L, "a b zzz")).toDF("doc_id", "text")
+    val scored = TextAnalysis.lmScoreWith(batch, lm).collect()
+      .map(r => (r.getAs[Long]("n_scored"), r.getAs[Double]("avg_logp")))
+    assert(scored.length == 1 && scored(0)._1 == 2L, "zzz is OOV -> 2 scored words")
+    val expRef = (micro(3.0 / 8) + micro(2.0 / 8)).toDouble / (2 * 1e6)
+    assert(math.abs(scored(0)._2 - expRef) < 1e-12)
   }
 
   test("dedupAgainstReference drops fingerprint matches incl. word-order permutations") {
