@@ -1,0 +1,109 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** BM25 full-text retrieval over a document corpus (builder extension —
+  * the classic inverted-index ranking function, Robertson & Zaragoza 2009,
+  * in the non-negative Lucene idf form `ln(1 + (N - df + 0.5)/(df + 0.5))`).
+  *
+  * Spark-first shape: for a BOUNDED query-term set the whole thing is
+  * column algebra — per-doc term frequencies are row-local array folds
+  * (`filter(w, x -> x = term)` per term, fixed columns, no explode and no
+  * (doc, term) shuffle), the corpus statistics (N, avgdl, per-term df)
+  * are ONE tiny global aggregate broadcast back, and scoring + top-k is a
+  * map stage into `TakeOrderedAndProject`. Zero wide shuffles end to end:
+  * the only exchanges are the single-row stats aggregate and the top-k.
+  *
+  * Train/score split (same pattern as [[TextAnalysis.unigramLm]]): corpus
+  * statistics are a model — [[bm25Stats]] computes them once (one
+  * column-pruned pass over `text`), [[bm25ScoreWith]] scores any batch
+  * under them without rescanning the stats corpus. The [[bm25]]
+  * convenience trains on the scored corpus itself (two scans, the
+  * documented cost of self-training — at 100 TB train the stats on the
+  * corpus once, persist the one-row model, and reuse it per query).
+  *
+  * Exactness: idf is rounded to 6 decimals at the model (libm `ln`
+  * discipline); every other step is IEEE-deterministic (exact long
+  * sums, single divisions, fixed-order term addition) and the final
+  * score is rounded to 6.
+  */
+object Retrieval {
+
+  private def sanitize(t: String): String = {
+    require(t.matches("[A-Za-z0-9']+"), s"query term must be a plain word: $t")
+    t
+  }
+
+  /** Per-doc word array + doc length + one tf column per query term —
+    * purely row-local (fixed small term set ⇒ fixed columns). */
+  private def perDoc(docs: DataFrame, terms: Seq[String], textCol: String, idCol: String)
+      : DataFrame = {
+    val tfCols = terms.zipWithIndex.map { case (t, i) =>
+      expr(s"size(filter(_w, x -> x = '${sanitize(t)}'))").cast("long").as(s"tf$i")
+    }
+    docs
+      .select(col(idCol), split(col(textCol), " ").as("_w"))
+      .select(col(idCol) +: size(col("_w")).cast("long").as("dl") +: tfCols: _*)
+  }
+
+  /** The BM25 corpus model: ONE row with `n_docs`, `avgdl` and, per query
+    * term, `df{i}` and round-6 `idf{i}`. */
+  def bm25Stats(
+      corpus: DataFrame,
+      terms: Seq[String],
+      textCol: String = "text",
+      idCol: String = "doc_id"): DataFrame = {
+    val pd = perDoc(corpus, terms, textCol, idCol)
+    val aggs =
+      count(lit(1)).as("n_docs") +: sum(col("dl")).as("sum_dl") +:
+        terms.indices.map(i => count(when(col(s"tf$i") > 0, 1)).as(s"df$i"))
+    val idfs = terms.indices.map { i =>
+      round(log(lit(1.0) +
+        (col("n_docs").cast("double") - col(s"df$i") + lit(0.5)) / (col(s"df$i") + lit(0.5))), 6)
+        .as(s"idf$i")
+    }
+    pd.agg(aggs.head, aggs.tail: _*)
+      .withColumn("avgdl", col("sum_dl").cast("double") / col("n_docs"))
+      .select(col("n_docs") +: col("avgdl") +: (terms.indices.map(i => col(s"df$i")) ++ idfs): _*)
+  }
+
+  /** Score `docs` for `terms` under a pre-trained one-row `stats` model
+    * (broadcast — scoring is a pure map stage) and return the global
+    * top-`k` by (score desc, id asc). */
+  def bm25ScoreWith(
+      docs: DataFrame,
+      stats: DataFrame,
+      terms: Seq[String],
+      k1: Double = 1.2,
+      b: Double = 0.75,
+      topK: Int = 50,
+      textCol: String = "text",
+      idCol: String = "doc_id"): DataFrame = {
+    val den = lit(k1) * (lit(1 - b) + lit(b) * col("dl").cast("double") / col("avgdl"))
+    val termScores: Seq[Column] = terms.indices.map { i =>
+      val tfD = col(s"tf$i").cast("double")
+      when(col(s"tf$i") > 0, col(s"idf$i") * (tfD * lit(k1 + 1)) / (tfD + den))
+        .otherwise(lit(0.0))
+    }
+    perDoc(docs, terms, textCol, idCol)
+      .crossJoin(broadcast(stats))
+      .withColumn("score", round(termScores.reduce(_ + _), 6))
+      .filter(col("score") > 0)
+      .select(col(idCol), col("dl").as("n_words"), col("score"))
+      .orderBy(col("score").desc, col(idCol).asc)
+      .limit(topK)
+  }
+
+  /** Self-trained convenience: rank `docs` against themselves. */
+  def bm25(
+      docs: DataFrame,
+      terms: Seq[String],
+      k1: Double = 1.2,
+      b: Double = 0.75,
+      topK: Int = 50,
+      textCol: String = "text",
+      idCol: String = "doc_id"): DataFrame =
+    bm25ScoreWith(docs, bm25Stats(docs, terms, textCol, idCol), terms, k1, b, topK,
+      textCol, idCol)
+}

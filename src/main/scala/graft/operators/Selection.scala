@@ -1,0 +1,190 @@
+package graft.operators
+
+import java.nio.charset.StandardCharsets
+import java.security.MessageDigest
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Data-selection operators for training-pipeline curation (builder
+  * extension): DSIR-style importance weighting (Xie et al. 2023 — hashed
+  * n-gram bucket models, importance = log p_target/p_raw), fastText-style
+  * hashed linear quality classification, and deterministic output
+  * sharding with verifiable manifests.
+  *
+  * Shared hashing convention (same family as [[Dedup]]): the first 15 hex
+  * chars of md5 as a 60-bit non-negative long — portable, so any SQL
+  * engine reproduces bucket assignment bit-for-bit.
+  */
+object Selection {
+
+  /** 60-bit md5 prefix of a string column as a long. */
+  private[graft] def md5Long(c: Column): Column =
+    conv(substring(md5(c), 1, 15), 16, 10).cast("long")
+
+  /** Driver-side twin of [[md5Long]] (for baking model literals). */
+  private[graft] def md5LongLocal(s: String): Long = {
+    val d = MessageDigest.getInstance("MD5").digest(s.getBytes(StandardCharsets.UTF_8))
+    java.lang.Long.parseLong(d.take(8).map("%02x".format(_)).mkString.take(15), 16)
+  }
+
+  // ===================================================== DSIR importance
+
+  /** Hashed-bigram bucket model for importance resampling: per bucket, the
+    * round-6 micro-log ratio `li = round(ln(p_target/p_raw), 6) * 1e6`
+    * with add-one smoothing over `buckets` hashed features.
+    *
+    * This is the TRAIN half and it is model-sized: two explode→bucket
+    * aggregates (shuffle key space = `buckets`, map-side combined), bucket
+    * totals via a single-partition window over the `buckets`-row table
+    * (never a second corpus aggregate). In production DSIR the raw-side
+    * counts are estimated from a corpus SAMPLE — ratios only need
+    * proportions — so the train scan need not touch all 100 TB.
+    */
+  def dsirModel(
+      raw: DataFrame,
+      target: DataFrame,
+      buckets: Int = 64,
+      n: Int = 2,
+      textCol: String = "text"): DataFrame = {
+    def bucketCounts(df: DataFrame, cnt: String): DataFrame =
+      df.select(split(col(textCol), " ").as("w"))
+        .select(explode(expr(TextAnalysis.gramsSql(n))).as("g"))
+        .groupBy((md5Long(col("g")) % buckets).as("bucket"))
+        .agg(count(lit(1)).as(cnt))
+    val spark = raw.sparkSession
+    val all = spark.range(buckets).select(col("id").as("bucket"))
+    val wTot = Window.partitionBy(lit(0))
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    all
+      .join(bucketCounts(raw, "raw_n"), Seq("bucket"), "left")
+      .join(bucketCounts(target, "tgt_n"), Seq("bucket"), "left")
+      .withColumn("raw_n", coalesce(col("raw_n"), lit(0L)))
+      .withColumn("tgt_n", coalesce(col("tgt_n"), lit(0L)))
+      .withColumn("_rt", sum(col("raw_n")).over(wTot))
+      .withColumn("_tt", sum(col("tgt_n")).over(wTot))
+      .withColumn("li",
+        round(round(log(
+          ((col("tgt_n") + lit(1.0)) / (col("_tt") + lit(buckets.toDouble))) /
+            ((col("raw_n") + lit(1.0)) / (col("_rt") + lit(buckets.toDouble)))), 6) * 1e6)
+          .cast("long"))
+      .select("bucket", "raw_n", "tgt_n", "li")
+  }
+
+  /** SCORE half: per-doc importance weight under a trained bucket model —
+    * `log_w = Σ_features li[bucket]`, the log importance ratio of the
+    * doc's hashed-feature set. One explode → (doc, bucket) aggregate →
+    * broadcast model join → per-doc integer sum (micro-logs are
+    * addition-order-free); docs too short for any n-gram keep weight 0.
+    * Downstream resampling keeps docs with the largest weights (or
+    * Gumbel-samples proportionally). */
+  def importanceWeights(
+      docs: DataFrame,
+      model: DataFrame,
+      buckets: Int = 64,
+      n: Int = 2,
+      textCol: String = "text",
+      idCol: String = "doc_id"): DataFrame = {
+    val perBucket = docs
+      .select(col(idCol), split(col(textCol), " ").as("w"))
+      .select(col(idCol), explode(expr(TextAnalysis.gramsSql(n))).as("g"))
+      .groupBy(col(idCol), (md5Long(col("g")) % buckets).as("bucket"))
+      .agg(count(lit(1)).as("nf"))
+    val perDoc = perBucket
+      .join(broadcast(model.select("bucket", "li")), "bucket")
+      .groupBy(col(idCol))
+      .agg(sum(col("nf") * col("li")).as("log_w_micro"), sum("nf").as("n_features"))
+    docs.select(col(idCol))
+      .join(perDoc, Seq(idCol), "left")
+      .withColumn("n_features", coalesce(col("n_features"), lit(0L)))
+      .withColumn("log_w_micro", coalesce(col("log_w_micro"), lit(0L)))
+      .withColumn("log_w", col("log_w_micro").cast("double") / lit(1e6))
+      .select(idCol, "n_features", "log_w_micro", "log_w")
+  }
+
+  /** Self-contained convenience: weight `docs` toward `target` with the
+    * model trained on (`docs`, `target`) themselves — two passes over
+    * `docs` (train + score), the documented cost of self-training; see
+    * [[dsirModel]] for the sampled production form. */
+  def dsirWeights(
+      docs: DataFrame,
+      target: DataFrame,
+      buckets: Int = 64,
+      n: Int = 2,
+      textCol: String = "text",
+      idCol: String = "doc_id"): DataFrame =
+    importanceWeights(docs, dsirModel(docs, target, buckets, n, textCol), buckets, n,
+      textCol, idCol)
+
+  // ============================================== hashed linear classifier
+
+  /** Deterministic pre-trained micro-weights (1e-6 units in [-1, 1]) for
+    * [[classifierScore]]'s default model: weight of bucket `b` derives
+    * from md5("qw#b") — a reproducible stand-in for fastText-trained
+    * weights (the real training loop is offline either way; scoring only
+    * ever sees a literal weight vector). */
+  def defaultQualityWeights(buckets: Int = 64): Seq[Long] =
+    (0 until buckets).map(b => md5LongLocal(s"qw#$b") % 2000001L - 1000000L)
+
+  /** fastText-style linear quality classifier scoring: each word hashes to
+    * a bucket, the doc's logit is the mean bucket weight, probability is
+    * the round-6 sigmoid, `keep` = prob ≥ 0.5.
+    *
+    * Entirely ROW-LOCAL — the weight vector is a literal array inside one
+    * `aggregate` fold, so scoring is a zero-shuffle, stateless map stage
+    * (streaming-safe, composes with `cleanIngest`) that scales linearly.
+    * Integer micro-weight sums are addition-order-free; the logit is one
+    * long/long division; only the sigmoid crosses libm and is rounded.
+    */
+  def classifierScore(
+      docs: DataFrame,
+      weights: Seq[Long],
+      textCol: String = "text",
+      idCol: String = "doc_id"): DataFrame = {
+    val b = weights.size
+    val warr = weights.mkString("array(", ", ", ")")
+    val sumExpr =
+      s"""aggregate(_w, CAST(0 AS BIGINT), (acc, x) ->
+         |  acc + element_at($warr,
+         |    CAST(CAST(conv(substring(md5(x), 1, 15), 16, 10) AS BIGINT) % $b AS INT) + 1))""".stripMargin
+    docs
+      .select(col(idCol), split(col(textCol), " ").as("_w"))
+      .withColumn("n_words", size(col("_w")).cast("long"))
+      .withColumn("w_micro", expr(sumExpr))
+      .withColumn("logit", col("w_micro").cast("double") / (col("n_words") * lit(1000000L)))
+      .withColumn("prob", round(lit(1.0) / (lit(1.0) + exp(-col("logit"))), 6))
+      .withColumn("keep", when(col("prob") >= 0.5, 1).otherwise(0))
+      .select(idCol, "n_words", "w_micro", "logit", "prob", "keep")
+  }
+
+  // ====================================================== output sharding
+
+  /** Deterministic training-shard assignment + per-shard manifest — the
+    * terminal stage of a curation pipeline, where the kept corpus is laid
+    * out into `nShards` reproducible output shards. Shard = 60-bit md5 of
+    * the doc id mod `nShards` (uniform, repartition-invariant); the
+    * manifest carries doc/token counts and an ORDER-FREE content checksum
+    * (`bit_xor` of each doc's 60-bit text digest), so two independent
+    * runs — or a Spark run and any other engine — can verify shard
+    * contents without sorting them. One hash-partitioned aggregation with
+    * map-side combine; no skew (md5 is uniform by construction). */
+  def shardManifest(
+      docs: DataFrame,
+      nShards: Int = 16,
+      textCol: String = "text",
+      idCol: String = "doc_id"): DataFrame =
+    docs
+      .select(
+        (md5Long(col(idCol).cast("string")) % nShards).as("shard"),
+        col(idCol),
+        size(split(col(textCol), " ")).cast("long").as("_nw"),
+        md5Long(col(textCol)).as("_h"))
+      .groupBy("shard")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum("_nw").as("n_tokens"),
+        min(col(idCol)).as("min_doc"),
+        max(col(idCol)).as("max_doc"),
+        expr("bit_xor(_h)").as("checksum"))
+}

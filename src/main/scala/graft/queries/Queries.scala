@@ -1147,6 +1147,124 @@ object Queries {
         ROUND(EXP(-(CAST(sli AS DOUBLE) / (n_scored * 1000000))), 6) AS ppl
       FROM d ORDER BY doc_id"""))
 
+  /** The q75 query-term set (words that occur in the synthetic corpus at
+    * varied document frequencies). Declared before q75 builds its oracle
+    * from it (object vals initialize in declaration order). */
+  private val Bm25Terms: Seq[String] = Seq("hash", "stream", "spark")
+
+  /** BM25 retrieval (`Retrieval.bm25`): top-50 docs for a 3-term query,
+    * Lucene non-negative idf. Per-doc tfs are row-local list folds (no
+    * explode), the corpus stats are one broadcast row, and the oracle
+    * replays the identical double-expression tree (idf round-6 at the
+    * model, score round-6 at the end; every DuckDB operand is cast to
+    * DOUBLE before a fractional literal touches it, or its DECIMAL
+    * arithmetic would diverge from Spark's doubles). */
+  val q75_bm25: Q = Q(
+    (s, d) => Retrieval.bm25(table(s, d, "documents"), Bm25Terms),
+    Some(bm25Sql(Bm25Terms, k1 = 1.2, b = 0.75, topK = 50)))
+
+  /** DSIR importance weighting (`Selection.dsirWeights`): hashed-bigram
+    * bucket model (64 buckets, add-one smoothing) trained with the
+    * benchmark slice (doc_id % 11 = 0) as target; per-doc weight = Σ
+    * micro-log ratios (integer, order-free). */
+  val q76_dsir_weights: Q = Q(
+    (s, d) => {
+      val docs = table(s, d, "documents")
+      Selection.dsirWeights(docs, docs.filter(col("doc_id") % 11 === 0))
+        .orderBy("doc_id")
+    },
+    Some(s"""WITH w AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+      g AS (SELECT doc_id, unnest(${duckGrams(2)}) AS g FROM w),
+      gb AS (SELECT doc_id,
+               CAST('0x' || substr(md5(g), 1, 15) AS BIGINT) % 64 AS bucket FROM g),
+      rawc AS (SELECT bucket, CAST(COUNT(*) AS BIGINT) AS raw_n FROM gb GROUP BY bucket),
+      tgtc AS (SELECT bucket, CAST(COUNT(*) AS BIGINT) AS tgt_n
+               FROM gb WHERE doc_id % 11 = 0 GROUP BY bucket),
+      mb AS (SELECT r.range AS bucket,
+               COALESCE(rawc.raw_n, 0) AS raw_n, COALESCE(tgtc.tgt_n, 0) AS tgt_n
+             FROM range(0, 64) r
+             LEFT JOIN rawc ON rawc.bucket = r.range
+             LEFT JOIN tgtc ON tgtc.bucket = r.range),
+      mdl AS (SELECT bucket,
+               CAST(ROUND(ROUND(LN(
+                 ((CAST(tgt_n AS DOUBLE) + 1.0) / (CAST(SUM(tgt_n) OVER () AS DOUBLE) + 64.0)) /
+                 ((CAST(raw_n AS DOUBLE) + 1.0) / (CAST(SUM(raw_n) OVER () AS DOUBLE) + 64.0))), 6)
+                 * 1e6) AS BIGINT) AS li
+             FROM mb),
+      db AS (SELECT doc_id, bucket, CAST(COUNT(*) AS BIGINT) AS nf
+             FROM gb GROUP BY doc_id, bucket),
+      pdw AS (SELECT db.doc_id,
+               CAST(SUM(db.nf * mdl.li) AS BIGINT) AS log_w_micro,
+               CAST(SUM(db.nf) AS BIGINT) AS n_features
+             FROM db JOIN mdl USING (bucket) GROUP BY db.doc_id)
+      SELECT d.doc_id,
+        COALESCE(pdw.n_features, 0) AS n_features,
+        COALESCE(pdw.log_w_micro, 0) AS log_w_micro,
+        CAST(COALESCE(pdw.log_w_micro, 0) AS DOUBLE) / 1e6 AS log_w
+      FROM documents d LEFT JOIN pdw USING (doc_id) ORDER BY d.doc_id"""))
+
+  /** Hashed linear quality classifier (`Selection.classifierScore`):
+    * per-word md5 bucket → literal micro-weight vector → integer fold,
+    * mean-weight logit, round-6 sigmoid. Fully row-local on both
+    * engines (one `aggregate` fold / one `list_transform` sum). */
+  val q77_classifier: Q = Q(
+    (s, d) => Selection.classifierScore(
+        table(s, d, "documents"), Selection.defaultQualityWeights(64))
+      .orderBy("doc_id"),
+    Some {
+      val wl = Selection.defaultQualityWeights(64).mkString("[", ", ", "]")
+      s"""WITH w AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+      sc AS (SELECT doc_id, CAST(len(w) AS BIGINT) AS n_words,
+               CAST(list_sum(list_transform(w, x ->
+                 $wl[CAST(CAST('0x' || substr(md5(x), 1, 15) AS BIGINT) % 64 AS INTEGER) + 1]))
+                 AS BIGINT) AS w_micro
+             FROM w)
+      SELECT doc_id, n_words, w_micro,
+        CAST(w_micro AS DOUBLE) / (n_words * 1000000) AS logit,
+        ROUND(1.0 / (1.0 + EXP(-(CAST(w_micro AS DOUBLE) / (n_words * 1000000)))), 6) AS prob,
+        CAST(CASE WHEN ROUND(1.0 / (1.0 + EXP(-(CAST(w_micro AS DOUBLE) / (n_words * 1000000)))), 6)
+                       >= 0.5 THEN 1 ELSE 0 END AS INTEGER) AS keep
+      FROM sc ORDER BY doc_id"""
+    })
+
+  /** Deterministic output sharding (`Selection.shardManifest`): md5 shard
+    * assignment + per-shard manifest with an order-free `bit_xor` content
+    * checksum — two engines can verify shard contents without sorting. */
+  val q78_shard_manifest: Q = Q(
+    (s, d) => Selection.shardManifest(table(s, d, "documents")).orderBy("shard"),
+    Some("""SELECT CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT) % 16 AS shard,
+        CAST(COUNT(*) AS BIGINT) AS n_docs,
+        CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS n_tokens,
+        MIN(doc_id) AS min_doc, MAX(doc_id) AS max_doc,
+        CAST(bit_xor(CAST('0x' || substr(md5(text), 1, 15) AS BIGINT)) AS BIGINT) AS checksum
+      FROM documents GROUP BY 1 ORDER BY shard"""))
+
+  /** The BM25 oracle, generated from the SAME Scala doubles the Spark plan
+    * uses (`toString` of a Double is shortest-round-trip, and DuckDB
+    * parses it back to the identical IEEE value). */
+  private def bm25Sql(terms: Seq[String], k1: Double, b: Double, topK: Int): String = {
+    val tfDefs = terms.indices.map(i =>
+      s"CAST(len(list_filter(w, x -> x = '${terms(i)}')) AS BIGINT) AS tf$i").mkString(", ")
+    val dfDefs = terms.indices.map(i =>
+      s"CAST(COUNT(CASE WHEN tf$i > 0 THEN 1 END) AS BIGINT) AS df$i").mkString(", ")
+    val idfDefs = terms.indices.map(i =>
+      s"ROUND(LN(1.0 + ((CAST(n_docs AS DOUBLE) - df$i) + 0.5) / (CAST(df$i AS DOUBLE) + 0.5)), 6) AS idf$i")
+      .mkString(", ")
+    val den = s"$k1 * (${1 - b} + ($b * CAST(pd.dl AS DOUBLE)) / m.avgdl)"
+    val termSum = terms.indices.map(i =>
+      s"""CASE WHEN pd.tf$i > 0
+         THEN (m.idf$i * (CAST(pd.tf$i AS DOUBLE) * ${k1 + 1})) / (CAST(pd.tf$i AS DOUBLE) + $den)
+         ELSE CAST(0 AS DOUBLE) END""").mkString(" + ")
+    s"""WITH w AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+      pd AS (SELECT doc_id, CAST(len(w) AS BIGINT) AS dl, $tfDefs FROM w),
+      st AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs, CAST(SUM(dl) AS BIGINT) AS sum_dl,
+               $dfDefs FROM pd),
+      m AS (SELECT n_docs, CAST(sum_dl AS DOUBLE) / n_docs AS avgdl, $idfDefs FROM st),
+      sc AS (SELECT pd.doc_id, pd.dl, ROUND($termSum, 6) AS score FROM pd CROSS JOIN m)
+      SELECT doc_id, dl AS n_words, score FROM sc
+      WHERE score > 0 ORDER BY score DESC, doc_id LIMIT $topK"""
+  }
+
   // ============================================ embeddings (extension ops)
 
   val q30_cosine_sim: Q = Q(
@@ -2212,5 +2330,9 @@ object Queries {
     "q71_dedup_incremental" -> q71_dedup_incremental,
     "q72_chunk_docs" -> q72_chunk_docs,
     "q73_contamination_report" -> q73_contamination_report,
-    "q74_lm_perplexity" -> q74_lm_perplexity)
+    "q74_lm_perplexity" -> q74_lm_perplexity,
+    "q75_bm25" -> q75_bm25,
+    "q76_dsir_weights" -> q76_dsir_weights,
+    "q77_classifier" -> q77_classifier,
+    "q78_shard_manifest" -> q78_shard_manifest)
 }

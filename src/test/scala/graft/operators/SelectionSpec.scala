@@ -1,0 +1,101 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Specs for the data-selection / retrieval extension ops: BM25, DSIR
+  * importance weights, hashed linear classifier, shard manifests. */
+class SelectionSpec extends SparkSpec {
+
+  private lazy val docs = {
+    val s = spark
+    import s.implicits._
+    Seq(
+      (1L, "spark spark spark engine"),            // high tf for 'spark'
+      (2L, "spark engine"),                        // one 'spark', shorter
+      (3L, "engine room with a very long tail of words padding the doc length out"),
+      (4L, "nothing relevant here at all"),
+      (5L, "rare gem"),                            // contains the rare term
+      (6L, "spark gem engine"))
+      .toDF("doc_id", "text")
+  }
+
+  test("bm25: tf raises score, rarity raises per-term weight, topK bounds rows") {
+    val r = Retrieval.bm25(docs, Seq("spark", "gem"), topK = 10)
+      .collect().map(x => x.getAs[Long]("doc_id") -> x.getAs[Double]("score")).toMap
+    // docs without either term never appear
+    assert(!r.contains(3L) && !r.contains(4L))
+    // doc 1 (tf=3) outscores doc 2 (tf=1, same-ish length)
+    assert(r(1L) > r(2L))
+    // 'gem' (df=2) is rarer than 'spark' (df=3): doc 5 ('gem', 2 words)
+    // outscores doc 2 ('spark', 2 words) at identical length
+    assert(r(5L) > r(2L))
+    // doc 6 has both terms: highest score of the single-term docs' peers
+    assert(r(6L) > r(2L) && r(6L) > r(5L))
+  }
+
+  test("bm25 stats/score split: scoring a batch under a reference model") {
+    val stats = Retrieval.bm25Stats(docs, Seq("spark"))
+    val row = stats.collect()(0)
+    assert(row.getAs[Long]("n_docs") == 6L && row.getAs[Long]("df0") == 3L)
+    // score only a 2-doc batch under the full-corpus model: same scores
+    // as the self-trained run restricted to those docs
+    val batch = docs.filter(col("doc_id") <= 2)
+    val scored = Retrieval.bm25ScoreWith(batch, stats, Seq("spark"))
+      .collect().map(x => x.getAs[Long]("doc_id") -> x.getAs[Double]("score")).toMap
+    val full = Retrieval.bm25(docs, Seq("spark"))
+      .collect().map(x => x.getAs[Long]("doc_id") -> x.getAs[Double]("score")).toMap
+    assert(scored.keySet == Set(1L, 2L))
+    assert(scored(1L) == full(1L) && scored(2L) == full(2L))
+  }
+
+  test("dsir: docs resembling the target slice get larger importance weights") {
+    val s = spark
+    import s.implicits._
+    // target style: "alpha beta" bigrams; raw style: "gamma delta"
+    val corpus = Seq(
+      (1L, "alpha beta alpha beta alpha beta"),
+      (2L, "gamma delta gamma delta gamma delta"),
+      (3L, "alpha beta gamma delta"),
+      (4L, "x")) // too short for a bigram -> weight 0
+      .toDF("doc_id", "text")
+    val target = Seq((10L, "alpha beta alpha beta")).toDF("doc_id", "text")
+    val w = Selection.dsirWeights(corpus, target)
+      .collect().map(x => x.getAs[Long]("doc_id") -> x.getAs[Double]("log_w")).toMap
+    assert(w(1L) > w(3L) && w(3L) > w(2L)) // on-target > mixed > off-target
+    assert(w(4L) == 0.0)
+    // model is bucket-complete and carries round-6 micro-logs
+    val m = Selection.dsirModel(corpus, target).collect()
+    assert(m.length == 64)
+    assert(m.map(_.getAs[Long]("raw_n")).sum == 13) // 5+5+3+0 bigrams
+  }
+
+  test("classifier: row-local scoring is deterministic and threshold-consistent") {
+    val wts = Selection.defaultQualityWeights(64)
+    assert(wts.size == 64 && wts.forall(w => w >= -1000000L && w <= 1000000L))
+    val r = Selection.classifierScore(docs, wts).collect()
+    assert(r.length == 6)
+    r.foreach { row =>
+      val prob = row.getAs[Double]("prob")
+      val keep = row.getAs[Int]("keep")
+      assert(prob >= 0.0 && prob <= 1.0)
+      assert(keep == (if (prob >= 0.5) 1 else 0))
+      // logit is the mean micro-weight: |logit| <= max |weight| / 1e6 <= 1
+      assert(math.abs(row.getAs[Double]("logit")) <= 1.0)
+    }
+    // deterministic across runs
+    val again = Selection.classifierScore(docs, wts).collect()
+    assert(r.map(_.toString).sorted.sameElements(again.map(_.toString).sorted))
+  }
+
+  test("shard manifest: shards partition the corpus; checksum is order-free") {
+    val m = Selection.shardManifest(docs, nShards = 4).collect()
+    assert(m.map(_.getAs[Long]("n_docs")).sum == 6L)
+    assert(m.forall(r => r.getAs[Long]("shard") >= 0 && r.getAs[Long]("shard") < 4))
+    // repartitioning/reordering the input changes nothing (bit_xor + md5
+    // assignment are both order-free)
+    val m2 = Selection.shardManifest(docs.repartition(7).orderBy(col("doc_id").desc), 4)
+      .collect()
+    assert(m.map(_.toString).sorted.sameElements(m2.map(_.toString).sorted))
+  }
+}
