@@ -117,6 +117,35 @@ object Selection {
     importanceWeights(docs, dsirModel(docs, target, buckets, n, textCol), buckets, n,
       textCol, idCol)
 
+  /** Importance RESAMPLING under a trained bucket model — the step that
+    * turns [[importanceWeights]] into a selected corpus: weighted
+    * sampling without replacement via the Gumbel-top-k / Efraimidis-
+    * Spirakis race in log space. Each doc draws a deterministic uniform
+    * from md5(id) (52-bit mantissa-exact, so u ∈ (0,1) STRICTLY on every
+    * engine — no ln(0)/ln(1) edge), and the k docs with the smallest
+    * `key = ln(-ln(u)) - log_w` are exactly a probability-∝-exp(log_w)
+    * sample without replacement. The key is one round-6 micro-log minus
+    * the integer weight — an integer compare — and selection is
+    * `TakeOrderedAndProject`, so the whole resample is a map stage plus
+    * a top-k at any scale. */
+  def dsirResample(
+      docs: DataFrame,
+      model: DataFrame,
+      k: Int,
+      buckets: Int = 64,
+      n: Int = 2,
+      textCol: String = "text",
+      idCol: String = "doc_id"): DataFrame = {
+    val mantissa = 1L << 52
+    val u = (Selection.md5Long(col(idCol).cast("string")) % mantissa + lit(1L))
+      .cast("double") / lit(mantissa + 1L).cast("double")
+    importanceWeights(docs, model, buckets, n, textCol, idCol)
+      .withColumn("key_micro",
+        round(round(log(-log(u)), 6) * 1e6).cast("long") - col("log_w_micro"))
+      .orderBy(col("key_micro").asc, col(idCol).asc)
+      .limit(k)
+  }
+
   // ============================================== hashed linear classifier
 
   /** Deterministic pre-trained micro-weights (1e-6 units in [-1, 1]) for

@@ -1163,17 +1163,12 @@ object Queries {
     (s, d) => Retrieval.bm25(table(s, d, "documents"), Bm25Terms),
     Some(bm25Sql(Bm25Terms, k1 = 1.2, b = 0.75, topK = 50)))
 
-  /** DSIR importance weighting (`Selection.dsirWeights`): hashed-bigram
-    * bucket model (64 buckets, add-one smoothing) trained with the
-    * benchmark slice (doc_id % 11 = 0) as target; per-doc weight = Σ
-    * micro-log ratios (integer, order-free). */
-  val q76_dsir_weights: Q = Q(
-    (s, d) => {
-      val docs = table(s, d, "documents")
-      Selection.dsirWeights(docs, docs.filter(col("doc_id") % 11 === 0))
-        .orderBy("doc_id")
-    },
-    Some(s"""WITH w AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+  /** Shared DSIR oracle CTEs (q76/q79): hashed-bigram buckets, the
+    * 64-bucket smoothed micro-log-ratio model (totals via window over the
+    * 64-row bucket table), and per-doc weights `dw` — the row-local /
+    * pre-aggregated discipline of the other text oracles. */
+  private val dsirCtes: String =
+    s"""w AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
       g AS (SELECT doc_id, unnest(${duckGrams(2)}) AS g FROM w),
       gb AS (SELECT doc_id,
                CAST('0x' || substr(md5(g), 1, 15) AS BIGINT) % 64 AS bucket FROM g),
@@ -1196,12 +1191,47 @@ object Queries {
       pdw AS (SELECT db.doc_id,
                CAST(SUM(db.nf * mdl.li) AS BIGINT) AS log_w_micro,
                CAST(SUM(db.nf) AS BIGINT) AS n_features
-             FROM db JOIN mdl USING (bucket) GROUP BY db.doc_id)
-      SELECT d.doc_id,
-        COALESCE(pdw.n_features, 0) AS n_features,
-        COALESCE(pdw.log_w_micro, 0) AS log_w_micro,
-        CAST(COALESCE(pdw.log_w_micro, 0) AS DOUBLE) / 1e6 AS log_w
-      FROM documents d LEFT JOIN pdw USING (doc_id) ORDER BY d.doc_id"""))
+             FROM db JOIN mdl USING (bucket) GROUP BY db.doc_id),
+      dw AS (SELECT d.doc_id,
+               COALESCE(pdw.n_features, 0) AS n_features,
+               COALESCE(pdw.log_w_micro, 0) AS log_w_micro,
+               CAST(COALESCE(pdw.log_w_micro, 0) AS DOUBLE) / 1e6 AS log_w
+             FROM documents d LEFT JOIN pdw USING (doc_id))"""
+
+  /** DSIR importance weighting (`Selection.dsirWeights`): hashed-bigram
+    * bucket model (64 buckets, add-one smoothing) trained with the
+    * benchmark slice (doc_id % 11 = 0) as target; per-doc weight = Σ
+    * micro-log ratios (integer, order-free). */
+  val q76_dsir_weights: Q = Q(
+    (s, d) => {
+      val docs = table(s, d, "documents")
+      Selection.dsirWeights(docs, docs.filter(col("doc_id") % 11 === 0))
+        .orderBy("doc_id")
+    },
+    Some(s"""WITH $dsirCtes
+      SELECT doc_id, n_features, log_w_micro, log_w
+      FROM dw ORDER BY doc_id"""))
+
+  /** DSIR importance RESAMPLING (`Selection.dsirResample`): Gumbel-top-k
+    * in log space — deterministic md5 uniform (52-bit exact, strictly
+    * inside (0,1)), integer key = round-6 micro `ln(-ln(u))` minus the
+    * micro log-weight, 100 smallest keys win. */
+  val q79_dsir_resample: Q = Q(
+    (s, d) => {
+      val docs = table(s, d, "documents")
+      Selection.dsirResample(
+        docs, Selection.dsirModel(docs, docs.filter(col("doc_id") % 11 === 0)), k = 100)
+    },
+    Some(s"""WITH $dsirCtes,
+      sel AS (SELECT doc_id, n_features, log_w_micro, log_w,
+               CAST(ROUND(ROUND(LN(-LN(
+                 CAST((CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT)
+                       % 4503599627370496) + 1 AS DOUBLE)
+                 / CAST(4503599627370497 AS DOUBLE))), 6) * 1e6) AS BIGINT)
+                 - log_w_micro AS key_micro
+             FROM dw)
+      SELECT doc_id, n_features, log_w_micro, log_w, key_micro
+      FROM sel ORDER BY key_micro ASC, doc_id ASC LIMIT 100"""))
 
   /** Hashed linear quality classifier (`Selection.classifierScore`):
     * per-word md5 bucket → literal micro-weight vector → integer fold,
@@ -2334,5 +2364,6 @@ object Queries {
     "q75_bm25" -> q75_bm25,
     "q76_dsir_weights" -> q76_dsir_weights,
     "q77_classifier" -> q77_classifier,
-    "q78_shard_manifest" -> q78_shard_manifest)
+    "q78_shard_manifest" -> q78_shard_manifest,
+    "q79_dsir_resample" -> q79_dsir_resample)
 }

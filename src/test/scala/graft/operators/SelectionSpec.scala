@@ -70,6 +70,28 @@ class SelectionSpec extends SparkSpec {
     assert(m.map(_.getAs[Long]("raw_n")).sum == 13) // 5+5+3+0 bigrams
   }
 
+  test("dsir resample: heavier docs win more seats; keys are finite and deterministic") {
+    val s = spark
+    import s.implicits._
+    // 30 on-target docs + 30 off-target docs with distinct vocabularies
+    val corpus = (
+      (1L to 30L).map(i => (i, s"alpha beta alpha beta tag$i")) ++
+      (31L to 60L).map(i => (i, s"gamma delta gamma delta tag$i"))).toDF("doc_id", "text")
+    val target = Seq((100L, "alpha beta alpha beta alpha")).toDF("doc_id", "text")
+    val model = Selection.dsirModel(corpus, target)
+    val picked = Selection.dsirResample(corpus, model, k = 20)
+      .collect().map(_.getAs[Long]("doc_id"))
+    assert(picked.length == 20)
+    val onTarget = picked.count(_ <= 30L)
+    // exp(log_w) is orders of magnitude larger for alpha-beta docs: the
+    // Gumbel race must seat mostly (not necessarily only) those
+    assert(onTarget >= 15, s"expected on-target majority, got $onTarget/20")
+    // deterministic: same call, same seats
+    val again = Selection.dsirResample(corpus, model, k = 20)
+      .collect().map(_.getAs[Long]("doc_id"))
+    assert(picked.sameElements(again))
+  }
+
   test("classifier: row-local scoring is deterministic and threshold-consistent") {
     val wts = Selection.defaultQualityWeights(64)
     assert(wts.size == 64 && wts.forall(w => w >= -1000000L && w <= 1000000L))
