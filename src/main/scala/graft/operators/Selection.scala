@@ -166,25 +166,53 @@ object Selection {
     * Integer micro-weight sums are addition-order-free; the logit is one
     * long/long division; only the sigmoid crosses libm and is rounded.
     */
+  /** The classifier's summed micro-weight as a column over a word-array
+    * column — the shared kernel of [[classifierScore]] and [[curate]]. */
+  private[graft] def wMicroExpr(wordsCol: String, weights: Seq[Long]): Column = {
+    val warr = weights.mkString("array(", ", ", ")")
+    expr(
+      s"""aggregate($wordsCol, CAST(0 AS BIGINT), (acc, x) ->
+         |  acc + element_at($warr,
+         |    CAST(CAST(conv(substring(md5(x), 1, 15), 16, 10) AS BIGINT) % ${weights.size} AS INT) + 1))""".stripMargin)
+  }
+
   def classifierScore(
       docs: DataFrame,
       weights: Seq[Long],
       textCol: String = "text",
-      idCol: String = "doc_id"): DataFrame = {
-    val b = weights.size
-    val warr = weights.mkString("array(", ", ", ")")
-    val sumExpr =
-      s"""aggregate(_w, CAST(0 AS BIGINT), (acc, x) ->
-         |  acc + element_at($warr,
-         |    CAST(CAST(conv(substring(md5(x), 1, 15), 16, 10) AS BIGINT) % $b AS INT) + 1))""".stripMargin
+      idCol: String = "doc_id"): DataFrame =
     docs
       .select(col(idCol), split(col(textCol), " ").as("_w"))
       .withColumn("n_words", size(col("_w")).cast("long"))
-      .withColumn("w_micro", expr(sumExpr))
+      .withColumn("w_micro", wMicroExpr("_w", weights))
       .withColumn("logit", col("w_micro").cast("double") / (col("n_words") * lit(1000000L)))
       .withColumn("prob", round(lit(1.0) / (lit(1.0) + exp(-col("logit"))), 6))
       .withColumn("keep", when(col("prob") >= 0.5, 1).otherwise(0))
       .select(idCol, "n_words", "w_micro", "logit", "prob", "keep")
+
+  /** End-to-end curation: classifier gate + fingerprint keep-first dedup
+    * in ONE declarative plan, returning the curated (id, text) corpus.
+    * The gate is `w_micro >= 0` — exactly `logit >= 0`, i.e. sigmoid ≥
+    * 0.5, as an integer compare. Dedup ranks each word-set-fingerprint
+    * group with gated docs first and keeps the min-id gated doc
+    * (gate-then-keep-first); the window also pins the interpreted
+    * classifier fold ABOVE any scan so it is evaluated once at full
+    * parallelism, never pushed into a scan predicate (same plan
+    * discipline as the q58 cleaning pipeline). */
+  def curate(
+      docs: DataFrame,
+      weights: Seq[Long],
+      textCol: String = "text",
+      idCol: String = "doc_id"): DataFrame = {
+    val w = Window.partitionBy(col("_fp"))
+      .orderBy(col("_ok").desc, col(idCol).asc)
+    docs
+      .select(col(idCol), col(textCol), split(col(textCol), " ").as("_w"))
+      .withColumn("_fp", Dedup.fingerprintExprFromWords(col("_w")))
+      .withColumn("_ok", wMicroExpr("_w", weights) >= 0)
+      .withColumn("_rn", row_number().over(w))
+      .filter(col("_ok") && col("_rn") === 1)
+      .select(col(idCol), col(textCol))
   }
 
   // ====================================================== output sharding

@@ -1233,6 +1233,35 @@ object Queries {
       SELECT doc_id, n_features, log_w_micro, log_w, key_micro
       FROM sel ORDER BY key_micro ASC, doc_id ASC LIMIT 100"""))
 
+  /** End-to-end curation to shard manifests (`Selection.curate` →
+    * `shardManifest`): classifier gate (w_micro ≥ 0 ⟺ sigmoid ≥ 0.5, an
+    * integer compare) + fingerprint keep-first dedup + md5 sharding with
+    * `bit_xor` checksums, all one declarative plan — the terminal
+    * artifact of the curation pipeline. */
+  val q80_curated_shards: Q = Q(
+    (s, d) => Selection.shardManifest(
+        Selection.curate(docsRebalanced(s, d), Selection.defaultQualityWeights(64)))
+      .orderBy("shard"),
+    Some {
+      val wl = Selection.defaultQualityWeights(64).mkString("[", ", ", "]")
+      s"""WITH w AS (SELECT doc_id, text, string_split(text, ' ') AS w FROM documents),
+      sc AS (SELECT doc_id, text, w,
+               md5(array_to_string(list_sort(list_distinct(w)), ' ')) AS fp,
+               CAST(list_sum(list_transform(w, x ->
+                 $wl[CAST(CAST('0x' || substr(md5(x), 1, 15) AS BIGINT) % 64 AS INTEGER) + 1]))
+                 AS BIGINT) AS wm
+             FROM w),
+      keep AS (SELECT fp, MIN(doc_id) AS keep_id FROM sc WHERE wm >= 0 GROUP BY fp),
+      cur AS (SELECT s.doc_id, s.text, s.w FROM sc s
+              JOIN keep k ON k.fp = s.fp AND k.keep_id = s.doc_id)
+      SELECT CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT) % 16 AS shard,
+        CAST(COUNT(*) AS BIGINT) AS n_docs,
+        CAST(SUM(len(w)) AS BIGINT) AS n_tokens,
+        MIN(doc_id) AS min_doc, MAX(doc_id) AS max_doc,
+        CAST(bit_xor(CAST('0x' || substr(md5(text), 1, 15) AS BIGINT)) AS BIGINT) AS checksum
+      FROM cur GROUP BY 1 ORDER BY shard"""
+    })
+
   /** Hashed linear quality classifier (`Selection.classifierScore`):
     * per-word md5 bucket → literal micro-weight vector → integer fold,
     * mean-weight logit, round-6 sigmoid. Fully row-local on both
@@ -2365,5 +2394,6 @@ object Queries {
     "q76_dsir_weights" -> q76_dsir_weights,
     "q77_classifier" -> q77_classifier,
     "q78_shard_manifest" -> q78_shard_manifest,
-    "q79_dsir_resample" -> q79_dsir_resample)
+    "q79_dsir_resample" -> q79_dsir_resample,
+    "q80_curated_shards" -> q80_curated_shards)
 }

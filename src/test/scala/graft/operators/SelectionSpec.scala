@@ -110,6 +110,24 @@ class SelectionSpec extends SparkSpec {
     assert(r.map(_.toString).sorted.sameElements(again.map(_.toString).sorted))
   }
 
+  test("curate: classifier gate + fingerprint keep-first in one plan") {
+    val s = spark
+    import s.implicits._
+    val wts = Selection.defaultQualityWeights(64)
+    // pick words the deterministic model likes/dislikes, driver-side
+    def wt(word: String): Long = wts((Selection.md5LongLocal(word) % 64).toInt)
+    val cands = (1 to 50).map(i => s"word$i")
+    val goodWord = cands.find(wt(_) >= 0).get
+    val badWord = cands.find(wt(_) < 0).get
+    val corpus = Seq(
+      (10L, s"$goodWord $goodWord"),
+      (11L, s"$goodWord $goodWord"), // exact word-set dup of 10 -> dropped
+      (13L, badWord))                // negative weight -> gated out
+      .toDF("doc_id", "text")
+    val kept = Selection.curate(corpus, wts).collect().map(_.getAs[Long]("doc_id")).toSet
+    assert(kept == Set(10L), s"expected gate+keep-first to keep only doc 10, got $kept")
+  }
+
   test("shard manifest: shards partition the corpus; checksum is order-free") {
     val m = Selection.shardManifest(docs, nShards = 4).collect()
     assert(m.map(_.getAs[Long]("n_docs")).sum == 6L)
