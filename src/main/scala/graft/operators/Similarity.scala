@@ -389,7 +389,13 @@ object Similarity {
   /** LSH-bucketed approximate top-k: candidates = vectors sharing any
     * 8-bit band of the signature with the query; exact cosine rerank on
     * candidates. Recall < 1 by construction (approximate), cost ~ bucket
-    * sizes instead of |Q| x |C|. */
+    * sizes instead of |Q| x |C|.
+    *
+    * `probes` is the multi-probe knob (Lv et al. 2007): each query band
+    * additionally probes the `probes` buckets at Hamming distance 1
+    * (single-bit flips), trading query-side fan-out (×(1+probes), on the
+    * SMALL side only — the candidate index is untouched) for recall.
+    * AnnRecallSpec measures the trade on real testdata. */
   def lshTopK(
       queries: DataFrame,
       candidates: DataFrame,
@@ -399,19 +405,23 @@ object Similarity {
       seed: Long = 42L,
       idQ: String = "qid",
       idC: String = "cid",
-      vecCol: String = "embedding"): DataFrame = {
+      vecCol: String = "embedding",
+      probes: Int = 0): DataFrame = {
+    require(probes >= 0 && probes <= 8, "probes must be in [0, 8] (bits per band)")
     val nBands = nBits / 8
-    def banded(df: DataFrame, id: String, v: String): DataFrame = {
+    def banded(df: DataFrame, id: String, v: String, nProbes: Int): DataFrame = {
       val s = withLshSignature(df.select(col(id), col(vecCol).as(v)), dim, nBits, seed, v)
-      val bandStructs = (0 until nBands).map { b =>
-        struct(lit(b).as("band_idx"),
-          shiftrightunsigned(col("lsh_sig"), b * 8).bitwiseAND(0xffL).as("band"))
+      val bandStructs = (0 until nBands).flatMap { b =>
+        val base = shiftrightunsigned(col("lsh_sig"), b * 8).bitwiseAND(0xffL)
+        struct(lit(b).as("band_idx"), base.as("band")) +:
+          (0 until nProbes).map(j =>
+            struct(lit(b).as("band_idx"), base.bitwiseXOR(lit(1L << j)).as("band")))
       }
       s.select(col(id), col(v), explode(array(bandStructs: _*)).as("_b"))
         .select(col(id), col(v), col("_b.band_idx").as("band_idx"), col("_b.band").as("band"))
     }
-    val q = banded(queries, idQ, "_qv")
-    val c = banded(candidates, idC, "_cv")
+    val q = banded(queries, idQ, "_qv", probes)
+    val c = banded(candidates, idC, "_cv", 0)
     // dedup on the id pair only (slim shuffle rows), then join the vectors
     // back for the rerank — the distinct's exchange never carries embeddings
     val cand = q.select(col(idQ), col("band_idx"), col("band"))

@@ -40,6 +40,8 @@ class AnnRecallSpec extends SparkSpec {
     val rQuant = recall(topKSet(Similarity.quantizedTopK(q, c, k = 10)), exact)
     val rLsh16 = recall(topKSet(Similarity.lshTopK(q, c, dim = 64, k = 10)), exact)
     val rLsh32 = recall(topKSet(Similarity.lshTopK(q, c, dim = 64, k = 10, nBits = 32)), exact)
+    val rLshP4 = recall(topKSet(Similarity.lshTopK(q, c, dim = 64, k = 10, probes = 4)), exact)
+    val rLshP8 = recall(topKSet(Similarity.lshTopK(q, c, dim = 64, k = 10, probes = 8)), exact)
     val rIvf2 = recall(topKSet(
       Similarity.ivfTopKWith(q, c, TrainedCentroids.sf001k8, k = 10, nProbe = 2)), exact)
     val rIvf4 = recall(topKSet(
@@ -58,6 +60,11 @@ class AnnRecallSpec extends SparkSpec {
     // the documented knob must actually work: more bands => more recall
     assert(rLsh16 >= 0.05, f"LSH recall collapsed: $rLsh16%.3f")
     assert(rLsh32 >= rLsh16, f"raising the band count must not lose recall: $rLsh32%.3f < $rLsh16%.3f")
+    // multi-probe: probing Hamming-1 buckets strictly widens each band's
+    // candidate set, so recall is monotone in the probe count
+    assert(rLshP4 >= rLsh16, f"4 probes must not lose recall vs 0: $rLshP4%.3f < $rLsh16%.3f")
+    assert(rLshP8 >= rLshP4, f"8 probes must not lose recall vs 4: $rLshP8%.3f < $rLshP4%.3f")
+    info(f"multi-probe lsh16: p0=$rLsh16%.3f p4=$rLshP4%.3f p8=$rLshP8%.3f")
     // inverted lists: probing more lists must not lose recall either
     assert(rIvf2 >= 0.30, f"trained-IVF recall collapsed: $rIvf2%.3f")
     assert(rIvf4 >= rIvf2, f"nProbe 4 must not lose recall vs 2: $rIvf4%.3f < $rIvf2%.3f")
