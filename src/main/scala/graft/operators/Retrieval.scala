@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** BM25 full-text retrieval over a document corpus (builder extension —
@@ -93,6 +94,69 @@ object Retrieval {
       .select(col(idCol), col("dl").as("n_words"), col("score"))
       .orderBy(col("score").desc, col(idCol).asc)
       .limit(topK)
+  }
+
+  /** Batch BM25 — the fully RELATIONAL form for an unbounded query TABLE
+    * (`queries`: one text per `qid`), the shape of RAG-training batch
+    * retrieval where thousands of queries rank against the corpus at
+    * once. The inverted index is the (doc, term, tf) table itself:
+    *
+    *   - corpus side: one explode → (doc, term, tf) aggregate that also
+    *     carries `dl` (constant per doc, rides the grouping key); per-term
+    *     `df` via a term-partitioned WINDOW over that same table — the
+    *     q70 discipline, one corpus pass, no second aggregate;
+    *   - corpus scalars (N, avgdl): a one-row column-pruned aggregate
+    *     broadcast into the scoring join (the second, cheap scan);
+    *   - query side: distinct (qid, term) — duplicate query words score
+    *     once, the standard bag-of-query simplification;
+    *   - scoring: term-keyed equi-join (hash-partitioned by term — hot
+    *     stopword-ish terms pre-reduce map-side and AQE splits residual
+    *     skew), per-(qid, doc) sum of round-6 MICRO term scores (integer,
+    *     addition-order-free across engines), top-`k` per qid by window.
+    *
+    * Shuffles: corpus (doc,term) aggregate, term join, (qid,doc) sum,
+    * per-qid rank — each keyed by uniform-cardinality keys. Nothing is
+    * ever all-pairs; the join volume is Σ_term df(term)·qf(term), the
+    * true inverted-index cost. */
+  def bm25Batch(
+      queries: DataFrame,
+      corpus: DataFrame,
+      k: Int = 10,
+      k1: Double = 1.2,
+      b: Double = 0.75,
+      textCol: String = "text",
+      idCol: String = "doc_id",
+      qidCol: String = "qid"): DataFrame = {
+    val ct = corpus
+      .select(col(idCol), size(split(col(textCol), " ")).cast("long").as("dl"),
+        explode(split(col(textCol), " ")).as("term"))
+      .groupBy(col(idCol), col("dl"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+      .withColumn("df", count(lit(1)).over(Window.partitionBy("term")))
+    val stats = corpus.agg(
+      count(lit(1)).as("n_docs"),
+      sum(size(split(col(textCol), " ")).cast("long")).as("sum_dl"))
+    val qt = queries
+      .select(col(qidCol), explode(split(col(textCol), " ")).as("term"))
+      .distinct()
+    val avgdl = col("sum_dl").cast("double") / col("n_docs")
+    val idf = round(log(lit(1.0) +
+      (col("n_docs").cast("double") - col("df") + lit(0.5)) / (col("df") + lit(0.5))), 6)
+    val tfD = col("tf").cast("double")
+    val den = lit(k1) * (lit(1 - b) + lit(b) * col("dl").cast("double") / col("avgdl"))
+    val termMicro =
+      round(round(idf * (tfD * lit(k1 + 1)) / (tfD + den), 6) * 1e6).cast("long")
+    val w = Window.partitionBy(qidCol).orderBy(col("score").desc, col(idCol).asc)
+    qt.join(ct, "term")
+      .crossJoin(broadcast(stats))
+      .withColumn("avgdl", avgdl)
+      .withColumn("_m", termMicro)
+      .groupBy(col(qidCol), col(idCol))
+      .agg(sum("_m").as("_sm"), count(lit(1)).as("n_terms"))
+      .withColumn("score", col("_sm").cast("double") / lit(1e6))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col(qidCol), col(idCol), col("rank"), col("n_terms"), col("score"))
   }
 
   /** Self-trained convenience: rank `docs` against themselves. */

@@ -1298,6 +1298,48 @@ object Queries {
         CAST(bit_xor(CAST('0x' || substr(md5(text), 1, 15) AS BIGINT)) AS BIGINT) AS checksum
       FROM documents GROUP BY 1 ORDER BY shard"""))
 
+  /** Batch BM25 (`Retrieval.bm25Batch`): an unbounded query TABLE (first
+    * 5 words of every doc_id % 29 = 0 doc) ranked against the corpus via
+    * the term-keyed inverted join; per-(qid, doc) scores are order-free
+    * micro-int sums; top-10 per query. */
+  val q81_bm25_batch: Q = Q(
+    (s, d) => {
+      val docs = table(s, d, "documents")
+      val qs = docs.filter(col("doc_id") % 29 === 0)
+        .select(col("doc_id").as("qid"),
+          concat_ws(" ", slice(split(col("text"), " "), 1, 5)).as("text"))
+      Retrieval.bm25Batch(qs, docs, k = 10).orderBy("qid", "rank")
+    },
+    Some("""WITH q AS (SELECT doc_id AS qid,
+               array_to_string(list_slice(string_split(text, ' '), 1, 5), ' ') AS qtext
+             FROM documents WHERE doc_id % 29 = 0),
+      qt AS (SELECT DISTINCT qid, unnest(string_split(qtext, ' ')) AS term FROM q),
+      ctw AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+      ct0 AS (SELECT doc_id, CAST(len(w) AS BIGINT) AS dl, unnest(w) AS term FROM ctw),
+      ct1 AS (SELECT doc_id, dl, term, CAST(COUNT(*) AS BIGINT) AS tf
+              FROM ct0 GROUP BY doc_id, dl, term),
+      ct AS (SELECT *, CAST(COUNT(*) OVER (PARTITION BY term) AS BIGINT) AS df FROM ct1),
+      st AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS sum_dl FROM documents),
+      sc AS (SELECT qt.qid, ct.doc_id,
+               CAST(ROUND(ROUND(
+                 ROUND(LN(1.0 + ((CAST(st.n_docs AS DOUBLE) - ct.df) + 0.5)
+                               / (CAST(ct.df AS DOUBLE) + 0.5)), 6)
+                 * (CAST(ct.tf AS DOUBLE) * 2.2)
+                 / (CAST(ct.tf AS DOUBLE)
+                    + 1.2 * (0.25 + (0.75 * CAST(ct.dl AS DOUBLE))
+                                    / (CAST(st.sum_dl AS DOUBLE) / st.n_docs))), 6)
+                 * 1e6) AS BIGINT) AS m
+             FROM qt JOIN ct USING (term) CROSS JOIN st),
+      pg AS (SELECT qid, doc_id, CAST(SUM(m) AS BIGINT) AS sm,
+               CAST(COUNT(*) AS BIGINT) AS n_terms FROM sc GROUP BY qid, doc_id),
+      rk AS (SELECT qid, doc_id, n_terms, CAST(sm AS DOUBLE) / 1e6 AS score,
+               CAST(ROW_NUMBER() OVER (PARTITION BY qid
+                 ORDER BY CAST(sm AS DOUBLE) / 1e6 DESC, doc_id ASC) AS INTEGER) AS rank
+             FROM pg)
+      SELECT qid, doc_id, rank, n_terms, score FROM rk
+      WHERE rank <= 10 ORDER BY qid, rank"""))
+
   /** The BM25 oracle, generated from the SAME Scala doubles the Spark plan
     * uses (`toString` of a Double is shortest-round-trip, and DuckDB
     * parses it back to the identical IEEE value). */
@@ -2395,5 +2437,6 @@ object Queries {
     "q77_classifier" -> q77_classifier,
     "q78_shard_manifest" -> q78_shard_manifest,
     "q79_dsir_resample" -> q79_dsir_resample,
-    "q80_curated_shards" -> q80_curated_shards)
+    "q80_curated_shards" -> q80_curated_shards,
+    "q81_bm25_batch" -> q81_bm25_batch)
 }

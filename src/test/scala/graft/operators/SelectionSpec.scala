@@ -49,6 +49,24 @@ class SelectionSpec extends SparkSpec {
     assert(scored(1L) == full(1L) && scored(2L) == full(2L))
   }
 
+  test("bm25 batch (relational) agrees with the column variant") {
+    val s = spark
+    import s.implicits._
+    val qs = Seq((1L, "spark gem")).toDF("qid", "text")
+    val batch = Retrieval.bm25Batch(qs, docs, k = 10)
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[Double]("score")).toMap
+    val colVar = Retrieval.bm25(docs, Seq("spark", "gem"), topK = 10)
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[Double]("score")).toMap
+    // same doc set; scores agree to the per-term micro rounding (the
+    // batch form rounds each term before summing, the column form after)
+    assert(batch.keySet == colVar.keySet)
+    batch.foreach { case (id, sc) => assert(approx(sc, colVar(id), 3e-6)) }
+    // same ranking
+    val rankB = batch.toSeq.sortBy { case (id, sc) => (-sc, id) }.map(_._1)
+    val rankC = colVar.toSeq.sortBy { case (id, sc) => (-sc, id) }.map(_._1)
+    assert(rankB == rankC)
+  }
+
   test("dsir: docs resembling the target slice get larger importance weights") {
     val s = spark
     import s.implicits._
