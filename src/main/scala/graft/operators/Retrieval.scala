@@ -147,10 +147,23 @@ object Retrieval {
     val termMicro =
       round(round(idf * (tfD * lit(k1 + 1)) / (tfD + den), 6) * 1e6).cast("long")
     val w = Window.partitionBy(qidCol).orderBy(col("score").desc, col(idCol).asc)
-    qt.join(ct, "term")
+    // score each (doc, term) posting ONCE, before the query join: the
+    // join fan-out is Σ df·qf rows and only (qid, doc, micro) needs to
+    // cross it — not a transcendental evaluation per joined row
+    // rebalance the slim posting table before the fan-out join: AQE
+    // coalesces the small term-window output to one partition (bytes-
+    // based), which would serialize the Σ df·qf join fan-out and its
+    // partial aggregate into a single task — the known pathology of a
+    // compact table feeding a high-fan-out join (cf. the k-NN rebalance).
+    // At real scale the posting table is many-partition and this is a
+    // cheap no-op-shaped exchange of 3 slim columns.
+    val scored = ct
       .crossJoin(broadcast(stats))
       .withColumn("avgdl", avgdl)
       .withColumn("_m", termMicro)
+      .select(col(idCol), col("term"), col("_m"))
+      .repartition(ct.sparkSession.sparkContext.defaultParallelism)
+    qt.join(scored, "term")
       .groupBy(col(qidCol), col(idCol))
       .agg(sum("_m").as("_sm"), count(lit(1)).as("n_terms"))
       .withColumn("score", col("_sm").cast("double") / lit(1e6))
