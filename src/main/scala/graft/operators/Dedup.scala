@@ -335,4 +335,57 @@ object Dedup {
       .distinct()
       .filter(col("hamming") <= maxHamming)
   }
+
+  /** Corpus-level segment dedup (the C4 recipe: keep ONE occurrence of
+    * every repeated span corpus-wide, drop the rest in place, and keep the
+    * documents themselves — C4 uses three-sentence spans; here the span is
+    * a fixed window of `segWords` words, the delimiter-free formulation).
+    *
+    * Each document is cut into consecutive `segWords`-word segments; a
+    * segment survives iff it is the FIRST occurrence of its content in the
+    * corpus (smallest (doc_id, seg_no)); each document is then rebuilt
+    * from its surviving segments in order.
+    *
+    * Plan shape: one explode (row-local segmentation) -> ONE shuffle by
+    * segment content for a window-min (first-occurrence flag; a window,
+    * not groupBy+join-back, so the segment subtree is evaluated once —
+    * no CSE across plan consumers) -> one shuffle by doc to reassemble.
+    * The flag-then-aggregate reassembly keeps fully-deduplicated
+    * documents as empty rows instead of silently dropping them. At 100 TB
+    * the segment-key shuffle hash-partitions the span space; a viral
+    * segment concentrates only its own copies (min-only state per key).
+    *
+    * Output: (doc_id, clean_md5, n_chars_clean, n_segs, n_kept).
+    */
+  def dedupSegments(
+      docs: DataFrame,
+      segWords: Int = 10,
+      textCol: String = "text",
+      idCol: String = "doc_id"): DataFrame = {
+    val sw = lit(segWords)
+    val w = docs.select(col(idCol), split(col(textCol), " ").as("w"))
+    // ceil(n / segWords) in exact integer arithmetic; split("") = [""] so
+    // nSegs >= 1 always holds and sequence() below is never empty
+    val nSegs = ((size(col("w")) + sw - 1) / sw).cast("int")
+    val segs = w
+      .select(col(idCol),
+        posexplode(transform(sequence(lit(0), nSegs - 1),
+          i => array_join(slice(col("w"), i * sw + 1, sw), " "))))
+      .toDF(idCol, "seg_no", "seg")
+    // first-occurrence key packed into one long: doc_id then position
+    val packed = col(idCol) * lit(1000000L) + col("seg_no")
+    val firstWin = Window.partitionBy(col("seg"))
+    val flagged = segs
+      .withColumn("keep", packed === min(packed).over(firstWin))
+    val kept = array_sort(collect_list(when(col("keep"), struct(col("seg_no"), col("seg")))))
+    flagged
+      .groupBy(col(idCol))
+      .agg(
+        concat_ws(" ", transform(kept, s => s.getField("seg"))).as("clean"),
+        count(lit(1)).cast("long").as("n_segs"),
+        sum(when(col("keep"), 1L).otherwise(0L)).as("n_kept"))
+      .select(col(idCol), md5(col("clean")).as("clean_md5"),
+        length(col("clean")).cast("long").as("n_chars_clean"),
+        col("n_segs"), col("n_kept"))
+  }
 }

@@ -550,4 +550,74 @@ object TextAnalysis {
       .filter(col("rn") === 1)
       .select(col(idCol), col("pred_lang"), col("hits"))
   }
+
+  /** Winnowing document fingerprints (Schleimer, Wilkerson & Aiken,
+    * SIGMOD'03 — the MOSS rolling-hash scheme): hash every `k`-word gram,
+    * slide a window of `winSize` consecutive gram hashes, record the
+    * minimum of each window, and keep the distinct minima as the
+    * document's fingerprint set. The guarantee: any shared word run of
+    * length >= winSize + k - 1 between two documents produces at least one
+    * shared fingerprint; density of selected hashes is ~2/(winSize+1).
+    *
+    * Entirely row-local (one projection, no shuffle): the gram hashes and
+    * window minima are array transforms over the split word array. Hash =
+    * 60-bit md5 prefix, the library-wide oracle-portable convention.
+    *
+    * Output: (doc_id, fp) — one row per distinct fingerprint, ready for
+    * posting-list joins.
+    */
+  def winnowFingerprints(
+      docs: DataFrame,
+      k: Int = 3,
+      winSize: Int = 4,
+      textCol: String = "text",
+      idCol: String = "doc_id"): DataFrame = {
+    val ws = split(col(textCol), " ")
+    // documents shorter than k words degenerate to one whole-text gram;
+    // fewer than winSize grams to one window (slice clamps at the end on
+    // both engines, so the arithmetic needs no special-casing beyond >=1)
+    val nGrams = greatest(size(ws) - lit(k - 1), lit(1))
+    val hs = transform(sequence(lit(0), nGrams - 1),
+      i => conv(substring(md5(array_join(slice(ws, i + 1, lit(k)), " ")), 1, 15), 16, 10)
+        .cast("long"))
+    docs
+      .select(col(idCol), hs.as("hs"))
+      .select(col(idCol),
+        explode(array_distinct(transform(
+          sequence(lit(0), greatest(size(col("hs")) - lit(winSize - 1), lit(1)) - 1),
+          j => array_min(slice(col("hs"), j + 1, lit(winSize)))))).as("fp"))
+  }
+
+  /** Fingerprint-overlap pairs over winnowed documents: a posting-list
+    * self-join on fingerprint, scored by the number of shared
+    * fingerprints. Fingerprints appearing in more than `maxDf` documents
+    * are dropped first (the standard posting-list cap: they carry no
+    * discriminative signal and their pair fan-out is quadratic in df —
+    * with the cap, fan-out per fingerprint is bounded by maxDf^2, so the
+    * join scales linearly in corpus size at 100 TB).
+    *
+    * df rides a window over the single posting table; the self-join is a
+    * hash join on the 60-bit fingerprint; minShared filters noise pairs.
+    */
+  def winnowOverlap(
+      docs: DataFrame,
+      k: Int = 3,
+      winSize: Int = 4,
+      maxDf: Int = 10,
+      minShared: Int = 2,
+      textCol: String = "text",
+      idCol: String = "doc_id"): DataFrame = {
+    val fps = winnowFingerprints(docs, k, winSize, textCol, idCol)
+    val dfWin = Window.partitionBy(col("fp"))
+    val posted = fps
+      .withColumn("df", count(lit(1)).over(dfWin))
+      .filter(col("df") <= maxDf)
+      .select(col(idCol), col("fp"))
+    posted.as("a")
+      .join(posted.as("b"),
+        col("a.fp") === col("b.fp") && col(s"a.$idCol") < col(s"b.$idCol"))
+      .groupBy(col(s"a.$idCol").as("d1"), col(s"b.$idCol").as("d2"))
+      .agg(count(lit(1)).as("shared"))
+      .filter(col("shared") >= minShared)
+  }
 }

@@ -1340,6 +1340,110 @@ object Queries {
       SELECT qid, doc_id, rank, n_terms, score FROM rk
       WHERE rank <= 10 ORDER BY qid, rank"""))
 
+  /** Corpus-level segment dedup (`Dedup.dedupSegments`): the C4 recipe —
+    * cut every document into 10-word segments, keep only the FIRST
+    * corpus-wide occurrence (smallest (doc_id, seg_no)) of each distinct
+    * segment, rebuild each doc from its survivors. md5 of the rebuilt text
+    * bit-checks positions/ordering/separators; the flag-then-aggregate
+    * keeps fully-deduplicated docs as empty rows. The oracle mirrors the
+    * packed first-occurrence key and the conditional ordered string_agg
+    * (NULL-skipping CASE ≡ Spark's null-skipping collect_list). */
+  val q82_dedup_segments: Q = Q(
+    (s, d) => Dedup.dedupSegments(docsRebalanced(s, d)).orderBy("doc_id"),
+    Some("""WITH w AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+      segs0 AS (SELECT doc_id, unnest(list_transform(range((len(w) + 9) // 10),
+          i -> {'sn': CAST(i AS INTEGER),
+                'sg': array_to_string(w[(i*10 + 1):(i*10 + 10)], ' ')})) AS s FROM w),
+      segs AS (SELECT doc_id, s.sn AS seg_no, s.sg AS seg FROM segs0),
+      f AS (SELECT doc_id, seg_no, seg,
+              (doc_id*1000000 + seg_no)
+                = MIN(doc_id*1000000 + seg_no) OVER (PARTITION BY seg) AS keep
+            FROM segs),
+      agg AS (SELECT doc_id,
+                COALESCE(string_agg(CASE WHEN keep THEN seg END, ' ' ORDER BY seg_no), '') AS clean,
+                CAST(COUNT(*) AS BIGINT) AS n_segs,
+                CAST(COUNT(*) FILTER (WHERE keep) AS BIGINT) AS n_kept
+              FROM f GROUP BY doc_id)
+      SELECT doc_id, md5(clean) AS clean_md5,
+        CAST(length(clean) AS BIGINT) AS n_chars_clean, n_segs, n_kept
+      FROM agg ORDER BY doc_id"""))
+
+  /** Winnowing fingerprint overlap (`TextAnalysis.winnowOverlap`,
+    * Schleimer et al. SIGMOD'03): 3-gram rolling hashes, window-of-4
+    * minima as the per-doc fingerprint set (all row-local list algebra on
+    * both engines), then a df-capped posting self-join counting shared
+    * fingerprints per pair. 60-bit md5-prefix hashes — the library-wide
+    * oracle-portable hash convention. */
+  val q83_winnow_overlap: Q = Q(
+    (s, d) => TextAnalysis.winnowOverlap(docsRebalanced(s, d)).orderBy("d1", "d2"),
+    Some("""WITH w AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+      h AS (SELECT doc_id, list_transform(range(greatest(len(w) - 2, 1)),
+              i -> CAST('0x' || substr(md5(array_to_string(w[(i+1):(i+3)], ' ')), 1, 15) AS BIGINT)) AS hs
+            FROM w),
+      f AS (SELECT doc_id, list_distinct(list_transform(range(greatest(len(hs) - 3, 1)),
+              j -> list_min(hs[(j+1):(j+4)]))) AS fps FROM h),
+      e AS (SELECT doc_id, unnest(fps) AS fp FROM f),
+      d AS (SELECT doc_id, fp, COUNT(*) OVER (PARTITION BY fp) AS df FROM e),
+      p AS (SELECT doc_id, fp FROM d WHERE df <= 10)
+      SELECT a.doc_id AS d1, b.doc_id AS d2, CAST(COUNT(*) AS BIGINT) AS shared
+      FROM p a JOIN p b ON a.fp = b.fp AND a.doc_id < b.doc_id
+      GROUP BY 1, 2 HAVING COUNT(*) >= 2 ORDER BY d1, d2"""))
+
+  /** As-of join (`Temporal.asOfJoin`): every purchase event gets the most
+    * recent click at-or-before it by the same user. Spark side is the
+    * union + fill-forward window (one shuffle on user_id, no range join);
+    * the oracle is DuckDB's native ASOF LEFT JOIN — two entirely
+    * independent formulations of the same semantics. µs timestamp floor
+    * as in q60; values are copied, never computed, so doubles are exact. */
+  val q84_asof_join: Q = Q(
+    (s, d) => {
+      val ev = table(s, d, "events").withColumn("tus", expr("ts div 1000"))
+      Temporal.asOfJoin(
+        ev.filter(col("event_type") === "purchase"),
+        ev.filter(col("event_type") === "click"),
+        keyCol = "user_id", tsCol = "tus", payloadCol = "value", orderCol = "event_id",
+        leftCols = Seq("event_id", "user_id", "tus", "value"))
+        .orderBy("event_id")
+    },
+    Some("""WITH e AS (SELECT event_id, user_id, epoch_us(ts) AS tus, value, event_type
+               FROM events),
+      r0 AS (SELECT user_id, tus, value,
+               ROW_NUMBER() OVER (PARTITION BY user_id, tus ORDER BY event_id DESC) AS rn
+             FROM e WHERE event_type = 'click'),
+      r AS (SELECT user_id, tus, value FROM r0 WHERE rn = 1),
+      l AS (SELECT event_id, user_id, tus, value FROM e WHERE event_type = 'purchase')
+      SELECT l.event_id, l.user_id, l.tus, l.value, r.tus AS r_ts, r.value AS r_value
+      FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND l.tus >= r.tus
+      ORDER BY l.event_id"""))
+
+  /** Corpus mixture report: per (lang, source) doc counts, word totals,
+    * exact median doc length (Spark `percentile` ≡ DuckDB `quantile_cont`,
+    * both linear interpolation at p·(n-1)), and each cell's share of the
+    * corpus — the table a data-mixing stage reads before setting quotas.
+    * The share denominator rides a single-partition window over the
+    * ~|langs|·|sources| GROUPED table, never over the corpus. */
+  val q85_corpus_report: Q = Q(
+    (s, d) => {
+      val g = table(s, d, "documents")
+        .withColumn("n_words", size(split(col("text"), " ")).cast("long"))
+        .groupBy("lang", "source")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_words")).as("sum_words"),
+          max(col("n_chars")).as("max_chars"),
+          round(expr("percentile(n_chars, 0.5D)"), 6).as("p50_chars"))
+      g.withColumn("doc_share",
+          round(col("n_docs").cast("double") / sum(col("n_docs")).over(Window.partitionBy()), 6))
+        .orderBy("lang", "source")
+    },
+    Some("""WITH g AS (SELECT lang, source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+          CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS sum_words,
+          CAST(MAX(n_chars) AS BIGINT) AS max_chars,
+          ROUND(quantile_cont(CAST(n_chars AS DOUBLE), 0.5), 6) AS p50_chars
+        FROM documents GROUP BY lang, source)
+      SELECT lang, source, n_docs, sum_words, max_chars, p50_chars,
+        ROUND(CAST(n_docs AS DOUBLE) / SUM(n_docs) OVER (), 6) AS doc_share
+      FROM g ORDER BY lang, source"""))
+
   /** The BM25 oracle, generated from the SAME Scala doubles the Spark plan
     * uses (`toString` of a Double is shortest-round-trip, and DuckDB
     * parses it back to the identical IEEE value). */
@@ -2438,5 +2542,9 @@ object Queries {
     "q78_shard_manifest" -> q78_shard_manifest,
     "q79_dsir_resample" -> q79_dsir_resample,
     "q80_curated_shards" -> q80_curated_shards,
-    "q81_bm25_batch" -> q81_bm25_batch)
+    "q81_bm25_batch" -> q81_bm25_batch,
+    "q82_dedup_segments" -> q82_dedup_segments,
+    "q83_winnow_overlap" -> q83_winnow_overlap,
+    "q84_asof_join" -> q84_asof_join,
+    "q85_corpus_report" -> q85_corpus_report)
 }
