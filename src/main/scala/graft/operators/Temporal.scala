@@ -1,0 +1,78 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Temporal joins over event tables — the time-series companion to the
+  * spatial joins in [[Nearest]].
+  *
+  * `asOfJoin` implements pandas-`merge_asof` semantics (backward search:
+  * each left row is matched to the most recent right row at-or-before its
+  * timestamp with the same key) as a **union + fill-forward window**
+  * rather than a range join:
+  *
+  *   1. the right side is reduced to one row per (key, ts) — the row with
+  *      the largest tiebreak (`max_by`) — a hash aggregate with map-side
+  *      combine;
+  *   2. both sides are unioned with a side tag (right=0, left=1) so that at
+  *      equal timestamps the right row sorts *before* the left row
+  *      ("at-or-before" includes ties);
+  *   3. one window partitioned by key, ordered by (ts, side), carries the
+  *      last non-null right payload forward (`last(..., ignoreNulls)` over
+  *      an unbounded-preceding frame);
+  *   4. left rows are kept, right rows dropped.
+  *
+  * 100 TB design: exactly one wide shuffle on the key column (the window);
+  * the right-side dedup is a combiner-friendly aggregate on (key, ts). A
+  * range join (`l.ts >= r.ts`) would expand to O(|L|·|R| per key) before
+  * filtering; the fill-forward form is linear in |L|+|R| and streams
+  * through the window operator with no per-key state beyond one row. Skewed
+  * keys (one user with millions of events) sort within a single partition —
+  * the same bound as any keyed window; salt upstream if a single key
+  * exceeds a partition.
+  */
+object Temporal {
+
+  /** Backward as-of join.
+    *
+    * @param left       probe rows (keep all of `leftCols`)
+    * @param right      reference rows to search backward over
+    * @param keyCol     equality key present on both sides
+    * @param tsCol      numeric/timestamp ordering column on both sides
+    * @param payloadCol right-side value column to attach
+    * @param orderCol   right-side tiebreak: among right rows sharing
+    *                   (key, ts), the one with the largest `orderCol` wins
+    * @param leftCols   left columns to carry through, in output order
+    * @return `leftCols` plus `r_ts` (matched right timestamp) and
+    *         `r_<payloadCol>`; both null when no right row precedes.
+    */
+  def asOfJoin(left: DataFrame, right: DataFrame, keyCol: String,
+      tsCol: String, payloadCol: String, orderCol: String,
+      leftCols: Seq[String]): DataFrame = {
+    val rPay = s"r_$payloadCol"
+    // One survivor per (key, ts): max_by is deterministic because orderCol
+    // is a unique id by contract.
+    val r1 = right.groupBy(col(keyCol), col(tsCol))
+      .agg(expr(s"max_by($payloadCol, $orderCol)").as(rPay))
+      .select(col(keyCol), col(tsCol), lit(0).as("_side"),
+        col(tsCol).as("r_ts"), col(rPay))
+    val lTagged = left.select(
+      (Seq(col(keyCol), col(tsCol), lit(1).as("_side"),
+        lit(null).cast(r1.schema("r_ts").dataType).as("r_ts"),
+        lit(null).cast(r1.schema(rPay).dataType).as(rPay)) ++
+        leftCols.filterNot(c => c == keyCol || c == tsCol)
+          .map(c => col(c))): _*)
+    val r2 = leftCols.filterNot(c => c == keyCol || c == tsCol)
+      .foldLeft(r1)((df, c) =>
+        df.withColumn(c, lit(null).cast(left.schema(c).dataType)))
+      .select(lTagged.columns.map(col): _*)
+    val w = Window.partitionBy(keyCol).orderBy(col(tsCol), col("_side"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    lTagged.unionByName(r2)
+      .withColumn("r_ts", last(col("r_ts"), ignoreNulls = true).over(w))
+      .withColumn(rPay, last(col(rPay), ignoreNulls = true).over(w))
+      .filter(col("_side") === 1)
+      .select((leftCols.map(col) :+ col("r_ts") :+ col(rPay)): _*)
+  }
+}

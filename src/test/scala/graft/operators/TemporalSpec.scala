@@ -1,0 +1,58 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.Row
+
+/** `Temporal.asOfJoin` semantics against a hand-computed fixture:
+  * backward match, tie-at-equal-ts inclusion, right-side tiebreak by
+  * orderCol, per-key isolation, and null fill when nothing precedes. */
+class TemporalSpec extends SparkSpec {
+  import spark.implicits._
+
+  // (id, user, ts, value)
+  private def left = Seq(
+    (1L, 10L, 100L, 1.0), // before any click for user 10 -> null
+    (2L, 10L, 200L, 2.0), // equal ts to a click -> match at 200
+    (3L, 10L, 450L, 3.0), // between clicks 400 and 500 -> 400
+    (4L, 20L, 999L, 4.0), // user 20 has no clicks -> null
+    (5L, 30L, 300L, 5.0)  // duplicate right (30,250): larger order id wins
+  ).toDF("event_id", "user_id", "tus", "value")
+
+  private def right = Seq(
+    (101L, 10L, 200L, 20.0),
+    (102L, 10L, 400L, 40.0),
+    (103L, 10L, 500L, 50.0),
+    (104L, 30L, 250L, 25.0),
+    (105L, 30L, 250L, 26.0) // same (key, ts): event_id 105 must win
+  ).toDF("event_id", "user_id", "tus", "value")
+
+  test("asOfJoin matches most recent at-or-before per key") {
+    val out = Temporal.asOfJoin(left, right,
+        keyCol = "user_id", tsCol = "tus", payloadCol = "value",
+        orderCol = "event_id",
+        leftCols = Seq("event_id", "user_id", "tus", "value"))
+      .orderBy("event_id").collect()
+    val expected = Seq(
+      Row(1L, 10L, 100L, 1.0, null, null),
+      Row(2L, 10L, 200L, 2.0, 200L, 20.0),
+      Row(3L, 10L, 450L, 3.0, 400L, 40.0),
+      Row(4L, 20L, 999L, 4.0, null, null),
+      Row(5L, 30L, 300L, 5.0, 250L, 26.0))
+    assert(out.toSeq == expected)
+  }
+
+  test("asOfJoin keeps every left row exactly once") {
+    val out = Temporal.asOfJoin(left, right, "user_id", "tus", "value",
+      "event_id", Seq("event_id", "user_id", "tus", "value"))
+    assert(out.count() == left.count())
+    assert(out.select("event_id").distinct().count() == left.count())
+  }
+
+  test("asOfJoin plan has no range or cross join") {
+    val out = Temporal.asOfJoin(left, right, "user_id", "tus", "value",
+      "event_id", Seq("event_id", "user_id", "tus", "value"))
+    val phys = out.queryExecution.executedPlan.toString
+    assert(!phys.contains("CartesianProduct"))
+    assert(!phys.contains("BroadcastNestedLoopJoin"))
+  }
+}
