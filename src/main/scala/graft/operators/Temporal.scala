@@ -75,4 +75,44 @@ object Temporal {
       .filter(col("_side") === 1)
       .select((leftCols.map(col) :+ col("r_ts") :+ col(rPay)): _*)
   }
+
+  /** Bounded-window temporal join (the batch form of a stream-stream
+    * interval join): every (point, ref) pair with the same key and
+    * `point.ts - window <= ref.ts <= point.ts` — e.g. clicks within an
+    * attribution window before each purchase.
+    *
+    * A raw `BETWEEN` range join is O(|P|·|R|) per key on engines without
+    * an interval-join operator (Spark plans it as a broadcast
+    * nested-loop or a per-key cartesian). Instead both sides are binned
+    * by `ts div window`: a ref at-or-before a point within `window` can
+    * only live in the point's bin or the one below, so the point side
+    * explodes to exactly TWO candidate bins and the join is a plain
+    * equi-join on (key, bin) followed by the range filter.
+    *
+    * 100 TB design: one hash-partitioned shuffle on (key, bin) — the
+    * time axis spreads each key over many bins, so a hot key does NOT
+    * collapse onto one task the way a key-only join would; candidate
+    * fan-out is bounded by per-bin density (data rate × window), not by
+    * table sizes. Output columns: `pointCols` plus `r_ts` and
+    * `r_<payloadCol>`, one row per matching pair (inner semantics —
+    * points with no refs in the window emit nothing).
+    */
+  def intervalJoin(points: DataFrame, refs: DataFrame, keyCol: String,
+      tsCol: String, window: Long, payloadCol: String,
+      pointCols: Seq[String]): DataFrame = {
+    require(window > 0, "window must be positive")
+    val rPay = s"r_$payloadCol"
+    val p = points
+      .select(pointCols.map(col) :+
+        expr(s"$tsCol div ${window}L").as("_pb"): _*)
+      .withColumn("_bin", explode(array(col("_pb") - 1, col("_pb"))))
+    val r = refs.select(
+      col(keyCol).as("_rk"),
+      col(tsCol).as("r_ts"),
+      col(payloadCol).as(rPay),
+      expr(s"$tsCol div ${window}L").as("_bin"))
+    p.join(r, p("_bin") === r("_bin") && col(keyCol) === col("_rk"))
+      .filter(col("r_ts") >= col(tsCol) - window && col("r_ts") <= col(tsCol))
+      .select(pointCols.map(col) :+ col("r_ts") :+ col(rPay): _*)
+  }
 }

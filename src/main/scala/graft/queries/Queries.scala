@@ -1444,6 +1444,42 @@ object Queries {
         ROUND(CAST(n_docs AS DOUBLE) / SUM(n_docs) OVER (), 6) AS doc_share
       FROM g ORDER BY lang, source"""))
 
+  /** Attribution via binned interval join (`Temporal.intervalJoin`): each
+    * purchase is paired with every click by the same user in the 24 h
+    * before it, then aggregated per purchase (click count, latest click,
+    * decimal-exact click-value sum). The Spark side never writes the
+    * range predicate into a join Spark would nest-loop: the fixed window
+    * reduces it to a 2-bin explode + equi-join on (user, bin). The oracle
+    * is DuckDB's native range join (IEJoin) — an independent formulation.
+    * Inner semantics: purchases with no click in-window emit nothing. */
+  val q86_attribution: Q = Q(
+    (s, d) => {
+      val W = 86400000000L // 24 h in µs (µs floor as in q60/q84)
+      val ev = table(s, d, "events").withColumn("tus", expr("ts div 1000"))
+      Temporal.intervalJoin(
+        ev.filter(col("event_type") === "purchase"),
+        ev.filter(col("event_type") === "click"),
+        keyCol = "user_id", tsCol = "tus", window = W, payloadCol = "value",
+        pointCols = Seq("event_id", "user_id", "tus"))
+        .groupBy("event_id", "user_id", "tus")
+        .agg(
+          count(lit(1)).as("n_clicks"),
+          max(col("r_ts")).as("last_click_us"),
+          sum(col("r_value").cast(dec)).cast("double").as("sum_click_v"))
+        .orderBy("event_id")
+    },
+    Some("""WITH e AS (SELECT event_id, user_id, epoch_us(ts) AS tus, value, event_type
+               FROM events),
+      p AS (SELECT event_id, user_id, tus FROM e WHERE event_type = 'purchase'),
+      c AS (SELECT user_id, tus, value FROM e WHERE event_type = 'click')
+      SELECT p.event_id, p.user_id, p.tus,
+        CAST(COUNT(*) AS BIGINT) AS n_clicks,
+        MAX(c.tus) AS last_click_us,
+        CAST(SUM(CAST(c.value AS DECIMAL(18,2))) AS DOUBLE) AS sum_click_v
+      FROM p JOIN c ON p.user_id = c.user_id
+        AND c.tus BETWEEN p.tus - 86400000000 AND p.tus
+      GROUP BY 1, 2, 3 ORDER BY 1"""))
+
   /** The BM25 oracle, generated from the SAME Scala doubles the Spark plan
     * uses (`toString` of a Double is shortest-round-trip, and DuckDB
     * parses it back to the identical IEEE value). */
@@ -2546,5 +2582,6 @@ object Queries {
     "q82_dedup_segments" -> q82_dedup_segments,
     "q83_winnow_overlap" -> q83_winnow_overlap,
     "q84_asof_join" -> q84_asof_join,
-    "q85_corpus_report" -> q85_corpus_report)
+    "q85_corpus_report" -> q85_corpus_report,
+    "q86_attribution" -> q86_attribution)
 }

@@ -245,6 +245,40 @@ object StreamingOps {
       .withColumn("pred_lang", when(best.getField("neg") < 0, best.getField("lang")))
   }
 
+  /** Streaming attribution: stream-stream INNER join of two event feeds
+    * with an event-time range condition — every point (e.g. purchase) is
+    * paired with the refs (e.g. clicks) by the same key whose timestamp
+    * falls in `[point.ts - window, point.ts]`. The unbounded twin of the
+    * batch [[graft.operators.Temporal.intervalJoin]] (binned equi-join);
+    * here Spark's native interval-join state machine does the binning:
+    * both sides are watermarked, and the range condition lets the engine
+    * evict ref state older than `watermark + window` and point state
+    * older than `watermark`, so state is bounded by rate × horizon, not
+    * by stream length.
+    *
+    * Output: point columns prefixed `p_`, plus `r_ts` and `r_value` per
+    * matching ref — one row per pair, same as the batch operator. */
+  def attributionJoin(
+      points: DataFrame, // (ts TIMESTAMP, user_id, ...)
+      refs: DataFrame, // (ts TIMESTAMP, user_id, value, ...)
+      window: String = "24 hours",
+      watermark: String = "1 hour",
+      valueCol: String = "value"): DataFrame = {
+    val p = points
+      .select(col("ts").as("p_ts"), col("user_id").as("p_user"),
+        col("event_id").as("p_event_id"))
+      .withWatermark("p_ts", watermark)
+    val r = refs
+      .select(col("ts").as("r_ts"), col("user_id").as("r_user"),
+        col(valueCol).as("r_value"))
+      .withWatermark("r_ts", watermark)
+    p.join(r, expr(
+      s"""p_user = r_user AND
+          r_ts >= p_ts - interval $window AND r_ts <= p_ts"""))
+      .select(col("p_event_id"), col("p_user"), col("p_ts"),
+        col("r_ts"), col("r_value"))
+  }
+
   /** Running per-cell weighted mean over [[ewaStream]] partials — an
     * incremental aggregation (update/complete output modes).
     *

@@ -48,6 +48,35 @@ class TemporalSpec extends SparkSpec {
     assert(out.select("event_id").distinct().count() == left.count())
   }
 
+  test("intervalJoin matches brute-force range join") {
+    // 200 points x 300 refs over 3 keys, window 50: brute force is the
+    // spec, the binned equi-join must reproduce it exactly (incl. both
+    // inclusive endpoints and bin-boundary timestamps).
+    val pts = spark.range(200).selectExpr("id AS event_id", "id % 3 AS user_id",
+      "(id * 37) % 1000 AS tus", "CAST(id AS DOUBLE) AS value")
+    val refs = spark.range(300).selectExpr("id + 1000 AS event_id", "id % 3 AS user_id",
+      "(id * 53) % 1000 AS tus", "CAST(id AS DOUBLE) / 2 AS value")
+    val got = Temporal.intervalJoin(pts, refs, "user_id", "tus", 50L, "value",
+        Seq("event_id", "user_id", "tus"))
+      .orderBy("event_id", "r_ts", "r_value").collect().toSeq
+    val exp = pts.as("p").join(refs.as("r"),
+        $"p.user_id" === $"r.user_id" &&
+          $"r.tus" >= $"p.tus" - 50L && $"r.tus" <= $"p.tus")
+      .select($"p.event_id", $"p.user_id", $"p.tus",
+        $"r.tus".as("r_ts"), $"r.value".as("r_value"))
+      .orderBy("event_id", "r_ts", "r_value").collect().toSeq
+    assert(exp.nonEmpty && got == exp)
+  }
+
+  test("intervalJoin plan is an equi-join, not a nested loop") {
+    val pts = spark.range(10).selectExpr("id AS event_id", "id % 3 AS user_id",
+      "id * 7 AS tus", "CAST(id AS DOUBLE) AS value")
+    val phys = Temporal.intervalJoin(pts, pts, "user_id", "tus", 50L, "value",
+      Seq("event_id", "user_id", "tus")).queryExecution.executedPlan.toString
+    assert(!phys.contains("CartesianProduct"))
+    assert(!phys.contains("BroadcastNestedLoopJoin"))
+  }
+
   test("asOfJoin plan has no range or cross join") {
     val out = Temporal.asOfJoin(left, right, "user_id", "tus", "value",
       "event_id", Seq("event_id", "user_id", "tus", "value"))
