@@ -215,6 +215,82 @@ object Selection {
       .select(col(idCol), col(textCol))
   }
 
+  // ============================================ exact group-wise selection
+
+  /** EXACT top-`fracPpm`/1e6 fraction per group by (`scoreCol` DESC,
+    * `idCol` ASC) — the quantile gate of a curation pipeline ("keep the
+    * best 10% per language"), selected WITHOUT a full per-group sort.
+    *
+    * k_g = ceil(n_g · frac) computed in INTEGER arithmetic (ppm), so every
+    * engine agrees on the cut. The selection itself is the classic
+    * histogram + boundary-rank two-phase:
+    *
+    *   1. one pass histograms scores into `buckets` coarse bins per group
+    *      (monotone binning — FP rounding can merge neighbours but never
+    *      reorder them, so correctness never depends on bin precision);
+    *   2. the tiny (groups × buckets) histogram locates, per group, the
+    *      boundary bin b* containing the k_g-th row and the residual rank
+    *      r_g inside it;
+    *   3. rows STRICTLY above b* are kept outright (no sort); only the
+    *      boundary-bin slice — ~n_g/buckets rows — pays a row_number.
+    *
+    * At 100 TB the full-sort window formulation shuffles and sorts the
+    * whole corpus per group; this NEVER shuffles the corpus — kept rows
+    * above the boundary bin pass through map-side, and only the boundary
+    * slice pays a (group-keyed) sort. The price is that `df` is evaluated
+    * FOUR times (stats, histogram, two filter branches — Spark has no
+    * cross-consumer subexpression reuse), so feed it a slim materialized
+    * `(id, group, score)` projection (scans prune to 3 columns), not an
+    * expensive scoring subtree: score once, select after. Degenerate
+    * case: a single massive tie collapses to one bin and re-derives the
+    * window form for that group only. */
+  def topFractionByGroup(
+      df: DataFrame,
+      groupCol: String,
+      scoreCol: String,
+      fracPpm: Long,
+      idCol: String = "doc_id",
+      buckets: Int = 256): DataFrame = {
+    require(fracPpm > 0 && fracPpm <= 1000000L, s"fracPpm out of (0, 1e6]: $fracPpm")
+    val stats = df.agg(
+      min(col(scoreCol).cast("double")).as("_lo"),
+      max(col(scoreCol).cast("double")).as("_hi"))
+    val binned = df
+      .join(broadcast(stats))
+      .withColumn("_bin",
+        when(col("_hi") === col("_lo"), lit(0))
+          .otherwise(least(lit(buckets - 1),
+            floor((col(scoreCol).cast("double") - col("_lo")) * buckets /
+              (col("_hi") - col("_lo"))).cast("int"))))
+      .drop("_lo", "_hi")
+    val wDesc = Window.partitionBy(col(groupCol)).orderBy(col("_bin").desc)
+    val hist = binned
+      .groupBy(col(groupCol), col("_bin"))
+      .agg(count(lit(1)).as("_cnt"))
+      .withColumn("_cum", sum(col("_cnt")).over(
+        wDesc.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("_n", sum(col("_cnt")).over(
+        Window.partitionBy(col(groupCol))
+          .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)))
+      .withColumn("_k", expr(s"(_n * $fracPpm + 999999) div 1000000"))
+    val bounds = hist
+      .filter(col("_cum") >= col("_k"))
+      .withColumn("_rn", row_number().over(wDesc))
+      .filter(col("_rn") === 1)
+      .select(col(groupCol), col("_bin").as("_bstar"),
+        (col("_k") - (col("_cum") - col("_cnt"))).as("_resid"))
+    val withBounds = binned.join(broadcast(bounds), Seq(groupCol))
+    val above = withBounds.filter(col("_bin") > col("_bstar"))
+    val wSlice = Window.partitionBy(col(groupCol))
+      .orderBy(col(scoreCol).desc, col(idCol).asc)
+    val boundary = withBounds
+      .filter(col("_bin") === col("_bstar"))
+      .withColumn("_srn", row_number().over(wSlice))
+      .filter(col("_srn") <= col("_resid"))
+      .drop("_srn")
+    above.unionByName(boundary).drop("_bin", "_bstar", "_resid")
+  }
+
   // ====================================================== output sharding
 
   /** Deterministic training-shard assignment + per-shard manifest — the

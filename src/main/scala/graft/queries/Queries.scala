@@ -1480,6 +1480,28 @@ object Queries {
         AND c.tus BETWEEN p.tus - 86400000000 AND p.tus
       GROUP BY 1, 2, 3 ORDER BY 1"""))
 
+  /** Exact top-10%-per-language length gate
+    * (`Selection.topFractionByGroup`): integer-ppm cut k = ceil(n·0.1),
+    * histogram + boundary-rank selection — the corpus is never shuffled;
+    * only the boundary bin pays a sort. The score is a slim materialized
+    * column (`n_chars`), the op's documented production shape (the
+    * 4-consumer plan prunes every scan to 3 columns). The oracle is the
+    * independent full-window formulation (row_number ≤ k per group). */
+  val q87_top_fraction: Q = Q(
+    (s, d) => {
+      val scored = table(s, d, "documents")
+        .select(col("doc_id"), col("lang"), col("n_chars").as("score"))
+      Selection.topFractionByGroup(scored, "lang", "score", fracPpm = 100000L)
+        .orderBy(col("lang"), col("score").desc, col("doc_id"))
+    },
+    Some("""WITH r AS (SELECT doc_id, lang, n_chars AS score,
+              ROW_NUMBER() OVER (PARTITION BY lang ORDER BY n_chars DESC, doc_id ASC) AS rn,
+              CAST(COUNT(*) OVER (PARTITION BY lang) AS BIGINT) AS n
+            FROM documents)
+      SELECT doc_id, lang, score FROM r
+      WHERE rn <= (n * 100000 + 999999) // 1000000
+      ORDER BY lang, score DESC, doc_id"""))
+
   /** The BM25 oracle, generated from the SAME Scala doubles the Spark plan
     * uses (`toString` of a Double is shortest-round-trip, and DuckDB
     * parses it back to the identical IEEE value). */
@@ -2583,5 +2605,6 @@ object Queries {
     "q83_winnow_overlap" -> q83_winnow_overlap,
     "q84_asof_join" -> q84_asof_join,
     "q85_corpus_report" -> q85_corpus_report,
-    "q86_attribution" -> q86_attribution)
+    "q86_attribution" -> q86_attribution,
+    "q87_top_fraction" -> q87_top_fraction)
 }

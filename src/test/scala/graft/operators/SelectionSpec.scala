@@ -146,6 +146,49 @@ class SelectionSpec extends SparkSpec {
     assert(kept == Set(10L), s"expected gate+keep-first to keep only doc 10, got $kept")
   }
 
+  /** Oracle twin of topFractionByGroup: full window sort per group. */
+  private def topFracBrute(
+      rows: Seq[(Long, String, Long)], fracPpm: Long): Set[(Long, String, Long)] =
+    rows.groupBy(_._2).flatMap { case (_, g) =>
+      val k = ((g.size * fracPpm + 999999L) / 1000000L).toInt
+      g.sortBy(r => (-r._3, r._1)).take(k)
+    }.toSet
+
+  test("topFractionByGroup: matches the full-sort window formulation") {
+    val s = spark
+    import s.implicits._
+    // deterministic pseudo-random scores with deliberate tie mass
+    val rows = (1L to 400L).map { i =>
+      val grp = s"g${i % 5}"
+      val score = if (i % 7 == 0) 42L else (i * 2654435761L) % 1000L
+      (i, grp, score)
+    }
+    val df = rows.toDF("doc_id", "grp", "score")
+    for (ppm <- Seq(1000L, 100000L, 250000L, 500000L, 1000000L)) {
+      val got = Selection.topFractionByGroup(df, "grp", "score", ppm, buckets = 8)
+        .collect().map(r => (r.getAs[Long]("doc_id"), r.getAs[String]("grp"),
+          r.getAs[Long]("score"))).toSet
+      assert(got == topFracBrute(rows, ppm), s"mismatch at fracPpm=$ppm")
+    }
+  }
+
+  test("topFractionByGroup: degenerate single-tie group and tiny groups") {
+    val s = spark
+    import s.implicits._
+    val rows =
+      (1L to 60L).map(i => (i, "flat", 7L)) ++    // all-equal scores: one bin
+        Seq((100L, "solo", 3L)) ++                 // n=1 -> k=1
+        (200L to 202L).map(i => (i, "trio", i))
+    val df = rows.toDF("doc_id", "grp", "score")
+    val got = Selection.topFractionByGroup(df, "grp", "score", 100000L)
+      .collect().map(r => (r.getAs[Long]("doc_id"), r.getAs[String]("grp"),
+        r.getAs[Long]("score"))).toSet
+    assert(got == topFracBrute(rows, 100000L))
+    // flat group keeps ceil(60*0.1)=6 min-id docs; solo and trio keep 1 each
+    assert(got.count(_._2 == "flat") == 6 && got.filter(_._2 == "flat").forall(_._1 <= 6L))
+    assert(got.count(_._2 == "solo") == 1 && got.count(_._2 == "trio") == 1)
+  }
+
   test("shard manifest: shards partition the corpus; checksum is order-free") {
     val m = Selection.shardManifest(docs, nShards = 4).collect()
     assert(m.map(_.getAs[Long]("n_docs")).sum == 6L)
