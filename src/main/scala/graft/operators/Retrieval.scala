@@ -172,6 +172,39 @@ object Retrieval {
       .select(col(qidCol), col(idCol), col("rank"), col("n_terms"), col("score"))
   }
 
+  /** Reciprocal-rank fusion (Cormack et al., SIGIR 2009) of any number of
+    * per-query rankings — the standard hybrid-retrieval combiner (sparse
+    * BM25 + dense ANN, or any mix): each list contributes
+    * `1/(rrfK + rank)` to a candidate's fused score; candidates missing
+    * from a list contribute nothing.
+    *
+    * Each input needs (`qidCol`, `idCol`, `rankCol`). The contribution is
+    * held as a round-0 MICRO int (`round(1e6/(rrfK+rank))`), so the fused
+    * sum is integer, addition-order-free, and engine-portable; ranking is
+    * an integer compare. Scale shape: inputs are already top-k tables —
+    * k·L rows per query — so the union + one hash aggregate + per-query
+    * top-k (WindowGroupLimit map-side heap) never touches the corpus; the
+    * whole fusion is bounded by the retrieval depth, not the data. */
+  def rrfFuse(
+      rankings: Seq[DataFrame],
+      k: Int = 10,
+      rrfK: Int = 60,
+      qidCol: String = "qid",
+      idCol: String = "doc_id",
+      rankCol: String = "rank"): DataFrame = {
+    require(rankings.nonEmpty, "rrfFuse needs at least one ranking")
+    val contrib = rankings.map(_.select(col(qidCol), col(idCol),
+      round(lit(1000000.0) / (lit(rrfK) + col(rankCol)), 0).cast("long").as("_m")))
+    val w = Window.partitionBy(qidCol).orderBy(col("_sm").desc, col(idCol).asc)
+    contrib.reduce(_ unionByName _)
+      .groupBy(col(qidCol), col(idCol))
+      .agg(sum("_m").as("_sm"), count(lit(1)).as("n_lists"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .withColumn("score", col("_sm").cast("double") / lit(1e6))
+      .select(col(qidCol), col(idCol), col("rank"), col("n_lists"), col("score"))
+  }
+
   /** Self-trained convenience: rank `docs` against themselves. */
   def bm25(
       docs: DataFrame,

@@ -291,6 +291,48 @@ object Selection {
     above.unionByName(boundary).drop("_bin", "_bstar", "_resid")
   }
 
+  /** Per-group frequency cap: keep at most `n` rows per group, best-first
+    * by `order` (ties must be broken by a unique column for determinism).
+    * The canonical curation use is the per-domain cap — "no domain
+    * contributes more than N documents" — that blunts SEO-farm and
+    * boilerplate-heavy domains.
+    *
+    * Deliberately the DECLARATIVE window form: Spark ≥3.5 rewrites a
+    * `row_number() ≤ n` filter into `WindowGroupLimit`, a bounded
+    * per-group top-n heap applied BEFORE the shuffle on the map side, so
+    * shuffle volume is capped at n rows per (group × input partition) and
+    * the corpus is scanned once — the optimizer already implements the
+    * hand-written heap aggregate. CapPerGroupSpec pins the rewrite so a
+    * regression (e.g. a non-rank window function sneaking in) fails CI
+    * rather than silently reverting to a full per-group sort. */
+  def capPerGroup(
+      df: DataFrame,
+      groupCols: Seq[String],
+      n: Int,
+      order: Seq[Column]): DataFrame = {
+    require(n > 0, s"cap must be positive: $n")
+    val w = Window.partitionBy(groupCols.map(col): _*).orderBy(order: _*)
+    df.withColumn("_rn", row_number().over(w))
+      .filter(col("_rn") <= n)
+      .drop("_rn")
+  }
+
+  /** EXACT-k uniform sample per group, deterministic and
+    * repartition-invariant: each row draws a 60-bit md5 key from its id
+    * and [[capPerGroup]] keeps the k smallest per group — the distributed
+    * equivalent of a per-stratum reservoir sample, reproducible on any
+    * engine (complements `stratifiedSample`'s fraction-based draw, which
+    * cannot promise an exact per-stratum count). Same WindowGroupLimit
+    * map-side heap; the md5 keys make every group's selection an
+    * independent uniform draw. */
+  def samplePerGroup(
+      df: DataFrame,
+      groupCols: Seq[String],
+      k: Int,
+      idCol: String = "doc_id"): DataFrame =
+    capPerGroup(df, groupCols, k,
+      Seq(md5Long(col(idCol).cast("string")).asc, col(idCol).asc))
+
   // ====================================================== output sharding
 
   /** Deterministic training-shard assignment + per-shard manifest — the

@@ -1502,6 +1502,105 @@ object Queries {
       WHERE rn <= (n * 100000 + 999999) // 1000000
       ORDER BY lang, score DESC, doc_id"""))
 
+  /** Per-domain frequency cap (`Selection.capPerGroup`): at most 8 docs
+    * per source, longest-first — the SEO-farm blunting cap. Declarative
+    * row_number form; Spark's WindowGroupLimit rewrite applies the cap as
+    * a map-side bounded heap before the shuffle (CapPerGroupSpec pins the
+    * rewrite). */
+  val q88_domain_cap: Q = Q(
+    (s, d) => Selection.capPerGroup(
+        table(s, d, "documents").select("doc_id", "source", "n_chars"),
+        Seq("source"), n = 8,
+        Seq(col("n_chars").desc, col("doc_id").asc))
+      .orderBy(col("source"), col("n_chars").desc, col("doc_id")),
+    Some("""WITH r AS (SELECT doc_id, source, n_chars,
+              ROW_NUMBER() OVER (PARTITION BY source ORDER BY n_chars DESC, doc_id ASC) AS rn
+            FROM documents)
+      SELECT doc_id, source, n_chars FROM r WHERE rn <= 8
+      ORDER BY source, n_chars DESC, doc_id"""))
+
+  /** Exact-k per-group uniform sample (`Selection.samplePerGroup`): 10
+    * docs per language drawn by 60-bit md5 of the doc id — deterministic,
+    * repartition-invariant, engine-portable; the exact-count complement
+    * of q61's fraction-based stratified draw. Same WindowGroupLimit
+    * map-side heap as q88. */
+  val q89_group_sample: Q = Q(
+    (s, d) => Selection.samplePerGroup(
+        table(s, d, "documents").select("doc_id", "lang"),
+        Seq("lang"), k = 10)
+      .orderBy("lang", "doc_id"),
+    Some("""WITH r AS (SELECT doc_id, lang,
+              ROW_NUMBER() OVER (PARTITION BY lang
+                ORDER BY CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT) ASC,
+                         doc_id ASC) AS rn
+            FROM documents)
+      SELECT doc_id, lang FROM r WHERE rn <= 10 ORDER BY lang, doc_id"""))
+
+  /** Hybrid retrieval (`Retrieval.rrfFuse`): BM25 top-20 (sparse, q81's
+    * inverted join) and brute-force cosine top-20 (dense; doc_id ≡ vec_id
+    * in the fixtures) fused by reciprocal-rank fusion — integer micro
+    * contributions `round(1e6/(60+rank))`, so the fused ranking is an
+    * order-free integer compare on both engines. The fusion itself never
+    * touches the corpus: it aggregates 40 rows per query. */
+  val q90_hybrid_rrf: Q = Q(
+    (s, d) => {
+      val docs = table(s, d, "documents")
+      val emb = table(s, d, "embeddings")
+      val qs = docs.filter(col("doc_id") % 29 === 0)
+        .select(col("doc_id").as("qid"),
+          concat_ws(" ", slice(split(col("text"), " "), 1, 5)).as("text"))
+      val sparse = Retrieval.bm25Batch(qs, docs, k = 20)
+        .select("qid", "doc_id", "rank")
+      val qe = emb.filter(col("vec_id") % 29 === 0)
+        .select(col("vec_id").as("qid"), col("embedding"))
+      val dense = Similarity.bruteForceTopK(
+          qe, emb.select(col("vec_id").as("cid"), col("embedding")), k = 20)
+        .select(col("qid"), col("cid").as("doc_id"), col("rank"))
+      Retrieval.rrfFuse(Seq(sparse, dense), k = 10).orderBy("qid", "rank")
+    },
+    Some("""WITH q AS (SELECT doc_id AS qid,
+               array_to_string(list_slice(string_split(text, ' '), 1, 5), ' ') AS qtext
+             FROM documents WHERE doc_id % 29 = 0),
+      qt AS (SELECT DISTINCT qid, unnest(string_split(qtext, ' ')) AS term FROM q),
+      ctw AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+      ct0 AS (SELECT doc_id, CAST(len(w) AS BIGINT) AS dl, unnest(w) AS term FROM ctw),
+      ct1 AS (SELECT doc_id, dl, term, CAST(COUNT(*) AS BIGINT) AS tf
+              FROM ct0 GROUP BY doc_id, dl, term),
+      ct AS (SELECT *, CAST(COUNT(*) OVER (PARTITION BY term) AS BIGINT) AS df FROM ct1),
+      st AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS sum_dl FROM documents),
+      sc AS (SELECT qt.qid, ct.doc_id,
+               CAST(ROUND(ROUND(
+                 ROUND(LN(1.0 + ((CAST(st.n_docs AS DOUBLE) - ct.df) + 0.5)
+                               / (CAST(ct.df AS DOUBLE) + 0.5)), 6)
+                 * (CAST(ct.tf AS DOUBLE) * 2.2)
+                 / (CAST(ct.tf AS DOUBLE)
+                    + 1.2 * (0.25 + (0.75 * CAST(ct.dl AS DOUBLE))
+                                    / (CAST(st.sum_dl AS DOUBLE) / st.n_docs))), 6)
+                 * 1e6) AS BIGINT) AS m
+             FROM qt JOIN ct USING (term) CROSS JOIN st),
+      pg AS (SELECT qid, doc_id, CAST(SUM(m) AS BIGINT) AS sm FROM sc GROUP BY qid, doc_id),
+      srk AS (SELECT qid, doc_id, ROW_NUMBER() OVER (PARTITION BY qid
+                ORDER BY CAST(sm AS DOUBLE) / 1e6 DESC, doc_id ASC) AS rank FROM pg),
+      stop AS (SELECT qid, doc_id, rank FROM srk WHERE rank <= 20),
+      dq AS (SELECT vec_id AS qid, embedding FROM embeddings WHERE vec_id % 29 = 0),
+      dp AS (SELECT dq.qid, c.vec_id AS doc_id,
+               ROUND(list_cosine_similarity(CAST(dq.embedding AS DOUBLE[]),
+                 CAST(c.embedding AS DOUBLE[])), 6) AS sim
+             FROM dq CROSS JOIN embeddings c),
+      drk AS (SELECT qid, doc_id, ROW_NUMBER() OVER (PARTITION BY qid
+                ORDER BY sim DESC, doc_id ASC) AS rank FROM dp),
+      dtop AS (SELECT qid, doc_id, rank FROM drk WHERE rank <= 20),
+      u AS (SELECT qid, doc_id, CAST(ROUND(1000000.0 / (60 + rank), 0) AS BIGINT) AS m FROM stop
+            UNION ALL
+            SELECT qid, doc_id, CAST(ROUND(1000000.0 / (60 + rank), 0) AS BIGINT) AS m FROM dtop),
+      g AS (SELECT qid, doc_id, CAST(SUM(m) AS BIGINT) AS sm,
+              CAST(COUNT(*) AS BIGINT) AS n_lists FROM u GROUP BY qid, doc_id),
+      f AS (SELECT qid, doc_id,
+              CAST(ROW_NUMBER() OVER (PARTITION BY qid ORDER BY sm DESC, doc_id ASC) AS INTEGER) AS rank,
+              n_lists, CAST(sm AS DOUBLE) / 1e6 AS score FROM g)
+      SELECT qid, doc_id, rank, n_lists, score FROM f WHERE rank <= 10 ORDER BY qid, rank"""))
+
   /** The BM25 oracle, generated from the SAME Scala doubles the Spark plan
     * uses (`toString` of a Double is shortest-round-trip, and DuckDB
     * parses it back to the identical IEEE value). */
@@ -2606,5 +2705,8 @@ object Queries {
     "q84_asof_join" -> q84_asof_join,
     "q85_corpus_report" -> q85_corpus_report,
     "q86_attribution" -> q86_attribution,
-    "q87_top_fraction" -> q87_top_fraction)
+    "q87_top_fraction" -> q87_top_fraction,
+    "q88_domain_cap" -> q88_domain_cap,
+    "q89_group_sample" -> q89_group_sample,
+    "q90_hybrid_rrf" -> q90_hybrid_rrf)
 }

@@ -146,6 +146,19 @@ class SelectionSpec extends SparkSpec {
     assert(kept == Set(10L), s"expected gate+keep-first to keep only doc 10, got $kept")
   }
 
+  test("rrfFuse: both-list candidates outrank single-list; micro-exact sums") {
+    val s = spark
+    import s.implicits._
+    val sparse = Seq((1L, 10L, 1), (1L, 11L, 2)).toDF("qid", "doc_id", "rank")
+    val dense = Seq((1L, 10L, 2), (1L, 12L, 1)).toDF("qid", "doc_id", "rank")
+    val r = Retrieval.rrfFuse(Seq(sparse, dense), k = 10).orderBy("rank").collect()
+    assert(r.map(_.getAs[Long]("doc_id")).toSeq == Seq(10L, 12L, 11L))
+    // doc 10: round(1e6/61) + round(1e6/62) = 16393 + 16129 = 32522 micro
+    assert(r(0).getAs[Double]("score") == 0.032522 && r(0).getAs[Long]("n_lists") == 2L)
+    // single-list docs tie-break on the micro contribution of their rank
+    assert(r(1).getAs[Double]("score") == 0.016393 && r(2).getAs[Double]("score") == 0.016129)
+  }
+
   /** Oracle twin of topFractionByGroup: full window sort per group. */
   private def topFracBrute(
       rows: Seq[(Long, String, Long)], fracPpm: Long): Set[(Long, String, Long)] =
