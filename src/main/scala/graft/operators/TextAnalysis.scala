@@ -485,6 +485,46 @@ object TextAnalysis {
       .withColumn("ppl", round(exp(-col("avg_logp")), 6))
       .select(col(idCol), col("n_scored"), col("avg_logp"), col("ppl"))
 
+  /** Frequency-ranked vocabulary of `corpus` — the tokenizer-prep model:
+    * the `topV` most frequent words with counts and 1-based ranks, ties
+    * at every rank (including the cut) broken alphabetically so any
+    * engine builds the identical table. One explode → word aggregate
+    * (map-side combined, key space = vocabulary) → `TakeOrderedAndProject`
+    * top-V; the rank window runs over the MODEL table (V rows), never the
+    * corpus. Like [[unigramLm]] this is a build artifact: persist it and
+    * score batches under it. */
+  def vocabulary(
+      corpus: DataFrame,
+      topV: Int = 1000,
+      textCol: String = "text"): DataFrame = {
+    val byFreq = corpus
+      .select(explode(split(col(textCol), " ")).as("word"))
+      .groupBy("word").agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("word").asc)
+      .limit(topV)
+    byFreq.withColumn("rank",
+      row_number().over(Window.orderBy(col("cnt").desc, col("word").asc)))
+  }
+
+  /** Per-doc out-of-vocabulary rate under a [[vocabulary]] model — the
+    * coverage check that decides whether a tokenizer/vocab fits a corpus
+    * slice. Explode → broadcast vocab join (model-sized) → one per-doc
+    * aggregate; the rate is a single long/long division. Docs whose every
+    * word is OOV (or empty docs — `split` never returns an empty array)
+    * report rate 1.0 with `in_vocab` 0. */
+  def oovRate(
+      docs: DataFrame,
+      vocab: DataFrame,
+      textCol: String = "text",
+      idCol: String = "doc_id"): DataFrame =
+    docs.select(col(idCol), explode(split(col(textCol), " ")).as("word"))
+      .join(broadcast(vocab.select(col("word"), lit(1).as("_hit"))), Seq("word"), "left")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_words"), count(col("_hit")).as("in_vocab"))
+      .withColumn("oov_rate",
+        (col("n_words") - col("in_vocab")).cast("double") / col("n_words"))
+      .select(col(idCol), col("n_words"), col("in_vocab"), col("oov_rate"))
+
   /** PII patterns for [[redactPii]] — deliberately in the Java ∩ RE2
     * regex subset (no lookaround, no backrefs) so any SQL engine replays
     * them verbatim. */

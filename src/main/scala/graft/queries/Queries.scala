@@ -1601,6 +1601,29 @@ object Queries {
               n_lists, CAST(sm AS DOUBLE) / 1e6 AS score FROM g)
       SELECT qid, doc_id, rank, n_lists, score FROM f WHERE rank <= 10 ORDER BY qid, rank"""))
 
+  /** Vocabulary coverage (`TextAnalysis.vocabulary` + `oovRate`): build
+    * the top-200 frequency-ranked vocab (ties at the cut broken
+    * alphabetically), then score every doc's out-of-vocabulary rate under
+    * it — explode → broadcast model join → per-doc aggregate; the rate is
+    * one long/long division. Two corpus scans by design (train + score,
+    * the unigramLm split). */
+  val q91_vocab_coverage: Q = Q(
+    (s, d) => {
+      val docs = table(s, d, "documents")
+      TextAnalysis.oovRate(docs, TextAnalysis.vocabulary(docs, topV = 200))
+        .orderBy("doc_id")
+    },
+    Some("""WITH t AS (SELECT unnest(string_split(text, ' ')) AS word FROM documents),
+      v AS (SELECT word, CAST(COUNT(*) AS BIGINT) AS cnt FROM t GROUP BY word
+            ORDER BY cnt DESC, word ASC LIMIT 200),
+      dd AS (SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents),
+      j AS (SELECT dd.doc_id, CAST(COUNT(*) AS BIGINT) AS n_words,
+              CAST(COUNT(v.word) AS BIGINT) AS in_vocab
+            FROM dd LEFT JOIN v USING (word) GROUP BY dd.doc_id)
+      SELECT doc_id, n_words, in_vocab,
+        CAST(n_words - in_vocab AS DOUBLE) / n_words AS oov_rate
+      FROM j ORDER BY doc_id"""))
+
   /** The BM25 oracle, generated from the SAME Scala doubles the Spark plan
     * uses (`toString` of a Double is shortest-round-trip, and DuckDB
     * parses it back to the identical IEEE value). */
@@ -2708,5 +2731,6 @@ object Queries {
     "q87_top_fraction" -> q87_top_fraction,
     "q88_domain_cap" -> q88_domain_cap,
     "q89_group_sample" -> q89_group_sample,
-    "q90_hybrid_rrf" -> q90_hybrid_rrf)
+    "q90_hybrid_rrf" -> q90_hybrid_rrf,
+    "q91_vocab_coverage" -> q91_vocab_coverage)
 }

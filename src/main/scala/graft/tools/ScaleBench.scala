@@ -31,7 +31,7 @@ object ScaleBench {
       "q56_repeated_ngrams", "q63_decontaminate", "q64_neardup_clusters",
       "q66_remove_boilerplate", "q67_semantic_dedup", "q69_quantized_topk",
       "q70_tfidf_terms", "q75_bm25", "q76_dsir_weights", "q80_curated_shards",
-      "q81_bm25_batch")
+      "q81_bm25_batch", "q87_top_fraction", "q88_domain_cap")
 
   def main(args: Array[String]): Unit = {
     val base = args.headOption.getOrElse("/root/testdata/sf0.1")

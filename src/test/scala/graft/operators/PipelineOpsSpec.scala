@@ -475,4 +475,33 @@ class PipelineOpsSpec extends SparkSpec {
     val r = Linesample.sample(t, area, grid).collect().map(r => r.getAs[Long]("dst_id") -> Option(r.getAs[Any]("v"))).toMap
     assert(r(1L).contains(42.0) && r(2L).isEmpty)
   }
+
+  test("vocabulary: frequency ranks with alphabetical tie-break at the cut") {
+    val s = spark
+    import s.implicits._
+    val corpus = Seq(
+      (1L, "aa aa aa bb bb cc"),
+      (2L, "bb dd cc")).toDF("doc_id", "text")
+    // counts: aa=3, bb=3, cc=2, dd=1; topV=3 cuts between cc and dd
+    val v = TextAnalysis.vocabulary(corpus, topV = 3)
+      .collect().map(r => (r.getAs[String]("word"), r.getAs[Long]("cnt"),
+        r.getAs[Int]("rank")))
+    assert(v.toSeq.sortBy(_._3) == Seq(("aa", 3L, 1), ("bb", 3L, 2), ("cc", 2L, 3)))
+  }
+
+  test("oovRate: per-doc coverage under the vocab model") {
+    val s = spark
+    import s.implicits._
+    val corpus = Seq(
+      (1L, "aa aa bb zz"),   // 3/4 in vocab {aa,bb,cc}
+      (2L, "zz yy"),         // fully OOV
+      (3L, "aa")).toDF("doc_id", "text")
+    val vocab = Seq(("aa", 10L, 1), ("bb", 5L, 2), ("cc", 2L, 3))
+      .toDF("word", "cnt", "rank")
+    val r = TextAnalysis.oovRate(corpus, vocab)
+      .collect().map(x => x.getAs[Long]("doc_id") ->
+        (x.getAs[Long]("n_words"), x.getAs[Long]("in_vocab"),
+          x.getAs[Double]("oov_rate"))).toMap
+    assert(r(1L) == ((4L, 3L, 0.25)) && r(2L) == ((2L, 0L, 1.0)) && r(3L) == ((1L, 1L, 0.0)))
+  }
 }
