@@ -1541,17 +1541,19 @@ object Queries {
     * in the fixtures) fused by reciprocal-rank fusion — integer micro
     * contributions `round(1e6/(60+rank))`, so the fused ranking is an
     * order-free integer compare on both engines. The fusion itself never
-    * touches the corpus: it aggregates 40 rows per query. */
+    * touches the corpus: it aggregates 40 rows per query. The %100 query
+    * set (vs q81's %29) keeps this a fusion demo rather than a second
+    * copy of the suite's heaviest retrieval load. */
   val q90_hybrid_rrf: Q = Q(
     (s, d) => {
       val docs = table(s, d, "documents")
       val emb = table(s, d, "embeddings")
-      val qs = docs.filter(col("doc_id") % 29 === 0)
+      val qs = docs.filter(col("doc_id") % 100 === 0)
         .select(col("doc_id").as("qid"),
           concat_ws(" ", slice(split(col("text"), " "), 1, 5)).as("text"))
       val sparse = Retrieval.bm25Batch(qs, docs, k = 20)
         .select("qid", "doc_id", "rank")
-      val qe = emb.filter(col("vec_id") % 29 === 0)
+      val qe = emb.filter(col("vec_id") % 100 === 0)
         .select(col("vec_id").as("qid"), col("embedding"))
       val dense = Similarity.bruteForceTopK(
           qe, emb.select(col("vec_id").as("cid"), col("embedding")), k = 20)
@@ -1560,7 +1562,7 @@ object Queries {
     },
     Some("""WITH q AS (SELECT doc_id AS qid,
                array_to_string(list_slice(string_split(text, ' '), 1, 5), ' ') AS qtext
-             FROM documents WHERE doc_id % 29 = 0),
+             FROM documents WHERE doc_id % 100 = 0),
       qt AS (SELECT DISTINCT qid, unnest(string_split(qtext, ' ')) AS term FROM q),
       ctw AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
       ct0 AS (SELECT doc_id, CAST(len(w) AS BIGINT) AS dl, unnest(w) AS term FROM ctw),
@@ -1583,7 +1585,7 @@ object Queries {
       srk AS (SELECT qid, doc_id, ROW_NUMBER() OVER (PARTITION BY qid
                 ORDER BY CAST(sm AS DOUBLE) / 1e6 DESC, doc_id ASC) AS rank FROM pg),
       stop AS (SELECT qid, doc_id, rank FROM srk WHERE rank <= 20),
-      dq AS (SELECT vec_id AS qid, embedding FROM embeddings WHERE vec_id % 29 = 0),
+      dq AS (SELECT vec_id AS qid, embedding FROM embeddings WHERE vec_id % 100 = 0),
       dp AS (SELECT dq.qid, c.vec_id AS doc_id,
                ROUND(list_cosine_similarity(CAST(dq.embedding AS DOUBLE[]),
                  CAST(c.embedding AS DOUBLE[])), 6) AS sim
