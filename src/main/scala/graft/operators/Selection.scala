@@ -333,6 +333,31 @@ object Selection {
     capPerGroup(df, groupCols, k,
       Seq(md5Long(col(idCol).cast("string")).asc, col(idCol).asc))
 
+  /** Weighted sample WITHOUT replacement, exact-k per group — the
+    * per-stratum form of [[dsirResample]] (e.g. "10 docs per language,
+    * probability ∝ exp(log_w)"). Same Gumbel/Efraimidis-Spirakis race:
+    * each row draws its deterministic md5 uniform, the key is one round-6
+    * micro-log minus the integer micro log-weight in `logWMicroCol`, and
+    * [[capPerGroup]] keeps the k smallest keys per group — so selection is
+    * the WindowGroupLimit map-side heap, an integer compare, and
+    * reproducible on any engine. Completes the sampling matrix: uniform
+    * exact-k ([[samplePerGroup]]), weighted global ([[dsirResample]]),
+    * weighted per-group (this). */
+  def weightedSamplePerGroup(
+      df: DataFrame,
+      groupCols: Seq[String],
+      k: Int,
+      logWMicroCol: String,
+      idCol: String = "doc_id"): DataFrame = {
+    val mantissa = 1L << 52
+    val u = (md5Long(col(idCol).cast("string")) % mantissa + lit(1L))
+      .cast("double") / lit(mantissa + 1L).cast("double")
+    val key = round(round(log(-log(u)), 6) * 1e6).cast("long") - col(logWMicroCol)
+    capPerGroup(df.withColumn("_skey", key), groupCols, k,
+      Seq(col("_skey").asc, col(idCol).asc))
+      .drop("_skey")
+  }
+
   // ====================================================== output sharding
 
   /** Deterministic training-shard assignment + per-shard manifest — the

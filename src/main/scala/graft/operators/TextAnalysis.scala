@@ -525,6 +525,31 @@ object TextAnalysis {
         (col("n_words") - col("in_vocab")).cast("double") / col("n_words"))
       .select(col(idCol), col("n_words"), col("in_vocab"), col("oov_rate"))
 
+  /** ASCII text canonicalization — the normalization stage that runs
+    * BEFORE dedup/fingerprinting so cosmetic variants (case, punctuation,
+    * whitespace runs) collapse to one canonical form: lowercase, replace
+    * every char outside `[a-z0-9 ]` with a space, collapse space runs,
+    * trim. Pure per-row `lower`/`regexp_replace` chain — join-free,
+    * stateless, streaming-safe, one map stage at any scale; the regexes
+    * are in the Java ∩ RE2 subset so any engine replays them verbatim.
+    * Emits the canonical text, its md5 60-bit fingerprint (feed to
+    * dedup), and a `changed` flag. */
+  def normalizeText(
+      docs: DataFrame,
+      textCol: String = "text",
+      idCol: String = "doc_id"): DataFrame = {
+    val norm = trim(regexp_replace(
+      regexp_replace(lower(col(textCol)), "[^a-z0-9 ]", " "), " +", " "))
+    docs
+      .withColumn("norm_text", norm)
+      .withColumn("norm_fp",
+        conv(substring(md5(col("norm_text")), 1, 15), 16, 10).cast("long"))
+      .withColumn("changed",
+        when(col("norm_text") === col(textCol), 0).otherwise(1))
+      .select(col(idCol), col("norm_text"), col("norm_fp"), col("changed"),
+        length(col("norm_text")).cast("long").as("n_chars_norm"))
+  }
+
   /** PII patterns for [[redactPii]] — deliberately in the Java ∩ RE2
     * regex subset (no lookaround, no backrefs) so any SQL engine replays
     * them verbatim. */

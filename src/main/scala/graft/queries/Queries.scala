@@ -1626,6 +1626,53 @@ object Queries {
         CAST(n_words - in_vocab AS DOUBLE) / n_words AS oov_rate
       FROM j ORDER BY doc_id"""))
 
+  /** Per-group weighted sampling (`Selection.weightedSamplePerGroup`):
+    * 10 docs per language, probability ∝ n_chars (log-weight =
+    * round-6 micro ln(n_chars)), via the per-stratum Gumbel race — md5
+    * uniforms, integer keys, WindowGroupLimit heap. Oracle is the
+    * independent full-window formulation with the same integer key. */
+  val q92_weighted_sample: Q = Q(
+    (s, d) => Selection.weightedSamplePerGroup(
+        table(s, d, "documents")
+          .select(col("doc_id"), col("lang"), col("n_chars"))
+          .withColumn("log_w_micro",
+            round(round(log(col("n_chars").cast("double")), 6) * 1e6).cast("long")),
+        Seq("lang"), k = 10, logWMicroCol = "log_w_micro")
+      .orderBy("lang", "doc_id"),
+    Some("""WITH b AS (SELECT doc_id, lang, n_chars,
+              CAST(ROUND(ROUND(LN(CAST(n_chars AS DOUBLE)), 6) * 1e6) AS BIGINT) AS log_w_micro
+            FROM documents),
+      kk AS (SELECT doc_id, lang, n_chars, log_w_micro,
+               CAST(ROUND(ROUND(LN(-LN(
+                 CAST((CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT)
+                       % 4503599627370496) + 1 AS DOUBLE)
+                 / CAST(4503599627370497 AS DOUBLE))), 6) * 1e6) AS BIGINT)
+                 - log_w_micro AS skey
+             FROM b),
+      r AS (SELECT doc_id, lang, n_chars, log_w_micro,
+              ROW_NUMBER() OVER (PARTITION BY lang ORDER BY skey ASC, doc_id ASC) AS rn
+            FROM kk)
+      SELECT doc_id, lang, n_chars, log_w_micro FROM r WHERE rn <= 10
+      ORDER BY lang, doc_id"""))
+
+  /** Text canonicalization (`TextAnalysis.normalizeText`): lowercase +
+    * punctuation strip + whitespace collapse as a pure per-row regex
+    * chain; emits canonical text, its 60-bit fingerprint, and a changed
+    * flag. The oracle replays the identical RE2-subset regexes (DuckDB
+    * needs the 'g' flag for global replace). */
+  val q93_normalize: Q = Q(
+    (s, d) => TextAnalysis.normalizeText(table(s, d, "documents"))
+      .orderBy("doc_id"),
+    Some("""WITH n AS (SELECT doc_id,
+              trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'),
+                   ' +', ' ', 'g')) AS norm_text, text
+            FROM documents)
+      SELECT doc_id, norm_text,
+        CAST('0x' || substr(md5(norm_text), 1, 15) AS BIGINT) AS norm_fp,
+        CAST(CASE WHEN norm_text = text THEN 0 ELSE 1 END AS INTEGER) AS changed,
+        CAST(len(norm_text) AS BIGINT) AS n_chars_norm
+      FROM n ORDER BY doc_id"""))
+
   /** The BM25 oracle, generated from the SAME Scala doubles the Spark plan
     * uses (`toString` of a Double is shortest-round-trip, and DuckDB
     * parses it back to the identical IEEE value). */
@@ -2734,5 +2781,7 @@ object Queries {
     "q88_domain_cap" -> q88_domain_cap,
     "q89_group_sample" -> q89_group_sample,
     "q90_hybrid_rrf" -> q90_hybrid_rrf,
-    "q91_vocab_coverage" -> q91_vocab_coverage)
+    "q91_vocab_coverage" -> q91_vocab_coverage,
+    "q92_weighted_sample" -> q92_weighted_sample,
+    "q93_normalize" -> q93_normalize)
 }

@@ -476,6 +476,25 @@ class PipelineOpsSpec extends SparkSpec {
     assert(r(1L).contains(42.0) && r(2L).isEmpty)
   }
 
+  test("normalizeText: case/punct/whitespace collapse to one canonical form") {
+    val s = spark
+    import s.implicits._
+    val corpus = Seq(
+      (1L, "Hello,  WORLD!! 42"),
+      (2L, "hello world 42"),     // already canonical
+      (3L, "  ---  ")).toDF("doc_id", "text")
+    val r = TextAnalysis.normalizeText(corpus)
+      .collect().map(x => x.getAs[Long]("doc_id") ->
+        (x.getAs[String]("norm_text"), x.getAs[Int]("changed"))).toMap
+    assert(r(1L) == (("hello world 42", 1)))
+    assert(r(2L) == (("hello world 42", 0)))
+    assert(r(3L) == (("", 1)))
+    // cosmetic variants now share a fingerprint
+    val fps = TextAnalysis.normalizeText(corpus)
+      .collect().map(x => x.getAs[Long]("doc_id") -> x.getAs[Long]("norm_fp")).toMap
+    assert(fps(1L) == fps(2L) && fps(1L) != fps(3L))
+  }
+
   test("vocabulary: frequency ranks with alphabetical tie-break at the cut") {
     val s = spark
     import s.implicits._

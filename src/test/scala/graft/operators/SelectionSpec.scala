@@ -202,6 +202,30 @@ class SelectionSpec extends SparkSpec {
     assert(got.count(_._2 == "solo") == 1 && got.count(_._2 == "trio") == 1)
   }
 
+  test("weightedSamplePerGroup: matches driver-side Gumbel race, exact k") {
+    val s = spark
+    import s.implicits._
+    val rows = (1L to 120L).map { i =>
+      val grp = s"g${i % 3}"
+      val w = (i % 10 + 1) * 100000L // micro log-weights
+      (i, grp, w)
+    }
+    val df = rows.toDF("doc_id", "grp", "log_w_micro")
+    val got = Selection.weightedSamplePerGroup(df, Seq("grp"), 7, "log_w_micro")
+      .collect().map(r => (r.getAs[Long]("doc_id"), r.getAs[String]("grp"))).toSet
+    val mant = 1L << 52
+    def key(id: Long, w: Long): Long = {
+      val u = ((Selection.md5LongLocal(id.toString) % mant) + 1).toDouble / (mant + 1).toDouble
+      math.round(BigDecimal(math.log(-math.log(u)))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble * 1e6) - w
+    }
+    val want = rows.groupBy(_._2).flatMap { case (_, g) =>
+      g.sortBy(r => (key(r._1, r._3), r._1)).take(7)
+    }.map(r => (r._1, r._2)).toSet
+    assert(got == want)
+    assert(got.groupBy(_._2).forall(_._2.size == 7))
+  }
+
   test("shard manifest: shards partition the corpus; checksum is order-free") {
     val m = Selection.shardManifest(docs, nShards = 4).collect()
     assert(m.map(_.getAs[Long]("n_docs")).sum == 6L)
