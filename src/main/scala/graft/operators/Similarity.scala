@@ -437,4 +437,28 @@ object Similarity {
       .filter(col("rank") <= k)
       .select(col(idQ), col(idC), col("rank"), col("sim_r").as("sim"))
   }
+
+  /** Project embeddings onto a trained linear model (PCA/whitening rows
+    * baked as literals by `graft.tools.TrainPca` — the TrainCentroids
+    * pattern): component j is `round(x·V_j − c_j, 6)` where the offset
+    * `c_j = V_j·μ` folds the training mean into one constant. Each dot is
+    * the native codegen [[graft.functions.VectorExpr]] kernel over a
+    * literal array, so projection is a zero-shuffle, join-free map stage —
+    * streaming-safe, linear at any scale — emitting flat `p0..p{k-1}`
+    * columns (parquet/engine-friendly; `array(p*)` re-packs when a
+    * downstream ANN stage wants a vector). */
+  def projectEmbeddings(
+      df: DataFrame,
+      components: Seq[Array[Double]],
+      offsets: Seq[Double],
+      vecCol: String = "embedding",
+      idCol: String = "vec_id"): DataFrame = {
+    require(components.nonEmpty && components.size == offsets.size,
+      "components and offsets must align")
+    val cols = components.zip(offsets).zipWithIndex.map { case ((v, c), j) =>
+      round(graft.functions.VectorExpr.dot(
+        col(vecCol), typedLit(v.toSeq)) - lit(c), 6).as(s"p$j")
+    }
+    df.select(col(idCol) +: cols: _*)
+  }
 }

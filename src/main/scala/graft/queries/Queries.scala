@@ -1673,6 +1673,25 @@ object Queries {
         CAST(len(norm_text) AS BIGINT) AS n_chars_norm
       FROM n ORDER BY doc_id"""))
 
+  /** Embedding dimensionality reduction under the baked PCA model
+    * (`Similarity.projectEmbeddings` + `TrainedProjection`): per-row
+    * native codegen dots against literal components, mean folded into one
+    * offset per component — zero-shuffle, join-free, streaming-safe. The
+    * oracle is generated from the SAME literals (Double.toString
+    * round-trips into DuckDB), mirroring the bm25Sql pattern. */
+  val q94_pca_project: Q = Q(
+    (s, d) => Similarity.projectEmbeddings(
+        table(s, d, "embeddings"),
+        TrainedProjection.comps, TrainedProjection.offsets)
+      .orderBy("vec_id"),
+    Some {
+      val exprs = TrainedProjection.comps.zip(TrainedProjection.offsets).zipWithIndex
+        .map { case ((v, c), j) =>
+          s"ROUND(list_inner_product(CAST(embedding AS DOUBLE[]), [${v.mkString(", ")}]) - ($c), 6) AS p$j"
+        }.mkString(",\n        ")
+      s"SELECT vec_id,\n        $exprs\n      FROM embeddings ORDER BY vec_id"
+    })
+
   /** The BM25 oracle, generated from the SAME Scala doubles the Spark plan
     * uses (`toString` of a Double is shortest-round-trip, and DuckDB
     * parses it back to the identical IEEE value). */
@@ -2783,5 +2802,6 @@ object Queries {
     "q90_hybrid_rrf" -> q90_hybrid_rrf,
     "q91_vocab_coverage" -> q91_vocab_coverage,
     "q92_weighted_sample" -> q92_weighted_sample,
-    "q93_normalize" -> q93_normalize)
+    "q93_normalize" -> q93_normalize,
+    "q94_pca_project" -> q94_pca_project)
 }

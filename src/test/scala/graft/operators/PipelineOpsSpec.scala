@@ -476,6 +476,27 @@ class PipelineOpsSpec extends SparkSpec {
     assert(r(1L).contains(42.0) && r(2L).isEmpty)
   }
 
+  test("projectEmbeddings: identity model returns rounded input; offsets shift") {
+    val s = spark
+    import s.implicits._
+    val df = Seq((1L, Seq(0.25f, -0.5f)), (2L, Seq(1.0f, 2.0f)))
+      .toDF("vec_id", "embedding")
+    val r = Similarity.projectEmbeddings(df,
+        Seq(Array(1.0, 0.0), Array(0.0, 1.0)), Seq(0.0, 0.5))
+      .collect().map(x => x.getAs[Long]("vec_id") ->
+        (x.getAs[Double]("p0"), x.getAs[Double]("p1"))).toMap
+    assert(r(1L) == ((0.25, -1.0)) && r(2L) == ((1.0, 1.5)))
+  }
+
+  test("TrainedProjection model: components are orthonormal after rounding") {
+    val c = graft.queries.TrainedProjection.comps
+    for (i <- c.indices; j <- i until c.size) {
+      val dot = c(i).zip(c(j)).map { case (a, b) => a * b }.sum
+      val want = if (i == j) 1.0 else 0.0
+      assert(math.abs(dot - want) < 1e-4, s"comp $i . comp $j = $dot")
+    }
+  }
+
   test("normalizeText: case/punct/whitespace collapse to one canonical form") {
     val s = spark
     import s.implicits._
