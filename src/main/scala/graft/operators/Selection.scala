@@ -333,6 +333,58 @@ object Selection {
     capPerGroup(df, groupCols, k,
       Seq(md5Long(col(idCol).cast("string")).asc, col(idCol).asc))
 
+  /** EXACT per-group quantile VALUE (type-1/discrete: the element at
+    * ascending rank ceil(q·n), q in ppm) — the statistic-computing
+    * complement of [[topFractionByGroup]]'s row-selecting gate, for
+    * per-group threshold derivation ("the p90 doc length per language")
+    * without `percentile`'s full per-group sort or an approximation.
+    *
+    * Same histogram + boundary-rank machinery, ascending: the tiny
+    * (groups × buckets) histogram locates the bin holding the rank-k
+    * element and the residual rank inside it; only that bin's slice pays
+    * a row_number, and only its r-th element survives. Returns one row
+    * per group: (group, n rows, the exact quantile value as double).
+    * Same 3-consumer evaluation contract as [[topFractionByGroup]] —
+    * feed a slim projection. */
+  def exactQuantileByGroup(
+      df: DataFrame,
+      groupCol: String,
+      valueCol: String,
+      qPpm: Long,
+      buckets: Int = 256): DataFrame = {
+    require(qPpm > 0 && qPpm <= 1000000L, s"qPpm out of (0, 1e6]: $qPpm")
+    val v = col(valueCol).cast("double")
+    val stats = df.agg(min(v).as("_lo"), max(v).as("_hi"))
+    val binned = df
+      .join(broadcast(stats))
+      .withColumn("_bin",
+        when(col("_hi") === col("_lo"), lit(0))
+          .otherwise(least(lit(buckets - 1),
+            floor((v - col("_lo")) * buckets / (col("_hi") - col("_lo"))).cast("int"))))
+      .drop("_lo", "_hi")
+    val wAsc = Window.partitionBy(col(groupCol)).orderBy(col("_bin").asc)
+    val bounds = binned
+      .groupBy(col(groupCol), col("_bin"))
+      .agg(count(lit(1)).as("_cnt"))
+      .withColumn("_cum", sum(col("_cnt")).over(
+        wAsc.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("_n", sum(col("_cnt")).over(
+        Window.partitionBy(col(groupCol))
+          .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)))
+      .withColumn("_k", expr(s"(_n * $qPpm + 999999) div 1000000"))
+      .filter(col("_cum") >= col("_k"))
+      .withColumn("_rn", row_number().over(wAsc))
+      .filter(col("_rn") === 1)
+      .select(col(groupCol), col("_bin").as("_bstar"), col("_n"),
+        (col("_k") - (col("_cum") - col("_cnt"))).as("_resid"))
+    val wVal = Window.partitionBy(col(groupCol)).orderBy(v.asc)
+    binned.join(broadcast(bounds), Seq(groupCol))
+      .filter(col("_bin") === col("_bstar"))
+      .withColumn("_vrn", row_number().over(wVal))
+      .filter(col("_vrn") === col("_resid"))
+      .select(col(groupCol), col("_n").as("n"), v.as("quantile"))
+  }
+
   /** Weighted sample WITHOUT replacement, exact-k per group — the
     * per-stratum form of [[dsirResample]] (e.g. "10 docs per language,
     * probability ∝ exp(log_w)"). Same Gumbel/Efraimidis-Spirakis race:

@@ -1692,6 +1692,22 @@ object Queries {
       s"SELECT vec_id,\n        $exprs\n      FROM embeddings ORDER BY vec_id"
     })
 
+  /** Exact per-group p90 without a sort (`Selection.exactQuantileByGroup`):
+    * the p90 doc length per language as a type-1 order statistic at
+    * integer-ppm rank ceil(0.9·n) — histogram locates the bin, only that
+    * bin's slice ranks. Oracle is the full-window order-statistic twin. */
+  val q95_group_quantile: Q = Q(
+    (s, d) => Selection.exactQuantileByGroup(
+        table(s, d, "documents").select(col("lang"), col("n_chars")),
+        "lang", "n_chars", qPpm = 900000L)
+      .orderBy("lang"),
+    Some("""WITH r AS (SELECT lang, n_chars,
+              ROW_NUMBER() OVER (PARTITION BY lang ORDER BY n_chars ASC) AS rn,
+              CAST(COUNT(*) OVER (PARTITION BY lang) AS BIGINT) AS n
+            FROM documents)
+      SELECT lang, n, CAST(n_chars AS DOUBLE) AS quantile FROM r
+      WHERE rn = (n * 900000 + 999999) // 1000000 ORDER BY lang"""))
+
   /** The BM25 oracle, generated from the SAME Scala doubles the Spark plan
     * uses (`toString` of a Double is shortest-round-trip, and DuckDB
     * parses it back to the identical IEEE value). */
@@ -2803,5 +2819,6 @@ object Queries {
     "q91_vocab_coverage" -> q91_vocab_coverage,
     "q92_weighted_sample" -> q92_weighted_sample,
     "q93_normalize" -> q93_normalize,
-    "q94_pca_project" -> q94_pca_project)
+    "q94_pca_project" -> q94_pca_project,
+    "q95_group_quantile" -> q95_group_quantile)
 }

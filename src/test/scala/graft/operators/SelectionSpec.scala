@@ -202,6 +202,32 @@ class SelectionSpec extends SparkSpec {
     assert(got.count(_._2 == "solo") == 1 && got.count(_._2 == "trio") == 1)
   }
 
+  test("exactQuantileByGroup: matches the sorted order statistic incl. ties") {
+    val s = spark
+    import s.implicits._
+    val rows = (1L to 333L).map { i =>
+      val grp = s"g${i % 4}"
+      val v = if (i % 6 == 0) 50L else (i * 2654435761L) % 200L
+      (i, grp, v)
+    }
+    val df = rows.toDF("doc_id", "grp", "v")
+    for (ppm <- Seq(100000L, 500000L, 900000L, 1000000L)) {
+      val got = Selection.exactQuantileByGroup(df, "grp", "v", ppm, buckets = 8)
+        .collect().map(r => r.getAs[String]("grp") ->
+          (r.getAs[Long]("n"), r.getAs[Double]("quantile"))).toMap
+      val want = rows.groupBy(_._2).map { case (g, rs) =>
+        val sorted = rs.map(_._3).sorted
+        val k = ((rs.size * ppm + 999999L) / 1000000L).toInt
+        g -> ((rs.size.toLong, sorted(k - 1).toDouble))
+      }
+      assert(got == want, s"mismatch at qPpm=$ppm")
+    }
+    // all-equal degenerate group
+    val flat = (1L to 40L).map(i => (i, "f", 9L)).toDF("doc_id", "grp", "v")
+    val q = Selection.exactQuantileByGroup(flat, "grp", "v", 500000L).collect()
+    assert(q.length == 1 && q(0).getAs[Double]("quantile") == 9.0)
+  }
+
   test("weightedSamplePerGroup: matches driver-side Gumbel race, exact k") {
     val s = spark
     import s.implicits._
