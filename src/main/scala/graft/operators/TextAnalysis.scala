@@ -550,6 +550,23 @@ object TextAnalysis {
         length(col("norm_text")).cast("long").as("n_chars_norm"))
   }
 
+  /** Tokenize to ids under a [[vocabulary]] model — the APPLY step of the
+    * tokenizer-prep pair: each word becomes its vocab rank, OOV words
+    * become id 0 (the UNK token), positions are 1-based. One posexplode +
+    * broadcast model join — map-only at any scale, the id table is
+    * (doc, pos)-keyed for direct sequence reassembly (`sort within doc`)
+    * or packing ([[packSequences]]). */
+  def tokenize(
+      docs: DataFrame,
+      vocab: DataFrame,
+      textCol: String = "text",
+      idCol: String = "doc_id"): DataFrame =
+    docs
+      .select(col(idCol), posexplode(split(col(textCol), " ")).as(Seq("_p", "word")))
+      .join(broadcast(vocab.select(col("word"), col("rank"))), Seq("word"), "left")
+      .select(col(idCol), (col("_p") + 1).cast("int").as("pos"),
+        coalesce(col("rank"), lit(0)).cast("int").as("token_id"))
+
   /** PII patterns for [[redactPii]] — deliberately in the Java ∩ RE2
     * regex subset (no lookaround, no backrefs) so any SQL engine replays
     * them verbatim. */

@@ -1708,6 +1708,27 @@ object Queries {
       SELECT lang, n, CAST(n_chars AS DOUBLE) AS quantile FROM r
       WHERE rn = (n * 900000 + 999999) // 1000000 ORDER BY lang"""))
 
+  /** Tokenization under the built vocab (`TextAnalysis.tokenize`): every
+    * word becomes its top-200 vocab rank (OOV → 0/UNK), 1-based
+    * positions — posexplode + broadcast model join, map-only. With q91
+    * this is the full tokenizer-prep pair: build, then apply. */
+  val q96_tokenize: Q = Q(
+    (s, d) => {
+      val docs = table(s, d, "documents")
+      TextAnalysis.tokenize(docs, TextAnalysis.vocabulary(docs, topV = 200))
+        .orderBy("doc_id", "pos")
+    },
+    Some("""WITH t AS (SELECT unnest(string_split(text, ' ')) AS word FROM documents),
+      agg AS (SELECT word, CAST(COUNT(*) AS BIGINT) AS cnt FROM t GROUP BY word),
+      v AS (SELECT word, ROW_NUMBER() OVER (ORDER BY cnt DESC, word ASC) AS rank
+            FROM (SELECT word, cnt FROM agg ORDER BY cnt DESC, word ASC LIMIT 200)),
+      dd AS (SELECT doc_id, unnest(string_split(text, ' ')) AS word,
+               generate_subscripts(string_split(text, ' '), 1) AS pos
+             FROM documents)
+      SELECT dd.doc_id, CAST(dd.pos AS INTEGER) AS pos,
+        CAST(COALESCE(v.rank, 0) AS INTEGER) AS token_id
+      FROM dd LEFT JOIN v USING (word) ORDER BY doc_id, pos"""))
+
   /** The BM25 oracle, generated from the SAME Scala doubles the Spark plan
     * uses (`toString` of a Double is shortest-round-trip, and DuckDB
     * parses it back to the identical IEEE value). */
@@ -2820,5 +2841,6 @@ object Queries {
     "q92_weighted_sample" -> q92_weighted_sample,
     "q93_normalize" -> q93_normalize,
     "q94_pca_project" -> q94_pca_project,
-    "q95_group_quantile" -> q95_group_quantile)
+    "q95_group_quantile" -> q95_group_quantile,
+    "q96_tokenize" -> q96_tokenize)
 }

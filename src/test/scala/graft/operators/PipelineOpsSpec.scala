@@ -497,6 +497,17 @@ class PipelineOpsSpec extends SparkSpec {
     }
   }
 
+  test("tokenize: words map to vocab ranks, OOV to 0, 1-based positions") {
+    val s = spark
+    import s.implicits._
+    val corpus = Seq((1L, "aa bb zz aa")).toDF("doc_id", "text")
+    val vocab = Seq(("aa", 9L, 1), ("bb", 5L, 2)).toDF("word", "cnt", "rank")
+    val r = TextAnalysis.tokenize(corpus, vocab)
+      .orderBy("pos").collect()
+      .map(x => (x.getAs[Int]("pos"), x.getAs[Int]("token_id"))).toSeq
+    assert(r == Seq((1, 1), (2, 2), (3, 0), (4, 1)))
+  }
+
   test("normalizeText: case/punct/whitespace collapse to one canonical form") {
     val s = spark
     import s.implicits._
