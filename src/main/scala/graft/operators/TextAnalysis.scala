@@ -567,6 +567,69 @@ object TextAnalysis {
       .select(col(idCol), (col("_p") + 1).cast("int").as("pos"),
         coalesce(col("rank"), lit(0)).cast("int").as("token_id"))
 
+  /** Round-6 micro log of ln(0.4) — the stupid-backoff discount (Brants
+    * et al. 2007); a literal so both engines share the identical value. */
+  val StupidBackoffMicro: Long = -916291L
+
+  /** Bigram model half of [[bigramScoreWith]]: conditional log-probs
+    * `li2(w1 w2) = round-6 micro ln(c(w1,w2) / c(w1))` trained on
+    * `corpus`. Two explode aggregates (word and word-pair key spaces,
+    * map-side combined) + one join on w1 — model-sized output, a build
+    * artifact like [[unigramLm]] (which supplies the backoff tier). */
+  def bigramLm(corpus: DataFrame, textCol: String = "text"): DataFrame = {
+    val w = corpus.select(split(col(textCol), " ").as("_w"))
+    val uni = w.select(explode(col("_w")).as("w1"))
+      .groupBy("w1").agg(count(lit(1)).as("_c1"))
+    w.select(explode(expr(bigramPairsSql)).as("_b"))
+      .select(col("_b.w1").as("w1"), col("_b.w2").as("w2"))
+      .groupBy("w1", "w2").agg(count(lit(1)).as("_c2"))
+      .join(uni, "w1")
+      .withColumn("li2",
+        round(round(log(col("_c2").cast("double") / col("_c1")), 6) * 1e6).cast("long"))
+      .select("w1", "w2", "li2")
+  }
+
+  private def bigramPairsSql: String =
+    "CASE WHEN size(_w) >= 2 THEN transform(sequence(0, size(_w) - 2), " +
+      "i -> struct(_w[i] AS w1, _w[i + 1] AS w2)) " +
+      "ELSE CAST(array() AS ARRAY<STRUCT<w1: STRING, w2: STRING>>) END"
+
+  /** Bigram perplexity with STUPID BACKOFF against explicit (possibly
+    * reference-trained) models: each doc bigram scores `li2(w1 w2)` when
+    * the bigram is in the model, else discount + `li1(w2)` from the
+    * unigram tier, else discount + `unkMicro` (caller-fixed UNK floor) —
+    * one coalesce over two broadcast-model left joins, so every score is
+    * an integer micro sum and the whole stage is join-free of the corpus
+    * beyond one explode. Docs with < 2 words emit nothing (q74
+    * semantics). `n_backoff` counts backed-off bigrams — the coverage
+    * signal a reference-model deployment monitors. */
+  def bigramScoreWith(
+      docs: DataFrame,
+      bi: DataFrame,
+      uniLm: DataFrame,
+      unkMicro: Long = -20000000L,
+      textCol: String = "text",
+      idCol: String = "doc_id"): DataFrame = {
+    val pairs = docs
+      .select(col(idCol), split(col(textCol), " ").as("_w"))
+      .select(col(idCol), explode(expr(bigramPairsSql)).as("_b"))
+      .select(col(idCol), col("_b.w1").as("w1"), col("_b.w2").as("w2"))
+    pairs
+      .join(broadcast(bi), Seq("w1", "w2"), "left")
+      .join(broadcast(uniLm.select(col("w").as("w2"), col("li").as("_li1"))),
+        Seq("w2"), "left")
+      .withColumn("_m", coalesce(col("li2"),
+        lit(StupidBackoffMicro) + coalesce(col("_li1"), lit(unkMicro))))
+      .withColumn("_bo", when(col("li2").isNull, 1L).otherwise(0L))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_bigrams"), sum("_bo").as("n_backoff"),
+        sum("_m").as("_sm"))
+      .withColumn("avg_logp",
+        col("_sm").cast("double") / (col("n_bigrams") * lit(1000000L)))
+      .withColumn("ppl", round(exp(-col("avg_logp")), 6))
+      .select(col(idCol), col("n_bigrams"), col("n_backoff"), col("avg_logp"), col("ppl"))
+  }
+
   /** PII patterns for [[redactPii]] — deliberately in the Java ∩ RE2
     * regex subset (no lookaround, no backrefs) so any SQL engine replays
     * them verbatim. */

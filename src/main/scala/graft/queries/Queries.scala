@@ -1729,6 +1729,48 @@ object Queries {
         CAST(COALESCE(v.rank, 0) AS INTEGER) AS token_id
       FROM dd LEFT JOIN v USING (word) ORDER BY doc_id, pos"""))
 
+  /** Bigram-LM perplexity with stupid backoff (`TextAnalysis.bigramLm` +
+    * `bigramScoreWith`): models trained on the even-id half, every doc
+    * scored under them — so the backoff tiers (discount + unigram,
+    * discount + UNK floor) are genuinely exercised on the odd half.
+    * Integer micro scores end-to-end; one explode + two broadcast model
+    * joins. */
+  val q97_bigram_lm: Q = Q(
+    (s, d) => {
+      val docs = table(s, d, "documents")
+      val ref = docs.filter(col("doc_id") % 2 === 0)
+      TextAnalysis.bigramScoreWith(
+          docs, TextAnalysis.bigramLm(ref), TextAnalysis.unigramLm(ref))
+        .orderBy("doc_id")
+    },
+    Some("""WITH rw AS (SELECT string_split(text, ' ') AS w FROM documents WHERE doc_id % 2 = 0),
+      uni AS (SELECT w1, CAST(COUNT(*) AS BIGINT) AS c1
+              FROM (SELECT unnest(w) AS w1 FROM rw) GROUP BY w1),
+      tot AS (SELECT CAST(SUM(c1) AS BIGINT) AS t FROM uni),
+      u1 AS (SELECT w1 AS w2u, CAST(ROUND(ROUND(LN(CAST(c1 AS DOUBLE) / t), 6) * 1e6) AS BIGINT) AS li1
+             FROM uni CROSS JOIN tot),
+      bgr AS (SELECT w[i] AS w1, w[i + 1] AS w2
+              FROM (SELECT w, generate_subscripts(w, 1) AS i FROM rw)
+              WHERE i < len(w)),
+      b2 AS (SELECT w1, w2, CAST(ROUND(ROUND(LN(CAST(c2 AS DOUBLE) / c1), 6) * 1e6) AS BIGINT) AS li2
+             FROM (SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS c2 FROM bgr GROUP BY w1, w2) b
+             JOIN uni USING (w1)),
+      dw AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+      db AS (SELECT doc_id, w[i] AS w1, w[i + 1] AS w2
+             FROM (SELECT doc_id, w, generate_subscripts(w, 1) AS i FROM dw)
+             WHERE i < len(w)),
+      sc AS (SELECT db.doc_id,
+               COALESCE(b2.li2, -916291 + COALESCE(u1.li1, -20000000)) AS m,
+               CASE WHEN b2.li2 IS NULL THEN 1 ELSE 0 END AS bo
+             FROM db LEFT JOIN b2 USING (w1, w2) LEFT JOIN u1 ON u1.w2u = db.w2),
+      g AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+              CAST(SUM(bo) AS BIGINT) AS n_backoff, CAST(SUM(m) AS BIGINT) AS sm
+            FROM sc GROUP BY doc_id)
+      SELECT doc_id, n_bigrams, n_backoff,
+        CAST(sm AS DOUBLE) / (n_bigrams * 1000000) AS avg_logp,
+        ROUND(EXP(-(CAST(sm AS DOUBLE) / (n_bigrams * 1000000))), 6) AS ppl
+      FROM g ORDER BY doc_id"""))
+
   /** The BM25 oracle, generated from the SAME Scala doubles the Spark plan
     * uses (`toString` of a Double is shortest-round-trip, and DuckDB
     * parses it back to the identical IEEE value). */
@@ -2842,5 +2884,6 @@ object Queries {
     "q93_normalize" -> q93_normalize,
     "q94_pca_project" -> q94_pca_project,
     "q95_group_quantile" -> q95_group_quantile,
-    "q96_tokenize" -> q96_tokenize)
+    "q96_tokenize" -> q96_tokenize,
+    "q97_bigram_lm" -> q97_bigram_lm)
 }

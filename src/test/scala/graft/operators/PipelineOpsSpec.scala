@@ -508,6 +508,31 @@ class PipelineOpsSpec extends SparkSpec {
     assert(r == Seq((1, 1), (2, 2), (3, 0), (4, 1)))
   }
 
+  test("bigramLm + stupid backoff: seen, unigram-backoff, and UNK tiers") {
+    val s = spark
+    import s.implicits._
+    val ref = Seq((0L, "a b c a b")).toDF("doc_id", "text")
+    // ref bigrams: (a,b)x2 (b,c) (c,a); c1: a=2 b=2 c=1, T=5
+    val bi = TextAnalysis.bigramLm(ref)
+    val uni = TextAnalysis.unigramLm(ref)
+    val li2 = bi.collect().map(r => (r.getAs[String]("w1"), r.getAs[String]("w2")) ->
+      r.getAs[Long]("li2")).toMap
+    assert(li2(("a", "b")) == 0L) // ln(2/2) = 0
+    assert(li2(("b", "c")) == math.round(BigDecimal(math.log(0.5))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble * 1e6))
+    val scored = TextAnalysis.bigramScoreWith(
+        Seq((1L, "a b x"), (2L, "a")).toDF("doc_id", "text"), bi, uni)
+      .collect().map(_.getAs[Long]("doc_id"))
+    // doc 2 has no bigrams -> absent; doc 1: (a,b) seen = 0, (b,x) -> UNK tier
+    val m = TextAnalysis.bigramScoreWith(
+        Seq((1L, "a b x")).toDF("doc_id", "text"), bi, uni)
+      .collect()(0)
+    assert(m.getAs[Long]("n_bigrams") == 2L && m.getAs[Long]("n_backoff") == 1L)
+    val expected = 0L + (TextAnalysis.StupidBackoffMicro - 20000000L)
+    assert(math.abs(m.getAs[Double]("avg_logp") - expected.toDouble / 2e6) < 1e-12)
+    assert(scored.toSet == Set(1L))
+  }
+
   test("normalizeText: case/punct/whitespace collapse to one canonical form") {
     val s = spark
     import s.implicits._
