@@ -438,6 +438,33 @@ object Similarity {
       .select(col(idQ), col(idC), col("rank"), col("sim_r").as("sim"))
   }
 
+  /** Hard-negative mining for contrastive training: per query, the top-k
+    * most-similar candidates with a DIFFERENT label — the "confusable but
+    * wrong" examples a metric-learning loss needs. Exact baseline on the
+    * documented bounded-query-set crossJoin (same contract as
+    * [[bruteForceTopK]]); at retrieval scale compose the banded
+    * [[lshTopK]] candidates with the same label-mismatch filter before
+    * ranking. Similarity is quantized to `roundDigits` before ranking so
+    * the order is engine-reproducible; ties break on candidate id. */
+  def hardNegativeTopK(
+      queries: DataFrame,
+      candidates: DataFrame,
+      k: Int,
+      roundDigits: Int = 6,
+      vecCol: String = "embedding",
+      labelCol: String = "label"): DataFrame = {
+    val w = Window.partitionBy("qid").orderBy(col("sim_r").desc, col("cid").asc)
+    queries.select(col("qid"), col(vecCol).as("_qv"), col(labelCol).as("_ql"))
+      .crossJoin(candidates.select(col("cid"), col(vecCol).as("_cv"),
+        col(labelCol).as("_cl")))
+      .filter(col("_cl") =!= col("_ql"))
+      .withColumn("sim_r", round(cosineSimilarity(col("_qv"), col("_cv")), roundDigits))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("qid"), col("cid"), col("rank"), col("_cl").as("neg_label"),
+        col("sim_r").as("sim"))
+  }
+
   /** Project embeddings onto a trained linear model (PCA/whitening rows
     * baked as literals by `graft.tools.TrainPca` — the TrainCentroids
     * pattern): component j is `round(x·V_j − c_j, 6)` where the offset

@@ -630,6 +630,44 @@ object TextAnalysis {
       .select(col(idCol), col("n_bigrams"), col("n_backoff"), col("avg_logp"), col("ppl"))
   }
 
+  /** Per-source vocabulary drift vs the corpus: KL(p_source ‖ p_corpus)
+    * over word distributions — the observability stat that flags a domain
+    * whose language shifted (crawl rot, SEO injection, template changes).
+    *
+    * Exactness shape: the per-(source, word) log-ratio
+    * `li = round-6 micro ln((c_sw·T)/(T_s·c_w))` is integer; the KL sum
+    * `Σ c_sw·li / (T_s·1e6)` divides ONCE at the end, so engines agree
+    * bit-for-bit. Plan shape: one explode → (source, word) aggregate
+    * (map-side combined); T_s, c_w and T all ride windows over that
+    * MODEL-sized table (sources × vocab), never a second corpus pass. */
+  def sourceDrift(
+      docs: DataFrame,
+      sourceCol: String = "source",
+      textCol: String = "text"): DataFrame = {
+    val sw = docs
+      .select(col(sourceCol).as("src"), explode(split(col(textCol), " ")).as("w"))
+      .groupBy("src", "w").agg(count(lit(1)).as("c_sw"))
+    val wSrc = Window.partitionBy("src")
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val wWord = Window.partitionBy("w")
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val wAll = Window.partitionBy(lit(0))
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    sw
+      .withColumn("_ts", sum("c_sw").over(wSrc))
+      .withColumn("_cw", sum("c_sw").over(wWord))
+      .withColumn("_t", sum("c_sw").over(wAll))
+      .withColumn("_li",
+        round(round(log((col("c_sw") * col("_t")).cast("double") /
+          (col("_ts") * col("_cw"))), 6) * 1e6).cast("long"))
+      .groupBy(col("src").as(sourceCol))
+      .agg(max("_ts").as("n_words"),
+        sum(col("c_sw") * col("_li")).as("_klm"))
+      .withColumn("kl",
+        col("_klm").cast("double") / (col("n_words") * lit(1000000L)))
+      .select(col(sourceCol), col("n_words"), col("kl"))
+  }
+
   /** PII patterns for [[redactPii]] — deliberately in the Java ∩ RE2
     * regex subset (no lookaround, no backrefs) so any SQL engine replays
     * them verbatim. */

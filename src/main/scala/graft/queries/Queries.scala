@@ -1771,6 +1771,58 @@ object Queries {
         ROUND(EXP(-(CAST(sm AS DOUBLE) / (n_bigrams * 1000000))), 6) AS ppl
       FROM g ORDER BY doc_id"""))
 
+  /** Hard-negative mining (`Similarity.hardNegativeTopK`): per query
+    * vector, the 10 most-similar embeddings with a DIFFERENT label — the
+    * confusable-but-wrong examples a contrastive loss trains against.
+    * Exact crossJoin baseline (bounded query set, q31 contract); the
+    * scale path composes the banded LSH candidates with the same filter. */
+  val q98_hard_negatives: Q = Q(
+    (s, d) => {
+      val emb = table(s, d, "embeddings")
+      val qs = emb.filter(col("vec_id") % 100 === 0)
+        .select(col("vec_id").as("qid"), col("embedding"), col("label"))
+      Similarity.hardNegativeTopK(
+          qs, emb.select(col("vec_id").as("cid"), col("embedding"), col("label")),
+          k = 10)
+        .orderBy("qid", "rank")
+    },
+    Some("""WITH q AS (SELECT vec_id AS qid, embedding, label AS ql
+               FROM embeddings WHERE vec_id % 100 = 0),
+      p AS (SELECT q.qid, c.vec_id AS cid, c.label AS neg_label,
+              ROUND(list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
+                CAST(c.embedding AS DOUBLE[])), 6) AS sim_r
+            FROM q CROSS JOIN embeddings c WHERE c.label <> q.ql),
+      r AS (SELECT qid, cid, neg_label, sim_r,
+              CAST(ROW_NUMBER() OVER (PARTITION BY qid
+                ORDER BY sim_r DESC, cid ASC) AS INTEGER) AS rank FROM p)
+      SELECT qid, cid, rank, neg_label, sim_r AS sim FROM r
+      WHERE rank <= 10 ORDER BY qid, rank"""))
+
+  /** Per-source vocabulary drift (`TextAnalysis.sourceDrift`):
+    * KL(p_source ‖ p_corpus) per source — integer micro log-ratios
+    * weighted by integer counts, one division per source at the end.
+    * Everything beyond the (source, word) aggregate rides windows over
+    * the model-sized table. */
+  val q99_source_drift: Q = Q(
+    (s, d) => TextAnalysis.sourceDrift(table(s, d, "documents"))
+      .orderBy("source"),
+    Some("""WITH sw AS (SELECT source AS src, unnest(string_split(text, ' ')) AS w
+               FROM documents),
+      c AS (SELECT src, w, CAST(COUNT(*) AS BIGINT) AS c_sw FROM sw GROUP BY src, w),
+      e AS (SELECT src, w, c_sw,
+              CAST(SUM(c_sw) OVER (PARTITION BY src) AS BIGINT) AS ts,
+              CAST(SUM(c_sw) OVER (PARTITION BY w) AS BIGINT) AS cw,
+              CAST(SUM(c_sw) OVER () AS BIGINT) AS t
+            FROM c),
+      li AS (SELECT src, ts, c_sw,
+               CAST(ROUND(ROUND(LN(CAST(c_sw * t AS DOUBLE) / (ts * cw)), 6) * 1e6) AS BIGINT) AS li
+             FROM e),
+      g AS (SELECT src AS source, CAST(MAX(ts) AS BIGINT) AS n_words,
+              CAST(SUM(c_sw * li) AS BIGINT) AS klm
+            FROM li GROUP BY src)
+      SELECT source, n_words, CAST(klm AS DOUBLE) / (n_words * 1000000) AS kl
+      FROM g ORDER BY source"""))
+
   /** The BM25 oracle, generated from the SAME Scala doubles the Spark plan
     * uses (`toString` of a Double is shortest-round-trip, and DuckDB
     * parses it back to the identical IEEE value). */
@@ -2885,5 +2937,7 @@ object Queries {
     "q94_pca_project" -> q94_pca_project,
     "q95_group_quantile" -> q95_group_quantile,
     "q96_tokenize" -> q96_tokenize,
-    "q97_bigram_lm" -> q97_bigram_lm)
+    "q97_bigram_lm" -> q97_bigram_lm,
+    "q98_hard_negatives" -> q98_hard_negatives,
+    "q99_source_drift" -> q99_source_drift)
 }

@@ -533,6 +533,40 @@ class PipelineOpsSpec extends SparkSpec {
     assert(scored.toSet == Set(1L))
   }
 
+  test("hardNegativeTopK: same-label candidates (incl. self) are excluded") {
+    val s = spark
+    import s.implicits._
+    val vecs = Seq(
+      (1L, Seq(1.0f, 0.0f), 0),
+      (2L, Seq(0.99f, 0.1f), 0),  // most similar to 1, same label -> excluded
+      (3L, Seq(0.9f, 0.3f), 1),   // the true hard negative
+      (4L, Seq(-1.0f, 0.0f), 1))
+    val df = vecs.toDF("vec_id", "embedding", "label")
+    val q = df.filter(col("vec_id") === 1L).select(col("vec_id").as("qid"),
+      col("embedding"), col("label"))
+    val c = df.select(col("vec_id").as("cid"), col("embedding"), col("label"))
+    val r = Similarity.hardNegativeTopK(q, c, k = 5).orderBy("rank").collect()
+    assert(r.map(_.getAs[Long]("cid")).toSeq == Seq(3L, 4L))
+    assert(r.forall(_.getAs[Int]("neg_label") == 1))
+  }
+
+  test("sourceDrift: identical distributions give zero KL; skew is positive") {
+    val s = spark
+    import s.implicits._
+    // identical per-source dists == corpus dist -> KL exactly 0
+    val same = Seq((1L, "s1", "a a b"), (2L, "s2", "a a b"))
+      .toDF("doc_id", "source", "text")
+    val r0 = TextAnalysis.sourceDrift(same)
+      .collect().map(x => x.getAs[String]("source") -> x.getAs[Double]("kl")).toMap
+    assert(math.abs(r0("s1")) < 1e-9 && math.abs(r0("s2")) < 1e-9)
+    // disjoint vocabularies -> strong positive drift on both sides
+    val skew = Seq((1L, "s1", "a a b"), (3L, "s3", "z z z"))
+      .toDF("doc_id", "source", "text")
+    val r1 = TextAnalysis.sourceDrift(skew)
+      .collect().map(x => x.getAs[String]("source") -> x.getAs[Double]("kl")).toMap
+    assert(r1("s3") > 0.5 && r1("s1") > 0.4, s"expected drift, got $r1")
+  }
+
   test("normalizeText: case/punct/whitespace collapse to one canonical form") {
     val s = spark
     import s.implicits._
