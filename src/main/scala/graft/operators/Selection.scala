@@ -439,4 +439,61 @@ object Selection {
         min(col(idCol)).as("min_doc"),
         max(col(idCol)).as("max_doc"),
         expr("bit_xor(_h)").as("checksum"))
+
+  /** Exact per-group Pearson correlation between two INTEGER-valued
+    * signals — the signal-redundancy diagnostic of a curation pipeline
+    * (two filters whose scores correlate at 0.95 are one filter; a
+    * quality signal that stops correlating with length on one source
+    * flags a format shift). The five cross-moments are summed as
+    * DECIMAL(38,0) — exact at any corpus size, unlike a float `corr()`
+    * whose partial-sum order varies with partitioning — and r is
+    * assembled from the exact moments in ONE fixed double expression, so
+    * every engine that sums exactly produces the identical rounded
+    * value. One hash-partitioned aggregate with map-side combine; NULL
+    * when either signal has zero variance. */
+  def corrByGroup(
+      df: DataFrame,
+      groupCol: String,
+      xCol: Column,
+      yCol: Column): DataFrame = {
+    val dec = org.apache.spark.sql.types.DecimalType(19, 0)
+    val x = xCol.cast(dec)
+    val y = yCol.cast(dec)
+    val agg = df.groupBy(col(groupCol))
+      .agg(count(lit(1)).as("n"),
+        sum(x).as("_sx"), sum(y).as("_sy"),
+        sum(x * x).as("_sxx"), sum(y * y).as("_syy"), sum(x * y).as("_sxy"))
+    val n = col("n").cast(org.apache.spark.sql.types.DecimalType(19, 0))
+    val num = (n * col("_sxy") - col("_sx") * col("_sy")).cast("double")
+    val vx = (n * col("_sxx") - col("_sx") * col("_sx")).cast("double")
+    val vy = (n * col("_syy") - col("_sy") * col("_sy")).cast("double")
+    agg.select(col(groupCol), col("n"),
+      when(vx > 0 && vy > 0, round(num / (sqrt(vx) * sqrt(vy)), 6)).as("r"))
+  }
+
+  /** Leakage-aware train/valid/test assignment: the split is drawn from
+    * the md5 of the document CONTENT, not its id — so byte-identical
+    * duplicates (and re-crawls with new ids) land in the SAME split by
+    * construction, closing the classic eval-leakage hole where one copy
+    * of a duplicated page trains and another evaluates. `cuts` are
+    * cumulative upper bounds in (0, 1] paired with split names, checked
+    * in order (e.g. 0.8 train / 0.9 valid / 1.0 test). The draw is the
+    * library's mantissa-exact uniform (u = (md5_60 mod 2^52 + 1) /
+    * (2^52 + 1), strictly inside (0,1) and the identical double on every
+    * engine), and the comparison is per-row — a zero-shuffle, join-free
+    * map stage, streaming-safe. */
+  def splitByContent(
+      docs: DataFrame,
+      cuts: Seq[(String, Double)] = Seq("train" -> 0.8, "valid" -> 0.9, "test" -> 1.0),
+      textCol: String = "text"): DataFrame = {
+    require(cuts.nonEmpty && cuts.last._2 >= 1.0, "last cut must cover 1.0")
+    val mantissa = 4503599627370496L // 2^52
+    val u = (md5Long(col(textCol)) % mantissa + lit(1L)).cast("double") /
+      lit(mantissa + 1L).cast("double")
+    val split = cuts.init.foldRight(lit(cuts.last._1): Column) { case ((name, cut), rest) =>
+      when(u < cut, name).otherwise(rest)
+    }
+    docs.withColumn("fp", md5Long(col(textCol)))
+      .withColumn("split", split)
+  }
 }

@@ -465,6 +465,61 @@ object Similarity {
         col("sim_r").as("sim"))
   }
 
+  /** Margin-based bitext/pair mining (Artetxe & Schwenk 2019, "ratio"
+    * margin): candidate pair (x, y) scores
+    * `cos(x,y) / ((Σ_{z∈NNk(x)} cos(x,z) + Σ_{z∈NNk(y)} cos(y,z)) / 2k)`
+    * — raw cosine divided by the average neighbourhood cosine of BOTH
+    * endpoints, which suppresses "hub" vectors that are close to
+    * everything. Per query the best-margin candidate above `threshold`
+    * is the mined pair.
+    *
+    * Exactness: cosines are rounded to 6 and carried as integer micros;
+    * both k-NN sums are exact BIGINT sums, so the margin is ONE division
+    * of exact integers — the identical double on any engine. The margin
+    * itself is ranked unrounded (identical inputs ⇒ identical order),
+    * ties break on candidate id.
+    *
+    * Plan shape: one pair table, four windows over it (two per
+    * partitioning side — rank-then-sum shares the exchange), one final
+    * per-query argmax window. This is the documented exact baseline on
+    * bounded sides (same contract as [[bruteForceTopK]]); at mining
+    * scale the pair table comes from an ANN candidate stage ([[lshTopK]]
+    * / [[ivfTopKWith]] bands) and the same margin algebra applies to the
+    * candidate pairs. */
+  def marginMine(
+      queries: DataFrame,
+      candidates: DataFrame,
+      k: Int,
+      threshold: Double = 1.0,
+      vecCol: String = "embedding"): DataFrame = {
+    val micro = 1000000L
+    val pairs = queries.select(col("qid"), col(vecCol).as("_qv"))
+      .crossJoin(candidates.select(col("cid"), col(vecCol).as("_cv")))
+      .withColumn("_sm",
+        round(round(cosineSimilarity(col("_qv"), col("_cv")), 6) * micro).cast("long"))
+      .drop("_qv", "_cv")
+    val wq = Window.partitionBy("qid").orderBy(col("_sm").desc, col("cid").asc)
+    val wc = Window.partitionBy("cid").orderBy(col("_sm").desc, col("qid").asc)
+    val scored = pairs
+      .withColumn("_rq", row_number().over(wq))
+      .withColumn("_sq",
+        sum(when(col("_rq") <= k, col("_sm")).otherwise(0L))
+          .over(Window.partitionBy("qid")))
+      .withColumn("_rc", row_number().over(wc))
+      .withColumn("_sc",
+        sum(when(col("_rc") <= k, col("_sm")).otherwise(0L))
+          .over(Window.partitionBy("cid")))
+      .withColumn("margin",
+        (col("_sm") * lit(2L * k)).cast("double") / (col("_sq") + col("_sc")))
+    val best = Window.partitionBy("qid").orderBy(col("margin").desc, col("cid").asc)
+    scored
+      .withColumn("_rank", row_number().over(best))
+      .filter(col("_rank") === 1 && col("margin") > threshold)
+      .select(col("qid"), col("cid"),
+        round(col("margin"), 6).as("margin"),
+        (col("_sm").cast("double") / micro).as("sim"))
+  }
+
   /** Project embeddings onto a trained linear model (PCA/whitening rows
     * baked as literals by `graft.tools.TrainPca` — the TrainCentroids
     * pattern): component j is `round(x·V_j − c_j, 6)` where the offset

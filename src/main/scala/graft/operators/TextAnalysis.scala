@@ -506,6 +506,74 @@ object TextAnalysis {
       row_number().over(Window.orderBy(col("cnt").desc, col("word").asc)))
   }
 
+  /** Zipf power-law fit over the top-`topV` vocabulary: the least-squares
+    * slope of ln(count) against ln(rank) — the canonical "does this
+    * corpus look like natural language" diagnostic (natural text sits
+    * near −1; machine-generated or boilerplate-heavy corpora drift off).
+    * Both logs are round-6 micro INTEGERS, so the five regression moments
+    * are exact BIGINT sums over the V-row model table and the slope and
+    * intercept are each one exact-integer expression cast to double at
+    * the end — bit-identical on any engine. The corpus is touched once
+    * (the [[vocabulary]] aggregate); the fit itself runs over V rows. */
+  def zipfFit(
+      corpus: DataFrame,
+      topV: Int = 1000,
+      textCol: String = "text"): DataFrame = {
+    val xy = vocabulary(corpus, topV, textCol)
+      .select(
+        round(round(log(col("rank").cast("double")), 6) * 1e6).cast("long").as("_x"),
+        round(round(log(col("cnt").cast("double")), 6) * 1e6).cast("long").as("_y"))
+    xy.agg(count(lit(1)).as("n_types"),
+        sum("_x").as("_sx"), sum("_y").as("_sy"),
+        sum(col("_x") * col("_x")).as("_sxx"), sum(col("_x") * col("_y")).as("_sxy"))
+      .withColumn("slope",
+        round((col("n_types") * col("_sxy") - col("_sx") * col("_sy")).cast("double") /
+          (col("n_types") * col("_sxx") - col("_sx") * col("_sx")).cast("double"), 6))
+      // intercept reuses the ROUNDED slope, so it is one double expression
+      // over already-exact values (micro sums scaled back to nats)
+      .withColumn("intercept",
+        round((col("_sy").cast("double") / 1e6 -
+          col("slope") * (col("_sx").cast("double") / 1e6)) / col("n_types"), 6))
+      .select("n_types", "slope", "intercept")
+  }
+
+  /** Apply a trained BPE merge list (Sennrich et al. 2016) to every
+    * document — the score half of the `tools/TrainBpe` split. Each word
+    * becomes its character symbols joined by DOUBLE spaces inside
+    * single-space sentinels (symbols never contain spaces, so the
+    * delimiting is unambiguous), and each trained merge (a, b) is ONE
+    * literal `replace(' a  b ' → ' ab ')` — left-to-right non-overlapping
+    * replacement IS greedy BPE application, and both Spark and any SQL
+    * engine implement `replace` identically (verified primitive-by-
+    * primitive). The whole operator is a per-row expression chain:
+    * zero-shuffle, join-free, streaming-safe, linear at any corpus size.
+    *
+    * Emits per doc: word count, subword count, the compression ratio,
+    * and the md5 of the full tokenized stream — so an oracle engine
+    * replaying the same merges proves TOKEN-LEVEL parity, not just
+    * counts. */
+  def applyBpe(
+      docs: DataFrame,
+      merges: Seq[(String, String)],
+      textCol: String = "text",
+      idCol: String = "doc_id"): DataFrame = {
+    require(merges.forall { case (a, b) =>
+      !(a + b).exists(ch => ch == '\'' || ch == '"' || ch == '\\' || ch == ' ') },
+      "BPE symbols must be quote/backslash/space-free (TrainBpe guarantees this)")
+    val chain = merges.foldLeft("' ' || array_join(split(w, ''), '  ') || ' '") {
+      case (acc, (a, b)) => s"replace($acc, ' $a  $b ', ' $a$b ')"
+    }
+    docs
+      .selectExpr(idCol, s"$textCol AS _text",
+        s"transform(split($textCol, ' '), w -> trim($chain)) AS _toks")
+      .selectExpr(
+        idCol,
+        "CAST(size(split(_text, ' ')) AS BIGINT) AS n_words",
+        "aggregate(_toks, CAST(0 AS BIGINT), (acc, t) -> acc + size(split(t, '  '))) AS n_subwords",
+        "md5(array_join(_toks, '  ')) AS tok_md5")
+      .withColumn("ratio", round(col("n_subwords").cast("double") / col("n_words"), 6))
+  }
+
   /** Per-doc out-of-vocabulary rate under a [[vocabulary]] model — the
     * coverage check that decides whether a tokenizer/vocab fits a corpus
     * slice. Explode → broadcast vocab join (model-sized) → one per-doc
@@ -593,6 +661,42 @@ object TextAnalysis {
     "CASE WHEN size(_w) >= 2 THEN transform(sequence(0, size(_w) - 2), " +
       "i -> struct(_w[i] AS w1, _w[i + 1] AS w2)) " +
       "ELSE CAST(array() AS ARRAY<STRUCT<w1: STRING, w2: STRING>>) END"
+
+  /** PMI collocation mining: the corpus's top-`topK` adjacent word pairs
+    * by pointwise mutual information `ln(p(w1,w2) / (p(w1)·p(w2)))`, with
+    * probabilities taken over the bigram table's own margins (left margin
+    * `cl = Σ_y c(w1,y)`, right margin `cr = Σ_x c(x,w2)`, total `T`) —
+    * the standard collocation-extraction tool (Church & Hanks 1990) for
+    * building tokenizer merge lists and spotting boilerplate phrases.
+    * `minCount` drops the unstable low-frequency tail first.
+    *
+    * Shape: ONE corpus explode-aggregate to the (w1, w2) count table,
+    * then margins and total ride windows over that model-sized table —
+    * the corpus is never rescanned (the [[sourceDrift]] pattern). PMI is
+    * a round-6 micro integer, so ranking is engine-exact; ties break on
+    * the words. */
+  def collocations(
+      corpus: DataFrame,
+      minCount: Long = 5L,
+      topK: Int = 50,
+      textCol: String = "text"): DataFrame = {
+    val c2 = corpus.select(split(col(textCol), " ").as("_w"))
+      .select(explode(expr(bigramPairsSql)).as("_b"))
+      .select(col("_b.w1").as("w1"), col("_b.w2").as("w2"))
+      .groupBy("w1", "w2").agg(count(lit(1)).as("n"))
+    c2
+      .withColumn("_cl", sum("n").over(Window.partitionBy("w1")))
+      .withColumn("_cr", sum("n").over(Window.partitionBy("w2")))
+      .withColumn("_t", sum("n").over(Window.partitionBy()))
+      .filter(col("n") >= minCount)
+      .withColumn("_pm",
+        round(round(log((col("n") * col("_t")).cast("double") /
+          (col("_cl") * col("_cr"))), 6) * 1e6).cast("long"))
+      .orderBy(col("_pm").desc, col("w1").asc, col("w2").asc)
+      .limit(topK)
+      .select(col("w1"), col("w2"), col("n"),
+        (col("_pm").cast("double") / 1000000L).as("pmi"))
+  }
 
   /** Bigram perplexity with STUPID BACKOFF against explicit (possibly
     * reference-trained) models: each doc bigram scores `li2(w1 w2)` when

@@ -1823,6 +1823,193 @@ object Queries {
       SELECT source, n_words, CAST(klm AS DOUBLE) / (n_words * 1000000) AS kl
       FROM g ORDER BY source"""))
 
+  /** Margin-based bitext/pair mining (`Similarity.marginMine`, Artetxe &
+    * Schwenk 2019 ratio margin): even-label vectors are the "source
+    * side", odd-label the "target side"; each source picks its
+    * best-margin target where margin = cosine over the mean top-4
+    * neighbourhood cosine of both endpoints. Integer-micro cosines make
+    * both k-NN sums exact, so the margin is one BIGINT/BIGINT division —
+    * identical on every engine. */
+  val q100_margin_mine: Q = Q(
+    (s, d) => {
+      val emb = table(s, d, "embeddings")
+      Similarity.marginMine(
+          emb.filter(col("label") % 2 === 0).select(col("vec_id").as("qid"), col("embedding")),
+          emb.filter(col("label") % 2 === 1).select(col("vec_id").as("cid"), col("embedding")),
+          k = 4, threshold = 1.02)
+        .orderBy("qid")
+    },
+    Some("""WITH q AS (SELECT vec_id AS qid, embedding FROM embeddings WHERE label % 2 = 0),
+      c AS (SELECT vec_id AS cid, embedding FROM embeddings WHERE label % 2 = 1),
+      p AS (SELECT q.qid, c.cid,
+              CAST(ROUND(ROUND(list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
+                CAST(c.embedding AS DOUBLE[])), 6) * 1000000) AS BIGINT) AS sm
+            FROM q CROSS JOIN c),
+      r AS (SELECT qid, cid, sm,
+              ROW_NUMBER() OVER (PARTITION BY qid ORDER BY sm DESC, cid ASC) AS rq,
+              ROW_NUMBER() OVER (PARTITION BY cid ORDER BY sm DESC, qid ASC) AS rc
+            FROM p),
+      s AS (SELECT qid, cid, sm,
+              CAST(SUM(CASE WHEN rq <= 4 THEN sm ELSE 0 END)
+                OVER (PARTITION BY qid) AS BIGINT) AS sq,
+              CAST(SUM(CASE WHEN rc <= 4 THEN sm ELSE 0 END)
+                OVER (PARTITION BY cid) AS BIGINT) AS sc
+            FROM r),
+      m AS (SELECT qid, cid, sm, CAST(sm * 8 AS DOUBLE) / (sq + sc) AS margin FROM s),
+      b AS (SELECT qid, cid, sm, margin,
+              ROW_NUMBER() OVER (PARTITION BY qid ORDER BY margin DESC, cid ASC) AS rk
+            FROM m)
+      SELECT qid, cid, ROUND(margin, 6) AS margin, CAST(sm AS DOUBLE) / 1000000 AS sim
+      FROM b WHERE rk = 1 AND margin > 1.02 ORDER BY qid"""))
+
+  /** PMI collocation mining (`TextAnalysis.collocations`, Church & Hanks
+    * 1990): top-50 adjacent word pairs by pointwise mutual information
+    * over the bigram table's own margins, min count 5 — the
+    * tokenizer-merge-list / boilerplate-phrase extraction stage. One
+    * corpus explode-aggregate; margins and the total ride windows over
+    * the model-sized bigram table. */
+  val q101_collocations: Q = Q(
+    (s, d) => TextAnalysis.collocations(table(s, d, "documents"), minCount = 5L, topK = 50),
+    Some("""WITH w AS (SELECT string_split(text, ' ') AS w FROM documents),
+      b AS (SELECT w[i] AS w1, w[i + 1] AS w2
+            FROM (SELECT w, generate_subscripts(w, 1) AS i FROM w) WHERE i < len(w)),
+      c2 AS (SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS n FROM b GROUP BY w1, w2),
+      m AS (SELECT w1, w2, n,
+              CAST(SUM(n) OVER (PARTITION BY w1) AS BIGINT) AS cl,
+              CAST(SUM(n) OVER (PARTITION BY w2) AS BIGINT) AS cr,
+              CAST(SUM(n) OVER () AS BIGINT) AS t
+            FROM c2),
+      p AS (SELECT w1, w2, n,
+              CAST(ROUND(ROUND(LN(CAST(n * t AS DOUBLE) / (cl * cr)), 6) * 1e6) AS BIGINT) AS pm
+            FROM m WHERE n >= 5)
+      SELECT w1, w2, n, CAST(pm AS DOUBLE) / 1000000 AS pmi
+      FROM p ORDER BY pm DESC, w1 ASC, w2 ASC LIMIT 50"""))
+
+  /** Leakage-aware corpus split (`Selection.splitByContent`): the
+    * train/valid/test draw comes from the md5 of the CONTENT, so
+    * byte-identical duplicates land in the same split by construction
+    * (no train→eval leakage through re-crawled ids). Output is the
+    * per-split budget summary: docs, distinct fingerprints, tokens. */
+  val q102_content_split: Q = Q(
+    (s, d) => {
+      val assigned = Selection.splitByContent(table(s, d, "documents"))
+        .select(col("split"), col("fp"),
+          size(split(col("text"), " ")).cast("long").as("_nw"))
+      assigned
+        .groupBy("split", "fp")
+        .agg(count(lit(1)).as("_n"), sum("_nw").as("_sw"))
+        .groupBy("split")
+        .agg(count(lit(1)).as("n_fp"), sum("_n").as("n_docs"), sum("_sw").as("n_tokens"))
+        .select(col("split"), col("n_docs"), col("n_fp"), col("n_tokens"))
+        .orderBy("split")
+    },
+    Some("""WITH d AS (SELECT
+        CAST('0x' || substr(md5(text), 1, 15) AS BIGINT) AS fp,
+        CAST((CAST('0x' || substr(md5(text), 1, 15) AS BIGINT) % 4503599627370496 + 1)
+          AS DOUBLE) / 4503599627370497 AS u,
+        CAST(len(string_split(text, ' ')) AS BIGINT) AS nw
+      FROM documents),
+      a AS (SELECT fp, nw,
+              CASE WHEN u < 0.8 THEN 'train' WHEN u < 0.9 THEN 'valid'
+                   ELSE 'test' END AS split
+            FROM d),
+      g AS (SELECT split, fp, CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(nw) AS BIGINT) AS sw
+            FROM a GROUP BY split, fp)
+      SELECT split, CAST(SUM(n) AS BIGINT) AS n_docs, CAST(COUNT(*) AS BIGINT) AS n_fp,
+        CAST(SUM(sw) AS BIGINT) AS n_tokens
+      FROM g GROUP BY split ORDER BY split"""))
+
+  /** Exact per-source signal correlation (`Selection.corrByGroup`):
+    * Pearson r between document length and distinct-word count — the
+    * lexical-diversity-vs-length curve per source, and the pipeline's
+    * signal-redundancy diagnostic. Cross-moments are exact DECIMAL sums
+    * (a float corr() is partial-sum-order-dependent); r is one fixed
+    * double expression over the exact moments. */
+  val q103_signal_corr: Q = Q(
+    (s, d) => {
+      val docs = table(s, d, "documents").select(col("source"),
+        size(split(col("text"), " ")).cast("long").as("_x"),
+        size(array_distinct(split(col("text"), " "))).cast("long").as("_y"))
+      Selection.corrByGroup(docs, "source", col("_x"), col("_y"))
+        .orderBy("source")
+    },
+    Some("""WITH d AS (SELECT source,
+        CAST(len(string_split(text, ' ')) AS BIGINT) AS x,
+        CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT) AS y
+      FROM documents),
+      g AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n,
+              CAST(SUM(x) AS HUGEINT) AS sx, CAST(SUM(y) AS HUGEINT) AS sy,
+              CAST(SUM(x * x) AS HUGEINT) AS sxx, CAST(SUM(y * y) AS HUGEINT) AS syy,
+              CAST(SUM(x * y) AS HUGEINT) AS sxy
+            FROM d GROUP BY source)
+      SELECT source, n,
+        CASE WHEN (n * sxx - sx * sx) > 0 AND (n * syy - sy * sy) > 0
+          THEN ROUND(CAST(n * sxy - sx * sy AS DOUBLE) /
+            (SQRT(CAST(n * sxx - sx * sx AS DOUBLE)) *
+             SQRT(CAST(n * syy - sy * sy AS DOUBLE))), 6)
+        END AS r
+      FROM g ORDER BY source"""))
+
+  /** Zipf power-law fit (`TextAnalysis.zipfFit`): least-squares slope of
+    * ln(count) vs ln(rank) over the top-1000 vocabulary — the
+    * natural-language sanity diagnostic (true text sits near −1).
+    * Micro-integer logs make the regression moments exact BIGINT sums;
+    * the corpus is scanned once (the vocabulary aggregate). */
+  val q104_zipf_fit: Q = Q(
+    (s, d) => TextAnalysis.zipfFit(table(s, d, "documents"), topV = 1000),
+    Some("""WITH t AS (SELECT unnest(string_split(text, ' ')) AS word FROM documents),
+      agg AS (SELECT word, CAST(COUNT(*) AS BIGINT) AS cnt FROM t GROUP BY word),
+      v AS (SELECT cnt, ROW_NUMBER() OVER (ORDER BY cnt DESC, word ASC) AS rank
+            FROM (SELECT word, cnt FROM agg ORDER BY cnt DESC, word ASC LIMIT 1000)),
+      xy AS (SELECT CAST(ROUND(ROUND(LN(CAST(rank AS DOUBLE)), 6) * 1e6) AS BIGINT) AS x,
+               CAST(ROUND(ROUND(LN(CAST(cnt AS DOUBLE)), 6) * 1e6) AS BIGINT) AS y
+             FROM v),
+      m AS (SELECT CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(x) AS BIGINT) AS sx,
+              CAST(SUM(y) AS BIGINT) AS sy, CAST(SUM(x * x) AS BIGINT) AS sxx,
+              CAST(SUM(x * y) AS BIGINT) AS sxy FROM xy),
+      s AS (SELECT n, sx, sy,
+              ROUND(CAST(n * sxy - sx * sy AS DOUBLE) /
+                CAST(n * sxx - sx * sx AS DOUBLE), 6) AS slope
+            FROM m)
+      SELECT n AS n_types, slope,
+        ROUND((CAST(sy AS DOUBLE) / 1e6 - slope * (CAST(sx AS DOUBLE) / 1e6)) / n, 6)
+          AS intercept
+      FROM s"""))
+
+  /** Trained-BPE application (`TextAnalysis.applyBpe` under the
+    * `tools/TrainBpe` model baked in [[TrainedBpe]]): every doc is
+    * tokenized by replaying the trained merge list as a per-row literal
+    * replace chain; the md5 of the full tokenized stream proves
+    * TOKEN-LEVEL parity with the oracle, which is generated from the
+    * SAME merge literals (one definition). */
+  val q105_bpe_tokenize: Q = Q(
+    (s, d) => TextAnalysis.applyBpe(table(s, d, "documents"), TrainedBpe.merges)
+      .orderBy("doc_id"),
+    Some(bpeSql(TrainedBpe.merges)))
+
+  /** The q105 oracle, derived from the baked merge literals — the DuckDB
+    * replay of the identical sentinel/double-space replace chain
+    * (`replace` is left-to-right non-overlapping in both engines, which
+    * IS greedy BPE application). */
+  private def bpeSql(merges: Seq[(String, String)]): String = {
+    val chain = merges.foldLeft(
+      "' ' || coalesce(array_to_string(string_split(w, ''), '  '), '') || ' '") {
+      case (acc, (a, b)) => s"replace($acc, ' $a  $b ', ' $a$b ')"
+    }
+    s"""WITH t AS (SELECT doc_id,
+        CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words,
+        list_transform(string_split(text, ' '), w -> trim($chain)) AS toks
+      FROM documents),
+      g AS (SELECT doc_id, n_words,
+          CAST(list_aggregate(list_transform(toks, t -> len(string_split(t, '  '))),
+            'sum') AS BIGINT) AS n_subwords,
+          md5(array_to_string(toks, '  ')) AS tok_md5
+        FROM t)
+      SELECT doc_id, n_words, n_subwords, tok_md5,
+        ROUND(CAST(n_subwords AS DOUBLE) / n_words, 6) AS ratio
+      FROM g ORDER BY doc_id"""
+  }
+
   /** The BM25 oracle, generated from the SAME Scala doubles the Spark plan
     * uses (`toString` of a Double is shortest-round-trip, and DuckDB
     * parses it back to the identical IEEE value). */
@@ -2939,5 +3126,11 @@ object Queries {
     "q96_tokenize" -> q96_tokenize,
     "q97_bigram_lm" -> q97_bigram_lm,
     "q98_hard_negatives" -> q98_hard_negatives,
-    "q99_source_drift" -> q99_source_drift)
+    "q99_source_drift" -> q99_source_drift,
+    "q100_margin_mine" -> q100_margin_mine,
+    "q101_collocations" -> q101_collocations,
+    "q102_content_split" -> q102_content_split,
+    "q103_signal_corr" -> q103_signal_corr,
+    "q104_zipf_fit" -> q104_zipf_fit,
+    "q105_bpe_tokenize" -> q105_bpe_tokenize)
 }

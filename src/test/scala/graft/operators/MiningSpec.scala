@@ -1,0 +1,86 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Semantics of the round-6 late curation ops: margin-based bitext mining
+  * (hub suppression — the property raw cosine ranking lacks), PMI
+  * collocation extraction (co-occurring pair beats a frequent independent
+  * pair), and the leakage-aware content-hash split (byte-identical
+  * duplicates can never straddle train/eval). */
+class MiningSpec extends SparkSpec {
+
+  test("marginMine: hub candidate is suppressed, aligned pair survives") {
+    val s = spark
+    import s.implicits._
+    // Source side: two orthogonal-ish queries. Candidate side: a "hub"
+    // vector moderately close to EVERYTHING, plus one true match per
+    // query. Raw cosine would let the hub compete; the ratio margin
+    // divides the hub's cosine by its own high neighbourhood average,
+    // pushing it below the true pairs.
+    val qs = Seq(
+      (1L, Seq(1.0f, 0.0f, 0.1f)),
+      (2L, Seq(0.0f, 1.0f, 0.1f))).toDF("qid", "embedding")
+    val cs = Seq(
+      (10L, Seq(0.95f, 0.05f, 0.1f)),  // true match for q1
+      (20L, Seq(0.05f, 0.95f, 0.1f)),  // true match for q2
+      (99L, Seq(0.6f, 0.6f, 0.5f)))    // hub: close to both queries
+      .toDF("cid", "embedding")
+    val mined = Similarity.marginMine(qs, cs, k = 2, threshold = 1.0)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(mined(1L) == 10L, "q1 must mine its aligned candidate, not the hub")
+    assert(mined(2L) == 20L, "q2 must mine its aligned candidate, not the hub")
+  }
+
+  test("marginMine: threshold drops below-average pairs") {
+    val s = spark
+    import s.implicits._
+    // two queries x two candidates, all identical vectors -> every pair's
+    // cosine equals both neighbourhood means, so margin == 1.0 exactly
+    // (both sides have a full k=2 neighbour set); a threshold just above
+    // 1 yields nothing.
+    val qs = Seq(
+      (1L, Seq(1.0f, 0.0f)),
+      (2L, Seq(1.0f, 0.0f))).toDF("qid", "embedding")
+    val cs = Seq(
+      (10L, Seq(1.0f, 0.0f)),
+      (20L, Seq(1.0f, 0.0f))).toDF("cid", "embedding")
+    assert(Similarity.marginMine(qs, cs, k = 2, threshold = 1.001).count() == 0)
+    assert(Similarity.marginMine(qs, cs, k = 2, threshold = 0.999).count() == 2)
+  }
+
+  test("collocations: bound pair outranks frequent independent pair") {
+    val s = spark
+    import s.implicits._
+    // "new york" is exclusive (cl=cr=pair count -> PMI ln 3); "the"
+    // splits its left margin between cat and dog (cl=2x pair count ->
+    // PMI ln 1.5) at the SAME pair frequency.
+    val docs = (0 until 9).map(i =>
+      (i.toLong, Seq("new york", "the cat", "the dog")(i % 3)))
+      .toDF("doc_id", "text")
+    val top = TextAnalysis.collocations(docs, minCount = 3L, topK = 10)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getDouble(3)))
+    val pmi = top.map(t => (t._1, t._2) -> t._3).toMap
+    assert(pmi(("new", "york")) > pmi(("the", "cat")),
+      s"bound pair must beat split-margin pair: $pmi")
+  }
+
+  test("splitByContent: identical texts share a split; cuts partition everything") {
+    val s = spark
+    import s.implicits._
+    val docs = (0 until 300).map(i => (i.toLong, s"doc body number ${i % 100}"))
+      .toDF("doc_id", "text") // every text has exactly 3 byte-identical copies
+    val out = Selection.splitByContent(docs).cache()
+    // each fingerprint maps to exactly one split -> no train/eval leakage
+    val leaks = out.groupBy("fp").agg(countDistinct("split").as("ns"))
+      .filter(col("ns") > 1).count()
+    assert(leaks == 0, "a content fingerprint must never straddle splits")
+    // all three splits are populated and cover the corpus
+    val counts = out.groupBy("split").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(counts.values.sum == 300)
+    assert(counts.keySet == Set("train", "valid", "test"), s"got $counts")
+    assert(counts("train") > counts("valid") && counts("train") > counts("test"))
+    out.unpersist()
+  }
+}
