@@ -32,6 +32,21 @@ object Queries {
   def table(spark: SparkSession, dir: String, name: String): DataFrame =
     spark.read.parquet(s"$dir/$name.parquet")
 
+  /** events with `ts` normalized to epoch NANOSECONDS (long), whatever the
+    * parquet physically carries — the driver's generator has shipped both
+    * INT64-ns (read as long via nanosAsLong) and TIMESTAMP-µs versions of
+    * this table across rounds. Oracle twin: DuckDB's `epoch_ns(ts)` (µs
+    * files) == the raw value (ns files), so `ts div 1000` here stays
+    * bit-equal to `epoch_us(ts)` there either way. All entry points pin
+    * the session zone to UTC, so the NTZ cast is zone-independent. */
+  def eventsNs(spark: SparkSession, dir: String): DataFrame = {
+    val raw = table(spark, dir, "events")
+    raw.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType => raw
+      case _ => raw.withColumn("ts", expr("unix_micros(cast(ts as timestamp)) * 1000L"))
+    }
+  }
+
   // ------------------------------------------------------------ fixtures
 
   /** 1-degree world grid on longlat — the oracle-checkable target area
@@ -1397,7 +1412,7 @@ object Queries {
     * as in q60; values are copied, never computed, so doubles are exact. */
   val q84_asof_join: Q = Q(
     (s, d) => {
-      val ev = table(s, d, "events").withColumn("tus", expr("ts div 1000"))
+      val ev = eventsNs(s, d).withColumn("tus", expr("ts div 1000"))
       Temporal.asOfJoin(
         ev.filter(col("event_type") === "purchase"),
         ev.filter(col("event_type") === "click"),
@@ -1455,7 +1470,7 @@ object Queries {
   val q86_attribution: Q = Q(
     (s, d) => {
       val W = 86400000000L // 24 h in µs (µs floor as in q60/q84)
-      val ev = table(s, d, "events").withColumn("tus", expr("ts div 1000"))
+      val ev = eventsNs(s, d).withColumn("tus", expr("ts div 1000"))
       Temporal.intervalJoin(
         ev.filter(col("event_type") === "purchase"),
         ev.filter(col("event_type") === "click"),
@@ -2239,7 +2254,7 @@ object Queries {
     * read as long via spark.sql.legacy.parquet.nanosAsLong). */
   val q37_events_window: Q = Q(
     (s, d) =>
-      table(s, d, "events")
+      eventsNs(s, d)
         .withColumn("win", expr("ts div 3600000000000"))
         .groupBy("win", "event_type")
         .agg(
@@ -2262,7 +2277,7 @@ object Queries {
       // the ns timestamps at µs precision, so ns-exact values are not
       // replayable — floor(ns/1000) here == epoch_us there, bit-equal
       val tus = expr("ts div 1000")
-      val ev = table(s, d, "events").withColumn("tus", tus)
+      val ev = eventsNs(s, d).withColumn("tus", tus)
       val w = Window.partitionBy("user_id").orderBy(col("tus").asc, col("event_id").asc)
       val gapUs = 30L * 60L * 1000000L
       val isNew = when(
