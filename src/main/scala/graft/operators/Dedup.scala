@@ -388,4 +388,41 @@ object Dedup {
         length(col("clean")).cast("long").as("n_chars_clean"),
         col("n_segs"), col("n_kept"))
   }
+
+  /** Cross-source duplication matrix — the corpus-composition diagnostic a
+    * curation pipeline runs before mixing crawls: for every source pair,
+    * how much content (by distinct word-set fingerprint, the same digest as
+    * [[fingerprint]]) the two sources share, plus the fingerprint-set
+    * Jaccard. Quantifies e.g. "crawl B is 40% a re-crawl of crawl A", which
+    * decides dedup-across-sources vs dedup-within-source.
+    *
+    * Emits the full upper-triangle matrix (src1 < src2), including
+    * zero-overlap pairs.
+    *
+    * 100 TB design: the only corpus-scale stages are the fingerprint
+    * distinct (hash aggregate on (src, fp), map-side combined) and the
+    * self-join on fp — bounded by distinct fingerprints per key, never
+    * all-pairs. Per-source sizes and the pair matrix are #sources-sized
+    * (broadcast joins). The Jaccard is one long/long division — exact on
+    * every engine. */
+  def sourceOverlap(
+      docs: DataFrame,
+      textCol: String = "text",
+      srcCol: String = "source"): DataFrame = {
+    val fp = docs
+      .select(col(srcCol).as("_src"), fingerprintExpr(col(textCol)).as("fp"))
+      .distinct()
+    val sizes = fp.groupBy("_src").agg(count(lit(1)).as("_nfp"))
+    val shared = fp.toDF("src1", "fp")
+      .join(fp.toDF("src2", "fp2"), col("fp") === col("fp2") && col("src1") < col("src2"))
+      .groupBy("src1", "src2")
+      .agg(count(lit(1)).as("_sh"))
+    sizes.toDF("src1", "nfp1")
+      .join(sizes.toDF("src2", "nfp2"), col("src1") < col("src2"))
+      .join(shared, Seq("src1", "src2"), "left")
+      .withColumn("shared", coalesce(col("_sh"), lit(0L)))
+      .withColumn("jaccard",
+        col("shared").cast("double") / (col("nfp1") + col("nfp2") - col("shared")))
+      .select("src1", "src2", "nfp1", "nfp2", "shared", "jaccard")
+  }
 }

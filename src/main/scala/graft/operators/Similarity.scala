@@ -543,4 +543,45 @@ object Similarity {
     }
     df.select(col(idCol) +: cols: _*)
   }
+
+  /** Semantic benchmark decontamination — the embedding-space twin of the
+    * n-gram [[TextAnalysis.decontaminate]]: a corpus vector is
+    * contaminated when its round-6 cosine to ANY benchmark vector reaches
+    * `threshold`. Emits one row per contaminated corpus id with the hit
+    * count and the best-matching benchmark (max (sim, bid) — ties break
+    * on the larger benchmark id, deterministically).
+    *
+    * 100 TB design: the benchmark rides the MODEL pattern — it collapses
+    * to ONE array row (benchmarks are thousands of rows, not corpora) and
+    * broadcast-crossJoins onto the corpus, so scoring is a zero-shuffle
+    * map stage over the corpus scan: per row, one `transform` over the
+    * benchmark array with the codegen cosine kernel, a `filter` count,
+    * and an `array_max`. No corpus-keyed aggregation, no pair table ever
+    * shuffles. For benchmark sets too big to broadcast, fall back to the
+    * banded-LSH candidate join of [[cosineNearDup]]. */
+  def semanticContamination(
+      corpus: DataFrame,
+      benchmark: DataFrame,
+      threshold: Double,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding",
+      benchIdCol: String = "bid",
+      benchVecCol: String = "embedding"): DataFrame = {
+    val model = benchmark
+      .select(col(benchIdCol).as("_bid"), col(benchVecCol).as("_bv"))
+      .agg(collect_list(struct(col("_bid"), col("_bv"))).as("_bench"))
+    val sims = transform(col("_bench"), b =>
+      struct(
+        round(cosineSimilarity(col(vecCol), b.getField("_bv")), 6).as("sim"),
+        b.getField("_bid").as("bid")))
+    corpus
+      .crossJoin(broadcast(model))
+      .withColumn("_sims", sims)
+      .withColumn("n_hits",
+        size(filter(col("_sims"), s => s.getField("sim") >= threshold)).cast("long"))
+      .filter(col("n_hits") > 0)
+      .withColumn("_top", array_max(col("_sims")))
+      .select(col(idCol), col("n_hits"),
+        col("_top.sim").as("top_sim"), col("_top.bid").as("top_bid"))
+  }
 }

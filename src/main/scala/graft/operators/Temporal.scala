@@ -115,4 +115,60 @@ object Temporal {
       .filter(col("r_ts") >= col(tsCol) - window && col("r_ts") <= col(tsCol))
       .select(pointCols.map(col) :+ col("r_ts") :+ col(rPay): _*)
   }
+
+  /** Per-key decayed-history features + spike flag — the time-series
+    * feature-engineering stage (fraud/anomaly gates, activity scores) of
+    * an event pipeline.
+    *
+    * For each event (ordered by `tsCol`, tie-broken by `idCol`) the k
+    * previous values of the same key are folded with half-life weights:
+    * `decayed = l1/1 + l2/2 + ... + lk/2^(k-1)` (most recent first).
+    * `ewma = decayed / wsum` where `wsum = 2 - 2^(1-n)` normalizes over
+    * the n <= k lags that exist; `spike = 1` when the current value
+    * exceeds twice the decayed mean.
+    *
+    * Exactness: a BOUNDED lag pivot, not a running recursion — divisions
+    * are by powers of two (exact in IEEE double), terms are added in a
+    * fixed textual order, `wsum` is a short exact literal per n, and the
+    * spike gate compares `value * wsum > 2 * decayed` (one rounding per
+    * side, identical on every engine) — so the whole feature row is
+    * bit-reproducible by the SQL oracle with no ROUND anywhere.
+    *
+    * 100 TB design: exactly one shuffle, keyed by `keyCol` (the lag
+    * window); per-row state is k lag slots. A skewed key sorts within one
+    * partition — the same bound as sessionization; the time axis can be
+    * range-split upstream if one key exceeds a partition. */
+  def decayedHistory(
+      events: DataFrame,
+      k: Int = 8,
+      keyCol: String = "user_id",
+      tsCol: String = "tus",
+      valCol: String = "value",
+      idCol: String = "event_id"): DataFrame = {
+    require(k >= 1 && k <= 52, "k must be in [1, 52] (exact power-of-two weights)")
+    val w = Window.partitionBy(keyCol).orderBy(col(tsCol), col(idCol))
+    val lagged = events.select(
+      Seq(col(idCol), col(keyCol), col(tsCol), col(valCol)) ++
+        (1 to k).map(i => lag(col(valCol), i).over(w).as(s"_l$i")): _*)
+    val decayed = (1 to k)
+      .map(i => coalesce(col(s"_l$i"), lit(0.0)) / lit(math.pow(2.0, i - 1)))
+      .reduceLeft(_ + _)
+    val nHist = (1 to k)
+      .map(i => when(col(s"_l$i").isNull, 0L).otherwise(1L))
+      .reduceLeft(_ + _)
+    // wsum literals 1.0, 1.5, 1.75, ... are exact dyadic doubles.
+    val wsum = (1 to k).foldLeft(lit(null).cast("double"): org.apache.spark.sql.Column) {
+      (acc, n) => when(col("n_hist") === n, lit(2.0 - math.pow(0.5, n - 1))).otherwise(acc)
+    }
+    lagged
+      .withColumn("decayed", decayed)
+      .withColumn("n_hist", nHist)
+      .withColumn("_wsum", wsum)
+      .withColumn("ewma", col("decayed") / col("_wsum"))
+      .withColumn("spike",
+        when(col("n_hist") > 0 &&
+          col(valCol) * col("_wsum") > lit(2.0) * col("decayed"), 1L).otherwise(0L))
+      .select(col(idCol), col(keyCol), col(tsCol), col(valCol),
+        col("n_hist"), col("decayed"), col("ewma"), col("spike"))
+  }
 }

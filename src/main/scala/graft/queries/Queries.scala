@@ -2002,6 +2002,91 @@ object Queries {
       .orderBy("doc_id"),
     Some(bpeSql(TrainedBpe.merges)))
 
+  /** Cross-source duplication matrix (`Dedup.sourceOverlap`): distinct
+    * word-set fingerprints per source, pairwise shared counts and
+    * fingerprint-set Jaccard over the full upper triangle — the
+    * corpus-composition diagnostic run before mixing crawls. Jaccard is
+    * one long/long double division, exact on both engines. */
+  val q106_source_overlap: Q = Q(
+    (s, d) => Dedup.sourceOverlap(table(s, d, "documents"))
+      .orderBy("src1", "src2"),
+    Some("""WITH f AS (SELECT DISTINCT source AS src,
+        md5(array_to_string(list_sort(list_distinct(string_split(text, ' '))), ' ')) AS fp
+      FROM documents),
+      n AS (SELECT src, CAST(COUNT(*) AS BIGINT) AS nfp FROM f GROUP BY src),
+      sh AS (SELECT a.src AS src1, b.src AS src2, CAST(COUNT(*) AS BIGINT) AS shared
+             FROM f a JOIN f b ON a.fp = b.fp AND a.src < b.src GROUP BY 1, 2),
+      m AS (SELECT n1.src AS src1, n2.src AS src2, n1.nfp AS nfp1, n2.nfp AS nfp2,
+              COALESCE(sh.shared, CAST(0 AS BIGINT)) AS shared
+            FROM n n1 JOIN n n2 ON n1.src < n2.src
+            LEFT JOIN sh ON sh.src1 = n1.src AND sh.src2 = n2.src)
+      SELECT src1, src2, nfp1, nfp2, shared,
+        CAST(shared AS DOUBLE) / (nfp1 + nfp2 - shared) AS jaccard
+      FROM m ORDER BY src1, src2"""))
+
+  /** Per-user decayed-history features + spike flag
+    * (`Temporal.decayedHistory`): bounded 8-lag half-life pivot, exact
+    * dyadic weights, spike gate compared in the pre-division form — the
+    * whole row is bit-reproducible with no ROUND (see the operator
+    * scaladoc for the exactness argument). */
+  val q107_decay_features: Q = Q(
+    (s, d) => Temporal.decayedHistory(
+        eventsNs(s, d).withColumn("tus", expr("ts div 1000")), k = 8)
+      .orderBy("event_id"),
+    Some("""WITH e AS (SELECT event_id, user_id, epoch_us(ts) AS tus, value FROM events),
+      l AS (SELECT event_id, user_id, tus, value,
+          LAG(value, 1) OVER w AS l1, LAG(value, 2) OVER w AS l2,
+          LAG(value, 3) OVER w AS l3, LAG(value, 4) OVER w AS l4,
+          LAG(value, 5) OVER w AS l5, LAG(value, 6) OVER w AS l6,
+          LAG(value, 7) OVER w AS l7, LAG(value, 8) OVER w AS l8
+        FROM e WINDOW w AS (PARTITION BY user_id ORDER BY tus ASC, event_id ASC)),
+      d AS (SELECT event_id, user_id, tus, value,
+          COALESCE(l1, 0.0) / 1.0 + COALESCE(l2, 0.0) / 2.0 + COALESCE(l3, 0.0) / 4.0
+            + COALESCE(l4, 0.0) / 8.0 + COALESCE(l5, 0.0) / 16.0 + COALESCE(l6, 0.0) / 32.0
+            + COALESCE(l7, 0.0) / 64.0 + COALESCE(l8, 0.0) / 128.0 AS decayed,
+          CAST((CASE WHEN l1 IS NULL THEN 0 ELSE 1 END) + (CASE WHEN l2 IS NULL THEN 0 ELSE 1 END)
+            + (CASE WHEN l3 IS NULL THEN 0 ELSE 1 END) + (CASE WHEN l4 IS NULL THEN 0 ELSE 1 END)
+            + (CASE WHEN l5 IS NULL THEN 0 ELSE 1 END) + (CASE WHEN l6 IS NULL THEN 0 ELSE 1 END)
+            + (CASE WHEN l7 IS NULL THEN 0 ELSE 1 END) + (CASE WHEN l8 IS NULL THEN 0 ELSE 1 END)
+            AS BIGINT) AS n_hist
+        FROM l),
+      g AS (SELECT *, CASE n_hist WHEN 1 THEN 1.0 WHEN 2 THEN 1.5 WHEN 3 THEN 1.75
+          WHEN 4 THEN 1.875 WHEN 5 THEN 1.9375 WHEN 6 THEN 1.96875 WHEN 7 THEN 1.984375
+          WHEN 8 THEN 1.9921875 END AS wsum
+        FROM d)
+      SELECT event_id, user_id, tus, value, n_hist, decayed,
+        decayed / CAST(wsum AS DOUBLE) AS ewma,
+        CAST(CASE WHEN n_hist > 0 AND value * CAST(wsum AS DOUBLE) > 2.0 * decayed
+          THEN 1 ELSE 0 END AS BIGINT) AS spike
+      FROM g ORDER BY event_id"""))
+
+  /** Semantic decontamination (`Similarity.semanticContamination`): the
+    * embedding-space twin of q63 — corpus vectors whose round-6 cosine to
+    * any benchmark vector (the `vec_id % 100` query set) reaches 0.2,
+    * with hit counts and the deterministic best match. Zero-shuffle
+    * broadcast-model scoring on the Spark side. */
+  val q108_semantic_decontaminate: Q = Q(
+    (s, d) => {
+      val emb = table(s, d, "embeddings")
+      Similarity.semanticContamination(
+          emb.filter(col("vec_id") % 100 =!= 0),
+          emb.filter(col("vec_id") % 100 === 0).select(col("vec_id").as("bid"), col("embedding")),
+          threshold = 0.2)
+        .orderBy("vec_id")
+    },
+    Some("""WITH b AS (SELECT vec_id AS bid, embedding AS bv FROM embeddings WHERE vec_id % 100 = 0),
+      c AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id % 100 <> 0),
+      p AS (SELECT c.vec_id, b.bid,
+              ROUND(list_cosine_similarity(CAST(c.embedding AS DOUBLE[]),
+                CAST(b.bv AS DOUBLE[])), 6) AS sim
+            FROM c CROSS JOIN b),
+      g AS (SELECT vec_id,
+              CAST(COUNT(CASE WHEN sim >= 0.2 THEN 1 END) AS BIGINT) AS n_hits,
+              MAX(struct_pack(sim := sim, bid := bid)) AS m
+            FROM p GROUP BY vec_id)
+      SELECT vec_id, n_hits, m.sim AS top_sim, m.bid AS top_bid
+      FROM g WHERE n_hits > 0 ORDER BY vec_id"""))
+
   /** The q105 oracle, derived from the baked merge literals — the DuckDB
     * replay of the identical sentinel/double-space replace chain
     * (`replace` is left-to-right non-overlapping in both engines, which
@@ -3147,5 +3232,8 @@ object Queries {
     "q102_content_split" -> q102_content_split,
     "q103_signal_corr" -> q103_signal_corr,
     "q104_zipf_fit" -> q104_zipf_fit,
-    "q105_bpe_tokenize" -> q105_bpe_tokenize)
+    "q105_bpe_tokenize" -> q105_bpe_tokenize,
+    "q106_source_overlap" -> q106_source_overlap,
+    "q107_decay_features" -> q107_decay_features,
+    "q108_semantic_decontaminate" -> q108_semantic_decontaminate)
 }

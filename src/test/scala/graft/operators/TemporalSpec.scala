@@ -84,4 +84,30 @@ class TemporalSpec extends SparkSpec {
     assert(!phys.contains("CartesianProduct"))
     assert(!phys.contains("BroadcastNestedLoopJoin"))
   }
+
+  test("decayedHistory folds bounded half-life lags exactly") {
+    val ev = Seq(
+      (1L, 1L, 1L, 4.0), (2L, 1L, 2L, 2.0), (3L, 1L, 3L, 8.0), (4L, 1L, 4L, 1.0),
+      (5L, 2L, 1L, 7.0) // single-event key: no history
+    ).toDF("event_id", "user_id", "tus", "value")
+    val out = Temporal.decayedHistory(ev, k = 3).orderBy("event_id").collect()
+    val expected = Seq(
+      Row(1L, 1L, 1L, 4.0, 0L, 0.0, null, 0L),
+      Row(2L, 1L, 2L, 2.0, 1L, 4.0, 4.0, 0L),
+      // decayed = 2 + 4/2 = 4; v*wsum = 8*1.5 = 12 > 2*4 -> spike
+      Row(3L, 1L, 3L, 8.0, 2L, 4.0, 4.0 / 1.5, 1L),
+      // decayed = 8 + 2/2 + 4/4 = 10
+      Row(4L, 1L, 4L, 1.0, 3L, 10.0, 10.0 / 1.75, 0L),
+      Row(5L, 2L, 1L, 7.0, 0L, 0.0, null, 0L))
+    assert(out.toSeq == expected)
+  }
+
+  test("decayedHistory k beyond available history matches truncated k") {
+    val ev = Seq(
+      (1L, 1L, 1L, 4.0), (2L, 1L, 2L, 2.0), (3L, 1L, 3L, 8.0)
+    ).toDF("event_id", "user_id", "tus", "value")
+    val k3 = Temporal.decayedHistory(ev, k = 3).orderBy("event_id").collect().toSeq
+    val k8 = Temporal.decayedHistory(ev, k = 8).orderBy("event_id").collect().toSeq
+    assert(k3 == k8)
+  }
 }
