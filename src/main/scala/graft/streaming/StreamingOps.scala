@@ -294,4 +294,53 @@ object StreamingOps {
       .agg(sum(col("wv")).as("_swv"), sum(col("w")).as("_sw"))
       .filter(col("_sw") >= weightSumMin)
       .select(col("cell"), (col("_swv") / col("_sw")).as("value"), col("_sw").as("weight_sum"))
+
+  final case class DecayEvent(event_id: Long, user_id: Long, tus: Long, value: Double)
+  final case class DecayOut(event_id: Long, user_id: Long, tus: Long, value: Double,
+    n_hist: Long, decayed: Double, ewma: Option[Double], spike: Long)
+
+  /** Streaming twin of [[graft.operators.Temporal.decayedHistory]]: the
+    * bounded k-slot history lives in keyed state (a list of the k most
+    * recent values, newest first), so each event is scored against
+    * exactly the same lag fold as the batch window — term order, dyadic
+    * weights, and the pre-division spike compare all match, and the
+    * trailing `+ 0.0` terms the batch form adds for absent lags are IEEE
+    * identities. In-order feeds (per key) therefore reproduce the batch
+    * output bit-for-bit across micro-batch boundaries; out-of-order rows
+    * within one micro-batch are sorted before folding, and rows late
+    * across micro-batches score against the state as-is (the streaming
+    * approximation — same contract as any no-watermark stateful op).
+    *
+    * 100 TB design: state is k doubles per ACTIVE key in the state store,
+    * sharded by key; nothing grows with stream length. */
+  def decayedHistoryStream(
+      events: DataFrame,
+      k: Int = 8): org.apache.spark.sql.Dataset[DecayOut] = {
+    import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
+    val spark = events.sparkSession
+    import spark.implicits._
+    require(k >= 1 && k <= 52, "k must be in [1, 52]")
+    events.select(col("event_id"), col("user_id"), col("tus"), col("value"))
+      .as[DecayEvent]
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[List[Double], DecayOut](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (uid, rows, state) =>
+          var hist = state.getOption.getOrElse(Nil) // newest first, length <= k
+          val out = rows.toSeq.sortBy(e => (e.tus, e.event_id)).map { e =>
+            val n = hist.length
+            val decayed = hist.zipWithIndex.foldLeft(0.0) {
+              case (acc, (v, i)) => acc + v / math.pow(2.0, i)
+            }
+            val wsum = if (n == 0) None else Some(2.0 - math.pow(0.5, n - 1))
+            val ewma = wsum.map(decayed / _)
+            val spike =
+              if (n > 0 && e.value * wsum.get > 2.0 * decayed) 1L else 0L
+            hist = (e.value :: hist).take(k)
+            DecayOut(e.event_id, uid, e.tus, e.value, n.toLong, decayed, ewma, spike)
+          }
+          state.update(hist)
+          out.iterator
+      }
+  }
 }
