@@ -389,6 +389,44 @@ object Dedup {
         col("n_segs"), col("n_kept"))
   }
 
+  /** Asymmetric containment scoring over candidate pairs — the
+    * quote/subset detector Jaccard misses: a short document fully
+    * contained in a long one has low Jaccard (the union is large) but
+    * containment(d1→d2) = |W1 ∩ W2| / |W1| ≈ 1. Broder's containment
+    * measure, the standard complement to resemblance for near-dup
+    * pipelines.
+    *
+    * `pairs` is any candidate table (d1, d2) — typically
+    * [[TextAnalysis.winnowOverlap]] output, whose local-minimum sampling
+    * is position-robust and df-capped (linear at scale). Verification is
+    * the same relational word equi-join as [[ngramJaccard]]'s: never
+    * all-pairs, intersection bounded by candidate word sets. Both
+    * directions are emitted; the filter keeps pairs where EITHER side is
+    * mostly contained. All divisions are single long/long double ops —
+    * exact on every engine. */
+  def containment(
+      docs: DataFrame,
+      pairs: DataFrame,
+      threshold: Double = 0.5,
+      textCol: String = "text",
+      idCol: String = "doc_id"): DataFrame = {
+    val w = words(docs, textCol, idCol)
+    val sizes = w.groupBy(col(idCol)).agg(count(lit(1)).as("sz"))
+    val inter = pairs.select("d1", "d2")
+      .join(w.select(col(idCol).as("d1"), col("word").as("wa")), "d1")
+      .join(w.select(col(idCol).as("_d2"), col("word").as("wb")),
+        col("d2") === col("_d2") && col("wb") === col("wa"))
+      .groupBy("d1", "d2")
+      .agg(count(lit(1)).as("inter"))
+    inter
+      .join(sizes.select(col(idCol).as("d1"), col("sz").as("n1")), "d1")
+      .join(sizes.select(col(idCol).as("d2"), col("sz").as("n2")), "d2")
+      .withColumn("c1", col("inter").cast("double") / col("n1"))
+      .withColumn("c2", col("inter").cast("double") / col("n2"))
+      .filter(greatest(col("c1"), col("c2")) >= threshold)
+      .select("d1", "d2", "inter", "n1", "n2", "c1", "c2")
+  }
+
   /** Cross-source duplication matrix — the corpus-composition diagnostic a
     * curation pipeline runs before mixing crawls: for every source pair,
     * how much content (by distinct word-set fingerprint, the same digest as

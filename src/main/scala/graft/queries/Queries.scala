@@ -2087,6 +2087,39 @@ object Queries {
       SELECT vec_id, n_hits, m.sim AS top_sim, m.bid AS top_bid
       FROM g WHERE n_hits > 0 ORDER BY vec_id"""))
 
+  /** Containment near-dup (`Dedup.containment` over
+    * `TextAnalysis.winnowOverlap` candidates): Broder's asymmetric
+    * |W1∩W2|/|W1| — the quote/subset detector Jaccard misses. Candidates
+    * come from the df-capped winnow posting join (q83); verification is
+    * the relational word equi-join. */
+  val q109_containment: Q = Q(
+    (s, d) => {
+      val docs = docsRebalanced(s, d)
+      Dedup.containment(docs, TextAnalysis.winnowOverlap(docs), threshold = 0.5)
+        .orderBy("d1", "d2")
+    },
+    Some("""WITH w AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+      h AS (SELECT doc_id, list_transform(range(greatest(len(w) - 2, 1)),
+              i -> CAST('0x' || substr(md5(array_to_string(w[(i+1):(i+3)], ' ')), 1, 15) AS BIGINT)) AS hs
+            FROM w),
+      f AS (SELECT doc_id, list_distinct(list_transform(range(greatest(len(hs) - 3, 1)),
+              j -> list_min(hs[(j+1):(j+4)]))) AS fps FROM h),
+      e AS (SELECT doc_id, unnest(fps) AS fp FROM f),
+      d AS (SELECT doc_id, fp, COUNT(*) OVER (PARTITION BY fp) AS df FROM e),
+      p AS (SELECT doc_id, fp FROM d WHERE df <= 10),
+      cand AS (SELECT a.doc_id AS d1, b.doc_id AS d2
+               FROM p a JOIN p b ON a.fp = b.fp AND a.doc_id < b.doc_id
+               GROUP BY 1, 2 HAVING COUNT(*) >= 2),
+      ws AS (SELECT doc_id, list_distinct(w) AS dw FROM w),
+      v AS (SELECT c.d1, c.d2,
+              CAST(len(list_intersect(w1.dw, w2.dw)) AS BIGINT) AS i,
+              CAST(len(w1.dw) AS BIGINT) AS n1, CAST(len(w2.dw) AS BIGINT) AS n2
+            FROM cand c JOIN ws w1 ON c.d1 = w1.doc_id JOIN ws w2 ON c.d2 = w2.doc_id)
+      SELECT d1, d2, i AS inter, n1, n2,
+        CAST(i AS DOUBLE) / n1 AS c1, CAST(i AS DOUBLE) / n2 AS c2
+      FROM v WHERE greatest(CAST(i AS DOUBLE) / n1, CAST(i AS DOUBLE) / n2) >= 0.5
+      ORDER BY d1, d2"""))
+
   /** The q105 oracle, derived from the baked merge literals — the DuckDB
     * replay of the identical sentinel/double-space replace chain
     * (`replace` is left-to-right non-overlapping in both engines, which
@@ -3235,5 +3268,6 @@ object Queries {
     "q105_bpe_tokenize" -> q105_bpe_tokenize,
     "q106_source_overlap" -> q106_source_overlap,
     "q107_decay_features" -> q107_decay_features,
-    "q108_semantic_decontaminate" -> q108_semantic_decontaminate)
+    "q108_semantic_decontaminate" -> q108_semantic_decontaminate,
+    "q109_containment" -> q109_containment)
 }
