@@ -471,6 +471,42 @@ object Selection {
       when(vx > 0 && vy > 0, round(num / (sqrt(vx) * sqrt(vy)), 6)).as("r"))
   }
 
+  /** Per-group z-score standardization of an integer signal — the
+    * feature-normalization stage before any score mixing or classifier
+    * training. Algebra is arranged so nothing ever cancels in floats:
+    *
+    *   z = (n·x − s) / sqrt(n·ss − s²)
+    *
+    * with n, s, ss exact DECIMAL aggregates — the numerator and the
+    * radicand are exact integers (the textbook (x−µ)/σ multiplied through
+    * by n), so the only floating ops are one conversion each, one sqrt,
+    * one division — all correctly rounded, hence bit-identical on every
+    * engine, with no E[x²]−E[x]² catastrophic cancellation and no
+    * sqrt-of-negative edge (the degenerate group is an EXACT integer
+    * compare: radicand ≤ 0 → z null).
+    *
+    * 100 TB design: one group aggregate (map-side combined) whose output
+    * is #groups rows, broadcast back — the corpus is scanned, never
+    * shuffled. Precision bound: n·ss must fit DECIMAL(38) /
+    * HUGEINT — holds for byte/token-count signals at any realistic
+    * corpus size (documented, same bound as [[corrByGroup]]). */
+  def zscoreByGroup(
+      df: DataFrame,
+      groupCol: String,
+      xCol: Column): DataFrame = {
+    val dec = org.apache.spark.sql.types.DecimalType(19, 0)
+    val x = xCol.cast(dec)
+    val stats = df.groupBy(col(groupCol))
+      .agg(count(lit(1)).cast(dec).as("_n"), sum(x).as("_s"), sum(x * x).as("_ss"))
+      .select(col(groupCol), col("_n"), col("_s"),
+        (col("_n") * col("_ss") - col("_s") * col("_s")).as("_v"))
+    df.join(broadcast(stats), Seq(groupCol))
+      .withColumn("z", when(col("_v") > 0,
+        round((col("_n") * x - col("_s")).cast("double") /
+          sqrt(col("_v").cast("double")), 6)))
+      .drop("_n", "_s", "_ss", "_v")
+  }
+
   /** Leakage-aware train/valid/test assignment: the split is drawn from
     * the md5 of the document CONTENT, not its id — so byte-identical
     * duplicates (and re-crawls with new ids) land in the SAME split by

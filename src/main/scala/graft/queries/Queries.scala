@@ -2120,6 +2120,26 @@ object Queries {
       FROM v WHERE greatest(CAST(i AS DOUBLE) / n1, CAST(i AS DOUBLE) / n2) >= 0.5
       ORDER BY d1, d2"""))
 
+  /** Per-source z-score normalization (`Selection.zscoreByGroup`) of doc
+    * length: z = (n·x − s)/sqrt(n·ss − s²) over exact decimal moments —
+    * no float cancellation, no sqrt-of-negative edge; the corpus is
+    * scanned once and never shuffled (broadcast stats join-back). */
+  val q110_zscore: Q = Q(
+    (s, d) => Selection.zscoreByGroup(
+        table(s, d, "documents").select("doc_id", "source", "n_chars"),
+        "source", col("n_chars"))
+      .orderBy("doc_id"),
+    Some("""WITH d AS (SELECT doc_id, source, n_chars FROM documents),
+      g AS (SELECT source, CAST(COUNT(*) AS HUGEINT) AS n,
+              CAST(SUM(n_chars) AS HUGEINT) AS s,
+              CAST(SUM(n_chars * n_chars) AS HUGEINT) AS ss
+            FROM d GROUP BY source)
+      SELECT d.doc_id, d.source, d.n_chars,
+        CASE WHEN (n * ss - s * s) > 0
+          THEN ROUND(CAST(n * d.n_chars - s AS DOUBLE) / SQRT(CAST(n * ss - s * s AS DOUBLE)), 6)
+        END AS z
+      FROM d JOIN g ON d.source = g.source ORDER BY d.doc_id"""))
+
   /** The q105 oracle, derived from the baked merge literals — the DuckDB
     * replay of the identical sentinel/double-space replace chain
     * (`replace` is left-to-right non-overlapping in both engines, which
@@ -3269,5 +3289,6 @@ object Queries {
     "q106_source_overlap" -> q106_source_overlap,
     "q107_decay_features" -> q107_decay_features,
     "q108_semantic_decontaminate" -> q108_semantic_decontaminate,
-    "q109_containment" -> q109_containment)
+    "q109_containment" -> q109_containment,
+    "q110_zscore" -> q110_zscore)
 }

@@ -31,7 +31,9 @@ object ScaleBench {
       "q56_repeated_ngrams", "q63_decontaminate", "q64_neardup_clusters",
       "q66_remove_boilerplate", "q67_semantic_dedup", "q69_quantized_topk",
       "q70_tfidf_terms", "q75_bm25", "q76_dsir_weights", "q80_curated_shards",
-      "q81_bm25_batch", "q87_top_fraction", "q88_domain_cap")
+      "q81_bm25_batch", "q87_top_fraction", "q88_domain_cap",
+      "q106_source_overlap", "q107_decay_features",
+      "q108_semantic_decontaminate", "q109_containment")
 
   def main(args: Array[String]): Unit = {
     val base = args.headOption.getOrElse("/root/testdata/sf0.1")
@@ -60,6 +62,10 @@ object ScaleBench {
     if (!new java.io.File(s"$out/embeddings.parquet").exists()) {
       System.err.println(s"[scale] building ${factor}x embeddings blow-up at $out")
       blowUpEmbeddings(spark, base, out, factor)
+    }
+    if (!new java.io.File(s"$out/events.parquet").exists()) {
+      System.err.println(s"[scale] building ${factor}x events blow-up at $out")
+      blowUpEvents(spark, base, out, factor)
     }
 
     def time(dir: String, name: String): Double = {
@@ -117,6 +123,25 @@ object ScaleBench {
     }
     copies.reduce(_ unionByName _)
       .write.mode("overwrite").parquet(s"$out/embeddings.parquet")
+  }
+
+  /** Events blow-up: shifted event AND user ids per copy — 10x the users,
+    * 10x the traffic over the SAME time range (the honest reading of "10x
+    * the event stream": per-user history lengths and session shapes stay
+    * the data's own; a ts shift would instead serialize the time axis,
+    * and reusing user ids would 10x every history length and measure a
+    * different, denser workload). */
+  private def blowUpEvents(spark: SparkSession, base: String, out: String, factor: Int): Unit = {
+    val src = spark.read.parquet(s"$base/events.parquet")
+    val (maxEv, maxUs) = {
+      val r = src.agg(max(col("event_id")), max(col("user_id"))).head()
+      (r.getLong(0) + 1L, r.getLong(1) + 1L)
+    }
+    val copies = (0 until factor).map { i =>
+      src.withColumn("event_id", col("event_id") + lit(i * maxEv))
+        .withColumn("user_id", col("user_id") + lit(i * maxUs))
+    }
+    copies.reduce(_ unionByName _).write.mode("overwrite").parquet(s"$out/events.parquet")
   }
 
   /** Documents blow-up: shifted ids + per-copy word suffix (copy 0 stays

@@ -262,4 +262,23 @@ class SelectionSpec extends SparkSpec {
       .collect()
     assert(m.map(_.toString).sorted.sameElements(m2.map(_.toString).sorted))
   }
+
+  test("zscoreByGroup: exact integer algebra, null on degenerate groups") {
+    val s = spark
+    import s.implicits._
+    val df = Seq(
+      (1L, "a", 2L), (2L, "a", 4L), (3L, "a", 6L), // mean 4, sd sqrt(8/3)
+      (4L, "b", 7L), (5L, "b", 7L)                 // constant -> z null
+    ).toDF("id", "grp", "x")
+    val out = Selection.zscoreByGroup(df, "grp", col("x"))
+      .orderBy("id").collect()
+    // z1 = (3*2 - 12)/sqrt(3*56 - 144) = -6/sqrt(24)
+    val z1 = BigDecimal(-6.0 / math.sqrt(24.0))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(out(0).getAs[Double]("z") == z1)
+    assert(out(1).getAs[Any]("z") == 0.0)
+    assert(out(2).getAs[Double]("z") == -z1)
+    assert(out(3).isNullAt(out(3).fieldIndex("z")))
+    assert(out(4).isNullAt(out(4).fieldIndex("z")))
+  }
 }
