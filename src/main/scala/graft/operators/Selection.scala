@@ -351,8 +351,23 @@ object Selection {
       groupCol: String,
       valueCol: String,
       qPpm: Long,
+      buckets: Int = 256): DataFrame =
+    quantilesByGroup(df, groupCol, valueCol, Seq("q" -> qPpm), buckets)
+      .select(col(groupCol), col("n"), col("quantile"))
+
+  /** Multi-quantile core behind [[exactQuantileByGroup]] and
+    * [[winsorizedMeanByGroup]]: ALL requested quantiles ride the SAME
+    * histogram pass (one (group, bin) aggregate; the tag fan-out happens
+    * on the model-sized bin table, not the corpus), then one boundary-bin
+    * value rank per (group, tag). Returns (group, tag, n, quantile). */
+  def quantilesByGroup(
+      df: DataFrame,
+      groupCol: String,
+      valueCol: String,
+      ppms: Seq[(String, Long)],
       buckets: Int = 256): DataFrame = {
-    require(qPpm > 0 && qPpm <= 1000000L, s"qPpm out of (0, 1e6]: $qPpm")
+    require(ppms.nonEmpty, "need at least one quantile")
+    ppms.foreach { case (_, p) => require(p > 0 && p <= 1000000L, s"ppm out of (0, 1e6]: $p") }
     val v = col(valueCol).cast("double")
     val stats = df.agg(min(v).as("_lo"), max(v).as("_hi"))
     val binned = df
@@ -363,6 +378,8 @@ object Selection {
             floor((v - col("_lo")) * buckets / (col("_hi") - col("_lo"))).cast("int"))))
       .drop("_lo", "_hi")
     val wAsc = Window.partitionBy(col(groupCol)).orderBy(col("_bin").asc)
+    val tags = array(ppms.map { case (t, p) =>
+      struct(lit(t).as("tag"), lit(p).as("ppm")) }: _*)
     val bounds = binned
       .groupBy(col(groupCol), col("_bin"))
       .agg(count(lit(1)).as("_cnt"))
@@ -371,18 +388,52 @@ object Selection {
       .withColumn("_n", sum(col("_cnt")).over(
         Window.partitionBy(col(groupCol))
           .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)))
-      .withColumn("_k", expr(s"(_n * $qPpm + 999999) div 1000000"))
+      .withColumn("_t", explode(tags))
+      .select(col(groupCol), col("_bin"), col("_cnt"), col("_cum"), col("_n"),
+        col("_t.tag").as("tag"),
+        expr("(_n * _t.ppm + 999999) div 1000000").as("_k"))
       .filter(col("_cum") >= col("_k"))
-      .withColumn("_rn", row_number().over(wAsc))
+      .withColumn("_rn", row_number().over(
+        Window.partitionBy(col(groupCol), col("tag")).orderBy(col("_bin").asc)))
       .filter(col("_rn") === 1)
-      .select(col(groupCol), col("_bin").as("_bstar"), col("_n"),
+      .select(col(groupCol), col("tag"), col("_bin").as("_bstar"), col("_n"),
         (col("_k") - (col("_cum") - col("_cnt"))).as("_resid"))
-    val wVal = Window.partitionBy(col(groupCol)).orderBy(v.asc)
+    val wVal = Window.partitionBy(col(groupCol), col("tag")).orderBy(v.asc)
     binned.join(broadcast(bounds), Seq(groupCol))
       .filter(col("_bin") === col("_bstar"))
       .withColumn("_vrn", row_number().over(wVal))
       .filter(col("_vrn") === col("_resid"))
-      .select(col(groupCol), col("_n").as("n"), v.as("quantile"))
+      .select(col(groupCol), col("tag"), col("_n").as("n"), v.as("quantile"))
+  }
+
+  /** Winsorized (clipped) mean per group — the outlier-robust location
+    * stat a corpus report should quote next to the raw mean: values are
+    * clamped to the group's exact [loPpm, hiPpm] quantile VALUES before
+    * the mean. Both bounds come from ONE [[quantilesByGroup]] histogram
+    * pass (no per-group sort of the corpus, only the boundary bins); the
+    * clip-and-mean pass is a plain map-side-combined aggregate under a
+    * broadcast bounds join. Integer-valued signals only (the decimal sum
+    * is exact; the mean is one correctly-rounded division). */
+  def winsorizedMeanByGroup(
+      df: DataFrame,
+      groupCol: String,
+      valueCol: String,
+      loPpm: Long = 100000L,
+      hiPpm: Long = 900000L,
+      buckets: Int = 256): DataFrame = {
+    val dec = org.apache.spark.sql.types.DecimalType(19, 0)
+    val qs = quantilesByGroup(df, groupCol, valueCol,
+      Seq("lo" -> loPpm, "hi" -> hiPpm), buckets)
+    val bounds = qs.groupBy(col(groupCol))
+      .agg(min(when(col("tag") === "lo", col("quantile"))).as("_qlo"),
+        min(when(col("tag") === "hi", col("quantile"))).as("_qhi"))
+    df.join(broadcast(bounds), Seq(groupCol))
+      .withColumn("_c",
+        least(greatest(col(valueCol).cast("double"), col("_qlo")), col("_qhi")))
+      .groupBy(col(groupCol))
+      .agg(count(lit(1)).as("n"),
+        min(col("_qlo")).as("q_lo"), min(col("_qhi")).as("q_hi"),
+        (sum(col("_c").cast(dec)).cast("double") / count(lit(1))).as("wins_mean"))
   }
 
   /** Weighted sample WITHOUT replacement, exact-k per group — the
@@ -505,6 +556,27 @@ object Selection {
         round((col("_n") * x - col("_s")).cast("double") /
           sqrt(col("_v").cast("double")), 6)))
       .drop("_n", "_s", "_ss", "_v")
+  }
+
+  /** Spearman rank correlation per group — [[corrByGroup]] on RANK()s.
+    * Monotone-association twin of the Pearson diagnostic: immune to the
+    * heavy right tails corpus signals usually carry. Ties take the MIN
+    * rank (SQL RANK() — deterministic on every engine with no tie-break
+    * column; the average-rank tie correction is deliberately omitted and
+    * documented). Ranks are exact integers, so the whole statistic
+    * inherits corrByGroup's partition-order independence. One shuffle:
+    * both rank windows share the group partitioning. */
+  def spearmanByGroup(
+      df: DataFrame,
+      groupCol: String,
+      xCol: Column,
+      yCol: Column): DataFrame = {
+    val wx = Window.partitionBy(col(groupCol)).orderBy(xCol.asc)
+    val wy = Window.partitionBy(col(groupCol)).orderBy(yCol.asc)
+    val ranked = df
+      .withColumn("_rx", rank().over(wx).cast("long"))
+      .withColumn("_ry", rank().over(wy).cast("long"))
+    corrByGroup(ranked, groupCol, col("_rx"), col("_ry"))
   }
 
   /** Leakage-aware train/valid/test assignment: the split is drawn from

@@ -2140,6 +2140,61 @@ object Queries {
         END AS z
       FROM d JOIN g ON d.source = g.source ORDER BY d.doc_id"""))
 
+  /** Spearman rank correlation per source (`Selection.spearmanByGroup`):
+    * the q103 Pearson pair's monotone-association twin — RANK() (min-rank
+    * ties, no tie-break column needed) feeds the same exact decimal
+    * moments. */
+  val q111_spearman: Q = Q(
+    (s, d) => {
+      val docs = table(s, d, "documents").select(col("source"),
+        size(split(col("text"), " ")).cast("long").as("_x"),
+        size(array_distinct(split(col("text"), " "))).cast("long").as("_y"))
+      Selection.spearmanByGroup(docs, "source", col("_x"), col("_y"))
+        .orderBy("source")
+    },
+    Some("""WITH d AS (SELECT source,
+        CAST(len(string_split(text, ' ')) AS BIGINT) AS x,
+        CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT) AS y
+      FROM documents),
+      r AS (SELECT source,
+              CAST(RANK() OVER (PARTITION BY source ORDER BY x ASC) AS BIGINT) AS rx,
+              CAST(RANK() OVER (PARTITION BY source ORDER BY y ASC) AS BIGINT) AS ry
+            FROM d),
+      g AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n,
+              CAST(SUM(rx) AS HUGEINT) AS sx, CAST(SUM(ry) AS HUGEINT) AS sy,
+              CAST(SUM(rx * rx) AS HUGEINT) AS sxx, CAST(SUM(ry * ry) AS HUGEINT) AS syy,
+              CAST(SUM(rx * ry) AS HUGEINT) AS sxy
+            FROM r GROUP BY source)
+      SELECT source, n,
+        CASE WHEN (n * sxx - sx * sx) > 0 AND (n * syy - sy * sy) > 0
+          THEN ROUND(CAST(n * sxy - sx * sy AS DOUBLE) /
+            (SQRT(CAST(n * sxx - sx * sx AS DOUBLE)) *
+             SQRT(CAST(n * syy - sy * sy AS DOUBLE))), 6)
+        END AS r
+      FROM g ORDER BY source"""))
+
+  /** Winsorized mean per language (`Selection.winsorizedMeanByGroup`):
+    * doc length clamped to the exact [p10, p90] quantile values — both
+    * bounds from ONE histogram pass (no per-group corpus sort), then a
+    * broadcast-bounds clip + decimal mean. */
+  val q112_winsorized: Q = Q(
+    (s, d) => Selection.winsorizedMeanByGroup(
+        table(s, d, "documents").select(col("lang"), col("n_chars")),
+        "lang", "n_chars")
+      .orderBy("lang"),
+    Some("""WITH r AS (SELECT lang, n_chars,
+              ROW_NUMBER() OVER (PARTITION BY lang ORDER BY n_chars ASC) AS rn,
+              CAST(COUNT(*) OVER (PARTITION BY lang) AS BIGINT) AS n
+            FROM documents),
+      b AS (SELECT lang, MAX(n) AS n,
+              MIN(CASE WHEN rn = (n * 100000 + 999999) // 1000000 THEN CAST(n_chars AS DOUBLE) END) AS q_lo,
+              MIN(CASE WHEN rn = (n * 900000 + 999999) // 1000000 THEN CAST(n_chars AS DOUBLE) END) AS q_hi
+            FROM r GROUP BY lang)
+      SELECT d.lang, b.n, b.q_lo, b.q_hi,
+        CAST(CAST(SUM(CAST(least(greatest(CAST(d.n_chars AS DOUBLE), b.q_lo), b.q_hi) AS DECIMAL(19,0))) AS DOUBLE) / b.n AS DOUBLE) AS wins_mean
+      FROM documents d JOIN b ON d.lang = b.lang
+      GROUP BY d.lang, b.n, b.q_lo, b.q_hi ORDER BY d.lang"""))
+
   /** The q105 oracle, derived from the baked merge literals — the DuckDB
     * replay of the identical sentinel/double-space replace chain
     * (`replace` is left-to-right non-overlapping in both engines, which
@@ -3290,5 +3345,7 @@ object Queries {
     "q107_decay_features" -> q107_decay_features,
     "q108_semantic_decontaminate" -> q108_semantic_decontaminate,
     "q109_containment" -> q109_containment,
-    "q110_zscore" -> q110_zscore)
+    "q110_zscore" -> q110_zscore,
+    "q111_spearman" -> q111_spearman,
+    "q112_winsorized" -> q112_winsorized)
 }
