@@ -77,22 +77,34 @@ object Dedup {
       shingleN: Int = 2): DataFrame = {
     require(numHashes % rowsPerBand == 0, "numHashes must be divisible by rowsPerBand")
     val w = words(docs, textCol, idCol, shingleN)
-    // numeric (60-bit md5-prefix) hashes, not hex strings: min(LONG) keeps
-    // the signature aggregation on the fast mutable-buffer HashAggregate —
-    // min(STRING) has an immutable buffer and silently degrades the whole
-    // explode output to a SortAggregate. Equal-length hex compares
-    // lexicographically == numerically, so the argmin (hence the banding)
-    // is the same hash family as the string form.
+    val sig = signature(w, idCol, numHashes)
+    val cand = bandCandidates(sig, idCol, numHashes, rowsPerBand)
+    verifyJaccard(w, idCol, cand, threshold)
+  }
+
+  /** Per-doc minhash signature (h1..hk) over a (id, word) table.
+    * Numeric (60-bit md5-prefix) hashes, not hex strings: min(LONG) keeps
+    * the signature aggregation on the fast mutable-buffer HashAggregate —
+    * min(STRING) has an immutable buffer and silently degrades the whole
+    * explode output to a SortAggregate. Equal-length hex compares
+    * lexicographically == numerically, so the argmin (hence the banding)
+    * is the same hash family as the string form. */
+  private def signature(w: DataFrame, idCol: String, numHashes: Int): DataFrame = {
     val sigCols = (1 to numHashes).map { i =>
       min(conv(substring(md5(concat(col("word"), lit(s"#$i"))), 1, 15), 16, 10).cast("long"))
         .as(s"h$i")
     }
-    val sig = w.groupBy(col(idCol)).agg(sigCols.head, sigCols.tail: _*)
+    w.groupBy(col(idCol)).agg(sigCols.head, sigCols.tail: _*)
+  }
+
+  /** Banded candidate pairs (d1 < d2) from a signature table.
+    * Explode instead of union: a union of N projections re-runs the
+    * signature aggregation N times; one explode computes it once.
+    * Band keys are built post-aggregation over one row per doc — string
+    * concat is fine here, the hot path is the aggregation above. */
+  private def bandCandidates(
+      sig: DataFrame, idCol: String, numHashes: Int, rowsPerBand: Int): DataFrame = {
     val nBands = numHashes / rowsPerBand
-    // explode instead of union: a union of N projections re-runs the
-    // signature aggregation N times; one explode computes it once.
-    // Band keys are built post-aggregation over one row per doc — string
-    // concat is fine here, the hot path is the aggregation above.
     val bandStructs = (0 until nBands).map { b =>
       val hs = (1 to rowsPerBand).map(r => col(s"h${b * rowsPerBand + r}").cast("string"))
       struct(lit(b).as("band_idx"), concat_ws("_", hs: _*).as("band"))
@@ -100,13 +112,50 @@ object Dedup {
     val bands = sig
       .select(col(idCol), explode(array(bandStructs: _*)).as("_b"))
       .select(col(idCol), col("_b.band_idx").as("band_idx"), col("_b.band").as("band"))
-    val cand = bands.as("a")
+    bands.as("a")
       .join(bands.as("b"),
         col("a.band_idx") === col("b.band_idx") && col("a.band") === col("b.band") &&
           col(s"a.$idCol") < col(s"b.$idCol"))
       .select(col(s"a.$idCol").as("d1"), col(s"b.$idCol").as("d2"))
       .distinct()
-    verifyJaccard(w, idCol, cand, threshold)
+  }
+
+  /** Estimator-quality diagnostic for the MinHash config — "measure,
+    * don't guess" as a data-plane op: for every banded candidate pair,
+    * the signature-match estimate `est = matches / numHashes` (the
+    * unbiased MinHash Jaccard estimator) next to the EXACT shingle-set
+    * Jaccard and the absolute error. Tuning numHashes/rowsPerBand reads
+    * straight off this table (mean |err| ~ 1/sqrt(numHashes)).
+    *
+    * Same scale shape as [[minhashLsh]]: one signature HashAggregate,
+    * banded candidates, a relational intersect verify — pairs with zero
+    * true overlap (pure band collisions) survive via the left join with
+    * jaccard = 0, since they are exactly the estimator's false
+    * positives. */
+  def minhashAccuracy(
+      docs: DataFrame,
+      textCol: String = "text",
+      idCol: String = "doc_id",
+      numHashes: Int = 8,
+      rowsPerBand: Int = 2,
+      shingleN: Int = 2): DataFrame = {
+    require(numHashes % rowsPerBand == 0, "numHashes must be divisible by rowsPerBand")
+    val w = words(docs, textCol, idCol, shingleN)
+    val sig = signature(w, idCol, numHashes)
+    val cand = bandCandidates(sig, idCol, numHashes, rowsPerBand)
+    val matchExpr = (1 to numHashes)
+      .map(i => when(col(s"_ah$i") === col(s"_bh$i"), 1L).otherwise(0L))
+      .reduceLeft(_ + _)
+    val withEst = cand
+      .join(sig.toDF("d1" +: (1 to numHashes).map(i => s"_ah$i"): _*), "d1")
+      .join(sig.toDF("d2" +: (1 to numHashes).map(i => s"_bh$i"): _*), "d2")
+      .withColumn("est", matchExpr.cast("double") / numHashes)
+      .select("d1", "d2", "est")
+    withEst
+      .join(verifyJaccard(w, idCol, cand, threshold = 0.0), Seq("d1", "d2"), "left")
+      .withColumn("jaccard", coalesce(col("jaccard"), lit(0.0)))
+      .withColumn("abs_err", abs(col("est") - col("jaccard")))
+      .select("d1", "d2", "est", "jaccard", "abs_err")
   }
 
   /** Exact word-set Jaccard over candidate pairs that share the given

@@ -2195,6 +2195,47 @@ object Queries {
       FROM documents d JOIN b ON d.lang = b.lang
       GROUP BY d.lang, b.n, b.q_lo, b.q_hi ORDER BY d.lang"""))
 
+  /** MinHash estimator accuracy (`Dedup.minhashAccuracy`): for every
+    * banded candidate pair, the signature-match Jaccard estimate next to
+    * the exact shingle-set Jaccard and |err| — the measure-don't-guess
+    * diagnostic for the (numHashes, rowsPerBand) config. Zero-overlap
+    * band collisions survive with jaccard = 0 (the estimator's false
+    * positives). */
+  val q113_minhash_accuracy: Q = Q(
+    (s, d) => Dedup.minhashAccuracy(docsRebalanced(s, d)).orderBy("d1", "d2"),
+    Some {
+      val sigs = (1 to 8)
+        .map(i => "list_min(list_transform(bgs, x -> " +
+          s"CAST('0x' || substr(md5(x || '#$i'), 1, 15) AS BIGINT))) AS h$i")
+        .mkString(", ")
+      val matches = (1 to 8)
+        .map(i => s"(CASE WHEN s1.h$i = s2.h$i THEN 1 ELSE 0 END)")
+        .mkString(" + ")
+      s"""WITH bg AS (SELECT doc_id, list_distinct(${duckGrams(2)}) AS bgs
+        FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents)),
+      sig AS (SELECT doc_id, $sigs FROM bg),
+      bands AS (
+        SELECT doc_id, 0 AS band_idx, CAST(h1 AS VARCHAR) || '_' || CAST(h2 AS VARCHAR) AS band FROM sig
+        UNION ALL SELECT doc_id, 1 AS band_idx, CAST(h3 AS VARCHAR) || '_' || CAST(h4 AS VARCHAR) AS band FROM sig
+        UNION ALL SELECT doc_id, 2 AS band_idx, CAST(h5 AS VARCHAR) || '_' || CAST(h6 AS VARCHAR) AS band FROM sig
+        UNION ALL SELECT doc_id, 3 AS band_idx, CAST(h7 AS VARCHAR) || '_' || CAST(h8 AS VARCHAR) AS band FROM sig),
+      cand AS (SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+               FROM bands a JOIN bands b
+                 ON a.band_idx = b.band_idx AND a.band = b.band AND a.doc_id < b.doc_id),
+      m AS (SELECT c.d1, c.d2, CAST($matches AS BIGINT) AS matches
+            FROM cand c JOIN sig s1 ON s1.doc_id = c.d1 JOIN sig s2 ON s2.doc_id = c.d2),
+      v AS (SELECT c.d1, c.d2,
+              CAST(len(list_intersect(b1.bgs, b2.bgs)) AS BIGINT) AS i,
+              CAST(len(b1.bgs) AS BIGINT) AS sz1, CAST(len(b2.bgs) AS BIGINT) AS sz2
+            FROM cand c JOIN bg b1 ON b1.doc_id = c.d1 JOIN bg b2 ON b2.doc_id = c.d2)
+      SELECT m.d1, m.d2, CAST(m.matches AS DOUBLE) / 8 AS est,
+        CAST(v.i AS DOUBLE) / CAST(v.sz1 + v.sz2 - v.i AS DOUBLE) AS jaccard,
+        abs(CAST(m.matches AS DOUBLE) / 8 -
+          CAST(v.i AS DOUBLE) / CAST(v.sz1 + v.sz2 - v.i AS DOUBLE)) AS abs_err
+      FROM m JOIN v ON m.d1 = v.d1 AND m.d2 = v.d2
+      ORDER BY m.d1, m.d2"""
+    })
+
   /** The q105 oracle, derived from the baked merge literals — the DuckDB
     * replay of the identical sentinel/double-space replace chain
     * (`replace` is left-to-right non-overlapping in both engines, which
@@ -3347,5 +3388,6 @@ object Queries {
     "q109_containment" -> q109_containment,
     "q110_zscore" -> q110_zscore,
     "q111_spearman" -> q111_spearman,
-    "q112_winsorized" -> q112_winsorized)
+    "q112_winsorized" -> q112_winsorized,
+    "q113_minhash_accuracy" -> q113_minhash_accuracy)
 }
