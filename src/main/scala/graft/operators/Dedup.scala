@@ -305,6 +305,29 @@ object Dedup {
       .drop("_cc")
   }
 
+  /** Cluster-canonical selection by QUALITY: like [[nearDupClusters]],
+    * but the survivor of each near-dup component is the member with the
+    * best `qualityCol` (ties → lowest id) instead of the lowest id — the
+    * policy real pipelines want ("keep the longest / highest-scoring
+    * copy"). One extra cluster-keyed window over the labeled corpus (the
+    * connected-components label table is checkpointed, so nothing
+    * re-iterates); rank 1 = canonical. */
+  def nearDupCanonical(
+      docs: DataFrame,
+      pairs: DataFrame,
+      qualityCol: String,
+      idCol: String = "doc_id",
+      maxIters: Int = 20): DataFrame = {
+    val cc = connectedComponents(pairs, maxIters)
+      .select(col("id").as(idCol), col("cluster_id").as("_cc"))
+    val w = Window.partitionBy(col("cluster_id"))
+      .orderBy(col(qualityCol).desc, col(idCol).asc)
+    docs.join(cc, Seq(idCol), "left")
+      .withColumn("cluster_id", coalesce(col("_cc"), col(idCol)))
+      .drop("_cc")
+      .withColumn("keep", row_number().over(w) === 1)
+  }
+
   /** Keep the lowest id per word-set fingerprint ([[fingerprint]]) — the
     * word-order-insensitive flavour of [[dropExactDuplicates]]. */
   def dropFingerprintDuplicates(docs: DataFrame, textCol: String = "text", idCol: String = "doc_id"): DataFrame =

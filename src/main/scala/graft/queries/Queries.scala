@@ -2236,6 +2236,37 @@ object Queries {
       ORDER BY m.d1, m.d2"""
     })
 
+  /** Quality-canonical near-dup clusters (`Dedup.nearDupCanonical`): q64's
+    * transitive components, but each cluster keeps its LONGEST member
+    * (ties → lowest id) — the keep-best-copy policy. Same recursive-CTE
+    * oracle with a rank-1 window pick. */
+  val q114_canonical_cluster: Q = Q(
+    (s, d) => {
+      val docs = table(s, d, "documents")
+      val pairs = Dedup.ngramJaccard(docs, Seq("lang", "n_chars")).select("d1", "d2")
+      Dedup.nearDupCanonical(docs, pairs, "n_chars")
+        .select("doc_id", "cluster_id", "n_chars", "keep")
+        .orderBy("doc_id")
+    },
+    Some(s"""WITH RECURSIVE $blockedJaccardPairsSql,
+      pairs AS (SELECT d1, d2 FROM v
+                WHERE CAST(i AS DOUBLE) / CAST(sz1 + sz2 - i AS DOUBLE) >= 0.3),
+      verts(id) AS (SELECT d1 FROM pairs UNION SELECT d2 FROM pairs),
+      edges AS (SELECT d1 AS src, d2 AS dst FROM pairs
+                UNION ALL SELECT d2 AS src, d1 AS dst FROM pairs),
+      walk(id, label) AS (
+        SELECT id, id FROM verts
+        UNION
+        SELECT e.src, w.label FROM edges e JOIN walk w ON w.id = e.dst),
+      lab AS (SELECT id, MIN(label) AS cluster_id FROM walk GROUP BY id),
+      l2 AS (SELECT d.doc_id, d.n_chars,
+               COALESCE(l.cluster_id, d.doc_id) AS cluster_id
+             FROM documents d LEFT JOIN lab l ON l.id = d.doc_id)
+      SELECT doc_id, cluster_id, n_chars,
+        (ROW_NUMBER() OVER (PARTITION BY cluster_id
+           ORDER BY n_chars DESC, doc_id ASC) = 1) AS keep
+      FROM l2 ORDER BY doc_id"""))
+
   /** The q105 oracle, derived from the baked merge literals — the DuckDB
     * replay of the identical sentinel/double-space replace chain
     * (`replace` is left-to-right non-overlapping in both engines, which
@@ -3389,5 +3420,6 @@ object Queries {
     "q110_zscore" -> q110_zscore,
     "q111_spearman" -> q111_spearman,
     "q112_winsorized" -> q112_winsorized,
-    "q113_minhash_accuracy" -> q113_minhash_accuracy)
+    "q113_minhash_accuracy" -> q113_minhash_accuracy,
+    "q114_canonical_cluster" -> q114_canonical_cluster)
 }

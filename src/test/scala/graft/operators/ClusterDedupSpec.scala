@@ -74,4 +74,22 @@ class ClusterDedupSpec extends SparkSpec {
     assert(out.filter(col("keep")).count() == 4)
     assert(out.filter(col("cluster_id") =!= col("doc_id")).count() == 0)
   }
+
+  test("quality-canonical: each cluster keeps its best member, not min id") {
+    val s = spark
+    import s.implicits._
+    // chain 1-2-3: doc 2 is the longest -> canonical despite not min id;
+    // pair 4-5 ties on quality -> lowest id wins; singleton 6 kept
+    val docs = Seq(
+      (1L, "a", 10L), (2L, "b", 99L), (3L, "c", 50L),
+      (4L, "d", 7L), (5L, "e", 7L), (6L, "f", 1L)
+    ).toDF("doc_id", "text", "n_chars")
+    val pairs = Seq((1L, 2L), (2L, 3L), (4L, 5L)).toDF("d1", "d2")
+    val out = Dedup.nearDupCanonical(docs, pairs, "n_chars")
+      .select("doc_id", "cluster_id", "keep").orderBy("doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2)))
+    assert(out.toSeq == Seq(
+      (1L, 1L, false), (2L, 1L, true), (3L, 1L, false),
+      (4L, 4L, true), (5L, 4L, false), (6L, 6L, true)))
+  }
 }
