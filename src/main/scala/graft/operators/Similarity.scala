@@ -544,6 +544,33 @@ object Similarity {
     df.select(col(idCol) +: cols: _*)
   }
 
+  /** ANN recall evaluation IN THE DATA PLANE — the production twin of the
+    * AnnRecallSpec harness: per query, how many of the exact top-k the
+    * approximate (banded-LSH, optionally multi-probed) list recovered.
+    * Runs the two retrievals the pipeline already has and reduces the
+    * per-(qid,cid) agreement to (qid, n, hits, recall); recall is one
+    * long/long division. Lists are self-inclusive on both sides (the
+    * query vector ranks first in each, identically), so the metric is
+    * comparable across configs. Cost is the exact baseline's — run on a
+    * SAMPLED query set, which is how recall is monitored at 100 TB. */
+  def annRecall(
+      queries: DataFrame,
+      candidates: DataFrame,
+      dim: Int,
+      k: Int,
+      nBits: Int = 16,
+      seed: Long = 42L,
+      probes: Int = 0): DataFrame = {
+    val exact = bruteForceTopK(queries, candidates, k).select(col("qid"), col("cid"))
+    val approx = lshTopK(queries, candidates, dim, k, nBits, seed, probes = probes)
+      .select(col("qid"), col("cid"), lit(1L).as("_hit"))
+    exact.join(approx, Seq("qid", "cid"), "left")
+      .groupBy("qid")
+      .agg(count(lit(1)).as("n"), sum(coalesce(col("_hit"), lit(0L))).as("hits"))
+      .withColumn("recall", col("hits").cast("double") / col("n"))
+      .select("qid", "n", "hits", "recall")
+  }
+
   /** Semantic benchmark decontamination — the embedding-space twin of the
     * n-gram [[TextAnalysis.decontaminate]]: a corpus vector is
     * contaminated when its round-6 cosine to ANY benchmark vector reaches

@@ -2748,6 +2748,49 @@ object Queries {
       SELECT qid, cid, rank, sim_r AS sim FROM rk WHERE rank <= 10 ORDER BY qid, rank"""
     })
 
+  /** ANN recall eval in the data plane (`Similarity.annRecall`): per
+    * query, |LSH top-10 ∩ exact top-10| / 10 — the recall monitor a
+    * production ANN deployment runs on a sampled query set. The oracle
+    * replays BOTH retrievals (q31's brute-force window + q44's baked
+    * hyperplane signatures) and joins them. */
+  val q115_ann_recall: Q = Q(
+    (s, d) => {
+      val emb = table(s, d, "embeddings")
+      val q = emb.filter(col("vec_id") % 100 === 0).select(col("vec_id").as("qid"), col("embedding"))
+      val c = emb.select(col("vec_id").as("cid"), col("embedding"))
+      Similarity.annRecall(q, c, dim = 64, k = 10).orderBy("qid")
+    },
+    Some {
+      val planes = Similarity.hyperplanes(nBits = 16, dim = 64, seed = 42L)
+      val sig = planes.zipWithIndex.map { case (p, i) =>
+        val lst = p.map(OracleSql.slit).mkString("[", ", ", "]")
+        s"CASE WHEN list_inner_product(CAST(embedding AS DOUBLE[]), $lst) >= 0 THEN CAST(${1L << i} AS BIGINT) ELSE CAST(0 AS BIGINT) END"
+      }.mkString(" + ")
+      s"""WITH sigs AS (SELECT vec_id, $sig AS sig FROM embeddings),
+      qb AS (SELECT vec_id AS qid, bi.i AS band_idx, (sig // (CASE bi.i WHEN 0 THEN 1 ELSE 256 END)) % 256 AS band
+             FROM sigs CROSS JOIN (VALUES (0), (1)) bi(i) WHERE vec_id % 100 = 0),
+      cb AS (SELECT vec_id AS cid, bi.i AS band_idx, (sig // (CASE bi.i WHEN 0 THEN 1 ELSE 256 END)) % 256 AS band
+             FROM sigs CROSS JOIN (VALUES (0), (1)) bi(i)),
+      cpair AS (SELECT DISTINCT qid, cid FROM qb JOIN cb USING (band_idx, band)),
+      rr AS (SELECT qid, cid,
+               ROUND(list_cosine_similarity(CAST(q.embedding AS DOUBLE[]), CAST(c.embedding AS DOUBLE[])), 6) AS sim_r
+             FROM cpair JOIN embeddings q ON q.vec_id = qid JOIN embeddings c ON c.vec_id = cid),
+      ap AS (SELECT qid, cid FROM (SELECT qid, cid,
+               ROW_NUMBER() OVER (PARTITION BY qid ORDER BY sim_r DESC, cid ASC) AS rank FROM rr)
+             WHERE rank <= 10),
+      bf AS (SELECT q.vec_id AS qid, c.vec_id AS cid,
+               ROUND(list_cosine_similarity(CAST(q.embedding AS DOUBLE[]), CAST(c.embedding AS DOUBLE[])), 6) AS sim_r
+             FROM embeddings q CROSS JOIN embeddings c WHERE q.vec_id % 100 = 0),
+      ex AS (SELECT qid, cid FROM (SELECT qid, cid,
+               ROW_NUMBER() OVER (PARTITION BY qid ORDER BY sim_r DESC, cid ASC) AS rank FROM bf)
+             WHERE rank <= 10)
+      SELECT e.qid, CAST(COUNT(*) AS BIGINT) AS n,
+        CAST(COUNT(a.cid) AS BIGINT) AS hits,
+        CAST(COUNT(a.cid) AS DOUBLE) / COUNT(*) AS recall
+      FROM ex e LEFT JOIN ap a ON a.qid = e.qid AND a.cid = e.cid
+      GROUP BY e.qid ORDER BY e.qid"""
+    })
+
   /** The q47/q48 gridded swath: tiny after the groupBy (<=10k rows at any
     * SF), so the driver-side omerc fit persists it once and every fit
     * action plus the final bucket pass reads the cache — lineitem is
@@ -3421,5 +3464,6 @@ object Queries {
     "q111_spearman" -> q111_spearman,
     "q112_winsorized" -> q112_winsorized,
     "q113_minhash_accuracy" -> q113_minhash_accuracy,
-    "q114_canonical_cluster" -> q114_canonical_cluster)
+    "q114_canonical_cluster" -> q114_canonical_cluster,
+    "q115_ann_recall" -> q115_ann_recall)
 }
