@@ -116,6 +116,35 @@ object Temporal {
       .select(pointCols.map(col) :+ col("r_ts") :+ col(rPay): _*)
   }
 
+  /** Regularize an event stream onto a fixed-interval grid with
+    * forward-fill — pandas `resample().ffill()` for event tables, the
+    * feature-store materialization step. Each key gets one grid row per
+    * `interval` tick spanning [min ts, max ts]; the attached value is the
+    * most recent event at-or-before the tick ([[asOfJoin]] semantics;
+    * ticks before the first event fill null).
+    *
+    * 100 TB design: the grid derives from a per-key min/max aggregate
+    * (map-side combined) and explodes to span/interval rows per key —
+    * output-proportional, not input-proportional; the fill is the as-of
+    * join's single keyed window. No range join, no per-tick state. */
+  def resampleFill(
+      events: DataFrame,
+      interval: Long,
+      keyCol: String = "user_id",
+      tsCol: String = "tus",
+      valCol: String = "value",
+      idCol: String = "event_id"): DataFrame = {
+    require(interval > 0, "interval must be positive")
+    val grid = events.groupBy(col(keyCol))
+      .agg(min(col(tsCol)).as("_t0"), max(col(tsCol)).as("_t1"))
+      .select(col(keyCol),
+        explode(sequence(expr(s"_t0 div ${interval}L"), expr(s"_t1 div ${interval}L"))).as("_b"))
+      .select(col(keyCol), (col("_b") * interval).as(tsCol))
+    asOfJoin(grid, events.select(col(keyCol), col(tsCol), col(valCol), col(idCol)),
+        keyCol, tsCol, valCol, idCol, Seq(keyCol, tsCol))
+      .withColumnRenamed(tsCol, "grid_ts")
+  }
+
   /** Per-key decayed-history features + spike flag — the time-series
     * feature-engineering stage (fraud/anomaly gates, activity scores) of
     * an event pipeline.

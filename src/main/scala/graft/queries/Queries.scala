@@ -2791,6 +2791,31 @@ object Queries {
       GROUP BY e.qid ORDER BY e.qid"""
     })
 
+  /** Time-series regularization (`Temporal.resampleFill`): each user's
+    * events resampled onto a 6-hour grid with forward-fill — pandas
+    * `resample().ffill()` as the fill-forward as-of join over a generated
+    * grid; the oracle is DuckDB's native ASOF LEFT JOIN on the same grid
+    * (independent formulations, as q84). */
+  val q116_resample_fill: Q = Q(
+    (s, d) => {
+      val iv = 21600000000L // 6h in µs
+      Temporal.resampleFill(
+          eventsNs(s, d).withColumn("tus", expr("ts div 1000")), interval = iv)
+        .orderBy("user_id", "grid_ts")
+    },
+    Some("""WITH e AS (SELECT event_id, user_id, epoch_us(ts) AS tus, value FROM events),
+      s AS (SELECT user_id, MIN(tus) AS t0, MAX(tus) AS t1 FROM e GROUP BY user_id),
+      g AS (SELECT user_id,
+              unnest(range(t0 // 21600000000, t1 // 21600000000 + 1)) * 21600000000 AS grid_ts
+            FROM s),
+      r0 AS (SELECT user_id, tus, value,
+               ROW_NUMBER() OVER (PARTITION BY user_id, tus ORDER BY event_id DESC) AS rn
+             FROM e),
+      r AS (SELECT user_id, tus, value FROM r0 WHERE rn = 1)
+      SELECT g.user_id, g.grid_ts, r.tus AS r_ts, r.value AS r_value
+      FROM g ASOF LEFT JOIN r ON g.user_id = r.user_id AND g.grid_ts >= r.tus
+      ORDER BY g.user_id, g.grid_ts"""))
+
   /** The q47/q48 gridded swath: tiny after the groupBy (<=10k rows at any
     * SF), so the driver-side omerc fit persists it once and every fit
     * action plus the final bucket pass reads the cache — lineitem is
@@ -3465,5 +3490,6 @@ object Queries {
     "q112_winsorized" -> q112_winsorized,
     "q113_minhash_accuracy" -> q113_minhash_accuracy,
     "q114_canonical_cluster" -> q114_canonical_cluster,
-    "q115_ann_recall" -> q115_ann_recall)
+    "q115_ann_recall" -> q115_ann_recall,
+    "q116_resample_fill" -> q116_resample_fill)
 }

@@ -102,6 +102,25 @@ class TemporalSpec extends SparkSpec {
     assert(out.toSeq == expected)
   }
 
+  test("resampleFill: fixed grid per key, forward-fill, leading nulls") {
+    val s = spark
+    import s.implicits._
+    val ev = Seq(
+      // user 1: events at t=25 (v=1) and t=47 (v=2); grid interval 10
+      (1L, 1L, 25L, 1.0), (2L, 1L, 47L, 2.0),
+      // user 2: single event exactly on a tick
+      (3L, 2L, 30L, 9.0)
+    ).toDF("event_id", "user_id", "tus", "value")
+    val out = Temporal.resampleFill(ev, interval = 10L)
+      .orderBy("user_id", "grid_ts").collect()
+    val expected = Seq(
+      Row(1L, 20L, null, null),          // tick before first event
+      Row(1L, 30L, 25L, 1.0),            // ffill from t=25
+      Row(1L, 40L, 25L, 1.0),
+      Row(2L, 30L, 30L, 9.0))            // tick == event ts: inclusive
+    assert(out.toSeq == expected)
+  }
+
   test("decayedHistory k beyond available history matches truncated k") {
     val ev = Seq(
       (1L, 1L, 1L, 4.0), (2L, 1L, 2L, 2.0), (3L, 1L, 3L, 8.0)
