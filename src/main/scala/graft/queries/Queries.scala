@@ -2816,6 +2816,48 @@ object Queries {
       FROM g ASOF LEFT JOIN r ON g.user_id = r.user_id AND g.grid_ts >= r.tus
       ORDER BY g.user_id, g.grid_ts"""))
 
+  /** Cleaning-gate ablation report: how many docs each q58 gate (length /
+    * stopword / repetition) would drop, alone and combined, plus the
+    * post-dedup survivor count — the table you read before tuning
+    * thresholds. One aggregate over the scored corpus (single scan, all
+    * counts exact integers; the only distinct is over survivors'
+    * fingerprints). */
+  val q117_gate_report: Q = Q(
+    (s, d) => {
+      val scored = graft.streaming.StreamingOps.scoreDocs(docsRebalanced(s, d))
+        .withColumn("_w", split(col("text"), " "))
+        .withColumn("top2_frac",
+          expr(TextAnalysis.maxRunSql(TextAnalysis.gramsSql(2, "_w"))).cast("double") /
+            (col("n_words") - 1))
+        .withColumn("_fp", Dedup.fingerprintExprFromWords(col("_w")))
+        .withColumn("_ok", col("n_words") >= 25 &&
+          col("stop_ratio") >= 0.03 && col("top2_frac") <= 0.12)
+      scored.agg(
+        count(lit(1)).as("n_docs"),
+        sum(when(col("n_words") < 25, 1L).otherwise(0L)).as("fail_len"),
+        sum(when(col("stop_ratio") < 0.03, 1L).otherwise(0L)).as("fail_stop"),
+        sum(when(col("top2_frac") > 0.12, 1L).otherwise(0L)).as("fail_rep"),
+        sum(when(col("_ok"), 1L).otherwise(0L)).as("n_pass"),
+        count_distinct(when(col("_ok"), col("_fp"))).as("n_pass_unique"))
+    },
+    Some(s"""WITH sc AS (SELECT doc_id, w, CAST(len(w) AS BIGINT) AS n_words,
+        CAST($duckStopHits AS DOUBLE) / CAST(len(w) AS BIGINT) AS stop_ratio,
+        ${duckTopGramN(2)} AS top2_n
+      FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents)),
+      g AS (SELECT doc_id, w, n_words, stop_ratio,
+          CAST(top2_n AS DOUBLE) / CAST(n_words - 1 AS BIGINT) AS top2_frac
+        FROM sc),
+      f AS (SELECT *, (n_words >= 25 AND stop_ratio >= 0.03 AND top2_frac <= 0.12) AS ok
+        FROM g)
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+        CAST(SUM(CASE WHEN n_words < 25 THEN 1 ELSE 0 END) AS BIGINT) AS fail_len,
+        CAST(SUM(CASE WHEN stop_ratio < 0.03 THEN 1 ELSE 0 END) AS BIGINT) AS fail_stop,
+        CAST(SUM(CASE WHEN top2_frac > 0.12 THEN 1 ELSE 0 END) AS BIGINT) AS fail_rep,
+        CAST(SUM(CASE WHEN ok THEN 1 ELSE 0 END) AS BIGINT) AS n_pass,
+        CAST(COUNT(DISTINCT CASE WHEN ok
+          THEN md5(array_to_string(list_sort(list_distinct(w)), ' ')) END) AS BIGINT) AS n_pass_unique
+      FROM f"""))
+
   /** The q47/q48 gridded swath: tiny after the groupBy (<=10k rows at any
     * SF), so the driver-side omerc fit persists it once and every fit
     * action plus the final bucket pass reads the cache — lineitem is
@@ -3491,5 +3533,6 @@ object Queries {
     "q113_minhash_accuracy" -> q113_minhash_accuracy,
     "q114_canonical_cluster" -> q114_canonical_cluster,
     "q115_ann_recall" -> q115_ann_recall,
-    "q116_resample_fill" -> q116_resample_fill)
+    "q116_resample_fill" -> q116_resample_fill,
+    "q117_gate_report" -> q117_gate_report)
 }
