@@ -2858,6 +2858,70 @@ object Queries {
           THEN md5(array_to_string(list_sort(list_distinct(w)), ' ')) END) AS BIGINT) AS n_pass_unique
       FROM f"""))
 
+  /** Near-dup cluster-size report: the q64 components reduced to a size
+    * histogram (cluster size → how many clusters) — the one-page answer
+    * to "how duplicated is this corpus?". Two tiny aggregates over the
+    * label table; the corpus-scale work is the same pair generation +
+    * label propagation as q64. */
+  val q118_cluster_report: Q = Q(
+    (s, d) => {
+      val docs = table(s, d, "documents")
+      val pairs = Dedup.ngramJaccard(docs, Seq("lang", "n_chars")).select("d1", "d2")
+      Dedup.nearDupClusters(docs, pairs)
+        .groupBy("cluster_id").agg(count(lit(1)).as("sz"))
+        .groupBy("sz").agg(count(lit(1)).as("n_clusters"))
+        .orderBy("sz")
+    },
+    Some(s"""WITH RECURSIVE $blockedJaccardPairsSql,
+      pairs AS (SELECT d1, d2 FROM v
+                WHERE CAST(i AS DOUBLE) / CAST(sz1 + sz2 - i AS DOUBLE) >= 0.3),
+      verts(id) AS (SELECT d1 FROM pairs UNION SELECT d2 FROM pairs),
+      edges AS (SELECT d1 AS src, d2 AS dst FROM pairs
+                UNION ALL SELECT d2 AS src, d1 AS dst FROM pairs),
+      walk(id, label) AS (
+        SELECT id, id FROM verts
+        UNION
+        SELECT e.src, w.label FROM edges e JOIN walk w ON w.id = e.dst),
+      lab AS (SELECT id, MIN(label) AS cluster_id FROM walk GROUP BY id),
+      l2 AS (SELECT COALESCE(l.cluster_id, d.doc_id) AS cluster_id
+             FROM documents d LEFT JOIN lab l ON l.id = d.doc_id),
+      cs AS (SELECT cluster_id, CAST(COUNT(*) AS BIGINT) AS sz FROM l2 GROUP BY cluster_id)
+      SELECT sz, CAST(COUNT(*) AS BIGINT) AS n_clusters
+      FROM cs GROUP BY sz ORDER BY sz"""))
+
+  /** Embedding QC report (`Similarity` hygiene stats): per label-parity
+    * slice, vector count, dimension spread, zero-vector count, and the
+    * micro-rounded mean L2 norm — the sanity table before any ANN build.
+    * One aggregate scan; norms are per-row codegen folds. */
+  val q119_embedding_qc: Q = Q(
+    (s, d) => {
+      val emb = table(s, d, "embeddings")
+        .withColumn("_nm",
+          round(round(graft.functions.GeoFunctions.l2Norm(col("embedding")), 6) * 1000000L)
+            .cast("long"))
+      emb.groupBy((col("label") % 2).cast("long").as("parity"))
+        .agg(
+          count(lit(1)).as("n_vecs"),
+          min(size(col("embedding"))).cast("long").as("dim_min"),
+          max(size(col("embedding"))).cast("long").as("dim_max"),
+          sum(when(col("_nm") === 0L, 1L).otherwise(0L)).as("n_zero"),
+          (sum(col("_nm")).cast("double") /
+            (count(lit(1)) * lit(1000000L))).as("mean_norm"))
+        .orderBy("parity")
+    },
+    Some("""WITH e AS (SELECT label % 2 AS parity,
+        len(embedding) AS dim,
+        CAST(ROUND(ROUND(sqrt(list_inner_product(CAST(embedding AS DOUBLE[]),
+          CAST(embedding AS DOUBLE[]))), 6) * 1000000) AS BIGINT) AS nm
+      FROM embeddings)
+      SELECT CAST(parity AS BIGINT) AS parity,
+        CAST(COUNT(*) AS BIGINT) AS n_vecs,
+        CAST(MIN(dim) AS BIGINT) AS dim_min,
+        CAST(MAX(dim) AS BIGINT) AS dim_max,
+        CAST(SUM(CASE WHEN nm = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_zero,
+        CAST(SUM(nm) AS DOUBLE) / (COUNT(*) * 1000000) AS mean_norm
+      FROM e GROUP BY parity ORDER BY parity"""))
+
   /** The q47/q48 gridded swath: tiny after the groupBy (<=10k rows at any
     * SF), so the driver-side omerc fit persists it once and every fit
     * action plus the final bucket pass reads the cache — lineitem is
@@ -3534,5 +3598,7 @@ object Queries {
     "q114_canonical_cluster" -> q114_canonical_cluster,
     "q115_ann_recall" -> q115_ann_recall,
     "q116_resample_fill" -> q116_resample_fill,
-    "q117_gate_report" -> q117_gate_report)
+    "q117_gate_report" -> q117_gate_report,
+    "q118_cluster_report" -> q118_cluster_report,
+    "q119_embedding_qc" -> q119_embedding_qc)
 }
