@@ -2922,6 +2922,38 @@ object Queries {
         CAST(SUM(nm) AS DOUBLE) / (COUNT(*) * 1000000) AS mean_norm
       FROM e GROUP BY parity ORDER BY parity"""))
 
+  /** Join-key skew profiler over the k-NN cell key: the top-20 hottest
+    * geocentric cells with their share of all rows and their ratio to the
+    * mean cell load — the table that tells you whether the cell join
+    * needs the salt fallback (`KnnResample.neighbours(salt=…)`) before
+    * you pay for it. One count aggregate + a 20-row top-k; share and
+    * ratio are exact long arithmetic into single divisions. */
+  val q120_skew_report: Q = Q(
+    (s, d) => {
+      val cells = swath(s, d).select(cellIndex(world, col("lon"), col("lat")).as("cell"))
+      val counts = cells.groupBy("cell").agg(count(lit(1)).as("cnt"))
+      val tot = Window.partitionBy(lit(0))
+      counts
+        .withColumn("n_keys", count(lit(1)).over(tot))
+        .withColumn("total", sum(col("cnt")).over(tot))
+        .withColumn("share", col("cnt").cast("double") / col("total"))
+        .withColumn("ratio_to_mean",
+          (col("cnt") * col("n_keys")).cast("double") / col("total"))
+        .orderBy(col("cnt").desc, col("cell").asc)
+        .limit(20)
+        .select("cell", "cnt", "n_keys", "total", "share", "ratio_to_mean")
+    },
+    Some(s"""WITH $swathSql, $swCellSql,
+      c AS (SELECT cell, CAST(COUNT(*) AS BIGINT) AS cnt FROM sw GROUP BY cell),
+      t AS (SELECT cell, cnt,
+              CAST(COUNT(*) OVER () AS BIGINT) AS n_keys,
+              CAST(SUM(cnt) OVER () AS BIGINT) AS total
+            FROM c)
+      SELECT cell, cnt, n_keys, total,
+        CAST(cnt AS DOUBLE) / total AS share,
+        CAST(cnt * n_keys AS DOUBLE) / total AS ratio_to_mean
+      FROM t ORDER BY cnt DESC, cell ASC LIMIT 20"""))
+
   /** The q47/q48 gridded swath: tiny after the groupBy (<=10k rows at any
     * SF), so the driver-side omerc fit persists it once and every fit
     * action plus the final bucket pass reads the cache — lineitem is
@@ -3600,5 +3632,6 @@ object Queries {
     "q116_resample_fill" -> q116_resample_fill,
     "q117_gate_report" -> q117_gate_report,
     "q118_cluster_report" -> q118_cluster_report,
-    "q119_embedding_qc" -> q119_embedding_qc)
+    "q119_embedding_qc" -> q119_embedding_qc,
+    "q120_skew_report" -> q120_skew_report)
 }
