@@ -145,6 +145,38 @@ object Temporal {
       .withColumnRenamed(tsCol, "grid_ts")
   }
 
+  /** Ordered funnel analysis: for each key, the reach time of every step,
+    * where step i's reach time is the EARLIEST event of that type
+    * at-or-after step i-1's reach time (the standard unordered-window
+    * funnel definition; a step never reached leaves this and all later
+    * steps null).
+    *
+    * Shape: one conditional min-aggregate per step, each joined back on
+    * the key — the step table is #keys rows (broadcast), so the event
+    * table is scanned `steps.size` times but never shuffled beyond the
+    * per-step key aggregate (map-side combined). Timestamps are exact
+    * integers throughout. */
+  def funnel(
+      events: DataFrame,
+      steps: Seq[String],
+      keyCol: String = "user_id",
+      tsCol: String = "tus",
+      typeCol: String = "event_type"): DataFrame = {
+    require(steps.nonEmpty, "need at least one funnel step")
+    val t0 = events.groupBy(col(keyCol))
+      .agg(min(when(col(typeCol) === steps.head, col(tsCol))).as("t0"))
+    steps.zipWithIndex.drop(1).foldLeft(t0) { case (acc, (step, i)) =>
+      val prevCols = (0 until i).map(j => s"t$j")
+      val aggCols = prevCols.map(c => min(col(c)).as(c)) :+
+        min(when(col(typeCol) === step &&
+          col(s"t${i - 1}").isNotNull && col(tsCol) >= col(s"t${i - 1}"),
+          col(tsCol))).as(s"t$i")
+      events.join(broadcast(acc), Seq(keyCol))
+        .groupBy(col(keyCol))
+        .agg(aggCols.head, aggCols.tail: _*)
+    }
+  }
+
   /** Per-key decayed-history features + spike flag — the time-series
     * feature-engineering stage (fraud/anomaly gates, activity scores) of
     * an event pipeline.

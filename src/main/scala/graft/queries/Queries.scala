@@ -2954,6 +2954,29 @@ object Queries {
         CAST(cnt * n_keys AS DOUBLE) / total AS ratio_to_mean
       FROM t ORDER BY cnt DESC, cell ASC LIMIT 20"""))
 
+  /** Ordered funnel (`Temporal.funnel`): per user, the earliest
+    * view → click-after-view → purchase-after-click reach times — the
+    * classic product-analytics operator; null past the first missed
+    * step. One conditional min per step, #users-row broadcast
+    * join-backs, exact integer timestamps. */
+  val q121_funnel: Q = Q(
+    (s, d) => Temporal.funnel(
+        eventsNs(s, d).withColumn("tus", expr("ts div 1000")),
+        steps = Seq("view", "click", "purchase"))
+      .orderBy("user_id"),
+    Some("""WITH e AS (SELECT user_id, epoch_us(ts) AS tus, event_type FROM events),
+      s0 AS (SELECT user_id, MIN(CASE WHEN event_type = 'view' THEN tus END) AS t0
+             FROM e GROUP BY user_id),
+      s1 AS (SELECT e.user_id, MIN(t0) AS t0,
+               MIN(CASE WHEN event_type = 'click' AND t0 IS NOT NULL AND tus >= t0
+                 THEN tus END) AS t1
+             FROM e JOIN s0 ON e.user_id = s0.user_id GROUP BY e.user_id),
+      s2 AS (SELECT e.user_id, MIN(t0) AS t0, MIN(t1) AS t1,
+               MIN(CASE WHEN event_type = 'purchase' AND t1 IS NOT NULL AND tus >= t1
+                 THEN tus END) AS t2
+             FROM e JOIN s1 ON e.user_id = s1.user_id GROUP BY e.user_id)
+      SELECT user_id, t0, t1, t2 FROM s2 ORDER BY user_id"""))
+
   /** The q47/q48 gridded swath: tiny after the groupBy (<=10k rows at any
     * SF), so the driver-side omerc fit persists it once and every fit
     * action plus the final bucket pass reads the cache — lineitem is
@@ -3633,5 +3656,6 @@ object Queries {
     "q117_gate_report" -> q117_gate_report,
     "q118_cluster_report" -> q118_cluster_report,
     "q119_embedding_qc" -> q119_embedding_qc,
-    "q120_skew_report" -> q120_skew_report)
+    "q120_skew_report" -> q120_skew_report,
+    "q121_funnel" -> q121_funnel)
 }

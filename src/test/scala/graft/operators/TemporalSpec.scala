@@ -121,6 +121,28 @@ class TemporalSpec extends SparkSpec {
     assert(out.toSeq == expected)
   }
 
+  test("funnel: ordered reach times, nulls past a missed step") {
+    val s = spark
+    import s.implicits._
+    val ev = Seq(
+      // user 1: click@5 precedes the first view -> ignored; purchase@15
+      // precedes click-reach (20) -> ignored; full funnel 10/20/30
+      (1L, 1L, 5L, "click"), (2L, 1L, 10L, "view"), (3L, 1L, 20L, "click"),
+      (4L, 1L, 15L, "purchase"), (5L, 1L, 30L, "purchase"),
+      // user 2: view only
+      (6L, 2L, 10L, "view"),
+      // user 3: no view -> every stage null even though later steps exist
+      (7L, 3L, 5L, "click"), (8L, 3L, 6L, "purchase")
+    ).toDF("event_id", "user_id", "tus", "event_type")
+    val out = Temporal.funnel(ev, Seq("view", "click", "purchase"))
+      .orderBy("user_id").collect()
+    val expected = Seq(
+      Row(1L, 10L, 20L, 30L),
+      Row(2L, 10L, null, null),
+      Row(3L, null, null, null))
+    assert(out.toSeq == expected)
+  }
+
   test("decayedHistory k beyond available history matches truncated k") {
     val ev = Seq(
       (1L, 1L, 1L, 4.0), (2L, 1L, 2L, 2.0), (3L, 1L, 3L, 8.0)
