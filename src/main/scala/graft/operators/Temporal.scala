@@ -177,6 +177,35 @@ object Temporal {
     }
   }
 
+  /** Cohort retention: keys are grouped by the period of their FIRST
+    * event (the cohort); for each (cohort, period-offset) the number of
+    * keys active in that period and the retention fraction of the
+    * cohort. The product-analytics retention triangle.
+    *
+    * Shape: one (key → first period) aggregate, one distinct over
+    * (key, period), a broadcast cohort-size join — everything map-side
+    * combined; counts exact, retention one long/long division. */
+  def cohortRetention(
+      events: DataFrame,
+      period: Long,
+      keyCol: String = "user_id",
+      tsCol: String = "tus"): DataFrame = {
+    require(period > 0, "period must be positive")
+    // integer div, not double /: a double quotient can round UP across an
+    // integer boundary before the cast truncates, off-by-one vs the
+    // oracle's exact BIGINT //
+    val p = expr(s"$tsCol div ${period}L")
+    val firsts = events.groupBy(col(keyCol)).agg(min(p).as("cohort"))
+    val active = events.select(col(keyCol), p.as("_p")).distinct()
+    val sizes = firsts.groupBy("cohort").agg(count(lit(1)).as("n_cohort"))
+    active.join(firsts, Seq(keyCol))
+      .groupBy(col("cohort"), (col("_p") - col("cohort")).as("offset"))
+      .agg(count(lit(1)).as("n_active"))
+      .join(broadcast(sizes), Seq("cohort"))
+      .withColumn("retention", col("n_active").cast("double") / col("n_cohort"))
+      .select("cohort", "offset", "n_cohort", "n_active", "retention")
+  }
+
   /** Per-key decayed-history features + spike flag — the time-series
     * feature-engineering stage (fraud/anomaly gates, activity scores) of
     * an event pipeline.

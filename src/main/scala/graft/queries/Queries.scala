@@ -2977,6 +2977,48 @@ object Queries {
              FROM e JOIN s1 ON e.user_id = s1.user_id GROUP BY e.user_id)
       SELECT user_id, t0, t1, t2 FROM s2 ORDER BY user_id"""))
 
+  /** Weekly cohort retention (`Temporal.cohortRetention`): users grouped
+    * by first-event week; per (cohort, week offset) the active count and
+    * retention fraction — the analytics retention triangle. Exact integer
+    * week arithmetic (`div`, matching BIGINT `//`). */
+  val q122_retention: Q = Q(
+    (s, d) => Temporal.cohortRetention(
+        eventsNs(s, d).withColumn("tus", expr("ts div 1000")),
+        period = 604800000000L)
+      .orderBy("cohort", "offset"),
+    Some("""WITH e AS (SELECT user_id, epoch_us(ts) // 604800000000 AS p FROM events),
+      f AS (SELECT user_id, MIN(p) AS cohort FROM e GROUP BY user_id),
+      a AS (SELECT DISTINCT user_id, p FROM e),
+      sz AS (SELECT cohort, CAST(COUNT(*) AS BIGINT) AS n_cohort FROM f GROUP BY cohort),
+      r AS (SELECT f.cohort, a.p - f.cohort AS offset, CAST(COUNT(*) AS BIGINT) AS n_active
+            FROM a JOIN f ON a.user_id = f.user_id GROUP BY 1, 2)
+      SELECT r.cohort, r.offset, sz.n_cohort, r.n_active,
+        CAST(r.n_active AS DOUBLE) / sz.n_cohort AS retention
+      FROM r JOIN sz ON r.cohort = sz.cohort
+      ORDER BY r.cohort, r.offset"""))
+
+  /** Market-basket pair mining over lineitem: parts co-ordered in the
+    * same order, counted and ranked — the co-occurrence miner (the
+    * collocation pattern on transactions instead of text). The self-join
+    * is keyed by orderkey, so fan-out is (items-per-order choose 2) —
+    * basket-bounded, never corpus-quadratic; top-50 by support with
+    * deterministic ties. */
+  val q123_basket_pairs: Q = Q(
+    (s, d) => {
+      val li = table(s, d, "lineitem").select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+        .distinct()
+      li.toDF("ok", "p1")
+        .join(li.toDF("ok2", "p2"), col("ok") === col("ok2") && col("p1") < col("p2"))
+        .groupBy("p1", "p2")
+        .agg(count(lit(1)).as("support"))
+        .orderBy(col("support").desc, col("p1").asc, col("p2").asc)
+        .limit(50)
+    },
+    Some("""WITH li AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem)
+      SELECT a.pk AS p1, b.pk AS p2, CAST(COUNT(*) AS BIGINT) AS support
+      FROM li a JOIN li b ON a.ok = b.ok AND a.pk < b.pk
+      GROUP BY 1, 2 ORDER BY support DESC, p1 ASC, p2 ASC LIMIT 50"""))
+
   /** The q47/q48 gridded swath: tiny after the groupBy (<=10k rows at any
     * SF), so the driver-side omerc fit persists it once and every fit
     * action plus the final bucket pass reads the cache — lineitem is
@@ -3657,5 +3699,7 @@ object Queries {
     "q118_cluster_report" -> q118_cluster_report,
     "q119_embedding_qc" -> q119_embedding_qc,
     "q120_skew_report" -> q120_skew_report,
-    "q121_funnel" -> q121_funnel)
+    "q121_funnel" -> q121_funnel,
+    "q122_retention" -> q122_retention,
+    "q123_basket_pairs" -> q123_basket_pairs)
 }
