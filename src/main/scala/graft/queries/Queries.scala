@@ -3019,6 +3019,45 @@ object Queries {
       FROM li a JOIN li b ON a.ok = b.ok AND a.pk < b.pk
       GROUP BY 1, 2 ORDER BY support DESC, p1 ASC, p2 ASC LIMIT 50"""))
 
+  /** Association rules over the q123 pairs: confidence and lift from
+    * exact integer supports — lift = support·N / (s1·s2), one double
+    * division on integer operands. Item supports ride a broadcast join;
+    * the basket-bounded pair join is the only corpus-scale stage. Top-50
+    * by lift among pairs with support >= 3 (deterministic ties). */
+  val q124_association_rules: Q = Q(
+    (s, d) => {
+      val li = table(s, d, "lineitem").select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+        .distinct()
+      val nOrders = li.select(countDistinct(col("ok")).as("n_orders"))
+      val item = li.groupBy(col("pk")).agg(count(lit(1)).as("s"))
+      val pairs = li.toDF("ok", "p1")
+        .join(li.toDF("ok2", "p2"), col("ok") === col("ok2") && col("p1") < col("p2"))
+        .groupBy("p1", "p2")
+        .agg(count(lit(1)).as("support"))
+        .filter(col("support") >= 3)
+      pairs
+        .join(broadcast(item.toDF("p1", "s1")), "p1")
+        .join(broadcast(item.toDF("p2", "s2")), "p2")
+        .crossJoin(broadcast(nOrders))
+        .withColumn("confidence", col("support").cast("double") / col("s1"))
+        .withColumn("lift",
+          (col("support") * col("n_orders")).cast("double") / (col("s1") * col("s2")))
+        .orderBy(col("lift").desc, col("p1").asc, col("p2").asc)
+        .limit(50)
+        .select("p1", "p2", "support", "s1", "s2", "confidence", "lift")
+    },
+    Some("""WITH li AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+      n AS (SELECT CAST(COUNT(DISTINCT ok) AS BIGINT) AS n_orders FROM li),
+      it AS (SELECT pk, CAST(COUNT(*) AS BIGINT) AS s FROM li GROUP BY pk),
+      pr AS (SELECT a.pk AS p1, b.pk AS p2, CAST(COUNT(*) AS BIGINT) AS support
+             FROM li a JOIN li b ON a.ok = b.ok AND a.pk < b.pk
+             GROUP BY 1, 2 HAVING COUNT(*) >= 3)
+      SELECT p1, p2, support, i1.s AS s1, i2.s AS s2,
+        CAST(support AS DOUBLE) / i1.s AS confidence,
+        CAST(support * n.n_orders AS DOUBLE) / (i1.s * i2.s) AS lift
+      FROM pr JOIN it i1 ON pr.p1 = i1.pk JOIN it i2 ON pr.p2 = i2.pk CROSS JOIN n
+      ORDER BY lift DESC, p1 ASC, p2 ASC LIMIT 50"""))
+
   /** The q47/q48 gridded swath: tiny after the groupBy (<=10k rows at any
     * SF), so the driver-side omerc fit persists it once and every fit
     * action plus the final bucket pass reads the cache — lineitem is
@@ -3701,5 +3740,6 @@ object Queries {
     "q120_skew_report" -> q120_skew_report,
     "q121_funnel" -> q121_funnel,
     "q122_retention" -> q122_retention,
-    "q123_basket_pairs" -> q123_basket_pairs)
+    "q123_basket_pairs" -> q123_basket_pairs,
+    "q124_association_rules" -> q124_association_rules)
 }
