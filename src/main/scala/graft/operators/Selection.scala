@@ -558,6 +558,29 @@ object Selection {
       .drop("_n", "_s", "_ss", "_v")
   }
 
+  /** Median absolute deviation per group — the robust scale estimate
+    * paired with [[winsorizedMeanByGroup]]'s robust location: MAD =
+    * exact median of |x − exact median(x)|, both medians with
+    * [[exactQuantileByGroup]]'s boundary-rank semantics (value-at-rank
+    * ceil(n/2), ties by value — deterministic on every engine). Two
+    * histogram passes (the second over the derived |dev| column), no
+    * per-group corpus sort anywhere. Integer signals: the deviation is
+    * exact integer arithmetic. */
+  def madByGroup(
+      df: DataFrame,
+      groupCol: String,
+      valueCol: String,
+      buckets: Int = 256): DataFrame = {
+    val med = exactQuantileByGroup(df, groupCol, valueCol, qPpm = 500000L, buckets)
+      .select(col(groupCol), col("quantile").as("_med"))
+    val dev = df.join(broadcast(med), Seq(groupCol))
+      .withColumn("_dev", abs(col(valueCol).cast("double") - col("_med")))
+    exactQuantileByGroup(dev, groupCol, "_dev", qPpm = 500000L, buckets)
+      .select(col(groupCol), col("n"), col("quantile").as("mad"))
+      .join(broadcast(med), Seq(groupCol))
+      .select(col(groupCol), col("n"), col("_med").as("median"), col("mad"))
+  }
+
   /** Spearman rank correlation per group — [[corrByGroup]] on RANK()s.
     * Monotone-association twin of the Pearson diagnostic: immune to the
     * heavy right tails corpus signals usually carry. Ties take the MIN

@@ -3058,6 +3058,68 @@ object Queries {
       FROM pr JOIN it i1 ON pr.p1 = i1.pk JOIN it i2 ON pr.p2 = i2.pk CROSS JOIN n
       ORDER BY lift DESC, p1 ASC, p2 ASC LIMIT 50"""))
 
+  /** Robust scale per language (`Selection.madByGroup`): exact median of
+    * |n_chars − exact median| — MAD, the outlier-immune spread stat next
+    * to q112's winsorized location. Both medians are boundary-rank picks
+    * (value at rank ceil(n/2)); the oracle replays them with
+    * ROW_NUMBER over values. */
+  val q125_mad: Q = Q(
+    (s, d) => Selection.madByGroup(
+        table(s, d, "documents").select(col("lang"), col("n_chars")),
+        "lang", "n_chars")
+      .orderBy("lang"),
+    Some("""WITH r AS (SELECT lang, n_chars,
+              ROW_NUMBER() OVER (PARTITION BY lang ORDER BY n_chars ASC) AS rn,
+              CAST(COUNT(*) OVER (PARTITION BY lang) AS BIGINT) AS n
+            FROM documents),
+      m AS (SELECT lang, MAX(n) AS n,
+              MIN(CASE WHEN rn = (n * 500000 + 999999) // 1000000
+                THEN CAST(n_chars AS DOUBLE) END) AS med
+            FROM r GROUP BY lang),
+      dv AS (SELECT d.lang, abs(CAST(d.n_chars AS DOUBLE) - m.med) AS dev
+             FROM documents d JOIN m ON d.lang = m.lang),
+      r2 AS (SELECT lang, dev,
+               ROW_NUMBER() OVER (PARTITION BY lang ORDER BY dev ASC) AS rn,
+               CAST(COUNT(*) OVER (PARTITION BY lang) AS BIGINT) AS n
+             FROM dv)
+      SELECT r2.lang, r2.n, m.med AS median,
+        MIN(CASE WHEN r2.rn = (r2.n * 500000 + 999999) // 1000000 THEN dev END) AS mad
+      FROM r2 JOIN m ON r2.lang = m.lang
+      GROUP BY r2.lang, r2.n, m.med ORDER BY r2.lang"""))
+
+  /** Referential-integrity audit over the star schema: orphan lineitems
+    * (no order), orders without lineitems, and orphan customer keys on
+    * orders — the data-quality gate before any join-dependent pipeline.
+    * Three anti-join counts folded into one summary row; every count is
+    * a left-join null test, never a collect. */
+  val q126_fk_audit: Q = Q(
+    (s, d) => {
+      val li = table(s, d, "lineitem").select(col("l_orderkey"))
+      val ord = table(s, d, "orders").select(col("o_orderkey"), col("o_custkey"))
+      val cust = table(s, d, "customer").select(col("c_custkey"))
+      // one declarative plan: three anti-join counts cross-joined into a
+      // single summary row (no driver-side actions)
+      val a = li.join(ord.select(col("o_orderkey")),
+        col("l_orderkey") === col("o_orderkey"), "left_anti")
+        .agg(count(lit(1)).as("orphan_lineitems"))
+      val b = ord.join(li.distinct(),
+        col("o_orderkey") === col("l_orderkey"), "left_anti")
+        .agg(count(lit(1)).as("orders_no_lineitems"))
+      val c = ord.join(cust, col("o_custkey") === col("c_custkey"), "left_anti")
+        .agg(count(lit(1)).as("orders_orphan_cust"))
+      a.crossJoin(b).crossJoin(c)
+    },
+    Some("""SELECT
+        (SELECT CAST(COUNT(*) AS BIGINT) FROM lineitem l
+          WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey))
+          AS orphan_lineitems,
+        (SELECT CAST(COUNT(*) AS BIGINT) FROM orders o
+          WHERE NOT EXISTS (SELECT 1 FROM lineitem l WHERE l.l_orderkey = o.o_orderkey))
+          AS orders_no_lineitems,
+        (SELECT CAST(COUNT(*) AS BIGINT) FROM orders o
+          WHERE NOT EXISTS (SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey))
+          AS orders_orphan_cust"""))
+
   /** The q47/q48 gridded swath: tiny after the groupBy (<=10k rows at any
     * SF), so the driver-side omerc fit persists it once and every fit
     * action plus the final bucket pass reads the cache — lineitem is
@@ -3741,5 +3803,7 @@ object Queries {
     "q121_funnel" -> q121_funnel,
     "q122_retention" -> q122_retention,
     "q123_basket_pairs" -> q123_basket_pairs,
-    "q124_association_rules" -> q124_association_rules)
+    "q124_association_rules" -> q124_association_rules,
+    "q125_mad" -> q125_mad,
+    "q126_fk_audit" -> q126_fk_audit)
 }
