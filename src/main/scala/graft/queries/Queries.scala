@@ -3120,6 +3120,90 @@ object Queries {
           WHERE NOT EXISTS (SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey))
           AS orders_orphan_cust"""))
 
+  /** Dedup-config evaluation (the q115 pattern for MinHash banding):
+    * ground truth = exact blocked Jaccard pairs at 0.4 (q26's space);
+    * predicted = the q25 banded-LSH pairs at the same threshold. One
+    * summary row of TP / FN / FP counts + recall — "how much does this
+    * banding config miss" measured in the data plane. FP counts pairs
+    * the bands surface OUTSIDE the blocked ground-truth space (band
+    * collisions across blocks that still verify ≥ 0.4). */
+  val q127_dedup_eval: Q = Q(
+    (s, d) => {
+      val docs = docsRebalanced(s, d)
+      val truth = Dedup.ngramJaccard(docs, Seq("lang", "n_chars"), threshold = 0.4, shingleN = 2)
+        .select(col("d1"), col("d2"), lit(1L).as("_t"))
+      val pred = Dedup.minhashLsh(docs, threshold = 0.4)
+        .select(col("d1"), col("d2"), lit(1L).as("_p"))
+      truth.join(pred, Seq("d1", "d2"), "full_outer")
+        .agg(
+          sum(when(col("_t").isNotNull && col("_p").isNotNull, 1L).otherwise(0L)).as("tp"),
+          sum(when(col("_t").isNotNull && col("_p").isNull, 1L).otherwise(0L)).as("fn"),
+          sum(when(col("_t").isNull && col("_p").isNotNull, 1L).otherwise(0L)).as("fp"))
+        .withColumn("recall",
+          when(col("tp") + col("fn") > 0,
+            col("tp").cast("double") / (col("tp") + col("fn"))))
+    },
+    Some {
+      val sigs = (1 to 8)
+        .map(i => "list_min(list_transform(bgs, x -> " +
+          s"CAST('0x' || substr(md5(x || '#$i'), 1, 15) AS BIGINT))) AS h$i")
+        .mkString(", ")
+      s"""WITH bg AS (SELECT doc_id, list_distinct(${duckGrams(2)}) AS bgs
+        FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents)),
+      meta AS (SELECT doc_id, lang, n_chars FROM documents),
+      tc AS (SELECT a.doc_id AS d1, b.doc_id AS d2 FROM meta a JOIN meta b
+             ON a.lang = b.lang AND a.n_chars = b.n_chars AND a.doc_id < b.doc_id),
+      tv AS (SELECT c.d1, c.d2 FROM tc c
+             JOIN bg b1 ON b1.doc_id = c.d1 JOIN bg b2 ON b2.doc_id = c.d2
+             WHERE CAST(len(list_intersect(b1.bgs, b2.bgs)) AS DOUBLE) /
+               (len(b1.bgs) + len(b2.bgs) - len(list_intersect(b1.bgs, b2.bgs))) >= 0.4),
+      sig AS (SELECT doc_id, $sigs FROM bg),
+      bands AS (
+        SELECT doc_id, 0 AS band_idx, CAST(h1 AS VARCHAR) || '_' || CAST(h2 AS VARCHAR) AS band FROM sig
+        UNION ALL SELECT doc_id, 1 AS band_idx, CAST(h3 AS VARCHAR) || '_' || CAST(h4 AS VARCHAR) AS band FROM sig
+        UNION ALL SELECT doc_id, 2 AS band_idx, CAST(h5 AS VARCHAR) || '_' || CAST(h6 AS VARCHAR) AS band FROM sig
+        UNION ALL SELECT doc_id, 3 AS band_idx, CAST(h7 AS VARCHAR) || '_' || CAST(h8 AS VARCHAR) AS band FROM sig),
+      pc AS (SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+             FROM bands a JOIN bands b
+               ON a.band_idx = b.band_idx AND a.band = b.band AND a.doc_id < b.doc_id),
+      pv AS (SELECT c.d1, c.d2 FROM pc c
+             JOIN bg b1 ON b1.doc_id = c.d1 JOIN bg b2 ON b2.doc_id = c.d2
+             WHERE CAST(len(list_intersect(b1.bgs, b2.bgs)) AS DOUBLE) /
+               (len(b1.bgs) + len(b2.bgs) - len(list_intersect(b1.bgs, b2.bgs))) >= 0.4),
+      j AS (SELECT COALESCE(t.d1, p.d1) AS d1, COALESCE(t.d2, p.d2) AS d2,
+              (t.d1 IS NOT NULL) AS it, (p.d1 IS NOT NULL) AS ip
+            FROM tv t FULL OUTER JOIN pv p ON t.d1 = p.d1 AND t.d2 = p.d2)
+      SELECT CAST(SUM(CASE WHEN it AND ip THEN 1 ELSE 0 END) AS BIGINT) AS tp,
+        CAST(SUM(CASE WHEN it AND NOT ip THEN 1 ELSE 0 END) AS BIGINT) AS fn,
+        CAST(SUM(CASE WHEN NOT it AND ip THEN 1 ELSE 0 END) AS BIGINT) AS fp,
+        CASE WHEN SUM(CASE WHEN it THEN 1 ELSE 0 END) > 0
+          THEN CAST(SUM(CASE WHEN it AND ip THEN 1 ELSE 0 END) AS DOUBLE) /
+            SUM(CASE WHEN it THEN 1 ELSE 0 END) END AS recall
+      FROM j"""
+    })
+
+  /** Per-group decile labels (`ntile`-exact): quality bucketing by rank —
+    * decile = ceil(rank·10/n) over (value desc, id asc) — the label a
+    * curation pipeline writes before decile-based mixing. Pure integer
+    * arithmetic, engine-identical. */
+  val q128_deciles: Q = Q(
+    (s, d) => {
+      val w = Window.partitionBy(col("lang"))
+        .orderBy(col("n_chars").desc, col("doc_id").asc)
+      table(s, d, "documents").select(col("doc_id"), col("lang"), col("n_chars"))
+        .withColumn("_rn", row_number().over(w).cast("long"))
+        .withColumn("_n", count(lit(1)).over(Window.partitionBy(col("lang"))))
+        .withColumn("decile", expr("(_rn * 10 + _n - 1) div _n"))
+        .select("doc_id", "lang", "n_chars", "decile")
+        .orderBy("doc_id")
+    },
+    Some("""WITH r AS (SELECT doc_id, lang, n_chars,
+              CAST(ROW_NUMBER() OVER (PARTITION BY lang ORDER BY n_chars DESC, doc_id ASC) AS BIGINT) AS rn,
+              CAST(COUNT(*) OVER (PARTITION BY lang) AS BIGINT) AS n
+            FROM documents)
+      SELECT doc_id, lang, n_chars, (rn * 10 + n - 1) // n AS decile
+      FROM r ORDER BY doc_id"""))
+
   /** The q47/q48 gridded swath: tiny after the groupBy (<=10k rows at any
     * SF), so the driver-side omerc fit persists it once and every fit
     * action plus the final bucket pass reads the cache — lineitem is
@@ -3805,5 +3889,7 @@ object Queries {
     "q123_basket_pairs" -> q123_basket_pairs,
     "q124_association_rules" -> q124_association_rules,
     "q125_mad" -> q125_mad,
-    "q126_fk_audit" -> q126_fk_audit)
+    "q126_fk_audit" -> q126_fk_audit,
+    "q127_dedup_eval" -> q127_dedup_eval,
+    "q128_deciles" -> q128_deciles)
 }
