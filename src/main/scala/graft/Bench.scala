@@ -69,18 +69,22 @@ object Bench {
       (name, times(times.length / 2), times.head)
     }
     def fmt(v: Double): String = "%.4f".formatLocal(java.util.Locale.ROOT, v)
-    def jmap(key: String => String, f: ((String, Double, Double)) => Double): String =
-      results.map { case r @ (k, _, _) => "\"" + key(k) + "\":" + fmt(f(r)) }.mkString("{", ",", "}")
+    // contract line uses 3 decimals: at 133 queries the 4-decimal form
+    // (~15 chars/query) would overflow the driver's 2000-char stdout tail
+    def fmt3(v: Double): String = "%.3f".formatLocal(java.util.Locale.ROOT, v)
+    def jmap(key: String => String, f: ((String, Double, Double)) => Double,
+        fm: Double => String = fmt): String =
+      results.map { case r @ (k, _, _) => "\"" + key(k) + "\":" + fm(f(r)) }.mkString("{", ",", "}")
     val total = results.map(_._2).sum
     val ps = if (probes.isEmpty) Seq(0.0) else probes.sorted.toSeq // empty selection
-    val probe = s""""probe_med":${fmt(ps(ps.length / 2))},"probe_max":${fmt(ps.last)}"""
+    val probe = s""""probe_med":${fmt3(ps(ps.length / 2))},"probe_max":${fmt3(ps.last)}"""
     // the driver's artifact keeps only a 2000-char TAIL of stdout, so the
     // summary prints in two lines: full names + per-query minima first
     // (clippable), then the contract line LAST with total, medians under
     // short query keys (q01...), and the probe dispersion — sized to
     // always survive the tail whole
     println(s"""{"metric":"detail","queries_min":${jmap(identity, _._3)},"queries_med_full":${jmap(identity, _._2)}}""")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":${jmap(_.split("_").head, _._2)},$probe,"iters":$iters,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${fmt3(total)},"unit":"sec","queries":${jmap(_.split("_").head, _._2, fmt3)},$probe,"iters":$iters,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -3,6 +3,7 @@ package graft.operators
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
 
 /** Temporal joins over event tables — the time-series companion to the
   * spatial joins in [[Nearest]].
@@ -260,5 +261,140 @@ object Temporal {
           col(valCol) * col("_wsum") > lit(2.0) * col("decayed"), 1L).otherwise(0L))
       .select(col(idCol), col(keyCol), col(tsCol), col(valCol),
         col("n_hist"), col("decayed"), col("ewma"), col("spike"))
+  }
+
+  /** OHLC bar downsampling: one row per (series, bar) with the bar's
+    * open/high/low/close values, event count, and decimal-exact value sum
+    * — the candlestick/metrics-rollup materialization of an event stream.
+    *
+    * Open/close are `min_by`/`max_by` with a (ts, id) struct ordering —
+    * selections, not arithmetic, so they are engine-exact; the tiebreak
+    * id makes same-timestamp bars deterministic. The whole operator is
+    * ONE hash aggregate with map-side combine: shuffle volume is bounded
+    * by #bars (series × time-buckets), never by input rows, and a hot
+    * series spreads over its time axis — this is the shape that holds on
+    * an unbounded event log at 100 TB (and the stateful-aggregation twin
+    * in a stream). */
+  def ohlcBars(
+      events: DataFrame,
+      interval: Long,
+      seriesCol: String = "event_type",
+      tsCol: String = "tus",
+      valCol: String = "value",
+      idCol: String = "event_id"): DataFrame = {
+    require(interval > 0, "interval must be positive")
+    val dec = DecimalType(18, 2)
+    events
+      .groupBy(col(seriesCol), expr(s"$tsCol div ${interval}L").as("_bar"))
+      .agg(
+        expr(s"min_by($valCol, struct($tsCol, $idCol))").as("open"),
+        max(col(valCol)).as("high"),
+        min(col(valCol)).as("low"),
+        expr(s"max_by($valCol, struct($tsCol, $idCol))").as("close"),
+        count(lit(1)).as("n_events"),
+        sum(col(valCol).cast(dec)).cast("double").as("sum_v"))
+      .withColumn("bar_ts", col("_bar") * interval)
+      .select(col(seriesCol), col("bar_ts"), col("open"), col("high"),
+        col("low"), col("close"), col("n_events"), col("sum_v"))
+  }
+
+  /** Time-weighted average (TWAP): per key, each value is weighted by how
+    * long it was "current" — Σ value_i · (ts_{i+1} − ts_i) / (ts_n − ts_1)
+    * over events ordered by (ts, id); the last event carries no duration.
+    * The standard price/metric summary that plain AVG gets wrong on
+    * irregular sampling.
+    *
+    * Exactness: values become integer CENTS through a DECIMAL cast
+    * (exact), each cents·µs product and their sum stay in wide integer
+    * decimal (never a float running sum), and ONE division by the
+    * likewise-exact `span·100` happens at the end — the scale-2
+    * decimal→double conversion some engines do in two roundings never
+    * appears. Keys with zero span (a single event) emit a null twap.
+    *
+    * 100 TB design: one keyed shuffle (the lead window) feeding one hash
+    * aggregate — same bound as sessionization. */
+  def twap(
+      events: DataFrame,
+      keyCol: String = "user_id",
+      tsCol: String = "tus",
+      valCol: String = "value",
+      idCol: String = "event_id"): DataFrame = {
+    val dec = DecimalType(18, 2)
+    val w = Window.partitionBy(keyCol).orderBy(col(tsCol), col(idCol))
+    events
+      .withColumn("_vc", (col(valCol).cast(dec) * 100).cast("long"))
+      .withColumn("_dt", lead(col(tsCol), 1).over(w) - col(tsCol))
+      .groupBy(col(keyCol))
+      .agg(
+        count(lit(1)).as("n_events"),
+        (max(col(tsCol)) - min(col(tsCol))).as("span"),
+        sum(col("_vc").cast(DecimalType(38, 0)) * col("_dt")).as("_num"))
+      .withColumn("twap",
+        when(col("span") > 0,
+          col("_num").cast("double") / (col("span") * 100).cast("double")))
+      .select(col(keyCol), col("n_events"), col("span"), col("twap"))
+  }
+
+  /** Exact rolling median of the last `k` values (current row inclusive)
+    * per key — the robust smoother a z-score/spike gate wants upstream.
+    *
+    * Values are converted to micro-integer cents through DECIMAL first
+    * (exact), the window collects the ≤k-slot frame into a sorted array,
+    * and the median interpolates the two middle INTEGERS — `(a+b)/2` on
+    * integers below 2^52 is IEEE-exact, so the result is bit-identical on
+    * any engine (the usual float-median interpolation ambiguity never
+    * appears). One keyed shuffle; O(k) state per row. */
+  def rollingMedian(
+      events: DataFrame,
+      k: Int = 10,
+      keyCol: String = "user_id",
+      tsCol: String = "tus",
+      valCol: String = "value",
+      idCol: String = "event_id"): DataFrame = {
+    require(k >= 1, "k must be positive")
+    val dec = DecimalType(18, 2)
+    val w = Window.partitionBy(keyCol).orderBy(col(tsCol), col(idCol))
+      .rowsBetween(-(k - 1), Window.currentRow)
+    events
+      .withColumn("_vc", (col(valCol).cast(dec) * 100).cast("long"))
+      .withColumn("_fr", sort_array(collect_list(col("_vc")).over(w)))
+      .withColumn("_n", size(col("_fr")))
+      // element_at is 1-based; for odd n both picks are the middle element
+      .withColumn("roll_med",
+        (element_at(col("_fr"), ((col("_n") + 1) / 2).cast("int")).cast("double") +
+          element_at(col("_fr"), (col("_n") / 2 + 1).cast("int")).cast("double")) / 2.0 / 100.0)
+      .select(col(idCol), col(keyCol), col(tsCol), col(valCol),
+        col("_n").cast("long").as("n_window"), col("roll_med"))
+  }
+
+  /** Markov transition matrix of event types within sessions: counts of
+    * (from_type → to_type) steps between CONSECUTIVE events of a key no
+    * further than `gap` apart, plus the row-normalized transition
+    * probability — the path-mining summary behind next-event prediction
+    * and funnel discovery.
+    *
+    * Counts are exact integers; each probability is one long/long
+    * division. Shape: one keyed lag window, one (from, to) hash
+    * aggregate, and the row totals ride a window over the TRANSITION
+    * MATRIX (#types² rows), never over the event log. */
+  def transitionMatrix(
+      events: DataFrame,
+      gap: Long,
+      keyCol: String = "user_id",
+      tsCol: String = "tus",
+      typeCol: String = "event_type",
+      idCol: String = "event_id"): DataFrame = {
+    require(gap > 0, "gap must be positive")
+    val w = Window.partitionBy(keyCol).orderBy(col(tsCol), col(idCol))
+    val steps = events
+      .withColumn("_pt", lag(col(typeCol), 1).over(w))
+      .withColumn("_pts", lag(col(tsCol), 1).over(w))
+      .filter(col("_pt").isNotNull && col(tsCol) - col("_pts") <= gap)
+    val m = steps.groupBy(col("_pt").as("from_type"), col(typeCol).as("to_type"))
+      .agg(count(lit(1)).as("n"))
+    m.withColumn("row_total",
+        sum(col("n")).over(Window.partitionBy(col("from_type"))))
+      .withColumn("p", col("n").cast("double") / col("row_total"))
+      .select("from_type", "to_type", "n", "row_total", "p")
   }
 }

@@ -907,4 +907,34 @@ object TextAnalysis {
       .agg(count(lit(1)).as("shared"))
       .filter(col("shared") >= minShared)
   }
+
+  /** N-gram novelty score: per document, the fraction of its DISTINCT
+    * word n-grams that appear in no other document — a direct "how much
+    * genuinely new text does this doc contribute" curation signal (the
+    * complement of the duplication family: high novelty ⇒ keep, near-zero
+    * novelty ⇒ the doc is stitched from corpus boilerplate).
+    *
+    * Shape: per-doc distinct grams (row-local array ops), ONE explode to
+    * (doc, gram), the gram document-frequency as a window count over the
+    * gram partition (no second corpus scan — the ADVICE subtree-reuse
+    * rule), then a per-doc aggregate. Two shuffles total, both on keys
+    * that hash evenly (gram text, doc id); counts exact, the fraction one
+    * long/long division. */
+  def noveltyScore(
+      docs: DataFrame,
+      n: Int = 3,
+      textCol: String = "text",
+      idCol: String = "doc_id"): DataFrame = {
+    val grams = docs
+      .withColumn("_w", split(col(textCol), " "))
+      .select(col(idCol),
+        explode(expr(s"array_distinct(${gramsSql(n, "_w")})")).as("gram"))
+    val withDf = grams
+      .withColumn("df", count(lit(1)).over(Window.partitionBy(col("gram"))))
+    withDf.groupBy(col(idCol))
+      .agg(
+        count(lit(1)).as("n_grams"),
+        sum(when(col("df") === 1, 1L).otherwise(0L)).as("n_novel"))
+      .withColumn("novelty", col("n_novel").cast("double") / col("n_grams"))
+  }
 }

@@ -609,6 +609,32 @@ object Queries {
   private def docsRebalanced(s: SparkSession, d: String): DataFrame =
     table(s, d, "documents").repartition(s.sparkContext.defaultParallelism)
 
+  /** MinHash banded-LSH pair CTEs (row-local form) shared by q25/q133:
+    * per-doc bigram sets, 8 minhashes, 4×2 banding, candidate distinct,
+    * and the Jaccard verify columns in `v` (filter ≥ threshold at use
+    * site). Same hash family and banding as `Dedup.minhashLsh`. */
+  private def minhashPairCtes: String = {
+    val sigs = (1 to 8)
+      .map(i => "list_min(list_transform(bgs, x -> " +
+        s"CAST('0x' || substr(md5(x || '#$i'), 1, 15) AS BIGINT))) AS h$i")
+      .mkString(", ")
+    s"""bg AS (SELECT doc_id, list_distinct(${duckGrams(2)}) AS bgs
+        FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents)),
+      sig AS (SELECT doc_id, $sigs FROM bg),
+      bands AS (
+        SELECT doc_id, 0 AS band_idx, CAST(h1 AS VARCHAR) || '_' || CAST(h2 AS VARCHAR) AS band FROM sig
+        UNION ALL SELECT doc_id, 1 AS band_idx, CAST(h3 AS VARCHAR) || '_' || CAST(h4 AS VARCHAR) AS band FROM sig
+        UNION ALL SELECT doc_id, 2 AS band_idx, CAST(h5 AS VARCHAR) || '_' || CAST(h6 AS VARCHAR) AS band FROM sig
+        UNION ALL SELECT doc_id, 3 AS band_idx, CAST(h7 AS VARCHAR) || '_' || CAST(h8 AS VARCHAR) AS band FROM sig),
+      cand AS (SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+               FROM bands a JOIN bands b
+                 ON a.band_idx = b.band_idx AND a.band = b.band AND a.doc_id < b.doc_id),
+      v AS (SELECT c.d1, c.d2,
+              CAST(len(list_intersect(b1.bgs, b2.bgs)) AS BIGINT) AS i,
+              CAST(len(b1.bgs) AS BIGINT) AS sz1, CAST(len(b2.bgs) AS BIGINT) AS sz2
+            FROM cand c JOIN bg b1 ON b1.doc_id = c.d1 JOIN bg b2 ON b2.doc_id = c.d2)"""
+  }
+
   /** Blocked word-set Jaccard pair CTEs shared by q26/q64 — row-local
     * form (one distinct-word list per doc, `list_intersect` per candidate
     * pair): same allocator discipline as the other text oracles. */
@@ -629,30 +655,10 @@ object Queries {
     // two lists per candidate pair — the former relational form
     // (unnest-all-bigrams → MIN group-by → 3-way word join) was the last
     // oracle still failing a 100 MB memory_limit stress.
-    Some {
-      val sigs = (1 to 8)
-        .map(i => "list_min(list_transform(bgs, x -> " +
-          s"CAST('0x' || substr(md5(x || '#$i'), 1, 15) AS BIGINT))) AS h$i")
-        .mkString(", ")
-      s"""WITH bg AS (SELECT doc_id, list_distinct(${duckGrams(2)}) AS bgs
-        FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents)),
-      sig AS (SELECT doc_id, $sigs FROM bg),
-      bands AS (
-        SELECT doc_id, 0 AS band_idx, CAST(h1 AS VARCHAR) || '_' || CAST(h2 AS VARCHAR) AS band FROM sig
-        UNION ALL SELECT doc_id, 1 AS band_idx, CAST(h3 AS VARCHAR) || '_' || CAST(h4 AS VARCHAR) AS band FROM sig
-        UNION ALL SELECT doc_id, 2 AS band_idx, CAST(h5 AS VARCHAR) || '_' || CAST(h6 AS VARCHAR) AS band FROM sig
-        UNION ALL SELECT doc_id, 3 AS band_idx, CAST(h7 AS VARCHAR) || '_' || CAST(h8 AS VARCHAR) AS band FROM sig),
-      cand AS (SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
-               FROM bands a JOIN bands b
-                 ON a.band_idx = b.band_idx AND a.band = b.band AND a.doc_id < b.doc_id),
-      v AS (SELECT c.d1, c.d2,
-              CAST(len(list_intersect(b1.bgs, b2.bgs)) AS BIGINT) AS i,
-              CAST(len(b1.bgs) AS BIGINT) AS sz1, CAST(len(b2.bgs) AS BIGINT) AS sz2
-            FROM cand c JOIN bg b1 ON b1.doc_id = c.d1 JOIN bg b2 ON b2.doc_id = c.d2)
+    Some(s"""WITH $minhashPairCtes
       SELECT d1, d2, CAST(i AS DOUBLE) / CAST(sz1 + sz2 - i AS DOUBLE) AS jaccard
       FROM v WHERE CAST(i AS DOUBLE) / CAST(sz1 + sz2 - i AS DOUBLE) >= 0.4
-      ORDER BY d1, d2"""
-    })
+      ORDER BY d1, d2"""))
 
   val q26_ngram_jaccard: Q = Q(
     (s, d) => Dedup.ngramJaccard(table(s, d, "documents"), Seq("lang", "n_chars"))
@@ -3204,6 +3210,138 @@ object Queries {
       SELECT doc_id, lang, n_chars, (rn * 10 + n - 1) // n AS decile
       FROM r ORDER BY doc_id"""))
 
+  /** OHLC bar downsampling (`Temporal.ohlcBars`): 6-hour candlesticks per
+    * event type — open/close via (ts, id)-struct min_by/max_by selections
+    * (engine-exact, no arithmetic), decimal-exact volume sum. ONE hash
+    * aggregate; shuffle bounded by #bars. */
+  val q129_ohlc: Q = Q(
+    (s, d) => {
+      val iv = 21600000000L // 6h in µs
+      Temporal.ohlcBars(
+          eventsNs(s, d).withColumn("tus", expr("ts div 1000")), interval = iv)
+        .orderBy("event_type", "bar_ts")
+    },
+    Some("""WITH e AS (SELECT event_id, event_type, epoch_us(ts) AS tus, value FROM events),
+      r AS (SELECT event_type, tus // 21600000000 AS bar, tus, value,
+              ROW_NUMBER() OVER (PARTITION BY event_type, tus // 21600000000
+                ORDER BY tus ASC, event_id ASC) AS rf,
+              ROW_NUMBER() OVER (PARTITION BY event_type, tus // 21600000000
+                ORDER BY tus DESC, event_id DESC) AS rl
+            FROM e)
+      SELECT event_type, bar * 21600000000 AS bar_ts,
+        MAX(CASE WHEN rf = 1 THEN value END) AS open,
+        MAX(value) AS high, MIN(value) AS low,
+        MAX(CASE WHEN rl = 1 THEN value END) AS close,
+        CAST(COUNT(*) AS BIGINT) AS n_events,
+        CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_v
+      FROM r GROUP BY event_type, bar ORDER BY event_type, bar_ts"""))
+
+  /** Time-weighted average (`Temporal.twap`) per user: exact integer
+    * cents × µs products summed in wide decimal, ONE division at the end
+    * (micro-int discipline — no float running sum anywhere). */
+  val q130_twap: Q = Q(
+    (s, d) => Temporal.twap(
+        eventsNs(s, d).withColumn("tus", expr("ts div 1000")))
+      .orderBy("user_id"),
+    Some("""WITH e AS (SELECT event_id, user_id, epoch_us(ts) AS tus,
+              CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS vc FROM events),
+      l AS (SELECT user_id, tus, vc,
+              LEAD(tus, 1) OVER (PARTITION BY user_id ORDER BY tus ASC, event_id ASC) - tus AS dt
+            FROM e)
+      SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_events,
+        MAX(tus) - MIN(tus) AS span,
+        CASE WHEN MAX(tus) - MIN(tus) > 0
+          THEN CAST(SUM(CAST(vc AS HUGEINT) * dt) AS DOUBLE)
+            / CAST((MAX(tus) - MIN(tus)) * 100 AS DOUBLE) END AS twap
+      FROM l GROUP BY user_id ORDER BY user_id"""))
+
+  /** Exact rolling median of the last 10 values per user
+    * (`Temporal.rollingMedian`): micro-int cents in a sorted window
+    * frame, the two middle INTEGERS interpolated — bit-identical on any
+    * engine (no float-median ambiguity). */
+  val q131_rolling_median: Q = Q(
+    (s, d) => Temporal.rollingMedian(
+        eventsNs(s, d).withColumn("tus", expr("ts div 1000")), k = 10)
+      .orderBy("event_id"),
+    Some("""WITH e AS (SELECT event_id, user_id, epoch_us(ts) AS tus, value,
+              CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS vc FROM events),
+      r AS (SELECT event_id, user_id, tus, value,
+              list_sort(list(vc) OVER (PARTITION BY user_id ORDER BY tus ASC, event_id ASC
+                ROWS BETWEEN 9 PRECEDING AND CURRENT ROW)) AS fr
+            FROM e)
+      SELECT event_id, user_id, tus, value, CAST(len(fr) AS BIGINT) AS n_window,
+        (CAST(fr[CAST((len(fr) + 1) // 2 AS INT)] AS DOUBLE)
+          + CAST(fr[CAST(len(fr) // 2 + 1 AS INT)] AS DOUBLE)) / 2.0 / 100.0 AS roll_med
+      FROM r ORDER BY event_id"""))
+
+  /** Markov transition matrix (`Temporal.transitionMatrix`): event-type
+    * step counts within 30-minute continuations, row-normalized over the
+    * TRANSITION TABLE (#types² rows) — exact counts, one long/long
+    * division per cell. */
+  val q132_transitions: Q = Q(
+    (s, d) => Temporal.transitionMatrix(
+        eventsNs(s, d).withColumn("tus", expr("ts div 1000")), gap = 1800000000L)
+      .orderBy("from_type", "to_type"),
+    Some("""WITH e AS (SELECT event_id, user_id, event_type, epoch_us(ts) AS tus FROM events),
+      l AS (SELECT user_id, event_type, tus,
+              LAG(event_type, 1) OVER w AS pt, LAG(tus, 1) OVER w AS pts
+            FROM e WINDOW w AS (PARTITION BY user_id ORDER BY tus ASC, event_id ASC)),
+      s AS (SELECT pt AS from_type, event_type AS to_type FROM l
+            WHERE pt IS NOT NULL AND tus - pts <= 1800000000),
+      m AS (SELECT from_type, to_type, CAST(COUNT(*) AS BIGINT) AS n FROM s GROUP BY 1, 2)
+      SELECT from_type, to_type, n,
+        CAST(SUM(n) OVER (PARTITION BY from_type) AS BIGINT) AS row_total,
+        CAST(n AS DOUBLE) / CAST(SUM(n) OVER (PARTITION BY from_type) AS BIGINT) AS p
+      FROM m ORDER BY from_type, to_type"""))
+
+  /** Deterministic integer PageRank (`Graph.pageRankInt`) over the q25
+    * near-dup graph: 3 power-iteration rounds in micro-units with
+    * damping 85/100 — integer arithmetic end-to-end, so the result is
+    * bit-identical under ANY partitioning or aggregation order (the
+    * float PageRank's sum-order nondeterminism never appears). */
+  val q133_pagerank: Q = Q(
+    (s, d) => Graph.pageRankInt(
+        Dedup.minhashLsh(docsRebalanced(s, d)), iters = 3)
+      .orderBy("id"),
+    Some {
+      val rounds = (1 to 3).map { i =>
+        s"""r$i AS (SELECT e.dst AS id, 150000 + (85 * SUM(r${i - 1}.r // deg.degree)) // 100 AS r
+             FROM e JOIN r${i - 1} ON r${i - 1}.id = e.src
+                    JOIN deg ON deg.id = e.src
+             GROUP BY e.dst)"""
+      }.mkString(",\n      ")
+      s"""WITH $minhashPairCtes,
+      p AS (SELECT d1, d2 FROM v
+            WHERE CAST(i AS DOUBLE) / CAST(sz1 + sz2 - i AS DOUBLE) >= 0.4),
+      -- MATERIALIZED: DuckDB inlines CTEs per reference; the rounds
+      -- reference e/deg ~7x and would re-run the whole minhash pipeline
+      -- each time (the 200MB stress caught it)
+      e AS MATERIALIZED (SELECT d1 AS src, d2 AS dst FROM p UNION SELECT d2, d1 FROM p),
+      deg AS (SELECT src AS id, CAST(COUNT(*) AS BIGINT) AS degree FROM e GROUP BY src),
+      r0 AS (SELECT id, CAST(1000000 AS BIGINT) AS r FROM deg),
+      $rounds
+      SELECT deg.id, deg.degree, CAST(r3.r AS BIGINT) AS rank
+      FROM deg JOIN r3 ON r3.id = deg.id ORDER BY deg.id"""
+    })
+
+  /** N-gram novelty (`TextAnalysis.noveltyScore`): per doc, the fraction
+    * of its distinct 3-grams appearing in no other document. Oracle
+    * counts the complement (grams with df ≥ 2 — the small set) so the
+    * allocator never holds a corpus-wide window sort. */
+  val q134_novelty: Q = Q(
+    (s, d) => TextAnalysis.noveltyScore(docsRebalanced(s, d), n = 3)
+      .orderBy("doc_id"),
+    Some(s"""WITH dg AS (SELECT doc_id, unnest(list_distinct(${duckGrams(3)})) AS gram
+        FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents)),
+      dup AS (SELECT gram FROM (SELECT gram, COUNT(*) AS c FROM dg GROUP BY gram) WHERE c >= 2),
+      sh AS (SELECT dg.doc_id, CAST(COUNT(*) AS BIGINT) AS n_shared
+             FROM dg JOIN dup USING (gram) GROUP BY dg.doc_id),
+      tot AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_grams FROM dg GROUP BY doc_id)
+      SELECT t.doc_id, t.n_grams,
+        t.n_grams - COALESCE(s.n_shared, 0) AS n_novel,
+        CAST(t.n_grams - COALESCE(s.n_shared, 0) AS DOUBLE) / t.n_grams AS novelty
+      FROM tot t LEFT JOIN sh s ON s.doc_id = t.doc_id ORDER BY t.doc_id"""))
+
   /** The q47/q48 gridded swath: tiny after the groupBy (<=10k rows at any
     * SF), so the driver-side omerc fit persists it once and every fit
     * action plus the final bucket pass reads the cache — lineitem is
@@ -3891,5 +4029,11 @@ object Queries {
     "q125_mad" -> q125_mad,
     "q126_fk_audit" -> q126_fk_audit,
     "q127_dedup_eval" -> q127_dedup_eval,
-    "q128_deciles" -> q128_deciles)
+    "q128_deciles" -> q128_deciles,
+    "q129_ohlc" -> q129_ohlc,
+    "q130_twap" -> q130_twap,
+    "q131_rolling_median" -> q131_rolling_median,
+    "q132_transitions" -> q132_transitions,
+    "q133_pagerank" -> q133_pagerank,
+    "q134_novelty" -> q134_novelty)
 }

@@ -1,0 +1,68 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.Row
+
+/** Hand-computed fixtures for the event-rollup family: OHLC bars, TWAP,
+  * exact rolling median, and the session-gap transition matrix. */
+class EventRollupSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("ohlcBars: open/close by (ts, id), high/low/count/sum per bar") {
+    val e = Seq(
+      // series "a", bar 0 (interval 100): ts ties broken by id
+      (1L, "a", 10L, 5.0),
+      (2L, "a", 10L, 7.0),  // same ts as id 1: open stays id 1's value
+      (3L, "a", 90L, 2.0),  // close of bar 0
+      // series "a", bar 1
+      (4L, "a", 150L, 9.0),
+      // series "b", bar 0
+      (5L, "b", 40L, 4.0)
+    ).toDF("event_id", "event_type", "tus", "value")
+    val out = Temporal.ohlcBars(e, interval = 100L)
+      .orderBy("event_type", "bar_ts").collect()
+    assert(out.toSeq == Seq(
+      Row("a", 0L, 5.0, 7.0, 2.0, 2.0, 3L, 14.0),
+      Row("a", 100L, 9.0, 9.0, 9.0, 9.0, 1L, 9.0),
+      Row("b", 0L, 4.0, 4.0, 4.0, 4.0, 1L, 4.0)))
+  }
+
+  test("twap: duration-weighted, last event weightless, null on zero span") {
+    val e = Seq(
+      (1L, 10L, 0L, 1.0),
+      (2L, 10L, 10L, 3.0),
+      (3L, 10L, 30L, 2.0),  // no duration (last)
+      (4L, 20L, 99L, 8.0)   // single event: span 0 -> null twap
+    ).toDF("event_id", "user_id", "tus", "value")
+    val out = Temporal.twap(e).orderBy("user_id").collect()
+    // user 10: (1.0*10 + 3.0*20) / 30 = 7/3
+    assert(out(0) == Row(10L, 3L, 30L, 7.0 / 3.0))
+    assert(out(1) == Row(20L, 1L, 0L, null))
+  }
+
+  test("rollingMedian: exact over the trailing k-frame") {
+    val e = (1 to 5).map(i => (i.toLong, 1L, i * 10L, i.toDouble))
+      .toDF("event_id", "user_id", "tus", "value")
+    val out = Temporal.rollingMedian(e, k = 3).orderBy("event_id").collect()
+    val med = out.map(r => (r.getLong(0), r.getLong(4), r.getDouble(5)))
+    assert(med.toSeq == Seq((1L, 1L, 1.0), (2L, 2L, 1.5),
+      (3L, 3L, 2.0), (4L, 3L, 3.0), (5L, 3L, 4.0)))
+  }
+
+  test("transitionMatrix: counts within gap, row-normalized") {
+    val e = Seq(
+      (1L, 1L, 0L, "A"),
+      (2L, 1L, 10L, "B"),    // A->B (gap 10)
+      (3L, 1L, 1000L, "C"),  // B->C exceeds gap 100: dropped
+      (4L, 1L, 1050L, "A"),  // C->A (gap 50)
+      (5L, 2L, 0L, "A"),
+      (6L, 2L, 20L, "C")     // A->C (gap 20)
+    ).toDF("event_id", "user_id", "tus", "event_type")
+    val out = Temporal.transitionMatrix(e, gap = 100L)
+      .orderBy("from_type", "to_type").collect()
+    assert(out.toSeq == Seq(
+      Row("A", "B", 1L, 2L, 0.5),
+      Row("A", "C", 1L, 2L, 0.5),
+      Row("C", "A", 1L, 1L, 1.0)))
+  }
+}

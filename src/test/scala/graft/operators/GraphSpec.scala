@@ -1,0 +1,60 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.Row
+
+/** `Graph.pageRankInt` against the hand-run integer recurrence, plus the
+  * determinism-under-partitioning property the integer formulation
+  * guarantees (associative integer sums — no FP order sensitivity). */
+class GraphSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def star = Seq((1L, 2L), (1L, 3L)).toDF("d1", "d2")
+
+  test("pageRankInt reproduces the hand-computed integer recurrence") {
+    // star 1-{2,3}: deg(1)=2, deg(2)=deg(3)=1, all start at 1_000_000.
+    // r1: 1 -> 150000+85%*(1M+1M)=1850000; 2,3 -> 150000+85%*500000=575000
+    // r2: 1 -> 150000+85%*1150000=1127500; 2,3 -> 150000+85%*925000=936250
+    // r3: 1 -> 150000+(85*1872500)//100=1741625
+    //     2,3 -> 150000+(85*563750)//100=629187  (floor of .5)
+    val out = Graph.pageRankInt(star, iters = 3).orderBy("id").collect()
+    assert(out.toSeq == Seq(
+      Row(1L, 2L, 1741625L),
+      Row(2L, 1L, 629187L),
+      Row(3L, 1L, 629187L)))
+  }
+
+  test("regular graphs sit at the fixed point") {
+    // triangle: all degrees 2, perfectly symmetric -> rank stays 1_000_000
+    val tri = Seq((1L, 2L), (2L, 3L), (1L, 3L)).toDF("d1", "d2")
+    val out = Graph.pageRankInt(tri, iters = 4).collect()
+    assert(out.forall(_.getLong(2) == 1000000L))
+  }
+
+  test("bit-identical under repartitioning (integer associativity)") {
+    val edges = spark.range(300).selectExpr("id AS d1", "(id * 7) % 300 AS d2")
+      .filter("d1 <> d2")
+    val a = Graph.pageRankInt(edges, iters = 3).orderBy("id").collect()
+    val b = Graph.pageRankInt(edges.repartition(13), iters = 3).orderBy("id").collect()
+    assert(a.toSeq == b.toSeq)
+  }
+
+  test("noveltyScore: df=1 fraction over distinct per-doc grams") {
+    val docs = Seq(
+      (1L, "a b c d"),   // grams {a b c, b c d}
+      (2L, "a b c x"),   // grams {a b c, b c x}
+      (3L, "z z z z z")  // distinct grams {z z z}
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.noveltyScore(docs, n = 3).orderBy("doc_id").collect()
+    assert(out.toSeq == Seq(
+      Row(1L, 2L, 1L, 0.5),
+      Row(2L, 2L, 1L, 0.5),
+      Row(3L, 1L, 1L, 1.0)))
+  }
+
+  test("noveltyScore drops docs shorter than n words") {
+    val docs = Seq((1L, "a b"), (2L, "a b c")).toDF("doc_id", "text")
+    val out = TextAnalysis.noveltyScore(docs, n = 3)
+    assert(out.collect().map(_.getLong(0)).toSeq == Seq(2L))
+  }
+}
