@@ -39,6 +39,32 @@ object StreamingOps {
       .withColumn("avg_v", col("sum_v") / col("n"))
   }
 
+  /** Streaming OHLC bars — the stream twin of `Temporal.ohlcBars`:
+    * tumbling event-time windows per series, open/close via (ts, id)-
+    * struct `min_by`/`max_by`. These are DECLARATIVE aggregates, so
+    * partial merges across micro-batches are order-independent and every
+    * emitted bar equals the batch bar bit-for-bit (OhlcStreamSpec);
+    * volume sums ride decimal. Watermark bounds state to the open
+    * (window, series) rows. */
+  def ohlcStream(
+      stream: DataFrame,
+      windowDuration: String = "6 hours",
+      watermark: String = "12 hours",
+      seriesCol: String = "event_type",
+      valCol: String = "value",
+      idCol: String = "event_id"): DataFrame =
+    stream
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), windowDuration), col(seriesCol))
+      .agg(
+        expr(s"min_by($valCol, struct(ts, $idCol))").as("open"),
+        max(col(valCol)).as("high"),
+        min(col(valCol)).as("low"),
+        expr(s"max_by($valCol, struct(ts, $idCol))").as("close"),
+        count(lit(1)).as("n_events"),
+        sum(col(valCol).cast(org.apache.spark.sql.types.DecimalType(18, 2)))
+          .cast("double").as("sum_v"))
+
   /** Streaming event-type counts (events-table shape): tumbling windows. */
   def eventCounts(
       stream: DataFrame,

@@ -33,7 +33,8 @@ object ScaleBench {
       "q70_tfidf_terms", "q75_bm25", "q76_dsir_weights", "q80_curated_shards",
       "q81_bm25_batch", "q87_top_fraction", "q88_domain_cap",
       "q106_source_overlap", "q107_decay_features",
-      "q108_semantic_decontaminate", "q109_containment")
+      "q108_semantic_decontaminate", "q109_containment",
+      "q131_rolling_median", "q133_pagerank", "q134_novelty")
 
   def main(args: Array[String]): Unit = {
     val base = args.headOption.getOrElse("/root/testdata/sf0.1")
