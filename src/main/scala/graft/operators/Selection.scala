@@ -627,4 +627,82 @@ object Selection {
     docs.withColumn("fp", md5Long(col(textCol)))
       .withColumn("split", split)
   }
+
+  // ==================================================== Poisson bootstrap
+
+  /** Poisson(1) CDF thresholds as SHORT DECIMAL LITERALS (9 dp) — the
+    * operator's spec, shared verbatim with the SQL oracle so the inverse-
+    * CDF draw is the identical CASE cascade on every engine. Rows beyond
+    * the last threshold get weight `PoissonCdf.size` (P ≈ 8e-5). */
+  private[graft] val PoissonCdf: Seq[String] = Seq(
+    "0.367879441", "0.735758882", "0.919698603", "0.981011843",
+    "0.996340153", "0.999405815", "0.999916759")
+
+  /** Poisson-bootstrap replica means of an integer-valued metric — the
+    * distributed bootstrap (Chamandy et al. 2012, "Estimating uncertainty
+    * for massive data streams"): resampling n-out-of-n is infeasible at
+    * scale, but each row can draw an independent Poisson(1) multiplicity
+    * per replica, giving B resampled datasets in ONE pass with no data
+    * movement. The draw is the library's mantissa-exact md5 uniform on
+    * (id, replica), pushed through the [[PoissonCdf]] CASE cascade —
+    * fully deterministic and engine-portable.
+    *
+    * Exactness: weights and values are integers; Σw·x rides DECIMAL(38);
+    * each replica mean is ONE decimal→double cast + ONE division.
+    *
+    * 100 TB design: a B-way explode (bounded fan-out) into a B-group
+    * hash aggregate with map-side combine — shuffle volume is B rows per
+    * task, independent of input size. */
+  def bootstrapMeans(
+      rows: DataFrame,
+      b: Int = 16,
+      valCol: Column,
+      idCol: String = "doc_id"): DataFrame = {
+    require(b >= 2 && b <= 64, "b must be in [2, 64]")
+    val mantissa = 4503599627370496L // 2^52
+    val rep = rows.select(col(idCol), valCol.cast("long").as("_x"),
+      explode(sequence(lit(0), lit(b - 1))).as("replica"))
+    val u = (md5Long(concat(col(idCol).cast("string"), lit("#"),
+        col("replica").cast("string"))) % mantissa + lit(1L)).cast("double") /
+      lit(mantissa + 1L).cast("double")
+    val w = PoissonCdf.zipWithIndex.foldRight(lit(PoissonCdf.size.toLong): Column) {
+      case ((t, i), rest) => when(u < expr(t), lit(i.toLong)).otherwise(rest)
+    }
+    rep.withColumn("_w", w)
+      .groupBy(col("replica"))
+      .agg(
+        sum(col("_w")).as("n_draws"),
+        sum((col("_w") * col("_x"))
+          .cast(org.apache.spark.sql.types.DecimalType(38, 0))).as("_wx"))
+      .withColumn("boot_mean", col("_wx").cast("double") / col("n_draws"))
+      .select(col("replica").cast("long").as("replica"), col("n_draws"), col("boot_mean"))
+  }
+
+  /** One-row bootstrap summary: the replica means pivot into FIXED
+    * textual order (no order-nondeterministic float sum), then
+    * m̄ = Σm/B, se = sqrt(Σ(m−m̄)²/(B−1)) (IEEE sqrt is correctly
+    * rounded — engine-exact without quantization), and the normal 95%
+    * interval m̄ ± 1.96·se. */
+  def bootstrapSummary(
+      rows: DataFrame,
+      b: Int = 16,
+      valCol: Column,
+      idCol: String = "doc_id"): DataFrame = {
+    val means = bootstrapMeans(rows, b, valCol, idCol)
+    val pivots = (0 until b).map(i =>
+      max(when(col("replica") === i, col("boot_mean"))).as(s"_m$i"))
+    val one = means.agg(pivots.head, pivots.tail: _*)
+    val mbar = (0 until b).map(i => col(s"_m$i")).reduceLeft(_ + _) / lit(b.toDouble)
+    val dev2 = (0 until b).map(i => (col(s"_m$i") - col("_mbar")) * (col(s"_m$i") - col("_mbar")))
+      .reduceLeft(_ + _)
+    one
+      .withColumn("_mbar", mbar)
+      .withColumn("boot_se", sqrt(dev2 / lit((b - 1).toDouble)))
+      .select(
+        lit(b.toLong).as("n_replicas"),
+        col("_mbar").as("boot_mean"),
+        col("boot_se"),
+        (col("_mbar") - lit(1.96) * col("boot_se")).as("ci_lo"),
+        (col("_mbar") + lit(1.96) * col("boot_se")).as("ci_hi"))
+  }
 }

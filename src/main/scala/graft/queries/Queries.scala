@@ -3342,6 +3342,38 @@ object Queries {
         CAST(t.n_grams - COALESCE(s.n_shared, 0) AS DOUBLE) / t.n_grams AS novelty
       FROM tot t LEFT JOIN sh s ON s.doc_id = t.doc_id ORDER BY t.doc_id"""))
 
+  /** Poisson-bootstrap 95% CI on mean doc length
+    * (`Selection.bootstrapSummary`): 16 deterministic Poisson(1) replicas
+    * in ONE pass (md5 uniforms + the shared CDF-literal cascade), replica
+    * means decimal-exact, summary over a FIXED-order pivot (no float sum
+    * ambiguity; IEEE sqrt is correctly rounded on both engines). */
+  val q135_bootstrap: Q = Q(
+    (s, d) => Selection.bootstrapSummary(
+      table(s, d, "documents"), b = 16, valCol = col("n_chars")),
+    Some {
+      val caseW = Selection.PoissonCdf.zipWithIndex
+        .map { case (t, i) => s"WHEN u < $t THEN $i" }.mkString(" ")
+      val ms = (0 until 16)
+        .map(i => s"MAX(CASE WHEN replica = $i THEN boot_mean END) AS m$i").mkString(", ")
+      val msum = (0 until 16).map(i => s"m$i").mkString(" + ")
+      val dev2 = (0 until 16).map(i => s"(m$i - mbar) * (m$i - mbar)").mkString(" + ")
+      s"""WITH r AS (SELECT doc_id, n_chars, unnest(range(0, 16)) AS replica FROM documents),
+      u0 AS (SELECT doc_id, n_chars, replica,
+              CAST((CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '#' || CAST(replica AS VARCHAR)), 1, 15) AS BIGINT)
+                % 4503599627370496) + 1 AS DOUBLE) / CAST(4503599627370497 AS DOUBLE) AS u
+            FROM r),
+      wt AS (SELECT n_chars, replica, CASE $caseW ELSE ${Selection.PoissonCdf.size} END AS w FROM u0),
+      m AS (SELECT replica, CAST(SUM(w) AS BIGINT) AS n_draws,
+              CAST(SUM(CAST(w * n_chars AS HUGEINT)) AS DOUBLE) / CAST(SUM(w) AS BIGINT) AS boot_mean
+            FROM wt GROUP BY replica),
+      p AS (SELECT $ms FROM m),
+      sb AS (SELECT *, ($msum) / 16.0 AS mbar FROM p),
+      tb AS (SELECT mbar, sqrt(($dev2) / 15.0) AS boot_se FROM sb)
+      SELECT CAST(16 AS BIGINT) AS n_replicas, mbar AS boot_mean, boot_se,
+        mbar - 1.96 * boot_se AS ci_lo, mbar + 1.96 * boot_se AS ci_hi
+      FROM tb"""
+    })
+
   /** The q47/q48 gridded swath: tiny after the groupBy (<=10k rows at any
     * SF), so the driver-side omerc fit persists it once and every fit
     * action plus the final bucket pass reads the cache — lineitem is
@@ -4035,5 +4067,6 @@ object Queries {
     "q131_rolling_median" -> q131_rolling_median,
     "q132_transitions" -> q132_transitions,
     "q133_pagerank" -> q133_pagerank,
-    "q134_novelty" -> q134_novelty)
+    "q134_novelty" -> q134_novelty,
+    "q135_bootstrap" -> q135_bootstrap)
 }
