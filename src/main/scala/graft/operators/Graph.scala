@@ -58,4 +58,57 @@ object Graph {
         .select(col("id"), col("degree"), col("rank"))
     }
   }
+
+  /** Exact triangle counts + local clustering coefficient per vertex —
+    * the standard cohesion diagnostic over a similarity graph (a high-
+    * clustering near-dup neighbourhood is template boilerplate; a low-
+    * clustering hub is a quote/aggregator page).
+    *
+    * Algorithm: degree orientation (Chiba–Nishizeki / the MapReduce
+    * formulation of Suri & Vassilvitskii 2011): each undirected edge is
+    * directed from its (degree, id)-smaller endpoint, every triangle
+    * {a≺b≺c} becomes exactly one wedge a→{b,c} closed by b→c, and the
+    * wedge fan-out per vertex is bounded by O(√m) — the shape that
+    * survives power-law graphs at scale, where the naive neighbour join
+    * explodes on hubs. Counts are exact integers; the clustering
+    * coefficient 2t/(d(d−1)) is ONE long/long division.
+    *
+    * @param pairs undirected edges as (d1, d2)
+    * @return (id, degree, n_tri, clustering) for every vertex incident
+    *         to an edge, clustering null when degree < 2. */
+  def triangleStats(pairs: DataFrame): DataFrame = {
+    val e0 = pairs
+      .select(least(col("d1"), col("d2")).as("a"), greatest(col("d1"), col("d2")).as("b"))
+      .filter(col("a") =!= col("b")).distinct()
+    val deg = e0
+      .select(explode(array(col("a"), col("b"))).as("id"))
+      .groupBy("id").agg(count(lit(1)).as("degree"))
+    // orient each edge from its (degree, id)-smaller endpoint; carry the
+    // destination's order key for the wedge-neighbour comparison below
+    val ed = e0
+      .join(deg.select(col("id").as("a"), col("degree").as("_da")), "a")
+      .join(deg.select(col("id").as("b"), col("degree").as("_db")), "b")
+    val orient = ed.select(
+      when(col("_da") < col("_db") || (col("_da") === col("_db") && col("a") < col("b")),
+        struct(col("a").as("src"), col("b").as("dst"), col("_db").as("dd")))
+        .otherwise(struct(col("b").as("src"), col("a").as("dst"), col("_da").as("dd")))
+        .as("_o"))
+      .select(col("_o.src").as("src"), col("_o.dst").as("dst"), col("_o.dd").as("dd"))
+    val x = orient.as("x"); val y = orient.as("y"); val z = orient.as("z")
+    val wedges = x.join(y,
+      col("x.src") === col("y.src") &&
+        (col("x.dd") < col("y.dd") ||
+          (col("x.dd") === col("y.dd") && col("x.dst") < col("y.dst"))))
+      .select(col("x.src").as("ta"), col("x.dst").as("tb"), col("y.dst").as("tc"))
+    val tris = wedges.join(z,
+        col("tb") === col("z.src") && col("tc") === col("z.dst"))
+      .select(explode(array(col("ta"), col("tb"), col("tc"))).as("id"))
+      .groupBy("id").agg(count(lit(1)).as("n_tri"))
+    deg.join(tris, Seq("id"), "left")
+      .withColumn("n_tri", coalesce(col("n_tri"), lit(0L)))
+      .withColumn("clustering",
+        when(col("degree") >= 2,
+          (col("n_tri") * 2).cast("double") / (col("degree") * (col("degree") - 1))))
+      .select("id", "degree", "n_tri", "clustering")
+  }
 }

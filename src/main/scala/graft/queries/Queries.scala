@@ -3342,6 +3342,40 @@ object Queries {
         CAST(t.n_grams - COALESCE(s.n_shared, 0) AS DOUBLE) / t.n_grams AS novelty
       FROM tot t LEFT JOIN sh s ON s.doc_id = t.doc_id ORDER BY t.doc_id"""))
 
+  /** Degree-oriented exact triangle counts + local clustering coefficient
+    * (`Graph.triangleStats`) over the q25 near-dup graph — wedge fan-out
+    * bounded O(√m) by the orientation, counts exact, clustering one
+    * long/long division. */
+  val q136_triangles: Q = Q(
+    (s, d) => Graph.triangleStats(Dedup.minhashLsh(docsRebalanced(s, d)))
+      .orderBy("id"),
+    Some(s"""WITH $minhashPairCtes,
+      p AS (SELECT d1, d2 FROM v
+            WHERE CAST(i AS DOUBLE) / CAST(sz1 + sz2 - i AS DOUBLE) >= 0.4),
+      e0 AS MATERIALIZED (SELECT DISTINCT least(d1, d2) AS a, greatest(d1, d2) AS b
+            FROM p WHERE d1 <> d2),
+      deg AS MATERIALIZED (SELECT id, CAST(COUNT(*) AS BIGINT) AS degree
+            FROM (SELECT a AS id FROM e0 UNION ALL SELECT b FROM e0) GROUP BY id),
+      o AS MATERIALIZED (SELECT
+              CASE WHEN da.degree < db.degree OR (da.degree = db.degree AND a < b)
+                THEN a ELSE b END AS src,
+              CASE WHEN da.degree < db.degree OR (da.degree = db.degree AND a < b)
+                THEN b ELSE a END AS dst,
+              CASE WHEN da.degree < db.degree OR (da.degree = db.degree AND a < b)
+                THEN db.degree ELSE da.degree END AS dd
+            FROM e0 JOIN deg da ON da.id = e0.a JOIN deg db ON db.id = e0.b),
+      w AS (SELECT x.src AS ta, x.dst AS tb, y.dst AS tc FROM o x JOIN o y
+            ON x.src = y.src AND (x.dd < y.dd OR (x.dd = y.dd AND x.dst < y.dst))),
+      t AS (SELECT id, CAST(COUNT(*) AS BIGINT) AS n_tri FROM (
+              SELECT unnest([ta, tb, tc]) AS id
+              FROM w JOIN o z ON z.src = w.tb AND z.dst = w.tc)
+            GROUP BY id)
+      SELECT deg.id, deg.degree, COALESCE(t.n_tri, 0) AS n_tri,
+        CASE WHEN deg.degree >= 2
+          THEN CAST(COALESCE(t.n_tri, 0) * 2 AS DOUBLE) / (deg.degree * (deg.degree - 1)) END
+          AS clustering
+      FROM deg LEFT JOIN t ON t.id = deg.id ORDER BY deg.id"""))
+
   /** Poisson-bootstrap 95% CI on mean doc length
     * (`Selection.bootstrapSummary`): 16 deterministic Poisson(1) replicas
     * in ONE pass (md5 uniforms + the shared CDF-literal cascade), replica
@@ -4068,5 +4102,6 @@ object Queries {
     "q132_transitions" -> q132_transitions,
     "q133_pagerank" -> q133_pagerank,
     "q134_novelty" -> q134_novelty,
-    "q135_bootstrap" -> q135_bootstrap)
+    "q135_bootstrap" -> q135_bootstrap,
+    "q136_triangles" -> q136_triangles)
 }

@@ -39,6 +39,34 @@ class GraphSpec extends SparkSpec {
     assert(a.toSeq == b.toSeq)
   }
 
+  test("triangleStats: clique, path, and brute-force equivalence") {
+    // 4-clique {1,2,3,4}: every vertex in 3 triangles, clustering 1.0
+    val clique = (for (i <- 1 to 4; j <- (i + 1) to 4) yield (i.toLong, j.toLong))
+      .toDF("d1", "d2")
+    val c = Graph.triangleStats(clique).orderBy("id").collect()
+    assert(c.forall(r => r.getLong(1) == 3L && r.getLong(2) == 3L && r.getDouble(3) == 1.0))
+    // path 10-11-12: no triangles; middle clustering 0.0, ends null (deg 1)
+    val path = Seq((10L, 11L), (11L, 12L)).toDF("d1", "d2")
+    val p = Graph.triangleStats(path).orderBy("id").collect()
+    assert(p.map(_.getLong(2)).toSeq == Seq(0L, 0L, 0L))
+    assert(p(0).isNullAt(3) && p(1).getDouble(3) == 0.0 && p(2).isNullAt(3))
+  }
+
+  test("triangleStats matches brute-force triple enumeration") {
+    val n = 40
+    val edges = (for (i <- 0 until n; j <- (i + 1) until n
+        if (i * 31 + j * 17) % 5 == 0) yield (i.toLong, j.toLong))
+    val adj = edges.toSet
+    def connected(a: Long, b: Long) = adj.contains((a min b, a max b))
+    val brute = (for {
+      a <- 0L until n.toLong; b <- (a + 1) until n.toLong; c <- (b + 1) until n.toLong
+      if connected(a, b) && connected(b, c) && connected(a, c)
+    } yield Seq(a, b, c)).flatten.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val got = Graph.triangleStats(edges.toDF("d1", "d2")).collect()
+      .map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(got.filter(_._2 > 0) == brute.filter(_._2 > 0))
+  }
+
   test("noveltyScore: df=1 fraction over distinct per-doc grams") {
     val docs = Seq(
       (1L, "a b c d"),   // grams {a b c, b c d}
