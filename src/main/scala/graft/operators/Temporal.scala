@@ -367,6 +367,42 @@ object Temporal {
         col("_n").cast("long").as("n_window"), col("roll_med"))
   }
 
+  /** Rolling active-entity counts: for each observed period, the number
+    * of distinct keys active IN the period (DAU-style) and in the
+    * trailing `windowPeriods`-period window ending there (WAU/MAU-style),
+    * plus their ratio (stickiness) — the standard engagement rollup.
+    *
+    * Shape: ONE distinct over (key, period) — the only input-sized
+    * shuffle — then a bounded explode of each activity row over the
+    * `windowPeriods` report periods it can serve, and a count-distinct
+    * per report period (period count is calendar-bounded, so the final
+    * aggregate is tiny). Never a self-join of the event log against
+    * itself, never per-row window state over raw events. Counts exact;
+    * stickiness one long/long division. Report periods are restricted to
+    * periods that actually occur (no trailing phantom windows). */
+  def rollingActive(
+      events: DataFrame,
+      period: Long,
+      windowPeriods: Int = 7,
+      keyCol: String = "user_id",
+      tsCol: String = "tus"): DataFrame = {
+    require(period > 0 && windowPeriods >= 1, "bad window")
+    val du = events
+      .select(col(keyCol), expr(s"$tsCol div ${period}L").as("_day"))
+      .distinct()
+    val days = du.select(col("_day").as("report_period")).distinct()
+    du.withColumn("report_period",
+        explode(sequence(col("_day"), col("_day") + (windowPeriods - 1))))
+      .join(days, "report_period") // keep only observed periods
+      .groupBy("report_period")
+      .agg(
+        count_distinct(when(col("_day") === col("report_period"), col(keyCol)))
+          .as("active_now"),
+        count_distinct(col(keyCol)).as("active_window"))
+      .withColumn("stickiness",
+        col("active_now").cast("double") / col("active_window"))
+  }
+
   /** Markov transition matrix of event types within sessions: counts of
     * (from_type → to_type) steps between CONSECUTIVE events of a key no
     * further than `gap` apart, plus the row-normalized transition

@@ -3376,6 +3376,45 @@ object Queries {
           AS clustering
       FROM deg LEFT JOIN t ON t.id = deg.id ORDER BY deg.id"""))
 
+  /** Fuzzy record linkage (`Dedup.fuzzyPairs`): blocked candidates scored
+    * by exact Levenshtein over a 64-char prefix (codegen'd built-in on
+    * both engines; integer distances). English docs, length blocking —
+    * the character-order-aware companion to q26's token Jaccard. */
+  val q137_fuzzy: Q = Q(
+    (s, d) => Dedup.fuzzyPairs(
+        table(s, d, "documents").filter(col("lang") === "en"),
+        Seq("n_chars"), maxDist = 46)
+      .orderBy("d1", "d2"),
+    Some("""SELECT a.doc_id AS d1, b.doc_id AS d2,
+        CAST(levenshtein(substr(a.text, 1, 64), substr(b.text, 1, 64)) AS BIGINT) AS dist
+      FROM documents a JOIN documents b
+        ON a.n_chars = b.n_chars AND a.doc_id < b.doc_id
+      WHERE a.lang = 'en' AND b.lang = 'en'
+        AND levenshtein(substr(a.text, 1, 64), substr(b.text, 1, 64)) <= 46
+      ORDER BY d1, d2"""))
+
+  /** Rolling DAU/WAU engagement (`Temporal.rollingActive`): per observed
+    * day, distinct users active that day and in the trailing 7-day
+    * window, plus stickiness — one (user, day) distinct, a bounded
+    * 7-way explode, and a tiny per-day aggregate. */
+  val q138_rolling_active: Q = Q(
+    (s, d) => Temporal.rollingActive(
+        eventsNs(s, d).withColumn("tus", expr("ts div 1000")),
+        period = 86400000000L, windowPeriods = 7)
+      .orderBy("report_period"),
+    Some("""WITH du AS (SELECT DISTINCT user_id, epoch_us(ts) // 86400000000 AS day FROM events),
+      days AS (SELECT DISTINCT day AS report_period FROM du),
+      r AS (SELECT user_id, day, day + unnest(range(0, 7)) AS report_period FROM du),
+      g AS (SELECT r.report_period,
+              COUNT(DISTINCT CASE WHEN r.day = r.report_period THEN r.user_id END) AS active_now,
+              COUNT(DISTINCT r.user_id) AS active_window
+            FROM r JOIN days ON days.report_period = r.report_period
+            GROUP BY r.report_period)
+      SELECT report_period, CAST(active_now AS BIGINT) AS active_now,
+        CAST(active_window AS BIGINT) AS active_window,
+        CAST(active_now AS DOUBLE) / CAST(active_window AS BIGINT) AS stickiness
+      FROM g ORDER BY report_period"""))
+
   /** Poisson-bootstrap 95% CI on mean doc length
     * (`Selection.bootstrapSummary`): 16 deterministic Poisson(1) replicas
     * in ONE pass (md5 uniforms + the shared CDF-literal cascade), replica
@@ -4103,5 +4142,7 @@ object Queries {
     "q133_pagerank" -> q133_pagerank,
     "q134_novelty" -> q134_novelty,
     "q135_bootstrap" -> q135_bootstrap,
-    "q136_triangles" -> q136_triangles)
+    "q136_triangles" -> q136_triangles,
+    "q137_fuzzy" -> q137_fuzzy,
+    "q138_rolling_active" -> q138_rolling_active)
 }

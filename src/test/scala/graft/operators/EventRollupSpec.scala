@@ -49,6 +49,37 @@ class EventRollupSpec extends SparkSpec {
       (3L, 3L, 2.0), (4L, 3L, 3.0), (5L, 3L, 4.0)))
   }
 
+  test("rollingActive: DAU/WAU over observed periods only") {
+    // period 10, window 3; users 1,2 on day 0; user 1 on day 2; user 3 on day 5
+    val e = Seq(
+      (1L, 1L, 5L), (2L, 2L, 7L),   // day 0
+      (3L, 1L, 25L),                // day 2
+      (4L, 3L, 55L)                 // day 5
+    ).toDF("event_id", "user_id", "tus")
+    val out = Temporal.rollingActive(e, period = 10L, windowPeriods = 3)
+      .orderBy("report_period").collect()
+    // observed days: 0, 2, 5. day0: now {1,2} win {1,2}; day2: now {1},
+    // win {1,2} (day0 within 3-window) ∪ {1} = {1,2}; day5: now {3}, win {3}
+    assert(out.toSeq == Seq(
+      Row(0L, 2L, 2L, 1.0),
+      Row(2L, 1L, 2L, 0.5),
+      Row(5L, 1L, 1L, 1.0)))
+  }
+
+  test("fuzzyPairs: blocked Levenshtein with prefix cap") {
+    val docs = Seq(
+      (1L, "kitten xyz", 1),
+      (2L, "sitting xyz", 1),   // lev(kitten, sitting)=3 on 6-char prefix: lev("kitten","sittin")=2
+      (3L, "kitten xyz", 2)     // different block: never paired
+    ).toDF("doc_id", "text", "blk")
+    val out = Dedup.fuzzyPairs(docs, Seq("blk"), maxDist = 2, prefixLen = 6)
+      .orderBy("d1", "d2").collect()
+    assert(out.toSeq == Seq(Row(1L, 2L, 2L)))
+    // full-length distance exceeds the threshold
+    val strict = Dedup.fuzzyPairs(docs, Seq("blk"), maxDist = 2, prefixLen = 64)
+    assert(strict.count() == 0)
+  }
+
   test("transitionMatrix: counts within gap, row-normalized") {
     val e = Seq(
       (1L, 1L, 0L, "A"),
