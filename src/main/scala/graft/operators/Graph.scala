@@ -111,4 +111,28 @@ object Graph {
           (col("n_tri") * 2).cast("double") / (col("degree") * (col("degree") - 1))))
       .select("id", "degree", "n_tri", "clustering")
   }
+
+  /** Degree assortativity of an undirected graph: the Pearson correlation
+    * of endpoint degrees over every DIRECTED edge (Newman 2002) —
+    * positive r means similar-degree vertices link (a mesh of mutually
+    * similar docs), negative means hub-and-spoke (one template quoted by
+    * many one-off pages). Rides [[graft.operators.Selection.corrByGroup]]'s
+    * exact decimal cross-moments, so r is partition-order-independent.
+    * One edge-keyed join against the (tiny) degree table, one aggregate. */
+  def assortativity(pairs: DataFrame): DataFrame = {
+    val edges = pairs
+      .select(explode(array(
+        struct(col("d1").as("src"), col("d2").as("dst")),
+        struct(col("d2").as("src"), col("d1").as("dst")))).as("_e"))
+      .select(col("_e.src").as("src"), col("_e.dst").as("dst"))
+      .distinct()
+    val deg = edges.groupBy(col("src").as("id"))
+      .agg(count(lit(1)).as("degree"))
+    val ed = edges
+      .join(deg.select(col("id").as("src"), col("degree").as("_ds")), "src")
+      .join(deg.select(col("id").as("dst"), col("degree").as("_dd")), "dst")
+      .withColumn("_g", lit(0))
+    Selection.corrByGroup(ed, "_g", col("_ds"), col("_dd"))
+      .select(col("n").as("n_directed_edges"), col("r").as("assortativity"))
+  }
 }

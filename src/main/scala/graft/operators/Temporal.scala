@@ -367,6 +367,41 @@ object Temporal {
         col("_n").cast("long").as("n_window"), col("roll_med"))
   }
 
+  /** Per-key inter-arrival statistics + burstiness — the bot/automation
+    * signature: human activity is bursty (B → 1), scripted traffic is
+    * periodic (B → −1), Poisson traffic sits at 0
+    * (Goh & Barabási 2008, B = (σ−µ)/(σ+µ)).
+    *
+    * Gaps are exact integer µs from one lag window; moments ride wide
+    * DECIMAL, so mean (one division), variance ((nΣg²−(Σg)²)/n² — exact
+    * integer numerator), σ (IEEE-exact sqrt) and B are engine-
+    * bit-identical. One keyed shuffle, O(1) state per row. */
+  def interArrival(
+      events: DataFrame,
+      keyCol: String = "user_id",
+      tsCol: String = "tus",
+      idCol: String = "event_id"): DataFrame = {
+    val dec = DecimalType(38, 0)
+    val w = Window.partitionBy(keyCol).orderBy(col(tsCol), col(idCol))
+    val gaps = events
+      .withColumn("_gap", col(tsCol) - lag(col(tsCol), 1).over(w))
+      .filter(col("_gap").isNotNull)
+    gaps.groupBy(col(keyCol))
+      .agg(
+        count(lit(1)).as("n_gaps"),
+        sum(col("_gap").cast(dec)).as("_sg"),
+        sum(col("_gap").cast(dec) * col("_gap")).as("_sgg"))
+      .withColumn("mean_gap", col("_sg").cast("double") / col("n_gaps"))
+      .withColumn("_var",
+        (col("n_gaps").cast(dec) * col("_sgg") - col("_sg") * col("_sg")).cast("double") /
+          (col("n_gaps").cast("double") * col("n_gaps").cast("double")))
+      .withColumn("sd_gap", sqrt(col("_var")))
+      .withColumn("burstiness",
+        when(col("n_gaps") >= 2 && (col("sd_gap") + col("mean_gap")) > 0,
+          (col("sd_gap") - col("mean_gap")) / (col("sd_gap") + col("mean_gap"))))
+      .select(col(keyCol), col("n_gaps"), col("mean_gap"), col("sd_gap"), col("burstiness"))
+  }
+
   /** Rolling active-entity counts: for each observed period, the number
     * of distinct keys active IN the period (DAU-style) and in the
     * trailing `windowPeriods`-period window ending there (WAU/MAU-style),

@@ -920,6 +920,49 @@ object TextAnalysis {
     * rule), then a per-doc aggregate. Two shuffles total, both on keys
     * that hash evenly (gram text, doc id); counts exact, the fraction one
     * long/long division. */
+  /** SQL fragment: `(run_count, Σ c·round(ln(c)·1e6))` fold pieces for
+    * [[charEntropy]] — micro-log integers so the per-doc entropy is a
+    * single exact-integer numerator over one division. */
+  private def lnMicroSql(c: String): String =
+    s"CAST(round(ln(CAST($c AS DOUBLE)) * 1e6) AS BIGINT)"
+
+  /** Per-document character-level Shannon entropy (nats) — the classic
+    * low-entropy filter for binary junk / repeated-char spam and
+    * high-entropy filter for encrypted/base64 blobs in pretraining
+    * pipelines.
+    *
+    * entropy = ln(n) − (1/n)·Σ c·ln(c) over the character histogram,
+    * computed as (n·lnµ(n) − Σ c·lnµ(c)) / (n·1e6) with lnµ = round(ln·1e6)
+    * — micro-log INTEGERS, so the numerator is exact and the whole value
+    * is one division (engine-bit-identical; the 1-ulp libm differences
+    * die in the micro rounding).
+    *
+    * Scale: entirely per-row — a char sort + run-length fold via
+    * higher-order functions, zero shuffles, streaming-safe. */
+  def charEntropy(
+      docs: DataFrame,
+      textCol: String = "text",
+      idCol: String = "doc_id"): DataFrame = {
+    val finishRun = s"IF(s.run = 0L, 0L, s.run * ${lnMicroSql("s.run")})"
+    val fold =
+      s"""aggregate(array_sort(split($textCol, '')),
+         named_struct('prev', CAST(NULL AS STRING), 'run', 0L, 'acc', 0L, 'uniq', 0L),
+         (s, x) -> IF(x <=> s.prev,
+           named_struct('prev', x, 'run', s.run + 1L, 'acc', s.acc, 'uniq', s.uniq),
+           named_struct('prev', x, 'run', 1L, 'acc', s.acc + $finishRun, 'uniq', s.uniq + 1L)),
+         s -> named_struct('acc', s.acc + $finishRun, 'uniq', s.uniq))"""
+    docs.select(
+      col(idCol),
+      length(col(textCol)).cast("long").as("n_chars_total"),
+      expr(fold).as("_f"))
+      .withColumn("n_unique_chars", col("_f.uniq"))
+      .withColumn("entropy",
+        when(col("n_chars_total") > 0,
+          (col("n_chars_total") * expr(lnMicroSql("n_chars_total")) - col("_f.acc"))
+            .cast("double") / (col("n_chars_total").cast("double") * 1e6)))
+      .select(idCol, "n_chars_total", "n_unique_chars", "entropy")
+  }
+
   def noveltyScore(
       docs: DataFrame,
       n: Int = 3,

@@ -3415,6 +3415,73 @@ object Queries {
         CAST(active_now AS DOUBLE) / CAST(active_window AS BIGINT) AS stickiness
       FROM g ORDER BY report_period"""))
 
+  /** Character-level Shannon entropy (`TextAnalysis.charEntropy`):
+    * micro-log integer numerator over one division — the low/high-entropy
+    * junk filters, zero-shuffle per-row. */
+  val q139_char_entropy: Q = Q(
+    (s, d) => TextAnalysis.charEntropy(docsRebalanced(s, d)).orderBy("doc_id"),
+    Some("""WITH c AS (SELECT doc_id, list_sort(string_split(text, '')) AS ch FROM documents),
+      h AS (SELECT doc_id, CAST(len(ch) AS BIGINT) AS n,
+              list_aggregate(ch, 'histogram') AS hist FROM c),
+      e AS (SELECT doc_id, n, CAST(len(map_keys(hist)) AS BIGINT) AS n_unique_chars,
+              list_sum(list_transform(map_values(hist),
+                c -> c * CAST(round(ln(CAST(c AS DOUBLE)) * 1e6) AS BIGINT))) AS s
+            FROM h)
+      SELECT doc_id, n AS n_chars_total, n_unique_chars,
+        CASE WHEN n > 0 THEN
+          CAST(n * CAST(round(ln(CAST(n AS DOUBLE)) * 1e6) AS BIGINT) - s AS DOUBLE)
+            / (CAST(n AS DOUBLE) * 1e6) END AS entropy
+      FROM e ORDER BY doc_id"""))
+
+  /** Degree assortativity (`Graph.assortativity`) of the q25 near-dup
+    * graph: Newman 2002 r over exact decimal cross-moments — mesh vs
+    * hub-and-spoke in one number. */
+  val q140_assortativity: Q = Q(
+    (s, d) => Graph.assortativity(Dedup.minhashLsh(docsRebalanced(s, d))),
+    Some(s"""WITH $minhashPairCtes,
+      p AS (SELECT d1, d2 FROM v
+            WHERE CAST(i AS DOUBLE) / CAST(sz1 + sz2 - i AS DOUBLE) >= 0.4),
+      e AS MATERIALIZED (SELECT d1 AS src, d2 AS dst FROM p UNION SELECT d2, d1 FROM p),
+      deg AS MATERIALIZED (SELECT src AS id, CAST(COUNT(*) AS BIGINT) AS degree FROM e GROUP BY src),
+      ed AS (SELECT da.degree AS ds, db.degree AS dd
+             FROM e JOIN deg da ON da.id = e.src JOIN deg db ON db.id = e.dst),
+      m AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+              SUM(CAST(ds AS HUGEINT)) AS sx, SUM(CAST(dd AS HUGEINT)) AS sy,
+              SUM(CAST(ds AS HUGEINT) * ds) AS sxx, SUM(CAST(dd AS HUGEINT) * dd) AS syy,
+              SUM(CAST(ds AS HUGEINT) * dd) AS sxy
+            FROM ed)
+      SELECT n AS n_directed_edges,
+        CASE WHEN (n * sxx - sx * sx) > 0 AND (n * syy - sy * sy) > 0
+          THEN ROUND(CAST(n * sxy - sx * sy AS DOUBLE)
+            / (sqrt(CAST(n * sxx - sx * sx AS DOUBLE)) * sqrt(CAST(n * syy - sy * sy AS DOUBLE))), 6)
+          END AS assortativity
+      FROM m"""))
+
+  /** Inter-arrival burstiness (`Temporal.interArrival`): per-user gap
+    * moments in wide decimal, B = (σ−µ)/(σ+µ) — the bot-vs-human
+    * signature (Goh & Barabási 2008), engine-bit-exact. */
+  val q141_interarrival: Q = Q(
+    (s, d) => Temporal.interArrival(
+        eventsNs(s, d).withColumn("tus", expr("ts div 1000")))
+      .orderBy("user_id"),
+    Some("""WITH e AS (SELECT event_id, user_id, epoch_us(ts) AS tus FROM events),
+      l AS (SELECT user_id,
+              tus - LAG(tus, 1) OVER (PARTITION BY user_id ORDER BY tus ASC, event_id ASC) AS gap
+            FROM e),
+      g AS (SELECT user_id, gap FROM l WHERE gap IS NOT NULL),
+      m AS (SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_gaps,
+              SUM(CAST(gap AS HUGEINT)) AS sg, SUM(CAST(gap AS HUGEINT) * gap) AS sgg
+            FROM g GROUP BY user_id),
+      f AS (SELECT user_id, n_gaps,
+              CAST(sg AS DOUBLE) / n_gaps AS mean_gap,
+              sqrt(CAST(n_gaps * sgg - sg * sg AS DOUBLE)
+                / (CAST(n_gaps AS DOUBLE) * CAST(n_gaps AS DOUBLE))) AS sd_gap
+            FROM m)
+      SELECT user_id, n_gaps, mean_gap, sd_gap,
+        CASE WHEN n_gaps >= 2 AND (sd_gap + mean_gap) > 0
+          THEN (sd_gap - mean_gap) / (sd_gap + mean_gap) END AS burstiness
+      FROM f ORDER BY user_id"""))
+
   /** Poisson-bootstrap 95% CI on mean doc length
     * (`Selection.bootstrapSummary`): 16 deterministic Poisson(1) replicas
     * in ONE pass (md5 uniforms + the shared CDF-literal cascade), replica
@@ -4144,5 +4211,8 @@ object Queries {
     "q135_bootstrap" -> q135_bootstrap,
     "q136_triangles" -> q136_triangles,
     "q137_fuzzy" -> q137_fuzzy,
-    "q138_rolling_active" -> q138_rolling_active)
+    "q138_rolling_active" -> q138_rolling_active,
+    "q139_char_entropy" -> q139_char_entropy,
+    "q140_assortativity" -> q140_assortativity,
+    "q141_interarrival" -> q141_interarrival)
 }

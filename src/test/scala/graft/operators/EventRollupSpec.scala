@@ -49,6 +49,19 @@ class EventRollupSpec extends SparkSpec {
       (3L, 3L, 2.0), (4L, 3L, 3.0), (5L, 3L, 4.0)))
   }
 
+  test("interArrival: periodic key hits B = -1, moments exact") {
+    val e = Seq(
+      (1L, 1L, 0L), (2L, 1L, 10L), (3L, 1L, 20L), (4L, 1L, 30L), // gaps 10,10,10
+      (5L, 2L, 0L), (6L, 2L, 1L), (7L, 2L, 100L),                // gaps 1, 99
+      (8L, 3L, 42L)                                              // no gaps -> absent
+    ).toDF("event_id", "user_id", "tus")
+    val out = Temporal.interArrival(e).orderBy("user_id").collect()
+    assert(out.length == 2)
+    assert(out(0) == Row(1L, 3L, 10.0, 0.0, -1.0))
+    // gaps 1,99: mean 50, var = (2·9802 − 10000)/4 = 2401, sd = 49 exactly
+    assert(out(1) == Row(2L, 2L, 50.0, 49.0, (49.0 - 50.0) / 99.0))
+  }
+
   test("rollingActive: DAU/WAU over observed periods only") {
     // period 10, window 3; users 1,2 on day 0; user 1 on day 2; user 3 on day 5
     val e = Seq(

@@ -67,6 +67,25 @@ class GraphSpec extends SparkSpec {
     assert(got.filter(_._2 > 0) == brute.filter(_._2 > 0))
   }
 
+  test("assortativity: star graph is exactly -1, regular graph undefined") {
+    // star 1-{2,3,4}: every directed edge pairs degree 3 with degree 1
+    val out = Graph.assortativity(Seq((1L, 2L), (1L, 3L), (1L, 4L)).toDF("d1", "d2")).head()
+    assert(out.getLong(0) == 6L && out.getDouble(1) == -1.0)
+    // triangle: all degrees equal -> zero variance -> null r
+    val tri = Graph.assortativity(Seq((1L, 2L), (2L, 3L), (1L, 3L)).toDF("d1", "d2")).head()
+    assert(tri.isNullAt(1))
+  }
+
+  test("charEntropy: exact micro-log entropy on hand histograms") {
+    val docs = Seq((1L, "aabb"), (2L, "aaaa"), (3L, "")).toDF("doc_id", "text")
+    val out = TextAnalysis.charEntropy(docs).orderBy("doc_id").collect()
+    // ln(4)µ = 1386294, ln(2)µ = 693147: (4·1386294 − 4·693147)/4e6
+    assert(out(0).getLong(1) == 4L && out(0).getLong(2) == 2L)
+    assert(out(0).getDouble(3) == 0.693147)
+    assert(out(1).getDouble(3) == 0.0) // single-char run: ln n cancels exactly
+    assert(out(2).isNullAt(3))         // empty text -> null entropy
+  }
+
   test("noveltyScore: df=1 fraction over distinct per-doc grams") {
     val docs = Seq(
       (1L, "a b c d"),   // grams {a b c, b c d}
