@@ -112,6 +112,51 @@ object Graph {
       .select("id", "degree", "n_tri", "clustering")
   }
 
+  /** k-core decomposition by iterative peeling: repeatedly delete every
+    * vertex with (current) degree < k until none remain; the survivors —
+    * the k-core — are the graph's load-bearing cohesive region
+    * (Seidman 1983). On a near-dup graph the 2-core separates genuine
+    * duplicate clusters from incidental pairwise collisions; on a link
+    * graph it is the standard spam-farm / community-core filter.
+    *
+    * Driver-side loop, one DISTRIBUTED round per peel (the
+    * [[graft.operators.Dedup.connectedComponents]] pattern): each round
+    * is a degree aggregate + two semi-joins over the (corpus-small) edge
+    * table, `localCheckpoint`ed so round N never replays rounds 1..N-1;
+    * convergence is an exact vertex-count compare. Rounds are bounded by
+    * the peeling depth (≤ longest chain / 2), not the graph size.
+    *
+    * @return (id, core_degree) for every vertex of the k-core, where
+    *         core_degree is the degree WITHIN the core. */
+  def kCore(pairs: DataFrame, k: Int, maxIters: Int = 50): DataFrame = {
+    require(k >= 1, "k must be positive")
+    var edges = pairs
+      .select(explode(array(
+        struct(col("d1").as("src"), col("d2").as("dst")),
+        struct(col("d2").as("src"), col("d1").as("dst")))).as("_e"))
+      .select(col("_e.src").as("src"), col("_e.dst").as("dst"))
+      .distinct()
+      .localCheckpoint()
+    var nVertices = -1L
+    var i = 0
+    var done = false
+    while (!done && i < maxIters) {
+      val deg = edges.groupBy(col("src").as("id")).agg(count(lit(1)).as("degree"))
+      val keep = deg.filter(col("degree") >= k).localCheckpoint()
+      val n = keep.count()
+      if (n == nVertices) { done = true } // fixpoint: last filter changed nothing
+      else {
+        nVertices = n
+        edges = edges
+          .join(keep.select(col("id").as("src")), "src", "left_semi")
+          .join(keep.select(col("id").as("dst")), "dst", "left_semi")
+          .localCheckpoint()
+        i += 1
+      }
+    }
+    edges.groupBy(col("src").as("id")).agg(count(lit(1)).as("core_degree"))
+  }
+
   /** Degree assortativity of an undirected graph: the Pearson correlation
     * of endpoint degrees over every DIRECTED edge (Newman 2002) —
     * positive r means similar-degree vertices link (a mesh of mutually

@@ -3482,6 +3482,109 @@ object Queries {
           THEN (sd_gap - mean_gap) / (sd_gap + mean_gap) END AS burstiness
       FROM f ORDER BY user_id"""))
 
+  /** 2-core of the near-dup graph (`Graph.kCore`): iterative peeling to
+    * the exact fixpoint (driver loop, checkpointed rounds); the oracle
+    * chains 6 MATERIALIZED peel rounds — past the measured sf0.01
+    * fixpoint (1 round), and peeling is monotone so extra rounds are
+    * no-ops. Separates cohesive duplicate clusters from incidental
+    * pairwise collisions. */
+  val q142_kcore: Q = Q(
+    (s, d) => Graph.kCore(Dedup.minhashLsh(docsRebalanced(s, d)), k = 2)
+      .orderBy("id"),
+    Some {
+      val rounds = (1 to 6).map { i =>
+        s"""d${i - 1} AS MATERIALIZED (SELECT src AS id, COUNT(*) AS degree
+             FROM e${i - 1} GROUP BY src),
+           e$i AS MATERIALIZED (SELECT e.src, e.dst FROM e${i - 1} e
+             JOIN d${i - 1} a ON a.id = e.src AND a.degree >= 2
+             JOIN d${i - 1} b ON b.id = e.dst AND b.degree >= 2)"""
+      }.mkString(",\n      ")
+      s"""WITH $minhashPairCtes,
+      p AS (SELECT d1, d2 FROM v
+            WHERE CAST(i AS DOUBLE) / CAST(sz1 + sz2 - i AS DOUBLE) >= 0.4),
+      e0 AS MATERIALIZED (SELECT d1 AS src, d2 AS dst FROM p UNION SELECT d2, d1 FROM p),
+      $rounds
+      SELECT src AS id, CAST(COUNT(*) AS BIGINT) AS core_degree
+      FROM e6 GROUP BY src ORDER BY id"""
+    })
+
+  /** Revenue ROLLUP cube: (nation, order-year) with subtotals and grand
+    * total via Spark's native `rollup` (one aggregate pass computes all
+    * grouping sets — no union of re-scans); grouping level exposed as the
+    * standard grouping_id bitmask. Decimal-exact revenue. */
+  val q143_rollup: Q = Q(
+    (s, d) => {
+      // the SQL surface, deliberately: Dataset-API rollup over a joined
+      // frame trips Spark 4.1's ambiguous-self-join detector (the
+      // rollup's Expand duplicates dataset-id-tagged grouping attrs —
+      // engine false positive); the SQL path builds the identical
+      // Expand+Aggregate plan without Dataset lineage metadata
+      Seq("lineitem", "orders", "customer", "nation").foreach(t =>
+        table(s, d, t).createOrReplaceTempView(s"q143_$t"))
+      s.sql("""SELECT n_name, o_year,
+          CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) *
+            (CAST(1.00 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS revenue,
+          COUNT(*) AS n_items,
+          grouping_id() AS gid
+        FROM (SELECT /*+ BROADCAST(n) */ l.l_extendedprice, l.l_discount, n.n_name,
+                CAST(year(o.o_orderdate) AS BIGINT) AS o_year
+              FROM q143_lineitem l JOIN q143_orders o ON l.l_orderkey = o.o_orderkey
+              JOIN q143_customer c ON o.o_custkey = c.c_custkey
+              JOIN q143_nation n ON c.c_nationkey = n.n_nationkey)
+        GROUP BY ROLLUP (n_name, o_year)
+        ORDER BY gid, n_name, o_year""")
+    },
+    Some("""SELECT n_name, o_year,
+        CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) *
+          (CAST(1.00 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS revenue,
+        CAST(COUNT(*) AS BIGINT) AS n_items,
+        CAST(GROUPING(n_name) * 2 + GROUPING(o_year) AS BIGINT) AS gid
+      FROM (SELECT l.l_extendedprice, l.l_discount, n.n_name,
+              CAST(EXTRACT(year FROM o.o_orderdate) AS BIGINT) AS o_year
+            FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+            JOIN customer c ON o.o_custkey = c.c_custkey
+            JOIN nation n ON c.c_nationkey = n.n_nationkey)
+      GROUP BY ROLLUP (n_name, o_year)
+      ORDER BY gid, n_name, o_year"""))
+
+  /** Snapshot diff / CDC (`Snapshot.diff`): added/removed/changed keys
+    * between the customer table and a deterministically mutated copy —
+    * portable md5 row hashes over DECIMAL-cast values, one full-outer
+    * key join. */
+  val q144_snapshot_diff: Q = Q(
+    (s, d) => {
+      val cust = table(s, d, "customer").select("c_custkey", "c_nationkey", "c_acctbal")
+      def prep(df: DataFrame): DataFrame =
+        df.withColumn("bal", col("c_acctbal").cast(DecimalType(18, 2)))
+      val newDf = cust.filter(col("c_custkey") % 17 =!= 0)
+        .withColumn("c_acctbal",
+          when(col("c_custkey") % 10 === 0, col("c_acctbal") + 10.0)
+            .otherwise(col("c_acctbal")))
+        .unionByName(cust.filter(col("c_custkey") % 23 === 0)
+          .withColumn("c_custkey", col("c_custkey") + 1000000L))
+      Snapshot.diff(prep(cust), prep(newDf), "c_custkey", Seq("c_nationkey", "bal"))
+        .orderBy("c_custkey")
+    },
+    Some("""WITH c AS (SELECT c_custkey, c_nationkey,
+              CAST(c_acctbal AS DECIMAL(18,2)) AS bal FROM customer),
+      nw AS (SELECT c_custkey, c_nationkey,
+              CASE WHEN c_custkey % 10 = 0 THEN CAST(c_acctbal + 10.0 AS DECIMAL(18,2))
+                ELSE CAST(c_acctbal AS DECIMAL(18,2)) END AS bal
+            FROM customer WHERE c_custkey % 17 <> 0
+            UNION ALL
+            SELECT c_custkey + 1000000, c_nationkey, CAST(c_acctbal AS DECIMAL(18,2))
+            FROM customer WHERE c_custkey % 23 = 0),
+      ho AS (SELECT c_custkey AS k,
+              md5(CAST(c_nationkey AS VARCHAR) || chr(1) || CAST(bal AS VARCHAR)) AS h FROM c),
+      hn AS (SELECT c_custkey AS k,
+              md5(CAST(c_nationkey AS VARCHAR) || chr(1) || CAST(bal AS VARCHAR)) AS h FROM nw)
+      SELECT COALESCE(ho.k, hn.k) AS c_custkey,
+        CASE WHEN ho.k IS NULL THEN 'added' WHEN hn.k IS NULL THEN 'removed'
+          WHEN ho.h <> hn.h THEN 'changed' END AS status
+      FROM ho FULL OUTER JOIN hn ON ho.k = hn.k
+      WHERE (ho.k IS NULL OR hn.k IS NULL OR ho.h <> hn.h)
+      ORDER BY c_custkey"""))
+
   /** Poisson-bootstrap 95% CI on mean doc length
     * (`Selection.bootstrapSummary`): 16 deterministic Poisson(1) replicas
     * in ONE pass (md5 uniforms + the shared CDF-literal cascade), replica
@@ -4214,5 +4317,8 @@ object Queries {
     "q138_rolling_active" -> q138_rolling_active,
     "q139_char_entropy" -> q139_char_entropy,
     "q140_assortativity" -> q140_assortativity,
-    "q141_interarrival" -> q141_interarrival)
+    "q141_interarrival" -> q141_interarrival,
+    "q142_kcore" -> q142_kcore,
+    "q143_rollup" -> q143_rollup,
+    "q144_snapshot_diff" -> q144_snapshot_diff)
 }

@@ -67,6 +67,20 @@ class GraphSpec extends SparkSpec {
     assert(got.filter(_._2 > 0) == brute.filter(_._2 > 0))
   }
 
+  test("kCore: cascading peel empties a path, keeps a clique with tail") {
+    // path 1-2-3-4-5-6: 2-core is empty, but only after cascading rounds
+    val path = (1 to 5).map(i => (i.toLong, (i + 1).toLong)).toDF("d1", "d2")
+    assert(Graph.kCore(path, k = 2).count() == 0)
+    // triangle {1,2,3} + pendant chain 3-10-11: chain peels away over two
+    // rounds, the triangle survives with within-core degree 2
+    val g = Seq((1L, 2L), (2L, 3L), (1L, 3L), (3L, 10L), (10L, 11L)).toDF("d1", "d2")
+    val core = Graph.kCore(g, k = 2).orderBy("id").collect()
+    assert(core.map(r => (r.getLong(0), r.getLong(1))).toSeq ==
+      Seq((1L, 2L), (2L, 2L), (3L, 2L)))
+    // k=1 keeps everything edge-incident
+    assert(Graph.kCore(g, k = 1).count() == 5)
+  }
+
   test("assortativity: star graph is exactly -1, regular graph undefined") {
     // star 1-{2,3,4}: every directed edge pairs degree 3 with degree 1
     val out = Graph.assortativity(Seq((1L, 2L), (1L, 3L), (1L, 4L)).toDF("d1", "d2")).head()
