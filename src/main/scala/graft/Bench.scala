@@ -69,9 +69,10 @@ object Bench {
       (name, times(times.length / 2), times.head)
     }
     def fmt(v: Double): String = "%.4f".formatLocal(java.util.Locale.ROOT, v)
-    // contract line uses 3 decimals: at 133 queries the 4-decimal form
-    // (~15 chars/query) would overflow the driver's 2000-char stdout tail
-    def fmt3(v: Double): String = "%.3f".formatLocal(java.util.Locale.ROOT, v)
+    // contract line uses 2 decimals: at 143+ queries the 3-decimal form
+    // (~13.5 chars/query) would overflow the driver's 2000-char stdout
+    // tail; the clippable detail line keeps 4-decimal medians
+    def fmt3(v: Double): String = "%.2f".formatLocal(java.util.Locale.ROOT, v)
     def jmap(key: String => String, f: ((String, Double, Double)) => Double,
         fm: Double => String = fmt): String =
       results.map { case r @ (k, _, _) => "\"" + key(k) + "\":" + fm(f(r)) }.mkString("{", ",", "}")

@@ -1,0 +1,39 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Table profiling — the data-quality report a pipeline runs before
+  * trusting a new drop: per-column row/null/distinct counts and min/max,
+  * one output row per column.
+  *
+  * ONE aggregate over ONE scan computes every column's stats (Spark
+  * plans the multi-column DISTINCTs through a single Expand — no
+  * per-column re-scan), then a bounded explode unpivots the stat row
+  * into (column, stats) rows. At 100 TB this is a single pass with
+  * map-side partials; the output is #columns rows.
+  *
+  * Min/max are emitted as strings for schema uniformity — callers
+  * profiling FLOAT columns should pre-cast to DECIMAL if the output
+  * must be engine-portable (double→string formatting is not).
+  */
+object Profile {
+
+  def profile(df: DataFrame, cols: Seq[String]): DataFrame = {
+    require(cols.nonEmpty, "need at least one column to profile")
+    val aggs = cols.flatMap(c => Seq(
+      count(col(c)).as(s"${c}__nn"),
+      count_distinct(col(c)).as(s"${c}__nd"),
+      min(col(c)).cast("string").as(s"${c}__mn"),
+      max(col(c)).cast("string").as(s"${c}__mx")))
+    df.agg(count(lit(1)).as("__n"), aggs: _*)
+      .select(explode(array(cols.map(c => struct(
+        lit(c).as("column_name"),
+        col("__n").as("n_rows"),
+        (col("__n") - col(s"${c}__nn")).as("n_nulls"),
+        col(s"${c}__nd").as("n_distinct"),
+        col(s"${c}__mn").as("min_value"),
+        col(s"${c}__mx").as("max_value"))): _*)).as("_p"))
+      .select("_p.*")
+  }
+}

@@ -628,6 +628,42 @@ object Selection {
       .withColumn("split", split)
   }
 
+  /** Per-group least-squares trend (slope, intercept, r) of an integer
+    * signal over an integer axis — drift/trend detection per user,
+    * source, or shard. Same exact-decimal-moment discipline as
+    * [[corrByGroup]]: both regression numerators and denominators are
+    * EXACT integers, so slope is one double division, intercept one
+    * mul + sub + division, r one rounded quotient — engine-bit-identical,
+    * no E[x²]−E[x]² cancellation. One map-side-combined aggregate. */
+  def trendByGroup(
+      df: DataFrame,
+      groupCol: String,
+      xCol: Column,
+      yCol: Column): DataFrame = {
+    val dec = org.apache.spark.sql.types.DecimalType(38, 0)
+    val x = xCol.cast(dec)
+    val y = yCol.cast(dec)
+    val agg = df.groupBy(col(groupCol))
+      .agg(count(lit(1)).as("n"),
+        sum(x).as("_sx"), sum(y).as("_sy"),
+        sum(x * x).as("_sxx"), sum(y * y).as("_syy"), sum(x * y).as("_sxy"))
+    val n = col("n").cast(dec)
+    val num = (n * col("_sxy") - col("_sx") * col("_sy")).cast("double")
+    val vx = (n * col("_sxx") - col("_sx") * col("_sx")).cast("double")
+    val vy = (n * col("_syy") - col("_sy") * col("_sy")).cast("double")
+    agg.select(col(groupCol), col("n"),
+        num.as("_num"), vx.as("_vx"), vy.as("_vy"),
+        col("_sx").cast("double").as("_sxd"), col("_sy").cast("double").as("_syd"))
+      .withColumn("slope", when(col("_vx") > 0, col("_num") / col("_vx")))
+      .withColumn("intercept",
+        when(col("_vx") > 0,
+          (col("_syd") - col("slope") * col("_sxd")) / col("n")))
+      .withColumn("r",
+        when(col("_vx") > 0 && col("_vy") > 0,
+          round(col("_num") / (sqrt(col("_vx")) * sqrt(col("_vy"))), 6)))
+      .select(col(groupCol), col("n"), col("slope"), col("intercept"), col("r"))
+  }
+
   // ==================================================== Poisson bootstrap
 
   /** Poisson(1) CDF thresholds as SHORT DECIMAL LITERALS (9 dp) — the

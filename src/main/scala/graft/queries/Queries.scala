@@ -3585,6 +3585,50 @@ object Queries {
       WHERE (ho.k IS NULL OR hn.k IS NULL OR ho.h <> hn.h)
       ORDER BY c_custkey"""))
 
+  /** Table profiling (`Profile.profile`): per-column row/null/distinct
+    * counts + min/max over ONE scan (multi-DISTINCT via a single
+    * Expand), unpivoted to one row per column. */
+  val q145_profile: Q = Q(
+    (s, d) => Profile.profile(table(s, d, "lineitem"),
+        Seq("l_orderkey", "l_linenumber", "l_returnflag", "l_shipdate"))
+      .orderBy("column_name"),
+    Some(Seq("l_orderkey", "l_linenumber", "l_returnflag", "l_shipdate")
+      .map(c => s"""SELECT '$c' AS column_name, CAST(COUNT(*) AS BIGINT) AS n_rows,
+          CAST(COUNT(*) - COUNT($c) AS BIGINT) AS n_nulls,
+          CAST(COUNT(DISTINCT $c) AS BIGINT) AS n_distinct,
+          CAST(MIN($c) AS VARCHAR) AS min_value,
+          CAST(MAX($c) AS VARCHAR) AS max_value
+        FROM lineitem""").mkString("", " UNION ALL ", " ORDER BY column_name")))
+
+  /** Per-user value trend (`Selection.trendByGroup`): least-squares
+    * slope/intercept/r over exact decimal moments (seconds × cents) —
+    * drift detection with no float cancellation anywhere. */
+  val q146_trend: Q = Q(
+    (s, d) => Selection.trendByGroup(
+        eventsNs(s, d)
+          .withColumn("xs", expr("(ts div 1000) div 1000000"))
+          .withColumn("vc", (col("value").cast(DecimalType(18, 2)) * 100).cast("long")),
+        "user_id", col("xs"), col("vc"))
+      .orderBy("user_id"),
+    Some("""WITH e AS (SELECT user_id, epoch_us(ts) // 1000000 AS xs,
+              CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS vc FROM events),
+      m AS (SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n,
+              SUM(CAST(xs AS HUGEINT)) AS sx, SUM(CAST(vc AS HUGEINT)) AS sy,
+              SUM(CAST(xs AS HUGEINT) * xs) AS sxx, SUM(CAST(vc AS HUGEINT) * vc) AS syy,
+              SUM(CAST(xs AS HUGEINT) * vc) AS sxy
+            FROM e GROUP BY user_id),
+      f AS (SELECT user_id, n,
+              CAST(n * sxy - sx * sy AS DOUBLE) AS num,
+              CAST(n * sxx - sx * sx AS DOUBLE) AS vx,
+              CAST(n * syy - sy * sy AS DOUBLE) AS vy,
+              CAST(sx AS DOUBLE) AS sxd, CAST(sy AS DOUBLE) AS syd
+            FROM m)
+      SELECT user_id, n,
+        CASE WHEN vx > 0 THEN num / vx END AS slope,
+        CASE WHEN vx > 0 THEN (syd - (num / vx) * sxd) / n END AS intercept,
+        CASE WHEN vx > 0 AND vy > 0 THEN ROUND(num / (sqrt(vx) * sqrt(vy)), 6) END AS r
+      FROM f ORDER BY user_id"""))
+
   /** Poisson-bootstrap 95% CI on mean doc length
     * (`Selection.bootstrapSummary`): 16 deterministic Poisson(1) replicas
     * in ONE pass (md5 uniforms + the shared CDF-literal cascade), replica
@@ -4320,5 +4364,7 @@ object Queries {
     "q141_interarrival" -> q141_interarrival,
     "q142_kcore" -> q142_kcore,
     "q143_rollup" -> q143_rollup,
-    "q144_snapshot_diff" -> q144_snapshot_diff)
+    "q144_snapshot_diff" -> q144_snapshot_diff,
+    "q145_profile" -> q145_profile,
+    "q146_trend" -> q146_trend)
 }
