@@ -44,6 +44,44 @@ object Multimodal {
         "struct<format:string,width:int,height:int,n_bytes:bigint>"))
   }
 
+  /** Portable decode-stub: payload metadata via md5 ARITHMETIC — pure
+    * codegen column expressions (no UDF), so the fake dimensions are
+    * reproducible by any SQL engine (unlike [[decodeStub]]'s JVM
+    * hashCode). Same contract: replace with a real header parser in
+    * production; everything downstream ([[patchGrid]]) only needs the
+    * (width, height) schema. */
+  def withPortableMeta(df: DataFrame, binCol: String = "payload"): DataFrame = {
+    val h = conv(substring(md5(col(binCol)), 1, 15), 16, 10).cast("long")
+    df.withColumn("_h", h)
+      .withColumn("width", expr("CAST(16 + _h % 64 AS INT)"))
+      .withColumn("height", expr("CAST(16 + (_h div 64) % 64 AS INT)"))
+      .withColumn("n_bytes", length(col(binCol)).cast("long"))
+      .drop("_h")
+  }
+
+  /** ViT-style patchification plumbing: one row per `patchSize`-square
+    * patch of each image, with position ids and pixel bounds (edge
+    * patches clamped) — the patch-token materialization a vision
+    * training pipeline feeds to the tokenizer. Pure integer arithmetic
+    * over a bounded `sequence` explode: fan-out = ⌈w/p⌉·⌈h/p⌉ per image,
+    * zero shuffles, streaming-safe. */
+  def patchGrid(df: DataFrame, patchSize: Int,
+      wCol: String = "width", hCol: String = "height"): DataFrame = {
+    require(patchSize >= 1, "patchSize must be positive")
+    val p = patchSize
+    df.withColumn("_pw", expr(s"CAST(($wCol + ${p - 1}) div $p AS BIGINT)"))
+      .withColumn("_ph", expr(s"CAST(($hCol + ${p - 1}) div $p AS BIGINT)"))
+      .withColumn("patch_id",
+        explode(expr("sequence(CAST(0 AS BIGINT), _pw * _ph - 1)")))
+      .withColumn("py", expr("patch_id div _pw"))
+      .withColumn("px", expr("patch_id % _pw"))
+      .withColumn("x0", expr(s"px * $p"))
+      .withColumn("y0", expr(s"py * $p"))
+      .withColumn("x1", expr(s"least(px * $p + $p, CAST($wCol AS BIGINT))"))
+      .withColumn("y1", expr(s"least(py * $p + $p, CAST($hCol AS BIGINT))"))
+      .drop("_pw", "_ph")
+  }
+
   /** Content-addressed dedup of binary payloads: md5 over bytes, exact
     * hash-groupBy — same shuffle shape as text dedup. */
   def dedupPayloads(df: DataFrame, idCol: String, binCol: String = "payload"): DataFrame =

@@ -3629,6 +3629,32 @@ object Queries {
         CASE WHEN vx > 0 AND vy > 0 THEN ROUND(num / (sqrt(vx) * sqrt(vy)), 6) END AS r
       FROM f ORDER BY user_id"""))
 
+  /** Multimodal patchification (`Multimodal.withPortableMeta` +
+    * `patchGrid`): portable decode-stub metadata (md5 arithmetic, no
+    * UDF) into ViT 16-px patch tokens with position ids and clamped
+    * bounds — the vision-pipeline materialization, zero shuffles. */
+  val q147_patchify: Q = Q(
+    (s, d) => Multimodal.patchGrid(
+        Multimodal.withPortableMeta(
+          docsRebalanced(s, d).withColumn("payload", encode(col("text"), "UTF-8"))),
+        patchSize = 16)
+      .select(col("doc_id"), col("width"), col("height"), col("patch_id"),
+        col("py"), col("px"), col("x0"), col("y0"), col("x1"), col("y1"))
+      .orderBy("doc_id", "patch_id"),
+    Some("""WITH m AS (SELECT doc_id, CAST('0x' || substr(md5(text), 1, 15) AS BIGINT) AS h
+              FROM documents),
+      g AS (SELECT doc_id, CAST(16 + h % 64 AS INT) AS width,
+              CAST(16 + (h // 64) % 64 AS INT) AS height FROM m),
+      pg AS (SELECT *, (width + 15) // 16 AS pw, (height + 15) // 16 AS ph FROM g),
+      e AS (SELECT doc_id, width, height, pw,
+              unnest(range(0, pw * ph)) AS patch_id FROM pg)
+      SELECT doc_id, width, height, patch_id,
+        patch_id // pw AS py, patch_id % pw AS px,
+        (patch_id % pw) * 16 AS x0, (patch_id // pw) * 16 AS y0,
+        least((patch_id % pw) * 16 + 16, CAST(width AS BIGINT)) AS x1,
+        least((patch_id // pw) * 16 + 16, CAST(height AS BIGINT)) AS y1
+      FROM e ORDER BY doc_id, patch_id"""))
+
   /** Poisson-bootstrap 95% CI on mean doc length
     * (`Selection.bootstrapSummary`): 16 deterministic Poisson(1) replicas
     * in ONE pass (md5 uniforms + the shared CDF-literal cascade), replica
@@ -4366,5 +4392,6 @@ object Queries {
     "q143_rollup" -> q143_rollup,
     "q144_snapshot_diff" -> q144_snapshot_diff,
     "q145_profile" -> q145_profile,
-    "q146_trend" -> q146_trend)
+    "q146_trend" -> q146_trend,
+    "q147_patchify" -> q147_patchify)
 }

@@ -147,6 +147,27 @@ class FacadeSpec extends SparkSpec {
     assert(idxRep.sameElements(Array(0L, 2L, 4L))) // 11 bytes -> 6 windows, every 2nd
   }
 
+  test("patchGrid: ViT patch tokens with clamped edge patches") {
+    val s = spark
+    import s.implicits._
+    // 32x17 at p=16: pw=2, ph=2 -> 4 patches; bottom row clamps y1 to 17
+    val img = Seq((1L, 32, 17)).toDF("id", "width", "height")
+    val p = Multimodal.patchGrid(img, patchSize = 16).orderBy("patch_id")
+      .select("patch_id", "py", "px", "x0", "y0", "x1", "y1").collect()
+    assert(p.map(_.toSeq).toSeq == Seq(
+      Seq(0L, 0L, 0L, 0L, 0L, 16L, 16L),
+      Seq(1L, 0L, 1L, 16L, 0L, 32L, 16L),
+      Seq(2L, 1L, 0L, 0L, 16L, 16L, 17L),
+      Seq(3L, 1L, 1L, 16L, 16L, 32L, 17L)))
+    // portable meta is deterministic and UDF-free (pure codegen exprs)
+    val meta2 = Multimodal.withPortableMeta(
+      Seq((1L, "hello")).toDF("id", "t").withColumn("payload", encode(col("t"), "UTF-8")))
+    val r1 = meta2.select("width", "height", "n_bytes").head()
+    val r2 = meta2.repartition(3).select("width", "height", "n_bytes").head()
+    assert(r1 == r2 && r1.getLong(2) == 5L)
+    assert(r1.getInt(0) >= 16 && r1.getInt(0) < 80)
+  }
+
   test("streaming bucket stats over a rate-less memory stream (SURVEY §2.10)") {
     val s = spark
     import s.implicits._
