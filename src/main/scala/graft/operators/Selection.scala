@@ -664,6 +664,80 @@ object Selection {
       .select(col(groupCol), col("n"), col("slope"), col("intercept"), col("r"))
   }
 
+  /** Chi-square test of independence between two categorical columns —
+    * the drift/association diagnostic (is `lang` independent of
+    * `source`?) run before trusting a stratified design.
+    *
+    * χ² = N·Σ o²/(r·c) − N over the contingency cells. Each cell term is
+    * micro-rounded to NANO integers immediately (ROUND(o²/(r·c) · 1e9))
+    * so the cross-cell sum is associative integer addition — no
+    * float-sum order sensitivity; the remaining ops are one multiply,
+    * one divide, one subtract, identical on every engine.
+    *
+    * Shape: ONE (a, b) aggregate (cells), margins as windows over the
+    * CELL table (#a·#b rows, never the corpus), a #cells-row sum. */
+  def chiSquare(df: DataFrame, aCol: String, bCol: String): DataFrame = {
+    val cells = df.groupBy(col(aCol), col(bCol)).agg(count(lit(1)).as("o"))
+    val withMargins = cells
+      .withColumn("ra", sum(col("o")).over(Window.partitionBy(col(aCol))))
+      .withColumn("cb", sum(col("o")).over(Window.partitionBy(col(bCol))))
+      .withColumn("nn", sum(col("o")).over(Window.partitionBy()))
+      .withColumn("term_nano",
+        round((col("o") * col("o")).cast("double") /
+          (col("ra").cast("double") * col("cb").cast("double")) * 1e9).cast("long"))
+    withMargins.agg(
+        max(col("nn")).as("n"),
+        count_distinct(col(aCol)).as("n_a"),
+        count_distinct(col(bCol)).as("n_b"),
+        sum(col("term_nano")).as("_s"))
+      .withColumn("chi2", col("n").cast("double") * col("_s") / 1e9 - col("n"))
+      .withColumn("dof", (col("n_a") - 1) * (col("n_b") - 1))
+      .select("n", "n_a", "n_b", "chi2", "dof")
+  }
+
+  /** Exact two-sample Kolmogorov–Smirnov statistic — distribution drift
+    * between two slices (sources, time windows) of an integer signal.
+    *
+    * D = max over distinct values of |F₁ − F₂|, computed as an INTEGER
+    * maximum of |cum₁·n₂ − cum₂·n₁| (cross-multiplied rationals — exact
+    * ordering, no float compare anywhere) divided ONCE by n₁·n₂ at the
+    * end. Shape: one (value) aggregate with conditional counts, one
+    * cumulative window over the DISTINCT-VALUE table (bounded by value
+    * cardinality, not corpus size — pre-bin continuous signals), a
+    * one-row max. */
+  def ksTest(
+      df: DataFrame,
+      groupCol: String,
+      groupA: String,
+      groupB: String,
+      valCol: Column): DataFrame = {
+    val dec = org.apache.spark.sql.types.DecimalType(38, 0)
+    val per = df
+      .filter(col(groupCol) === groupA || col(groupCol) === groupB)
+      .groupBy(valCol.as("_v"))
+      .agg(
+        sum(when(col(groupCol) === groupA, 1L).otherwise(0L)).as("_c1"),
+        sum(when(col(groupCol) === groupB, 1L).otherwise(0L)).as("_c2"))
+    val wc = Window.orderBy(col("_v"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wAll = Window.partitionBy()
+    val cum = per
+      .withColumn("_k1", sum(col("_c1").cast(dec)).over(wc))
+      .withColumn("_k2", sum(col("_c2").cast(dec)).over(wc))
+      .withColumn("_n1", sum(col("_c1").cast(dec)).over(wAll))
+      .withColumn("_n2", sum(col("_c2").cast(dec)).over(wAll))
+      .withColumn("_num", abs(col("_k1") * col("_n2") - col("_k2") * col("_n1")))
+    cum.agg(
+        max(col("_n1")).cast("long").as("n1"),
+        max(col("_n2")).cast("long").as("n2"),
+        max(col("_num")).as("_dnum"))
+      .withColumn("d",
+        when(col("n1") > 0 && col("n2") > 0,
+          col("_dnum").cast("double") /
+            (col("n1").cast("double") * col("n2").cast("double"))))
+      .select("n1", "n2", "d")
+  }
+
   // ==================================================== Poisson bootstrap
 
   /** Poisson(1) CDF thresholds as SHORT DECIMAL LITERALS (9 dp) — the

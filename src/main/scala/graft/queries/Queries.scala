@@ -3655,6 +3655,51 @@ object Queries {
         least((patch_id // pw) * 16 + 16, CAST(height AS BIGINT)) AS y1
       FROM e ORDER BY doc_id, patch_id"""))
 
+  /** Chi-square independence of lang × source
+    * (`Selection.chiSquare`): nano-integer cell terms make the
+    * cross-cell sum associative — engine-exact drift diagnostic. */
+  val q148_chi2: Q = Q(
+    (s, d) => Selection.chiSquare(table(s, d, "documents"), "lang", "source"),
+    Some("""WITH cells AS (SELECT lang, source, CAST(COUNT(*) AS BIGINT) AS o
+              FROM documents GROUP BY lang, source),
+      m AS (SELECT lang, source, o,
+              SUM(o) OVER (PARTITION BY lang) AS ra,
+              SUM(o) OVER (PARTITION BY source) AS cb,
+              SUM(o) OVER () AS nn
+            FROM cells),
+      t AS (SELECT lang, source, nn,
+              CAST(round(CAST(o * o AS DOUBLE) / (CAST(ra AS DOUBLE) * CAST(cb AS DOUBLE)) * 1e9) AS BIGINT) AS term_nano
+            FROM m)
+      SELECT CAST(MAX(nn) AS BIGINT) AS n,
+        CAST(COUNT(DISTINCT lang) AS BIGINT) AS n_a,
+        CAST(COUNT(DISTINCT source) AS BIGINT) AS n_b,
+        CAST(MAX(nn) AS DOUBLE) * SUM(term_nano) / 1e9 - MAX(nn) AS chi2,
+        CAST((COUNT(DISTINCT lang) - 1) * (COUNT(DISTINCT source) - 1) AS BIGINT) AS dof
+      FROM t"""))
+
+  /** Exact two-sample KS statistic (`Selection.ksTest`) on doc length
+    * between two sources: integer cross-multiplied CDF gaps, ONE
+    * division — distribution drift with no float compares. */
+  val q149_ks: Q = Q(
+    (s, d) => Selection.ksTest(table(s, d, "documents"),
+      "source", "src0", "src1", col("n_chars")),
+    Some("""WITH f AS (SELECT source, n_chars FROM documents WHERE source IN ('src0', 'src1')),
+      per AS (SELECT n_chars AS v,
+               CAST(SUM(CASE WHEN source = 'src0' THEN 1 ELSE 0 END) AS BIGINT) AS c1,
+               CAST(SUM(CASE WHEN source = 'src1' THEN 1 ELSE 0 END) AS BIGINT) AS c2
+             FROM f GROUP BY n_chars),
+      c AS (SELECT v,
+              SUM(CAST(c1 AS HUGEINT)) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS k1,
+              SUM(CAST(c2 AS HUGEINT)) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS k2,
+              SUM(CAST(c1 AS HUGEINT)) OVER () AS n1,
+              SUM(CAST(c2 AS HUGEINT)) OVER () AS n2
+            FROM per),
+      g AS (SELECT n1, n2, abs(k1 * n2 - k2 * n1) AS num FROM c)
+      SELECT CAST(MAX(n1) AS BIGINT) AS n1, CAST(MAX(n2) AS BIGINT) AS n2,
+        CASE WHEN MAX(n1) > 0 AND MAX(n2) > 0
+          THEN CAST(MAX(num) AS DOUBLE) / (CAST(MAX(n1) AS DOUBLE) * CAST(MAX(n2) AS DOUBLE)) END AS d
+      FROM g"""))
+
   /** Poisson-bootstrap 95% CI on mean doc length
     * (`Selection.bootstrapSummary`): 16 deterministic Poisson(1) replicas
     * in ONE pass (md5 uniforms + the shared CDF-literal cascade), replica
@@ -4393,5 +4438,7 @@ object Queries {
     "q144_snapshot_diff" -> q144_snapshot_diff,
     "q145_profile" -> q145_profile,
     "q146_trend" -> q146_trend,
-    "q147_patchify" -> q147_patchify)
+    "q147_patchify" -> q147_patchify,
+    "q148_chi2" -> q148_chi2,
+    "q149_ks" -> q149_ks)
 }
