@@ -367,6 +367,67 @@ object Temporal {
         col("_n").cast("long").as("n_window"), col("roll_med"))
   }
 
+  /** Multi-touch linear attribution: every conversion's credit is split
+    * EQUALLY across the touches in its lookback window. Credits are
+    * micro-integers (`1_000_000 div n_touches`) so any downstream
+    * aggregation (per channel, per hour, per campaign) is associative
+    * integer addition — the float 1/n credits that make attribution
+    * reports partition-order-dependent never exist.
+    *
+    * Built on [[intervalJoin]] (binned equi-join, never a nested-loop
+    * range join); the per-conversion touch count rides a window over the
+    * PAIR table. Returns one row per (conversion, touch). */
+  def linearAttribution(
+      conversions: DataFrame,
+      touches: DataFrame,
+      keyCol: String,
+      tsCol: String,
+      window: Long,
+      idCol: String = "event_id"): DataFrame = {
+    val pairs = intervalJoin(conversions, touches, keyCol, tsCol, window,
+      payloadCol = idCol, pointCols = Seq(idCol, keyCol, tsCol))
+    pairs
+      .withColumn("n_touches",
+        count(lit(1)).over(Window.partitionBy(col(idCol))))
+      .withColumn("credit_micro", expr("1000000L div n_touches"))
+      .select(col(idCol).as("conv_id"), col(keyCol), col(tsCol).as("conv_ts"),
+        col("r_ts").as("touch_ts"), col(s"r_$idCol").as("touch_id"),
+        col("n_touches"), col("credit_micro"))
+  }
+
+  /** Top-k session paths: the first `maxLen` event types of each
+    * session (gap-based, [[q60]]-compatible) joined into a path string,
+    * counted corpus-wide — the product-analytics "what do users do"
+    * report. One keyed window (session assignment), one per-session
+    * aggregate whose ordered path is built ROW-LOCALLY from a sorted
+    * struct array (no order-sensitive string_agg), one path count. */
+  def topPaths(
+      events: DataFrame,
+      gap: Long,
+      maxLen: Int = 5,
+      k: Int = 20,
+      keyCol: String = "user_id",
+      tsCol: String = "tus",
+      typeCol: String = "event_type",
+      idCol: String = "event_id"): DataFrame = {
+    val w = Window.partitionBy(keyCol).orderBy(col(tsCol), col(idCol))
+    val isNew = when(
+      lag(col(tsCol), 1).over(w).isNull ||
+        col(tsCol) - lag(col(tsCol), 1).over(w) > gap, 1L).otherwise(0L)
+    events
+      .withColumn("_sess", sum(isNew).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col(keyCol), col("_sess"))
+      .agg(collect_list(struct(col(tsCol).as("t"), col(idCol).as("i"),
+        col(typeCol).as("e"))).as("_evs"))
+      .withColumn("path",
+        expr(s"array_join(transform(slice(array_sort(_evs), 1, $maxLen), s -> s.e), '>')"))
+      .groupBy("path")
+      .agg(count(lit(1)).as("n_sessions"))
+      .orderBy(col("n_sessions").desc, col("path").asc)
+      .limit(k)
+  }
+
   /** Per-key inter-arrival statistics + burstiness — the bot/automation
     * signature: human activity is bursty (B → 1), scripted traffic is
     * periodic (B → −1), Poisson traffic sits at 0

@@ -3700,6 +3700,57 @@ object Queries {
           THEN CAST(MAX(num) AS DOUBLE) / (CAST(MAX(n1) AS DOUBLE) * CAST(MAX(n2) AS DOUBLE)) END AS d
       FROM g"""))
 
+  /** Multi-touch linear attribution (`Temporal.linearAttribution`):
+    * purchase credit split equally over clicks in a 2h lookback —
+    * micro-integer credits keep the per-hour report associative. */
+  val q150_attribution_linear: Q = Q(
+    (s, d) => {
+      val ev = eventsNs(s, d).withColumn("tus", expr("ts div 1000"))
+      Temporal.linearAttribution(
+          ev.filter(col("event_type") === "purchase"),
+          ev.filter(col("event_type") === "click"),
+          "user_id", "tus", window = 7200000000L)
+        .groupBy(expr("(touch_ts div 3600000000) % 24").as("hour"))
+        .agg(count(lit(1)).as("n_pairs"),
+          sum(col("credit_micro")).as("credit_micro_sum"))
+        .withColumn("credit", col("credit_micro_sum").cast("double") / 1e6)
+        .orderBy("hour")
+    },
+    Some("""WITH e AS (SELECT event_id, user_id, event_type, epoch_us(ts) AS tus FROM events),
+      p AS (SELECT event_id, user_id, tus FROM e WHERE event_type = 'purchase'),
+      c AS (SELECT event_id AS cid, user_id, tus AS ctus FROM e WHERE event_type = 'click'),
+      j AS (SELECT p.event_id, p.tus, c.ctus FROM p JOIN c
+            ON p.user_id = c.user_id AND c.ctus >= p.tus - 7200000000 AND c.ctus <= p.tus),
+      n AS (SELECT *, 1000000 // COUNT(*) OVER (PARTITION BY event_id) AS credit FROM j)
+      SELECT (ctus // 3600000000) % 24 AS hour,
+        CAST(COUNT(*) AS BIGINT) AS n_pairs,
+        CAST(SUM(credit) AS BIGINT) AS credit_micro_sum,
+        CAST(SUM(credit) AS DOUBLE) / 1e6 AS credit
+      FROM n GROUP BY hour ORDER BY hour"""))
+
+  /** Top-20 session paths (`Temporal.topPaths`): first five event types
+    * per 30-min-gap session, path built row-locally from a sorted struct
+    * array (no order-sensitive string_agg), counted corpus-wide. */
+  val q151_top_paths: Q = Q(
+    (s, d) => Temporal.topPaths(
+        eventsNs(s, d).withColumn("tus", expr("ts div 1000")),
+        gap = 1800000000L, maxLen = 5, k = 20),
+    Some("""WITH e AS (SELECT user_id, event_id, event_type, epoch_us(ts) AS tus FROM events),
+      flag AS (SELECT user_id, event_id, event_type, tus,
+          CASE WHEN LAG(tus) OVER w IS NULL
+                 OR tus - LAG(tus) OVER w > 1800000000 THEN 1 ELSE 0 END AS is_new
+        FROM e WINDOW w AS (PARTITION BY user_id ORDER BY tus ASC, event_id ASC)),
+      sess AS (SELECT user_id, event_id, event_type, tus,
+          SUM(is_new) OVER (PARTITION BY user_id ORDER BY tus ASC, event_id ASC
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_idx
+        FROM flag),
+      sp AS (SELECT user_id, session_idx,
+              list_sort(list(struct_pack(t := tus, i := event_id, e := event_type))) AS evs
+            FROM sess GROUP BY user_id, session_idx),
+      pp AS (SELECT array_to_string(list_transform(evs[1:5], s -> s.e), '>') AS path FROM sp)
+      SELECT path, CAST(COUNT(*) AS BIGINT) AS n_sessions
+      FROM pp GROUP BY path ORDER BY n_sessions DESC, path ASC LIMIT 20"""))
+
   /** Poisson-bootstrap 95% CI on mean doc length
     * (`Selection.bootstrapSummary`): 16 deterministic Poisson(1) replicas
     * in ONE pass (md5 uniforms + the shared CDF-literal cascade), replica
@@ -4440,5 +4491,7 @@ object Queries {
     "q146_trend" -> q146_trend,
     "q147_patchify" -> q147_patchify,
     "q148_chi2" -> q148_chi2,
-    "q149_ks" -> q149_ks)
+    "q149_ks" -> q149_ks,
+    "q150_attribution_linear" -> q150_attribution_linear,
+    "q151_top_paths" -> q151_top_paths)
 }

@@ -49,6 +49,31 @@ class EventRollupSpec extends SparkSpec {
       (3L, 3L, 2.0), (4L, 3L, 3.0), (5L, 3L, 4.0)))
   }
 
+  test("linearAttribution: equal micro-credit split, no-touch conversions absent") {
+    val conv = Seq((100L, 1L, 1000L), (101L, 2L, 1000L)).toDF("event_id", "user_id", "tus")
+    val touch = Seq(
+      (1L, 1L, 900L), (2L, 1L, 950L), (3L, 1L, 1000L), // 3 touches for conv 100
+      (4L, 1L, 400L),                                  // outside window 500
+      (5L, 2L, 2000L)                                  // after conversion: excluded
+    ).toDF("event_id", "user_id", "tus")
+    val out = Temporal.linearAttribution(conv, touch, "user_id", "tus", window = 500L)
+      .orderBy("touch_id").collect()
+    assert(out.length == 3)
+    assert(out.forall(r => r.getLong(0) == 100L && r.getLong(5) == 3L &&
+      r.getLong(6) == 333333L))
+  }
+
+  test("topPaths: sessions split on gap, paths truncated and counted") {
+    val e = Seq(
+      (1L, 1L, 0L, "A"), (2L, 1L, 10L, "B"),           // session 1: A>B
+      (3L, 1L, 5000L, "A"), (4L, 1L, 5010L, "B"),      // session 2 (gap): A>B
+      (5L, 2L, 0L, "C")                                // session: C
+    ).toDF("event_id", "user_id", "tus", "event_type")
+    val out = Temporal.topPaths(e, gap = 100L, maxLen = 5, k = 10)
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    assert(out.toSeq == Seq(("A>B", 2L), ("C", 1L)))
+  }
+
   test("interArrival: periodic key hits B = -1, moments exact") {
     val e = Seq(
       (1L, 1L, 0L), (2L, 1L, 10L), (3L, 1L, 20L), (4L, 1L, 30L), // gaps 10,10,10
