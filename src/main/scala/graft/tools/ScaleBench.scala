@@ -34,7 +34,8 @@ object ScaleBench {
       "q81_bm25_batch", "q87_top_fraction", "q88_domain_cap",
       "q106_source_overlap", "q107_decay_features",
       "q108_semantic_decontaminate", "q109_containment",
-      "q131_rolling_median", "q133_pagerank", "q134_novelty")
+      "q131_rolling_median", "q133_pagerank", "q134_novelty",
+      "q136_triangles", "q142_kcore", "q151_top_paths")
 
   def main(args: Array[String]): Unit = {
     val base = args.headOption.getOrElse("/root/testdata/sf0.1")
