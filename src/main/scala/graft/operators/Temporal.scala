@@ -367,6 +367,26 @@ object Temporal {
         col("_n").cast("long").as("n_window"), col("roll_med"))
   }
 
+  /** Point-in-time state reconstruction: the latest value per key
+    * at-or-before `t` — the event-sourcing "table as of T"
+    * materialization (backfills, reproducible training snapshots).
+    * One filtered scan (the `tsCol <= t` predicate pushes into the
+    * Parquet scan) into one hash aggregate; `max_by` on a (ts, id)
+    * struct makes same-timestamp updates deterministic. */
+  def stateAt(
+      events: DataFrame,
+      t: Long,
+      keyCol: String = "user_id",
+      tsCol: String = "tus",
+      valCol: String = "value",
+      idCol: String = "event_id"): DataFrame =
+    events.filter(col(tsCol) <= t)
+      .groupBy(col(keyCol))
+      .agg(
+        count(lit(1)).as("n_events"),
+        max(col(tsCol)).as("last_ts"),
+        expr(s"max_by($valCol, struct($tsCol, $idCol))").as("last_value"))
+
   /** Multi-touch linear attribution: every conversion's credit is split
     * EQUALLY across the touches in its lookback window. Credits are
     * micro-integers (`1_000_000 div n_touches`) so any downstream

@@ -3751,6 +3751,73 @@ object Queries {
       SELECT path, CAST(COUNT(*) AS BIGINT) AS n_sessions
       FROM pp GROUP BY path ORDER BY n_sessions DESC, path ASC LIMIT 20"""))
 
+  /** Daily p50/p95/p99 value bands (`Selection.quantilesByGroup`): all
+    * three exact quantile VALUES from ONE histogram pass per day — the
+    * monitoring materialization, no per-day corpus sort. */
+  val q152_daily_bands: Q = Q(
+    (s, d) => Selection.quantilesByGroup(
+        eventsNs(s, d).select(expr("(ts div 1000) div 86400000000").as("day"), col("value")),
+        "day", "value", Seq("p50" -> 500000L, "p95" -> 950000L, "p99" -> 990000L))
+      .orderBy("day", "tag"),
+    Some("""WITH e AS (SELECT epoch_us(ts) // 86400000000 AS day, value FROM events),
+      r AS (SELECT day, value, ROW_NUMBER() OVER (PARTITION BY day ORDER BY value ASC) AS rn,
+              CAST(COUNT(*) OVER (PARTITION BY day) AS BIGINT) AS n FROM e),
+      q AS (SELECT day, 'p50' AS tag, n, CAST(value AS DOUBLE) AS quantile FROM r
+              WHERE rn = (n * 500000 + 999999) // 1000000
+            UNION ALL SELECT day, 'p95', n, CAST(value AS DOUBLE) FROM r
+              WHERE rn = (n * 950000 + 999999) // 1000000
+            UNION ALL SELECT day, 'p99', n, CAST(value AS DOUBLE) FROM r
+              WHERE rn = (n * 990000 + 999999) // 1000000)
+      SELECT day, tag, n, quantile FROM q ORDER BY day, tag"""))
+
+  /** Language-ID confusion matrix: `langId` predictions against the
+    * labeled `lang` column, row-normalized — the classifier-quality
+    * report for the n-gram heuristic (only docs with ≥1 keyword hit are
+    * classified, as in q29). */
+  val q153_lang_confusion: Q = Q(
+    (s, d) => {
+      val docs = docsRebalanced(s, d)
+      TextAnalysis.langId(docs)
+        .join(docs.select(col("doc_id"), col("lang")), "doc_id")
+        .groupBy("lang", "pred_lang")
+        .agg(count(lit(1)).as("n"))
+        .withColumn("row_total",
+          sum(col("n")).over(Window.partitionBy(col("lang"))))
+        .withColumn("frac", col("n").cast("double") / col("row_total"))
+        .orderBy("lang", "pred_lang")
+    },
+    Some(s"""WITH h AS (SELECT doc_id, lang, $duckLangHitDefs
+        FROM (SELECT doc_id, lang, string_split(text, ' ') AS w FROM documents)),
+      p AS (SELECT doc_id, lang, $duckLangArgmax AS pred_lang
+            FROM h WHERE greatest($duckLangCols) > 0),
+      m AS (SELECT lang, pred_lang, CAST(COUNT(*) AS BIGINT) AS n
+            FROM p GROUP BY lang, pred_lang)
+      SELECT lang, pred_lang, n,
+        CAST(SUM(n) OVER (PARTITION BY lang) AS BIGINT) AS row_total,
+        CAST(n AS DOUBLE) / CAST(SUM(n) OVER (PARTITION BY lang) AS BIGINT) AS frac
+      FROM m ORDER BY lang, pred_lang"""))
+
+  /** Point-in-time state (`Temporal.stateAt`): every user's latest value
+    * at the event-log midpoint — the reproducible-snapshot
+    * materialization; cut derived from the same min/max both engines. */
+  val q154_state_at: Q = Q(
+    (s, d) => {
+      val ev = eventsNs(s, d).withColumn("tus", expr("ts div 1000"))
+      val Array(lo, hi) = ev.agg(min(col("tus")), max(col("tus"))).head()
+        .toSeq.map(_.asInstanceOf[Long]).toArray
+      Temporal.stateAt(ev, (lo + hi) / 2).orderBy("user_id")
+    },
+    Some("""WITH e AS (SELECT event_id, user_id, epoch_us(ts) AS tus, value FROM events),
+      cut AS (SELECT (MIN(tus) + MAX(tus)) // 2 AS t FROM e),
+      f AS (SELECT e.* FROM e, cut WHERE e.tus <= cut.t),
+      r AS (SELECT user_id, tus, value, event_id,
+              ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY tus DESC, event_id DESC) AS rn,
+              CAST(COUNT(*) OVER (PARTITION BY user_id) AS BIGINT) AS n_events,
+              MAX(tus) OVER (PARTITION BY user_id) AS last_ts
+            FROM f)
+      SELECT user_id, n_events, last_ts, value AS last_value
+      FROM r WHERE rn = 1 ORDER BY user_id"""))
+
   /** Poisson-bootstrap 95% CI on mean doc length
     * (`Selection.bootstrapSummary`): 16 deterministic Poisson(1) replicas
     * in ONE pass (md5 uniforms + the shared CDF-literal cascade), replica
@@ -4493,5 +4560,8 @@ object Queries {
     "q148_chi2" -> q148_chi2,
     "q149_ks" -> q149_ks,
     "q150_attribution_linear" -> q150_attribution_linear,
-    "q151_top_paths" -> q151_top_paths)
+    "q151_top_paths" -> q151_top_paths,
+    "q152_daily_bands" -> q152_daily_bands,
+    "q153_lang_confusion" -> q153_lang_confusion,
+    "q154_state_at" -> q154_state_at)
 }

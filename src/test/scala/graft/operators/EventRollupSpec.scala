@@ -49,6 +49,16 @@ class EventRollupSpec extends SparkSpec {
       (3L, 3L, 2.0), (4L, 3L, 3.0), (5L, 3L, 4.0)))
   }
 
+  test("stateAt: latest value at-or-before the cut, (ts, id) tie-break") {
+    val e = Seq(
+      (1L, 1L, 10L, 1.0), (2L, 1L, 50L, 2.0), (3L, 1L, 50L, 3.0), // tie at 50: id 3 wins
+      (4L, 1L, 90L, 4.0),                                          // after cut 60: excluded
+      (5L, 2L, 70L, 5.0)                                           // user 2 starts after cut
+    ).toDF("event_id", "user_id", "tus", "value")
+    val out = Temporal.stateAt(e, t = 60L).orderBy("user_id").collect()
+    assert(out.toSeq == Seq(Row(1L, 3L, 50L, 3.0)))
+  }
+
   test("linearAttribution: equal micro-credit split, no-touch conversions absent") {
     val conv = Seq((100L, 1L, 1000L), (101L, 2L, 1000L)).toDF("event_id", "user_id", "tus")
     val touch = Seq(
