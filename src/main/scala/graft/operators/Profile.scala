@@ -19,6 +19,36 @@ import org.apache.spark.sql.functions._
   */
 object Profile {
 
+  /** Per-group equi-width histogram: `bins` buckets between the group's
+    * own min/max, with bin edges and exact counts — the distribution
+    * report behind drift dashboards (pair with `Selection.ksTest` for
+    * the decision). Group stats are a tiny broadcast aggregate; binning
+    * is the same floor arithmetic as `Selection.quantilesByGroup`
+    * (deterministic double ops, identical on any engine); ONE (group,
+    * bin) hash aggregate bounded by #groups·bins. Degenerate groups
+    * (min == max) collapse to bin 0. */
+  def histogram(
+      df: DataFrame,
+      groupCol: String,
+      valueCol: String,
+      bins: Int = 10): DataFrame = {
+    require(bins >= 1, "bins must be positive")
+    val v = col(valueCol).cast("double")
+    val stats = df.groupBy(col(groupCol))
+      .agg(min(v).as("_lo"), max(v).as("_hi"))
+    df.join(broadcast(stats), groupCol)
+      .withColumn("bin",
+        when(col("_hi") === col("_lo"), lit(0))
+          .otherwise(least(lit(bins - 1),
+            floor((v - col("_lo")) * bins / (col("_hi") - col("_lo"))).cast("int"))))
+      .groupBy(col(groupCol), col("bin"))
+      .agg(count(lit(1)).as("n"),
+        min(col("_lo")).as("_lo"), min(col("_hi")).as("_hi"))
+      .withColumn("bin_lo", col("_lo") + col("bin") * (col("_hi") - col("_lo")) / bins)
+      .withColumn("bin_hi", col("_lo") + (col("bin") + 1) * (col("_hi") - col("_lo")) / bins)
+      .select(groupCol, "bin", "bin_lo", "bin_hi", "n")
+  }
+
   def profile(df: DataFrame, cols: Seq[String]): DataFrame = {
     require(cols.nonEmpty, "need at least one column to profile")
     val aggs = cols.flatMap(c => Seq(

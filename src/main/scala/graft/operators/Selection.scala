@@ -738,6 +738,29 @@ object Selection {
       .select("n1", "n2", "d")
   }
 
+  /** Per-group empirical-CDF transform in integer PPM: for each row,
+    * `ppm = ⌊10⁶ · #(values ≤ v) / n⌋` within its group — the
+    * percentile-rank feature normalization (rank-gauss prep, score
+    * calibration) with NO floats anywhere: the ≤-count rides a RANGE
+    * window (ties included by definition), the ppm is one integer
+    * multiply-divide. One keyed window shuffle. */
+  def cdfPpmByGroup(
+      df: DataFrame,
+      groupCol: String,
+      valueCol: Column,
+      idCol: String = "doc_id"): DataFrame = {
+    // windows bind to the RENAMED column: the projection below drops the
+    // original valueCol from scope
+    val wLe = Window.partitionBy(col(groupCol)).orderBy(col("v"))
+      .rangeBetween(Window.unboundedPreceding, Window.currentRow)
+    val wN = Window.partitionBy(col(groupCol))
+    df.select(col(idCol), col(groupCol), valueCol.as("v"))
+      .withColumn("_le", count(lit(1)).over(wLe))
+      .withColumn("n", count(lit(1)).over(wN))
+      .withColumn("ppm", expr("(_le * 1000000L) div n"))
+      .select(idCol, groupCol, "v", "n", "ppm")
+  }
+
   // ==================================================== Poisson bootstrap
 
   /** Poisson(1) CDF thresholds as SHORT DECIMAL LITERALS (9 dp) — the

@@ -920,6 +920,31 @@ object TextAnalysis {
     * rule), then a per-doc aggregate. Two shuffles total, both on keys
     * that hash evenly (gram text, doc id); counts exact, the fraction one
     * long/long division. */
+  /** Character-class profile: per-doc counts and fractions of letters,
+    * digits, spaces, and sentence punctuation — the cheap structural
+    * quality features (a doc that is 40% digits is a table dump; 0%
+    * spaces is a blob). Pure replace-based counting like [[quality]]'s
+    * punct ratio — portable regex, zero shuffles, streaming-safe. */
+  def charClasses(
+      docs: DataFrame,
+      textCol: String = "text",
+      idCol: String = "doc_id"): DataFrame = {
+    def cnt(pattern: String) =
+      (length(col(textCol)) -
+        length(regexp_replace(col(textCol), pattern, ""))).cast("long")
+    docs.select(
+      col(idCol),
+      length(col(textCol)).cast("long").as("n_chars"),
+      cnt("[A-Za-z]").as("n_letters"),
+      cnt("[0-9]").as("n_digits"),
+      cnt(" ").as("n_spaces"),
+      cnt("[.,!?;]").as("n_punct"))
+      .withColumn("letter_frac",
+        when(col("n_chars") > 0, col("n_letters").cast("double") / col("n_chars")))
+      .withColumn("digit_frac",
+        when(col("n_chars") > 0, col("n_digits").cast("double") / col("n_chars")))
+  }
+
   /** SQL fragment: `(run_count, Σ c·round(ln(c)·1e6))` fold pieces for
     * [[charEntropy]] — micro-log integers so the per-doc entropy is a
     * single exact-integer numerator over one division. */

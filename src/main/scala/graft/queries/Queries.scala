@@ -3818,6 +3818,63 @@ object Queries {
       SELECT user_id, n_events, last_ts, value AS last_value
       FROM r WHERE rn = 1 ORDER BY user_id"""))
 
+  /** Integer percentile-rank transform (`Selection.cdfPpmByGroup`):
+    * per-doc length ppm within its language — RANGE-window ≤-count,
+    * one integer multiply-divide, no floats. */
+  val q155_cdf_ppm: Q = Q(
+    (s, d) => Selection.cdfPpmByGroup(
+        docsRebalanced(s, d), "lang", col("n_chars"))
+      .orderBy("doc_id"),
+    Some("""WITH r AS (SELECT doc_id, lang, n_chars AS v,
+        CAST(COUNT(*) OVER (PARTITION BY lang ORDER BY n_chars
+          RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS le,
+        CAST(COUNT(*) OVER (PARTITION BY lang) AS BIGINT) AS n
+      FROM documents)
+      SELECT doc_id, lang, v, n, (le * 1000000) // n AS ppm
+      FROM r ORDER BY doc_id"""))
+
+  /** Per-day equi-width value histogram (`Profile.histogram`): 10 bins
+    * between each day's min/max with exact counts — the drift-dashboard
+    * distribution report (quantilesByGroup's binning arithmetic). */
+  val q156_histogram: Q = Q(
+    (s, d) => Profile.histogram(
+        eventsNs(s, d).select(expr("(ts div 1000) div 86400000000").as("day"), col("value")),
+        "day", "value", bins = 10)
+      .orderBy("day", "bin"),
+    Some("""WITH e AS (SELECT epoch_us(ts) // 86400000000 AS day, value FROM events),
+      s AS (SELECT day, MIN(value) AS lo, MAX(value) AS hi FROM e GROUP BY day),
+      b AS (SELECT e.day,
+              CASE WHEN s.hi = s.lo THEN 0
+                ELSE CAST(least(9, CAST(floor((e.value - s.lo) * 10 / (s.hi - s.lo)) AS INT)) AS INT)
+              END AS bin,
+              s.lo, s.hi
+            FROM e JOIN s ON e.day = s.day),
+      g AS (SELECT day, bin, CAST(COUNT(*) AS BIGINT) AS n,
+              MIN(lo) AS lo, MIN(hi) AS hi FROM b GROUP BY day, bin)
+      SELECT day, bin,
+        lo + bin * (hi - lo) / 10 AS bin_lo,
+        lo + (bin + 1) * (hi - lo) / 10 AS bin_hi, n
+      FROM g ORDER BY day, bin"""))
+
+  /** Character-class structural profile (`TextAnalysis.charClasses`):
+    * letters/digits/spaces/punct counts + fractions — replace-based,
+    * zero-shuffle quality features. */
+  val q157_char_classes: Q = Q(
+    (s, d) => TextAnalysis.charClasses(docsRebalanced(s, d)).orderBy("doc_id"),
+    Some("""SELECT doc_id,
+        CAST(length(text) AS BIGINT) AS n_chars,
+        CAST(length(text) - length(regexp_replace(text, '[A-Za-z]', '', 'g')) AS BIGINT) AS n_letters,
+        CAST(length(text) - length(regexp_replace(text, '[0-9]', '', 'g')) AS BIGINT) AS n_digits,
+        CAST(length(text) - length(regexp_replace(text, ' ', '', 'g')) AS BIGINT) AS n_spaces,
+        CAST(length(text) - length(regexp_replace(text, '[.,!?;]', '', 'g')) AS BIGINT) AS n_punct,
+        CASE WHEN length(text) > 0 THEN
+          CAST(length(text) - length(regexp_replace(text, '[A-Za-z]', '', 'g')) AS DOUBLE)
+            / CAST(length(text) AS BIGINT) END AS letter_frac,
+        CASE WHEN length(text) > 0 THEN
+          CAST(length(text) - length(regexp_replace(text, '[0-9]', '', 'g')) AS DOUBLE)
+            / CAST(length(text) AS BIGINT) END AS digit_frac
+      FROM documents ORDER BY doc_id"""))
+
   /** Poisson-bootstrap 95% CI on mean doc length
     * (`Selection.bootstrapSummary`): 16 deterministic Poisson(1) replicas
     * in ONE pass (md5 uniforms + the shared CDF-literal cascade), replica
@@ -4563,5 +4620,8 @@ object Queries {
     "q151_top_paths" -> q151_top_paths,
     "q152_daily_bands" -> q152_daily_bands,
     "q153_lang_confusion" -> q153_lang_confusion,
-    "q154_state_at" -> q154_state_at)
+    "q154_state_at" -> q154_state_at,
+    "q155_cdf_ppm" -> q155_cdf_ppm,
+    "q156_histogram" -> q156_histogram,
+    "q157_char_classes" -> q157_char_classes)
 }

@@ -18,6 +18,33 @@ class ProfileTrendSpec extends SparkSpec {
       Row("s", 4L, 1L, 2L, "a", "b")))
   }
 
+  test("cdfPpmByGroup: ties share the <=-count, integer ppm") {
+    val df = Seq((1L, "g", 10L), (2L, "g", 10L), (3L, "g", 20L), (4L, "g", 30L))
+      .toDF("doc_id", "g", "x")
+    val out = Selection.cdfPpmByGroup(df, "g", col("x")).orderBy("doc_id").collect()
+    // <=-counts: 10 -> 2 (both ties), 20 -> 3, 30 -> 4; n = 4
+    assert(out.map(_.getLong(4)).toSeq == Seq(500000L, 500000L, 750000L, 1000000L))
+  }
+
+  test("histogram: equi-width bins with clamped top edge, degenerate group") {
+    val df = (Seq.fill(3)(("a", 0.0)) ++ Seq(("a", 5.0), ("a", 10.0)) ++
+      Seq(("b", 7.0), ("b", 7.0))).toDF("g", "v")
+    val out = Profile.histogram(df, "g", "v", bins = 10).orderBy("g", "bin").collect()
+    val a = out.filter(_.getString(0) == "a").map(r => (r.getInt(1), r.getLong(4)))
+    assert(a.toSeq == Seq((0, 3), (5, 1), (9, 1))) // max lands in the last bin
+    val b = out.filter(_.getString(0) == "b")
+    assert(b.length == 1 && b(0).getInt(1) == 0 && b(0).getLong(4) == 2L)
+  }
+
+  test("charClasses: hand-counted class profile") {
+    val out = TextAnalysis.charClasses(
+      Seq((1L, "Ab1 c,d!")).toDF("doc_id", "text")).head()
+    // "Ab1 c,d!": 8 chars, 4 letters, 1 digit, 1 space, 2 punct (, !)
+    assert(out.getLong(1) == 8L && out.getLong(2) == 4L && out.getLong(3) == 1L)
+    assert(out.getLong(4) == 1L && out.getLong(5) == 2L)
+    assert(out.getDouble(6) == 0.5 && out.getDouble(7) == 0.125)
+  }
+
   test("trendByGroup: exact line recovered, degenerate x -> nulls") {
     val line = (1 to 5).map(i => (1L, i.toLong, 2L * i + 3)) ++
       Seq((2L, 7L, 1L), (2L, 7L, 9L)) // zero x-variance group
