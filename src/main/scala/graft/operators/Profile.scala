@@ -49,6 +49,36 @@ object Profile {
       .select(groupCol, "bin", "bin_lo", "bin_hi", "n")
   }
 
+  /** Benford's-law expected first-digit frequencies as PPB integer
+    * literals (round(log10(1+1/d)·1e9)) — shared verbatim with the SQL
+    * oracle so both engines compare against identical constants. */
+  private[graft] val BenfordPpb: Seq[Long] =
+    (1 to 9).map(d => math.round(math.log10(1.0 + 1.0 / d) * 1e9))
+
+  /** Benford's-law first-digit audit of a positive integer metric — the
+    * classic fabricated-data / unit-mix-up detector for financial and
+    * measurement columns. The first digit comes from the INTEGER's
+    * decimal string (no double formatting, no log10 on data), observed
+    * frequencies are integer PPB (`n_d·1e9 div N`), and the deviation
+    * from Benford is an integer |obs − exp| — the whole report is exact
+    * integer arithmetic. One hash aggregate on a 9-value key. */
+  def benford(df: DataFrame, valueCol: String): DataFrame = {
+    val digit = expr(s"CAST(substr(CAST($valueCol AS STRING), 1, 1) AS BIGINT)")
+    val expected = BenfordPpb.zipWithIndex
+      .foldLeft(lit(null).cast("long")) { case (acc, (ppb, i)) =>
+        when(col("digit") === (i + 1), lit(ppb)).otherwise(acc)
+      }
+    df.filter(col(valueCol) > 0)
+      .groupBy(digit.as("digit"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("n_total",
+        sum(col("n")).over(org.apache.spark.sql.expressions.Window.partitionBy()))
+      .withColumn("obs_ppb", expr("(n * 1000000000L) div n_total"))
+      .withColumn("exp_ppb", expected)
+      .withColumn("diff_ppb", abs(col("obs_ppb") - col("exp_ppb")))
+      .select("digit", "n", "n_total", "obs_ppb", "exp_ppb", "diff_ppb")
+  }
+
   def profile(df: DataFrame, cols: Seq[String]): DataFrame = {
     require(cols.nonEmpty, "need at least one column to profile")
     val aggs = cols.flatMap(c => Seq(

@@ -3875,6 +3875,32 @@ object Queries {
             / CAST(length(text) AS BIGINT) END AS digit_frac
       FROM documents ORDER BY doc_id"""))
 
+  /** Benford first-digit audit (`Profile.benford`) on lineitem extended
+    * price in cents: digit from the INTEGER's decimal string, observed
+    * and expected frequencies as integer PPB, deviation an integer
+    * |obs−exp| — the fabricated-data detector, fully exact. */
+  val q158_benford: Q = Q(
+    (s, d) => Profile.benford(
+        table(s, d, "lineitem")
+          .withColumn("cents", (col("l_extendedprice").cast(dec) * 100).cast("long")),
+        "cents")
+      .orderBy("digit"),
+    Some {
+      val expCase = Profile.BenfordPpb.zipWithIndex
+        .map { case (ppb, i) => s"WHEN digit = ${i + 1} THEN ${ppb}" }.mkString(" ")
+      s"""WITH v AS (SELECT CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+              FROM lineitem),
+      dg AS (SELECT CAST(substr(CAST(cents AS VARCHAR), 1, 1) AS BIGINT) AS digit
+             FROM v WHERE cents > 0),
+      g AS (SELECT digit, CAST(COUNT(*) AS BIGINT) AS n FROM dg GROUP BY digit),
+      t AS (SELECT digit, n, CAST(SUM(n) OVER () AS BIGINT) AS n_total FROM g)
+      SELECT digit, n, n_total,
+        (n * 1000000000) // n_total AS obs_ppb,
+        CAST(CASE $expCase END AS BIGINT) AS exp_ppb,
+        abs((n * 1000000000) // n_total - CAST(CASE $expCase END AS BIGINT)) AS diff_ppb
+      FROM t ORDER BY digit"""
+    })
+
   /** Poisson-bootstrap 95% CI on mean doc length
     * (`Selection.bootstrapSummary`): 16 deterministic Poisson(1) replicas
     * in ONE pass (md5 uniforms + the shared CDF-literal cascade), replica
@@ -4623,5 +4649,6 @@ object Queries {
     "q154_state_at" -> q154_state_at,
     "q155_cdf_ppm" -> q155_cdf_ppm,
     "q156_histogram" -> q156_histogram,
-    "q157_char_classes" -> q157_char_classes)
+    "q157_char_classes" -> q157_char_classes,
+    "q158_benford" -> q158_benford)
 }

@@ -45,6 +45,18 @@ class ProfileTrendSpec extends SparkSpec {
     assert(out.getDouble(6) == 0.5 && out.getDouble(7) == 0.125)
   }
 
+  test("benford: exact integer report on a hand distribution") {
+    // 6x first-digit-1, 3x digit-2, 1x digit-9; zero/negative dropped
+    val vals = Seq(1L, 10L, 123L, 15L, 1999L, 100L, 2L, 25L, 299L, 900L, 0L, -5L)
+    val out = Profile.benford(vals.toDF("v"), "v").orderBy("digit").collect()
+    assert(out.map(r => (r.getLong(0), r.getLong(1))).toSeq ==
+      Seq((1L, 6L), (2L, 3L), (9L, 1L)))
+    assert(out.forall(_.getLong(2) == 10L))
+    assert(out(0).getLong(3) == 600000000L) // 6/10 in ppb
+    assert(out(0).getLong(4) == 301029996L) // round(log10(2)*1e9)
+    assert(out(0).getLong(5) == 298970004L)
+  }
+
   test("trendByGroup: exact line recovered, degenerate x -> nulls") {
     val line = (1 to 5).map(i => (1L, i.toLong, 2L * i + 3)) ++
       Seq((2L, 7L, 1L), (2L, 7L, 9L)) // zero x-variance group
