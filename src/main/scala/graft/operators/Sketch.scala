@@ -1,0 +1,206 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Probabilistic sketches with DETERMINISTIC, engine-portable
+  * constructions — every hash is the library-wide 60-bit md5 prefix, so a
+  * DuckDB oracle rebuilds the identical sketch bit-for-bit and the
+  * correctness gate checks the ESTIMATES exactly, not just statistically.
+  *
+  * Why sketches at 100 TB: exact `COUNT(DISTINCT)` shuffles every key;
+  * exact heavy-hitters shuffles every (key, count) pair; exact
+  * decontamination joins the full gram table. The sketch versions ship a
+  * CONSTANT-size summary per partition/group (an HLL register file, a
+  * d×w counter grid, an m-bit Bloom filter) with map-side combine, so
+  * the shuffle is O(sketch) per group instead of O(data). All three here
+  * follow the published constructions:
+  *   - HyperLogLog: Flajolet, Fusy, Gandouet, Meunier (AofA 2007).
+  *   - Count-Min: Cormode & Muthukrishnan (J. Algorithms 2005).
+  *   - Bloom: Bloom (CACM 1970); used as the broadcastable pre-filter in
+  *     front of the exact q63-style anti-join.
+  *
+  * Reference context: pyresample has no sketch family; this extends the
+  * curation surface (SURVEY "training-data pipeline" extras) the same way
+  * `Dedup`/`TextAnalysis` do.
+  */
+object Sketch {
+
+  /** The library-wide oracle-portable 60-bit hash: md5 hex prefix → long. */
+  private def h60(c: Column): Column =
+    conv(substring(md5(c), 1, 15), 16, 10).cast("long")
+
+  // ------------------------------------------------------------------ HLL
+
+  /** HyperLogLog distinct-count estimate per group, plus the exact
+    * distinct for calibration.
+    *
+    * Construction (all integer until the final division):
+    * h = md5-60bit(key); bucket = h mod m (m = 2^b registers); the
+    * remaining W = 60-b bits give rho = leading-zeros+1 = W+1-bitlen
+    * (both engines agree on `length(bin(x))` — no leading zeros, and
+    * bin(0)='0'). Register M_j = max rho per bucket. The harmonic
+    * denominator is kept EXACT by scaling by 2^(W+1): s_int =
+    * Σ_observed 2^(W+1-M_j) + v_empty·2^(W+1) (≤ m·2^(W+1) = 2^61 at
+    * b=8 — no overflow). Estimate = alphaNum / s_int — ONE double
+    * division of deterministic operands — with the standard
+    * linear-counting fallback m·ln(m/V) when E ≤ 2.5m and V>0, rounded
+    * to 6 decimals immediately (libm ulp discipline).
+    *
+    * Scale shape: one hash-aggregation to the register file (m rows per
+    * group, map-side combined), one tiny per-group rollup. The exact
+    * distinct (for the calibration column) is the expensive half — a
+    * production pipeline drops it and keeps only the sketch.
+    */
+  def hllDistinct(
+      df: DataFrame,
+      keyCol: Column,
+      groupCols: Seq[String],
+      b: Int = 8): DataFrame = {
+    val m = 1 << b
+    val w = 60 - b
+    val alphaNum = hllAlphaNum(b)
+    val g = groupCols.map(col)
+    val h = h60(keyCol.cast("string"))
+    val hashed = df.select(
+      (g :+ (h % m).as("bucket") :+ (h / m).as("rem")): _*)
+    val regs = hashed
+      .withColumn("rho",
+        when(col("rem") === 0, lit(w + 1))
+          .otherwise(lit(w + 1) - length(expr("bin(rem)"))))
+      .groupBy((g :+ col("bucket")): _*)
+      .agg(max("rho").as("m_reg"))
+    val perGroup = regs
+      .groupBy(g: _*)
+      .agg(
+        count(lit(1)).as("observed"),
+        sum(expr(s"shiftleft(CAST(1 AS BIGINT), ${w + 1} - m_reg)")).as("s_obs"))
+      .withColumn("v_empty", lit(m.toLong) - col("observed"))
+      .withColumn("s_int",
+        col("s_obs") + col("v_empty") * lit(1L << (w + 1)))
+      .withColumn("raw_e", lit(alphaNum) / col("s_int").cast("double"))
+      .withColumn("hll_est",
+        round(when(col("raw_e") <= lit(2.5 * m) && col("v_empty") > 0,
+          lit(m.toDouble) * log(lit(m.toDouble) / col("v_empty").cast("double")))
+          .otherwise(col("raw_e")), 6))
+    val exact = df
+      .groupBy(g: _*)
+      .agg(countDistinct(keyCol).as("n_exact"))
+    perGroup
+      .join(exact, groupCols)
+      .select((g ++ Seq(col("n_exact"), col("v_empty"), col("s_int"), col("hll_est"))): _*)
+  }
+
+  /** alpha_m · m² · 2^(W+1) as ONE Scala double — interpolate the SAME
+    * literal into the oracle SQL (CAST('…' AS DOUBLE)) so both engines
+    * divide identical numerators. */
+  def hllAlphaNum(b: Int): Double = {
+    val m = 1 << b
+    val alpha = 0.7213 / (1.0 + 1.079 / m)
+    alpha * m.toDouble * m.toDouble * math.pow(2.0, (60 - b + 1).toDouble)
+  }
+
+  // ----------------------------------------------------------- Count-Min
+
+  /** Count-Min heavy-hitter estimates: build a d×w counter grid over the
+    * corpus word stream, then read back the top-`k` exact words through
+    * the sketch. `n_est = min_i grid[i][h_i(word)]` NEVER undercounts
+    * (the spec asserts it); `overcount` is the collision noise the
+    * sketch trades for O(d·w) size.
+    *
+    * Scale shape: the grid build is ONE aggregation keyed by (row, slot)
+    * — at most d·w = 4096 groups regardless of corpus size, fully
+    * map-side combined: the shuffle is the GRID, not the words. The
+    * exact top-k half exists only for calibration; production reads any
+    * word's estimate with d lookups against the broadcast grid.
+    */
+  def countMinTopK(
+      docs: DataFrame,
+      d: Int = 4,
+      w: Int = 1024,
+      k: Int = 20,
+      textCol: String = "text",
+      idCol: String = "doc_id"): DataFrame = {
+    val words = docs.select(explode(split(col(textCol), " ")).as("word"))
+    val rows = (0 until d).map(lit(_))
+    // one word-count aggregate feeds BOTH the grid and the exact top-k:
+    // the d-way explode runs over distinct words, not the raw stream, and
+    // the shared shuffled intermediate dedupes physically (ReuseExchange)
+    val wc = words.groupBy("word").agg(count(lit(1)).as("c"))
+    val grid = wc
+      .select(col("word"), col("c"), explode(array(rows: _*)).as("row"))
+      .withColumn("slot", h60(concat(col("row").cast("string"), lit("#"), col("word"))) % w)
+      .groupBy("row", "slot")
+      .agg(sum("c").as("cnt"))
+    val topExact = wc
+      .select(col("word"), col("c").as("n_exact"))
+      .orderBy(col("n_exact").desc, col("word").asc)
+      .limit(k)
+    val est = topExact
+      .select(col("word"), col("n_exact"), explode(array(rows: _*)).as("row"))
+      .withColumn("slot", h60(concat(col("row").cast("string"), lit("#"), col("word"))) % w)
+      .join(grid, Seq("row", "slot"))
+      .groupBy("word", "n_exact")
+      .agg(min("cnt").as("n_est"))
+    est
+      .withColumn("overcount", col("n_est") - col("n_exact"))
+      .orderBy(col("n_exact").desc, col("word").asc)
+  }
+
+  // --------------------------------------------------------------- Bloom
+
+  /** Bloom-filter contamination pre-filter: hash the benchmark's distinct
+    * `n`-grams into an m-bit filter (k md5 positions per gram), then
+    * probe every corpus gram. Reports, per doc: gram count, Bloom hits,
+    * TRUE hits (exact semi-join), and false positives — the filter's
+    * real FP behaviour on this corpus. No false negatives by
+    * construction (`n_bloom_hits >= n_true_hits` always; spec asserts).
+    *
+    * Scale shape: this is the production front-end for q63-style exact
+    * decontamination — the bit table is ≤ m rows ≈ KBs (broadcast to
+    * every executor; at 100 TB the corpus-side gram table never
+    * shuffles), and only Bloom-positive grams proceed to the exact
+    * anti-join, cutting its input by the true-negative rate. Probing is
+    * a k-way explode + broadcast-hash-join + all-k count per gram.
+    */
+  def bloomContamination(
+      corpus: DataFrame,
+      benchmark: DataFrame,
+      n: Int = 6,
+      mBits: Int = 65536,
+      kHashes: Int = 3,
+      textCol: String = "text",
+      idCol: String = "doc_id"): DataFrame = {
+    val hs = (0 until kHashes).map(lit(_))
+    def positions(grams: DataFrame): DataFrame = grams
+      .select(col("ngram"), explode(array(hs: _*)).as("j"))
+      .withColumn("pos", h60(concat(col("j").cast("string"), lit("#"), col("ngram"))) % mBits)
+    val benchGrams = benchmark
+      .select(split(col(textCol), " ").as("w"))
+      .select(explode(expr(TextAnalysis.gramsSql(n))).as("ngram"))
+      .distinct()
+    val bits = positions(benchGrams).select("pos").distinct()
+    val corpusGrams = corpus
+      .select(col(idCol), split(col(textCol), " ").as("w"))
+      .select(col(idCol), explode(expr(TextAnalysis.gramsSql(n))).as("ngram"))
+      .distinct()
+    val distinctGrams = corpusGrams.select("ngram").distinct()
+    val bloomHits = positions(distinctGrams)
+      .join(broadcast(bits), Seq("pos"))
+      .groupBy("ngram")
+      .agg(count(lit(1)).as("n_set"))
+      .filter(col("n_set") === kHashes)
+      .select("ngram")
+    val trueHits = distinctGrams.join(benchGrams, Seq("ngram")).select("ngram")
+    val perDoc = corpusGrams
+      .join(bloomHits.withColumn("is_bloom", lit(1L)), Seq("ngram"), "left")
+      .join(trueHits.withColumn("is_true", lit(1L)), Seq("ngram"), "left")
+      .groupBy(col(idCol))
+      .agg(
+        count(lit(1)).as("n_grams"),
+        coalesce(sum("is_bloom"), lit(0L)).as("n_bloom_hits"),
+        coalesce(sum("is_true"), lit(0L)).as("n_true_hits"))
+      .withColumn("n_false_pos", col("n_bloom_hits") - col("n_true_hits"))
+    perDoc.orderBy(idCol)
+  }
+}

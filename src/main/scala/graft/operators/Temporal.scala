@@ -549,4 +549,74 @@ object Temporal {
       .withColumn("p", col("n").cast("double") / col("row_total"))
       .select("from_type", "to_type", "n", "row_total", "p")
   }
+
+  /** CUSUM upward-shift detector (Page 1954) over a per-key daily series,
+    * entirely in INTEGER micro-units — bit-exact on any engine.
+    *
+    * The sequential recurrence S_t = max(0, S_{t-1} + x_t − ref − slack)
+    * looks inherently serial, but resets-at-zero have the closed form
+    * S_t = P_t − min(0, min_{j≤t} P_j) where P is the prefix sum of the
+    * drifts — i.e. TWO stock window functions (running sum + running
+    * min), no recursion, no driver loop. `ref` is the per-key integer
+    * mean of the daily sums (one div), `slack = ref div 20` (the
+    * classic k≈σ/2 allowance), and the alarm fires when S_t exceeds
+    * `4·ref` (h≈4σ in micro-units).
+    *
+    * Scale shape: one hash aggregate to (key, day) — map-side combined,
+    * the daily table is O(keys × days) regardless of event volume — then
+    * two windows partitioned by key over that SMALL table. Nothing
+    * touches the raw log twice. */
+  def cusum(
+      events: DataFrame,
+      keyCol: String = "event_type",
+      dayCol: String = "day",
+      valueCol: String = "value"): DataFrame = {
+    val daily = events
+      .groupBy(col(keyCol), col(dayCol))
+      .agg(sum(col(valueCol).cast(DecimalType(18, 6)) * 1000000).cast("long").as("day_micro"))
+    val wk = Window.partitionBy(keyCol)
+    val wOrd = Window.partitionBy(keyCol).orderBy(dayCol)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    daily
+      .withColumn("_tot", sum("day_micro").over(wk))
+      .withColumn("_nd", count(lit(1)).over(wk))
+      // integer `div`, not double `/`: a double quotient cast to long can
+      // disagree with the oracle's `//` at near-integer boundaries
+      .withColumn("ref", expr("_tot div _nd"))
+      .withColumn("drift", col("day_micro") - col("ref") - expr("ref div 20"))
+      .withColumn("p", sum("drift").over(wOrd))
+      .withColumn("runmin", least(lit(0L), min("p").over(wOrd)))
+      .withColumn("s_t", col("p") - col("runmin"))
+      .withColumn("alarm", (col("s_t") > col("ref") * 4).cast("int"))
+      .select(keyCol, dayCol, "day_micro", "ref", "s_t", "alarm")
+  }
+
+  /** Activity streaks (gaps-and-islands): per user, the count of active
+    * days, number of maximal consecutive-day runs, the longest run, and
+    * the last active day. The island id is the classic
+    * `day − row_number()` constant — consecutive days share it.
+    *
+    * Exact integers end-to-end. Scale shape: distinct (user, day) — a
+    * hash aggregate bounded by users×days, NOT event volume — one keyed
+    * window for row_number, then two keyed aggregates over tables that
+    * only shrink. */
+  def streaks(
+      events: DataFrame,
+      userCol: String = "user_id",
+      dayCol: String = "day"): DataFrame = {
+    val active = events.select(col(userCol), col(dayCol)).distinct()
+    val w = Window.partitionBy(userCol).orderBy(dayCol)
+    val islands = active
+      .withColumn("grp", col(dayCol) - row_number().over(w))
+      .groupBy(col(userCol), col("grp"))
+      .agg(count(lit(1)).as("len"), max(dayCol).as("grp_end"))
+    islands
+      .groupBy(col(userCol))
+      .agg(
+        sum("len").as("n_active_days"),
+        count(lit(1)).as("n_streaks"),
+        max("len").as("longest_streak"),
+        max("grp_end").as("last_day"))
+      .orderBy(userCol)
+  }
 }

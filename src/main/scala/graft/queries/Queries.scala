@@ -4491,6 +4491,170 @@ object Queries {
       FROM st JOIN tt USING (tile_y, tile_x)
       GROUP BY tile_y, tile_x ORDER BY tile_y, tile_x"""))
 
+  /** HyperLogLog distinct users per event type (`Sketch.hllDistinct`,
+    * b=8 → 256 registers): the O(sketch)-shuffle replacement for exact
+    * COUNT(DISTINCT) at 100 TB. Deterministic md5-60bit hashing, integer
+    * register file, EXACT scaled-integer harmonic sum (Σ 2^(53−M_j)), one
+    * double division against a shared numerator literal, linear-counting
+    * fallback ln rounded to 6 — the oracle rebuilds the identical sketch
+    * and the gate checks the ESTIMATE bit-for-bit. */
+  val q159_hll_distinct: Q = Q(
+    (s, d) => Sketch.hllDistinct(
+        eventsNs(s, d), col("user_id"), Seq("event_type"))
+      .orderBy("event_type"),
+    Some(s"""WITH h AS (SELECT event_type,
+              CAST('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15) AS BIGINT) AS hv
+            FROM events),
+      r AS (SELECT event_type, hv % 256 AS bucket, hv // 256 AS rem FROM h),
+      rr AS (SELECT event_type, bucket,
+              CASE WHEN rem = 0 THEN 53 ELSE 53 - length(bin(rem)) END AS rho FROM r),
+      regs AS (SELECT event_type, bucket, MAX(rho) AS m_reg FROM rr GROUP BY 1, 2),
+      pg AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS observed,
+              CAST(SUM(CAST(1 AS BIGINT) << (53 - m_reg)) AS BIGINT) AS s_obs
+            FROM regs GROUP BY 1),
+      e AS (SELECT event_type, CAST(256 - observed AS BIGINT) AS v_empty,
+              s_obs + (256 - observed) * (CAST(1 AS BIGINT) << 53) AS s_int FROM pg),
+      est AS (SELECT event_type, v_empty, s_int,
+              CAST(${OracleSql.slit(Sketch.hllAlphaNum(8))} AS DOUBLE)
+                / CAST(s_int AS DOUBLE) AS raw_e FROM e),
+      x AS (SELECT event_type, CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_exact
+            FROM events GROUP BY 1)
+      SELECT event_type, n_exact, v_empty, s_int,
+        round(CASE WHEN raw_e <= 640.0 AND v_empty > 0
+          THEN 256.0 * ln(256.0 / v_empty) ELSE raw_e END, 6) AS hll_est
+      FROM est JOIN x USING (event_type)
+      ORDER BY event_type"""))
+
+  /** Count-Min heavy hitters (`Sketch.countMinTopK`, 4×1024 grid): the
+    * top-20 exact words read back through the sketch — `n_est` never
+    * undercounts; `overcount` is the collision noise. The grid build is
+    * one map-side-combined aggregate to ≤4096 cells whatever the corpus
+    * size; the oracle materializes the shared word-count CTE once. */
+  val q160_cms_heavy: Q = Q(
+    (s, d) => Sketch.countMinTopK(table(s, d, "documents")),
+    Some("""WITH words AS (SELECT unnest(string_split(text, ' ')) AS word FROM documents),
+      wc AS MATERIALIZED (SELECT word, CAST(COUNT(*) AS BIGINT) AS c FROM words GROUP BY word),
+      wr AS (SELECT word, c, unnest([0, 1, 2, 3]) AS rw FROM wc),
+      g AS (SELECT rw,
+              CAST('0x' || substr(md5(CAST(rw AS VARCHAR) || '#' || word), 1, 15) AS BIGINT) % 1024 AS slot,
+              CAST(SUM(c) AS BIGINT) AS cnt
+            FROM wr GROUP BY 1, 2),
+      topw AS (SELECT word, c AS n_exact FROM wc ORDER BY c DESC, word ASC LIMIT 20),
+      te AS (SELECT word, n_exact, unnest([0, 1, 2, 3]) AS rw FROM topw),
+      ts2 AS (SELECT word, n_exact, rw,
+              CAST('0x' || substr(md5(CAST(rw AS VARCHAR) || '#' || word), 1, 15) AS BIGINT) % 1024 AS slot
+            FROM te),
+      est AS (SELECT word, n_exact, MIN(cnt) AS n_est
+            FROM ts2 JOIN g USING (rw, slot) GROUP BY 1, 2)
+      SELECT word, n_exact, n_est, n_est - n_exact AS overcount
+      FROM est ORDER BY n_exact DESC, word ASC"""))
+
+  /** Bloom-filter decontamination pre-filter (`Sketch.bloomContamination`,
+    * 65536 bits, k=3, 6-grams, benchmark = the q63 doc_id%11 slice): per
+    * doc, gram count, Bloom hits, true hits and false positives — the
+    * broadcastable front-end that cuts the exact anti-join's input at
+    * 100 TB. No false negatives by construction. */
+  val q161_bloom_prefilter: Q = Q(
+    (s, d) => {
+      val docs = table(s, d, "documents")
+      Sketch.bloomContamination(docs, docs.filter(col("doc_id") % 11 === 0))
+    },
+    Some(s"""WITH ws AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+      g AS MATERIALIZED (SELECT DISTINCT doc_id, unnest(${duckGrams(6)}) AS ngram FROM ws),
+      bg AS MATERIALIZED (SELECT DISTINCT ngram FROM g WHERE doc_id % 11 = 0),
+      bits AS MATERIALIZED (SELECT DISTINCT
+              CAST('0x' || substr(md5(CAST(j AS VARCHAR) || '#' || ngram), 1, 15) AS BIGINT) % 65536 AS pos
+            FROM (SELECT ngram, unnest([0, 1, 2]) AS j FROM bg)),
+      dg AS MATERIALIZED (SELECT DISTINCT ngram FROM g),
+      probe AS (SELECT ngram,
+              CAST('0x' || substr(md5(CAST(j AS VARCHAR) || '#' || ngram), 1, 15) AS BIGINT) % 65536 AS pos
+            FROM (SELECT ngram, unnest([0, 1, 2]) AS j FROM dg)),
+      bh AS (SELECT ngram FROM probe JOIN bits USING (pos)
+            GROUP BY ngram HAVING COUNT(*) = 3),
+      th AS (SELECT g2.ngram FROM dg g2 JOIN bg USING (ngram)),
+      pd AS (SELECT g.doc_id,
+              CAST(COUNT(*) AS BIGINT) AS n_grams,
+              CAST(SUM(CASE WHEN bh.ngram IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_bloom_hits,
+              CAST(SUM(CASE WHEN th.ngram IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_true_hits
+            FROM g LEFT JOIN bh ON g.ngram = bh.ngram
+                   LEFT JOIN th ON g.ngram = th.ngram
+            GROUP BY g.doc_id)
+      SELECT doc_id, n_grams, n_bloom_hits, n_true_hits,
+        n_bloom_hits - n_true_hits AS n_false_pos
+      FROM pd ORDER BY doc_id"""))
+
+  /** CUSUM upward-shift detection per event type (`Temporal.cusum`): the
+    * serial max(0, S+x) recurrence as prefix-sum minus running-min — two
+    * stock windows over the small daily table, integer micro-units
+    * end-to-end. */
+  val q162_cusum: Q = Q(
+    (s, d) => Temporal.cusum(
+        eventsNs(s, d).select(col("event_type"),
+          expr("(ts div 1000) div 86400000000").as("day"), col("value")))
+      .orderBy("event_type", "day"),
+    Some("""WITH e AS (SELECT event_type, epoch_us(ts) // 86400000000 AS day, value FROM events),
+      dd AS (SELECT event_type, day,
+              CAST(SUM(CAST(value AS DECIMAL(18,6)) * 1000000) AS BIGINT) AS day_micro
+            FROM e GROUP BY 1, 2),
+      r AS (SELECT *,
+              SUM(day_micro) OVER (PARTITION BY event_type)
+                // COUNT(*) OVER (PARTITION BY event_type) AS ref FROM dd),
+      p AS (SELECT *, SUM(day_micro - ref - ref // 20)
+              OVER (PARTITION BY event_type ORDER BY day ROWS UNBOUNDED PRECEDING) AS cum
+            FROM r),
+      m AS (SELECT *, least(0, MIN(cum)
+              OVER (PARTITION BY event_type ORDER BY day ROWS UNBOUNDED PRECEDING)) AS runmin
+            FROM p)
+      SELECT event_type, day, day_micro, CAST(ref AS BIGINT) AS ref,
+        CAST(cum - runmin AS BIGINT) AS s_t,
+        CASE WHEN cum - runmin > ref * 4 THEN 1 ELSE 0 END AS alarm
+      FROM m ORDER BY event_type, day"""))
+
+  /** Activity streaks per user (`Temporal.streaks`): gaps-and-islands via
+    * the `day − row_number()` island constant — active days, streak
+    * count, longest streak, last day. Exact integers. */
+  val q163_streaks: Q = Q(
+    (s, d) => Temporal.streaks(
+      eventsNs(s, d).select(col("user_id"),
+        expr("(ts div 1000) div 86400000000").as("day"))),
+    Some("""WITH e AS (SELECT DISTINCT user_id, epoch_us(ts) // 86400000000 AS day FROM events),
+      i AS (SELECT user_id, day,
+              day - row_number() OVER (PARTITION BY user_id ORDER BY day) AS grp FROM e),
+      st AS (SELECT user_id, grp, CAST(COUNT(*) AS BIGINT) AS len, MAX(day) AS grp_end
+            FROM i GROUP BY 1, 2)
+      SELECT user_id, CAST(SUM(len) AS BIGINT) AS n_active_days,
+        CAST(COUNT(*) AS BIGINT) AS n_streaks,
+        CAST(MAX(len) AS BIGINT) AS longest_streak, MAX(grp_end) AS last_day
+      FROM st GROUP BY user_id ORDER BY user_id"""))
+
+  /** Z-order vs row-major file layout (`Layout.layoutReport`) on the
+    * swath's distinct (ix, iy) cells: 64 equal-count files per layout,
+    * summed file bboxes and files touched by a fixed box query — the
+    * min/max-pruning argument for Morton-sorted writes, as an exact
+    * integer scorecard. */
+  val q164_zorder_layout: Q = Q(
+    (s, d) => Layout.layoutReport(
+      swath(s, d).select("ix", "iy").distinct(),
+      "ix", "iy", bits = 7, nFiles = 64, box = (10, 19, 20, 29)),
+    Some {
+      val zTerms = (0 until 7).map(i =>
+        s"((x >> $i) & 1) * ${1L << (2 * i)} + ((y >> $i) & 1) * ${1L << (2 * i + 1)}")
+        .mkString(" + ")
+      def side(layout: String, ordCol: String): String =
+        s"""(SELECT '$layout' AS layout, CAST(COUNT(*) AS BIGINT) AS n_files,
+          CAST(SUM((x1 - x0 + 1) * (y1 - y0 + 1)) AS BIGINT) AS sum_bbox_area,
+          CAST(SUM(CASE WHEN x0 <= 19 AND x1 >= 10 AND y0 <= 29 AND y1 >= 20
+            THEN 1 ELSE 0 END) AS BIGINT) AS files_touched
+        FROM (SELECT file_id, MIN(x) AS x0, MAX(x) AS x1, MIN(y) AS y0, MAX(y) AS y1
+              FROM (SELECT x, y, ntile(64) OVER (ORDER BY $ordCol, y, x) AS file_id FROM k)
+              GROUP BY file_id))"""
+      s"""WITH $swathSql,
+      c AS (SELECT DISTINCT CAST(ix AS BIGINT) AS x, CAST(iy AS BIGINT) AS y FROM swath),
+      k AS (SELECT x, y, y * 128 + x AS ord_rowmajor, ($zTerms) AS ord_zorder FROM c)
+      SELECT * FROM (${side("rowmajor", "ord_rowmajor")}
+        UNION ALL ${side("zorder", "ord_zorder")}) ORDER BY layout"""
+    })
+
   // -------------------------------------------------------------- registry
 
   val all: Seq[(String, Q)] = Seq(
@@ -4650,5 +4814,11 @@ object Queries {
     "q155_cdf_ppm" -> q155_cdf_ppm,
     "q156_histogram" -> q156_histogram,
     "q157_char_classes" -> q157_char_classes,
-    "q158_benford" -> q158_benford)
+    "q158_benford" -> q158_benford,
+    "q159_hll_distinct" -> q159_hll_distinct,
+    "q160_cms_heavy" -> q160_cms_heavy,
+    "q161_bloom_prefilter" -> q161_bloom_prefilter,
+    "q162_cusum" -> q162_cusum,
+    "q163_streaks" -> q163_streaks,
+    "q164_zorder_layout" -> q164_zorder_layout)
 }
