@@ -180,4 +180,41 @@ object Graph {
     Selection.corrByGroup(ed, "_g", col("_ds"), col("_dd"))
       .select(col("n").as("n_directed_edges"), col("r").as("assortativity"))
   }
+
+  /** Bounded-depth BFS from a seed set: minimum hop distance ≤ `maxDepth`
+    * over the undirected pair graph — "how close is every doc to a known
+    * cluster/benchmark member", the neighborhood-expansion primitive
+    * behind contamination blast-radius and seed-growing curation.
+    *
+    * A FIXED depth keeps the plan declarative (the rounds are `maxDepth`
+    * chained joins in one plan, like [[pageRankInt]]); distances are
+    * exact integers and the final `min(dist)` resolves multi-path
+    * reachability deterministically. Unbounded-diameter closures belong
+    * to `Dedup.connectedComponents`' checkpointed loop instead.
+    *
+    * 100 TB design: each round joins the (shrinking or stable) frontier
+    * against the edge table on its key — broadcastable frontiers make
+    * rounds map-only; the union + min-aggregate is one hash aggregate
+    * over ≤ maxDepth·|reached| rows. */
+  def bfsHops(pairs: DataFrame, seeds: DataFrame, maxDepth: Int = 3): DataFrame = {
+    require(maxDepth >= 1 && maxDepth <= 6, "maxDepth must be in [1, 6] (declarative chain)")
+    val edges = pairs
+      .select(explode(array(
+        struct(col("d1").as("u"), col("d2").as("v")),
+        struct(col("d2").as("u"), col("d1").as("v")))).as("e"))
+      .select(col("e.u"), col("e.v"))
+      .distinct()
+    val seed0 = seeds.select(col("id"), lit(0).as("dist"))
+    val frontiers = (1 to maxDepth).scanLeft(seed0) { (frontier, depth) =>
+      // distinct per round: frontier rows stay bounded by NODE count, not
+      // by the (possibly exponential) count of length-d walks
+      edges.join(frontier.select(col("id").as("u")), Seq("u"))
+        .select(col("v").as("id")).distinct()
+        .select(col("id"), lit(depth).as("dist"))
+    }
+    frontiers.reduce(_ unionByName _)
+      .groupBy("id")
+      .agg(min("dist").as("dist"))
+      .orderBy("id")
+  }
 }

@@ -838,4 +838,36 @@ object Selection {
         (col("_mbar") - lit(1.96) * col("boot_se")).as("ci_lo"),
         (col("_mbar") + lit(1.96) * col("boot_se")).as("ci_hi"))
   }
+
+  /** Classifier calibration (reliability) bins: quantize the 6-decimal
+    * probability into integer MICRO units (round, not floor — the rounded
+    * prob × 1e6 sits within half an ulp of an integer, and truncation
+    * could fall either side), bucket into `bins` equal-width bins, and
+    * report mean predicted probability vs observed positive rate per bin
+    * — the standard reliability-diagram table (Murphy 1973).
+    *
+    * Exactness: micro-probs sum as integers; both output rates are ONE
+    * long/long→double division. Scale shape: a single hash aggregate to
+    * ≤`bins` rows, map-side combined. */
+  def calibrationBins(
+      scored: DataFrame,
+      probCol: String = "prob",
+      labelCol: String = "label",
+      bins: Int = 10): DataFrame = {
+    require(1000000 % bins == 0, "bins must divide 1e6")
+    val width = 1000000 / bins
+    scored
+      .withColumn("_micro", round(col(probCol) * 1000000, 0).cast("long"))
+      .withColumn("bin", least(lit(bins - 1L), expr(s"_micro div $width")).cast("int"))
+      .groupBy("bin")
+      .agg(
+        count(lit(1)).as("n"),
+        sum("_micro").as("sum_micro"),
+        sum(col(labelCol).cast("long")).as("n_pos"))
+      .withColumn("avg_pred",
+        col("sum_micro").cast("double") / (col("n") * 1000000L).cast("double"))
+      .withColumn("pos_rate", col("n_pos").cast("double") / col("n").cast("double"))
+      .select("bin", "n", "n_pos", "avg_pred", "pos_rate")
+      .orderBy("bin")
+  }
 }

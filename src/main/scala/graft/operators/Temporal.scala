@@ -591,6 +591,50 @@ object Temporal {
       .select(keyCol, dayCol, "day_micro", "ref", "s_t", "alarm")
   }
 
+  /** Autocorrelation function of a per-key daily series at lags 1..maxLag,
+    * EXACT up to the final division: with S = Σx and n the series length,
+    * the mean-centered residual n·x_t − S is an INTEGER, so both the lag
+    * products Σ d_t·d_{t−L} and the variance Σ d_t² accumulate exactly in
+    * DECIMAL(38,0) (the oracle's HUGEINT twin) — r_L is then one
+    * double/double division of identically-rounded operands. The n² and
+    * n·S cross terms cancel in the ratio, so no rational arithmetic ever
+    * materializes.
+    *
+    * Scale shape: the daily table is O(keys × days); lags are `lag()`
+    * columns over ONE keyed window, folded by one aggregate — the raw
+    * event log is never touched after the first daily rollup. */
+  def acf(
+      daily: DataFrame,
+      keyCol: String = "event_type",
+      dayCol: String = "day",
+      valCol: String = "x",
+      maxLag: Int = 7): DataFrame = {
+    val dec38 = DecimalType(38, 0)
+    val wk = Window.partitionBy(keyCol)
+    val w = Window.partitionBy(keyCol).orderBy(dayCol)
+    val base = daily
+      .withColumn("_n", count(lit(1)).over(wk))
+      .withColumn("_s", sum(valCol).over(wk))
+      .withColumn("_d", (col("_n") * col(valCol) - col("_s")).cast(dec38))
+    val lagged = base.select(
+      col(keyCol) +: col("_d") +:
+        (1 to maxLag).map(l => lag(col("_d"), l).over(w).as(s"_d$l")): _*)
+    val aggs = sum(col("_d") * col("_d")).as("den") +:
+      (1 to maxLag).flatMap(l => Seq(
+        sum(col("_d") * col(s"_d$l")).as(s"num$l"),
+        count(col(s"_d$l")).as(s"np$l")))
+    val g = lagged.groupBy(col(keyCol)).agg(aggs.head, aggs.tail: _*)
+    val stackArgs = (1 to maxLag)
+      .map(l => s"$l, num$l, np$l").mkString(", ")
+    g.selectExpr(keyCol, "den",
+        s"stack($maxLag, $stackArgs) AS (lag_k, num, n_pairs)")
+      // DECIMAL(38,0)→double and HUGEINT→double disagree in the last ulp
+      // on some engines; round-6 the statistic like every transcendental
+      .withColumn("acf", round(col("num").cast("double") / col("den").cast("double"), 6))
+      .select(keyCol, "lag_k", "n_pairs", "acf")
+      .orderBy(keyCol, "lag_k")
+  }
+
   /** Activity streaks (gaps-and-islands): per user, the count of active
     * days, number of maximal consecutive-day runs, the longest run, and
     * the last active day. The island id is the classic

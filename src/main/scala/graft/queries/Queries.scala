@@ -4655,6 +4655,104 @@ object Queries {
         UNION ALL ${side("zorder", "ord_zorder")}) ORDER BY layout"""
     })
 
+  /** Daily-series autocorrelation per event type (`Temporal.acf`, lags
+    * 1..7): integer mean-centering (n·x−S), DECIMAL(38,0)/HUGEINT lag
+    * products, ONE double division per lag — weekly seasonality shows as
+    * an acf peak at lag 7. */
+  val q165_acf: Q = Q(
+    (s, d) => Temporal.acf(
+      eventsNs(s, d).select(col("event_type"),
+          expr("(ts div 1000) div 86400000000").as("day"),
+          col("value"))
+        .groupBy("event_type", "day")
+        .agg(sum(col("value").cast(DecimalType(18, 6)) * 1000000).cast("long").as("x"))),
+    Some {
+      val lagDefs = (1 to 7)
+        .map(l => s"lag(dd2.d, $l) OVER (PARTITION BY event_type ORDER BY day) AS d$l")
+        .mkString(", ")
+      val aggDefs = (1 to 7)
+        .map(l => s"SUM(d * d$l) AS num$l, CAST(COUNT(d$l) AS BIGINT) AS np$l")
+        .mkString(", ")
+      val arms = (1 to 7)
+        .map(l => s"SELECT event_type, $l AS lag_k, num$l AS num, np$l AS n_pairs, den FROM g")
+        .mkString(" UNION ALL ")
+      s"""WITH e AS (SELECT event_type, epoch_us(ts) // 86400000000 AS day, value FROM events),
+      dd AS (SELECT event_type, day,
+              CAST(SUM(CAST(value AS DECIMAL(18,6)) * 1000000) AS BIGINT) AS x
+            FROM e GROUP BY 1, 2),
+      st AS (SELECT event_type, day, x,
+              COUNT(*) OVER (PARTITION BY event_type) AS n,
+              SUM(x) OVER (PARTITION BY event_type) AS s FROM dd),
+      dd2 AS (SELECT event_type, day, CAST(n * x - s AS HUGEINT) AS d FROM st),
+      l AS (SELECT event_type, d, $lagDefs FROM dd2),
+      g AS MATERIALIZED (SELECT event_type, SUM(d * d) AS den, $aggDefs
+            FROM l GROUP BY 1)
+      SELECT event_type, lag_k, n_pairs,
+        ROUND(CAST(num AS DOUBLE) / CAST(den AS DOUBLE), 6) AS acf
+      FROM ($arms) ORDER BY event_type, lag_k"""
+    })
+
+  /** Classifier reliability diagram (`Selection.calibrationBins`): the
+    * q77 quality classifier's 6-decimal probabilities in 10 equal bins vs
+    * the observed n_chars≥300 label — integer micro-prob sums, two
+    * long/long divisions per bin. */
+  val q166_calibration: Q = Q(
+    (s, d) => {
+      val docs = table(s, d, "documents")
+      val scored = Selection.classifierScore(docs, Selection.defaultQualityWeights(64))
+      Selection.calibrationBins(scored.join(
+        docs.select(col("doc_id"), (col("n_chars") >= 300).cast("int").as("label")),
+        Seq("doc_id")))
+    },
+    Some {
+      val wl = Selection.defaultQualityWeights(64).mkString("[", ", ", "]")
+      s"""WITH w AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+      sc AS (SELECT doc_id, CAST(len(w) AS BIGINT) AS n_words,
+              CAST(list_sum(list_transform(w, x ->
+                $wl[CAST(CAST('0x' || substr(md5(x), 1, 15) AS BIGINT) % 64 AS INTEGER) + 1]))
+                AS BIGINT) AS w_micro
+            FROM w),
+      pr AS (SELECT doc_id,
+              ROUND(1.0 / (1.0 + EXP(-(CAST(w_micro AS DOUBLE) / (n_words * 1000000)))), 6) AS prob
+            FROM sc),
+      mb AS (SELECT p.doc_id, CAST(round(prob * 1000000) AS BIGINT) AS micro,
+              CASE WHEN dcs.n_chars >= 300 THEN 1 ELSE 0 END AS label
+            FROM pr p JOIN documents dcs USING (doc_id)),
+      b AS (SELECT CAST(least(9, micro // 100000) AS INTEGER) AS bin,
+              CAST(COUNT(*) AS BIGINT) AS n,
+              CAST(SUM(micro) AS BIGINT) AS sum_micro,
+              CAST(SUM(label) AS BIGINT) AS n_pos
+            FROM mb GROUP BY 1)
+      SELECT bin, n, n_pos,
+        CAST(sum_micro AS DOUBLE) / CAST(n * 1000000 AS BIGINT) AS avg_pred,
+        CAST(n_pos AS DOUBLE) / CAST(n AS BIGINT) AS pos_rate
+      FROM b ORDER BY bin"""
+    })
+
+  /** Bounded BFS from the doc_id%97 seed set over the q26 blocked-Jaccard
+    * near-dup graph (`Graph.bfsHops`, ≤3 hops): contamination
+    * blast-radius — every doc within 3 similarity hops of a seed, with
+    * its exact minimum hop count. Oracle: depth-limited recursive CTE. */
+  val q167_bfs_hops: Q = Q(
+    (s, d) => {
+      val docs = table(s, d, "documents")
+      val pairs = Dedup.ngramJaccard(docs, Seq("lang", "n_chars")).select("d1", "d2")
+      Graph.bfsHops(pairs, docs.filter(col("doc_id") % 97 === 0)
+        .select(col("doc_id").as("id")))
+    },
+    Some(s"""WITH RECURSIVE $blockedJaccardPairsSql,
+      pairs AS (SELECT d1, d2 FROM v
+                WHERE CAST(i AS DOUBLE) / CAST(sz1 + sz2 - i AS DOUBLE) >= 0.3),
+      edges AS MATERIALIZED (SELECT d1 AS src, d2 AS dst FROM pairs
+                UNION SELECT d2 AS src, d1 AS dst FROM pairs),
+      walk(id, dist) AS (
+        SELECT doc_id, 0 FROM documents WHERE doc_id % 97 = 0
+        UNION
+        SELECT e.dst, w.dist + 1 FROM walk w JOIN edges e ON e.src = w.id
+        WHERE w.dist < 3)
+      SELECT id, CAST(MIN(dist) AS INTEGER) AS dist FROM walk
+      GROUP BY id ORDER BY id"""))
+
   // -------------------------------------------------------------- registry
 
   val all: Seq[(String, Q)] = Seq(
@@ -4820,5 +4918,8 @@ object Queries {
     "q161_bloom_prefilter" -> q161_bloom_prefilter,
     "q162_cusum" -> q162_cusum,
     "q163_streaks" -> q163_streaks,
-    "q164_zorder_layout" -> q164_zorder_layout)
+    "q164_zorder_layout" -> q164_zorder_layout,
+    "q165_acf" -> q165_acf,
+    "q166_calibration" -> q166_calibration,
+    "q167_bfs_hops" -> q167_bfs_hops)
 }
