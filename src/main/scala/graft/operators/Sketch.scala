@@ -57,20 +57,47 @@ object Sketch {
       keyCol: Column,
       groupCols: Seq[String],
       b: Int = 8): DataFrame = {
+    val g = groupCols.map(col)
+    val exact = df
+      .groupBy(g: _*)
+      .agg(countDistinct(keyCol).as("n_exact"))
+    hllEstimate(hllRegisters(df, keyCol, groupCols, b), groupCols, b)
+      .join(exact, groupCols)
+      .select((g ++ Seq(col("n_exact"), col("v_empty"), col("s_int"), col("hll_est"))): _*)
+  }
+
+  /** Per-row (group, bucket, rho) — the map side of the sketch. Works on
+    * batch AND streaming DataFrames (pure projection). */
+  def hllPrep(df: DataFrame, keyCol: Column, groupCols: Seq[String], b: Int): DataFrame = {
+    val m = 1 << b
+    val w = 60 - b
+    val h = h60(keyCol.cast("string"))
+    df.select((groupCols.map(col) :+ (h % m).as("bucket") :+ (h / m).as("rem")): _*)
+      .withColumn("rho",
+        when(col("rem") === 0, lit(w + 1))
+          .otherwise(lit(w + 1) - length(expr("bin(rem)"))))
+      .drop("rem")
+  }
+
+  /** The register file: max(rho) per (group, bucket). `max` is a
+    * DECLARATIVE aggregate — partial merges are order-independent, so
+    * the same expression incrementally maintains the registers under
+    * Structured Streaming (see `StreamingOps.hllStream`) and the merged
+    * state equals the batch registers bit-for-bit. */
+  def hllRegisters(df: DataFrame, keyCol: Column, groupCols: Seq[String], b: Int = 8): DataFrame =
+    hllPrep(df, keyCol, groupCols, b)
+      .groupBy((groupCols.map(col) :+ col("bucket")): _*)
+      .agg(max("rho").as("m_reg"))
+
+  /** Finalize: registers → (v_empty, s_int, hll_est) per group — a tiny
+    * aggregate over ≤ m rows per group; shared by the batch operator and
+    * any sink reading streamed registers. */
+  def hllEstimate(regs: DataFrame, groupCols: Seq[String], b: Int = 8): DataFrame = {
     val m = 1 << b
     val w = 60 - b
     val alphaNum = hllAlphaNum(b)
     val g = groupCols.map(col)
-    val h = h60(keyCol.cast("string"))
-    val hashed = df.select(
-      (g :+ (h % m).as("bucket") :+ (h / m).as("rem")): _*)
-    val regs = hashed
-      .withColumn("rho",
-        when(col("rem") === 0, lit(w + 1))
-          .otherwise(lit(w + 1) - length(expr("bin(rem)"))))
-      .groupBy((g :+ col("bucket")): _*)
-      .agg(max("rho").as("m_reg"))
-    val perGroup = regs
+    regs
       .groupBy(g: _*)
       .agg(
         count(lit(1)).as("observed"),
@@ -83,12 +110,7 @@ object Sketch {
         round(when(col("raw_e") <= lit(2.5 * m) && col("v_empty") > 0,
           lit(m.toDouble) * log(lit(m.toDouble) / col("v_empty").cast("double")))
           .otherwise(col("raw_e")), 6))
-    val exact = df
-      .groupBy(g: _*)
-      .agg(countDistinct(keyCol).as("n_exact"))
-    perGroup
-      .join(exact, groupCols)
-      .select((g ++ Seq(col("n_exact"), col("v_empty"), col("s_int"), col("hll_est"))): _*)
+      .select((g ++ Seq(col("v_empty"), col("s_int"), col("hll_est"))): _*)
   }
 
   /** alpha_m · m² · 2^(W+1) as ONE Scala double — interpolate the SAME

@@ -369,4 +369,22 @@ object StreamingOps {
           out.iterator
       }
   }
+
+  /** Streaming HyperLogLog registers — the stream twin of
+    * `Sketch.hllDistinct`'s build stage. `max(rho)` is a declarative
+    * aggregate, so micro-batch partial merges are order-independent and
+    * the maintained register file equals the batch registers
+    * BIT-FOR-BIT whatever the arrival order (HllStreamSpec); read the
+    * estimate off the sink with `Sketch.hllEstimate`.
+    *
+    * 100 TB design: state is ≤ groups × 2^b rows of (bucket, max-rho) in
+    * the state store — CONSTANT in stream length; this is the textbook
+    * case for sketches in streams (exact distinct state grows with the
+    * key universe). */
+  def hllStream(
+      stream: DataFrame,
+      keyCol: String,
+      groupCol: String,
+      b: Int = 8): DataFrame =
+    graft.operators.Sketch.hllRegisters(stream, col(keyCol), Seq(groupCol), b)
 }
