@@ -194,34 +194,36 @@ object Sketch {
       textCol: String = "text",
       idCol: String = "doc_id"): DataFrame = {
     val hs = (0 until kHashes).map(lit(_))
-    def positions(grams: DataFrame): DataFrame = grams
-      .select(col("ngram"), explode(array(hs: _*)).as("j"))
-      .withColumn("pos", h60(concat(col("j").cast("string"), lit("#"), col("ngram"))) % mBits)
     val benchGrams = benchmark
       .select(split(col(textCol), " ").as("w"))
       .select(explode(expr(TextAnalysis.gramsSql(n))).as("ngram"))
       .distinct()
-    val bits = positions(benchGrams).select("pos").distinct()
+    val bits = benchGrams
+      .select(col("ngram"), explode(array(hs: _*)).as("j"))
+      .withColumn("pos", h60(concat(col("j").cast("string"), lit("#"), col("ngram"))) % mBits)
+      .select("pos").distinct()
     val corpusGrams = corpus
       .select(col(idCol), split(col(textCol), " ").as("w"))
       .select(col(idCol), explode(expr(TextAnalysis.gramsSql(n))).as("ngram"))
       .distinct()
-    val distinctGrams = corpusGrams.select("ngram").distinct()
-    val bloomHits = positions(distinctGrams)
-      .join(broadcast(bits), Seq("pos"))
-      .groupBy("ngram")
-      .agg(count(lit(1)).as("n_set"))
-      .filter(col("n_set") === kHashes)
-      .select("ngram")
-    val trueHits = distinctGrams.join(benchGrams, Seq("ngram")).select("ngram")
-    val perDoc = corpusGrams
-      .join(bloomHits.withColumn("is_bloom", lit(1L)), Seq("ngram"), "left")
-      .join(trueHits.withColumn("is_true", lit(1L)), Seq("ngram"), "left")
+    // probe per (doc, gram) row directly — the corpus subtree (the 100 TB
+    // side) is evaluated ONCE; a gram-level distinct first would look
+    // cheaper but its two consumers (probe + join-back) physically
+    // re-evaluate the whole corpus explode (no ReuseExchange across
+    // different join keys). bits and the benchmark gram set broadcast.
+    val probed = corpusGrams
+      .select(col(idCol), col("ngram"), explode(array(hs: _*)).as("j"))
+      .withColumn("pos", h60(concat(col("j").cast("string"), lit("#"), col("ngram"))) % mBits)
+      .join(broadcast(bits.withColumn("_hit", lit(1L))), Seq("pos"), "left")
+      .groupBy(col(idCol), col("ngram"))
+      .agg(sum(coalesce(col("_hit"), lit(0L))).as("n_set"))
+    val perDoc = probed
+      .join(broadcast(benchGrams.withColumn("_true", lit(1L))), Seq("ngram"), "left")
       .groupBy(col(idCol))
       .agg(
         count(lit(1)).as("n_grams"),
-        coalesce(sum("is_bloom"), lit(0L)).as("n_bloom_hits"),
-        coalesce(sum("is_true"), lit(0L)).as("n_true_hits"))
+        sum(when(col("n_set") === kHashes, 1L).otherwise(0L)).as("n_bloom_hits"),
+        coalesce(sum("_true"), lit(0L)).as("n_true_hits"))
       .withColumn("n_false_pos", col("n_bloom_hits") - col("n_true_hits"))
     perDoc.orderBy(idCol)
   }
