@@ -198,12 +198,18 @@ object Graph {
     * over ≤ maxDepth·|reached| rows. */
   def bfsHops(pairs: DataFrame, seeds: DataFrame, maxDepth: Int = 3): DataFrame = {
     require(maxDepth >= 1 && maxDepth <= 6, "maxDepth must be in [1, 6] (declarative chain)")
+    // persist: each BFS round joins a (small, often broadcast) frontier
+    // against the edges — broadcast joins leave no exchange to reuse, so
+    // without the cache every round would re-evaluate the full upstream
+    // pair plan (the expensive part). Same discipline as
+    // [[Dedup.connectedComponents]].
     val edges = pairs
       .select(explode(array(
         struct(col("d1").as("u"), col("d2").as("v")),
         struct(col("d2").as("u"), col("d1").as("v")))).as("e"))
       .select(col("e.u"), col("e.v"))
       .distinct()
+      .persist()
     val seed0 = seeds.select(col("id"), lit(0).as("dist"))
     val frontiers = (1 to maxDepth).scanLeft(seed0) { (frontier, depth) =>
       // distinct per round: frontier rows stay bounded by NODE count, not

@@ -180,15 +180,16 @@ object Selection {
       docs: DataFrame,
       weights: Seq[Long],
       textCol: String = "text",
-      idCol: String = "doc_id"): DataFrame =
+      idCol: String = "doc_id",
+      carry: Seq[String] = Nil): DataFrame =
     docs
-      .select(col(idCol), split(col(textCol), " ").as("_w"))
+      .select((col(idCol) +: split(col(textCol), " ").as("_w") +: carry.map(col)): _*)
       .withColumn("n_words", size(col("_w")).cast("long"))
       .withColumn("w_micro", wMicroExpr("_w", weights))
       .withColumn("logit", col("w_micro").cast("double") / (col("n_words") * lit(1000000L)))
       .withColumn("prob", round(lit(1.0) / (lit(1.0) + exp(-col("logit"))), 6))
       .withColumn("keep", when(col("prob") >= 0.5, 1).otherwise(0))
-      .select(idCol, "n_words", "w_micro", "logit", "prob", "keep")
+      .select((Seq(idCol, "n_words", "w_micro", "logit", "prob", "keep") ++ carry).map(col): _*)
 
   /** End-to-end curation: classifier gate + fingerprint keep-first dedup
     * in ONE declarative plan, returning the curated (id, text) corpus.

@@ -4698,11 +4698,13 @@ object Queries {
     * long/long divisions per bin. */
   val q166_calibration: Q = Q(
     (s, d) => {
-      val docs = table(s, d, "documents")
-      val scored = Selection.classifierScore(docs, Selection.defaultQualityWeights(64))
-      Selection.calibrationBins(scored.join(
-        docs.select(col("doc_id"), (col("n_chars") >= 300).cast("int").as("label")),
-        Seq("doc_id")))
+      // carry n_chars through the scorer: label derives inline, the
+      // corpus is scanned ONCE (a join-back formulation scans it twice)
+      val scored = Selection.classifierScore(
+        table(s, d, "documents"), Selection.defaultQualityWeights(64),
+        carry = Seq("n_chars"))
+      Selection.calibrationBins(
+        scored.withColumn("label", (col("n_chars") >= 300).cast("int")))
     },
     Some {
       val wl = Selection.defaultQualityWeights(64).mkString("[", ", ", "]")
