@@ -113,6 +113,17 @@ object Sketch {
       .select((g ++ Seq(col("v_empty"), col("s_int"), col("hll_est"))): _*)
   }
 
+  /** HLL register MERGE: the whole point of the sketch at 100 TB — union
+    * cardinality WITHOUT rescanning either side. max(m_reg) over the
+    * stacked register files is the union sketch (max is the same
+    * declarative aggregate that built them), then the standard finalize.
+    * Merging per-group sketches built once equals building one sketch
+    * over the unioned raw data bit-for-bit (same hashes → same
+    * registers); SketchSpec asserts it. */
+  def hllUnion(regs: DataFrame, b: Int = 8): DataFrame =
+    hllEstimate(
+      regs.groupBy("bucket").agg(max("m_reg").as("m_reg")), Nil, b)
+
   /** alpha_m · m² · 2^(W+1) as ONE Scala double — interpolate the SAME
     * literal into the oracle SQL (CAST('…' AS DOUBLE)) so both engines
     * divide identical numerators. */
@@ -120,6 +131,65 @@ object Sketch {
     val m = 1 << b
     val alpha = 0.7213 / (1.0 + 1.079 / m)
     alpha * m.toDouble * m.toDouble * math.pow(2.0, (60 - b + 1).toDouble)
+  }
+
+  // ------------------------------------------------------------ DDSketch
+
+  /** DDSketch relative-error quantiles (Masson, Rim, Lee — VLDB 2019):
+    * log-spaced integer buckets with a fixed relative accuracy
+    * α = (γ−1)/(γ+1), per-key bucket counts as the (mergeable,
+    * streaming-safe) sketch, quantiles read back by cumulative rank.
+    *
+    * Deterministic, engine-portable construction: the bucket index is
+    * ceil(ln(x)/ln(γ)) computed on MICRO-LOGS — round(ln(x)·1e6) is the
+    * library's established libm-ulp-killing idiom (q139) — with integer
+    * ceil-division `(a div g) + (a % g > 0)`, correct for any sign under
+    * both engines' truncate-toward-zero div/% (the naive −((−a) div g)
+    * is an identity under truncation — SketchSpec's accuracy-guarantee
+    * test caught exactly that). The read-back rank is
+    * ⌈q·n⌉ = (q_ppm·n + 999999) div 1e6, all integer; the value estimate
+    * 2γ^b/(γ+1) is rounded to 6 like every transcendental.
+    *
+    * Scale shape: ONE map-side-combined aggregate to (key, bucket) —
+    * ≈ ln(max/min)/ln(γ) ≈ a few hundred buckets per key regardless of
+    * row count — then windows/aggregates over the SKETCH. Completes the
+    * sketch family: HLL = distinct, CMS = frequency, Bloom = membership,
+    * DDSketch = quantiles. */
+  def ddsketchQuantiles(
+      df: DataFrame,
+      keyCol: String,
+      valueCol: String,
+      gamma: Double = 1.02,
+      qPpms: Seq[Long] = Seq(500000L, 950000L, 990000L)): DataFrame = {
+    require(gamma > 1.0, "gamma must exceed 1")
+    val lnG = math.round(math.log(gamma) * 1e6)
+    val sketch = df
+      .filter(col(valueCol) > 0)
+      .withColumn("_lnu", round(log(col(valueCol)) * 1000000, 0).cast("long"))
+      .withColumn("bucket",
+        expr(s"(_lnu div $lnG) + (CASE WHEN _lnu % $lnG > 0 THEN 1 ELSE 0 END)"))
+      .groupBy(col(keyCol), col("bucket"))
+      .agg(count(lit(1)).as("cnt"))
+    import org.apache.spark.sql.expressions.Window
+    val wCum = Window.partitionBy(keyCol).orderBy("bucket")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wAll = Window.partitionBy(keyCol)
+    val cum = sketch
+      .withColumn("_cum", sum("cnt").over(wCum))
+      .withColumn("_n", sum("cnt").over(wAll))
+    val qAggs = qPpms.flatMap { q =>
+      val pct = q / 10000
+      val rank = s"(${q}L * _n + 999999L) div 1000000L"
+      Seq(min(when(expr(s"_cum >= $rank"), col("bucket"))).as(s"b_p$pct"))
+    }
+    val allAggs = max("_n").as("n") +: qAggs
+    val base = cum.groupBy(col(keyCol))
+      .agg(allAggs.head, allAggs.tail: _*)
+    qPpms.foldLeft(base) { (acc, q) =>
+      val pct = q / 10000
+      acc.withColumn(s"p${pct}_est",
+        round(lit(2.0) * pow(lit(gamma), col(s"b_p$pct")) / lit(gamma + 1.0), 6))
+    }.orderBy(keyCol)
   }
 
   // ----------------------------------------------------------- Count-Min

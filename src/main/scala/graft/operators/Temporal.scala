@@ -635,6 +635,46 @@ object Temporal {
       .orderBy(keyCol, "lag_k")
   }
 
+  /** Trailing-window Pearson correlation between two aligned integer
+    * series (e.g. daily cent totals of two event types): all moments
+    * accumulate in DECIMAL(38,0) windows — EXACT at any magnitude — and
+    * r is assembled from them per row, n·Σxy−ΣxΣy over
+    * √(n·Σx²−(Σx)²)·√(n·Σy²−(Σy)²), rounded to 6 (the wide-cast ulp
+    * rule). Degenerate windows (either variance 0, or n<2) yield null
+    * via an exact decimal compare.
+    *
+    * The window is global-ordered over the DAILY table (#days rows —
+    * model-sized); a per-key variant would partition by the key. */
+  def rollingCorr(
+      daily: DataFrame,
+      xCol: String,
+      yCol: String,
+      dayCol: String = "day",
+      window: Int = 7): DataFrame = {
+    val dec38 = DecimalType(38, 0)
+    val w = Window.orderBy(dayCol).rowsBetween(-(window - 1), Window.currentRow)
+    val x = col(xCol).cast(dec38)
+    val y = col(yCol).cast(dec38)
+    val withM = daily
+      .withColumn("_n", count(lit(1)).over(w).cast(dec38))
+      .withColumn("_sx", sum(x).over(w))
+      .withColumn("_sy", sum(y).over(w))
+      .withColumn("_sxx", sum(x * x).over(w))
+      .withColumn("_syy", sum(y * y).over(w))
+      .withColumn("_sxy", sum(x * y).over(w))
+      .withColumn("_a", col("_n") * col("_sxx") - col("_sx") * col("_sx"))
+      .withColumn("_b", col("_n") * col("_syy") - col("_sy") * col("_sy"))
+      .withColumn("_num", col("_n") * col("_sxy") - col("_sx") * col("_sy"))
+    withM
+      .withColumn("n_days", col("_n").cast("long"))
+      .withColumn("r",
+        when(col("_a") > 0 && col("_b") > 0,
+          round(col("_num").cast("double") /
+            (sqrt(col("_a").cast("double")) * sqrt(col("_b").cast("double"))), 6)))
+      .select(dayCol, xCol, yCol, "n_days", "r")
+      .orderBy(dayCol)
+  }
+
   /** Activity streaks (gaps-and-islands): per user, the count of active
     * days, number of maximal consecutive-day runs, the longest run, and
     * the last active day. The island id is the classic

@@ -4755,6 +4755,120 @@ object Queries {
       SELECT id, CAST(MIN(dist) AS INTEGER) AS dist FROM walk
       GROUP BY id ORDER BY id"""))
 
+  /** DDSketch relative-error quantiles per event type
+    * (`Sketch.ddsketchQuantiles`, γ=1.02 → 1% accuracy): micro-log
+    * integer buckets, ONE (key, bucket) aggregate as the mergeable
+    * sketch, p50/p95/p99 read back by integer cumulative rank —
+    * completing the sketch family (distinct/frequency/membership/
+    * quantiles). The estimate 2γ^b/(γ+1) is round-6. */
+  val q168_ddsketch: Q = Q(
+    (s, d) => Sketch.ddsketchQuantiles(
+      eventsNs(s, d).select(col("event_type"), col("value")),
+      "event_type", "value"),
+    Some {
+      val lnG = math.round(math.log(1.02) * 1e6)
+      def rank(q: Long) = s"($q * n + 999999) // 1000000"
+      val bCols = Seq(500000L -> "b_p50", 950000L -> "b_p95", 990000L -> "b_p99")
+        .map { case (q, nm) =>
+          s"MIN(CASE WHEN cum >= ${rank(q)} THEN bucket END) AS $nm" }
+        .mkString(", ")
+      val eCols = Seq("p50", "p95", "p99")
+        .map(p => s"ROUND(2.0 * POW(1.02, b_$p) / 2.02, 6) AS ${p}_est")
+        .mkString(", ")
+      s"""WITH e AS (SELECT event_type, value FROM events WHERE value > 0),
+      bu AS (SELECT event_type,
+              (lnu // $lnG) + (CASE WHEN lnu % $lnG > 0 THEN 1 ELSE 0 END) AS bucket
+            FROM (SELECT event_type,
+                    CAST(round(ln(value) * 1000000) AS BIGINT) AS lnu FROM e)),
+      sk AS (SELECT event_type, bucket, CAST(COUNT(*) AS BIGINT) AS cnt
+            FROM bu GROUP BY 1, 2),
+      cm AS (SELECT event_type, bucket, cnt,
+              SUM(cnt) OVER (PARTITION BY event_type ORDER BY bucket
+                ROWS UNBOUNDED PRECEDING) AS cum,
+              SUM(cnt) OVER (PARTITION BY event_type) AS n FROM sk),
+      g AS (SELECT event_type, CAST(MAX(n) AS BIGINT) AS n, $bCols
+            FROM cm GROUP BY 1)
+      SELECT event_type, n, b_p50, b_p95, b_p99, $eCols
+      FROM g ORDER BY event_type"""
+    })
+
+  /** HLL register merge (`Sketch.hllUnion`): union cardinality of all
+    * event types' user sketches WITHOUT rescanning — max over the
+    * per-type register files, then the standard finalize; exact overall
+    * distinct joined for calibration. The mergeability that makes the
+    * sketch the distributed answer. */
+  val q169_hll_union: Q = Q(
+    (s, d) => {
+      val ev = eventsNs(s, d)
+      val regs = Sketch.hllRegisters(ev, col("user_id"), Seq("event_type"))
+      Sketch.hllUnion(regs)
+        .crossJoin(ev.agg(countDistinct(col("user_id")).as("n_exact")))
+        .select("n_exact", "v_empty", "s_int", "hll_est")
+    },
+    Some(s"""WITH h AS (SELECT event_type,
+              CAST('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15) AS BIGINT) AS hv
+            FROM events),
+      r AS (SELECT event_type, hv % 256 AS bucket, hv // 256 AS rem FROM h),
+      rr AS (SELECT event_type, bucket,
+              CASE WHEN rem = 0 THEN 53 ELSE 53 - length(bin(rem)) END AS rho FROM r),
+      regs AS (SELECT event_type, bucket, MAX(rho) AS m_reg FROM rr GROUP BY 1, 2),
+      mg AS (SELECT bucket, MAX(m_reg) AS m_reg FROM regs GROUP BY 1),
+      pg AS (SELECT CAST(COUNT(*) AS BIGINT) AS observed,
+              CAST(SUM(CAST(1 AS BIGINT) << (53 - m_reg)) AS BIGINT) AS s_obs FROM mg),
+      e2 AS (SELECT CAST(256 - observed AS BIGINT) AS v_empty,
+              s_obs + (256 - observed) * (CAST(1 AS BIGINT) << 53) AS s_int FROM pg),
+      est AS (SELECT v_empty, s_int,
+              CAST(${OracleSql.slit(Sketch.hllAlphaNum(8))} AS DOUBLE)
+                / CAST(s_int AS DOUBLE) AS raw_e FROM e2)
+      SELECT (SELECT CAST(COUNT(DISTINCT user_id) AS BIGINT) FROM events) AS n_exact,
+        v_empty, s_int,
+        round(CASE WHEN raw_e <= 640.0 AND v_empty > 0
+          THEN 256.0 * ln(256.0 / v_empty) ELSE raw_e END, 6) AS hll_est
+      FROM est"""))
+
+  /** Trailing 7-day purchase↔view correlation (`Temporal.rollingCorr`):
+    * daily cent totals, DECIMAL(38,0)-exact window moments, round-6 r —
+    * the co-movement monitor between two activity series. */
+  val q170_rolling_corr: Q = Q(
+    (s, d) => {
+      val daily = eventsNs(s, d)
+        .select(expr("(ts div 1000) div 86400000000").as("day"),
+          col("event_type"), col("value"))
+        .groupBy("day")
+        .agg(
+          coalesce(sum(when(col("event_type") === "purchase",
+            (col("value").cast(DecimalType(18, 2)) * 100))), lit(0))
+            .cast("long").as("x_cents"),
+          coalesce(sum(when(col("event_type") === "view",
+            (col("value").cast(DecimalType(18, 2)) * 100))), lit(0))
+            .cast("long").as("y_cents"))
+      Temporal.rollingCorr(daily, "x_cents", "y_cents")
+    },
+    Some("""WITH e AS (SELECT epoch_us(ts) // 86400000000 AS day, event_type, value FROM events),
+      dd AS (SELECT day,
+              CAST(COALESCE(SUM(CASE WHEN event_type = 'purchase'
+                THEN CAST(value AS DECIMAL(18,2)) * 100 END), 0) AS BIGINT) AS x_cents,
+              CAST(COALESCE(SUM(CASE WHEN event_type = 'view'
+                THEN CAST(value AS DECIMAL(18,2)) * 100 END), 0) AS BIGINT) AS y_cents
+            FROM e GROUP BY 1),
+      m AS (SELECT day, x_cents, y_cents,
+              CAST(COUNT(*) OVER win AS HUGEINT) AS n,
+              CAST(SUM(CAST(x_cents AS HUGEINT)) OVER win AS HUGEINT) AS sx,
+              CAST(SUM(CAST(y_cents AS HUGEINT)) OVER win AS HUGEINT) AS sy,
+              CAST(SUM(CAST(x_cents AS HUGEINT) * CAST(x_cents AS HUGEINT)) OVER win AS HUGEINT) AS sxx,
+              CAST(SUM(CAST(y_cents AS HUGEINT) * CAST(y_cents AS HUGEINT)) OVER win AS HUGEINT) AS syy,
+              CAST(SUM(CAST(x_cents AS HUGEINT) * CAST(y_cents AS HUGEINT)) OVER win AS HUGEINT) AS sxy
+            FROM dd
+            WINDOW win AS (ORDER BY day ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)),
+      a AS (SELECT day, x_cents, y_cents, CAST(n AS BIGINT) AS n_days,
+              n * sxx - sx * sx AS va, n * syy - sy * sy AS vb,
+              n * sxy - sx * sy AS num FROM m)
+      SELECT day, x_cents, y_cents, n_days,
+        CASE WHEN va > 0 AND vb > 0 THEN
+          ROUND(CAST(num AS DOUBLE) / (sqrt(CAST(va AS DOUBLE)) * sqrt(CAST(vb AS DOUBLE))), 6)
+        END AS r
+      FROM a ORDER BY day"""))
+
   // -------------------------------------------------------------- registry
 
   val all: Seq[(String, Q)] = Seq(
@@ -4923,5 +5037,8 @@ object Queries {
     "q164_zorder_layout" -> q164_zorder_layout,
     "q165_acf" -> q165_acf,
     "q166_calibration" -> q166_calibration,
-    "q167_bfs_hops" -> q167_bfs_hops)
+    "q167_bfs_hops" -> q167_bfs_hops,
+    "q168_ddsketch" -> q168_ddsketch,
+    "q169_hll_union" -> q169_hll_union,
+    "q170_rolling_corr" -> q170_rolling_corr)
 }

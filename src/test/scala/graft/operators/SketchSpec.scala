@@ -125,6 +125,59 @@ class SketchSpec extends SparkSpec {
     assert(out.exists(_.getAs[Int]("alarm") == 1))
   }
 
+  test("ddsketchQuantiles honours the relative-error guarantee and read-back rank") {
+    // log-uniform-ish values spanning 4 decades
+    val vals = (1 to 4000).map(i => math.exp(i / 400.0) / 10.0)
+    val df = vals.zipWithIndex.map { case (v, i) => ("k", i.toLong, v) }
+      .toDF("event_type", "id", "value")
+    val out = Sketch.ddsketchQuantiles(df, "event_type", "value").collect()
+    assert(out.length === 1)
+    val r = out.head
+    assert(r.getAs[Long]("n") === 4000L)
+    val sorted = vals.sorted
+    val alpha = 0.02 / 2.02 // (gamma-1)/(gamma+1)
+    for ((q, cn) <- Seq(0.5 -> "p50_est", 0.95 -> "p95_est", 0.99 -> "p99_est")) {
+      val exact = sorted(math.ceil(q * 4000).toInt - 1)
+      val est = r.getAs[Double](cn)
+      assert(math.abs(est - exact) <= alpha * exact * 1.001,
+        s"$cn: est=$est exact=$exact exceeds ${alpha * 100}%% relative error")
+    }
+  }
+
+  test("hllUnion of per-group registers equals the direct sketch over the union") {
+    val rows = (1 to 800).map(i => (s"u-${i % 301}", if (i % 2 == 0) "a" else "b"))
+    val df = rows.toDF("k", "g")
+    val direct = Sketch.hllDistinct(df.withColumn("g", lit("all")), col("k"), Seq("g"))
+      .select("v_empty", "s_int", "hll_est").head.toSeq
+    val merged = Sketch.hllUnion(Sketch.hllRegisters(df, col("k"), Seq("g")))
+      .select("v_empty", "s_int", "hll_est").head.toSeq
+    assert(merged === direct)
+  }
+
+  test("rollingCorr matches direct Pearson per trailing window") {
+    val xs = Seq(100L, 200L, 150L, 300L, 250L, 400L, 380L, 120L, 90L, 500L)
+    val ys = Seq(110L, 190L, 160L, 310L, 240L, 390L, 400L, 100L, 95L, 520L)
+    val df = xs.zip(ys).zipWithIndex.map { case ((x, y), i) => (i.toLong, x, y) }
+      .toDF("day", "x_cents", "y_cents")
+    val out = Temporal.rollingCorr(df, "x_cents", "y_cents").collect()
+      .map(r => r.getAs[Long]("day") -> r).toMap
+    for (t <- xs.indices) {
+      val lo = math.max(0, t - 6)
+      val wx = xs.slice(lo, t + 1).map(_.toDouble)
+      val wy = ys.slice(lo, t + 1).map(_.toDouble)
+      val n = wx.length
+      assert(out(t.toLong).getAs[Long]("n_days") === n.toLong)
+      if (n >= 2) {
+        val (sx, sy) = (wx.sum, wy.sum)
+        val num = n * wx.zip(wy).map { case (a, b) => a * b }.sum - sx * sy
+        val a = n * wx.map(v => v * v).sum - sx * sx
+        val b = n * wy.map(v => v * v).sum - sy * sy
+        val expected = num / (math.sqrt(a) * math.sqrt(b))
+        assert(approx(out(t.toLong).getAs[Double]("r"), expected, 1e-5), s"day $t")
+      }
+    }
+  }
+
   test("streaks finds islands, longest run and last day") {
     val events = Seq(
       (1L, 10L), (1L, 11L), (1L, 12L), (1L, 14L), (1L, 15L), (1L, 20L),
