@@ -35,7 +35,9 @@ object ScaleBench {
       "q106_source_overlap", "q107_decay_features",
       "q108_semantic_decontaminate", "q109_containment",
       "q131_rolling_median", "q133_pagerank", "q134_novelty",
-      "q136_triangles", "q142_kcore", "q151_top_paths")
+      "q136_triangles", "q142_kcore", "q151_top_paths",
+      "q159_hll_distinct", "q160_cms_heavy", "q161_bloom_prefilter",
+      "q167_bfs_hops", "q168_ddsketch")
 
   def main(args: Array[String]): Unit = {
     val base = args.headOption.getOrElse("/root/testdata/sf0.1")
