@@ -35,6 +35,26 @@ object Layout {
         (shiftright(y, i).bitwiseAND(lit(1L)) * lit(1L << (2 * i + 1)))
     }.reduce(_ + _)
 
+  /** The production write path the scorecard argues for: range-partition
+    * by the Morton value (ONE range shuffle — Spark samples the z
+    * distribution for balanced boundaries), sort within partitions, and
+    * write one file per partition. Each output file then covers a
+    * contiguous z-range ≈ a square tile, so min/max stats on x and y are
+    * BOTH tight — the reader prunes files on either predicate.
+    * ZorderWriteSpec verifies the written files' actual bboxes. */
+  def zorderWrite(
+      df: DataFrame,
+      xCol: String,
+      yCol: String,
+      bits: Int,
+      path: String,
+      nFiles: Int): Unit =
+    df.withColumn("_z", zValue(col(xCol).cast("long"), col(yCol).cast("long"), bits))
+      .repartitionByRange(nFiles, col("_z"))
+      .sortWithinPartitions("_z")
+      .drop("_z")
+      .write.mode("overwrite").parquet(path)
+
   /** File-pruning scorecard: split `cells` into `nFiles` equal-count
     * files (a) in row-major order and (b) in Z-order; per file compute
     * the bbox; report, per layout, the summed bbox area and the number

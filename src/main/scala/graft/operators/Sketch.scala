@@ -162,14 +162,7 @@ object Sketch {
       gamma: Double = 1.02,
       qPpms: Seq[Long] = Seq(500000L, 950000L, 990000L)): DataFrame = {
     require(gamma > 1.0, "gamma must exceed 1")
-    val lnG = math.round(math.log(gamma) * 1e6)
-    val sketch = df
-      .filter(col(valueCol) > 0)
-      .withColumn("_lnu", round(log(col(valueCol)) * 1000000, 0).cast("long"))
-      .withColumn("bucket",
-        expr(s"(_lnu div $lnG) + (CASE WHEN _lnu % $lnG > 0 THEN 1 ELSE 0 END)"))
-      .groupBy(col(keyCol), col("bucket"))
-      .agg(count(lit(1)).as("cnt"))
+    val sketch = ddsketchBuckets(df, keyCol, valueCol, gamma)
     import org.apache.spark.sql.expressions.Window
     val wCum = Window.partitionBy(keyCol).orderBy("bucket")
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
@@ -190,6 +183,24 @@ object Sketch {
       acc.withColumn(s"p${pct}_est",
         round(lit(2.0) * pow(lit(gamma), col(s"b_p$pct")) / lit(gamma + 1.0), 6))
     }.orderBy(keyCol)
+  }
+
+  /** The sketch build alone: (key, bucket, cnt). `count` partials merge
+    * order-independently, so the same expression maintains the sketch
+    * under Structured Streaming (DdsketchStreamSpec: stream == batch) and
+    * two sketches merge by summing counts per bucket. */
+  def ddsketchBuckets(
+      df: DataFrame,
+      keyCol: String,
+      valueCol: String,
+      gamma: Double = 1.02): DataFrame = {
+    val lnG = math.round(math.log(gamma) * 1e6)
+    df.filter(col(valueCol) > 0)
+      .withColumn("_lnu", round(log(col(valueCol)) * 1000000, 0).cast("long"))
+      .withColumn("bucket",
+        expr(s"(_lnu div $lnG) + (CASE WHEN _lnu % $lnG > 0 THEN 1 ELSE 0 END)"))
+      .groupBy(col(keyCol), col("bucket"))
+      .agg(count(lit(1)).as("cnt"))
   }
 
   // ----------------------------------------------------------- Count-Min
