@@ -124,6 +124,42 @@ object Sketch {
     hllEstimate(
       regs.groupBy("bucket").agg(max("m_reg").as("m_reg")), Nil, b)
 
+  /** Rolling-window cardinality: per day, the HLL estimate of distinct
+    * keys over the trailing `window` days — the sketch twin of the exact
+    * rolling-DAU explode (q138), at CONSTANT state per day instead of
+    * state growing with the distinct-key universe.
+    *
+    * Per-day register files merge across the trailing window with a
+    * RANGE-framed max per bucket (a row frame would be wrong: a bucket
+    * absent on intermediate days would pull too-old rows into the
+    * frame). The (day × observed-bucket) grid makes a carrier row exist
+    * for every day so last-seen-3-days-ago registers still contribute;
+    * nulls vanish under max and never-seen buckets are filtered before
+    * the finalize, which counts them as empty.
+    *
+    * Scale shape: the raw log collapses to ≤ days×2^b register rows
+    * first; the grid, window and finalize all run on that model-sized
+    * table. */
+  def hllRolling(
+      df: DataFrame,
+      keyCol: Column,
+      dayCol: String,
+      window: Int = 7,
+      b: Int = 8): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val daily = hllRegisters(df, keyCol, Seq(dayCol), b)
+    val grid = df.select(col(dayCol)).distinct()
+      .crossJoin(daily.select("bucket").distinct())
+    val win = Window.partitionBy("bucket").orderBy(dayCol)
+      .rangeBetween(-(window - 1), Window.currentRow)
+    val merged = grid
+      .join(daily, Seq(dayCol, "bucket"), "left")
+      .withColumn("_mm", max("m_reg").over(win))
+      .filter(col("_mm").isNotNull)
+      .select(col(dayCol), col("bucket"), col("_mm").as("m_reg"))
+    hllEstimate(merged, Seq(dayCol), b)
+  }
+
   /** alpha_m · m² · 2^(W+1) as ONE Scala double — interpolate the SAME
     * literal into the oracle SQL (CAST('…' AS DOUBLE)) so both engines
     * divide identical numerators. */

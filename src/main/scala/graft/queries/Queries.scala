@@ -4869,6 +4869,57 @@ object Queries {
         END AS r
       FROM a ORDER BY day"""))
 
+  /** Rolling 7-day distinct users per day (`Sketch.hllRolling`): per-day
+    * HLL register files merged across a trailing RANGE window — the
+    * constant-state sketch twin of q138's exact rolling DAU, with the
+    * exact count joined per day for calibration. */
+  val q171_rolling_distinct: Q = Q(
+    (s, d) => {
+      val ev = eventsNs(s, d)
+        .select(expr("(ts div 1000) div 86400000000").as("day"), col("user_id"))
+      val est = Sketch.hllRolling(ev, col("user_id"), "day")
+      val days = ev.select("day").distinct()
+      val exact = ev.distinct()
+        .withColumn("off", explode(array((0 until 7).map(lit(_)): _*)))
+        .select((col("day") + col("off")).as("wday"), col("user_id"))
+        .join(days.withColumnRenamed("day", "wday"), Seq("wday"))
+        .groupBy(col("wday").as("day"))
+        .agg(countDistinct("user_id").as("n_exact"))
+      est.join(exact, Seq("day"))
+        .select("day", "n_exact", "v_empty", "s_int", "hll_est")
+        .orderBy("day")
+    },
+    Some(s"""WITH e AS (SELECT DISTINCT epoch_us(ts) // 86400000000 AS day, user_id FROM events),
+      days AS MATERIALIZED (SELECT DISTINCT day FROM e),
+      h AS (SELECT day, CAST('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15) AS BIGINT) AS hv FROM e),
+      r AS (SELECT day, hv % 256 AS bucket, hv // 256 AS rem FROM h),
+      rr AS (SELECT day, bucket,
+              CASE WHEN rem = 0 THEN 53 ELSE 53 - length(bin(rem)) END AS rho FROM r),
+      regs AS MATERIALIZED (SELECT day, bucket, MAX(rho) AS m_reg FROM rr GROUP BY 1, 2),
+      grid AS (SELECT d.day, bk.bucket FROM days d
+               CROSS JOIN (SELECT DISTINCT bucket FROM regs) bk),
+      mg AS (SELECT g.day, g.bucket,
+              MAX(m_reg) OVER (PARTITION BY g.bucket ORDER BY g.day
+                RANGE BETWEEN 6 PRECEDING AND CURRENT ROW) AS mm
+            FROM grid g LEFT JOIN regs ON regs.day = g.day AND regs.bucket = g.bucket),
+      mreg AS (SELECT day, bucket, mm AS m_reg FROM mg WHERE mm IS NOT NULL),
+      pg AS (SELECT day, CAST(COUNT(*) AS BIGINT) AS observed,
+              CAST(SUM(CAST(1 AS BIGINT) << (53 - m_reg)) AS BIGINT) AS s_obs
+            FROM mreg GROUP BY 1),
+      e2 AS (SELECT day, CAST(256 - observed AS BIGINT) AS v_empty,
+              s_obs + (256 - observed) * (CAST(1 AS BIGINT) << 53) AS s_int FROM pg),
+      est AS (SELECT day, v_empty, s_int,
+              CAST(${OracleSql.slit(Sketch.hllAlphaNum(8))} AS DOUBLE)
+                / CAST(s_int AS DOUBLE) AS raw_e FROM e2),
+      ex AS (SELECT e.day + o.off AS wday, e.user_id
+             FROM e CROSS JOIN (SELECT unnest([0, 1, 2, 3, 4, 5, 6]) AS off) o),
+      exd AS (SELECT ex.wday AS day, CAST(COUNT(DISTINCT ex.user_id) AS BIGINT) AS n_exact
+             FROM ex JOIN days dd ON dd.day = ex.wday GROUP BY 1)
+      SELECT day, n_exact, v_empty, s_int,
+        round(CASE WHEN raw_e <= 640.0 AND v_empty > 0
+          THEN 256.0 * ln(256.0 / v_empty) ELSE raw_e END, 6) AS hll_est
+      FROM est JOIN exd USING (day) ORDER BY day"""))
+
   // -------------------------------------------------------------- registry
 
   val all: Seq[(String, Q)] = Seq(
@@ -5040,5 +5091,6 @@ object Queries {
     "q167_bfs_hops" -> q167_bfs_hops,
     "q168_ddsketch" -> q168_ddsketch,
     "q169_hll_union" -> q169_hll_union,
-    "q170_rolling_corr" -> q170_rolling_corr)
+    "q170_rolling_corr" -> q170_rolling_corr,
+    "q171_rolling_distinct" -> q171_rolling_distinct)
 }

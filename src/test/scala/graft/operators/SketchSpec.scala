@@ -154,6 +154,26 @@ class SketchSpec extends SparkSpec {
     assert(merged === direct)
   }
 
+  test("hllRolling equals a direct per-window sketch, including across day gaps") {
+    // days 1,2,3,10,11 — the 10/11 windows must NOT see days 1-3 (range
+    // frame), but 11 must still see 10's registers via the grid carrier
+    val rows = Seq(
+      (1L, "a"), (1L, "b"), (2L, "c"), (3L, "d"), (3L, "a"),
+      (10L, "x"), (10L, "y"), (11L, "z")).flatMap { case (d, u) =>
+      Seq.fill(3)((d, u)) // duplicates must not matter
+    }
+    val df = rows.toDF("day", "k")
+    val rolled = Sketch.hllRolling(df, col("k"), "day")
+      .collect().map(r => r.getAs[Long]("day") -> r.getAs[Double]("hll_est")).toMap
+    for (d <- Seq(1L, 2L, 3L, 10L, 11L)) {
+      val windowKeys = rows.filter { case (dd, _) => dd > d - 7 && dd <= d }
+      val direct = Sketch.hllDistinct(
+          windowKeys.toDF("day", "k").withColumn("g", lit("w")), col("k"), Seq("g"))
+        .head.getAs[Double]("hll_est")
+      assert(rolled(d) === direct, s"day $d")
+    }
+  }
+
   test("rollingCorr matches direct Pearson per trailing window") {
     val xs = Seq(100L, 200L, 150L, 300L, 250L, 400L, 380L, 120L, 90L, 500L)
     val ys = Seq(110L, 190L, 160L, 310L, 240L, 390L, 400L, 100L, 95L, 520L)
