@@ -96,4 +96,43 @@ object Profile {
         col(s"${c}__mx").as("max_value"))): _*)).as("_p"))
       .select("_p.*")
   }
+
+  /** Declarative data-quality expectations (the dbt-test /
+    * Great-Expectations audit stage): each expectation is a (name,
+    * boolean SQL predicate) pair evaluated per row; the report is ONE
+    * aggregate scan emitting rows, violations and pass flag per
+    * expectation, unpivoted to #expectations rows. A uniqueness
+    * expectation rides the same pass as `count(*) − count_distinct(keys)`.
+    *
+    * Scale shape: one map-side-combined aggregate over the table — the
+    * per-expectation CASE sums are free riders on a single scan; the
+    * distinct-count for uniqueness is the only term that shuffles more
+    * than a row. */
+  def expectations(
+      df: DataFrame,
+      checks: Seq[(String, String)],
+      uniqueKey: Seq[String] = Nil): DataFrame = {
+    require(checks.nonEmpty || uniqueKey.nonEmpty, "need at least one expectation")
+    val predAggs = checks.flatMap { case (nm, pred) =>
+      Seq(sum(when(expr(pred), 0L).otherwise(1L)).as(s"${nm}__v"))
+    }
+    val uniqAggs =
+      if (uniqueKey.isEmpty) Nil
+      else Seq((count(lit(1)) - count_distinct(struct(uniqueKey.map(col): _*)))
+        .as("__uniq_v"))
+    val allAggs = predAggs ++ uniqAggs
+    val agged = df.agg(count(lit(1)).as("__n"), allAggs: _*)
+    val rows =
+      checks.map { case (nm, _) => (nm, col(s"${nm}__v")) } ++
+        (if (uniqueKey.isEmpty) Nil
+         else Seq((s"unique(${uniqueKey.mkString(",")})", col("__uniq_v"))))
+    agged
+      .select(explode(array(rows.map { case (nm, v) => struct(
+        lit(nm).as("expectation"),
+        col("__n").as("n_rows"),
+        v.as("n_violations"),
+        (v === 0L).cast("int").as("pass")) }: _*)).as("_e"))
+      .select("_e.*")
+      .orderBy("expectation")
+  }
 }

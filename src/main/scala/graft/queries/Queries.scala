@@ -4920,6 +4920,39 @@ object Queries {
           THEN 256.0 * ln(256.0 / v_empty) ELSE raw_e END, 6) AS hll_est
       FROM est JOIN exd USING (day) ORDER BY day"""))
 
+  /** Declarative data-quality expectations audit (`Profile.expectations`):
+    * six domain/range/null checks + composite-key uniqueness over
+    * lineitem in ONE aggregate scan — the dbt-test / Great-Expectations
+    * stage of a production pipeline, exact integer counts. */
+  val q172_expectations: Q = Q(
+    (s, d) => Profile.expectations(
+      table(s, d, "lineitem"),
+      ExpectationChecks,
+      uniqueKey = Seq("l_orderkey", "l_linenumber")),
+    Some {
+      val vAggs = ExpectationChecks.zipWithIndex.map { case ((_, pred), i) =>
+        s"CAST(SUM(CASE WHEN $pred THEN 0 ELSE 1 END) AS BIGINT) AS v$i" }
+        .mkString(", ")
+      val arms = (ExpectationChecks.zipWithIndex.map { case ((nm, _), i) =>
+        s"SELECT '$nm' AS expectation, n AS n_rows, v$i AS n_violations, CASE WHEN v$i = 0 THEN 1 ELSE 0 END AS pass FROM a" } :+
+        s"SELECT 'unique(l_orderkey,l_linenumber)' AS expectation, n AS n_rows, vu AS n_violations, CASE WHEN vu = 0 THEN 1 ELSE 0 END AS pass FROM a")
+        .mkString(" UNION ALL ")
+      s"""WITH a AS (SELECT CAST(COUNT(*) AS BIGINT) AS n, $vAggs,
+        CAST(COUNT(*) - COUNT(DISTINCT l_orderkey * 10 + l_linenumber) AS BIGINT) AS vu
+      FROM lineitem)
+      SELECT * FROM ($arms) ORDER BY expectation"""
+    })
+
+  /** Shared check list — the SAME predicate strings evaluate in Spark
+    * (`expr`) and DuckDB, so parity is by construction. */
+  private lazy val ExpectationChecks: Seq[(String, String)] = Seq(
+    "orderkey_not_null" -> "l_orderkey IS NOT NULL",
+    "quantity_range" -> "l_quantity BETWEEN 1 AND 50",
+    "discount_range" -> "l_discount BETWEEN 0.0 AND 0.1",
+    "returnflag_domain" -> "l_returnflag IN ('A', 'N', 'R')",
+    "price_positive" -> "l_extendedprice > 0",
+    "tax_range" -> "l_tax BETWEEN 0.0 AND 0.08")
+
   // -------------------------------------------------------------- registry
 
   val all: Seq[(String, Q)] = Seq(
@@ -5092,5 +5125,6 @@ object Queries {
     "q168_ddsketch" -> q168_ddsketch,
     "q169_hll_union" -> q169_hll_union,
     "q170_rolling_corr" -> q170_rolling_corr,
-    "q171_rolling_distinct" -> q171_rolling_distinct)
+    "q171_rolling_distinct" -> q171_rolling_distinct,
+    "q172_expectations" -> q172_expectations)
 }
