@@ -611,4 +611,47 @@ object Similarity {
       .select(col(idCol), col("n_hits"),
         col("_top.sim").as("top_sim"), col("_top.bid").as("top_bid"))
   }
+
+  /** Exact covariance matrix of the leading `k` embedding dimensions —
+    * the train-side statistics primitive behind whitening / PCA refresh.
+    *
+    * Components are quantized to MICRO integers (float→double is exact;
+    * round-half-away agrees across engines, including the exact-.5
+    * m/128 floats), so every moment — Σx_i, Σx_i·x_j — accumulates
+    * exactly in DECIMAL(38,0); the unbiased-covariance NUMERATOR
+    * n·Σxy − Σx·Σy is emitted as an exact integer alongside the round-6
+    * human-readable cov = num / (n·(n−1)·1e12).
+    *
+    * Scale shape: ONE aggregate pass with k + k(k+1)/2 fixed-column sums
+    * (no explode — k² columns beat a k²-way row blow-up), unpivoted to
+    * the k(k+1)/2-row upper triangle. At 100 TB the shuffle is one
+    * partial-aggregate row per partition. numerator fits BIGINT while
+    * n·Σ|xy| < 2^63 — ~10^5 unit-norm micro vectors; beyond that emit
+    * the decimal directly. */
+  def covarianceMatrix(
+      emb: DataFrame,
+      k: Int = 8,
+      vecCol: String = "embedding"): DataFrame = {
+    require(k >= 2 && k <= 16, "k in [2,16]")
+    val dec38 = org.apache.spark.sql.types.DecimalType(38, 0)
+    val micro = emb.select((0 until k).map(i =>
+      expr(s"CAST(round(CAST($vecCol[$i] AS DOUBLE) * 1000000) AS BIGINT)").as(s"x$i")): _*)
+    val pairs = for { i <- 0 until k; j <- i until k } yield (i, j)
+    val aggs =
+      (0 until k).map(i => sum(col(s"x$i").cast(dec38)).as(s"s$i")) ++
+        pairs.map { case (i, j) =>
+          sum((col(s"x$i") * col(s"x$j")).cast(dec38)).as(s"c${i}_$j") }
+    val a = micro.agg(count(lit(1)).as("n"), aggs: _*)
+    a.select(explode(array(pairs.map { case (i, j) => struct(
+        lit(i).as("dim_i"), lit(j).as("dim_j"),
+        col("n"),
+        (col("n").cast(dec38) * col(s"c${i}_$j") - col(s"s$i") * col(s"s$j"))
+          .cast("long").as("num"),
+        round((col("n").cast(dec38) * col(s"c${i}_$j") - col(s"s$i") * col(s"s$j"))
+          .cast("double") /
+          (col("n").cast("double") * (col("n") - 1).cast("double") * lit(1e12)), 6)
+          .as("cov")) }: _*)).as("_c"))
+      .select("_c.*")
+      .orderBy("dim_i", "dim_j")
+  }
 }

@@ -4953,6 +4953,33 @@ object Queries {
     "price_positive" -> "l_extendedprice > 0",
     "tax_range" -> "l_tax BETWEEN 0.0 AND 0.08")
 
+  /** Exact covariance matrix of the leading 8 embedding dims
+    * (`Similarity.covarianceMatrix`): micro-quantized components, all
+    * moments in DECIMAL(38,0)/HUGEINT, the unbiased numerator emitted as
+    * an exact integer — one aggregate pass, 36 upper-triangle rows. */
+  val q173_covariance: Q = Q(
+    (s, d) => Similarity.covarianceMatrix(table(s, d, "embeddings")),
+    Some {
+      val k = 8
+      val pairs = for { i <- 0 until k; j <- i until k } yield (i, j)
+      val xs = (0 until k).map(i =>
+        s"CAST(round(CAST(embedding[${i + 1}] AS DOUBLE) * 1000000) AS BIGINT) AS x$i")
+        .mkString(", ")
+      val sums = ((0 until k).map(i => s"CAST(SUM(CAST(x$i AS HUGEINT)) AS HUGEINT) AS s$i") ++
+        pairs.map { case (i, j) =>
+          s"CAST(SUM(CAST(x$i AS HUGEINT) * CAST(x$j AS HUGEINT)) AS HUGEINT) AS c${i}_$j" })
+        .mkString(", ")
+      val arms = pairs.map { case (i, j) =>
+        s"""SELECT $i AS dim_i, $j AS dim_j, n,
+          CAST(n * c${i}_$j - s$i * s$j AS BIGINT) AS num,
+          ROUND(CAST(n * c${i}_$j - s$i * s$j AS DOUBLE)
+            / (CAST(n AS DOUBLE) * CAST(n - 1 AS DOUBLE) * 1e12), 6) AS cov
+        FROM a""" }.mkString(" UNION ALL ")
+      s"""WITH m AS (SELECT $xs FROM embeddings),
+      a AS (SELECT CAST(COUNT(*) AS BIGINT) AS n, $sums FROM m)
+      SELECT * FROM ($arms) ORDER BY dim_i, dim_j"""
+    })
+
   // -------------------------------------------------------------- registry
 
   val all: Seq[(String, Q)] = Seq(
@@ -5126,5 +5153,6 @@ object Queries {
     "q169_hll_union" -> q169_hll_union,
     "q170_rolling_corr" -> q170_rolling_corr,
     "q171_rolling_distinct" -> q171_rolling_distinct,
-    "q172_expectations" -> q172_expectations)
+    "q172_expectations" -> q172_expectations,
+    "q173_covariance" -> q173_covariance)
 }

@@ -48,6 +48,31 @@ class AcfBfsSpec extends SparkSpec {
     assert(byBin(0).getAs[Long]("n") === 3L) // 0.05, 0.07, 0.0
   }
 
+  test("covarianceMatrix equals plain-Scala exact covariance on a hand matrix") {
+    val vecs = Seq(
+      Array(0.1f, 0.2f, -0.3f), Array(0.4f, -0.1f, 0.2f),
+      Array(-0.2f, 0.3f, 0.1f), Array(0.25f, 0.05f, -0.15f),
+      Array(0.0f, -0.25f, 0.3f))
+    val df = vecs.map(v => Tuple1(v)).toDF("embedding")
+    val out = Similarity.covarianceMatrix(df, k = 3).collect()
+      .map(r => (r.getAs[Int]("dim_i"), r.getAs[Int]("dim_j")) -> r).toMap
+    assert(out.size === 6)
+    val micro = vecs.map(_.map(f => math.round(f.toDouble * 1e6)))
+    val n = vecs.length
+    for { i <- 0 until 3; j <- i until 3 } {
+      val (si, sj) = (micro.map(_(i)).sum, micro.map(_(j)).sum)
+      val cij = micro.map(v => v(i) * v(j)).sum
+      val num = n.toLong * cij - si * sj
+      val r = out((i, j))
+      assert(r.getAs[Long]("num") === num, s"num($i,$j)")
+      val cov = BigDecimal(num.toDouble / (n.toDouble * (n - 1) * 1e12))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      assert(r.getAs[Double]("cov") === cov, s"cov($i,$j)")
+    }
+    // variances positive on non-constant dims
+    for (i <- 0 until 3) assert(out((i, i)).getAs[Long]("num") > 0L)
+  }
+
   test("bfsHops returns exact minimum hop distances on a hand graph") {
     // 1-2-3-4-5 path plus 10-11 island; seeds = {1, 10}
     val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (10L, 11L))
