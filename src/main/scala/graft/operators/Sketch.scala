@@ -169,6 +169,75 @@ object Sketch {
     alpha * m.toDouble * m.toDouble * math.pow(2.0, (60 - b + 1).toDouble)
   }
 
+  // ----------------------------------------------------------------- KMV
+
+  /** K-minimum-values (Theta-style) sketch intersection (Beyer et al.
+    * SIGMOD 2007; the KMV core of Apache DataSketches' Theta sketch):
+    * per set, keep the K smallest distinct 60-bit hashes; merging two
+    * sketches and counting survivors below the merged threshold
+    * estimates UNION (unbiased (K−1)·M/θ) and JACCARD (j/K), hence
+    * INTERSECTION — the set operation HLL registers cannot answer.
+    *
+    * Fully deterministic: same md5 hashes on every engine, kth-smallest
+    * on distinct values has no ties, j and θ are integers; the only
+    * float is the final (K−1)·M/θ division and the j/K scale, round-6.
+    * Exact intersection joined for calibration.
+    *
+    * Scale shape: per-set KMV via one distinct + a WindowGroupLimit-style
+    * top-K (map-side heap, K rows per set survive); everything after
+    * runs on ≤2K rows. */
+  def kmvIntersect(
+      df: DataFrame,
+      keyCol: Column,
+      groupCol: String,
+      groupA: String,
+      groupB: String,
+      k: Int = 64): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val m = math.pow(2.0, 60.0) // hash space size as double (exact power of 2)
+    val hashes = df
+      .filter(col(groupCol) === groupA || col(groupCol) === groupB)
+      .select(col(groupCol).as("g"), h60(keyCol.cast("string")).as("h"))
+      .distinct()
+    val wg = Window.partitionBy("g").orderBy("h")
+    val kmv = hashes
+      .withColumn("_rn", row_number().over(wg))
+      .filter(col("_rn") <= k)
+      .select("g", "h")
+    val merged = kmv.groupBy("h")
+      .agg(
+        max(when(col("g") === groupA, 1L).otherwise(0L)).as("in_a"),
+        max(when(col("g") === groupB, 1L).otherwise(0L)).as("in_b"))
+      .orderBy("h")
+      .limit(k)
+    val stats = merged.agg(
+      max("h").as("theta"),
+      count(lit(1)).as("k_eff"),
+      sum(col("in_a") * col("in_b")).as("j"))
+    val exact = df
+      .filter(col(groupCol) === groupA || col(groupCol) === groupB)
+      .select(col(groupCol).as("g"), keyCol.cast("string").as("k"))
+      .distinct()
+      .groupBy("k")
+      .agg(max(when(col("g") === groupA, 1L).otherwise(0L)).as("a"),
+        max(when(col("g") === groupB, 1L).otherwise(0L)).as("b"))
+      .agg(
+        sum("a").as("n_exact_a"),
+        sum("b").as("n_exact_b"),
+        sum(col("a") * col("b")).as("n_exact_inter"))
+    stats.crossJoin(exact)
+      // fewer than k distinct hashes survive the merge => the sketch
+      // holds the ENTIRE union: exact mode, no estimator
+      .withColumn("union_est",
+        when(col("k_eff") < k, col("k_eff").cast("double"))
+          .otherwise(round(lit((k - 1).toDouble * m) / col("theta").cast("double"), 6)))
+      .withColumn("jaccard_est",
+        round(col("j").cast("double") / col("k_eff").cast("double"), 6))
+      .withColumn("inter_est", round(col("union_est") * col("jaccard_est"), 6))
+      .select("n_exact_a", "n_exact_b", "n_exact_inter",
+        "theta", "k_eff", "j", "union_est", "jaccard_est", "inter_est")
+  }
+
   // ------------------------------------------------------------ DDSketch
 
   /** DDSketch relative-error quantiles (Masson, Rim, Lee — VLDB 2019):

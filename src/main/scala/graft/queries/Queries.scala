@@ -4980,6 +4980,47 @@ object Queries {
       SELECT * FROM ($arms) ORDER BY dim_i, dim_j"""
     })
 
+  /** KMV/Theta-sketch intersection (`Sketch.kmvIntersect`, K=64):
+    * |purchasers ∩ viewers| estimated from two 64-hash sketches — the
+    * set operation HLL can't answer — with exact counts joined for
+    * calibration. Deterministic md5 order statistics; exact mode when
+    * the merge holds the whole union. */
+  val q174_kmv_intersect: Q = Q(
+    (s, d) => Sketch.kmvIntersect(
+      eventsNs(s, d), col("user_id"), "event_type", "purchase", "view"),
+    Some {
+      val numer = OracleSql.slit(63.0 * math.pow(2.0, 60.0))
+      s"""WITH hsh AS (SELECT DISTINCT event_type AS g,
+              CAST('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15) AS BIGINT) AS h
+            FROM events WHERE event_type IN ('purchase', 'view')),
+      kmv AS (SELECT g, h FROM (
+              SELECT g, h, row_number() OVER (PARTITION BY g ORDER BY h) AS rn FROM hsh)
+            WHERE rn <= 64),
+      mg AS (SELECT h,
+              CAST(MAX(CASE WHEN g = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS in_a,
+              CAST(MAX(CASE WHEN g = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS in_b
+            FROM kmv GROUP BY h ORDER BY h LIMIT 64),
+      st AS (SELECT MAX(h) AS theta, CAST(COUNT(*) AS BIGINT) AS k_eff,
+              CAST(SUM(in_a * in_b) AS BIGINT) AS j FROM mg),
+      ue AS (SELECT DISTINCT event_type AS g, CAST(user_id AS VARCHAR) AS uk
+            FROM events WHERE event_type IN ('purchase', 'view')),
+      ex0 AS (SELECT uk,
+              CAST(MAX(CASE WHEN g = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS a,
+              CAST(MAX(CASE WHEN g = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS b
+            FROM ue GROUP BY 1),
+      ex AS (SELECT CAST(SUM(a) AS BIGINT) AS n_exact_a,
+              CAST(SUM(b) AS BIGINT) AS n_exact_b,
+              CAST(SUM(a * b) AS BIGINT) AS n_exact_inter FROM ex0),
+      uest AS (SELECT st.*, ex.*,
+              CASE WHEN k_eff < 64 THEN CAST(k_eff AS DOUBLE)
+                ELSE ROUND($numer / CAST(theta AS DOUBLE), 6) END AS union_est,
+              ROUND(CAST(j AS DOUBLE) / CAST(k_eff AS DOUBLE), 6) AS jaccard_est
+            FROM st CROSS JOIN ex)
+      SELECT n_exact_a, n_exact_b, n_exact_inter, theta, k_eff, j,
+        union_est, jaccard_est, ROUND(union_est * jaccard_est, 6) AS inter_est
+      FROM uest"""
+    })
+
   // -------------------------------------------------------------- registry
 
   val all: Seq[(String, Q)] = Seq(
@@ -5154,5 +5195,6 @@ object Queries {
     "q170_rolling_corr" -> q170_rolling_corr,
     "q171_rolling_distinct" -> q171_rolling_distinct,
     "q172_expectations" -> q172_expectations,
-    "q173_covariance" -> q173_covariance)
+    "q173_covariance" -> q173_covariance,
+    "q174_kmv_intersect" -> q174_kmv_intersect)
 }

@@ -154,6 +154,30 @@ class SketchSpec extends SparkSpec {
     assert(merged === direct)
   }
 
+  test("kmvIntersect estimates a planted overlap and is exact below K") {
+    // A = 0..4999, B = 3000..7999 -> |A|=|B|=5000, inter=2000, union=8000
+    val rows = (0 until 5000).map(i => ("a", s"u$i")) ++
+      (3000 until 8000).map(i => ("b", s"u$i"))
+    val df = rows.toDF("g", "k")
+    val r = Sketch.kmvIntersect(df, col("k"), "g", "a", "b", k = 256).head()
+    assert(r.getAs[Long]("n_exact_a") === 5000L)
+    assert(r.getAs[Long]("n_exact_inter") === 2000L)
+    // KMV relative error ~ 1/sqrt(K-1) ~ 6.3%; allow 4 sigma on union,
+    // and the jaccard binomial noise on the intersection
+    assert(math.abs(r.getAs[Double]("union_est") - 8000) / 8000 < 0.25)
+    assert(math.abs(r.getAs[Double]("inter_est") - 2000) / 2000 < 0.45)
+    assert(r.getAs[Long]("j") <= r.getAs[Long]("k_eff"))
+
+    // tiny sets: sketch holds everything -> exact mode
+    val tiny = (Seq(("a", "x"), ("a", "y"), ("b", "y"), ("b", "z"))).toDF("g", "k")
+    val t = Sketch.kmvIntersect(tiny, col("k"), "g", "a", "b", k = 64).head()
+    assert(t.getAs[Long]("k_eff") === 3L)
+    assert(t.getAs[Double]("union_est") === 3.0)
+    // 3.0 * round(1/3, 6) = 0.999999 — rounding composition, not error
+    assert(approx(t.getAs[Double]("inter_est"), 1.0, 1e-5))
+    assert(t.getAs[Long]("n_exact_inter") === 1L)
+  }
+
   test("hllRolling equals a direct per-window sketch, including across day gaps") {
     // days 1,2,3,10,11 — the 10/11 windows must NOT see days 1-3 (range
     // frame), but 11 must still see 10's registers via the grid carrier
