@@ -147,8 +147,13 @@ object Sketch {
       window: Int = 7,
       b: Int = 8): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val daily = hllRegisters(df, keyCol, Seq(dayCol), b)
-    val grid = df.select(col(dayCol)).distinct()
+    // persist the model-sized register table (≤ days×2^b rows): its three
+    // consumers (both grid axes + the fact join) plan DIFFERENT partial
+    // aggregates below the shuffle, so without the cache each one
+    // re-scans the raw log — the same broadcast-no-reuse trap as
+    // bfsHops' edges
+    val daily = hllRegisters(df, keyCol, Seq(dayCol), b).persist()
+    val grid = daily.select(col(dayCol)).distinct()
       .crossJoin(daily.select("bucket").distinct())
     val win = Window.partitionBy("bucket").orderBy(dayCol)
       .rangeBetween(-(window - 1), Window.currentRow)
