@@ -642,15 +642,28 @@ object Similarity {
         pairs.map { case (i, j) =>
           sum((col(s"x$i") * col(s"x$j")).cast(dec38)).as(s"c${i}_$j") }
     val a = micro.agg(count(lit(1)).as("n"), aggs: _*)
-    a.select(explode(array(pairs.map { case (i, j) => struct(
+    // materialize each exact numerator ONCE as a column: inlining the
+    // decimal polynomial 4x per struct x 36 structs overflows the 64KB
+    // codegen method limit (interpreted fallback — correct but slow)
+    val withNums = pairs.foldLeft(a) { case (acc, (i, j)) =>
+      acc.withColumn(s"n${i}_$j",
+        (col("n").cast(dec38) * col(s"c${i}_$j") - col(s"s$i") * col(s"s$j"))
+          .cast("long"))
+    }
+    def num(i: Int, j: Int) = col(s"n${i}_$j")
+    withNums.select(explode(array(pairs.map { case (i, j) => struct(
         lit(i).as("dim_i"), lit(j).as("dim_j"),
         col("n"),
-        (col("n").cast(dec38) * col(s"c${i}_$j") - col(s"s$i") * col(s"s$j"))
-          .cast("long").as("num"),
-        round((col("n").cast(dec38) * col(s"c${i}_$j") - col(s"s$i") * col(s"s$j"))
-          .cast("double") /
+        num(i, j).as("num"),
+        round(num(i, j).cast("double") /
           (col("n").cast("double") * (col("n") - 1).cast("double") * lit(1e12)), 6)
-          .as("cov")) }: _*)).as("_c"))
+          .as("cov"),
+        // Pearson corr from the same exact numerators; the n(n-1)·1e12
+        // scale cancels, wide casts absorbed by round-6
+        when(num(i, i) > 0 && num(j, j) > 0,
+          round(num(i, j).cast("double") /
+            (sqrt(num(i, i).cast("double")) * sqrt(num(j, j).cast("double"))), 6))
+          .as("corr")) }: _*)).as("_c"))
       .select("_c.*")
       .orderBy("dim_i", "dim_j")
   }

@@ -4969,11 +4969,16 @@ object Queries {
         pairs.map { case (i, j) =>
           s"CAST(SUM(CAST(x$i AS HUGEINT) * CAST(x$j AS HUGEINT)) AS HUGEINT) AS c${i}_$j" })
         .mkString(", ")
+      def nm(i: Int, j: Int) = s"(n * c${i}_$j - s$i * s$j)"
       val arms = pairs.map { case (i, j) =>
         s"""SELECT $i AS dim_i, $j AS dim_j, n,
-          CAST(n * c${i}_$j - s$i * s$j AS BIGINT) AS num,
-          ROUND(CAST(n * c${i}_$j - s$i * s$j AS DOUBLE)
-            / (CAST(n AS DOUBLE) * CAST(n - 1 AS DOUBLE) * 1e12), 6) AS cov
+          CAST(${nm(i, j)} AS BIGINT) AS num,
+          ROUND(CAST(${nm(i, j)} AS DOUBLE)
+            / (CAST(n AS DOUBLE) * CAST(n - 1 AS DOUBLE) * 1e12), 6) AS cov,
+          CASE WHEN ${nm(i, i)} > 0 AND ${nm(j, j)} > 0 THEN
+            ROUND(CAST(${nm(i, j)} AS DOUBLE)
+              / (sqrt(CAST(${nm(i, i)} AS DOUBLE)) * sqrt(CAST(${nm(j, j)} AS DOUBLE))), 6)
+          END AS corr
         FROM a""" }.mkString(" UNION ALL ")
       s"""WITH m AS (SELECT $xs FROM embeddings),
       a AS (SELECT CAST(COUNT(*) AS BIGINT) AS n, $sums FROM m)
