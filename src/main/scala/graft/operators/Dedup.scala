@@ -196,6 +196,84 @@ object Dedup {
       .select("d1", "d2", "jaccard")
   }
 
+  /** Prefix-filtered exact set-similarity self-join (the SSJoin/PPJoin
+    * candidate-generation principle — Chaudhuri, Ganti & Kaushik, ICDE
+    * 2006; Xiao et al., WWW 2008): all document pairs with word-set
+    * Jaccard ≥ tNum/tDen, WITHOUT structural block keys and without
+    * all-pairs.
+    *
+    * Theorem (prefix filter): order all tokens by a global total order
+    * (rarest first — df asc, token asc). If J(x,y) ≥ t then
+    * |x∩y| ≥ ⌈t·|x|⌉ and ⌈t·|y|⌉, so the globally-smallest shared token
+    * must sit inside BOTH docs' (|·| − ⌈t·|·|⌉ + 1)-prefixes — an
+    * equi-join on prefix tokens finds every qualifying pair. Rare-first
+    * ordering makes prefix buckets tiny (a token's candidate fan-out is
+    * bounded by its df), which is what kills the quadratic term at scale.
+    *
+    * Exactness: the threshold is a RATIONAL tNum/tDen so the prefix
+    * length uses integer ceil-div ((tNum·sz + tDen − 1) div tDen) and the
+    * final filter is the integer cross-multiplication
+    * tDen·i ≥ tNum·(sz1+sz2−i) — no float ever decides membership. The
+    * token order is the (df, word) TUPLE itself, not a row_number, so no
+    * global-sort window exists anywhere in the plan: the df model is a
+    * word-keyed aggregate, docs sort their own prefix arrays locally.
+    *
+    * 100 TB shape: one explode → (word) agg for df, one word-keyed join
+    * back (AQE broadcasts the vocab side when it fits), one doc-keyed
+    * collect, one prefix-token equi-join with the size filter
+    * tNum·max(sz) ≤ tDen·min(sz) pushed into the join condition, then
+    * the usual relational verify. Shuffle keys: word, doc, prefix-token
+    * — never a cross join.
+    *
+    * Defaults match q25's MinHash predicate (bigram shingles, J ≥ 2/5)
+    * — this operator is its EXACT counterpart, so the pair makes
+    * LSH recall measurable. Bigrams are also the scale-safe default:
+    * unigram word sets on a homogeneous corpus make the qualifying
+    * OUTPUT itself quadratic, which no candidate filter can fix. */
+  def prefixFilteredJaccard(
+      docs: DataFrame,
+      tNum: Int = 2,
+      tDen: Int = 5,
+      textCol: String = "text",
+      idCol: String = "doc_id",
+      shingleN: Int = 2): DataFrame = {
+    require(tNum > 0 && tDen > 0 && tNum <= tDen, s"bad threshold $tNum/$tDen")
+    val w = words(docs, textCol, idCol, shingleN) // exploded DISTINCT shingles per doc
+    val df = w.groupBy("word").agg(count(lit(1)).as("dfq"))
+    // per-doc token array sorted rarest-first by the (df, word) tuple
+    val ranked = w.join(df, "word")
+      .groupBy(col(idCol))
+      .agg(array_sort(collect_list(struct(col("dfq"), col("word")))).as("toks"),
+        count(lit(1)).as("sz"))
+      .withColumn("p",
+        col("sz") - expr(s"(($tNum * sz + ${tDen - 1}) div $tDen)") + 1)
+    val prefix = ranked.select(col(idCol), col("sz"),
+      explode(expr("transform(slice(toks, 1, cast(p as int)), s -> s.word)")).as("word"))
+    val cand = prefix.select(col(idCol).as("d1"), col("sz").as("_sz1"), col("word"))
+      .join(prefix.select(col(idCol).as("d2"), col("sz").as("_sz2"), col("word")),
+        Seq("word"))
+      .filter(col("d1") < col("d2") &&
+        least(col("_sz1"), col("_sz2")) * tDen >= greatest(col("_sz1"), col("_sz2")) * tNum)
+      .select("d1", "d2")
+      .distinct()
+    // relational verify (same shape as verifyJaccard) with the INTEGER
+    // cross-multiplied threshold: tDen·i ≥ tNum·(n1+n2−i)
+    val sizes = ranked.select(col(idCol), col("sz"))
+    val inter = cand
+      .join(w.select(col(idCol).as("d1"), col("word").as("wa")), "d1")
+      .join(w.select(col(idCol).as("_d2b"), col("word").as("wb")),
+        col("d2") === col("_d2b") && col("wb") === col("wa"))
+      .groupBy("d1", "d2")
+      .agg(count(lit(1)).as("inter"))
+    inter
+      .join(sizes.select(col(idCol).as("d1"), col("sz").as("n1")), "d1")
+      .join(sizes.select(col(idCol).as("d2"), col("sz").as("n2")), "d2")
+      .filter(col("inter") * tDen >= (col("n1") + col("n2") - col("inter")) * tNum)
+      .withColumn("jaccard",
+        col("inter").cast("double") / (col("n1") + col("n2") - col("inter")).cast("double"))
+      .select("d1", "d2", "jaccard")
+  }
+
   /** Fuzzy record-linkage pairs: blocked candidates scored by LEVENSHTEIN
     * edit distance over a fixed prefix — the entity-resolution primitive
     * (typo'd titles, OCR noise, re-keyed records) that token-set Jaccard

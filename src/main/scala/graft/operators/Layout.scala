@@ -35,6 +35,41 @@ object Layout {
         (shiftright(y, i).bitwiseAND(lit(1L)) * lit(1L << (2 * i + 1)))
     }.reduce(_ + _)
 
+  /** Hilbert curve index of (x, y) on a 2^bits × 2^bits grid — the
+    * classic level-by-level fold (Hilbert 1891; the xy→d form in
+    * Warren, Hacker's Delight / the public-domain Wikipedia routine):
+    * at each level s = 2^i the quadrant contributes s²·((3·rx) xor ry)
+    * and the coordinate frame is flipped/swapped so the sub-square
+    * recursion continues in canonical orientation. Unlike Morton order,
+    * consecutive Hilbert indices are ALWAYS 4-neighbours (unit Manhattan
+    * step — HilbertSpec proves bijection + adjacency), so equal-count
+    * file cuts produce more compact bboxes and strictly better min/max
+    * pruning on box queries.
+    *
+    * Pure integer fold, expressed as `aggregate` over the bit levels —
+    * codegen'd, zero shuffles, and replayable op-for-op in the oracle
+    * (DuckDB `list_reduce` with a seed-carrying struct). The xor is
+    * rewritten `rx=1 ? 3-ry : ry` to stay on portable arithmetic. */
+  def hilbertValue(xCol: String, yCol: String, bits: Int): Column = {
+    val n1 = (1L << bits) - 1 // flips complement within the full grid
+    val s = "shiftleft(cast(1 as bigint), i)"
+    val rx = s"(case when (a.hx & $s) > 0 then 1 else 0 end)"
+    val ry = s"(case when (a.hy & $s) > 0 then 1 else 0 end)"
+    expr(s"""aggregate(
+      sequence(${bits - 1}, 0, -1),
+      named_struct('hx', cast($xCol as bigint), 'hy', cast($yCol as bigint),
+                   'hd', cast(0 as bigint)),
+      (a, i) -> named_struct(
+        'hx', case when $ry = 0
+                then (case when $rx = 1 then cast($n1 as bigint) - a.hy else a.hy end)
+                else a.hx end,
+        'hy', case when $ry = 0
+                then (case when $rx = 1 then cast($n1 as bigint) - a.hx else a.hx end)
+                else a.hy end,
+        'hd', a.hd + $s * $s * (case when $rx = 1 then 3 - $ry else $ry end)),
+      a -> a.hd)""")
+  }
+
   /** The production write path the scorecard argues for: range-partition
     * by the Morton value (ONE range shuffle — Spark samples the z
     * distribution for balanced boundaries), sort within partitions, and
@@ -69,14 +104,16 @@ object Layout {
       yCol: String,
       bits: Int,
       nFiles: Int,
-      box: (Int, Int, Int, Int)): DataFrame = {
+      box: (Int, Int, Int, Int),
+      layouts: Seq[String] = Seq("rowmajor", "zorder")): DataFrame = {
     val (xLo, xHi, yLo, yHi) = box
     val x = col(xCol).cast("long")
     val y = col(yCol).cast("long")
     val keyed = cells.select(
       x.as("x"), y.as("y"),
       (y * (1L << bits) + x).as("ord_rowmajor"),
-      zValue(x, y, bits).as("ord_zorder"))
+      zValue(x, y, bits).as("ord_zorder"),
+      hilbertValue(xCol, yCol, bits).as("ord_hilbert"))
     def score(layout: String, ordCol: String): DataFrame = keyed
       .withColumn("file_id", ntile(nFiles).over(Window.orderBy(col(ordCol), col("y"), col("x"))))
       .groupBy("file_id")
@@ -94,8 +131,6 @@ object Layout {
         sum("touches").as("files_touched"))
       .select(lit(layout).as("layout"), col("n_files"), col("sum_bbox_area"),
         col("files_touched"))
-    score("rowmajor", "ord_rowmajor")
-      .unionByName(score("zorder", "ord_zorder"))
-      .orderBy("layout")
+    layouts.map(l => score(l, s"ord_$l")).reduce(_ unionByName _).orderBy("layout")
   }
 }

@@ -871,4 +871,58 @@ object Selection {
       .select("bin", "n", "n_pos", "avg_pred", "pos_rate")
       .orderBy("bin")
   }
+
+  /** 2-D skyline (Pareto frontier): the points not dominated under
+    * (maximize `maxCol`, minimize `minCol`) — a dominates b iff
+    * a.max ≥ b.max ∧ a.min ≤ b.min with one strict. The classic
+    * preference query (Börzsönyi, Kossmann & Stocker, ICDE 2001).
+    *
+    * Distributed shape — the standard partial-skyline-then-merge, fully
+    * declarative:
+    *  1. collapse to distinct (max, min) points (hash agg, carries count
+    *     + min id);
+    *  2. PRUNE with bucket witnesses: per coarse max-bucket the best
+    *     (smallest) min value — a model-sized table; the running best
+    *     over strictly-higher buckets dominates (bucket floor ⇒ strictly
+    *     larger max), so any point at or above that witness dies before
+    *     any wide operation. Survivors ≈ per-bucket local frontiers;
+    *  3. exact finish on the survivors: keep the best min per max value,
+    *     then one ordered window — frontier iff min < running min over
+    *     strictly greater max values. The only unpartitioned window runs
+    *     over the pruned survivor table (frontier-sized by construction),
+    *     same discipline as every model-table window in this codebase.
+    *
+    * Everything is integer/decimal compares — no floats decide
+    * membership. The oracle states dominance directly as NOT EXISTS —
+    * an independent formulation, so agreement is evidence. */
+  def paretoFrontier2d(
+      points: DataFrame,
+      maxCol: String,
+      minCol: String,
+      idCol: String,
+      bucketWidth: Long): DataFrame = {
+    val pts = points
+      .groupBy(col(maxCol).as("maxv"), col(minCol).as("minv"))
+      .agg(count(lit(1)).as("n_rows"), min(col(idCol)).as("first_id"))
+    val bucketed = pts.withColumn("_bkt", floor(col("maxv") / bucketWidth))
+    // witness per bucket, then best witness over STRICTLY higher buckets
+    val wDesc = Window.orderBy(col("_bkt").desc).rowsBetween(Window.unboundedPreceding, -1)
+    val witnesses = bucketed
+      .groupBy("_bkt").agg(min("minv").as("_bmin"))
+      .withColumn("_above", min("_bmin").over(wDesc)) // bucket-count rows
+    val survivors = bucketed.join(broadcast(witnesses.select("_bkt", "_above")), Seq("_bkt"))
+      .filter(col("_above").isNull || col("minv") < col("_above"))
+    // exact finish: best min per distinct max, then strict running min
+    val perMax = survivors
+      .groupBy("maxv")
+      .agg(min(struct(col("minv"), col("first_id"), col("n_rows"))).as("_best"))
+      .select(col("maxv"), col("_best.minv").as("minv"),
+        col("_best.first_id").as("first_id"), col("_best.n_rows").as("n_rows"))
+    val wStrict = Window.orderBy(col("maxv").desc).rowsBetween(Window.unboundedPreceding, -1)
+    perMax
+      .withColumn("_runmin", min("minv").over(wStrict))
+      .filter(col("_runmin").isNull || col("minv") < col("_runmin"))
+      .select("maxv", "minv", "n_rows", "first_id")
+      .orderBy(col("maxv").desc)
+  }
 }

@@ -703,4 +703,84 @@ object Temporal {
         max("grp_end").as("last_day"))
       .orderBy(userCol)
   }
+
+  /** Per-key exponentially-weighted moving average (α = 1/2), EXACT: the
+    * truncated EWMA over the last `window` observations is a DYADIC
+    * rational — v_m/2 + v_{m−1}/4 + … with the two oldest terms sharing
+    * the residual weight so weights sum to exactly 1 — so scaling by
+    * 2^(m−1) makes the numerator an INTEGER:
+    *   N = v_1 + Σ_{j=2..m} v_j·2^(j−2),   ewma = N / 2^(m−1).
+    * Values are micro-quantized (decimal ×1e6, the cusum/acf recipe), the
+    * weighted sum is an indexed `transform` + integer fold — at |v| ≤
+    * 490·1e6 < 2^29 and window 32, N < 2^61, inside BIGINT — and the
+    * final division is by a power of two: an exact exponent shift, so
+    * the ONLY rounding is the BIGINT→double conversion, identical on
+    * every engine.
+    *
+    * Scale shape: one keyed window collects the ≤window-element array
+    * (bounded state per row), the fold is codegen'd per row — a single
+    * user-keyed shuffle, same as sessionization. */
+  def ewmaDyadic(
+      events: DataFrame,
+      keyCol: String = "user_id",
+      tsCol: String = "ts",
+      tieCol: String = "event_id",
+      valueCol: String = "value",
+      window: Int = 32): DataFrame = {
+    require(window >= 1 && window <= 32, s"dyadic window $window exceeds the 2^61 integer budget")
+    val w = Window.partitionBy(keyCol).orderBy(tsCol, tieCol)
+      .rowsBetween(-(window - 1), Window.currentRow)
+    events
+      .withColumn("v_micro",
+        (col(valueCol).cast(DecimalType(18, 6)) * 1000000).cast("long"))
+      .withColumn("_arr", collect_list("v_micro").over(w))
+      .withColumn("n_window", size(col("_arr")).cast("long"))
+      // weights oldest→newest: 1, 1, 2, 4, … = 2^max(i−1, 0) at 0-based i
+      .withColumn("_num", expr(
+        """aggregate(
+             transform(_arr, (x, i) -> x * shiftleft(cast(1 as bigint), greatest(i - 1, 0))),
+             cast(0 as bigint), (a, x) -> a + x)"""))
+      .withColumn("ewma",
+        col("_num").cast("double") /
+          expr("cast(shiftleft(cast(1 as bigint), cast(n_window - 1 as int)) as double)") / 1e6)
+      .select(col(keyCol), col(tieCol), col("v_micro"), col("n_window"),
+        col("_num").as("num"), col("ewma"))
+  }
+
+  /** Slowly-changing-dimension (SCD type 2) interval build: collapse a
+    * per-key event stream into state VERSIONS — one row per run of equal
+    * states, with [valid_from, valid_to) nanosecond bounds, the event
+    * count the run collapsed, and an is_current flag. The read-side twin
+    * is [[stateAt]] (point-in-time reconstruction); this is the
+    * warehouse-load side that materializes the full dimension history.
+    *
+    * Runs are gaps-and-islands: a state-change flag (lag-compare), a
+    * running sum for the version id, one grouped aggregate, and a lead()
+    * for the exclusive upper bound. Exact integers; one key-partitioned
+    * shuffle; every window is keyed — nothing global. */
+  def scd2Intervals(
+      events: DataFrame,
+      keyCol: String = "user_id",
+      tsCol: String = "ts",
+      tieCol: String = "event_id",
+      stateCol: String = "event_type"): DataFrame = {
+    val w = Window.partitionBy(keyCol).orderBy(col(tsCol), col(tieCol))
+    val runs = events
+      .select(col(keyCol), col(tsCol), col(tieCol), col(stateCol))
+      .withColumn("_chg",
+        when(lag(stateCol, 1).over(w).isNull ||
+          lag(stateCol, 1).over(w) =!= col(stateCol), 1L).otherwise(0L))
+      .withColumn("version", sum("_chg").over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col(keyCol), col("version"))
+      .agg(min(stateCol).as("state"), // constant within the run
+        min(tsCol).as("valid_from"),
+        count(lit(1)).as("n_events"))
+    val wv = Window.partitionBy(keyCol).orderBy("version")
+    runs
+      .withColumn("valid_to", lead("valid_from", 1).over(wv))
+      .withColumn("is_current", col("valid_to").isNull.cast("int"))
+      .select(keyCol, "version", "state", "valid_from", "valid_to",
+        "n_events", "is_current")
+  }
 }

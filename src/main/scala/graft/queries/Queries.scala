@@ -5026,6 +5026,183 @@ object Queries {
       FROM uest"""
     })
 
+  /** Prefix-filtered exact set-similarity self-join
+    * (`Dedup.prefixFilteredJaccard`, the SSJoin/PPJoin principle): every
+    * pair with bigram-shingle Jaccard ≥ 2/5 — EXACTLY q25's MinHash
+    * predicate, with no block keys and no false negatives: shingles are
+    * globally ordered rarest-first by the (df, gram) tuple and
+    * candidates only arise where (sz − ⌈2sz/5⌉ + 1)-prefixes share a
+    * gram. Thresholds are integer ceil-div / cross-multiplication on
+    * both engines; the oracle replays the prefix generation with list
+    * lambdas and verifies with `list_intersect` (row-local allocator
+    * discipline). */
+  val q175_setsim_join: Q = Q(
+    (s, d) => Dedup.prefixFilteredJaccard(docsRebalanced(s, d)).orderBy("d1", "d2"),
+    Some(s"""WITH ws AS MATERIALIZED (
+        SELECT doc_id, list_distinct(${duckGrams(2)}) AS dw
+        FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents)),
+      wx AS MATERIALIZED (SELECT doc_id, unnest(dw) AS word FROM ws),
+      dfq AS MATERIALIZED (SELECT word, CAST(COUNT(*) AS BIGINT) AS dfc FROM wx GROUP BY word),
+      docr AS MATERIALIZED (
+        SELECT wx.doc_id,
+          list_sort(list({'dfq': dfc, 'word': word})) AS toks,
+          CAST(COUNT(*) AS BIGINT) AS sz
+        FROM wx JOIN dfq USING (word) GROUP BY wx.doc_id),
+      pre AS (SELECT doc_id, sz,
+          unnest(list_transform(toks[1:CAST(sz - ((2 * sz + 4) // 5) + 1 AS BIGINT)],
+            t -> t.word)) AS word
+        FROM docr),
+      cand AS (SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+        FROM pre a JOIN pre b ON a.word = b.word AND a.doc_id < b.doc_id
+          AND least(a.sz, b.sz) * 5 >= greatest(a.sz, b.sz) * 2),
+      v AS (SELECT c.d1, c.d2,
+          CAST(len(list_intersect(w1.dw, w2.dw)) AS BIGINT) AS i,
+          CAST(len(w1.dw) AS BIGINT) AS n1, CAST(len(w2.dw) AS BIGINT) AS n2
+        FROM cand c JOIN ws w1 ON w1.doc_id = c.d1 JOIN ws w2 ON w2.doc_id = c.d2)
+      SELECT d1, d2, CAST(i AS DOUBLE) / CAST(n1 + n2 - i AS DOUBLE) AS jaccard
+      FROM v WHERE 5 * i >= 2 * (n1 + n2 - i)
+      ORDER BY d1, d2"""))
+
+  /** Exact dyadic EWMA per user (`Temporal.ewmaDyadic`, α = 1/2, window
+    * 32): the weighted sum is an INTEGER (micro values × power-of-two
+    * weights, oldest two share the residual), the divisor a power of two
+    * (exact exponent shift) — the only rounding is BIGINT→double,
+    * identical everywhere. One keyed window; the oracle's indexed
+    * `list_transform` (1-based) mirrors Spark's `transform` (0-based). */
+  val q176_ewma: Q = Q(
+    (s, d) => Temporal.ewmaDyadic(eventsNs(s, d))
+      .orderBy("user_id", "event_id"),
+    Some("""WITH e AS (SELECT user_id, event_id, ts,
+          CAST(CAST(value AS DECIMAL(18,6)) * 1000000 AS BIGINT) AS v_micro
+        FROM events),
+      a AS (SELECT user_id, event_id, v_micro,
+          list(v_micro) OVER (PARTITION BY user_id ORDER BY ts, event_id
+            ROWS BETWEEN 31 PRECEDING AND CURRENT ROW) AS arr
+        FROM e),
+      b AS (SELECT user_id, event_id, v_micro,
+          CAST(len(arr) AS BIGINT) AS n_window,
+          CAST(list_sum(list_transform(arr,
+            (x, i) -> x * (CAST(1 AS BIGINT) << greatest(i - 2, 0)))) AS BIGINT) AS num
+        FROM a)
+      SELECT user_id, event_id, v_micro, n_window, num,
+        CAST(num AS DOUBLE)
+          / CAST((CAST(1 AS BIGINT) << CAST(n_window - 1 AS INTEGER)) AS DOUBLE)
+          / 1e6 AS ewma
+      FROM b ORDER BY user_id, event_id"""))
+
+  /** SCD2 dimension build (`Temporal.scd2Intervals`): per-user state
+    * version intervals [valid_from, valid_to) in epoch-µs with collapsed
+    * event counts and the is_current flag — the warehouse-load twin of
+    * q154's point-in-time read. Gaps-and-islands, exact integers. */
+  val q177_scd2: Q = Q(
+    (s, d) => Temporal.scd2Intervals(
+        eventsNs(s, d).select(col("user_id"), col("event_id"),
+          expr("ts div 1000").as("tus"), col("event_type")),
+        tsCol = "tus")
+      .orderBy("user_id", "version"),
+    Some("""WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS tus, event_type FROM events),
+      c AS (SELECT *, CASE WHEN lag(event_type) OVER w IS NULL
+              OR lag(event_type) OVER w <> event_type THEN 1 ELSE 0 END AS chg
+        FROM e WINDOW w AS (PARTITION BY user_id ORDER BY tus, event_id)),
+      r AS (SELECT *, SUM(chg) OVER (PARTITION BY user_id ORDER BY tus, event_id
+              ROWS UNBOUNDED PRECEDING) AS version FROM c),
+      g AS (SELECT user_id, CAST(version AS BIGINT) AS version,
+          MIN(event_type) AS state, MIN(tus) AS valid_from,
+          CAST(COUNT(*) AS BIGINT) AS n_events
+        FROM r GROUP BY 1, 2)
+      SELECT user_id, version, state, valid_from,
+        lead(valid_from) OVER w2 AS valid_to, n_events,
+        CASE WHEN lead(valid_from) OVER w2 IS NULL THEN 1 ELSE 0 END AS is_current
+      FROM g WINDOW w2 AS (PARTITION BY user_id ORDER BY version)
+      ORDER BY user_id, version"""))
+
+  /** 2-D skyline (`Selection.paretoFrontier2d`): orders Pareto-optimal
+    * under (maximize o_totalprice, minimize o_orderdate) — "largest
+    * earliest" orders. The engine prunes with broadcast bucket witnesses
+    * before a frontier-sized exact window; the oracle states dominance
+    * DIRECTLY as NOT EXISTS over the distinct point set — an independent
+    * formulation of the same predicate. */
+  val q178_skyline: Q = Q(
+    (s, d) => Selection.paretoFrontier2d(
+        table(s, d, "orders"), "o_totalprice", "o_orderdate", "o_orderkey",
+        bucketWidth = 10000L)
+      .select(col("maxv").cast("double").as("price"), col("minv").as("first_date"),
+        col("n_rows"), col("first_id"))
+      .orderBy(col("price").desc),
+    Some("""WITH pts AS MATERIALIZED (
+        SELECT o_totalprice AS p, o_orderdate AS dt,
+          CAST(COUNT(*) AS BIGINT) AS n_rows, MIN(o_orderkey) AS first_id
+        FROM orders GROUP BY 1, 2)
+      SELECT CAST(p AS DOUBLE) AS price, dt AS first_date, n_rows, first_id
+      FROM pts a
+      WHERE NOT EXISTS (SELECT 1 FROM pts b
+        WHERE b.p >= a.p AND b.dt <= a.dt AND (b.p > a.p OR b.dt < a.dt))
+      ORDER BY price DESC"""))
+
+  /** Hilbert vs Z-order vs row-major layout (`Layout.hilbertValue` +
+    * the 3-way `layoutReport`): Hilbert's unit-step locality gives the
+    * tightest file bboxes and the fewest files touched — the measured
+    * argument for Hilbert-sorted writes over plain Morton. Pure integer
+    * folds on both engines (Spark `aggregate` over bit levels, DuckDB
+    * `list_reduce` with a seed-carrying struct). */
+  val q179_hilbert_layout: Q = Q(
+    (s, d) => Layout.layoutReport(
+      swath(s, d).select("ix", "iy").distinct(),
+      "ix", "iy", bits = 7, nFiles = 64, box = (10, 19, 20, 29),
+      layouts = Seq("rowmajor", "zorder", "hilbert")),
+    Some {
+      val zTerms = (0 until 7).map(i =>
+        s"((x >> $i) & 1) * ${1L << (2 * i)} + ((y >> $i) & 1) * ${1L << (2 * i + 1)}")
+        .mkString(" + ")
+      def side(layout: String, ordCol: String): String =
+        s"""(SELECT '$layout' AS layout, CAST(COUNT(*) AS BIGINT) AS n_files,
+          CAST(SUM((x1 - x0 + 1) * (y1 - y0 + 1)) AS BIGINT) AS sum_bbox_area,
+          CAST(SUM(CASE WHEN x0 <= 19 AND x1 >= 10 AND y0 <= 29 AND y1 >= 20
+            THEN 1 ELSE 0 END) AS BIGINT) AS files_touched
+        FROM (SELECT file_id, MIN(x) AS x0, MAX(x) AS x1, MIN(y) AS y0, MAX(y) AS y1
+              FROM (SELECT x, y, ntile(64) OVER (ORDER BY $ordCol, y, x) AS file_id FROM k)
+              GROUP BY file_id))"""
+      s"""WITH $swathSql,
+      c AS (SELECT DISTINCT CAST(ix AS BIGINT) AS x, CAST(iy AS BIGINT) AS y FROM swath),
+      k AS (SELECT x, y, y * 128 + x AS ord_rowmajor, ($zTerms) AS ord_zorder,
+            ${duckHilbertSql("x", "y", 7)} AS ord_hilbert FROM c)
+      SELECT * FROM (${side("hilbert", "ord_hilbert")}
+        UNION ALL ${side("rowmajor", "ord_rowmajor")}
+        UNION ALL ${side("zorder", "ord_zorder")}) ORDER BY layout"""
+    })
+
+  /** DuckDB twin of `Layout.hilbertValue`: the same per-level integer
+    * fold as a `list_reduce` whose FIRST element seeds the state and
+    * whose remaining elements carry the bit levels.
+    *
+    * The state is PACKED into one BIGINT, (hd·2^bits + hx)·2^bits + hy:
+    * DuckDB 1.0's list_reduce evaluates a struct accumulator's fields
+    * sequentially IN PLACE — a later field reading `a.hx` sees the new
+    * value (the (6,0) cell came back 61 instead of 60) — so the lambda
+    * must read the accumulator exactly once. Packing makes every read
+    * a pure projection of the single `a`, immune to field ordering. */
+  private def duckHilbertSql(x: String, y: String, bits: Int): String = {
+    val p = 1L << bits // coordinate modulus
+    val n1 = p - 1
+    val s = "(CAST(1 AS BIGINT) << CAST(i AS INTEGER))"
+    val hx = s"((a // $p) % $p)"
+    val hy = s"(a % $p)"
+    val hd = s"(a // ${p * p})"
+    val rx = s"(CASE WHEN ($hx & $s) > 0 THEN 1 ELSE 0 END)"
+    val ry = s"(CASE WHEN ($hy & $s) > 0 THEN 1 ELSE 0 END)"
+    s"""(list_reduce(
+      [CAST($x AS BIGINT) * $p + CAST($y AS BIGINT)] || range(${bits - 1}, -1, -1),
+      (a, i) ->
+        (($hd + $s * $s * (CASE WHEN $rx = 1 THEN 3 - $ry ELSE $ry END)) * $p +
+          (CASE WHEN $ry = 0
+            THEN (CASE WHEN $rx = 1 THEN $n1 - $hy ELSE $hy END)
+            ELSE $hx END)) * $p +
+        (CASE WHEN $ry = 0
+          THEN (CASE WHEN $rx = 1 THEN $n1 - $hx ELSE $hx END)
+          ELSE $hy END)
+    )) // ${p * p}"""
+  }
+
   // -------------------------------------------------------------- registry
 
   val all: Seq[(String, Q)] = Seq(
@@ -5201,5 +5378,10 @@ object Queries {
     "q171_rolling_distinct" -> q171_rolling_distinct,
     "q172_expectations" -> q172_expectations,
     "q173_covariance" -> q173_covariance,
-    "q174_kmv_intersect" -> q174_kmv_intersect)
+    "q174_kmv_intersect" -> q174_kmv_intersect,
+    "q175_setsim_join" -> q175_setsim_join,
+    "q176_ewma" -> q176_ewma,
+    "q177_scd2" -> q177_scd2,
+    "q178_skyline" -> q178_skyline,
+    "q179_hilbert_layout" -> q179_hilbert_layout)
 }

@@ -1,0 +1,162 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Round-6 session-4 wave: Hilbert layout, prefix-filtered set-similarity
+  * join, dyadic EWMA, SCD2 intervals, 2-D skyline. Each operator is
+  * checked against an independent brute-force or closed-form model. */
+class WaveR6dSpec extends SparkSpec {
+
+  // ------------------------------------------------------------- hilbert
+
+  /** Reference xy2d (public-domain routine; same as Layout scaladoc). */
+  private def xy2dRef(n: Int, x0: Int, y0: Int): Long = {
+    var (x, y, d) = (x0, y0, 0L)
+    var s = n / 2
+    while (s > 0) {
+      val rx = if ((x & s) > 0) 1 else 0
+      val ry = if ((y & s) > 0) 1 else 0
+      d += s.toLong * s * ((3 * rx) ^ ry)
+      if (ry == 0) {
+        if (rx == 1) { x = n - 1 - x; y = n - 1 - y }
+        val t = x; x = y; y = t
+      }
+      s /= 2
+    }
+    d
+  }
+
+  test("hilbertValue is the reference curve: bijective with unit-step adjacency") {
+    val cells = spark.range(64).selectExpr("id % 8 as x", "id div 8 as y")
+    val got = cells
+      .select(col("x"), col("y"), Layout.hilbertValue("x", "y", 3).as("d"))
+      .collect()
+      .map(r => ((r.getLong(0).toInt, r.getLong(1).toInt), r.getLong(2)))
+      .toMap
+    // matches the reference routine everywhere
+    for (((x, y), d) <- got) assert(d === xy2dRef(8, x, y), s"($x,$y)")
+    // bijection 0..63
+    assert(got.values.toSet === (0L until 64L).toSet)
+    // consecutive indices are 4-neighbours — the Hilbert locality property
+    val pos = got.map(_.swap)
+    for (i <- 0L until 63L) {
+      val (x1, y1) = pos(i); val (x2, y2) = pos(i + 1)
+      assert(math.abs(x1 - x2) + math.abs(y1 - y2) === 1, s"step $i")
+    }
+  }
+
+  // -------------------------------------------- prefix-filtered set-sim
+
+  test("prefixFilteredJaccard finds EXACTLY the brute-force pairs (no false negatives)") {
+    import spark.implicits._
+    // small corpus with planted near-dups, chains, and disjoint docs
+    val docs = Seq(
+      (1L, "a b c d e f g h"),
+      (2L, "a b c d e f g x"), // near-dup of 1
+      (3L, "a b c d e f y x"), // near-dup of 2, weaker of 1
+      (4L, "p q r s t u v w"), // disjoint
+      (5L, "p q r s t u v w"), // exact dup of 4
+      (6L, "m n o a b z z2 z3"),
+      (7L, "c a t s and dogs run fast")
+    ).toDF("doc_id", "text")
+    val got = Dedup.prefixFilteredJaccard(docs, tNum = 2, tDen = 5)
+      .select("d1", "d2").as[(Long, Long)].collect().toSet
+    // brute force over bigram shingle sets
+    def grams(t: String): Set[String] =
+      t.split(" ").sliding(2).map(_.mkString(" ")).toSet
+    val m = Seq(1L -> "a b c d e f g h", 2L -> "a b c d e f g x",
+      3L -> "a b c d e f y x", 4L -> "p q r s t u v w",
+      5L -> "p q r s t u v w", 6L -> "m n o a b z z2 z3",
+      7L -> "c a t s and dogs run fast").toMap
+    val want = (for {
+      i <- m.keys; j <- m.keys if i < j
+      gi = grams(m(i)); gj = grams(m(j))
+      inter = (gi & gj).size
+      if 5 * inter >= 2 * (gi.size + gj.size - inter)
+    } yield (i, j)).toSet
+    assert(want.nonEmpty && want.contains((4L, 5L)))
+    assert(got === want)
+  }
+
+  // ------------------------------------------------------------ dyadic EWMA
+
+  test("ewmaDyadic equals the recursive EWMA exactly (dyadic closed form)") {
+    import spark.implicits._
+    val events = Seq(
+      (1L, 10L, 1.5), (1L, 20L, 2.5), (1L, 30L, 4.0), (1L, 40L, 0.25),
+      (2L, 10L, 100.0)
+    ).toDF("user_id", "ts", "value").withColumn("event_id", col("ts"))
+    val got = Temporal.ewmaDyadic(events, window = 32)
+      .select("user_id", "event_id", "ewma")
+      .as[(Long, Long, Double)].collect()
+      .map { case (u, e, v) => (u, e) -> v }.toMap
+    // recursive S_1 = v_1; S_t = (S_{t-1} + v_t) / 2 — exact in doubles
+    // for these dyadic inputs
+    assert(got((1L, 10L)) === 1.5)
+    assert(got((1L, 20L)) === (1.5 + 2.5) / 2)
+    assert(got((1L, 30L)) === ((1.5 + 2.5) / 2 + 4.0) / 2)
+    assert(got((1L, 40L)) === (((1.5 + 2.5) / 2 + 4.0) / 2 + 0.25) / 2)
+    assert(got((2L, 10L)) === 100.0)
+  }
+
+  test("ewmaDyadic truncation: window w keeps the last w observations only") {
+    import spark.implicits._
+    val events = (1 to 6).map(i => (1L, i.toLong, i.toDouble))
+      .toDF("user_id", "ts", "value").withColumn("event_id", col("ts"))
+    val got = Temporal.ewmaDyadic(events, window = 3)
+      .select("event_id", "n_window", "ewma")
+      .as[(Long, Long, Double)].collect().map(r => r._1 -> (r._2, r._3)).toMap
+    assert(got(6L)._1 === 3L)
+    // truncated: v4/4 + v5/4 + v6/2 (oldest two share residual weight)
+    assert(got(6L)._2 === 4.0 / 4 + 5.0 / 4 + 6.0 / 2)
+  }
+
+  // ------------------------------------------------------------------ SCD2
+
+  test("scd2Intervals: runs collapse, intervals tile the timeline, counts add up") {
+    import spark.implicits._
+    val events = Seq(
+      (1L, 100L, 1L, "view"), (1L, 200L, 2L, "view"), (1L, 300L, 3L, "cart"),
+      (1L, 400L, 4L, "view"), (2L, 100L, 5L, "buy")
+    ).toDF("user_id", "ts", "event_id", "event_type")
+    val got = Temporal.scd2Intervals(events).orderBy("user_id", "version").collect()
+    val u1 = got.filter(_.getLong(0) == 1L)
+    assert(u1.map(_.getString(2)).toSeq === Seq("view", "cart", "view"))
+    assert(u1.map(_.getLong(5)).sum === 4L) // n_events
+    // valid_to of run k == valid_from of run k+1; last open-ended + current
+    assert(u1(0).getLong(4) === u1(1).getLong(3))
+    assert(u1(1).getLong(4) === u1(2).getLong(3))
+    assert(u1(2).isNullAt(4) && u1(2).getInt(6) === 1)
+    assert(u1.take(2).forall(_.getInt(6) === 0))
+  }
+
+  // --------------------------------------------------------------- skyline
+
+  test("paretoFrontier2d equals brute-force dominance on deterministic pseudo-random points") {
+    import spark.implicits._
+    // deterministic LCG points with repeats and ties on both dims
+    val pts = (0 until 500).map { i =>
+      val a = (i * 1103515245L + 12345L) % 97
+      val b = (i * 69069L + 1L) % 89
+      (i.toLong, math.abs(a), math.abs(b))
+    }
+    val df = pts.toDF("id", "maxv", "minv")
+    val got = Selection.paretoFrontier2d(df, "maxv", "minv", "id", bucketWidth = 16L)
+      .select("maxv", "minv").as[(Long, Long)].collect().toSet
+    val distinct = pts.map(p => (p._2, p._3)).toSet
+    val want = distinct.filter { case (p, dt) =>
+      !distinct.exists { case (p2, dt2) =>
+        p2 >= p && dt2 <= dt && (p2 > p || dt2 < dt)
+      }
+    }
+    assert(got === want)
+    // counts carried: n_rows of each frontier point = multiplicity in input
+    val gotN = Selection.paretoFrontier2d(df, "maxv", "minv", "id", bucketWidth = 16L)
+      .select("maxv", "minv", "n_rows").as[(Long, Long, Long)].collect()
+    for ((p, dt, n) <- gotN)
+      assert(n === pts.count(q => q._2 == p && q._3 == dt).toLong)
+  }
+}
