@@ -218,12 +218,20 @@ object Dedup {
     * global-sort window exists anywhere in the plan: the df model is a
     * word-keyed aggregate, docs sort their own prefix arrays locally.
     *
-    * 100 TB shape: one explode → (word) agg for df, one word-keyed join
-    * back (AQE broadcasts the vocab side when it fits), one doc-keyed
-    * collect, one prefix-token equi-join with the size filter
-    * tNum·max(sz) ≤ tDen·min(sz) pushed into the join condition, then
-    * the usual relational verify. Shuffle keys: word, doc, prefix-token
-    * — never a cross join.
+    * 100 TB shape: shingles are immediately encoded as 60-bit md5 longs
+    * (the codebase-wide fingerprint idiom), so every downstream
+    * structure is numeric. One explode → (gram) agg for df, one
+    * gram-keyed join back (AQE broadcasts the vocab side when it fits),
+    * one doc-keyed collect into the rarest-first sorted hash array, one
+    * prefix-gram equi-join with BOTH the size filter
+    * tNum·max(sz) ≤ tDen·min(sz) AND the PPJoin positional filter
+    * min(sz1−i1, sz2−i2)+1 ≥ ⌈tNum(sz1+sz2)/(tNum+tDen)⌉ inside the
+    * join condition, then a per-pair `array_intersect` of the two
+    * sorted hash arrays — codegen, no relational join-back, no second
+    * pass over the corpus. Shuffle keys: gram, doc, prefix-gram —
+    * never a cross join. The prefix table is explicitly rebalanced:
+    * it is compact enough that AQE would coalesce it to one partition
+    * and serialize the high-fan-out self-join (the q81 lesson).
     *
     * Defaults match q25's MinHash predicate (bigram shingles, J ≥ 2/5)
     * — this operator is its EXACT counterpart, so the pair makes
@@ -238,36 +246,44 @@ object Dedup {
       idCol: String = "doc_id",
       shingleN: Int = 2): DataFrame = {
     require(tNum > 0 && tDen > 0 && tNum <= tDen, s"bad threshold $tNum/$tDen")
-    val w = words(docs, textCol, idCol, shingleN) // exploded DISTINCT shingles per doc
-    val df = w.groupBy("word").agg(count(lit(1)).as("dfq"))
-    // per-doc token array sorted rarest-first by the (df, word) tuple
-    val ranked = w.join(df, "word")
+    val spark = docs.sparkSession
+    val w = words(docs, textCol, idCol, shingleN) // exploded DISTINCT shingles
+      .withColumn("h", Selection.md5Long(col("word")))
+      .select(col(idCol), col("h"))
+    val df = w.groupBy("h").agg(count(lit(1)).as("dfq"))
+    // per-doc hash array sorted rarest-first by the (df, hash) tuple —
+    // a total order both engines agree on, with no global row_number
+    val ranked = w.join(df, "h")
       .groupBy(col(idCol))
-      .agg(array_sort(collect_list(struct(col("dfq"), col("word")))).as("toks"),
+      .agg(expr("transform(array_sort(collect_list(struct(dfq, h))), s -> s.h)").as("hs"),
         count(lit(1)).as("sz"))
       .withColumn("p",
-        col("sz") - expr(s"(($tNum * sz + ${tDen - 1}) div $tDen)") + 1)
-    val prefix = ranked.select(col(idCol), col("sz"),
-      explode(expr("transform(slice(toks, 1, cast(p as int)), s -> s.word)")).as("word"))
-    val cand = prefix.select(col(idCol).as("d1"), col("sz").as("_sz1"), col("word"))
-      .join(prefix.select(col(idCol).as("d2"), col("sz").as("_sz2"), col("word")),
-        Seq("word"))
+        (col("sz") - expr(s"(($tNum * sz + ${tDen - 1}) div $tDen)") + 1).cast("int"))
+    val prefix = ranked
+      .select(col(idCol), col("sz"),
+        posexplode(expr("slice(hs, 1, p)")).as(Seq("pos0", "h")))
+      .withColumn("pos", col("pos0") + 1).drop("pos0")
+      .repartition(spark.sparkContext.defaultParallelism)
+    // candidate pairs: shared prefix gram + size filter + positional
+    // filter (first-shared-token overlap upper bound, Xiao et al. 2008)
+    val alpha = // ⌈tNum(sz1+sz2)/(tNum+tDen)⌉ as integer ceil-div
+      expr(s"($tNum * (_sz1 + _sz2) + ${tNum + tDen - 1}) div ${tNum + tDen}")
+    val cand = prefix.select(col(idCol).as("d1"), col("sz").as("_sz1"),
+        col("pos").as("_p1"), col("h"))
+      .join(prefix.select(col(idCol).as("d2"), col("sz").as("_sz2"),
+        col("pos").as("_p2"), col("h")), Seq("h"))
       .filter(col("d1") < col("d2") &&
-        least(col("_sz1"), col("_sz2")) * tDen >= greatest(col("_sz1"), col("_sz2")) * tNum)
+        least(col("_sz1"), col("_sz2")) * tDen >= greatest(col("_sz1"), col("_sz2")) * tNum &&
+        least(col("_sz1") - col("_p1"), col("_sz2") - col("_p2")) + 1 >= alpha)
       .select("d1", "d2")
       .distinct()
-    // relational verify (same shape as verifyJaccard) with the INTEGER
-    // cross-multiplied threshold: tDen·i ≥ tNum·(n1+n2−i)
-    val sizes = ranked.select(col(idCol), col("sz"))
-    val inter = cand
-      .join(w.select(col(idCol).as("d1"), col("word").as("wa")), "d1")
-      .join(w.select(col(idCol).as("_d2b"), col("word").as("wb")),
-        col("d2") === col("_d2b") && col("wb") === col("wa"))
-      .groupBy("d1", "d2")
-      .agg(count(lit(1)).as("inter"))
-    inter
-      .join(sizes.select(col(idCol).as("d1"), col("sz").as("n1")), "d1")
-      .join(sizes.select(col(idCol).as("d2"), col("sz").as("n2")), "d2")
+    // verify: one array_intersect per pair over the sorted hash arrays —
+    // integer cross-multiplied threshold tDen·i ≥ tNum·(n1+n2−i)
+    val arrs = ranked.select(col(idCol), col("hs"), col("sz"))
+    cand
+      .join(arrs.select(col(idCol).as("d1"), col("hs").as("_h1"), col("sz").as("n1")), "d1")
+      .join(arrs.select(col(idCol).as("d2"), col("hs").as("_h2"), col("sz").as("n2")), "d2")
+      .withColumn("inter", size(array_intersect(col("_h1"), col("_h2"))).cast("long"))
       .filter(col("inter") * tDen >= (col("n1") + col("n2") - col("inter")) * tNum)
       .withColumn("jaccard",
         col("inter").cast("double") / (col("n1") + col("n2") - col("inter")).cast("double"))

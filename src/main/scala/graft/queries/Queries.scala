@@ -5038,27 +5038,28 @@ object Queries {
     * discipline). */
   val q175_setsim_join: Q = Q(
     (s, d) => Dedup.prefixFilteredJaccard(docsRebalanced(s, d)).orderBy("d1", "d2"),
-    Some(s"""WITH ws AS MATERIALIZED (
-        SELECT doc_id, list_distinct(${duckGrams(2)}) AS dw
-        FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents)),
-      wx AS MATERIALIZED (SELECT doc_id, unnest(dw) AS word FROM ws),
-      dfq AS MATERIALIZED (SELECT word, CAST(COUNT(*) AS BIGINT) AS dfc FROM wx GROUP BY word),
+    Some(s"""WITH wx AS MATERIALIZED (
+        SELECT doc_id, CAST('0x' || substr(md5(word), 1, 15) AS BIGINT) AS h
+        FROM (SELECT doc_id, unnest(list_distinct(${duckGrams(2)})) AS word
+          FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents))),
+      dfq AS MATERIALIZED (SELECT h, CAST(COUNT(*) AS BIGINT) AS dfc FROM wx GROUP BY h),
       docr AS MATERIALIZED (
         SELECT wx.doc_id,
-          list_sort(list({'dfq': dfc, 'word': word})) AS toks,
+          list_transform(list_sort(list({'dfq': dfc, 'h': h})), t -> t.h) AS hs,
           CAST(COUNT(*) AS BIGINT) AS sz
-        FROM wx JOIN dfq USING (word) GROUP BY wx.doc_id),
+        FROM wx JOIN dfq USING (h) GROUP BY wx.doc_id),
       pre AS (SELECT doc_id, sz,
-          unnest(list_transform(toks[1:CAST(sz - ((2 * sz + 4) // 5) + 1 AS BIGINT)],
-            t -> t.word)) AS word
+          unnest(hs[1:CAST(sz - ((2 * sz + 4) // 5) + 1 AS BIGINT)]) AS h,
+          unnest(range(1, CAST(sz - ((2 * sz + 4) // 5) + 2 AS BIGINT))) AS pos
         FROM docr),
       cand AS (SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
-        FROM pre a JOIN pre b ON a.word = b.word AND a.doc_id < b.doc_id
-          AND least(a.sz, b.sz) * 5 >= greatest(a.sz, b.sz) * 2),
+        FROM pre a JOIN pre b ON a.h = b.h AND a.doc_id < b.doc_id
+          AND least(a.sz, b.sz) * 5 >= greatest(a.sz, b.sz) * 2
+          AND least(a.sz - a.pos, b.sz - b.pos) + 1 >= (2 * (a.sz + b.sz) + 6) // 7),
       v AS (SELECT c.d1, c.d2,
-          CAST(len(list_intersect(w1.dw, w2.dw)) AS BIGINT) AS i,
-          CAST(len(w1.dw) AS BIGINT) AS n1, CAST(len(w2.dw) AS BIGINT) AS n2
-        FROM cand c JOIN ws w1 ON w1.doc_id = c.d1 JOIN ws w2 ON w2.doc_id = c.d2)
+          CAST(len(list_intersect(w1.hs, w2.hs)) AS BIGINT) AS i,
+          w1.sz AS n1, w2.sz AS n2
+        FROM cand c JOIN docr w1 ON w1.doc_id = c.d1 JOIN docr w2 ON w2.doc_id = c.d2)
       SELECT d1, d2, CAST(i AS DOUBLE) / CAST(n1 + n2 - i AS DOUBLE) AS jaccard
       FROM v WHERE 5 * i >= 2 * (n1 + n2 - i)
       ORDER BY d1, d2"""))
