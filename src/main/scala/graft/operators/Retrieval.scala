@@ -205,6 +205,47 @@ object Retrieval {
       .select(col(qidCol), col(idCol), col("rank"), col("n_lists"), col("score"))
   }
 
+  /** Exact phrase search over a POSITIONAL inverted index — the
+    * retrieval-engine primitive BM25's bag-of-words scoring cannot
+    * answer ("these words, adjacent, in this order").
+    *
+    * Build: `posexplode` the token stream once into (doc, pos, word);
+    * a k-word phrase is then k−1 equi-joins on (doc, pos−offset), each
+    * side pre-filtered to ONE term's postings. At 100 TB the index is
+    * the corpus token count but every join input is a single term's
+    * posting list (df-bounded, never the corpus), keyed by (doc, pos)
+    * — the textbook positional-index intersection (Manning, Raghavan &
+    * Schütze, IR ch. 2). Starting the chain from the phrase's RAREST
+    * term would bound the intermediate by the smallest posting list;
+    * here the left-fold order is kept = phrase order for oracle
+    * clarity.
+    *
+    * Output: (doc, first_pos [1-based token index], n_matches) counting
+    * ALL starting positions, overlapping included — which is why the
+    * oracle replays a row-local position scan (`list_filter` over the
+    * token range) rather than LIKE/replace counting, which cannot see
+    * overlapping occurrences. */
+  def phraseSearch(
+      docs: DataFrame,
+      phrase: String,
+      textCol: String = "text",
+      idCol: String = "doc_id"): DataFrame = {
+    val ws = phrase.split(" ").toSeq
+    require(ws.length >= 2, "phrase needs at least two terms")
+    val idx = docs.select(col(idCol),
+      posexplode(split(col(textCol), " ")).as(Seq("pos", "word")))
+    val anchor = idx.filter(col("word") === ws.head).select(col(idCol), col("pos"))
+    val matches = ws.zipWithIndex.tail.foldLeft(anchor) { case (acc, (w, i)) =>
+      acc.join(
+        idx.filter(col("word") === w)
+          .select(col(idCol), (col("pos") - i).as("pos")),
+        Seq(idCol, "pos"))
+    }
+    matches.groupBy(col(idCol))
+      .agg((min(col("pos")) + 1).cast("long").as("first_pos"),
+        count(lit(1)).as("n_matches"))
+  }
+
   /** Self-trained convenience: rank `docs` against themselves. */
   def bm25(
       docs: DataFrame,

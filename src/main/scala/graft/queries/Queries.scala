@@ -5172,6 +5172,47 @@ object Queries {
         UNION ALL ${side("zorder", "ord_zorder")}) ORDER BY layout"""
     })
 
+  /** Exact phrase search (`Retrieval.phraseSearch`): docs containing the
+    * literal token sequence "big order scan", with the 1-based first
+    * position and ALL starting positions counted (overlaps included) —
+    * k−1 positional-index equi-joins on single-term posting lists. The
+    * oracle is an INDEPENDENT row-local scan: `list_filter` over every
+    * starting offset — not LIKE/replace, which is blind to overlaps. */
+  val q180_phrase_search: Q = Q(
+    (s, d) => Retrieval.phraseSearch(table(s, d, "documents"), "big order scan")
+      .orderBy("doc_id"),
+    Some {
+      val ws = "big order scan".split(" ")
+      val conds = ws.zipWithIndex
+        .map { case (w, i) => s"w[i + $i] = '$w'" }.mkString(" AND ")
+      s"""WITH m AS (SELECT doc_id,
+          list_filter(range(1, len(w) - ${ws.length - 2}), i -> $conds) AS ps
+        FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents))
+      SELECT doc_id, CAST(ps[1] AS BIGINT) AS first_pos, CAST(len(ps) AS BIGINT) AS n_matches
+      FROM m WHERE len(ps) > 0 ORDER BY doc_id"""
+    })
+
+  /** Bitmap-index audience overlap (`Bitmap.segmentOverlap`): exact
+    * |A|, |B|, |A∩B|, Jaccard for every event-type segment pair via
+    * word-sharded `bit_or` membership bitmaps and `bit_count` word-join
+    * intersections — |users|/32 bitmap rows per segment instead of a
+    * row-per-member join. The oracle counts the SAME sets independently
+    * from distinct (segment, user) rows — no bitmaps anywhere. */
+  val q181_bitmap_overlap: Q = Q(
+    (s, d) => Bitmap.segmentOverlap(eventsNs(s, d)).orderBy("seg_a", "seg_b"),
+    Some("""WITH su AS (SELECT DISTINCT event_type AS seg, user_id FROM events),
+      sz AS (SELECT seg, CAST(COUNT(*) AS BIGINT) AS n FROM su GROUP BY seg),
+      iv AS (SELECT a.seg AS seg_a, b.seg AS seg_b, CAST(COUNT(*) AS BIGINT) AS ni
+             FROM su a JOIN su b ON a.user_id = b.user_id AND a.seg < b.seg
+             GROUP BY 1, 2)
+      SELECT sa.seg AS seg_a, sb.seg AS seg_b, sa.n AS n_a, sb.n AS n_b,
+        COALESCE(iv.ni, 0) AS n_inter,
+        CAST(COALESCE(iv.ni, 0) AS DOUBLE)
+          / CAST(sa.n + sb.n - COALESCE(iv.ni, 0) AS DOUBLE) AS jaccard
+      FROM sz sa JOIN sz sb ON sa.seg < sb.seg
+      LEFT JOIN iv ON iv.seg_a = sa.seg AND iv.seg_b = sb.seg
+      ORDER BY seg_a, seg_b"""))
+
   /** DuckDB twin of `Layout.hilbertValue`: the same per-level integer
     * fold as a `list_reduce` whose FIRST element seeds the state and
     * whose remaining elements carry the bit levels.
@@ -5384,5 +5425,7 @@ object Queries {
     "q176_ewma" -> q176_ewma,
     "q177_scd2" -> q177_scd2,
     "q178_skyline" -> q178_skyline,
-    "q179_hilbert_layout" -> q179_hilbert_layout)
+    "q179_hilbert_layout" -> q179_hilbert_layout,
+    "q180_phrase_search" -> q180_phrase_search,
+    "q181_bitmap_overlap" -> q181_bitmap_overlap)
 }

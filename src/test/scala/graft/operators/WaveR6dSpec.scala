@@ -133,6 +133,44 @@ class WaveR6dSpec extends SparkSpec {
     assert(u1.take(2).forall(_.getInt(6) === 0))
   }
 
+  // --------------------------------------------------------- phrase search
+
+  test("phraseSearch counts overlapping occurrences and 1-based first position") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "a b a b a c"),   // "a b a" at tokens 1 and 3 (overlapping)
+      (2L, "x a b a y"),     // at token 2
+      (3L, "a b c a b"),     // no "a b a"
+      (4L, "b a a b")        // none
+    ).toDF("doc_id", "text")
+    val got = Retrieval.phraseSearch(docs, "a b a")
+      .select("doc_id", "first_pos", "n_matches")
+      .as[(Long, Long, Long)].collect().toSet
+    assert(got === Set((1L, 1L, 2L), (2L, 2L, 1L)))
+  }
+
+  // -------------------------------------------------------- bitmap overlap
+
+  test("segmentOverlap: exact sizes/intersections incl. empty pairs, matches brute force") {
+    import spark.implicits._
+    // ids straddle word boundaries (31/32/63/64) on purpose
+    val ev = Seq(
+      ("a", 1L), ("a", 31L), ("a", 32L), ("a", 64L), ("a", 64L),
+      ("b", 31L), ("b", 33L), ("b", 64L),
+      ("c", 1000L) // disjoint from a and b
+    ).toDF("event_type", "user_id")
+    val got = Bitmap.segmentOverlap(ev)
+      .select("seg_a", "seg_b", "n_a", "n_b", "n_inter")
+      .as[(String, String, Long, Long, Long)].collect().toSet
+    val sets = Map("a" -> Set(1L, 31L, 32L, 64L), "b" -> Set(31L, 33L, 64L), "c" -> Set(1000L))
+    val want = (for {
+      x <- sets.keys; y <- sets.keys if x < y
+    } yield (x, y, sets(x).size.toLong, sets(y).size.toLong,
+      (sets(x) & sets(y)).size.toLong)).toSet
+    assert(got === want)
+    assert(got.exists { case (a, b, _, _, ni) => a == "a" && b == "c" && ni == 0L })
+  }
+
   // --------------------------------------------------------------- skyline
 
   test("paretoFrontier2d equals brute-force dominance on deterministic pseudo-random points") {
