@@ -250,10 +250,14 @@ object Dedup {
     val w = words(docs, textCol, idCol, shingleN) // exploded DISTINCT shingles
       .withColumn("h", Selection.md5Long(col("word")))
       .select(col(idCol), col("h"))
-    val df = w.groupBy("h").agg(count(lit(1)).as("dfq"))
+    // df as a WINDOW over the h-shuffle, not a groupBy+join-back: the
+    // (scan → explode → hash) subtree would be re-evaluated per consumer
+    // (no ReuseExchange below differing shuffles) — this keeps the corpus
+    // at ONE scan and one exchange
+    val wdf = w.withColumn("dfq", count(lit(1)).over(Window.partitionBy("h")))
     // per-doc hash array sorted rarest-first by the (df, hash) tuple —
     // a total order both engines agree on, with no global row_number
-    val ranked = w.join(df, "h")
+    val ranked = wdf
       .groupBy(col(idCol))
       .agg(expr("transform(array_sort(collect_list(struct(dfq, h))), s -> s.h)").as("hs"),
         count(lit(1)).as("sz"))
