@@ -704,6 +704,37 @@ object Temporal {
       .orderBy(userCol)
   }
 
+  /** Merge overlapping/touching intervals per key (calendar coverage,
+    * downtime union, ad-break consolidation): the classic sweep — sort
+    * by start, a new island begins where start exceeds the running max
+    * of all previous ends (end-exclusive, so touching intervals merge),
+    * island id = running sum of the flags, one grouped aggregate emits
+    * the merged spans with how many raw intervals each collapsed.
+    *
+    * Exact integers end-to-end; ties on start are order-insensitive (an
+    * equal-start row can never open a new island past a preceding twin).
+    * Scale shape: one key-partitioned shuffle, two keyed windows, one
+    * keyed aggregate — nothing global, same chassis as sessionization. */
+  def mergeIntervals(
+      intervals: DataFrame,
+      keyCol: String = "user_id",
+      startCol: String = "s",
+      endCol: String = "e",
+      tieCol: String = "event_id"): DataFrame = {
+    val w = Window.partitionBy(keyCol).orderBy(col(startCol), col(endCol), col(tieCol))
+    intervals
+      .withColumn("_pmax", max(endCol).over(w.rowsBetween(Window.unboundedPreceding, -1)))
+      .withColumn("_new",
+        when(col("_pmax").isNull || col(startCol) > col("_pmax"), 1L).otherwise(0L))
+      .withColumn("island", sum("_new").over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col(keyCol), col("island"))
+      .agg(min(startCol).as("start"), max(endCol).as("end"),
+        count(lit(1)).as("n_merged"))
+      .withColumn("span", col("end") - col("start"))
+      .select(keyCol, "island", "start", "end", "span", "n_merged")
+  }
+
   /** Per-key exponentially-weighted moving average (α = 1/2), EXACT: the
     * truncated EWMA over the last `window` observations is a DYADIC
     * rational — v_m/2 + v_{m−1}/4 + … with the two oldest terms sharing

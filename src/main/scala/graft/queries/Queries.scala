@@ -5213,6 +5213,66 @@ object Queries {
       LEFT JOIN iv ON iv.seg_a = sa.seg AND iv.seg_b = sb.seg
       ORDER BY seg_a, seg_b"""))
 
+  /** Overlapping-interval merge (`Temporal.mergeIntervals`): each event
+    * spans [ts, ts + value·1s) in µs; per user the sweep collapses
+    * overlapping/touching spans into islands with exact coverage spans
+    * and collapse counts — the calendar-coverage/downtime-union
+    * primitive. Integer µs end-to-end. */
+  val q182_interval_merge: Q = Q(
+    (s, d) => Temporal.mergeIntervals(
+        eventsNs(s, d).select(col("user_id"), col("event_id"),
+          expr("ts div 1000").as("s"),
+          (expr("ts div 1000") +
+            (col("value").cast(DecimalType(18, 6)) * 1000000).cast("long")).as("e")))
+      .orderBy("user_id", "island"),
+    Some("""WITH iv AS (SELECT user_id, event_id, epoch_us(ts) AS s,
+          epoch_us(ts) + CAST(CAST(value AS DECIMAL(18,6)) * 1000000 AS BIGINT) AS e
+        FROM events),
+      x AS (SELECT *, MAX(e) OVER (PARTITION BY user_id ORDER BY s, e, event_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pmax FROM iv),
+      y AS (SELECT *, SUM(CASE WHEN pmax IS NULL OR s > pmax THEN 1 ELSE 0 END)
+              OVER (PARTITION BY user_id ORDER BY s, e, event_id
+                ROWS UNBOUNDED PRECEDING) AS island FROM x)
+      SELECT user_id, CAST(island AS BIGINT) AS island, MIN(s) AS start,
+        MAX(e) AS "end", MAX(e) - MIN(s) AS span,
+        CAST(COUNT(*) AS BIGINT) AS n_merged
+      FROM y GROUP BY 1, 2 ORDER BY user_id, island"""))
+
+  /** Star-schema revenue rollup: lineitem ⋈ orders ⋈ customer ⋈ nation ⋈
+    * region with a pushed-down order-date range — the canonical OLAP
+    * star join. Dimension sides broadcast (region/nation pinned, the
+    * rest to AQE), the fact table is scanned ONCE with the date filter
+    * reaching the orders scan as PushedFilters; revenue follows q21's
+    * exact-decimal discipline. StarPlanSpec asserts the plan shape. */
+  val q183_star_revenue: Q = Q(
+    (s, d) => {
+      val one = lit(BigDecimal("1.00")).cast(DecimalType(3, 2))
+      table(s, d, "lineitem")
+        .join(table(s, d, "orders")
+          .filter(expr("o_orderdate >= TIMESTAMP '1996-01-01 00:00:00' AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'")),
+          col("l_orderkey") === col("o_orderkey"))
+        .join(table(s, d, "customer"), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(table(s, d, "nation")), col("c_nationkey") === col("n_nationkey"))
+        .join(broadcast(table(s, d, "region")), col("n_regionkey") === col("r_regionkey"))
+        .groupBy("r_name", "n_name")
+        .agg(
+          sum(col("l_extendedprice").cast(dec) * (one - col("l_discount").cast(DecimalType(4, 2))))
+            .cast("double").as("revenue"),
+          count(lit(1)).as("n"))
+        .orderBy("r_name", "n_name")
+    },
+    Some("""SELECT r_name, n_name,
+        CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+          * (CAST(1.00 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS revenue,
+        CAST(COUNT(*) AS BIGINT) AS n
+      FROM lineitem
+        JOIN orders ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation ON c_nationkey = n_nationkey
+        JOIN region ON n_regionkey = r_regionkey
+      WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00' AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+      GROUP BY 1, 2 ORDER BY 1, 2"""))
+
   /** DuckDB twin of `Layout.hilbertValue`: the same per-level integer
     * fold as a `list_reduce` whose FIRST element seeds the state and
     * whose remaining elements carry the bit levels.
@@ -5427,5 +5487,7 @@ object Queries {
     "q178_skyline" -> q178_skyline,
     "q179_hilbert_layout" -> q179_hilbert_layout,
     "q180_phrase_search" -> q180_phrase_search,
-    "q181_bitmap_overlap" -> q181_bitmap_overlap)
+    "q181_bitmap_overlap" -> q181_bitmap_overlap,
+    "q182_interval_merge" -> q182_interval_merge,
+    "q183_star_revenue" -> q183_star_revenue)
 }

@@ -171,6 +171,24 @@ class WaveR6dSpec extends SparkSpec {
     assert(got.exists { case (a, b, _, _, ni) => a == "a" && b == "c" && ni == 0L })
   }
 
+  // --------------------------------------------------------- interval merge
+
+  test("mergeIntervals: overlap + touch merge, gaps split, coverage exact") {
+    import spark.implicits._
+    val iv = Seq(
+      // user 1: [0,10) [5,12) touch [12,20) gap [30,35)
+      (1L, 1L, 0L, 10L), (1L, 2L, 5L, 12L), (1L, 3L, 12L, 20L), (1L, 4L, 30L, 35L),
+      // user 2: contained interval
+      (2L, 5L, 0L, 100L), (2L, 6L, 10L, 20L)
+    ).toDF("user_id", "event_id", "s", "e")
+    val got = Temporal.mergeIntervals(iv)
+      .select("user_id", "island", "start", "end", "n_merged")
+      .as[(Long, Long, Long, Long, Long)].collect().sorted
+    assert(got.toSeq === Seq(
+      (1L, 1L, 0L, 20L, 3L), (1L, 2L, 30L, 35L, 1L),
+      (2L, 1L, 0L, 100L, 2L)))
+  }
+
   // --------------------------------------------------------------- skyline
 
   test("paretoFrontier2d equals brute-force dominance on deterministic pseudo-random points") {
