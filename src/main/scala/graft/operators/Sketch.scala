@@ -124,6 +124,49 @@ object Sketch {
     hllEstimate(
       regs.groupBy("bucket").agg(max("m_reg").as("m_reg")), Nil, b)
 
+  /** OLAP cardinality CUBE from one register pass: distinct-count
+    * estimates for every grouping set of (dimA, dimB) — (a,b), (a),
+    * (b), () — by MERGING the finest-grain register file upward
+    * (max(m_reg) per coarser set), never rescanning the raw data. This
+    * is the composition the sketch exists for at 100 TB: a cardinality
+    * cube over N·M cells costs one corpus aggregate plus model-sized
+    * register rollups, where exact GROUPING SETS countDistinct would
+    * shuffle the corpus once per set. Exact calibration counts ride a
+    * single distinct (a, b, key) reduction re-aggregated per set.
+    *
+    * Output: (grouping [0=(a,b) 1=(a) 2=(b) 3=()], dimA?, dimB?,
+    * n_exact, v_empty, s_int, hll_est) with nulls for rolled-up dims —
+    * the `grouping_id` convention. */
+  def hllCube(
+      df: DataFrame,
+      keyCol: Column,
+      dimA: String,
+      dimB: String,
+      b: Int = 8): DataFrame = {
+    val base = hllRegisters(df, keyCol, Seq(dimA, dimB), b)
+    val dk = df.select(col(dimA), col(dimB), keyCol.as("_k")).distinct()
+    def shrink(keep: Seq[String]): DataFrame =
+      base.groupBy((keep.map(col) :+ col("bucket")): _*).agg(max("m_reg").as("m_reg"))
+    def exactFor(keep: Seq[String]): DataFrame =
+      if (keep.isEmpty) dk.agg(countDistinct(col("_k")).as("n_exact"))
+      else dk.groupBy(keep.map(col): _*).agg(countDistinct(col("_k")).as("n_exact"))
+    def level(keep: Seq[String], gid: Int): DataFrame = {
+      val est = hllEstimate(if (keep == Seq(dimA, dimB)) base else shrink(keep), keep, b)
+      val joined =
+        if (keep.isEmpty) est.crossJoin(exactFor(keep))
+        else est.join(exactFor(keep), keep)
+      joined.select(
+        lit(gid).as("grouping") +:
+          (if (keep.contains(dimA)) col(dimA) else lit(null).cast(df.schema(dimA).dataType).as(dimA)) +:
+          (if (keep.contains(dimB)) col(dimB) else lit(null).cast(df.schema(dimB).dataType).as(dimB)) +:
+          Seq(col("n_exact"), col("v_empty"), col("s_int"), col("hll_est")): _*)
+    }
+    level(Seq(dimA, dimB), 0)
+      .unionByName(level(Seq(dimA), 1))
+      .unionByName(level(Seq(dimB), 2))
+      .unionByName(level(Nil, 3))
+  }
+
   /** Rolling-window cardinality: per day, the HLL estimate of distinct
     * keys over the trailing `window` days — the sketch twin of the exact
     * rolling-DAU explode (q138), at CONSTANT state per day instead of

@@ -735,6 +735,36 @@ object Temporal {
       .select(keyCol, "island", "start", "end", "span", "n_merged")
   }
 
+  /** Funnel abandonment — the temporal ANTI-join: `fromType` events with
+    * no `toType` event from the same user STRICTLY after them within
+    * `windowUs`. One keyed RANGE window (frame [+1, +window] on the µs
+    * value) computes the conditional next-conversion time for every
+    * event in a single pass — no join, no second scan — and the flag is
+    * its null-ness. The oracle states the same predicate independently
+    * as NOT EXISTS.
+    *
+    * Exact integers; value-framed RANGE makes equal-timestamp events
+    * unambiguous (strictly-after means tus+1 onward). Scale shape: one
+    * user-keyed shuffle, one window — the sessionization chassis. */
+  def abandonment(
+      events: DataFrame,
+      fromType: String,
+      toType: String,
+      windowUs: Long,
+      userCol: String = "user_id",
+      tsCol: String = "tus",
+      tieCol: String = "event_id",
+      typeCol: String = "event_type"): DataFrame = {
+    val w = Window.partitionBy(userCol).orderBy(col(tsCol).cast("long"))
+      .rangeBetween(1L, windowUs)
+    events
+      .withColumn("next_conv_us",
+        min(when(col(typeCol) === toType, col(tsCol))).over(w))
+      .filter(col(typeCol) === fromType)
+      .withColumn("abandoned", col("next_conv_us").isNull.cast("int"))
+      .select(userCol, tieCol, tsCol, "next_conv_us", "abandoned")
+  }
+
   /** Per-key exponentially-weighted moving average (α = 1/2), EXACT: the
     * truncated EWMA over the last `window` observations is a DYADIC
     * rational — v_m/2 + v_{m−1}/4 + … with the two oldest terms sharing

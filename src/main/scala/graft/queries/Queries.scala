@@ -5273,6 +5273,82 @@ object Queries {
       WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00' AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
       GROUP BY 1, 2 ORDER BY 1, 2"""))
 
+  /** HLL cardinality CUBE (`Sketch.hllCube`): distinct users for every
+    * grouping set of (event_type, day) — finest registers built once,
+    * coarser sets by register MERGE (max per bucket), estimates
+    * bit-exact like q159, exact calibration from one distinct
+    * reduction. The oracle replays all four arms over MATERIALIZED
+    * register/distinct CTEs (the CTE-inlining rule). */
+  val q184_hll_cube: Q = Q(
+    (s, d) => Sketch.hllCube(
+        eventsNs(s, d).select(col("event_type"),
+          expr("(ts div 1000) div 86400000000").as("day"), col("user_id")),
+        col("user_id"), "event_type", "day")
+      .orderBy("grouping", "event_type", "day"),
+    Some {
+      val alpha = OracleSql.slit(graft.operators.Sketch.hllAlphaNum(8))
+      def arm(gid: Int, dims: Seq[String]): String = {
+        val dsel = dims.mkString(", ")
+        val dcols = if (dims.isEmpty) "" else dsel + ", "
+        val gb = if (dims.isEmpty) "" else s"GROUP BY $dsel"
+        val aOut = if (dims.contains("event_type")) "event_type" else "CAST(NULL AS VARCHAR) AS event_type"
+        val bOut = if (dims.contains("day")) "day" else "CAST(NULL AS BIGINT) AS day"
+        val joinCond =
+          if (dims.isEmpty) "ON TRUE"
+          else "USING (" + dsel + ")"
+        s"""SELECT $gid AS grouping, $aOut, $bOut, n_exact, v_empty, s_int,
+          round(CASE WHEN raw_e <= 640.0 AND v_empty > 0
+            THEN 256.0 * ln(256.0 / v_empty) ELSE raw_e END, 6) AS hll_est
+        FROM (SELECT ${dcols}v_empty, s_int,
+            CAST($alpha AS DOUBLE) / CAST(s_int AS DOUBLE) AS raw_e
+          FROM (SELECT ${dcols}CAST(256 - observed AS BIGINT) AS v_empty,
+              s_obs + (256 - observed) * (CAST(1 AS BIGINT) << 53) AS s_int
+            FROM (SELECT ${dcols}CAST(COUNT(*) AS BIGINT) AS observed,
+                CAST(SUM(CAST(1 AS BIGINT) << (53 - m_reg)) AS BIGINT) AS s_obs
+              FROM (SELECT ${dcols}bucket, MAX(m_reg) AS m_reg FROM regs
+                    GROUP BY ${dcols}bucket) $gb)))
+        JOIN (SELECT ${dcols}CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_exact
+              FROM dk $gb) $joinCond"""
+      }
+      s"""WITH h AS (SELECT event_type, epoch_us(ts) // 86400000000 AS day, user_id,
+            CAST('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15) AS BIGINT) AS hv
+          FROM events),
+      rr AS (SELECT event_type, day, hv % 256 AS bucket,
+              CASE WHEN hv // 256 = 0 THEN 53 ELSE 53 - length(bin(hv // 256)) END AS rho
+            FROM h),
+      regs AS MATERIALIZED (SELECT event_type, day, bucket, MAX(rho) AS m_reg
+            FROM rr GROUP BY 1, 2, 3),
+      dk AS MATERIALIZED (SELECT DISTINCT event_type, day, user_id FROM h)
+      SELECT * FROM (${arm(0, Seq("event_type", "day"))}
+        UNION ALL ${arm(1, Seq("event_type"))}
+        UNION ALL ${arm(2, Seq("day"))}
+        UNION ALL ${arm(3, Nil)})
+      ORDER BY grouping, event_type NULLS FIRST, day NULLS FIRST"""
+    })
+
+  /** Funnel abandonment (`Temporal.abandonment`): views with no purchase
+    * by the same user within the next hour — the temporal anti-join as
+    * ONE value-framed RANGE window, no join, no second scan. The oracle
+    * is the independent correlated NOT EXISTS / MIN-subquery form. */
+  val q185_abandonment: Q = Q(
+    (s, d) => Temporal.abandonment(
+        eventsNs(s, d).select(col("user_id"), col("event_id"), col("event_type"),
+          expr("ts div 1000").as("tus")),
+        fromType = "view", toType = "purchase", windowUs = 3600000000L)
+      .orderBy("user_id", "event_id"),
+    Some("""WITH e AS MATERIALIZED (
+        SELECT user_id, event_id, event_type, epoch_us(ts) AS tus FROM events)
+      SELECT v.user_id, v.event_id, v.tus,
+        (SELECT MIN(p.tus) FROM e p WHERE p.user_id = v.user_id
+           AND p.event_type = 'purchase'
+           AND p.tus > v.tus AND p.tus <= v.tus + 3600000000) AS next_conv_us,
+        CASE WHEN EXISTS (SELECT 1 FROM e p WHERE p.user_id = v.user_id
+           AND p.event_type = 'purchase'
+           AND p.tus > v.tus AND p.tus <= v.tus + 3600000000)
+          THEN 0 ELSE 1 END AS abandoned
+      FROM e v WHERE v.event_type = 'view'
+      ORDER BY v.user_id, v.event_id"""))
+
   /** DuckDB twin of `Layout.hilbertValue`: the same per-level integer
     * fold as a `list_reduce` whose FIRST element seeds the state and
     * whose remaining elements carry the bit levels.
@@ -5489,5 +5565,7 @@ object Queries {
     "q180_phrase_search" -> q180_phrase_search,
     "q181_bitmap_overlap" -> q181_bitmap_overlap,
     "q182_interval_merge" -> q182_interval_merge,
-    "q183_star_revenue" -> q183_star_revenue)
+    "q183_star_revenue" -> q183_star_revenue,
+    "q184_hll_cube" -> q184_hll_cube,
+    "q185_abandonment" -> q185_abandonment)
 }

@@ -189,6 +189,43 @@ class WaveR6dSpec extends SparkSpec {
       (2L, 1L, 0L, 100L, 2L)))
   }
 
+  // -------------------------------------------------------------- HLL cube
+
+  test("hllCube: merged coarse levels equal directly-built sketches; exact counts right") {
+    import spark.implicits._
+    val ev = (0 until 600).map { i =>
+      (s"t${i % 3}", (i % 5).toLong, (i * 7919 % 211).toLong)
+    }.toDF("event_type", "day", "user_id")
+    val cube = Sketch.hllCube(ev, col("user_id"), "event_type", "day").collect()
+    assert(cube.count(_.getInt(0) == 0) === 15) // 3 types × 5 days
+    assert(cube.count(_.getInt(0) == 3) === 1)
+    // grand total: exact must be the true distinct count
+    val total = cube.find(_.getInt(0) == 3).get
+    assert(total.getLong(3) === (0 until 600).map(i => i * 7919 % 211).distinct.size.toLong)
+    // level (a): merged registers == sketch built directly at that grain
+    val direct = Sketch.hllDistinct(ev, col("user_id"), Seq("event_type"))
+      .select("event_type", "hll_est").collect()
+      .map(r => r.getString(0) -> r.getDouble(1)).toMap
+    for (r <- cube.filter(_.getInt(0) == 1))
+      assert(r.getDouble(6) === direct(r.getString(1)), r.getString(1))
+  }
+
+  // ----------------------------------------------------------- abandonment
+
+  test("abandonment: window-boundary semantics match brute force") {
+    import spark.implicits._
+    val H = 3600000000L
+    val ev = Seq(
+      (1L, 1L, "view", 1000L), (1L, 2L, "purchase", 1000L),      // same instant: NOT after
+      (1L, 3L, "view", 2000L), (1L, 4L, "purchase", 2000L + H),  // exactly at window edge: counts
+      (2L, 5L, "view", 0L), (2L, 6L, "purchase", H + 1L),        // just outside: abandoned
+      (3L, 7L, "view", 0L)                                        // no purchase at all
+    ).toDF("user_id", "event_id", "event_type", "tus")
+    val got = Temporal.abandonment(ev, "view", "purchase", H)
+      .select("event_id", "abandoned").as[(Long, Int)].collect().toMap
+    assert(got === Map(1L -> 1, 3L -> 0, 5L -> 1, 7L -> 1))
+  }
+
   // --------------------------------------------------------------- skyline
 
   test("paretoFrontier2d equals brute-force dominance on deterministic pseudo-random points") {
