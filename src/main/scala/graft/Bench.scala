@@ -83,10 +83,13 @@ object Bench {
     // and the long-form probe stats first (clippable), then the contract
     // line LAST with total, medians under short NUMERIC query keys ("159"
     // — the q prefix alone is ~165 chars at this surface size), and the
-    // probe dispersion as pm/px — sized to survive the tail whole past
-    // 180 queries
+    // probe dispersion as pm/px. Contract medians print at ONE decimal
+    // (~10 chars/query): the 2-decimal form measured 2017 chars at 184
+    // queries — past the tail — and 1 decimal holds to ~195; 4-decimal
+    // per-query medians stay on the detail line for local reads
     println(s"""{"metric":"detail","iters":$iters,"probe_med":${fmt(ps(ps.length / 2))},"probe_max":${fmt(ps.last)},"queries_min":${jmap(identity, _._3)},"queries_med_full":${jmap(identity, _._2)}}""")
-    println(s"""{"metric":"total","value":${fmt3(total)},"unit":"sec","queries":${jmap(_.split("_").head.drop(1), _._2, fmt3)},"pm":${fmt3(ps(ps.length / 2))},"px":${fmt3(ps.last)},"sf":"${new java.io.File(sfDir).getName}"}""")
+    def fmt1(v: Double): String = "%.1f".formatLocal(java.util.Locale.ROOT, v)
+    println(s"""{"metric":"total","value":${fmt3(total)},"unit":"sec","queries":${jmap(_.split("_").head.drop(1), _._2, fmt1)},"pm":${fmt3(ps(ps.length / 2))},"px":${fmt3(ps.last)},"sf":"${new java.io.File(sfDir).getName}"}""")
     spark.stop()
   }
 }
