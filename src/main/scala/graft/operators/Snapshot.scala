@@ -41,6 +41,62 @@ object Snapshot {
       .select(coalesce(col("_k"), col("_k2")).as(keyCol), col("status"))
   }
 
+  /** Incremental view maintenance for distributive aggregates: update a
+    * per-group (sum, count) view from OLD→NEW row deltas instead of
+    * rescanning history — at 100 TB the view refresh touches the delta
+    * and the (group-sized) view, never the fact table.
+    *
+    * Delta construction is diff's full-outer key join carrying values: a
+    * changed/removed row retracts (−value, −1) at its OLD group, a
+    * changed/added row asserts (+value, +1) at its NEW group — so key
+    * moves across groups maintain BOTH groups correctly. The result
+    * joins the delta-merged view against a direct recompute of the new
+    * snapshot and emits a per-group `match_inc` flag: the query is its
+    * own equality proof (exact decimal arithmetic, so merged == direct
+    * bit-for-bit, not approximately).
+    */
+  def incrementalAggregate(
+      oldDf: DataFrame,
+      newDf: DataFrame,
+      keyCol: String,
+      groupCol: String,
+      valCol: String): DataFrame = {
+    val a = oldDf.select(col(keyCol).as("_k"), col(groupCol).as("_go"),
+      col(valCol).as("_vo"), rowHash(Seq(groupCol, valCol)).as("_ho"))
+    val b = newDf.select(col(keyCol).as("_k2"), col(groupCol).as("_gn"),
+      col(valCol).as("_vn"), rowHash(Seq(groupCol, valCol)).as("_hn"))
+    val j = a.join(b, col("_k") === col("_k2"), "full_outer")
+      .filter(col("_k").isNull || col("_k2").isNull || col("_ho") =!= col("_hn"))
+    val retract = j.filter(col("_k").isNotNull)
+      .select(col("_go").as(groupCol), (-col("_vo")).as("dv"), lit(-1L).as("dn"))
+    val assertD = j.filter(col("_k2").isNotNull)
+      .select(col("_gn").as(groupCol), col("_vn").as("dv"), lit(1L).as("dn"))
+    val delta = retract.unionByName(assertD)
+      .groupBy(groupCol)
+      .agg(sum("dv").as("delta_sum"), sum("dn").as("delta_n"))
+    val oldView = oldDf.groupBy(groupCol)
+      .agg(sum(valCol).as("old_sum"), count(lit(1)).as("old_n"))
+    val direct = newDf.groupBy(groupCol)
+      .agg(sum(valCol).as("direct_sum"), count(lit(1)).as("direct_n"))
+    oldView
+      .join(delta, Seq(groupCol), "full_outer")
+      .select(col(groupCol),
+        coalesce(col("old_sum"), lit(0).cast(oldDf.schema(valCol).dataType)).as("old_sum"),
+        coalesce(col("old_n"), lit(0L)).as("old_n"),
+        coalesce(col("delta_sum"), lit(0).cast(oldDf.schema(valCol).dataType)).as("delta_sum"),
+        coalesce(col("delta_n"), lit(0L)).as("delta_n"))
+      .withColumn("inc_sum", col("old_sum") + col("delta_sum"))
+      .withColumn("inc_n", col("old_n") + col("delta_n"))
+      .join(direct, Seq(groupCol), "full_outer")
+      // standard IVM tombstone: a group whose count reached zero is
+      // DELETED from the maintained view, matching the recompute's absence
+      .filter(!(col("inc_n") === 0 && col("direct_n").isNull))
+      .withColumn("match_inc",
+        (col("inc_sum") <=> col("direct_sum") && col("inc_n") <=> col("direct_n")).cast("int"))
+      .select(groupCol, "old_sum", "old_n", "delta_sum", "delta_n",
+        "inc_sum", "inc_n", "direct_sum", "direct_n", "match_inc")
+  }
+
   /** One-row diff summary: counts per status plus both snapshot sizes —
     * the reconciliation report a backfill job logs. */
   def diffSummary(

@@ -5349,6 +5349,117 @@ object Queries {
       FROM e v WHERE v.event_type = 'view'
       ORDER BY v.user_id, v.event_id"""))
 
+  /** Leading supplier per part — TPC-H Q20-flavoured supply-share
+    * analytics without a partsupp table: for every part with ≥ 5
+    * suppliers, the top supplier by shipped quantity (arg-max as a
+    * DECLARATIVE `max(struct(sq, −suppkey))`, ties to the smallest
+    * suppkey — the q129 min_by/max_by discipline, no window rank) with
+    * its exact share of the part total. One lineitem scan, one grouped
+    * aggregate per level, names broadcast-joined at the end. The
+    * oracle selects the same row with a rank window — an independent
+    * formulation of the same arg-max. */
+  val q186_dominant_supplier: Q = Q(
+    (s, d) => {
+      val sq = table(s, d, "lineitem")
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(sum(col("l_quantity").cast(dec)).as("sq"))
+      sq.groupBy("l_partkey")
+        .agg(
+          max(struct(col("sq"), (-col("l_suppkey")).as("_ns"))).as("_top"),
+          sum("sq").as("pt"),
+          count(lit(1)).as("n_suppliers"))
+        .filter(col("n_suppliers") >= 5)
+        .select(col("l_partkey").as("partkey"),
+          (-col("_top._ns")).as("suppkey"),
+          col("_top.sq").as("sq"), col("pt"), col("n_suppliers"))
+        .join(broadcast(table(s, d, "supplier").select("s_suppkey", "s_name")),
+          col("suppkey") === col("s_suppkey"))
+        .select(col("partkey"), col("suppkey"), col("s_name"), col("n_suppliers"),
+          col("sq").cast("double").as("supp_qty"),
+          col("pt").cast("double").as("part_qty"),
+          (col("sq").cast("double") / col("pt").cast("double")).as("share"))
+        .orderBy("partkey")
+    },
+    Some("""WITH sq AS (SELECT l_partkey, l_suppkey,
+          SUM(CAST(l_quantity AS DECIMAL(18,2))) AS sq
+        FROM lineitem GROUP BY 1, 2),
+      t AS (SELECT *, SUM(sq) OVER (PARTITION BY l_partkey) AS pt,
+          CAST(COUNT(*) OVER (PARTITION BY l_partkey) AS BIGINT) AS n_suppliers,
+          row_number() OVER (PARTITION BY l_partkey ORDER BY sq DESC, l_suppkey ASC) AS rn
+        FROM sq)
+      SELECT l_partkey AS partkey, l_suppkey AS suppkey, s_name, n_suppliers,
+        CAST(sq AS DOUBLE) AS supp_qty, CAST(pt AS DOUBLE) AS part_qty,
+        CAST(sq AS DOUBLE) / CAST(pt AS DOUBLE) AS share
+      FROM t JOIN supplier ON l_suppkey = s_suppkey
+      WHERE rn = 1 AND n_suppliers >= 5
+      ORDER BY partkey"""))
+
+  /** Incremental view maintenance (`Snapshot.incrementalAggregate`):
+    * the per-nation balance view refreshed from q144's OLD→NEW deltas
+    * (retract at old group, assert at new group) and PROVEN equal to a
+    * direct recompute in the same result (`match_inc` = 1 everywhere)
+    * — exact decimals, so equality is bitwise, not approximate. The
+    * oracle rebuilds the delta independently with LEFT-JOIN
+    * change-detection predicates instead of row hashes. */
+  val q187_ivm: Q = Q(
+    (s, d) => {
+      val cust = table(s, d, "customer").select("c_custkey", "c_nationkey", "c_acctbal")
+      def prep(df: DataFrame): DataFrame =
+        df.withColumn("bal", col("c_acctbal").cast(DecimalType(18, 2))).drop("c_acctbal")
+      val newDf = cust.filter(col("c_custkey") % 17 =!= 0)
+        .withColumn("c_acctbal",
+          when(col("c_custkey") % 10 === 0, col("c_acctbal") + 10.0)
+            .otherwise(col("c_acctbal")))
+        .unionByName(cust.filter(col("c_custkey") % 23 === 0)
+          .withColumn("c_custkey", col("c_custkey") + 1000000L))
+      Snapshot.incrementalAggregate(prep(cust), prep(newDf),
+          "c_custkey", "c_nationkey", "bal")
+        .select(col("c_nationkey"),
+          col("old_sum").cast("double").as("old_sum"), col("old_n"),
+          col("delta_sum").cast("double").as("delta_sum"), col("delta_n"),
+          col("inc_sum").cast("double").as("inc_sum"), col("inc_n"),
+          col("direct_sum").cast("double").as("direct_sum"), col("direct_n"),
+          col("match_inc"))
+        .orderBy("c_nationkey")
+    },
+    Some("""WITH c AS (SELECT c_custkey, c_nationkey,
+              CAST(c_acctbal AS DECIMAL(18,2)) AS bal FROM customer),
+      nw AS (SELECT c_custkey, c_nationkey,
+              CASE WHEN c_custkey % 10 = 0 THEN CAST(c_acctbal + 10.0 AS DECIMAL(18,2))
+                ELSE CAST(c_acctbal AS DECIMAL(18,2)) END AS bal
+            FROM customer WHERE c_custkey % 17 <> 0
+            UNION ALL
+            SELECT c_custkey + 1000000, c_nationkey, CAST(c_acctbal AS DECIMAL(18,2))
+            FROM customer WHERE c_custkey % 23 = 0),
+      d0 AS (SELECT o.c_nationkey AS g, -o.bal AS dv, CAST(-1 AS BIGINT) AS dn
+            FROM c o LEFT JOIN nw n ON o.c_custkey = n.c_custkey
+            WHERE n.c_custkey IS NULL OR o.c_nationkey <> n.c_nationkey OR o.bal <> n.bal
+            UNION ALL
+            SELECT n.c_nationkey, n.bal, CAST(1 AS BIGINT)
+            FROM nw n LEFT JOIN c o ON o.c_custkey = n.c_custkey
+            WHERE o.c_custkey IS NULL OR o.c_nationkey <> n.c_nationkey OR o.bal <> n.bal),
+      dl AS (SELECT g AS c_nationkey, SUM(dv) AS delta_sum,
+              CAST(SUM(dn) AS BIGINT) AS delta_n FROM d0 GROUP BY 1),
+      ov AS (SELECT c_nationkey, SUM(bal) AS old_sum,
+              CAST(COUNT(*) AS BIGINT) AS old_n FROM c GROUP BY 1),
+      dr AS (SELECT c_nationkey, SUM(bal) AS direct_sum,
+              CAST(COUNT(*) AS BIGINT) AS direct_n FROM nw GROUP BY 1),
+      m AS (SELECT c_nationkey,
+              COALESCE(old_sum, 0) AS old_sum, COALESCE(old_n, 0) AS old_n,
+              COALESCE(delta_sum, 0) AS delta_sum, COALESCE(delta_n, 0) AS delta_n
+            FROM ov FULL OUTER JOIN dl USING (c_nationkey))
+      SELECT c_nationkey, CAST(old_sum AS DOUBLE) AS old_sum, old_n,
+        CAST(delta_sum AS DOUBLE) AS delta_sum, delta_n,
+        CAST(old_sum + delta_sum AS DOUBLE) AS inc_sum,
+        old_n + delta_n AS inc_n,
+        CAST(direct_sum AS DOUBLE) AS direct_sum, direct_n,
+        CASE WHEN old_sum + delta_sum IS NOT DISTINCT FROM direct_sum
+              AND old_n + delta_n IS NOT DISTINCT FROM direct_n
+          THEN 1 ELSE 0 END AS match_inc
+      FROM m FULL OUTER JOIN dr USING (c_nationkey)
+      WHERE NOT (old_n + delta_n = 0 AND direct_n IS NULL)
+      ORDER BY c_nationkey"""))
+
   /** DuckDB twin of `Layout.hilbertValue`: the same per-level integer
     * fold as a `list_reduce` whose FIRST element seeds the state and
     * whose remaining elements carry the bit levels.
@@ -5567,5 +5678,7 @@ object Queries {
     "q182_interval_merge" -> q182_interval_merge,
     "q183_star_revenue" -> q183_star_revenue,
     "q184_hll_cube" -> q184_hll_cube,
-    "q185_abandonment" -> q185_abandonment)
+    "q185_abandonment" -> q185_abandonment,
+    "q186_dominant_supplier" -> q186_dominant_supplier,
+    "q187_ivm" -> q187_ivm)
 }

@@ -226,6 +226,45 @@ class WaveR6dSpec extends SparkSpec {
     assert(got === Map(1L -> 1, 3L -> 0, 5L -> 1, 7L -> 1))
   }
 
+  // ------------------------------------------------------------------- IVM
+
+  test("incrementalAggregate: delta-merged view equals recompute across change shapes") {
+    import spark.implicits._
+    import org.apache.spark.sql.types.DecimalType
+    def mk(rows: Seq[(Long, String, String)]) =
+      rows.toDF("k", "g", "v0").withColumn("v", col("v0").cast(DecimalType(18, 2))).drop("v0")
+    val old = mk(Seq(
+      (1L, "a", "10.00"), (2L, "a", "20.00"), (3L, "b", "5.00"), (4L, "c", "7.00")))
+    val nw = mk(Seq(
+      (1L, "a", "10.00"),  // unchanged
+      (2L, "b", "20.00"),  // MOVED groups a -> b
+      (3L, "b", "6.50"),   // value changed
+      (5L, "d", "1.00")))  // added; key 4 removed -> group c VANISHES
+    val r = Snapshot.incrementalAggregate(old, nw, "k", "g", "v")
+      .select("g", "inc_sum", "inc_n", "direct_sum", "direct_n", "match_inc")
+      .collect().map(x => x.getString(0) ->
+        (x.getDecimal(1), x.getLong(2), x.getDecimal(3), x.getLong(4), x.getInt(5))).toMap
+    assert(r.keySet === Set("a", "b", "d")) // c tombstoned, matching recompute
+    assert(r.values.forall(_._5 == 1), s"mismatch rows: $r")
+    assert(r("a")._2 === 1L && r("b")._2 === 2L && r("d")._2 === 1L)
+    assert(r("b")._1 === new java.math.BigDecimal("26.50"))
+  }
+
+  // ------------------------------------------------------ dominant supplier
+
+  test("dominant supplier arg-max breaks quantity ties toward the smallest suppkey") {
+    import spark.implicits._
+    val li = Seq(
+      (1L, 10L, 5.0), (1L, 3L, 5.0), (1L, 7L, 1.0), (1L, 8L, 1.0), (1L, 9L, 1.0)
+    ).toDF("l_partkey", "l_suppkey", "l_quantity")
+    val sq = li.groupBy("l_partkey", "l_suppkey")
+      .agg(sum(col("l_quantity").cast("decimal(18,2)")).as("sq"))
+    val top = sq.groupBy("l_partkey")
+      .agg(max(struct(col("sq"), (-col("l_suppkey")).as("_ns"))).as("_top"))
+      .select((-col("_top._ns")).as("suppkey")).as[Long].head()
+    assert(top === 3L) // 3 and 10 tie at qty 5 -> smallest key wins
+  }
+
   // --------------------------------------------------------------- skyline
 
   test("paretoFrontier2d equals brute-force dominance on deterministic pseudo-random points") {
