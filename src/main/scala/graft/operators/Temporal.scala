@@ -765,6 +765,45 @@ object Temporal {
       .select(userCol, tieCol, tsCol, "next_conv_us", "abandoned")
   }
 
+  /** FIFO matching (inventory cost-basis, lot allocation, trade
+    * netting): allocate each issue to receipts in arrival order. The
+    * declarative closed form: with per-key cumulative quantities, receipt
+    * i covers the half-open range [B_{i−1}, B_i) of the key's running
+    * total and issue j covers [S_{j−1}, S_j); FIFO allocates exactly the
+    * OVERLAP of those ranges — so the whole sequential hand-off becomes
+    * one interval-intersection join:
+    *   matched(i, j) = min(B_i, S_j) − max(B_{i−1}, S_{j−1})  where > 0.
+    *
+    * Output size is inherently LINEAR (≤ n_receipts + n_issues − 1 pairs
+    * per key — each pair ends at a boundary of one side). The join
+    * enumerates per-key candidate pairs before the range filter — fine
+    * while per-key line counts are bounded (the common shape); at
+    * extreme per-key depth, band-bucket the cumulative axis and join on
+    * (key, bucket) like the winnow/segment ops. Integer quantities
+    * in, exact integers out. */
+  def fifoMatch(
+      receipts: DataFrame,
+      issues: DataFrame,
+      keyCol: String = "key",
+      qtyCol: String = "qty",
+      ordCol: String = "ord",
+      idCol: String = "id"): DataFrame = {
+    def ranges(df: DataFrame, side: String): DataFrame = {
+      val w = Window.partitionBy(keyCol).orderBy(col(ordCol), col(idCol))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      df.withColumn("_hi", sum(qtyCol).over(w))
+        .withColumn("_lo", col("_hi") - col(qtyCol))
+        .select(col(keyCol), col(idCol).as(s"${side}_id"),
+          col("_lo").as(s"${side}_lo"), col("_hi").as(s"${side}_hi"))
+    }
+    ranges(receipts, "rcpt")
+      .join(ranges(issues, "issue"), Seq(keyCol))
+      .filter(col("rcpt_lo") < col("issue_hi") && col("issue_lo") < col("rcpt_hi"))
+      .select(col(keyCol), col("rcpt_id"), col("issue_id"),
+        (least(col("rcpt_hi"), col("issue_hi")) -
+          greatest(col("rcpt_lo"), col("issue_lo"))).as("matched_qty"))
+  }
+
   /** Per-key exponentially-weighted moving average (α = 1/2), EXACT: the
     * truncated EWMA over the last `window` observations is a DYADIC
     * rational — v_m/2 + v_{m−1}/4 + … with the two oldest terms sharing

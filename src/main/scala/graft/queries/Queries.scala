@@ -5460,6 +5460,43 @@ object Queries {
       WHERE NOT (old_n + delta_n = 0 AND direct_n IS NULL)
       ORDER BY c_nationkey"""))
 
+  /** FIFO lot allocation (`Temporal.fifoMatch`): odd lineitem lines are
+    * receipts, even lines are issues, both in ship-date order per part;
+    * each issue is allocated to receipts first-in-first-out via the
+    * cumulative-interval overlap closed form — output is linear in the
+    * line count by construction. Exact integer quantities. */
+  val q188_fifo_match: Q = Q(
+    (s, d) => {
+      val li = table(s, d, "lineitem").select(
+        col("l_partkey").as("key"),
+        (col("l_orderkey") * 10 + col("l_linenumber")).as("id"),
+        expr("unix_micros(cast(l_shipdate as timestamp))").as("ord"),
+        col("l_quantity").cast("long").as("qty"),
+        col("l_linenumber"))
+      Temporal.fifoMatch(
+          li.filter(col("l_linenumber") % 2 === 1).drop("l_linenumber"),
+          li.filter(col("l_linenumber") % 2 === 0).drop("l_linenumber"))
+        .orderBy("key", "rcpt_id", "issue_id")
+    },
+    Some("""WITH li AS (SELECT l_partkey AS key,
+          l_orderkey * 10 + l_linenumber AS id,
+          epoch_us(l_shipdate) AS ord,
+          CAST(l_quantity AS BIGINT) AS qty, l_linenumber
+        FROM lineitem),
+      r AS (SELECT key, id AS rcpt_id,
+          SUM(qty) OVER w - qty AS rcpt_lo, SUM(qty) OVER w AS rcpt_hi
+        FROM li WHERE l_linenumber % 2 = 1
+        WINDOW w AS (PARTITION BY key ORDER BY ord, id ROWS UNBOUNDED PRECEDING)),
+      i AS (SELECT key, id AS issue_id,
+          SUM(qty) OVER w - qty AS issue_lo, SUM(qty) OVER w AS issue_hi
+        FROM li WHERE l_linenumber % 2 = 0
+        WINDOW w AS (PARTITION BY key ORDER BY ord, id ROWS UNBOUNDED PRECEDING))
+      SELECT r.key AS key, rcpt_id, issue_id,
+        CAST(least(rcpt_hi, issue_hi) - greatest(rcpt_lo, issue_lo) AS BIGINT) AS matched_qty
+      FROM r JOIN i ON r.key = i.key
+        AND rcpt_lo < issue_hi AND issue_lo < rcpt_hi
+      ORDER BY r.key, rcpt_id, issue_id"""))
+
   /** DuckDB twin of `Layout.hilbertValue`: the same per-level integer
     * fold as a `list_reduce` whose FIRST element seeds the state and
     * whose remaining elements carry the bit levels.
@@ -5680,5 +5717,6 @@ object Queries {
     "q184_hll_cube" -> q184_hll_cube,
     "q185_abandonment" -> q185_abandonment,
     "q186_dominant_supplier" -> q186_dominant_supplier,
-    "q187_ivm" -> q187_ivm)
+    "q187_ivm" -> q187_ivm,
+    "q188_fifo_match" -> q188_fifo_match)
 }

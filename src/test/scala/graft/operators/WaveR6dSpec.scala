@@ -265,6 +265,26 @@ class WaveR6dSpec extends SparkSpec {
     assert(top === 3L) // 3 and 10 tie at qty 5 -> smallest key wins
   }
 
+  // ------------------------------------------------------------------ FIFO
+
+  test("fifoMatch reproduces hand-computed first-in-first-out allocation") {
+    import spark.implicits._
+    // receipts: 10 then 5; issues: 7, 6, 4 (last issue partially unmatched)
+    val rc = Seq((1L, 101L, 1L, 10L), (1L, 102L, 2L, 5L))
+      .toDF("key", "id", "ord", "qty")
+    val is = Seq((1L, 201L, 1L, 7L), (1L, 202L, 2L, 6L), (1L, 203L, 3L, 4L))
+      .toDF("key", "id", "ord", "qty")
+    val got = Temporal.fifoMatch(rc, is)
+      .select("rcpt_id", "issue_id", "matched_qty")
+      .as[(Long, Long, Long)].collect().toSet
+    // FIFO: issue 7 <- rcpt1(7); issue 6 <- rcpt1(3) + rcpt2(3);
+    // issue 4 <- rcpt2(2), 2 units unmatched
+    assert(got === Set((101L, 201L, 7L), (101L, 202L, 3L),
+      (102L, 202L, 3L), (102L, 203L, 2L)))
+    // conservation: matched totals never exceed either side
+    assert(got.toSeq.map(_._3).sum === 15L)
+  }
+
   // --------------------------------------------------------------- skyline
 
   test("paretoFrontier2d equals brute-force dominance on deterministic pseudo-random points") {
