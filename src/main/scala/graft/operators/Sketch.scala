@@ -137,34 +137,69 @@ object Sketch {
     * Output: (grouping [0=(a,b) 1=(a) 2=(b) 3=()], dimA?, dimB?,
     * n_exact, v_empty, s_int, hll_est) with nulls for rolled-up dims —
     * the `grouping_id` convention. */
+  private val cubeViewId = new java.util.concurrent.atomic.AtomicLong(0)
+
   def hllCube(
       df: DataFrame,
       keyCol: Column,
       dimA: String,
       dimB: String,
       b: Int = 8): DataFrame = {
-    val base = hllRegisters(df, keyCol, Seq(dimA, dimB), b)
-    val dk = df.select(col(dimA), col(dimB), keyCol.as("_k")).distinct()
-    def shrink(keep: Seq[String]): DataFrame =
-      base.groupBy((keep.map(col) :+ col("bucket")): _*).agg(max("m_reg").as("m_reg"))
-    def exactFor(keep: Seq[String]): DataFrame =
-      if (keep.isEmpty) dk.agg(countDistinct(col("_k")).as("n_exact"))
-      else dk.groupBy(keep.map(col): _*).agg(countDistinct(col("_k")).as("n_exact"))
-    def level(keep: Seq[String], gid: Int): DataFrame = {
-      val est = hllEstimate(if (keep == Seq(dimA, dimB)) base else shrink(keep), keep, b)
-      val joined =
-        if (keep.isEmpty) est.crossJoin(exactFor(keep))
-        else est.join(exactFor(keep), keep)
-      joined.select(
-        lit(gid).as("grouping") +:
-          (if (keep.contains(dimA)) col(dimA) else lit(null).cast(df.schema(dimA).dataType).as(dimA)) +:
-          (if (keep.contains(dimB)) col(dimB) else lit(null).cast(df.schema(dimB).dataType).as(dimB)) +:
-          Seq(col("n_exact"), col("v_empty"), col("s_int"), col("hll_est")): _*)
+    // All four register levels come from ONE GROUPING SETS pass over the
+    // model-sized base register file, and all four exact counts from one
+    // pass over the distinct reduction — a per-level groupBy+join design
+    // would re-plan the raw scan under each consumer (the q171
+    // aggregate-over-aggregate corollary measured 8 scans; a persist
+    // fixes the scans but pays cache materialization every run). The
+    // Expand operator multiplies only MODEL-SIZED rows. GROUPING SETS
+    // routes through the SQL surface (the r6 rollup-detector lesson);
+    // grouping_id(a, b) = 0 (a,b) / 1 (a) / 2 (b) / 3 () — rolled dims
+    // come back NULL (dims are non-null by construction here).
+    val spark = df.sparkSession
+    val m = 1 << b
+    val w = 60 - b
+    val id = cubeViewId.incrementAndGet()
+    val bv = s"_hll_cube_base_$id"
+    val dv = s"_hll_cube_dk_$id"
+    hllRegisters(df, keyCol, Seq(dimA, dimB), b).createOrReplaceTempView(bv)
+    df.select(col(dimA), col(dimB), keyCol.as("_k")).distinct().createOrReplaceTempView(dv)
+    // E-notation forces DOUBLE literals (Spark parses bare decimal
+    // literals as DECIMAL — the Queries.scala slit discipline)
+    def dlit(d: Double): String = {
+      val s = d.toString
+      if (s.contains('E') || s.contains('e')) s else s + "E0"
     }
-    level(Seq(dimA, dimB), 0)
-      .unionByName(level(Seq(dimA), 1))
-      .unionByName(level(Seq(dimB), 2))
-      .unionByName(level(Nil, 3))
+    val alphaNum = dlit(hllAlphaNum(b))
+    spark.sql(s"""
+      WITH lv AS (
+        SELECT grouping($dimA) * 2 + grouping($dimB) AS gid, $dimA, $dimB, bucket,
+          max(m_reg) AS m_reg
+        FROM $bv
+        GROUP BY GROUPING SETS (($dimA, $dimB, bucket), ($dimA, bucket),
+          ($dimB, bucket), (bucket))),
+      agg AS (
+        SELECT gid, $dimA, $dimB,
+          count(1) AS observed,
+          sum(shiftleft(cast(1 as bigint), ${w + 1} - m_reg)) AS s_obs
+        FROM lv GROUP BY gid, $dimA, $dimB),
+      est AS (
+        SELECT gid, $dimA, $dimB,
+          cast($m as bigint) - observed AS v_empty,
+          s_obs + (cast($m as bigint) - observed) * cast(${1L << (w + 1)} as bigint) AS s_int
+        FROM agg),
+      ex AS (
+        SELECT grouping_id($dimA, $dimB) AS gid, $dimA, $dimB,
+          count(DISTINCT _k) AS n_exact
+        FROM $dv
+        GROUP BY GROUPING SETS (($dimA, $dimB), ($dimA), ($dimB), ()))
+      SELECT cast(est.gid as int) AS grouping, est.$dimA, est.$dimB, ex.n_exact,
+        est.v_empty, est.s_int,
+        round(CASE WHEN $alphaNum / cast(s_int as double) <= ${dlit(2.5 * m)}
+            AND v_empty > 0
+          THEN ${dlit(m.toDouble)} * ln(${dlit(m.toDouble)} / cast(v_empty as double))
+          ELSE $alphaNum / cast(s_int as double) END, 6) AS hll_est
+      FROM est JOIN ex ON est.gid = ex.gid
+        AND est.$dimA <=> ex.$dimA AND est.$dimB <=> ex.$dimB""")
   }
 
   /** Rolling-window cardinality: per day, the HLL estimate of distinct

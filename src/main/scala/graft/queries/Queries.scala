@@ -5412,7 +5412,10 @@ object Queries {
             .otherwise(col("c_acctbal")))
         .unionByName(cust.filter(col("c_custkey") % 23 === 0)
           .withColumn("c_custkey", col("c_custkey") + 1000000L))
-      Snapshot.incrementalAggregate(prep(cust), prep(newDf),
+      // each snapshot has two consumers of different shapes (row-hash
+      // project + grouped view); without a persist the customer scan
+      // runs ~9x (q171 corollary — verified with Explain)
+      Snapshot.incrementalAggregate(prep(cust).persist(), prep(newDf).persist(),
           "c_custkey", "c_nationkey", "bal")
         .select(col("c_nationkey"),
           col("old_sum").cast("double").as("old_sum"), col("old_n"),
