@@ -196,6 +196,38 @@ object Graph {
     * against the edge table on its key — broadcastable frontiers make
     * rounds map-only; the union + min-aggregate is one hash aggregate
     * over ≤ maxDepth·|reached| rows. */
+  /** Bounded Bellman-Ford: cheapest path cost (integer weights) from any
+    * seed within `rounds` relaxations — the weighted companion of
+    * [[bfsHops]] (blast radius asks "how far", this asks "how costly";
+    * with unit weights they coincide). Each round is one distributed
+    * relax-join + a per-node MIN — per-round reduction keeps every
+    * intermediate bounded by the NODE count, never the walk count (a
+    * naive "all walks ≤ R" recursion blows up on near-distinct float
+    * costs; integer micro weights + min-per-round is the scalable and
+    * oracle-portable form — the oracle unrolls the same R rounds as a
+    * CTE chain). Edges persist for the same broadcast-reuse reason as
+    * bfsHops/connectedComponents. */
+  def weightedHops(
+      edges: DataFrame, // (d1, d2, w) undirected, w integer > 0
+      seeds: DataFrame, // (id)
+      rounds: Int = 3): DataFrame = {
+    require(rounds >= 1 && rounds <= 6, "rounds must be in [1, 6]")
+    val und = edges
+      .select(explode(array(
+        struct(col("d1").as("u"), col("d2").as("v"), col("w")),
+        struct(col("d2").as("u"), col("d1").as("v"), col("w")))).as("e"))
+      .select(col("e.u"), col("e.v"), col("e.w"))
+      .distinct()
+      .persist()
+    val seed0 = seeds.select(col("id"), lit(0L).as("dist"))
+    val best = (1 to rounds).foldLeft(seed0) { (b, _) =>
+      val relaxed = und.join(b.select(col("id").as("u"), col("dist")), Seq("u"))
+        .select(col("v").as("id"), (col("dist") + col("w")).as("dist"))
+      b.unionByName(relaxed).groupBy("id").agg(min("dist").as("dist"))
+    }
+    best.orderBy("id")
+  }
+
   def bfsHops(pairs: DataFrame, seeds: DataFrame, maxDepth: Int = 3): DataFrame = {
     require(maxDepth >= 1 && maxDepth <= 6, "maxDepth must be in [1, 6] (declarative chain)")
     // persist: each BFS round joins a (small, often broadcast) frontier

@@ -872,6 +872,33 @@ object Selection {
       .orderBy("bin")
   }
 
+  /** A/B assignment + sample-ratio-mismatch audit: users deterministically
+    * bucketed into arms by the library-wide md5-60bit hash (stable across
+    * runs, engines, and days — the property an experiment assignment
+    * must have), then per day the distinct-active-user split is tested
+    * against the intended 50/50 with the 2-cell chi-square
+    * χ² = (n_a − n_b)²/n (the p=1/2 reduction; df=1). SRM flags at the
+    * standard α=0.05 critical value 3.841459. All integer until the one
+    * χ² division. Scale shape: one distinct reduction, one day-keyed
+    * aggregate — the experimentation-platform health check. */
+  def srmCheck(
+      events: DataFrame,
+      userCol: String = "user_id",
+      dayCol: String = "day"): DataFrame = {
+    val du = events.select(col(dayCol), col(userCol)).distinct()
+      .withColumn("arm",
+        (md5Long(col(userCol).cast("string")) % 100 < 50).cast("long"))
+    du.groupBy(dayCol)
+      .agg(count(lit(1)).as("n"), sum("arm").as("n_a"))
+      .withColumn("n_b", col("n") - col("n_a"))
+      .withColumn("chi2",
+        ((col("n_a") - col("n_b")) * (col("n_a") - col("n_b"))).cast("double")
+          / col("n").cast("double"))
+      .withColumn("srm", (col("chi2") > 3.841459).cast("int"))
+      .select(dayCol, "n", "n_a", "n_b", "chi2", "srm")
+      .orderBy(dayCol)
+  }
+
   /** 2-D skyline (Pareto frontier): the points not dominated under
     * (maximize `maxCol`, minimize `minCol`) — a dominates b iff
     * a.max ≥ b.max ∧ a.min ≤ b.min with one strict. The classic

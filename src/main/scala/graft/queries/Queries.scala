@@ -5500,6 +5500,64 @@ object Queries {
         AND rcpt_lo < issue_hi AND issue_lo < rcpt_hi
       ORDER BY r.key, rcpt_id, issue_id"""))
 
+  /** Bounded Bellman-Ford over the near-dup graph (`Graph.weightedHops`):
+    * cheapest dissimilarity cost (integer micro weights,
+    * w = 1000001 − ⌊jaccard·1e6⌋ — floor of the IDENTICAL double on both
+    * engines) from the q167 seed set within 3 relaxations. Per-round MIN
+    * keeps every intermediate node-bounded; the oracle unrolls the same
+    * three rounds as a MATERIALIZED CTE chain (a walk-enumeration
+    * recursion would blow up on near-distinct costs). */
+  val q189_weighted_hops: Q = Q(
+    (s, d) => {
+      val docs = table(s, d, "documents")
+      val pairs = Dedup.ngramJaccard(docs, Seq("lang", "n_chars"))
+      val edges = pairs.select(col("d1"), col("d2"),
+        (lit(1000001L) - floor(col("jaccard") * 1e6).cast("long")).as("w"))
+      Graph.weightedHops(edges,
+        docs.filter(col("doc_id") % 97 === 0).select(col("doc_id").as("id")))
+    },
+    Some {
+      def round(prev: String, cur: String): String =
+        s"""$cur AS MATERIALIZED (SELECT id, MIN(dist) AS dist FROM (
+            SELECT id, dist FROM $prev
+            UNION ALL
+            SELECT e.v AS id, $prev.dist + e.w AS dist
+            FROM $prev JOIN e ON e.u = $prev.id) GROUP BY id)"""
+      s"""WITH $blockedJaccardPairsSql,
+      p AS (SELECT d1, d2,
+          1000001 - CAST(floor((CAST(i AS DOUBLE) / CAST(sz1 + sz2 - i AS DOUBLE))
+            * 1000000) AS BIGINT) AS w
+        FROM v WHERE CAST(i AS DOUBLE) / CAST(sz1 + sz2 - i AS DOUBLE) >= 0.3),
+      e AS MATERIALIZED (SELECT d1 AS u, d2 AS v, w FROM p
+        UNION SELECT d2, d1, w FROM p),
+      r0 AS (SELECT doc_id AS id, CAST(0 AS BIGINT) AS dist
+        FROM documents WHERE doc_id % 97 = 0),
+      ${round("r0", "r1")}, ${round("r1", "r2")}, ${round("r2", "r3")}
+      SELECT id, dist FROM r3 ORDER BY id"""
+    })
+
+  /** A/B sample-ratio-mismatch audit (`Selection.srmCheck`): stable
+    * md5-hash arm assignment, per-day distinct-active split, 2-cell
+    * chi-square vs the intended 50/50 with the α=0.05 flag — the
+    * experimentation-platform health check. Integer counts, one
+    * division. */
+  val q190_srm_check: Q = Q(
+    (s, d) => Selection.srmCheck(
+      eventsNs(s, d).select(col("user_id"),
+        expr("(ts div 1000) div 86400000000").as("day"))),
+    Some("""WITH du AS (SELECT DISTINCT epoch_us(ts) // 86400000000 AS day, user_id
+          FROM events),
+      a AS (SELECT day, user_id,
+          CASE WHEN CAST('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15) AS BIGINT)
+            % 100 < 50 THEN 1 ELSE 0 END AS arm FROM du),
+      g AS (SELECT day, CAST(COUNT(*) AS BIGINT) AS n,
+          CAST(SUM(arm) AS BIGINT) AS n_a FROM a GROUP BY day)
+      SELECT day, n, n_a, n - n_a AS n_b,
+        CAST((n_a - (n - n_a)) * (n_a - (n - n_a)) AS DOUBLE) / CAST(n AS DOUBLE) AS chi2,
+        CASE WHEN CAST((n_a - (n - n_a)) * (n_a - (n - n_a)) AS DOUBLE) / CAST(n AS DOUBLE)
+          > 3.841459 THEN 1 ELSE 0 END AS srm
+      FROM g ORDER BY day"""))
+
   /** DuckDB twin of `Layout.hilbertValue`: the same per-level integer
     * fold as a `list_reduce` whose FIRST element seeds the state and
     * whose remaining elements carry the bit levels.
@@ -5721,5 +5779,7 @@ object Queries {
     "q185_abandonment" -> q185_abandonment,
     "q186_dominant_supplier" -> q186_dominant_supplier,
     "q187_ivm" -> q187_ivm,
-    "q188_fifo_match" -> q188_fifo_match)
+    "q188_fifo_match" -> q188_fifo_match,
+    "q189_weighted_hops" -> q189_weighted_hops,
+    "q190_srm_check" -> q190_srm_check)
 }

@@ -285,6 +285,41 @@ class WaveR6dSpec extends SparkSpec {
     assert(got.toSeq.map(_._3).sum === 15L)
   }
 
+  // ---------------------------------------------------------- weighted hops
+
+  test("weightedHops: a cheap 2-hop path beats a pricey direct edge (what BFS cannot see)") {
+    import spark.implicits._
+    val edges = Seq(
+      (1L, 2L, 10L),  // direct but expensive
+      (1L, 3L, 1L), (3L, 2L, 1L), // cheap detour: cost 2
+      (2L, 4L, 5L)
+    ).toDF("d1", "d2", "w")
+    val seeds = Seq(1L).toDF("id")
+    val got = Graph.weightedHops(edges, seeds, rounds = 3)
+      .as[(Long, Long)].collect().toMap
+    assert(got === Map(1L -> 0L, 2L -> 2L, 3L -> 1L, 4L -> 7L))
+    // unit weights reduce to BFS hop counts
+    val unit = Graph.weightedHops(edges.withColumn("w", lit(1L)), seeds, rounds = 3)
+      .as[(Long, Long)].collect().toMap
+    val bfs = Graph.bfsHops(edges.select("d1", "d2"), seeds, maxDepth = 3)
+      .collect().map(r => r.getLong(0) -> r.getInt(1).toLong).toMap
+    assert(unit === bfs)
+  }
+
+  // -------------------------------------------------------------------- SRM
+
+  test("srmCheck: assignment is hash-stable and chi-square matches hand computation") {
+    import spark.implicits._
+    val ev = (1 to 40).map(u => (0L, u.toLong)) ++ (1 to 40).map(u => (1L, u.toLong))
+    val got = Selection.srmCheck(ev.toDF("day", "user_id")).collect()
+    assert(got.length === 2)
+    // same users both days -> identical split both days (stability)
+    assert(got(0).getLong(2) === got(1).getLong(2))
+    val (n, na) = (got(0).getLong(1), got(0).getLong(2))
+    val nb = n - na
+    assert(got(0).getDouble(4) === ((na - nb) * (na - nb)).toDouble / n)
+  }
+
   // --------------------------------------------------------------- skyline
 
   test("paretoFrontier2d equals brute-force dominance on deterministic pseudo-random points") {
