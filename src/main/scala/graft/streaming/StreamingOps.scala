@@ -370,6 +370,80 @@ object StreamingOps {
       }
   }
 
+  final case class FunnelEvent(ts: java.sql.Timestamp, event_id: Long, user_id: Long,
+    tus: Long, event_type: String)
+  final case class Pending(event_id: Long, tus: Long)
+  final case class AbandonOut(user_id: Long, event_id: Long, tus: Long,
+    next_conv_us: Option[Long], abandoned: Int)
+
+  /** Streaming funnel abandonment — the EVENT-TIME TIMEOUT pattern, the
+    * stream twin of `Temporal.abandonment`: a `fromType` event converts
+    * when a `toType` event from the same user lands strictly inside
+    * (tus, tus + windowUs]; it is emitted ABANDONED only once the
+    * watermark proves no such event can still arrive. Batch gets this
+    * with one RANGE window over history; a stream cannot see the future,
+    * so the state machine holds each user's pending from-events and a
+    * `flatMapGroupsWithState` event-time timeout fires at the earliest
+    * pending deadline. State is bounded by in-flight pendings per user ×
+    * the window — the textbook timeout-join shape (cart abandonment,
+    * SLA breach detection). AbandonStreamSpec proves the emitted set
+    * equals the batch operator on the same feed, conversions and
+    * timeouts both. */
+  def abandonmentStream(
+      stream: DataFrame, // (ts TIMESTAMP, user_id, event_id, event_type)
+      fromType: String = "view",
+      toType: String = "purchase",
+      windowUs: Long = 3600000000L,
+      watermark: String = "10 minutes"): org.apache.spark.sql.Dataset[AbandonOut] = {
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    val spark = stream.sparkSession
+    import spark.implicits._
+    stream
+      .withWatermark("ts", watermark)
+      // keep the watermarked ts attribute in the plan: event-time timeout
+      // requires the watermark column to survive into the stateful op
+      .select(col("ts"), col("event_id"), col("user_id"),
+        expr("unix_micros(ts)").as("tus"), col("event_type"))
+      .as[FunnelEvent]
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[List[Pending], AbandonOut](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (uid, rows, state: GroupState[List[Pending]]) =>
+          val wmUs = state.getCurrentWatermarkMs() * 1000L
+          var pending = state.getOption.getOrElse(Nil)
+          val out = scala.collection.mutable.ArrayBuffer[AbandonOut]()
+          if (!state.hasTimedOut) {
+            for (e <- rows.toSeq.sortBy(e => (e.tus, e.event_id))) {
+              if (e.event_type == fromType) pending = Pending(e.event_id, e.tus) :: pending
+              else if (e.event_type == toType) {
+                val (conv, rest) = pending.partition(p =>
+                  p.tus < e.tus && e.tus <= p.tus + windowUs)
+                // sorted processing => this is the EARLIEST qualifying
+                // conversion for each matched pending
+                conv.foreach(p =>
+                  out += AbandonOut(uid, p.event_id, p.tus, Some(e.tus), 0))
+                pending = rest
+              }
+            }
+          }
+          // expire: the watermark passed a pending's deadline — no
+          // qualifying conversion can arrive anymore (on timeout AND
+          // inline, so late-window pendings never linger)
+          val (dead, alive) = pending.partition(_.tus + windowUs < wmUs)
+          dead.sortBy(p => (p.tus, p.event_id))
+            .foreach(p => out += AbandonOut(uid, p.event_id, p.tus, None, 1))
+          pending = alive
+          if (pending.isEmpty) state.remove()
+          else {
+            state.update(pending)
+            // fire when the watermark passes the earliest live deadline
+            val next = pending.map(_.tus + windowUs).min / 1000L + 1L
+            state.setTimeoutTimestamp(math.max(next, state.getCurrentWatermarkMs() + 1L))
+          }
+          out.iterator
+      }
+  }
+
   /** Streaming HyperLogLog registers — the stream twin of
     * `Sketch.hllDistinct`'s build stage. `max(rho)` is a declarative
     * aggregate, so micro-batch partial merges are order-independent and
