@@ -5558,6 +5558,69 @@ object Queries {
           > 3.841459 THEN 1 ELSE 0 END AS srm
       FROM g ORDER BY day"""))
 
+  /** Mix/rate revenue decomposition — the metric-tree "why did revenue
+    * move" analysis: per region, the 1996→1997 order-revenue change
+    * split into volume effect Δn·rate₀, rate effect n₀·Δrate, and the
+    * interaction Δn·Δrate. ONE scan (conditional decimal sums in a
+    * single groupBy); rates are single divisions of exact-decimal
+    * operands, effects are single products, everything transcendental-
+    * free and rounded at 6 per the wide-cast rule. */
+  val q191_mix_rate: Q = Q(
+    (s, d) => {
+      val o = table(s, d, "orders")
+        .filter(expr("o_orderdate >= TIMESTAMP '1996-01-01 00:00:00' AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'"))
+        .withColumn("yr1", (col("o_orderdate") >= lit("1997-01-01").cast("timestamp")).cast("long"))
+      val g = o
+        .join(table(s, d, "customer").select("c_custkey", "c_nationkey"),
+          col("o_custkey") === col("c_custkey"))
+        .join(broadcast(table(s, d, "nation").select("n_nationkey", "n_regionkey")),
+          col("c_nationkey") === col("n_nationkey"))
+        .join(broadcast(table(s, d, "region").select("r_regionkey", "r_name")),
+          col("n_regionkey") === col("r_regionkey"))
+        .groupBy("r_name")
+        .agg(
+          sum(when(col("yr1") === 0, lit(1L)).otherwise(0L)).as("n0"),
+          sum(when(col("yr1") === 1, lit(1L)).otherwise(0L)).as("n1"),
+          sum(when(col("yr1") === 0, col("o_totalprice").cast(dec)).otherwise(lit(0).cast(dec))).as("s0"),
+          sum(when(col("yr1") === 1, col("o_totalprice").cast(dec)).otherwise(lit(0).cast(dec))).as("s1"))
+      g.withColumn("rate0", col("s0").cast("double") / col("n0").cast("double"))
+        .withColumn("rate1", col("s1").cast("double") / col("n1").cast("double"))
+        .withColumn("delta_total", (col("s1") - col("s0")).cast("double"))
+        .withColumn("volume_effect",
+          round((col("n1") - col("n0")).cast("double") * col("rate0"), 6))
+        .withColumn("rate_effect",
+          round(col("n0").cast("double") * (col("rate1") - col("rate0")), 6))
+        .withColumn("interaction",
+          round((col("n1") - col("n0")).cast("double") * (col("rate1") - col("rate0")), 6))
+        .select("r_name", "n0", "n1", "delta_total",
+          "volume_effect", "rate_effect", "interaction")
+        .orderBy("r_name")
+    },
+    Some("""WITH o AS (SELECT o_custkey, o_totalprice,
+          CASE WHEN o_orderdate >= TIMESTAMP '1997-01-01 00:00:00' THEN 1 ELSE 0 END AS yr1
+        FROM orders
+        WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+          AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'),
+      g AS (SELECT r_name,
+          CAST(SUM(CASE WHEN yr1 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n0,
+          CAST(SUM(CASE WHEN yr1 = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+          SUM(CASE WHEN yr1 = 0 THEN CAST(o_totalprice AS DECIMAL(18,2))
+            ELSE CAST(0 AS DECIMAL(18,2)) END) AS s0,
+          SUM(CASE WHEN yr1 = 1 THEN CAST(o_totalprice AS DECIMAL(18,2))
+            ELSE CAST(0 AS DECIMAL(18,2)) END) AS s1
+        FROM o
+          JOIN customer ON o_custkey = c_custkey
+          JOIN nation ON c_nationkey = n_nationkey
+          JOIN region ON n_regionkey = r_regionkey
+        GROUP BY r_name),
+      r AS (SELECT *, CAST(s0 AS DOUBLE) / CAST(n0 AS DOUBLE) AS rate0,
+          CAST(s1 AS DOUBLE) / CAST(n1 AS DOUBLE) AS rate1 FROM g)
+      SELECT r_name, n0, n1, CAST(s1 - s0 AS DOUBLE) AS delta_total,
+        ROUND(CAST(n1 - n0 AS DOUBLE) * rate0, 6) AS volume_effect,
+        ROUND(CAST(n0 AS DOUBLE) * (rate1 - rate0), 6) AS rate_effect,
+        ROUND(CAST(n1 - n0 AS DOUBLE) * (rate1 - rate0), 6) AS interaction
+      FROM r ORDER BY r_name"""))
+
   /** DuckDB twin of `Layout.hilbertValue`: the same per-level integer
     * fold as a `list_reduce` whose FIRST element seeds the state and
     * whose remaining elements carry the bit levels.
@@ -5781,5 +5844,6 @@ object Queries {
     "q187_ivm" -> q187_ivm,
     "q188_fifo_match" -> q188_fifo_match,
     "q189_weighted_hops" -> q189_weighted_hops,
-    "q190_srm_check" -> q190_srm_check)
+    "q190_srm_check" -> q190_srm_check,
+    "q191_mix_rate" -> q191_mix_rate)
 }
