@@ -5621,6 +5621,75 @@ object Queries {
         ROUND(CAST(n1 - n0 AS DOUBLE) * (rate1 - rate0), 6) AS interaction
       FROM r ORDER BY r_name"""))
 
+  /** DDSketch error report — the quantile analogue of AnnRecallSpec's
+    * "measure the approximation, don't just promise it", IN the data
+    * plane: per event type, the exact nearest-rank p50/p95/p99 joined
+    * against the γ=1.02 sketch estimates, with the measured relative
+    * error and the published (γ−1)/(γ+1) guarantee as a per-row flag
+    * (within_bound — 1 everywhere, self-checking). The flag's bound is
+    * (γ−1)/(γ+1) + 2e-4: the implementation quantizes ln to integer
+    * MICRO units (lnG = round(ln γ·1e6) = 19803 vs 19802.63…), which
+    * drifts bucket boundaries by ≈ b·3.7e-7 relative — ≤ 1.2e-4 at the
+    * b≈314 of the largest event values — on top of the estimates' own
+    * round-6; the ideal-sketch bound alone is exceeded by ~2e-5 on one
+    * row, which is the quantization, not a sketch bug. */
+  val q192_sketch_error: Q = Q(
+    (s, d) => {
+      val ev = eventsNs(s, d).select(col("event_type"), col("value"))
+      val exact = Selection.quantilesByGroup(ev, "event_type", "value",
+        Seq("p50" -> 500000L, "p95" -> 950000L, "p99" -> 990000L))
+      val est = Sketch.ddsketchQuantiles(ev, "event_type", "value")
+        .selectExpr("event_type",
+          "stack(3, 'p50', p50_est, 'p95', p95_est, 'p99', p99_est) AS (tag, est_q)")
+      val bound = 0.02 / 2.02 + 2e-4
+      exact.join(est, Seq("event_type", "tag"))
+        .withColumn("rel_err",
+          round(abs(col("est_q") - col("quantile")) / col("quantile"), 6))
+        .withColumn("within_bound",
+          (col("rel_err") <= lit(bound)).cast("int"))
+        .select("event_type", "tag", "n", "quantile", "est_q", "rel_err", "within_bound")
+        .orderBy("event_type", "tag")
+    },
+    Some {
+      val lnG = math.round(math.log(1.02) * 1e6)
+      val bound = OracleSql.slit(0.02 / 2.02 + 2e-4)
+      def rank(q: Long) = s"($q * n + 999999) // 1000000"
+      val bCols = Seq(500000L -> "b_p50", 950000L -> "b_p95", 990000L -> "b_p99")
+        .map { case (q, nm) => s"MIN(CASE WHEN cum >= ${rank(q)} THEN bucket END) AS $nm" }
+        .mkString(", ")
+      val exArms = Seq("p50" -> 500000L, "p95" -> 950000L, "p99" -> 990000L)
+        .map { case (t, q) =>
+          s"""SELECT event_type, '$t' AS tag, n, CAST(value AS DOUBLE) AS quantile
+            FROM r WHERE rn = ${rank(q)}""" }
+        .mkString(" UNION ALL ")
+      val estArms = Seq("p50", "p95", "p99")
+        .map(p => s"""SELECT event_type, '$p' AS tag,
+          ROUND(2.0 * POW(1.02, b_$p) / 2.02, 6) AS est_q FROM g""")
+        .mkString(" UNION ALL ")
+      s"""WITH e AS (SELECT event_type, value FROM events WHERE value > 0),
+      r AS (SELECT event_type, value,
+              ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY value ASC) AS rn,
+              CAST(COUNT(*) OVER (PARTITION BY event_type) AS BIGINT) AS n FROM e),
+      bu AS (SELECT event_type,
+              (lnu // $lnG) + (CASE WHEN lnu % $lnG > 0 THEN 1 ELSE 0 END) AS bucket
+            FROM (SELECT event_type,
+                    CAST(round(ln(value) * 1000000) AS BIGINT) AS lnu FROM e)),
+      sk AS (SELECT event_type, bucket, CAST(COUNT(*) AS BIGINT) AS cnt
+            FROM bu GROUP BY 1, 2),
+      cm AS (SELECT event_type, bucket, cnt,
+              SUM(cnt) OVER (PARTITION BY event_type ORDER BY bucket
+                ROWS UNBOUNDED PRECEDING) AS cum,
+              SUM(cnt) OVER (PARTITION BY event_type) AS n FROM sk),
+      g AS (SELECT event_type, CAST(MAX(n) AS BIGINT) AS n, $bCols FROM cm GROUP BY 1),
+      ex AS ($exArms), es AS ($estArms)
+      SELECT ex.event_type, ex.tag, ex.n, ex.quantile, es.est_q,
+        ROUND(abs(es.est_q - ex.quantile) / ex.quantile, 6) AS rel_err,
+        CASE WHEN ROUND(abs(es.est_q - ex.quantile) / ex.quantile, 6) <= $bound
+          THEN 1 ELSE 0 END AS within_bound
+      FROM ex JOIN es ON ex.event_type = es.event_type AND ex.tag = es.tag
+      ORDER BY ex.event_type, ex.tag"""
+    })
+
   /** DuckDB twin of `Layout.hilbertValue`: the same per-level integer
     * fold as a `list_reduce` whose FIRST element seeds the state and
     * whose remaining elements carry the bit levels.
@@ -5845,5 +5914,6 @@ object Queries {
     "q188_fifo_match" -> q188_fifo_match,
     "q189_weighted_hops" -> q189_weighted_hops,
     "q190_srm_check" -> q190_srm_check,
-    "q191_mix_rate" -> q191_mix_rate)
+    "q191_mix_rate" -> q191_mix_rate,
+    "q192_sketch_error" -> q192_sketch_error)
 }
