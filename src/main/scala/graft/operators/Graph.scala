@@ -196,6 +196,34 @@ object Graph {
     * against the edge table on its key — broadcastable frontiers make
     * rounds map-only; the union + min-aggregate is one hash aggregate
     * over ≤ maxDepth·|reached| rows. */
+  def bfsHops(pairs: DataFrame, seeds: DataFrame, maxDepth: Int = 3): DataFrame = {
+    require(maxDepth >= 1 && maxDepth <= 6, "maxDepth must be in [1, 6] (declarative chain)")
+    // persist: each BFS round joins a (small, often broadcast) frontier
+    // against the edges — broadcast joins leave no exchange to reuse, so
+    // without the cache every round would re-evaluate the full upstream
+    // pair plan (the expensive part). Same discipline as
+    // [[Dedup.connectedComponents]].
+    val edges = pairs
+      .select(explode(array(
+        struct(col("d1").as("u"), col("d2").as("v")),
+        struct(col("d2").as("u"), col("d1").as("v")))).as("e"))
+      .select(col("e.u"), col("e.v"))
+      .distinct()
+      .persist()
+    val seed0 = seeds.select(col("id"), lit(0).as("dist"))
+    val frontiers = (1 to maxDepth).scanLeft(seed0) { (frontier, depth) =>
+      // distinct per round: frontier rows stay bounded by NODE count, not
+      // by the (possibly exponential) count of length-d walks
+      edges.join(frontier.select(col("id").as("u")), Seq("u"))
+        .select(col("v").as("id")).distinct()
+        .select(col("id"), lit(depth).as("dist"))
+    }
+    frontiers.reduce(_ unionByName _)
+      .groupBy("id")
+      .agg(min("dist").as("dist"))
+      .orderBy("id")
+  }
+
   /** Bounded Bellman-Ford: cheapest path cost (integer weights) from any
     * seed within `rounds` relaxations — the weighted companion of
     * [[bfsHops]] (blast radius asks "how far", this asks "how costly";
@@ -228,31 +256,4 @@ object Graph {
     best.orderBy("id")
   }
 
-  def bfsHops(pairs: DataFrame, seeds: DataFrame, maxDepth: Int = 3): DataFrame = {
-    require(maxDepth >= 1 && maxDepth <= 6, "maxDepth must be in [1, 6] (declarative chain)")
-    // persist: each BFS round joins a (small, often broadcast) frontier
-    // against the edges — broadcast joins leave no exchange to reuse, so
-    // without the cache every round would re-evaluate the full upstream
-    // pair plan (the expensive part). Same discipline as
-    // [[Dedup.connectedComponents]].
-    val edges = pairs
-      .select(explode(array(
-        struct(col("d1").as("u"), col("d2").as("v")),
-        struct(col("d2").as("u"), col("d1").as("v")))).as("e"))
-      .select(col("e.u"), col("e.v"))
-      .distinct()
-      .persist()
-    val seed0 = seeds.select(col("id"), lit(0).as("dist"))
-    val frontiers = (1 to maxDepth).scanLeft(seed0) { (frontier, depth) =>
-      // distinct per round: frontier rows stay bounded by NODE count, not
-      // by the (possibly exponential) count of length-d walks
-      edges.join(frontier.select(col("id").as("u")), Seq("u"))
-        .select(col("v").as("id")).distinct()
-        .select(col("id"), lit(depth).as("dist"))
-    }
-    frontiers.reduce(_ unionByName _)
-      .groupBy("id")
-      .agg(min("dist").as("dist"))
-      .orderBy("id")
-  }
 }

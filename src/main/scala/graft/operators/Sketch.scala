@@ -170,7 +170,7 @@ object Sketch {
       if (s.contains('E') || s.contains('e')) s else s + "E0"
     }
     val alphaNum = dlit(hllAlphaNum(b))
-    spark.sql(s"""
+    val out = spark.sql(s"""
       WITH lv AS (
         SELECT grouping($dimA) * 2 + grouping($dimB) AS gid, $dimA, $dimB, bucket,
           max(m_reg) AS m_reg
@@ -200,6 +200,12 @@ object Sketch {
           ELSE $alphaNum / cast(s_int as double) END, 6) AS hll_est
       FROM est JOIN ex ON est.gid = ex.gid
         AND est.$dimA <=> ex.$dimA AND est.$dimB <=> ex.$dimB""")
+    // spark.sql resolves the views EAGERLY into the returned plan, so
+    // dropping them immediately is safe and keeps the session catalog
+    // from accumulating two entries per invocation
+    spark.catalog.dropTempView(bv)
+    spark.catalog.dropTempView(dv)
+    out
   }
 
   /** Rolling-window cardinality: per day, the HLL estimate of distinct

@@ -5635,7 +5635,10 @@ object Queries {
     * row, which is the quantization, not a sketch bug. */
   val q192_sketch_error: Q = Q(
     (s, d) => {
+      // value > 0 matches the sketch's own domain (ddsketchBuckets
+      // filters internally) so both arms rank the SAME population
       val ev = eventsNs(s, d).select(col("event_type"), col("value"))
+        .filter(col("value") > 0)
       val exact = Selection.quantilesByGroup(ev, "event_type", "value",
         Seq("p50" -> 500000L, "p95" -> 950000L, "p99" -> 990000L))
       val est = Sketch.ddsketchQuantiles(ev, "event_type", "value")

@@ -372,23 +372,29 @@ object StreamingOps {
 
   final case class FunnelEvent(ts: java.sql.Timestamp, event_id: Long, user_id: Long,
     tus: Long, event_type: String)
-  final case class Pending(event_id: Long, tus: Long)
+  final case class Pending(event_id: Long, tus: Long, bestConv: Option[Long])
+  final case class AbandonState(views: List[Pending], convs: List[Long])
   final case class AbandonOut(user_id: Long, event_id: Long, tus: Long,
     next_conv_us: Option[Long], abandoned: Int)
 
   /** Streaming funnel abandonment — the EVENT-TIME TIMEOUT pattern, the
     * stream twin of `Temporal.abandonment`: a `fromType` event converts
-    * when a `toType` event from the same user lands strictly inside
+    * at the EARLIEST `toType` event from the same user strictly inside
     * (tus, tus + windowUs]; it is emitted ABANDONED only once the
-    * watermark proves no such event can still arrive. Batch gets this
-    * with one RANGE window over history; a stream cannot see the future,
-    * so the state machine holds each user's pending from-events and a
-    * `flatMapGroupsWithState` event-time timeout fires at the earliest
-    * pending deadline. State is bounded by in-flight pendings per user ×
-    * the window — the textbook timeout-join shape (cart abandonment,
-    * SLA breach detection). AbandonStreamSpec proves the emitted set
-    * equals the batch operator on the same feed, conversions and
-    * timeouts both. */
+    * watermark proves no conversion can still arrive.
+    *
+    * Arrival order is free within the watermark, so BOTH sides hold:
+    * pending from-events track their best (earliest) conversion seen so
+    * far, and to-events are retained while tus > watermark (a later
+    * from-event can still match them). A conversion is only FINAL when
+    * the watermark passes its timestamp — an earlier qualifying to-event
+    * can no longer arrive — and an abandonment when it passes the
+    * deadline; emitting eagerly on first sight would disagree with the
+    * batch operator whenever a cross-micro-batch out-of-order to-event
+    * beats the one already seen (AbandonStreamSpec covers exactly that).
+    * State is bounded per user by in-flight from-events × window plus
+    * to-events within the watermark horizon — the textbook timeout-join
+    * shape (cart abandonment, SLA breach detection). */
   def abandonmentStream(
       stream: DataFrame, // (ts TIMESTAMP, user_id, event_id, event_type)
       fromType: String = "view",
@@ -406,38 +412,50 @@ object StreamingOps {
         expr("unix_micros(ts)").as("tus"), col("event_type"))
       .as[FunnelEvent]
       .groupByKey(_.user_id)
-      .flatMapGroupsWithState[List[Pending], AbandonOut](
+      .flatMapGroupsWithState[AbandonState, AbandonOut](
         OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
-        (uid, rows, state: GroupState[List[Pending]]) =>
+        (uid, rows, state: GroupState[AbandonState]) =>
           val wmUs = state.getCurrentWatermarkMs() * 1000L
-          var pending = state.getOption.getOrElse(Nil)
-          val out = scala.collection.mutable.ArrayBuffer[AbandonOut]()
+          val st = state.getOption.getOrElse(AbandonState(Nil, Nil))
+          var views = st.views
+          var convs = st.convs
           if (!state.hasTimedOut) {
             for (e <- rows.toSeq.sortBy(e => (e.tus, e.event_id))) {
-              if (e.event_type == fromType) pending = Pending(e.event_id, e.tus) :: pending
-              else if (e.event_type == toType) {
-                val (conv, rest) = pending.partition(p =>
-                  p.tus < e.tus && e.tus <= p.tus + windowUs)
-                // sorted processing => this is the EARLIEST qualifying
-                // conversion for each matched pending
-                conv.foreach(p =>
-                  out += AbandonOut(uid, p.event_id, p.tus, Some(e.tus), 0))
-                pending = rest
+              if (e.event_type == fromType) {
+                val best = convs.filter(c => e.tus < c && c <= e.tus + windowUs)
+                views = Pending(e.event_id, e.tus,
+                  if (best.isEmpty) None else Some(best.min)) :: views
+              } else if (e.event_type == toType) {
+                convs = e.tus :: convs
+                views = views.map { v =>
+                  if (v.tus < e.tus && e.tus <= v.tus + windowUs &&
+                      v.bestConv.forall(e.tus < _))
+                    v.copy(bestConv = Some(e.tus))
+                  else v
+                }
               }
             }
           }
-          // expire: the watermark passed a pending's deadline — no
-          // qualifying conversion can arrive anymore (on timeout AND
-          // inline, so late-window pendings never linger)
-          val (dead, alive) = pending.partition(_.tus + windowUs < wmUs)
-          dead.sortBy(p => (p.tus, p.event_id))
-            .foreach(p => out += AbandonOut(uid, p.event_id, p.tus, None, 1))
-          pending = alive
-          if (pending.isEmpty) state.remove()
+          // finalize: a conversion is final once the watermark passes it
+          // (nothing earlier can arrive); an abandonment once it passes
+          // the deadline. Checked on data AND timeout invocations.
+          val (done, live) = views.partition(v =>
+            v.bestConv.exists(_ <= wmUs) || v.tus + windowUs < wmUs)
+          val out = done.sortBy(v => (v.tus, v.event_id)).map { v =>
+            val conv = v.bestConv.filter(_ <= wmUs)
+            AbandonOut(uid, v.event_id, v.tus, conv, if (conv.isDefined) 0 else 1)
+          }
+          views = live
+          convs = convs.filter(_ > wmUs) // only future from-events can match
+          if (views.isEmpty && convs.isEmpty) state.remove()
           else {
-            state.update(pending)
-            // fire when the watermark passes the earliest live deadline
-            val next = pending.map(_.tus + windowUs).min / 1000L + 1L
+            state.update(AbandonState(views, convs))
+            // fire when the watermark passes the earliest finalization
+            // point: a view's best conversion or its deadline; conv-only
+            // state just waits for its own eviction horizon
+            val deadlines = views.map(v => v.bestConv.getOrElse(v.tus + windowUs)) ++
+              (if (views.isEmpty) convs else Nil)
+            val next = deadlines.min / 1000L + 1L
             state.setTimeoutTimestamp(math.max(next, state.getCurrentWatermarkMs() + 1L))
           }
           out.iterator

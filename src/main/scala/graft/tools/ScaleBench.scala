@@ -58,7 +58,11 @@ object ScaleBench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    if (!new java.io.File(s"$out/documents.parquet").exists()) {
+    // orders is the newest table in the layout — checking it (not just
+    // documents) forces a rebuild of scale dirs created by older versions
+    // that lacked the pass-through dimension copies
+    if (!new java.io.File(s"$out/documents.parquet").exists() ||
+        !new java.io.File(s"$out/orders.parquet").exists()) {
       System.err.println(s"[scale] building ${factor}x blow-up at $out")
       blowUpKeys(spark, base, out, "lineitem",
         Seq("l_orderkey", "l_partkey", "l_suppkey"), factor)
