@@ -5693,6 +5693,47 @@ object Queries {
       ORDER BY ex.event_type, ex.tag"""
     })
 
+  /** Hierarchical percent-of-parent rollup: each nation's revenue share of
+    * its region and each region's share of the total — two window levels
+    * over ONE grouped aggregate (never a rescan), exact decimal sums,
+    * single divisions rounded at 6. The drill-down table every BI layer
+    * renders. */
+  val q193_share_rollup: Q = Q(
+    (s, d) => {
+      val g = table(s, d, "orders")
+        .join(table(s, d, "customer").select("c_custkey", "c_nationkey"),
+          col("o_custkey") === col("c_custkey"))
+        .join(broadcast(table(s, d, "nation").select("n_nationkey", "n_name", "n_regionkey")),
+          col("c_nationkey") === col("n_nationkey"))
+        .join(broadcast(table(s, d, "region").select("r_regionkey", "r_name")),
+          col("n_regionkey") === col("r_regionkey"))
+        .groupBy("r_name", "n_name")
+        .agg(sum(col("o_totalprice").cast(dec)).as("rev"), count(lit(1)).as("n_orders"))
+      g.withColumn("region_rev", sum("rev").over(Window.partitionBy("r_name")))
+        .withColumn("total_rev", sum("rev").over(Window.partitionBy()))
+        .select(col("r_name"), col("n_name"), col("n_orders"),
+          col("rev").cast("double").as("rev"),
+          round(col("rev").cast("double") / col("region_rev").cast("double"), 6)
+            .as("share_of_region"),
+          round(col("region_rev").cast("double") / col("total_rev").cast("double"), 6)
+            .as("region_share_of_total"))
+        .orderBy("r_name", "n_name")
+    },
+    Some("""WITH g AS (SELECT r_name, n_name,
+          SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS rev,
+          CAST(COUNT(*) AS BIGINT) AS n_orders
+        FROM orders
+          JOIN customer ON o_custkey = c_custkey
+          JOIN nation ON c_nationkey = n_nationkey
+          JOIN region ON n_regionkey = r_regionkey
+        GROUP BY 1, 2),
+      w AS (SELECT *, SUM(rev) OVER (PARTITION BY r_name) AS region_rev,
+          SUM(rev) OVER () AS total_rev FROM g)
+      SELECT r_name, n_name, n_orders, CAST(rev AS DOUBLE) AS rev,
+        ROUND(CAST(rev AS DOUBLE) / CAST(region_rev AS DOUBLE), 6) AS share_of_region,
+        ROUND(CAST(region_rev AS DOUBLE) / CAST(total_rev AS DOUBLE), 6) AS region_share_of_total
+      FROM w ORDER BY r_name, n_name"""))
+
   /** DuckDB twin of `Layout.hilbertValue`: the same per-level integer
     * fold as a `list_reduce` whose FIRST element seeds the state and
     * whose remaining elements carry the bit levels.
@@ -5918,5 +5959,6 @@ object Queries {
     "q189_weighted_hops" -> q189_weighted_hops,
     "q190_srm_check" -> q190_srm_check,
     "q191_mix_rate" -> q191_mix_rate,
-    "q192_sketch_error" -> q192_sketch_error)
+    "q192_sketch_error" -> q192_sketch_error,
+    "q193_share_rollup" -> q193_share_rollup)
 }
