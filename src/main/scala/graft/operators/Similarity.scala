@@ -667,4 +667,48 @@ object Similarity {
       .select("_c.*")
       .orderBy("dim_i", "dim_j")
   }
+
+  /** Mahalanobis anomaly score under an OFFLINE-TRAINED model (the
+    * TrainedCentroids pattern — `tools/TrainMahalanobis` bakes the mean
+    * vector and the inverse of the exact covariance as round-6
+    * literals): score(x) = (x−μ)ᵀ Σ⁻¹ (x−μ) over the first k embedding
+    * dims, expanded as ONE fixed-order chain of k² literal-weighted
+    * products — identical left-associated double arithmetic on every
+    * engine, so the oracle replays it term-for-term. Zero shuffles for
+    * the scoring itself; top anomalies via TakeOrderedAndProject.
+    *
+    * This is the multivariate outlier detector the per-column z-scores
+    * (q110) cannot express: it accounts for the learned correlations,
+    * flagging points that are unremarkable per-dimension but improbable
+    * JOINTLY. */
+  def mahalanobisExpr(
+      mu: Seq[Double],
+      prec: Seq[Seq[Double]],
+      acc: Int => String): String = {
+    def lit0(d: Double): String = {
+      val s = d.toString
+      if (s.contains('E') || s.contains('e')) s else s + "E0"
+    }
+    val k = mu.length
+    val diffs = (0 until k).map(i => s"(${acc(i)} - ${lit0(mu(i))})")
+    val terms = for { i <- 0 until k; j <- 0 until k }
+      yield s"${lit0(prec(i)(j))} * ${diffs(i)} * ${diffs(j)}"
+    s"round(${terms.mkString(" + ")}, 6)"
+  }
+
+  /** Top-`topK` anomalies by Mahalanobis score (desc, id tiebreak). */
+  def mahalanobisTopK(
+      emb: DataFrame,
+      mu: Seq[Double],
+      prec: Seq[Seq[Double]],
+      topK: Int = 50,
+      vecCol: String = "embedding",
+      idCol: String = "vec_id"): DataFrame = {
+    val score = mahalanobisExpr(mu, prec,
+      i => s"cast(element_at($vecCol, ${i + 1}) as double)")
+    emb.select(col(idCol), expr(score).as("score"))
+      .orderBy(col("score").desc, col(idCol))
+      .limit(topK)
+  }
+
 }

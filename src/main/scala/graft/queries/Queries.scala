@@ -5734,6 +5734,24 @@ object Queries {
         ROUND(CAST(region_rev AS DOUBLE) / CAST(total_rev AS DOUBLE), 6) AS region_share_of_total
       FROM w ORDER BY r_name, n_name"""))
 
+  /** Multivariate anomaly detection (`Similarity.mahalanobisTopK`): the
+    * 50 most improbable embeddings under the offline-trained Mahalanobis
+    * model ([[TrainedMahalanobis]] — baked round-6 mean + precision
+    * matrix) — the JOINT outlier detector per-column z-scores can't
+    * express. The k² score terms are one fixed-order literal chain, so
+    * both engines compute the identical double; zero shuffles to score,
+    * TakeOrderedAndProject for the top-k. */
+  val q194_mahalanobis: Q = Q(
+    (s, d) => Similarity.mahalanobisTopK(table(s, d, "embeddings"),
+      TrainedMahalanobis.mu, TrainedMahalanobis.prec),
+    Some {
+      val score = Similarity.mahalanobisExpr(
+        TrainedMahalanobis.mu, TrainedMahalanobis.prec,
+        i => s"CAST(embedding[${i + 1}] AS DOUBLE)")
+      s"""SELECT vec_id, $score AS score FROM embeddings
+      ORDER BY score DESC, vec_id LIMIT 50"""
+    })
+
   /** DuckDB twin of `Layout.hilbertValue`: the same per-level integer
     * fold as a `list_reduce` whose FIRST element seeds the state and
     * whose remaining elements carry the bit levels.
@@ -5960,5 +5978,6 @@ object Queries {
     "q190_srm_check" -> q190_srm_check,
     "q191_mix_rate" -> q191_mix_rate,
     "q192_sketch_error" -> q192_sketch_error,
-    "q193_share_rollup" -> q193_share_rollup)
+    "q193_share_rollup" -> q193_share_rollup,
+    "q194_mahalanobis" -> q194_mahalanobis)
 }

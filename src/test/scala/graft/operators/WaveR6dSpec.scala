@@ -320,6 +320,28 @@ class WaveR6dSpec extends SparkSpec {
     assert(got(0).getDouble(4) === ((na - nb) * (na - nb)).toDouble / n)
   }
 
+  // ------------------------------------------------------------ mahalanobis
+
+  test("mahalanobis score: zero at the mean, quadratic along an axis, nonnegative on data") {
+    import spark.implicits._
+    import graft.queries.TrainedMahalanobis.{mu, prec}
+    val probes = Seq(
+      (1L, mu.map(_.toFloat).toArray),                                   // the mean: score 0
+      (2L, mu.zipWithIndex.map { case (m, i) =>
+        (if (i == 0) m + 0.1 else m).toFloat }.toArray))                 // mean + 0.1*e0
+    val got = Similarity.mahalanobisTopK(probes.toDF("vec_id", "embedding"),
+        mu, prec, topK = 2)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(got(1L) === 0.0)
+    // P_00 * 0.01 up to the float32 round of the probe itself
+    assert(math.abs(got(2L) - prec.head.head * 0.01) < 1e-4, got(2L).toString)
+    // positive semidefiniteness on real data
+    val real = Similarity.mahalanobisTopK(
+      spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet"),
+      mu, prec, topK = 500)
+    assert(real.collect().forall(_.getDouble(1) >= 0.0))
+  }
+
   // --------------------------------------------------------------- skyline
 
   test("paretoFrontier2d equals brute-force dominance on deterministic pseudo-random points") {
