@@ -5752,6 +5752,57 @@ object Queries {
       ORDER BY score DESC, vec_id LIMIT 50"""
     })
 
+  /** Fact-to-SCD2 temporal enrichment — the warehouse join q177 builds
+    * the dimension FOR: every purchase attributed to the user's state
+    * version (from non-purchase activity) active at purchase time, then
+    * revenue by state. The engine composes `Temporal.scd2Intervals` with
+    * the union+fill-forward `asOfJoin` (one keyed window, NO range
+    * join); the oracle attaches the dimension row independently via a
+    * correlated MAX(valid_from ≤ tus) + equality join. Purchases before
+    * any state event land in 'none'. */
+  val q195_scd2_enrich: Q = Q(
+    (s, d) => {
+      val e = eventsNs(s, d).select(col("user_id"), col("event_id"),
+        expr("ts div 1000").as("tus"), col("event_type"), col("value"))
+      val dim = Temporal.scd2Intervals(
+          e.filter(col("event_type") =!= "purchase"), tsCol = "tus")
+        .select(col("user_id"), col("valid_from").as("tus"),
+          col("version"), col("state"))
+      val facts = e.filter(col("event_type") === "purchase")
+      Temporal.asOfJoin(facts,
+          dim.withColumn("ver_state", struct(col("version"), col("state"))),
+          "user_id", "tus", "ver_state", "version",
+          leftCols = Seq("user_id", "event_id", "tus", "value"))
+        .select(coalesce(col("r_ver_state.state"), lit("none")).as("state"),
+          col("value"))
+        .groupBy("state")
+        .agg(count(lit(1)).as("n_purchases"),
+          sum(col("value").cast(DecimalType(18, 6))).cast("double").as("sum_v"))
+        .orderBy("state")
+    },
+    Some("""WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS tus,
+          event_type, value FROM events),
+      c AS (SELECT *, CASE WHEN lag(event_type) OVER w IS NULL
+              OR lag(event_type) OVER w <> event_type THEN 1 ELSE 0 END AS chg
+        FROM e WHERE event_type <> 'purchase'
+        WINDOW w AS (PARTITION BY user_id ORDER BY tus, event_id)),
+      r AS (SELECT *, SUM(chg) OVER (PARTITION BY user_id ORDER BY tus, event_id
+              ROWS UNBOUNDED PRECEDING) AS version FROM c),
+      dim AS MATERIALIZED (SELECT user_id, version, MIN(event_type) AS state,
+          MIN(tus) AS valid_from
+        FROM r GROUP BY user_id, version),
+      f AS (SELECT user_id, event_id, tus, value FROM e
+        WHERE event_type = 'purchase'),
+      sel AS (SELECT f.*, (SELECT MAX(valid_from) FROM dim d
+          WHERE d.user_id = f.user_id AND d.valid_from <= f.tus) AS vf
+        FROM f),
+      j AS (SELECT sel.value, COALESCE(d.state, 'none') AS state
+        FROM sel LEFT JOIN dim d
+          ON d.user_id = sel.user_id AND d.valid_from = sel.vf)
+      SELECT state, CAST(COUNT(*) AS BIGINT) AS n_purchases,
+        CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_v
+      FROM j GROUP BY state ORDER BY state"""))
+
   /** DuckDB twin of `Layout.hilbertValue`: the same per-level integer
     * fold as a `list_reduce` whose FIRST element seeds the state and
     * whose remaining elements carry the bit levels.
@@ -5979,5 +6030,6 @@ object Queries {
     "q191_mix_rate" -> q191_mix_rate,
     "q192_sketch_error" -> q192_sketch_error,
     "q193_share_rollup" -> q193_share_rollup,
-    "q194_mahalanobis" -> q194_mahalanobis)
+    "q194_mahalanobis" -> q194_mahalanobis,
+    "q195_scd2_enrich" -> q195_scd2_enrich)
 }
