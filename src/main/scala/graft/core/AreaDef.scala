@@ -279,13 +279,3 @@ object AreaDef {
       top.xLL, bottom.yLL, top.xUR, top.yUR)
   }
 }
-
-/** UDF wrappers for the projection kernel. Kept in one place so a later
-  * upgrade to codegen Expressions is a single-file change (SURVEY §7.3). */
-object GeomUdfs {
-  import org.apache.spark.sql.expressions.UserDefinedFunction
-  def forwardUdf(crs: Crs): UserDefinedFunction =
-    udf((lon: Double, lat: Double) => crs.forward(lon, lat))
-  def inverseUdf(crs: Crs): UserDefinedFunction =
-    udf((x: Double, y: Double) => crs.inverse(x, y))
-}

@@ -1,6 +1,6 @@
 package graft.functions
 
-import graft.core.{AreaDef, Crs, Ellipsoid, GeomUdfs}
+import graft.core.{AreaDef, Crs, Ellipsoid}
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.functions._
 

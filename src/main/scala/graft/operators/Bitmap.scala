@@ -28,10 +28,14 @@ object Bitmap {
       events: DataFrame,
       segCol: String = "event_type",
       userCol: String = "user_id"): DataFrame = {
+    // Word index is an ARITHMETIC right-shift (true floor-division) and the
+    // bit position a low-5-bit mask: both are two's-complement-correct for
+    // negative ids, where `div`/`%` truncate toward zero and would map e.g.
+    // id -5 and id 27 onto the same (word, bit) slot.
     val bm = events
       .select(col(segCol).as("seg"),
-        expr(s"$userCol div 32").as("w"),
-        expr(s"shiftleft(cast(1 as bigint), cast($userCol % 32 as int))").as("b"))
+        expr(s"shiftright(cast($userCol as bigint), 5)").as("w"),
+        expr(s"shiftleft(cast(1 as bigint), cast(cast($userCol as bigint) & 31 as int))").as("b"))
       .groupBy("seg", "w")
       .agg(expr("bit_or(b)").as("bm"))
     val sizes = bm.groupBy("seg").agg(sum(expr("bit_count(bm)")).as("n"))

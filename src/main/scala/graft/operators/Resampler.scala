@@ -305,9 +305,9 @@ object GeometryOps {
   }
 
   /** geocentric_resolution (`geometry.py:2691-2765` / `:702-763`): modal
-    * nearest-neighbour pitch of a point set, estimated from consecutive
-    * distances along a deterministic sample. Feeds the default
-    * radius_of_influence (`kd_tree.py:949-968`).
+    * nearest-neighbour pitch of a point set — the densest histogram bin of
+    * consecutive geocentric distances along a deterministic sample. Feeds
+    * the default radius_of_influence (`kd_tree.py:949-968`).
     *
     * The sample is ordered before the limit — by (y, x) when the swath is
     * gridded (the reference's mid-swath row walk), else by (lat, lon) — so
@@ -333,8 +333,22 @@ object GeometryOps {
       math.sqrt(math.pow(a._1 - b._1, 2) + math.pow(a._2 - b._2, 2) + math.pow(a._3 - b._3, 2))
     }.filter(d => d > 0 && !d.isNaN).toArray
     if (dists.isEmpty) return 10000.0
-    // densest histogram bin's upper edge, like the reference's mode estimate
-    val sorted = dists.sorted
-    sorted(sorted.length / 2)
+    // Densest 10-bin histogram bin, returned as the mean of that bin's
+    // edges — the reference's documented mode estimate ("take the histogram
+    // ... find the bin with the most points ... average of the edges of
+    // that bin", `geometry.py:2691-2709`). Unlike a median this stays ON a
+    // pitch for stacked two-pitch swaths instead of landing between them,
+    // and ignores the large row-jump outliers in a serpentine sample walk.
+    val lo = dists.min
+    val hi = dists.max
+    if (hi - lo <= 0) return lo // degenerate range: every pitch identical
+    val bins = 10
+    val w = (hi - lo) / bins
+    val counts = new Array[Int](bins)
+    dists.foreach { d =>
+      counts(math.min(((d - lo) / w).toInt, bins - 1)) += 1
+    }
+    val best = counts.indexOf(counts.max) // first max on ties, like np.argmax
+    lo + (best + 0.5) * w
   }
 }

@@ -928,6 +928,10 @@ object Selection {
       minCol: String,
       idCol: String,
       bucketWidth: Long): DataFrame = {
+    require(bucketWidth > 0,
+      s"paretoFrontier2d: bucketWidth must be positive (got $bucketWidth) — " +
+        "zero yields null buckets and a negative width reverses bucket order, " +
+        "making the witness prune drop non-dominated points")
     val pts = points
       .groupBy(col(maxCol).as("maxv"), col(minCol).as("minv"))
       .agg(count(lit(1)).as("n_rows"), min(col(idCol)).as("first_id"))

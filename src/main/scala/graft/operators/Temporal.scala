@@ -828,11 +828,20 @@ object Temporal {
       valueCol: String = "value",
       window: Int = 32): DataFrame = {
     require(window >= 1 && window <= 32, s"dyadic window $window exceeds the 2^61 integer budget")
+    // |N| ≤ max|v_micro| · 2^(window−1) (the weights sum to 2^(window−1)), so
+    // keeping |v_micro| < 2^(62−(window−1)) bounds the numerator inside BIGINT.
+    // Enforced per row INSIDE the v_micro projection (not a separate
+    // assert_true column, which column pruning could silently drop).
+    val microBudget = 1L << (62 - (window - 1))
     val w = Window.partitionBy(keyCol).orderBy(tsCol, tieCol)
       .rowsBetween(-(window - 1), Window.currentRow)
     events
-      .withColumn("v_micro",
-        (col(valueCol).cast(DecimalType(18, 6)) * 1000000).cast("long"))
+      .withColumn("v_micro", expr(
+        s"""CASE WHEN abs(cast(cast($valueCol as decimal(18,6)) * 1000000 as bigint)) < ${microBudget}L
+           |THEN cast(cast($valueCol as decimal(18,6)) * 1000000 as bigint)
+           |ELSE raise_error(concat('ewmaDyadic: |', cast($valueCol as string),
+           |  '| exceeds the dyadic 2^61 integer budget for window=$window'))
+           |END""".stripMargin))
       .withColumn("_arr", collect_list("v_micro").over(w))
       .withColumn("n_window", size(col("_arr")).cast("long"))
       // weights oldest→newest: 1, 1, 2, 4, … = 2^max(i−1, 0) at 0-based i

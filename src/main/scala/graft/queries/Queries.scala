@@ -5758,8 +5758,10 @@ object Queries {
     * revenue by state. The engine composes `Temporal.scd2Intervals` with
     * the union+fill-forward `asOfJoin` (one keyed window, NO range
     * join); the oracle attaches the dimension row independently via a
-    * correlated MAX(valid_from ≤ tus) + equality join. Purchases before
-    * any state event land in 'none'. */
+    * correlated MAX(valid_from ≤ tus) + equality join, deduped to one
+    * row per (user_id, valid_from) by max version — mirroring asOfJoin's
+    * one-survivor tie-break when two state versions share a timestamp.
+    * Purchases before any state event land in 'none'. */
   val q195_scd2_enrich: Q = Q(
     (s, d) => {
       val e = eventsNs(s, d).select(col("user_id"), col("event_id"),
@@ -5788,9 +5790,12 @@ object Queries {
         WINDOW w AS (PARTITION BY user_id ORDER BY tus, event_id)),
       r AS (SELECT *, SUM(chg) OVER (PARTITION BY user_id ORDER BY tus, event_id
               ROWS UNBOUNDED PRECEDING) AS version FROM c),
-      dim AS MATERIALIZED (SELECT user_id, version, MIN(event_type) AS state,
+      dim0 AS MATERIALIZED (SELECT user_id, version, MIN(event_type) AS state,
           MIN(tus) AS valid_from
         FROM r GROUP BY user_id, version),
+      dim AS (SELECT user_id, valid_from, state FROM dim0
+        QUALIFY row_number() OVER (PARTITION BY user_id, valid_from
+          ORDER BY version DESC) = 1),
       f AS (SELECT user_id, event_id, tus, value FROM e
         WHERE event_type = 'purchase'),
       sel AS (SELECT f.*, (SELECT MAX(valid_from) FROM dim d

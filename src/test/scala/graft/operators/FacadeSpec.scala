@@ -94,6 +94,27 @@ class FacadeSpec extends SparkSpec {
     assert(res > 20000 && res < 120000, s"res $res")
   }
 
+  test("geocentricResolution picks the modal pitch of a stacked two-pitch swath") {
+    val s = spark
+    import s.implicits._
+    // Stacked swath (geometry.py:2879): 30 rows at 0.2 deg pitch over 10 rows
+    // at 0.6 deg pitch, single column so every consecutive distance IS a
+    // pitch. The mode must land on the dominant 0.2 deg (~22 km) pitch; a
+    // median over a differently-weighted mix can land between the modes.
+    val lats = {
+      val fine = (0 until 30).map(_ * 0.2)
+      val base = fine.last
+      val coarse = (1 to 10).map(base + _ * 0.6)
+      fine ++ coarse
+    }
+    val sw = lats.zipWithIndex.map { case (la, i) => (i, 0, 10.0, la) }
+      .toDF("y", "x", "lon", "lat")
+    val res = GeometryOps.geocentricResolution(sw)
+    val finePitchM = 0.2 * 111000 // ~22 km
+    assert(res > finePitchM * 0.5 && res < finePitchM * 1.5,
+      s"mode $res not on the dominant ~$finePitchM m pitch")
+  }
+
   test("geocentricResolution is identical under any partition layout") {
     val s = spark
     import s.implicits._

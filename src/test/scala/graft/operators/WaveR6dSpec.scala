@@ -114,6 +114,25 @@ class WaveR6dSpec extends SparkSpec {
     assert(got(6L)._2 === 4.0 / 4 + 5.0 / 4 + 6.0 / 2)
   }
 
+  test("ewmaDyadic rejects values outside the dyadic integer budget at runtime") {
+    import spark.implicits._
+    // window 32 ⇒ |v_micro| must stay below 2^31; 5000 units = 5e9 micro
+    // exceeds it and must raise instead of silently overflowing the BIGINT
+    val events = Seq((1L, 10L, 5.0e3)).toDF("user_id", "ts", "value")
+      .withColumn("event_id", col("ts"))
+    val ex = intercept[Exception] {
+      Temporal.ewmaDyadic(events, window = 32).collect()
+    }
+    def msgs(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(e => Option(e.getMessage).toSeq ++ msgs(e.getCause))
+    assert(msgs(ex).exists(_.contains("dyadic")), s"unexpected error: $ex")
+    // in-budget values still work at the same window
+    val ok = Temporal.ewmaDyadic(
+      Seq((1L, 10L, 100.0)).toDF("user_id", "ts", "value")
+        .withColumn("event_id", col("ts")), window = 32).collect()
+    assert(ok.length === 1)
+  }
+
   // ------------------------------------------------------------------ SCD2
 
   test("scd2Intervals: runs collapse, intervals tile the timeline, counts add up") {
@@ -169,6 +188,20 @@ class WaveR6dSpec extends SparkSpec {
       (sets(x) & sets(y)).size.toLong)).toSet
     assert(got === want)
     assert(got.exists { case (a, b, _, _, ni) => a == "a" && b == "c" && ni == 0L })
+  }
+
+  test("segmentOverlap: negative user ids pack injectively (floor-div + masked bit)") {
+    import spark.implicits._
+    // With truncating div/% the pairs (-5, 27) and (-37, -6) collide onto one
+    // (word, bit) slot; arithmetic shiftright + &31 keeps them distinct.
+    val ev = Seq(
+      ("a", -5L), ("a", 27L), ("a", -37L),
+      ("b", -5L), ("b", -6L), ("b", 27L)
+    ).toDF("event_type", "user_id")
+    val got = Bitmap.segmentOverlap(ev)
+      .select("seg_a", "seg_b", "n_a", "n_b", "n_inter")
+      .as[(String, String, Long, Long, Long)].collect().toSet
+    assert(got === Set(("a", "b", 3L, 3L, 2L)))
   }
 
   // --------------------------------------------------------- interval merge
@@ -367,5 +400,16 @@ class WaveR6dSpec extends SparkSpec {
       .select("maxv", "minv", "n_rows").as[(Long, Long, Long)].collect()
     for ((p, dt, n) <- gotN)
       assert(n === pts.count(q => q._2 == p && q._3 == dt).toLong)
+  }
+
+  test("paretoFrontier2d rejects non-positive bucketWidth") {
+    import spark.implicits._
+    val df = Seq((1L, 5L, 3L)).toDF("id", "maxv", "minv")
+    for (bad <- Seq(0L, -16L)) {
+      val ex = intercept[IllegalArgumentException] {
+        Selection.paretoFrontier2d(df, "maxv", "minv", "id", bucketWidth = bad)
+      }
+      assert(ex.getMessage.contains("bucketWidth"))
+    }
   }
 }
