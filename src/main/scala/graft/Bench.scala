@@ -15,10 +15,26 @@ import org.apache.spark.sql.SparkSession
   * runs (each iteration pays its own materialization, like the driver's
   * one-shot run would).
   *
+  * Load robustness, two sentinels: (1) a fixed CPU-bound probe re-timed
+  * before every query (adjacent-probe pair per query, shared with its
+  * neighbours) — catches load present at query boundaries; (2) a daemon
+  * thread sampling `system CPU load - process CPU load` from the
+  * OperatingSystemMXBean every 250 ms DURING each query — external load
+  * is exactly that gap, and unlike a timing probe it cannot be confused
+  * with the query's own full-machine CPU use, so a burst fully contained
+  * inside one query's iterations is still seen. A query flagged by
+  * either sentinel is RE-MEASURED once at the end of the suite, and the
+  * retried median replaces the original when the retry ran quiet (else
+  * the min of the two medians is kept: the best honest estimate under
+  * sustained load). Without this, a load burst during the driver's
+  * one-shot run could print a phantom 15x regression for a healthy
+  * operator with no way to repair it in-artifact.
+  *
   * Output is TWO JSON lines: a "detail" line (full query names, per-query
-  * minima and medians) and, LAST, the contract "total" line with medians
-  * under short keys plus the load-probe dispersion — the driver archives
-  * a 2000-char stdout tail, and the last line is sized to survive it. */
+  * minima and medians, per-query retry evidence) and, LAST, the contract
+  * "total" line with medians under short keys plus the load-probe
+  * dispersion — the driver archives a 2000-char stdout tail, and the last
+  * line is sized to survive it. */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -55,41 +71,137 @@ object Bench {
       (System.nanoTime() - t0) / 1e9
     }
     probeSec() // compile/warm the probe itself before sampling
-    val probes = scala.collection.mutable.ArrayBuffer[Double]()
-    val results = selected.map { case (name, fn) =>
-      probes += probeSec()
-      val times = (1 to iters).map { _ =>
-        spark.catalog.clearCache()
-        val t0 = System.nanoTime()
-        try { fn(spark, sfDir).count() } catch {
-          case e: Throwable => System.err.println(s"[bench] $name failed: ${e.getMessage}"); -1L
+    // within-query external-load sampler: system minus process CPU share,
+    // 250 ms cadence. On a quiet machine the gap is ~0.02 (OS daemons);
+    // the query itself cannot raise it — its own CPU counts in BOTH terms.
+    val osBean = java.lang.management.ManagementFactory.getOperatingSystemMXBean
+      .asInstanceOf[com.sun.management.OperatingSystemMXBean]
+    def withExtLoad[T](body: => T): (T, Double) = {
+      val samples = new java.util.concurrent.ConcurrentLinkedQueue[java.lang.Double]()
+      @volatile var stopSampling = false
+      val t = new Thread(() => {
+        while (!stopSampling) {
+          val s = osBean.getCpuLoad; val p = osBean.getProcessCpuLoad
+          if (s >= 0 && p >= 0) samples.add(math.max(0.0, s - p))
+          Thread.sleep(250)
         }
-        (System.nanoTime() - t0) / 1e9
-      }.sorted
-      (name, times(times.length / 2), times.head)
+      })
+      t.setDaemon(true); t.start()
+      val r = body
+      stopSampling = true; t.join(1000)
+      val arr = java.util.Arrays.stream(samples.toArray).mapToDouble(_.asInstanceOf[java.lang.Double].doubleValue).toArray
+      (r, if (arr.isEmpty) 0.0 else arr.sum / arr.length)
+    }
+    def runTimes(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame)
+        : (Double, Double, Double) = {
+      val (times, ext) = withExtLoad {
+        (1 to iters).map { _ =>
+          spark.catalog.clearCache()
+          val t0 = System.nanoTime()
+          try { fn(spark, sfDir).count() } catch {
+            case e: Throwable => System.err.println(s"[bench] $name failed: ${e.getMessage}"); -1L
+          }
+          (System.nanoTime() - t0) / 1e9
+        }.sorted
+      }
+      (times(times.length / 2), times.head, ext)
+    }
+    final class R(val name: String, val fn: (SparkSession, String) => org.apache.spark.sql.DataFrame,
+        var med: Double, var min: Double, val pBefore: Double, val ext: Double) {
+      var pAfter: Double = Double.NaN
+      var retry: Option[(Double, Double, Double, Double)] = None // (origMed, origPx, retryPx, retryExt)
+      def px: Double = math.max(pBefore, pAfter)
+    }
+    val probes = scala.collection.mutable.ArrayBuffer[Double]()
+    val results = scala.collection.mutable.ArrayBuffer[R]()
+    selected.foreach { case (name, fn) =>
+      val pb = probeSec(); probes += pb
+      results.lastOption.foreach(_.pAfter = pb)
+      val (med, mn, ext) = runTimes(name, fn)
+      results += new R(name, fn, med, mn, pb, ext)
+    }
+    val pTail = probeSec(); probes += pTail
+    results.lastOption.foreach(_.pAfter = pTail)
+    // ---- retry pass: re-measure queries either sentinel saw load on.
+    // The probe threshold is RELATIVE to the run's own probe median (a
+    // uniformly slow machine is the machine's true speed, not a
+    // transient) with a 0.3 s absolute floor so sub-0.1 s jitter on a
+    // quiet box never triggers; the external-CPU threshold is absolute
+    // (12% of the machine stolen — ~4 cores of 32 — is load, quiet-box
+    // daemon noise measures ~2%). One pass, worst-load-first, capped so
+    // a pathological run still terminates.
+    val mainPs = probes.sorted.toSeq
+    val pMed0 = if (mainPs.isEmpty) 0.0 else mainPs(mainPs.length / 2)
+    val thresh = math.max(3 * pMed0, 0.3)
+    val extThresh = 0.12
+    def loaded(px: Double, ext: Double): Boolean = px > thresh || ext > extThresh
+    val flagged = results.filter(r => loaded(r.px, r.ext))
+      .sortBy(r => -math.max(r.px / thresh, r.ext / extThresh)).take(25)
+    if (flagged.nonEmpty)
+      System.err.println(s"[bench] load detected (probe median ${pMed0}s, threshold ${thresh}s, " +
+        s"ext threshold $extThresh): re-measuring ${flagged.size} queries: " +
+        flagged.map(r => s"${r.name}(px=${r.px},ext=${r.ext})").mkString(", "))
+    flagged.foreach { r =>
+      val rb = probeSec(); probes += rb
+      val (med2, mn2, ext2) = runTimes(r.name, r.fn)
+      val ra = probeSec(); probes += ra
+      val retryPx = math.max(rb, ra)
+      val origMed = r.med
+      // a quiet retry supersedes the loaded original; a loaded retry can
+      // only IMPROVE the estimate (min of two 3-run medians), never add
+      // a second phantom
+      r.med = if (!loaded(retryPx, ext2)) med2 else math.min(origMed, med2)
+      r.min = math.min(r.min, mn2)
+      r.retry = Some((origMed, r.px, retryPx, ext2))
     }
     def fmt(v: Double): String = "%.4f".formatLocal(java.util.Locale.ROOT, v)
     // contract line uses 2 decimals: at 143+ queries the 3-decimal form
     // (~13.5 chars/query) would overflow the driver's 2000-char stdout
     // tail; the clippable detail line keeps 4-decimal medians
     def fmt3(v: Double): String = "%.2f".formatLocal(java.util.Locale.ROOT, v)
-    def jmap(key: String => String, f: ((String, Double, Double)) => Double,
-        fm: Double => String = fmt): String =
-      results.map { case r @ (k, _, _) => "\"" + key(k) + "\":" + fm(f(r)) }.mkString("{", ",", "}")
-    val total = results.map(_._2).sum
+    def jmap(key: String => String, f: R => Double, fm: Double => String = fmt): String =
+      results.map { r => "\"" + key(r.name) + "\":" + fm(f(r)) }.mkString("{", ",", "}")
+    val total = results.map(_.med).sum
     val ps = if (probes.isEmpty) Seq(0.0) else probes.sorted.toSeq // empty selection
+    val retriedJson = results.filter(_.retry.isDefined).map { r =>
+      val (om, opx, rpx, rext) = r.retry.get
+      "\"" + r.name + "\":{\"med0\":" + fmt(om) + ",\"px0\":" + fmt(opx) +
+        ",\"ext0\":" + fmt(r.ext) + ",\"med1\":" + fmt(r.med) +
+        ",\"px1\":" + fmt(rpx) + ",\"ext1\":" + fmt(rext) + "}"
+    }.mkString("{", ",", "}")
+    val extMax = if (results.isEmpty) 0.0 else results.map(_.ext).max
     // the driver's artifact keeps only a 2000-char TAIL of stdout, so the
     // summary prints in two lines: full names + per-query minima/medians
-    // and the long-form probe stats first (clippable), then the contract
-    // line LAST with total, medians under short NUMERIC query keys ("159"
-    // — the q prefix alone is ~165 chars at this surface size), and the
-    // probe dispersion as pm/px. Contract medians print at ONE decimal
-    // (~10 chars/query): the 2-decimal form measured 2017 chars at 184
-    // queries — past the tail — and 1 decimal holds to ~195; 4-decimal
-    // per-query medians stay on the detail line for local reads
-    println(s"""{"metric":"detail","iters":$iters,"probe_med":${fmt(ps(ps.length / 2))},"probe_max":${fmt(ps.last)},"queries_min":${jmap(identity, _._3)},"queries_med_full":${jmap(identity, _._2)}}""")
+    // and the long-form probe/retry stats first (clippable), then the
+    // contract line LAST with total, medians under short NUMERIC query
+    // keys ("159" — the q prefix alone is ~165 chars at this surface
+    // size), the probe dispersion as pm/px, the within-query external
+    // CPU max as xx, and the retry count as nr. At 195 queries even
+    // 1-decimal medians overrun the tail (r6's line parsed as None), so
+    // the map SELF-TRUNCATES: queries are dropped fastest-first until
+    // the rendered line fits 1900 chars, with qtrunc = count dropped and
+    // qtmax = the largest dropped median — a sub-qtmax query cannot hide
+    // a meaningful regression, every query still contributes to value,
+    // and 4-decimal medians for all of them stay on the detail line
+    println(s"""{"metric":"detail","iters":$iters,"probe_med":${fmt(ps(ps.length / 2))},"probe_max":${fmt(ps.last)},"retried":$retriedJson,"queries_ext":${jmap(identity, _.ext)},"queries_min":${jmap(identity, _.min)},"queries_med_full":${jmap(identity, _.med)}}""")
     def fmt1(v: Double): String = "%.1f".formatLocal(java.util.Locale.ROOT, v)
-    println(s"""{"metric":"total","value":${fmt3(total)},"unit":"sec","queries":${jmap(_.split("_").head.drop(1), _._2, fmt1)},"pm":${fmt3(ps(ps.length / 2))},"px":${fmt3(ps.last)},"sf":"${new java.io.File(sfDir).getName}"}""")
+    def contractLine(nKeep: Int): String = {
+      val bySlow = results.sortBy(-_.med)
+      val kept = bySlow.take(nKeep).map(_.name).toSet
+      val dropped = bySlow.drop(nKeep)
+      val qtmax = if (dropped.isEmpty) 0.0 else dropped.map(_.med).max
+      val qs = results.filter(r => kept(r.name))
+        .map(r => "\"" + r.name.split("_").head.drop(1) + "\":" + fmt1(r.med))
+        .mkString("{", ",", "}")
+      s"""{"metric":"total","value":${fmt3(total)},"unit":"sec","queries":$qs,"qtrunc":${dropped.size},"qtmax":${fmt3(qtmax)},"pm":${fmt3(ps(ps.length / 2))},"px":${fmt3(ps.last)},"xx":${fmt3(extMax)},"nr":${flagged.size},"sf":"${new java.io.File(sfDir).getName}"}"""
+    }
+    var nKeep = results.size
+    var line = contractLine(nKeep)
+    while (line.length > 1900 && nKeep > 0) {
+      nKeep = math.min(nKeep - 5, (nKeep * 1900) / line.length)
+      line = contractLine(nKeep)
+    }
+    println(line)
     spark.stop()
   }
 }

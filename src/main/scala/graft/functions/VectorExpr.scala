@@ -1,7 +1,7 @@
 package graft.functions
 
 import org.apache.spark.sql.Column
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, TernaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.graftbridge.Bridge
@@ -104,4 +104,57 @@ object VectorExpr {
   private def dbl(c: Column): Expression = Bridge.expression(c.cast("array<double>"))
   def cosine(a: Column, b: Column): Column = Bridge.column(CosineSim(dbl(a), dbl(b)))
   def dot(a: Column, b: Column): Column = Bridge.column(ArrayDot(dbl(a), dbl(b)))
+  def sortedIntersectAtLeast(a: Column, b: Column, alpha: Column): Column =
+    Bridge.column(SortedLongIntersectAtLeast(
+      Bridge.expression(a), Bridge.expression(b), Bridge.expression(alpha.cast("long"))))
+}
+
+/** Static two-pointer kernel for [[SortedLongIntersectAtLeast]] — top-level
+  * object so generated code calls the Java static forwarder directly. */
+object ArrayKernels {
+  /** Intersection size of two NUMERICALLY sorted long arrays, with early
+    * exit: returns −1 as soon as matched + min(remaining) < alpha (the
+    * pair can no longer qualify). A completed merge returns the EXACT
+    * size, so downstream threshold math is unchanged for survivors. */
+  def sortedIntersectAtLeast(a: ArrayData, b: ArrayData, alpha: Long): Long = {
+    val n1 = a.numElements(); val n2 = b.numElements()
+    var i = 0; var j = 0; var m = 0L
+    while (i < n1 && j < n2) {
+      val r1 = n1 - i; val r2 = n2 - j
+      if (m + (if (r1 < r2) r1 else r2) < alpha) return -1L
+      val x = a.getLong(i); val y = b.getLong(j)
+      if (x == y) { m += 1; i += 1; j += 1 }
+      else if (x < y) i += 1
+      else j += 1
+    }
+    if (m >= alpha) m else -1L
+  }
+}
+
+/** Early-exit verification primitive for exact set-similarity joins
+  * (PPJoin verify step, Xiao et al. 2008 §5): `array_intersect` builds a
+  * hash set per pair and always scans both arrays in full; the sorted
+  * two-pointer merge does neither, and abandons a pair the moment the
+  * remaining elements cannot reach the required overlap — on banded/
+  * prefix candidate sets where almost every pair FAILS verification,
+  * that is the dominant cost. Inputs must be numerically sorted
+  * array<long>; null array or null element → null. */
+case class SortedLongIntersectAtLeast(left: Expression, right: Expression, alphaExpr: Expression)
+    extends TernaryExpression {
+  override def prettyName: String = "sorted_intersect_at_least"
+  override def first: Expression = left
+  override def second: Expression = right
+  override def third: Expression = alphaExpr
+  override def dataType: DataType = org.apache.spark.sql.types.LongType
+  override def nullable: Boolean = true
+  override protected def nullSafeEval(a: Any, b: Any, al: Any): Any =
+    ArrayKernels.sortedIntersectAtLeast(
+      a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData], al.asInstanceOf[Long])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b, al) => {
+      s"${ev.value} = graft.functions.ArrayKernels.sortedIntersectAtLeast($a, $b, $al);"
+    })
+  override protected def withNewChildrenInternal(
+      f: Expression, s: Expression, t: Expression): Expression =
+    copy(left = f, right = s, alphaExpr = t)
 }

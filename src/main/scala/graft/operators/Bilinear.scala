@@ -2,8 +2,15 @@ package graft.operators
 
 import graft.core.AreaDef
 import graft.functions.GeoFunctions._
-import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{Expression, TernaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graftbridge.Bridge
+import org.apache.spark.sql.types._
 
 /** Bilinear resampling of irregular swaths — the Spark form of
   * `pyresample/bilinear/_base.py` (J5).
@@ -96,24 +103,6 @@ object BilinearResample {
     if (t.isNaN || s.isNaN) (Double.NaN, Double.NaN) else (t, s)
   }
 
-  /** Corner pick (`:523-536`): from the nearest-first candidate list, the
-    * first candidate in each quadrant of (out - in) sign space:
-    * UL (dx>0, dy<0), UR (dx<0, dy<0), LL (dx>0, dy>0), LR (dx<0, dy>0).
-    * Returns (idx1..idx4) into the candidate arrays or null. */
-  private def pickCorners(xs: Seq[Double], ys: Seq[Double], outX: Double, outY: Double): Option[(Int, Int, Int, Int)] = {
-    var ul, ur, ll, lr = -1
-    var i = 0
-    while (i < xs.length && (ul < 0 || ur < 0 || ll < 0 || lr < 0)) {
-      val dx = outX - xs(i); val dy = outY - ys(i)
-      if (dx > 0 && dy < 0 && ul < 0) ul = i
-      else if (dx < 0 && dy < 0 && ur < 0) ur = i
-      else if (dx > 0 && dy > 0 && ll < 0) ll = i
-      else if (dx < 0 && dy > 0 && lr < 0) lr = i
-      i += 1
-    }
-    if (ul < 0 || ur < 0 || ll < 0 || lr < 0) None else Some((ul, ur, ll, lr))
-  }
-
   /** Precompute LUT: (dst_id, s1..s4 source ids, t, s). Persist with
     * `.write.parquet` keyed by geometry hash to reuse across datasets
     * (`resampler.py:80-141`). */
@@ -135,26 +124,16 @@ object BilinearResample {
       carry = Seq("in_x", "in_y"))
       .join(target.select(col("dst_id"), col("out_x"), col("out_y")), "dst_id")
 
-    val solve = udf { (cand: Seq[Row], outX: Double, outY: Double) =>
-      val ids = cand.map(_.getAs[Long]("src_id"))
-      val xs = cand.map(_.getAs[Double]("in_x"))
-      val ys = cand.map(_.getAs[Double]("in_y"))
-      pickCorners(xs, ys, outX, outY).flatMap { case (i1, i2, i3, i4) =>
-        val (t, s) = fracDistances(
-          xs(i1), ys(i1), xs(i2), ys(i2), xs(i3), ys(i3), xs(i4), ys(i4), outX, outY)
-        if (t.isNaN) None
-        else Some((ids(i1), ids(i2), ids(i3), ids(i4), t, s))
-      }
-    }
-
     gathered
-      .withColumn("_r", solve(col("cand"), col("out_x"), col("out_y")))
+      .withColumn("_r", Bridge.column(BilinearSolveLut(
+        Bridge.expression(col("cand")),
+        Bridge.expression(col("out_x")), Bridge.expression(col("out_y")))))
       .filter(col("_r").isNotNull)
       .select(
         col("dst_id"),
-        col("_r._1").as("s1"), col("_r._2").as("s2"),
-        col("_r._3").as("s3"), col("_r._4").as("s4"),
-        col("_r._5").as("t"), col("_r._6").as("s"))
+        col("_r.s1").as("s1"), col("_r.s2").as("s2"),
+        col("_r.s3").as("s3"), col("_r.s4").as("s4"),
+        col("_r.t").as("t"), col("_r.s").as("s"))
   }
 
   /** Compute phase: gather the 4 corner values by equi-join against the LUT
@@ -218,23 +197,157 @@ object BilinearResample {
       .withColumn("out_y",
         lit(area.yUR) - (floor(col("dst_id") / area.width) + lit(0.5)) * lit(area.pixelSizeY))
 
-    val solveAndBlend = udf { (cand: Seq[Row], outX: Double, outY: Double) =>
-      val xs = cand.map(_.getAs[Double]("in_x"))
-      val ys = cand.map(_.getAs[Double]("in_y"))
-      val vs = cand.map(_.getAs[Double]("_v"))
-      pickCorners(xs, ys, outX, outY).flatMap { case (i1, i2, i3, i4) =>
-        val (t, s) = fracDistances(
-          xs(i1), ys(i1), xs(i2), ys(i2), xs(i3), ys(i3), xs(i4), ys(i4), outX, outY)
-        if (t.isNaN) None
-        else Some(
-          vs(i1) * (1 - s) * (1 - t) + vs(i2) * s * (1 - t) +
-            vs(i3) * (1 - s) * t + vs(i4) * s * t)
-      }
-    }
-
     gathered
-      .withColumn(valueCol, solveAndBlend(col("cand"), col("out_x"), col("out_y")))
+      .withColumn(valueCol, Bridge.column(BilinearSolveBlend(
+        Bridge.expression(col("cand")),
+        Bridge.expression(col("out_x")), Bridge.expression(col("out_y")))))
       .filter(col(valueCol).isNotNull)
       .select("dst_id", valueCol)
   }
+}
+
+/** Static corner-pick + (t,s)-solve kernel over the candidate ArrayData,
+  * shared by the two native Expressions below. Top-level object ⇒ the
+  * Scala compiler emits STATIC Java forwarders, so generated code calls
+  * `graft.operators.BilinearKernel.solveBlend(...)` directly — the whole
+  * J5 hot path stays inside one WholeStageCodegen span (the previous
+  * ScalaUDFs deserialized every ≤32-struct array into Seq[Row] per target
+  * pixel and fenced codegen on both sides). Bounded work: the candidate
+  * list is the k-NN heap's ≤k array. */
+object BilinearKernel {
+  /** Returns the interpolated value, or null when no quadrant-complete
+    * corner set / no (t,s) solution exists. */
+  def solveBlend(cand: ArrayData, nFields: Int, ixOrd: Int, iyOrd: Int,
+      vOrd: Int, outX: Double, outY: Double): java.lang.Double = {
+    val n = cand.numElements()
+    val xs = new Array[Double](n); val ys = new Array[Double](n)
+    var i = 0
+    while (i < n) {
+      val row = cand.getStruct(i, nFields)
+      xs(i) = row.getDouble(ixOrd); ys(i) = row.getDouble(iyOrd)
+      i += 1
+    }
+    val corners = pick(xs, ys, outX, outY)
+    if (corners == null) return null
+    val Array(i1, i2, i3, i4) = corners
+    val (t, s) = BilinearResample.fracDistances(
+      xs(i1), ys(i1), xs(i2), ys(i2), xs(i3), ys(i3), xs(i4), ys(i4), outX, outY)
+    if (t.isNaN) return null
+    def v(j: Int): Double = cand.getStruct(j, nFields).getDouble(vOrd)
+    java.lang.Double.valueOf(
+      v(i1) * (1 - s) * (1 - t) + v(i2) * s * (1 - t) +
+        v(i3) * (1 - s) * t + v(i4) * s * t)
+  }
+
+  /** Returns (s1, s2, s3, s4, t, s) as an InternalRow, or null. */
+  def solveLut(cand: ArrayData, nFields: Int, idOrd: Int, ixOrd: Int,
+      iyOrd: Int, outX: Double, outY: Double): InternalRow = {
+    val n = cand.numElements()
+    val xs = new Array[Double](n); val ys = new Array[Double](n)
+    var i = 0
+    while (i < n) {
+      val row = cand.getStruct(i, nFields)
+      xs(i) = row.getDouble(ixOrd); ys(i) = row.getDouble(iyOrd)
+      i += 1
+    }
+    val corners = pick(xs, ys, outX, outY)
+    if (corners == null) return null
+    val Array(i1, i2, i3, i4) = corners
+    val (t, s) = BilinearResample.fracDistances(
+      xs(i1), ys(i1), xs(i2), ys(i2), xs(i3), ys(i3), xs(i4), ys(i4), outX, outY)
+    if (t.isNaN) return null
+    def id(j: Int): Long = cand.getStruct(j, nFields).getLong(idOrd)
+    new GenericInternalRow(Array[Any](id(i1), id(i2), id(i3), id(i4), t, s))
+  }
+
+  /** Corner pick (`bilinear/_base.py:523-536`): first nearest-first
+    * candidate in each (out − in) sign quadrant; null if any quadrant is
+    * empty. Array form of [[BilinearResample.pickCorners]]. */
+  private def pick(xs: Array[Double], ys: Array[Double],
+      outX: Double, outY: Double): Array[Int] = {
+    var ul, ur, ll, lr = -1
+    var i = 0
+    while (i < xs.length && (ul < 0 || ur < 0 || ll < 0 || lr < 0)) {
+      val dx = outX - xs(i); val dy = outY - ys(i)
+      if (dx > 0 && dy < 0 && ul < 0) ul = i
+      else if (dx < 0 && dy < 0 && ur < 0) ur = i
+      else if (dx > 0 && dy > 0 && ll < 0) ll = i
+      else if (dx < 0 && dy > 0 && lr < 0) lr = i
+      i += 1
+    }
+    if (ul < 0 || ur < 0 || ll < 0 || lr < 0) null else Array(ul, ur, ll, lr)
+  }
+}
+
+/** Shared shape of the two bilinear-solve Expressions: (candidate array,
+  * out_x, out_y) with struct-field ordinals resolved once from the bound
+  * child's ArrayType(StructType) — codegen is a single static kernel call,
+  * so the expression never leaves the WholeStageCodegen span. */
+abstract class BilinearSolveExpr extends TernaryExpression {
+  def candExpr: Expression
+  override def first: Expression = candExpr
+  override def nullable: Boolean = true
+  protected lazy val candStruct: StructType =
+    candExpr.dataType.asInstanceOf[ArrayType].elementType.asInstanceOf[StructType]
+  protected lazy val nFields: Int = candStruct.size
+  protected def ord(name: String): Int = candStruct.fieldIndex(name)
+  /** Java source for the static kernel call, given child value variables. */
+  protected def kernelCall(c: String, x: String, y: String): String
+  /** Java type of the kernel's return value. */
+  protected def kernelJavaType: String
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (c, x, y) => {
+      val tmp = ctx.freshName("solved")
+      s"""
+         |$kernelJavaType $tmp = ${kernelCall(c, x, y)};
+         |if ($tmp == null) { ${ev.isNull} = true; } else { ${ev.value} = $tmp; }
+       """.stripMargin
+    })
+}
+
+/** value = bilinear blend at (out_x, out_y), null when unresolvable. */
+case class BilinearSolveBlend(candExpr: Expression, outX: Expression, outY: Expression)
+    extends BilinearSolveExpr {
+  override def prettyName: String = "bilinear_solve_blend"
+  override def second: Expression = outX
+  override def third: Expression = outY
+  override def dataType: DataType = DoubleType
+  override protected def nullSafeEval(c: Any, x: Any, y: Any): Any =
+    BilinearKernel.solveBlend(c.asInstanceOf[ArrayData], nFields,
+      ord("in_x"), ord("in_y"), ord("_v"),
+      x.asInstanceOf[Double], y.asInstanceOf[Double])
+  override protected def kernelJavaType: String = "java.lang.Double"
+  override protected def kernelCall(c: String, x: String, y: String): String =
+    s"graft.operators.BilinearKernel.solveBlend($c, $nFields, ${ord("in_x")}, " +
+      s"${ord("in_y")}, ${ord("_v")}, $x, $y)"
+  override protected def withNewChildrenInternal(
+      f: Expression, s: Expression, t: Expression): Expression =
+    copy(candExpr = f, outX = s, outY = t)
+}
+
+/** LUT row (s1..s4 corner source ids, t, s), null when unresolvable. */
+case class BilinearSolveLut(candExpr: Expression, outX: Expression, outY: Expression)
+    extends BilinearSolveExpr {
+  override def prettyName: String = "bilinear_solve_lut"
+  override def second: Expression = outX
+  override def third: Expression = outY
+  override def dataType: DataType = StructType(Seq(
+    StructField("s1", LongType, nullable = false),
+    StructField("s2", LongType, nullable = false),
+    StructField("s3", LongType, nullable = false),
+    StructField("s4", LongType, nullable = false),
+    StructField("t", DoubleType, nullable = false),
+    StructField("s", DoubleType, nullable = false)))
+  override protected def nullSafeEval(c: Any, x: Any, y: Any): Any =
+    BilinearKernel.solveLut(c.asInstanceOf[ArrayData], nFields,
+      ord("src_id"), ord("in_x"), ord("in_y"),
+      x.asInstanceOf[Double], y.asInstanceOf[Double])
+  override protected def kernelJavaType: String = "InternalRow"
+  override protected def kernelCall(c: String, x: String, y: String): String =
+    s"graft.operators.BilinearKernel.solveLut($c, $nFields, ${ord("src_id")}, " +
+      s"${ord("in_x")}, ${ord("in_y")}, $x, $y)"
+  override protected def withNewChildrenInternal(
+      f: Expression, s: Expression, t: Expression): Expression =
+    copy(candExpr = f, outX = s, outY = t)
 }

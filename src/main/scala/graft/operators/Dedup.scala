@@ -226,7 +226,9 @@ object Dedup {
     * prefix-gram equi-join with BOTH the size filter
     * tNum·max(sz) ≤ tDen·min(sz) AND the PPJoin positional filter
     * min(sz1−i1, sz2−i2)+1 ≥ ⌈tNum(sz1+sz2)/(tNum+tDen)⌉ inside the
-    * join condition, then a per-pair `array_intersect` of the two
+    * join condition, a pair-grouped PPJoin+ cumulative positional
+    * filter (c shared prefix tokens + min suffix length ≥ α, fused into
+    * the dedup aggregate), then a per-pair `array_intersect` of the two
     * sorted hash arrays — codegen, no relational join-back, no second
     * pass over the corpus. Shuffle keys: gram, doc, prefix-gram —
     * never a cross join. The prefix table is explicitly rebalanced:
@@ -256,7 +258,13 @@ object Dedup {
     // at ONE scan and one exchange
     val wdf = w.withColumn("dfq", count(lit(1)).over(Window.partitionBy("h")))
     // per-doc hash array sorted rarest-first by the (df, hash) tuple —
-    // a total order both engines agree on, with no global row_number
+    // a total order both engines agree on, with no global row_number.
+    // PERSISTED: three consumers read it (the prefix self-join's two
+    // sides and the verify's two array-attach joins) and Catalyst only
+    // reuses identical exchanges, so without the cache the whole
+    // scan → explode → window → collect subtree replays up to 8x (plan-
+    // counted). One row per doc — corpus-metadata-sized, the same class
+    // of intermediate the CC operator localCheckpoints.
     val ranked = wdf
       .groupBy(col(idCol))
       .agg(expr("transform(array_sort(collect_list(struct(dfq, h))), s -> s.h)").as("hs"),
@@ -279,15 +287,35 @@ object Dedup {
       .filter(col("d1") < col("d2") &&
         least(col("_sz1"), col("_sz2")) * tDen >= greatest(col("_sz1"), col("_sz2")) * tNum &&
         least(col("_sz1") - col("_p1"), col("_sz2") - col("_p2")) + 1 >= alpha)
+      // pair dedup doubles as the PPJoin+ CUMULATIVE positional filter
+      // (Xiao et al. 2008 §4): with both arrays sorted under one global
+      // order, shared-token positions are co-monotone, so every shared
+      // token NOT among the c counted prefix matches lies strictly after
+      // (P1, P2) in BOTH arrays — overlap ≤ c + min(sz1−P1, sz2−P2).
+      // Same (d1,d2) shuffle a distinct() would pay, strictly fewer
+      // pairs reach the array-attach joins and the per-pair verify.
+      .groupBy("d1", "d2")
+      .agg(count(lit(1)).as("_c"), max("_p1").as("_P1"), max("_p2").as("_P2"),
+        max("_sz1").as("_sz1"), max("_sz2").as("_sz2"))
+      .filter(col("_c") + least(col("_sz1") - col("_P1"), col("_sz2") - col("_P2")) >= alpha)
       .select("d1", "d2")
-      .distinct()
-    // verify: one array_intersect per pair over the sorted hash arrays —
-    // integer cross-multiplied threshold tDen·i ≥ tNum·(n1+n2−i)
-    val arrs = ranked.select(col(idCol), col("hs"), col("sz"))
+    // verify: one EARLY-EXIT sorted-merge intersect per pair (native
+    // codegen kernel) over NUMERICALLY sorted hash arrays — the rank
+    // order used for prefixes doesn't matter for set intersection, and
+    // the two-pointer merge abandons a pair the moment the remaining
+    // elements can't reach α, where array_intersect would build a hash
+    // set and scan both arrays in full (almost every candidate FAILS,
+    // so the bail-out is the common path). A completed merge is the
+    // exact size; the integer cross-multiplied threshold
+    // tDen·i ≥ tNum·(n1+n2−i) is unchanged (−1 sentinel always fails it).
+    val arrs = ranked.select(col(idCol), array_sort(col("hs")).as("hsn"), col("sz"))
+    val alphaPair = // ⌈tNum(n1+n2)/(tNum+tDen)⌉: overlap needed to pass
+      expr(s"($tNum * (n1 + n2) + ${tNum + tDen - 1}) div ${tNum + tDen}")
     cand
-      .join(arrs.select(col(idCol).as("d1"), col("hs").as("_h1"), col("sz").as("n1")), "d1")
-      .join(arrs.select(col(idCol).as("d2"), col("hs").as("_h2"), col("sz").as("n2")), "d2")
-      .withColumn("inter", size(array_intersect(col("_h1"), col("_h2"))).cast("long"))
+      .join(arrs.select(col(idCol).as("d1"), col("hsn").as("_h1"), col("sz").as("n1")), "d1")
+      .join(arrs.select(col(idCol).as("d2"), col("hsn").as("_h2"), col("sz").as("n2")), "d2")
+      .withColumn("inter", graft.functions.VectorExpr.sortedIntersectAtLeast(
+        col("_h1"), col("_h2"), alphaPair))
       .filter(col("inter") * tDen >= (col("n1") + col("n2") - col("inter")) * tNum)
       .withColumn("jaccard",
         col("inter").cast("double") / (col("n1") + col("n2") - col("inter")).cast("double"))
