@@ -40,7 +40,11 @@ object ScaleBench {
       "q167_bfs_hops", "q168_ddsketch",
       "q175_setsim_join", "q176_ewma", "q180_phrase_search",
       "q181_bitmap_overlap", "q182_interval_merge", "q183_star_revenue",
-      "q184_hll_cube", "q185_abandonment")
+      "q184_hll_cube", "q185_abandonment",
+      "q186_dominant_supplier", "q187_ivm", "q188_fifo_match",
+      "q189_weighted_hops", "q190_srm_check", "q191_mix_rate",
+      "q192_sketch_error", "q193_share_rollup", "q194_mahalanobis",
+      "q195_scd2_enrich")
 
   def main(args: Array[String]): Unit = {
     val base = args.headOption.getOrElse("/root/testdata/sf0.1")
