@@ -935,7 +935,7 @@ object Queries {
         .orderBy("doc_id")
     },
     Some(s"""WITH RECURSIVE $blockedJaccardPairsSql,
-      pairs AS (SELECT d1, d2 FROM v
+      pairs AS MATERIALIZED (SELECT d1, d2 FROM v
                 WHERE CAST(i AS DOUBLE) / CAST(sz1 + sz2 - i AS DOUBLE) >= 0.3),
       verts(id) AS (SELECT d1 FROM pairs UNION SELECT d2 FROM pairs),
       edges AS (SELECT d1 AS src, d2 AS dst FROM pairs
@@ -2219,13 +2219,16 @@ object Queries {
         .mkString(" + ")
       s"""WITH bg AS (SELECT doc_id, list_distinct(${duckGrams(2)}) AS bgs
         FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents)),
-      sig AS (SELECT doc_id, $sigs FROM bg),
+      -- MATERIALIZED at the narrow cuts (sig: doc_id + 8 ints; cand: the
+      -- candidate pairs) so the heavy bg list build is not inlined under
+      -- bands x2 + m x2; passes a 70MB memory_limit stress
+      sig AS MATERIALIZED (SELECT doc_id, $sigs FROM bg),
       bands AS (
         SELECT doc_id, 0 AS band_idx, CAST(h1 AS VARCHAR) || '_' || CAST(h2 AS VARCHAR) AS band FROM sig
         UNION ALL SELECT doc_id, 1 AS band_idx, CAST(h3 AS VARCHAR) || '_' || CAST(h4 AS VARCHAR) AS band FROM sig
         UNION ALL SELECT doc_id, 2 AS band_idx, CAST(h5 AS VARCHAR) || '_' || CAST(h6 AS VARCHAR) AS band FROM sig
         UNION ALL SELECT doc_id, 3 AS band_idx, CAST(h7 AS VARCHAR) || '_' || CAST(h8 AS VARCHAR) AS band FROM sig),
-      cand AS (SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+      cand AS MATERIALIZED (SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
                FROM bands a JOIN bands b
                  ON a.band_idx = b.band_idx AND a.band = b.band AND a.doc_id < b.doc_id),
       m AS (SELECT c.d1, c.d2, CAST($matches AS BIGINT) AS matches
@@ -2255,7 +2258,7 @@ object Queries {
         .orderBy("doc_id")
     },
     Some(s"""WITH RECURSIVE $blockedJaccardPairsSql,
-      pairs AS (SELECT d1, d2 FROM v
+      pairs AS MATERIALIZED (SELECT d1, d2 FROM v
                 WHERE CAST(i AS DOUBLE) / CAST(sz1 + sz2 - i AS DOUBLE) >= 0.3),
       verts(id) AS (SELECT d1 FROM pairs UNION SELECT d2 FROM pairs),
       edges AS (SELECT d1 AS src, d2 AS dst FROM pairs
@@ -2879,7 +2882,7 @@ object Queries {
         .orderBy("sz")
     },
     Some(s"""WITH RECURSIVE $blockedJaccardPairsSql,
-      pairs AS (SELECT d1, d2 FROM v
+      pairs AS MATERIALIZED (SELECT d1, d2 FROM v
                 WHERE CAST(i AS DOUBLE) / CAST(sz1 + sz2 - i AS DOUBLE) >= 0.3),
       verts(id) AS (SELECT d1 FROM pairs UNION SELECT d2 FROM pairs),
       edges AS (SELECT d1 AS src, d2 AS dst FROM pairs
@@ -3311,12 +3314,14 @@ object Queries {
              GROUP BY e.dst)"""
       }.mkString(",\n      ")
       s"""WITH $minhashPairCtes,
-      p AS (SELECT d1, d2 FROM v
+      -- MATERIALIZED at the narrowest cut: p is the ~50-row filtered pair
+      -- list, so the minhash pipeline runs exactly once and every graph
+      -- round inlines from a tiny table. Materializing the wider e here
+      -- instead needed 130MB (the minhash build and the pinned CTE
+      -- coexist); this form passes an 80MB memory_limit stress.
+      p AS MATERIALIZED (SELECT d1, d2 FROM v
             WHERE CAST(i AS DOUBLE) / CAST(sz1 + sz2 - i AS DOUBLE) >= 0.4),
-      -- MATERIALIZED: DuckDB inlines CTEs per reference; the rounds
-      -- reference e/deg ~7x and would re-run the whole minhash pipeline
-      -- each time (the 200MB stress caught it)
-      e AS MATERIALIZED (SELECT d1 AS src, d2 AS dst FROM p UNION SELECT d2, d1 FROM p),
+      e AS (SELECT d1 AS src, d2 AS dst FROM p UNION SELECT d2, d1 FROM p),
       deg AS (SELECT src AS id, CAST(COUNT(*) AS BIGINT) AS degree FROM e GROUP BY src),
       r0 AS (SELECT id, CAST(1000000 AS BIGINT) AS r FROM deg),
       $rounds
@@ -3350,11 +3355,11 @@ object Queries {
     (s, d) => Graph.triangleStats(Dedup.minhashLsh(docsRebalanced(s, d)))
       .orderBy("id"),
     Some(s"""WITH $minhashPairCtes,
-      p AS (SELECT d1, d2 FROM v
+      p AS MATERIALIZED (SELECT d1, d2 FROM v
             WHERE CAST(i AS DOUBLE) / CAST(sz1 + sz2 - i AS DOUBLE) >= 0.4),
-      e0 AS MATERIALIZED (SELECT DISTINCT least(d1, d2) AS a, greatest(d1, d2) AS b
+      e0 AS (SELECT DISTINCT least(d1, d2) AS a, greatest(d1, d2) AS b
             FROM p WHERE d1 <> d2),
-      deg AS MATERIALIZED (SELECT id, CAST(COUNT(*) AS BIGINT) AS degree
+      deg AS (SELECT id, CAST(COUNT(*) AS BIGINT) AS degree
             FROM (SELECT a AS id FROM e0 UNION ALL SELECT b FROM e0) GROUP BY id),
       o AS MATERIALIZED (SELECT
               CASE WHEN da.degree < db.degree OR (da.degree = db.degree AND a < b)
@@ -3439,10 +3444,10 @@ object Queries {
   val q140_assortativity: Q = Q(
     (s, d) => Graph.assortativity(Dedup.minhashLsh(docsRebalanced(s, d))),
     Some(s"""WITH $minhashPairCtes,
-      p AS (SELECT d1, d2 FROM v
+      p AS MATERIALIZED (SELECT d1, d2 FROM v
             WHERE CAST(i AS DOUBLE) / CAST(sz1 + sz2 - i AS DOUBLE) >= 0.4),
-      e AS MATERIALIZED (SELECT d1 AS src, d2 AS dst FROM p UNION SELECT d2, d1 FROM p),
-      deg AS MATERIALIZED (SELECT src AS id, CAST(COUNT(*) AS BIGINT) AS degree FROM e GROUP BY src),
+      e AS (SELECT d1 AS src, d2 AS dst FROM p UNION SELECT d2, d1 FROM p),
+      deg AS (SELECT src AS id, CAST(COUNT(*) AS BIGINT) AS degree FROM e GROUP BY src),
       ed AS (SELECT da.degree AS ds, db.degree AS dd
              FROM e JOIN deg da ON da.id = e.src JOIN deg db ON db.id = e.dst),
       m AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
@@ -3500,9 +3505,9 @@ object Queries {
              JOIN d${i - 1} b ON b.id = e.dst AND b.degree >= 2)"""
       }.mkString(",\n      ")
       s"""WITH $minhashPairCtes,
-      p AS (SELECT d1, d2 FROM v
+      p AS MATERIALIZED (SELECT d1, d2 FROM v
             WHERE CAST(i AS DOUBLE) / CAST(sz1 + sz2 - i AS DOUBLE) >= 0.4),
-      e0 AS MATERIALIZED (SELECT d1 AS src, d2 AS dst FROM p UNION SELECT d2, d1 FROM p),
+      e0 AS (SELECT d1 AS src, d2 AS dst FROM p UNION SELECT d2, d1 FROM p),
       $rounds
       SELECT src AS id, CAST(COUNT(*) AS BIGINT) AS core_degree
       FROM e6 GROUP BY src ORDER BY id"""
@@ -4743,7 +4748,7 @@ object Queries {
         .select(col("doc_id").as("id")))
     },
     Some(s"""WITH RECURSIVE $blockedJaccardPairsSql,
-      pairs AS (SELECT d1, d2 FROM v
+      pairs AS MATERIALIZED (SELECT d1, d2 FROM v
                 WHERE CAST(i AS DOUBLE) / CAST(sz1 + sz2 - i AS DOUBLE) >= 0.3),
       edges AS MATERIALIZED (SELECT d1 AS src, d2 AS dst FROM pairs
                 UNION SELECT d2 AS src, d1 AS dst FROM pairs),
