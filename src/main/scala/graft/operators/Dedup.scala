@@ -259,18 +259,21 @@ object Dedup {
     val wdf = w.withColumn("dfq", count(lit(1)).over(Window.partitionBy("h")))
     // per-doc hash array sorted rarest-first by the (df, hash) tuple —
     // a total order both engines agree on, with no global row_number.
-    // PERSISTED: three consumers read it (the prefix self-join's two
-    // sides and the verify's two array-attach joins) and Catalyst only
-    // reuses identical exchanges, so without the cache the whole
-    // scan → explode → window → collect subtree replays up to 8x (plan-
-    // counted). One row per doc — corpus-metadata-sized, the same class
-    // of intermediate the CC operator localCheckpoints.
+    // localCheckpoint (eager): four consumers read it (the prefix
+    // self-join's two sides and the verify's two array-attach joins) and
+    // Catalyst only reuses identical exchanges, so without materializing
+    // the whole scan → explode → window → collect subtree replays up to
+    // 4x. One row per doc (its sorted hash array) — the same class of
+    // intermediate, and the same discipline, as the CC operator's
+    // checkpointed label frames; blocks are freed by the ContextCleaner
+    // when the returned plan is GC'd.
     val ranked = wdf
       .groupBy(col(idCol))
       .agg(expr("transform(array_sort(collect_list(struct(dfq, h))), s -> s.h)").as("hs"),
         count(lit(1)).as("sz"))
       .withColumn("p",
         (col("sz") - expr(s"(($tNum * sz + ${tDen - 1}) div $tDen)") + 1).cast("int"))
+      .localCheckpoint()
     val prefix = ranked
       .select(col(idCol), col("sz"),
         posexplode(expr("slice(hs, 1, p)")).as(Seq("pos0", "h")))
