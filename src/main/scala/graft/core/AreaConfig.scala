@@ -274,24 +274,26 @@ object AreaConfig {
     if (regions.isEmpty) all else all.filter(a => regions.contains(a.id))
   }
 
-  /** CF-conventions grid_mapping -> area (the attribute-inference semantics
-    * of `pyresample/utils/cf.py:413` / `geometry.py:1936` without the
-    * NetCDF IO, which is unavailable offline): `attrs` are the grid-mapping
-    * variable's attributes; x/y are the projection coordinate first/last
-    * values (metres or degrees per CF) and counts. */
-  def fromCfGridMapping(
-      name: String,
-      attrs: Map[String, Double],
+  /** CF grid_mapping attributes -> proj parameter map (the CRS side of
+    * `pyresample/utils/cf.py:89` — upstream delegates to pyproj's
+    * `CRS.from_cf`; this maps the same CF attribute names onto this
+    * engine's own projection surface). `num`/`str` look up numeric and
+    * string attributes. Mappings whose projection the engine lacks
+    * (e.g. transverse_mercator, sinusoidal) throw — the CRS layer has
+    * no silent fallbacks. */
+  def cfProjParams(
       gridMappingName: String,
-      width: Int, height: Int,
-      xFirst: Double, xLast: Double,
-      yFirst: Double, yLast: Double): AreaDef = {
-    def a(k: String, default: Double = 0.0): Double = attrs.getOrElse(k, default)
+      num: String => Option[Double],
+      str: String => Option[String]): Map[String, String] = {
+    def a(k: String, default: Double = 0.0): Double = num(k).getOrElse(default)
     val ellParams: Map[String, String] =
-      (attrs.get("semi_major_axis"), attrs.get("semi_minor_axis"), attrs.get("earth_radius")) match {
-        case (_, _, Some(r)) => Map("a" -> r.toString)
-        case (Some(aa), Some(b), _) => Map("a" -> aa.toString, "b" -> b.toString)
-        case (Some(aa), None, _) => Map("a" -> aa.toString)
+      (num("semi_major_axis"), num("semi_minor_axis"), num("earth_radius"),
+        num("inverse_flattening")) match {
+        case (_, _, Some(r), _) => Map("a" -> r.toString)
+        case (Some(aa), Some(b), _, _) => Map("a" -> aa.toString, "b" -> b.toString)
+        case (Some(aa), None, _, Some(rf)) =>
+          Map("a" -> aa.toString, "b" -> (aa * (1.0 - 1.0 / rf)).toString)
+        case (Some(aa), None, _, None) => Map("a" -> aa.toString)
         case _ => Map.empty
       }
     val projParams: Map[String, String] = gridMappingName match {
@@ -305,19 +307,55 @@ object AreaConfig {
           "lat_0" -> a("latitude_of_projection_origin", 90).toString,
           "lat_ts" -> a("standard_parallel", a("latitude_of_projection_origin", 90)).toString,
           "lon_0" -> a("straight_vertical_longitude_from_pole").toString)
+      case "stereographic" =>
+        Map("proj" -> "stere",
+          "lat_0" -> a("latitude_of_projection_origin").toString,
+          "lon_0" -> a("longitude_of_projection_origin").toString,
+          "k_0" -> a("scale_factor_at_projection_origin", 1.0).toString)
       case "mercator" =>
         Map("proj" -> "merc",
           "lon_0" -> a("longitude_of_projection_origin").toString,
           "lat_ts" -> a("standard_parallel").toString)
+      case "azimuthal_equidistant" =>
+        Map("proj" -> "aeqd",
+          "lat_0" -> a("latitude_of_projection_origin").toString,
+          "lon_0" -> a("longitude_of_projection_origin").toString)
+      case "lambert_conformal_conic" =>
+        val sp1 = a("standard_parallel", a("latitude_of_projection_origin"))
+        Map("proj" -> "lcc",
+          "lat_0" -> a("latitude_of_projection_origin").toString,
+          "lon_0" -> a("longitude_of_central_meridian",
+            a("longitude_of_projection_origin")).toString,
+          "lat_1" -> sp1.toString,
+          "lat_2" -> num("standard_parallel_2").getOrElse(sp1).toString)
       case "geostationary" =>
         Map("proj" -> "geos",
           "lon_0" -> a("longitude_of_projection_origin").toString,
           "h" -> a("perspective_point_height", 35785831.0).toString) ++
-          (if (a("sweep_angle_axis_is_x") == 1.0) Map("sweep" -> "x") else Map.empty)
+          (if (str("sweep_angle_axis").contains("x")) Map("sweep" -> "x") else Map.empty)
       case other =>
         throw new IllegalArgumentException(s"unsupported grid_mapping_name: $other")
     }
-    val crs = Crs.fromParams(projParams ++ ellParams)
+    projParams ++ ellParams
+  }
+
+  /** CF-conventions grid_mapping -> area (the attribute-inference semantics
+    * of `pyresample/utils/cf.py:413` / `geometry.py:1936` without the
+    * NetCDF IO, which is unavailable offline): `attrs` are the grid-mapping
+    * variable's attributes; x/y are the projection coordinate first/last
+    * values (metres or degrees per CF) and counts. */
+  def fromCfGridMapping(
+      name: String,
+      attrs: Map[String, Double],
+      gridMappingName: String,
+      width: Int, height: Int,
+      xFirst: Double, xLast: Double,
+      yFirst: Double, yLast: Double): AreaDef = {
+    val crs = Crs.fromParams(cfProjParams(gridMappingName,
+      attrs.get(_),
+      // legacy numeric encoding of the one string attr this surface took
+      k => if (k == "sweep_angle_axis" && attrs.get("sweep_angle_axis_is_x").contains(1.0))
+        Some("x") else None))
     // CF coordinates are cell centres: extend by half a pixel each side
     val dx = (xLast - xFirst) / (width - 1)
     val dy = (yFirst - yLast) / (height - 1) // y decreasing row-major

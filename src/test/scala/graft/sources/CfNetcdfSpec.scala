@@ -1,0 +1,143 @@
+package graft.sources
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** End-to-end `load_cf_area` over real NetCDF3 bytes: the fixtures under
+  * src/test/resources/cf replicate the reference's CF test datasets
+  * (`pyresample/test/test_utils/test_cf.py` _prepare_cf_nh10km /
+  * _prepare_cf_goes / _prepare_cf_llwgs84 / _prepare_cf_llnocrs /
+  * _prepare_cf_projected_packed_xy), written byte-level by
+  * tools/make_nc_fixture.py from the public classic-format spec —
+  * independently of the Scala reader. Golden values are the ones that
+  * reference suite asserts (shape, first/last axis values, extents). */
+class CfNetcdfSpec extends AnyFunSuite {
+
+  private def fixture(name: String): String = {
+    val url = getClass.getResource(s"/cf/$name")
+    assert(url != null, s"missing fixture /cf/$name (run tools/make_nc_fixture.py)")
+    url.getPath
+  }
+
+  test("nh10km: polar_stereographic discovery, km axes, record dim") {
+    val nc = NetCdf3.read(fixture("nh10km.nc"))
+    assert(nc.version === 1)
+    assert(nc.dims.map(d => (d.name, d.length)) ===
+      Seq(("time", 0), ("yc", 1120), ("xc", 760)))
+    // discovery with no hints, with the field variable, and with the
+    // grid-mapping container + explicit axes must agree (test_cf.py:210)
+    val (a0, i0) = CfArea.loadCfArea(nc)
+    val (a1, i1) = CfArea.loadCfArea(nc, variable = Some("ice_conc"))
+    val (a2, _) = CfArea.loadCfArea(nc, variable = Some("Polar_Stereographic_Grid"),
+      y = Some("yc"), x = Some("xc"))
+    assert(a0 === a1 && a1 === a2)
+    assert((a1.height, a1.width) === (1120, 760))
+    // km axes -> metre extents; first cell centre at -3845000 m
+    assert(a1.xLL === -3850000.0 && a1.xUR === 3750000.0)
+    assert(a1.yLL === -5350000.0 && a1.yUR === 5850000.0)
+    val px = (a1.xUR - a1.xLL) / a1.width
+    assert(a1.xLL + 0.5 * px === -3845000.0) // xc[0] golden
+    // CRS: stere with the fixture's ellipsoid
+    assert(a1.crs.params("proj") === "stere")
+    assert(a1.crs.params("lat_0").toDouble === 90.0)
+    assert(a1.crs.params("lat_ts").toDouble === 70.0)
+    assert(a1.crs.params("lon_0").toDouble === -45.0)
+    // cf_info (test_cf.py:229): lon/lat guessed for the field variable,
+    // absent for the grid-mapping container query
+    assert(i1.typeOfGridMapping === "polar_stereographic")
+    assert(i1.gridMappingVariable === "Polar_Stereographic_Grid")
+    assert(i1.x.varname === "xc" && i1.y.varname === "yc")
+    assert(i1.x.unit === Some("km"))
+    assert(i1.lat === Some("lat") && i1.lon === Some("lon"))
+    assert(i0.lat === Some("lat"))
+    val (_, iGm) = CfArea.loadCfArea(nc, variable = Some("Polar_Stereographic_Grid"),
+      y = Some("yc"), x = Some("xc"))
+    assert(iGm.lat === None && iGm.lon === None)
+  }
+
+  test("goes: CDF-2, radians axes scaled by satellite height, payload read") {
+    val nc = NetCdf3.read(fixture("goes.nc"))
+    assert(nc.version === 2)
+    val (adef, info) = CfArea.loadCfArea(nc, variable = Some("C13"))
+    assert(info.gridMappingVariable === "GOES-East")
+    assert(info.typeOfGridMapping === "geostationary")
+    // the reference asserts these exact post-conversion values
+    // (test_cf.py:248): radians * perspective_point_height
+    assert(info.x.varname === "x" && info.x.first === -3627271.2913)
+    assert(info.y.varname === "y" && info.y.last === 1583173.6575)
+    assert(info.x.unit === Some("m"))
+    assert(adef.crs.params("proj") === "geos")
+    assert(adef.crs.params.get("sweep") === Some("x"))
+    assert(adef.crs.params("h").toDouble === 35786023.0)
+    assert((adef.height, adef.width) === (15, 25))
+    // payload: deterministic ((r*25+c)%97)/8 pattern, exact in float32
+    val data = nc.readDoubles("C13")
+    assert(data.length === 15 * 25)
+    val expected = (0 until 15 * 25).map(i => (i % 97).toDouble / 8.0)
+    assert(data.toSeq === expected)
+  }
+
+  test("llwgs84: latitude_longitude grid mapping, degree axes") {
+    val nc = NetCdf3.read(fixture("llwgs84.nc"))
+    for (args <- Seq(
+        CfArea.loadCfArea(nc),
+        CfArea.loadCfArea(nc, variable = Some("temp")),
+        CfArea.loadCfArea(nc, variable = Some("crs"),
+          y = Some("lat"), x = Some("lon")))) {
+      val (adef, _) = args
+      assert((adef.height, adef.width) === (19, 37))
+      // increasing lat axis: the extent is stored flipped, exactly like
+      // upstream (_get_area_extent_from_cf_axis); x centres at -180 + 10k
+      assert(adef.xLL === -185.0 && adef.xUR === 185.0)
+      assert(adef.yLL === 95.0 && adef.yUR === -95.0)
+      assert(adef.crs.params("proj") === "longlat")
+    }
+    val (_, info) = CfArea.loadCfArea(nc, variable = Some("temp"))
+    assert(info.lat === Some("lat") && info.lon === Some("lon"))
+    // semi_major + inverse_flattening ellipsoid
+    val (adef, _) = CfArea.loadCfArea(nc)
+    assert(adef.crs.params("a").toDouble === 6378137.0)
+    assert(math.abs(adef.crs.params("b").toDouble - 6356752.314245179) < 1e-6)
+  }
+
+  test("llnocrs: no grid_mapping at all falls back to WGS84 latlon") {
+    val (adef, info) = CfArea.loadCfArea(fixture("llnocrs.nc"))
+    assert(info.gridMappingVariable === "latlon_default")
+    assert(info.typeOfGridMapping === "latitude_longitude")
+    assert(adef.crs.params("proj") === "longlat")
+    assert((adef.height, adef.width) === (19, 37))
+    assert(adef.xLL === -185.0 && adef.xUR === 185.0)
+  }
+
+  test("packed: scale_factor/add_offset axes and multi-record reads") {
+    val nc = NetCdf3.read(fixture("packed.nc"))
+    val (adef, info) = CfArea.loadCfArea(nc, variable = Some("temp"))
+    assert(info.typeOfGridMapping === "stereographic")
+    // int16 axes decoded through scale*10 + offset 1000: [0, 1000, 2000]
+    assert(info.x.first === 0.0 && info.x.last === 2000.0 && info.x.spacing === 1000.0)
+    assert(info.y.first === 2000.0 && info.y.last === 0.0 && info.y.sign === -1.0)
+    assert(adef.xLL === -500.0 && adef.xUR === 2500.0)
+    assert(adef.yLL === -500.0 && adef.yUR === 2500.0)
+    assert(adef.crs.params("k_0").toDouble === 1.0)
+    // two record variables -> interleaved, 4-byte-padded record stride
+    assert(nc.numRecs === 3)
+    assert(nc.readDoubles("tseries").toSeq === Seq(11.0, 22.0, 33.0))
+    assert(nc.readDoubles("tflag").toSeq === Seq(1.0, 0.0, 1.0))
+    assert(nc.readDoubles("temp").length === 9)
+  }
+
+  test("parameter validation mirrors upstream error contracts") {
+    val nc = NetCdf3.read(fixture("nh10km.nc"))
+    // x without y
+    assertThrows[IllegalArgumentException](
+      CfArea.loadCfArea(nc, variable = Some("ice_conc"), x = Some("xc")))
+    // gm container without explicit axes
+    assertThrows[IllegalArgumentException](
+      CfArea.loadCfArea(nc, variable = Some("Polar_Stereographic_Grid")))
+    // unknown variable
+    assertThrows[NoSuchElementException](
+      CfArea.loadCfArea(nc, variable = Some("nope")))
+    // wrong-axis explicit name
+    assertThrows[IllegalArgumentException](
+      CfArea.loadCfArea(nc, variable = Some("ice_conc"), y = Some("xc"), x = Some("yc")))
+  }
+}
