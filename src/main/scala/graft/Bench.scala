@@ -110,6 +110,12 @@ object Bench {
         var med: Double, var min: Double, val pBefore: Double, val ext: Double) {
       var pAfter: Double = Double.NaN
       var retry: Option[(Double, Double, Double, Double)] = None // (origMed, origPx, retryPx, retryExt)
+      // true when the KEPT number was never measured on a quiet machine
+      // (load seen and the retry ran loaded too, or no retry slot left) —
+      // r7's q136/q16/q40 lesson: a reader must be able to separate
+      // "measured quiet" from "best honest estimate under sustained load"
+      // without a judge re-run
+      var suspect: Boolean = false
       def px: Double = math.max(pBefore, pAfter)
     }
     val probes = scala.collection.mutable.ArrayBuffer[Double]()
@@ -135,6 +141,7 @@ object Bench {
     val thresh = math.max(3 * pMed0, 0.3)
     val extThresh = 0.12
     def loaded(px: Double, ext: Double): Boolean = px > thresh || ext > extThresh
+    results.filter(r => loaded(r.px, r.ext)).foreach(_.suspect = true)
     val flagged = results.filter(r => loaded(r.px, r.ext))
       .sortBy(r => -math.max(r.px / thresh, r.ext / extThresh)).take(25)
     if (flagged.nonEmpty)
@@ -150,8 +157,10 @@ object Bench {
       // a quiet retry supersedes the loaded original; a loaded retry can
       // only IMPROVE the estimate (min of two 3-run medians), never add
       // a second phantom
-      r.med = if (!loaded(retryPx, ext2)) med2 else math.min(origMed, med2)
+      val retryQuiet = !loaded(retryPx, ext2)
+      r.med = if (retryQuiet) med2 else math.min(origMed, med2)
       r.min = math.min(r.min, mn2)
+      r.suspect = !retryQuiet
       r.retry = Some((origMed, r.px, retryPx, ext2))
     }
     def fmt(v: Double): String = "%.4f".formatLocal(java.util.Locale.ROOT, v)
@@ -183,7 +192,8 @@ object Bench {
     // qtmax = the largest dropped median — a sub-qtmax query cannot hide
     // a meaningful regression, every query still contributes to value,
     // and 4-decimal medians for all of them stay on the detail line
-    println(s"""{"metric":"detail","iters":$iters,"probe_med":${fmt(ps(ps.length / 2))},"probe_max":${fmt(ps.last)},"retried":$retriedJson,"queries_ext":${jmap(identity, _.ext)},"queries_min":${jmap(identity, _.min)},"queries_med_full":${jmap(identity, _.med)}}""")
+    val suspectFull = results.filter(_.suspect).map("\"" + _.name + "\"").mkString("[", ",", "]")
+    println(s"""{"metric":"detail","iters":$iters,"probe_med":${fmt(ps(ps.length / 2))},"probe_max":${fmt(ps.last)},"suspect":$suspectFull,"retried":$retriedJson,"queries_ext":${jmap(identity, _.ext)},"queries_min":${jmap(identity, _.min)},"queries_med_full":${jmap(identity, _.med)}}""")
     def fmt1(v: Double): String = "%.1f".formatLocal(java.util.Locale.ROOT, v)
     def contractLine(nKeep: Int): String = {
       val bySlow = results.sortBy(-_.med)
@@ -193,7 +203,11 @@ object Bench {
       val qs = results.filter(r => kept(r.name))
         .map(r => "\"" + r.name.split("_").head.drop(1) + "\":" + fmt1(r.med))
         .mkString("{", ",", "}")
-      s"""{"metric":"total","value":${fmt3(total)},"unit":"sec","queries":$qs,"qtrunc":${dropped.size},"qtmax":${fmt3(qtmax)},"pm":${fmt3(ps(ps.length / 2))},"px":${fmt3(ps.last)},"xx":${fmt3(extMax)},"nr":${flagged.size},"sf":"${new java.io.File(sfDir).getName}"}"""
+      // suspect: short query keys whose kept median was never measured
+      // quiet (never truncated — it is the honesty signal of the line)
+      val susp = results.filter(_.suspect)
+        .map("\"" + _.name.split("_").head.drop(1) + "\"").mkString("[", ",", "]")
+      s"""{"metric":"total","value":${fmt3(total)},"unit":"sec","queries":$qs,"qtrunc":${dropped.size},"qtmax":${fmt3(qtmax)},"pm":${fmt3(ps(ps.length / 2))},"px":${fmt3(ps.last)},"xx":${fmt3(extMax)},"nr":${flagged.size},"suspect":$susp,"sf":"${new java.io.File(sfDir).getName}"}"""
     }
     var nKeep = results.size
     var line = contractLine(nKeep)
