@@ -36,13 +36,18 @@ object Graph {
     *         rounds; every node incident to an edge appears. */
   def pageRankInt(pairs: DataFrame, iters: Int = 3): DataFrame = {
     require(iters >= 1 && iters <= 8, "iters must be in [1, 8] (declarative chain)")
-    // symmetrize via explode (single evaluation of the upstream pair plan)
+    // symmetrize via explode, then localCheckpoint the (graph-small) edge
+    // list: deg + every iteration's contrib join reads it, and exchange
+    // reuse across those differing consumers is Catalyst's choice, not a
+    // guarantee — the checkpoint makes "pair plan evaluates once" a
+    // property of the operator (same discipline as kCore/CC)
     val edges = pairs
       .select(explode(array(
         struct(col("d1").as("src"), col("d2").as("dst")),
         struct(col("d2").as("src"), col("d1").as("dst")))).as("_e"))
       .select(col("_e.src").as("src"), col("_e.dst").as("dst"))
       .distinct()
+      .localCheckpoint()
     val deg = edges.groupBy(col("src").as("id"))
       .agg(count(lit(1)).as("degree"))
     val r0 = deg.withColumn("rank", lit(1000000L))
@@ -77,9 +82,14 @@ object Graph {
     * @return (id, degree, n_tri, clustering) for every vertex incident
     *         to an edge, clustering null when degree < 2. */
   def triangleStats(pairs: DataFrame): DataFrame = {
+    // localCheckpoint the canonical edge list: deg, the two orientation
+    // joins, and the wedge self-join's three sides all read it — without
+    // the checkpoint the upstream pair plan (often a full LSH pipeline)
+    // replays wherever exchange reuse doesn't happen to fire
     val e0 = pairs
       .select(least(col("d1"), col("d2")).as("a"), greatest(col("d1"), col("d2")).as("b"))
       .filter(col("a") =!= col("b")).distinct()
+      .localCheckpoint()
     val deg = e0
       .select(explode(array(col("a"), col("b"))).as("id"))
       .groupBy("id").agg(count(lit(1)).as("degree"))
@@ -165,12 +175,14 @@ object Graph {
     * exact decimal cross-moments, so r is partition-order-independent.
     * One edge-keyed join against the (tiny) degree table, one aggregate. */
   def assortativity(pairs: DataFrame): DataFrame = {
+    // checkpoint for the same single-evaluation guarantee as pageRankInt
     val edges = pairs
       .select(explode(array(
         struct(col("d1").as("src"), col("d2").as("dst")),
         struct(col("d2").as("src"), col("d1").as("dst")))).as("_e"))
       .select(col("_e.src").as("src"), col("_e.dst").as("dst"))
       .distinct()
+      .localCheckpoint()
     val deg = edges.groupBy(col("src").as("id"))
       .agg(count(lit(1)).as("degree"))
     val ed = edges

@@ -1,0 +1,60 @@
+package graft.operators
+
+import graft.SparkSpec
+import graft.queries.Queries
+
+/** Plan-shape pins for the bench suite's most expensive queries (the r7
+  * audit set: q133/q136/q64 graph ops, q81 batch BM25, q100 margin
+  * mining) — the load-bearing physical properties a refactor must not
+  * silently lose, in the style of StarPlanSpec for q183 and
+  * PrefixJoinPlanSpec for q175. */
+class HeavyPlanSpec extends SparkSpec {
+
+  private val sf = "/root/testdata/sf0.001"
+
+  private def plan(q: Queries.Q): String =
+    q.build(spark, sf).queryExecution.executedPlan.toString
+
+  private def count(plan: String, needle: String): Int =
+    needle.r.findAllIn(plan).length
+
+  test("q133 pagerank: checkpointed edges, zero source scans in the final plan") {
+    val p = plan(Queries.q133_pagerank)
+    assert(count(p, "Scan parquet") === 0,
+      s"LSH pair pipeline must run once at checkpoint time:\n${p.take(1500)}")
+    assert(count(p, "Scan ExistingRDD") >= 4, "deg + 3 iteration joins read the checkpoint")
+  }
+
+  test("q136 triangles: checkpointed edge list feeds orientation + wedge joins") {
+    val p = plan(Queries.q136_triangles)
+    assert(count(p, "Scan parquet") === 0,
+      s"LSH pair pipeline must run once at checkpoint time:\n${p.take(1500)}")
+    // degree attach (x2), wedge self-join sides and closure read e0
+    assert(count(p, "Scan ExistingRDD") >= 3)
+  }
+
+  test("q64 near-dup clusters: one corpus scan; labels come from the checkpointed loop") {
+    val p = plan(Queries.q64_neardup_clusters)
+    assert(count(p, "Scan parquet") === 1,
+      s"expected exactly the docs-side scan, labels from ExistingRDD:\n${p.take(1500)}")
+    assert(count(p, "Scan ExistingRDD") >= 1)
+  }
+
+  test("q81 batch BM25: top-k via WindowGroupLimit, no global sort of the corpus") {
+    val df = Queries.q81_bm25_batch.build(spark, sf)
+    val p = df.queryExecution.executedPlan.toString
+    assert(count(p, "WindowGroupLimit") >= 1,
+      s"per-query top-k must plan as WindowGroupLimit:\n${p.take(1500)}")
+    assert(df.count() > 0)
+  }
+
+  test("q100 margin mining: exactly one (documented) cross join, broadcast side") {
+    val df = Queries.q100_margin_mine.build(spark, sf)
+    val p = df.queryExecution.executedPlan.toString
+    val nlj = count(p, "BroadcastNestedLoopJoin") + count(p, "CartesianProduct")
+    assert(nlj === 1,
+      s"the exact-baseline cross join must stay single and broadcast-shaped:\n${p.take(1500)}")
+    assert(count(p, "CartesianProduct") === 0, "cross join must broadcast the query side")
+    assert(df.count() > 0)
+  }
+}
