@@ -1,0 +1,86 @@
+package graft.operators
+
+import java.awt.image.BufferedImage
+
+/** `save_quicklook` (`pyresample/plot.py:308`) minus the cartopy map
+  * underlay (out of scope offline — S10): render a resampled area image
+  * to PNG with the reference's luminance contract — `vmin`/`vmax`
+  * scaling, masked (absent) cells transparent, `RdBu_r` default
+  * colormap — via `javax.imageio`, no native deps.
+  *
+  * Driver-side BY DESIGN: a quicklook is a bounded visualization of an
+  * area grid (the reference materializes the same full ndarray into
+  * matplotlib). The distributed part — resampling 100 TB of swath onto
+  * the grid — happens upstream in the containers/operators; this sink
+  * collects exactly width*height pixels. Oversized grids should
+  * `AreaDef.aggregate` first. */
+object Quicklook {
+
+  /** ColorBrewer RdBu anchors (public palette): dark blue, near-white,
+    * dark red — `RdBu_r` runs blue(low) -> white -> red(high). */
+  private val RdBuR = Seq((5, 48, 97), (247, 247, 247), (103, 0, 31))
+  private val Gray = Seq((0, 0, 0), (255, 255, 255))
+
+  private def ramp(anchors: Seq[(Int, Int, Int)], t: Double): Int = {
+    val tt = math.max(0.0, math.min(1.0, t))
+    val seg = tt * (anchors.length - 1)
+    val i = math.min(anchors.length - 2, seg.toInt)
+    val f = seg - i
+    val (r0, g0, b0) = anchors(i); val (r1, g1, b1) = anchors(i + 1)
+    def mix(a: Int, b: Int): Int = math.round(a + (b - a) * f).toInt
+    0xFF000000 | (mix(r0, r1) << 16) | (mix(g0, g1) << 8) | mix(b0, b1)
+  }
+
+  /** Render one channel of an area image. Cells absent from the data are
+    * transparent (the masked-array contract); `vmin`/`vmax` default to
+    * the data extrema like matplotlib's imshow. */
+  def render(
+      image: AreaImage,
+      channel: String,
+      vmin: Option[Double] = None,
+      vmax: Option[Double] = None,
+      cmap: String = "RdBu_r"): BufferedImage = {
+    require(image.channels.contains(channel), s"no channel '$channel' in ${image.channels}")
+    val anchors = cmap match {
+      case "RdBu_r" => RdBuR
+      case "gray" | "grey" => Gray
+      case other => throw new IllegalArgumentException(
+        s"unsupported cmap '$other' (RdBu_r, gray)")
+    }
+    val area = image.area
+    val rows = image.data
+      .select(org.apache.spark.sql.functions.col("cell").cast("long"),
+        org.apache.spark.sql.functions.col(channel).cast("double"))
+      .collect()
+    val lo = vmin.getOrElse(rows.iterator.filterNot(_.isNullAt(1)).map(_.getDouble(1))
+      .foldLeft(Double.PositiveInfinity)(math.min))
+    val hi = vmax.getOrElse(rows.iterator.filterNot(_.isNullAt(1)).map(_.getDouble(1))
+      .foldLeft(Double.NegativeInfinity)(math.max))
+    val span = if (hi > lo) hi - lo else 1.0
+    val img = new BufferedImage(area.width, area.height, BufferedImage.TYPE_INT_ARGB)
+    rows.foreach { r =>
+      if (!r.isNullAt(1)) {
+        val cell = r.getLong(0)
+        val xPix = (cell % area.width).toInt
+        val yPix = (cell / area.width).toInt
+        if (yPix >= 0 && yPix < area.height && xPix >= 0)
+          img.setRGB(xPix, yPix, ramp(anchors, (r.getDouble(1) - lo) / span))
+      }
+    }
+    img
+  }
+
+  /** save_quicklook: render + PNG-encode to `path`. */
+  def save(
+      path: String,
+      image: AreaImage,
+      channel: String,
+      vmin: Option[Double] = None,
+      vmax: Option[Double] = None,
+      cmap: String = "RdBu_r"): Unit = {
+    val img = render(image, channel, vmin, vmax, cmap)
+    val f = new java.io.File(path)
+    Option(f.getParentFile).foreach(_.mkdirs())
+    require(javax.imageio.ImageIO.write(img, "png", f), s"no PNG writer for $path")
+  }
+}

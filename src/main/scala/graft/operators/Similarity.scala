@@ -492,12 +492,64 @@ object Similarity {
       k: Int,
       threshold: Double = 1.0,
       vecCol: String = "embedding"): DataFrame = {
-    val micro = 1000000L
     val pairs = queries.select(col("qid"), col(vecCol).as("_qv"))
       .crossJoin(candidates.select(col("cid"), col(vecCol).as("_cv")))
       .withColumn("_sm",
-        round(round(cosineSimilarity(col("_qv"), col("_cv")), 6) * micro).cast("long"))
+        round(round(cosineSimilarity(col("_qv"), col("_cv")), 6) * marginMicro).cast("long"))
       .drop("_qv", "_cv")
+    marginFromPairs(pairs, k, threshold)
+  }
+
+  /** Margin mining composed with a trained IVF index — the 100 TB form
+    * of [[marginMine]], whose exact cross join stops being runnable when
+    * the query set itself is corpus-sized. Candidates are assigned to
+    * their nearest centroid (broadcast literals, zero-shuffle scoring),
+    * queries probe their `nProbe` nearest cells, and the pair table is
+    * the `centroid_id` equi-join — Σ|cell|·|probes| pairs, never |Q|·|C|.
+    * The margin algebra over the retrieved pairs is IDENTICAL to the
+    * exact operator (same ratio-margin windows); with `nProbe` =
+    * centroid count every pair is retrieved exactly once and the output
+    * equals [[marginMine]] bit-for-bit (MiningSpec asserts it), so
+    * recall loss is isolated in the probe budget, not the scoring. */
+  def marginMineWith(
+      queries: DataFrame,
+      candidates: DataFrame,
+      centroidVecs: Seq[Array[Double]],
+      k: Int,
+      threshold: Double = 1.0,
+      nProbe: Int = 4,
+      vecCol: String = "embedding"): DataFrame = {
+    val s = candidates.sparkSession
+    import s.implicits._
+    require(centroidVecs.nonEmpty, "need at least one centroid")
+    val centroids = broadcast(
+      centroidVecs.zipWithIndex.map { case (c, i) => (i.toLong, c) }
+        .toDF("centroid_id", "_ctr"))
+    def assign(df: DataFrame, id: String, v: String, keep: Int): DataFrame = {
+      val w = Window.partitionBy(id).orderBy(col("_csim").desc, col("centroid_id").asc)
+      df.crossJoin(centroids)
+        .withColumn("_csim", round(cosineSimilarity(col(v), col("_ctr")), 6))
+        .withColumn("_crk", row_number().over(w))
+        .filter(col("_crk") <= keep)
+        .drop("_ctr", "_csim", "_crk")
+    }
+    val cA = assign(candidates.select(col("cid"), col(vecCol).as("_cv")), "cid", "_cv", 1)
+    val qA = assign(queries.select(col("qid"), col(vecCol).as("_qv")), "qid", "_qv", nProbe)
+    val pairs = qA.join(cA, "centroid_id")
+      .withColumn("_sm",
+        round(round(cosineSimilarity(col("_qv"), col("_cv")), 6) * marginMicro).cast("long"))
+      .select("qid", "cid", "_sm")
+    marginFromPairs(pairs, k, threshold)
+  }
+
+  private val marginMicro = 1000000L
+
+  /** Ratio-margin scoring (Artetxe & Schwenk 2019) over a (qid, cid,
+    * _sm) pair table: margin = sim·2k / (Σ top-k sims of q + Σ top-k
+    * sims of c), best candidate per query kept above `threshold`. Shared
+    * by the exact and IVF-composed miners so the two differ ONLY in
+    * which pairs exist. */
+  private def marginFromPairs(pairs: DataFrame, k: Int, threshold: Double): DataFrame = {
     val wq = Window.partitionBy("qid").orderBy(col("_sm").desc, col("cid").asc)
     val wc = Window.partitionBy("cid").orderBy(col("_sm").desc, col("qid").asc)
     val scored = pairs
@@ -517,7 +569,7 @@ object Similarity {
       .filter(col("_rank") === 1 && col("margin") > threshold)
       .select(col("qid"), col("cid"),
         round(col("margin"), 6).as("margin"),
-        (col("_sm").cast("double") / micro).as("sim"))
+        (col("_sm").cast("double") / marginMicro).as("sim"))
   }
 
   /** Project embeddings onto a trained linear model (PCA/whitening rows

@@ -5845,6 +5845,57 @@ object Queries {
     )) // ${p * p}"""
   }
 
+  /** IVF-composed margin mining (`Similarity.marginMineWith`): q100's
+    * ratio-margin bitext miner with the exact cross join replaced by the
+    * [[TrainedCentroids]] cell equi-join — the 100 TB regime where the
+    * query side is itself corpus-sized and |Q|x|C| stops being runnable.
+    * Same margin algebra over the retrieved pairs (MiningSpec proves
+    * full-probe == exact bit-for-bit); the oracle replays assignment +
+    * cell join + margin windows from the same centroid literals. */
+  val q196_margin_ivf: Q = Q(
+    (s, d) => {
+      val emb = table(s, d, "embeddings")
+      Similarity.marginMineWith(
+          emb.filter(col("label") % 2 === 0).select(col("vec_id").as("qid"), col("embedding")),
+          emb.filter(col("label") % 2 === 1).select(col("vec_id").as("cid"), col("embedding")),
+          TrainedCentroids.sf001k8, k = 4, threshold = 1.02, nProbe = 2)
+        .orderBy("qid")
+    },
+    Some(s"""WITH ctr(centroid_id, cemb) AS (VALUES
+      ${TrainedCentroids.sf001k8Sql}),
+      ca AS (SELECT e.vec_id AS cid, e.embedding, t.centroid_id,
+               ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY
+                 ROUND(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), t.cemb), 6) DESC,
+                 t.centroid_id ASC) AS crk
+             FROM embeddings e CROSS JOIN ctr t WHERE e.label % 2 = 1),
+      cass AS MATERIALIZED (SELECT cid, embedding, centroid_id FROM ca WHERE crk = 1),
+      qa AS (SELECT e.vec_id AS qid, e.embedding, t.centroid_id,
+               ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY
+                 ROUND(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), t.cemb), 6) DESC,
+                 t.centroid_id ASC) AS crk
+             FROM embeddings e CROSS JOIN ctr t WHERE e.label % 2 = 0),
+      qass AS MATERIALIZED (SELECT qid, embedding, centroid_id FROM qa WHERE crk <= 2),
+      p AS (SELECT q.qid, c.cid,
+              CAST(ROUND(ROUND(list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
+                CAST(c.embedding AS DOUBLE[])), 6) * 1000000) AS BIGINT) AS sm
+            FROM qass q JOIN cass c ON c.centroid_id = q.centroid_id),
+      r AS (SELECT qid, cid, sm,
+              ROW_NUMBER() OVER (PARTITION BY qid ORDER BY sm DESC, cid ASC) AS rq,
+              ROW_NUMBER() OVER (PARTITION BY cid ORDER BY sm DESC, qid ASC) AS rc
+            FROM p),
+      s AS (SELECT qid, cid, sm,
+              CAST(SUM(CASE WHEN rq <= 4 THEN sm ELSE 0 END)
+                OVER (PARTITION BY qid) AS BIGINT) AS sq,
+              CAST(SUM(CASE WHEN rc <= 4 THEN sm ELSE 0 END)
+                OVER (PARTITION BY cid) AS BIGINT) AS sc
+            FROM r),
+      m AS (SELECT qid, cid, sm, CAST(sm * 8 AS DOUBLE) / (sq + sc) AS margin FROM s),
+      b AS (SELECT qid, cid, sm, margin,
+              ROW_NUMBER() OVER (PARTITION BY qid ORDER BY margin DESC, cid ASC) AS rk
+            FROM m)
+      SELECT qid, cid, ROUND(margin, 6) AS margin, CAST(sm AS DOUBLE) / 1000000 AS sim
+      FROM b WHERE rk = 1 AND margin > 1.02 ORDER BY qid"""))
+
   // -------------------------------------------------------------- registry
 
   val all: Seq[(String, Q)] = Seq(
@@ -6041,5 +6092,6 @@ object Queries {
     "q192_sketch_error" -> q192_sketch_error,
     "q193_share_rollup" -> q193_share_rollup,
     "q194_mahalanobis" -> q194_mahalanobis,
-    "q195_scd2_enrich" -> q195_scd2_enrich)
+    "q195_scd2_enrich" -> q195_scd2_enrich,
+    "q196_margin_ivf" -> q196_margin_ivf)
 }
