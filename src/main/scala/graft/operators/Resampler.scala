@@ -334,11 +334,20 @@ object GeometryOps {
     }.filter(d => d > 0 && !d.isNaN).toArray
     if (dists.isEmpty) return 10000.0
     // Densest 10-bin histogram bin, returned as the mean of that bin's
-    // edges — the reference's documented mode estimate ("take the histogram
+    // edges — the reference's DOCUMENTED mode estimate ("take the histogram
     // ... find the bin with the most points ... average of the edges of
-    // that bin", `geometry.py:2691-2709`). Unlike a median this stays ON a
-    // pitch for stacked two-pitch swaths instead of landing between them,
-    // and ignores the large row-jump outliers in a serpentine sample walk.
+    // that bin", `geometry.py:2691-2709`). INTENTIONAL DIVERGENCE from the
+    // reference's code, which differs from its own docstring: upstream
+    // `_safe_bin_edges` is `histogram_bin_edges(arr, 10)[:2]` — the
+    // LOWEST uniform bin's edges regardless of counts (≈ min + span/20) —
+    // and the swath-side estimator (`geometry.py:702`) takes a single
+    // mid-row point pair with no histogram at all. Over an unordered
+    // sampled point walk the docstring's modal bin is the defensible
+    // estimate: unlike a median it stays ON a pitch for stacked two-pitch
+    // swaths instead of landing between them, ignores the large row-jump
+    // outliers of a serpentine walk, and unlike the lowest-bin form it
+    // doesn't collapse to the smallest observed gap on coarse-dominated
+    // swaths (which would shrink radius_of_influence and drop matches).
     val lo = dists.min
     val hi = dists.max
     if (hi - lo <= 0) return lo // degenerate range: every pitch identical

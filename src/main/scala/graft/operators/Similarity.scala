@@ -483,9 +483,9 @@ object Similarity {
     * partitioning side — rank-then-sum shares the exchange), one final
     * per-query argmax window. This is the documented exact baseline on
     * bounded sides (same contract as [[bruteForceTopK]]); at mining
-    * scale the pair table comes from an ANN candidate stage ([[lshTopK]]
-    * / [[ivfTopKWith]] bands) and the same margin algebra applies to the
-    * candidate pairs. */
+    * scale use [[marginMineWith]] — the IVF-composed form whose pair
+    * table is a centroid-cell equi-join with the identical margin
+    * algebra (full-probe == this operator bit-for-bit). */
   def marginMine(
       queries: DataFrame,
       candidates: DataFrame,
@@ -519,22 +519,25 @@ object Similarity {
       threshold: Double = 1.0,
       nProbe: Int = 4,
       vecCol: String = "embedding"): DataFrame = {
-    val s = candidates.sparkSession
-    import s.implicits._
     require(centroidVecs.nonEmpty, "need at least one centroid")
-    val centroids = broadcast(
-      centroidVecs.zipWithIndex.map { case (c, i) => (i.toLong, c) }
-        .toDF("centroid_id", "_ctr"))
-    def assign(df: DataFrame, id: String, v: String, keep: Int): DataFrame = {
-      val w = Window.partitionBy(id).orderBy(col("_csim").desc, col("centroid_id").asc)
-      df.crossJoin(centroids)
-        .withColumn("_csim", round(cosineSimilarity(col(v), col("_ctr")), 6))
-        .withColumn("_crk", row_number().over(w))
-        .filter(col("_crk") <= keep)
-        .drop("_ctr", "_csim", "_crk")
+    // per-row top-`keep` cells as a codegen array_sort over (negSim, cid)
+    // structs — the [[assignClusters]] argmax generalized to nProbe, so
+    // assignment is a zero-shuffle map stage (a centroid-table cross join
+    // + per-id rank window would shuffle k rows per vector instead).
+    // Struct order (negSim asc, cid asc) == (sim desc, cid asc): the
+    // oracle's ROW_NUMBER ranking exactly.
+    def assignTop(df: DataFrame, v: String, keep: Int): DataFrame = {
+      val cStructs = centroidVecs.zipWithIndex.map { case (c, i) =>
+        struct(
+          (-round(cosineSimilarity(col(v), array(c.map(lit): _*)), 6)).as("negSim"),
+          lit(i.toLong).as("cid"))
+      }
+      df.withColumn("_cell", explode(slice(array_sort(array(cStructs: _*)), 1, keep)))
+        .withColumn("centroid_id", col("_cell.cid"))
+        .drop("_cell")
     }
-    val cA = assign(candidates.select(col("cid"), col(vecCol).as("_cv")), "cid", "_cv", 1)
-    val qA = assign(queries.select(col("qid"), col(vecCol).as("_qv")), "qid", "_qv", nProbe)
+    val cA = assignTop(candidates.select(col("cid"), col(vecCol).as("_cv")), "_cv", 1)
+    val qA = assignTop(queries.select(col("qid"), col(vecCol).as("_qv")), "_qv", nProbe)
     val pairs = qA.join(cA, "centroid_id")
       .withColumn("_sm",
         round(round(cosineSimilarity(col("_qv"), col("_cv")), 6) * marginMicro).cast("long"))

@@ -100,10 +100,16 @@ object ScaleBench {
         (System.nanoTime() - t0) / 1e9
       }.min
     }
-    // dev aid: SPARK_GRAFT_SCALE_ONLY=q175,q183 limits to matching
-    // name prefixes (full sweep by default)
+    // dev aid: SPARK_GRAFT_SCALE_ONLY=q175,q183 limits to matching name
+    // prefixes — resolved against ALL registered queries, so off-sweep
+    // baselines (q100's deliberate quadratic) stay reproducible
     val only = sys.env.get("SPARK_GRAFT_SCALE_ONLY").map(_.split(",").toSeq)
-    val rows = HeavyQueries.filter(q => only.forall(_.exists(q.startsWith))).map { q =>
+    val selected = only match {
+      case Some(pfx) =>
+        graft.SparkEntry.queries.keys.toSeq.sorted.filter(q => pfx.exists(q.startsWith))
+      case None => HeavyQueries
+    }
+    val rows = selected.map { q =>
       val t1 = time(base, q)
       val tN = time(out, q)
       val ratio = tN / t1
