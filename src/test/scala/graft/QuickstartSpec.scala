@@ -1,7 +1,8 @@
 package graft
 
 import graft.core.{AreaDef, Crs}
-import graft.operators.{Dedup, KnnResample}
+import graft.operators.{AreaImage, Dedup, KnnResample, Quicklook}
+import graft.sources.CfArea
 
 /** The README "Quickstart" block, verbatim (minus the session builder —
   * the suite shares one `GraftExtensions.install`ed session, which is the
@@ -42,5 +43,17 @@ class QuickstartSpec extends SparkSpec {
       s"expected the near-identical pair (1,2); got ${dups.mkString(", ")}")
     assert(!dups.exists { case (d1, d2, _) => d2 == 3L || d1 == 3L },
       "doc 3 shares no bigrams with 1/2 and must not verify")
+
+    // 3. CF area discovery from a NetCDF3 file + a PNG quicklook of the
+    // resampled raster.
+    val ncPath = getClass.getResource("/cf/nh10km.nc").getPath
+    val (fromCf, cfInfo) = CfArea.loadCfArea(ncPath)
+    assert((fromCf.height, fromCf.width) === (1120, 760))
+    assert(cfInfo.typeOfGridMapping === "polar_stereographic")
+    val png = java.nio.file.Files.createTempDirectory("quick").resolve("q.png")
+    Quicklook.save(png.toString,
+      AreaImage(raster.withColumnRenamed("dst_id", "cell"), area, Seq("value")),
+      channel = "value")
+    assert(java.nio.file.Files.size(png) > 0)
   }
 }
