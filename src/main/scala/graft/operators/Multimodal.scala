@@ -89,6 +89,45 @@ object Multimodal {
       .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n"),
         max(length(col(binCol))).as("n_bytes"))
 
+  /** Resize planning: integer-exact target dimensions for a max-dimension
+    * resize (the standard vision-pipeline pre-process contract: longest
+    * side becomes `maxDim`, aspect preserved, round-half-up, never below
+    * 1 px; `noUpscale` passes small images through). The actual pixel
+    * resample is the production codec's job — THIS is the part a
+    * distributed pipeline must agree on deterministically, and it is
+    * pure codegen integer arithmetic (zero shuffles, streaming-safe). */
+  def resizePlan(df: DataFrame, maxDim: Int, noUpscale: Boolean = true,
+      wCol: String = "width", hCol: String = "height"): DataFrame = {
+    require(maxDim >= 1, "maxDim must be positive")
+    val m = maxDim
+    val pass = if (noUpscale) s"greatest($wCol, $hCol) <= $m" else "false"
+    df.withColumn("_mx", expr(s"CAST(greatest($wCol, $hCol) AS BIGINT)"))
+      .withColumn("out_w", expr(
+        s"CAST(CASE WHEN $pass THEN $wCol ELSE greatest(1, (2 * $wCol * $m + _mx) div (2 * _mx)) END AS INT)"))
+      .withColumn("out_h", expr(
+        s"CAST(CASE WHEN $pass THEN $hCol ELSE greatest(1, (2 * $hCol * $m + _mx) div (2 * _mx)) END AS INT)"))
+      .drop("_mx")
+  }
+
+  /** Feature-extraction plumbing: a deterministic `dim`-component feature
+    * vector from the payload bytes via md5 arithmetic — component j is
+    * `(md5_long(payload ‖ '#j') mod 2001 − 1000) / 1000` ∈ [−1, 1]. A
+    * production pipeline swaps the hash for a real encoder behind the
+    * same (payload → array<double> embedding) contract; everything
+    * downstream (ANN, SemDeDup, margin mining) composes unchanged. Pure
+    * per-row codegen — the map-stage shape a 100 TB embed pass needs —
+    * and replayable by any SQL engine (the q198 oracle). */
+  def payloadEmbedding(df: DataFrame, dim: Int = 8,
+      binCol: String = "payload"): DataFrame = {
+    require(dim >= 1 && dim <= 64, "dim must be in [1, 64]")
+    val comps = (0 until dim).map { j =>
+      val h = conv(substring(md5(concat(col(binCol), lit(s"#$j".getBytes("UTF-8")))), 1, 15), 16, 10)
+        .cast("long")
+      ((h % 2001L - 1000L).cast("double") / 1000.0).as(s"_e$j")
+    }
+    df.withColumn("embedding", array(comps: _*))
+  }
+
   /** Frame sampling plumbing: explode a (video) payload into every k-th
     * "frame" (stub: fixed-size byte windows). Real decoder would emit
     * decoded frames; the explode + downstream schema is the contract.

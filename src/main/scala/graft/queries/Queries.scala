@@ -5896,6 +5896,60 @@ object Queries {
       SELECT qid, cid, ROUND(margin, 6) AS margin, CAST(sm AS DOUBLE) / 1000000 AS sim
       FROM b WHERE rk = 1 AND margin > 1.02 ORDER BY qid"""))
 
+  /** Multimodal resize planning (`Multimodal.resizePlan`): portable-meta
+    * fake dimensions -> integer-exact max-224 target dims (aspect kept,
+    * round-half-up, no upscale). The oracle replays the identical md5
+    * arithmetic and integer ceil/round formulas. */
+  val q197_media_resize: Q = Q(
+    (s, d) => Multimodal.resizePlan(
+        Multimodal.withPortableMeta(
+          table(s, d, "documents").withColumn("payload", encode(col("text"), "UTF-8"))),
+        maxDim = 48)
+      .select("doc_id", "width", "height", "out_w", "out_h")
+      .orderBy("doc_id"),
+    Some("""WITH m AS (SELECT doc_id,
+        CAST('0x' || substr(md5(text), 1, 15) AS BIGINT) AS h FROM documents),
+      wh AS (SELECT doc_id,
+        CAST(16 + h % 64 AS INTEGER) AS width,
+        CAST(16 + (h // 64) % 64 AS INTEGER) AS height FROM m),
+      r AS (SELECT doc_id, width, height,
+        CAST(GREATEST(width, height) AS BIGINT) AS mx FROM wh)
+      SELECT doc_id, width, height,
+        CAST(CASE WHEN mx <= 48 THEN width
+          ELSE GREATEST(1, (2 * width * 48 + mx) // (2 * mx)) END AS INTEGER) AS out_w,
+        CAST(CASE WHEN mx <= 48 THEN height
+          ELSE GREATEST(1, (2 * height * 48 + mx) // (2 * mx)) END AS INTEGER) AS out_h
+      FROM r ORDER BY doc_id"""))
+
+  /** Multimodal feature extraction (`Multimodal.payloadEmbedding`): the
+    * deterministic md5-arithmetic payload->vector stub, flattened to
+    * engine-comparable columns plus the L2 norm. The embed pass is a
+    * pure map stage — the shape a 100 TB encoder run needs; downstream
+    * ANN/SemDeDup compose on the array column unchanged
+    * (MultimodalPipelineSpec drives it through bruteForceTopK). */
+  val q198_payload_embed: Q = Q(
+    (s, d) => {
+      val emb = Multimodal.payloadEmbedding(
+        table(s, d, "documents").withColumn("payload", encode(col("text"), "UTF-8")),
+        dim = 8)
+      val flat = (0 until 8).map(j => round(col("embedding")(j), 6).as(s"e$j"))
+      emb.select(col("doc_id") +: flat :+
+          round(sqrt(graft.functions.VectorExpr.dot(col("embedding"), col("embedding"))), 6).as("l2"): _*)
+        .orderBy("doc_id")
+    },
+    Some {
+      val comps = (0 until 8).map(j =>
+        s"ROUND(CAST(CAST('0x' || substr(md5(text || '#$j'), 1, 15) AS BIGINT) % 2001 - 1000 AS DOUBLE) / 1000.0, 6) AS e$j")
+        .mkString(",\n        ")
+      val sq = (0 until 8).map(j =>
+        s"(CAST(CAST('0x' || substr(md5(text || '#$j'), 1, 15) AS BIGINT) % 2001 - 1000 AS DOUBLE) / 1000.0)")
+        .map(x => s"$x * $x").mkString(" + ")
+      s"""SELECT doc_id,
+        $comps,
+        ROUND(SQRT($sq), 6) AS l2
+      FROM documents ORDER BY doc_id"""
+    })
+
   // -------------------------------------------------------------- registry
 
   val all: Seq[(String, Q)] = Seq(
@@ -6093,5 +6147,7 @@ object Queries {
     "q193_share_rollup" -> q193_share_rollup,
     "q194_mahalanobis" -> q194_mahalanobis,
     "q195_scd2_enrich" -> q195_scd2_enrich,
-    "q196_margin_ivf" -> q196_margin_ivf)
+    "q196_margin_ivf" -> q196_margin_ivf,
+    "q197_media_resize" -> q197_media_resize,
+    "q198_payload_embed" -> q198_payload_embed)
 }
