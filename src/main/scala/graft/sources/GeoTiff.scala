@@ -1,0 +1,203 @@
+package graft.sources
+
+import java.io.RandomAccessFile
+import java.nio.{ByteBuffer, ByteOrder}
+
+import graft.core.{AreaConfig, AreaDef, Crs}
+
+/** GeoTIFF area inference — `get_area_def_from_raster`
+  * (`pyresample/utils/rasterio.py:77`) without rasterio/GDAL: parse the
+  * TIFF 6.0 IFD and the GeoTIFF 1.1 geo-keys (both public specs) for
+  * exactly what the reference reads off the handle — RasterXSize/YSize,
+  * the affine transform (ModelPixelScale + ModelTiepoint), and the CRS —
+  * then delegate to the existing geotransform math
+  * (`AreaConfig.fromGeoTransform`). Pixel strips are never decoded:
+  * the operator's contract is georeferencing, and bulk raster DATA
+  * enters Spark through parquet.
+  *
+  * CRS resolution mirrors the spec's layering: a handful of well-known
+  * `ProjectedCSTypeGeoKey` EPSG codes are baked (4326/3857/3413/3031);
+  * user-defined CRSs are assembled from `ProjCoordTransGeoKey` +
+  * parameter keys; geographic-model files map to lon/lat with the
+  * ellipsoid from the Geog*GeoKeys. */
+object GeoTiff {
+
+  // TIFF tags
+  private val TagWidth = 256; private val TagLength = 257
+  private val TagModelPixelScale = 33550
+  private val TagModelTiepoint = 33922
+  private val TagGeoKeys = 34735
+  private val TagGeoDoubles = 34736
+
+  // GeoTIFF key ids (GeoTIFF 1.1 §B)
+  private val GTModelType = 1024
+  private val GeographicType = 2048
+  private val GeogSemiMajor = 2057; private val GeogSemiMinor = 2058
+  private val GeogInvFlattening = 2059
+  private val ProjectedCSType = 3072
+  private val ProjCoordTrans = 3075
+  private val ProjStdParallel1 = 3078; private val ProjStdParallel2 = 3079
+  private val ProjNatOriginLong = 3080; private val ProjNatOriginLat = 3081
+  private val ProjCenterLong = 3088; private val ProjCenterLat = 3089
+  private val ProjScaleAtNatOrigin = 3092
+  private val ProjStraightVertPoleLong = 3095
+
+  // GeoTIFF coordinate-transformation codes -> engine projections
+  private val ctToProj = Map(
+    7 -> "merc", 8 -> "lcc", 10 -> "laea", 12 -> "aeqd",
+    15 -> "stere", 17 -> "eqc")
+
+  /** A handful of well-known EPSG codes (public definitions). */
+  private def epsgParams(code: Int): Map[String, String] = code match {
+    case 4326 => Map("proj" -> "longlat") // WGS84 default ellipsoid
+    case 3857 => Map("proj" -> "merc", "a" -> "6378137", "b" -> "6378137", "lon_0" -> "0")
+    case 3413 => Map("proj" -> "stere", "lat_0" -> "90", "lat_ts" -> "70",
+      "lon_0" -> "-45", "a" -> "6378137", "rf" -> "298.257223563")
+    case 3031 => Map("proj" -> "stere", "lat_0" -> "-90", "lat_ts" -> "-71",
+      "lon_0" -> "0", "a" -> "6378137", "rf" -> "298.257223563")
+    case other => throw new IllegalArgumentException(
+      s"EPSG:$other not in the baked table (4326/3857/3413/3031); " +
+        "write user-defined geo-keys for other CRSs")
+  }
+
+  final case class RasterInfo(
+      width: Int, height: Int,
+      geoTransform: Seq[Double], // GDAL order: (x0, sx, 0, y0, 0, -sy)
+      crs: Crs)
+
+  def readInfo(path: String): RasterInfo = {
+    val raf = new RandomAccessFile(path, "r")
+    val bytes =
+      try { val arr = new Array[Byte](raf.length().toInt); raf.seek(0); raf.readFully(arr); arr }
+      finally raf.close()
+    val order = new String(bytes.take(2), "US-ASCII") match {
+      case "II" => ByteOrder.LITTLE_ENDIAN
+      case "MM" => ByteOrder.BIG_ENDIAN
+      case other => throw new IllegalArgumentException(s"$path: not a TIFF (order '$other')")
+    }
+    val buf = ByteBuffer.wrap(bytes).order(order)
+    require(buf.getShort(2) == 42, s"$path: bad TIFF magic")
+    val ifdOff = buf.getInt(4)
+    val n = buf.getShort(ifdOff) & 0xFFFF
+    // entry: tag(2) type(2) count(4) valueOrOffset(4)
+    final case class Entry(tag: Int, typ: Int, count: Int, at: Int)
+    val entries = (0 until n).map { i =>
+      val e = ifdOff + 2 + 12 * i
+      Entry(buf.getShort(e) & 0xFFFF, buf.getShort(e + 2) & 0xFFFF, buf.getInt(e + 4), e + 8)
+    }
+    def find(tag: Int): Option[Entry] = entries.find(_.tag == tag)
+    def typeSize(t: Int): Int = t match {
+      case 1 | 2 | 6 | 7 => 1; case 3 | 8 => 2; case 4 | 9 | 11 => 4; case 5 | 10 | 12 => 8
+      case other => throw new IllegalArgumentException(s"TIFF type $other")
+    }
+    def valueOffset(e: Entry): Int = {
+      val total = typeSize(e.typ) * e.count
+      if (total <= 4) e.at else buf.getInt(e.at)
+    }
+    def shorts(e: Entry): Array[Int] = {
+      val off = valueOffset(e)
+      Array.tabulate(e.count)(i => buf.getShort(off + 2 * i) & 0xFFFF)
+    }
+    def doubles(e: Entry): Array[Double] = {
+      val off = valueOffset(e)
+      Array.tabulate(e.count)(i => buf.getDouble(off + 8 * i))
+    }
+    def intVal(e: Entry): Long = e.typ match {
+      case 3 => (buf.getShort(e.at) & 0xFFFF).toLong
+      case 4 => buf.getInt(e.at).toLong & 0xFFFFFFFFL
+      case other => throw new IllegalArgumentException(s"tag ${e.tag}: type $other not integral")
+    }
+
+    val width = intVal(find(TagWidth).getOrElse(
+      throw new IllegalArgumentException(s"$path: no ImageWidth"))).toInt
+    val height = intVal(find(TagLength).getOrElse(
+      throw new IllegalArgumentException(s"$path: no ImageLength"))).toInt
+    val scale = find(TagModelPixelScale).map(doubles).getOrElse(
+      throw new IllegalArgumentException(s"$path: no ModelPixelScale (not georeferenced)"))
+    val tie = find(TagModelTiepoint).map(doubles).getOrElse(
+      throw new IllegalArgumentException(s"$path: no ModelTiepoint (not georeferenced)"))
+    require(tie.length >= 6, s"$path: short ModelTiepoint")
+    val (sx, sy) = (scale(0), scale(1))
+    // tiepoint (i, j, k) -> model (x, y, z); raster (0,0) model position:
+    val x0 = tie(3) - tie(0) * sx
+    val y0 = tie(4) + tie(1) * sy
+    val gt = Seq(x0, sx, 0.0, y0, 0.0, -sy)
+
+    // geo keys: (KeyDirectoryVersion, KeyRevision, MinorRevision, NumberOfKeys)
+    val geo = find(TagGeoKeys).map(shorts).getOrElse(
+      throw new IllegalArgumentException(s"$path: no GeoKeyDirectory (not georeferenced)"))
+    val geoDoubles = find(TagGeoDoubles).map(doubles).getOrElse(Array.empty[Double])
+    val nKeys = geo(3)
+    // key entry: (keyId, tiffTagLocation, count, valueOrIndex)
+    val keys: Map[Int, (Int, Int, Int)] = (0 until nKeys).map { i =>
+      val o = 4 + 4 * i
+      geo(o) -> ((geo(o + 1), geo(o + 2), geo(o + 3)))
+    }.toMap
+    def keyShort(id: Int): Option[Int] = keys.get(id).collect {
+      case (0, _, v) => v // stored inline in the directory
+    }
+    def keyDouble(id: Int): Option[Double] = keys.get(id).collect {
+      case (TagGeoDoubles, _, idx) => geoDoubles(idx)
+      case (0, _, v) => v.toDouble
+    }
+
+    val ellParams: Map[String, String] =
+      (keyDouble(GeogSemiMajor), keyDouble(GeogSemiMinor), keyDouble(GeogInvFlattening)) match {
+        case (Some(a), Some(b), _) => Map("a" -> a.toString, "b" -> b.toString)
+        case (Some(a), None, Some(rf)) => Map("a" -> a.toString, "rf" -> rf.toString)
+        case (Some(a), None, None) => Map("a" -> a.toString)
+        case _ => Map.empty // fall through to the model's default (WGS84)
+      }
+    val modelType = keyShort(GTModelType).getOrElse(
+      throw new IllegalArgumentException(s"$path: no GTModelTypeGeoKey"))
+    val crs: Crs = modelType match {
+      case 2 => // geographic
+        keyShort(GeographicType) match {
+          case Some(32767) | None => Crs.fromParams(Map("proj" -> "longlat") ++ ellParams)
+          case Some(4326) => Crs.fromParams(Map("proj" -> "longlat"))
+          case Some(other) => Crs.fromParams(epsgParams(other))
+        }
+      case 1 => // projected
+        keyShort(ProjectedCSType) match {
+          case Some(code) if code != 32767 => Crs.fromParams(epsgParams(code))
+          case _ =>
+            val ct = keyShort(ProjCoordTrans).getOrElse(throw new IllegalArgumentException(
+              s"$path: user-defined PCS without ProjCoordTransGeoKey"))
+            val proj = ctToProj.getOrElse(ct, throw new IllegalArgumentException(
+              s"$path: unsupported coordinate transformation code $ct"))
+            val p = Seq(
+              keyDouble(ProjNatOriginLat).map("lat_0" -> _.toString),
+              keyDouble(ProjCenterLat).map("lat_0" -> _.toString),
+              keyDouble(ProjNatOriginLong).map("lon_0" -> _.toString),
+              keyDouble(ProjCenterLong).map("lon_0" -> _.toString),
+              keyDouble(ProjStraightVertPoleLong).map("lon_0" -> _.toString),
+              keyDouble(ProjStdParallel1).map(v =>
+                (if (proj == "lcc") "lat_1" else "lat_ts") -> v.toString),
+              keyDouble(ProjStdParallel2).map("lat_2" -> _.toString),
+              keyDouble(ProjScaleAtNatOrigin).map("k_0" -> _.toString)
+            ).flatten.toMap
+            // CT_PolarStereographic (15) carries the hemisphere in the
+            // sign of its standard parallel; the projection origin IS the
+            // pole when no origin-lat key is present
+            val pole: Map[String, String] =
+              if (ct == 15 && !p.contains("lat_0"))
+                Map("lat_0" -> (if (p.get("lat_ts").exists(_.toDouble < 0)) "-90" else "90"))
+              else Map.empty
+            Crs.fromParams(Map("proj" -> proj) ++ p ++ pole ++ ellParams)
+        }
+      case other => throw new IllegalArgumentException(s"$path: GTModelType $other unsupported")
+    }
+    RasterInfo(width, height, gt, crs)
+  }
+
+  /** `get_area_def_from_raster`: read georeferencing and build the area
+    * via the shared geotransform math. */
+  def areaFromGeoTiff(path: String, areaId: String = "from_raster"): AreaDef = {
+    val info = readInfo(path)
+    require(info.geoTransform(2) == 0 && info.geoTransform(4) == 0,
+      "rotated rasters are not supported (reference contract)")
+    val gt = info.geoTransform
+    AreaDef(areaId, info.crs, info.width, info.height,
+      gt(0), gt(3) - info.height * (-gt(5)), gt(0) + info.width * gt(1), gt(3))
+  }
+}
