@@ -103,6 +103,39 @@ object CfArea {
     (adef, info)
   }
 
+  /** Materialize a 2-D (or trailing-2-D) CF variable as a DataFrame of
+    * `(cell, <variable>)` rows aligned to the discovered area's row-major
+    * cell ids — the bridge from file to the engine's resampling operators
+    * (compose with `AreaDef.grid` / the Image containers; see
+    * CfNetcdfSpec's end-to-end case). Driver-side materialization BY
+    * DESIGN: classic NetCDF caps files at a few GB — bulk data belongs
+    * in parquet; this is the convenience path for grid-sized inputs,
+    * parallelized immediately so everything downstream is distributed. */
+  def readGrid(
+      spark: org.apache.spark.sql.SparkSession,
+      nc: NcFile,
+      variable: String): (org.apache.spark.sql.DataFrame, AreaDef) = {
+    val (adef, info) = loadCfArea(nc, Some(variable), None, None)
+    val v = nc.vars(variable)
+    val data = nc.readDoubles(variable)
+    val w = adef.width; val h = adef.height
+    require(data.length % (w.toLong * h) == 0,
+      s"$variable: ${data.length} values do not tile the ${h}x$w grid")
+    // trailing-2-D contract: (…, y, x) row-major — take the LAST slab
+    // (e.g. the latest record of a (time, y, x) variable)
+    val slab = data.takeRight(w * h)
+    val dims = nc.dimNames(v)
+    require(dims.takeRight(2) == Seq(info.y.varname, info.x.varname) ||
+      dims.takeRight(2) == Seq("y", "x") || dims.length >= 2,
+      s"$variable: dims $dims do not end in (y, x)")
+    import spark.implicits._
+    val df = spark.sparkContext
+      .parallelize(slab.toIndexedSeq.zipWithIndex, spark.sparkContext.defaultParallelism)
+      .map { case (value, i) => (i.toLong, value) }
+      .toDF("cell", variable)
+    (df, adef)
+  }
+
   private def loadOneVariable(
       nc: NcFile, variable: String,
       y: Option[String], x: Option[String]): (AreaDef, CfInfo) = {

@@ -125,6 +125,36 @@ class CfNetcdfSpec extends AnyFunSuite {
     assert(nc.readDoubles("temp").length === 9)
   }
 
+  test("end-to-end: CF file -> grid DataFrame -> quick resample to a coarser area") {
+    // the reference's core workflow (load_cf_area + data -> resample),
+    // entirely offline: goes.nc's C13 payload onto a 5x3 aggregate of
+    // its own geostationary grid via the Quick (linesample) container.
+    val spark = graft.functions.GraftExtensions.install(
+      org.apache.spark.sql.SparkSession.builder())
+      .master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    val nc = NetCdf3.read(fixture("goes.nc"))
+    val (df, adef) = CfArea.readGrid(spark, nc, "C13")
+    assert(df.count() === 15L * 25L)
+    // every cell id in range, values match the fixture's payload pattern
+    val sum = df.agg(org.apache.spark.sql.functions.sum("C13")).head().getDouble(0)
+    val expected = (0 until 15 * 25).map(i => (i % 97).toDouble / 8.0).sum
+    assert(math.abs(sum - expected) < 1e-9)
+    // resample onto the 5x 3 downscaled area: quick linesample picks the
+    // source pixel containing each coarse-cell centre
+    val coarse = adef.aggregate(5, 5)
+    val img = new graft.operators.ImageContainerQuick(
+      graft.operators.AreaImage(df, adef, Seq("C13")))
+    val out = img.resample(coarse)
+    assert(out.area === coarse)
+    assert(out.data.count() === (coarse.width.toLong * coarse.height))
+    val vals = out.data.orderBy("cell")
+      .select("C13").collect().map(_.getDouble(0))
+    assert(vals.forall(v => v >= 0.0 && v <= 96.0 / 8.0))
+  }
+
   test("parameter validation mirrors upstream error contracts") {
     val nc = NetCdf3.read(fixture("nh10km.nc"))
     // x without y
