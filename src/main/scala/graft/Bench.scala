@@ -97,6 +97,12 @@ object Bench {
       val (times, ext) = withExtLoad {
         (1 to iters).map { _ =>
           spark.catalog.clearCache()
+          // drop leftover RDD-level blocks too (localCheckpoint/persist
+          // from EARLIER queries — clearCache only covers the table
+          // cache): no query can reuse another query's blocks, so the
+          // only effect of keeping them is block-manager pressure that
+          // penalizes whichever queries happen to run late in the suite
+          spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))
           val t0 = System.nanoTime()
           try { fn(spark, sfDir).count() } catch {
             case e: Throwable => System.err.println(s"[bench] $name failed: ${e.getMessage}"); -1L
