@@ -303,10 +303,18 @@ object AreaConfig {
           "lat_0" -> a("latitude_of_projection_origin").toString,
           "lon_0" -> a("longitude_of_projection_origin").toString)
       case "polar_stereographic" =>
+        // CF allows EITHER standard_parallel OR
+        // scale_factor_at_projection_origin as the scale definition
+        val scale: Map[String, String] = num("standard_parallel") match {
+          case Some(sp) => Map("lat_ts" -> sp.toString)
+          case None => num("scale_factor_at_projection_origin") match {
+            case Some(k) => Map("k_0" -> k.toString) // lat_ts defaults to the pole
+            case None => Map("lat_ts" -> a("latitude_of_projection_origin", 90).toString)
+          }
+        }
         Map("proj" -> "stere",
           "lat_0" -> a("latitude_of_projection_origin", 90).toString,
-          "lat_ts" -> a("standard_parallel", a("latitude_of_projection_origin", 90)).toString,
-          "lon_0" -> a("straight_vertical_longitude_from_pole").toString)
+          "lon_0" -> a("straight_vertical_longitude_from_pole").toString) ++ scale
       case "stereographic" =>
         Map("proj" -> "stere",
           "lat_0" -> a("latitude_of_projection_origin").toString,

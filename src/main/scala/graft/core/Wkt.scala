@@ -28,8 +28,10 @@ object Wkt {
   private val projOfMethod: Map[String, String] =
     methodOf.map(_.swap) ++ Map(
       "Geostationary Satellite (Sweep Y)" -> "geos",
-      "Polar Stereographic (variant A)" -> "stere",
-      "Mercator (variant A)" -> "merc")
+      // variant A = origin lat + scale factor, both of which stere maps;
+      // Mercator variant A is NOT aliased — the engine's merc has no k_0,
+      // so accepting it would silently drop the defining scale factor
+      "Polar Stereographic (variant A)" -> "stere")
 
   /** (standard EPSG parameter name, engine proj4 key) per projection —
     * written in this order; keys of the projection not listed here ride

@@ -503,14 +503,18 @@ object Similarity {
   /** Margin mining composed with a trained IVF index — the 100 TB form
     * of [[marginMine]], whose exact cross join stops being runnable when
     * the query set itself is corpus-sized. Candidates are assigned to
-    * their nearest centroid (broadcast literals, zero-shuffle scoring),
-    * queries probe their `nProbe` nearest cells, and the pair table is
-    * the `centroid_id` equi-join — Σ|cell|·|probes| pairs, never |Q|·|C|.
-    * The margin algebra over the retrieved pairs is IDENTICAL to the
-    * exact operator (same ratio-margin windows); with `nProbe` =
-    * centroid count every pair is retrieved exactly once and the output
-    * equals [[marginMine]] bit-for-bit (MiningSpec asserts it), so
-    * recall loss is isolated in the probe budget, not the scoring. */
+    * their nearest centroid (literal vectors, zero-shuffle per-row
+    * scoring), queries probe their `nProbe` nearest cells, and the pair
+    * table is the `centroid_id` equi-join: ≈ |Q|·|C|·nProbe/k pairs. At
+    * FIXED k that is a constant-factor reduction — linearity in the
+    * corpus requires the standard k ∝ √n training discipline so
+    * per-cell occupancy stays bounded as n grows (the same contract as
+    * [[semanticDedup]]). The margin algebra over the retrieved pairs is
+    * IDENTICAL to the exact operator (same ratio-margin windows); with
+    * `nProbe` = centroid count every pair is retrieved exactly once and
+    * the output equals [[marginMine]] bit-for-bit (MiningSpec asserts
+    * it), so recall loss is isolated in the probe budget, not the
+    * scoring. */
   def marginMineWith(
       queries: DataFrame,
       candidates: DataFrame,

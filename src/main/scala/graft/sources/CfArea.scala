@@ -122,12 +122,19 @@ object CfArea {
     require(data.length % (w.toLong * h) == 0,
       s"$variable: ${data.length} values do not tile the ${h}x$w grid")
     // trailing-2-D contract: (…, y, x) row-major — take the LAST slab
-    // (e.g. the latest record of a (time, y, x) variable)
-    val slab = data.takeRight(w * h)
+    // (e.g. the latest record of a (time, y, x) variable). A (…, x, y)
+    // layout is transposed into row-major; anything else is an error —
+    // zipping a mis-ordered slab to cell ids would silently transpose
+    // the raster.
+    val raw = data.takeRight(w * h)
     val dims = nc.dimNames(v)
-    require(dims.takeRight(2) == Seq(info.y.varname, info.x.varname) ||
-      dims.takeRight(2) == Seq("y", "x") || dims.length >= 2,
-      s"$variable: dims $dims do not end in (y, x)")
+    val slab: Array[Double] = dims.takeRight(2) match {
+      case Seq(yd, xd) if yd == info.y.varname && xd == info.x.varname => raw
+      case Seq(xd, yd) if xd == info.x.varname && yd == info.y.varname =>
+        Array.tabulate(w * h)(i => raw((i % w) * h + i / w)) // (x, y) -> row-major (y, x)
+      case other => throw new IllegalArgumentException(
+        s"$variable: trailing dims $other are not (${info.y.varname}, ${info.x.varname})")
+    }
     import spark.implicits._
     val df = spark.sparkContext
       .parallelize(slab.toIndexedSeq.zipWithIndex, spark.sparkContext.defaultParallelism)

@@ -67,44 +67,59 @@ object GeoTiff {
 
   def readInfo(path: String): RasterInfo = {
     val raf = new RandomAccessFile(path, "r")
-    val bytes =
-      try { val arr = new Array[Byte](raf.length().toInt); raf.seek(0); raf.readFully(arr); arr }
-      finally raf.close()
-    val order = new String(bytes.take(2), "US-ASCII") match {
+    try readInfoFrom(path, raf)
+    finally raf.close()
+  }
+
+  private def readInfoFrom(path: String, raf: RandomAccessFile): RasterInfo = {
+    // positioned bounded reads: the IFD may sit ANYWHERE in the file
+    // (commonly after the pixel strips), so never materialize the file —
+    // the scaladoc's "pixel strips are never decoded" is also "never
+    // loaded", and >2 GB rasters parse fine
+    def slice(off: Long, len: Int): ByteBuffer = {
+      val arr = new Array[Byte](len)
+      raf.seek(off); raf.readFully(arr)
+      ByteBuffer.wrap(arr)
+    }
+    val head = slice(0, 8)
+    val order = new String(Array(head.get(0), head.get(1)), "US-ASCII") match {
       case "II" => ByteOrder.LITTLE_ENDIAN
       case "MM" => ByteOrder.BIG_ENDIAN
       case other => throw new IllegalArgumentException(s"$path: not a TIFF (order '$other')")
     }
-    val buf = ByteBuffer.wrap(bytes).order(order)
-    require(buf.getShort(2) == 42, s"$path: bad TIFF magic")
-    val ifdOff = buf.getInt(4)
-    val n = buf.getShort(ifdOff) & 0xFFFF
+    head.order(order)
+    require(head.getShort(2) == 42, s"$path: bad TIFF magic")
+    val ifdOff = head.getInt(4).toLong & 0xFFFFFFFFL
+    val n = slice(ifdOff, 2).order(order).getShort(0) & 0xFFFF
+    val ifd = slice(ifdOff + 2, 12 * n).order(order)
     // entry: tag(2) type(2) count(4) valueOrOffset(4)
-    final case class Entry(tag: Int, typ: Int, count: Int, at: Int)
+    final case class Entry(tag: Int, typ: Int, count: Int, at: Int) // at: offset in `ifd`
     val entries = (0 until n).map { i =>
-      val e = ifdOff + 2 + 12 * i
-      Entry(buf.getShort(e) & 0xFFFF, buf.getShort(e + 2) & 0xFFFF, buf.getInt(e + 4), e + 8)
+      val e = 12 * i
+      Entry(ifd.getShort(e) & 0xFFFF, ifd.getShort(e + 2) & 0xFFFF, ifd.getInt(e + 4), e + 8)
     }
     def find(tag: Int): Option[Entry] = entries.find(_.tag == tag)
     def typeSize(t: Int): Int = t match {
       case 1 | 2 | 6 | 7 => 1; case 3 | 8 => 2; case 4 | 9 | 11 => 4; case 5 | 10 | 12 => 8
       case other => throw new IllegalArgumentException(s"TIFF type $other")
     }
-    def valueOffset(e: Entry): Int = {
+    // values ≤4 bytes live inline in the entry; larger ones at an offset
+    def valueBuf(e: Entry): ByteBuffer = {
       val total = typeSize(e.typ) * e.count
-      if (total <= 4) e.at else buf.getInt(e.at)
+      if (total <= 4) ifd.duplicate().position(e.at).slice().order(order)
+      else slice(ifd.getInt(e.at).toLong & 0xFFFFFFFFL, total).order(order)
     }
     def shorts(e: Entry): Array[Int] = {
-      val off = valueOffset(e)
-      Array.tabulate(e.count)(i => buf.getShort(off + 2 * i) & 0xFFFF)
+      val b = valueBuf(e)
+      Array.tabulate(e.count)(i => b.getShort(2 * i) & 0xFFFF)
     }
     def doubles(e: Entry): Array[Double] = {
-      val off = valueOffset(e)
-      Array.tabulate(e.count)(i => buf.getDouble(off + 8 * i))
+      val b = valueBuf(e)
+      Array.tabulate(e.count)(i => b.getDouble(8 * i))
     }
     def intVal(e: Entry): Long = e.typ match {
-      case 3 => (buf.getShort(e.at) & 0xFFFF).toLong
-      case 4 => buf.getInt(e.at).toLong & 0xFFFFFFFFL
+      case 3 => (ifd.getShort(e.at) & 0xFFFF).toLong
+      case 4 => ifd.getInt(e.at).toLong & 0xFFFFFFFFL
       case other => throw new IllegalArgumentException(s"tag ${e.tag}: type $other not integral")
     }
 

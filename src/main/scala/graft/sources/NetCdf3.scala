@@ -81,14 +81,11 @@ object NetCdf3 {
         v.dimIds.drop(1).map(dims(_).length.toLong).product * typeSize(v.ncType)
       } else recordVars.map(_.vsize).sum
 
-    private def readRaw(off: Long, len: Int): ByteBuffer = {
-      val raf = new RandomAccessFile(path, "r")
-      try {
-        val arr = new Array[Byte](len)
-        raf.seek(off)
-        raf.readFully(arr)
-        ByteBuffer.wrap(arr) // big-endian by default
-      } finally raf.close()
+    private def readRaw(raf: RandomAccessFile, off: Long, len: Int): ByteBuffer = {
+      val arr = new Array[Byte](len)
+      raf.seek(off)
+      raf.readFully(arr)
+      ByteBuffer.wrap(arr) // big-endian by default
     }
 
     private def decode(buf: ByteBuffer, t: Int, n: Int): Array[Double] = {
@@ -115,26 +112,39 @@ object NetCdf3 {
         throw new NoSuchElementException(s"variable '$name' not in $path"))
       val isRec = v.dimIds.headOption.exists(dims(_).isRecord)
       val ts = typeSize(v.ncType)
-      if (!isRec) {
-        val n = v.dimIds.map(dims(_).length.toLong).product.toInt.max(1) // scalar: 1
-        decode(readRaw(v.begin, n * ts), v.ncType, n)
-      } else {
-        val perRec = v.dimIds.drop(1).map(dims(_).length.toLong).product.toInt.max(1)
-        val out = new Array[Double](perRec * numRecs)
-        var r = 0
-        while (r < numRecs) {
-          val buf = readRaw(v.begin + r * recStride, perRec * ts)
-          System.arraycopy(decode(buf, v.ncType, perRec), 0, out, r * perRec, perRec)
-          r += 1
+      val raf = new RandomAccessFile(path, "r") // ONE handle for the whole read
+      try {
+        if (!isRec) {
+          val n = v.dimIds.map(dims(_).length.toLong).product.toInt.max(1) // scalar: 1
+          decode(readRaw(raf, v.begin, n * ts), v.ncType, n)
+        } else {
+          val perRec = v.dimIds.drop(1).map(dims(_).length.toLong).product.toInt.max(1)
+          val out = new Array[Double](perRec * numRecs)
+          var r = 0
+          while (r < numRecs) {
+            val buf = readRaw(raf, v.begin + r * recStride, perRec * ts)
+            System.arraycopy(decode(buf, v.ncType, perRec), 0, out, r * perRec, perRec)
+            r += 1
+          }
+          out
         }
-        out
-      }
+      } finally raf.close()
     }
   }
 
-  def read(path: String): NcFile =
-    try readHeader(path, 1 << 20) // 1 MB covers any sane header
-    catch { case _: java.nio.BufferUnderflowException => readHeader(path, Int.MaxValue) }
+  def read(path: String): NcFile = {
+    val fileLen = new java.io.File(path).length()
+    if (fileLen <= (1 << 20)) readHeader(path, Int.MaxValue)
+    else
+      try readHeader(path, 1 << 20) // 1 MB covers any sane header
+      catch {
+        // a truncated prefix can surface as underflow OR as an
+        // out-of-range position() (padding skip past the limit) — retry
+        // with the full file; a genuine parse error just reproduces
+        case _: java.nio.BufferUnderflowException | _: IllegalArgumentException =>
+          readHeader(path, Int.MaxValue)
+      }
+  }
 
   private def readHeader(path: String, maxPrefix: Int): NcFile = {
     val raf = new RandomAccessFile(path, "r")

@@ -48,8 +48,11 @@ object ScaleBench {
   // q100_margin_mine is deliberately NOT in the default sweep: both its
   // sides scale with embeddings, so the exact cross join is O(100x) at a
   // 10x blow-up — the measured quadratic is recorded once in SCALING.md
-  // (run SPARK_GRAFT_SCALE_ONLY=q100 to reproduce); q196 is its linear
-  // IVF-composed production path.
+  // (run SPARK_GRAFT_SCALE_ONLY=q100 to reproduce). q196 is the
+  // IVF-composed production path: a constant-factor nProbe/k reduction
+  // at fixed centroid count (still |Q|·|C|-class asymptotically), linear
+  // only under the k ∝ √n training discipline that keeps per-cell
+  // occupancy bounded — the sweep's fixed k=8 measures the former.
 
   def main(args: Array[String]): Unit = {
     val base = args.headOption.getOrElse("/root/testdata/sf0.1")
@@ -95,6 +98,9 @@ object ScaleBench {
       val fn = graft.SparkEntry.queries(name)
       (1 to iters).map { _ =>
         spark.catalog.clearCache()
+        // and RDD-level leftovers (localCheckpoint/persist from earlier
+        // queries) — same late-suite pressure fix as graft.Bench
+        spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))
         val t0 = System.nanoTime()
         fn(spark, dir).count()
         (System.nanoTime() - t0) / 1e9

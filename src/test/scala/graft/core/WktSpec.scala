@@ -64,6 +64,14 @@ class WktSpec extends AnyFunSuite {
     assert(Wkt.fromWkt(geosY).params.get("sweep") === None)
   }
 
+  test("Mercator variant A is rejected, not silently de-scaled") {
+    // the engine's merc has no k_0 — accepting variant A would drop its
+    // defining scale factor and return a wrong CRS without an error
+    val wkt = """PROJCRS["x",BASEGEOGCRS["u",DATUM["u",ELLIPSOID["u",6378137,298.257223563,LENGTHUNIT["metre",1]]],PRIMEM["Greenwich",0]],CONVERSION["u",METHOD["Mercator (variant A)"],PARAMETER["Scale factor at natural origin",0.9996]],CS[Cartesian,2]]"""
+    val e = intercept[IllegalArgumentException](Wkt.fromWkt(wkt))
+    assert(e.getMessage.contains("Mercator (variant A)"))
+  }
+
   test("lenient read: pyproj/GDAL-shaped WKT with mapped methods loads") {
     // hand-shaped external WKT (extra nodes, IDs, different formatting)
     val external =

@@ -153,6 +153,31 @@ class CfNetcdfSpec extends AnyFunSuite {
     val vals = out.data.orderBy("cell")
       .select("C13").collect().map(_.getDouble(0))
     assert(vals.forall(v => v >= 0.0 && v <= 96.0 / 8.0))
+    // a variable stored with TRANSPOSED (x, y) dims must map to the
+    // identical row-major cells — the silent-transposition guard
+    val (dfT, _) = CfArea.readGrid(spark, nc, "C13T")
+    val a = df.orderBy("cell").select("C13").collect().map(_.getDouble(0)).toSeq
+    val b = dfT.orderBy("cell").select("C13T").collect().map(_.getDouble(0)).toSeq
+    assert(a === b, "transposed-dims variable must decode to the same raster")
+  }
+
+  test("polar_stereographic accepts the scale-factor form of the scale definition") {
+    import graft.core.AreaConfig
+    // CF allows scale_factor_at_projection_origin instead of
+    // standard_parallel; it must land as k_0, not be dropped
+    val num = Map(
+      "latitude_of_projection_origin" -> 90.0,
+      "straight_vertical_longitude_from_pole" -> -45.0,
+      "scale_factor_at_projection_origin" -> 0.97,
+      "semi_major_axis" -> 6378137.0).get _
+    val p = AreaConfig.cfProjParams("polar_stereographic", num, _ => None)
+    assert(p("k_0").toDouble === 0.97)
+    assert(!p.contains("lat_ts"), "k_0 form must not also pin a standard parallel")
+    // and the built CRS scales by k: forward x at k=0.97 is 0.97x of k=1
+    val k97 = graft.core.Crs.fromParams(p)
+    val k1 = graft.core.Crs.fromParams(p.updated("k_0", "1.0"))
+    val (x97, _) = k97.forward(10.0, 70.0); val (x1, _) = k1.forward(10.0, 70.0)
+    assert(math.abs(x97 / x1 - 0.97) < 1e-9)
   }
 
   test("parameter validation mirrors upstream error contracts") {

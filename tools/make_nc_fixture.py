@@ -192,9 +192,13 @@ def goes(outdir):
     x = linspace(ext[0], ext[2], w)
     y = linspace(ext[3], ext[1], ht)
     payload = [float((r * w + c) % 97) / 8.0 for r in range(ht) for c in range(w)]
+    # C13T: the same payload stored with TRANSPOSED dims (x, y) — readGrid
+    # must un-transpose it to the identical row-major cell mapping
+    payload_t = [payload[r * w + c] for c in range(w) for r in range(ht)]
     dims = [('y', ht), ('x', w)]
     variables = [
         Var('C13', [0, 1], NC_FLOAT, [('grid_mapping', *s('GOES-East'))], payload),
+        Var('C13T', [1, 0], NC_FLOAT, [('grid_mapping', *s('GOES-East'))], payload_t),
         Var('x', [1], NC_DOUBLE,
             [('units', *s('radians')), ('standard_name', *s('projection_x_coordinate'))], x),
         Var('y', [0], NC_DOUBLE,
