@@ -17,4 +17,23 @@ class EntryContractSpec extends SparkSpec {
     assert(new java.io.File("/root/testdata/sf0.001").isDirectory)
     assert(SparkEntry.entry(spark).count() > 0)
   }
+
+  test("every query builds at sf0.001 with a non-empty, duplicate-free schema") {
+    // analysis-time smoke across the whole surface: a query that throws
+    // at build, loses its columns, or aliases two outputs to one name
+    // (the driver's compare sorts columns BY NAME — duplicates hash
+    // garbage) fails here before any round artifact does. Eager
+    // operators (checkpointed graph/dedup builds) execute at sf0.001 —
+    // small by design.
+    val failures = graft.queries.Queries.all.flatMap { case (name, q) =>
+      try {
+        val schema = q.build(spark, "/root/testdata/sf0.001").schema
+        if (schema.isEmpty) Some(s"$name: empty schema")
+        else if (schema.map(_.name).distinct.size != schema.size)
+          Some(s"$name: duplicate column names ${schema.map(_.name)}")
+        else None
+      } catch { case e: Throwable => Some(s"$name: build threw ${e.getMessage}") }
+    }
+    assert(failures.isEmpty, failures.mkString("\n"))
+  }
 }
