@@ -23,6 +23,9 @@ object Verify {
     SparkEntry.queries
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .foreach { case (name, fn) =>
+      // drop RDD blocks left by EARLIER queries' eager localCheckpoints —
+      // the same late-suite block-manager pressure graft.Bench sheds
+      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
