@@ -76,7 +76,12 @@ object CfArea {
     val (adef, info0) = variable match {
       case Some(v) => loadOneVariable(nc, v, y, x)
       case None =>
-        // search every >=2-D variable; areas must agree (cf.py:380)
+        // search every >=2-D variable; areas must agree (cf.py:380).
+        // Upstream's loop `break`s on the FIRST loadable variable, which
+        // makes its own several-areas error dead code — we implement the
+        // documented contract instead (scan all, error on disagreement),
+        // so a multi-grid file fails loudly rather than silently
+        // returning whichever variable happened to serialize first.
         val found = nc.varList.filter(_.dimIds.length >= 2).flatMap { v =>
           try Some(loadOneVariable(nc, v.name, None, None))
           catch { case _: IllegalArgumentException | _: NoSuchElementException => None }
