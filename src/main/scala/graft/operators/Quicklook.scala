@@ -16,9 +16,13 @@ import java.awt.image.BufferedImage
   * `AreaDef.aggregate` first. */
 object Quicklook {
 
-  /** ColorBrewer RdBu anchors (public palette): dark blue, near-white,
-    * dark red — `RdBu_r` runs blue(low) -> white -> red(high). */
-  private val RdBuR = Seq((5, 48, 97), (247, 247, 247), (103, 0, 31))
+  /** The full 11-class ColorBrewer RdBu palette (public), reversed:
+    * `RdBu_r` runs dark blue (low) -> near-white -> dark red (high),
+    * matching the reference's default `cmap='RdBu_r'` family. */
+  private val RdBuR = Seq(
+    (5, 48, 97), (33, 102, 172), (67, 147, 195), (146, 197, 222),
+    (209, 229, 240), (247, 247, 247), (253, 219, 199), (244, 165, 130),
+    (214, 96, 77), (178, 24, 43), (103, 0, 31))
   private val Gray = Seq((0, 0, 0), (255, 255, 255))
 
   private def ramp(anchors: Seq[(Int, Int, Int)], t: Double): Int = {
