@@ -56,11 +56,96 @@ object Projection {
 
 import Projection._
 
+/** Shared ellipsoidal series/special functions (Snyder PP 1395 §3). */
+object ProjMath {
+  /** Snyder 3-12: q, the equal-area auxiliary (sphere: 2 sin phi). */
+  def qOf(phi: Double, ell: Ellipsoid): Double = {
+    val s = math.sin(phi)
+    if (ell.isSphere) 2 * s
+    else {
+      val e = ell.e
+      (1 - ell.e2) * (s / (1 - ell.e2 * s * s) - (1 / (2 * e)) * math.log((1 - e * s) / (1 + e * s)))
+    }
+  }
+  /** Snyder 3-16 fixed point: latitude from q. */
+  def phiFromQ(q: Double, ell: Ellipsoid): Double = {
+    if (ell.isSphere) return math.asin(math.max(-1.0, math.min(1.0, q / 2)))
+    val e = ell.e
+    val qp = qOf(math.Pi / 2, ell)
+    if (math.abs(math.abs(q) - math.abs(qp)) < 1e-12) return if (q >= 0) math.Pi / 2 else -math.Pi / 2
+    var phi = math.asin(math.max(-1.0, math.min(1.0, q / 2)))
+    var i = 0
+    while (i < 15) {
+      val s = math.sin(phi); val c = math.cos(phi)
+      val esin = e * s
+      val corr = (math.pow(1 - esin * esin, 2) / (2 * c)) *
+        (q / (1 - ell.e2) - s / (1 - esin * esin) + (1 / (2 * e)) * math.log((1 - esin) / (1 + esin)))
+      phi += corr
+      if (math.abs(corr) < 1e-12) i = 15 else i += 1
+    }
+    phi
+  }
+  /** Snyder 14-15: m = cos(phi)/sqrt(1 - e^2 sin^2 phi). */
+  def msfn(phi: Double, ell: Ellipsoid): Double = {
+    val s = math.sin(phi)
+    math.cos(phi) / math.sqrt(1 - ell.e2 * s * s)
+  }
+  /** Meridian arc from the equator, Snyder 3-21. */
+  def meridianArc(phi: Double, ell: Ellipsoid): Double = {
+    if (ell.isSphere) return ell.a * phi
+    val e2 = ell.e2; val e4 = e2 * e2; val e6 = e4 * e2
+    ell.a * ((1 - e2 / 4 - 3 * e4 / 64 - 5 * e6 / 256) * phi -
+      (3 * e2 / 8 + 3 * e4 / 32 + 45 * e6 / 1024) * math.sin(2 * phi) +
+      (15 * e4 / 256 + 45 * e6 / 1024) * math.sin(4 * phi) -
+      (35 * e6 / 3072) * math.sin(6 * phi))
+  }
+  /** Footpoint latitude from a meridian arc, Snyder 3-26 (7-19 e1 series). */
+  def phiFromArc(m: Double, ell: Ellipsoid): Double = {
+    if (ell.isSphere) return m / ell.a
+    val e2 = ell.e2; val e4 = e2 * e2; val e6 = e4 * e2
+    val mu = m / (ell.a * (1 - e2 / 4 - 3 * e4 / 64 - 5 * e6 / 256))
+    val e1 = (1 - math.sqrt(1 - e2)) / (1 + math.sqrt(1 - e2))
+    val e1_2 = e1 * e1; val e1_3 = e1_2 * e1; val e1_4 = e1_3 * e1
+    var phi = mu + (3 * e1 / 2 - 27 * e1_3 / 32) * math.sin(2 * mu) +
+      (21 * e1_2 / 16 - 55 * e1_4 / 32) * math.sin(4 * mu) +
+      (151 * e1_3 / 96) * math.sin(6 * mu) +
+      (1097 * e1_4 / 512) * math.sin(8 * mu)
+    // Newton polish (dM/dphi = a(1-e^2)/(1-e^2 sin^2)^{3/2}): the series
+    // alone truncates at ~5e-8 deg, visible in tight round-trip specs
+    var i = 0
+    while (i < 3) {
+      val s = math.sin(phi)
+      val dM = ell.a * (1 - e2) / math.pow(1 - e2 * s * s, 1.5)
+      val corr = (m - meridianArc(phi, ell)) / dM
+      phi += corr
+      if (math.abs(corr) < 1e-14) i = 3 else i += 1
+    }
+    phi
+  }
+  @inline def atanh(x: Double): Double = 0.5 * math.log((1 + x) / (1 - x))
+  @inline def asinh(x: Double): Double = {
+    val ax = math.abs(x)
+    math.signum(x) * math.log(ax + math.hypot(1.0, ax))
+  }
+}
+
 /** proj=longlat / latlong: identity in degrees. */
 final case class LonLatProj(ell: Ellipsoid) extends Projection {
   override def isLonLat: Boolean = true
   def forward(lon: Double, lat: Double): (Double, Double) = (lon, lat)
   def inverse(x: Double, y: Double): (Double, Double) = (x, y)
+}
+
+/** False easting/northing wrapper: PROJ's `+x_0`/`+y_0` applied on top of
+  * any projection (pyresample passes them through untouched inside the
+  * proj dict, e.g. `utils/proj4.py:29-99`). */
+final case class OffsetProj(inner: Projection, x0: Double, y0: Double) extends Projection {
+  def ell: Ellipsoid = inner.ell
+  override def isLonLat: Boolean = inner.isLonLat
+  def forward(lon: Double, lat: Double): (Double, Double) = {
+    val (x, y) = inner.forward(lon, lat); (x + x0, y + y0)
+  }
+  def inverse(x: Double, y: Double): (Double, Double) = inner.inverse(x - x0, y - y0)
 }
 
 /** proj=eqc (equirectangular / plate carrée), x = a·λ·cosφts, y = a·φ. */
@@ -74,11 +159,15 @@ final case class EquirectProj(lon0: Double, latTs: Double, ell: Ellipsoid) exten
     (wrapLonDeg(lon0 + (x / (ell.a * cosTs)) * Rad2Deg), (y / ell.a) * Rad2Deg)
 }
 
-/** proj=merc — Mercator (Snyder 7-2/7-4 sphere; 7-7/7-8 ellipsoid). */
-final case class MercatorProj(lon0: Double, latTs: Double, ell: Ellipsoid) extends Projection {
+/** proj=merc — Mercator (Snyder 7-2/7-4 sphere; 7-7/7-8 ellipsoid).
+  * Scale: EITHER from the standard parallel `latTs` (variant B, the
+  * default) OR an explicit `k0In` (variant A — pass latTs = 0 and a
+  * non-NaN k0In; CF's `scale_factor_at_projection_origin`). */
+final case class MercatorProj(lon0: Double, latTs: Double, ell: Ellipsoid,
+    k0In: Double = Double.NaN) extends Projection {
   private val e = ell.e
-  // k0 from standard parallel (Snyder 7-5 / 14-15)
-  private val k0 = {
+  // k0 from standard parallel (Snyder 7-5 / 14-15) unless given directly
+  private val k0 = if (!k0In.isNaN) k0In else {
     val ts = latTs * Deg2Rad
     if (ell.isSphere) math.cos(ts)
     else math.cos(ts) / math.sqrt(1 - ell.e2 * math.sin(ts) * math.sin(ts))
@@ -637,6 +726,243 @@ object HotineOmercProj {
   }
 }
 
+/** proj=tmerc — transverse Mercator, Krüger series in the third flattening
+  * n to order n^6 (Karney 2011, "Transverse Mercator with an accuracy of a
+  * few nanometers", arXiv:1002.1417 — the same series PROJ's default tmerc
+  * uses). Sub-µm agreement with the exact mapping within ~3900 km of the
+  * central meridian, which covers every UTM zone many times over; beyond
+  * |lon - lon_0| = 60° points map to NaN (outside the series' accurate
+  * domain). The reference reaches this projection through pyproj whenever
+  * a UTM-georeferenced raster or a CF `transverse_mercator` mapping is
+  * loaded (`utils/rasterio.py:77`, `utils/cf.py:31`). */
+final case class TmercProj(lon0: Double, lat0: Double, k0: Double, ell: Ellipsoid)
+    extends Projection {
+  import ProjMath.{asinh, atanh}
+  private val e = ell.e
+  private val n = { val f = ell.f; f / (2 - f) } // third flattening
+  private val n2 = n * n; private val n3 = n2 * n; private val n4 = n3 * n
+  private val n5 = n4 * n; private val n6 = n5 * n
+  /** Rectifying radius (Karney eq. 14, order n^6). */
+  private val aCap = ell.a / (1 + n) * (1 + n2 / 4 + n4 / 64 + n6 / 256)
+  /** Karney eq. 35 coefficients (forward). */
+  private val alpha = Array(
+    n / 2 - 2.0 / 3 * n2 + 5.0 / 16 * n3 + 41.0 / 180 * n4 - 127.0 / 288 * n5 + 7891.0 / 37800 * n6,
+    13.0 / 48 * n2 - 3.0 / 5 * n3 + 557.0 / 1440 * n4 + 281.0 / 630 * n5 - 1983433.0 / 1935360 * n6,
+    61.0 / 240 * n3 - 103.0 / 140 * n4 + 15061.0 / 26880 * n5 + 167603.0 / 181440 * n6,
+    49561.0 / 161280 * n4 - 179.0 / 168 * n5 + 6601661.0 / 7257600 * n6,
+    34729.0 / 80640 * n5 - 3418889.0 / 1995840 * n6,
+    212378941.0 / 319334400 * n6)
+  /** Karney eq. 36 coefficients (inverse). */
+  private val beta = Array(
+    n / 2 - 2.0 / 3 * n2 + 37.0 / 96 * n3 - 1.0 / 360 * n4 - 81.0 / 512 * n5 + 96199.0 / 604800 * n6,
+    n2 / 48 + n3 / 15 - 437.0 / 1440 * n4 + 46.0 / 105 * n5 - 1118711.0 / 3870720 * n6,
+    17.0 / 480 * n3 - 37.0 / 840 * n4 - 209.0 / 4480 * n5 + 5569.0 / 90720 * n6,
+    4397.0 / 161280 * n4 - 11.0 / 504 * n5 - 830251.0 / 7257600 * n6,
+    4583.0 / 161280 * n5 - 108847.0 / 3991680 * n6,
+    20648693.0 / 638668800 * n6)
+
+  /** tan of the conformal latitude (Karney eq. 7-8). */
+  private def tauPrime(phi: Double): Double = {
+    val tau = math.tan(phi)
+    if (ell.isSphere) tau
+    else {
+      val sig = math.sinh(e * atanh(e * tau / math.hypot(1.0, tau)))
+      tau * math.hypot(1.0, sig) - sig * math.hypot(1.0, tau)
+    }
+  }
+  /** xi on the central meridian (cosh terms = 1) — the lat_0 arc offset. */
+  private def xiOf(phi: Double): Double = {
+    val xiP = math.atan2(tauPrime(phi), 1.0)
+    var xi = xiP
+    var j = 0
+    while (j < 6) { xi += alpha(j) * math.sin(2.0 * (j + 1) * xiP); j += 1 }
+    xi
+  }
+  private val y0Arc = if (lat0 == 0.0) 0.0 else k0 * aCap * xiOf(lat0 * Deg2Rad)
+
+  def forward(lon: Double, lat: Double): (Double, Double) = {
+    if (math.abs(lat) > 90.0) return (Double.NaN, Double.NaN)
+    val lam = wrapLonDeg(lon - lon0) * Deg2Rad
+    if (math.abs(lam) > 60.0 * Deg2Rad) return (Double.NaN, Double.NaN)
+    val phi = lat * Deg2Rad
+    val tp = tauPrime(phi)
+    val cosLam = math.cos(lam)
+    val xiP = math.atan2(tp, cosLam)
+    val etaP = asinh(math.sin(lam) / math.hypot(tp, cosLam))
+    var xi = xiP; var eta = etaP
+    var j = 0
+    while (j < 6) {
+      val k2 = 2.0 * (j + 1)
+      xi += alpha(j) * math.sin(k2 * xiP) * math.cosh(k2 * etaP)
+      eta += alpha(j) * math.cos(k2 * xiP) * math.sinh(k2 * etaP)
+      j += 1
+    }
+    (k0 * aCap * eta, k0 * aCap * xi - y0Arc)
+  }
+  def inverse(x: Double, y: Double): (Double, Double) = {
+    val eta = x / (k0 * aCap)
+    val xi = (y + y0Arc) / (k0 * aCap)
+    var xiP = xi; var etaP = eta
+    var j = 0
+    while (j < 6) {
+      val k2 = 2.0 * (j + 1)
+      xiP -= beta(j) * math.sin(k2 * xi) * math.cosh(k2 * eta)
+      etaP -= beta(j) * math.cos(k2 * xi) * math.sinh(k2 * eta)
+      j += 1
+    }
+    val sh = math.sinh(etaP)
+    val cosXiP = math.cos(xiP)
+    val tp = math.sin(xiP) / math.sqrt(sh * sh + cosXiP * cosXiP)
+    val lam = math.atan2(sh, cosXiP)
+    // geodetic from conformal: Newton on tau (Karney eq. 19-21)
+    var tau = tp
+    if (!ell.isSphere) {
+      var i = 0
+      while (i < 10) {
+        val sig = math.sinh(e * atanh(e * tau / math.hypot(1.0, tau)))
+        val tpi = tau * math.hypot(1.0, sig) - sig * math.hypot(1.0, tau)
+        val dtau = (tp - tpi) * (1 + (1 - ell.e2) * tau * tau) /
+          ((1 - ell.e2) * math.hypot(1.0, tpi) * math.hypot(1.0, tau))
+        tau += dtau
+        if (math.abs(dtau) < 1e-14 * math.max(1.0, math.abs(tau))) i = 10 else i += 1
+      }
+    }
+    (wrapLonDeg(lon0 + lam * Rad2Deg), math.atan(tau) * Rad2Deg)
+  }
+}
+
+/** proj=aea — Albers equal-area conic, 1 or 2 standard parallels
+  * (Snyder 14-1..14-11 ellipsoid; sphere falls out of the same q algebra).
+  * CF grid mapping `albers_conical_equal_area` (`utils/cf.py:31`). */
+final case class AeaProj(lon0: Double, lat0: Double, lat1: Double, lat2: Double, ell: Ellipsoid)
+    extends Projection {
+  import ProjMath.{msfn, phiFromQ, qOf}
+  private val p0 = lat0 * Deg2Rad
+  private val p1 = lat1 * Deg2Rad
+  private val p2 = lat2 * Deg2Rad
+  private val m1 = msfn(p1, ell)
+  private val q1 = qOf(p1, ell)
+  private val n =
+    if (math.abs(lat1 - lat2) < 1e-10) math.sin(p1)
+    else {
+      val m2 = msfn(p2, ell)
+      (m1 * m1 - m2 * m2) / (qOf(p2, ell) - q1)
+    }
+  require(math.abs(n) > 1e-12, "aea standard parallels must not straddle the equator symmetrically")
+  private val cBig = m1 * m1 + n * q1
+  private val rho0 = ell.a * math.sqrt(math.max(0.0, cBig - n * qOf(p0, ell))) / n
+
+  def forward(lon: Double, lat: Double): (Double, Double) = {
+    val phi = lat * Deg2Rad
+    val rho = ell.a * math.sqrt(math.max(0.0, cBig - n * qOf(phi, ell))) / n
+    val th = n * wrapLonDeg(lon - lon0) * Deg2Rad
+    (rho * math.sin(th), rho0 - rho * math.cos(th))
+  }
+  def inverse(x: Double, y: Double): (Double, Double) = {
+    val rho = math.signum(n) * math.hypot(x, rho0 - y)
+    val th = math.atan2(math.signum(n) * x, math.signum(n) * (rho0 - y))
+    val q = (cBig - math.pow(rho * n / ell.a, 2)) / n
+    val qp = qOf(math.Pi / 2, ell)
+    if (math.abs(q) > math.abs(qp) * (1 + 1e-9)) return (Double.NaN, Double.NaN)
+    val phi = phiFromQ(math.max(-qp, math.min(qp, q)), ell)
+    (wrapLonDeg(lon0 + (th / n) * Rad2Deg), phi * Rad2Deg)
+  }
+}
+
+/** proj=sinu — sinusoidal (Snyder 30-1..30-8 ellipsoid; sphere trivially).
+  * The MODIS tiling grid's projection (sphere R=6371007.181); CF mapping
+  * `sinusoidal` (`utils/cf.py:31`). */
+final case class SinuProj(lon0: Double, ell: Ellipsoid) extends Projection {
+  import ProjMath.{meridianArc, phiFromArc}
+  def forward(lon: Double, lat: Double): (Double, Double) = {
+    if (math.abs(lat) > 90.0) return (Double.NaN, Double.NaN)
+    val lam = wrapLonDeg(lon - lon0) * Deg2Rad
+    val phi = lat * Deg2Rad
+    val s = math.sin(phi)
+    val x =
+      if (ell.isSphere) ell.a * lam * math.cos(phi)
+      else ell.a * lam * math.cos(phi) / math.sqrt(1 - ell.e2 * s * s)
+    (x, meridianArc(phi, ell))
+  }
+  def inverse(x: Double, y: Double): (Double, Double) = {
+    val phi = phiFromArc(y, ell)
+    if (math.abs(phi) > math.Pi / 2 * (1 + 1e-9)) return (Double.NaN, Double.NaN)
+    if (math.abs(math.abs(phi) - math.Pi / 2) < 1e-9) return (wrapLonDeg(lon0), math.signum(phi) * 90.0)
+    val s = math.sin(phi)
+    val lam =
+      if (ell.isSphere) x / (ell.a * math.cos(phi))
+      else x * math.sqrt(1 - ell.e2 * s * s) / (ell.a * math.cos(phi))
+    if (math.abs(lam) > math.Pi * (1 + 1e-9)) return (Double.NaN, Double.NaN)
+    (wrapLonDeg(lon0 + lam * Rad2Deg), phi * Rad2Deg)
+  }
+}
+
+/** proj=ortho — orthographic, spherical formulas (Snyder 20-3..20-19) on
+  * the authalic radius for an ellipsoid (same convention as [[AeqdProj]]).
+  * Far-side points map to NaN. CF mapping `orthographic`. */
+final case class OrthoProj(lon0: Double, lat0: Double, ell: Ellipsoid) extends Projection {
+  private val r = if (ell.isSphere) ell.a else ell.authalicRadius
+  private val phi0 = lat0 * Deg2Rad
+  private val sinP0 = math.sin(phi0)
+  private val cosP0 = math.cos(phi0)
+  def forward(lon: Double, lat: Double): (Double, Double) = {
+    val lam = wrapLonDeg(lon - lon0) * Deg2Rad
+    val phi = lat * Deg2Rad
+    val sinP = math.sin(phi); val cosP = math.cos(phi)
+    val cosC = sinP0 * sinP + cosP0 * cosP * math.cos(lam)
+    if (cosC < 0) return (Double.NaN, Double.NaN)
+    (r * cosP * math.sin(lam), r * (cosP0 * sinP - sinP0 * cosP * math.cos(lam)))
+  }
+  def inverse(x: Double, y: Double): (Double, Double) = {
+    val rho = math.hypot(x, y)
+    if (rho < 1e-12) return (wrapLonDeg(lon0), lat0)
+    if (rho > r * (1 + 1e-12)) return (Double.NaN, Double.NaN)
+    val c = math.asin(math.min(1.0, rho / r))
+    val sinC = math.sin(c); val cosC = math.cos(c)
+    val phi = math.asin(math.max(-1.0, math.min(1.0, cosC * sinP0 + y * sinC * cosP0 / rho)))
+    val lam = math.atan2(x * sinC, rho * cosP0 * cosC - y * sinP0 * sinC)
+    (wrapLonDeg(lon0 + lam * Rad2Deg), phi * Rad2Deg)
+  }
+}
+
+/** proj=nsper — near-sided (vertical) perspective, spherical (Snyder
+  * 23-1..23-5) on the authalic radius. `h` = viewpoint height above the
+  * surface. Points beyond the visible horizon map to NaN. CF mapping
+  * `vertical_perspective`. */
+final case class NsperProj(lon0: Double, lat0: Double, h: Double, ell: Ellipsoid)
+    extends Projection {
+  private val r = if (ell.isSphere) ell.a else ell.authalicRadius
+  private val pBig = 1.0 + h / r // viewpoint distance from centre, in radii
+  private val phi0 = lat0 * Deg2Rad
+  private val sinP0 = math.sin(phi0)
+  private val cosP0 = math.cos(phi0)
+  def forward(lon: Double, lat: Double): (Double, Double) = {
+    val lam = wrapLonDeg(lon - lon0) * Deg2Rad
+    val phi = lat * Deg2Rad
+    val sinP = math.sin(phi); val cosP = math.cos(phi)
+    val cosC = sinP0 * sinP + cosP0 * cosP * math.cos(lam)
+    if (cosC < 1.0 / pBig) return (Double.NaN, Double.NaN) // beyond horizon
+    val kp = (pBig - 1.0) / (pBig - cosC)
+    (r * kp * cosP * math.sin(lam), r * kp * (cosP0 * sinP - sinP0 * cosP * math.cos(lam)))
+  }
+  def inverse(x: Double, y: Double): (Double, Double) = {
+    val rho = math.hypot(x, y)
+    if (rho < 1e-12) return (wrapLonDeg(lon0), lat0)
+    // cos c from rho (P - cos c) = R (P - 1) sin c, near-side quadratic root
+    val rr = rho / r
+    val a2 = rr * rr + (pBig - 1.0) * (pBig - 1.0)
+    val disc = rr * rr * rr * rr * pBig * pBig - a2 * (rr * rr * pBig * pBig - (pBig - 1.0) * (pBig - 1.0))
+    if (disc < 0) return (Double.NaN, Double.NaN)
+    val cosC = (rr * rr * pBig + math.sqrt(disc)) / a2
+    if (cosC > 1.0 + 1e-12) return (Double.NaN, Double.NaN)
+    val c = math.acos(math.min(1.0, cosC))
+    val sinC = math.sin(c)
+    val phi = math.asin(math.max(-1.0, math.min(1.0, cosC * sinP0 + y * sinC * cosP0 / rho)))
+    val lam = math.atan2(x * sinC, rho * cosP0 * cosC - y * sinP0 * sinC)
+    (wrapLonDeg(lon0 + lam * Rad2Deg), phi * Rad2Deg)
+  }
+}
+
 /** A parsed CRS: projection + raw proj4 params (mirrors what
   * `pyresample/utils/proj4.py:29-99` keeps around). */
 final case class Crs(proj: Projection, proj4: String, params: Map[String, String]) {
@@ -671,7 +997,22 @@ object Crs {
     fromParams(params, s)
   }
 
-  def fromParams(params: Map[String, String], raw: String = ""): Crs = {
+  def fromParams(params0: Map[String, String], raw: String = ""): Crs = {
+    // +proj=utm is sugar for a zone of tmerc (PROJ semantics): rewrite the
+    // param surface so everything downstream (WKT export, YAML dump) sees
+    // the explicit tmerc form
+    val params: Map[String, String] =
+      if (params0.get("proj").contains("utm")) {
+        val zone = params0.getOrElse("zone",
+          throw new IllegalArgumentException("+proj=utm requires +zone=")).toDouble.toInt
+        require(zone >= 1 && zone <= 60, s"UTM zone $zone out of [1, 60]")
+        val south = params0.contains("south")
+        (params0 - "zone" - "south") ++ Map(
+          "proj" -> "tmerc",
+          "lon_0" -> (6 * zone - 183).toString, "lat_0" -> "0",
+          "k_0" -> "0.9996", "x_0" -> "500000",
+          "y_0" -> (if (south) "10000000" else "0"))
+      } else params0
     def d(k: String, default: Double): Double = params.get(k).map(_.toDouble).getOrElse(default)
     val ell: Ellipsoid = (params.get("a"), params.get("b"), params.get("rf"), params.get("ellps"), params.get("R")) match {
       case (_, _, _, _, Some(r))     => Ellipsoid.sphere(r.toDouble)
@@ -687,10 +1028,14 @@ object Crs {
     val latTs = d("lat_ts", 0.0)
     val k0 = d("k_0", d("k", 1.0))
     val projName = params.getOrElse("proj", "longlat")
-    val proj: Projection = projName match {
+    val base: Projection = projName match {
       case "longlat" | "latlong" | "lonlat" | "latlon" => LonLatProj(ell)
       case "eqc"   => EquirectProj(lon0, latTs, ell)
-      case "merc"  => MercatorProj(lon0, latTs, ell)
+      case "merc"  =>
+        // PROJ: EITHER lat_ts OR k_0 defines the scale (variant B / A)
+        require(!(params.contains("lat_ts") && (params.contains("k_0") || params.contains("k"))),
+          "merc takes lat_ts or k_0, not both")
+        MercatorProj(lon0, latTs, ell, if (params.contains("lat_ts")) Double.NaN else k0)
       case "laea"  => LaeaProj(lon0, lat0, ell)
       case "stere" => StereProj(lon0, lat0, if (params.contains("lat_ts")) latTs else 90.0 * math.signum(if (lat0 == 0) 1 else lat0), k0, ell)
       case "aeqd"  => AeqdProj(lon0, lat0, ell)
@@ -701,8 +1046,16 @@ object Crs {
         if (ell.isSphere) OmercProj(d("lonc", lon0), lat0, d("alpha", 0.0), ell)
         else HotineOmercProj(d("lonc", lon0), lat0, d("alpha", 0.0), ell)
       case "lcc"   => LccProj(lon0, lat0, d("lat_1", lat0), d("lat_2", d("lat_1", lat0)), ell)
-      case other   => throw new IllegalArgumentException(s"unsupported projection: $other (supported: longlat, eqc, merc, laea, stere, aeqd, geos, omerc)")
+      case "tmerc" => TmercProj(lon0, lat0, k0, ell)
+      case "aea"   => AeaProj(lon0, lat0, d("lat_1", lat0), d("lat_2", d("lat_1", lat0)), ell)
+      case "sinu"  => SinuProj(lon0, ell)
+      case "ortho" => OrthoProj(lon0, lat0, ell)
+      case "nsper" => NsperProj(lon0, lat0, d("h", 35785831.0), ell)
+      case other   => throw new IllegalArgumentException(s"unsupported projection: $other (supported: longlat, eqc, merc, laea, stere, aeqd, geos, omerc, lcc, tmerc, utm, aea, sinu, ortho, nsper)")
     }
+    // +x_0/+y_0 false easting/northing apply to any projected CRS
+    val x0 = d("x_0", 0.0); val y0 = d("y_0", 0.0)
+    val proj = if ((x0 != 0.0 || y0 != 0.0) && !base.isLonLat) OffsetProj(base, x0, y0) else base
     Crs(proj, if (raw.nonEmpty) raw else params.map { case (k, v) => s"+$k=$v" }.mkString(" "), params)
   }
 }
