@@ -321,9 +321,18 @@ object AreaConfig {
           "lon_0" -> a("longitude_of_projection_origin").toString,
           "k_0" -> a("scale_factor_at_projection_origin", 1.0).toString)
       case "mercator" =>
+        // CF allows EITHER standard_parallel OR
+        // scale_factor_at_projection_origin (pyproj maps the latter to
+        // k_0) — mirror the polar_stereographic either/or handling
+        val scale: Map[String, String] = num("standard_parallel") match {
+          case Some(sp) => Map("lat_ts" -> sp.toString)
+          case None => num("scale_factor_at_projection_origin") match {
+            case Some(k) => Map("k_0" -> k.toString)
+            case None => Map("lat_ts" -> "0.0")
+          }
+        }
         Map("proj" -> "merc",
-          "lon_0" -> a("longitude_of_projection_origin").toString,
-          "lat_ts" -> a("standard_parallel").toString)
+          "lon_0" -> a("longitude_of_projection_origin").toString) ++ scale
       case "azimuthal_equidistant" =>
         Map("proj" -> "aeqd",
           "lat_0" -> a("latitude_of_projection_origin").toString,
@@ -341,10 +350,39 @@ object AreaConfig {
           "lon_0" -> a("longitude_of_projection_origin").toString,
           "h" -> a("perspective_point_height", 35785831.0).toString) ++
           (if (str("sweep_angle_axis").contains("x")) Map("sweep" -> "x") else Map.empty)
+      case "transverse_mercator" =>
+        Map("proj" -> "tmerc",
+          "lat_0" -> a("latitude_of_projection_origin").toString,
+          "lon_0" -> a("longitude_of_central_meridian").toString,
+          "k_0" -> a("scale_factor_at_central_meridian", 1.0).toString)
+      case "albers_conical_equal_area" =>
+        val sp1 = a("standard_parallel", a("latitude_of_projection_origin"))
+        Map("proj" -> "aea",
+          "lat_0" -> a("latitude_of_projection_origin").toString,
+          "lon_0" -> a("longitude_of_central_meridian").toString,
+          "lat_1" -> sp1.toString,
+          "lat_2" -> num("standard_parallel_2").getOrElse(sp1).toString)
+      case "sinusoidal" =>
+        Map("proj" -> "sinu",
+          "lon_0" -> a("longitude_of_projection_origin").toString)
+      case "orthographic" =>
+        Map("proj" -> "ortho",
+          "lat_0" -> a("latitude_of_projection_origin").toString,
+          "lon_0" -> a("longitude_of_projection_origin").toString)
+      case "vertical_perspective" =>
+        Map("proj" -> "nsper",
+          "lat_0" -> a("latitude_of_projection_origin").toString,
+          "lon_0" -> a("longitude_of_projection_origin").toString,
+          "h" -> a("perspective_point_height", 35785831.0).toString)
       case other =>
         throw new IllegalArgumentException(s"unsupported grid_mapping_name: $other")
     }
-    projParams ++ ellParams
+    // CF allows false_easting/false_northing on every projected mapping
+    val feParams: Map[String, String] =
+      if (gridMappingName == "latitude_longitude") Map.empty
+      else Seq(num("false_easting").map("x_0" -> _.toString),
+        num("false_northing").map("y_0" -> _.toString)).flatten.toMap
+    projParams ++ feParams ++ ellParams
   }
 
   /** CF-conventions grid_mapping -> area (the attribute-inference semantics

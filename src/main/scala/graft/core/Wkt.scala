@@ -24,14 +24,20 @@ object Wkt {
     "aeqd" -> "Azimuthal Equidistant",
     "geos" -> "Geostationary Satellite (Sweep X)",
     "lcc" -> "Lambert Conic Conformal (2SP)",
-    "omerc" -> "Hotine Oblique Mercator (variant B)")
+    "omerc" -> "Hotine Oblique Mercator (variant B)",
+    "tmerc" -> "Transverse Mercator",
+    "aea" -> "Albers Equal Area",
+    "sinu" -> "Sinusoidal",
+    "ortho" -> "Orthographic",
+    "nsper" -> "Vertical Perspective")
   private val projOfMethod: Map[String, String] =
     methodOf.map(_.swap) ++ Map(
       "Geostationary Satellite (Sweep Y)" -> "geos",
-      // variant A = origin lat + scale factor, both of which stere maps;
-      // Mercator variant A is NOT aliased — the engine's merc has no k_0,
-      // so accepting it would silently drop the defining scale factor
-      "Polar Stereographic (variant A)" -> "stere")
+      // variant A = origin lat + scale factor, both of which stere maps
+      "Polar Stereographic (variant A)" -> "stere",
+      // Mercator variant A = scale factor at the natural origin — the
+      // engine's merc takes an explicit k_0 since r9, so this parses
+      "Mercator (variant A)" -> "merc")
 
   /** (standard EPSG parameter name, engine proj4 key) per projection —
     * written in this order; keys of the projection not listed here ride
@@ -39,35 +45,91 @@ object Wkt {
   private val paramNames: Map[String, Seq[(String, String)]] = Map(
     "laea" -> Seq(
       "Latitude of natural origin" -> "lat_0",
-      "Longitude of natural origin" -> "lon_0"),
+      "Longitude of natural origin" -> "lon_0",
+      "False easting" -> "x_0",
+      "False northing" -> "y_0"),
     "stere" -> Seq(
       "Latitude of standard parallel" -> "lat_ts",
       "Longitude of origin" -> "lon_0",
       "Latitude of natural origin" -> "lat_0",
-      "Scale factor at natural origin" -> "k_0"),
+      "Scale factor at natural origin" -> "k_0",
+      "False easting" -> "x_0",
+      "False northing" -> "y_0"),
     "merc" -> Seq(
       "Latitude of 1st standard parallel" -> "lat_ts",
-      "Longitude of natural origin" -> "lon_0"),
+      "Longitude of natural origin" -> "lon_0",
+      "Scale factor at natural origin" -> "k_0",
+      "False easting" -> "x_0",
+      "False northing" -> "y_0"),
     "eqc" -> Seq(
       "Latitude of 1st standard parallel" -> "lat_ts",
-      "Longitude of natural origin" -> "lon_0"),
+      "Longitude of natural origin" -> "lon_0",
+      "False easting" -> "x_0",
+      "False northing" -> "y_0"),
     "aeqd" -> Seq(
       "Latitude of natural origin" -> "lat_0",
-      "Longitude of natural origin" -> "lon_0"),
+      "Longitude of natural origin" -> "lon_0",
+      "False easting" -> "x_0",
+      "False northing" -> "y_0"),
     "geos" -> Seq(
       "Longitude of natural origin" -> "lon_0",
-      "Satellite Height" -> "h"),
+      "Satellite Height" -> "h",
+      "False easting" -> "x_0",
+      "False northing" -> "y_0"),
     "lcc" -> Seq(
       "Latitude of false origin" -> "lat_0",
       "Longitude of false origin" -> "lon_0",
       "Latitude of 1st standard parallel" -> "lat_1",
-      "Latitude of 2nd standard parallel" -> "lat_2"),
+      "Latitude of 2nd standard parallel" -> "lat_2",
+      "Easting at false origin" -> "x_0",
+      "Northing at false origin" -> "y_0"),
     "omerc" -> Seq(
       "Latitude of projection centre" -> "lat_0",
       "Longitude of projection centre" -> "lonc",
       "Azimuth at projection centre" -> "alpha",
       "Angle from Rectified to Skew Grid" -> "gamma",
-      "Scale factor at projection centre" -> "k_0"))
+      "Scale factor at projection centre" -> "k_0",
+      "Easting at projection centre" -> "x_0",
+      "Northing at projection centre" -> "y_0"),
+    "tmerc" -> Seq(
+      "Latitude of natural origin" -> "lat_0",
+      "Longitude of natural origin" -> "lon_0",
+      "Scale factor at natural origin" -> "k_0",
+      "False easting" -> "x_0",
+      "False northing" -> "y_0"),
+    "aea" -> Seq(
+      "Latitude of false origin" -> "lat_0",
+      "Longitude of false origin" -> "lon_0",
+      "Latitude of 1st standard parallel" -> "lat_1",
+      "Latitude of 2nd standard parallel" -> "lat_2",
+      "Easting at false origin" -> "x_0",
+      "Northing at false origin" -> "y_0"),
+    "sinu" -> Seq(
+      "Longitude of natural origin" -> "lon_0",
+      "False easting" -> "x_0",
+      "False northing" -> "y_0"),
+    "ortho" -> Seq(
+      "Latitude of natural origin" -> "lat_0",
+      "Longitude of natural origin" -> "lon_0",
+      "False easting" -> "x_0",
+      "False northing" -> "y_0"),
+    "nsper" -> Seq(
+      "Latitude of topocentric origin" -> "lat_0",
+      "Longitude of topocentric origin" -> "lon_0",
+      "Viewpoint height" -> "h",
+      "False easting" -> "x_0",
+      "False northing" -> "y_0"))
+
+  /** Read-only aliases: producer variants that map onto the same engine
+    * key but must never be WRITTEN (the writer keeps one canonical name
+    * per key). Covers Polar Stereographic variant A's central meridian
+    * (EPSG 9810 names it "Longitude of natural origin") and the
+    * false-easting/northing name family across methods. */
+  private val readAliases: Map[String, Map[String, String]] = Map(
+    "stere" -> Map("Longitude of natural origin" -> "lon_0"),
+    "lcc" -> Map("False easting" -> "x_0", "False northing" -> "y_0"),
+    "aea" -> Map("False easting" -> "x_0", "False northing" -> "y_0"),
+    "omerc" -> Map("False easting" -> "x_0", "False northing" -> "y_0"))
 
   private def num(v: Double): String =
     if (v == v.toLong.toDouble) v.toLong.toString else v.toString
@@ -89,6 +151,8 @@ object Wkt {
       val sweep = crs.params.get("sweep")
       val methodFinal =
         if (projName == "geos" && !sweep.contains("x")) "Geostationary Satellite (Sweep Y)"
+        else if (projName == "merc" && (crs.params.contains("k_0") || crs.params.contains("k")))
+          "Mercator (variant A)" // scale given directly, not via lat_ts
         else method
       val named = paramNames(projName)
       val namedKeys = named.map(_._2).toSet
@@ -136,11 +200,22 @@ object Wkt {
     val proj = projOfMethod.getOrElse(method,
       throw new IllegalArgumentException(s"unsupported WKT method '$method'"))
     val paramRe = """PARAMETER\["([^"]+)",\s*([-0-9.Ee+]+)""".r
-    val stdToKey: Map[String, String] = paramNames(proj).toMap // pairs are (std name, key)
+    val stdToKey: Map[String, String] = // pairs are (std name, key)
+      paramNames(proj).toMap ++ readAliases.getOrElse(proj, Map.empty)
     val params = paramRe.findAllMatchIn(wkt).flatMap { m =>
       val nameP = m.group(1); val v = m.group(2)
       if (nameP.startsWith("graft:")) Some(nameP.stripPrefix("graft:") -> v)
-      else stdToKey.get(nameP).map(_ -> v)
+      else stdToKey.get(nameP) match {
+        case Some(k) => Some(k -> v)
+        case None =>
+          // an unmapped parameter with a nonzero value would silently
+          // change the CRS (e.g. a false easting this method has no slot
+          // for) — the CRS layer has no silent fallbacks, so fail loudly;
+          // zero-valued defaults (pyproj writes every EPSG slot) pass
+          require(v.toDouble == 0.0,
+            s"WKT parameter '$nameP' = $v has no mapping for $method and is nonzero")
+          None
+      }
     }.toMap
     val sweep =
       if (proj == "geos" && method.contains("Sweep X")) Map("sweep" -> "x") else Map.empty

@@ -71,8 +71,10 @@ object Multimodal {
     val p = patchSize
     df.withColumn("_pw", expr(s"CAST(($wCol + ${p - 1}) div $p AS BIGINT)"))
       .withColumn("_ph", expr(s"CAST(($hCol + ${p - 1}) div $p AS BIGINT)"))
+      // guard the degenerate w=0/h=0 row: two-arg sequence(0, -1) steps
+      // BACKWARD (two bogus patches); an empty array explodes to no rows
       .withColumn("patch_id",
-        explode(expr("sequence(CAST(0 AS BIGINT), _pw * _ph - 1)")))
+        explode(expr("CASE WHEN _pw * _ph > 0 THEN sequence(CAST(0 AS BIGINT), _pw * _ph - 1) ELSE CAST(array() AS array<bigint>) END")))
       .withColumn("py", expr("patch_id div _pw"))
       .withColumn("px", expr("patch_id % _pw"))
       .withColumn("x0", expr(s"px * $p"))

@@ -215,6 +215,9 @@ object CfArea {
       val last = data.last * scale + offset
       val delta = (last - first) / (data.length - 1)
       val spacing = math.abs(delta)
+      // a constant axis would give sign = 0/0 = NaN and silently poison
+      // the area extent (upstream shares the flaw; one cheap check here)
+      require(spacing > 0, s"axis $name has zero spacing (constant coordinate values)")
       val rawUnit = av.strAttr("units")
       // rad/deg (and absent) units are not proj length units (cf.py:170)
       val unit = rawUnit.filterNot(u => u.startsWith("rad") || u.startsWith("deg"))

@@ -38,25 +38,49 @@ object GeoTiff {
   private val ProjCoordTrans = 3075
   private val ProjStdParallel1 = 3078; private val ProjStdParallel2 = 3079
   private val ProjNatOriginLong = 3080; private val ProjNatOriginLat = 3081
+  private val ProjFalseEasting = 3082; private val ProjFalseNorthing = 3083
+  private val ProjFalseOriginLong = 3084; private val ProjFalseOriginLat = 3085
+  private val ProjFalseOriginEasting = 3086; private val ProjFalseOriginNorthing = 3087
   private val ProjCenterLong = 3088; private val ProjCenterLat = 3089
-  private val ProjScaleAtNatOrigin = 3092
+  private val ProjCenterEasting = 3090; private val ProjCenterNorthing = 3091
+  private val ProjScaleAtNatOrigin = 3092; private val ProjScaleAtCenter = 3093
   private val ProjStraightVertPoleLong = 3095
 
   // GeoTIFF coordinate-transformation codes -> engine projections
+  // (GeoTIFF 1.1 §B.6: 1=TransverseMercator, 7=Mercator, 8=LCC 2SP,
+  //  10=LAEA, 11=AlbersEqualArea, 12=AzimuthalEquidistant,
+  //  14=Stereographic, 15=PolarStereographic, 17=Equirectangular,
+  //  21=Orthographic, 24=Sinusoidal)
   private val ctToProj = Map(
-    7 -> "merc", 8 -> "lcc", 10 -> "laea", 12 -> "aeqd",
-    15 -> "stere", 17 -> "eqc")
+    1 -> "tmerc", 7 -> "merc", 8 -> "lcc", 10 -> "laea", 11 -> "aea",
+    12 -> "aeqd", 14 -> "stere", 15 -> "stere", 17 -> "eqc",
+    21 -> "ortho", 24 -> "sinu")
 
-  /** A handful of well-known EPSG codes (public definitions). */
-  private def epsgParams(code: Int): Map[String, String] = code match {
+  /** Well-known EPSG codes (public definitions): a small baked table plus
+    * the formulaic UTM (326xx/327xx, lon_0 = 6·zone − 183) and UPS
+    * (5041/5042) families — the CRSs of nearly every projected GeoTIFF in
+    * the wild. */
+  private[sources] def epsgParams(code: Int): Map[String, String] = code match {
     case 4326 => Map("proj" -> "longlat") // WGS84 default ellipsoid
     case 3857 => Map("proj" -> "merc", "a" -> "6378137", "b" -> "6378137", "lon_0" -> "0")
     case 3413 => Map("proj" -> "stere", "lat_0" -> "90", "lat_ts" -> "70",
       "lon_0" -> "-45", "a" -> "6378137", "rf" -> "298.257223563")
     case 3031 => Map("proj" -> "stere", "lat_0" -> "-90", "lat_ts" -> "-71",
       "lon_0" -> "0", "a" -> "6378137", "rf" -> "298.257223563")
+    case utm if utm >= 32601 && utm <= 32660 => // WGS84 / UTM north
+      Map("proj" -> "utm", "zone" -> (utm - 32600).toString,
+        "a" -> "6378137", "rf" -> "298.257223563")
+    case utm if utm >= 32701 && utm <= 32760 => // WGS84 / UTM south
+      Map("proj" -> "utm", "zone" -> (utm - 32700).toString, "south" -> "true",
+        "a" -> "6378137", "rf" -> "298.257223563")
+    case 5041 => Map("proj" -> "stere", "lat_0" -> "90", "k_0" -> "0.994", // UPS North
+      "lon_0" -> "0", "x_0" -> "2000000", "y_0" -> "2000000",
+      "a" -> "6378137", "rf" -> "298.257223563")
+    case 5042 => Map("proj" -> "stere", "lat_0" -> "-90", "k_0" -> "0.994", // UPS South
+      "lon_0" -> "0", "x_0" -> "2000000", "y_0" -> "2000000",
+      "a" -> "6378137", "rf" -> "298.257223563")
     case other => throw new IllegalArgumentException(
-      s"EPSG:$other not in the baked table (4326/3857/3413/3031); " +
+      s"EPSG:$other not in the baked table (4326/3857/3413/3031, UTM 326xx/327xx, UPS 5041/5042); " +
         "write user-defined geo-keys for other CRSs")
   }
 
@@ -183,13 +207,22 @@ object GeoTiff {
             val p = Seq(
               keyDouble(ProjNatOriginLat).map("lat_0" -> _.toString),
               keyDouble(ProjCenterLat).map("lat_0" -> _.toString),
+              keyDouble(ProjFalseOriginLat).map("lat_0" -> _.toString),
               keyDouble(ProjNatOriginLong).map("lon_0" -> _.toString),
               keyDouble(ProjCenterLong).map("lon_0" -> _.toString),
+              keyDouble(ProjFalseOriginLong).map("lon_0" -> _.toString),
               keyDouble(ProjStraightVertPoleLong).map("lon_0" -> _.toString),
               keyDouble(ProjStdParallel1).map(v =>
-                (if (proj == "lcc") "lat_1" else "lat_ts") -> v.toString),
+                (if (proj == "lcc" || proj == "aea") "lat_1" else "lat_ts") -> v.toString),
               keyDouble(ProjStdParallel2).map("lat_2" -> _.toString),
-              keyDouble(ProjScaleAtNatOrigin).map("k_0" -> _.toString)
+              keyDouble(ProjScaleAtNatOrigin).map("k_0" -> _.toString),
+              keyDouble(ProjScaleAtCenter).map("k_0" -> _.toString),
+              keyDouble(ProjFalseEasting).map("x_0" -> _.toString),
+              keyDouble(ProjFalseOriginEasting).map("x_0" -> _.toString),
+              keyDouble(ProjCenterEasting).map("x_0" -> _.toString),
+              keyDouble(ProjFalseNorthing).map("y_0" -> _.toString),
+              keyDouble(ProjFalseOriginNorthing).map("y_0" -> _.toString),
+              keyDouble(ProjCenterNorthing).map("y_0" -> _.toString)
             ).flatten.toMap
             // CT_PolarStereographic (15) carries the hemisphere in the
             // sign of its standard parallel; the projection origin IS the

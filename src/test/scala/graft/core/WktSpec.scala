@@ -26,7 +26,15 @@ class WktSpec extends AnyFunSuite {
     "+proj=geos +lon_0=-75 +h=35786023 +sweep=x +a=6378137 +b=6356752.31414",
     "+proj=geos +lon_0=140 +h=35785831 +a=6378169 +b=6356583.8",
     "+proj=lcc +lat_0=40 +lon_0=-96 +lat_1=33 +lat_2=45 +a=6378137 +rf=298.257223563",
-    "+proj=omerc +lat_0=12 +lonc=100 +alpha=40 +a=6371228")
+    "+proj=omerc +lat_0=12 +lonc=100 +alpha=40 +a=6371228",
+    "+proj=tmerc +lat_0=0 +lon_0=9 +k_0=0.9996 +x_0=500000 +y_0=0 +a=6378137 +rf=298.257223563",
+    "+proj=utm +zone=33 +south +a=6378137 +rf=298.257223563",
+    "+proj=aea +lat_0=23 +lon_0=-96 +lat_1=29.5 +lat_2=45.5 +x_0=100000 +a=6378137 +rf=298.257223563",
+    "+proj=sinu +lon_0=0 +a=6371007.181",
+    "+proj=ortho +lat_0=40 +lon_0=-100 +a=6371000",
+    "+proj=nsper +lat_0=30 +lon_0=10 +h=35785831 +a=6371000",
+    "+proj=merc +k_0=0.9996 +lon_0=110 +a=6378137 +rf=298.257223563",
+    "+proj=stere +lat_0=90 +k_0=0.994 +lon_0=0 +x_0=2000000 +y_0=2000000 +a=6378137 +rf=298.257223563")
 
   test("every projection round-trips WKT with identical forward projection") {
     for (p4 <- crss) {
@@ -64,12 +72,41 @@ class WktSpec extends AnyFunSuite {
     assert(Wkt.fromWkt(geosY).params.get("sweep") === None)
   }
 
-  test("Mercator variant A is rejected, not silently de-scaled") {
-    // the engine's merc has no k_0 — accepting variant A would drop its
-    // defining scale factor and return a wrong CRS without an error
-    val wkt = """PROJCRS["x",BASEGEOGCRS["u",DATUM["u",ELLIPSOID["u",6378137,298.257223563,LENGTHUNIT["metre",1]]],PRIMEM["Greenwich",0]],CONVERSION["u",METHOD["Mercator (variant A)"],PARAMETER["Scale factor at natural origin",0.9996]],CS[Cartesian,2]]"""
-    val e = intercept[IllegalArgumentException](Wkt.fromWkt(wkt))
-    assert(e.getMessage.contains("Mercator (variant A)"))
+  test("Mercator variant A reads its scale factor (merc k_0, r9)") {
+    val wkt = """PROJCRS["x",BASEGEOGCRS["u",DATUM["u",ELLIPSOID["u",6378137,298.257223563,LENGTHUNIT["metre",1]]],PRIMEM["Greenwich",0]],CONVERSION["u",METHOD["Mercator (variant A)"],PARAMETER["Latitude of natural origin",0],PARAMETER["Scale factor at natural origin",0.9996]],CS[Cartesian,2]]"""
+    val crs = Wkt.fromWkt(wkt)
+    assert(crs.params("proj") === "merc" && crs.params("k_0").toDouble === 0.9996)
+    // k_0 actually scales the projection (equator scale = k_0 exactly)
+    val (x1, _) = crs.forward(1.0, 0.0)
+    val (x2, _) = Wkt.fromWkt(wkt.replace("0.9996", "1.0")).forward(1.0, 0.0)
+    assert(math.abs(x1 / x2 - 0.9996) < 1e-12)
+  }
+
+  test("Polar Stereographic variant A: central meridian is not dropped") {
+    // EPSG 9810 names the central meridian "Longitude of natural origin";
+    // without the read alias this parsed to lon_0=0 and rotated the grid
+    val wkt = """PROJCRS["x",BASEGEOGCRS["u",DATUM["u",ELLIPSOID["u",6378137,298.257223563,LENGTHUNIT["metre",1]]],PRIMEM["Greenwich",0]],CONVERSION["u",METHOD["Polar Stereographic (variant A)"],PARAMETER["Latitude of natural origin",90],PARAMETER["Longitude of natural origin",-45],PARAMETER["Scale factor at natural origin",0.994]],CS[Cartesian,2]]"""
+    val crs = Wkt.fromWkt(wkt)
+    assert(crs.params("lon_0").toDouble === -45.0)
+    assert(crs.params("k_0").toDouble === 0.994)
+    // a point ON the central meridian lands on the -y axis (x = 0)
+    val (x, y) = crs.forward(-45.0, 80.0)
+    assert(math.abs(x) < 1e-6 && y < 0)
+  }
+
+  test("unmapped nonzero parameters throw; zero-valued defaults pass") {
+    // UPS-style false easting on a method whose mapping lacked x_0 would
+    // silently shift coordinates by 2000 km — must fail loudly instead
+    val bad = """PROJCRS["x",BASEGEOGCRS["u",DATUM["u",ELLIPSOID["u",6378137,298.257223563,LENGTHUNIT["metre",1]]],PRIMEM["Greenwich",0]],CONVERSION["u",METHOD["Lambert Azimuthal Equal Area"],PARAMETER["Latitude of natural origin",52],PARAMETER["Longitude of natural origin",10],PARAMETER["Not a real parameter",4321000]],CS[Cartesian,2]]"""
+    val e = intercept[IllegalArgumentException](Wkt.fromWkt(bad))
+    assert(e.getMessage.contains("Not a real parameter"))
+    val ok = Wkt.fromWkt(bad.replace("4321000", "0"))
+    assert(ok.params("proj") === "laea")
+    // false easting/northing now have slots and round-trip (EPSG:3035 shape)
+    val etrs = Wkt.fromWkt(bad.replace("""PARAMETER["Not a real parameter",4321000]""",
+      """PARAMETER["False easting",4321000],PARAMETER["False northing",3210000]"""))
+    val (x, y) = etrs.forward(10.0, 52.0)
+    assert(math.abs(x - 4321000) < 1e-6 && math.abs(y - 3210000) < 1e-6)
   }
 
   test("lenient read: pyproj/GDAL-shaped WKT with mapped methods loads") {

@@ -195,4 +195,44 @@ class CfNetcdfSpec extends AnyFunSuite {
     assertThrows[IllegalArgumentException](
       CfArea.loadCfArea(nc, variable = Some("ice_conc"), y = Some("xc"), x = Some("yc")))
   }
+
+  test("modis_sinu: sinusoidal grid mapping on the MODIS sphere (r9)") {
+    val (a, info) = CfArea.loadCfArea(NetCdf3.read(fixture("modis_sinu.nc")))
+    assert(info.typeOfGridMapping === "sinusoidal")
+    assert((a.width, a.height) === (120, 120))
+    assert(a.crs.params("proj") === "sinu")
+    assert(a.crs.params("a").toDouble === 6371007.181)
+    // tile h18v04: x in [0, T], y in [4T, 5T] with T = 10 deg of arc
+    val tile = 1111950.5196666666
+    assert(math.abs(a.xLL - 0.0) < 1e-6 && math.abs(a.xUR - tile) < 1e-6)
+    assert(math.abs(a.yLL - 4 * tile) < 1e-6 && math.abs(a.yUR - 5 * tile) < 1e-6)
+    // the top edge of the v04 row sits at 50N (within the 10-digit
+    // truncation of the tile-size literal, ~5e-9 deg)
+    val (_, lat) = a.crs.inverse(a.xLL, a.yUR)
+    assert(math.abs(lat - 50.0) < 1e-6)
+  }
+
+  test("utm_tmerc: CF transverse_mercator discovers a UTM 33N grid (r9)") {
+    val (a, info) = CfArea.loadCfArea(NetCdf3.read(fixture("utm_tmerc.nc")))
+    assert(info.typeOfGridMapping === "transverse_mercator")
+    assert((a.width, a.height) === (60, 50))
+    assert(a.crs.params("proj") === "tmerc")
+    assert(a.crs.params("k_0").toDouble === 0.9996)
+    assert(a.crs.params("x_0").toDouble === 500000.0)
+    // extent: cell centres 401km..519km +- 1km half-pixel
+    assert(a.xLL === 400000.0 && a.xUR === 520000.0)
+    assert(a.yUR === 6300000.0 && a.yLL === 6200000.0)
+    // central meridian at easting 500000; the grid sits in zone 33
+    val (x, _) = a.crs.forward(15.0, 56.5)
+    assert(math.abs(x - 500000.0) < 1e-6)
+    val (lonC, latC) = a.crs.inverse((a.xLL + a.xUR) / 2, (a.yLL + a.yUR) / 2)
+    assert(lonC > 12 && lonC < 18 && latC > 55 && latC < 58)
+  }
+
+  test("zero-spacing axis fails loudly instead of poisoning the extent (r9)") {
+    val nc = NetCdf3.read(fixture("badaxis.nc"))
+    val e = intercept[IllegalArgumentException](
+      CfArea.loadCfArea(nc, variable = Some("band1")))
+    assert(e.getMessage.contains("zero spacing"), e.getMessage)
+  }
 }

@@ -54,4 +54,42 @@ class GeoTiffSpec extends AnyFunSuite {
     assert(pa !== pb)
     assert(math.abs(pa._1 - pb._1) < 2000, "same grid family, sub-km ellipsoid shift")
   }
+
+  test("EPSG:32633 (WGS84 / UTM 33N) loads via the formulaic UTM family") {
+    val a = GeoTiff.areaFromGeoTiff(fixture("utm33.tif"), "utm33")
+    assert((a.width, a.height) === (120, 100))
+    assert(a.crs.params("proj") === "tmerc") // +proj=utm rewrites to tmerc
+    assert(a.crs.params("lon_0").toDouble === 15.0)
+    assert(a.crs.params("k_0").toDouble === 0.9996)
+    assert(a.crs.params("x_0").toDouble === 500000.0)
+    assert(a.xLL === 400000.0 && a.yUR === 6200000.0)
+    // central meridian maps to easting exactly 500000
+    val (x, _) = a.crs.forward(15.0, 56.0)
+    assert(math.abs(x - 500000.0) < 1e-6)
+    // grid centre is inside the area and inside zone 33 (12E..18E)
+    val (lonC, latC) = a.crs.inverse((a.xLL + a.xUR) / 2, (a.yLL + a.yUR) / 2)
+    assert(lonC > 12.0 && lonC < 18.0 && latC > 54.0 && latC < 58.0)
+  }
+
+  test("user-defined tmerc keys (CT=1 + scale + false easting) equal EPSG:32633") {
+    val user = GeoTiff.areaFromGeoTiff(fixture("utm_user.tif"), "utm_user")
+    val epsg = GeoTiff.areaFromGeoTiff(fixture("utm33.tif"), "utm33")
+    assert(user.crs.params("proj") === "tmerc")
+    for ((lon, lat) <- Seq((15.0, 56.0), (12.3, 55.7), (17.9, 54.1))) {
+      val pu = user.crs.forward(lon, lat); val pe = epsg.crs.forward(lon, lat)
+      assert(math.abs(pu._1 - pe._1) < 1e-9 && math.abs(pu._2 - pe._2) < 1e-9,
+        s"user vs EPSG drifted at ($lon,$lat): $pu vs $pe")
+    }
+  }
+
+  test("user-defined sinusoidal on the MODIS sphere (CT=24): a real tile georeferences") {
+    val a = GeoTiff.areaFromGeoTiff(fixture("sinu_modis.tif"), "h18v04")
+    assert((a.width, a.height) === (1200, 1200))
+    assert(a.crs.params("proj") === "sinu")
+    assert(a.crs.params("a").toDouble === 6371007.181)
+    // tile (h18, v04) spans 0..10 deg lon at its top (50N) edge region
+    val (lon0, lat0) = a.crs.inverse(a.xLL + 0.5 * a.pixelSizeX, a.yUR - 0.5 * a.pixelSizeY)
+    assert(math.abs(lat0 - 50.0) < 0.01, s"top-row lat $lat0")
+    assert(math.abs(lon0 - 0.0) < 0.02, s"left-col lon $lon0")
+  }
 }

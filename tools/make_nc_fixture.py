@@ -288,6 +288,76 @@ def packed(outdir):
     write_nc(os.path.join(outdir, 'packed.nc'), dims, [], variables, numrecs=3)
 
 
+def modis_sinu(outdir):
+    """MODIS-style sinusoidal grid: a 120x120 downsample of tile h18v04
+    (sphere R=6371007.181, metre axes), `sinusoidal` grid mapping."""
+    n = 120
+    tile = 1111950.5196666666  # 10 deg of great-circle arc
+    px = tile / n
+    dims = [('y', n), ('x', n)]
+    variables = [
+        Var('ndvi', [0, 1], NC_FLOAT,
+            [('grid_mapping', *s('sinu_crs'))], [0.0] * (n * n)),
+        Var('x', [1], NC_DOUBLE,
+            [('standard_name', *s('projection_x_coordinate')), ('units', *s('m'))],
+            linspace(0.0 + px / 2, tile - px / 2, n)),
+        Var('y', [0], NC_DOUBLE,
+            [('standard_name', *s('projection_y_coordinate')), ('units', *s('m'))],
+            linspace(5 * tile - px / 2, 4 * tile + px / 2, n)),
+        Var('sinu_crs', [], NC_INT,
+            [('grid_mapping_name', *s('sinusoidal')),
+             ('longitude_of_projection_origin', *d(0.0)),
+             ('false_easting', *d(0.0)), ('false_northing', *d(0.0)),
+             ('earth_radius', *d(6371007.181))],
+            [0]),
+    ]
+    write_nc(os.path.join(outdir, 'modis_sinu.nc'), dims,
+             [('Conventions', *s('CF-1.7'))], variables)
+
+
+def utm_tmerc(outdir):
+    """UTM 33N as a CF transverse_mercator mapping: 60x50 @ 2km pixels."""
+    nx, ny = 60, 50
+    dims = [('y', ny), ('x', nx)]
+    variables = [
+        Var('band1', [0, 1], NC_FLOAT,
+            [('grid_mapping', *s('utm_crs'))], [0.0] * (ny * nx)),
+        Var('x', [1], NC_DOUBLE,
+            [('standard_name', *s('projection_x_coordinate')), ('units', *s('m'))],
+            linspace(401000.0, 519000.0, nx)),
+        Var('y', [0], NC_DOUBLE,
+            [('standard_name', *s('projection_y_coordinate')), ('units', *s('m'))],
+            linspace(6299000.0, 6201000.0, ny)),
+        Var('utm_crs', [], NC_INT,
+            [('grid_mapping_name', *s('transverse_mercator')),
+             ('latitude_of_projection_origin', *d(0.0)),
+             ('longitude_of_central_meridian', *d(15.0)),
+             ('scale_factor_at_central_meridian', *d(0.9996)),
+             ('false_easting', *d(500000.0)), ('false_northing', *d(0.0)),
+             ('semi_major_axis', *d(6378137.0)),
+             ('inverse_flattening', *d(298.257223563))],
+            [0]),
+    ]
+    write_nc(os.path.join(outdir, 'utm_tmerc.nc'), dims,
+             [('Conventions', *s('CF-1.7'))], variables)
+
+
+def badaxis(outdir):
+    """A constant x axis: must fail loudly (zero spacing), not emit NaN."""
+    nx, ny = 8, 6
+    dims = [('y', ny), ('x', nx)]
+    variables = [
+        Var('band1', [0, 1], NC_FLOAT, [], [0.0] * (ny * nx)),
+        Var('x', [1], NC_DOUBLE,
+            [('standard_name', *s('longitude')), ('units', *s('degrees_east'))],
+            [7.5] * nx),
+        Var('y', [0], NC_DOUBLE,
+            [('standard_name', *s('latitude')), ('units', *s('degrees_north'))],
+            linspace(60.0, 50.0, ny)),
+    ]
+    write_nc(os.path.join(outdir, 'badaxis.nc'), dims, [], variables)
+
+
 if __name__ == '__main__':
     outdir = sys.argv[1] if len(sys.argv) > 1 else 'src/test/resources/cf'
     os.makedirs(outdir, exist_ok=True)
@@ -296,3 +366,6 @@ if __name__ == '__main__':
     llwgs84(outdir)
     llnocrs(outdir)
     packed(outdir)
+    modis_sinu(outdir)
+    utm_tmerc(outdir)
+    badaxis(outdir)

@@ -122,9 +122,65 @@ def epsg3413(outdir):
                geokeys, [])
 
 
+def utm33(outdir):
+    """ProjectedCSType = EPSG:32633 (WGS84 / UTM zone 33N): the formulaic
+    UTM family — 120x100 @ 1km pixels over southern Scandinavia."""
+    geokeys = [
+        (1024, 0, 1, 1),
+        (3072, 0, 1, 32633),
+    ]
+    write_tiff(os.path.join(outdir, 'utm33.tif'), 120, 100,
+               (1000.0, 1000.0), [0, 0, 0, 400000.0, 6200000.0, 0],
+               geokeys, [])
+
+
+def utm_user(outdir):
+    """User-defined transverse Mercator equal to UTM 33N: CT=1 with the
+    natural-origin + scale + false-easting keys spelled out."""
+    doubles = [0.0, 15.0, 0.9996, 500000.0, 0.0, 6378137.0, 298.257223563]
+    geokeys = [
+        (1024, 0, 1, 1),
+        (3072, 0, 1, 32767),
+        (3075, 0, 1, 1),        # CT_TransverseMercator
+        (3081, 34736, 1, 0),    # ProjNatOriginLat
+        (3080, 34736, 1, 1),    # ProjNatOriginLong
+        (3092, 34736, 1, 2),    # ProjScaleAtNatOrigin
+        (3082, 34736, 1, 3),    # ProjFalseEasting
+        (3083, 34736, 1, 4),    # ProjFalseNorthing
+        (2048, 0, 1, 32767),
+        (2057, 34736, 1, 5),    # GeogSemiMajor
+        (2059, 34736, 1, 6),    # GeogInvFlattening
+    ]
+    write_tiff(os.path.join(outdir, 'utm_user.tif'), 120, 100,
+               (1000.0, 1000.0), [0, 0, 0, 400000.0, 6200000.0, 0],
+               geokeys, doubles)
+
+
+def sinu_modis(outdir):
+    """User-defined sinusoidal on the MODIS sphere (R=6371007.181):
+    one 1200x1200 tile (h18v04-style) at 926.625433-m pixels."""
+    doubles = [0.0, 6371007.181, 6371007.181]
+    geokeys = [
+        (1024, 0, 1, 1),
+        (3072, 0, 1, 32767),
+        (3075, 0, 1, 24),       # CT_Sinusoidal
+        (3080, 34736, 1, 0),    # ProjNatOriginLong
+        (2048, 0, 1, 32767),
+        (2057, 34736, 1, 1),    # GeogSemiMajor
+        (2058, 34736, 1, 2),    # GeogSemiMinor (= major: sphere)
+    ]
+    # MODIS tile (h=18, v=4): x0 = (18-18)*1111950.52, y0 = (9-4)*1111950.52
+    write_tiff(os.path.join(outdir, 'sinu_modis.tif'), 1200, 1200,
+               (926.62543305, 926.62543305), [0, 0, 0, 0.0, 5559752.598333, 0],
+               geokeys, doubles)
+
+
 if __name__ == '__main__':
     outdir = sys.argv[1] if len(sys.argv) > 1 else 'src/test/resources/geotiff'
     os.makedirs(outdir, exist_ok=True)
     psn(outdir)
     ll(outdir)
     epsg3413(outdir)
+    utm33(outdir)
+    utm_user(outdir)
+    sinu_modis(outdir)
