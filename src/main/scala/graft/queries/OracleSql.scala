@@ -161,4 +161,179 @@ object OracleSql {
       $pfx AS (SELECT ${keep.mkString(", ")}, ${wrap(s"$LON0 + _lamv * $R2DL")} AS $outLon, _it$iters * $R2DL AS $outLat FROM ${pfx}i$iters)"""
     }
   }
+
+  /** Transverse Mercator forward twin — `graft.core.TmercProj` (Krüger
+    * n^6 series) with lat_0 = 0 (the UTM case). DuckDB has no hyperbolic
+    * functions, so sinh/cosh/asinh/atanh are composed from EXP/LN; those
+    * compositions differ from JVM libm by ulps only — invisible to the
+    * floor-binning the bucket queries feed this into (cells are km-scale;
+    * the drift is ~1e-6 m). All series constants are baked op-for-op from
+    * the same arithmetic as TmercProj's initializers. */
+  final case class TmercSql(area: AreaDef) {
+    private val p = area.crs.params
+    require(p("proj") == "tmerc", s"not a tmerc area: ${p("proj")}")
+    require(p.getOrElse("lat_0", "0").toDouble == 0.0, "oracle twin covers lat_0 = 0 (UTM)")
+    private val a = p("a").toDouble
+    private val ellB = (p.get("b"), p.get("rf")) match {
+      case (Some(b), _) => b.toDouble
+      case (None, Some(rf)) => a * (1 - 1 / rf.toDouble)
+      case _ => a
+    }
+    private val f = (a - ellB) / a
+    private val e2 = 2 * f - f * f
+    private val e = math.sqrt(e2)
+    private val k0 = p.get("k_0").orElse(p.get("k")).map(_.toDouble).getOrElse(1.0)
+    private val lon0 = p.get("lon_0").map(_.toDouble).getOrElse(0.0)
+    private val x0 = p.get("x_0").map(_.toDouble).getOrElse(0.0)
+    private val y0 = p.get("y_0").map(_.toDouble).getOrElse(0.0)
+    // ---- op-for-op the initializers of TmercProj
+    private val n = f / (2 - f)
+    private val n2 = n * n; private val n3 = n2 * n; private val n4 = n3 * n
+    private val n5 = n4 * n; private val n6 = n5 * n
+    private val aCap = a / (1 + n) * (1 + n2 / 4 + n4 / 64 + n6 / 256)
+    private val alpha = Array(
+      n / 2 - 2.0 / 3 * n2 + 5.0 / 16 * n3 + 41.0 / 180 * n4 - 127.0 / 288 * n5 + 7891.0 / 37800 * n6,
+      13.0 / 48 * n2 - 3.0 / 5 * n3 + 557.0 / 1440 * n4 + 281.0 / 630 * n5 - 1983433.0 / 1935360 * n6,
+      61.0 / 240 * n3 - 103.0 / 140 * n4 + 15061.0 / 26880 * n5 + 167603.0 / 181440 * n6,
+      49561.0 / 161280 * n4 - 179.0 / 168 * n5 + 6601661.0 / 7257600 * n6,
+      34729.0 / 80640 * n5 - 3418889.0 / 1995840 * n6,
+      212378941.0 / 319334400 * n6)
+    private val E = slit(e)
+    private val KA = slit(k0 * aCap)
+    private val D2RL = slit(math.Pi / 180.0)
+    private val LON0 = slit(lon0)
+    private val X0 = slit(x0); private val Y0 = slit(y0)
+
+    def fwdCtes(pfx: String, src: String, keep: Seq[String],
+        lonC: String = "lon", latC: String = "lat",
+        outX: String = "proj_x", outY: String = "proj_y"): String = {
+      // cosh(2k eta') = (E2^k + E2^-k)/2 with E2 = exp(2 eta'); one EXP
+      def ch(k: Int) = if (k == 1) "((_e2p + 1 / _e2p) / 2)"
+        else s"((POW(_e2p, $k) + 1 / POW(_e2p, $k)) / 2)"
+      def sh(k: Int) = if (k == 1) "((_e2p - 1 / _e2p) / 2)"
+        else s"((POW(_e2p, $k) - 1 / POW(_e2p, $k)) / 2)"
+      val xiTerms = (0 until 6).map { j =>
+        s" + ${slit(alpha(j))} * SIN(${2 * (j + 1)} * _xip) * ${ch(j + 1)}"
+      }.mkString
+      val etaTerms = (0 until 6).map { j =>
+        s" + ${slit(alpha(j))} * COS(${2 * (j + 1)} * _xip) * ${sh(j + 1)}"
+      }.mkString
+      s"""${pfx}a AS (SELECT *, ${wrapSql(s"$lonC - $LON0")} * $D2RL AS _lam, $latC * $D2RL AS _phi FROM $src),
+      ${pfx}b AS (SELECT *, TAN(_phi) AS _tau, SIN(_lam) AS _slam, COS(_lam) AS _clam FROM ${pfx}a),
+      ${pfx}c AS (SELECT *, SQRT(1 + _tau * _tau) AS _t1 FROM ${pfx}b),
+      ${pfx}d AS (SELECT *, $E * ((LN((1 + ($E * _tau / _t1)) / (1 - ($E * _tau / _t1)))) / 2) AS _ath FROM ${pfx}c),
+      ${pfx}e AS (SELECT *, (EXP(_ath) - EXP(-_ath)) / 2 AS _sig FROM ${pfx}d),
+      ${pfx}f AS (SELECT *, _tau * SQRT(1 + _sig * _sig) - _sig * _t1 AS _tp FROM ${pfx}e),
+      ${pfx}g AS (SELECT *, _slam / SQRT(_tp * _tp + _clam * _clam) AS _sl1 FROM ${pfx}f),
+      ${pfx}g2 AS (SELECT *, ATAN2(_tp, _clam) AS _xip,
+                  SIGN(_sl1) * LN(ABS(_sl1) + SQRT(1 + _sl1 * _sl1)) AS _etap FROM ${pfx}g),
+      ${pfx}h AS (SELECT *, EXP(2 * _etap) AS _e2p FROM ${pfx}g2),
+      $pfx AS (SELECT ${keep.mkString(", ")},
+               $KA * (_etap$etaTerms) + $X0 AS $outX,
+               $KA * (_xip$xiTerms) + $Y0 AS $outY FROM ${pfx}h)"""
+    }
+  }
+
+  /** Albers equal-area conic forward twin — `graft.core.AeaProj` (Snyder
+    * 14-1..14-11 ellipsoid), constants baked op-for-op. */
+  final case class AeaSql(area: AreaDef) {
+    private val p = area.crs.params
+    require(p("proj") == "aea", s"not an aea area: ${p("proj")}")
+    private val a = p("a").toDouble
+    private val ellB = (p.get("b"), p.get("rf")) match {
+      case (Some(b), _) => b.toDouble
+      case (None, Some(rf)) => a * (1 - 1 / rf.toDouble)
+      case _ => a
+    }
+    private val f = (a - ellB) / a
+    private val e2 = 2 * f - f * f
+    private val e = math.sqrt(e2)
+    private val lon0 = p.get("lon_0").map(_.toDouble).getOrElse(0.0)
+    private val lat0 = p.get("lat_0").map(_.toDouble).getOrElse(0.0)
+    private val lat1 = p.get("lat_1").map(_.toDouble).getOrElse(lat0)
+    private val lat2 = p.get("lat_2").map(_.toDouble).getOrElse(lat1)
+    require(e > 0, "spherical aea not needed by the oracle set")
+    private val D2R = math.Pi / 180.0
+    private def qOf(phi: Double): Double = {
+      val s = math.sin(phi)
+      (1 - e2) * (s / (1 - e2 * s * s) - (1 / (2 * e)) * math.log((1 - e * s) / (1 + e * s)))
+    }
+    private def msfn(phi: Double): Double = {
+      val s = math.sin(phi)
+      math.cos(phi) / math.sqrt(1 - e2 * s * s)
+    }
+    private val p1 = lat1 * D2R; private val p2 = lat2 * D2R; private val p0 = lat0 * D2R
+    private val m1 = msfn(p1)
+    private val q1 = qOf(p1)
+    private val nN =
+      if (math.abs(lat1 - lat2) < 1e-10) math.sin(p1)
+      else { val m2 = msfn(p2); (m1 * m1 - m2 * m2) / (qOf(p2) - q1) }
+    private val cBig = m1 * m1 + nN * q1
+    private val rho0 = a * math.sqrt(math.max(0.0, cBig - nN * qOf(p0))) / nN
+
+    private val E = slit(e); private val E2 = slit(e2)
+    private val OneME2 = slit(1 - e2); private val Inv2E = slit(1 / (2 * e))
+    private val NL = slit(nN); private val CL = slit(cBig)
+    private val RHO0 = slit(rho0); private val AL = slit(a)
+    private val D2RL = slit(D2R); private val LON0 = slit(lon0)
+
+    def fwdCtes(pfx: String, src: String, keep: Seq[String],
+        lonC: String = "lon", latC: String = "lat",
+        outX: String = "proj_x", outY: String = "proj_y"): String =
+      s"""${pfx}a AS (SELECT *, SIN($latC * $D2RL) AS _s,
+                   $NL * ${wrapSql(s"$lonC - $LON0")} * $D2RL AS _th FROM $src),
+      ${pfx}b AS (SELECT *, $OneME2 * (_s / (1 - $E2 * _s * _s) - $Inv2E * LN((1 - $E * _s) / (1 + $E * _s))) AS _q FROM ${pfx}a),
+      ${pfx}c AS (SELECT *, $AL * SQRT(GREATEST(CAST(0 AS DOUBLE), $CL - $NL * _q)) / $NL AS _rho FROM ${pfx}b),
+      $pfx AS (SELECT ${keep.mkString(", ")}, _rho * SIN(_th) AS $outX,
+               $RHO0 - _rho * COS(_th) AS $outY FROM ${pfx}c)"""
+  }
+
+  /** Sinusoidal forward twin — `graft.core.SinuProj`, SPHERE only (the
+    * MODIS grid case): x = (a·λ)·cosφ, y = a·φ — pure trig, transcribed
+    * in the same association order. */
+  final case class SinuSql(area: AreaDef) {
+    private val p = area.crs.params
+    require(p("proj") == "sinu", s"not a sinu area: ${p("proj")}")
+    require(!p.contains("b") && !p.contains("rf"), "oracle twin covers the MODIS sphere")
+    private val a = p("a").toDouble
+    private val lon0 = p.get("lon_0").map(_.toDouble).getOrElse(0.0)
+    private val AL = slit(a)
+    private val D2RL = slit(math.Pi / 180.0)
+    private val LON0 = slit(lon0)
+    def fwdCtes(pfx: String, src: String, keep: Seq[String],
+        lonC: String = "lon", latC: String = "lat",
+        outX: String = "proj_x", outY: String = "proj_y"): String =
+      s"""${pfx}a AS (SELECT *, ${wrapSql(s"$lonC - $LON0")} * $D2RL AS _lam, $latC * $D2RL AS _phi FROM $src),
+      $pfx AS (SELECT ${keep.mkString(", ")}, ($AL * _lam) * COS(_phi) AS $outX,
+               $AL * _phi AS $outY FROM ${pfx}a)"""
+  }
+
+  /** Orthographic forward twin — `graft.core.OrthoProj` (spherical). The
+    * caller must keep the source inside the near hemisphere (the bucket
+    * query's area reduction does); far-side rows would be NaN in the
+    * engine and unprojected junk here. */
+  final case class OrthoSql(area: AreaDef) {
+    private val p = area.crs.params
+    require(p("proj") == "ortho", s"not an ortho area: ${p("proj")}")
+    private val r = (p.get("R"), p.get("a")) match {
+      case (Some(rr), _) => rr.toDouble
+      case (None, Some(a)) if !p.contains("b") && !p.contains("rf") => a.toDouble
+      case _ => throw new IllegalArgumentException("oracle twin covers the sphere")
+    }
+    private val lon0 = p.get("lon_0").map(_.toDouble).getOrElse(0.0)
+    private val lat0 = p.get("lat_0").map(_.toDouble).getOrElse(0.0)
+    private val phi0 = lat0 * (math.Pi / 180.0)
+    private val RL = slit(r)
+    private val SP0 = slit(math.sin(phi0)); private val CP0 = slit(math.cos(phi0))
+    private val D2RL = slit(math.Pi / 180.0)
+    private val LON0 = slit(lon0)
+    def fwdCtes(pfx: String, src: String, keep: Seq[String],
+        lonC: String = "lon", latC: String = "lat",
+        outX: String = "proj_x", outY: String = "proj_y"): String =
+      s"""${pfx}a AS (SELECT *, ${wrapSql(s"$lonC - $LON0")} * $D2RL AS _lam, $latC * $D2RL AS _phi FROM $src),
+      ${pfx}b AS (SELECT *, SIN(_phi) AS _sp, COS(_phi) AS _cp, SIN(_lam) AS _sl, COS(_lam) AS _cl FROM ${pfx}a),
+      ${pfx}c AS (SELECT * FROM ${pfx}b WHERE $SP0 * _sp + $CP0 * _cp * _cl >= 0),
+      $pfx AS (SELECT ${keep.mkString(", ")}, ($RL * _cp) * _sl AS $outX,
+               $RL * ($CP0 * _sp - $SP0 * _cp * _cl) AS $outY FROM ${pfx}c)"""
+  }
 }

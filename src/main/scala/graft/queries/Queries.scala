@@ -5950,6 +5950,89 @@ object Queries {
       FROM documents ORDER BY doc_id"""
     })
 
+  // ===================== r9 projection kernels: tmerc/UTM, sinu, aea, ortho
+
+  /** WGS84 / UTM zone 33N over southern Scandinavia, 2 km pixels. */
+  def utmArea(w: Int = 200, h: Int = 200): AreaDef =
+    AreaDef("utm33n",
+      Crs.fromProj4("+proj=utm +zone=33 +a=6378137 +rf=298.257223563"),
+      w, h, 300000.0, 6100000.0, 700000.0, 6500000.0)
+
+  /** MODIS-style sinusoidal window (tile h18v04 footprint), sphere. */
+  def sinuArea(w: Int = 200, h: Int = 200): AreaDef =
+    AreaDef("sinu_h18v04",
+      Crs.fromProj4("+proj=sinu +lon_0=0 +a=6371007.181"),
+      w, h, 0.0, 4447802.0786666664, 1111950.5196666666, 5559752.598333333)
+
+  /** CONUS Albers (the classic USGS parameter set), WGS84, 20 km pixels. */
+  def aeaArea(w: Int = 225, h: Int = 135): AreaDef =
+    AreaDef("conus_aea",
+      Crs.fromProj4("+proj=aea +lat_0=23 +lon_0=-96 +lat_1=29.5 +lat_2=45.5 +a=6378137 +rf=298.257223563"),
+      w, h, -2000000.0, 500000.0, 2500000.0, 3200000.0)
+
+  /** Disk-centred orthographic over Europe, sphere, 20 km pixels. */
+  def orthoArea(w: Int = 200, h: Int = 200): AreaDef =
+    AreaDef("ortho_eu",
+      Crs.fromProj4("+proj=ortho +lat_0=45 +lon_0=10 +a=6371000"),
+      w, h, -2000000.0, -2000000.0, 2000000.0, 2000000.0)
+
+  private def bucketAvgSql(area: AreaDef, fwdCtes: (String, String, Seq[String]) => String): String =
+    s"""WITH $swathSql,
+      leg AS (SELECT lon, lat, value FROM swath
+              WHERE ${OracleSql.reducePredSql(area, 0.0)}
+                AND lon >= -180.0 AND lon <= 180.0 AND lat >= -90.0 AND lat <= 90.0),
+      ${fwdCtes("prj", "leg", Seq("value"))},
+      cc AS (SELECT value, ${OracleSql.fracColSql(area, "proj_x")} AS c,
+                    ${OracleSql.fracRowSql(area, "proj_y")} AS r FROM prj),
+      cells AS (SELECT r * ${area.width} + c AS cell, value FROM cc
+                WHERE c >= 0 AND c < ${area.width} AND r >= 0 AND r < ${area.height})
+      SELECT cell, SUM(value) / COUNT(value) AS avg FROM cells GROUP BY cell ORDER BY cell"""
+
+  /** Bucket average on a real UTM grid — the ellipsoidal transverse
+    * Mercator forward (Krüger n^6 series) replayed in DuckDB with
+    * EXP/LN-composed hyperbolics (OracleSql.TmercSql); 2 km cells dwarf
+    * the ~1e-6 m libm drift. The projection every UTM-georeferenced
+    * raster needs (`utils/rasterio.py:77`). */
+  val q199_bucket_utm: Q = Q(
+    (s, d) => {
+      val area = utmArea()
+      BucketResampler(area).average(
+        DataReduce.reduceToArea(swath(s, d), area, 0.0), "value").orderBy("cell")
+    },
+    Some(bucketAvgSql(utmArea(), OracleSql.TmercSql(utmArea()).fwdCtes(_, _, _))))
+
+  /** Bucket average on a MODIS sinusoidal tile window — spherical sinu
+    * forward transcribed op-for-op (`utils/cf.py:31` sinusoidal). */
+  val q200_bucket_sinu: Q = Q(
+    (s, d) => {
+      val area = sinuArea()
+      BucketResampler(area).average(
+        DataReduce.reduceToArea(swath(s, d), area, 0.0), "value").orderBy("cell")
+    },
+    Some(bucketAvgSql(sinuArea(), OracleSql.SinuSql(sinuArea()).fwdCtes(_, _, _))))
+
+  /** Bucket average on the CONUS Albers grid — ellipsoidal equal-area
+    * q/rho algebra replayed exactly (`utils/cf.py:31`
+    * albers_conical_equal_area). */
+  val q201_bucket_aea: Q = Q(
+    (s, d) => {
+      val area = aeaArea()
+      BucketResampler(area).average(
+        DataReduce.reduceToArea(swath(s, d), area, 0.0), "value").orderBy("cell")
+    },
+    Some(bucketAvgSql(aeaArea(), OracleSql.AeaSql(aeaArea()).fwdCtes(_, _, _))))
+
+  /** Bucket average on an orthographic disk — spherical ortho forward;
+    * the area reduction keeps every source point on the near side, so
+    * the far-side NaN branch never fires on either engine. */
+  val q202_bucket_ortho: Q = Q(
+    (s, d) => {
+      val area = orthoArea()
+      BucketResampler(area).average(
+        DataReduce.reduceToArea(swath(s, d), area, 0.0), "value").orderBy("cell")
+    },
+    Some(bucketAvgSql(orthoArea(), OracleSql.OrthoSql(orthoArea()).fwdCtes(_, _, _))))
+
   // -------------------------------------------------------------- registry
 
   val all: Seq[(String, Q)] = Seq(
@@ -6149,5 +6232,9 @@ object Queries {
     "q195_scd2_enrich" -> q195_scd2_enrich,
     "q196_margin_ivf" -> q196_margin_ivf,
     "q197_media_resize" -> q197_media_resize,
-    "q198_payload_embed" -> q198_payload_embed)
+    "q198_payload_embed" -> q198_payload_embed,
+    "q199_bucket_utm" -> q199_bucket_utm,
+    "q200_bucket_sinu" -> q200_bucket_sinu,
+    "q201_bucket_aea" -> q201_bucket_aea,
+    "q202_bucket_ortho" -> q202_bucket_ortho)
 }
