@@ -1,0 +1,89 @@
+package graft.functions
+
+import graft.operators.MediaCodec
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.graftbridge.Bridge
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Native Catalyst expressions over media payload bytes — the same
+  * UDF-free discipline as [[ProjectPoint]]: header parse and decode run
+  * inside whole-stage codegen via static calls on
+  * [[graft.operators.MediaCodec]], no ScalaUDF boxing. */
+case class MediaMetaExpr(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = MediaMetaExpr.schema
+  override def prettyName: String = "media_meta"
+
+  override def nullSafeEval(input: Any): Any =
+    MediaMetaExpr.metaRow(input.asInstanceOf[Array[Byte]])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, bytes => {
+      s"${ev.value} = graft.functions.MediaMetaExpr.metaRow($bytes);"
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object MediaMetaExpr {
+  val schema: StructType = StructType(Seq(
+    StructField("format", StringType),
+    StructField("width", IntegerType),
+    StructField("height", IntegerType),
+    StructField("n_bytes", LongType, nullable = false)))
+
+  /** Static entry for interpreted eval AND generated code: header parse
+    * to (format, width, height, n_bytes); unknown magic -> null format,
+    * known format with unparsed dims -> null dims. */
+  def metaRow(b: Array[Byte]): InternalRow = {
+    val m = MediaCodec.parseMeta(b)
+    if (m == null) new GenericInternalRow(Array[Any](null, null, null, b.length.toLong))
+    else new GenericInternalRow(Array[Any](
+      UTF8String.fromString(m.format),
+      if (m.width >= 0) m.width else null,
+      if (m.height >= 0) m.height else null,
+      b.length.toLong))
+  }
+
+  def column(payload: Column): Column = Bridge.column(MediaMetaExpr(Bridge.expression(payload)))
+}
+
+/** Decode + resize + PNG re-encode (javax.imageio), executed in codegen.
+  * Null when the payload does not decode. */
+case class DecodeResizeExpr(payload: Expression, outW: Expression, outH: Expression)
+    extends TernaryExpression {
+
+  override def first: Expression = payload
+  override def second: Expression = outW
+  override def third: Expression = outH
+  override def dataType: DataType = BinaryType
+  override def nullable: Boolean = true
+  override def prettyName: String = "decode_resize_png"
+
+  override def nullSafeEval(b: Any, w: Any, h: Any): Any =
+    MediaCodec.decodeResizePng(b.asInstanceOf[Array[Byte]],
+      w.asInstanceOf[Int], h.asInstanceOf[Int])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (b, w, h) => {
+      s"""
+         |${ev.value} = graft.operators.MediaCodec.decodeResizePng($b, $w, $h);
+         |${ev.isNull} = ${ev.value} == null;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      f: Expression, s: Expression, t: Expression): Expression =
+    copy(payload = f, outW = s, outH = t)
+}
+
+object DecodeResizeExpr {
+  def column(payload: Column, outW: Column, outH: Column): Column =
+    Bridge.column(DecodeResizeExpr(Bridge.expression(payload),
+      Bridge.expression(outW.cast("int")), Bridge.expression(outH.cast("int"))))
+}

@@ -1,0 +1,120 @@
+package graft.operators
+
+import java.awt.RenderingHints
+import java.awt.image.BufferedImage
+import java.io.{ByteArrayInputStream, ByteArrayOutputStream}
+
+import javax.imageio.ImageIO
+
+/** Real media-byte handling (r9 — replaces the r8 decode stub for actual
+  * image payloads): magic-byte sniffing and header-only dimension parsing
+  * for PNG (IHDR), JPEG (SOF scan), GIF (logical screen descriptor) and
+  * BMP (BITMAPINFOHEADER), written from the public format specs (PNG:
+  * RFC 2083 §3; JPEG: ITU-T T.81 §B.2.2; GIF89a spec §18; BMP: Windows
+  * BITMAPINFOHEADER layout) — the same pure-JVM reader genre as
+  * `graft.sources.GeoTiff`. WEBP/TIFF payloads sniff to a format name
+  * with null dimensions (their dims need chunk/IFD walks the metadata
+  * pass doesn't pay for; TIFF rasters route through [[graft.sources.GeoTiff]]).
+  *
+  * The full pixel decode + resize path ([[decodeResizePng]]) uses
+  * `javax.imageio` — shipped in the JDK (the quicklook sink already
+  * writes PNGs with it), no external libraries. Header parsing never
+  * touches pixel data: a 100 TB metadata pass reads 4 KB per payload,
+  * not the image.
+  *
+  * The reference has no multimodal surface — this is builder-extension
+  * plumbing for training-data pipelines (prompt mandate).
+  */
+object MediaCodec {
+
+  /** Parsed header: format plus dimensions (negative = unknown). */
+  final case class Meta(format: String, width: Int, height: Int)
+
+  @inline private def u8(b: Array[Byte], i: Int): Int = b(i) & 0xFF
+  @inline private def be16(b: Array[Byte], i: Int): Int = (u8(b, i) << 8) | u8(b, i + 1)
+  @inline private def be32(b: Array[Byte], i: Int): Int =
+    (u8(b, i) << 24) | (u8(b, i + 1) << 16) | (u8(b, i + 2) << 8) | u8(b, i + 3)
+  @inline private def le16(b: Array[Byte], i: Int): Int = u8(b, i) | (u8(b, i + 1) << 8)
+  @inline private def le32(b: Array[Byte], i: Int): Int =
+    u8(b, i) | (u8(b, i + 1) << 8) | (u8(b, i + 2) << 16) | (u8(b, i + 3) << 24)
+
+  /** Magic-byte format sniff; null for unrecognized payloads. */
+  def sniff(b: Array[Byte]): String = {
+    if (b == null || b.length < 12) return null
+    if (u8(b, 0) == 0x89 && b(1) == 'P' && b(2) == 'N' && b(3) == 'G' &&
+      u8(b, 4) == 0x0D && u8(b, 5) == 0x0A && u8(b, 6) == 0x1A && u8(b, 7) == 0x0A) return "png"
+    if (u8(b, 0) == 0xFF && u8(b, 1) == 0xD8) return "jpeg"
+    if (b(0) == 'G' && b(1) == 'I' && b(2) == 'F' && b(3) == '8' &&
+      (b(4) == '7' || b(4) == '9') && b(5) == 'a') return "gif"
+    if (b(0) == 'B' && b(1) == 'M') return "bmp"
+    if (b(0) == 'R' && b(1) == 'I' && b(2) == 'F' && b(3) == 'F' &&
+      b(8) == 'W' && b(9) == 'E' && b(10) == 'B' && b(11) == 'P') return "webp"
+    if ((b(0) == 'I' && b(1) == 'I' && u8(b, 2) == 42 && u8(b, 3) == 0) ||
+      (b(0) == 'M' && b(1) == 'M' && u8(b, 2) == 0 && u8(b, 3) == 42)) return "tiff"
+    null
+  }
+
+  /** Header-only (format, width, height); null for unrecognized bytes,
+    * width/height = -1 when the format is known but dims are not parsed
+    * (webp/tiff) or the header is truncated/corrupt. */
+  def parseMeta(b: Array[Byte]): Meta = sniff(b) match {
+    case null => null
+    case "png" =>
+      // 8-byte signature, then the IHDR chunk: len(4) "IHDR" w(4) h(4)
+      if (b.length >= 24 && b(12) == 'I' && b(13) == 'H' && b(14) == 'D' && b(15) == 'R')
+        Meta("png", be32(b, 16), be32(b, 20))
+      else Meta("png", -1, -1)
+    case "jpeg" =>
+      // walk the marker segments to the first frame header (SOF0..SOF15
+      // minus DHT/JPG/DAC): [marker(2) len(2) precision(1) h(2) w(2)]
+      var i = 2
+      var out: Meta = Meta("jpeg", -1, -1)
+      var done = false
+      while (!done && i + 3 < b.length) {
+        if (u8(b, i) != 0xFF) { done = true }
+        else {
+          val m = u8(b, i + 1)
+          if (m == 0xFF) i += 1 // fill byte
+          else if (m == 0xD8 || (m >= 0xD0 && m <= 0xD7) || m == 0x01) i += 2 // no payload
+          else {
+            val len = be16(b, i + 2)
+            if (len < 2) done = true
+            else if (m >= 0xC0 && m <= 0xCF && m != 0xC4 && m != 0xC8 && m != 0xCC) {
+              if (i + 9 < b.length) out = Meta("jpeg", be16(b, i + 7), be16(b, i + 5))
+              done = true
+            } else if (m == 0xDA) done = true // entropy stream: stop
+            else i += 2 + len
+          }
+        }
+      }
+      out
+    case "gif" =>
+      // logical screen descriptor: w/h little-endian at offsets 6/8
+      if (b.length >= 10) Meta("gif", le16(b, 6), le16(b, 8)) else Meta("gif", -1, -1)
+    case "bmp" =>
+      // BITMAPINFOHEADER: width LE int32 at 18, height at 22 (negative =
+      // top-down rows; dimension is the magnitude)
+      if (b.length >= 26) Meta("bmp", le32(b, 18), math.abs(le32(b, 22)))
+      else Meta("bmp", -1, -1)
+    case other => Meta(other, -1, -1)
+  }
+
+  /** Full decode + aspect-exact resize + PNG re-encode via the JDK's
+    * javax.imageio — the execution path behind `Multimodal.resizePlan`'s
+    * planned (out_w, out_h). Returns null for undecodable payloads. */
+  def decodeResizePng(b: Array[Byte], outW: Int, outH: Int): Array[Byte] = {
+    if (b == null || outW <= 0 || outH <= 0) return null
+    val img = try ImageIO.read(new ByteArrayInputStream(b)) catch { case _: Exception => null }
+    if (img == null) return null
+    val dst = new BufferedImage(outW, outH, BufferedImage.TYPE_INT_RGB)
+    val g = dst.createGraphics()
+    try {
+      g.setRenderingHint(RenderingHints.KEY_INTERPOLATION,
+        RenderingHints.VALUE_INTERPOLATION_BILINEAR)
+      g.drawImage(img, 0, 0, outW, outH, null)
+    } finally g.dispose()
+    val bos = new ByteArrayOutputStream()
+    ImageIO.write(dst, "png", bos)
+    bos.toByteArray
+  }
+}

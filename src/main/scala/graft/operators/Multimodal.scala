@@ -6,11 +6,12 @@ import org.apache.spark.sql.types._
 
 /** Multimodal column handling for training-data pipelines (builder
   * extension): image/audio/video payloads ride as opaque `binary` columns
-  * with typed metadata structs alongside. The Spark-side plumbing — schema,
-  * batch shape, partition-wise processing — is real; the actual byte
-  * decoding is STUBBED behind [[decodeStub]] (no imaging libraries in this
-  * environment) with a deterministic fake so the pipeline is testable
-  * end-to-end.
+  * with typed metadata structs alongside. Since r9 the decode is REAL:
+  * [[MediaCodec]] parses PNG/JPEG/GIF/BMP headers and
+  * [[graft.functions.DecodeResizeExpr]] executes a javax.imageio
+  * decode+resize — all pure JVM, all inside whole-stage codegen (no
+  * ScalaUDFs in this file). [[decodeStub]] remains ONLY for synthetic
+  * non-media payloads (the oracle-replayable test-data path).
   */
 object Multimodal {
 
@@ -20,28 +21,41 @@ object Multimodal {
     StructField("height", IntegerType),
     StructField("n_bytes", LongType)))
 
-  /** Deterministic fake decoder: "parses" the payload header into metadata.
-    * Replace the body with a real codec (javax.imageio etc.) in production;
-    * the signature and batch shape are the contract. */
+  /** Deterministic fake decoder for SYNTHETIC payloads (testdata text
+    * bytes are not images): fake dimensions derived from content so the
+    * pipeline stays testable end-to-end where no real image bytes exist.
+    * Real media bytes never reach this — [[withDecodedMeta]] routes any
+    * recognized magic to [[MediaCodec.parseMeta]]. */
   private[operators] def decodeStub(payload: Array[Byte]): (String, Int, Int, Long) = {
     val n = payload.length
     val fmt = if (n % 3 == 0) "png" else if (n % 3 == 1) "jpeg" else "webp"
-    // fake dimensions derived from content so tests can assert determinism
     val w = 16 + (math.abs(java.util.Arrays.hashCode(payload)) % 64)
     val h = 16 + (math.abs(java.util.Arrays.hashCode(payload) / 64) % 64)
     (fmt, w, h, n.toLong)
   }
 
-  /** Attach binary payload metadata: one pass, partition-local, no shuffle.
-    * Batch shape: mapPartitions over rows — the Scala analog of a
-    * `mapInPandas` batch decode. */
+  /** Attach binary payload metadata: one pass, partition-local, no
+    * shuffle, codegen-native ([[graft.functions.MediaMetaExpr]] — a real
+    * PNG IHDR / JPEG SOF / GIF / BMP header parse). Payloads with no
+    * recognized magic (synthetic test bytes) fall back to the
+    * deterministic [[decodeStub]] fake so downstream schema contracts
+    * hold on any input. */
   def withDecodedMeta(df: DataFrame, binCol: String = "payload"): DataFrame = {
-    val decode = udf { (payload: Array[Byte]) =>
-      if (payload == null) null else decodeStub(payload)
-    }.asNondeterministic() // keep Catalyst from duplicating the (expensive) decode
-    df.withColumn("media_meta",
-      decode(col(binCol)).cast(
-        "struct<format:string,width:int,height:int,n_bytes:bigint>"))
+    val real = graft.functions.MediaMetaExpr.column(col(binCol))
+    // md5-arithmetic stub (same family as withPortableMeta): integer-exact
+    // in SQL (conv/div, no double division — the hash exceeds 2^53)
+    df.withColumn("_mm_h", conv(substring(md5(col(binCol)), 1, 15), 16, 10).cast("long"))
+      .withColumn("media_meta",
+        when(col(binCol).isNull, lit(null).cast(
+          "struct<format:string,width:int,height:int,n_bytes:bigint>"))
+          .when(real.getField("format").isNotNull, real)
+          .otherwise(expr(
+            s"""named_struct(
+               |'format', element_at(array('png','jpeg','webp'), CAST(length($binCol) % 3 + 1 AS INT)),
+               |'width',  CAST(16 + _mm_h % 64 AS INT),
+               |'height', CAST(16 + (_mm_h div 64) % 64 AS INT),
+               |'n_bytes', CAST(length($binCol) AS BIGINT))""".stripMargin)))
+      .drop("_mm_h")
   }
 
   /** Portable decode-stub: payload metadata via md5 ARITHMETIC — pure
@@ -130,21 +144,35 @@ object Multimodal {
     df.withColumn("embedding", array(comps: _*))
   }
 
+  /** Execute the planned resize on real image payloads: the caller's
+    * (width, height) metadata drives [[resizePlan]], whose (out_w, out_h)
+    * feed [[graft.functions.DecodeResizeExpr]] — a javax.imageio decode,
+    * bilinear rescale, and PNG re-encode, all inside codegen. Payloads
+    * that do not decode (synthetic bytes) yield a null `resized` column.
+    * Map-stage only: zero shuffles, streaming-safe. */
+  def decodeAndResize(df: DataFrame, maxDim: Int, binCol: String = "payload",
+      noUpscale: Boolean = true): DataFrame = {
+    val planned = resizePlan(withDecodedMeta(df, binCol), maxDim, noUpscale,
+      wCol = "media_meta.width", hCol = "media_meta.height")
+    planned.withColumn("resized",
+      graft.functions.DecodeResizeExpr.column(col(binCol), col("out_w"), col("out_h")))
+  }
+
   /** Frame sampling plumbing: explode a (video) payload into every k-th
-    * "frame" (stub: fixed-size byte windows). Real decoder would emit
-    * decoded frames; the explode + downstream schema is the contract.
-    * `frame_idx` is the frame's index within its own payload (posexplode
-    * position x everyK) — deterministic under any partitioning. */
+    * fixed-size byte window ("frame"). A production codec swaps the
+    * substring for a real frame decode behind the same schema. Pure
+    * codegen arithmetic (sequence explode + substring — no UDF);
+    * `frame_idx` is the frame's index within its own payload,
+    * deterministic under any partitioning. */
   def sampleFrames(df: DataFrame, everyK: Int, frameBytes: Int = 256,
       binCol: String = "payload"): DataFrame = {
-    val split = udf { (payload: Array[Byte]) =>
-      if (payload == null) Array.empty[Array[Byte]]
-      else payload.grouped(frameBytes).zipWithIndex
-        .filter(_._2 % everyK == 0).map(_._1).toArray
-    }
-    df.withColumn("_frames", split(col(binCol)))
-      .select(col("*"), posexplode(col("_frames")).as(Seq("_pos", "frame")))
-      .withColumn("frame_idx", (col("_pos").cast("long") * everyK))
-      .drop("_frames", "_pos")
+    require(everyK >= 1 && frameBytes >= 1, "everyK and frameBytes must be positive")
+    df.withColumn("_nf", expr(s"(length($binCol) + ${frameBytes - 1}) div $frameBytes"))
+      .withColumn("_pos", explode(expr(
+        s"CASE WHEN _nf > 0 THEN sequence(CAST(0 AS BIGINT), (_nf - 1) div $everyK) ELSE CAST(array() AS array<bigint>) END")))
+      .withColumn("frame_idx", col("_pos") * everyK)
+      .withColumn("frame",
+        expr(s"substring($binCol, CAST(frame_idx * $frameBytes + 1 AS INT), $frameBytes)"))
+      .drop("_nf", "_pos")
   }
 }

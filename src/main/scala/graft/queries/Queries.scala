@@ -6033,6 +6033,45 @@ object Queries {
     },
     Some(bucketAvgSql(orthoArea(), OracleSql.OrthoSql(orthoArea()).fwdCtes(_, _, _))))
 
+  /** Real media-header parsing in the data plane (r9): build spec-exact
+    * PNG/JPEG/GIF header bytes from part keys (unhex of the format's
+    * magic + the key-derived dimensions), then recover (format, width,
+    * height) with the codegen header parser
+    * (`graft.functions.MediaMetaExpr` / `operators/MediaCodec.scala`).
+    * The oracle replays the dimension arithmetic directly — the query
+    * passes iff the parser inverts the encoding bit-exactly on every
+    * row. Map-stage only; the parse reads ~30 bytes/row (the 100 TB
+    * metadata-pass shape). */
+  val q203_media_headers: Q = Q(
+    (s, d) => {
+      val df = table(s, d, "part")
+        .withColumn("w", expr("CAST(1 + p_partkey % 3000 AS INT)"))
+        .withColumn("h", expr("CAST(1 + (p_partkey * 7) % 2000 AS INT)"))
+        .withColumn("payload", expr(
+          """unhex(CASE CAST(p_partkey % 3 AS INT)
+            |  WHEN 0 THEN concat('89504E470D0A1A0A0000000D49484452',
+            |    lpad(hex(w), 8, '0'), lpad(hex(h), 8, '0'), '0802000000')
+            |  WHEN 1 THEN concat('FFD8FFC0001108',
+            |    lpad(hex(h), 4, '0'), lpad(hex(w), 4, '0'), '03')
+            |  ELSE concat('474946383961',
+            |    substring(lpad(hex(w), 4, '0'), 3, 2), substring(lpad(hex(w), 4, '0'), 1, 2),
+            |    substring(lpad(hex(h), 4, '0'), 3, 2), substring(lpad(hex(h), 4, '0'), 1, 2),
+            |    '0000') END)""".stripMargin))
+      df.withColumn("media_meta", graft.functions.MediaMetaExpr.column(col("payload")))
+        .select(col("p_partkey"),
+          col("media_meta.format").as("format"),
+          col("media_meta.width").as("width"),
+          col("media_meta.height").as("height"),
+          col("media_meta.n_bytes").as("n_bytes"))
+        .orderBy("p_partkey")
+    },
+    Some("""SELECT p_partkey,
+        CASE CAST(p_partkey % 3 AS INT) WHEN 0 THEN 'png' WHEN 1 THEN 'jpeg' ELSE 'gif' END AS format,
+        CAST(1 + p_partkey % 3000 AS INTEGER) AS width,
+        CAST(1 + (p_partkey * 7) % 2000 AS INTEGER) AS height,
+        CAST(CASE CAST(p_partkey % 3 AS INT) WHEN 0 THEN 29 ELSE 12 END AS BIGINT) AS n_bytes
+      FROM part ORDER BY p_partkey"""))
+
   // -------------------------------------------------------------- registry
 
   val all: Seq[(String, Q)] = Seq(
@@ -6236,5 +6275,6 @@ object Queries {
     "q199_bucket_utm" -> q199_bucket_utm,
     "q200_bucket_sinu" -> q200_bucket_sinu,
     "q201_bucket_aea" -> q201_bucket_aea,
-    "q202_bucket_ortho" -> q202_bucket_ortho)
+    "q202_bucket_ortho" -> q202_bucket_ortho,
+    "q203_media_headers" -> q203_media_headers)
 }
