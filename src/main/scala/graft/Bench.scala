@@ -15,20 +15,26 @@ import org.apache.spark.sql.SparkSession
   * runs (each iteration pays its own materialization, like the driver's
   * one-shot run would).
   *
-  * Load robustness, two sentinels: (1) a fixed CPU-bound probe re-timed
+  * Load robustness, three sentinels: (1) a fixed CPU-bound probe re-timed
   * before every query (adjacent-probe pair per query, shared with its
   * neighbours) — catches load present at query boundaries; (2) a daemon
   * thread sampling `system CPU load - process CPU load` from the
   * OperatingSystemMXBean every 250 ms DURING each query — external load
-  * is exactly that gap, and unlike a timing probe it cannot be confused
-  * with the query's own full-machine CPU use, so a burst fully contained
-  * inside one query's iterations is still seen. A query flagged by
-  * either sentinel is RE-MEASURED once at the end of the suite, and the
+  * is exactly that gap, so a burst fully contained inside one query's
+  * iterations is still seen; (3) a SUITE-level widener (r9, see
+  * [[BenchSentinel]]): both per-query sentinels can miss a load window
+  * entirely (r8: probes slipped between bursts, the MXBean read external
+  * CPU as 0 in this sandbox, five queries shipped ~2x inflated with an
+  * empty suspect list) — so when ANY probe in the run spiked, queries
+  * whose iterations disagree (med >> min) or that regressed vs the
+  * previous round's archived medians (same sf) also join the retry set.
+  * A flagged query is RE-MEASURED once at the end of the suite, and the
   * retried median replaces the original when the retry ran quiet (else
   * the min of the two medians is kept: the best honest estimate under
-  * sustained load). Without this, a load burst during the driver's
-  * one-shot run could print a phantom 15x regression for a healthy
-  * operator with no way to repair it in-artifact.
+  * sustained load); a flagged query whose kept number was never measured
+  * quiet ships in `suspect`. Without this, a load burst during the
+  * driver's one-shot run could print a phantom 15x regression for a
+  * healthy operator with no way to repair it in-artifact.
   *
   * Output is TWO JSON lines: a "detail" line (full query names, per-query
   * minima and medians, per-query retry evidence) and, LAST, the contract
@@ -134,26 +140,45 @@ object Bench {
     }
     val pTail = probeSec(); probes += pTail
     results.lastOption.foreach(_.pAfter = pTail)
-    // ---- retry pass: re-measure queries either sentinel saw load on.
+    // ---- retry pass: re-measure queries any sentinel saw load on.
     // The probe threshold is RELATIVE to the run's own probe median (a
     // uniformly slow machine is the machine's true speed, not a
     // transient) with a 0.3 s absolute floor so sub-0.1 s jitter on a
     // quiet box never triggers; the external-CPU threshold is absolute
     // (12% of the machine stolen — ~4 cores of 32 — is load, quiet-box
-    // daemon noise measures ~2%). One pass, worst-load-first, capped so
+    // daemon noise measures ~2%). r8 lesson (BenchSentinel scaladoc):
+    // when ANY probe in the run spiked, load existed that the per-query
+    // sentinels can miss entirely — widen the retry set to queries whose
+    // iterations disagree or that regressed vs the previous round's
+    // archived medians (same sf only). One pass, worst-first, capped so
     // a pathological run still terminates.
     val mainPs = probes.sorted.toSeq
     val pMed0 = if (mainPs.isEmpty) 0.0 else mainPs(mainPs.length / 2)
     val thresh = math.max(3 * pMed0, 0.3)
     val extThresh = 0.12
     def loaded(px: Double, ext: Double): Boolean = px > thresh || ext > extThresh
-    results.filter(r => loaded(r.px, r.ext)).foreach(_.suspect = true)
-    val flagged = results.filter(r => loaded(r.px, r.ext))
-      .sortBy(r => -math.max(r.px / thresh, r.ext / extThresh)).take(25)
+    val suiteSpike = mainPs.nonEmpty && mainPs.last > thresh
+    val sfName = new java.io.File(sfDir).getName
+    val prev: Map[String, Double] =
+      sys.env.get("SPARK_GRAFT_BENCH_PREV").map(p => new java.io.File(p))
+        .orElse(BenchSentinel.newestPrevFile(new java.io.File(".")))
+        .filter(_.isFile)
+        .map { f =>
+          val txt = new String(java.nio.file.Files.readAllBytes(f.toPath), "UTF-8")
+          val (meds, sf) = BenchSentinel.parsePrevMedians(txt)
+          if (sf.contains(sfName)) meds else Map.empty[String, Double]
+        }.getOrElse(Map.empty)
+    val stats = results.map(r => BenchSentinel.QStat(r.name, r.med, r.min, r.px, r.ext)).toSeq
+    val (allSuspects, toRetry) =
+      BenchSentinel.candidates(stats, thresh, extThresh, suiteSpike, prev, cap = 25)
+    val suspectSet = allSuspects.toSet
+    results.filter(r => suspectSet(r.name)).foreach(_.suspect = true)
+    val flagged = toRetry.flatMap(n => results.find(_.name == n))
     if (flagged.nonEmpty)
-      System.err.println(s"[bench] load detected (probe median ${pMed0}s, threshold ${thresh}s, " +
-        s"ext threshold $extThresh): re-measuring ${flagged.size} queries: " +
-        flagged.map(r => s"${r.name}(px=${r.px},ext=${r.ext})").mkString(", "))
+      System.err.println(s"[bench] load detected (probe median ${pMed0}s, max ${mainPs.last}s, " +
+        s"threshold ${thresh}s, suiteSpike=$suiteSpike, prev=${prev.size} medians): " +
+        s"re-measuring ${flagged.size} queries: " +
+        flagged.map(r => s"${r.name}(px=${r.px},ext=${r.ext},med=${r.med},min=${r.min})").mkString(", "))
     flagged.foreach { r =>
       val rb = probeSec(); probes += rb
       val (med2, mn2, ext2) = runTimes(r.name, r.fn)
@@ -213,7 +238,7 @@ object Bench {
       // quiet (never truncated — it is the honesty signal of the line)
       val susp = results.filter(_.suspect)
         .map("\"" + _.name.split("_").head.drop(1) + "\"").mkString("[", ",", "]")
-      s"""{"metric":"total","value":${fmt3(total)},"unit":"sec","queries":$qs,"qtrunc":${dropped.size},"qtmax":${fmt3(qtmax)},"pm":${fmt3(ps(ps.length / 2))},"px":${fmt3(ps.last)},"xx":${fmt3(extMax)},"nr":${flagged.size},"suspect":$susp,"sf":"${new java.io.File(sfDir).getName}"}"""
+      s"""{"metric":"total","value":${fmt3(total)},"unit":"sec","queries":$qs,"qtrunc":${dropped.size},"qtmax":${fmt3(qtmax)},"pm":${fmt3(ps(ps.length / 2))},"px":${fmt3(ps.last)},"xx":${fmt3(extMax)},"nr":${flagged.size},"ss":${if (suiteSpike) 1 else 0},"suspect":$susp,"sf":"$sfName"}"""
     }
     var nKeep = results.size
     var line = contractLine(nKeep)

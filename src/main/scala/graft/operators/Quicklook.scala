@@ -16,6 +16,12 @@ import java.awt.image.BufferedImage
   * `AreaDef.aggregate` first. */
 object Quicklook {
 
+  /** Driver-side pixel budget: render collects width*height cells BY
+    * DESIGN (it is a visualization sink), so a 100x-scale caller must
+    * hit a one-line error, not a driver OOM. 64 MPx ~ 0.5-1 GB of
+    * collected rows — generous for any screen, far under driver heap. */
+  val MaxPixels: Long = 64L * 1024 * 1024
+
   /** The full 11-class ColorBrewer RdBu palette (public), reversed:
     * `RdBu_r` runs dark blue (low) -> near-white -> dark red (high),
     * matching the reference's default `cmap='RdBu_r'` family. */
@@ -45,6 +51,10 @@ object Quicklook {
       vmax: Option[Double] = None,
       cmap: String = "RdBu_r"): BufferedImage = {
     require(image.channels.contains(channel), s"no channel '$channel' in ${image.channels}")
+    require(image.area.size <= MaxPixels,
+      s"quicklook of ${image.area.width}x${image.area.height} = ${image.area.size} px exceeds " +
+        s"the $MaxPixels-px driver-side render budget; aggregate the area first " +
+        s"(AreaDef.aggregate / GeometryOps.aggregate) or render a slice (Slicer)")
     val anchors = cmap match {
       case "RdBu_r" => RdBuR
       case "gray" | "grey" => Gray

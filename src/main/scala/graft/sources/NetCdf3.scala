@@ -159,12 +159,25 @@ object NetCdf3 {
       } finally raf.close()
     val buf = ByteBuffer.wrap(headerBytes)
 
+    // version sniff FIRST: a NetCDF-4 file is an HDF5 container (8-byte
+    // signature \x89HDF\r\n\x1a\n) — point the user at the documented
+    // conversion instead of a cryptic magic-mismatch (SURVEY §8: classic
+    // is the offline ceiling; no trusted HDF5 fixture writer exists in
+    // this environment to validate a reader against)
+    if (headerBytes.length >= 8 && (headerBytes(0) & 0xFF) == 0x89 &&
+      headerBytes(1) == 'H' && headerBytes(2) == 'D' && headerBytes(3) == 'F')
+      throw new IllegalArgumentException(
+        s"$path is NetCDF-4/HDF5; this engine reads the classic formats (CDF-1/2). " +
+          "Convert once with `nccopy -k classic in.nc out.nc` (or " +
+          "`ncks -3 in.nc out.nc`), or land bulk data as parquet.")
     val magic = new Array[Byte](3); buf.get(magic)
     require(new String(magic, StandardCharsets.US_ASCII) == "CDF",
       s"$path: not a NetCDF classic file (magic ${magic.toSeq})")
     val version = buf.get().toInt
     require(version == 1 || version == 2,
-      s"$path: classic format version $version unsupported (NetCDF-4/HDF5 needs an HDF5 reader)")
+      if (version == 5)
+        s"$path: CDF-5 (64-bit data, pnetcdf) unsupported — convert with `nccopy -k classic`"
+      else s"$path: classic format version $version unsupported")
 
     val numRecs = buf.getInt() // 0xFFFFFFFF (STREAMING) reads as -1; reject
     require(numRecs >= 0, s"$path: STREAMING record count unsupported")

@@ -52,4 +52,14 @@ class QuicklookSpec extends SparkSpec {
     for (y <- 0 until 3; x <- 0 until 4)
       assert(back.getRGB(x, y) === orig.getRGB(x, y), s"pixel ($x,$y)")
   }
+
+  test("render refuses oversized grids with an aggregate pointer (r9 scale guard)") {
+    val s = spark
+    import s.implicits._
+    val df = Seq((0L, 1.0)).toDF("cell", "v")
+    val big = AreaImage(df, area(100000, 100000), Seq("v")) // 10 GPx
+    val e = intercept[IllegalArgumentException](Quicklook.render(big, "v"))
+    assert(e.getMessage.contains("aggregate"), e.getMessage)
+    assert(e.getMessage.contains("render budget"))
+  }
 }

@@ -235,4 +235,17 @@ class CfNetcdfSpec extends AnyFunSuite {
       CfArea.loadCfArea(nc, variable = Some("band1")))
     assert(e.getMessage.contains("zero spacing"), e.getMessage)
   }
+
+  test("NetCDF-4/HDF5 sniff: helpful conversion pointer, not a magic mismatch (r9)") {
+    val f = java.nio.file.Files.createTempFile("nc4", ".nc")
+    try {
+      // the HDF5 superblock signature + padding
+      java.nio.file.Files.write(f,
+        Array[Int](0x89, 'H', 'D', 'F', 0x0D, 0x0A, 0x1A, 0x0A, 0, 0, 0, 0)
+          .map(_.toByte))
+      val e = intercept[IllegalArgumentException](NetCdf3.read(f.toString))
+      assert(e.getMessage.contains("nccopy -k classic"), e.getMessage)
+      assert(e.getMessage.contains("NetCDF-4/HDF5"))
+    } finally java.nio.file.Files.deleteIfExists(f)
+  }
 }
