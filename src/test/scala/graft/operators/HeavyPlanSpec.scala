@@ -57,4 +57,53 @@ class HeavyPlanSpec extends SparkSpec {
     assert(count(p, "CartesianProduct") === 0, "cross join must broadcast the query side")
     assert(df.count() > 0)
   }
+
+  // ---- r9 additions: the rest of the top-10 bench costs
+
+  test("q114 canonical clusters: one corpus scan; labels from the checkpointed loop") {
+    val p = plan(Queries.q114_canonical_cluster)
+    assert(count(p, "Scan parquet") === 1,
+      s"expected exactly the docs-side scan, labels from ExistingRDD:\n${p.take(1500)}")
+    assert(count(p, "Scan ExistingRDD") >= 1)
+  }
+
+  test("q118 cluster report: one corpus scan; labels from the checkpointed loop") {
+    val p = plan(Queries.q118_cluster_report)
+    assert(count(p, "Scan parquet") === 1,
+      s"expected exactly the docs-side scan, labels from ExistingRDD:\n${p.take(1500)}")
+    assert(count(p, "Scan ExistingRDD") >= 1)
+  }
+
+  test("q25 minhash LSH: signature aggregation stays on HashAggregate, no cartesian") {
+    // Dedup.signature scaladoc: min over LONG hashes keeps the mutable
+    // fast path; min(STRING) silently degrades the explode output to a
+    // SortAggregate — the single most expensive possible regression here
+    val p = plan(Queries.q25_minhash_lsh)
+    assert(count(p, "SortAggregate") === 0,
+      s"minhash signature must aggregate on the hash path:\n${p.take(1500)}")
+    assert(count(p, "HashAggregate") >= 4, "signature + verify aggregations")
+    assert(count(p, "CartesianProduct") + count(p, "BroadcastNestedLoopJoin") === 0,
+      "LSH candidates come from the band equi-join, never all-pairs")
+  }
+
+  test("q90 RRF fusion: per-query top-k is WindowGroupLimit; only the two documented bounded cross joins") {
+    val df = Queries.q90_hybrid_rrf.build(spark, sf)
+    val p = df.queryExecution.executedPlan.toString
+    assert(count(p, "WindowGroupLimit") >= 1,
+      s"rank depth must push into a group limit:\n${p.take(1500)}")
+    assert(count(p, "CartesianProduct") === 0)
+    // dense brute-force + sparse scoring: both broadcast the 1%-sampled
+    // query side — anything beyond these two is an unintended cartesian
+    assert(count(p, "BroadcastNestedLoopJoin") <= 2, p.take(1500))
+  }
+
+  test("q113/q127 eval family: pair joins are key-based, never nested-loop") {
+    for ((name, q) <- Seq("q113" -> Queries.q113_minhash_accuracy,
+      "q127" -> Queries.q127_dedup_eval)) {
+      val p = plan(q)
+      assert(count(p, "CartesianProduct") + count(p, "BroadcastNestedLoopJoin") === 0,
+        s"$name: truth/pred comparison must join on (d1, d2):\n${p.take(1500)}")
+      assert(count(p, "SortAggregate") === 0, s"$name: signatures on the hash path")
+    }
+  }
 }
