@@ -770,4 +770,113 @@ object Similarity {
       .limit(topK)
   }
 
+  // ------------------------------------------------------------ PQ (r9)
+
+  /** Product-quantization codebooks (Jégou, Douze & Schmid 2011,
+    * "Product quantization for nearest neighbor search"): split the
+    * embedding into `m` subspaces; subspace `mi`'s codebook is the `ksub`
+    * sub-vectors of the donor rows `idC < ksub` — the deterministic
+    * sampled-codebook training (same discipline as [[ivfTopK]]'s
+    * deterministic centroid subset; swap in per-subspace
+    * [[kmeansCentroids]] offline for production recall). Driver-side
+    * collect is `ksub` rows — a model fit, not a data pass. Returns
+    * codebooks(mi)(j)(di), exact doubles (float32 parquet widened). */
+  def pqCodebooks(
+      candidates: DataFrame,
+      m: Int = 8,
+      ksub: Int = 16,
+      idC: String = "cid",
+      vecCol: String = "embedding"): Array[Array[Array[Double]]] = {
+    val donors = candidates.filter(col(idC) < ksub)
+      .select(col(idC).cast("long").as("_id"), col(vecCol).cast("array<double>").as("_v"))
+      .collect().sortBy(_.getLong(0))
+    require(donors.length == ksub,
+      s"pqCodebooks needs donor rows $idC = 0..${ksub - 1}; found ${donors.length}")
+    val dim = donors.head.getSeq[Double](1).length
+    require(dim % m == 0, s"dim $dim not divisible into $m subspaces")
+    val d = dim / m
+    Array.tabulate(m, ksub)((mi, j) =>
+      donors(j).getSeq[Double](1).slice(mi * d, mi * d + d).toArray)
+  }
+
+  /** Left-assoc Σ (v[off+i] − c_i)², rounded to 6 — the rounding makes the
+    * argmin decision identical in any IEEE engine (a genuine sub-1e-6
+    * distance gap becomes a tie and breaks on the donor index, the same
+    * way, everywhere). */
+  private def pqSqDist(vecCol: Column, off: Int, c: Array[Double]): Column =
+    round(c.zipWithIndex.map { case (cv, di) =>
+      val e = element_at(vecCol, lit(off + di + 1)).cast("double") - lit(cv)
+      e * e
+    }.reduceLeft(_ + _), 6)
+
+  /** Encode each row to `m` sub-codes (1-based codebook indices):
+    * per-subspace argmin over the broadcast codebook — a pure per-row
+    * codegen map stage (zero shuffles). 64 float dims become `m` small
+    * ints: the 32x scan-bandwidth cut that makes a 100 TB ANN corpus
+    * scannable. */
+  def pqEncode(
+      df: DataFrame,
+      codebooks: Array[Array[Array[Double]]],
+      idCol: String = "cid",
+      vecCol: String = "embedding"): DataFrame = {
+    val m = codebooks.length
+    val d = codebooks(0)(0).length
+    val codeCols = (0 until m).map { mi =>
+      // argmin via min over (dist, index) structs: lexicographic struct
+      // ordering = min dist, lowest donor index on ties
+      val cand = array(codebooks(mi).zipWithIndex.map { case (c, j) =>
+        struct(pqSqDist(col(vecCol), mi * d, c).as("d"), lit(j + 1).as("j"))
+      }: _*)
+      array_min(cand).getField("j").as(s"code_$mi")
+    }
+    df.select(col(idCol) +: codeCols: _*)
+  }
+
+  /** PQ-ADC top-k (asymmetric distance computation, inner-product
+    * flavor): stage 1 scores every candidate CODE against a per-query
+    * lookup table — LUT(mi)(j) = round(⟨q_sub, C(mi)(j)⟩, 6), score =
+    * Σ_mi LUT(mi)(code_mi) — touching only the (id, m codes) projection;
+    * stage 2 reranks the k·rerankFactor survivors by exact round-6
+    * cosine. The code scan is exhaustive (documented flat-PQ baseline —
+    * same contract as [[quantizedTopK]]); compose with [[ivfTopKWith]]'s
+    * inverted lists for IVF-PQ at 100 TB. Fixed summation order keeps
+    * the ADC score engine-portable (q204's oracle replays it). */
+  def pqTopK(
+      queries: DataFrame,
+      candidates: DataFrame,
+      codebooks: Array[Array[Array[Double]]],
+      k: Int,
+      rerankFactor: Int = 3,
+      idQ: String = "qid",
+      idC: String = "cid",
+      vecCol: String = "embedding"): DataFrame = {
+    val m = codebooks.length
+    val d = codebooks(0)(0).length
+    val codes = pqEncode(candidates, codebooks, idC, vecCol)
+    val lutCols = (0 until m).map { mi =>
+      array(codebooks(mi).map { c =>
+        round(c.zipWithIndex.map { case (cv, di) =>
+          element_at(col(vecCol), lit(mi * d + di + 1)).cast("double") * lit(cv)
+        }.reduceLeft(_ + _), 6)
+      }: _*).as(s"_lut_$mi")
+    }
+    val q = queries.select(col(idQ) +: lutCols: _*)
+    val adc = (0 until m).map(mi =>
+      element_at(col(s"_lut_$mi"), col(s"code_$mi").cast("int"))).reduceLeft(_ + _)
+    val w1 = Window.partitionBy(idQ).orderBy(col("adc").desc, col(idC).asc)
+    val survivors = q.crossJoin(codes)
+      .withColumn("adc", adc)
+      .withColumn("_r1", row_number().over(w1))
+      .filter(col("_r1") <= k * rerankFactor)
+      .select(col(idQ), col(idC), col("adc"))
+    val w2 = Window.partitionBy(idQ).orderBy(col("sim_r").desc, col(idC).asc)
+    survivors
+      .join(queries.select(col(idQ), col(vecCol).as("_qv")), idQ)
+      .join(candidates.select(col(idC), col(vecCol).as("_cv")), idC)
+      .withColumn("sim_r", round(cosineSimilarity(col("_qv"), col("_cv")), 6))
+      .withColumn("rank", row_number().over(w2))
+      .filter(col("rank") <= k)
+      .select(col(idQ), col(idC), col("rank"), col("sim_r").as("sim"), col("adc"))
+  }
+
 }
