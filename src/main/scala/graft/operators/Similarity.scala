@@ -818,7 +818,8 @@ object Similarity {
       df: DataFrame,
       codebooks: Array[Array[Array[Double]]],
       idCol: String = "cid",
-      vecCol: String = "embedding"): DataFrame = {
+      vecCol: String = "embedding",
+      keep: Seq[String] = Nil): DataFrame = {
     val m = codebooks.length
     val d = codebooks(0)(0).length
     val codeCols = (0 until m).map { mi =>
@@ -829,8 +830,27 @@ object Similarity {
       }: _*)
       array_min(cand).getField("j").as(s"code_$mi")
     }
-    df.select(col(idCol) +: codeCols: _*)
+    df.select(col(idCol) +: keep.map(col) ++: codeCols: _*)
   }
+
+  /** Per-query ADC lookup-table columns `_lut_0.._lut_{m-1}`:
+    * LUT(mi)(j) = round(⟨q_sub_mi, C(mi)(j)⟩, 6). */
+  private def pqLutCols(codebooks: Array[Array[Array[Double]]], vecCol: String): Seq[Column] = {
+    val m = codebooks.length
+    val d = codebooks(0)(0).length
+    (0 until m).map { mi =>
+      array(codebooks(mi).map { c =>
+        round(c.zipWithIndex.map { case (cv, di) =>
+          element_at(col(vecCol), lit(mi * d + di + 1)).cast("double") * lit(cv)
+        }.reduceLeft(_ + _), 6)
+      }: _*).as(s"_lut_$mi")
+    }
+  }
+
+  /** Σ_mi LUT(mi)(code_mi) in fixed (left-assoc) order. */
+  private def pqAdcScore(m: Int): Column =
+    (0 until m).map(mi =>
+      element_at(col(s"_lut_$mi"), col(s"code_$mi").cast("int"))).reduceLeft(_ + _)
 
   /** PQ-ADC top-k (asymmetric distance computation, inner-product
     * flavor): stage 1 scores every candidate CODE against a per-query
@@ -851,21 +871,64 @@ object Similarity {
       idC: String = "cid",
       vecCol: String = "embedding"): DataFrame = {
     val m = codebooks.length
-    val d = codebooks(0)(0).length
     val codes = pqEncode(candidates, codebooks, idC, vecCol)
-    val lutCols = (0 until m).map { mi =>
-      array(codebooks(mi).map { c =>
-        round(c.zipWithIndex.map { case (cv, di) =>
-          element_at(col(vecCol), lit(mi * d + di + 1)).cast("double") * lit(cv)
-        }.reduceLeft(_ + _), 6)
-      }: _*).as(s"_lut_$mi")
-    }
-    val q = queries.select(col(idQ) +: lutCols: _*)
-    val adc = (0 until m).map(mi =>
-      element_at(col(s"_lut_$mi"), col(s"code_$mi").cast("int"))).reduceLeft(_ + _)
+    val q = queries.select(col(idQ) +: pqLutCols(codebooks, vecCol): _*)
     val w1 = Window.partitionBy(idQ).orderBy(col("adc").desc, col(idC).asc)
     val survivors = q.crossJoin(codes)
-      .withColumn("adc", adc)
+      .withColumn("adc", pqAdcScore(m))
+      .withColumn("_r1", row_number().over(w1))
+      .filter(col("_r1") <= k * rerankFactor)
+      .select(col(idQ), col(idC), col("adc"))
+    val w2 = Window.partitionBy(idQ).orderBy(col("sim_r").desc, col(idC).asc)
+    survivors
+      .join(queries.select(col(idQ), col(vecCol).as("_qv")), idQ)
+      .join(candidates.select(col(idC), col(vecCol).as("_cv")), idC)
+      .withColumn("sim_r", round(cosineSimilarity(col("_qv"), col("_cv")), 6))
+      .withColumn("rank", row_number().over(w2))
+      .filter(col("rank") <= k)
+      .select(col(idQ), col(idC), col("rank"), col("sim_r").as("sim"), col("adc"))
+  }
+
+  /** IVF-PQ (Jégou et al. 2011 §IV — the production 100 TB ANN index):
+    * candidates are assigned once to their nearest trained centroid
+    * ([[ivfTopKWith]]'s broadcast argmax — the inverted lists) and PQ-
+    * encoded in the same pass; a query ADC-scores codes only inside its
+    * `nProbe` nearest cells (centroid equi-join, never a flat scan), then
+    * the k·rerankFactor survivors rerank by exact round-6 cosine. Stage-1
+    * bandwidth per probe is |cell| × (m codes) — both the list pruning
+    * and the 32x code compression compound at scale. */
+  def ivfPqTopK(
+      queries: DataFrame,
+      candidates: DataFrame,
+      centroidVecs: Seq[Array[Double]],
+      codebooks: Array[Array[Array[Double]]],
+      k: Int,
+      nProbe: Int = 2,
+      rerankFactor: Int = 3,
+      idQ: String = "qid",
+      idC: String = "cid",
+      vecCol: String = "embedding"): DataFrame = {
+    val s = candidates.sparkSession
+    import s.implicits._
+    val m = codebooks.length
+    val centroids = broadcast(
+      centroidVecs.zipWithIndex.map { case (c, i) => (i.toLong, c) }
+        .toDF("centroid_id", "_ctr"))
+    def assign(df: DataFrame, id: String, v: String, keep: Int): DataFrame = {
+      val w = Window.partitionBy(id).orderBy(col("_csim").desc, col("centroid_id").asc)
+      df.crossJoin(centroids)
+        .withColumn("_csim", round(cosineSimilarity(col(v), col("_ctr")), 6))
+        .withColumn("_crk", row_number().over(w))
+        .filter(col("_crk") <= keep)
+        .drop("_ctr", "_csim", "_crk")
+    }
+    val cAssigned = assign(candidates.select(col(idC), col(vecCol).as("_cv")), idC, "_cv", 1)
+    val codes = pqEncode(cAssigned, codebooks, idC, "_cv", keep = Seq("centroid_id"))
+    val qAssigned = assign(queries.select(col(idQ), col(vecCol).as("_qv")), idQ, "_qv", nProbe)
+    val qLut = qAssigned.select(col(idQ) +: col("centroid_id") +: pqLutCols(codebooks, "_qv"): _*)
+    val w1 = Window.partitionBy(idQ).orderBy(col("adc").desc, col(idC).asc)
+    val survivors = qLut.join(codes, "centroid_id")
+      .withColumn("adc", pqAdcScore(m))
       .withColumn("_r1", row_number().over(w1))
       .filter(col("_r1") <= k * rerankFactor)
       .select(col(idQ), col(idC), col("adc"))

@@ -6129,6 +6129,79 @@ object Queries {
         SELECT qid, cid, rank, sim_r AS sim, adc FROM rk WHERE rank <= 10 ORDER BY qid, rank"""
     })
 
+  /** IVF-PQ (`Similarity.ivfPqTopK`): the trained k=8 Lloyd centroids
+    * ([[TrainedCentroids]]) give the inverted lists, PQ codes give the
+    * 32x-slimmer stage-1 scan, ADC scores only the probed cells, exact
+    * round-6 cosine reranks — the full production ANN index, oracle-
+    * replayed end to end (assignment CTEs from q57's discipline, code/
+    * LUT CTEs from q204's). */
+  val q205_ivfpq: Q = Q(
+    (s, d) => {
+      val emb = table(s, d, "embeddings")
+      val c = emb.select(col("vec_id").as("cid"), col("embedding"))
+      val q = emb.filter(col("vec_id") % 50 === 0)
+        .select(col("vec_id").as("qid"), col("embedding"))
+      val books = Similarity.pqCodebooks(c, m = 8, ksub = 16)
+      Similarity.ivfPqTopK(q, c, TrainedCentroids.sf001k8, books,
+        k = 10, nProbe = 2, rerankFactor = 3).orderBy("qid", "rank")
+    },
+    Some {
+      val m = 8; val d = 8
+      def sq(mi: Int) = (0 until d).map { di =>
+        val i = mi * d + di + 1
+        s"(c.v[$i] - dn.v[$i]) * (c.v[$i] - dn.v[$i])"
+      }.mkString(" + ")
+      def dot(mi: Int) = (0 until d).map { di =>
+        val i = mi * d + di + 1
+        s"q.v[$i] * dn.v[$i]"
+      }.mkString(" + ")
+      val dCols = (0 until m).map(mi => s"ROUND(${sq(mi)}, 6) AS d$mi").mkString(",\n          ")
+      val tCols = (0 until m).map(mi => s"ROUND(${dot(mi)}, 6) AS t$mi").mkString(",\n          ")
+      val dLists = (0 until m).map(mi => s"list(d$mi ORDER BY j) AS dl$mi").mkString(", ")
+      val tLists = (0 until m).map(mi => s"list(t$mi ORDER BY j) AS tl$mi").mkString(", ")
+      val codeCols = (0 until m).map(mi =>
+        s"CAST(list_position(dl$mi, list_min(dl$mi)) AS INT) AS c$mi").mkString(", ")
+      val adcSum = (0 until m).map(mi => s"l.tl$mi[k.c$mi]").mkString(" + ")
+      s"""WITH emb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        dn AS (SELECT vec_id AS j, v FROM emb WHERE vec_id < 16),
+        ctr(centroid_id, cemb) AS (VALUES
+        ${TrainedCentroids.sf001k8Sql}),
+        ca AS (SELECT e.vec_id AS cid, t.centroid_id,
+                 ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY
+                   ROUND(list_cosine_similarity(e.v, t.cemb), 6) DESC,
+                   t.centroid_id ASC) AS crk
+               FROM emb e CROSS JOIN ctr t),
+        cass AS (SELECT cid, centroid_id FROM ca WHERE crk = 1),
+        qa AS (SELECT e.vec_id AS qid, t.centroid_id,
+                 ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY
+                   ROUND(list_cosine_similarity(e.v, t.cemb), 6) DESC,
+                   t.centroid_id ASC) AS crk
+               FROM emb e CROSS JOIN ctr t WHERE e.vec_id % 50 = 0),
+        qass AS (SELECT qid, centroid_id FROM qa WHERE crk <= 2),
+        encd AS (SELECT c.vec_id AS cid, dn.j,
+          $dCols
+          FROM emb c CROSS JOIN dn),
+        codel AS (SELECT cid, $dLists FROM encd GROUP BY cid),
+        code AS (SELECT cid, $codeCols FROM codel),
+        codec AS (SELECT k.*, a.centroid_id FROM code k JOIN cass a ON a.cid = k.cid),
+        lutd AS (SELECT q.vec_id AS qid, dn.j,
+          $tCols
+          FROM emb q CROSS JOIN dn WHERE q.vec_id % 50 = 0),
+        lutl AS (SELECT qid, $tLists FROM lutd GROUP BY qid),
+        sc AS (SELECT qs.qid, k.cid, $adcSum AS adc
+               FROM qass qs JOIN codec k ON k.centroid_id = qs.centroid_id
+               JOIN lutl l ON l.qid = qs.qid),
+        s1 AS (SELECT qid, cid, adc,
+                 ROW_NUMBER() OVER (PARTITION BY qid ORDER BY adc DESC, cid ASC) AS r1 FROM sc),
+        surv AS (SELECT qid, cid, adc FROM s1 WHERE r1 <= 30),
+        rr AS (SELECT s.qid, s.cid, s.adc,
+                 ROUND(list_cosine_similarity(q.v, c.v), 6) AS sim_r
+               FROM surv s JOIN emb q ON q.vec_id = s.qid JOIN emb c ON c.vec_id = s.cid),
+        rk AS (SELECT qid, cid, adc, sim_r,
+                 CAST(ROW_NUMBER() OVER (PARTITION BY qid ORDER BY sim_r DESC, cid ASC) AS INTEGER) AS rank FROM rr)
+        SELECT qid, cid, rank, sim_r AS sim, adc FROM rk WHERE rank <= 10 ORDER BY qid, rank"""
+    })
+
   // -------------------------------------------------------------- registry
 
   val all: Seq[(String, Q)] = Seq(
@@ -6334,5 +6407,6 @@ object Queries {
     "q201_bucket_aea" -> q201_bucket_aea,
     "q202_bucket_ortho" -> q202_bucket_ortho,
     "q203_media_headers" -> q203_media_headers,
-    "q204_pq_adc" -> q204_pq_adc)
+    "q204_pq_adc" -> q204_pq_adc,
+    "q205_ivfpq" -> q205_ivfpq)
 }

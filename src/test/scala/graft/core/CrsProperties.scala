@@ -33,6 +33,16 @@ object CrsProperties extends Properties("graft.core") {
     roundTrips(Crs.fromProj4("+proj=aeqd +lat_0=10 +lon_0=60 +a=6371000"), 1e-5)
   property("hotine omerc (ellipsoidal) round-trip") =
     roundTrips(Crs.fromProj4("+proj=omerc +lonc=-11.39 +lat_0=-0.28 +alpha=9.19 +ellps=WGS84"), 1e-4)
+  property("tmerc/UTM round-trip (ellipsoid, false easting)") =
+    roundTrips(Crs.fromProj4("+proj=utm +zone=33 +a=6378137 +rf=298.257223563"), 1e-7)
+  property("aea round-trip (ellipsoid, 2 parallels)") =
+    roundTrips(Crs.fromProj4("+proj=aea +lat_0=23 +lon_0=-96 +lat_1=29.5 +lat_2=45.5 +a=6378137 +rf=298.257223563"), 1e-6)
+  property("sinu round-trip (ellipsoid)") =
+    roundTrips(Crs.fromProj4("+proj=sinu +lon_0=10 +a=6378137 +rf=298.257223563"), 1e-6)
+  property("ortho round-trip (near side)") =
+    roundTrips(Crs.fromProj4("+proj=ortho +lat_0=45 +lon_0=10 +a=6371000"), 1e-6)
+  property("nsper round-trip (visible disk)") =
+    roundTrips(Crs.fromProj4("+proj=nsper +lat_0=0 +lon_0=-60 +h=35785831 +a=6371000"), 1e-6)
 
   property("wrapLon lands in [-180, 180) and is idempotent") =
     Prop.forAll(Gen.choose(-2000.0, 2000.0)) { lon =>

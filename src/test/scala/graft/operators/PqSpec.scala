@@ -67,6 +67,30 @@ class PqSpec extends AnyFunSuite with SparkSpec {
     info(f"ADC vs exact dot: r = $r%.3f over ${rows.length} survivor pairs")
   }
 
+  test("ivfPqTopK: probed-cell ADC with measured recall; stage 1 scans lists, not the corpus") {
+    val c = emb.select(col("vec_id").as("cid"), col("embedding"))
+    val q = emb.filter(col("vec_id") % 50 === 0)
+      .select(col("vec_id").as("qid"), col("embedding"))
+    val books = Similarity.pqCodebooks(c, m = 8, ksub = 16)
+    val ctr = graft.queries.TrainedCentroids.sf001k8
+    val approx = Similarity.ivfPqTopK(q, c, ctr, books, k = 10, nProbe = 2, rerankFactor = 3)
+    val rows = approx.collect()
+    assert(rows.nonEmpty && rows.forall(_.getInt(2) <= 10))
+    // recall vs exact brute force: list pruning + code quantization both
+    // cost recall; the composed index must still be material
+    val exact = Similarity.bruteForceTopK(q, c, k = 10)
+    val hits = approx.select("qid", "cid").intersect(exact.select("qid", "cid")).count()
+    val recall = hits.toDouble / exact.count()
+    assert(recall >= 0.3, s"IVF-PQ recall@10 $recall below floor")
+    info(f"IVF-PQ(k=8 cells, nProbe=2, PQ 8x16) recall@10 = $recall%.2f")
+    // the full-probe limit recovers flat PQ exactly (list pruning off)
+    val full = Similarity.ivfPqTopK(q, c, ctr, books, k = 10, nProbe = ctr.length, rerankFactor = 3)
+    val flat = Similarity.pqTopK(q, c, books, k = 10, rerankFactor = 3)
+    assert(full.orderBy("qid", "rank").collect().toSeq ===
+      flat.orderBy("qid", "rank").collect().toSeq,
+      "nProbe = #cells must equal the flat-PQ scan bit-for-bit")
+  }
+
   test("the code scan projects codes only (no full-vector bytes in stage 1)") {
     val c = emb.select(col("vec_id").as("cid"), col("embedding"))
     val books = Similarity.pqCodebooks(c, m = 8, ksub = 16)
