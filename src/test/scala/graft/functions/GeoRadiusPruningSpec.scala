@@ -51,6 +51,28 @@ class GeoRadiusPruningSpec extends SparkSpec {
       s"no pushed lat bound in:\n${physical.take(2000)}")
   }
 
+  test("reduceToArea bounds for a tmerc/UTM target push to the parquet scan (r9)") {
+    val s = spark
+    import s.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("geo_utm").toString + "/pts"
+    // full 2-degree world lattice so the zone-33 footprint is populated
+    (for (lo <- -179 until 180 by 2; la <- -85 until 86 by 2) yield
+      ((lo * 1000 + la).toLong, lo + 0.5, la + 0.5))
+      .toDF("id", "lon", "lat").write.parquet(dir)
+    val pts = s.read.parquet(dir)
+    val area = graft.queries.Queries.utmArea()
+    val red = graft.operators.DataReduce.reduceToArea(pts, area, 50000.0)
+    // stored-column predicate: the bbox must reach the parquet scan
+    val physical = red.queryExecution.executedPlan.toString
+    assert(physical.contains("PushedFilters") && physical.contains("GreaterThanOrEqual(lat"),
+      s"no pushed lat bound for the UTM target:\n${physical.take(2000)}")
+    // and the bbox is tight: zone 33's ~12-19E, ~54.5-59N footprint
+    val rows = red.select("lon", "lat").collect()
+    assert(rows.nonEmpty)
+    assert(rows.forall(r => r.getDouble(0) > 5 && r.getDouble(0) < 25))
+    assert(rows.forall(r => r.getDouble(1) > 50 && r.getDouble(1) < 62))
+  }
+
   test("rule is idempotent and handles pole/date-line circles") {
     val s = extSpark
     import s.implicits._

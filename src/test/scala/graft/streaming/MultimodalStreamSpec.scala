@@ -45,4 +45,47 @@ class MultimodalStreamSpec extends SparkSpec {
       assert(streamed.size == 40)
     } finally query.stop()
   }
+
+  test("streaming REAL decode (header parse + ImageIO resize) matches batch exactly (r9)") {
+    val s = spark
+    import s.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sq = s.sqlContext
+
+    def png(w: Int, h: Int): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (x <- 0 until w; y <- 0 until h) img.setRGB(x, y, (x * 31 + y * 17) & 0xFFFFFF)
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", bos)
+      bos.toByteArray
+    }
+    val rows: Seq[(Long, Array[Byte])] =
+      (1L to 12L).map(i => (i, png(20 + i.toInt, 10 + (i.toInt * 3) % 17))) :+
+        (99L, "not an image".getBytes)
+
+    def pipeline(df: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+      Multimodal.decodeAndResize(df, maxDim = 16)
+        .select(col("id"), col("media_meta.format").as("fmt"),
+          col("out_w"), col("out_h"),
+          md5(col("resized")).as("rd"))
+
+    val batch = pipeline(rows.toDF("id", "payload")).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getInt(2), r.getInt(3), r.getString(4))).toSet
+
+    val mem = MemoryStream[(Long, Array[Byte])]
+    val query = pipeline(mem.toDF.toDF("id", "payload"))
+      .writeStream.format("memory").queryName("mm_real_out")
+      .outputMode("append").start()
+    try {
+      mem.addData(rows: _*)
+      query.processAllAvailable()
+      val streamed = s.table("mm_real_out").collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getInt(2), r.getInt(3), r.getString(4))).toSet
+      assert(streamed == batch, "real decode must be stream==batch (map-only, no state)")
+      // the 12 real PNGs decode+resize; the synthetic row (stub meta)
+      // yields a null resize
+      assert(streamed.count(_._5 != null) == 12)
+      assert(streamed.exists(t => t._1 == 99L && t._5 == null))
+    } finally query.stop()
+  }
 }
