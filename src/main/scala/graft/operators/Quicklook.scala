@@ -84,6 +84,70 @@ object Quicklook {
     img
   }
 
+  /** Graticule overlay — the offline-feasible analog of the reference's
+    * cartopy map underlay (`plot.py:308` draws coastlines via cartopy,
+    * which needs that library and its shapefiles; meridians/parallels
+    * are pure projection math). Forward-projects each meridian/parallel
+    * polyline into pixel space and alpha-blends it over the rendered
+    * raster. Off-domain vertices (geos off-disk, ortho far side) and
+    * projection discontinuities (date-line wraps) break the polyline
+    * instead of drawing artifacts. */
+  def drawGraticule(
+      img: BufferedImage,
+      area: graft.core.AreaDef,
+      stepDeg: Double = 30.0,
+      argb: Int = 0x50000000): Unit = {
+    require(stepDeg > 0, "stepDeg must be positive")
+    val g = img.createGraphics()
+    try {
+      g.setColor(new java.awt.Color(argb, true))
+      val maxJump = math.max(img.getWidth, img.getHeight) / 2.0
+      def toPix(lon: Double, lat: Double): Option[(Double, Double)] = {
+        val (x, y) = area.crs.forward(lon, lat)
+        if (x.isNaN || y.isNaN) None
+        else Some(((x - area.xLL) / area.pixelSizeX, (area.yUR - y) / area.pixelSizeY))
+      }
+      def polyline(pts: Iterator[(Double, Double)]): Unit = {
+        var prev: Option[(Double, Double)] = None
+        pts.foreach { ll =>
+          val cur = toPix(ll._1, ll._2)
+          (prev, cur) match {
+            case (Some((x0, y0)), Some((x1, y1)))
+                if math.hypot(x1 - x0, y1 - y0) <= maxJump =>
+              g.drawLine(math.round(x0).toInt, math.round(y0).toInt,
+                math.round(x1).toInt, math.round(y1).toInt)
+            case _ => // domain break or wrap: lift the pen
+          }
+          prev = cur
+        }
+      }
+      val fine = math.min(stepDeg / 10.0, 1.0)
+      var lon = -180.0
+      while (lon <= 180.0 + 1e-9) { // meridians
+        polyline(Iterator.iterate(-90.0)(_ + fine).takeWhile(_ <= 90.0 + 1e-9).map((lon, _)))
+        lon += stepDeg
+      }
+      var lat = -90.0 + stepDeg
+      while (lat <= 90.0 - stepDeg + 1e-9) { // parallels (poles are points)
+        polyline(Iterator.iterate(-180.0)(_ + fine).takeWhile(_ <= 180.0 + 1e-9).map((_, lat)))
+        lat += stepDeg
+      }
+    } finally g.dispose()
+  }
+
+  /** [[render]] + [[drawGraticule]] in one call. */
+  def renderWithGraticule(
+      image: AreaImage,
+      channel: String,
+      stepDeg: Double = 30.0,
+      vmin: Option[Double] = None,
+      vmax: Option[Double] = None,
+      cmap: String = "RdBu_r"): BufferedImage = {
+    val img = render(image, channel, vmin, vmax, cmap)
+    drawGraticule(img, image.area, stepDeg)
+    img
+  }
+
   /** save_quicklook: render + PNG-encode to `path`. */
   def save(
       path: String,

@@ -53,6 +53,31 @@ class QuicklookSpec extends SparkSpec {
       assert(back.getRGB(x, y) === orig.getRGB(x, y), s"pixel ($x,$y)")
   }
 
+  test("graticule overlay: meridians land on the right longlat columns; geos off-disk is artifact-free (r9)") {
+    val s = spark
+    import s.implicits._
+    // 360x180 world grid, 1 deg/px: meridian at lon=0 -> pixel column 180
+    val world = graft.core.AreaDef("w", graft.core.Crs.fromProj4("+proj=longlat"),
+      360, 180, -180, -90, 180, 90)
+    val df = (0L until (360L * 180)).map(c => (c, 1.0)).toDF("cell", "v")
+    val img = Quicklook.renderWithGraticule(
+      AreaImage(df, world, Seq("v")), "v", stepDeg = 90.0, vmin = Some(0.0), vmax = Some(2.0))
+    // base color everywhere is the t=0.5 near-white; a graticule pixel differs
+    val base = img.getRGB(50, 50)
+    assert(img.getRGB(180, 50) !== base, "meridian 0E missing at column 180")
+    assert(img.getRGB(90, 50) !== base, "meridian 90W missing at column 90")
+    assert(img.getRGB(50, 90) !== base, "equator missing at row 90")
+    assert(img.getRGB(51, 51) === base, "off-graticule pixel polluted")
+    // geos disk: off-disk meridian segments lift the pen (no exceptions,
+    // and the corner — far off the disk — stays untouched)
+    val geos = graft.core.AreaDef("g",
+      graft.core.Crs.fromProj4("+proj=geos +lon_0=0 +h=35785831 +a=6378169 +b=6356583.8"),
+      100, 100, -5500000, -5500000, 5500000, 5500000)
+    val gi = Quicklook.renderWithGraticule(
+      AreaImage(df.limit(0), geos, Seq("v")), "v", stepDeg = 30.0)
+    assert(gi.getRGB(0, 0) === 0, "corner beyond the disk must stay transparent")
+  }
+
   test("render refuses oversized grids with an aggregate pointer (r9 scale guard)") {
     val s = spark
     import s.implicits._
