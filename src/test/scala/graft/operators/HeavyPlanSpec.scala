@@ -97,6 +97,30 @@ class HeavyPlanSpec extends SparkSpec {
     assert(count(p, "BroadcastNestedLoopJoin") <= 2, p.take(1500))
   }
 
+  test("q204 flat PQ: exactly the one documented code-scan cross join") {
+    val p = plan(Queries.q204_pq_adc)
+    assert(count(p, "CartesianProduct") === 0)
+    assert(count(p, "BroadcastNestedLoopJoin") === 1,
+      s"flat-PQ stage 1 is the single documented broadcast scan:\n${p.take(1500)}")
+  }
+
+  test("q205 IVF-PQ: stage 1 is a centroid equi-join, not a flat scan") {
+    val p = plan(Queries.q205_ivfpq)
+    assert(count(p, "CartesianProduct") === 0)
+    // only the two 8-row broadcast centroid assignments are nested-loop;
+    // the code scoring itself joins on centroid_id (key-based)
+    assert(count(p, "BroadcastNestedLoopJoin") === 2, p.take(1500))
+    assert(count(p, "SortMergeJoin") + count(p, "ShuffledHashJoin") +
+      count(p, "BroadcastHashJoin") >= 1, "probed-list join must be key-based")
+  }
+
+  test("q199 UTM bucket: one scan, zero joins, hash aggregation") {
+    val p = plan(Queries.q199_bucket_utm)
+    assert(count(p, "Scan parquet") === 1)
+    assert(count(p, "Join") === 0, s"bucket resampling never joins:\n${p.take(1200)}")
+    assert(count(p, "HashAggregate") >= 2 && count(p, "SortAggregate") === 0)
+  }
+
   test("q113/q127 eval family: pair joins are key-based, never nested-loop") {
     for ((name, q) <- Seq("q113" -> Queries.q113_minhash_accuracy,
       "q127" -> Queries.q127_dedup_eval)) {
