@@ -660,6 +660,79 @@ object Dedup {
       .select("d1", "d2", "inter", "n1", "n2", "c1", "c2")
   }
 
+  /** Character-level exact duplicate-substring removal — the relational
+    * form of ExactSubstr dedup (Lee et al. 2022, "Deduplicating Training
+    * Data Makes Language Models Better": excise every duplicated substring
+    * of length ≥ L, keeping one copy). The paper's algorithm builds a
+    * corpus suffix array; the distributed formulation instead exploits
+    * that a duplicated run of length ≥ L is exactly a run of duplicated
+    * stride-1 L-char windows, so window-occurrence counting is a complete
+    * detector — no suffix array, no global sort.
+    *
+    * Semantics: every window `text[p, p+L)` occurring more than once in
+    * the corpus is excised from every occurrence EXCEPT the globally first
+    * (min (doc_id, pos)); overlapping excised windows merge, and each doc
+    * is reassembled from its kept character ranges in order. A long
+    * duplicated passage is thus kept once (all its windows are first in
+    * the same doc) and cut everywhere else — the paper's keep-one
+    * convention, deterministic on any engine.
+    *
+    * Plan/scale shape: one bounded explode (`n_chars − L + 1` rows per
+    * doc) → ONE shuffle keyed by the window digest for a window-count +
+    * window-min first-occurrence flag (count/min-only state per key — a
+    * viral passage concentrates only its own copies) → one shuffle by doc
+    * where covered windows collapse and the rewrite happens in a single
+    * per-row sorted fold over the merged spans. Never all-pairs; both
+    * shuffles carry O(total chars) fixed-width rows (the window travels as
+    * its md5 digest — 32 chars regardless of L).
+    *
+    * Output: (doc_id, n_chars, n_removed, clean_text). */
+  def exactSubstrDedup(
+      docs: DataFrame,
+      minLen: Int = 30,
+      textCol: String = "text",
+      idCol: String = "doc_id"): DataFrame = {
+    val L = minLen
+    require(L >= 2, s"minLen must be >= 2, got $L")
+    val grams = docs
+      .select(col(idCol), col(textCol).as("_t"))
+      .withColumn("pos", explode(expr(
+        s"CASE WHEN length(_t) >= $L THEN sequence(1, length(_t) - ${L - 1}) " +
+          "ELSE CAST(array() AS ARRAY<INT>) END")))
+      .select(col(idCol), col("pos"), md5(expr(s"substring(_t, pos, $L)")).as("g"))
+    // first-occurrence key packed into one long: doc then position
+    val packed = col(idCol) * lit(1000000000L) + col("pos")
+    val byGram = Window.partitionBy(col("g"))
+    val covered = grams
+      .withColumn("n_occ", count(lit(1)).over(byGram))
+      .withColumn("first", packed === min(packed).over(byGram))
+      .filter(col("n_occ") > 1 && !col("first"))
+      .select(col(idCol), col("pos").as("s"), (col("pos") + lit(L)).as("e"))
+    val spans = covered
+      .groupBy(col(idCol))
+      .agg(array_sort(collect_list(struct(col("s"), col("e")))).as("_sp"))
+    docs
+      .select(col(idCol), col(textCol).as("_t"))
+      .join(spans, Seq(idCol), "left")
+      .withColumn("_sp", coalesce(col("_sp"),
+        expr("CAST(array() AS ARRAY<STRUCT<s:INT, e:INT>>)")))
+      // kept ranges between merged spans, concatenated in one sorted fold;
+      // GREATEST handles overlapping/nested spans, the finish clause emits
+      // the tail after the last span
+      .withColumn("_clean", expr(
+        """aggregate(_sp,
+             named_struct('p', 1, 'acc', ''),
+             (a, iv) -> named_struct(
+               'p', GREATEST(a.p, iv.e),
+               'acc', concat(a.acc,
+                 CASE WHEN iv.s > a.p THEN substring(_t, a.p, iv.s - a.p) ELSE '' END)),
+             a -> concat(a.acc, substring(_t, a.p, length(_t) - a.p + 1)))"""))
+      .select(col(idCol),
+        length(col("_t")).cast("long").as("n_chars"),
+        (length(col("_t")) - length(col("_clean"))).cast("long").as("n_removed"),
+        col("_clean").as("clean_text"))
+  }
+
   /** Cross-source duplication matrix — the corpus-composition diagnostic a
     * curation pipeline runs before mixing crawls: for every source pair,
     * how much content (by distinct word-set fingerprint, the same digest as

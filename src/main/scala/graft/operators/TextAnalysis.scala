@@ -247,6 +247,37 @@ object TextAnalysis {
         col("n_tokens"), col("pack_offset"), col("chunk_id"))
   }
 
+  /** Faithful concat-and-split packing: [[packSequences]] gives each doc a
+    * start offset in its (stratum, shard) token stream; this explodes the
+    * doc into one row per fixed `budget`-token training sequence it
+    * overlaps. A doc straddling a sequence boundary is SPLIT — the
+    * `[tok_start, tok_end)` half-open token slice says which of the doc's
+    * tokens land in that sequence — so nothing is padded and nothing is
+    * dropped, the GPT-pretraining packing convention (every sequence except
+    * the stream tail is exactly `budget` tokens).
+    *
+    * Scale: inherits packSequences' single per-(stratum, shard) cumsum
+    * window; the explode fan-out is `ceil(len/budget)+1` rows per doc
+    * (≤ 2 for docs shorter than the budget) — bounded, map-side, no
+    * further shuffle. */
+  def packSlices(
+      docs: DataFrame,
+      budget: Long,
+      strataCol: String = "lang",
+      nShards: Int = 4,
+      tokensCol: Column = null,
+      idCol: String = "doc_id"): DataFrame =
+    packSequences(docs, budget, strataCol, nShards, tokensCol, idCol)
+      .filter(col("n_tokens") > 0)
+      .withColumn("chunk_id", explode(expr(
+        s"sequence(pack_offset div ${budget}L, (pack_offset + n_tokens - 1) div ${budget}L)")))
+      .withColumn("tok_start",
+        greatest(lit(0L), expr(s"chunk_id * ${budget}L - pack_offset")))
+      .withColumn("tok_end",
+        least(col("n_tokens"), expr(s"(chunk_id + 1) * ${budget}L - pack_offset")))
+      .select(col(idCol), col(strataCol), col("shard"), col("n_tokens"),
+        col("pack_offset"), col("chunk_id"), col("tok_start"), col("tok_end"))
+
   /** Temperature-weighted mixture sampling (the multi-source data-mixing
     * stage): each stratum (language / source) gets a token quota
     * proportional to `sqrt(stratum_tokens)` — the α = 0.5 temperature

@@ -6202,6 +6202,71 @@ object Queries {
         SELECT qid, cid, rank, sim_r AS sim, adc FROM rk WHERE rank <= 10 ORDER BY qid, rank"""
     })
 
+  /** Faithful concat-and-split packing (`TextAnalysis.packSlices`): q62's
+    * per-(lang, shard) token streams cut into 64-token training sequences
+    * WITH boundary straddles — each doc explodes into the sequences it
+    * overlaps, `[tok_start, tok_end)` giving the in-doc token slice per
+    * sequence. Integer window arithmetic end-to-end; the explode fan-out
+    * is `ceil(len/budget)+1` per doc, so the only shuffle stays q62's
+    * cumsum window. */
+  val q206_pack_slices: Q = Q(
+    (s, d) => TextAnalysis.packSlices(table(s, d, "documents"), budget = 64L)
+      .orderBy("lang", "shard", "doc_id", "chunk_id"),
+    Some("""WITH t AS (SELECT doc_id, lang,
+          CAST(((doc_id % 4) + 4) % 4 AS INTEGER) AS shard,
+          CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+        FROM documents),
+      c AS (SELECT doc_id, lang, shard, n_tokens,
+          CAST(SUM(n_tokens) OVER (PARTITION BY lang, shard ORDER BY doc_id ASC
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tokens AS BIGINT) AS pack_offset
+        FROM t),
+      e AS (SELECT doc_id, lang, shard, n_tokens, pack_offset,
+          unnest(generate_series(pack_offset // 64, (pack_offset + n_tokens - 1) // 64)) AS chunk_id
+        FROM c WHERE n_tokens > 0)
+      SELECT doc_id, lang, shard, n_tokens,
+        CAST(pack_offset AS BIGINT) AS pack_offset,
+        CAST(chunk_id AS BIGINT) AS chunk_id,
+        CAST(GREATEST(0, chunk_id * 64 - pack_offset) AS BIGINT) AS tok_start,
+        CAST(LEAST(n_tokens, (chunk_id + 1) * 64 - pack_offset) AS BIGINT) AS tok_end
+      FROM e ORDER BY lang, shard, doc_id, chunk_id"""))
+
+  /** Character-level exact duplicate-substring removal
+    * (`Dedup.exactSubstrDedup`, Lee et al. 2022's ExactSubstr in
+    * relational form): every 30-char window occurring more than once in
+    * the corpus is excised from all but its globally-first occurrence,
+    * overlapping windows merge, and the doc is reassembled in order —
+    * md5 of the rewritten text makes the span union + sorted fold
+    * bit-checkable. The oracle is an independent formulation: per-CHAR
+    * keep/drop via an anti-join against the covered spans and a
+    * char-by-char ordered string_agg, vs the engine's merged-interval
+    * fold. */
+  val q207_substr_dedup: Q = Q(
+    (s, d) => Dedup.exactSubstrDedup(docsRebalanced(s, d), minLen = 30)
+      .select(col("doc_id"), col("n_chars"), col("n_removed"),
+        md5(col("clean_text")).as("clean_md5"))
+      .orderBy("doc_id"),
+    Some("""WITH d AS (SELECT doc_id, text, length(text) AS n FROM documents),
+      p AS (SELECT doc_id, unnest(generate_series(1, n - 29)) AS pos FROM d WHERE n >= 30),
+      g AS (SELECT p.doc_id, p.pos, md5(substr(d.text, CAST(p.pos AS INTEGER), 30)) AS g
+            FROM p JOIN d USING (doc_id)),
+      f AS (SELECT doc_id, pos,
+              COUNT(*) OVER (PARTITION BY g) AS c,
+              MIN(doc_id * 1000000000 + pos) OVER (PARTITION BY g) AS m
+            FROM g),
+      cov AS (SELECT doc_id, pos AS s, pos + 30 AS e FROM f
+              WHERE c > 1 AND doc_id * 1000000000 + pos <> m),
+      ch AS (SELECT doc_id, unnest(generate_series(1, n)) AS i FROM d),
+      keep AS (SELECT ch.doc_id, ch.i FROM ch
+               WHERE NOT EXISTS (SELECT 1 FROM cov v
+                 WHERE v.doc_id = ch.doc_id AND ch.i >= v.s AND ch.i < v.e)),
+      cl AS (SELECT k.doc_id,
+               string_agg(substr(d.text, CAST(k.i AS INTEGER), 1), '' ORDER BY k.i) AS ct
+             FROM keep k JOIN d USING (doc_id) GROUP BY k.doc_id)
+      SELECT d.doc_id, CAST(d.n AS BIGINT) AS n_chars,
+        CAST(d.n - COALESCE(length(cl.ct), 0) AS BIGINT) AS n_removed,
+        md5(COALESCE(cl.ct, '')) AS clean_md5
+      FROM d LEFT JOIN cl USING (doc_id) ORDER BY d.doc_id"""))
+
   // -------------------------------------------------------------- registry
 
   val all: Seq[(String, Q)] = Seq(
@@ -6408,5 +6473,7 @@ object Queries {
     "q202_bucket_ortho" -> q202_bucket_ortho,
     "q203_media_headers" -> q203_media_headers,
     "q204_pq_adc" -> q204_pq_adc,
-    "q205_ivfpq" -> q205_ivfpq)
+    "q205_ivfpq" -> q205_ivfpq,
+    "q206_pack_slices" -> q206_pack_slices,
+    "q207_substr_dedup" -> q207_substr_dedup)
 }
