@@ -1,6 +1,7 @@
 package graft.operators
 
 import graft.functions.GeoFunctions.{cosineSimilarity, dotProduct, l2Norm}
+import graft.functions.TopKNearest
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -188,10 +189,39 @@ object Similarity {
       .withColumn("centroid_sim", -best.getField("negSim"))
   }
 
+  /** Per-row top-`keep` centroid cells as a ZERO-SHUFFLE codegen map
+    * stage over the literal centroid vectors: [[assignClusters]]'s
+    * `array_min` argmax for keep = 1, its `array_sort` + `slice`
+    * generalization for keep > 1. Struct order (negSim asc, cid asc) ==
+    * (sim desc, cid asc) — the exact selection a round-6 rank window
+    * would make, without the n×k fan-out exchange the window forces
+    * (at 100 TB the candidate side is the corpus, so that exchange is
+    * the largest shuffle in the query for no semantic gain). Shared by
+    * [[ivfTopKWith]], [[ivfPqTopK]] and [[marginMineWith]]. */
+  private[graft] def assignCells(
+      df: DataFrame,
+      centroidVecs: Seq[Array[Double]],
+      v: String,
+      keep: Int): DataFrame = {
+    val cStructs = centroidVecs.zipWithIndex.map { case (c, i) =>
+      struct(
+        (-round(cosineSimilarity(col(v), array(c.map(lit): _*)), 6)).as("negSim"),
+        lit(i.toLong).as("cid"))
+    }
+    if (keep == 1)
+      df.withColumn("centroid_id", array_min(array(cStructs: _*)).getField("cid"))
+    else
+      df.withColumn("_cell", explode(slice(array_sort(array(cStructs: _*)), 1, keep)))
+        .withColumn("centroid_id", col("_cell.cid"))
+        .drop("_cell")
+  }
+
   /** [[ivfTopK]] with explicit (e.g. [[kmeansCentroids]]-trained) centroid
     * vectors instead of the hash-picked candidate subset. Same inverted-
-    * list shape: broadcast argmax assignment, equi-join probe, exact
-    * rerank within the probed lists. */
+    * list shape, but the centroids are literals in the plan, so BOTH
+    * assignments ([[assignCells]]) are zero-shuffle map stages — no
+    * centroid join of any kind; the only shuffles left are the
+    * centroid_id probe equi-join and the per-query rerank. */
   def ivfTopKWith(
       queries: DataFrame,
       candidates: DataFrame,
@@ -201,23 +231,10 @@ object Similarity {
       idQ: String = "qid",
       idC: String = "cid",
       vecCol: String = "embedding"): DataFrame = {
-    val s = candidates.sparkSession
-    import s.implicits._
-    val centroids = broadcast(
-      centroidVecs.zipWithIndex.map { case (c, i) => (i.toLong, c) }
-        .toDF("centroid_id", "_ctr"))
-
-    def assign(df: DataFrame, id: String, v: String, keep: Int): DataFrame = {
-      val w = Window.partitionBy(id).orderBy(col("_csim").desc, col("centroid_id").asc)
-      df.crossJoin(centroids)
-        .withColumn("_csim", round(cosineSimilarity(col(v), col("_ctr")), 6))
-        .withColumn("_crk", row_number().over(w))
-        .filter(col("_crk") <= keep)
-        .drop("_ctr", "_csim", "_crk")
-    }
-
-    val cAssigned = assign(candidates.select(col(idC), col(vecCol).as("_cv")), idC, "_cv", 1)
-    val qAssigned = assign(queries.select(col(idQ), col(vecCol).as("_qv")), idQ, "_qv", nProbe)
+    val cAssigned = assignCells(
+      candidates.select(col(idC), col(vecCol).as("_cv")), centroidVecs, "_cv", 1)
+    val qAssigned = assignCells(
+      queries.select(col(idQ), col(vecCol).as("_qv")), centroidVecs, "_qv", nProbe)
     val w = Window.partitionBy(idQ).orderBy(col("sim_r").desc, col(idC).asc)
     qAssigned.join(cAssigned, "centroid_id")
       .withColumn("sim_r", round(cosineSimilarity(col("_qv"), col("_cv")), 6))
@@ -524,24 +541,14 @@ object Similarity {
       nProbe: Int = 4,
       vecCol: String = "embedding"): DataFrame = {
     require(centroidVecs.nonEmpty, "need at least one centroid")
-    // per-row top-`keep` cells as a codegen array_sort over (negSim, cid)
-    // structs — the [[assignClusters]] argmax generalized to nProbe, so
-    // assignment is a zero-shuffle map stage (a centroid-table cross join
-    // + per-id rank window would shuffle k rows per vector instead).
-    // Struct order (negSim asc, cid asc) == (sim desc, cid asc): the
-    // oracle's ROW_NUMBER ranking exactly.
-    def assignTop(df: DataFrame, v: String, keep: Int): DataFrame = {
-      val cStructs = centroidVecs.zipWithIndex.map { case (c, i) =>
-        struct(
-          (-round(cosineSimilarity(col(v), array(c.map(lit): _*)), 6)).as("negSim"),
-          lit(i.toLong).as("cid"))
-      }
-      df.withColumn("_cell", explode(slice(array_sort(array(cStructs: _*)), 1, keep)))
-        .withColumn("centroid_id", col("_cell.cid"))
-        .drop("_cell")
-    }
-    val cA = assignTop(candidates.select(col("cid"), col(vecCol).as("_cv")), "_cv", 1)
-    val qA = assignTop(queries.select(col("qid"), col(vecCol).as("_qv")), "_qv", nProbe)
+    // per-row top-`keep` cells via the shared zero-shuffle [[assignCells]]
+    // map stage (a centroid-table cross join + per-id rank window would
+    // shuffle k rows per vector instead); its struct order (negSim asc,
+    // cid asc) == (sim desc, cid asc): the oracle's ROW_NUMBER ranking.
+    val cA = assignCells(candidates.select(col("cid"), col(vecCol).as("_cv")),
+      centroidVecs, "_cv", 1)
+    val qA = assignCells(queries.select(col("qid"), col(vecCol).as("_qv")),
+      centroidVecs, "_qv", nProbe)
     val pairs = qA.join(cA, "centroid_id")
       .withColumn("_sm",
         round(round(cosineSimilarity(col("_qv"), col("_cv")), 6) * marginMicro).cast("long"))
@@ -799,21 +806,15 @@ object Similarity {
       donors(j).getSeq[Double](1).slice(mi * d, mi * d + d).toArray)
   }
 
-  /** Left-assoc Σ (v[off+i] − c_i)², rounded to 6 — the rounding makes the
-    * argmin decision identical in any IEEE engine (a genuine sub-1e-6
-    * distance gap becomes a tie and breaks on the donor index, the same
-    * way, everywhere). */
-  private def pqSqDist(vecCol: Column, off: Int, c: Array[Double]): Column =
-    round(c.zipWithIndex.map { case (cv, di) =>
-      val e = element_at(vecCol, lit(off + di + 1)).cast("double") - lit(cv)
-      e * e
-    }.reduceLeft(_ + _), 6)
-
   /** Encode each row to `m` sub-codes (1-based codebook indices):
-    * per-subspace argmin over the broadcast codebook — a pure per-row
-    * codegen map stage (zero shuffles). 64 float dims become `m` small
-    * ints: the 32x scan-bandwidth cut that makes a 100 TB ANN corpus
-    * scannable. */
+    * per-subspace argmin over the codebook — a pure per-row codegen map
+    * stage (zero shuffles). 64 float dims become `m` small ints: the 32x
+    * scan-bandwidth cut that makes a 100 TB ANN corpus scannable. The
+    * argmin runs as the native [[graft.functions.PqExpr]] kernel (round-6
+    * distance, ties to the lowest donor index — identical selection to
+    * the previous `array_min`-over-structs tree, which at m·ksub·d
+    * expression nodes blew the janino method limit and dropped the whole
+    * stage to interpreted execution; PqSpec pins the equality). */
   def pqEncode(
       df: DataFrame,
       codebooks: Array[Array[Array[Double]]],
@@ -823,27 +824,19 @@ object Similarity {
     val m = codebooks.length
     val d = codebooks(0)(0).length
     val codeCols = (0 until m).map { mi =>
-      // argmin via min over (dist, index) structs: lexicographic struct
-      // ordering = min dist, lowest donor index on ties
-      val cand = array(codebooks(mi).zipWithIndex.map { case (c, j) =>
-        struct(pqSqDist(col(vecCol), mi * d, c).as("d"), lit(j + 1).as("j"))
-      }: _*)
-      array_min(cand).getField("j").as(s"code_$mi")
+      graft.functions.PqExpr.subCode(col(vecCol), codebooks(mi), mi * d).as(s"code_$mi")
     }
     df.select(col(idCol) +: keep.map(col) ++: codeCols: _*)
   }
 
   /** Per-query ADC lookup-table columns `_lut_0.._lut_{m-1}`:
-    * LUT(mi)(j) = round(⟨q_sub_mi, C(mi)(j)⟩, 6). */
+    * LUT(mi)(j) = round(⟨q_sub_mi, C(mi)(j)⟩, 6) — the native
+    * [[graft.functions.PqExpr]] kernel per subspace. */
   private def pqLutCols(codebooks: Array[Array[Array[Double]]], vecCol: String): Seq[Column] = {
     val m = codebooks.length
     val d = codebooks(0)(0).length
     (0 until m).map { mi =>
-      array(codebooks(mi).map { c =>
-        round(c.zipWithIndex.map { case (cv, di) =>
-          element_at(col(vecCol), lit(mi * d + di + 1)).cast("double") * lit(cv)
-        }.reduceLeft(_ + _), 6)
-      }: _*).as(s"_lut_$mi")
+      graft.functions.PqExpr.subLut(col(vecCol), codebooks(mi), mi * d).as(s"_lut_$mi")
     }
   }
 
@@ -852,11 +845,33 @@ object Similarity {
     (0 until m).map(mi =>
       element_at(col(s"_lut_$mi"), col(s"code_$mi").cast("int"))).reduceLeft(_ + _)
 
+  /** Per-query (adc desc, id asc) top-`n` through the bounded-memory
+    * [[graft.functions.TopKNearest]] heap aggregate (built in r4 for the
+    * k-NN join; SURVEY §7.3): the PARTIAL phase ships at most `n`
+    * candidates per query into the shuffle and nothing ever sorts the
+    * full score table — where the row_number window would exchange+sort
+    * every scored (query, code) pair. Heap order asc (−adc, id) ==
+    * (adc desc, id asc), the window's exact ordering including id
+    * tiebreaks; adc rides as payload so the emitted value is the
+    * original double, never a re-negation. Candidate ids must be
+    * integral (the heap keys on a long — vector corpora id by number). */
+  private def topByAdc(scored: DataFrame, n: Int, idQ: String, idC: String): DataFrame =
+    scored
+      .groupBy(idQ)
+      .agg(TopKNearest.topkNearest(
+        struct((-col("adc")).as("dist2"), col(idC).cast("long").as("src_id"),
+          col("adc").cast("double").as("adc")),
+        n, payload = Seq("adc")).as("_top"))
+      .select(col(idQ), explode(col("_top")).as("_t"))
+      .select(col(idQ), col("_t.src_id").as(idC), col("_t.adc").as("adc"))
+
   /** PQ-ADC top-k (asymmetric distance computation, inner-product
     * flavor): stage 1 scores every candidate CODE against a per-query
     * lookup table — LUT(mi)(j) = round(⟨q_sub, C(mi)(j)⟩, 6), score =
-    * Σ_mi LUT(mi)(code_mi) — touching only the (id, m codes) projection;
-    * stage 2 reranks the k·rerankFactor survivors by exact round-6
+    * Σ_mi LUT(mi)(code_mi) — touching only the (id, m codes) projection,
+    * and keeps k·rerankFactor per query with the bounded-memory
+    * [[topByAdc]] heap aggregate (map-side combine; the full score table
+    * is never sorted); stage 2 reranks the survivors by exact round-6
     * cosine. The code scan is exhaustive (documented flat-PQ baseline —
     * same contract as [[quantizedTopK]]); compose with [[ivfTopKWith]]'s
     * inverted lists for IVF-PQ at 100 TB. Fixed summation order keeps
@@ -873,12 +888,9 @@ object Similarity {
     val m = codebooks.length
     val codes = pqEncode(candidates, codebooks, idC, vecCol)
     val q = queries.select(col(idQ) +: pqLutCols(codebooks, vecCol): _*)
-    val w1 = Window.partitionBy(idQ).orderBy(col("adc").desc, col(idC).asc)
-    val survivors = q.crossJoin(codes)
-      .withColumn("adc", pqAdcScore(m))
-      .withColumn("_r1", row_number().over(w1))
-      .filter(col("_r1") <= k * rerankFactor)
-      .select(col(idQ), col(idC), col("adc"))
+    val survivors = topByAdc(
+      q.crossJoin(codes).withColumn("adc", pqAdcScore(m)),
+      k * rerankFactor, idQ, idC)
     val w2 = Window.partitionBy(idQ).orderBy(col("sim_r").desc, col(idC).asc)
     survivors
       .join(queries.select(col(idQ), col(vecCol).as("_qv")), idQ)
@@ -890,13 +902,16 @@ object Similarity {
   }
 
   /** IVF-PQ (Jégou et al. 2011 §IV — the production 100 TB ANN index):
-    * candidates are assigned once to their nearest trained centroid
-    * ([[ivfTopKWith]]'s broadcast argmax — the inverted lists) and PQ-
-    * encoded in the same pass; a query ADC-scores codes only inside its
-    * `nProbe` nearest cells (centroid equi-join, never a flat scan), then
-    * the k·rerankFactor survivors rerank by exact round-6 cosine. Stage-1
-    * bandwidth per probe is |cell| × (m codes) — both the list pruning
-    * and the 32x code compression compound at scale. */
+    * candidates are assigned once to their nearest trained centroid by
+    * the zero-shuffle literal argmax ([[assignCells]] — the inverted
+    * lists; no centroid join, no exchange between the candidate scan and
+    * the PQ-encode projection) and PQ-encoded in the same map stage; a
+    * query ADC-scores codes only inside its `nProbe` nearest cells
+    * (centroid equi-join, never a flat scan), keeps k·rerankFactor per
+    * query with the bounded-memory [[topByAdc]] heap aggregate, then
+    * reranks survivors by exact round-6 cosine. Stage-1 bandwidth per
+    * probe is |cell| × (m codes) — both the list pruning and the 32x
+    * code compression compound at scale. */
   def ivfPqTopK(
       queries: DataFrame,
       candidates: DataFrame,
@@ -908,30 +923,16 @@ object Similarity {
       idQ: String = "qid",
       idC: String = "cid",
       vecCol: String = "embedding"): DataFrame = {
-    val s = candidates.sparkSession
-    import s.implicits._
     val m = codebooks.length
-    val centroids = broadcast(
-      centroidVecs.zipWithIndex.map { case (c, i) => (i.toLong, c) }
-        .toDF("centroid_id", "_ctr"))
-    def assign(df: DataFrame, id: String, v: String, keep: Int): DataFrame = {
-      val w = Window.partitionBy(id).orderBy(col("_csim").desc, col("centroid_id").asc)
-      df.crossJoin(centroids)
-        .withColumn("_csim", round(cosineSimilarity(col(v), col("_ctr")), 6))
-        .withColumn("_crk", row_number().over(w))
-        .filter(col("_crk") <= keep)
-        .drop("_ctr", "_csim", "_crk")
-    }
-    val cAssigned = assign(candidates.select(col(idC), col(vecCol).as("_cv")), idC, "_cv", 1)
+    val cAssigned = assignCells(
+      candidates.select(col(idC), col(vecCol).as("_cv")), centroidVecs, "_cv", 1)
     val codes = pqEncode(cAssigned, codebooks, idC, "_cv", keep = Seq("centroid_id"))
-    val qAssigned = assign(queries.select(col(idQ), col(vecCol).as("_qv")), idQ, "_qv", nProbe)
+    val qAssigned = assignCells(
+      queries.select(col(idQ), col(vecCol).as("_qv")), centroidVecs, "_qv", nProbe)
     val qLut = qAssigned.select(col(idQ) +: col("centroid_id") +: pqLutCols(codebooks, "_qv"): _*)
-    val w1 = Window.partitionBy(idQ).orderBy(col("adc").desc, col(idC).asc)
-    val survivors = qLut.join(codes, "centroid_id")
-      .withColumn("adc", pqAdcScore(m))
-      .withColumn("_r1", row_number().over(w1))
-      .filter(col("_r1") <= k * rerankFactor)
-      .select(col(idQ), col(idC), col("adc"))
+    val survivors = topByAdc(
+      qLut.join(codes, "centroid_id").withColumn("adc", pqAdcScore(m)),
+      k * rerankFactor, idQ, idC)
     val w2 = Window.partitionBy(idQ).orderBy(col("sim_r").desc, col(idC).asc)
     survivors
       .join(queries.select(col(idQ), col(vecCol).as("_qv")), idQ)

@@ -97,21 +97,34 @@ class HeavyPlanSpec extends SparkSpec {
     assert(count(p, "BroadcastNestedLoopJoin") <= 2, p.take(1500))
   }
 
-  test("q204 flat PQ: exactly the one documented code-scan cross join") {
+  test("q204 flat PQ: one code-scan cross join; stage-1 top-k on the heap aggregate, never a full sort") {
     val p = plan(Queries.q204_pq_adc)
     assert(count(p, "CartesianProduct") === 0)
     assert(count(p, "BroadcastNestedLoopJoin") === 1,
       s"flat-PQ stage 1 is the single documented broadcast scan:\n${p.take(1500)}")
+    // r10: stage-1 top-k is the TopKNearest heap (partial map-side combine)
+    assert(count(p, "ObjectHashAggregate") >= 2,
+      s"stage-1 top-k must plan as the bounded-memory heap aggregate:\n${p.take(1500)}")
+    assert(count(p, "Window \\[") === 1,
+      "only the survivor rerank windows; the full score table is never sorted")
+    // exactly two shuffles: the per-query heap exchange + the final orderBy
+    assert(count(p, "Exchange") - count(p, "BroadcastExchange") === 2, p.take(1500))
   }
 
-  test("q205 IVF-PQ: stage 1 is a centroid equi-join, not a flat scan") {
+  test("q205 IVF-PQ: zero-shuffle literal assignment + centroid equi-join probe") {
     val p = plan(Queries.q205_ivfpq)
     assert(count(p, "CartesianProduct") === 0)
-    // only the two 8-row broadcast centroid assignments are nested-loop;
-    // the code scoring itself joins on centroid_id (key-based)
-    assert(count(p, "BroadcastNestedLoopJoin") === 2, p.take(1500))
+    // r10: both centroid assignments are literal-argmax map stages — no
+    // nested-loop join of any kind remains in the plan
+    assert(count(p, "BroadcastNestedLoopJoin") === 0, p.take(1500))
     assert(count(p, "SortMergeJoin") + count(p, "ShuffledHashJoin") +
       count(p, "BroadcastHashJoin") >= 1, "probed-list join must be key-based")
+    assert(count(p, "ObjectHashAggregate") >= 2,
+      s"stage-1 top-k must plan as the bounded-memory heap aggregate:\n${p.take(1500)}")
+    // exactly two shuffles (per-query heap exchange + final orderBy): in
+    // particular NO exchange between the candidate scan and the PQ-encode
+    // projection — assignment + encode fuse into one map stage
+    assert(count(p, "Exchange") - count(p, "BroadcastExchange") === 2, p.take(1500))
   }
 
   test("q199 UTM bucket: one scan, zero joins, hash aggregation") {

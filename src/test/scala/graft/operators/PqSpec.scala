@@ -91,6 +91,44 @@ class PqSpec extends AnyFunSuite with SparkSpec {
       "nProbe = #cells must equal the flat-PQ scan bit-for-bit")
   }
 
+  test("native PQ kernels == the literal Catalyst tree, including half-boundary rounding") {
+    // r10: encode/LUT moved to graft.functions.PqExpr (the tree form blew
+    // janino's method limit and ran interpreted). Pin the kernel against
+    // the tree it replaced — same round-6 distances/dots (Spark Round
+    // semantics: BigDecimal.valueOf canonical-string HALF_UP), same
+    // lowest-donor-index tiebreak — on vectors engineered to land ON
+    // .5e-6 rounding boundaries (components m/128: exact binary halves).
+    import spark.implicits._
+    val dim = 16
+    val rows = (0L until 400L).map { id =>
+      (id, Array.tabulate(dim)(d => (((id * 31 + d * 17) % 257) - 128).toDouble / 128.0))
+    }
+    val df = rows.toDF("cid", "embedding")
+    val books = Array.tabulate(2, 8)((mi, j) =>
+      Array.tabulate(8)(d => (((j * 13 + d * 7 + mi) % 65) - 32).toDouble / 64.0))
+    val kernel = Similarity.pqEncode(df, books).orderBy("cid").collect().toSeq
+    val tree = df.select(
+      col("cid") +: (0 until 2).map { mi =>
+        val cand = array(books(mi).zipWithIndex.map { case (c, j) =>
+          struct(round(c.zipWithIndex.map { case (cv, di) =>
+            val e = element_at(col("embedding"), lit(mi * 8 + di + 1)).cast("double") - lit(cv)
+            e * e
+          }.reduceLeft(_ + _), 6).as("d"), lit(j + 1).as("j"))
+        }: _*)
+        array_min(cand).getField("j").as(s"code_$mi")
+      }: _*).orderBy("cid").collect().toSeq
+    assert(kernel === tree, "kernel argmin must replicate the Catalyst tree bit-for-bit")
+    // LUT parity on the same adversarial grid
+    val kLut = df.select(col("cid"), graft.functions.PqExpr.subLut(col("embedding"), books(1), 8))
+      .orderBy("cid").collect().map(_.getSeq[Double](1)).toSeq
+    val tLut = df.select(col("cid"), array(books(1).map { c =>
+      round(c.zipWithIndex.map { case (cv, di) =>
+        element_at(col("embedding"), lit(8 + di + 1)).cast("double") * lit(cv)
+      }.reduceLeft(_ + _), 6)
+    }: _*)).orderBy("cid").collect().map(_.getSeq[Double](1)).toSeq
+    assert(kLut === tLut, "kernel LUT must replicate Spark round-6 dot products bit-for-bit")
+  }
+
   test("the code scan projects codes only (no full-vector bytes in stage 1)") {
     val c = emb.select(col("vec_id").as("cid"), col("embedding"))
     val books = Similarity.pqCodebooks(c, m = 8, ksub = 16)
