@@ -374,6 +374,24 @@ object AreaConfig {
           "lat_0" -> a("latitude_of_projection_origin").toString,
           "lon_0" -> a("longitude_of_projection_origin").toString,
           "h" -> a("perspective_point_height", 35785831.0).toString)
+      case "rotated_latitude_longitude" =>
+        // the pyproj CRS.from_cf mapping: ob_tran/longlat with the true
+        // pole meridian at lon_0 = 180 + grid_north_pole_longitude
+        Map("proj" -> "ob_tran", "o_proj" -> "longlat",
+          "o_lat_p" -> a("grid_north_pole_latitude", 90.0).toString,
+          "o_lon_p" -> a("north_pole_grid_longitude").toString,
+          "lon_0" -> (180.0 + a("grid_north_pole_longitude")).toString)
+      case "lambert_cylindrical_equal_area" =>
+        // CF: standard_parallel OR scale_factor_at_projection_origin
+        val scale: Map[String, String] = num("standard_parallel") match {
+          case Some(sp) => Map("lat_ts" -> sp.toString)
+          case None => num("scale_factor_at_projection_origin") match {
+            case Some(k) => Map("k_0" -> k.toString)
+            case None => Map("lat_ts" -> "0.0")
+          }
+        }
+        Map("proj" -> "cea",
+          "lon_0" -> a("longitude_of_central_meridian").toString) ++ scale
       case other =>
         throw new IllegalArgumentException(s"unsupported grid_mapping_name: $other")
     }

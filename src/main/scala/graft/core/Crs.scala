@@ -963,6 +963,87 @@ final case class NsperProj(lon0: Double, lat0: Double, h: Double, ell: Ellipsoid
   }
 }
 
+/** proj=cea — (Lambert) cylindrical equal-area, Snyder §10: sphere
+  * 10-1/10-2, ellipsoid 10-7/10-8 with the inverse through the authalic
+  * q (10-11, shared [[ProjMath.phiFromQ]]). `lat_ts` (or an explicit
+  * `k_0`) sets the standard parallel where scale is true. CF mapping
+  * `lambert_cylindrical_equal_area` (`utils/cf.py:31`) — the last
+  * `validGridMappings` entry without a kernel before r10. */
+final case class CeaProj(lon0: Double, k0: Double, ell: Ellipsoid) extends Projection {
+  import ProjMath.{qOf, phiFromQ}
+  require(k0 > 0, "cea standard parallel must be below the pole")
+  private val qp = qOf(math.Pi / 2, ell)
+  def forward(lon: Double, lat: Double): (Double, Double) = {
+    if (math.abs(lat) > 90.0) return (Double.NaN, Double.NaN)
+    val lam = wrapLonDeg(lon - lon0) * Deg2Rad
+    val phi = lat * Deg2Rad
+    (ell.a * k0 * lam, ell.a * qOf(phi, ell) / (2 * k0))
+  }
+  def inverse(x: Double, y: Double): (Double, Double) = {
+    val q = 2 * y * k0 / ell.a
+    if (math.abs(q) > math.abs(qp) * (1 + 1e-9)) return (Double.NaN, Double.NaN)
+    val phi = phiFromQ(math.max(-qp, math.min(qp, q)), ell)
+    val lam = x / (ell.a * k0)
+    if (math.abs(lam) > math.Pi * (1 + 1e-9)) return (Double.NaN, Double.NaN)
+    (wrapLonDeg(lon0 + lam * Rad2Deg), phi * Rad2Deg)
+  }
+}
+
+object CeaProj {
+  /** Snyder 10-13: k0 = cos(lat_ts)/sqrt(1 − e² sin²(lat_ts)) — cos on a
+    * sphere. */
+  def k0Of(latTs: Double, ell: Ellipsoid): Double =
+    ProjMath.msfn(latTs * Projection.Deg2Rad, ell)
+}
+
+/** proj=ob_tran +o_proj=longlat — the CF `rotated_latitude_longitude`
+  * grid mapping (`utils/cf.py:31`; every COSMO/HIRLAM/RACMO/CORDEX
+  * regional-climate file): a latlon grid whose north pole is moved to
+  * true (`poleLon`, `poleLat`), optionally spun by `gridLon`
+  * (north_pole_grid_longitude: the rotated longitude at which the TRUE
+  * pole appears). Pure spherical rotation — composition of Rz(poleLon)
+  * then the y-axis tilt taking the new pole to +z; the rotated prime
+  * meridian points away from the pole meridian (the COSMO/CF
+  * convention: rotated (0,0) is true (poleLon+180, 90−poleLat)).
+  *
+  * Units deviation from PROJ (documented): PROJ's `ob_tran o_proj=
+  * longlat` emits radians unless `to_meter` rescales; this kernel emits
+  * rotated-grid DEGREES directly, matching the CF `grid_longitude`/
+  * `grid_latitude` axis units the loader hands it — the same
+  * degrees-at-the-boundary convention as [[LonLatProj]]. The rotation is
+  * shape-preserving, so the ellipsoid only labels the datum. */
+final case class RotatedPoleProj(poleLat: Double, poleLon: Double, gridLon: Double,
+    ell: Ellipsoid) extends Projection {
+  private val sp = math.sin(poleLat * Deg2Rad)
+  private val cp = math.cos(poleLat * Deg2Rad)
+  @inline private def clamp1(v: Double): Double = math.max(-1.0, math.min(1.0, v))
+  def forward(lon: Double, lat: Double): (Double, Double) = {
+    if (math.abs(lat) > 90.0) return (Double.NaN, Double.NaN)
+    val dl = (lon - poleLon) * Deg2Rad
+    val phi = lat * Deg2Rad
+    val cf = math.cos(phi); val sf = math.sin(phi)
+    val cd = math.cos(dl); val sd = math.sin(dl)
+    val x2 = cf * cd * sp - sf * cp
+    val y2 = cf * sd
+    val z2 = cf * cd * cp + sf * sp
+    val lonR = if (x2 == 0.0 && y2 == 0.0) 0.0 else math.atan2(-y2, -x2) * Rad2Deg
+    (wrapLonDeg(lonR + gridLon), math.asin(clamp1(z2)) * Rad2Deg)
+  }
+  def inverse(x: Double, y: Double): (Double, Double) = {
+    if (math.abs(y) > 90.0) return (Double.NaN, Double.NaN)
+    val lonR = (x - gridLon) * Deg2Rad
+    val latR = y * Deg2Rad
+    val cR = math.cos(latR)
+    val x2 = -cR * math.cos(lonR)
+    val y2 = -cR * math.sin(lonR)
+    val z2 = math.sin(latR)
+    val x1 = x2 * sp + z2 * cp
+    val z1 = -x2 * cp + z2 * sp
+    val lon = if (x1 == 0.0 && y2 == 0.0) 0.0 else math.atan2(y2, x1) * Rad2Deg
+    (wrapLonDeg(poleLon + lon), math.asin(clamp1(z1)) * Rad2Deg)
+  }
+}
+
 /** A parsed CRS: projection + raw proj4 params (mirrors what
   * `pyresample/utils/proj4.py:29-99` keeps around). */
 final case class Crs(proj: Projection, proj4: String, params: Map[String, String]) {
@@ -1051,7 +1132,19 @@ object Crs {
       case "sinu"  => SinuProj(lon0, ell)
       case "ortho" => OrthoProj(lon0, lat0, ell)
       case "nsper" => NsperProj(lon0, lat0, d("h", 35785831.0), ell)
-      case other   => throw new IllegalArgumentException(s"unsupported projection: $other (supported: longlat, eqc, merc, laea, stere, aeqd, geos, omerc, lcc, tmerc, utm, aea, sinu, ortho, nsper)")
+      case "cea"   =>
+        // PROJ: lat_ts or an explicit k_0 sets the standard parallel
+        CeaProj(lon0, if (params.contains("k_0") || params.contains("k")) k0
+          else CeaProj.k0Of(latTs, ell), ell)
+      case "ob_tran" =>
+        // only the rotated-pole latlon family (o_proj=longlat) — the one
+        // form CF's rotated_latitude_longitude produces
+        require(params.get("o_proj").forall(
+          Set("longlat", "latlong", "lonlat", "latlon")),
+          s"ob_tran supports o_proj=longlat, got ${params.getOrElse("o_proj", "?")}")
+        // CF -> PROJ puts the true pole meridian at lon_0 = 180 + pole_lon
+        RotatedPoleProj(d("o_lat_p", 90.0), wrapLonDeg(lon0 - 180.0), d("o_lon_p", 0.0), ell)
+      case other   => throw new IllegalArgumentException(s"unsupported projection: $other (supported: longlat, eqc, merc, laea, stere, aeqd, geos, omerc, lcc, tmerc, utm, aea, sinu, ortho, nsper, cea, ob_tran)")
     }
     // +x_0/+y_0 false easting/northing apply to any projected CRS
     val x0 = d("x_0", 0.0); val y0 = d("y_0", 0.0)

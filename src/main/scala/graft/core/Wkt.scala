@@ -29,7 +29,8 @@ object Wkt {
     "aea" -> "Albers Equal Area",
     "sinu" -> "Sinusoidal",
     "ortho" -> "Orthographic",
-    "nsper" -> "Vertical Perspective")
+    "nsper" -> "Vertical Perspective",
+    "cea" -> "Lambert Cylindrical Equal Area")
   private val projOfMethod: Map[String, String] =
     methodOf.map(_.swap) ++ Map(
       "Geostationary Satellite (Sweep Y)" -> "geos",
@@ -118,7 +119,18 @@ object Wkt {
       "Longitude of topocentric origin" -> "lon_0",
       "Viewpoint height" -> "h",
       "False easting" -> "x_0",
+      "False northing" -> "y_0"),
+    "cea" -> Seq(
+      "Latitude of 1st standard parallel" -> "lat_ts",
+      "Longitude of natural origin" -> "lon_0",
+      "False easting" -> "x_0",
       "False northing" -> "y_0"))
+
+  /** The CF-convention pole-rotation method and parameter names (what
+    * PROJ >= 8 writes for `ob_tran o_proj=longlat`): a rotated-pole grid
+    * is a DERIVED GEOGRAPHIC CRS in WKT2, not a PROJCRS — axes stay
+    * ellipsoidal degrees. */
+  private val PoleRotationMethod = "Pole rotation (netCDF CF convention)"
 
   /** Read-only aliases: producer variants that map onto the same engine
     * key but must never be WRITTEN (the writer keeps one canonical name
@@ -143,6 +155,15 @@ object Wkt {
     val geog =
       s"""BASEGEOGCRS["unknown",DATUM["unknown",$ellWkt],PRIMEM["Greenwich",0,ANGLEUNIT["degree",0.0174532925199433]]]"""
     val projName = crs.params.getOrElse("proj", "longlat")
+    if (projName == "ob_tran") {
+      // rotated-pole latlon: a derived geographic CRS with the CF-named
+      // pole-rotation conversion (pyproj/PROJ >= 8 emit this same shape)
+      val pLat = crs.params.getOrElse("o_lat_p", "90")
+      val pLon = num(Projection.wrapLonDeg(
+        crs.params.get("lon_0").map(_.toDouble).getOrElse(0.0) - 180.0))
+      val gLon = crs.params.getOrElse("o_lon_p", "0")
+      return s"""GEOGCRS["$name",$geog,DERIVINGCONVERSION["Pole rotation",METHOD["$PoleRotationMethod"],PARAMETER["Grid north pole latitude (netCDF CF convention)",$pLat],PARAMETER["Grid north pole longitude (netCDF CF convention)",$pLon],PARAMETER["North pole grid longitude (netCDF CF convention)",$gLon]],CS[ellipsoidal,2],AXIS["latitude",north,ANGLEUNIT["degree",0.0174532925199433]],AXIS["longitude",east,ANGLEUNIT["degree",0.0174532925199433]]]"""
+    }
     if (crs.isLonLat)
       s"""GEOGCRS["$name",DATUM["unknown",$ellWkt],PRIMEM["Greenwich",0],CS[ellipsoidal,2],AXIS["geodetic latitude (Lat)",north,ANGLEUNIT["degree",0.0174532925199433]],AXIS["geodetic longitude (Lon)",east,ANGLEUNIT["degree",0.0174532925199433]]]"""
     else {
@@ -192,6 +213,16 @@ object Wkt {
         if (rf == 0.0) Map("a" -> a.toString, "b" -> a.toString)
         else Map("a" -> a.toString, "rf" -> rf.toString)
       case None => Map.empty
+    }
+    if (wkt.contains(PoleRotationMethod)) {
+      val cfRe = """PARAMETER\["([^"]+) \(netCDF CF convention\)",\s*([-0-9.Ee+]+)""".r
+      val cf = cfRe.findAllMatchIn(wkt).map(m => m.group(1) -> m.group(2).toDouble).toMap
+      return Crs.fromParams(Map(
+        "proj" -> "ob_tran", "o_proj" -> "longlat",
+        "o_lat_p" -> cf.getOrElse("Grid north pole latitude", 90.0).toString,
+        "o_lon_p" -> cf.getOrElse("North pole grid longitude", 0.0).toString,
+        "lon_0" -> (180.0 + cf.getOrElse("Grid north pole longitude", 0.0)).toString)
+        ++ ellParams, raw = wkt)
     }
     if (wkt.trim.startsWith("GEOGCRS") || wkt.trim.startsWith("GEOGCS"))
       return Crs.fromParams(Map("proj" -> "longlat") ++ ellParams, raw = wkt)

@@ -308,6 +308,74 @@ object OracleSql {
                $AL * _phi AS $outY FROM ${pfx}a)"""
   }
 
+  /** Cylindrical equal-area forward twin — `graft.core.CeaProj` (Snyder
+    * §10, r10): x is pure arithmetic (k0 JVM-baked), y goes through the
+    * ellipsoidal q of the data latitude — SIN/LN libm drift is ~1e-9 m
+    * against ~100 km cells. */
+  final case class CeaSql(area: AreaDef) {
+    private val p = area.crs.params
+    require(p("proj") == "cea", s"not a cea area: ${p("proj")}")
+    private val crsEll = {
+      val a = p("a").toDouble
+      (p.get("b"), p.get("rf")) match {
+        case (Some(b), _) => graft.core.Ellipsoid(a, b.toDouble)
+        case (None, Some(rf)) => graft.core.Ellipsoid(a, a * (1 - 1 / rf.toDouble))
+        case _ => graft.core.Ellipsoid.sphere(a)
+      }
+    }
+    private val k0 =
+      if (p.contains("k_0") || p.contains("k")) p.getOrElse("k_0", p("k")).toDouble
+      else graft.core.CeaProj.k0Of(p.get("lat_ts").map(_.toDouble).getOrElse(0.0), crsEll)
+    private val lon0 = p.get("lon_0").map(_.toDouble).getOrElse(0.0)
+    private val AL = slit(crsEll.a)
+    private val K0L = slit(k0)
+    private val E2L = slit(crsEll.e2)
+    private val EL = slit(crsEll.e)
+    private val D2RL = slit(math.Pi / 180.0)
+    private val LON0 = slit(lon0)
+    def fwdCtes(pfx: String, src: String, keep: Seq[String],
+        lonC: String = "lon", latC: String = "lat",
+        outX: String = "proj_x", outY: String = "proj_y"): String = {
+      // q = (1-e^2) * (s/(1-e^2 s^2) - ln((1-e s)/(1+e s)) / (2 e)),
+      // transcribed in ProjMath.qOf's association order
+      val q = if (crsEll.isSphere) "2.0 * _s"
+      else s"(1.0 - $E2L) * (_s / (1.0 - $E2L * _s * _s) - (1.0 / (2.0 * $EL)) * LN((1.0 - $EL * _s) / (1.0 + $EL * _s)))"
+      s"""${pfx}a AS (SELECT *, ${wrapSql(s"$lonC - $LON0")} * $D2RL AS _lam, SIN($latC * $D2RL) AS _s FROM $src),
+      $pfx AS (SELECT ${keep.mkString(", ")}, $AL * $K0L * _lam AS $outX,
+               $AL * ($q) / (2.0 * $K0L) AS $outY FROM ${pfx}a)"""
+    }
+  }
+
+  /** Rotated-pole forward twin — `graft.core.RotatedPoleProj` (the CF
+    * `rotated_latitude_longitude` mapping, r10): pure spherical rotation,
+    * trig of data-dependent values only — the sin/cos of the pole
+    * latitude are JVM-baked literals, the atan2/asin drift is ~1 ulp of a
+    * degree against half-degree cells. */
+  final case class ObTranSql(area: AreaDef) {
+    private val p = area.crs.params
+    require(p("proj") == "ob_tran", s"not an ob_tran area: ${p("proj")}")
+    private val poleLat = p("o_lat_p").toDouble
+    private val poleLon = graft.core.Projection.wrapLonDeg(
+      p.get("lon_0").map(_.toDouble).getOrElse(0.0) - 180.0)
+    private val gridLon = p.get("o_lon_p").map(_.toDouble).getOrElse(0.0)
+    private val SP = slit(math.sin(poleLat * math.Pi / 180.0))
+    private val CP = slit(math.cos(poleLat * math.Pi / 180.0))
+    private val D2RL = slit(math.Pi / 180.0)
+    private val R2DL = slit(180.0 / math.Pi)
+    private val PLON = slit(poleLon)
+    private val GLON = slit(gridLon)
+    def fwdCtes(pfx: String, src: String, keep: Seq[String],
+        lonC: String = "lon", latC: String = "lat",
+        outX: String = "proj_x", outY: String = "proj_y"): String =
+      s"""${pfx}a AS (SELECT *, ($lonC - $PLON) * $D2RL AS _dl, $latC * $D2RL AS _phi FROM $src),
+      ${pfx}b AS (SELECT *, COS(_phi) AS _cf, SIN(_phi) AS _sf, COS(_dl) AS _cd, SIN(_dl) AS _sd FROM ${pfx}a),
+      ${pfx}c AS (SELECT *, _cf * _cd * $SP - _sf * $CP AS _x2, _cf * _sd AS _y2,
+                  _cf * _cd * $CP + _sf * $SP AS _z2 FROM ${pfx}b),
+      $pfx AS (SELECT ${keep.mkString(", ")},
+               ${wrapSql(s"ATAN2(-_y2, -_x2) * $R2DL + $GLON")} AS $outX,
+               ASIN(LEAST(1.0, GREATEST(-1.0, _z2))) * $R2DL AS $outY FROM ${pfx}c)"""
+  }
+
   /** Orthographic forward twin — `graft.core.OrthoProj` (spherical). The
     * caller must keep the source inside the near hemisphere (the bucket
     * query's area reduction does); far-side rows would be NaN in the

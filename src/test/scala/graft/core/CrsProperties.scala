@@ -43,6 +43,10 @@ object CrsProperties extends Properties("graft.core") {
     roundTrips(Crs.fromProj4("+proj=ortho +lat_0=45 +lon_0=10 +a=6371000"), 1e-6)
   property("nsper round-trip (visible disk)") =
     roundTrips(Crs.fromProj4("+proj=nsper +lat_0=0 +lon_0=-60 +h=35785831 +a=6371000"), 1e-6)
+  property("cea round-trip (ellipsoid, lat_ts)") =
+    roundTrips(Crs.fromProj4("+proj=cea +lat_ts=30 +lon_0=15 +a=6378137 +rf=298.257223563"), 1e-6)
+  property("rotated pole round-trip") =
+    roundTrips(Crs.fromProj4("+proj=ob_tran +o_proj=longlat +o_lat_p=39.25 +o_lon_p=7 +lon_0=18 +a=6371000"), 1e-7)
 
   property("wrapLon lands in [-180, 180) and is idempotent") =
     Prop.forAll(Gen.choose(-2000.0, 2000.0)) { lon =>

@@ -147,4 +147,78 @@ class CrsSpec extends AnyFunSuite {
         s"($lon,$lat) -> ($lon2,$lat2)")
     }
   }
+
+  test("cea (r10): sphere anchors, ellipsoid round-trip, equal-area property") {
+    // sphere, lat_ts = 0: x = R*lam, y = R*sin(phi) (Snyder 10-1/10-2)
+    val r = 6371000.0
+    val s = Crs.fromProj4(s"+proj=cea +lon_0=0 +a=$r")
+    val (x90, _) = s.forward(90.0, 0.0)
+    assert(math.abs(x90 - r * math.Pi / 2) < 1e-6)
+    val (_, y30) = s.forward(0.0, 30.0)
+    assert(math.abs(y30 - r * 0.5) < 1e-6)
+    val (_, yPole) = s.forward(0.0, 90.0)
+    assert(math.abs(yPole - r) < 1e-6, "sphere pole maps to y = R")
+    sweep(s, -179, 179, -89, 89)
+    // lat_ts = 30 rescales: x shrinks by cos(30), y grows by 1/cos(30)
+    val s30 = Crs.fromProj4(s"+proj=cea +lat_ts=30 +lon_0=0 +a=$r")
+    val (x30, _) = s30.forward(90.0, 0.0)
+    assert(math.abs(x30 - r * (math.Pi / 2) * math.cos(30 * math.Pi / 180)) < 1e-6)
+    sweep(s30, -179, 179, -89, 89)
+    // equal-area property on the sphere, against INDEPENDENT trig: the
+    // projected area of a 1x1-degree quad starting at lat phi equals the
+    // true spherical area R^2 * dLam * (sin(phi+1) - sin(phi))
+    def quadArea(c: Crs, lat: Double): Double = {
+      val (x0, y0) = c.forward(10.0, lat); val (x1, y1) = c.forward(11.0, lat + 1.0)
+      math.abs((x1 - x0) * (y1 - y0))
+    }
+    for (lat <- Seq(0.0, 30.0, 60.0, 85.0)) {
+      val truth = r * r * (math.Pi / 180.0) *
+        (math.sin((lat + 1) * math.Pi / 180) - math.sin(lat * math.Pi / 180))
+      assert(math.abs(quadArea(s30, lat) / truth - 1.0) < 1e-12,
+        s"projected quad area at $lat must equal the true spherical area")
+    }
+    // WGS84 ellipsoid: round-trip across the full sweep
+    val e = Crs.fromProj4("+proj=cea +lat_ts=30 +lon_0=0 +a=6378137 +rf=298.257223563")
+    sweep(e, -179, 179, -89, 89)
+    // out-of-domain y (beyond the pole line) is NaN, not a wrong latitude
+    val (lonN, latN) = e.inverse(0.0, 1.2e7)
+    assert(lonN.isNaN && latN.isNaN)
+  }
+
+  test("rotated pole (r10): CF anchors, round-trip, isometry of the rotation") {
+    // CORDEX-EUR-style pole: grid_north_pole (lon -162, lat 39.25) ->
+    // PROJ ob_tran o_lat_p=39.25 lon_0=18
+    val c = Crs.fromProj4("+proj=ob_tran +o_proj=longlat +o_lat_p=39.25 +o_lon_p=0 +lon_0=18 +a=6371000")
+    // the grid center: true (pole_lon+180, 90-pole_lat) -> rotated (0, 0)
+    val (gx, gy) = c.forward(18.0, 50.75)
+    assert(math.abs(gx) < 1e-9 && math.abs(gy) < 1e-9, s"grid centre ($gx,$gy)")
+    // the true north pole appears at rotated (north_pole_grid_longitude, pole_lat)
+    val (px, py) = c.forward(77.0, 90.0) // any longitude at the pole
+    assert(math.abs(px) < 1e-9 && math.abs(py - 39.25) < 1e-9, s"true pole ($px,$py)")
+    sweep(c, -179, 179, -89, 89)
+    // identity pole: grid_north_pole_latitude = 90, longitude -180 (lon_0=0)
+    val id = Crs.fromProj4("+proj=ob_tran +o_proj=longlat +o_lat_p=90 +o_lon_p=0 +lon_0=0 +a=6371000")
+    for ((lon, lat) <- Seq((0.0, 0.0), (10.0, 50.0), (-120.0, -33.0))) {
+      val (x, y) = id.forward(lon, lat)
+      assert(math.abs(x - lon) < 1e-9 && math.abs(y - lat) < 1e-9, s"identity ($lon,$lat)->($x,$y)")
+    }
+    // north_pole_grid_longitude spins the rotated grid about its own pole
+    val spun = Crs.fromProj4("+proj=ob_tran +o_proj=longlat +o_lat_p=39.25 +o_lon_p=25 +lon_0=18 +a=6371000")
+    val (sx, sy) = spun.forward(18.0, 50.75)
+    assert(math.abs(sx - 25.0) < 1e-9 && math.abs(sy) < 1e-9)
+    sweep(spun, -179, 179, -89, 89)
+    // the transform is a pure rotation: great-circle distances are invariant
+    def gc(lon1: Double, lat1: Double, lon2: Double, lat2: Double): Double = {
+      val (l1, p1, l2, p2) = (lon1 * math.Pi / 180, lat1 * math.Pi / 180,
+        lon2 * math.Pi / 180, lat2 * math.Pi / 180)
+      val h = math.pow(math.sin((p2 - p1) / 2), 2) +
+        math.cos(p1) * math.cos(p2) * math.pow(math.sin((l2 - l1) / 2), 2)
+      2 * math.asin(math.min(1.0, math.sqrt(h)))
+    }
+    for ((a, b) <- Seq(((10.0, 45.0), (25.0, 60.0)), ((-70.0, -10.0), (140.0, 35.0)))) {
+      val ra = c.forward(a._1, a._2); val rb = c.forward(b._1, b._2)
+      assert(math.abs(gc(a._1, a._2, b._1, b._2) - gc(ra._1, ra._2, rb._1, rb._2)) < 1e-12,
+        s"rotation must preserve angular distance for $a-$b")
+    }
+  }
 }

@@ -34,7 +34,9 @@ class WktSpec extends AnyFunSuite {
     "+proj=ortho +lat_0=40 +lon_0=-100 +a=6371000",
     "+proj=nsper +lat_0=30 +lon_0=10 +h=35785831 +a=6371000",
     "+proj=merc +k_0=0.9996 +lon_0=110 +a=6378137 +rf=298.257223563",
-    "+proj=stere +lat_0=90 +k_0=0.994 +lon_0=0 +x_0=2000000 +y_0=2000000 +a=6378137 +rf=298.257223563")
+    "+proj=stere +lat_0=90 +k_0=0.994 +lon_0=0 +x_0=2000000 +y_0=2000000 +a=6378137 +rf=298.257223563",
+    "+proj=cea +lat_ts=30 +lon_0=10 +a=6378137 +rf=298.257223563",
+    "+proj=ob_tran +o_proj=longlat +o_lat_p=39.25 +o_lon_p=5 +lon_0=18 +a=6371000")
 
   test("every projection round-trips WKT with identical forward projection") {
     for (p4 <- crss) {

@@ -127,11 +127,14 @@ class HeavyPlanSpec extends SparkSpec {
     assert(count(p, "Exchange") - count(p, "BroadcastExchange") === 2, p.take(1500))
   }
 
-  test("q199 UTM bucket: one scan, zero joins, hash aggregation") {
-    val p = plan(Queries.q199_bucket_utm)
-    assert(count(p, "Scan parquet") === 1)
-    assert(count(p, "Join") === 0, s"bucket resampling never joins:\n${p.take(1200)}")
-    assert(count(p, "HashAggregate") >= 2 && count(p, "SortAggregate") === 0)
+  test("q199/q208/q209 projection buckets: one scan, zero joins, hash aggregation") {
+    for ((name, q) <- Seq("q199" -> Queries.q199_bucket_utm,
+      "q208" -> Queries.q208_bucket_rotated, "q209" -> Queries.q209_bucket_cea)) {
+      val p = plan(q)
+      assert(count(p, "Scan parquet") === 1, s"$name: one swath scan")
+      assert(count(p, "Join") === 0, s"$name: bucket resampling never joins:\n${p.take(1200)}")
+      assert(count(p, "HashAggregate") >= 2 && count(p, "SortAggregate") === 0, name)
+    }
   }
 
   test("q113/q127 eval family: pair joins are key-based, never nested-loop") {

@@ -180,6 +180,32 @@ class CfNetcdfSpec extends AnyFunSuite {
     assert(math.abs(x97 / x1 - 0.97) < 1e-9)
   }
 
+  test("lambert_cylindrical_equal_area constructs a cea CRS (r10)") {
+    import graft.core.AreaConfig
+    // standard_parallel form
+    val num = Map(
+      "longitude_of_central_meridian" -> 15.0,
+      "standard_parallel" -> 30.0,
+      "semi_major_axis" -> 6378137.0,
+      "inverse_flattening" -> 298.257223563).get _
+    val p = AreaConfig.cfProjParams("lambert_cylindrical_equal_area", num, _ => None)
+    assert(p("proj") === "cea" && p("lat_ts").toDouble === 30.0)
+    val crs = graft.core.Crs.fromParams(p)
+    val (x, y) = crs.forward(16.0, 45.0)
+    val (lon2, lat2) = crs.inverse(x, y)
+    assert(math.abs(lon2 - 16.0) < 1e-9 && math.abs(lat2 - 45.0) < 1e-9)
+    // scale-factor form lands as k_0, not a dropped attribute
+    val numK = Map(
+      "longitude_of_central_meridian" -> 0.0,
+      "scale_factor_at_projection_origin" -> 0.9,
+      "semi_major_axis" -> 6371000.0).get _
+    val pK = AreaConfig.cfProjParams("lambert_cylindrical_equal_area", numK, _ => None)
+    assert(pK("k_0").toDouble === 0.9 && !pK.contains("lat_ts"))
+    val (xk, _) = graft.core.Crs.fromParams(pK).forward(10.0, 0.0)
+    val (x1, _) = graft.core.Crs.fromParams(pK.updated("k_0", "1.0")).forward(10.0, 0.0)
+    assert(math.abs(xk / x1 - 0.9) < 1e-12)
+  }
+
   test("parameter validation mirrors upstream error contracts") {
     val nc = NetCdf3.read(fixture("nh10km.nc"))
     // x without y
@@ -227,6 +253,26 @@ class CfNetcdfSpec extends AnyFunSuite {
     assert(math.abs(x - 500000.0) < 1e-6)
     val (lonC, latC) = a.crs.inverse((a.xLL + a.xUR) / 2, (a.yLL + a.yUR) / 2)
     assert(lonC > 12 && lonC < 18 && latC > 55 && latC < 58)
+  }
+
+  test("rotated_pole: CF rotated_latitude_longitude loads end-to-end (r10)") {
+    // r9's most-hit remaining gap: the mapping VALIDATED in discovery but
+    // threw at CRS construction. Now it constructs the ob_tran kernel.
+    val (a, info) = CfArea.loadCfArea(NetCdf3.read(fixture("rotated_pole.nc")))
+    assert(info.typeOfGridMapping === "rotated_latitude_longitude")
+    assert((a.width, a.height) === (40, 30))
+    assert(a.crs.params("proj") === "ob_tran")
+    assert(a.crs.params("o_lat_p").toDouble === 39.25)
+    assert(a.crs.params("lon_0").toDouble === 18.0) // 180 + (-162)
+    // extent: rotated degrees, centres -9.75..9.75 x -7.25..7.25 + half px
+    assert(math.abs(a.xLL - -10.0) < 1e-9 && math.abs(a.xUR - 10.0) < 1e-9)
+    assert(math.abs(a.yLL - -7.5) < 1e-9 && math.abs(a.yUR - 7.5) < 1e-9)
+    // the grid centre is true (18E, 50.75N) — the COSMO/CORDEX anchor
+    val (cx, cy) = a.crs.forward(18.0, 50.75)
+    assert(math.abs(cx) < 1e-9 && math.abs(cy) < 1e-9)
+    // and the whole fixture window sits over central Europe
+    val (lonC, latC) = a.crs.inverse(0.0, 0.0)
+    assert(math.abs(lonC - 18.0) < 1e-9 && math.abs(latC - 50.75) < 1e-9)
   }
 
   test("zero-spacing axis fails loudly instead of poisoning the extent (r9)") {

@@ -342,6 +342,33 @@ def utm_tmerc(outdir):
              [('Conventions', *s('CF-1.7'))], variables)
 
 
+def rotated_pole(outdir):
+    """COSMO/CORDEX-style rotated_latitude_longitude grid: 40x30 @ 0.5 deg
+    rotated pixels, pole at (lon -162, lat 39.25), grid_latitude/
+    grid_longitude axes in rotated degrees (CF example 5.6 shape)."""
+    nx, ny = 40, 30
+    dims = [('rlat', ny), ('rlon', nx)]
+    variables = [
+        Var('tas', [0, 1], NC_FLOAT,
+            [('grid_mapping', *s('rotated_pole_crs'))], [0.0] * (ny * nx)),
+        Var('rlon', [1], NC_DOUBLE,
+            [('standard_name', *s('grid_longitude')), ('units', *s('degrees'))],
+            linspace(-9.75, 9.75, nx)),
+        Var('rlat', [0], NC_DOUBLE,
+            [('standard_name', *s('grid_latitude')), ('units', *s('degrees'))],
+            linspace(7.25, -7.25, ny)),
+        Var('rotated_pole_crs', [], NC_INT,
+            [('grid_mapping_name', *s('rotated_latitude_longitude')),
+             ('grid_north_pole_latitude', *d(39.25)),
+             ('grid_north_pole_longitude', *d(-162.0)),
+             ('north_pole_grid_longitude', *d(0.0)),
+             ('earth_radius', *d(6371000.0))],
+            [0]),
+    ]
+    write_nc(os.path.join(outdir, 'rotated_pole.nc'), dims,
+             [('Conventions', *s('CF-1.7'))], variables)
+
+
 def badaxis(outdir):
     """A constant x axis: must fail loudly (zero spacing), not emit NaN."""
     nx, ny = 8, 6
@@ -368,4 +395,5 @@ if __name__ == '__main__':
     packed(outdir)
     modis_sinu(outdir)
     utm_tmerc(outdir)
+    rotated_pole(outdir)
     badaxis(outdir)
