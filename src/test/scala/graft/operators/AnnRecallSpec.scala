@@ -47,9 +47,23 @@ class AnnRecallSpec extends SparkSpec {
     val rIvf4 = recall(topKSet(
       Similarity.ivfTopKWith(q, c, TrainedCentroids.sf001k8, k = 10, nProbe = 4)), exact)
     val rIvfHash = recall(topKSet(Similarity.ivfTopK(q, c, k = 10)), exact)
+    // the production composed index (r10: the verdict asked for the PQ
+    // family in this table): flat PQ-ADC, IVF-PQ at 2 probes, and the
+    // rerank-budget knob
+    val books = Similarity.pqCodebooks(c, m = 8, ksub = 16)
+    val rPq = recall(topKSet(Similarity.pqTopK(q, c, books, k = 10)), exact)
+    val rIvfPq2 = recall(topKSet(
+      Similarity.ivfPqTopK(q, c, TrainedCentroids.sf001k8, books, k = 10, nProbe = 2)), exact)
+    val rIvfPq4 = recall(topKSet(
+      Similarity.ivfPqTopK(q, c, TrainedCentroids.sf001k8, books, k = 10, nProbe = 4)), exact)
+    val rIvfPq2r6 = recall(topKSet(
+      Similarity.ivfPqTopK(q, c, TrainedCentroids.sf001k8, books,
+        k = 10, nProbe = 2, rerankFactor = 6)), exact)
 
     info(f"recall@10  quantized=$rQuant%.3f  lsh16=$rLsh16%.3f  lsh32=$rLsh32%.3f  " +
       f"ivf_trained(p2)=$rIvf2%.3f  ivf_trained(p4)=$rIvf4%.3f  ivf_hash=$rIvfHash%.3f")
+    info(f"recall@10  pq_flat=$rPq%.3f  ivf_pq(p2)=$rIvfPq2%.3f  ivf_pq(p4)=$rIvfPq4%.3f  " +
+      f"ivf_pq(p2,rerank6)=$rIvfPq2r6%.3f")
 
     // int8 + 3x overfetch loses almost nothing: quantization error is far
     // below typical top-10 similarity gaps (observed 1.000)
@@ -69,6 +83,15 @@ class AnnRecallSpec extends SparkSpec {
     assert(rIvf2 >= 0.30, f"trained-IVF recall collapsed: $rIvf2%.3f")
     assert(rIvf4 >= rIvf2, f"nProbe 4 must not lose recall vs 2: $rIvf4%.3f < $rIvf2%.3f")
     assert(rIvfHash >= 0.30, f"hash-IVF recall collapsed: $rIvfHash%.3f")
+    // PQ: code quantization costs recall vs the exact scan but the flat
+    // scan must stay material; composing with inverted lists can only
+    // lose what list pruning loses, bounded by the IVF recall at the
+    // same probe budget; both knobs (nProbe, rerankFactor) are monotone
+    assert(rPq >= 0.30, f"flat-PQ recall collapsed: $rPq%.3f")
+    assert(rIvfPq2 >= 0.20, f"IVF-PQ recall collapsed: $rIvfPq2%.3f")
+    assert(rIvfPq4 >= rIvfPq2, f"nProbe 4 must not lose recall vs 2: $rIvfPq4%.3f < $rIvfPq2%.3f")
+    assert(rIvfPq2r6 >= rIvfPq2,
+      f"a larger rerank budget must not lose recall: $rIvfPq2r6%.3f < $rIvfPq2%.3f")
   }
 
   test("cosineNearDup: planted near-duplicates are recalled ~fully; weak-pair tail is knob-monotone") {
