@@ -901,6 +901,68 @@ object Similarity {
       .select(col(idQ), col(idC), col("rank"), col("sim_r").as("sim"), col("adc"))
   }
 
+  /** Materialize the IVF-PQ index ONCE as a parquet layout partitioned by
+    * `centroid_id` — the build-once/query-many serving form of
+    * [[ivfPqTopK]] (whose in-memory pipeline re-encodes the corpus per
+    * query batch). Each inverted list becomes its own partition
+    * directory, so a probe is FILE PRUNING, not just a join: at 100 TB a
+    * nProbe=2-of-1024 query batch physically reads ~0.2% of the code
+    * files (times the 32x PQ compression — compounding, exactly like a
+    * partition-pruned fact scan). The encode pass itself is the same
+    * zero-shuffle assignment+encode map stage; the only added cost is
+    * the partitioned write. */
+  def writeIvfPqIndex(
+      candidates: DataFrame,
+      centroidVecs: Seq[Array[Double]],
+      codebooks: Array[Array[Array[Double]]],
+      dir: String,
+      idC: String = "cid",
+      vecCol: String = "embedding"): Unit = {
+    val cAssigned = assignCells(
+      candidates.select(col(idC), col(vecCol).as("_cv")), centroidVecs, "_cv", 1)
+    pqEncode(cAssigned, codebooks, idC, "_cv", keep = Seq("centroid_id"))
+      .write.mode("overwrite").partitionBy("centroid_id").parquet(dir)
+  }
+
+  /** [[ivfPqTopK]] served from a [[writeIvfPqIndex]] layout: stage 1
+    * scans the PERSISTED code partitions instead of re-encoding the
+    * corpus, and the broadcast of the (small) probed query side lets
+    * Catalyst insert a dynamic-partition-pruning filter on the
+    * `centroid_id` partition column — the probed cells are the only
+    * partitions READ (IvfPqIndexSpec pins `dynamicpruning` in the scan).
+    * Bit-identical output to [[ivfPqTopK]] with the same model: same
+    * codes (persisted), same ADC, same heap top-k, same exact rerank
+    * against the full-precision `candidates` store. */
+  def ivfPqTopKIndexed(
+      queries: DataFrame,
+      indexDir: String,
+      candidates: DataFrame,
+      centroidVecs: Seq[Array[Double]],
+      codebooks: Array[Array[Array[Double]]],
+      k: Int,
+      nProbe: Int = 2,
+      rerankFactor: Int = 3,
+      idQ: String = "qid",
+      idC: String = "cid",
+      vecCol: String = "embedding"): DataFrame = {
+    val m = codebooks.length
+    val codes = queries.sparkSession.read.parquet(indexDir)
+    val qAssigned = assignCells(
+      queries.select(col(idQ), col(vecCol).as("_qv")), centroidVecs, "_qv", nProbe)
+    val qLut = qAssigned.select(col(idQ) +: col("centroid_id") +: pqLutCols(codebooks, "_qv"): _*)
+    val survivors = topByAdc(
+      broadcast(qLut).join(codes, "centroid_id").withColumn("adc", pqAdcScore(m)),
+      k * rerankFactor, idQ, idC)
+    val w2 = Window.partitionBy(idQ).orderBy(col("sim_r").desc, col(idC).asc)
+    survivors
+      .join(queries.select(col(idQ), col(vecCol).as("_qv")), idQ)
+      .join(candidates.select(col(idC), col(vecCol).as("_cv")), idC)
+      .withColumn("sim_r", round(cosineSimilarity(col("_qv"), col("_cv")), 6))
+      .withColumn("rank", row_number().over(w2))
+      .filter(col("rank") <= k)
+      .select(col(idQ), col(idC), col("rank"), col("sim_r").as("sim"), col("adc"))
+  }
+
   /** IVF-PQ (Jégou et al. 2011 §IV — the production 100 TB ANN index):
     * candidates are assigned once to their nearest trained centroid by
     * the zero-shuffle literal argmax ([[assignCells]] — the inverted

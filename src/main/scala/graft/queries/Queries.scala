@@ -6267,6 +6267,28 @@ object Queries {
         md5(COALESCE(cl.ct, '')) AS clean_md5
       FROM d LEFT JOIN cl USING (doc_id) ORDER BY d.doc_id"""))
 
+  /** IVF-PQ served from the PERSISTED index (`Similarity.writeIvfPqIndex`
+    * + `ivfPqTopKIndexed`): codes live in a parquet layout partitioned by
+    * `centroid_id`, built once per sf dir (the build-once/query-many
+    * serving shape — at 100 TB a probe READS only the probed cells'
+    * files via dynamic partition pruning, PqSpec-pinned). Same model and
+    * algebra as q205, so the oracle is q205's SQL verbatim — the
+    * materialization must be semantically invisible. */
+  val q210_ivfpq_indexed: Q = Q(
+    (s, d) => {
+      val emb = table(s, d, "embeddings")
+      val c = emb.select(col("vec_id").as("cid"), col("embedding"))
+      val q = emb.filter(col("vec_id") % 50 === 0)
+        .select(col("vec_id").as("qid"), col("embedding"))
+      val books = Similarity.pqCodebooks(c, m = 8, ksub = 16)
+      val idx = s"target/tmp/ivfpq_index_${new java.io.File(d).getName}"
+      if (!new java.io.File(s"$idx/_SUCCESS").exists())
+        Similarity.writeIvfPqIndex(c, TrainedCentroids.sf001k8, books, idx)
+      Similarity.ivfPqTopKIndexed(q, idx, c, TrainedCentroids.sf001k8, books,
+        k = 10, nProbe = 2, rerankFactor = 3).orderBy("qid", "rank")
+    },
+    q205_ivfpq.sql)
+
   /** CORDEX-EUR-style rotated-pole grid (pole lon -162, lat 39.25),
     * 0.5-degree rotated pixels over Europe — the r10 kernel's data-plane
     * query (CF `rotated_latitude_longitude`; every COSMO/HIRLAM/RACMO
@@ -6516,5 +6538,6 @@ object Queries {
     "q206_pack_slices" -> q206_pack_slices,
     "q207_substr_dedup" -> q207_substr_dedup,
     "q208_bucket_rotated" -> q208_bucket_rotated,
-    "q209_bucket_cea" -> q209_bucket_cea)
+    "q209_bucket_cea" -> q209_bucket_cea,
+    "q210_ivfpq_indexed" -> q210_ivfpq_indexed)
 }

@@ -54,7 +54,7 @@ object GeoTiff {
   private val ctToProj = Map(
     1 -> "tmerc", 7 -> "merc", 8 -> "lcc", 10 -> "laea", 11 -> "aea",
     12 -> "aeqd", 14 -> "stere", 15 -> "stere", 17 -> "eqc",
-    21 -> "ortho", 24 -> "sinu")
+    21 -> "ortho", 24 -> "sinu", 28 -> "cea")
 
   /** Well-known EPSG codes (public definitions): a small baked table plus
     * the formulaic UTM (326xx/327xx, lon_0 = 6·zone − 183) and UPS
@@ -67,6 +67,9 @@ object GeoTiff {
       "lon_0" -> "-45", "a" -> "6378137", "rf" -> "298.257223563")
     case 3031 => Map("proj" -> "stere", "lat_0" -> "-90", "lat_ts" -> "-71",
       "lon_0" -> "0", "a" -> "6378137", "rf" -> "298.257223563")
+    case 6933 => // NSIDC EASE-Grid 2.0 Global (cea, WGS84, lat_ts 30)
+      Map("proj" -> "cea", "lat_ts" -> "30", "lon_0" -> "0",
+        "a" -> "6378137", "rf" -> "298.257223563")
     case utm if utm >= 32601 && utm <= 32660 => // WGS84 / UTM north
       Map("proj" -> "utm", "zone" -> (utm - 32600).toString,
         "a" -> "6378137", "rf" -> "298.257223563")

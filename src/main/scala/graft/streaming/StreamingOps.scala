@@ -479,4 +479,37 @@ object StreamingOps {
       groupCol: String,
       b: Int = 8): DataFrame =
     graft.operators.Sketch.hllRegisters(stream, col(keyCol), Seq(groupCol), b)
+
+  /** Streaming ANN serving against the PERSISTED IVF-PQ index
+    * (`Similarity.writeIvfPqIndex` layout): each micro-batch of query
+    * vectors runs the full indexed retrieval —
+    * `Similarity.ivfPqTopKIndexed` — as a batch against the static,
+    * partition-pruned code files, and `sink` receives the per-batch
+    * top-k table. foreachBatch is the HONEST serving shape here: per-
+    * query top-k is an aggregation + rank, which streaming-native
+    * operators only allow under watermarked state the retrieval doesn't
+    * need — a query batch is complete the moment it arrives, so batch
+    * semantics per micro-batch is exactly right (and is how Spark's own
+    * docs recommend joining streams against slowly-changing static
+    * stores). The per-row stages (cell assignment, LUT build) remain
+    * streaming-safe map work; state stays EMPTY — the index is on disk,
+    * pruned per probe, and the micro-batch is the only in-flight data.
+    * AnnServeStreamSpec pins stream output == batch output. */
+  def annServe(
+      queryStream: DataFrame,
+      indexDir: String,
+      candidates: DataFrame,
+      centroidVecs: Seq[Array[Double]],
+      codebooks: Array[Array[Array[Double]]],
+      k: Int,
+      nProbe: Int = 2,
+      rerankFactor: Int = 3)(
+      sink: DataFrame => Unit): org.apache.spark.sql.streaming.StreamingQuery =
+    queryStream.writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        sink(graft.operators.Similarity.ivfPqTopKIndexed(
+          batch, indexDir, candidates, centroidVecs, codebooks,
+          k, nProbe, rerankFactor))
+      }
+      .start()
 }

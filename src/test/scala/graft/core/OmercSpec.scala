@@ -47,15 +47,19 @@ class OmercSpec extends AnyFunSuite {
         "semi_major_axis" -> 6378169.0, "semi_minor_axis" -> 6356583.8),
       "geostationary", 100, 100, -5e6, 5e6, 5e6, -5e6)
     assert(g.crs.params("proj") == "geos")
-    // transverse_mercator builds since r9; rotated pole is the one CF
-    // mapping that stays out (datum rotation, not a planar projection)
+    // transverse_mercator builds since r9; rotated pole builds since r10
+    // (the ob_tran kernel) — a genuinely unknown name still throws
     val tm = AreaConfig.fromCfGridMapping("utm",
       Map("latitude_of_projection_origin" -> 0.0, "longitude_of_central_meridian" -> 15.0,
         "scale_factor_at_central_meridian" -> 0.9996, "false_easting" -> 500000.0),
       "transverse_mercator", 2, 2, 400000, 600000, 6300000, 6100000)
     assert(tm.crs.params("proj") == "tmerc" && tm.crs.params("x_0") == "500000.0")
+    val rot = AreaConfig.fromCfGridMapping("rot",
+      Map("grid_north_pole_latitude" -> 39.25, "grid_north_pole_longitude" -> -162.0),
+      "rotated_latitude_longitude", 2, 2, -10, 10, 7.5, -7.5)
+    assert(rot.crs.params("proj") == "ob_tran")
     assertThrows[IllegalArgumentException](
-      AreaConfig.fromCfGridMapping("x", Map.empty, "rotated_latitude_longitude", 2, 2, 0, 1, 1, 0))
+      AreaConfig.fromCfGridMapping("x", Map.empty, "not_a_real_mapping", 2, 2, 0, 1, 1, 0))
   }
 
   test("geotransform constructor (utils/rasterio.py:77 semantics)") {

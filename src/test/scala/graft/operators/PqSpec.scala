@@ -129,6 +129,30 @@ class PqSpec extends AnyFunSuite with SparkSpec {
     assert(kLut === tLut, "kernel LUT must replicate Spark round-6 dot products bit-for-bit")
   }
 
+  test("persisted IVF-PQ index: bit-equal to the in-memory path; probes prune partitions (r10)") {
+    val c = emb.select(col("vec_id").as("cid"), col("embedding"))
+    val q = emb.filter(col("vec_id") % 50 === 0)
+      .select(col("vec_id").as("qid"), col("embedding"))
+    val books = Similarity.pqCodebooks(c, m = 8, ksub = 16)
+    val ctr = graft.queries.TrainedCentroids.sf001k8
+    val dir = java.nio.file.Files.createTempDirectory("ivfpq_idx").toString
+    Similarity.writeIvfPqIndex(c, ctr, books, dir)
+    // one directory per inverted list
+    val parts = new java.io.File(dir).listFiles().filter(_.getName.startsWith("centroid_id="))
+    assert(parts.length === ctr.length, s"expected ${ctr.length} list partitions, got ${parts.length}")
+    val served = Similarity.ivfPqTopKIndexed(q, dir, c, ctr, books,
+      k = 10, nProbe = 2, rerankFactor = 3)
+    val inMem = Similarity.ivfPqTopK(q, c, ctr, books, k = 10, nProbe = 2, rerankFactor = 3)
+    assert(served.orderBy("qid", "rank").collect().toSeq ===
+      inMem.orderBy("qid", "rank").collect().toSeq,
+      "the persisted index must serve bit-identical results")
+    // the probe is FILE PRUNING: the broadcast query side induces a
+    // dynamic-partition-pruning filter on the centroid_id partition scan
+    val plan = served.queryExecution.executedPlan.toString
+    assert(plan.contains("dynamicpruning") || plan.contains("DynamicPruning"),
+      s"probed-cell scan must carry a dynamic partition-pruning filter:\n${plan.take(1500)}")
+  }
+
   test("the code scan projects codes only (no full-vector bytes in stage 1)") {
     val c = emb.select(col("vec_id").as("cid"), col("embedding"))
     val books = Similarity.pqCodebooks(c, m = 8, ksub = 16)

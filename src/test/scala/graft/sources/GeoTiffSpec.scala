@@ -92,4 +92,22 @@ class GeoTiffSpec extends AnyFunSuite {
     assert(math.abs(lat0 - 50.0) < 0.01, s"top-row lat $lat0")
     assert(math.abs(lon0 - 0.0) < 0.02, s"left-col lon $lon0")
   }
+
+  test("EASE-Grid 2.0 (r10): baked EPSG:6933 == user-defined CT_CylindricalEqualArea (28)") {
+    val epsg = GeoTiff.areaFromGeoTiff(fixture("ease2.tif"), "ease2")
+    val user = GeoTiff.areaFromGeoTiff(fixture("cea_user.tif"), "cea_user")
+    assert((epsg.width, epsg.height) === (484, 202))
+    assert(epsg.crs.params("proj") === "cea" && user.crs.params("proj") === "cea")
+    assert(epsg.crs.params("lat_ts").toDouble === 30.0)
+    for ((lon, lat) <- Seq((0.0, 0.0), (100.0, 45.0), (-60.0, -30.0))) {
+      val pe = epsg.crs.forward(lon, lat); val pu = user.crs.forward(lon, lat)
+      assert(math.abs(pe._1 - pu._1) < 1e-9 && math.abs(pe._2 - pu._2) < 1e-9,
+        s"EPSG vs user-defined drifted at ($lon,$lat)")
+    }
+    // the EASE-2 global grid's x extent spans the full longitude range:
+    // the dateline maps to a*k0*pi ~ 17367530.45 m in magnitude (the
+    // published EASE-2 global extent; +180 wraps to -180 by contract)
+    val (xE, _) = epsg.crs.forward(180.0, 0.0)
+    assert(math.abs(math.abs(xE) - 17367530.44) < 1.0, s"dateline edge $xE")
+  }
 }

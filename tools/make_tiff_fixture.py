@@ -175,6 +175,33 @@ def sinu_modis(outdir):
                geokeys, doubles)
 
 
+def ease2_cea(outdir):
+    """EASE-Grid 2.0 Global flavors: ProjectedCSType = EPSG:6933 (the
+    baked NSIDC cea), and the user-defined CT_CylindricalEqualArea (28)
+    spelling of the same CRS — both 2x downsampled 484x202 windows."""
+    geokeys = [
+        (1024, 0, 1, 1),
+        (3072, 0, 1, 6933),
+    ]
+    write_tiff(os.path.join(outdir, 'ease2.tif'), 484, 202,
+               (72036.0, 72036.0), [0, 0, 0, -17367530.45, 7314540.83, 0],
+               geokeys, [])
+    doubles = [30.0, 0.0, 6378137.0, 298.257223563]
+    geokeys_user = [
+        (1024, 0, 1, 1),
+        (3072, 0, 1, 32767),
+        (3075, 0, 1, 28),       # CT_CylindricalEqualArea
+        (3078, 34736, 1, 0),    # ProjStdParallel1 (lat_ts)
+        (3080, 34736, 1, 1),    # ProjNatOriginLong
+        (2048, 0, 1, 32767),
+        (2057, 34736, 1, 2),    # GeogSemiMajor
+        (2059, 34736, 1, 3),    # GeogInvFlattening
+    ]
+    write_tiff(os.path.join(outdir, 'cea_user.tif'), 484, 202,
+               (72036.0, 72036.0), [0, 0, 0, -17367530.45, 7314540.83, 0],
+               geokeys_user, doubles)
+
+
 if __name__ == '__main__':
     outdir = sys.argv[1] if len(sys.argv) > 1 else 'src/test/resources/geotiff'
     os.makedirs(outdir, exist_ok=True)
@@ -184,3 +211,4 @@ if __name__ == '__main__':
     utm33(outdir)
     utm_user(outdir)
     sinu_modis(outdir)
+    ease2_cea(outdir)
