@@ -71,6 +71,19 @@ class GeoRadiusPruningSpec extends SparkSpec {
     assert(rows.nonEmpty)
     assert(rows.forall(r => r.getDouble(0) > 5 && r.getDouble(0) < 25))
     assert(rows.forall(r => r.getDouble(1) > 50 && r.getDouble(1) < 62))
+
+    // r10: the rotated-pole target's bounds also push to the scan and
+    // bound the CORDEX-like window over Europe (true lon/lat, even
+    // though the grid's own axes are rotated degrees)
+    val rot = graft.operators.DataReduce.reduceToArea(
+      pts, graft.queries.Queries.rotatedArea(), 0.0)
+    val physRot = rot.queryExecution.executedPlan.toString
+    assert(physRot.contains("PushedFilters") && physRot.contains("GreaterThanOrEqual(lat"),
+      s"no pushed lat bound for the rotated-pole target:\n${physRot.take(2000)}")
+    val rrows = rot.select("lon", "lat").collect()
+    assert(rrows.nonEmpty)
+    assert(rrows.forall(r => r.getDouble(1) > 30 && r.getDouble(1) < 72),
+      "rotated-pole reduce band must bound the European window")
   }
 
   test("rule is idempotent and handles pole/date-line circles") {
