@@ -1019,6 +1019,54 @@ object TextAnalysis {
       .select(idCol, "n_chars_total", "n_unique_chars", "entropy")
   }
 
+  /** HTML/XML → text (the WET-style extraction step every web-scale
+    * corpus ingest starts with; reference scope: none — pyresample has
+    * no text surface): drop script/style/comment blocks, turn the
+    * remaining tags into spaces (so adjacent text nodes don't fuse),
+    * decode the six ubiquitous entities (&amp; LAST so `&amp;lt;` decodes
+    * to the literal `&lt;`, not twice), collapse whitespace. A pure
+    * per-row `regexp_replace`/`replace` chain — codegen, zero shuffles,
+    * streaming-safe; composes in front of `cleanIngest`'s quality gates.
+    * Regex subtleties live Spark-side only: q211's oracle rebuilds the
+    * expected clean text from the known generator, so the chain is
+    * checked against ground truth, not against another regex engine. */
+  def stripHtml(html: Column): Column = {
+    val noBlocks = regexp_replace(html,
+      "(?is)<(script|style)[^>]*>.*?</\\1\\s*>", " ")
+    val noComments = regexp_replace(noBlocks, "(?s)<!--.*?-->", " ")
+    val noTags = regexp_replace(noComments, "<[^>]*>", " ")
+    val decoded = Seq(
+      "&nbsp;" -> " ", "&lt;" -> "<", "&gt;" -> ">",
+      "&quot;" -> "\"", "&#39;" -> "'", "&amp;" -> "&")
+      .foldLeft(noTags) { case (c, (ent, v)) => replace(c, lit(ent), lit(v)) }
+    trim(regexp_replace(decoded, "\\s+", " "))
+  }
+
+  /** Canonical URL for dedup/grouping (the shared convention of web
+    * pipeline dedup stages): drop the fragment; lowercase scheme+host;
+    * drop default ports (:80 http, :443 https) and a `www.` prefix;
+    * strip tracking parameters (utm_*, fbclid, gclid) with separator
+    * repair; drop a trailing `?`/`&` and ONE trailing slash. Pure
+    * codegen string ops — zero shuffles, streaming-safe. */
+  def canonicalizeUrl(url: Column): Column = {
+    val noFrag = regexp_replace(url, "#.*$", "")
+    // authority prefix = scheme://host[:port] (everything before the
+    // first /, ? past the //) — the only case-insensitive part of a URL
+    val pfx = regexp_extract(noFrag, "^([^/?#]*//[^/?#]*)", 1)
+    val rest = substring(noFrag, length(pfx) + 1, lit(Int.MaxValue))
+    val lowPfx = lower(pfx)
+    val noPort = regexp_replace(
+      regexp_replace(lowPfx, "^(https://[^/:]*):443$", "$1"),
+      "^(http://[^/:]*):80$", "$1")
+    val noWww = regexp_replace(noPort, "^(https?://)www\\.", "$1")
+    val noTrack = regexp_replace(concat(noWww, rest),
+      "([?&])(utm_[^=&]*|fbclid|gclid)=[^&]*", "$1")
+    val repaired = regexp_replace(
+      regexp_replace(noTrack, "\\?&+", "?"), "&&+", "&")
+    val noDangle = regexp_replace(repaired, "[?&]+$", "")
+    regexp_replace(noDangle, "([^/])/$", "$1")
+  }
+
   def noveltyScore(
       docs: DataFrame,
       n: Int = 3,

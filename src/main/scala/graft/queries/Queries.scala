@@ -6328,6 +6328,49 @@ object Queries {
     },
     Some(bucketAvgSql(ceaArea(), OracleSql.CeaSql(ceaArea()).fwdCtes(_, _, _))))
 
+  /** Web-corpus ingest (`TextAnalysis.stripHtml` + `canonicalizeUrl`):
+    * spec-exact HTML wrappers and messy URLs are synthesized from doc
+    * keys (the q203 discipline), then the engine extracts text (script/
+    * comment blocks dropped, tags → spaces, entities decoded, whitespace
+    * collapsed), canonicalizes the URL (case/port/www/tracking-param/
+    * fragment/trailing-slash normalization), and keeps the minimum
+    * doc_id per canonical URL. The oracle never runs a regex: it
+    * REBUILDS the expected clean text and canonical URL directly from
+    * the generator, so the Spark-side regexp chain is checked against
+    * ground truth. All per-row codegen + one tiny group-min — the 100 TB
+    * ingest-front-door shape. */
+  val q211_web_ingest: Q = Q(
+    (s, d) => {
+      val docs = table(s, d, "documents")
+      val html = concat(
+        lit("<html><head><title>T</title><script type=\"text/js\">var x = 1 < 2;</script>" +
+          "</head><body><h1>A&amp;B &lt;ok&gt;</h1><!-- hidden --><p>"),
+        col("text"),
+        lit("</p>&nbsp;<div class=\"f\">end&#39;s &quot;q&quot;</div></body></html>"))
+      val url = concat(
+        lit("HTTPS://WWW.Example"), (col("doc_id") % 7).cast("string"),
+        lit(".COM:443/Path/"), (col("doc_id") % 50).cast("string"),
+        lit("/?utm_source=feed&id="), (col("doc_id") % 5).cast("string"),
+        lit("&fbclid=xyz#frag"))
+      val cleaned = docs
+        .withColumn("clean_text", TextAnalysis.stripHtml(html))
+        .withColumn("canonical_url", TextAnalysis.canonicalizeUrl(url))
+      val w = Window.partitionBy("canonical_url")
+      cleaned
+        .withColumn("keep", col("doc_id") === min("doc_id").over(w))
+        .select(col("doc_id"), col("canonical_url"), col("keep"),
+          length(col("clean_text")).cast("long").as("n_clean_chars"),
+          md5(col("clean_text")).as("clean_md5"))
+        .orderBy("doc_id")
+    },
+    Some("""SELECT doc_id,
+        'https://example' || CAST(doc_id % 7 AS VARCHAR) || '.com/Path/' ||
+          CAST(doc_id % 50 AS VARCHAR) || '/?id=' || CAST(doc_id % 5 AS VARCHAR) AS canonical_url,
+        doc_id = MIN(doc_id) OVER (PARTITION BY doc_id % 7, doc_id % 50, doc_id % 5) AS keep,
+        CAST(length('T A&B <ok> ' || text || ' end''s "q"') AS BIGINT) AS n_clean_chars,
+        md5('T A&B <ok> ' || text || ' end''s "q"') AS clean_md5
+      FROM documents ORDER BY doc_id"""))
+
   // -------------------------------------------------------------- registry
 
   val all: Seq[(String, Q)] = Seq(
@@ -6539,5 +6582,6 @@ object Queries {
     "q207_substr_dedup" -> q207_substr_dedup,
     "q208_bucket_rotated" -> q208_bucket_rotated,
     "q209_bucket_cea" -> q209_bucket_cea,
-    "q210_ivfpq_indexed" -> q210_ivfpq_indexed)
+    "q210_ivfpq_indexed" -> q210_ivfpq_indexed,
+    "q211_web_ingest" -> q211_web_ingest)
 }

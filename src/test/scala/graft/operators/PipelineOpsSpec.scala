@@ -614,4 +614,43 @@ class PipelineOpsSpec extends SparkSpec {
           x.getAs[Double]("oov_rate"))).toMap
     assert(r(1L) == ((4L, 3L, 0.25)) && r(2L) == ((2L, 0L, 1.0)) && r(3L) == ((1L, 1L, 0.0)))
   }
+
+  test("stripHtml (r10): blocks dropped, tags spaced, entities decoded once, ws collapsed") {
+    val s = spark
+    import s.implicits._
+    val cases = Seq(
+      // script content (with a bare '<' inside) and comments vanish
+      ("<p>a</p><script>if (1 < 2) alert('x')</script><b>b</b>" , "a b"),
+      ("<div>x<!-- secret\nnote -->y</div>", "x y"),
+      // style blocks too; attribute quotes don't confuse the tag regex
+      ("<style type=\"css\">p { color: red }</style><p class=\"z\">ok</p>", "ok"),
+      // entities decode exactly once: &amp;lt; is the LITERAL "&lt;"
+      ("A&amp;B &lt;tag&gt; &amp;lt;not-decoded&amp;gt; &quot;q&quot; it&#39;s", """A&B <tag> &lt;not-decoded&gt; "q" it's"""),
+      // nbsp and newlines collapse
+      ("one&nbsp;&nbsp;two\n\n  three", "one two three"),
+      // nested/unclosed tags degrade to spacing, never to lost text
+      ("<ul><li>a<li>b</ul>", "a b"))
+    val got = cases.map(_._1).toDF("h")
+      .select(TextAnalysis.stripHtml(col("h"))).collect().map(_.getString(0)).toSeq
+    assert(got === cases.map(_._2), s"stripHtml drifted: $got")
+  }
+
+  test("canonicalizeUrl (r10): case/port/www/tracking/fragment/slash rules") {
+    val s = spark
+    import s.implicits._
+    val cases = Seq(
+      ("HTTPS://WWW.Example.COM:443/Path/A/?utm_source=x&id=2&fbclid=z#f",
+        "https://example.com/Path/A/?id=2"),
+      // http default port; path CASE preserved; lone tracking param leaves no '?'
+      ("http://Site.org:80/Dir/?gclid=abc", "http://site.org/Dir"),
+      // non-default port survives; params order preserved; trailing slash dropped
+      ("https://a.example.com:8443/x/", "https://a.example.com:8443/x"),
+      // root URL: host keeps no trailing slash; no query
+      ("HTTP://EXAMPLE.com/", "http://example.com"),
+      // utm in the middle repairs separators
+      ("https://e.com/p?a=1&utm_medium=m&b=2", "https://e.com/p?a=1&b=2"))
+    val got = cases.map(_._1).toDF("u")
+      .select(TextAnalysis.canonicalizeUrl(col("u"))).collect().map(_.getString(0)).toSeq
+    assert(got === cases.map(_._2), s"canonicalizeUrl drifted: $got")
+  }
 }
