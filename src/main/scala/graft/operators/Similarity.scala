@@ -27,7 +27,13 @@ object Similarity {
 
   /** Exact brute-force cosine top-k per query. `roundDigits` quantizes the
     * similarity before ranking so the rank order is reproducible across
-    * engines/float orders; ties break on candidate id. */
+    * engines/float orders; ties break on candidate id. r10: the rank runs
+    * on the bounded-memory [[graft.functions.TopKNearest]] heap (asc
+    * (−sim, id) == the rank window's (sim desc, id asc); posexplode
+    * position + 1 == row_number) — the partial phase ships ≤ k rows per
+    * query into the shuffle and the |Q|×|C| pair table is never sorted.
+    * Candidate ids must be integral (the heap keys on a long — vector
+    * corpora id by number; same contract as the PQ stages). */
   def bruteForceTopK(
       queries: DataFrame,
       candidates: DataFrame,
@@ -38,11 +44,15 @@ object Similarity {
       roundDigits: Int = 6): DataFrame = {
     val pairs = cosinePairs(queries, candidates, idQ, idC, vecCol)
       .withColumn("sim_r", round(col("sim"), roundDigits))
-    val w = Window.partitionBy(idQ).orderBy(col("sim_r").desc, col(idC).asc)
     pairs
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select(col(idQ), col(idC), col("rank"), col("sim_r").as("sim"))
+      .groupBy(idQ)
+      .agg(TopKNearest.topkNearest(
+        struct((-col("sim_r")).as("dist2"), col(idC).cast("long").as("src_id"),
+          col("sim_r").cast("double").as("sim_r")),
+        k, payload = Seq("sim_r")).as("_top"))
+      .select(col(idQ), posexplode(col("_top")).as(Seq("_i", "_t")))
+      .select(col(idQ), col("_t.src_id").as(idC),
+        (col("_i") + 1).cast("int").as("rank"), col("_t.sim_r").as("sim"))
   }
 
   /** Deterministic pseudo-random unit-ish hyperplanes (xorshift-based,
