@@ -44,16 +44,30 @@ object Similarity {
       roundDigits: Int = 6): DataFrame = {
     val pairs = cosinePairs(queries, candidates, idQ, idC, vecCol)
       .withColumn("sim_r", round(col("sim"), roundDigits))
-    pairs
+    topBySim(pairs, k, idQ, idC, "sim_r")
+  }
+
+  /** Per-query (sim desc, id asc) ranked top-`n` as (idQ, idC, rank, sim)
+    * through the bounded-memory [[graft.functions.TopKNearest]] heap:
+    * heap order asc (−sim, id) == the rank window's ordering, and the
+    * posexplode position + 1 == row_number — bit-identical output, but
+    * the partial phase ships ≤ n rows per query into the shuffle and the
+    * scored pair table is never exchanged or sorted whole. Shared by the
+    * exact baseline and every rerank stage whose input grows with the
+    * corpus ([[ivfTopK]]/[[ivfTopKWith]] probed lists, [[lshTopK]]
+    * bucket collisions). Ids must be integral (the heap keys on a long —
+    * vector corpora id by number). */
+  private def topBySim(
+      scored: DataFrame, n: Int, idQ: String, idC: String, simCol: String): DataFrame =
+    scored
       .groupBy(idQ)
       .agg(TopKNearest.topkNearest(
-        struct((-col("sim_r")).as("dist2"), col(idC).cast("long").as("src_id"),
-          col("sim_r").cast("double").as("sim_r")),
-        k, payload = Seq("sim_r")).as("_top"))
+        struct((-col(simCol)).as("dist2"), col(idC).cast("long").as("src_id"),
+          col(simCol).cast("double").as("sim_r")),
+        n, payload = Seq("sim_r")).as("_top"))
       .select(col(idQ), posexplode(col("_top")).as(Seq("_i", "_t")))
       .select(col(idQ), col("_t.src_id").as(idC),
         (col("_i") + 1).cast("int").as("rank"), col("_t.sim_r").as("sim"))
-  }
 
   /** Deterministic pseudo-random unit-ish hyperplanes (xorshift-based,
     * seeded) — avoids any RNG library dependency in the plan. */
@@ -122,12 +136,12 @@ object Similarity {
     val cAssigned = assign(candidates.select(col(idC), col(vecCol).as("_cv")), idC, "_cv", 1)
     val qAssigned = assign(queries.select(col(idQ), col(vecCol).as("_qv")), idQ, "_qv", nProbe)
 
-    val w = Window.partitionBy(idQ).orderBy(col("sim_r").desc, col(idC).asc)
-    qAssigned.join(cAssigned, "centroid_id")
-      .withColumn("sim_r", round(cosineSimilarity(col("_qv"), col("_cv")), 6))
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select(col(idQ), col(idC), col("rank"), col("sim_r").as("sim"))
+    // probed-list rerank on the heap — the pair table grows with the
+    // corpus (|Q|·|C|·nProbe/k), so it must never be sorted whole
+    topBySim(
+      qAssigned.join(cAssigned, "centroid_id")
+        .withColumn("sim_r", round(cosineSimilarity(col("_qv"), col("_cv")), 6)),
+      k, idQ, idC, "sim_r")
   }
 
   /** Distributed Lloyd k-means over the embedding column — the trained
@@ -245,12 +259,10 @@ object Similarity {
       candidates.select(col(idC), col(vecCol).as("_cv")), centroidVecs, "_cv", 1)
     val qAssigned = assignCells(
       queries.select(col(idQ), col(vecCol).as("_qv")), centroidVecs, "_qv", nProbe)
-    val w = Window.partitionBy(idQ).orderBy(col("sim_r").desc, col(idC).asc)
-    qAssigned.join(cAssigned, "centroid_id")
-      .withColumn("sim_r", round(cosineSimilarity(col("_qv"), col("_cv")), 6))
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select(col(idQ), col(idC), col("rank"), col("sim_r").as("sim"))
+    topBySim(
+      qAssigned.join(cAssigned, "centroid_id")
+        .withColumn("sim_r", round(cosineSimilarity(col("_qv"), col("_cv")), 6)),
+      k, idQ, idC, "sim_r")
   }
 
   /** SemDeDup-style semantic deduplication (Abbas et al. 2023,
@@ -361,12 +373,20 @@ object Similarity {
       vecCol: String = "embedding"): DataFrame = {
     val qq = queries.select(col(idQ), quantizeInt8(col(vecCol)).as("_qq"))
     val cq = candidates.select(col(idC), quantizeInt8(col(vecCol)).as("_cq"))
-    val w1 = Window.partitionBy(idQ).orderBy(col("qdot").desc, col(idC).asc)
+    // stage-1 survivors on the heap (asc (−qdot, id) == (qdot desc, id
+    // asc)): the exhaustive integer-dot scan is never sorted whole; qdot
+    // rides as payload — integer dots are ≪ 2^53, so the double carry is
+    // exact and the final cast back to long is lossless
     val survivors = qq.crossJoin(cq)
       .withColumn("qdot", dotProduct(col("_qq"), col("_cq")))
-      .withColumn("_r1", row_number().over(w1))
-      .filter(col("_r1") <= k * rerankFactor)
-      .select(col(idQ), col(idC), col("qdot").cast("long").as("qdot"))
+      .groupBy(idQ)
+      .agg(TopKNearest.topkNearest(
+        struct((-col("qdot")).cast("double").as("dist2"),
+          col(idC).cast("long").as("src_id"),
+          col("qdot").cast("double").as("qdot")),
+        k * rerankFactor, payload = Seq("qdot")).as("_top"))
+      .select(col(idQ), explode(col("_top")).as("_t"))
+      .select(col(idQ), col("_t.src_id").as(idC), col("_t.qdot").cast("long").as("qdot"))
     val w2 = Window.partitionBy(idQ).orderBy(col("sim_r").desc, col(idC).asc)
     survivors
       .join(queries.select(col(idQ), col(vecCol).as("_qv")), idQ)
@@ -458,11 +478,8 @@ object Similarity {
       .join(queries.select(col(idQ), col(vecCol).as("_qv")), idQ)
       .join(candidates.select(col(idC), col(vecCol).as("_cv")), idC)
       .withColumn("sim_r", round(cosineSimilarity(col("_qv"), col("_cv")), 6))
-    val w = Window.partitionBy(idQ).orderBy(col("sim_r").desc, col(idC).asc)
-    cand
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select(col(idQ), col(idC), col("rank"), col("sim_r").as("sim"))
+    // bucket collisions grow with the corpus — rank on the heap
+    topBySim(cand, k, idQ, idC, "sim_r")
   }
 
   /** Hard-negative mining for contrastive training: per query, the top-k
@@ -572,7 +589,16 @@ object Similarity {
     * _sm) pair table: margin = sim·2k / (Σ top-k sims of q + Σ top-k
     * sims of c), best candidate per query kept above `threshold`. Shared
     * by the exact and IVF-composed miners so the two differ ONLY in
-    * which pairs exist. */
+    * which pairs exist.
+    *
+    * Deliberately the WINDOW formulation, not heap aggregates (tried in
+    * r10 and reverted): both side-sums AND the per-pair margin need the
+    * pair table, so heap-aggregate side-sums joined back force THREE
+    * evaluations of the expensive upstream (the cosine-scoring join) —
+    * where the window chain evaluates it ONCE and sorts only the slim
+    * (qid, cid, _sm) rows, with rank+sum sharing each side's exchange.
+    * Recompute of corpus-scale scoring costs more than sorts of slim
+    * integers; the q100 plan pin (one cross join) enforces this. */
   private def marginFromPairs(pairs: DataFrame, k: Int, threshold: Double): DataFrame = {
     val wq = Window.partitionBy("qid").orderBy(col("_sm").desc, col("cid").asc)
     val wc = Window.partitionBy("cid").orderBy(col("_sm").desc, col("qid").asc)
