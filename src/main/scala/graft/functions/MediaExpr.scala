@@ -87,3 +87,32 @@ object DecodeResizeExpr {
     Bridge.column(DecodeResizeExpr(Bridge.expression(payload),
       Bridge.expression(outW.cast("int")), Bridge.expression(outH.cast("int"))))
 }
+
+/** 63-bit average-hash perceptual fingerprint (real javax.imageio decode
+  * + 8×8 thumbnail + above-mean bits — `MediaCodec.aHash63`), executed in
+  * codegen. Null when the payload does not decode. */
+case class AHashExpr(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = true
+  override def prettyName: String = "ahash63"
+
+  override def nullSafeEval(b: Any): Any =
+    MediaCodec.aHash63(b.asInstanceOf[Array[Byte]])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, b => {
+      s"""
+         |java.lang.Long ${ev.value}_boxed = graft.operators.MediaCodec.aHash63($b);
+         |${ev.isNull} = ${ev.value}_boxed == null;
+         |if (!${ev.isNull}) { ${ev.value} = ${ev.value}_boxed.longValue(); }
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object AHashExpr {
+  def column(payload: Column): Column = Bridge.column(AHashExpr(Bridge.expression(payload)))
+}

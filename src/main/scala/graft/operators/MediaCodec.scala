@@ -99,6 +99,54 @@ object MediaCodec {
     case other => Meta(other, -1, -1)
   }
 
+  /** 63-bit average-hash (aHash) perceptual fingerprint: REAL decode via
+    * javax.imageio, bilinear 8×8 thumbnail when the image isn't already
+    * 8×8, integer luminance (r+g+b)/3, bit i = (64·gray(i) > Σgray) for
+    * pixel i = y·8+x — the exact-integer form of "above the mean", no
+    * division. Bit 63 (pixel (7,7)) is deliberately LEFT CLEAR so the
+    * hash is a non-negative BIGINT on every engine (DuckDB's 1<<63
+    * overflows); the pixel still participates in the mean. Near-duplicate
+    * images differ in a few bits (Hamming over xor) — the image twin of
+    * SimHash text dedup. Returns null for undecodable payloads. */
+  def aHash63(b: Array[Byte]): java.lang.Long = {
+    if (b == null) return null
+    val img = try ImageIO.read(new ByteArrayInputStream(b)) catch { case _: Exception => null }
+    if (img == null) return null
+    val small =
+      if (img.getWidth == 8 && img.getHeight == 8) img
+      else {
+        val dst = new BufferedImage(8, 8, BufferedImage.TYPE_INT_RGB)
+        val g = dst.createGraphics()
+        try {
+          g.setRenderingHint(RenderingHints.KEY_INTERPOLATION,
+            RenderingHints.VALUE_INTERPOLATION_BILINEAR)
+          g.drawImage(img, 0, 0, 8, 8, null)
+        } finally g.dispose()
+        dst
+      }
+    val gray = new Array[Int](64)
+    var sum = 0
+    var y = 0
+    while (y < 8) {
+      var x = 0
+      while (x < 8) {
+        val rgb = small.getRGB(x, y)
+        val g = (((rgb >> 16) & 0xFF) + ((rgb >> 8) & 0xFF) + (rgb & 0xFF)) / 3
+        gray(y * 8 + x) = g
+        sum += g
+        x += 1
+      }
+      y += 1
+    }
+    var h = 0L
+    var i = 0
+    while (i < 63) {
+      if (64 * gray(i) > sum) h |= (1L << i)
+      i += 1
+    }
+    java.lang.Long.valueOf(h)
+  }
+
   /** Full decode + aspect-exact resize + PNG re-encode via the JDK's
     * javax.imageio — the execution path behind `Multimodal.resizePlan`'s
     * planned (out_w, out_h). Returns null for undecodable payloads. */

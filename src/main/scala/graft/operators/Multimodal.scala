@@ -158,6 +158,50 @@ object Multimodal {
       graft.functions.DecodeResizeExpr.column(col(binCol), col("out_w"), col("out_h")))
   }
 
+  /** 63-bit perceptual average-hash of an image payload — REAL
+    * javax.imageio decode + 8×8 thumbnail + above-mean bits
+    * ([[graft.functions.AHashExpr]] / `MediaCodec.aHash63`). Null for
+    * undecodable payloads. A pure per-row codegen map stage: the 100 TB
+    * fingerprint pass reads each payload once and emits one long. */
+  def aHash(payload: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    graft.functions.AHashExpr.column(payload)
+
+  /** Perceptual near-duplicate image pairs: decode + aHash every payload
+    * (map stage), candidates share any 16-bit band of the hash (the
+    * SimHash banding discipline — a Hamming-≤maxDist pair at 63 bits
+    * always agrees on ≥1 of 4 bands when maxDist ≤ 3, and with high
+    * probability beyond), verify by exact Hamming distance
+    * (`bit_count(xor)`). Never all-pairs: the candidate join is a band
+    * equi-join on slim (id, band) rows; undecodable payloads drop out.
+    * Output: (d1, d2, dist) with d1 < d2. The image twin of
+    * `Dedup.simhashNearDup`. */
+  def imageNearDup(
+      df: DataFrame,
+      maxDist: Int = 4,
+      idCol: String = "doc_id",
+      binCol: String = "payload"): DataFrame = {
+    val hashed = df
+      .withColumn("ahash", aHash(col(binCol)))
+      .filter(col("ahash").isNotNull)
+      .select(col(idCol), col("ahash"))
+    val bandStructs = (0 until 4).map { b =>
+      struct(lit(b).as("band_idx"),
+        shiftrightunsigned(col("ahash"), b * 16).bitwiseAND(0xFFFFL).as("band"))
+    }
+    val bands = hashed
+      .select(col(idCol), col("ahash"), explode(array(bandStructs: _*)).as("_b"))
+      .select(col(idCol), col("ahash"),
+        col("_b.band_idx").as("band_idx"), col("_b.band").as("band"))
+    bands.as("a")
+      .join(bands.as("b"),
+        col("a.band_idx") === col("b.band_idx") && col("a.band") === col("b.band") &&
+          col(s"a.$idCol") < col(s"b.$idCol"))
+      .select(col(s"a.$idCol").as("d1"), col(s"b.$idCol").as("d2"),
+        bit_count(col("a.ahash").bitwiseXOR(col("b.ahash"))).cast("int").as("dist"))
+      .distinct()
+      .filter(col("dist") <= maxDist)
+  }
+
   /** Frame sampling plumbing: explode a (video) payload into every k-th
     * fixed-size byte window ("frame"). A production codec swaps the
     * substring for a real frame decode behind the same schema. Pure

@@ -6371,6 +6371,59 @@ object Queries {
         md5('T A&B <ok> ' || text || ' end''s "q"') AS clean_md5
       FROM documents ORDER BY doc_id"""))
 
+  /** Perceptual image dedup with a REAL decode (`Multimodal.imageNearDup`
+    * / `MediaCodec.aHash63`): spec-exact 8×8 24-bit BMPs are synthesized
+    * from doc keys (bottom-up rows, BGR, no padding — byte-for-byte the
+    * BITMAPINFOHEADER layout q203's parser reads), ImageIO decodes them
+    * back to the known pixels, the 63-bit average-hash bands into the
+    * 16-bit equi-join, and exact Hamming (bit_count∘xor) keeps pairs ≤ 4.
+    * Five brightness variants share each base image (doc_id % 100), so
+    * true near-dups exist by construction. The oracle never decodes: it
+    * recomputes the hash from the SAME pixel arithmetic (bit_or of
+    * above-mean bits, bit 63 clear for BIGINT portability) and replays
+    * the banding + Hamming relationally — the query passes only if
+    * decode, luminance, mean, banding, and distance all match. */
+  val q212_image_neardup: Q = Q(
+    (s, d) => {
+      val docs = table(s, d, "documents")
+      // 54-byte BITMAPINFOHEADER for 8x8 24bpp (bfSize 246, offBits 54)
+      val header = "424DF6000000000000003600000028000000080000000800000001001800" +
+        "00000000C000000000000000000000000000000000000000"
+      def grayCol(x: Int, y: Int): Column = {
+        val base = (col("doc_id") % 100) * 37 + lit(x * 17 + y * 29)
+        val g0 = base % 199
+        // variant capped mod 5: gray stays <= 210 < 256 at EVERY sf
+        // (an uncapped doc_id DIV 100 would overflow the pixel byte at
+        // sf0.1's 5000 docs and lpad would truncate silently)
+        if (x == 0 && y == 0) g0 + (expr("doc_id DIV 100") % 5) * 3 else g0
+      }
+      // rows stored bottom-up (biHeight > 0): image row 7 first
+      val pixelCols: Seq[Column] =
+        for { ys <- 7 to 0 by -1; x <- 0 to 7 } yield {
+          val hx = lpad(hex(grayCol(x, ys)), 2, "0")
+          concat(hx, hx, hx) // B = G = R = gray
+        }
+      val withPayload = docs
+        .withColumn("payload", unhex(concat((lit(header) +: pixelCols): _*)))
+      Multimodal.imageNearDup(withPayload, maxDist = 4).orderBy("d1", "d2")
+    },
+    Some("""WITH px AS (SELECT doc_id, x, y,
+          ((doc_id % 100) * 37 + x * 17 + y * 29) % 199 +
+            CASE WHEN x = 0 AND y = 0 THEN ((doc_id // 100) % 5) * 3 ELSE 0 END AS gv
+        FROM documents, range(0, 8) tx(x), range(0, 8) ty(y)),
+      tot AS (SELECT doc_id, SUM(gv) AS total FROM px GROUP BY doc_id),
+      h AS (SELECT px.doc_id,
+          bit_or(CASE WHEN y * 8 + x < 63 AND 64 * gv > total
+                 THEN 1::BIGINT << CAST(y * 8 + x AS INTEGER) ELSE 0::BIGINT END) AS ahash
+        FROM px JOIN tot USING (doc_id) GROUP BY px.doc_id),
+      bands AS (SELECT doc_id, ahash, b, (ahash >> (16 * b)) & 65535 AS band
+                FROM h, range(0, 4) tb(b)),
+      cand AS (SELECT DISTINCT a.doc_id AS d1, a.ahash AS h1, b.doc_id AS d2, b.ahash AS h2
+               FROM bands a JOIN bands b
+                 ON a.b = b.b AND a.band = b.band AND a.doc_id < b.doc_id)
+      SELECT d1, d2, CAST(bit_count(xor(h1, h2)) AS INTEGER) AS dist
+      FROM cand WHERE bit_count(xor(h1, h2)) <= 4 ORDER BY d1, d2"""))
+
   // -------------------------------------------------------------- registry
 
   val all: Seq[(String, Q)] = Seq(
@@ -6583,5 +6636,6 @@ object Queries {
     "q208_bucket_rotated" -> q208_bucket_rotated,
     "q209_bucket_cea" -> q209_bucket_cea,
     "q210_ivfpq_indexed" -> q210_ivfpq_indexed,
-    "q211_web_ingest" -> q211_web_ingest)
+    "q211_web_ingest" -> q211_web_ingest,
+    "q212_image_neardup" -> q212_image_neardup)
 }
