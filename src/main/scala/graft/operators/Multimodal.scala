@@ -180,10 +180,16 @@ object Multimodal {
       maxDist: Int = 4,
       idCol: String = "doc_id",
       binCol: String = "payload"): DataFrame = {
+    // fingerprint ONCE: the band self-join would otherwise duplicate the
+    // whole upstream plan — including the ImageIO decode, the expensive
+    // stage — into both sides. The checkpointed table is (id, long):
+    // n×16 B, the cheapest possible materialization (same eager-
+    // checkpoint precedent as Dedup.connectedComponents' label table).
     val hashed = df
       .withColumn("ahash", aHash(col(binCol)))
       .filter(col("ahash").isNotNull)
       .select(col(idCol), col("ahash"))
+      .localCheckpoint()
     val bandStructs = (0 until 4).map { b =>
       struct(lit(b).as("band_idx"),
         shiftrightunsigned(col("ahash"), b * 16).bitwiseAND(0xFFFFL).as("band"))

@@ -137,6 +137,15 @@ class HeavyPlanSpec extends SparkSpec {
     }
   }
 
+  test("q212 image near-dup: payloads decoded ONCE (checkpointed fingerprints feed both join sides)") {
+    val p = plan(Queries.q212_image_neardup)
+    assert(count(p, "Scan parquet") === 0,
+      s"the decode+hash pipeline must run once at checkpoint time:\n${p.take(1500)}")
+    assert(count(p, "Scan ExistingRDD") >= 2, "both band-join sides read the checkpoint")
+    assert(count(p, "CartesianProduct") + count(p, "BroadcastNestedLoopJoin") === 0,
+      "candidates come from the band equi-join, never all-pairs")
+  }
+
   test("q113/q127 eval family: pair joins are key-based, never nested-loop") {
     for ((name, q) <- Seq("q113" -> Queries.q113_minhash_accuracy,
       "q127" -> Queries.q127_dedup_eval)) {
