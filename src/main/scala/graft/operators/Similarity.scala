@@ -923,7 +923,14 @@ object Similarity {
       vecCol: String = "embedding"): DataFrame = {
     val m = codebooks.length
     val codes = pqEncode(candidates, codebooks, idC, vecCol)
+    // materialize the per-query LUTs behind one cheap exchange of |Q|
+    // slim rows: without the boundary the round-6 LUT construction (128
+    // BigDecimal rounds per evaluation) can be re-evaluated per JOINED
+    // row by downstream expression inlining, and the single-partition
+    // query scan serializes the whole flat fan-out onto one task — the
+    // repartition buys both materialized arrays and full parallelism
     val q = queries.select(col(idQ) +: pqLutCols(codebooks, vecCol): _*)
+      .repartition(queries.sparkSession.sparkContext.defaultParallelism)
     val survivors = topByAdc(
       q.crossJoin(codes).withColumn("adc", pqAdcScore(m)),
       k * rerankFactor, idQ, idC)
@@ -1027,7 +1034,12 @@ object Similarity {
     val codes = pqEncode(cAssigned, codebooks, idC, "_cv", keep = Seq("centroid_id"))
     val qAssigned = assignCells(
       queries.select(col(idQ), col(vecCol).as("_qv")), centroidVecs, "_qv", nProbe)
-    val qLut = qAssigned.select(col(idQ) +: col("centroid_id") +: pqLutCols(codebooks, "_qv"): _*)
+    // same LUT-materialization boundary as [[pqTopK]]: one cheap exchange
+    // of |Q|·nProbe slim rows keeps the BigDecimal-rounding LUT build at
+    // per-query cost instead of per-probed-pair cost
+    val qLut = qAssigned
+      .select(col(idQ) +: col("centroid_id") +: pqLutCols(codebooks, "_qv"): _*)
+      .repartition(queries.sparkSession.sparkContext.defaultParallelism)
     val survivors = topByAdc(
       qLut.join(codes, "centroid_id").withColumn("adc", pqAdcScore(m)),
       k * rerankFactor, idQ, idC)

@@ -107,8 +107,10 @@ class HeavyPlanSpec extends SparkSpec {
       s"stage-1 top-k must plan as the bounded-memory heap aggregate:\n${p.take(1500)}")
     assert(count(p, "Window \\[") === 1,
       "only the survivor rerank windows; the full score table is never sorted")
-    // exactly two shuffles: the per-query heap exchange + the final orderBy
-    assert(count(p, "Exchange") - count(p, "BroadcastExchange") === 2, p.take(1500))
+    // exactly three shuffles: the |Q|-row LUT-materialization repartition
+    // (keeps the BigDecimal LUT build at per-query cost), the per-query
+    // heap exchange, and the final orderBy
+    assert(count(p, "Exchange") - count(p, "BroadcastExchange") === 3, p.take(1500))
   }
 
   test("q205 IVF-PQ: zero-shuffle literal assignment + centroid equi-join probe") {
@@ -121,10 +123,11 @@ class HeavyPlanSpec extends SparkSpec {
       count(p, "BroadcastHashJoin") >= 1, "probed-list join must be key-based")
     assert(count(p, "ObjectHashAggregate") >= 2,
       s"stage-1 top-k must plan as the bounded-memory heap aggregate:\n${p.take(1500)}")
-    // exactly two shuffles (per-query heap exchange + final orderBy): in
-    // particular NO exchange between the candidate scan and the PQ-encode
-    // projection — assignment + encode fuse into one map stage
-    assert(count(p, "Exchange") - count(p, "BroadcastExchange") === 2, p.take(1500))
+    // exactly three shuffles (|Q|·nProbe-row LUT materialization +
+    // per-query heap exchange + final orderBy): in particular NO exchange
+    // between the candidate scan and the PQ-encode projection —
+    // assignment + encode fuse into one map stage
+    assert(count(p, "Exchange") - count(p, "BroadcastExchange") === 3, p.take(1500))
   }
 
   test("q199/q208/q209 projection buckets: one scan, zero joins, hash aggregation") {
