@@ -130,35 +130,8 @@ object Bench {
       var suspect: Boolean = false
       def px: Double = math.max(pBefore, pAfter)
     }
-    val probes = scala.collection.mutable.ArrayBuffer[Double]()
-    val results = scala.collection.mutable.ArrayBuffer[R]()
-    selected.foreach { case (name, fn) =>
-      val pb = probeSec(); probes += pb
-      results.lastOption.foreach(_.pAfter = pb)
-      val (med, mn, ext) = runTimes(name, fn)
-      results += new R(name, fn, med, mn, pb, ext)
-    }
-    val pTail = probeSec(); probes += pTail
-    results.lastOption.foreach(_.pAfter = pTail)
-    // ---- retry pass: re-measure queries any sentinel saw load on.
-    // The probe threshold is RELATIVE to the run's own probe median (a
-    // uniformly slow machine is the machine's true speed, not a
-    // transient) with a 0.3 s absolute floor so sub-0.1 s jitter on a
-    // quiet box never triggers; the external-CPU threshold is absolute
-    // (12% of the machine stolen — ~4 cores of 32 — is load, quiet-box
-    // daemon noise measures ~2%). r8 lesson (BenchSentinel scaladoc):
-    // when ANY probe in the run spiked, load existed that the per-query
-    // sentinels can miss entirely — widen the retry set to queries whose
-    // iterations disagree or that regressed vs the previous round's
-    // archived medians (same sf only). One pass, worst-first, capped so
-    // a pathological run still terminates.
-    val mainPs = probes.sorted.toSeq
-    val pMed0 = if (mainPs.isEmpty) 0.0 else mainPs(mainPs.length / 2)
-    val thresh = math.max(3 * pMed0, 0.3)
-    val extThresh = 0.12
-    def loaded(px: Double, ext: Double): Boolean = px > thresh || ext > extThresh
-    val suiteSpike = mainPs.nonEmpty && mainPs.last > thresh
     val sfName = new java.io.File(sfDir).getName
+    val extThresh = 0.12
     val prev: Map[String, Double] =
       sys.env.get("SPARK_GRAFT_BENCH_PREV").map(p => new java.io.File(p))
         .orElse(BenchSentinel.newestPrevFile(new java.io.File(".")))
@@ -168,31 +141,102 @@ object Bench {
           val (meds, sf) = BenchSentinel.parsePrevMedians(txt)
           if (sf.contains(sfName)) meds else Map.empty[String, Double]
         }.getOrElse(Map.empty)
-    val stats = results.map(r => BenchSentinel.QStat(r.name, r.med, r.min, r.px, r.ext)).toSeq
-    val (allSuspects, toRetry) =
-      BenchSentinel.candidates(stats, thresh, extThresh, suiteSpike, prev, cap = 25)
-    val suspectSet = allSuspects.toSet
-    results.filter(r => suspectSet(r.name)).foreach(_.suspect = true)
-    val flagged = toRetry.flatMap(n => results.find(_.name == n))
-    if (flagged.nonEmpty)
-      System.err.println(s"[bench] load detected (probe median ${pMed0}s, max ${mainPs.last}s, " +
-        s"threshold ${thresh}s, suiteSpike=$suiteSpike, prev=${prev.size} medians): " +
-        s"re-measuring ${flagged.size} queries: " +
-        flagged.map(r => s"${r.name}(px=${r.px},ext=${r.ext},med=${r.med},min=${r.min})").mkString(", "))
-    flagged.foreach { r =>
-      val rb = probeSec(); probes += rb
-      val (med2, mn2, ext2) = runTimes(r.name, r.fn)
-      val ra = probeSec(); probes += ra
-      val retryPx = math.max(rb, ra)
-      val origMed = r.med
-      // a quiet retry supersedes the loaded original; a loaded retry can
-      // only IMPROVE the estimate (min of two 3-run medians), never add
-      // a second phantom
-      val retryQuiet = !loaded(retryPx, ext2)
-      r.med = if (retryQuiet) med2 else math.min(origMed, med2)
-      r.min = math.min(r.min, mn2)
-      r.suspect = !retryQuiet
-      r.retry = Some((origMed, r.px, retryPx, ext2))
+    final class SuiteRun {
+      val probes = scala.collection.mutable.ArrayBuffer[Double]()
+      val results = scala.collection.mutable.ArrayBuffer[R]()
+      var suiteSpike = false
+      var nRetried = 0
+      def probeMax: Double = if (probes.isEmpty) 0.0 else probes.max
+      def probeMed: Double =
+        if (probes.isEmpty) 0.0 else probes.sorted.apply(probes.length / 2)
+      def suspectCount: Int = results.count(_.suspect)
+    }
+    // one full measurement pass: every query timed, then the capped
+    // per-query retry pass for whatever the sentinels flagged
+    def runSuite(): SuiteRun = {
+      val run = new SuiteRun
+      val rProbes = run.probes; val rResults = run.results
+      selected.foreach { case (name, fn) =>
+        val pb = probeSec(); rProbes += pb
+        rResults.lastOption.foreach(_.pAfter = pb)
+        val (med, mn, ext) = runTimes(name, fn)
+        rResults += new R(name, fn, med, mn, pb, ext)
+      }
+      val pTail = probeSec(); rProbes += pTail
+      rResults.lastOption.foreach(_.pAfter = pTail)
+      // ---- retry pass: re-measure queries any sentinel saw load on.
+      // The probe threshold is RELATIVE to the run's own probe median (a
+      // uniformly slow machine is the machine's true speed, not a
+      // transient) with a 0.3 s absolute floor so sub-0.1 s jitter on a
+      // quiet box never triggers; the external-CPU threshold is absolute
+      // (12% of the machine stolen — ~4 cores of 32 — is load, quiet-box
+      // daemon noise measures ~2%). r8 lesson (BenchSentinel scaladoc):
+      // when ANY probe in the run spiked, load existed that the per-query
+      // sentinels can miss entirely — widen the retry set to queries whose
+      // iterations disagree or that regressed vs the previous round's
+      // archived medians (same sf only). One pass, worst-first, capped so
+      // a pathological run still terminates.
+      val mainPs = rProbes.sorted.toSeq
+      val pMed0 = if (mainPs.isEmpty) 0.0 else mainPs(mainPs.length / 2)
+      val thresh = math.max(3 * pMed0, 0.3)
+      def loaded(px: Double, ext: Double): Boolean = px > thresh || ext > extThresh
+      run.suiteSpike = mainPs.nonEmpty && mainPs.last > thresh
+      val stats = rResults.map(r => BenchSentinel.QStat(r.name, r.med, r.min, r.px, r.ext)).toSeq
+      val (allSuspects, toRetry) =
+        BenchSentinel.candidates(stats, thresh, extThresh, run.suiteSpike, prev, cap = 25)
+      val suspectSet = allSuspects.toSet
+      rResults.filter(r => suspectSet(r.name)).foreach(_.suspect = true)
+      val flagged = toRetry.flatMap(n => rResults.find(_.name == n))
+      run.nRetried = flagged.size
+      if (flagged.nonEmpty)
+        System.err.println(s"[bench] load detected (probe median ${pMed0}s, max ${mainPs.last}s, " +
+          s"threshold ${thresh}s, suiteSpike=${run.suiteSpike}, prev=${prev.size} medians): " +
+          s"re-measuring ${flagged.size} queries: " +
+          flagged.map(r => s"${r.name}(px=${r.px},ext=${r.ext},med=${r.med},min=${r.min})").mkString(", "))
+      flagged.foreach { r =>
+        val rb = probeSec(); rProbes += rb
+        val (med2, mn2, ext2) = runTimes(r.name, r.fn)
+        val ra = probeSec(); rProbes += ra
+        val retryPx = math.max(rb, ra)
+        val origMed = r.med
+        // a quiet retry supersedes the loaded original; a loaded retry can
+        // only IMPROVE the estimate (min of two 3-run medians), never add
+        // a second phantom
+        val retryQuiet = !loaded(retryPx, ext2)
+        r.med = if (retryQuiet) med2 else math.min(origMed, med2)
+        r.min = math.min(r.min, mn2)
+        r.suspect = !retryQuiet
+        r.retry = Some((origMed, r.px, retryPx, ext2))
+      }
+      run
+    }
+    // ---- suite-level response to run-level load (r11, from the r10
+    // post-mortem: per-query retries capped at 25 shipped an artifact
+    // with 22 suspect rows when the WHOLE run was externally loaded).
+    // When pass 1's run-level probe breached its threshold, the whole
+    // suite re-runs ONCE and the quieter pass (by probe max) ships;
+    // both passes' probe stats land in the detail line so the artifact
+    // records the decision instead of hiding the loaded pass.
+    val pass1 = runSuite()
+    val rerun: Option[SuiteRun] =
+      if (pass1.suiteSpike) {
+        System.err.println(s"[bench] run-level probe spike (max ${pass1.probeMax}s, " +
+          s"${pass1.suspectCount} suspects) — re-running the entire suite once")
+        Some(runSuite())
+      } else None
+    val shipped = rerun match {
+      case Some(p2) if p2.probeMax < pass1.probeMax => p2
+      case _ => pass1
+    }
+    val results = shipped.results
+    val probes = shipped.probes
+    val suiteSpike = shipped.suiteSpike
+    val flaggedCount = shipped.nRetried
+    val suiteRerunJson = rerun match {
+      case Some(p2) =>
+        val which = if (shipped eq p2) 1 else 0
+        s""","suite_rerun":{"pass0_px":${"%.4f".formatLocal(java.util.Locale.ROOT, pass1.probeMax)},"pass1_px":${"%.4f".formatLocal(java.util.Locale.ROOT, p2.probeMax)},"shipped":$which}"""
+      case None => ""
     }
     def fmt(v: Double): String = "%.4f".formatLocal(java.util.Locale.ROOT, v)
     // contract line uses 2 decimals: at 143+ queries the 3-decimal form
@@ -224,7 +268,7 @@ object Bench {
     // a meaningful regression, every query still contributes to value,
     // and 4-decimal medians for all of them stay on the detail line
     val suspectFull = results.filter(_.suspect).map("\"" + _.name + "\"").mkString("[", ",", "]")
-    println(s"""{"metric":"detail","iters":$iters,"probe_med":${fmt(ps(ps.length / 2))},"probe_max":${fmt(ps.last)},"suspect":$suspectFull,"retried":$retriedJson,"queries_ext":${jmap(identity, _.ext)},"queries_min":${jmap(identity, _.min)},"queries_med_full":${jmap(identity, _.med)}}""")
+    println(s"""{"metric":"detail","iters":$iters,"probe_med":${fmt(ps(ps.length / 2))},"probe_max":${fmt(ps.last)},"suspect":$suspectFull,"retried":$retriedJson,"queries_ext":${jmap(identity, _.ext)},"queries_min":${jmap(identity, _.min)},"queries_med_full":${jmap(identity, _.med)}$suiteRerunJson}""")
     def fmt1(v: Double): String = "%.1f".formatLocal(java.util.Locale.ROOT, v)
     def contractLine(nKeep: Int): String = {
       val bySlow = results.sortBy(-_.med)
@@ -238,7 +282,7 @@ object Bench {
       // quiet (never truncated — it is the honesty signal of the line)
       val susp = results.filter(_.suspect)
         .map("\"" + _.name.split("_").head.drop(1) + "\"").mkString("[", ",", "]")
-      s"""{"metric":"total","value":${fmt3(total)},"unit":"sec","queries":$qs,"qtrunc":${dropped.size},"qtmax":${fmt3(qtmax)},"pm":${fmt3(ps(ps.length / 2))},"px":${fmt3(ps.last)},"xx":${fmt3(extMax)},"nr":${flagged.size},"ss":${if (suiteSpike) 1 else 0},"suspect":$susp,"sf":"$sfName"}"""
+      s"""{"metric":"total","value":${fmt3(total)},"unit":"sec","queries":$qs,"qtrunc":${dropped.size},"qtmax":${fmt3(qtmax)},"pm":${fmt3(ps(ps.length / 2))},"px":${fmt3(ps.last)},"xx":${fmt3(extMax)},"nr":$flaggedCount,"ss":${if (suiteSpike) 1 else 0},"suspect":$susp,"sf":"$sfName"}"""
     }
     var nKeep = results.size
     var line = contractLine(nKeep)

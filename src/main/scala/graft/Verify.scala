@@ -20,8 +20,12 @@ object Verify {
     new java.io.File(outDir).mkdirs()
     // local-iteration filter (driver never sets it): run only these queries
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").map(_.trim).toSet)
+    // local-iteration shortcut (driver never sets it): dump oracle_sql.json
+    // for ALL queries without executing any Spark plan — feeds
+    // tools/stress_oracle.py in seconds instead of a full Verify run
+    val sqlOnly = sys.env.get("SPARK_GRAFT_SQL_ONLY").contains("1")
     SparkEntry.queries
-      .filter { case (name, _) => only.forall(_.contains(name)) }
+      .filter { case (name, _) => !sqlOnly && only.forall(_.contains(name)) }
       .foreach { case (name, fn) =>
       // drop RDD blocks left by EARLIER queries' eager localCheckpoints —
       // the same late-suite block-manager pressure graft.Bench sheds
@@ -45,7 +49,7 @@ object Verify {
       case c => c.toString
     } + "\""
     val json = SparkEntry.oracleSql
-      .filter { case (k, _) => only.forall(_.contains(k)) }
+      .filter { case (k, _) => sqlOnly || only.forall(_.contains(k)) }
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
     spark.stop()

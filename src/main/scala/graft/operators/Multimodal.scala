@@ -167,13 +167,19 @@ object Multimodal {
     graft.functions.AHashExpr.column(payload)
 
   /** Perceptual near-duplicate image pairs: decode + aHash every payload
-    * (map stage), candidates share any 16-bit band of the hash (the
-    * SimHash banding discipline — a Hamming-≤maxDist pair at 63 bits
-    * always agrees on ≥1 of 4 bands when maxDist ≤ 3, and with high
-    * probability beyond), verify by exact Hamming distance
-    * (`bit_count(xor)`). Never all-pairs: the candidate join is a band
-    * equi-join on slim (id, band) rows; undecodable payloads drop out.
-    * Output: (d1, d2, dist) with d1 < d2. The image twin of
+    * (map stage), candidates share any 13-bit band of the hash (the
+    * SimHash banding discipline — 5 disjoint bands over 63 bits, so a
+    * Hamming-≤4 pair always agrees on ≥1 band by pigeonhole; r11 widened
+    * from 4×16 bands, whose guarantee stopped at maxDist 3 and silently
+    * missed ~10% of true distance-4 pairs at the default), verify by
+    * exact Hamming distance (`bit_count(xor)`). Never all-pairs: the
+    * candidate join is a band equi-join on slim (id, band) rows;
+    * undecodable payloads drop out.
+    *
+    * Return contract: EXACT recall for `maxDist <= 4`; for larger
+    * `maxDist` the banding is probabilistic (a pair flipping ≥5 bits can
+    * straddle all 5 bands) — raise the band count if exactness beyond 4
+    * is needed. Output: (d1, d2, dist) with d1 < d2. The image twin of
     * `Dedup.simhashNearDup`. */
   def imageNearDup(
       df: DataFrame,
@@ -190,9 +196,9 @@ object Multimodal {
       .filter(col("ahash").isNotNull)
       .select(col(idCol), col("ahash"))
       .localCheckpoint()
-    val bandStructs = (0 until 4).map { b =>
+    val bandStructs = (0 until 5).map { b =>
       struct(lit(b).as("band_idx"),
-        shiftrightunsigned(col("ahash"), b * 16).bitwiseAND(0xFFFFL).as("band"))
+        shiftrightunsigned(col("ahash"), b * 13).bitwiseAND(0x1FFFL).as("band"))
     }
     val bands = hashed
       .select(col(idCol), col("ahash"), explode(array(bandStructs: _*)).as("_b"))

@@ -47,6 +47,21 @@ object Similarity {
     topBySim(pairs, k, idQ, idC, "sim_r")
   }
 
+  /** The heap paths key candidate ids on a long ([[graft.functions.TopKNearest]]).
+    * A non-integral id column (string doc ids) would silently cast to
+    * null and surface as src_id 0 — so the contract is enforced here, at
+    * plan-build time, instead of living in a doc comment. */
+  private def requireIntegralId(df: DataFrame, idCol: String, api: String): Unit = {
+    import org.apache.spark.sql.types.{ByteType, ShortType, IntegerType, LongType}
+    df.schema.find(_.name == idCol).map(_.dataType).foreach {
+      case ByteType | ShortType | IntegerType | LongType => ()
+      case dt => throw new IllegalArgumentException(
+        s"$api: candidate id column '$idCol' must be an integral type " +
+          s"(the top-k heap keys on a long); got $dt. Map string ids to " +
+          "a numeric surrogate (e.g. xxhash64) before calling.")
+    }
+  }
+
   /** Per-query (sim desc, id asc) ranked top-`n` as (idQ, idC, rank, sim)
     * through the bounded-memory [[graft.functions.TopKNearest]] heap:
     * heap order asc (−sim, id) == the rank window's ordering, and the
@@ -55,11 +70,17 @@ object Similarity {
     * scored pair table is never exchanged or sorted whole. Shared by the
     * exact baseline and every rerank stage whose input grows with the
     * corpus ([[ivfTopK]]/[[ivfTopKWith]] probed lists, [[lshTopK]]
-    * bucket collisions). Ids must be integral (the heap keys on a long —
-    * vector corpora id by number). */
+    * bucket collisions). Ids must be integral (enforced by
+    * [[requireIntegralId]]). NaN similarities (cosine against a zero
+    * vector) are filtered before the heap: the heap's comparisons are
+    * all-false on NaN so such rows could neither rank deterministically
+    * nor mean anything as a "most similar" answer — the policy is
+    * NaN-never-ranks, pinned by SimilarityContractSpec. */
   private def topBySim(
-      scored: DataFrame, n: Int, idQ: String, idC: String, simCol: String): DataFrame =
+      scored: DataFrame, n: Int, idQ: String, idC: String, simCol: String): DataFrame = {
+    requireIntegralId(scored, idC, "topBySim")
     scored
+      .filter(!isnan(col(simCol)))
       .groupBy(idQ)
       .agg(TopKNearest.topkNearest(
         struct((-col(simCol)).as("dist2"), col(idC).cast("long").as("src_id"),
@@ -68,6 +89,7 @@ object Similarity {
       .select(col(idQ), posexplode(col("_top")).as(Seq("_i", "_t")))
       .select(col(idQ), col("_t.src_id").as(idC),
         (col("_i") + 1).cast("int").as("rank"), col("_t.sim_r").as("sim"))
+  }
 
   /** Deterministic pseudo-random unit-ish hyperplanes (xorshift-based,
     * seeded) — avoids any RNG library dependency in the plan. */
@@ -100,9 +122,15 @@ object Similarity {
   /** IVF-flavoured approximate top-k: a deterministic centroid subset
     * partitions the candidate set (assignment = nearest centroid by
     * cosine); each query probes its `nProbe` nearest centroid lists and
-    * reranks exactly within them. Scale path: the assignment is one
-    * broadcast-join + argmax over nCentroids, the probe is an equi-join on
-    * the centroid id — the classic IVF inverted-list shape. */
+    * reranks exactly within them. The centroid pick is a bounded model
+    * fit (≤ nCentroids rows via TakeOrderedAndProject, collected driver-
+    * side — the [[kmeansCentroids]] contract), after which BOTH
+    * assignments run through [[assignCells]]'s zero-shuffle literal
+    * argmax: no centroid join or rank window anywhere (the pre-r11
+    * crossJoin+row_number formulation exchanged n×nCentroids rows keyed
+    * by candidate id — the corpus-sized shuffle the trained paths had
+    * already shed). The only shuffles left are the centroid_id probe
+    * equi-join and the per-query rerank. */
   def ivfTopK(
       queries: DataFrame,
       candidates: DataFrame,
@@ -112,29 +140,27 @@ object Similarity {
       idQ: String = "qid",
       idC: String = "cid",
       vecCol: String = "embedding"): DataFrame = {
+    requireIntegralId(candidates, idC, "ivfTopK")
     // deterministic "training": the nCentroids candidates with the smallest
     // id-hash (md5-derived, engine-portable) — a uniform pseudo-random
     // subset. orderBy+limit compiles to TakeOrderedAndProject (per-partition
     // top-k + driver merge): no global sort exchange, no extra count()
-    // action, scales to any candidate count.
-    val idHash = conv(substring(md5(col("centroid_id").cast("string")), 1, 15), 16, 10).cast("long")
-    val centroids = candidates.select(col(idC).as("centroid_id"), col(vecCol).as("_ctr"))
-      .orderBy(idHash, col("centroid_id"))
+    // action, scales to any candidate count. Sorted by original id after
+    // the collect so assignCells' tie-break on the centroid INDEX is the
+    // same selection as a tie-break on the original centroid id.
+    val idHash = conv(substring(md5(col("_cid").cast("string")), 1, 15), 16, 10).cast("long")
+    val centroidVecs: Seq[Array[Double]] = candidates
+      .select(col(idC).cast("long").as("_cid"), col(vecCol).cast("array<double>").as("_ctr"))
+      .orderBy(idHash, col("_cid"))
       .limit(nCentroids)
+      .collect()
+      .sortBy(_.getLong(0))
+      .map(_.getSeq[Double](1).toArray).toSeq
 
-    def assign(df: DataFrame, id: String, v: String, keep: Int): DataFrame = {
-      // similarity quantized before ranking so the assignment is identical
-      // across engines/float orders; ties break on centroid id
-      val w = Window.partitionBy(id).orderBy(col("_csim").desc, col("centroid_id").asc)
-      df.crossJoin(broadcast(centroids))
-        .withColumn("_csim", round(cosineSimilarity(col(v), col("_ctr")), 6))
-        .withColumn("_crk", row_number().over(w))
-        .filter(col("_crk") <= keep)
-        .drop("_ctr", "_csim", "_crk")
-    }
-
-    val cAssigned = assign(candidates.select(col(idC), col(vecCol).as("_cv")), idC, "_cv", 1)
-    val qAssigned = assign(queries.select(col(idQ), col(vecCol).as("_qv")), idQ, "_qv", nProbe)
+    val cAssigned = assignCells(
+      candidates.select(col(idC), col(vecCol).as("_cv")), centroidVecs, "_cv", 1)
+    val qAssigned = assignCells(
+      queries.select(col(idQ), col(vecCol).as("_qv")), centroidVecs, "_qv", nProbe)
 
     // probed-list rerank on the heap — the pair table grows with the
     // corpus (|Q|·|C|·nProbe/k), so it must never be sorted whole
@@ -371,6 +397,7 @@ object Similarity {
       idQ: String = "qid",
       idC: String = "cid",
       vecCol: String = "embedding"): DataFrame = {
+    requireIntegralId(candidates, idC, "quantizedTopK")
     val qq = queries.select(col(idQ), quantizeInt8(col(vecCol)).as("_qq"))
     val cq = candidates.select(col(idC), quantizeInt8(col(vecCol)).as("_cq"))
     // stage-1 survivors on the heap (asc (−qdot, id) == (qdot desc, id
@@ -890,8 +917,9 @@ object Similarity {
     * (adc desc, id asc), the window's exact ordering including id
     * tiebreaks; adc rides as payload so the emitted value is the
     * original double, never a re-negation. Candidate ids must be
-    * integral (the heap keys on a long — vector corpora id by number). */
-  private def topByAdc(scored: DataFrame, n: Int, idQ: String, idC: String): DataFrame =
+    * integral (enforced by [[requireIntegralId]]). */
+  private def topByAdc(scored: DataFrame, n: Int, idQ: String, idC: String): DataFrame = {
+    requireIntegralId(scored, idC, "topByAdc")
     scored
       .groupBy(idQ)
       .agg(TopKNearest.topkNearest(
@@ -900,6 +928,7 @@ object Similarity {
         n, payload = Seq("adc")).as("_top"))
       .select(col(idQ), explode(col("_top")).as("_t"))
       .select(col(idQ), col("_t.src_id").as(idC), col("_t.adc").as("adc"))
+  }
 
   /** PQ-ADC top-k (asymmetric distance computation, inner-product
     * flavor): stage 1 scores every candidate CODE against a per-query
@@ -960,11 +989,50 @@ object Similarity {
       codebooks: Array[Array[Array[Double]]],
       dir: String,
       idC: String = "cid",
-      vecCol: String = "embedding"): Unit = {
-    val cAssigned = assignCells(
-      candidates.select(col(idC), col(vecCol).as("_cv")), centroidVecs, "_cv", 1)
-    pqEncode(cAssigned, codebooks, idC, "_cv", keep = Seq("centroid_id"))
+      vecCol: String = "embedding"): Unit =
+    encodeForIndex(candidates, centroidVecs, codebooks, idC, vecCol)
       .write.mode("overwrite").partitionBy("centroid_id").parquet(dir)
+
+  /** Incremental maintenance of a [[writeIvfPqIndex]] layout (r11 — the
+    * last piece of the production ANN lifecycle): assign + PQ-encode
+    * ONLY the new rows under the SAME frozen model and append them into
+    * the centroid partition directories. Because the index is pure
+    * per-row state (code rows keyed by centroid_id, no global statistics
+    * and no ordering), append ≡ rebuild: `ivfPqTopKIndexed` over the
+    * appended layout is bit-identical to a fresh build over the union
+    * (IvfPqMaintSpec). A new model (retrained centroids/codebooks)
+    * requires a rebuild — codes are meaningless across models, which is
+    * why the model arguments here are the same values the index was
+    * built with.
+    *
+    * Compaction: each append adds one file per touched partition (plus
+    * Spark's usual task splits), so a high-frequency append cadence
+    * accumulates small files; since rows are independent, compaction is
+    * a plain per-partition rewrite (`read → repartition → overwrite`,
+    * or any parquet compactor) that can run cell-by-cell, concurrently
+    * with serving reads of the other cells. At 100 TB this is the
+    * standard warehouse small-file story — nothing IVF-specific. */
+  def appendIvfPqIndex(
+      newRows: DataFrame,
+      centroidVecs: Seq[Array[Double]],
+      codebooks: Array[Array[Array[Double]]],
+      dir: String,
+      idC: String = "cid",
+      vecCol: String = "embedding"): Unit =
+    encodeForIndex(newRows, centroidVecs, codebooks, idC, vecCol)
+      .write.mode("append").partitionBy("centroid_id").parquet(dir)
+
+  /** Shared assign+encode map stage behind the index build AND append —
+    * the zero-shuffle [[assignCells]] argmax fused with the PQ encode. */
+  private def encodeForIndex(
+      rows: DataFrame,
+      centroidVecs: Seq[Array[Double]],
+      codebooks: Array[Array[Array[Double]]],
+      idC: String,
+      vecCol: String): DataFrame = {
+    val cAssigned = assignCells(
+      rows.select(col(idC), col(vecCol).as("_cv")), centroidVecs, "_cv", 1)
+    pqEncode(cAssigned, codebooks, idC, "_cv", keep = Seq("centroid_id"))
   }
 
   /** [[ivfPqTopK]] served from a [[writeIvfPqIndex]] layout: stage 1

@@ -1031,10 +1031,14 @@ object TextAnalysis {
     * expected clean text from the known generator, so the chain is
     * checked against ground truth, not against another regex engine. */
   def stripHtml(html: Column): Column = {
+    // tag bodies are matched quoted-attribute-aware ((?:[^>"']|"..."|'...')*)
+    // so `<div title="a>b">` consumes through the closing `>` instead of
+    // truncating at the quoted one (r11; the plain [^>]* form truncated)
+    val tagBody = """(?:[^>"']|"[^"]*"|'[^']*')*"""
     val noBlocks = regexp_replace(html,
-      "(?is)<(script|style)[^>]*>.*?</\\1\\s*>", " ")
+      s"(?is)<(script|style)$tagBody>.*?</\\1\\s*>", " ")
     val noComments = regexp_replace(noBlocks, "(?s)<!--.*?-->", " ")
-    val noTags = regexp_replace(noComments, "<[^>]*>", " ")
+    val noTags = regexp_replace(noComments, s"<$tagBody>", " ")
     val decoded = Seq(
       "&nbsp;" -> " ", "&lt;" -> "<", "&gt;" -> ">",
       "&quot;" -> "\"", "&#39;" -> "'", "&amp;" -> "&")
@@ -1046,8 +1050,10 @@ object TextAnalysis {
     * pipeline dedup stages): drop the fragment; lowercase scheme+host;
     * drop default ports (:80 http, :443 https) and a `www.` prefix;
     * strip tracking parameters (utm_*, fbclid, gclid) with separator
-    * repair; drop a trailing `?`/`&` and ONE trailing slash. Pure
-    * codegen string ops — zero shuffles, streaming-safe. */
+    * repair; drop a trailing `?`/`&` and ONE trailing slash; sort the
+    * surviving query parameters (r11 — `?b=2&a=1` ≡ `?a=1&b=2`, the
+    * standard canonicalization the pre-r11 chain missed). Pure codegen
+    * string ops — zero shuffles, streaming-safe. */
   def canonicalizeUrl(url: Column): Column = {
     val noFrag = regexp_replace(url, "#.*$", "")
     // authority prefix = scheme://host[:port] (everything before the
@@ -1064,7 +1070,14 @@ object TextAnalysis {
     val repaired = regexp_replace(
       regexp_replace(noTrack, "\\?&+", "?"), "&&+", "&")
     val noDangle = regexp_replace(repaired, "[?&]+$", "")
-    regexp_replace(noDangle, "([^/])/$", "$1")
+    val noSlash = regexp_replace(noDangle, "([^/])/$", "$1")
+    // sort surviving query params: split off the query string, array_sort
+    // the &-separated params lexicographically, rejoin — still per-row
+    // codegen (no explode, no shuffle)
+    val path = regexp_replace(noSlash, "\\?.*$", "")
+    val qs = regexp_extract(noSlash, "\\?(.*)$", 1)
+    when(qs === "", path)
+      .otherwise(concat(path, lit("?"), array_join(array_sort(split(qs, "&")), "&")))
   }
 
   def noveltyScore(

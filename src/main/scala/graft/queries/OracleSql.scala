@@ -120,7 +120,17 @@ object OracleSql {
     /** CTE chain `{pfx}a`..`{pfx}` adding forward-projected coordinates.
       * Final CTE selects `keep` columns plus `$outX`, `$outY` (optionally
       * ROUNDed to `quantize` decimals — pass None only when downstream use
-      * is floor-binning with cells >> 1e-9 m). */
+      * is floor-binning with cells >> 1e-9 m).
+      *
+      * Every chain's final CTE is `AS MATERIALIZED`: the intermediate
+      * steps reference their predecessors' columns more than once (the
+      * inverse chain's fixed-point iterations reference `_it{k-1}` twice
+      * per step), so letting DuckDB inline the chain into downstream
+      * consumers grows the expression tree exponentially — the r10 driver
+      * checker's multi-GB allocation spikes on q45/q199 came from exactly
+      * that, not from data volume. A materialization barrier at the narrow
+      * cut (keep + 2 coords) caps planner + executor memory and changes no
+      * values. */
     def fwdCtes(pfx: String, src: String, keep: Seq[String],
         lonC: String = "lon", latC: String = "lat",
         outX: String = "proj_x", outY: String = "proj_y",
@@ -136,7 +146,7 @@ object OracleSql {
       ${pfx}c AS (SELECT *, 2 * ATAN(TAN($PI4 + _phi / 2) * POW((1 - _esin) / (1 + _esin), $EH)) - $PI2 AS _chi FROM ${pfx}b),
       ${pfx}d AS (SELECT *, SIN(_chi) AS _schi, COS(_chi) AS _cchi, SIN(_lam) AS _slam, COS(_lam) AS _clam FROM ${pfx}c),
       ${pfx}e AS (SELECT *, $NUM / ($CC1 * (1 + $SC1 * _schi + $CC1 * _cchi * _clam)) AS _afac FROM ${pfx}d),
-      $pfx AS (SELECT ${keep.mkString(", ")}, $xE AS $outX, $yE AS $outY FROM ${pfx}e)"""
+      $pfx AS MATERIALIZED (SELECT ${keep.mkString(", ")}, $xE AS $outX, $yE AS $outY FROM ${pfx}e)"""
     }
 
     /** CTE chain adding inverse-projected lon/lat from projected x/y, with
@@ -158,7 +168,7 @@ object OracleSql {
                  ATAN2($xC * _sce, _rho * $CC1 * _cce - $yC * $SC1 * _sce) AS _lamv FROM ${pfx}c),
       ${pfx}e AS (SELECT *, TAN($PI4 + _chi / 2) AS _tc, _chi AS _it0 FROM ${pfx}d),
       $it,
-      $pfx AS (SELECT ${keep.mkString(", ")}, ${wrap(s"$LON0 + _lamv * $R2DL")} AS $outLon, _it$iters * $R2DL AS $outLat FROM ${pfx}i$iters)"""
+      $pfx AS MATERIALIZED (SELECT ${keep.mkString(", ")}, ${wrap(s"$LON0 + _lamv * $R2DL")} AS $outLon, _it$iters * $R2DL AS $outLat FROM ${pfx}i$iters)"""
     }
   }
 
@@ -228,7 +238,7 @@ object OracleSql {
       ${pfx}g2 AS (SELECT *, ATAN2(_tp, _clam) AS _xip,
                   SIGN(_sl1) * LN(ABS(_sl1) + SQRT(1 + _sl1 * _sl1)) AS _etap FROM ${pfx}g),
       ${pfx}h AS (SELECT *, EXP(2 * _etap) AS _e2p FROM ${pfx}g2),
-      $pfx AS (SELECT ${keep.mkString(", ")},
+      $pfx AS MATERIALIZED (SELECT ${keep.mkString(", ")},
                $KA * (_etap$etaTerms) + $X0 AS $outX,
                $KA * (_xip$xiTerms) + $Y0 AS $outY FROM ${pfx}h)"""
     }
@@ -284,7 +294,7 @@ object OracleSql {
                    $NL * ${wrapSql(s"$lonC - $LON0")} * $D2RL AS _th FROM $src),
       ${pfx}b AS (SELECT *, $OneME2 * (_s / (1 - $E2 * _s * _s) - $Inv2E * LN((1 - $E * _s) / (1 + $E * _s))) AS _q FROM ${pfx}a),
       ${pfx}c AS (SELECT *, $AL * SQRT(GREATEST(CAST(0 AS DOUBLE), $CL - $NL * _q)) / $NL AS _rho FROM ${pfx}b),
-      $pfx AS (SELECT ${keep.mkString(", ")}, _rho * SIN(_th) AS $outX,
+      $pfx AS MATERIALIZED (SELECT ${keep.mkString(", ")}, _rho * SIN(_th) AS $outX,
                $RHO0 - _rho * COS(_th) AS $outY FROM ${pfx}c)"""
   }
 
@@ -304,7 +314,7 @@ object OracleSql {
         lonC: String = "lon", latC: String = "lat",
         outX: String = "proj_x", outY: String = "proj_y"): String =
       s"""${pfx}a AS (SELECT *, ${wrapSql(s"$lonC - $LON0")} * $D2RL AS _lam, $latC * $D2RL AS _phi FROM $src),
-      $pfx AS (SELECT ${keep.mkString(", ")}, ($AL * _lam) * COS(_phi) AS $outX,
+      $pfx AS MATERIALIZED (SELECT ${keep.mkString(", ")}, ($AL * _lam) * COS(_phi) AS $outX,
                $AL * _phi AS $outY FROM ${pfx}a)"""
   }
 
@@ -341,7 +351,7 @@ object OracleSql {
       val q = if (crsEll.isSphere) "2.0 * _s"
       else s"(1.0 - $E2L) * (_s / (1.0 - $E2L * _s * _s) - (1.0 / (2.0 * $EL)) * LN((1.0 - $EL * _s) / (1.0 + $EL * _s)))"
       s"""${pfx}a AS (SELECT *, ${wrapSql(s"$lonC - $LON0")} * $D2RL AS _lam, SIN($latC * $D2RL) AS _s FROM $src),
-      $pfx AS (SELECT ${keep.mkString(", ")}, $AL * $K0L * _lam AS $outX,
+      $pfx AS MATERIALIZED (SELECT ${keep.mkString(", ")}, $AL * $K0L * _lam AS $outX,
                $AL * ($q) / (2.0 * $K0L) AS $outY FROM ${pfx}a)"""
     }
   }
@@ -371,7 +381,7 @@ object OracleSql {
       ${pfx}b AS (SELECT *, COS(_phi) AS _cf, SIN(_phi) AS _sf, COS(_dl) AS _cd, SIN(_dl) AS _sd FROM ${pfx}a),
       ${pfx}c AS (SELECT *, _cf * _cd * $SP - _sf * $CP AS _x2, _cf * _sd AS _y2,
                   _cf * _cd * $CP + _sf * $SP AS _z2 FROM ${pfx}b),
-      $pfx AS (SELECT ${keep.mkString(", ")},
+      $pfx AS MATERIALIZED (SELECT ${keep.mkString(", ")},
                ${wrapSql(s"ATAN2(-_y2, -_x2) * $R2DL + $GLON")} AS $outX,
                ASIN(LEAST(1.0, GREATEST(-1.0, _z2))) * $R2DL AS $outY FROM ${pfx}c)"""
   }
@@ -401,7 +411,7 @@ object OracleSql {
       s"""${pfx}a AS (SELECT *, ${wrapSql(s"$lonC - $LON0")} * $D2RL AS _lam, $latC * $D2RL AS _phi FROM $src),
       ${pfx}b AS (SELECT *, SIN(_phi) AS _sp, COS(_phi) AS _cp, SIN(_lam) AS _sl, COS(_lam) AS _cl FROM ${pfx}a),
       ${pfx}c AS (SELECT * FROM ${pfx}b WHERE $SP0 * _sp + $CP0 * _cp * _cl >= 0),
-      $pfx AS (SELECT ${keep.mkString(", ")}, ($RL * _cp) * _sl AS $outX,
+      $pfx AS MATERIALIZED (SELECT ${keep.mkString(", ")}, ($RL * _cp) * _sl AS $outX,
                $RL * ($CP0 * _sp - $SP0 * _cp * _cl) AS $outY FROM ${pfx}c)"""
   }
 }

@@ -2614,8 +2614,15 @@ object Queries {
 
   /** Shared oracle CTEs for the stere k-NN family: target grid -> unrolled
     * inverse projection -> metre-quantized geocentric XYZ; reduced source ->
-    * quantized XYZ; brute-force radius join + (dist2, src_id) rank — exactly
-    * the cell-join's candidate set (SURVEY §7.4 equivalence proof). */
+    * quantized XYZ; radius join + (dist2, src_id) rank — exactly the
+    * cell-join's candidate set (SURVEY §7.4 equivalence proof). The radius
+    * join is itself a geocentric cell join (bucket edge = radius, so any
+    * pair within the radius differs by at most 1 bucket per axis — the
+    * 27-offset pigeonhole), NOT a cross join: DuckDB's unbounded execution
+    * of the q45 cross-product reserved multi-GB arenas and was the r10
+    * driver-checker allocation high-water mark (CORRECTNESS_r10's 9
+    * tail-of-suite oracle OOMs); the equi-join form holds the whole suite
+    * under tools/stress_oracle.py --driver at a hard RLIMIT_AS. */
   private def stereKnnSql(area: AreaDef, radius: Double,
       srcProjQuantize: Option[Int] = None): String = {
     val st = OracleSql.StereSql(area)
@@ -2639,9 +2646,22 @@ object Queries {
             WHERE ${OracleSql.reducePredSql(area, radius)} AND $legal),
     $srcPrj
     sxyz AS (SELECT src_id, value${if (carry.isEmpty) "" else ", in_x, in_y"}, $gx AS sx, $gy AS sy, $gz AS sz FROM $srcFrom),
+    boff AS (SELECT a.o AS ox, b.o AS oy, c.o AS oz
+             FROM (VALUES (-1), (0), (1)) a(o), (VALUES (-1), (0), (1)) b(o),
+                  (VALUES (-1), (0), (1)) c(o)),
+    tbkt AS (SELECT t.*,
+               CAST(FLOOR(t.tx / ${OracleSql.slit(radius)}) AS BIGINT) + o.ox AS bx,
+               CAST(FLOOR(t.ty / ${OracleSql.slit(radius)}) AS BIGINT) + o.oy AS by,
+               CAST(FLOOR(t.tz / ${OracleSql.slit(radius)}) AS BIGINT) + o.oz AS bz
+             FROM txyz t CROSS JOIN boff o),
+    sbkt AS (SELECT s.*,
+               CAST(FLOOR(s.sx / ${OracleSql.slit(radius)}) AS BIGINT) AS bx,
+               CAST(FLOOR(s.sy / ${OracleSql.slit(radius)}) AS BIGINT) AS by,
+               CAST(FLOOR(s.sz / ${OracleSql.slit(radius)}) AS BIGINT) AS bz
+             FROM sxyz s),
     cand AS (SELECT t.dst_id, s.src_id, s.value$carry,
                (t.tx - s.sx) * (t.tx - s.sx) + (t.ty - s.sy) * (t.ty - s.sy) + (t.tz - s.sz) * (t.tz - s.sz) AS dist2
-             FROM txyz t CROSS JOIN sxyz s
+             FROM tbkt t JOIN sbkt s ON t.bx = s.bx AND t.by = s.by AND t.bz = s.bz
              WHERE (t.tx - s.sx) * (t.tx - s.sx) + (t.ty - s.sy) * (t.ty - s.sy) + (t.tz - s.sz) * (t.tz - s.sz)
                    <= ${OracleSql.slit(radius * radius)}),
     ranked AS (SELECT dst_id, src_id, dist2, value$carryR,
@@ -4106,7 +4126,7 @@ object Queries {
                        -c1 / b1 AS x1c FROM d4),
       d6 AS (SELECT *, CASE WHEN ${inU("x1a")} THEN x1a WHEN ${inU("x1b")} THEN x1b WHEN ${inU("x1c")} THEN x1c END AS t1 FROM d5),
       d7 AS (SELECT *, CASE WHEN t1 IS NOT NULL THEN (out_y - p1y - y31_1 * t1) / (p2y + y42_1 * t1 - p1y - y31_1 * t1) END AS g1 FROM d6),
-      d8 AS (SELECT *, CASE WHEN ${inU("g1")} THEN g1 END AS s1 FROM d7),
+      d8 AS MATERIALIZED (SELECT *, CASE WHEN ${inU("g1")} THEN g1 END AS s1 FROM d7),
       e1 AS (SELECT *, p3x - p1x AS x21_2, p2x - p1x AS x31_2, p4x - p3x AS x42_2,
                        p3y - p1y AS y21_2, p2y - p1y AS y31_2, p4y - p3y AS y42_2 FROM d8),
       e2 AS (SELECT *, x31_2 * y42_2 - y31_2 * x42_2 AS a2,
@@ -4119,10 +4139,10 @@ object Queries {
                        -c2 / b2 AS x2c FROM e4),
       e6 AS (SELECT *, CASE WHEN ${inU("x2a")} THEN x2a WHEN ${inU("x2b")} THEN x2b WHEN ${inU("x2c")} THEN x2c END AS s2 FROM e5),
       e7 AS (SELECT *, CASE WHEN s2 IS NOT NULL THEN (out_y - p1y - y31_2 * s2) / (p3y + y42_2 * s2 - p1y - y31_2 * s2) END AS g2 FROM e6),
-      e8 AS (SELECT *, CASE WHEN ${inU("g2")} THEN g2 END AS t2 FROM e7),
+      e8 AS MATERIALIZED (SELECT *, CASE WHEN ${inU("g2")} THEN g2 END AS t2 FROM e7),
       f1 AS (SELECT *, (x21_1 * (out_y - p1y) - y21_1 * (out_x - p1x)) / (x21_1 * y31_1 - y21_1 * x31_1) AS t3c FROM e8),
-      f2 AS (SELECT *, CASE WHEN ${inU("t3c")} THEN (out_x - p1x + x31_1 * t3c) / x21_1 END AS s3c FROM f1),
-      f3 AS (SELECT *,
+      f2 AS MATERIALIZED (SELECT *, CASE WHEN ${inU("t3c")} THEN (out_x - p1x + x31_1 * t3c) / x21_1 END AS s3c FROM f1),
+      f3 AS MATERIALIZED (SELECT *,
                CASE WHEN t1 IS NOT NULL AND s1 IS NOT NULL THEN t1
                     WHEN t2 IS NOT NULL AND s2 IS NOT NULL THEN t2
                     WHEN ${inU("t3c")} AND ${inU("s3c")} THEN t3c END AS tf,
@@ -6281,7 +6301,19 @@ object Queries {
       val q = emb.filter(col("vec_id") % 50 === 0)
         .select(col("vec_id").as("qid"), col("embedding"))
       val books = Similarity.pqCodebooks(c, m = 8, ksub = 16)
-      val idx = s"target/tmp/ivfpq_index_${new java.io.File(d).getName}"
+      // cache key includes a content signature of the source parquet
+      // (every file's name/size/mtime folded) — a regenerated dataset at
+      // the same path gets a FRESH index instead of silently serving
+      // stale codes (r10 advice)
+      val srcSig = {
+        def walk(f: java.io.File): Long =
+          if (f.isDirectory) f.listFiles().sortBy(_.getName).foldLeft(f.getName.hashCode.toLong) {
+            (acc, ch) => acc * 1000003L + walk(ch)
+          }
+          else f.getName.hashCode.toLong * 31L + f.length * 31L + f.lastModified
+        java.lang.Long.toHexString(walk(new java.io.File(d, "embeddings.parquet")))
+      }
+      val idx = s"target/tmp/ivfpq_index_${new java.io.File(d).getName}_$srcSig"
       if (!new java.io.File(s"$idx/_SUCCESS").exists())
         Similarity.writeIvfPqIndex(c, TrainedCentroids.sf001k8, books, idx)
       Similarity.ivfPqTopKIndexed(q, idx, c, TrainedCentroids.sf001k8, books,
@@ -6347,11 +6379,13 @@ object Queries {
           "</head><body><h1>A&amp;B &lt;ok&gt;</h1><!-- hidden --><p>"),
         col("text"),
         lit("</p>&nbsp;<div class=\"f\">end&#39;s &quot;q&quot;</div></body></html>"))
+      // params deliberately out of order (z before id before a) so the
+      // canonical form must SORT them, not just strip tracking params
       val url = concat(
         lit("HTTPS://WWW.Example"), (col("doc_id") % 7).cast("string"),
         lit(".COM:443/Path/"), (col("doc_id") % 50).cast("string"),
-        lit("/?utm_source=feed&id="), (col("doc_id") % 5).cast("string"),
-        lit("&fbclid=xyz#frag"))
+        lit("/?z=9&utm_source=feed&id="), (col("doc_id") % 5).cast("string"),
+        lit("&a=1&fbclid=xyz#frag"))
       val cleaned = docs
         .withColumn("clean_text", TextAnalysis.stripHtml(html))
         .withColumn("canonical_url", TextAnalysis.canonicalizeUrl(url))
@@ -6365,7 +6399,8 @@ object Queries {
     },
     Some("""SELECT doc_id,
         'https://example' || CAST(doc_id % 7 AS VARCHAR) || '.com/Path/' ||
-          CAST(doc_id % 50 AS VARCHAR) || '/?id=' || CAST(doc_id % 5 AS VARCHAR) AS canonical_url,
+          CAST(doc_id % 50 AS VARCHAR) || '/?a=1&id=' || CAST(doc_id % 5 AS VARCHAR) ||
+          '&z=9' AS canonical_url,
         doc_id = MIN(doc_id) OVER (PARTITION BY doc_id % 7, doc_id % 50, doc_id % 5) AS keep,
         CAST(length('T A&B <ok> ' || text || ' end''s "q"') AS BIGINT) AS n_clean_chars,
         md5('T A&B <ok> ' || text || ' end''s "q"') AS clean_md5
@@ -6376,7 +6411,8 @@ object Queries {
     * from doc keys (bottom-up rows, BGR, no padding — byte-for-byte the
     * BITMAPINFOHEADER layout q203's parser reads), ImageIO decodes them
     * back to the known pixels, the 63-bit average-hash bands into the
-    * 16-bit equi-join, and exact Hamming (bit_count∘xor) keeps pairs ≤ 4.
+    * 5×13-bit equi-join (exact recall at maxDist 4 by pigeonhole — r11),
+    * and exact Hamming (bit_count∘xor) keeps pairs ≤ 4.
     * Five brightness variants share each base image (doc_id % 100), so
     * true near-dups exist by construction. The oracle never decodes: it
     * recomputes the hash from the SAME pixel arithmetic (bit_or of
@@ -6416,8 +6452,8 @@ object Queries {
           bit_or(CASE WHEN y * 8 + x < 63 AND 64 * gv > total
                  THEN 1::BIGINT << CAST(y * 8 + x AS INTEGER) ELSE 0::BIGINT END) AS ahash
         FROM px JOIN tot USING (doc_id) GROUP BY px.doc_id),
-      bands AS (SELECT doc_id, ahash, b, (ahash >> (16 * b)) & 65535 AS band
-                FROM h, range(0, 4) tb(b)),
+      bands AS (SELECT doc_id, ahash, b, (ahash >> (13 * b)) & 8191 AS band
+                FROM h, range(0, 5) tb(b)),
       cand AS (SELECT DISTINCT a.doc_id AS d1, a.ahash AS h1, b.doc_id AS d2, b.ahash AS h2
                FROM bands a JOIN bands b
                  ON a.b = b.b AND a.band = b.band AND a.doc_id < b.doc_id)

@@ -158,4 +158,17 @@ class HeavyPlanSpec extends SparkSpec {
       assert(count(p, "SortAggregate") === 0, s"$name: signatures on the hash path")
     }
   }
+
+  test("q51 untrained IVF: literal-argmax assignments — no window, no centroid join (r11)") {
+    val p = plan(Queries.q51_ivf_topk)
+    // the pre-r11 formulation cross-joined the centroid table and ranked
+    // with row_number — an n×nCentroids exchange keyed by candidate id;
+    // both assignments are now assignCells literal map stages
+    assert(count(p, "Window \\[") === 0,
+      s"no rank window anywhere in the untrained-IVF plan:\n${p.take(1500)}")
+    assert(count(p, "CartesianProduct") + count(p, "BroadcastNestedLoopJoin") === 0,
+      s"no centroid join of any kind:\n${p.take(1500)}")
+    assert(count(p, "ObjectHashAggregate") >= 2,
+      "rerank top-k on the bounded-memory heap aggregate")
+  }
 }

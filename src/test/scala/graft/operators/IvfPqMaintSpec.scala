@@ -1,0 +1,92 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Index maintenance for the persisted IVF-PQ layout (r11):
+  * `appendIvfPqIndex` must be semantically invisible — serving from an
+  * index built on a base set and appended with the rest must equal
+  * serving from a fresh build over the union, bit-for-bit. And the
+  * streaming `annServe` must pick up an index refresh mid-stream: each
+  * micro-batch re-reads the layout, so rows appended between batches
+  * are retrievable in the next batch with zero restart. */
+class IvfPqMaintSpec extends SparkSpec {
+
+  private def key(r: org.apache.spark.sql.Row) =
+    (r.getLong(0), r.getLong(1), r.getInt(2), r.getDouble(3), r.getDouble(4))
+
+  test("appendIvfPqIndex: post-append serving == rebuilt-index serving (bit-exact)") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val c = emb.select(col("vec_id").as("cid"), col("embedding"))
+    val books = Similarity.pqCodebooks(c, m = 8, ksub = 16)
+    val ctr = graft.queries.TrainedCentroids.sf001k8
+    val base = c.filter(col("cid") % 3 =!= 0)
+    val late = c.filter(col("cid") % 3 === 0)
+    val q = emb.filter(col("vec_id") % 100 === 0)
+      .select(col("vec_id").as("qid"), col("embedding"))
+
+    val incDir = java.nio.file.Files.createTempDirectory("ivfpq_inc").toString
+    Similarity.writeIvfPqIndex(base, ctr, books, incDir)
+    Similarity.appendIvfPqIndex(late, ctr, books, incDir)
+
+    val fullDir = java.nio.file.Files.createTempDirectory("ivfpq_full").toString
+    Similarity.writeIvfPqIndex(c, ctr, books, fullDir)
+
+    val inc = Similarity.ivfPqTopKIndexed(q, incDir, c, ctr, books,
+      k = 10, nProbe = 2, rerankFactor = 3).collect().map(key).toSet
+    val full = Similarity.ivfPqTopKIndexed(q, fullDir, c, ctr, books,
+      k = 10, nProbe = 2, rerankFactor = 3).collect().map(key).toSet
+    assert(inc.nonEmpty)
+    assert(inc === full, "append must be indistinguishable from rebuild")
+    // the appended rows actually participate (some late cid in the results)
+    assert(inc.exists(_._2 % 3 == 0), "appended rows must be retrievable")
+  }
+
+  test("annServe serves across an index refresh: appended rows retrievable next batch") {
+    val s = spark
+    import s.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sq = s.sqlContext
+
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val c = emb.select(col("vec_id").as("cid"), col("embedding"))
+    val books = Similarity.pqCodebooks(c, m = 8, ksub = 16)
+    val ctr = graft.queries.TrainedCentroids.sf001k8
+    val base = c.filter(col("cid") % 3 =!= 0)
+    val late = c.filter(col("cid") % 3 === 0)
+    val dir = java.nio.file.Files.createTempDirectory("ivfpq_refresh").toString
+    Similarity.writeIvfPqIndex(base, ctr, books, dir)
+
+    val queries = emb.filter(col("vec_id") % 100 === 0)
+      .select(col("vec_id").as("qid"), col("embedding").cast("array<double>").as("e"))
+      .collect().map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
+    assert(queries.length >= 2)
+
+    var perBatch = List.empty[Set[(Long, Long, Int, Double, Double)]]
+    val mem = MemoryStream[(Long, Array[Double])]
+    val query = graft.streaming.StreamingOps.annServe(
+      mem.toDF.toDF("qid", "embedding"), dir, c, ctr, books,
+      k = 10, nProbe = 2, rerankFactor = 3) { out =>
+      perBatch.synchronized { perBatch :+= out.collect().map(key).toSet }
+    }
+    try {
+      mem.addData(queries.toSeq: _*)
+      query.processAllAvailable()
+      // refresh the index UNDER the live stream
+      Similarity.appendIvfPqIndex(late, ctr, books, dir)
+      mem.addData(queries.toSeq: _*)
+      query.processAllAvailable()
+    } finally query.stop()
+
+    assert(perBatch.length === 2)
+    val expectedAfter = Similarity.ivfPqTopKIndexed(
+      queries.toSeq.toDF("qid", "embedding"), dir, c, ctr, books,
+      k = 10, nProbe = 2, rerankFactor = 3).collect().map(key).toSet
+    assert(perBatch(1) === expectedAfter,
+      "post-refresh batch must serve the appended index bit-for-bit")
+    assert(perBatch(0) !== perBatch(1),
+      "the refresh must actually change results (appended near-neighbours rank)")
+    assert(perBatch(0).forall(t => t._2 % 3 != 0),
+      "pre-refresh batch cannot see unappended rows")
+  }
+}

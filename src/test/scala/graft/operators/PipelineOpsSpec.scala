@@ -629,13 +629,17 @@ class PipelineOpsSpec extends SparkSpec {
       // nbsp and newlines collapse
       ("one&nbsp;&nbsp;two\n\n  three", "one two three"),
       // nested/unclosed tags degrade to spacing, never to lost text
-      ("<ul><li>a<li>b</ul>", "a b"))
+      ("<ul><li>a<li>b</ul>", "a b"),
+      // r11: quoted attributes containing '>' no longer truncate the tag
+      ("""<div title="a>b">x</div>""", "x"),
+      ("""<img alt='1 > 0'/>y""", "y"),
+      ("""<script data-x="a>b">hidden()</script>z""", "z"))
     val got = cases.map(_._1).toDF("h")
       .select(TextAnalysis.stripHtml(col("h"))).collect().map(_.getString(0)).toSeq
     assert(got === cases.map(_._2), s"stripHtml drifted: $got")
   }
 
-  test("canonicalizeUrl (r10): case/port/www/tracking/fragment/slash rules") {
+  test("canonicalizeUrl (r11): case/port/www/tracking/fragment/slash/param-sort rules") {
     val s = spark
     import s.implicits._
     val cases = Seq(
@@ -643,14 +647,21 @@ class PipelineOpsSpec extends SparkSpec {
         "https://example.com/Path/A/?id=2"),
       // http default port; path CASE preserved; lone tracking param leaves no '?'
       ("http://Site.org:80/Dir/?gclid=abc", "http://site.org/Dir"),
-      // non-default port survives; params order preserved; trailing slash dropped
+      // non-default port survives; trailing slash dropped
       ("https://a.example.com:8443/x/", "https://a.example.com:8443/x"),
       // root URL: host keeps no trailing slash; no query
       ("HTTP://EXAMPLE.com/", "http://example.com"),
       // utm in the middle repairs separators
-      ("https://e.com/p?a=1&utm_medium=m&b=2", "https://e.com/p?a=1&b=2"))
+      ("https://e.com/p?a=1&utm_medium=m&b=2", "https://e.com/p?a=1&b=2"),
+      // r11: surviving params SORT — ?b=2&a=1 and ?a=1&b=2 canonicalize equal
+      ("https://e.com/p?b=2&a=1", "https://e.com/p?a=1&b=2"),
+      ("https://e.com/p?z=9&utm_source=x&id=3&a=1", "https://e.com/p?a=1&id=3&z=9"))
     val got = cases.map(_._1).toDF("u")
       .select(TextAnalysis.canonicalizeUrl(col("u"))).collect().map(_.getString(0)).toSeq
     assert(got === cases.map(_._2), s"canonicalizeUrl drifted: $got")
+    // the canonical pair actually collides (the dedup property the sort buys)
+    val pair = Seq("https://e.com/p?b=2&a=1", "https://e.com/p?a=1&b=2").toDF("u")
+      .select(TextAnalysis.canonicalizeUrl(col("u"))).distinct().count()
+    assert(pair === 1L)
   }
 }
