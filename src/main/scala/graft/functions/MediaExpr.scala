@@ -116,3 +116,32 @@ case class AHashExpr(child: Expression) extends UnaryExpression {
 object AHashExpr {
   def column(payload: Column): Column = Bridge.column(AHashExpr(Bridge.expression(payload)))
 }
+
+/** 63-bit audio fingerprint (real RIFF/WAVE PCM16 decode + 64-window
+  * energy sign bits — `MediaCodec.audioFp63`), executed in codegen.
+  * Null when the payload is not decodable 16-bit PCM WAV. */
+case class AudioFpExpr(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = true
+  override def prettyName: String = "audiofp63"
+
+  override def nullSafeEval(b: Any): Any =
+    MediaCodec.audioFp63(b.asInstanceOf[Array[Byte]])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, b => {
+      s"""
+         |java.lang.Long ${ev.value}_boxed = graft.operators.MediaCodec.audioFp63($b);
+         |${ev.isNull} = ${ev.value}_boxed == null;
+         |if (!${ev.isNull}) { ${ev.value} = ${ev.value}_boxed.longValue(); }
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object AudioFpExpr {
+  def column(payload: Column): Column = Bridge.column(AudioFpExpr(Bridge.expression(payload)))
+}

@@ -49,6 +49,8 @@ object MediaCodec {
     if (b(0) == 'B' && b(1) == 'M') return "bmp"
     if (b(0) == 'R' && b(1) == 'I' && b(2) == 'F' && b(3) == 'F' &&
       b(8) == 'W' && b(9) == 'E' && b(10) == 'B' && b(11) == 'P') return "webp"
+    if (b(0) == 'R' && b(1) == 'I' && b(2) == 'F' && b(3) == 'F' &&
+      b(8) == 'W' && b(9) == 'A' && b(10) == 'V' && b(11) == 'E') return "wav"
     if ((b(0) == 'I' && b(1) == 'I' && u8(b, 2) == 42 && u8(b, 3) == 0) ||
       (b(0) == 'M' && b(1) == 'M' && u8(b, 2) == 0 && u8(b, 3) == 42)) return "tiff"
     null
@@ -164,5 +166,72 @@ object MediaCodec {
     val bos = new ByteArrayOutputStream()
     ImageIO.write(dst, "png", bos)
     bos.toByteArray
+  }
+
+  /** 63-bit audio fingerprint with a REAL decode (r11 — the audio twin
+    * of [[aHash63]]): parse the canonical RIFF/WAVE container (RIFF
+    * chunk walk per the Multimedia Programming Interface and Data
+    * Specification 1.0: `fmt ` must declare integer PCM (format 1),
+    * 16-bit samples; the `data` chunk carries little-endian int16
+    * frames), mono-mix multi-channel frames by integer SUM (exact — no
+    * division), split the signal into 64 equal windows, and emit bit
+    * w = (energy(w) > energy(w+1)) for w = 0..62 — the sign-of-band-
+    * energy-difference fingerprint family of Haitsma & Kalker 2002 ("A
+    * highly robust audio fingerprint"), collapsed to the time axis.
+    * All-integer arithmetic end to end (energies are Σ s² in a long),
+    * so the fingerprint is engine-portable. Returns null for anything
+    * that is not decodable 16-bit PCM WAV or has fewer than 64 frames.
+    * Bit 63 is never set (63 comparisons), keeping the value a
+    * non-negative BIGINT on every engine — the [[aHash63]] convention. */
+  def audioFp63(b: Array[Byte]): java.lang.Long = {
+    if (b == null || b.length < 44) return null
+    if (!(b(0) == 'R' && b(1) == 'I' && b(2) == 'F' && b(3) == 'F' &&
+      b(8) == 'W' && b(9) == 'A' && b(10) == 'V' && b(11) == 'E')) return null
+    var pos = 12
+    var nCh = -1; var bits = -1; var fmt = -1
+    var dataOff = -1; var dataLen = -1
+    while (pos + 8 <= b.length && (fmt < 0 || dataOff < 0)) {
+      val id = new String(b, pos, 4, "US-ASCII")
+      val sz = le32(b, pos + 4)
+      if (sz < 0 || pos + 8 + sz > b.length) return null
+      if (id == "fmt " && sz >= 16) {
+        fmt = le16(b, pos + 8)
+        nCh = le16(b, pos + 10)
+        bits = le16(b, pos + 22)
+      } else if (id == "data") { dataOff = pos + 8; dataLen = sz }
+      pos += 8 + sz + (sz & 1) // chunks are word-aligned
+    }
+    if (fmt != 1 || bits != 16 || nCh < 1 || dataOff < 0) return null
+    val nFrames = dataLen / (2 * nCh)
+    if (nFrames < 64) return null
+    // mono mix (integer sum across channels), then 64 window energies
+    val energy = new Array[Long](64)
+    var w = 0
+    while (w < 64) {
+      val f0 = (w.toLong * nFrames / 64).toInt
+      val f1 = ((w + 1).toLong * nFrames / 64).toInt
+      var e = 0L
+      var f = f0
+      while (f < f1) {
+        var s = 0L
+        var c = 0
+        while (c < nCh) {
+          val off = dataOff + 2 * (f * nCh + c)
+          s += (le16(b, off) << 16 >> 16) // sign-extend int16
+          c += 1
+        }
+        e += s * s
+        f += 1
+      }
+      energy(w) = e
+      w += 1
+    }
+    var h = 0L
+    var i = 0
+    while (i < 63) {
+      if (energy(i) > energy(i + 1)) h |= (1L << i)
+      i += 1
+    }
+    java.lang.Long.valueOf(h)
   }
 }

@@ -185,31 +185,61 @@ object Multimodal {
       df: DataFrame,
       maxDist: Int = 4,
       idCol: String = "doc_id",
-      binCol: String = "payload"): DataFrame = {
-    // fingerprint ONCE: the band self-join would otherwise duplicate the
-    // whole upstream plan — including the ImageIO decode, the expensive
-    // stage — into both sides. The checkpointed table is (id, long):
-    // n×16 B, the cheapest possible materialization (same eager-
-    // checkpoint precedent as Dedup.connectedComponents' label table).
+      binCol: String = "payload"): DataFrame =
+    fingerprintNearDup(df, aHash(col(binCol)), maxDist, idCol)
+
+  /** Perceptual near-duplicate AUDIO pairs (r11): real RIFF/WAVE PCM16
+    * decode + 63-bit window-energy fingerprint
+    * ([[graft.functions.AudioFpExpr]] / `MediaCodec.audioFp63` — the
+    * Haitsma–Kalker sign-of-energy-difference family), then the same
+    * 5×13-bit banded Hamming join as [[imageNearDup]]: exact recall for
+    * `maxDist <= 4` by pigeonhole, probabilistic beyond. Undecodable
+    * payloads drop out. Output: (d1, d2, dist) with d1 < d2. */
+  def audioNearDup(
+      df: DataFrame,
+      maxDist: Int = 4,
+      idCol: String = "doc_id",
+      binCol: String = "payload"): DataFrame =
+    fingerprintNearDup(df, audioFp(col(binCol)), maxDist, idCol)
+
+  /** 63-bit audio fingerprint of a WAV payload (real PCM decode; null
+    * for undecodable bytes). Pure per-row codegen — the audio twin of
+    * [[aHash]]. */
+  def audioFp(payload: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    graft.functions.AudioFpExpr.column(payload)
+
+  /** Shared banded-Hamming near-dup engine behind [[imageNearDup]] and
+    * [[audioNearDup]]: fingerprint ONCE (the band self-join would
+    * otherwise duplicate the whole upstream plan — including the media
+    * decode, the expensive stage — into both sides; the checkpointed
+    * table is (id, long): n×16 B, the same eager-checkpoint precedent as
+    * Dedup.connectedComponents' label table), then candidates share any
+    * of 5 disjoint 13-bit bands (pigeonhole: ≤4 flipped bits leave ≥1
+    * band intact) and verify by exact `bit_count(xor)`. Never all-pairs. */
+  private def fingerprintNearDup(
+      df: DataFrame,
+      fp: org.apache.spark.sql.Column,
+      maxDist: Int,
+      idCol: String): DataFrame = {
     val hashed = df
-      .withColumn("ahash", aHash(col(binCol)))
-      .filter(col("ahash").isNotNull)
-      .select(col(idCol), col("ahash"))
+      .withColumn("_fp", fp)
+      .filter(col("_fp").isNotNull)
+      .select(col(idCol), col("_fp"))
       .localCheckpoint()
     val bandStructs = (0 until 5).map { b =>
       struct(lit(b).as("band_idx"),
-        shiftrightunsigned(col("ahash"), b * 13).bitwiseAND(0x1FFFL).as("band"))
+        shiftrightunsigned(col("_fp"), b * 13).bitwiseAND(0x1FFFL).as("band"))
     }
     val bands = hashed
-      .select(col(idCol), col("ahash"), explode(array(bandStructs: _*)).as("_b"))
-      .select(col(idCol), col("ahash"),
+      .select(col(idCol), col("_fp"), explode(array(bandStructs: _*)).as("_b"))
+      .select(col(idCol), col("_fp"),
         col("_b.band_idx").as("band_idx"), col("_b.band").as("band"))
     bands.as("a")
       .join(bands.as("b"),
         col("a.band_idx") === col("b.band_idx") && col("a.band") === col("b.band") &&
           col(s"a.$idCol") < col(s"b.$idCol"))
       .select(col(s"a.$idCol").as("d1"), col(s"b.$idCol").as("d2"),
-        bit_count(col("a.ahash").bitwiseXOR(col("b.ahash"))).cast("int").as("dist"))
+        bit_count(col("a._fp").bitwiseXOR(col("b._fp"))).cast("int").as("dist"))
       .distinct()
       .filter(col("dist") <= maxDist)
   }

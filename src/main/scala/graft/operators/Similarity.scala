@@ -240,15 +240,35 @@ object Similarity {
   }
 
   /** Per-row top-`keep` centroid cells as a ZERO-SHUFFLE codegen map
-    * stage over the literal centroid vectors: [[assignClusters]]'s
-    * `array_min` argmax for keep = 1, its `array_sort` + `slice`
-    * generalization for keep > 1. Struct order (negSim asc, cid asc) ==
-    * (sim desc, cid asc) — the exact selection a round-6 rank window
-    * would make, without the n×k fan-out exchange the window forces
-    * (at 100 TB the candidate side is the corpus, so that exchange is
-    * the largest shuffle in the query for no semantic gain). Shared by
-    * [[ivfTopKWith]], [[ivfPqTopK]] and [[marginMineWith]]. */
+    * stage over the centroid matrix — (round-6 cosine desc, cid asc),
+    * the exact selection a rank window would make, without the n×k
+    * fan-out exchange the window forces (at 100 TB the candidate side is
+    * the corpus, so that exchange is the largest shuffle in the query
+    * for no semantic gain). r11: runs as the native
+    * [[graft.functions.CentroidExpr]] kernel — the previous literal
+    * struct tree ([[assignCellsTree]], kept for the equality pin)
+    * carried nCentroids×dim literal nodes that Catalyst re-optimized on
+    * every plan build (~0.9 s of fixed per-query latency on q51's 16×64
+    * subset) and shared the PQ plane's janino-method-limit exposure.
+    * Shared by [[ivfTopK]], [[ivfTopKWith]], [[ivfPqTopK]] and
+    * [[marginMineWith]]. */
   private[graft] def assignCells(
+      df: DataFrame,
+      centroidVecs: Seq[Array[Double]],
+      v: String,
+      keep: Int): DataFrame = {
+    val cells = graft.functions.CentroidExpr.topCells(col(v), centroidVecs, keep)
+    if (keep == 1)
+      df.withColumn("centroid_id", element_at(cells, 1))
+    else
+      df.withColumn("centroid_id", explode(cells))
+  }
+
+  /** The pre-r11 literal-struct formulation of [[assignCells]] —
+    * `array_min` argmax for keep = 1, `array_sort` + `slice` beyond.
+    * Kept as the independent reference the CentroidKernelSpec equality
+    * pin checks the kernel against (same role as PqSpec's tree form). */
+  private[graft] def assignCellsTree(
       df: DataFrame,
       centroidVecs: Seq[Array[Double]],
       v: String,
@@ -989,9 +1009,56 @@ object Similarity {
       codebooks: Array[Array[Array[Double]]],
       dir: String,
       idC: String = "cid",
-      vecCol: String = "embedding"): Unit =
+      vecCol: String = "embedding"): Unit = {
     encodeForIndex(candidates, centroidVecs, codebooks, idC, vecCol)
       .write.mode("overwrite").partitionBy("centroid_id").parquet(dir)
+    writeModelSig(candidates.sparkSession, dir, centroidVecs, codebooks)
+  }
+
+  /** Deterministic fingerprint of the (centroids, codebooks) model a
+    * persisted index was encoded under — PQ codes are meaningless across
+    * models, so the sidecar lets append/serve fail LOUDLY on a model
+    * mismatch instead of silently mixing incompatible codes. */
+  private def modelSig(
+      centroidVecs: Seq[Array[Double]],
+      codebooks: Array[Array[Array[Double]]]): String = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val bb = java.nio.ByteBuffer.allocate(8)
+    def feed(x: Double): Unit = { bb.clear(); bb.putDouble(x); md.update(bb.array()) }
+    centroidVecs.foreach(_.foreach(feed))
+    codebooks.foreach(_.foreach(_.foreach(feed)))
+    md.digest().map("%02x".format(_)).mkString
+  }
+
+  private val SigFile = "_graft_model"
+
+  private def writeModelSig(spark: org.apache.spark.sql.SparkSession, dir: String,
+      centroidVecs: Seq[Array[Double]], codebooks: Array[Array[Array[Double]]]): Unit = {
+    val p = new org.apache.hadoop.fs.Path(dir, SigFile)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val out = fs.create(p, true)
+    try out.write(modelSig(centroidVecs, codebooks).getBytes("UTF-8")) finally out.close()
+  }
+
+  /** Throws when `dir` carries a model sidecar that does not match the
+    * supplied model. Indexes written before the sidecar existed (or by
+    * external tools) pass unchecked. */
+  private def requireModelMatch(spark: org.apache.spark.sql.SparkSession, dir: String,
+      centroidVecs: Seq[Array[Double]], codebooks: Array[Array[Array[Double]]],
+      api: String): Unit = {
+    val p = new org.apache.hadoop.fs.Path(dir, SigFile)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(p)) {
+      val in = fs.open(p)
+      val stored = try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim
+        finally in.close()
+      val given = modelSig(centroidVecs, codebooks)
+      require(stored == given,
+        s"$api: index at $dir was built under a different model " +
+          s"(stored $stored, supplied $given) — PQ codes are not portable " +
+          "across models; rebuild with writeIvfPqIndex")
+    }
+  }
 
   /** Incremental maintenance of a [[writeIvfPqIndex]] layout (r11 — the
     * last piece of the production ANN lifecycle): assign + PQ-encode
@@ -1018,9 +1085,11 @@ object Similarity {
       codebooks: Array[Array[Array[Double]]],
       dir: String,
       idC: String = "cid",
-      vecCol: String = "embedding"): Unit =
+      vecCol: String = "embedding"): Unit = {
+    requireModelMatch(newRows.sparkSession, dir, centroidVecs, codebooks, "appendIvfPqIndex")
     encodeForIndex(newRows, centroidVecs, codebooks, idC, vecCol)
       .write.mode("append").partitionBy("centroid_id").parquet(dir)
+  }
 
   /** Shared assign+encode map stage behind the index build AND append —
     * the zero-shuffle [[assignCells]] argmax fused with the PQ encode. */
@@ -1056,6 +1125,8 @@ object Similarity {
       idQ: String = "qid",
       idC: String = "cid",
       vecCol: String = "embedding"): DataFrame = {
+    requireModelMatch(queries.sparkSession, indexDir, centroidVecs, codebooks,
+      "ivfPqTopKIndexed")
     val m = codebooks.length
     val codes = queries.sparkSession.read.parquet(indexDir)
     val qAssigned = assignCells(

@@ -6460,6 +6460,133 @@ object Queries {
       SELECT d1, d2, CAST(bit_count(xor(h1, h2)) AS INTEGER) AS dist
       FROM cand WHERE bit_count(xor(h1, h2)) <= 4 ORDER BY d1, d2"""))
 
+  /** OPQ-style rotated product quantization (Ge et al. 2013, "Optimized
+    * Product Quantization" — the rotate-then-PQ composition; here the
+    * rotation is the offline-trained PCA basis of q94): embeddings are
+    * projected through the baked [[TrainedProjection]] literals (per-row
+    * codegen dots, round-6 — zero shuffles), and the ENTIRE PQ pipeline
+    * (codebooks, encode, ADC, rerank) runs in the 8-dim rotated space
+    * with m=4 two-dim subspaces. Demonstrates that the PQ plane composes
+    * with any upstream linear map at no extra shuffle cost — the encode
+    * fuses rotation + argmin into one map stage. Oracle: q94's projection
+    * CTE (MATERIALIZED — the 64-term inner products must not inline into
+    * the PQ cross joins, the q45 allocator lesson) feeding q204's PQ
+    * chain at m=4, d=2. */
+  val q213_opq_adc: Q = Q(
+    (s, d) => {
+      val emb = table(s, d, "embeddings")
+      def rot(df: org.apache.spark.sql.DataFrame, outId: String) = {
+        val p = Similarity.projectEmbeddings(
+          df, TrainedProjection.comps, TrainedProjection.offsets)
+        p.select(col("vec_id").as(outId),
+          array((0 until TrainedProjection.comps.size).map(j => col(s"p$j")): _*)
+            .as("embedding"))
+      }
+      val c = rot(emb, "cid")
+      val q = rot(emb.filter(col("vec_id") % 50 === 0), "qid")
+      val books = Similarity.pqCodebooks(c, m = 4, ksub = 16)
+      Similarity.pqTopK(q, c, books, k = 10, rerankFactor = 3).orderBy("qid", "rank")
+    },
+    Some {
+      val m = 4; val d = 2
+      val pCols = TrainedProjection.comps.zip(TrainedProjection.offsets).zipWithIndex
+        .map { case ((v, c), j) =>
+          s"ROUND(list_inner_product(v0, [${v.mkString(", ")}]) - ($c), 6)"
+        }.mkString(", ")
+      def sq(mi: Int) = (0 until d).map { di =>
+        val i = mi * d + di + 1
+        s"(c.v[$i] - dn.v[$i]) * (c.v[$i] - dn.v[$i])"
+      }.mkString(" + ")
+      def dot(mi: Int) = (0 until d).map { di =>
+        val i = mi * d + di + 1
+        s"q.v[$i] * dn.v[$i]"
+      }.mkString(" + ")
+      val dCols = (0 until m).map(mi => s"ROUND(${sq(mi)}, 6) AS d$mi").mkString(",\n          ")
+      val tCols = (0 until m).map(mi => s"ROUND(${dot(mi)}, 6) AS t$mi").mkString(",\n          ")
+      val dLists = (0 until m).map(mi => s"list(d$mi ORDER BY j) AS dl$mi").mkString(", ")
+      val tLists = (0 until m).map(mi => s"list(t$mi ORDER BY j) AS tl$mi").mkString(", ")
+      val codeCols = (0 until m).map(mi =>
+        s"CAST(list_position(dl$mi, list_min(dl$mi)) AS INT) AS c$mi").mkString(", ")
+      val adcSum = (0 until m).map(mi => s"l.tl$mi[k.c$mi]").mkString(" + ")
+      s"""WITH emb0 AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v0 FROM embeddings),
+        emb AS MATERIALIZED (SELECT vec_id, [$pCols] AS v FROM emb0),
+        dn AS (SELECT vec_id AS j, v FROM emb WHERE vec_id < 16),
+        encd AS (SELECT c.vec_id AS cid, dn.j,
+          $dCols
+          FROM emb c CROSS JOIN dn),
+        codel AS (SELECT cid, $dLists FROM encd GROUP BY cid),
+        code AS (SELECT cid, $codeCols FROM codel),
+        lutd AS (SELECT q.vec_id AS qid, dn.j,
+          $tCols
+          FROM emb q CROSS JOIN dn WHERE q.vec_id % 50 = 0),
+        lutl AS (SELECT qid, $tLists FROM lutd GROUP BY qid),
+        sc AS (SELECT l.qid, k.cid, $adcSum AS adc FROM lutl l CROSS JOIN code k),
+        s1 AS (SELECT qid, cid, adc,
+                 ROW_NUMBER() OVER (PARTITION BY qid ORDER BY adc DESC, cid ASC) AS r1 FROM sc),
+        surv AS (SELECT qid, cid, adc FROM s1 WHERE r1 <= 30),
+        rr AS (SELECT s.qid, s.cid, s.adc,
+                 ROUND(list_cosine_similarity(q.v, c.v), 6) AS sim_r
+               FROM surv s JOIN emb q ON q.vec_id = s.qid JOIN emb c ON c.vec_id = s.cid),
+        rk AS (SELECT qid, cid, adc, sim_r,
+                 CAST(ROW_NUMBER() OVER (PARTITION BY qid ORDER BY sim_r DESC, cid ASC) AS INTEGER) AS rank FROM rr)
+        SELECT qid, cid, rank, sim_r AS sim, adc FROM rk WHERE rank <= 10 ORDER BY qid, rank"""
+    })
+
+  /** Perceptual AUDIO dedup with a REAL decode (`Multimodal.audioNearDup`
+    * / `MediaCodec.audioFp63`): spec-exact 16-bit PCM mono WAVs (44-byte
+    * canonical RIFF header + 256 little-endian int16 frames) are
+    * synthesized from doc keys, the engine decodes them back to the
+    * known samples (RIFF chunk walk, sign-extended LE16), fingerprints
+    * via 64-window energy sign bits (Haitsma–Kalker family), and bands
+    * into the 5×13-bit Hamming join — the q212 discipline on the audio
+    * modality. Five amplitude variants share each base signal
+    * (doc_id % 100), perturbing samples 0 and 128 (windows 0 and 32), so
+    * true near-dups exist by construction and the two perturbed windows
+    * flip ≤ 4 of the 63 bits. The oracle never decodes: it recomputes
+    * window energies from the SAME integer sample arithmetic and replays
+    * the banding + Hamming relationally. */
+  val q214_audio_neardup: Q = Q(
+    (s, d) => {
+      val docs = table(s, d, "documents")
+      // canonical 44-byte header: RIFF(548) WAVE fmt(PCM,1ch,8kHz,16bit) data(512)
+      val header = "524946462402000057415645666D7420100000000100010040" +
+        "1F0000803E0000020010006461746100020000"
+      // ONE higher-order transform over sequence(0,255) instead of 256
+      // per-sample expression columns: the column-per-sample form was a
+      // ~2,000-node projection that fell out of whole-stage codegen
+      // (7.5 s at sf0.1); the lambda loop keeps the fixture build
+      // codegen'd (0.9 s). Little-endian int16 hex = two's-complement
+      // low 16 bits, byte-swapped.
+      val sample =
+        """((doc_id % 100) * 31 + i * 17) % 2048 - 1024 +
+          |  CASE WHEN i = 0   THEN (doc_id DIV 100) % 5 * 5
+          |       WHEN i = 128 THEN (doc_id DIV 100) % 5 * 7
+          |       ELSE 0 END""".stripMargin
+      val le16 = s"lpad(hex(pmod($sample, 65536)), 4, '0')"
+      val payload = unhex(concat(lit(header), expr(
+        s"""array_join(transform(sequence(0, 255),
+           |  i -> concat(substring($le16, 3, 2), substring($le16, 1, 2))), '')""".stripMargin)))
+      Multimodal.audioNearDup(docs.withColumn("payload", payload), maxDist = 4)
+        .orderBy("d1", "d2")
+    },
+    Some("""WITH sm AS (SELECT doc_id, i,
+          ((doc_id % 100) * 31 + i * 17) % 2048 - 1024 +
+            CASE WHEN i = 0 THEN ((doc_id // 100) % 5) * 5
+                 WHEN i = 128 THEN ((doc_id // 100) % 5) * 7 ELSE 0 END AS s
+        FROM documents, range(0, 256) t(i)),
+      en AS (SELECT doc_id, i // 4 AS w, SUM(s * s) AS e FROM sm GROUP BY doc_id, i // 4),
+      h AS (SELECT a.doc_id,
+          bit_or(CASE WHEN a.e > b.e THEN 1::BIGINT << CAST(a.w AS INTEGER) ELSE 0::BIGINT END) AS fp
+        FROM en a JOIN en b ON b.doc_id = a.doc_id AND b.w = a.w + 1
+        GROUP BY a.doc_id),
+      bands AS (SELECT doc_id, fp, b, (fp >> (13 * b)) & 8191 AS band
+                FROM h, range(0, 5) tb(b)),
+      cand AS (SELECT DISTINCT a.doc_id AS d1, a.fp AS h1, b.doc_id AS d2, b.fp AS h2
+               FROM bands a JOIN bands b
+                 ON a.b = b.b AND a.band = b.band AND a.doc_id < b.doc_id)
+      SELECT d1, d2, CAST(bit_count(xor(h1, h2)) AS INTEGER) AS dist
+      FROM cand WHERE bit_count(xor(h1, h2)) <= 4 ORDER BY d1, d2"""))
+
   // -------------------------------------------------------------- registry
 
   val all: Seq[(String, Q)] = Seq(
@@ -6673,5 +6800,7 @@ object Queries {
     "q209_bucket_cea" -> q209_bucket_cea,
     "q210_ivfpq_indexed" -> q210_ivfpq_indexed,
     "q211_web_ingest" -> q211_web_ingest,
-    "q212_image_neardup" -> q212_image_neardup)
+    "q212_image_neardup" -> q212_image_neardup,
+    "q213_opq_adc" -> q213_opq_adc,
+    "q214_audio_neardup" -> q214_audio_neardup)
 }

@@ -1,0 +1,90 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** `MediaCodec.audioFp63` + `Multimodal.audioNearDup` (r11): the WAV
+  * decode is checked against byte fixtures built independently here
+  * (struct-packed canonical RIFF, not via the reader), and the
+  * fingerprint against a direct recomputation from the known samples. */
+class AudioCodecSpec extends SparkSpec {
+
+  /** Canonical 16-bit PCM WAV bytes: RIFF header + interleaved frames. */
+  private def wav(samples: Array[Short], nCh: Int = 1, rate: Int = 8000): Array[Byte] = {
+    val dataLen = samples.length * 2
+    val bb = java.nio.ByteBuffer.allocate(44 + dataLen)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put("RIFF".getBytes("US-ASCII")).putInt(36 + dataLen)
+      .put("WAVE".getBytes("US-ASCII"))
+      .put("fmt ".getBytes("US-ASCII")).putInt(16)
+      .putShort(1.toShort).putShort(nCh.toShort).putInt(rate)
+      .putInt(rate * nCh * 2).putShort((nCh * 2).toShort).putShort(16.toShort)
+      .put("data".getBytes("US-ASCII")).putInt(dataLen)
+    samples.foreach(bb.putShort)
+    bb.array()
+  }
+
+  /** Independent fingerprint recomputation from mono samples. */
+  private def expectedFp(mono: Array[Long]): Long = {
+    val n = mono.length
+    val e = Array.tabulate(64) { w =>
+      val (f0, f1) = ((w.toLong * n / 64).toInt, ((w + 1).toLong * n / 64).toInt)
+      (f0 until f1).map(i => mono(i) * mono(i)).sum
+    }
+    (0 until 63).foldLeft(0L)((h, i) => if (e(i) > e(i + 1)) h | (1L << i) else h)
+  }
+
+  private def samples(seed: Int): Array[Short] =
+    Array.tabulate(256)(i => (((seed * 31 + i * 17) % 2048) - 1024).toShort)
+
+  test("audioFp63: real decode matches the independent fingerprint; header variants handled") {
+    val s0 = samples(7)
+    val got = MediaCodec.audioFp63(wav(s0))
+    assert(got != null)
+    assert(got.longValue === expectedFp(s0.map(_.toLong)))
+    assert(got.longValue >= 0L, "bit 63 never set")
+    // stereo mono-mixes by integer sum: L = R = s/…  duplicated channels
+    // double every sample, energies scale by 4 uniformly — same bits
+    val stereo = new Array[Short](512)
+    for (i <- 0 until 256) { stereo(2 * i) = s0(i); stereo(2 * i + 1) = s0(i) }
+    assert(MediaCodec.audioFp63(wav(stereo, nCh = 2)).longValue ===
+      expectedFp(s0.map(v => 2L * v)))
+  }
+
+  test("audioFp63: null for non-WAV, non-PCM, and too-short payloads") {
+    assert(MediaCodec.audioFp63(null) == null)
+    assert(MediaCodec.audioFp63(Array.fill[Byte](100)(1)) == null)
+    assert(MediaCodec.audioFp63("RIFF1234WAVE".getBytes("US-ASCII")) == null)
+    // 32 frames < 64 windows
+    assert(MediaCodec.audioFp63(wav(samples(7).take(32))) == null)
+    // float PCM (format 3) rejected
+    val w = wav(samples(7)); w(20) = 3
+    assert(MediaCodec.audioFp63(w) == null)
+  }
+
+  test("audioNearDup: perturbed variant pairs with the base, engine == independent replay") {
+    val s = spark
+    import s.implicits._
+    val base = samples(7)
+    val variant = base.clone(); variant(0) = (variant(0) + 9).toShort // window 0 only
+    val other = samples(50)
+    val sigs = Map(1L -> base, 2L -> variant, 3L -> other)
+    val df = (sigs.toSeq.map { case (id, x) => (id, wav(x)) } :+
+      ((4L, Array.fill[Byte](64)(0)))) // undecodable drops out
+      .toDF("doc_id", "payload")
+    val got = Multimodal.audioNearDup(df, maxDist = 4).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    // independent replay: fingerprints from the raw samples, the same
+    // 5x13 banding, exact Hamming <= 4
+    val fp = sigs.map { case (id, x) => id -> expectedFp(x.map(_.toLong)) }
+    def share(a: Long, b: Long) =
+      (0 until 5).exists(k => ((a >>> (13 * k)) & 0x1FFF) == ((b >>> (13 * k)) & 0x1FFF))
+    val expected = (for {
+      (i, fi) <- fp; (j, fj) <- fp if i < j && share(fi, fj)
+      dist = java.lang.Long.bitCount(fi ^ fj) if dist <= 4
+    } yield (i, j, dist)).toSet
+    assert(got === expected)
+    assert(got.exists(p => p._1 == 1L && p._2 == 2L && p._3 <= 1),
+      "one perturbed window flips at most bit 0 — the pair must surface")
+  }
+}

@@ -42,6 +42,28 @@ class IvfPqMaintSpec extends SparkSpec {
     assert(inc.exists(_._2 % 3 == 0), "appended rows must be retrievable")
   }
 
+  test("model-mismatch guard: append/serve under a different model fails loudly") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val c = emb.select(col("vec_id").as("cid"), col("embedding"))
+    val books = Similarity.pqCodebooks(c, m = 8, ksub = 16)
+    val ctr = graft.queries.TrainedCentroids.sf001k8
+    val dir = java.nio.file.Files.createTempDirectory("ivfpq_sig").toString
+    Similarity.writeIvfPqIndex(c, ctr, books, dir)
+    // a "retrained" model: one codebook entry nudged
+    val books2 = books.map(_.map(_.clone)); books2(0)(0)(0) += 0.25
+    val q = emb.limit(1).select(col("vec_id").as("qid"), col("embedding"))
+    val e1 = intercept[IllegalArgumentException] {
+      Similarity.appendIvfPqIndex(c.limit(1), ctr, books2, dir)
+    }
+    assert(e1.getMessage.contains("different model"))
+    val e2 = intercept[IllegalArgumentException] {
+      Similarity.ivfPqTopKIndexed(q, dir, c, ctr, books2, k = 1)
+    }
+    assert(e2.getMessage.contains("different model"))
+    // the matching model still serves
+    assert(Similarity.ivfPqTopKIndexed(q, dir, c, ctr, books, k = 1).count() === 1)
+  }
+
   test("annServe serves across an index refresh: appended rows retrievable next batch") {
     val s = spark
     import s.implicits._
