@@ -518,6 +518,145 @@ object Dedup {
       .drop("_fp")
   }
 
+  // ---------------------------------------- persisted MinHash index (r11)
+
+  /** One banded-signature row per (doc, band): (outId, band_idx, band,
+    * h1..hk) — the band key for the candidate equi-join plus the FULL
+    * signature, so a probe can score the MinHash Jaccard estimate
+    * (matches/numHashes) without ever touching reference text. */
+  private def minhashIndexRows(
+      docs: DataFrame, textCol: String, idCol: String, outId: String,
+      numHashes: Int, rowsPerBand: Int, shingleN: Int): DataFrame = {
+    val sig = signature(words(docs, textCol, idCol, shingleN), idCol, numHashes)
+    val nBands = numHashes / rowsPerBand
+    val bandStructs = (0 until nBands).map { b =>
+      val hs = (1 to rowsPerBand).map(r => col(s"h${b * rowsPerBand + r}").cast("string"))
+      struct(lit(b).as("band_idx"), concat_ws("_", hs: _*).as("band"))
+    }
+    sig
+      .select(col(idCol).as(outId) +: explode(array(bandStructs: _*)).as("_b") +:
+        (1 to numHashes).map(i => col(s"h$i")): _*)
+      .withColumn("band_idx", col("_b.band_idx"))
+      .withColumn("band", col("_b.band"))
+      .drop("_b")
+  }
+
+  private val MinhashParamsFile = "_graft_minhash_params"
+
+  private def minhashParams(numHashes: Int, rowsPerBand: Int, shingleN: Int): String =
+    s"numHashes=$numHashes rowsPerBand=$rowsPerBand shingleN=$shingleN"
+
+  private def writeSidecar(df: DataFrame, dir: String, content: String): Unit = {
+    val p = new org.apache.hadoop.fs.Path(dir, MinhashParamsFile)
+    val fs = p.getFileSystem(df.sparkSession.sparkContext.hadoopConfiguration)
+    val out = fs.create(p, true)
+    try out.write(content.getBytes("UTF-8")) finally out.close()
+  }
+
+  private def requireSidecarMatch(df: DataFrame, dir: String, expected: String,
+      api: String): Unit = {
+    val p = new org.apache.hadoop.fs.Path(dir, MinhashParamsFile)
+    val fs = p.getFileSystem(df.sparkSession.sparkContext.hadoopConfiguration)
+    if (fs.exists(p)) {
+      val in = fs.open(p)
+      val stored = try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim
+        finally in.close()
+      require(stored == expected,
+        s"$api: index at $dir was built under different MinHash parameters " +
+          s"(stored '$stored', supplied '$expected') — signatures are not " +
+          "comparable across parameter sets; rebuild with writeMinhashIndex")
+    }
+  }
+
+  /** Materialize the banded MinHash signature index ONCE as a parquet
+    * layout partitioned by `band_idx` — the build-once/probe-many form
+    * of [[minhashLsh]]'s reference side for INCREMENTAL corpus dedup
+    * (the `writeIvfPqIndex` lifecycle on the dedup plane). The index
+    * stores one slim row per (doc, band): the band key plus the k-long
+    * signature — never text — so a 100 TB reference corpus reduces to
+    * numHashes longs per doc and probing never rescans it. A parameter
+    * sidecar makes probe/append under different MinHash parameters fail
+    * loudly (signatures are not comparable across parameter sets). */
+  def writeMinhashIndex(
+      docs: DataFrame,
+      dir: String,
+      textCol: String = "text",
+      idCol: String = "doc_id",
+      numHashes: Int = 8,
+      rowsPerBand: Int = 2,
+      shingleN: Int = 2): Unit = {
+    require(numHashes % rowsPerBand == 0, "numHashes must be divisible by rowsPerBand")
+    minhashIndexRows(docs, textCol, idCol, "ref_id", numHashes, rowsPerBand, shingleN)
+      .write.mode("overwrite").partitionBy("band_idx").parquet(dir)
+    writeSidecar(docs, dir, minhashParams(numHashes, rowsPerBand, shingleN))
+  }
+
+  /** Incremental maintenance: append new (already-deduplicated) docs'
+    * banded signature rows into the index. Rows are independent, so
+    * append ≡ rebuild (MinhashIndexSpec); the parameter sidecar guards
+    * against appending under a different hash family. */
+  def appendMinhashIndex(
+      newDocs: DataFrame,
+      dir: String,
+      textCol: String = "text",
+      idCol: String = "doc_id",
+      numHashes: Int = 8,
+      rowsPerBand: Int = 2,
+      shingleN: Int = 2): Unit = {
+    requireSidecarMatch(newDocs, dir, minhashParams(numHashes, rowsPerBand, shingleN),
+      "appendMinhashIndex")
+    minhashIndexRows(newDocs, textCol, idCol, "ref_id", numHashes, rowsPerBand, shingleN)
+      .write.mode("append").partitionBy("band_idx").parquet(dir)
+  }
+
+  /** Near-dup dedup of an ingest batch AGAINST the persisted index —
+    * the incremental twin of [[minhashLsh]] (which is all-pairs within
+    * one corpus): the batch's banded signatures join the index on
+    * (band_idx, band), every candidate pair scores the MinHash Jaccard
+    * ESTIMATE `matches/numHashes` from the two stored signatures (the
+    * [[minhashAccuracy]] estimator — reference TEXT is never read, the
+    * decisive property at 100 TB), and a batch doc is kept iff no
+    * reference doc matches ≥ `minMatches` hash positions.
+    *
+    * Output: every `incoming` row plus `keep` (no near-dup in the
+    * reference), `dup_of` (smallest matching reference id; null when
+    * kept) and `n_ref_dups` (distinct matching reference docs). The
+    * batch side is broadcast (ingest batches are small by contract —
+    * for corpus-scale incoming, union and re-run [[minhashLsh]]); the
+    * index side therefore never shuffles: the probe is a map-side join
+    * over the band partitions. */
+  def dedupAgainstMinhashIndex(
+      incoming: DataFrame,
+      dir: String,
+      textCol: String = "text",
+      idCol: String = "doc_id",
+      numHashes: Int = 8,
+      rowsPerBand: Int = 2,
+      shingleN: Int = 2,
+      minMatches: Int = 4): DataFrame = {
+    requireSidecarMatch(incoming, dir, minhashParams(numHashes, rowsPerBand, shingleN),
+      "dedupAgainstMinhashIndex")
+    val idx = incoming.sparkSession.read.parquet(dir)
+    val inRows = minhashIndexRows(
+        incoming, textCol, idCol, "new_id", numHashes, rowsPerBand, shingleN)
+      .select(col("new_id") +: col("band_idx") +: col("band") +:
+        (1 to numHashes).map(i => col(s"h$i").as(s"nh$i")): _*)
+    val matches = (1 to numHashes)
+      .map(i => when(col(s"nh$i") === col(s"h$i"), 1).otherwise(0))
+      .reduce(_ + _)
+    val matched = broadcast(inRows).join(idx, Seq("band_idx", "band"))
+      .select(col("new_id"), col("ref_id"), matches.as("matches"))
+      .distinct()
+      .filter(col("matches") >= minMatches)
+      .groupBy("new_id")
+      .agg(min("ref_id").as("dup_of"), countDistinct("ref_id").as("n_ref_dups"))
+    incoming
+      .join(matched, incoming(idCol) === matched("new_id"), "left")
+      .withColumn("keep", col("dup_of").isNull)
+      .withColumn("n_ref_dups", coalesce(col("n_ref_dups"), lit(0L)))
+      .drop("new_id")
+  }
+
   /** SimHash bit width: 60 bits = 15 hex chars of md5 — fits a positive
     * signed 64-bit integer in ANY engine (no unsigned-shift tricks), so a
     * SQL oracle can replay the hash via a plain hex cast. */

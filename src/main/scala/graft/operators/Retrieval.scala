@@ -112,12 +112,16 @@ object Retrieval {
     *   - scoring: term-keyed equi-join (hash-partitioned by term — hot
     *     stopword-ish terms pre-reduce map-side and AQE splits residual
     *     skew), per-(qid, doc) sum of round-6 MICRO term scores (integer,
-    *     addition-order-free across engines), top-`k` per qid by window.
+    *     addition-order-free across engines), top-`k` per qid on the
+    *     bounded-memory TopKNearest heap (r11 — window-identical order
+    *     incl. tiebreaks; ≤ k rows per query cross the qid exchange and
+    *     the scored pair table is never sorted).
     *
     * Shuffles: corpus (doc,term) aggregate, term join, (qid,doc) sum,
-    * per-qid rank — each keyed by uniform-cardinality keys. Nothing is
+    * per-qid heap — each keyed by uniform-cardinality keys. Nothing is
     * ever all-pairs; the join volume is Σ_term df(term)·qf(term), the
-    * true inverted-index cost. */
+    * true inverted-index cost. Doc ids must be integral (the heap keys
+    * on a long). */
   def bm25Batch(
       queries: DataFrame,
       corpus: DataFrame,
@@ -146,7 +150,6 @@ object Retrieval {
     val den = lit(k1) * (lit(1 - b) + lit(b) * col("dl").cast("double") / col("avgdl"))
     val termMicro =
       round(round(idf * (tfD * lit(k1 + 1)) / (tfD + den), 6) * 1e6).cast("long")
-    val w = Window.partitionBy(qidCol).orderBy(col("score").desc, col(idCol).asc)
     // score each (doc, term) posting ONCE, before the query join: the
     // join fan-out is Σ df·qf rows and only (qid, doc, micro) needs to
     // cross it — not a transcendental evaluation per joined row
@@ -163,13 +166,29 @@ object Retrieval {
       .withColumn("_m", termMicro)
       .select(col(idCol), col("term"), col("_m"))
       .repartition(ct.sparkSession.sparkContext.defaultParallelism)
+    // per-query top-k on the bounded-memory TopKNearest heap (r11 —
+    // replaces the rank window, the same swap the ANN plane made in r10):
+    // heap order asc (-score, doc) == the window's (score desc, doc asc)
+    // including tiebreaks, posexplode position + 1 == row_number, and the
+    // partial phase ships <= k rows per query into the qid exchange — the
+    // full (qid, doc) score table is never sorted. n_terms rides as an
+    // exact double payload (counts << 2^53).
     qt.join(scored, "term")
       .groupBy(col(qidCol), col(idCol))
       .agg(sum("_m").as("_sm"), count(lit(1)).as("n_terms"))
       .withColumn("score", col("_sm").cast("double") / lit(1e6))
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select(col(qidCol), col(idCol), col("rank"), col("n_terms"), col("score"))
+      .groupBy(qidCol)
+      .agg(graft.functions.TopKNearest.topkNearest(
+        struct((-col("score")).as("dist2"),
+          col(idCol).cast("long").as("src_id"),
+          col("n_terms").cast("double").as("n_terms"),
+          col("score").as("score")),
+        k, payload = Seq("n_terms", "score")).as("_top"))
+      .select(col(qidCol), posexplode(col("_top")).as(Seq("_i", "_t")))
+      .select(col(qidCol), col("_t.src_id").as(idCol),
+        (col("_i") + 1).cast("int").as("rank"),
+        col("_t.n_terms").cast("long").as("n_terms"),
+        col("_t.score").as("score"))
   }
 
   /** Reciprocal-rank fusion (Cormack et al., SIGIR 2009) of any number of

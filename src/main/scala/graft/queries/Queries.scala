@@ -720,6 +720,20 @@ object Queries {
 
   /** DuckDB n-gram list: word n-grams of `w` via `list_transform` over a
     * 1-based `range` (end-exclusive), mirroring `TextAnalysis.gramsSql`. */
+  /** Content signature of a source parquet (every file's name/size/mtime
+    * folded) — cache keys for per-sf-dir build artifacts (q210's IVF-PQ
+    * index, q215's MinHash index): a regenerated dataset at the same
+    * path gets a FRESH index instead of silently serving stale rows
+    * (r10 advice). */
+  private def srcContentSig(d: String, file: String): String = {
+    def walk(f: java.io.File): Long =
+      if (f.isDirectory) f.listFiles().sortBy(_.getName).foldLeft(f.getName.hashCode.toLong) {
+        (acc, ch) => acc * 1000003L + walk(ch)
+      }
+      else f.getName.hashCode.toLong * 31L + f.length * 31L + f.lastModified
+    java.lang.Long.toHexString(walk(new java.io.File(d, file)))
+  }
+
   private def duckGrams(n: Int): String = {
     val parts = (0 until n).map(j => s"w[i + $j]").mkString(" || ' ' || ")
     s"list_transform(range(1, len(w) - ${n - 2}), i -> $parts)"
@@ -6301,19 +6315,8 @@ object Queries {
       val q = emb.filter(col("vec_id") % 50 === 0)
         .select(col("vec_id").as("qid"), col("embedding"))
       val books = Similarity.pqCodebooks(c, m = 8, ksub = 16)
-      // cache key includes a content signature of the source parquet
-      // (every file's name/size/mtime folded) — a regenerated dataset at
-      // the same path gets a FRESH index instead of silently serving
-      // stale codes (r10 advice)
-      val srcSig = {
-        def walk(f: java.io.File): Long =
-          if (f.isDirectory) f.listFiles().sortBy(_.getName).foldLeft(f.getName.hashCode.toLong) {
-            (acc, ch) => acc * 1000003L + walk(ch)
-          }
-          else f.getName.hashCode.toLong * 31L + f.length * 31L + f.lastModified
-        java.lang.Long.toHexString(walk(new java.io.File(d, "embeddings.parquet")))
-      }
-      val idx = s"target/tmp/ivfpq_index_${new java.io.File(d).getName}_$srcSig"
+      val idx = s"target/tmp/ivfpq_index_${new java.io.File(d).getName}_" +
+        srcContentSig(d, "embeddings.parquet")
       if (!new java.io.File(s"$idx/_SUCCESS").exists())
         Similarity.writeIvfPqIndex(c, TrainedCentroids.sf001k8, books, idx)
       Similarity.ivfPqTopKIndexed(q, idx, c, TrainedCentroids.sf001k8, books,
@@ -6587,6 +6590,57 @@ object Queries {
       SELECT d1, d2, CAST(bit_count(xor(h1, h2)) AS INTEGER) AS dist
       FROM cand WHERE bit_count(xor(h1, h2)) <= 4 ORDER BY d1, d2"""))
 
+  /** Incremental dedup against the PERSISTED MinHash index
+    * (`Dedup.writeMinhashIndex` + `dedupAgainstMinhashIndex`): the even
+    * half of the corpus becomes the reference index (banded signature
+    * rows, built once per sf dir — the q210 build-once discipline), the
+    * odd half is the "ingest batch" deduplicated against it by the
+    * signature-estimate decision (matches ≥ 4 of 8 ⟺ est ≥ 0.5) — the
+    * reference TEXT is never read at probe time. The oracle replays the
+    * whole lifecycle relationally: same md5 hash family, same 4×2
+    * banding, same integer match count and keep rule. */
+  val q215_minhash_index: Q = Q(
+    (s, d) => {
+      val docs = table(s, d, "documents")
+      val idx = s"target/tmp/minhash_index_${new java.io.File(d).getName}_" +
+        srcContentSig(d, "documents.parquet")
+      if (!new java.io.File(s"$idx/_SUCCESS").exists())
+        Dedup.writeMinhashIndex(docs.filter(col("doc_id") % 2 === 0), idx)
+      Dedup.dedupAgainstMinhashIndex(docs.filter(col("doc_id") % 2 === 1), idx)
+        .select(col("doc_id"), col("keep"), col("dup_of"), col("n_ref_dups"))
+        .orderBy("doc_id")
+    },
+    Some {
+      val sigs = (1 to 8)
+        .map(i => "list_min(list_transform(bgs, x -> " +
+          s"CAST('0x' || substr(md5(x || '#$i'), 1, 15) AS BIGINT))) AS h$i")
+        .mkString(", ")
+      val matches = (1 to 8)
+        .map(i => s"(CASE WHEN s1.h$i = s2.h$i THEN 1 ELSE 0 END)").mkString(" + ")
+      s"""WITH bg AS (SELECT doc_id, list_distinct(${duckGrams(2)}) AS bgs
+          FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents)),
+        sig AS MATERIALIZED (SELECT doc_id, $sigs FROM bg),
+        bands AS (
+          SELECT doc_id, 0 AS band_idx, CAST(h1 AS VARCHAR) || '_' || CAST(h2 AS VARCHAR) AS band FROM sig
+          UNION ALL SELECT doc_id, 1 AS band_idx, CAST(h3 AS VARCHAR) || '_' || CAST(h4 AS VARCHAR) AS band FROM sig
+          UNION ALL SELECT doc_id, 2 AS band_idx, CAST(h5 AS VARCHAR) || '_' || CAST(h6 AS VARCHAR) AS band FROM sig
+          UNION ALL SELECT doc_id, 3 AS band_idx, CAST(h7 AS VARCHAR) || '_' || CAST(h8 AS VARCHAR) AS band FROM sig),
+        cand AS (SELECT DISTINCT a.doc_id AS new_id, b.doc_id AS ref_id
+                 FROM bands a JOIN bands b
+                   ON a.band_idx = b.band_idx AND a.band = b.band
+                 WHERE a.doc_id % 2 = 1 AND b.doc_id % 2 = 0),
+        m AS (SELECT c.new_id, c.ref_id, $matches AS matches
+              FROM cand c JOIN sig s1 ON s1.doc_id = c.new_id
+                          JOIN sig s2 ON s2.doc_id = c.ref_id),
+        mm AS (SELECT new_id, MIN(ref_id) AS dup_of,
+                 CAST(COUNT(DISTINCT ref_id) AS BIGINT) AS n_ref_dups
+               FROM m WHERE matches >= 4 GROUP BY new_id)
+        SELECT d.doc_id, mm.new_id IS NULL AS keep, mm.dup_of,
+          COALESCE(mm.n_ref_dups, 0) AS n_ref_dups
+        FROM documents d LEFT JOIN mm ON mm.new_id = d.doc_id
+        WHERE d.doc_id % 2 = 1 ORDER BY d.doc_id"""
+    })
+
   // -------------------------------------------------------------- registry
 
   val all: Seq[(String, Q)] = Seq(
@@ -6802,5 +6856,6 @@ object Queries {
     "q211_web_ingest" -> q211_web_ingest,
     "q212_image_neardup" -> q212_image_neardup,
     "q213_opq_adc" -> q213_opq_adc,
-    "q214_audio_neardup" -> q214_audio_neardup)
+    "q214_audio_neardup" -> q214_audio_neardup,
+    "q215_minhash_index" -> q215_minhash_index)
 }

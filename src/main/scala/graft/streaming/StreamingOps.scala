@@ -512,4 +512,34 @@ object StreamingOps {
           k, nProbe, rerankFactor))
       }
       .start()
+
+  /** Streaming ingest dedup against the PERSISTED MinHash index
+    * (`Dedup.writeMinhashIndex` layout — r11): each micro-batch of
+    * incoming docs runs `Dedup.dedupAgainstMinhashIndex` as a batch
+    * against the static banded-signature files, and `sink` receives the
+    * batch rows with (keep, dup_of, n_ref_dups). The [[annServe]]
+    * serving shape, on the dedup plane: a batch's dedup decision is
+    * complete the moment it arrives (it compares against the REFERENCE,
+    * not against other in-flight batches), state stays EMPTY, and an
+    * `appendMinhashIndex` refresh between batches is picked up on the
+    * next micro-batch with zero restart. To also dedup new batches
+    * against EACH OTHER, have `sink` append each batch's survivors to
+    * the index (the incremental-corpus loop) — or use [[dedupStream]]
+    * for the watermarked exact-within-stream gate. */
+  def dedupServe(
+      docStream: DataFrame,
+      indexDir: String,
+      textCol: String = "text",
+      idCol: String = "doc_id",
+      numHashes: Int = 8,
+      rowsPerBand: Int = 2,
+      shingleN: Int = 2,
+      minMatches: Int = 4)(
+      sink: DataFrame => Unit): org.apache.spark.sql.streaming.StreamingQuery =
+    docStream.writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        sink(graft.operators.Dedup.dedupAgainstMinhashIndex(
+          batch, indexDir, textCol, idCol, numHashes, rowsPerBand, shingleN, minMatches))
+      }
+      .start()
 }

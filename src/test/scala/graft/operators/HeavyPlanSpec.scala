@@ -40,11 +40,18 @@ class HeavyPlanSpec extends SparkSpec {
     assert(count(p, "Scan ExistingRDD") >= 1)
   }
 
-  test("q81 batch BM25: top-k via WindowGroupLimit, no global sort of the corpus") {
+  test("q81 batch BM25: top-k on the heap aggregate, no global sort of the corpus") {
     val df = Queries.q81_bm25_batch.build(spark, sf)
     val p = df.queryExecution.executedPlan.toString
-    assert(count(p, "WindowGroupLimit") >= 1,
-      s"per-query top-k must plan as WindowGroupLimit:\n${p.take(1500)}")
+    // r11: the per-qid rank window became the TopKNearest heap aggregate
+    // (map-side combine; <= k rows per query cross the qid exchange)
+    assert(count(p, "ObjectHashAggregate") >= 2,
+      s"per-query top-k must plan as the bounded-memory heap aggregate:\n${p.take(1500)}")
+    // the one window left is the per-term df over the posting table (the
+    // q70 discipline) — the per-qid RANK window (WindowGroupLimit) is gone
+    assert(count(p, "WindowGroupLimit") === 0,
+      s"no rank window left in batch BM25:\n${p.take(1500)}")
+    assert(count(p, "Window \\[") === 1, s"only the df window:\n${p.take(1500)}")
     assert(df.count() > 0)
   }
 
@@ -86,11 +93,11 @@ class HeavyPlanSpec extends SparkSpec {
       "LSH candidates come from the band equi-join, never all-pairs")
   }
 
-  test("q90 RRF fusion: per-query top-k is WindowGroupLimit; only the two documented bounded cross joins") {
+  test("q90 RRF fusion: retrieval top-k on the heap aggregate; only the two documented bounded cross joins") {
     val df = Queries.q90_hybrid_rrf.build(spark, sf)
     val p = df.queryExecution.executedPlan.toString
-    assert(count(p, "WindowGroupLimit") >= 1,
-      s"rank depth must push into a group limit:\n${p.take(1500)}")
+    assert(count(p, "ObjectHashAggregate") >= 2,
+      s"retrieval top-k must plan as the bounded-memory heap aggregate:\n${p.take(1500)}")
     assert(count(p, "CartesianProduct") === 0)
     // dense brute-force + sparse scoring: both broadcast the 1%-sampled
     // query side — anything beyond these two is an unintended cartesian

@@ -1,0 +1,52 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Persisted MinHash index lifecycle (r11): append must be
+  * indistinguishable from rebuild (rows are independent), the parameter
+  * sidecar must reject probes/appends under a different hash family,
+  * and the index decision must agree with an in-memory recomputation of
+  * the same estimator. */
+class MinhashIndexSpec extends SparkSpec {
+
+  private def docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+
+  private def key(r: org.apache.spark.sql.Row) =
+    (r.getLong(0), r.getBoolean(1), Option(r.get(2)).map(_.toString), r.getLong(3))
+
+  private def probe(incoming: org.apache.spark.sql.DataFrame, dir: String) =
+    Dedup.dedupAgainstMinhashIndex(incoming, dir)
+      .select(col("doc_id"), col("keep"), col("dup_of"), col("n_ref_dups"))
+      .collect().map(key).toSet
+
+  test("appendMinhashIndex: post-append probe == rebuilt-index probe") {
+    val ref = docs.filter(col("doc_id") % 2 === 0)
+    val incoming = docs.filter(col("doc_id") % 2 === 1)
+    val refA = ref.filter(col("doc_id") % 4 === 0)
+    val refB = ref.filter(col("doc_id") % 4 === 2)
+
+    val incDir = java.nio.file.Files.createTempDirectory("mh_inc").toString
+    Dedup.writeMinhashIndex(refA, incDir)
+    Dedup.appendMinhashIndex(refB, incDir)
+    val fullDir = java.nio.file.Files.createTempDirectory("mh_full").toString
+    Dedup.writeMinhashIndex(ref, fullDir)
+
+    val (inc, full) = (probe(incoming, incDir), probe(incoming, fullDir))
+    assert(inc.nonEmpty && inc === full)
+    assert(inc.exists(!_._2), "some near-dup must actually be caught")
+    assert(inc.exists(_._2), "and some doc must survive")
+  }
+
+  test("parameter sidecar rejects a different hash family") {
+    val dir = java.nio.file.Files.createTempDirectory("mh_params").toString
+    Dedup.writeMinhashIndex(docs.limit(50), dir, numHashes = 8, rowsPerBand = 2)
+    val e = intercept[IllegalArgumentException] {
+      Dedup.dedupAgainstMinhashIndex(docs.limit(10), dir, numHashes = 8, rowsPerBand = 4)
+    }
+    assert(e.getMessage.contains("different MinHash parameters"))
+    intercept[IllegalArgumentException] {
+      Dedup.appendMinhashIndex(docs.limit(10), dir, shingleN = 1)
+    }
+  }
+}
