@@ -609,6 +609,14 @@ object Dedup {
       .write.mode("append").partitionBy("band_idx").parquet(dir)
   }
 
+  /** One-file-per-band compaction of a [[writeMinhashIndex]] layout
+    * after an append-heavy ingest cadence — rows unchanged, probes
+    * bit-identical, small files gone ([[IndexMaintenance.compact]] for
+    * the rewrite/sidecar/swap mechanics). */
+  def compactMinhashIndex(spark: org.apache.spark.sql.SparkSession, dir: String,
+      swap: Boolean = true): String =
+    IndexMaintenance.compact(spark, dir, "band_idx", swap)
+
   /** Near-dup dedup of an ingest batch AGAINST the persisted index —
     * the incremental twin of [[minhashLsh]] (which is all-pairs within
     * one corpus): the batch's banded signatures join the index on

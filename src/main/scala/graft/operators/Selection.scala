@@ -629,6 +629,42 @@ object Selection {
       .withColumn("split", split)
   }
 
+  /** Cluster-aware leakage-safe split: [[splitByContent]]'s guarantee
+    * extended from byte-identical duplicates to NEAR-duplicates — every
+    * connected near-dup component lands wholly in one split, closing the
+    * leakage hole splitByContent still has (a lightly-edited re-crawl
+    * hashes to a different content fingerprint and can land its copy in
+    * eval while the original trains). `pairs` are (d1, d2) near-dup
+    * edges from any candidate generator ([[Dedup.ngramJaccard]],
+    * [[Dedup.minhashLsh]], [[Dedup.simhashNearDup]]); labels come from
+    * [[Dedup.connectedComponents]] (checkpointed hop+jump propagation,
+    * O(log diameter) rounds), singletons label as themselves, and the
+    * (0,1) draw hashes the CLUSTER label with the library's
+    * mantissa-exact uniform — every member computes the same u with no
+    * cross-member coordination, so the assignment adds ONE label
+    * equi-join beyond the pair generator's own cost and the draw itself
+    * is a zero-shuffle map. Output: docs + `cluster_id` + `split`. */
+  def splitByCluster(
+      docs: DataFrame,
+      pairs: DataFrame,
+      cuts: Seq[(String, Double)] = Seq("train" -> 0.8, "valid" -> 0.9, "test" -> 1.0),
+      idCol: String = "doc_id",
+      maxIters: Int = 20): DataFrame = {
+    require(cuts.nonEmpty && cuts.last._2 >= 1.0, "last cut must cover 1.0")
+    val cc = Dedup.connectedComponents(pairs, maxIters)
+      .select(col("id").as(idCol), col("cluster_id").as("_cc"))
+    val mantissa = 4503599627370496L // 2^52
+    val u = (md5Long(col("cluster_id").cast("string")) % mantissa + lit(1L)).cast("double") /
+      lit(mantissa + 1L).cast("double")
+    val split = cuts.init.foldRight(lit(cuts.last._1): Column) { case ((name, cut), rest) =>
+      when(u < cut, name).otherwise(rest)
+    }
+    docs.join(cc, Seq(idCol), "left")
+      .withColumn("cluster_id", coalesce(col("_cc"), col(idCol)))
+      .drop("_cc")
+      .withColumn("split", split)
+  }
+
   /** Per-group least-squares trend (slope, intercept, r) of an integer
     * signal over an integer axis — drift/trend detection per user,
     * source, or shard. Same exact-decimal-moment discipline as

@@ -311,6 +311,39 @@ object Similarity {
       k, idQ, idC, "sim_r")
   }
 
+  /** Radius (range) similarity search over the IVF cells: every
+    * (query, candidate) pair with round-6 cosine >= `minSim` among the
+    * candidates in the query's `nProbe` nearest cells — the RANGE twin
+    * of [[ivfTopKWith]] (top-k asks "the k nearest"; range asks
+    * "everything at least this similar": near-dup sweeps, contamination
+    * scans, recall-bounded retrieval). Both assignments are the
+    * zero-shuffle literal argmax ([[assignCells]]); the only shuffle is
+    * the centroid_id probe equi-join, the range predicate filters
+    * INSIDE the joined cell stream, and — unlike top-k — there is no
+    * per-query state at all, so the output is bounded by the probed
+    * cells' true match count. Approximation contract is exactly
+    * [[ivfTopKWith]]'s: a true match whose cell goes unprobed is
+    * missed; raising nProbe is recall-monotone. Output: (qid, cid,
+    * sim), one row per in-range pair. */
+  def ivfRangeSearch(
+      queries: DataFrame,
+      candidates: DataFrame,
+      centroidVecs: Seq[Array[Double]],
+      minSim: Double,
+      nProbe: Int = 4,
+      idQ: String = "qid",
+      idC: String = "cid",
+      vecCol: String = "embedding"): DataFrame = {
+    val cAssigned = assignCells(
+      candidates.select(col(idC), col(vecCol).as("_cv")), centroidVecs, "_cv", 1)
+    val qAssigned = assignCells(
+      queries.select(col(idQ), col(vecCol).as("_qv")), centroidVecs, "_qv", nProbe)
+    qAssigned.join(cAssigned, "centroid_id")
+      .withColumn("sim", round(cosineSimilarity(col("_qv"), col("_cv")), 6))
+      .filter(col("sim") >= minSim)
+      .select(col(idQ), col(idC), col("sim"))
+  }
+
   /** SemDeDup-style semantic deduplication (Abbas et al. 2023,
     * arXiv:2303.09540): partition the embedding space with a trained
     * centroid model (assignment = the same per-row codegen argmax as
@@ -1090,6 +1123,14 @@ object Similarity {
     encodeForIndex(newRows, centroidVecs, codebooks, idC, vecCol)
       .write.mode("append").partitionBy("centroid_id").parquet(dir)
   }
+
+  /** One-file-per-cell compaction of a [[writeIvfPqIndex]] layout after
+    * an append-heavy ingest cadence — rows unchanged, probes
+    * bit-identical, small files gone ([[IndexMaintenance.compact]] for
+    * the rewrite/sidecar/swap mechanics). */
+  def compactIvfPqIndex(spark: org.apache.spark.sql.SparkSession, dir: String,
+      swap: Boolean = true): String =
+    IndexMaintenance.compact(spark, dir, "centroid_id", swap)
 
   /** Shared assign+encode map stage behind the index build AND append —
     * the zero-shuffle [[assignCells]] argmax fused with the PQ encode. */

@@ -6641,6 +6641,78 @@ object Queries {
         WHERE d.doc_id % 2 = 1 ORDER BY d.doc_id"""
     })
 
+  /** Cluster-aware leakage-safe split (`Selection.splitByCluster`):
+    * q102's content-hash split closes the exact-duplicate leakage hole;
+    * this closes the NEAR-duplicate one — q64's Jaccard components give
+    * the clusters, the train/valid/test draw hashes the CLUSTER label,
+    * so no near-dup pair can straddle train/eval. Oracle: q64's
+    * recursive-CTE components feeding q102's mantissa-exact uniform,
+    * keyed on the cluster id instead of the content hash. */
+  val q216_cluster_split: Q = Q(
+    (s, d) => {
+      val docs = table(s, d, "documents")
+      val pairs = Dedup.ngramJaccard(docs, Seq("lang", "n_chars")).select("d1", "d2")
+      Selection.splitByCluster(docs, pairs)
+        .select("doc_id", "cluster_id", "split")
+        .orderBy("doc_id")
+    },
+    Some(s"""WITH RECURSIVE $blockedJaccardPairsSql,
+      pairs AS MATERIALIZED (SELECT d1, d2 FROM v
+                WHERE CAST(i AS DOUBLE) / CAST(sz1 + sz2 - i AS DOUBLE) >= 0.3),
+      verts(id) AS (SELECT d1 FROM pairs UNION SELECT d2 FROM pairs),
+      edges AS (SELECT d1 AS src, d2 AS dst FROM pairs
+                UNION ALL SELECT d2 AS src, d1 AS dst FROM pairs),
+      walk(id, label) AS (
+        SELECT id, id FROM verts
+        UNION
+        SELECT e.src, w.label FROM edges e JOIN walk w ON w.id = e.dst),
+      lab AS (SELECT id, MIN(label) AS cluster_id FROM walk GROUP BY id),
+      cl AS (SELECT d.doc_id, COALESCE(l.cluster_id, d.doc_id) AS cluster_id
+             FROM documents d LEFT JOIN lab l ON l.id = d.doc_id),
+      sp AS (SELECT doc_id, cluster_id,
+          CAST((CAST('0x' || substr(md5(CAST(cluster_id AS VARCHAR)), 1, 15) AS BIGINT)
+            % 4503599627370496 + 1) AS DOUBLE) / 4503599627370497 AS u
+        FROM cl)
+      SELECT doc_id, cluster_id,
+        CASE WHEN u < 0.8 THEN 'train' WHEN u < 0.9 THEN 'valid'
+             ELSE 'test' END AS split
+      FROM sp ORDER BY doc_id"""))
+
+  /** IVF range (radius) search (`Similarity.ivfRangeSearch`): all pairs
+    * with round-6 cosine ≥ 0.3 among the query's 2 probed cells — the
+    * range twin of q205's top-k, same trained centroids, no per-query
+    * state. Oracle replays assignment (q205's CTEs) then joins and
+    * filters exactly. */
+  val q217_ivf_range: Q = Q(
+    (s, d) => {
+      val emb = table(s, d, "embeddings")
+      val c = emb.select(col("vec_id").as("cid"), col("embedding"))
+      val q = emb.filter(col("vec_id") % 50 === 0)
+        .select(col("vec_id").as("qid"), col("embedding"))
+      Similarity.ivfRangeSearch(q, c, TrainedCentroids.sf001k8,
+        minSim = 0.3, nProbe = 2).orderBy("qid", "cid")
+    },
+    Some(s"""WITH emb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      ctr(centroid_id, cemb) AS (VALUES
+      ${TrainedCentroids.sf001k8Sql}),
+      ca AS (SELECT e.vec_id AS cid, t.centroid_id,
+               ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY
+                 ROUND(list_cosine_similarity(e.v, t.cemb), 6) DESC,
+                 t.centroid_id ASC) AS crk
+             FROM emb e CROSS JOIN ctr t),
+      cass AS (SELECT cid, centroid_id FROM ca WHERE crk = 1),
+      qa AS (SELECT e.vec_id AS qid, t.centroid_id,
+               ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY
+                 ROUND(list_cosine_similarity(e.v, t.cemb), 6) DESC,
+                 t.centroid_id ASC) AS crk
+             FROM emb e CROSS JOIN ctr t WHERE e.vec_id % 50 = 0),
+      qass AS (SELECT qid, centroid_id FROM qa WHERE crk <= 2),
+      sc AS (SELECT qs.qid, a.cid,
+               ROUND(list_cosine_similarity(q.v, c.v), 6) AS sim
+             FROM qass qs JOIN cass a ON a.centroid_id = qs.centroid_id
+             JOIN emb q ON q.vec_id = qs.qid JOIN emb c ON c.vec_id = a.cid)
+      SELECT qid, cid, sim FROM sc WHERE sim >= 0.3 ORDER BY qid, cid"""))
+
   // -------------------------------------------------------------- registry
 
   val all: Seq[(String, Q)] = Seq(
@@ -6857,5 +6929,7 @@ object Queries {
     "q212_image_neardup" -> q212_image_neardup,
     "q213_opq_adc" -> q213_opq_adc,
     "q214_audio_neardup" -> q214_audio_neardup,
-    "q215_minhash_index" -> q215_minhash_index)
+    "q215_minhash_index" -> q215_minhash_index,
+    "q216_cluster_split" -> q216_cluster_split,
+    "q217_ivf_range" -> q217_ivf_range)
 }

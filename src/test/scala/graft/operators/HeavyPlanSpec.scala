@@ -178,4 +178,21 @@ class HeavyPlanSpec extends SparkSpec {
     assert(count(p, "ObjectHashAggregate") >= 2,
       "rerank top-k on the bounded-memory heap aggregate")
   }
+
+  test("q217 IVF range search: one cell equi-join, no window, no per-query state (r11)") {
+    val p = plan(Queries.q217_ivf_range)
+    assert(count(p, "Window \\[") === 0 && count(p, "WindowGroupLimit") === 0,
+      s"range search carries no rank state at all:\n${p.take(1500)}")
+    assert(count(p, "CartesianProduct") + count(p, "BroadcastNestedLoopJoin") === 0,
+      s"assignment is the literal argmax, the probe is the cell equi-join:\n${p.take(1500)}")
+    assert(count(p, "centroid_top_cells") >= 2, "both sides assign via the codegen kernel")
+  }
+
+  test("q216 cluster split: label join only — no cartesian, no window beyond the pair generator") {
+    val p = plan(Queries.q216_cluster_split)
+    assert(count(p, "CartesianProduct") + count(p, "BroadcastNestedLoopJoin") === 0,
+      s"cluster labels attach by equi-join:\n${p.take(1500)}")
+    // labels come from the checkpointed propagation loop, not a re-run
+    assert(count(p, "Scan ExistingRDD") >= 1)
+  }
 }

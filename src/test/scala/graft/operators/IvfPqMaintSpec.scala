@@ -42,6 +42,35 @@ class IvfPqMaintSpec extends SparkSpec {
     assert(inc.exists(_._2 % 3 == 0), "appended rows must be retrievable")
   }
 
+  test("compactIvfPqIndex: serving bit-identical, one file per cell, model sidecar kept") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val c = emb.select(col("vec_id").as("cid"), col("embedding"))
+    val books = Similarity.pqCodebooks(c, m = 8, ksub = 16)
+    val ctr = graft.queries.TrainedCentroids.sf001k8
+    val q = emb.filter(col("vec_id") % 100 === 0)
+      .select(col("vec_id").as("qid"), col("embedding"))
+    val dir = java.nio.file.Files.createTempDirectory("ivfpq_compact").toString
+    Similarity.writeIvfPqIndex(c.filter(col("cid") % 3 === 1), ctr, books, dir)
+    for (r <- Seq(2L, 0L))
+      Similarity.appendIvfPqIndex(c.filter(col("cid") % 3 === r), ctr, books, dir)
+    def serve() = Similarity.ivfPqTopKIndexed(q, dir, c, ctr, books,
+      k = 10, nProbe = 2, rerankFactor = 3).collect().map(key).toSet
+    val before = serve()
+    def cellFiles() = new java.io.File(dir).listFiles()
+      .filter(_.getName.startsWith("centroid_id="))
+      .map(d => d.getName -> d.listFiles().count(_.getName.endsWith(".parquet"))).toMap
+    assert(cellFiles().values.exists(_ > 1), "appends must have left small files")
+
+    assert(Similarity.compactIvfPqIndex(spark, dir) == dir)
+    assert(cellFiles().values.forall(_ == 1), "one file per cell after compaction")
+    assert(serve() === before, "compaction must not change any served result")
+    // model sidecar survived: a retrained model still fails loudly
+    val books2 = books.map(_.map(_.clone)); books2(0)(0)(0) += 0.25
+    intercept[IllegalArgumentException] {
+      Similarity.appendIvfPqIndex(c.limit(1), ctr, books2, dir)
+    }
+  }
+
   test("model-mismatch guard: append/serve under a different model fails loudly") {
     val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     val c = emb.select(col("vec_id").as("cid"), col("embedding"))

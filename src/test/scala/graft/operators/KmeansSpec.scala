@@ -60,4 +60,29 @@ class KmeansSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getInt(2), r.getLong(1))).toSet
     assert(ivf == bf, s"ivf ${ivf.size} vs bf ${bf.size}")
   }
+
+  test("ivfRangeSearch: full probe == exact cosine filter; recall nProbe-monotone") {
+    val s = spark
+    import org.apache.spark.sql.functions._
+    import graft.functions.GeoFunctions.cosineSimilarity
+    val queries = items.filter(col("vec_id") % 10 === 0)
+      .select(col("vec_id").as("qid"), col("embedding"))
+    val cands = items.select(col("vec_id").as("cid"), col("embedding"))
+    val trained = Similarity.kmeansCentroids(items, k = 3, iters = 4)
+    def range(nProbe: Int) =
+      Similarity.ivfRangeSearch(queries, cands, trained, minSim = 0.8, nProbe = nProbe)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    // all cells probed == the exact range result (round-6 cosine >= tau)
+    val exact = queries.crossJoin(cands.withColumnRenamed("embedding", "_ce"))
+      .withColumn("sim", round(cosineSimilarity(col("embedding"), col("_ce")), 6))
+      .filter(col("sim") >= 0.8)
+      .select("qid", "cid", "sim")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val full = range(3)
+    assert(full === exact, s"full-probe range ${full.size} vs exact ${exact.size}")
+    assert(full.nonEmpty && full.exists(p => p._1 != p._2), "non-self matches exist")
+    // fewer probes only lose matches, never invent them
+    val one = range(1)
+    assert(one.subsetOf(full) && one.nonEmpty)
+  }
 }

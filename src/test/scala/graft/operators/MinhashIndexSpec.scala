@@ -38,6 +38,29 @@ class MinhashIndexSpec extends SparkSpec {
     assert(inc.exists(_._2), "and some doc must survive")
   }
 
+  test("compactMinhashIndex: probes bit-identical, one file per band, sidecar kept") {
+    val ref = docs.filter(col("doc_id") % 2 === 0)
+    val incoming = docs.filter(col("doc_id") % 2 === 1)
+    val dir = java.nio.file.Files.createTempDirectory("mh_compact").toString
+    // an append-heavy cadence: base + 3 appends = up to 4 files per band
+    Dedup.writeMinhashIndex(ref.filter(col("doc_id") % 8 === 0), dir)
+    for (r <- Seq(2L, 4L, 6L))
+      Dedup.appendMinhashIndex(ref.filter(col("doc_id") % 8 === r), dir)
+    val before = probe(incoming, dir)
+    def bandFiles() = new java.io.File(dir).listFiles()
+      .filter(_.getName.startsWith("band_idx="))
+      .map(d => d.getName -> d.listFiles().count(_.getName.endsWith(".parquet"))).toMap
+    assert(bandFiles().values.exists(_ > 1), "appends must have left small files")
+
+    assert(Dedup.compactMinhashIndex(spark, dir) == dir)
+    assert(bandFiles().values.forall(_ == 1), "one file per band after compaction")
+    assert(probe(incoming, dir) === before, "compaction must not change any probe")
+    // the parameter sidecar survived the swap: a mismatched probe still throws
+    intercept[IllegalArgumentException] {
+      Dedup.dedupAgainstMinhashIndex(incoming, dir, rowsPerBand = 4)
+    }
+  }
+
   test("parameter sidecar rejects a different hash family") {
     val dir = java.nio.file.Files.createTempDirectory("mh_params").toString
     Dedup.writeMinhashIndex(docs.limit(50), dir, numHashes = 8, rowsPerBand = 2)

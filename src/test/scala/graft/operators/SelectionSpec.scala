@@ -263,6 +263,32 @@ class SelectionSpec extends SparkSpec {
     assert(m.map(_.toString).sorted.sameElements(m2.map(_.toString).sorted))
   }
 
+  test("splitByCluster: no near-dup pair straddles a split; chains land whole") {
+    val s = spark
+    import s.implicits._
+    // a transitive chain 1~2, 2~3 (no 1~3 edge), a pair 10~11, singletons
+    val dd = (1L to 20L).map(i => (i, s"doc $i")).toDF("doc_id", "text")
+    val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("d1", "d2")
+    val out = Selection.splitByCluster(dd, pairs)
+      .select("doc_id", "cluster_id", "split").collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getString(2)))).toMap
+    // whole chain shares the min-id cluster and ONE split (the leakage
+    // guarantee) — including the 1~3 hop that has no direct edge
+    assert(Seq(1L, 2L, 3L).map(out(_)._1).distinct == Seq(1L))
+    assert(Seq(1L, 2L, 3L).map(out(_)._2).distinct.size == 1)
+    assert(out(10L) == out(11L) && out(10L)._1 == 10L)
+    // singletons cluster as themselves
+    assert(out(5L)._1 == 5L && out(20L)._1 == 20L)
+    // the draw is cluster-keyed: a member's split equals a SINGLETON's
+    // split whenever their cluster ids coincide — doc 1 singleton in a
+    // pair-free corpus draws the same split as the chain does here
+    val solo = Selection.splitByCluster(dd, pairs.filter(lit(false)))
+      .filter(col("doc_id") === 1L).select("split").head().getString(0)
+    assert(out(1L)._2 == solo)
+    // cuts cover all docs; all three splits representable
+    assert(out.values.map(_._2).forall(Set("train", "valid", "test")))
+  }
+
   test("zscoreByGroup: exact integer algebra, null on degenerate groups") {
     val s = spark
     import s.implicits._
