@@ -340,7 +340,11 @@ object Similarity {
       queries.select(col(idQ), col(vecCol).as("_qv")), centroidVecs, "_qv", nProbe)
     qAssigned.join(cAssigned, "centroid_id")
       .withColumn("sim", round(cosineSimilarity(col("_qv"), col("_cv")), 6))
-      .filter(col("sim") >= minSim)
+      // NaN-never-ranks (the library-wide policy SimilarityContractSpec
+      // pins for the heap paths): a zero-vector's NaN cosine compares
+      // GREATER than every threshold under Spark's total ordering and
+      // would otherwise be "in range" of everything
+      .filter(!isnan(col("sim")) && col("sim") >= minSim)
       .select(col(idQ), col(idC), col("sim"))
   }
 

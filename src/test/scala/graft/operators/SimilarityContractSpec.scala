@@ -51,6 +51,18 @@ class SimilarityContractSpec extends SparkSpec {
     assert(out.forall(r => !r.getDouble(3).isNaN))
   }
 
+  test("NaN similarity never ranks in range search either (NaN > tau under total ordering)") {
+    val q = Seq((1L, vec(1.0, 0.0))).toDF("qid", "embedding")
+    val c = Seq(
+      (1L, vec(0.0, 0.0)), // zero vector -> cosine NaN; Spark orders NaN > 0.5
+      (2L, vec(1.0, 0.0)),
+      (3L, vec(0.0, 1.0))).toDF("cid", "embedding")
+    val ctr = Seq(Array(1.0, 0.0))
+    val out = Similarity.ivfRangeSearch(q, c, ctr, minSim = 0.5, nProbe = 1).collect()
+    assert(out.map(_.getLong(1)).toSeq === Seq(2L),
+      "only the true in-range match; the NaN pair must not pass the threshold")
+  }
+
   test("null ids still pass through untouched (only the TYPE is validated)") {
     val q = Seq((1L, vec(1.0, 0.0))).toDF("qid", "embedding")
     val c = Seq((java.lang.Long.valueOf(5L), vec(1.0, 0.0)))
