@@ -628,11 +628,15 @@ object Dedup {
     *
     * Output: every `incoming` row plus `keep` (no near-dup in the
     * reference), `dup_of` (smallest matching reference id; null when
-    * kept) and `n_ref_dups` (distinct matching reference docs). The
-    * batch side is broadcast (ingest batches are small by contract —
-    * for corpus-scale incoming, union and re-run [[minhashLsh]]); the
-    * index side therefore never shuffles: the probe is a map-side join
-    * over the band partitions. */
+    * kept) and `n_ref_dups` (distinct matching reference docs). By
+    * default the batch side is broadcast (ingest batches are small by
+    * contract), so the index side never shuffles — the probe is a
+    * map-side join over the band partitions. For corpus-scale incoming
+    * (a backfill sweep against the index), pass
+    * `broadcastIncoming = false`: the probe becomes a (band_idx, band)
+    * hash equi-join — both sides shuffle by the band key ONCE, still
+    * never all-pairs, and the decision semantics are bit-identical
+    * (MinhashIndexSpec pins both modes equal). */
   def dedupAgainstMinhashIndex(
       incoming: DataFrame,
       dir: String,
@@ -641,18 +645,20 @@ object Dedup {
       numHashes: Int = 8,
       rowsPerBand: Int = 2,
       shingleN: Int = 2,
-      minMatches: Int = 4): DataFrame = {
+      minMatches: Int = 4,
+      broadcastIncoming: Boolean = true): DataFrame = {
     requireSidecarMatch(incoming, dir, minhashParams(numHashes, rowsPerBand, shingleN),
       "dedupAgainstMinhashIndex")
     val idx = incoming.sparkSession.read.parquet(dir)
-    val inRows = minhashIndexRows(
+    val inRows0 = minhashIndexRows(
         incoming, textCol, idCol, "new_id", numHashes, rowsPerBand, shingleN)
       .select(col("new_id") +: col("band_idx") +: col("band") +:
         (1 to numHashes).map(i => col(s"h$i").as(s"nh$i")): _*)
+    val inRows = if (broadcastIncoming) broadcast(inRows0) else inRows0
     val matches = (1 to numHashes)
       .map(i => when(col(s"nh$i") === col(s"h$i"), 1).otherwise(0))
       .reduce(_ + _)
-    val matched = broadcast(inRows).join(idx, Seq("band_idx", "band"))
+    val matched = inRows.join(idx, Seq("band_idx", "band"))
       .select(col("new_id"), col("ref_id"), matches.as("matches"))
       .distinct()
       .filter(col("matches") >= minMatches)

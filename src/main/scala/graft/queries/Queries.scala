@@ -6713,6 +6713,50 @@ object Queries {
              JOIN emb q ON q.vec_id = qs.qid JOIN emb c ON c.vec_id = a.cid)
       SELECT qid, cid, sim FROM sc WHERE sim >= 0.3 ORDER BY qid, cid"""))
 
+  /** The curation pipeline END TO END in one declarative plan: quality
+    * gate (q28's scorer) → exact-content dedup canonical (q22's
+    * fingerprint, min-id keep) → leakage-safe split (q102's content
+    * hash) → per-(split, lang) corpus report. The point is COMPOSITION:
+    * four stages, one Catalyst plan, no materialization between stages —
+    * the gate's semi-join feeds the fingerprint groupBy feeds the
+    * zero-shuffle split draw feeds one final aggregate. Oracle chains
+    * the same four stages' existing bit-exact idioms. */
+  val q218_pipeline_report: Q = Q(
+    (s, d) => {
+      val docs = table(s, d, "documents")
+      val gate = TextAnalysis.quality(docs)
+        .filter(col("n_words") >= 8 && col("stop_ratio") >= 0.1)
+        .select("doc_id")
+      val kept = Dedup.dropFingerprintDuplicates(
+        docs.join(gate, Seq("doc_id"), "left_semi"))
+      Selection.splitByContent(kept)
+        .select(col("split"), col("lang"), col("fp"),
+          size(split(col("text"), " ")).cast("long").as("_nw"))
+        .groupBy("split", "lang")
+        .agg(count(lit(1)).as("n_docs"), countDistinct("fp").as("n_fp"),
+          sum("_nw").as("n_tokens"))
+        .orderBy("split", "lang")
+    },
+    Some(s"""WITH w AS (SELECT doc_id, lang, text, string_split(text, ' ') AS w FROM documents),
+      q AS (SELECT doc_id, lang, text, w, CAST(len(w) AS BIGINT) AS n_words,
+              CAST($duckStopHits AS BIGINT) AS stop_hits FROM w),
+      g AS (SELECT doc_id, lang, text, w, n_words FROM q
+            WHERE n_words >= 8 AND CAST(stop_hits AS DOUBLE) / n_words >= 0.1),
+      f AS (SELECT g.*, md5(array_to_string(list_sort(list_distinct(w)), ' ')) AS fset FROM g),
+      k AS (SELECT doc_id, lang, text, n_words FROM f
+            QUALIFY ROW_NUMBER() OVER (PARTITION BY fset ORDER BY doc_id ASC) = 1),
+      sp AS (SELECT lang, n_words,
+               CAST('0x' || substr(md5(text), 1, 15) AS BIGINT) AS fp,
+               CAST((CAST('0x' || substr(md5(text), 1, 15) AS BIGINT)
+                 % 4503599627370496 + 1) AS DOUBLE) / 4503599627370497 AS u
+             FROM k)
+      SELECT CASE WHEN u < 0.8 THEN 'train' WHEN u < 0.9 THEN 'valid'
+               ELSE 'test' END AS split,
+        lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+        CAST(COUNT(DISTINCT fp) AS BIGINT) AS n_fp,
+        CAST(SUM(n_words) AS BIGINT) AS n_tokens
+      FROM sp GROUP BY 1, 2 ORDER BY 1, 2"""))
+
   // -------------------------------------------------------------- registry
 
   val all: Seq[(String, Q)] = Seq(
@@ -6931,5 +6975,6 @@ object Queries {
     "q214_audio_neardup" -> q214_audio_neardup,
     "q215_minhash_index" -> q215_minhash_index,
     "q216_cluster_split" -> q216_cluster_split,
-    "q217_ivf_range" -> q217_ivf_range)
+    "q217_ivf_range" -> q217_ivf_range,
+    "q218_pipeline_report" -> q218_pipeline_report)
 }

@@ -38,6 +38,19 @@ class MinhashIndexSpec extends SparkSpec {
     assert(inc.exists(_._2), "and some doc must survive")
   }
 
+  test("broadcastIncoming=false (corpus-scale probe) decides identically") {
+    val ref = docs.filter(col("doc_id") % 2 === 0)
+    val incoming = docs.filter(col("doc_id") % 2 === 1)
+    val dir = java.nio.file.Files.createTempDirectory("mh_shuffle").toString
+    Dedup.writeMinhashIndex(ref, dir)
+    val shuffled = Dedup.dedupAgainstMinhashIndex(
+        incoming, dir, broadcastIncoming = false)
+      .select(col("doc_id"), col("keep"), col("dup_of"), col("n_ref_dups"))
+      .collect().map(key).toSet
+    assert(shuffled === probe(incoming, dir),
+      "shuffle-join probe must be bit-identical to the broadcast probe")
+  }
+
   test("compactMinhashIndex: probes bit-identical, one file per band, sidecar kept") {
     val ref = docs.filter(col("doc_id") % 2 === 0)
     val incoming = docs.filter(col("doc_id") % 2 === 1)
