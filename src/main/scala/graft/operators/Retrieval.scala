@@ -121,7 +121,8 @@ object Retrieval {
     * per-qid heap — each keyed by uniform-cardinality keys. Nothing is
     * ever all-pairs; the join volume is Σ_term df(term)·qf(term), the
     * true inverted-index cost. Doc ids must be integral (the heap keys
-    * on a long). */
+    * on a long — validated at plan-build time, the
+    * [[Similarity.requireIntegralId]] contract). */
   def bm25Batch(
       queries: DataFrame,
       corpus: DataFrame,
@@ -131,6 +132,7 @@ object Retrieval {
       textCol: String = "text",
       idCol: String = "doc_id",
       qidCol: String = "qid"): DataFrame = {
+    Similarity.requireIntegralId(corpus, idCol, "bm25Batch")
     val ct = corpus
       .select(col(idCol), size(split(col(textCol), " ")).cast("long").as("dl"),
         explode(split(col(textCol), " ")).as("term"))

@@ -51,7 +51,7 @@ object Similarity {
     * A non-integral id column (string doc ids) would silently cast to
     * null and surface as src_id 0 — so the contract is enforced here, at
     * plan-build time, instead of living in a doc comment. */
-  private def requireIntegralId(df: DataFrame, idCol: String, api: String): Unit = {
+  private[operators] def requireIntegralId(df: DataFrame, idCol: String, api: String): Unit = {
     import org.apache.spark.sql.types.{ByteType, ShortType, IntegerType, LongType}
     df.schema.find(_.name == idCol).map(_.dataType).foreach {
       case ByteType | ShortType | IntegerType | LongType => ()

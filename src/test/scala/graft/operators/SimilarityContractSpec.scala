@@ -31,6 +31,15 @@ class SimilarityContractSpec extends SparkSpec {
     intercept[IllegalArgumentException] { Similarity.ivfTopK(q, c, k = 1) }
   }
 
+  test("bm25Batch rejects non-integral doc ids too (r11 heap rewrite)") {
+    val q = Seq((1L, "spark")).toDF("qid", "text")
+    val c = Seq(("docA", "spark engine")).toDF("doc_id", "text")
+    val e = intercept[IllegalArgumentException] {
+      Retrieval.bm25Batch(q, c)
+    }
+    assert(e.getMessage.contains("bm25Batch") && e.getMessage.contains("integral"))
+  }
+
   test("integer (not just long) ids are accepted") {
     val q = Seq((1, vec(1.0, 0.0))).toDF("qid", "embedding")
     val c = Seq((7, vec(1.0, 0.0)), (8, vec(0.0, 1.0))).toDF("cid", "embedding")
