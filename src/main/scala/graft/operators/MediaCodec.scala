@@ -187,18 +187,21 @@ object MediaCodec {
     if (b == null || b.length < 44) return null
     if (!(b(0) == 'R' && b(1) == 'I' && b(2) == 'F' && b(3) == 'F' &&
       b(8) == 'W' && b(9) == 'A' && b(10) == 'V' && b(11) == 'E')) return null
-    var pos = 12
+    // the chunk walk runs in LONG arithmetic: a corrupt 32-bit size near
+    // Int.MaxValue would overflow `pos + 8 + sz` as ints, slip past the
+    // bounds guard, and throw instead of returning null
+    var pos = 12L
     var nCh = -1; var bits = -1; var fmt = -1
     var dataOff = -1; var dataLen = -1
     while (pos + 8 <= b.length && (fmt < 0 || dataOff < 0)) {
-      val id = new String(b, pos, 4, "US-ASCII")
-      val sz = le32(b, pos + 4)
+      val id = new String(b, pos.toInt, 4, "US-ASCII")
+      val sz = le32(b, pos.toInt + 4).toLong
       if (sz < 0 || pos + 8 + sz > b.length) return null
       if (id == "fmt " && sz >= 16) {
-        fmt = le16(b, pos + 8)
-        nCh = le16(b, pos + 10)
-        bits = le16(b, pos + 22)
-      } else if (id == "data") { dataOff = pos + 8; dataLen = sz }
+        fmt = le16(b, pos.toInt + 8)
+        nCh = le16(b, pos.toInt + 10)
+        bits = le16(b, pos.toInt + 22)
+      } else if (id == "data") { dataOff = pos.toInt + 8; dataLen = sz.toInt }
       pos += 8 + sz + (sz & 1) // chunks are word-aligned
     }
     if (fmt != 1 || bits != 16 || nCh < 1 || dataOff < 0) return null

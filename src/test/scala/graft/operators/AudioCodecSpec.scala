@@ -60,6 +60,11 @@ class AudioCodecSpec extends SparkSpec {
     // float PCM (format 3) rejected
     val w = wav(samples(7)); w(20) = 3
     assert(MediaCodec.audioFp63(w) == null)
+    // corrupt chunk size near Int.MaxValue: must return null, not throw
+    // (int arithmetic would overflow the bounds guard and read OOB)
+    val c = wav(samples(7))
+    c(16) = -1; c(17) = -1; c(18) = -1; c(19) = 0x7f // fmt size = 0x7fffffff
+    assert(MediaCodec.audioFp63(c) == null)
   }
 
   test("audioNearDup: perturbed variant pairs with the base, engine == independent replay") {
