@@ -67,6 +67,17 @@ object Dedup {
     * verified with exact word-set Jaccard, all relationally:
     * shuffle keys are (band value) then (word) — never all-pairs.
     */
+  /** `maxBandSize` is the hot-bucket guard for corpus scale: a band
+    * shared by n docs contributes n(n−1)/2 candidate pairs, so ONE
+    * degenerate bucket (empty docs, boilerplate, a templated crawl —
+    * content that collapses to the same signature) turns the candidate
+    * join quadratic. Buckets above the cap are DROPPED before the
+    * self-join (one extra map-side-combinable count over the slim band
+    * table; the standard LSH practice). Recall contract: a true pair is
+    * lost only if EVERY band it collides in is hot — and a hot bucket's
+    * members are near-identical, which the exact/fingerprint dedup
+    * stages upstream are the right tool for. Default = no cap
+    * (bit-compatible with the uncapped form). */
   def minhashLsh(
       docs: DataFrame,
       textCol: String = "text",
@@ -74,11 +85,13 @@ object Dedup {
       numHashes: Int = 8,
       rowsPerBand: Int = 2,
       threshold: Double = 0.4,
-      shingleN: Int = 2): DataFrame = {
+      shingleN: Int = 2,
+      maxBandSize: Int = Int.MaxValue): DataFrame = {
     require(numHashes % rowsPerBand == 0, "numHashes must be divisible by rowsPerBand")
+    require(maxBandSize >= 2, "maxBandSize < 2 would drop every candidate pair")
     val w = words(docs, textCol, idCol, shingleN)
     val sig = signature(w, idCol, numHashes)
-    val cand = bandCandidates(sig, idCol, numHashes, rowsPerBand)
+    val cand = bandCandidates(sig, idCol, numHashes, rowsPerBand, maxBandSize)
     verifyJaccard(w, idCol, cand, threshold)
   }
 
@@ -103,15 +116,33 @@ object Dedup {
     * Band keys are built post-aggregation over one row per doc — string
     * concat is fine here, the hot path is the aggregation above. */
   private def bandCandidates(
-      sig: DataFrame, idCol: String, numHashes: Int, rowsPerBand: Int): DataFrame = {
+      sig: DataFrame, idCol: String, numHashes: Int, rowsPerBand: Int,
+      maxBandSize: Int = Int.MaxValue): DataFrame = {
     val nBands = numHashes / rowsPerBand
     val bandStructs = (0 until nBands).map { b =>
       val hs = (1 to rowsPerBand).map(r => col(s"h${b * rowsPerBand + r}").cast("string"))
       struct(lit(b).as("band_idx"), concat_ws("_", hs: _*).as("band"))
     }
-    val bands = sig
+    val allBands = sig
       .select(col(idCol), explode(array(bandStructs: _*)).as("_b"))
       .select(col(idCol), col("_b.band_idx").as("band_idx"), col("_b.band").as("band"))
+    // hot-bucket cap (see minhashLsh): the occupancy count is one
+    // map-side-combinable aggregate over (band_idx, band) — slim keys —
+    // and the semi-join prunes hot buckets BEFORE the quadratic
+    // self-join. The band table is checkpointed ONCE (nBands slim rows
+    // per doc — id + band key, never text): without it the occupancy
+    // count and both semi-join sides each re-run the corpus scan +
+    // signature aggregation (the imageNearDup fingerprint discipline)
+    val bands =
+      if (maxBandSize == Int.MaxValue) allBands
+      else {
+        val mat = allBands.localCheckpoint(true)
+        mat.join(
+          mat.groupBy("band_idx", "band").agg(count(lit(1)).as("_bn"))
+            .filter(col("_bn") <= maxBandSize)
+            .select("band_idx", "band"),
+          Seq("band_idx", "band"), "left_semi")
+      }
     bands.as("a")
       .join(bands.as("b"),
         col("a.band_idx") === col("b.band_idx") && col("a.band") === col("b.band") &&
@@ -160,16 +191,31 @@ object Dedup {
 
   /** Exact word-set Jaccard over candidate pairs that share the given
     * blocking keys (n-gram Jaccard dedup with structural candidate
-    * generation). */
+    * generation). `maxBlockSize` is [[minhashLsh]]'s hot-bucket guard on
+    * the blocking plane: a block of n docs contributes n(n−1)/2 pairs,
+    * so one degenerate key combination (the modal (lang, n_chars) of a
+    * templated crawl) turns candidate generation quadratic — blocks
+    * above the cap are dropped before the self-join (default: no cap,
+    * bit-compatible). For capped recall without structural blocking at
+    * all, [[prefixFilteredJaccard]] is the exact-set-similarity scale
+    * path. */
   def ngramJaccard(
       docs: DataFrame,
       blockKeys: Seq[String],
       textCol: String = "text",
       idCol: String = "doc_id",
       threshold: Double = 0.3,
-      shingleN: Int = 1): DataFrame = {
-    val cand = docs.as("a")
-      .join(docs.as("b"),
+      shingleN: Int = 1,
+      maxBlockSize: Int = Int.MaxValue): DataFrame = {
+    val blocked =
+      if (maxBlockSize == Int.MaxValue) docs
+      else docs.join(
+        docs.groupBy(blockKeys.map(col): _*).agg(count(lit(1)).as("_bn"))
+          .filter(col("_bn") <= maxBlockSize)
+          .select(blockKeys.map(col): _*),
+        blockKeys, "left_semi")
+    val cand = blocked.as("a")
+      .join(blocked.as("b"),
         blockKeys.map(k => col(s"a.$k") === col(s"b.$k")).reduce(_ && _) &&
           col(s"a.$idCol") < col(s"b.$idCol"))
       .select(col(s"a.$idCol").as("d1"), col(s"b.$idCol").as("d2"))

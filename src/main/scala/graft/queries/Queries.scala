@@ -613,11 +613,23 @@ object Queries {
     * per-doc bigram sets, 8 minhashes, 4×2 banding, candidate distinct,
     * and the Jaccard verify columns in `v` (filter ≥ threshold at use
     * site). Same hash family and banding as `Dedup.minhashLsh`. */
-  private def minhashPairCtes: String = {
+  private def minhashPairCtes: String = minhashPairCtes(None)
+
+  /** `maxBandSize = Some(cap)` adds the hot-bucket prune between the
+    * band table and the candidate self-join — the oracle form of
+    * `Dedup.minhashLsh(maxBandSize = cap)`. */
+  private def minhashPairCtes(maxBandSize: Option[Int]): String = {
     val sigs = (1 to 8)
       .map(i => "list_min(list_transform(bgs, x -> " +
         s"CAST('0x' || substr(md5(x || '#$i'), 1, 15) AS BIGINT))) AS h$i")
       .mkString(", ")
+    val candSrc = maxBandSize match {
+      case None => "bands"
+      case Some(cap) =>
+        s"""(SELECT b.* FROM bands b JOIN (
+           SELECT band_idx, band FROM bands GROUP BY band_idx, band
+           HAVING COUNT(*) <= $cap) ok USING (band_idx, band))"""
+    }
     s"""bg AS (SELECT doc_id, list_distinct(${duckGrams(2)}) AS bgs
         FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents)),
       sig AS (SELECT doc_id, $sigs FROM bg),
@@ -627,7 +639,7 @@ object Queries {
         UNION ALL SELECT doc_id, 2 AS band_idx, CAST(h5 AS VARCHAR) || '_' || CAST(h6 AS VARCHAR) AS band FROM sig
         UNION ALL SELECT doc_id, 3 AS band_idx, CAST(h7 AS VARCHAR) || '_' || CAST(h8 AS VARCHAR) AS band FROM sig),
       cand AS (SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
-               FROM bands a JOIN bands b
+               FROM $candSrc a JOIN $candSrc b
                  ON a.band_idx = b.band_idx AND a.band = b.band AND a.doc_id < b.doc_id),
       v AS (SELECT c.d1, c.d2,
               CAST(len(list_intersect(b1.bgs, b2.bgs)) AS BIGINT) AS i,
@@ -6757,6 +6769,23 @@ object Queries {
         CAST(SUM(n_words) AS BIGINT) AS n_tokens
       FROM sp GROUP BY 1, 2 ORDER BY 1, 2"""))
 
+  /** MinHash-LSH with the hot-bucket cap (`maxBandSize = 5`): bands
+    * shared by more than 5 docs are pruned before the candidate
+    * self-join — the guard that keeps ONE degenerate bucket (empty or
+    * templated content) from turning the candidate join quadratic at
+    * corpus scale. The verify threshold is deliberately 0.05 so the cap
+    * is OUTPUT-visible at this sf: the sf0.01 band histogram has
+    * buckets of 11 and 6 whose collision pairs reach jaccard 0.073 —
+    * uncapped they would pass this verify, so a no-op cap
+    * implementation cannot hash-match the oracle. */
+  val q219_lsh_bandcap: Q = Q(
+    (s, d) => Dedup.minhashLsh(docsRebalanced(s, d), threshold = 0.05, maxBandSize = 5)
+      .orderBy("d1", "d2"),
+    Some(s"""WITH ${minhashPairCtes(Some(5))}
+      SELECT d1, d2, CAST(i AS DOUBLE) / CAST(sz1 + sz2 - i AS DOUBLE) AS jaccard
+      FROM v WHERE CAST(i AS DOUBLE) / CAST(sz1 + sz2 - i AS DOUBLE) >= 0.05
+      ORDER BY d1, d2"""))
+
   // -------------------------------------------------------------- registry
 
   val all: Seq[(String, Q)] = Seq(
@@ -6976,5 +7005,6 @@ object Queries {
     "q215_minhash_index" -> q215_minhash_index,
     "q216_cluster_split" -> q216_cluster_split,
     "q217_ivf_range" -> q217_ivf_range,
-    "q218_pipeline_report" -> q218_pipeline_report)
+    "q218_pipeline_report" -> q218_pipeline_report,
+    "q219_lsh_bandcap" -> q219_lsh_bandcap)
 }

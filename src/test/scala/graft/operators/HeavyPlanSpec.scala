@@ -188,6 +188,16 @@ class HeavyPlanSpec extends SparkSpec {
     assert(count(p, "centroid_top_cells") >= 2, "both sides assign via the codegen kernel")
   }
 
+  test("q219 LSH band cap: band table checkpointed once — no extra corpus scans vs q25") {
+    val p = plan(Queries.q219_lsh_bandcap)
+    val p25 = plan(Queries.q25_minhash_lsh)
+    def scans(s: String) = count(s, "Scan parquet")
+    assert(scans(p) <= scans(p25),
+      s"the cap must not add corpus scans (q219 ${scans(p)} vs q25 ${scans(p25)}):\n${p.take(1200)}")
+    assert(count(p, "Scan ExistingRDD") >= 3,
+      "occupancy count + both semi-join sides read the checkpointed band table")
+  }
+
   test("q216 cluster split: label join only — no cartesian, no window beyond the pair generator") {
     val p = plan(Queries.q216_cluster_split)
     assert(count(p, "CartesianProduct") + count(p, "BroadcastNestedLoopJoin") === 0,

@@ -43,6 +43,50 @@ class PipelineOpsSpec extends SparkSpec {
     assert(!pairs.exists { case (a, b) => a == 5L || b == 5L })
   }
 
+  test("minhash LSH hot-bucket cap: degenerate bucket pruned, others untouched") {
+    val s = spark
+    import s.implicits._
+    // 8 identical docs (one degenerate band bucket per band) + a true
+    // near-dup pair of distinct content
+    val dd = ((1L to 8L).map(i => (i, "aaa bbb ccc ddd eee fff")) ++ Seq(
+      (20L, "the quick brown fox jumps over the lazy dog"),
+      (21L, "the quick brown fox leaps over the lazy dog")))
+      .toDF("doc_id", "text")
+    def pairs(cap: Int) = Dedup.minhashLsh(dd, threshold = 0.3, maxBandSize = cap)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val uncapped = pairs(Int.MaxValue)
+    assert(uncapped.size >= 28 + 1, "8 identical docs alone give 28 pairs")
+    // cap below the degenerate bucket's size: its 28 pairs vanish, the
+    // honest near-dup pair survives (its buckets have occupancy 2)
+    val capped = pairs(4)
+    assert(capped.contains((20L, 21L)))
+    assert(!capped.exists { case (a, b) => a <= 8L && b <= 8L })
+    assert(capped.subsetOf(uncapped))
+    // cap at/above the max occupancy is bit-compatible with no cap
+    assert(pairs(8) === uncapped)
+  }
+
+  test("ngramJaccard hot-block cap mirrors the LSH band cap") {
+    val s = spark
+    import s.implicits._
+    // one degenerate block of 6 docs (same lang + n_chars), one honest
+    // block of 2 near-dups
+    val dd = ((1L to 6L).map(i => (i, s"common shared words here $i", "en", 25L)) ++ Seq(
+      (20L, "the quick brown fox jumps", "de", 25L),
+      (21L, "the quick brown fox leaps", "de", 25L)))
+      .toDF("doc_id", "text", "lang", "n_chars")
+    def pairs(cap: Int) = Dedup.ngramJaccard(dd, Seq("lang", "n_chars"),
+        threshold = 0.3, maxBlockSize = cap)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val uncapped = pairs(Int.MaxValue)
+    assert(uncapped.contains((20L, 21L)) && uncapped.exists(p => p._1 <= 6L))
+    val capped = pairs(4)
+    assert(capped.contains((20L, 21L)))
+    assert(!capped.exists { case (a, b) => a <= 6L && b <= 6L })
+    assert(capped.subsetOf(uncapped))
+    assert(pairs(6) === uncapped)
+  }
+
   test("dropExactDuplicates / dropNearDuplicates keep-first policy") {
     val kept = Dedup.dropExactDuplicates(docs).select("doc_id").collect().map(_.getLong(0)).toSet
     assert(kept == Set(1L, 3L, 4L, 5L, 6L)) // doc 2 is the exact dup of 1
