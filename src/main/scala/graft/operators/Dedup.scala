@@ -743,21 +743,39 @@ object Dedup {
     * 60-bit hash into 4 x 15-bit chunks (pigeonhole: any pair within
     * hamming<=3 shares at least one exact chunk), then verifying hamming
     * distance exactly via bit_count. */
+  /** `maxBandSize` is [[minhashLsh]]'s hot-bucket guard on the SimHash
+    * plane: a 15-bit chunk value shared by n docs (near-identical or
+    * templated content collapsing to one fingerprint) contributes
+    * n(n−1)/2 candidate pairs; buckets above the cap are pruned before
+    * the self-join — the slim (id, chunk, simhash) table is
+    * checkpointed once so the occupancy count and both join sides share
+    * it. Default: no cap (bit-compatible). */
   def simhashNearDup(
       docs: DataFrame,
       maxHamming: Int = 3,
       textCol: String = "text",
-      idCol: String = "doc_id"): DataFrame = {
+      idCol: String = "doc_id",
+      maxBandSize: Int = Int.MaxValue): DataFrame = {
     require(maxHamming <= 3, "4-chunk banding guarantees recall only for hamming <= 3")
     val s = simhash(docs, textCol, idCol)
     val chunkStructs = (0 until 4).map { c =>
       struct(lit(c).as("chunk_idx"),
         shiftrightunsigned(col("simhash"), c * 15).bitwiseAND(0x7fffL).as("chunk"))
     }
-    val chunks = s
+    val allChunks = s
       .select(col(idCol), col("simhash"), explode(array(chunkStructs: _*)).as("_c"))
       .select(col(idCol), col("_c.chunk_idx").as("chunk_idx"), col("_c.chunk").as("chunk"),
         col("simhash"))
+    val chunks =
+      if (maxBandSize == Int.MaxValue) allChunks
+      else {
+        val mat = allChunks.localCheckpoint(true)
+        mat.join(
+          mat.groupBy("chunk_idx", "chunk").agg(count(lit(1)).as("_bn"))
+            .filter(col("_bn") <= maxBandSize)
+            .select("chunk_idx", "chunk"),
+          Seq("chunk_idx", "chunk"), "left_semi")
+      }
     chunks.as("a")
       .join(chunks.as("b"),
         col("a.chunk_idx") === col("b.chunk_idx") && col("a.chunk") === col("b.chunk") &&

@@ -87,6 +87,23 @@ class PipelineOpsSpec extends SparkSpec {
     assert(pairs(6) === uncapped)
   }
 
+  test("simhashNearDup hot-chunk cap: identical-doc bucket pruned, subset-monotone") {
+    val s = spark
+    import s.implicits._
+    val dd = ((1L to 6L).map(i => (i, "aaa bbb ccc ddd eee fff")) ++ Seq(
+      (20L, "the quick brown fox jumps over the lazy dog today"),
+      (21L, "the quick brown fox jumps over the lazy dog tonight")))
+      .toDF("doc_id", "text")
+    def pairs(cap: Int) = Dedup.simhashNearDup(dd, maxBandSize = cap)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val uncapped = pairs(Int.MaxValue)
+    assert(uncapped.exists { case (a, b) => a <= 6L && b <= 6L })
+    val capped = pairs(4)
+    assert(!capped.exists { case (a, b) => a <= 6L && b <= 6L })
+    assert(capped.subsetOf(uncapped))
+    assert(pairs(6) === uncapped)
+  }
+
   test("dropExactDuplicates / dropNearDuplicates keep-first policy") {
     val kept = Dedup.dropExactDuplicates(docs).select("doc_id").collect().map(_.getLong(0)).toSet
     assert(kept == Set(1L, 3L, 4L, 5L, 6L)) // doc 2 is the exact dup of 1
