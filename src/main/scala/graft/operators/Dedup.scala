@@ -90,9 +90,15 @@ object Dedup {
     require(numHashes % rowsPerBand == 0, "numHashes must be divisible by rowsPerBand")
     require(maxBandSize >= 2, "maxBandSize < 2 would drop every candidate pair")
     val w = words(docs, textCol, idCol, shingleN)
-    val sig = signature(w, idCol, numHashes)
+    // the signature table is checkpointed ONCE: it is slim (id +
+    // numHashes longs + the size), and without the checkpoint the band
+    // self-join's two sides plus the sizes lookup each re-run the corpus
+    // scan + shingle explode + min-hash aggregation (r11 — measured 6
+    // corpus scans in the q25 plan, 3 after)
+    val sig = signature(w, idCol, numHashes).localCheckpoint(true)
     val cand = bandCandidates(sig, idCol, numHashes, rowsPerBand, maxBandSize)
-    verifyJaccard(w, idCol, cand, threshold)
+    verifyJaccard(w, idCol, cand, threshold,
+      sizesOpt = Some(sig.select(col(idCol), col("_sz").as("sz"))))
   }
 
   /** Per-doc minhash signature (h1..hk) over a (id, word) table.
@@ -106,7 +112,8 @@ object Dedup {
     val sigCols = (1 to numHashes).map { i =>
       min(conv(substring(md5(concat(col("word"), lit(s"#$i"))), 1, 15), 16, 10).cast("long"))
         .as(s"h$i")
-    }
+    } :+ count(lit(1)).as("_sz") // |shingle set| rides the same agg (w is
+    // distinct per doc) — verifyJaccard's sizes without a third w pass
     w.groupBy(col(idCol)).agg(sigCols.head, sigCols.tail: _*)
   }
 
@@ -172,17 +179,26 @@ object Dedup {
       shingleN: Int = 2): DataFrame = {
     require(numHashes % rowsPerBand == 0, "numHashes must be divisible by rowsPerBand")
     val w = words(docs, textCol, idCol, shingleN)
+    // NOT checkpointed, unlike minhashLsh's: measured 1.10 s → 2.01 s at
+    // sf0.1 with the checkpoint — this plan's four sig consumers already
+    // collapse through AQE's runtime exchange reuse, so materialization
+    // is pure added cost here (the LSH/graph family measured the
+    // opposite: −0.4 to −0.6 s with it)
     val sig = signature(w, idCol, numHashes)
     val cand = bandCandidates(sig, idCol, numHashes, rowsPerBand)
     val matchExpr = (1 to numHashes)
       .map(i => when(col(s"_ah$i") === col(s"_bh$i"), 1L).otherwise(0L))
       .reduceLeft(_ + _)
+    val sigH = sig.select(col(idCol) +: (1 to numHashes).map(i => col(s"h$i")): _*)
     val withEst = cand
-      .join(sig.toDF("d1" +: (1 to numHashes).map(i => s"_ah$i"): _*), "d1")
-      .join(sig.toDF("d2" +: (1 to numHashes).map(i => s"_bh$i"): _*), "d2")
+      .join(sigH.toDF("d1" +: (1 to numHashes).map(i => s"_ah$i"): _*), "d1")
+      .join(sigH.toDF("d2" +: (1 to numHashes).map(i => s"_bh$i"): _*), "d2")
       .withColumn("est", matchExpr.cast("double") / numHashes)
       .select("d1", "d2", "est")
     withEst
+      // sizes from the plain w count, not the sig projection: without
+      // the checkpoint a sig-derived sizes column re-runs the full
+      // 8-hash aggregation where this is a count-only agg
       .join(verifyJaccard(w, idCol, cand, threshold = 0.0), Seq("d1", "d2"), "left")
       .withColumn("jaccard", coalesce(col("jaccard"), lit(0.0)))
       .withColumn("abs_err", abs(col("est") - col("jaccard")))
@@ -225,8 +241,9 @@ object Dedup {
   /** (d1, d2, jaccard) for candidate pairs, computed relationally:
     * intersection via a word equi-join, sizes via per-doc counts. */
   private def verifyJaccard(
-      w: DataFrame, idCol: String, cand: DataFrame, threshold: Double): DataFrame = {
-    val sizes = w.groupBy(col(idCol)).agg(count(lit(1)).as("sz"))
+      w: DataFrame, idCol: String, cand: DataFrame, threshold: Double,
+      sizesOpt: Option[DataFrame] = None): DataFrame = {
+    val sizes = sizesOpt.getOrElse(w.groupBy(col(idCol)).agg(count(lit(1)).as("sz")))
     val inter = cand
       .join(w.select(col(idCol).as("d1"), col("word").as("wa")), "d1")
       .join(w.select(col(idCol).as("_d2b"), col("word").as("wb")),
