@@ -673,12 +673,21 @@ object Dedup {
   }
 
   /** One-file-per-band compaction of a [[writeMinhashIndex]] layout
-    * after an append-heavy ingest cadence — rows unchanged, probes
-    * bit-identical, small files gone ([[IndexMaintenance.compact]] for
-    * the rewrite/sidecar/swap mechanics). */
+    * after an append-heavy ingest cadence — probe decisions unchanged
+    * (pending [[deleteFromMinhashIndex]] tombstones are materialized:
+    * rows physically dropped, the set cleared), small files gone
+    * ([[IndexMaintenance.compact]] for the mechanics). */
   def compactMinhashIndex(spark: org.apache.spark.sql.SparkSession, dir: String,
       swap: Boolean = true): String =
-    IndexMaintenance.compact(spark, dir, "band_idx", swap)
+    IndexMaintenance.compact(spark, dir, "band_idx", swap, tombstoneIdCol = Some("ref_id"))
+
+  /** DELETE reference docs from a [[writeMinhashIndex]] layout —
+    * tombstoned immediately ([[IndexMaintenance.tombstone]]: O(|ids|)
+    * write, zero index rewriting), honored by every subsequent probe,
+    * expunged physically at the next [[compactMinhashIndex]]. */
+  def deleteFromMinhashIndex(spark: org.apache.spark.sql.SparkSession, dir: String,
+      ids: DataFrame, idCol: String = "doc_id"): Unit =
+    IndexMaintenance.tombstone(spark, dir, ids, idCol)
 
   /** Near-dup dedup of an ingest batch AGAINST the persisted index —
     * the incremental twin of [[minhashLsh]] (which is all-pairs within
@@ -712,7 +721,8 @@ object Dedup {
       broadcastIncoming: Boolean = true): DataFrame = {
     requireSidecarMatch(incoming, dir, minhashParams(numHashes, rowsPerBand, shingleN),
       "dedupAgainstMinhashIndex")
-    val idx = incoming.sparkSession.read.parquet(dir)
+    val idx = IndexMaintenance.filterTombstoned(incoming.sparkSession, dir,
+      incoming.sparkSession.read.parquet(dir), "ref_id")
     val inRows0 = minhashIndexRows(
         incoming, textCol, idCol, "new_id", numHashes, rowsPerBand, shingleN)
       .select(col("new_id") +: col("band_idx") +: col("band") +:

@@ -1,7 +1,7 @@
 package graft.operators
 
 import org.apache.hadoop.fs.Path
-import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Maintenance for the persisted on-disk index layouts (IVF-PQ code
@@ -31,14 +31,61 @@ import org.apache.spark.sql.functions._
   * returned staging path instead (the blue/green form). */
 object IndexMaintenance {
 
+  private val TombstoneDir = "_graft_tombstones"
+
+  /** DELETE from a persisted index, tombstone-style: the ids are
+    * appended to a slim parquet set under `<dir>/_graft_tombstones`
+    * (leading underscore — the index's own parquet reads never see it),
+    * every probe anti-joins live rows against the set
+    * ([[filterTombstoned]]), and the next [[compact]] drops the rows
+    * physically and clears the set. O(|deleted|) per delete, zero index
+    * rewriting until compaction — the GDPR-expunge shape.
+    *
+    * Semantics: a tombstone is id-level and PERMANENT until the
+    * compaction that materializes it — appending new rows under a
+    * tombstoned id does not resurrect the id (delete means "this id's
+    * content is expunged"); re-admit by compacting first, then
+    * appending. */
+  def tombstone(spark: SparkSession, dir: String, ids: DataFrame, idCol: String): Unit = {
+    require(fileSystem(spark, dir).exists(new Path(dir)), s"tombstone: no index at $dir")
+    ids.select(col(idCol).cast("long").as("_del_id")).distinct()
+      .write.mode("append").parquet(new Path(dir, TombstoneDir).toString)
+  }
+
+  /** The index's tombstone id set, when any deletes are pending. */
+  def tombstones(spark: SparkSession, dir: String): Option[DataFrame] = {
+    val p = new Path(dir, TombstoneDir)
+    if (fileSystem(spark, dir).exists(p))
+      Some(spark.read.parquet(p.toString).distinct())
+    else None
+  }
+
+  /** `rows` minus any tombstoned ids — the probe-side read of a
+    * [[tombstone]]d index (one anti-join on a slim id set; AQE
+    * broadcasts it at realistic delete volumes). */
+  def filterTombstoned(
+      spark: SparkSession, dir: String, rows: DataFrame, idCol: String): DataFrame =
+    tombstones(spark, dir) match {
+      case None => rows
+      case Some(t) =>
+        rows.join(t, rows(idCol).cast("long") === t("_del_id"), "left_anti")
+    }
+
+  private def fileSystem(spark: SparkSession, dir: String) =
+    new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
+
   /** Compacts the partitioned parquet index at `dir` to one file per
-    * `partitionCol` value. Returns the path now holding the compacted
-    * layout: `dir` itself when `swap` (default), else the staging dir. */
+    * `partitionCol` value, materializing any pending [[tombstone]]s
+    * (rows dropped physically, the tombstone set cleared — pass
+    * `tombstoneIdCol` so the anti-join knows the id column). Returns the
+    * path now holding the compacted layout: `dir` itself when `swap`
+    * (default), else the staging dir. */
   def compact(
       spark: SparkSession,
       dir: String,
       partitionCol: String,
-      swap: Boolean = true): String = {
+      swap: Boolean = true,
+      tombstoneIdCol: Option[String] = None): String = {
     val live = new Path(dir)
     val fs = live.getFileSystem(spark.sparkContext.hadoopConfiguration)
     require(fs.exists(live), s"compact: no index at $dir")
@@ -47,14 +94,21 @@ object IndexMaintenance {
     fs.delete(staging, true)
     fs.delete(backup, true)
 
-    spark.read.parquet(dir)
+    val rows = spark.read.parquet(dir)
+    val liveRows = tombstoneIdCol match {
+      case Some(idc) => filterTombstoned(spark, dir, rows, idc)
+      case None => rows
+    }
+    liveRows
       .repartition(col(partitionCol))
       .write.partitionBy(partitionCol).parquet(staging.toString)
 
     // carry the model/parameter sidecars byte-verbatim — the compacted
-    // index is the SAME index, so append/probe guards must keep matching
+    // index is the SAME index, so append/probe guards must keep
+    // matching. FILES only: the tombstone DIRECTORY is deliberately not
+    // carried — its deletes were just materialized into the rewrite
     fs.listStatus(live).map(_.getPath)
-      .filter(_.getName.startsWith("_graft_"))
+      .filter(p => p.getName.startsWith("_graft_") && fs.getFileStatus(p).isFile)
       .foreach { p =>
         val in = fs.open(p)
         val bytes =

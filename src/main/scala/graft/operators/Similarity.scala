@@ -1129,12 +1129,21 @@ object Similarity {
   }
 
   /** One-file-per-cell compaction of a [[writeIvfPqIndex]] layout after
-    * an append-heavy ingest cadence — rows unchanged, probes
-    * bit-identical, small files gone ([[IndexMaintenance.compact]] for
-    * the rewrite/sidecar/swap mechanics). */
+    * an append-heavy ingest cadence — serving unchanged (pending
+    * [[deleteFromIvfPqIndex]] tombstones are materialized: rows
+    * physically dropped, the set cleared), small files gone
+    * ([[IndexMaintenance.compact]] for the mechanics). */
   def compactIvfPqIndex(spark: org.apache.spark.sql.SparkSession, dir: String,
       swap: Boolean = true): String =
-    IndexMaintenance.compact(spark, dir, "centroid_id", swap)
+    IndexMaintenance.compact(spark, dir, "centroid_id", swap, tombstoneIdCol = Some("cid"))
+
+  /** DELETE candidate vectors from a [[writeIvfPqIndex]] layout —
+    * tombstoned immediately ([[IndexMaintenance.tombstone]]), excluded
+    * from every subsequent [[ivfPqTopKIndexed]] probe, expunged
+    * physically at the next [[compactIvfPqIndex]]. */
+  def deleteFromIvfPqIndex(spark: org.apache.spark.sql.SparkSession, dir: String,
+      ids: DataFrame, idCol: String = "cid"): Unit =
+    IndexMaintenance.tombstone(spark, dir, ids, idCol)
 
   /** Shared assign+encode map stage behind the index build AND append —
     * the zero-shuffle [[assignCells]] argmax fused with the PQ encode. */
@@ -1173,7 +1182,8 @@ object Similarity {
     requireModelMatch(queries.sparkSession, indexDir, centroidVecs, codebooks,
       "ivfPqTopKIndexed")
     val m = codebooks.length
-    val codes = queries.sparkSession.read.parquet(indexDir)
+    val codes = IndexMaintenance.filterTombstoned(queries.sparkSession, indexDir,
+      queries.sparkSession.read.parquet(indexDir), idC)
     val qAssigned = assignCells(
       queries.select(col(idQ), col(vecCol).as("_qv")), centroidVecs, "_qv", nProbe)
     val qLut = qAssigned.select(col(idQ) +: col("centroid_id") +: pqLutCols(codebooks, "_qv"): _*)

@@ -6786,6 +6786,58 @@ object Queries {
       FROM v WHERE CAST(i AS DOUBLE) / CAST(sz1 + sz2 - i AS DOUBLE) >= 0.05
       ORDER BY d1, d2"""))
 
+  /** Index DELETE lifecycle (`Dedup.deleteFromMinhashIndex`): q215's
+    * incremental dedup with every `doc_id % 10 == 0` reference
+    * tombstoned after the build — probes must behave as if those docs
+    * never entered the index (dup_of moves or the doc flips to keep).
+    * The oracle simply excludes the deleted ids from the reference
+    * side; any tombstone leak (a decision still citing a deleted ref)
+    * hash-mismatches. */
+  val q220_index_delete: Q = Q(
+    (s, d) => {
+      val docs = table(s, d, "documents")
+      val idx = s"target/tmp/minhash_index_del_${new java.io.File(d).getName}_" +
+        srcContentSig(d, "documents.parquet")
+      if (!new java.io.File(s"$idx/_SUCCESS").exists()) {
+        Dedup.writeMinhashIndex(docs.filter(col("doc_id") % 2 === 0), idx)
+        Dedup.deleteFromMinhashIndex(s, idx,
+          docs.filter(col("doc_id") % 10 === 0).select("doc_id"))
+      }
+      Dedup.dedupAgainstMinhashIndex(docs.filter(col("doc_id") % 2 === 1), idx)
+        .select(col("doc_id"), col("keep"), col("dup_of"), col("n_ref_dups"))
+        .orderBy("doc_id")
+    },
+    Some {
+      val sigs = (1 to 8)
+        .map(i => "list_min(list_transform(bgs, x -> " +
+          s"CAST('0x' || substr(md5(x || '#$i'), 1, 15) AS BIGINT))) AS h$i")
+        .mkString(", ")
+      val matches = (1 to 8)
+        .map(i => s"(CASE WHEN s1.h$i = s2.h$i THEN 1 ELSE 0 END)").mkString(" + ")
+      s"""WITH bg AS (SELECT doc_id, list_distinct(${duckGrams(2)}) AS bgs
+          FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents)),
+        sig AS MATERIALIZED (SELECT doc_id, $sigs FROM bg),
+        bands AS (
+          SELECT doc_id, 0 AS band_idx, CAST(h1 AS VARCHAR) || '_' || CAST(h2 AS VARCHAR) AS band FROM sig
+          UNION ALL SELECT doc_id, 1 AS band_idx, CAST(h3 AS VARCHAR) || '_' || CAST(h4 AS VARCHAR) AS band FROM sig
+          UNION ALL SELECT doc_id, 2 AS band_idx, CAST(h5 AS VARCHAR) || '_' || CAST(h6 AS VARCHAR) AS band FROM sig
+          UNION ALL SELECT doc_id, 3 AS band_idx, CAST(h7 AS VARCHAR) || '_' || CAST(h8 AS VARCHAR) AS band FROM sig),
+        cand AS (SELECT DISTINCT a.doc_id AS new_id, b.doc_id AS ref_id
+                 FROM bands a JOIN bands b
+                   ON a.band_idx = b.band_idx AND a.band = b.band
+                 WHERE a.doc_id % 2 = 1 AND b.doc_id % 2 = 0 AND b.doc_id % 10 <> 0),
+        m AS (SELECT c.new_id, c.ref_id, $matches AS matches
+              FROM cand c JOIN sig s1 ON s1.doc_id = c.new_id
+                          JOIN sig s2 ON s2.doc_id = c.ref_id),
+        mm AS (SELECT new_id, MIN(ref_id) AS dup_of,
+                 CAST(COUNT(DISTINCT ref_id) AS BIGINT) AS n_ref_dups
+               FROM m WHERE matches >= 4 GROUP BY new_id)
+        SELECT d.doc_id, mm.new_id IS NULL AS keep, mm.dup_of,
+          COALESCE(mm.n_ref_dups, 0) AS n_ref_dups
+        FROM documents d LEFT JOIN mm ON mm.new_id = d.doc_id
+        WHERE d.doc_id % 2 = 1 ORDER BY d.doc_id"""
+    })
+
   // -------------------------------------------------------------- registry
 
   val all: Seq[(String, Q)] = Seq(
@@ -7006,5 +7058,6 @@ object Queries {
     "q216_cluster_split" -> q216_cluster_split,
     "q217_ivf_range" -> q217_ivf_range,
     "q218_pipeline_report" -> q218_pipeline_report,
-    "q219_lsh_bandcap" -> q219_lsh_bandcap)
+    "q219_lsh_bandcap" -> q219_lsh_bandcap,
+    "q220_index_delete" -> q220_index_delete)
 }

@@ -71,6 +71,37 @@ class IvfPqMaintSpec extends SparkSpec {
     }
   }
 
+  test("deleteFromIvfPqIndex: served results exclude the victim; compaction expunges") {
+    val s = spark
+    import s.implicits._
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val c = emb.select(col("vec_id").as("cid"), col("embedding"))
+    val books = Similarity.pqCodebooks(c, m = 8, ksub = 16)
+    val ctr = graft.queries.TrainedCentroids.sf001k8
+    val q = emb.filter(col("vec_id") % 100 === 0)
+      .select(col("vec_id").as("qid"), col("embedding"))
+    val dir = java.nio.file.Files.createTempDirectory("ivfpq_del").toString
+    Similarity.writeIvfPqIndex(c, ctr, books, dir)
+    def serve() = Similarity.ivfPqTopKIndexed(q, dir, c, ctr, books,
+      k = 10, nProbe = 2, rerankFactor = 3).collect().map(key).toSet
+    val before = serve()
+    val victim = before.map(_._2).min
+    Similarity.deleteFromIvfPqIndex(spark, dir, Seq(victim).toDF("cid"))
+    // serving behaves as a fresh build without the victim, bit-for-bit
+    val cleanDir = java.nio.file.Files.createTempDirectory("ivfpq_del_clean").toString
+    Similarity.writeIvfPqIndex(c.filter(col("cid") =!= victim), ctr, books, cleanDir)
+    val after = serve()
+    assert(after.forall(_._2 != victim))
+    assert(after != before, "the delete must actually change served results")
+    assert(after === Similarity.ivfPqTopKIndexed(q, cleanDir, c, ctr, books,
+      k = 10, nProbe = 2, rerankFactor = 3).collect().map(key).toSet)
+    // compaction expunges physically and clears the tombstone set
+    Similarity.compactIvfPqIndex(spark, dir)
+    assert(!new java.io.File(dir, "_graft_tombstones").exists())
+    assert(spark.read.parquet(dir).filter(col("cid") === victim).count() === 0L)
+    assert(serve() === after)
+  }
+
   test("model-mismatch guard: append/serve under a different model fails loudly") {
     val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     val c = emb.select(col("vec_id").as("cid"), col("embedding"))

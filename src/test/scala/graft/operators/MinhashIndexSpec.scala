@@ -74,6 +74,34 @@ class MinhashIndexSpec extends SparkSpec {
     }
   }
 
+  test("deleteFromMinhashIndex: tombstone honored at probe, expunged at compaction") {
+    val s = spark
+    import s.implicits._
+    val ref = docs.filter(col("doc_id") % 2 === 0)
+    val incoming = docs.filter(col("doc_id") % 2 === 1)
+    val dir = java.nio.file.Files.createTempDirectory("mh_del").toString
+    Dedup.writeMinhashIndex(ref, dir)
+    // pick a reference doc that actually catches some incoming dup
+    val caught = probe(incoming, dir).filter(!_._2)
+    assert(caught.nonEmpty)
+    val victim = caught.flatMap(_._3).map(_.toLong).min
+    Dedup.deleteFromMinhashIndex(spark, dir, Seq(victim).toDF("doc_id"))
+    // probe now behaves as if the victim never existed: identical to an
+    // index built WITHOUT it
+    val cleanDir = java.nio.file.Files.createTempDirectory("mh_del_clean").toString
+    Dedup.writeMinhashIndex(ref.filter(col("doc_id") =!= victim), cleanDir)
+    val afterDelete = probe(incoming, dir)
+    assert(afterDelete === probe(incoming, cleanDir))
+    assert(afterDelete.forall(r => !r._3.contains(victim.toString)),
+      "no decision may still cite the deleted reference")
+    // compaction materializes the delete: rows physically gone, the
+    // tombstone dir cleared, probe decisions unchanged
+    Dedup.compactMinhashIndex(spark, dir)
+    assert(!new java.io.File(dir, "_graft_tombstones").exists())
+    assert(spark.read.parquet(dir).filter(col("ref_id") === victim).count() === 0L)
+    assert(probe(incoming, dir) === afterDelete)
+  }
+
   test("parameter sidecar rejects a different hash family") {
     val dir = java.nio.file.Files.createTempDirectory("mh_params").toString
     Dedup.writeMinhashIndex(docs.limit(50), dir, numHashes = 8, rowsPerBand = 2)
