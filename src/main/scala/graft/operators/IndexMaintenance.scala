@@ -48,6 +48,9 @@ object IndexMaintenance {
     * appending. */
   def tombstone(spark: SparkSession, dir: String, ids: DataFrame, idCol: String): Unit = {
     require(fileSystem(spark, dir).exists(new Path(dir)), s"tombstone: no index at $dir")
+    // a string id would CAST to null silently and the delete would no-op
+    // — same plan-build-time contract as the heap top-k paths
+    Similarity.requireIntegralId(ids, idCol, "tombstone")
     ids.select(col(idCol).cast("long").as("_del_id")).distinct()
       .write.mode("append").parquet(new Path(dir, TombstoneDir).toString)
   }

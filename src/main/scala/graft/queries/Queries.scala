@@ -6798,11 +6798,12 @@ object Queries {
       val docs = table(s, d, "documents")
       val idx = s"target/tmp/minhash_index_del_${new java.io.File(d).getName}_" +
         srcContentSig(d, "documents.parquet")
-      if (!new java.io.File(s"$idx/_SUCCESS").exists()) {
+      if (!new java.io.File(s"$idx/_SUCCESS").exists())
         Dedup.writeMinhashIndex(docs.filter(col("doc_id") % 2 === 0), idx)
-        Dedup.deleteFromMinhashIndex(s, idx,
-          docs.filter(col("doc_id") % 10 === 0).select("doc_id"))
-      }
+      // unconditional: idempotent (the set is distinct at read), and it
+      // heals a crash window between the build and the first delete
+      Dedup.deleteFromMinhashIndex(s, idx,
+        docs.filter(col("doc_id") % 10 === 0).select("doc_id"))
       Dedup.dedupAgainstMinhashIndex(docs.filter(col("doc_id") % 2 === 1), idx)
         .select(col("doc_id"), col("keep"), col("dup_of"), col("n_ref_dups"))
         .orderBy("doc_id")

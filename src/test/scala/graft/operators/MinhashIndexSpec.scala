@@ -102,6 +102,17 @@ class MinhashIndexSpec extends SparkSpec {
     assert(probe(incoming, dir) === afterDelete)
   }
 
+  test("deleteFromMinhashIndex rejects non-integral ids (silent null-cast guard)") {
+    val s = spark
+    import s.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("mh_del_ids").toString
+    Dedup.writeMinhashIndex(docs.limit(20), dir)
+    val e = intercept[IllegalArgumentException] {
+      Dedup.deleteFromMinhashIndex(spark, dir, Seq("doc-7").toDF("doc_id"))
+    }
+    assert(e.getMessage.contains("integral"))
+  }
+
   test("parameter sidecar rejects a different hash family") {
     val dir = java.nio.file.Files.createTempDirectory("mh_params").toString
     Dedup.writeMinhashIndex(docs.limit(50), dir, numHashes = 8, rowsPerBand = 2)
