@@ -124,6 +124,44 @@ class IvfPqMaintSpec extends SparkSpec {
     assert(Similarity.ivfPqTopKIndexed(q, dir, c, ctr, books, k = 1).count() === 1)
   }
 
+  test("annServe honors a tombstone delete on the next micro-batch") {
+    val s = spark
+    import s.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sq = s.sqlContext
+
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val c = emb.select(col("vec_id").as("cid"), col("embedding"))
+    val books = Similarity.pqCodebooks(c, m = 8, ksub = 16)
+    val ctr = graft.queries.TrainedCentroids.sf001k8
+    val dir = java.nio.file.Files.createTempDirectory("ivfpq_serve_del").toString
+    Similarity.writeIvfPqIndex(c, ctr, books, dir)
+
+    val queries = emb.filter(col("vec_id") % 100 === 0)
+      .select(col("vec_id").as("qid"), col("embedding").cast("array<double>").as("e"))
+      .collect().map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
+
+    var perBatch = List.empty[Set[(Long, Long, Int, Double, Double)]]
+    val mem = MemoryStream[(Long, Array[Double])]
+    val query = graft.streaming.StreamingOps.annServe(
+      mem.toDF.toDF("qid", "embedding"), dir, c, ctr, books,
+      k = 10, nProbe = 2, rerankFactor = 3) { out =>
+      perBatch.synchronized { perBatch :+= out.collect().map(key).toSet }
+    }
+    try {
+      mem.addData(queries.toSeq: _*)
+      query.processAllAvailable()
+      val victim = perBatch.head.map(_._2).min
+      Similarity.deleteFromIvfPqIndex(spark, dir, Seq(victim).toDF("cid"))
+      mem.addData(queries.toSeq: _*)
+      query.processAllAvailable()
+      assert(perBatch.length === 2)
+      assert(perBatch(0).exists(_._2 == victim))
+      assert(perBatch(1).forall(_._2 != victim),
+        "no post-delete serving result may contain the tombstoned vector")
+    } finally query.stop()
+  }
+
   test("annServe serves across an index refresh: appended rows retrievable next batch") {
     val s = spark
     import s.implicits._
