@@ -102,6 +102,28 @@ class MinhashIndexSpec extends SparkSpec {
     assert(probe(incoming, dir) === afterDelete)
   }
 
+  test("tombstones are permanent until compaction: append does not resurrect a deleted id") {
+    val s = spark
+    import s.implicits._
+    val ref = docs.filter(col("doc_id") % 2 === 0)
+    val incoming = docs.filter(col("doc_id") % 2 === 1)
+    val dir = java.nio.file.Files.createTempDirectory("mh_resurrect").toString
+    Dedup.writeMinhashIndex(ref, dir)
+    val victim = probe(incoming, dir).filter(!_._2).flatMap(_._3).map(_.toLong).min
+    Dedup.deleteFromMinhashIndex(spark, dir, Seq(victim).toDF("doc_id"))
+    // re-appending the deleted id's rows changes nothing: delete means
+    // "this id's content is expunged" until a compaction re-admits it
+    val afterDelete = probe(incoming, dir)
+    Dedup.appendMinhashIndex(ref.filter(col("doc_id") === victim), dir)
+    assert(probe(incoming, dir) === afterDelete,
+      "append under a tombstoned id must not resurrect it")
+    // compaction materializes the delete AND clears the set; a fresh
+    // append afterwards re-admits the id
+    Dedup.compactMinhashIndex(spark, dir)
+    Dedup.appendMinhashIndex(ref.filter(col("doc_id") === victim), dir)
+    assert(probe(incoming, dir) !== afterDelete, "post-compaction append re-admits")
+  }
+
   test("deleteFromMinhashIndex rejects non-integral ids (silent null-cast guard)") {
     val s = spark
     import s.implicits._
