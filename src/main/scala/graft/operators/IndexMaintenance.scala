@@ -28,7 +28,20 @@ import org.apache.spark.sql.functions._
   * `<dir>__precompact` for manual recovery, and the staging dir is only
   * renamed in AFTER a fully successful write. On object stores without
   * atomic rename, run with `swap = false` and repoint serving at the
-  * returned staging path instead (the blue/green form). */
+  * returned staging path instead (the blue/green form).
+  *
+  * SINGLE MUTATOR (r12, contract): exactly one writer — append,
+  * tombstone, or compact — may mutate an index at a time. Concurrent
+  * READS are safe throughout (and with a [[Manifest]]-pointer layout,
+  * safe even across a compaction swap), but a row appended to the live
+  * dir AFTER compact's staging read and BEFORE its swap is silently
+  * lost (moved to `__precompact`, then deleted), and a tombstone
+  * written in that window is wrongly cleared as if materialized.
+  * [[compact]] enforces the append half of this loudly: it re-lists the
+  * live dir before swapping and aborts if any data file is newer than
+  * its staging snapshot. Serialize mutators externally (an ingest lock,
+  * a single owner job) — the same rule every log-structured index
+  * (LSM, Lucene, Iceberg without a catalog) imposes. */
 object IndexMaintenance {
 
   private val TombstoneDir = "_graft_tombstones"
@@ -77,6 +90,22 @@ object IndexMaintenance {
   private def fileSystem(spark: SparkSession, dir: String) =
     new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
 
+  /** Recursive (path, length, modtime) listing of every FILE under
+    * `root` — the drift fingerprint for [[compact]]'s single-mutator
+    * guard. A concurrent append adds part files (and rewrites
+    * `_SUCCESS`), a concurrent tombstone adds files under
+    * `_graft_tombstones` — all visible as set difference. */
+  private def listTree(
+      fs: org.apache.hadoop.fs.FileSystem, root: Path): Seq[(String, Long, Long)] = {
+    val it = fs.listFiles(root, true)
+    val buf = scala.collection.mutable.ArrayBuffer.empty[(String, Long, Long)]
+    while (it.hasNext) {
+      val st = it.next()
+      buf += ((st.getPath.toUri.getPath, st.getLen, st.getModificationTime))
+    }
+    buf.toSeq
+  }
+
   /** Compacts the partitioned parquet index at `dir` to one file per
     * `partitionCol` value, materializing any pending [[tombstone]]s
     * (rows dropped physically, the tombstone set cleared — pass
@@ -96,6 +125,12 @@ object IndexMaintenance {
     val backup = new Path(dir + "__precompact")
     fs.delete(staging, true)
     fs.delete(backup, true)
+
+    // single-mutator guard (r12): snapshot the live tree now; re-list
+    // just before the swap and abort loudly if anything changed, so an
+    // append/tombstone racing this compaction fails the compaction
+    // instead of vanishing into __precompact
+    val snapshot = listTree(fs, live)
 
     val rows = spark.read.parquet(dir)
     val liveRows = tombstoneIdCol match {
@@ -125,6 +160,11 @@ object IndexMaintenance {
       }
 
     if (!swap) return staging.toString
+    val drift = listTree(fs, live).toSet.diff(snapshot.toSet)
+    require(drift.isEmpty,
+      s"compact: concurrent mutation of $dir detected (single-mutator " +
+        s"contract) — aborting before the swap; changed: " +
+        drift.take(5).map(_._1).mkString(", "))
     require(fs.rename(live, backup), s"compact: could not stage-out $dir")
     require(fs.rename(staging, live), s"compact: could not swap in ${staging.getName}")
     fs.delete(backup, true)

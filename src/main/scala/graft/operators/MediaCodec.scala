@@ -191,7 +191,7 @@ object MediaCodec {
     // Int.MaxValue would overflow `pos + 8 + sz` as ints, slip past the
     // bounds guard, and throw instead of returning null
     var pos = 12L
-    var nCh = -1; var bits = -1; var fmt = -1
+    var nCh = -1; var bits = -1; var fmt = -1; var blockAlign = -1
     var dataOff = -1; var dataLen = -1
     while (pos + 8 <= b.length && (fmt < 0 || dataOff < 0)) {
       val id = new String(b, pos.toInt, 4, "US-ASCII")
@@ -200,11 +200,22 @@ object MediaCodec {
       if (id == "fmt " && sz >= 16) {
         fmt = le16(b, pos.toInt + 8)
         nCh = le16(b, pos.toInt + 10)
+        blockAlign = le16(b, pos.toInt + 20)
         bits = le16(b, pos.toInt + 22)
       } else if (id == "data") { dataOff = pos.toInt + 8; dataLen = sz.toInt }
       pos += 8 + sz + (sz & 1) // chunks are word-aligned
     }
     if (fmt != 1 || bits != 16 || nCh < 1 || dataOff < 0) return null
+    // corrupt/adversarial fmt guard (r12): a fabricated nCh (the field is
+    // a raw uint16, up to 65535) would let the mono-mix sum reach
+    // nCh*32768 and e += s*s overflow Long after a handful of frames,
+    // yielding a garbage (non-null) fingerprint. Require the header to be
+    // self-consistent (blockAlign == nCh*2, forced for 16-bit PCM) and
+    // nCh within a sane bound; with nCh <= 64, s <= 2^21, s^2 <= 2^42,
+    // and a <= 2 GiB payload caps any window at < 2^18 frames, so
+    // e < 2^60 — no overflow reachable. Inconsistent headers return null,
+    // the same contract as the rest of the chunk walk.
+    if (nCh > 64 || blockAlign != nCh * 2) return null
     val nFrames = dataLen / (2 * nCh)
     if (nFrames < 64) return null
     // mono mix (integer sum across channels), then 64 window energies

@@ -1039,10 +1039,19 @@ object TextAnalysis {
       s"(?is)<(script|style)$tagBody>.*?</\\1\\s*>", " ")
     val noComments = regexp_replace(noBlocks, "(?s)<!--.*?-->", " ")
     val noTags = regexp_replace(noComments, s"<$tagBody>", " ")
+    // residual fallback (r12): the quote-aware body cannot match a tag
+    // holding an UNPAIRED quote (legal-HTML5 unquoted attribute values
+    // like <div data-name=O'Brien>, or mismatched quotes in crawl data),
+    // so such pseudo-tags would leak raw into clean_text. Degrade them to
+    // spacing with the plain [^>]* form — a no-op on anything the
+    // quote-aware pass already consumed (a survivor of that pass matches
+    // <[^>]*> only if its body has an unpaired quote), and it runs BEFORE
+    // entity decoding so a decoded literal &lt;x&gt; still survives.
+    val noResidual = regexp_replace(noTags, "<[^>]*>", " ")
     val decoded = Seq(
       "&nbsp;" -> " ", "&lt;" -> "<", "&gt;" -> ">",
       "&quot;" -> "\"", "&#39;" -> "'", "&amp;" -> "&")
-      .foldLeft(noTags) { case (c, (ent, v)) => replace(c, lit(ent), lit(v)) }
+      .foldLeft(noResidual) { case (c, (ent, v)) => replace(c, lit(ent), lit(v)) }
     trim(regexp_replace(decoded, "\\s+", " "))
   }
 

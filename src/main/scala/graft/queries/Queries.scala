@@ -6723,7 +6723,8 @@ object Queries {
                ROUND(list_cosine_similarity(q.v, c.v), 6) AS sim
              FROM qass qs JOIN cass a ON a.centroid_id = qs.centroid_id
              JOIN emb q ON q.vec_id = qs.qid JOIN emb c ON c.vec_id = a.cid)
-      SELECT qid, cid, sim FROM sc WHERE sim >= 0.3 ORDER BY qid, cid"""))
+      SELECT qid, cid, sim FROM sc WHERE sim >= 0.3 AND NOT isnan(sim)
+      ORDER BY qid, cid"""))
 
   /** The curation pipeline END TO END in one declarative plan: quality
     * gate (q28's scorer) → exact-content dedup canonical (q22's
@@ -6800,10 +6801,15 @@ object Queries {
         srcContentSig(d, "documents.parquet")
       if (!new java.io.File(s"$idx/_SUCCESS").exists())
         Dedup.writeMinhashIndex(docs.filter(col("doc_id") % 2 === 0), idx)
-      // unconditional: idempotent (the set is distinct at read), and it
-      // heals a crash window between the build and the first delete
-      Dedup.deleteFromMinhashIndex(s, idx,
-        docs.filter(col("doc_id") % 10 === 0).select("doc_id"))
+      // _SUCCESS-guarded like the build (r12): tombstone() appends one
+      // parquet file per call, so an unconditional delete grew the
+      // cached per-sf index dir by a file per verify/bench run
+      // (decisions stayed correct via distinct; only the file count
+      // grew). The guard keeps the delete idempotent AND bounded; a
+      // crash between the set's parquet commit and _SUCCESS re-runs it.
+      if (!new java.io.File(s"$idx/_graft_tombstones/_SUCCESS").exists())
+        Dedup.deleteFromMinhashIndex(s, idx,
+          docs.filter(col("doc_id") % 10 === 0).select("doc_id"))
       Dedup.dedupAgainstMinhashIndex(docs.filter(col("doc_id") % 2 === 1), idx)
         .select(col("doc_id"), col("keep"), col("dup_of"), col("n_ref_dups"))
         .orderBy("doc_id")

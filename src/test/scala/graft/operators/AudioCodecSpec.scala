@@ -65,6 +65,17 @@ class AudioCodecSpec extends SparkSpec {
     val c = wav(samples(7))
     c(16) = -1; c(17) = -1; c(18) = -1; c(19) = 0x7f // fmt size = 0x7fffffff
     assert(MediaCodec.audioFp63(c) == null)
+    // r12: adversarial nCh (raw uint16 — the mono-mix sum could reach
+    // nCh*32768 and overflow e += s*s into a garbage fingerprint) is
+    // rejected via the blockAlign == nCh*2 cross-check...
+    val badCh = wav(samples(7))
+    badCh(22) = -1; badCh(23) = -1 // nCh = 65535, blockAlign still 2
+    assert(MediaCodec.audioFp63(badCh) == null)
+    // ...and a SELF-CONSISTENT but absurd channel count is still capped
+    val manyCh = wav(samples(7))
+    manyCh(22) = 100; manyCh(23) = 0 // nCh = 100
+    manyCh(32) = 200.toByte; manyCh(33) = 0 // blockAlign = 200 (consistent)
+    assert(MediaCodec.audioFp63(manyCh) == null)
   }
 
   test("audioNearDup: perturbed variant pairs with the base, engine == independent replay") {

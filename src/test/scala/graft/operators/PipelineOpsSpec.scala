@@ -694,7 +694,12 @@ class PipelineOpsSpec extends SparkSpec {
       // r11: quoted attributes containing '>' no longer truncate the tag
       ("""<div title="a>b">x</div>""", "x"),
       ("""<img alt='1 > 0'/>y""", "y"),
-      ("""<script data-x="a>b">hidden()</script>z""", "z"))
+      ("""<script data-x="a>b">hidden()</script>z""", "z"),
+      // r12: UNPAIRED quotes (legal-HTML5 unquoted attribute values,
+      // mismatched quotes in crawl data) degrade to spacing via the
+      // residual fallback instead of leaking raw tag text
+      ("""<div data-name=O'Brien>w</div>""", "w"),
+      ("""<a href="x onclick='>v</a>""", "v"))
     val got = cases.map(_._1).toDF("h")
       .select(TextAnalysis.stripHtml(col("h"))).collect().map(_.getString(0)).toSeq
     assert(got === cases.map(_._2), s"stripHtml drifted: $got")
