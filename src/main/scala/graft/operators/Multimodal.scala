@@ -185,8 +185,25 @@ object Multimodal {
       df: DataFrame,
       maxDist: Int = 4,
       idCol: String = "doc_id",
+      binCol: String = "payload",
+      maxBandSize: Int = Int.MaxValue,
+      maxClassSize: Int = Int.MaxValue): DataFrame =
+    fingerprintNearDup(df, aHash(col(binCol)), maxDist, idCol, maxBandSize, maxClassSize)
+
+  /** Identical-fingerprint CLASSES of an image corpus — the scale
+    * representation of exact perceptual duplicates (r12): one row per
+    * distinct aHash with the member count and the min-id representative,
+    * instead of the n(n−1)/2 enumerated pairs [[imageNearDup]] emits for
+    * such a class. A web-scale corpus is full of constant payloads
+    * (blank/black frames, tracking pixels) whose class is millions of
+    * members; their pair list is quadratic BY CONSTRUCTION, but the
+    * class row is O(1). One decode pass + one groupBy — never a join.
+    * Output: (fp, n_members, rep_id). */
+  def imageDupClusters(
+      df: DataFrame,
+      idCol: String = "doc_id",
       binCol: String = "payload"): DataFrame =
-    fingerprintNearDup(df, aHash(col(binCol)), maxDist, idCol)
+    fingerprintClusters(df, aHash(col(binCol)), idCol)
 
   /** Perceptual near-duplicate AUDIO pairs (r11): real RIFF/WAVE PCM16
     * decode + 63-bit window-energy fingerprint
@@ -199,8 +216,19 @@ object Multimodal {
       df: DataFrame,
       maxDist: Int = 4,
       idCol: String = "doc_id",
+      binCol: String = "payload",
+      maxBandSize: Int = Int.MaxValue,
+      maxClassSize: Int = Int.MaxValue): DataFrame =
+    fingerprintNearDup(df, audioFp(col(binCol)), maxDist, idCol, maxBandSize, maxClassSize)
+
+  /** Identical-fingerprint classes of an audio corpus (silence, repeated
+    * jingles) — the audio twin of [[imageDupClusters]].
+    * Output: (fp, n_members, rep_id). */
+  def audioDupClusters(
+      df: DataFrame,
+      idCol: String = "doc_id",
       binCol: String = "payload"): DataFrame =
-    fingerprintNearDup(df, audioFp(col(binCol)), maxDist, idCol)
+    fingerprintClusters(df, audioFp(col(binCol)), idCol)
 
   /** 63-bit audio fingerprint of a WAV payload (real PCM decode; null
     * for undecodable bytes). Pure per-row codegen — the audio twin of
@@ -208,40 +236,113 @@ object Multimodal {
   def audioFp(payload: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
     graft.functions.AudioFpExpr.column(payload)
 
+  /** One row per distinct fingerprint with member count and min-id
+    * representative — the shared engine behind [[imageDupClusters]] /
+    * [[audioDupClusters]] and [[fingerprintNearDup]]'s class table. */
+  private def fingerprintClusters(
+      df: DataFrame,
+      fp: org.apache.spark.sql.Column,
+      idCol: String): DataFrame =
+    df.withColumn("_fp", fp)
+      .filter(col("_fp").isNotNull)
+      .groupBy(col("_fp").as("fp"))
+      .agg(count(lit(1)).as("n_members"), min(col(idCol)).as("rep_id"))
+
   /** Shared banded-Hamming near-dup engine behind [[imageNearDup]] and
-    * [[audioNearDup]]: fingerprint ONCE (the band self-join would
-    * otherwise duplicate the whole upstream plan — including the media
-    * decode, the expensive stage — into both sides; the checkpointed
-    * table is (id, long): n×16 B, the same eager-checkpoint precedent as
-    * Dedup.connectedComponents' label table), then candidates share any
-    * of 5 disjoint 13-bit bands (pigeonhole: ≤4 flipped bits leave ≥1
-    * band intact) and verify by exact `bit_count(xor)`. Never all-pairs. */
+    * [[audioNearDup]]: fingerprint ONCE (the joins would otherwise
+    * duplicate the whole upstream plan — including the media decode, the
+    * expensive stage — into every side; the checkpointed table is
+    * (id, long): n×16 B, the same eager-checkpoint precedent as
+    * Dedup.connectedComponents' label table), then find near pairs on the
+    * DISTINCT-fingerprint table (r12): candidates share any of 5 disjoint
+    * 13-bit bands (pigeonhole: ≤4 flipped bits leave ≥1 band intact),
+    * verify by exact `bit_count(xor)`, and expand verified fp pairs back
+    * to id pairs with two hash joins. Identical-fp pairs (dist 0) never
+    * enter the banding at all — they come from one fp-equality self-join.
+    *
+    * Why distinct-fp, not per-id banding (the pre-r12 form): a web-scale
+    * corpus is full of constant payloads (silence WAVs, blank frames)
+    * that collapse to ONE fingerprint; banding per id puts that whole
+    * class into every band bucket and the band self-join enumerates
+    * n²/2 candidates per bucket. On the distinct-fp table each class
+    * occupies ONE slot per band regardless of its population, so
+    * candidate generation scales with distinct content, not corpus size.
+    *
+    * The two remaining quadratic exposures are knob-guarded,
+    * OUTPUT-VISIBLY (the q219 `maxBandSize` semantics):
+    *  - `maxClassSize`: identical-fp classes larger than this are
+    *    excluded from pair enumeration entirely (their pair LIST is
+    *    quadratic by construction — represent them as one
+    *    [[imageDupClusters]] row instead);
+    *  - `maxBandSize`: band buckets holding more than this many DISTINCT
+    *    fingerprints (near-identical content families) are dropped before
+    *    the band self-join.
+    * Defaults = no cap: bit-compatible with the uncapped r11 output. */
   private def fingerprintNearDup(
       df: DataFrame,
       fp: org.apache.spark.sql.Column,
       maxDist: Int,
-      idCol: String): DataFrame = {
+      idCol: String,
+      maxBandSize: Int = Int.MaxValue,
+      maxClassSize: Int = Int.MaxValue): DataFrame = {
+    require(maxBandSize >= 2, "maxBandSize < 2 would drop every near candidate")
+    require(maxClassSize >= 1, "maxClassSize must be positive")
     val hashed = df
       .withColumn("_fp", fp)
       .filter(col("_fp").isNotNull)
       .select(col(idCol), col("_fp"))
       .localCheckpoint()
+    // distinct-fp class table: slim (fp, population) — checkpointed once,
+    // it feeds the class gate, both banding sides, and the occupancy cap
+    val allClasses = hashed.groupBy("_fp").agg(count(lit(1)).as("_n"))
+    val classes =
+      (if (maxClassSize == Int.MaxValue) allClasses
+       else allClasses.filter(col("_n") <= maxClassSize))
+        .localCheckpoint(true)
+    val kept =
+      if (maxClassSize == Int.MaxValue) hashed
+      else hashed.join(classes.select("_fp"), Seq("_fp"), "left_semi")
+    // dist = 0: identical fingerprints, one fp-equality self-join —
+    // exact, no banding, output bounded per class by maxClassSize
+    val same = kept.as("a")
+      .join(kept.as("b"),
+        col("a._fp") === col("b._fp") && col(s"a.$idCol") < col(s"b.$idCol"))
+      .select(col(s"a.$idCol").as("d1"), col(s"b.$idCol").as("d2"),
+        lit(0).cast("int").as("dist"))
+    // dist in [1, maxDist]: band the DISTINCT fps
     val bandStructs = (0 until 5).map { b =>
       struct(lit(b).as("band_idx"),
         shiftrightunsigned(col("_fp"), b * 13).bitwiseAND(0x1FFFL).as("band"))
     }
-    val bands = hashed
-      .select(col(idCol), col("_fp"), explode(array(bandStructs: _*)).as("_b"))
-      .select(col(idCol), col("_fp"),
-        col("_b.band_idx").as("band_idx"), col("_b.band").as("band"))
-    bands.as("a")
+    val allBands = classes
+      .select(col("_fp"), explode(array(bandStructs: _*)).as("_b"))
+      .select(col("_fp"), col("_b.band_idx").as("band_idx"), col("_b.band").as("band"))
+    val bands =
+      if (maxBandSize == Int.MaxValue) allBands
+      else allBands.join(
+        allBands.groupBy("band_idx", "band").agg(count(lit(1)).as("_bn"))
+          .filter(col("_bn") <= maxBandSize)
+          .select("band_idx", "band"),
+        Seq("band_idx", "band"), "left_semi")
+    val fpPairs = bands.as("a")
       .join(bands.as("b"),
         col("a.band_idx") === col("b.band_idx") && col("a.band") === col("b.band") &&
-          col(s"a.$idCol") < col(s"b.$idCol"))
-      .select(col(s"a.$idCol").as("d1"), col(s"b.$idCol").as("d2"),
+          col("a._fp") < col("b._fp"))
+      .select(col("a._fp").as("_f1"), col("b._fp").as("_f2"),
         bit_count(col("a._fp").bitwiseXOR(col("b._fp"))).cast("int").as("dist"))
       .distinct()
-      .filter(col("dist") <= maxDist)
+      .filter(col("dist") >= 1 && col("dist") <= maxDist)
+    // expand verified fp pairs to id pairs (each id has exactly one fp,
+    // so no id-level dedup is needed); d1 < d2 by least/greatest because
+    // fp order and id order are unrelated
+    val near = fpPairs
+      .join(kept.as("x"), col("_f1") === col("x._fp"))
+      .join(kept.as("y"), col("_f2") === col("y._fp"))
+      .select(
+        least(col(s"x.$idCol"), col(s"y.$idCol")).as("d1"),
+        greatest(col(s"x.$idCol"), col(s"y.$idCol")).as("d2"),
+        col("dist"))
+    same.unionByName(near)
   }
 
   /** Frame sampling plumbing: explode a (video) payload into every k-th

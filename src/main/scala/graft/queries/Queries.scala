@@ -6434,39 +6434,53 @@ object Queries {
     * above-mean bits, bit 63 clear for BIGINT portability) and replays
     * the banding + Hamming relationally — the query passes only if
     * decode, luminance, mean, banding, and distance all match. */
-  val q212_image_neardup: Q = Q(
-    (s, d) => {
-      val docs = table(s, d, "documents")
-      // 54-byte BITMAPINFOHEADER for 8x8 24bpp (bfSize 246, offBits 54)
-      val header = "424DF6000000000000003600000028000000080000000800000001001800" +
-        "00000000C000000000000000000000000000000000000000"
-      def grayCol(x: Int, y: Int): Column = {
-        val base = (col("doc_id") % 100) * 37 + lit(x * 17 + y * 29)
-        val g0 = base % 199
-        // variant capped mod 5: gray stays <= 210 < 256 at EVERY sf
-        // (an uncapped doc_id DIV 100 would overflow the pixel byte at
-        // sf0.1's 5000 docs and lpad would truncate silently)
-        if (x == 0 && y == 0) g0 + (expr("doc_id DIV 100") % 5) * 3 else g0
+  /** q212/q221/q222's shared image fixture: spec-exact 8×8 24-bit BMPs
+    * synthesized from doc keys (bottom-up rows, BGR, no padding —
+    * byte-for-byte the BITMAPINFOHEADER layout q203's parser reads).
+    * Five brightness variants share each base (doc_id % 100), so the
+    * corpus has both identical-aHash classes (variants whose +3·v pixel
+    * nudge flips no bit) and near-dup pairs by construction. */
+  private def bmpFixture(docs: DataFrame): DataFrame = {
+    // 54-byte BITMAPINFOHEADER for 8x8 24bpp (bfSize 246, offBits 54)
+    val header = "424DF6000000000000003600000028000000080000000800000001001800" +
+      "00000000C000000000000000000000000000000000000000"
+    def grayCol(x: Int, y: Int): Column = {
+      val base = (col("doc_id") % 100) * 37 + lit(x * 17 + y * 29)
+      val g0 = base % 199
+      // variant capped mod 5: gray stays <= 210 < 256 at EVERY sf
+      // (an uncapped doc_id DIV 100 would overflow the pixel byte at
+      // sf0.1's 5000 docs and lpad would truncate silently)
+      if (x == 0 && y == 0) g0 + (expr("doc_id DIV 100") % 5) * 3 else g0
+    }
+    // rows stored bottom-up (biHeight > 0): image row 7 first
+    val pixelCols: Seq[Column] =
+      for { ys <- 7 to 0 by -1; x <- 0 to 7 } yield {
+        val hx = lpad(hex(grayCol(x, ys)), 2, "0")
+        concat(hx, hx, hx) // B = G = R = gray
       }
-      // rows stored bottom-up (biHeight > 0): image row 7 first
-      val pixelCols: Seq[Column] =
-        for { ys <- 7 to 0 by -1; x <- 0 to 7 } yield {
-          val hx = lpad(hex(grayCol(x, ys)), 2, "0")
-          concat(hx, hx, hx) // B = G = R = gray
-        }
-      val withPayload = docs
-        .withColumn("payload", unhex(concat((lit(header) +: pixelCols): _*)))
-      Multimodal.imageNearDup(withPayload, maxDist = 4).orderBy("d1", "d2")
-    },
-    Some("""WITH px AS (SELECT doc_id, x, y,
+    docs.withColumn("payload", unhex(concat((lit(header) +: pixelCols): _*)))
+  }
+
+  /** The px/tot/h CTE prefix every bmpFixture oracle shares: per-doc
+    * pixel grid → total → 63-bit average hash (bit_or of above-mean
+    * bits, bit 63 clear for BIGINT portability). */
+  private val bmpAhashCtes: String =
+    """px AS (SELECT doc_id, x, y,
           ((doc_id % 100) * 37 + x * 17 + y * 29) % 199 +
             CASE WHEN x = 0 AND y = 0 THEN ((doc_id // 100) % 5) * 3 ELSE 0 END AS gv
         FROM documents, range(0, 8) tx(x), range(0, 8) ty(y)),
       tot AS (SELECT doc_id, SUM(gv) AS total FROM px GROUP BY doc_id),
-      h AS (SELECT px.doc_id,
+      h AS MATERIALIZED (SELECT px.doc_id,
           bit_or(CASE WHEN y * 8 + x < 63 AND 64 * gv > total
                  THEN 1::BIGINT << CAST(y * 8 + x AS INTEGER) ELSE 0::BIGINT END) AS ahash
-        FROM px JOIN tot USING (doc_id) GROUP BY px.doc_id),
+        FROM px JOIN tot USING (doc_id) GROUP BY px.doc_id)"""
+
+  val q212_image_neardup: Q = Q(
+    (s, d) => {
+      val withPayload = bmpFixture(table(s, d, "documents"))
+      Multimodal.imageNearDup(withPayload, maxDist = 4).orderBy("d1", "d2")
+    },
+    Some(s"""WITH $bmpAhashCtes,
       bands AS (SELECT doc_id, ahash, b, (ahash >> (13 * b)) & 8191 AS band
                 FROM h, range(0, 5) tb(b)),
       cand AS (SELECT DISTINCT a.doc_id AS d1, a.ahash AS h1, b.doc_id AS d2, b.ahash AS h2
@@ -6845,6 +6859,54 @@ object Queries {
         WHERE d.doc_id % 2 = 1 ORDER BY d.doc_id"""
     })
 
+  /** Identical-fingerprint CLASSES as first-class output
+    * (`Multimodal.imageDupClusters`, r12): one row per distinct aHash
+    * with population and min-id representative — the scale
+    * representation of exact perceptual duplicates (a constant-payload
+    * class of millions is ONE row here vs n²/2 enumerated pairs). The
+    * oracle recomputes the hash from the pixel arithmetic and groups. */
+  val q221_image_dup_classes: Q = Q(
+    (s, d) => Multimodal.imageDupClusters(bmpFixture(table(s, d, "documents")))
+      .orderBy("rep_id"),
+    Some(s"""WITH $bmpAhashCtes
+      SELECT ahash AS fp, CAST(COUNT(*) AS BIGINT) AS n_members,
+        MIN(doc_id) AS rep_id
+      FROM h GROUP BY 1 ORDER BY rep_id"""))
+
+  /** The r12 hot-bucket guards on the banded Hamming near-dup engine,
+    * OUTPUT-VISIBLE at this sf (the q219 discipline): `maxClassSize = 8`
+    * excludes identical-aHash classes larger than 8 (the fixture has
+    * classes up to 15 — 33 of 61 pruned at sf0.01) and `maxBandSize = 3`
+    * drops band buckets holding more than 3 DISTINCT fingerprints (the
+    * fixture's occupancy reaches 5). A no-op cap implementation cannot
+    * hash-match: the uncapped output is 8,869 rows here vs 685 capped.
+    * The oracle replays class gate → distinct-fp banding → occupancy
+    * filter → verified expansion relationally. */
+  val q222_fp_capped: Q = Q(
+    (s, d) => Multimodal.imageNearDup(bmpFixture(table(s, d, "documents")),
+        maxDist = 4, maxBandSize = 3, maxClassSize = 8)
+      .orderBy("d1", "d2"),
+    Some(s"""WITH $bmpAhashCtes,
+      cls AS MATERIALIZED (SELECT ahash, COUNT(*) AS n FROM h GROUP BY ahash),
+      keptfp AS (SELECT ahash FROM cls WHERE n <= 8),
+      kh AS MATERIALIZED (SELECT h.doc_id, h.ahash FROM h JOIN keptfp USING (ahash)),
+      same AS (SELECT a.doc_id AS d1, b.doc_id AS d2, CAST(0 AS INTEGER) AS dist
+               FROM kh a JOIN kh b ON a.ahash = b.ahash AND a.doc_id < b.doc_id),
+      bands AS (SELECT ahash, b, (ahash >> (13 * b)) & 8191 AS band
+                FROM keptfp, range(0, 5) tb(b)),
+      occ AS (SELECT b, band FROM bands GROUP BY b, band HAVING COUNT(*) <= 3),
+      kb AS (SELECT bands.* FROM bands JOIN occ USING (b, band)),
+      fpd AS (SELECT f1, f2, CAST(bit_count(xor(f1, f2)) AS INTEGER) AS dist
+              FROM (SELECT DISTINCT a.ahash AS f1, b.ahash AS f2
+                    FROM kb a JOIN kb b
+                      ON a.b = b.b AND a.band = b.band AND a.ahash < b.ahash)
+              WHERE bit_count(xor(f1, f2)) BETWEEN 1 AND 4),
+      near AS (SELECT LEAST(x.doc_id, y.doc_id) AS d1,
+                 GREATEST(x.doc_id, y.doc_id) AS d2, dist
+               FROM fpd JOIN kh x ON x.ahash = fpd.f1 JOIN kh y ON y.ahash = fpd.f2)
+      SELECT d1, d2, dist FROM same
+      UNION ALL SELECT d1, d2, dist FROM near ORDER BY d1, d2"""))
+
   // -------------------------------------------------------------- registry
 
   val all: Seq[(String, Q)] = Seq(
@@ -7066,5 +7128,7 @@ object Queries {
     "q217_ivf_range" -> q217_ivf_range,
     "q218_pipeline_report" -> q218_pipeline_report,
     "q219_lsh_bandcap" -> q219_lsh_bandcap,
-    "q220_index_delete" -> q220_index_delete)
+    "q220_index_delete" -> q220_index_delete,
+    "q221_image_dup_classes" -> q221_image_dup_classes,
+    "q222_fp_capped" -> q222_fp_capped)
 }

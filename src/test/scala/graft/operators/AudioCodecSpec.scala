@@ -103,4 +103,69 @@ class AudioCodecSpec extends SparkSpec {
     assert(got.exists(p => p._1 == 1L && p._2 == 2L && p._3 <= 1),
       "one perturbed window flips at most bit 0 — the pair must surface")
   }
+
+  /** r12 hot-bucket guards on the banded near-dup engine: full capped
+    * semantics replayed independently from raw samples, for every knob
+    * combination — plus the two contracts the verdict asked pinned:
+    * cap ≥ max ≡ no-op, and a degenerate identical-fp class is pruned
+    * from pair enumeration (its cluster row is the representation). */
+  test("audioNearDup caps: independent replay, cap>=max no-op, degenerate class pruned") {
+    val s = spark
+    import s.implicits._
+    val base = samples(7)
+    val variant = base.clone(); variant(0) = (variant(0) + 9).toShort
+    val other = samples(50)
+    // ids 1..5: one identical class (five copies of `other`);
+    // 10/11: a near pair; 20: loner far from everything
+    val sigs: Map[Long, Array[Short]] =
+      (1L to 5L).map(_ -> other).toMap ++
+        Map(10L -> base, 11L -> variant, 20L -> samples(99))
+    val df = sigs.toSeq.map { case (id, x) => (id, wav(x)) }.toDF("doc_id", "payload")
+    val fp = sigs.map { case (id, x) => id -> expectedFp(x.map(_.toLong)) }
+
+    def replay(maxDist: Int, maxBand: Int, maxClass: Int): Set[(Long, Long, Int)] = {
+      val classes = fp.groupBy(_._2).view.mapValues(_.keys.toSet).toMap
+        .filter(_._2.size <= maxClass)
+      val members = classes.values.flatten.toSet
+      val same = for {
+        ids <- classes.values.toSet[Set[Long]]; a <- ids; b <- ids if a < b
+      } yield (a, b, 0)
+      val buckets = (for {
+        f <- classes.keys; k <- 0 until 5
+      } yield ((k, (f >>> (13 * k)) & 0x1FFF), f))
+        .groupBy(_._1).view.mapValues(_.map(_._2).toSet)
+        .filter(_._2.size <= maxBand).values.toSeq
+      val near = for {
+        bucket <- buckets.toSet[Set[Long]]; f1 <- bucket; f2 <- bucket if f1 < f2
+        dist = java.lang.Long.bitCount(f1 ^ f2) if dist >= 1 && dist <= maxDist
+        a <- classes(f1); b <- classes(f2)
+      } yield (math.min(a, b), math.max(a, b), dist)
+      (same ++ near).filter(p => members(p._1) && members(p._2))
+    }
+    def engine(maxBand: Int, maxClass: Int): Set[(Long, Long, Int)] =
+      Multimodal.audioNearDup(df, maxDist = 4,
+          maxBandSize = maxBand, maxClassSize = maxClass)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+
+    val uncapped = engine(Int.MaxValue, Int.MaxValue)
+    // cap >= max is a no-op (5 is the largest class; every band bucket
+    // holds at most |distinct fps| = 4 entries)
+    assert(engine(4, 5) === uncapped, "cap >= max must be bit-identical")
+    assert(uncapped === replay(4, Int.MaxValue, Int.MaxValue))
+    // degenerate class pruned: no pair touches ids 1..5 at maxClass 4,
+    // the untouched near pair survives
+    val classCapped = engine(Int.MaxValue, 4)
+    assert(classCapped === replay(4, Int.MaxValue, 4))
+    assert(!classCapped.exists(p => p._1 <= 5L || p._2 <= 5L))
+    assert(classCapped.exists(p => p._1 == 10L && p._2 == 11L))
+    assert(classCapped.subsetOf(uncapped))
+    // band cap replayed exactly too (cap 1 is rejected; 2 may prune)
+    assert(engine(2, Int.MaxValue) === replay(4, 2, Int.MaxValue))
+    // the cluster view carries the pruned class as ONE row
+    val clusters = Multimodal.audioDupClusters(df).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(clusters.exists { case (f, n, rep) =>
+      f == fp(1L) && n == 5L && rep == 1L })
+    assert(clusters.size === fp.values.toSet.size)
+  }
 }
