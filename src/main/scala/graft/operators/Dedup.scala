@@ -666,10 +666,13 @@ object Dedup {
       numHashes: Int = 8,
       rowsPerBand: Int = 2,
       shingleN: Int = 2): Unit = {
-    requireSidecarMatch(newDocs, dir, minhashParams(numHashes, rowsPerBand, shingleN),
+    // manifest-aware (r12): appends land in the LIVE generation, so a
+    // manifest-pointer index keeps its append lifecycle unchanged
+    val live = IndexMaintenance.resolveLive(newDocs.sparkSession, dir)
+    requireSidecarMatch(newDocs, live, minhashParams(numHashes, rowsPerBand, shingleN),
       "appendMinhashIndex")
     minhashIndexRows(newDocs, textCol, idCol, "ref_id", numHashes, rowsPerBand, shingleN)
-      .write.mode("append").partitionBy("band_idx").parquet(dir)
+      .write.mode("append").partitionBy("band_idx").parquet(live)
   }
 
   /** One-file-per-band compaction of a [[writeMinhashIndex]] layout
@@ -719,10 +722,15 @@ object Dedup {
       shingleN: Int = 2,
       minMatches: Int = 4,
       broadcastIncoming: Boolean = true): DataFrame = {
-    requireSidecarMatch(incoming, dir, minhashParams(numHashes, rowsPerBand, shingleN),
+    // resolveLive per probe (r12): on a manifest-pointer layout a
+    // compaction swap is picked up by the NEXT probe (or micro-batch)
+    // atomically — the live path is never absent mid-swap. Tombstones
+    // stay at the ROOT: they are pending deletes, generation-independent
+    val live = IndexMaintenance.resolveLive(incoming.sparkSession, dir)
+    requireSidecarMatch(incoming, live, minhashParams(numHashes, rowsPerBand, shingleN),
       "dedupAgainstMinhashIndex")
     val idx = IndexMaintenance.filterTombstoned(incoming.sparkSession, dir,
-      incoming.sparkSession.read.parquet(dir), "ref_id")
+      incoming.sparkSession.read.parquet(live), "ref_id")
     val inRows0 = minhashIndexRows(
         incoming, textCol, idCol, "new_id", numHashes, rowsPerBand, shingleN)
       .select(col("new_id") +: col("band_idx") +: col("band") +:

@@ -32,8 +32,8 @@ import org.apache.spark.sql.functions._
   *
   * SINGLE MUTATOR (r12, contract): exactly one writer — append,
   * tombstone, or compact — may mutate an index at a time. Concurrent
-  * READS are safe throughout (and with a [[Manifest]]-pointer layout,
-  * safe even across a compaction swap), but a row appended to the live
+  * READS are safe throughout (and with an [[enableManifest]] pointer
+  * layout, safe even across a compaction swap), but a row appended to the live
   * dir AFTER compact's staging read and BEFORE its swap is silently
   * lost (moved to `__precompact`, then deleted), and a tombstone
   * written in that window is wrongly cleared as if materialized.
@@ -45,6 +45,77 @@ import org.apache.spark.sql.functions._
 object IndexMaintenance {
 
   private val TombstoneDir = "_graft_tombstones"
+  private val ManifestFile = "_graft_manifest"
+  private val GenPrefix = "_graft_gen_"
+
+  // ------------------------------------------------- manifest generations
+
+  /** The directory probes and appends actually read/write: the
+    * GENERATION subdir named by `<dir>/_graft_manifest` when the index
+    * uses the manifest-pointer layout ([[enableManifest]]), else `dir`
+    * itself (the flat layout every `write*Index` produces). Probe entry
+    * points resolve per call — a streaming `foreachBatch` server picks
+    * up a compaction swap on its next micro-batch with zero restart.
+    * Generation names start with an underscore, so a flat
+    * `spark.read.parquet(dir)` of a manifest root never accidentally
+    * reads any generation's data. */
+  def resolveLive(spark: SparkSession, dir: String): String = {
+    val fs = fileSystem(spark, dir)
+    val mf = new Path(dir, ManifestFile)
+    if (fs.exists(mf)) new Path(dir, readSmall(fs, mf)).toString else dir
+  }
+
+  /** Migrate a flat index layout to the manifest-pointer layout: the
+    * existing data moves into generation `_graft_gen_00000` and
+    * `_graft_manifest` points at it. After this, [[compact]] swaps
+    * generations by atomically rewriting the one-line manifest — the
+    * live path is NEVER absent, so a concurrent probe (including a
+    * mid-stream `annServe`/`dedupServe` micro-batch) always resolves a
+    * complete index: the old generation before the swap, the new one
+    * after. The previous generation is retained for in-flight readers
+    * and deleted by the NEXT compaction.
+    *
+    * The migration itself is a MUTATION (single-mutator contract): run
+    * it once, before serving starts. Root-level `_graft_tombstones`
+    * stays at the root — tombstones are generation-independent pending
+    * deletes and are materialized+cleared by the next compaction. */
+  def enableManifest(spark: SparkSession, dir: String): String = {
+    val fs = fileSystem(spark, dir)
+    val root = fs.makeQualified(new Path(dir))
+    require(fs.exists(root), s"enableManifest: no index at $dir")
+    require(!fs.exists(new Path(root, ManifestFile)),
+      s"enableManifest: $dir already has a manifest")
+    val gen0 = new Path(root, f"$GenPrefix${0}%05d")
+    fs.mkdirs(gen0)
+    fs.listStatus(root).map(_.getPath)
+      .filter(p => p.getName != gen0.getName && p.getName != TombstoneDir)
+      .foreach { p =>
+        require(fs.rename(p, new Path(gen0, p.getName)),
+          s"enableManifest: could not move ${p.getName} into ${gen0.getName}")
+      }
+    writeManifest(spark, root, gen0.getName)
+    gen0.toString
+  }
+
+  /** Atomically (re)point `<root>/_graft_manifest` at `genName`: write a
+    * temp file, then FileContext rename with OVERWRITE — atomic on HDFS
+    * and on posix local filesystems, so a reader sees either the old or
+    * the new generation name, never a partial file and never no file. */
+  private def writeManifest(spark: SparkSession, root: Path, genName: String): Unit = {
+    val fs = fileSystem(spark, root.toString)
+    val tmp = new Path(root, ManifestFile + ".tmp")
+    val out = fs.create(tmp, true)
+    try out.write(genName.getBytes("UTF-8")) finally out.close()
+    val fc = org.apache.hadoop.fs.FileContext.getFileContext(
+      root.toUri, spark.sparkContext.hadoopConfiguration)
+    fc.rename(tmp, new Path(root, ManifestFile),
+      org.apache.hadoop.fs.Options.Rename.OVERWRITE)
+  }
+
+  private def readSmall(fs: org.apache.hadoop.fs.FileSystem, p: Path): String = {
+    val in = fs.open(p)
+    try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim finally in.close()
+  }
 
   /** DELETE from a persisted index, tombstone-style: the ids are
     * appended to a slim parquet set under `<dir>/_graft_tombstones`
@@ -111,7 +182,15 @@ object IndexMaintenance {
     * (rows dropped physically, the tombstone set cleared — pass
     * `tombstoneIdCol` so the anti-join knows the id column). Returns the
     * path now holding the compacted layout: `dir` itself when `swap`
-    * (default), else the staging dir. */
+    * (default), else the staging dir.
+    *
+    * On a manifest-pointer layout ([[enableManifest]]) this routes to
+    * the generation swap instead: the compacted rows land in a NEW
+    * generation dir, the one-line manifest is atomically repointed, and
+    * the live path is never absent — serving probes (including
+    * mid-stream `annServe`/`dedupServe` micro-batches) are safe across
+    * the swap; `swap` is ignored (the manifest IS the blue/green
+    * pointer). Returns the new generation's path. */
   def compact(
       spark: SparkSession,
       dir: String,
@@ -121,6 +200,8 @@ object IndexMaintenance {
     val live = new Path(dir)
     val fs = live.getFileSystem(spark.sparkContext.hadoopConfiguration)
     require(fs.exists(live), s"compact: no index at $dir")
+    if (fs.exists(new Path(live, ManifestFile)))
+      return compactGeneration(spark, dir, partitionCol, tombstoneIdCol)
     val staging = new Path(dir + "__compacting")
     val backup = new Path(dir + "__precompact")
     fs.delete(staging, true)
@@ -169,5 +250,74 @@ object IndexMaintenance {
     require(fs.rename(staging, live), s"compact: could not swap in ${staging.getName}")
     fs.delete(backup, true)
     dir
+  }
+
+  /** [[compact]] on a manifest-pointer layout: write generation N+1,
+    * atomically repoint the manifest, clear materialized tombstones,
+    * delete generations older than the one just superseded (that one is
+    * retained for in-flight readers and removed by the NEXT compaction). */
+  private def compactGeneration(
+      spark: SparkSession,
+      dir: String,
+      partitionCol: String,
+      tombstoneIdCol: Option[String]): String = {
+    val fs = fileSystem(spark, dir)
+    val root = fs.makeQualified(new Path(dir))
+    val liveGenName = readSmall(fs, new Path(root, ManifestFile))
+    val liveGen = new Path(root, liveGenName)
+    val nextN = fs.listStatus(root).map(_.getPath.getName)
+      .filter(_.startsWith(GenPrefix))
+      .map(_.stripPrefix(GenPrefix).toInt).max + 1
+    val next = new Path(root, f"$GenPrefix$nextN%05d")
+    fs.delete(next, true)
+
+    // single-mutator guard: appends land in the live generation,
+    // tombstones at the root — snapshot both, re-check before publish
+    val snapshot = mutationScope(fs, root, liveGen)
+
+    val rows = spark.read.parquet(liveGen.toString)
+    val liveRows = tombstoneIdCol match {
+      case Some(idc) => filterTombstoned(spark, dir, rows, idc)
+      case None => rows
+    }
+    liveRows
+      .repartition(col(partitionCol))
+      .write.partitionBy(partitionCol).parquet(next.toString)
+    fs.listStatus(liveGen).map(_.getPath)
+      .filter(p => p.getName.startsWith("_graft_") && fs.getFileStatus(p).isFile)
+      .foreach { p =>
+        val bytes = {
+          val in = fs.open(p)
+          try {
+            val buf = new java.io.ByteArrayOutputStream()
+            org.apache.hadoop.io.IOUtils.copyBytes(in, buf, 65536, false)
+            buf.toByteArray
+          } finally in.close()
+        }
+        val out = fs.create(new Path(next, p.getName), true)
+        try out.write(bytes) finally out.close()
+      }
+
+    val drift = mutationScope(fs, root, liveGen).toSet.diff(snapshot.toSet)
+    require(drift.isEmpty,
+      s"compact: concurrent mutation of $dir detected (single-mutator " +
+        s"contract) — aborting before the manifest swap; changed: " +
+        drift.take(5).map(_._1).mkString(", "))
+    writeManifest(spark, root, next.getName)
+    fs.delete(new Path(root, TombstoneDir), true) // materialized above
+    fs.listStatus(root).map(_.getPath)
+      .filter(p => p.getName.startsWith(GenPrefix) &&
+        p.getName != next.getName && p.getName != liveGen.getName)
+      .foreach(p => fs.delete(p, true))
+    next.toString
+  }
+
+  /** Everything a concurrent mutator could touch while a generation
+    * compaction runs: the live generation's tree (appends) plus the
+    * root tombstone set (deletes). */
+  private def mutationScope(
+      fs: org.apache.hadoop.fs.FileSystem, root: Path, liveGen: Path): Seq[(String, Long, Long)] = {
+    val t = new Path(root, TombstoneDir)
+    listTree(fs, liveGen) ++ (if (fs.exists(t)) listTree(fs, t) else Nil)
   }
 }

@@ -1123,9 +1123,11 @@ object Similarity {
       dir: String,
       idC: String = "cid",
       vecCol: String = "embedding"): Unit = {
-    requireModelMatch(newRows.sparkSession, dir, centroidVecs, codebooks, "appendIvfPqIndex")
+    // manifest-aware (r12): appends land in the LIVE generation
+    val live = IndexMaintenance.resolveLive(newRows.sparkSession, dir)
+    requireModelMatch(newRows.sparkSession, live, centroidVecs, codebooks, "appendIvfPqIndex")
     encodeForIndex(newRows, centroidVecs, codebooks, idC, vecCol)
-      .write.mode("append").partitionBy("centroid_id").parquet(dir)
+      .write.mode("append").partitionBy("centroid_id").parquet(live)
   }
 
   /** One-file-per-cell compaction of a [[writeIvfPqIndex]] layout after
@@ -1179,11 +1181,15 @@ object Similarity {
       idQ: String = "qid",
       idC: String = "cid",
       vecCol: String = "embedding"): DataFrame = {
-    requireModelMatch(queries.sparkSession, indexDir, centroidVecs, codebooks,
+    // resolveLive per probe (r12): a manifest-pointer compaction swap is
+    // picked up atomically by the next probe/micro-batch; tombstones
+    // stay at the root (pending deletes are generation-independent)
+    val live = IndexMaintenance.resolveLive(queries.sparkSession, indexDir)
+    requireModelMatch(queries.sparkSession, live, centroidVecs, codebooks,
       "ivfPqTopKIndexed")
     val m = codebooks.length
     val codes = IndexMaintenance.filterTombstoned(queries.sparkSession, indexDir,
-      queries.sparkSession.read.parquet(indexDir), idC)
+      queries.sparkSession.read.parquet(live), idC)
     val qAssigned = assignCells(
       queries.select(col(idQ), col(vecCol).as("_qv")), centroidVecs, "_qv", nProbe)
     val qLut = qAssigned.select(col(idQ) +: col("centroid_id") +: pqLutCols(codebooks, "_qv"): _*)
