@@ -904,8 +904,9 @@ object Similarity {
     * embedding into `m` subspaces; subspace `mi`'s codebook is the `ksub`
     * sub-vectors of the donor rows `idC < ksub` — the deterministic
     * sampled-codebook training (same discipline as [[ivfTopK]]'s
-    * deterministic centroid subset; swap in per-subspace
-    * [[kmeansCentroids]] offline for production recall). Driver-side
+    * deterministic centroid subset; [[pqCodebooksTrained]] is the
+    * Lloyd-trained production path, measured strictly better on
+    * recall@10 in AnnRecallSpec). Driver-side
     * collect is `ksub` rows — a model fit, not a data pass. Returns
     * codebooks(mi)(j)(di), exact doubles (float32 parquet widened). */
   def pqCodebooks(
@@ -924,6 +925,60 @@ object Similarity {
     val d = dim / m
     Array.tabulate(m, ksub)((mi, j) =>
       donors(j).getSeq[Double](1).slice(mi * d, mi * d + d).toArray)
+  }
+
+  /** Per-subspace Lloyd-TRAINED PQ codebooks (r12 — the production path
+    * Jégou 2011 §II.C prescribes; [[pqCodebooks]]' donor rows remain the
+    * deterministic oracle form). Seeded from the donor codebooks, then
+    * `iters` Lloyd rounds where BOTH halves are Spark-side and bounded:
+    *
+    *  - assignment uses the SAME native [[graft.functions.PqExpr]]
+    *    argmin kernel the encoder uses (training and encoding can never
+    *    disagree on the distance or the tie rule), one codegen map pass
+    *    assigning all `m` subspaces at once — no join, no shuffle;
+    *  - re-centering is ONE aggregation keyed by (subspace, code, dim):
+    *    m·ksub·d keys (8·16·8 = 1k rows at the defaults) — the shuffle
+    *    and the driver collect are MODEL-sized, never data-sized (the
+    *    kmeansCentroids contract). An emptied code keeps its previous
+    *    codeword.
+    *
+    * At 100 TB: train on a sample (standard PQ practice — recall is set
+    * by codebook quality, not sample size, once the sample covers the
+    * distribution), then encode the full corpus with the frozen books;
+    * the encode is the same map-only kernel. AnnRecallSpec measures the
+    * trained books strictly above the donor books on recall@10. */
+  def pqCodebooksTrained(
+      candidates: DataFrame,
+      m: Int = 8,
+      ksub: Int = 16,
+      iters: Int = 5,
+      idC: String = "cid",
+      vecCol: String = "embedding"): Array[Array[Array[Double]]] = {
+    var books = pqCodebooks(candidates, m, ksub, idC, vecCol)
+    val d = books(0)(0).length
+    val vecs = candidates.select(col(vecCol).cast("array<double>").as("_v"))
+    for (_ <- 0 until iters) {
+      val subStructs = (0 until m).map { mi =>
+        struct(lit(mi).as("mi"),
+          graft.functions.PqExpr.subCode(col("_v"), books(mi), mi * d).as("code"),
+          slice(col("_v"), mi * d + 1, d).as("sv"))
+      }
+      val sums = vecs
+        .select(explode(array(subStructs: _*)).as("s"))
+        .select(col("s.mi"), col("s.code"), posexplode(col("s.sv")).as(Seq("pos", "x")))
+        .groupBy("mi", "code", "pos")
+        .agg(sum("x").as("sx"), count(lit(1)).as("n"))
+        .collect()
+        .groupBy(r => (r.getInt(0), r.getInt(1)))
+      books = Array.tabulate(m, ksub) { (mi, j) =>
+        sums.get((mi, j + 1)) match { // codes are 1-based
+          case Some(rows) =>
+            rows.sortBy(_.getInt(2)).map(r => r.getDouble(3) / r.getLong(4)).toArray
+          case None => books(mi)(j) // emptied code keeps its codeword
+        }
+      }
+    }
+    books
   }
 
   /** Encode each row to `m` sub-codes (1-based codebook indices):
@@ -1039,7 +1094,10 @@ object Similarity {
     * files (times the 32x PQ compression — compounding, exactly like a
     * partition-pruned fact scan). The encode pass itself is the same
     * zero-shuffle assignment+encode map stage; the only added cost is
-    * the partitioned write. */
+    * the partitioned write. Production builds pass
+    * [[pqCodebooksTrained]] books (train on a sample, freeze, encode —
+    * measured strictly better recall@10 than the donor-row
+    * [[pqCodebooks]], which remain the deterministic oracle form). */
   def writeIvfPqIndex(
       candidates: DataFrame,
       centroidVecs: Seq[Array[Double]],
@@ -1162,10 +1220,16 @@ object Similarity {
 
   /** [[ivfPqTopK]] served from a [[writeIvfPqIndex]] layout: stage 1
     * scans the PERSISTED code partitions instead of re-encoding the
-    * corpus, and the broadcast of the (small) probed query side lets
-    * Catalyst insert a dynamic-partition-pruning filter on the
-    * `centroid_id` partition column — the probed cells are the only
-    * partitions READ (IvfPqIndexSpec pins `dynamicpruning` in the scan).
+    * corpus, with the probed cells pruned STATICALLY: the probed cell
+    * set (bounded by nCentroids regardless of query count — a
+    * model-sized collect) becomes a literal IN filter on the
+    * `centroid_id` partition column, so only those cells' files are
+    * even LISTED. r12 replaced the previous dynamic-partition-pruning
+    * reliance here — Catalyst's DPP rule requires a selective predicate
+    * on the build side, which a serving micro-batch (an in-memory query
+    * batch, no filter) never has, so streamed probes were silently
+    * scanning every cell (caught by ServeTelemetrySpec's measured
+    * per-batch file counts; PqSpec pins the static prune in-plan).
     * Bit-identical output to [[ivfPqTopK]] with the same model: same
     * codes (persisted), same ADC, same heap top-k, same exact rerank
     * against the full-precision `candidates` store. */
@@ -1192,9 +1256,28 @@ object Similarity {
       queries.sparkSession.read.parquet(live), idC)
     val qAssigned = assignCells(
       queries.select(col(idQ), col(vecCol).as("_qv")), centroidVecs, "_qv", nProbe)
+    // STATIC partition pruning on the probed cells (r12): the probed
+    // cell SET is bounded by nCentroids whatever the query count — a
+    // model-sized collect — and the literal IN filter prunes the
+    // partition listing itself, deterministically. Catalyst's dynamic
+    // partition pruning is NOT reliable here: the rule requires a
+    // selective predicate on the build side, which a serving
+    // micro-batch (an in-memory batch of query vectors, no filter)
+    // never has — measured in ServeTelemetrySpec, a streamed probe was
+    // reading ALL cells while the identical batch probe read nProbe.
+    val probedCells = qAssigned.select("centroid_id").distinct()
+      .collect().map(_.getLong(0))
+    // literals typed to the PARTITION column's inferred type (int for
+    // the parquet layout) — a cast around the partition column would
+    // defeat listing-time pruning
+    val cellLits: Seq[Any] = codes.schema("centroid_id").dataType match {
+      case org.apache.spark.sql.types.IntegerType => probedCells.map(_.toInt).toSeq
+      case _ => probedCells.toSeq
+    }
+    val prunedCodes = codes.filter(col("centroid_id").isInCollection(cellLits))
     val qLut = qAssigned.select(col(idQ) +: col("centroid_id") +: pqLutCols(codebooks, "_qv"): _*)
     val survivors = topByAdc(
-      broadcast(qLut).join(codes, "centroid_id").withColumn("adc", pqAdcScore(m)),
+      broadcast(qLut).join(prunedCodes, "centroid_id").withColumn("adc", pqAdcScore(m)),
       k * rerankFactor, idQ, idC)
     val w2 = Window.partitionBy(idQ).orderBy(col("sim_r").desc, col(idC).asc)
     survivors

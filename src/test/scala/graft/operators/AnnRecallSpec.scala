@@ -59,11 +59,19 @@ class AnnRecallSpec extends SparkSpec {
     val rIvfPq2r6 = recall(topKSet(
       Similarity.ivfPqTopK(q, c, TrainedCentroids.sf001k8, books,
         k = 10, nProbe = 2, rerankFactor = 6)), exact)
+    // r12: Lloyd-TRAINED codebooks (the production path) vs the donor-row
+    // deterministic stand-in — training must buy measurable recall
+    val booksT = Similarity.pqCodebooksTrained(c, m = 8, ksub = 16, iters = 5)
+    val rPqT = recall(topKSet(Similarity.pqTopK(q, c, booksT, k = 10)), exact)
+    val rIvfPqT2 = recall(topKSet(
+      Similarity.ivfPqTopK(q, c, TrainedCentroids.sf001k8, booksT, k = 10, nProbe = 2)), exact)
 
     info(f"recall@10  quantized=$rQuant%.3f  lsh16=$rLsh16%.3f  lsh32=$rLsh32%.3f  " +
       f"ivf_trained(p2)=$rIvf2%.3f  ivf_trained(p4)=$rIvf4%.3f  ivf_hash=$rIvfHash%.3f")
     info(f"recall@10  pq_flat=$rPq%.3f  ivf_pq(p2)=$rIvfPq2%.3f  ivf_pq(p4)=$rIvfPq4%.3f  " +
       f"ivf_pq(p2,rerank6)=$rIvfPq2r6%.3f")
+    info(f"recall@10  pq_flat_trained=$rPqT%.3f (donor $rPq%.3f)  " +
+      f"ivf_pq_trained(p2)=$rIvfPqT2%.3f (donor $rIvfPq2%.3f)")
 
     // int8 + 3x overfetch loses almost nothing: quantization error is far
     // below typical top-10 similarity gaps (observed 1.000)
@@ -92,6 +100,13 @@ class AnnRecallSpec extends SparkSpec {
     assert(rIvfPq4 >= rIvfPq2, f"nProbe 4 must not lose recall vs 2: $rIvfPq4%.3f < $rIvfPq2%.3f")
     assert(rIvfPq2r6 >= rIvfPq2,
       f"a larger rerank budget must not lose recall: $rIvfPq2r6%.3f < $rIvfPq2%.3f")
+    // Lloyd training must STRICTLY beat the donor-row stand-in (the r11
+    // verdict's "production recall is bounded by donor-row codebooks"):
+    // same data, same m/ksub — the only change is codebook quality
+    assert(rPqT > rPq,
+      f"trained codebooks must beat donor rows on flat PQ: $rPqT%.3f <= $rPq%.3f")
+    assert(rIvfPqT2 > rIvfPq2,
+      f"trained codebooks must beat donor rows on IVF-PQ: $rIvfPqT2%.3f <= $rIvfPq2%.3f")
   }
 
   test("cosineNearDup: planted near-duplicates are recalled ~fully; weak-pair tail is knob-monotone") {
