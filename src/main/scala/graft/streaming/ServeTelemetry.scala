@@ -1,0 +1,117 @@
+package graft.streaming
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+import org.apache.spark.sql.execution.exchange.ReusedExchangeExec
+import org.apache.spark.sql.streaming.StreamingQueryListener
+
+/** Per-micro-batch probe observability for the index-serving streams
+  * (r12 — the verdict's "serving regressions are observable" item): a
+  * healthy [[StreamingOps.annServe]] batch READS only the probed cells'
+  * files (dynamic partition pruning), and a healthy
+  * [[StreamingOps.dedupServe]] batch reads band partitions, not text. If
+  * a refresh or a code change silently breaks pruning, latency degrades
+  * long before results do — these stats catch it per batch.
+  *
+  * Mechanics: the serve loops call [[record]] AFTER the sink has
+  * materialized the probe plan; the stats are read off the EXECUTED
+  * plan's own scan metrics (`numFiles` / `numPartitions` /
+  * `staticFilesNum`, the same accumulators the Spark UI shows) for every
+  * file scan rooted under the index directory — measured, not inferred.
+  * A [[ServeTelemetryListener]] registered with
+  * `spark.streams.addListener` joins them to progress events by
+  * (indexDir, batchId), the foreachBatch-compatible keying (a
+  * foreachBatch body knows its batchId but not its query's runId). */
+object ServeTelemetry {
+
+  /** One micro-batch's probe profile against one index.
+    *
+    * `filesRead`/`partitionsRead` are post-pruning actuals from the
+    * executed scans (tombstone-set scans excluded); `filesPruned` =
+    * the live index's total data-file population (one FS listing)
+    * minus files read — pruning measured against what an unpruned scan
+    * WOULD have read, whether the prune was static (listing-time IN on
+    * the partition column) or dynamic; `pendingTombstones` is the size
+    * of the index's pending delete set at probe time (every probe
+    * anti-joins against it — a growing value is the "compact me"
+    * signal). */
+  case class ProbeStats(
+      indexDir: String,
+      batchId: Long,
+      filesRead: Long,
+      filesPruned: Long,
+      partitionsRead: Long,
+      bytesRead: Long,
+      pendingTombstones: Long)
+
+  private val log =
+    new java.util.concurrent.ConcurrentHashMap[(String, Long), ProbeStats]()
+
+  /** The recorded stats for (indexDir, batchId), if that batch probed. */
+  def statsFor(indexDir: String, batchId: Long): Option[ProbeStats] =
+    Option(log.get((indexDir, batchId)))
+
+  /** Collect scan metrics for `out`'s executed plan and file a
+    * [[ProbeStats]] row. Call only AFTER the sink materialized `out`
+    * (the metrics are the execution's own accumulators). */
+  private[streaming] def record(out: DataFrame, indexDir: String, batchId: Long): Unit = {
+    val spark = out.sparkSession
+    val live = graft.operators.IndexMaintenance.resolveLive(spark, indexDir)
+    val livePath = new org.apache.hadoop.fs.Path(live).toUri.getPath
+    // data scans only: the tombstone-set scan also roots under the index
+    // dir but is bookkeeping, not probe bandwidth
+    val scans = allScans(out.queryExecution.executedPlan).filter { f =>
+      val roots = f.relation.location.rootPaths.map(_.toUri.getPath)
+      roots.exists(_.startsWith(livePath)) && !roots.exists(_.contains("/_graft_"))
+    }
+    if (scans.isEmpty) return
+    def metric(name: String): Long =
+      scans.flatMap(_.metrics.get(name)).map(_.value).sum
+    val read = metric("numFiles")
+    val total = dataFileCount(spark, live)
+    val pending = graft.operators.IndexMaintenance.tombstones(spark, indexDir)
+      .map(_.count()).getOrElse(0L)
+    log.put((indexDir, batchId), ProbeStats(
+      indexDir = indexDir,
+      batchId = batchId,
+      filesRead = read,
+      filesPruned = math.max(0L, total - read),
+      partitionsRead = metric("numPartitions"),
+      bytesRead = metric("filesSize"),
+      pendingTombstones = pending))
+  }
+
+  /** Count of the live layout's data files (excludes `_`/`.`-prefixed
+    * bookkeeping at every level) — one driver-side FS listing. */
+  private def dataFileCount(spark: org.apache.spark.sql.SparkSession, live: String): Long = {
+    val root = new org.apache.hadoop.fs.Path(live)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def walk(p: org.apache.hadoop.fs.Path): Long =
+      fs.listStatus(p).filterNot(st =>
+        st.getPath.getName.startsWith("_") || st.getPath.getName.startsWith("."))
+        .map(st => if (st.isDirectory) walk(st.getPath) else 1L).sum
+    walk(root)
+  }
+
+  /** Every file scan in an executed plan, through the AQE wrappers. */
+  private def allScans(p: SparkPlan): Seq[FileSourceScanExec] = p match {
+    case a: AdaptiveSparkPlanExec => allScans(a.executedPlan)
+    case q: QueryStageExec => allScans(q.plan)
+    case r: ReusedExchangeExec => allScans(r.child)
+    case f: FileSourceScanExec => Seq(f)
+    case other => other.children.flatMap(allScans)
+  }
+}
+
+/** Joins [[ServeTelemetry.ProbeStats]] to streaming progress events:
+  * `onProbe` fires once per completed micro-batch that probed
+  * `indexDir`, AFTER the batch committed (the progress event), with the
+  * measured scan stats. Register with `spark.streams.addListener`. */
+class ServeTelemetryListener(indexDir: String)(
+    onProbe: ServeTelemetry.ProbeStats => Unit) extends StreamingQueryListener {
+  override def onQueryStarted(e: StreamingQueryListener.QueryStartedEvent): Unit = ()
+  override def onQueryTerminated(e: StreamingQueryListener.QueryTerminatedEvent): Unit = ()
+  override def onQueryProgress(e: StreamingQueryListener.QueryProgressEvent): Unit =
+    ServeTelemetry.statsFor(indexDir, e.progress.batchId).foreach(onProbe)
+}

@@ -506,10 +506,15 @@ object StreamingOps {
       rerankFactor: Int = 3)(
       sink: DataFrame => Unit): org.apache.spark.sql.streaming.StreamingQuery =
     queryStream.writeStream
-      .foreachBatch { (batch: DataFrame, _: Long) =>
-        sink(graft.operators.Similarity.ivfPqTopKIndexed(
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val out = graft.operators.Similarity.ivfPqTopKIndexed(
           batch, indexDir, candidates, centroidVecs, codebooks,
-          k, nProbe, rerankFactor))
+          k, nProbe, rerankFactor)
+        sink(out)
+        // post-sink: file the batch's measured probe stats (files read
+        // vs pruned, partitions, pending tombstones) for
+        // [[ServeTelemetryListener]] observers — r12
+        ServeTelemetry.record(out, indexDir, batchId)
       }
       .start()
 
@@ -537,9 +542,11 @@ object StreamingOps {
       minMatches: Int = 4)(
       sink: DataFrame => Unit): org.apache.spark.sql.streaming.StreamingQuery =
     docStream.writeStream
-      .foreachBatch { (batch: DataFrame, _: Long) =>
-        sink(graft.operators.Dedup.dedupAgainstMinhashIndex(
-          batch, indexDir, textCol, idCol, numHashes, rowsPerBand, shingleN, minMatches))
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val out = graft.operators.Dedup.dedupAgainstMinhashIndex(
+          batch, indexDir, textCol, idCol, numHashes, rowsPerBand, shingleN, minMatches)
+        sink(out)
+        ServeTelemetry.record(out, indexDir, batchId) // r12 observability
       }
       .start()
 }

@@ -146,11 +146,13 @@ class PqSpec extends AnyFunSuite with SparkSpec {
     assert(served.orderBy("qid", "rank").collect().toSeq ===
       inMem.orderBy("qid", "rank").collect().toSeq,
       "the persisted index must serve bit-identical results")
-    // the probe is FILE PRUNING: the broadcast query side induces a
-    // dynamic-partition-pruning filter on the centroid_id partition scan
+    // the probe is FILE PRUNING, now STATIC (r12): the probed-cell set
+    // becomes a literal IN on the partition column, pruning the listing
+    // itself — deterministic, unlike the DPP heuristic (which never
+    // fires for in-memory serving batches; see ivfPqTopKIndexed doc)
     val plan = served.queryExecution.executedPlan.toString
-    assert(plan.contains("dynamicpruning") || plan.contains("DynamicPruning"),
-      s"probed-cell scan must carry a dynamic partition-pruning filter:\n${plan.take(1500)}")
+    assert(plan.contains("centroid_id#") && plan.contains(" IN ("),
+      s"probed-cell scan must carry the static partition IN filter:\n${plan.take(1500)}")
   }
 
   test("the code scan projects codes only (no full-vector bytes in stage 1)") {
