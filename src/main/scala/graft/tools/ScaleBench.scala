@@ -82,8 +82,13 @@ object ScaleBench {
     // orders is the newest table in the layout — checking it (not just
     // documents) forces a rebuild of scale dirs created by older versions
     // that lacked the pass-through dimension copies
-    if (!new java.io.File(s"$out/documents.parquet").exists() ||
-        !new java.io.File(s"$out/orders.parquet").exists()) {
+    // SPARK_GRAFT_SCALE_TABLES=docs builds ONLY the documents blow-up —
+    // the 50x stress mode (r12): the dedup/components/index families
+    // touch documents alone, and a 50x lineitem/events build would cost
+    // more than the measurements it feeds
+    val docsOnly = sys.env.get("SPARK_GRAFT_SCALE_TABLES").contains("docs")
+    if (!docsOnly && (!new java.io.File(s"$out/documents.parquet").exists() ||
+        !new java.io.File(s"$out/orders.parquet").exists())) {
       System.err.println(s"[scale] building ${factor}x blow-up at $out")
       blowUpKeys(spark, base, out, "lineitem",
         Seq("l_orderkey", "l_partkey", "l_suppkey"), factor)
@@ -94,26 +99,46 @@ object ScaleBench {
           .write.mode("overwrite").parquet(s"$out/$t.parquet")
       blowUpDocs(spark, base, out, factor)
     }
-    if (!new java.io.File(s"$out/embeddings.parquet").exists()) {
+    if (docsOnly && !new java.io.File(s"$out/documents.parquet").exists()) {
+      System.err.println(s"[scale] building ${factor}x DOCS-ONLY blow-up at $out")
+      blowUpDocs(spark, base, out, factor)
+    }
+    if (!docsOnly && !new java.io.File(s"$out/embeddings.parquet").exists()) {
       System.err.println(s"[scale] building ${factor}x embeddings blow-up at $out")
       blowUpEmbeddings(spark, base, out, factor)
     }
-    if (!new java.io.File(s"$out/events.parquet").exists()) {
+    if (!docsOnly && !new java.io.File(s"$out/events.parquet").exists()) {
       System.err.println(s"[scale] building ${factor}x events blow-up at $out")
       blowUpEvents(spark, base, out, factor)
     }
 
-    def time(dir: String, name: String): Double = {
+    // shuffle-byte meter (r12: the 50x rows record bytes, not just wall
+    // time): stage-completion events aggregate task shuffle writes; the
+    // 300 ms settle after each timed run lets the async bus drain —
+    // approximate by a few stages at worst, plenty for growth SHAPE
+    val shuffleBytes = new java.util.concurrent.atomic.AtomicLong
+    spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
+      override def onStageCompleted(
+          sc: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit =
+        shuffleBytes.addAndGet(sc.stageInfo.taskMetrics.shuffleWriteMetrics.bytesWritten)
+    })
+
+    def time(dir: String, name: String): (Double, Long) = {
       val fn = graft.SparkEntry.queries(name)
-      (1 to iters).map { _ =>
+      val runs = (1 to iters).map { _ =>
         spark.catalog.clearCache()
         // and RDD-level leftovers (localCheckpoint/persist from earlier
         // queries) — same late-suite pressure fix as graft.Bench
         spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))
+        Thread.sleep(300) // drain listener bus from the previous run
+        val sw0 = shuffleBytes.get()
         val t0 = System.nanoTime()
         fn(spark, dir).count()
-        (System.nanoTime() - t0) / 1e9
-      }.min
+        val t = (System.nanoTime() - t0) / 1e9
+        Thread.sleep(300)
+        (t, shuffleBytes.get() - sw0)
+      }
+      (runs.map(_._1).min, runs.last._2)
     }
     // dev aid: SPARK_GRAFT_SCALE_ONLY=q175,q183 limits to matching name
     // prefixes — resolved against ALL registered queries, so off-sweep
@@ -125,12 +150,15 @@ object ScaleBench {
       case None => HeavyQueries
     }
     val rows = selected.map { q =>
-      val t1 = time(base, q)
-      val tN = time(out, q)
+      val (t1, sw1) = time(base, q)
+      val (tN, swN) = time(out, q)
       val ratio = tN / t1
       val exp = math.log(ratio) / math.log(factor)
-      System.err.println(f"[scale] $q%-22s t1=$t1%7.2fs t$factor=$tN%7.2fs ratio=$ratio%5.2f exp=$exp%4.2f")
-      s""""$q":{"t1":${f"$t1%.2f"},"t$factor":${f"$tN%.2f"},"ratio":${f"$ratio%.2f"},"exp":${f"$exp%.2f"}}"""
+      val swRatio = if (sw1 > 0) swN.toDouble / sw1 else 0.0
+      System.err.println(f"[scale] $q%-22s t1=$t1%7.2fs t$factor=$tN%7.2fs ratio=$ratio%5.2f " +
+        f"exp=$exp%4.2f sw1=${sw1 / 1048576.0}%8.1fMB sw$factor=${swN / 1048576.0}%8.1fMB swx=$swRatio%5.2f")
+      s""""$q":{"t1":${f"$t1%.2f"},"t$factor":${f"$tN%.2f"},"ratio":${f"$ratio%.2f"},"exp":${f"$exp%.2f"},""" +
+        s""""shuffle_mb_1":${f"${sw1 / 1048576.0}%.1f"},"shuffle_mb_$factor":${f"${swN / 1048576.0}%.1f"}}"""
     }
     println(s"""{"metric":"scale","factor":$factor,"iters":$iters,"queries":{${rows.mkString(",")}}}""")
     spark.stop()
