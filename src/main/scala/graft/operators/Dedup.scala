@@ -649,9 +649,17 @@ object Dedup {
       rowsPerBand: Int = 2,
       shingleN: Int = 2): Unit = {
     require(numHashes % rowsPerBand == 0, "numHashes must be divisible by rowsPerBand")
-    minhashIndexRows(docs, textCol, idCol, "ref_id", numHashes, rowsPerBand, shingleN)
-      .write.mode("overwrite").partitionBy("band_idx").parquet(dir)
-    writeSidecar(docs, dir, minhashParams(numHashes, rowsPerBand, shingleN))
+    def writeTo(target: String): Unit = {
+      minhashIndexRows(docs, textCol, idCol, "ref_id", numHashes, rowsPerBand, shingleN)
+        .write.mode("overwrite").partitionBy("band_idx").parquet(target)
+      writeSidecar(docs, target, minhashParams(numHashes, rowsPerBand, shingleN))
+    }
+    // manifest-aware (r12): rebuild-as-new-generation with a zero-gap
+    // pointer swap — a dedupServe stream picks up the new reference set
+    // on its next micro-batch (ManifestSwapSpec)
+    if (IndexMaintenance.hasManifest(docs.sparkSession, dir))
+      IndexMaintenance.rebuild(docs.sparkSession, dir)(writeTo)
+    else writeTo(dir)
   }
 
   /** Incremental maintenance: append new (already-deduplicated) docs'

@@ -50,6 +50,10 @@ object IndexMaintenance {
 
   // ------------------------------------------------- manifest generations
 
+  /** True when `dir` carries the manifest-pointer layout. */
+  def hasManifest(spark: SparkSession, dir: String): Boolean =
+    fileSystem(spark, dir).exists(new Path(dir, ManifestFile))
+
   /** The directory probes and appends actually read/write: the
     * GENERATION subdir named by `<dir>/_graft_manifest` when the index
     * uses the manifest-pointer layout ([[enableManifest]]), else `dir`
@@ -115,6 +119,41 @@ object IndexMaintenance {
   private def readSmall(fs: org.apache.hadoop.fs.FileSystem, p: Path): String = {
     val in = fs.open(p)
     try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim finally in.close()
+  }
+
+  /** Zero-gap REBUILD on a manifest layout (r12): `writeGen` writes a
+    * complete fresh index (data + sidecars) into the returned staging
+    * generation path; when it finishes, the manifest atomically repoints
+    * and older generations (except the superseded one, retained for
+    * in-flight readers) are reaped. Serving probes resolve per call, so
+    * a rebuild — retrained codebooks via
+    * `Similarity.pqCodebooksTrained`, a re-sharded corpus, new MinHash
+    * reference set — lands between micro-batches with zero restart and
+    * zero absent-path window, exactly like [[compact]]'s swap. Pending
+    * tombstones are CLEARED, not carried: a rebuild defines the new
+    * reference population outright (exclude deleted content from the
+    * rebuild input). Mutator op — single-mutator contract applies.
+    * Returns the new live generation's path. */
+  def rebuild(spark: SparkSession, dir: String)(writeGen: String => Unit): String = {
+    val fs = fileSystem(spark, dir)
+    val root = fs.makeQualified(new Path(dir))
+    require(fs.exists(new Path(root, ManifestFile)),
+      s"rebuild: $dir is not a manifest layout — run enableManifest first " +
+        "(a flat layout rebuilds with the plain overwrite write)")
+    val liveGenName = readSmall(fs, new Path(root, ManifestFile))
+    val nextN = fs.listStatus(root).map(_.getPath.getName)
+      .filter(_.startsWith(GenPrefix))
+      .map(_.stripPrefix(GenPrefix).toInt).max + 1
+    val next = new Path(root, f"$GenPrefix$nextN%05d")
+    fs.delete(next, true)
+    writeGen(next.toString)
+    writeManifest(spark, root, next.getName)
+    fs.delete(new Path(root, TombstoneDir), true)
+    fs.listStatus(root).map(_.getPath)
+      .filter(p => p.getName.startsWith(GenPrefix) &&
+        p.getName != next.getName && p.getName != liveGenName)
+      .foreach(p => fs.delete(p, true))
+    next.toString
   }
 
   /** DELETE from a persisted index, tombstone-style: the ids are

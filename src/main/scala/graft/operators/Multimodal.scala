@@ -278,7 +278,7 @@ object Multimodal {
     *    fingerprints (near-identical content families) are dropped before
     *    the band self-join.
     * Defaults = no cap: bit-compatible with the uncapped r11 output. */
-  private def fingerprintNearDup(
+  private[operators] def fingerprintNearDup(
       df: DataFrame,
       fp: org.apache.spark.sql.Column,
       maxDist: Int,

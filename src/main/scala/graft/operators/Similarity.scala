@@ -1105,9 +1105,20 @@ object Similarity {
       dir: String,
       idC: String = "cid",
       vecCol: String = "embedding"): Unit = {
-    encodeForIndex(candidates, centroidVecs, codebooks, idC, vecCol)
-      .write.mode("overwrite").partitionBy("centroid_id").parquet(dir)
-    writeModelSig(candidates.sparkSession, dir, centroidVecs, codebooks)
+    val spark = candidates.sparkSession
+    def writeTo(target: String): Unit = {
+      encodeForIndex(candidates, centroidVecs, codebooks, idC, vecCol)
+        .write.mode("overwrite").partitionBy("centroid_id").parquet(target)
+      writeModelSig(spark, target, centroidVecs, codebooks)
+    }
+    // manifest-aware (r12): on a manifest layout a (re)build lands as a
+    // fresh generation + atomic pointer swap — retrain-and-swap with
+    // zero serving gap (new model picked up by the next probe that
+    // passes the new model's arguments; a probe still holding the old
+    // model fails LOUDLY on the sidecar, never mixes codes)
+    if (IndexMaintenance.hasManifest(spark, dir))
+      IndexMaintenance.rebuild(spark, dir)(writeTo)
+    else writeTo(dir)
   }
 
   /** Deterministic fingerprint of the (centroids, codebooks) model a

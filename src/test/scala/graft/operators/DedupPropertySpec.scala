@@ -94,4 +94,59 @@ class DedupPropertySpec extends SparkSpec {
     Dedup.compactMinhashIndex(spark, batched)
     assert(probe(batched) === probe(sequential))
   }
+
+  /** r12: the distinct-fingerprint near-dup engine against a full
+    * driver-side replay, on seeded-random fp tables with heavy
+    * duplicate classes and single-bit variants, across the knob grid
+    * (maxDist × maxBandSize × maxClassSize) — every branch of the
+    * class gate, the occupancy cap, the dist-0 equality join and the
+    * banded expansion covered by an independent oracle. */
+  test("fingerprintNearDup on random fp tables: engine == driver replay across the knob grid") {
+    val s = spark
+    import s.implicits._
+    def replay(fps: Map[Long, Long], maxDist: Int, maxBand: Int,
+        maxClass: Int): Set[(Long, Long, Int)] = {
+      val classes = fps.groupBy(_._2).view.mapValues(_.keys.toSet).toMap
+        .filter(_._2.size <= maxClass)
+      val same = for {
+        ids <- classes.values.toSet[Set[Long]]; a <- ids; b <- ids if a < b
+      } yield (a, b, 0)
+      val buckets = (for {
+        f <- classes.keys; k <- 0 until 5
+      } yield ((k, (f >>> (13 * k)) & 0x1FFF), f))
+        .groupBy(_._1).view.mapValues(_.map(_._2).toSet)
+        .filter(_._2.size <= maxBand).values.toSeq
+      val near = for {
+        bucket <- buckets.toSet[Set[Long]]; f1 <- bucket; f2 <- bucket if f1 < f2
+        dist = java.lang.Long.bitCount(f1 ^ f2) if dist >= 1 && dist <= maxDist
+        a <- classes(f1); b <- classes(f2)
+      } yield (math.min(a, b), math.max(a, b), dist)
+      same ++ near
+    }
+    for (seed <- Seq(3L, 17L, 101L)) {
+      val rnd = new scala.util.Random(seed)
+      val bases = Vector.fill(6)(rnd.nextLong() & ((1L << 63) - 1))
+      val rows = (1L to 80L).map { id =>
+        val b = bases(rnd.nextInt(bases.size))
+        // ~1/3 single-bit variants => near pairs at dist 1-2 across
+        // classes; the rest pile into identical-fp classes
+        val fp = if (rnd.nextInt(3) == 0) b ^ (1L << rnd.nextInt(63)) else b
+        (id, fp)
+      }
+      val df = rows.toDF("id", "fp")
+      val expectedByKey = rows.toMap
+      for {
+        md <- Seq(0, 2, 8)
+        mb <- Seq(2, 4, Int.MaxValue)
+        mc <- Seq(1, 5, Int.MaxValue)
+      } {
+        val got = Multimodal.fingerprintNearDup(df, col("fp"), md, "id", mb, mc)
+          .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+        val want = replay(expectedByKey, md, mb, mc)
+        assert(got === want,
+          s"seed=$seed maxDist=$md maxBand=$mb maxClass=$mc: " +
+            s"extra=${(got -- want).take(3)} missing=${(want -- got).take(3)}")
+      }
+    }
+  }
 }

@@ -112,6 +112,57 @@ class ManifestSwapSpec extends SparkSpec {
     } finally query.stop()
   }
 
+  test("dedupServe: a REBUILD (new reference set) lands mid-stream as a new generation — zero gap") {
+    val s = spark
+    import s.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sq = s.sqlContext
+
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val refA = docs.filter(col("doc_id") % 4 === 0)
+    val refFull = docs.filter(col("doc_id") % 2 === 0)
+    val dir = java.nio.file.Files.createTempDirectory("mh_rebuild").toString
+    Dedup.writeMinhashIndex(refA, dir)
+    IndexMaintenance.enableManifest(spark, dir)
+    val incoming = docs.filter(col("doc_id") % 2 === 1)
+      .select("doc_id", "text").collect().map(r => (r.getLong(0), r.getString(1)))
+
+    // expected decisions against each reference set, via fresh flat builds
+    val flatA = java.nio.file.Files.createTempDirectory("mh_rb_a").toString
+    Dedup.writeMinhashIndex(refA, flatA)
+    val flatF = java.nio.file.Files.createTempDirectory("mh_rb_f").toString
+    Dedup.writeMinhashIndex(refFull, flatF)
+    val expA = decisions(incoming.toSeq.toDF("doc_id", "text"), flatA)
+    val expF = decisions(incoming.toSeq.toDF("doc_id", "text"), flatF)
+    assert(expA !== expF, "fixture must make the rebuild visible")
+
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getLong(0), r.getBoolean(1), Option(r.get(2)).map(_.toString), r.getLong(3))
+    var perBatch = List.empty[Set[(Long, Boolean, Option[String], Long)]]
+    val mem = MemoryStream[(Long, String)]
+    val query = StreamingOps.dedupServe(mem.toDF.toDF("doc_id", "text"), dir) { out =>
+      perBatch.synchronized {
+        perBatch :+= out.select(col("doc_id"), col("keep"), col("dup_of"), col("n_ref_dups"))
+          .collect().map(key).toSet
+      }
+    }
+    try {
+      mem.addData(incoming.toSeq: _*)
+      query.processAllAvailable()
+      // REBUILD under the live stream: writeMinhashIndex on a manifest
+      // layout writes a fresh generation and atomically repoints
+      Dedup.writeMinhashIndex(refFull, dir)
+      assert(new java.io.File(IndexMaintenance.resolveLive(spark, dir)).getName
+        === "_graft_gen_00001")
+      mem.addData(incoming.toSeq: _*)
+      query.processAllAvailable()
+      assert(query.exception.isEmpty, s"micro-batch failed across the rebuild: ${query.exception}")
+      assert(perBatch.length === 2)
+      assert(perBatch(0) === expA, "batch 1 must serve the original reference set")
+      assert(perBatch(1) === expF, "batch 2 must serve the REBUILT reference set")
+    } finally query.stop()
+  }
+
   test("annServe: a compaction racing live micro-batches on another thread never breaks serving") {
     val s = spark
     import s.implicits._
