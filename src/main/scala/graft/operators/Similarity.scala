@@ -348,6 +348,55 @@ object Similarity {
       .select(col(idQ), col(idC), col("sim"))
   }
 
+  /** [[ivfRangeSearch]] served from a [[writeIvfPqIndex]] layout (r12 —
+    * the range twin of [[ivfPqTopKIndexed]], completing the persisted
+    * index's serving surface): the corpus-side cell assignment comes
+    * from the PERSISTED (cid, centroid_id) rows instead of a per-batch
+    * re-assignment of the whole corpus, the probed cells are pruned
+    * STATICALLY (the ivfPqTopKIndexed discipline — a model-sized
+    * collect becomes a literal IN on the partition column, so only the
+    * probed cells' files are listed), tombstoned ids drop out, and
+    * survivors rerank by exact round-6 cosine against the
+    * full-precision `candidates` store. Bit-identical to
+    * [[ivfRangeSearch]] under the same model, because the index rows
+    * ARE `assignCells(candidates, keep = 1)` (encodeForIndex). The
+    * codebooks are not scored here — they parameterize the model-guard
+    * sidecar, so a probe under the wrong model fails loudly instead of
+    * joining inconsistent cell assignments. */
+  def ivfRangeSearchIndexed(
+      queries: DataFrame,
+      indexDir: String,
+      candidates: DataFrame,
+      centroidVecs: Seq[Array[Double]],
+      codebooks: Array[Array[Array[Double]]],
+      minSim: Double,
+      nProbe: Int = 4,
+      idQ: String = "qid",
+      idC: String = "cid",
+      vecCol: String = "embedding"): DataFrame = {
+    val spark = queries.sparkSession
+    val live = IndexMaintenance.resolveLive(spark, indexDir)
+    requireModelMatch(spark, live, centroidVecs, codebooks, "ivfRangeSearchIndexed")
+    val idx = IndexMaintenance.filterTombstoned(spark, indexDir,
+      spark.read.parquet(live), idC)
+    val qAssigned = assignCells(
+      queries.select(col(idQ), col(vecCol).as("_qv")), centroidVecs, "_qv", nProbe)
+    val probedCells = qAssigned.select("centroid_id").distinct()
+      .collect().map(_.getLong(0))
+    val cellLits: Seq[Any] = idx.schema("centroid_id").dataType match {
+      case org.apache.spark.sql.types.IntegerType => probedCells.map(_.toInt).toSeq
+      case _ => probedCells.toSeq
+    }
+    val members = idx.filter(col("centroid_id").isInCollection(cellLits))
+      .select(col(idC), col("centroid_id"))
+    qAssigned.select(col(idQ), col("centroid_id"), col("_qv"))
+      .join(members, "centroid_id")
+      .join(candidates.select(col(idC), col(vecCol).as("_cv")), idC)
+      .withColumn("sim", round(cosineSimilarity(col("_qv"), col("_cv")), 6))
+      .filter(!isnan(col("sim")) && col("sim") >= minSim)
+      .select(col(idQ), col(idC), col("sim"))
+  }
+
   /** SemDeDup-style semantic deduplication (Abbas et al. 2023,
     * arXiv:2303.09540): partition the embedding space with a trained
     * centroid model (assignment = the same per-row codegen argmax as

@@ -6907,6 +6907,29 @@ object Queries {
       SELECT d1, d2, dist FROM same
       UNION ALL SELECT d1, d2, dist FROM near ORDER BY d1, d2"""))
 
+  /** q217's range search SERVED from the persisted IVF-PQ index
+    * (`Similarity.ivfRangeSearchIndexed`, r12): corpus-side assignment
+    * read from the stored (cid, centroid_id) rows (never re-assigned per
+    * batch), probed cells statically pruned, exact rerank against the
+    * full-precision store. Bit-identical to q217, so it shares q217's
+    * oracle — a probe/assignment drift between the persisted and
+    * in-memory paths hash-mismatches. Reuses q210's cached index. */
+  val q223_ivf_range_indexed: Q = Q(
+    (s, d) => {
+      val emb = table(s, d, "embeddings")
+      val c = emb.select(col("vec_id").as("cid"), col("embedding"))
+      val q = emb.filter(col("vec_id") % 50 === 0)
+        .select(col("vec_id").as("qid"), col("embedding"))
+      val books = Similarity.pqCodebooks(c, m = 8, ksub = 16)
+      val idx = s"target/tmp/ivfpq_index_${new java.io.File(d).getName}_" +
+        srcContentSig(d, "embeddings.parquet")
+      if (!new java.io.File(s"$idx/_SUCCESS").exists())
+        Similarity.writeIvfPqIndex(c, TrainedCentroids.sf001k8, books, idx)
+      Similarity.ivfRangeSearchIndexed(q, idx, c, TrainedCentroids.sf001k8, books,
+        minSim = 0.3, nProbe = 2).orderBy("qid", "cid")
+    },
+    q217_ivf_range.sql)
+
   // -------------------------------------------------------------- registry
 
   val all: Seq[(String, Q)] = Seq(
@@ -7130,5 +7153,6 @@ object Queries {
     "q219_lsh_bandcap" -> q219_lsh_bandcap,
     "q220_index_delete" -> q220_index_delete,
     "q221_image_dup_classes" -> q221_image_dup_classes,
-    "q222_fp_capped" -> q222_fp_capped)
+    "q222_fp_capped" -> q222_fp_capped,
+    "q223_ivf_range_indexed" -> q223_ivf_range_indexed)
 }

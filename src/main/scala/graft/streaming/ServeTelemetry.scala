@@ -39,6 +39,7 @@ object ServeTelemetry {
   case class ProbeStats(
       indexDir: String,
       batchId: Long,
+      generation: String,
       filesRead: Long,
       filesPruned: Long,
       partitionsRead: Long,
@@ -63,7 +64,10 @@ object ServeTelemetry {
     // dir but is bookkeeping, not probe bandwidth
     val scans = allScans(out.queryExecution.executedPlan).filter { f =>
       val roots = f.relation.location.rootPaths.map(_.toUri.getPath)
-      roots.exists(_.startsWith(livePath)) && !roots.exists(_.contains("/_graft_"))
+      // NOT a bare "_graft_" test: generation DIRS are _graft_gen_* and
+      // hold the data itself — only the tombstone set is bookkeeping
+      roots.exists(_.startsWith(livePath)) &&
+        !roots.exists(_.contains("/_graft_tombstones"))
     }
     if (scans.isEmpty) return
     def metric(name: String): Long =
@@ -75,6 +79,12 @@ object ServeTelemetry {
     log.put((indexDir, batchId), ProbeStats(
       indexDir = indexDir,
       batchId = batchId,
+      // which generation served this batch — "flat" for a non-manifest
+      // layout; flips to the new gen name on the first batch after a
+      // compaction/rebuild swap (the observable confirmation a swap
+      // actually reached serving)
+      generation = if (live == indexDir) "flat"
+        else new org.apache.hadoop.fs.Path(live).getName,
       filesRead = read,
       filesPruned = math.max(0L, total - read),
       partitionsRead = metric("numPartitions"),

@@ -155,6 +155,37 @@ class PqSpec extends AnyFunSuite with SparkSpec {
       s"probed-cell scan must carry the static partition IN filter:\n${plan.take(1500)}")
   }
 
+  test("persisted IVF range search: bit-equal to the in-memory path; tombstones honored; static prune (r12)") {
+    val s = spark
+    import s.implicits._
+    val c = emb.select(col("vec_id").as("cid"), col("embedding"))
+    val q = emb.filter(col("vec_id") % 50 === 0)
+      .select(col("vec_id").as("qid"), col("embedding"))
+    val books = Similarity.pqCodebooks(c, m = 8, ksub = 16)
+    val ctr = graft.queries.TrainedCentroids.sf001k8
+    val dir = java.nio.file.Files.createTempDirectory("ivfpq_range_idx").toString
+    Similarity.writeIvfPqIndex(c, ctr, books, dir)
+    def key(r: org.apache.spark.sql.Row) = (r.getLong(0), r.getLong(1), r.getDouble(2))
+    val served = Similarity.ivfRangeSearchIndexed(q, dir, c, ctr, books,
+      minSim = 0.2, nProbe = 2)
+    val inMem = Similarity.ivfRangeSearch(q, c, ctr, minSim = 0.2, nProbe = 2)
+    val servedSet = served.collect().map(key).toSet
+    assert(servedSet === inMem.collect().map(key).toSet,
+      "the persisted index must serve bit-identical range results")
+    assert(servedSet.nonEmpty, "fixture must produce in-range pairs")
+    // static probed-cell prune in-plan, like the top-k path
+    val plan = served.queryExecution.executedPlan.toString
+    assert(plan.contains("centroid_id#") && plan.contains(" IN ("),
+      s"range probe must carry the static partition IN filter:\n${plan.take(1200)}")
+    // tombstoned candidates drop out of range results
+    val victim = servedSet.map(_._2).min
+    Similarity.deleteFromIvfPqIndex(spark, dir, Seq(victim).toDF("cid"))
+    val afterDel = Similarity.ivfRangeSearchIndexed(q, dir, c, ctr, books,
+      minSim = 0.2, nProbe = 2).collect().map(key).toSet
+    assert(afterDel === servedSet.filterNot(_._2 == victim),
+      "a tombstoned candidate must vanish from range results, nothing else")
+  }
+
   test("the code scan projects codes only (no full-vector bytes in stage 1)") {
     val c = emb.select(col("vec_id").as("cid"), col("embedding"))
     val books = Similarity.pqCodebooks(c, m = 8, ksub = 16)

@@ -206,10 +206,17 @@ class ManifestSwapSpec extends SparkSpec {
       }
       compactor.join()
       assert(compactError.isEmpty, s"concurrent compaction failed: $compactError")
+      // one more batch strictly AFTER the swap: telemetry must show the
+      // new generation actually serving (the observable swap confirmation)
+      mem.addData(queries.toSeq: _*)
+      query.processAllAvailable()
       assert(query.exception.isEmpty, s"micro-batch failed during the race: ${query.exception}")
-      assert(perBatch.length === 4)
+      assert(perBatch.length === 5)
       perBatch.foreach(b => assert(b === expected,
         "every micro-batch across the racing compaction must serve identical top-k"))
+      val post = ServeTelemetry.statsFor(dir, 4L)
+      assert(post.exists(_.generation === "_graft_gen_00001"),
+        s"post-compaction batch must report the new generation: $post")
     } finally query.stop()
   }
 }

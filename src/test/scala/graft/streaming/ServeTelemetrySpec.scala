@@ -62,6 +62,7 @@ class ServeTelemetrySpec extends SparkSpec {
         s"partition pruning must be visible: read ${p.filesRead}, pruned ${p.filesPruned}")
       assert(p.bytesRead > 0)
       assert(p.pendingTombstones === 3L, s"pending delete set misreported: ${p.pendingTombstones}")
+      assert(p.generation === "flat", s"flat layout must report generation=flat: ${p.generation}")
     }
   }
 
