@@ -534,7 +534,16 @@ object Similarity {
     * signature band; exact cosine verify keeps pairs >= threshold. The
     * dedup flavour of [[lshTopK]] — same banded join (no all-pairs), pair
     * output (id1 < id2) ready for `Dedup.dropNearDuplicates`. Recall < 1 by
-    * construction (banding); raise nBits/band count for tighter recall. */
+    * construction (banding); raise nBits/band count for tighter recall.
+    *
+    * `maxBandSize` (r12 — the q219 semantics, closing the LAST banded
+    * pair enumerator without a hot-bucket guard): an 8-bit band has only
+    * 256 values, so at corpus scale every bucket holds ~n/256 vectors
+    * and the self-join is structurally quadratic; buckets above the cap
+    * are DROPPED before the join (output-visible). A hot bucket's
+    * members are hyperplane-side-identical — raise nBits or route such
+    * classes through exact/SemDeDup stages rather than enumerate them.
+    * Default = no cap (bit-compatible). */
   def cosineNearDup(
       items: DataFrame,
       dim: Int,
@@ -542,16 +551,32 @@ object Similarity {
       nBits: Int = 16,
       seed: Long = 42L,
       idCol: String = "vec_id",
-      vecCol: String = "embedding"): DataFrame = {
+      vecCol: String = "embedding",
+      maxBandSize: Int = Int.MaxValue): DataFrame = {
+    require(maxBandSize >= 2, "maxBandSize < 2 would drop every candidate pair")
     val nBands = nBits / 8
     val sig = withLshSignature(items.select(col(idCol), col(vecCol)), dim, nBits, seed, vecCol)
     val bandStructs = (0 until nBands).map { b =>
       struct(lit(b).as("band_idx"),
         shiftrightunsigned(col("lsh_sig"), b * 8).bitwiseAND(0xffL).as("band"))
     }
-    val bands = sig
+    val allBands = sig
       .select(col(idCol), explode(array(bandStructs: _*)).as("_b"))
       .select(col(idCol), col("_b.band_idx").as("band_idx"), col("_b.band").as("band"))
+    // occupancy cap BEFORE the self-join — one map-side-combinable count
+    // over slim (band_idx, band) keys, the bandCandidates discipline; the
+    // band table is checkpointed once so the count and both join sides
+    // read it instead of re-running the signature pass
+    val bands =
+      if (maxBandSize == Int.MaxValue) allBands
+      else {
+        val mat = allBands.localCheckpoint(true)
+        mat.join(
+          mat.groupBy("band_idx", "band").agg(count(lit(1)).as("_bn"))
+            .filter(col("_bn") <= maxBandSize)
+            .select("band_idx", "band"),
+          Seq("band_idx", "band"), "left_semi")
+      }
     val cand = bands.as("a")
       .join(bands.as("b"),
         col("a.band_idx") === col("b.band_idx") && col("a.band") === col("b.band") &&

@@ -145,4 +145,32 @@ class AnnRecallSpec extends SparkSpec {
     assert(b32.size >= b16.size,
       s"raising the band count must not lose pairs: ${b32.size} < ${b16.size}")
   }
+
+  test("cosineNearDup hot-bucket cap (r12): identical-vector bucket pruned, cap>=max is a no-op") {
+    val s = spark
+    import s.implicits._
+    // 8 identical vectors (one degenerate signature class) + a planted
+    // near pair with a distinct signature neighborhood
+    val rnd = new scala.util.Random(7L)
+    def vec() = Array.fill(64)(rnd.nextFloat() * 2 - 1)
+    val v0 = vec()
+    val near = v0.clone(); near(0) = near(0) + 0.01f
+    val other = vec()
+    val rows = (1L to 8L).map(i => (i, other)) ++
+      Seq((20L, v0), (21L, near))
+    val df = rows.toDF("vec_id", "embedding")
+    def pairs(cap: Int) =
+      Similarity.cosineNearDup(df, dim = 64, threshold = 0.9, maxBandSize = cap)
+        .select("d1", "d2").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val uncapped = pairs(Int.MaxValue)
+    assert(uncapped.exists { case (a, b) => a <= 8L && b <= 8L },
+      "identical vectors must pair uncapped")
+    assert(uncapped.contains((20L, 21L)), "the planted near pair must surface")
+    val capped = pairs(4)
+    assert(!capped.exists { case (a, b) => a <= 8L && b <= 8L },
+      "the degenerate bucket must be pruned at cap 4")
+    assert(capped.contains((20L, 21L)), "capping must not lose the sparse-bucket pair")
+    assert(capped.subsetOf(uncapped))
+    assert(pairs(10) === uncapped, "cap >= max occupancy must be bit-identical")
+  }
 }
