@@ -121,6 +121,34 @@ object IndexMaintenance {
     try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim finally in.close()
   }
 
+  /** Write a one-line parameter sidecar `<dir>/<name>` (the
+    * `_graft_*` convention: leading underscore, carried verbatim by
+    * [[compact]], checked loudly by probes/appends). */
+  def writeParamsSidecar(
+      spark: SparkSession, dir: String, name: String, content: String): Unit = {
+    require(name.startsWith("_graft_"), s"sidecar name must be _graft_*: $name")
+    val p = new Path(dir, name)
+    val fs = fileSystem(spark, dir)
+    val out = fs.create(p, true)
+    try out.write(content.getBytes("UTF-8")) finally out.close()
+  }
+
+  /** Throws when `dir` carries sidecar `name` with content other than
+    * `expected` — the shared guard that keeps probe/append parameters
+    * consistent with the build's. Absent sidecar passes unchecked
+    * (pre-sidecar or externally-written indexes). */
+  def requireParamsMatch(
+      spark: SparkSession, dir: String, name: String, expected: String, api: String): Unit = {
+    val p = new Path(dir, name)
+    val fs = fileSystem(spark, dir)
+    if (fs.exists(p)) {
+      val stored = readSmall(fs, p)
+      require(stored == expected,
+        s"$api: index at $dir was built under different parameters " +
+          s"(stored '$stored', supplied '$expected') — rebuild the index")
+    }
+  }
+
   /** Zero-gap REBUILD on a manifest layout (r12): `writeGen` writes a
     * complete fresh index (data + sidecars) into the returned staging
     * generation path; when it finishes, the manifest atomically repoints

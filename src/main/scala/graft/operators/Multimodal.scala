@@ -345,6 +345,164 @@ object Multimodal {
     same.unionByName(near)
   }
 
+  // --------------------------------------------- persisted fingerprint index
+
+  private val FpParamsFile = "_graft_fp_params"
+  private def fpParams(kind: String): String = s"kind=$kind bands=5 bits=13"
+
+  /** Materialize a perceptual-fingerprint index ONCE as a parquet layout
+    * partitioned by `band_idx` — the persisted-index lifecycle
+    * (`Dedup.writeMinhashIndex` / `Similarity.writeIvfPqIndex`) on the
+    * MULTIMODAL plane (r12): the reference corpus reduces to one slim
+    * (ref_id, fp, band) row per 13-bit band — 5 rows of ~24 B per
+    * payload, never media bytes — so an ingest batch near-dedups against
+    * 100 TB of reference images with ONE decode pass over the batch and
+    * zero re-decoding of the reference. A parameter sidecar makes
+    * probe/append under a different fingerprint family fail loudly.
+    * Manifest layouts ([[IndexMaintenance.enableManifest]]) rebuild as a
+    * new generation with zero serving gap, like the other index planes.
+    * Undecodable reference payloads (null fingerprint) are skipped. */
+  def writeImageFpIndex(
+      docs: DataFrame,
+      dir: String,
+      idCol: String = "doc_id",
+      binCol: String = "payload"): Unit =
+    writeFpIndex(docs, dir, aHash(col(binCol)), "ahash63", idCol)
+
+  /** The audio twin of [[writeImageFpIndex]] (Haitsma–Kalker window
+    * fingerprints). */
+  def writeAudioFpIndex(
+      docs: DataFrame,
+      dir: String,
+      idCol: String = "doc_id",
+      binCol: String = "payload"): Unit =
+    writeFpIndex(docs, dir, audioFp(col(binCol)), "audiofp63", idCol)
+
+  /** Incremental maintenance: append new (already-deduplicated) payloads'
+    * banded fingerprint rows — rows are independent, so append ≡ rebuild
+    * (MultimodalIndexSpec). Appends land in the live generation on a
+    * manifest layout. */
+  def appendImageFpIndex(newDocs: DataFrame, dir: String,
+      idCol: String = "doc_id", binCol: String = "payload"): Unit =
+    appendFpIndex(newDocs, dir, aHash(col(binCol)), "ahash63", idCol)
+
+  def appendAudioFpIndex(newDocs: DataFrame, dir: String,
+      idCol: String = "doc_id", binCol: String = "payload"): Unit =
+    appendFpIndex(newDocs, dir, audioFp(col(binCol)), "audiofp63", idCol)
+
+  /** DELETE reference payloads — tombstoned immediately, honored by every
+    * subsequent probe, expunged at the next [[compactFpIndex]]. */
+  def deleteFromFpIndex(spark: org.apache.spark.sql.SparkSession, dir: String,
+      ids: DataFrame, idCol: String = "doc_id"): Unit =
+    IndexMaintenance.tombstone(spark, dir, ids, idCol)
+
+  /** One-file-per-band compaction ([[IndexMaintenance.compact]] — rename
+    * swap on flat layouts, atomic manifest repoint on generation
+    * layouts); probe decisions unchanged, pending tombstones
+    * materialized. */
+  def compactFpIndex(spark: org.apache.spark.sql.SparkSession, dir: String,
+      swap: Boolean = true): String =
+    IndexMaintenance.compact(spark, dir, "band_idx", swap, tombstoneIdCol = Some("ref_id"))
+
+  /** Near-dup dedup of an ingest batch AGAINST the persisted image
+    * fingerprint index — the incremental twin of [[imageNearDup]] (which
+    * is all-pairs within one corpus): the batch decodes ONCE, its
+    * fingerprints band-join the stored rows on (band_idx, band), matches
+    * verify by exact `bit_count(xor) <= maxDist` from the STORED
+    * fingerprint (reference media is never re-read), and a batch doc is
+    * kept iff no reference payload is within `maxDist`. Output: every
+    * `incoming` row plus (keep, dup_of = smallest matching ref id,
+    * n_ref_dups). Undecodable incoming payloads keep (no fingerprint —
+    * route them to a quarantine gate, they are not evidence of
+    * uniqueness). By default the batch side broadcasts (ingest batches
+    * are small by contract) so the index side never shuffles; pass
+    * `broadcastIncoming = false` for corpus-scale backfills — a
+    * (band_idx, band) hash join, bit-identical decisions. */
+  def dedupAgainstImageFpIndex(
+      incoming: DataFrame,
+      dir: String,
+      maxDist: Int = 4,
+      idCol: String = "doc_id",
+      binCol: String = "payload",
+      broadcastIncoming: Boolean = true): DataFrame =
+    probeFpIndex(incoming, dir, aHash(col(binCol)), "ahash63",
+      maxDist, idCol, broadcastIncoming)
+
+  /** The audio twin of [[dedupAgainstImageFpIndex]]. */
+  def dedupAgainstAudioFpIndex(
+      incoming: DataFrame,
+      dir: String,
+      maxDist: Int = 4,
+      idCol: String = "doc_id",
+      binCol: String = "payload",
+      broadcastIncoming: Boolean = true): DataFrame =
+    probeFpIndex(incoming, dir, audioFp(col(binCol)), "audiofp63",
+      maxDist, idCol, broadcastIncoming)
+
+  /** One slim banded row set per payload: (ref_id, fp, band_idx, band). */
+  private def fpIndexRows(
+      df: DataFrame, fp: org.apache.spark.sql.Column,
+      idCol: String, outId: String): DataFrame = {
+    val bandStructs = (0 until 5).map { b =>
+      struct(lit(b).as("band_idx"),
+        shiftrightunsigned(col("_fp"), b * 13).bitwiseAND(0x1FFFL).as("band"))
+    }
+    df.withColumn("_fp", fp)
+      .filter(col("_fp").isNotNull)
+      .select(col(idCol).as(outId), col("_fp").as("fp"),
+        explode(array(bandStructs: _*)).as("_b"))
+      .select(col(outId), col("fp"),
+        col("_b.band_idx").as("band_idx"), col("_b.band").as("band"))
+  }
+
+  private def writeFpIndex(docs: DataFrame, dir: String,
+      fp: org.apache.spark.sql.Column, kind: String, idCol: String): Unit = {
+    val spark = docs.sparkSession
+    def writeTo(target: String): Unit = {
+      fpIndexRows(docs, fp, idCol, "ref_id")
+        .write.mode("overwrite").partitionBy("band_idx").parquet(target)
+      IndexMaintenance.writeParamsSidecar(spark, target, FpParamsFile, fpParams(kind))
+    }
+    if (IndexMaintenance.hasManifest(spark, dir))
+      IndexMaintenance.rebuild(spark, dir)(writeTo)
+    else writeTo(dir)
+  }
+
+  private def appendFpIndex(newDocs: DataFrame, dir: String,
+      fp: org.apache.spark.sql.Column, kind: String, idCol: String): Unit = {
+    val spark = newDocs.sparkSession
+    val live = IndexMaintenance.resolveLive(spark, dir)
+    IndexMaintenance.requireParamsMatch(spark, live, FpParamsFile, fpParams(kind),
+      "appendFpIndex")
+    fpIndexRows(newDocs, fp, idCol, "ref_id")
+      .write.mode("append").partitionBy("band_idx").parquet(live)
+  }
+
+  private def probeFpIndex(
+      incoming: DataFrame, dir: String, fp: org.apache.spark.sql.Column,
+      kind: String, maxDist: Int, idCol: String, broadcastIncoming: Boolean): DataFrame = {
+    val spark = incoming.sparkSession
+    val live = IndexMaintenance.resolveLive(spark, dir)
+    IndexMaintenance.requireParamsMatch(spark, live, FpParamsFile, fpParams(kind),
+      "dedupAgainstFpIndex")
+    val idx = IndexMaintenance.filterTombstoned(spark, dir,
+      spark.read.parquet(live), "ref_id")
+    val inRows0 = fpIndexRows(incoming, fp, idCol, "new_id")
+      .withColumnRenamed("fp", "nfp")
+    val inRows = if (broadcastIncoming) broadcast(inRows0) else inRows0
+    val matched = inRows.join(idx, Seq("band_idx", "band"))
+      .filter(bit_count(col("nfp").bitwiseXOR(col("fp"))) <= maxDist)
+      .select(col("new_id"), col("ref_id"))
+      .distinct()
+      .groupBy("new_id")
+      .agg(min("ref_id").as("dup_of"), countDistinct("ref_id").as("n_ref_dups"))
+    incoming
+      .join(matched, incoming(idCol) === matched("new_id"), "left")
+      .withColumn("keep", col("dup_of").isNull)
+      .withColumn("n_ref_dups", coalesce(col("n_ref_dups"), lit(0L)))
+      .drop("new_id")
+  }
+
   /** Frame sampling plumbing: explode a (video) payload into every k-th
     * fixed-size byte window ("frame"). A production codec swaps the
     * substring for a real frame decode behind the same schema. Pure

@@ -6930,6 +6930,46 @@ object Queries {
     },
     q217_ivf_range.sql)
 
+  /** The persisted FINGERPRINT index lifecycle on the multimodal plane
+    * (r12, `Multimodal.writeImageFpIndex` / `deleteFromFpIndex` /
+    * `dedupAgainstImageFpIndex`): even doc_ids' BMPs build the banded
+    * aHash index ONCE (cached, _SUCCESS-guarded), every `% 10 == 0`
+    * reference is tombstoned (the q220 discipline — guarded so repeat
+    * runs don't grow the cached dir), and the odd half probes: decode
+    * once on the batch side, band-join the stored fingerprints, exact
+    * Hamming from STORED fps (reference media never re-read). The
+    * oracle recomputes the hash from the pixel arithmetic and replays
+    * banding + Hamming + the delete exclusion relationally — a
+    * tombstone leak or a banding drift hash-mismatches. */
+  val q224_fp_index: Q = Q(
+    (s, d) => {
+      val docs = bmpFixture(table(s, d, "documents"))
+      val idx = s"target/tmp/imagefp_index_${new java.io.File(d).getName}_" +
+        srcContentSig(d, "documents.parquet")
+      if (!new java.io.File(s"$idx/_SUCCESS").exists())
+        Multimodal.writeImageFpIndex(docs.filter(col("doc_id") % 2 === 0), idx)
+      if (!new java.io.File(s"$idx/_graft_tombstones/_SUCCESS").exists())
+        Multimodal.deleteFromFpIndex(s, idx,
+          docs.filter(col("doc_id") % 10 === 0).select("doc_id"))
+      Multimodal.dedupAgainstImageFpIndex(docs.filter(col("doc_id") % 2 === 1), idx)
+        .select(col("doc_id"), col("keep"), col("dup_of"), col("n_ref_dups"))
+        .orderBy("doc_id")
+    },
+    Some(s"""WITH $bmpAhashCtes,
+      bands AS (SELECT doc_id, ahash, b, (ahash >> (13 * b)) & 8191 AS band
+                FROM h, range(0, 5) tb(b)),
+      m AS (SELECT DISTINCT a.doc_id AS new_id, b.doc_id AS ref_id
+            FROM bands a JOIN bands b ON a.b = b.b AND a.band = b.band
+            WHERE a.doc_id % 2 = 1 AND b.doc_id % 2 = 0 AND b.doc_id % 10 <> 0
+              AND bit_count(xor(a.ahash, b.ahash)) <= 4),
+      mm AS (SELECT new_id, MIN(ref_id) AS dup_of,
+               CAST(COUNT(DISTINCT ref_id) AS BIGINT) AS n_ref_dups
+             FROM m GROUP BY new_id)
+      SELECT d.doc_id, mm.new_id IS NULL AS keep, mm.dup_of,
+        COALESCE(mm.n_ref_dups, 0) AS n_ref_dups
+      FROM documents d LEFT JOIN mm ON mm.new_id = d.doc_id
+      WHERE d.doc_id % 2 = 1 ORDER BY d.doc_id"""))
+
   // -------------------------------------------------------------- registry
 
   val all: Seq[(String, Q)] = Seq(
@@ -7154,5 +7194,6 @@ object Queries {
     "q220_index_delete" -> q220_index_delete,
     "q221_image_dup_classes" -> q221_image_dup_classes,
     "q222_fp_capped" -> q222_fp_capped,
-    "q223_ivf_range_indexed" -> q223_ivf_range_indexed)
+    "q223_ivf_range_indexed" -> q223_ivf_range_indexed,
+    "q224_fp_index" -> q224_fp_index)
 }

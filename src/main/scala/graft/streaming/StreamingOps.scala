@@ -531,6 +531,48 @@ object StreamingOps {
     * against EACH OTHER, have `sink` append each batch's survivors to
     * the index (the incremental-corpus loop) — or use [[dedupStream]]
     * for the watermarked exact-within-stream gate. */
+  /** Streaming ingest dedup against the PERSISTED image-fingerprint
+    * index (`Multimodal.writeImageFpIndex` — r12): each micro-batch of
+    * payloads decodes ONCE, probes the stored banded fingerprints, and
+    * `sink` receives the batch rows with (keep, dup_of, n_ref_dups) —
+    * the [[dedupServe]] serving shape on the multimodal plane, with the
+    * same per-batch [[ServeTelemetry]] stats and the same zero-restart
+    * pickup of appends/deletes/compactions/rebuilds between batches. */
+  def imageDedupServe(
+      docStream: DataFrame,
+      indexDir: String,
+      maxDist: Int = 4,
+      idCol: String = "doc_id",
+      binCol: String = "payload")(
+      sink: DataFrame => Unit): org.apache.spark.sql.streaming.StreamingQuery =
+    mediaDedupServe(docStream, indexDir,
+      graft.operators.Multimodal.dedupAgainstImageFpIndex(_, indexDir, maxDist, idCol, binCol))(sink)
+
+  /** The audio twin of [[imageDedupServe]]
+    * (`Multimodal.writeAudioFpIndex` layout). */
+  def audioDedupServe(
+      docStream: DataFrame,
+      indexDir: String,
+      maxDist: Int = 4,
+      idCol: String = "doc_id",
+      binCol: String = "payload")(
+      sink: DataFrame => Unit): org.apache.spark.sql.streaming.StreamingQuery =
+    mediaDedupServe(docStream, indexDir,
+      graft.operators.Multimodal.dedupAgainstAudioFpIndex(_, indexDir, maxDist, idCol, binCol))(sink)
+
+  private def mediaDedupServe(
+      docStream: DataFrame,
+      indexDir: String,
+      probe: DataFrame => DataFrame)(
+      sink: DataFrame => Unit): org.apache.spark.sql.streaming.StreamingQuery =
+    docStream.writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val out = probe(batch)
+        sink(out)
+        ServeTelemetry.record(out, indexDir, batchId)
+      }
+      .start()
+
   def dedupServe(
       docStream: DataFrame,
       indexDir: String,
