@@ -531,6 +531,32 @@ object StreamingOps {
     * against EACH OTHER, have `sink` append each batch's survivors to
     * the index (the incremental-corpus loop) — or use [[dedupStream]]
     * for the watermarked exact-within-stream gate. */
+  /** Streaming RANGE retrieval against the persisted IVF-PQ index
+    * (r12 — the radius twin of [[annServe]], completing the serving
+    * surface): each micro-batch of query vectors runs
+    * `Similarity.ivfRangeSearchIndexed` as a batch — corpus assignment
+    * from the stored rows, probed cells statically pruned, exact
+    * rerank — and `sink` receives every (qid, cid, sim >= minSim) pair.
+    * Same per-batch [[ServeTelemetry]] stats, same zero-restart pickup
+    * of index maintenance between batches. */
+  def annRangeServe(
+      queryStream: DataFrame,
+      indexDir: String,
+      candidates: DataFrame,
+      centroidVecs: Seq[Array[Double]],
+      codebooks: Array[Array[Array[Double]]],
+      minSim: Double,
+      nProbe: Int = 4)(
+      sink: DataFrame => Unit): org.apache.spark.sql.streaming.StreamingQuery =
+    queryStream.writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val out = graft.operators.Similarity.ivfRangeSearchIndexed(
+          batch, indexDir, candidates, centroidVecs, codebooks, minSim, nProbe)
+        sink(out)
+        ServeTelemetry.record(out, indexDir, batchId)
+      }
+      .start()
+
   /** Streaming ingest dedup against the PERSISTED image-fingerprint
     * index (`Multimodal.writeImageFpIndex` — r12): each micro-batch of
     * payloads decodes ONCE, probes the stored banded fingerprints, and

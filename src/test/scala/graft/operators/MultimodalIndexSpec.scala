@@ -118,6 +118,27 @@ class MultimodalIndexSpec extends SparkSpec {
     assert(!new java.io.File(inc).listFiles().map(_.getName).contains("_graft_tombstones"))
   }
 
+  test("fp index on a manifest layout: enable is probe-identity, rebuild swaps with zero gap") {
+    val s = spark
+    import s.implicits._
+    val refsA = (1L to 4L).map(i => (i, wav(samples(i.toInt * 7))))
+    val refsB = (1L to 8L).map(i => (i, wav(samples(i.toInt * 7))))
+    val incoming = Seq((100L, wav(samples(7 * 6)))).toDF("doc_id", "payload") // dup of ref 6
+    val dir = java.nio.file.Files.createTempDirectory("fp_manifest").toString
+    Multimodal.writeAudioFpIndex(refsA.toDF("doc_id", "payload"), dir)
+    val before = decisions(incoming, dir)
+    IndexMaintenance.enableManifest(spark, dir)
+    assert(decisions(incoming, dir) === before, "enableManifest must be probe-identity")
+    assert(before.forall(_._2), "ref 6 not indexed yet — incoming keeps")
+    // rebuild with the full reference set lands as generation 1
+    Multimodal.writeAudioFpIndex(refsB.toDF("doc_id", "payload"), dir)
+    assert(new java.io.File(IndexMaintenance.resolveLive(spark, dir)).getName
+      === "_graft_gen_00001")
+    val after = decisions(incoming, dir)
+    assert(after.exists(p => p._1 == 100L && !p._2 && p._3.contains(6L)),
+      "the rebuilt reference set must flag the incoming dup")
+  }
+
   test("audioDedupServe: streamed micro-batches == batch probe; refresh picked up next batch") {
     val s = spark
     import s.implicits._
