@@ -6970,6 +6970,39 @@ object Queries {
       FROM documents d LEFT JOIN mm ON mm.new_id = d.doc_id
       WHERE d.doc_id % 2 = 1 ORDER BY d.doc_id"""))
 
+  /** The r12 hot-bucket cap on the embedding LSH near-dup join
+    * (`cosineNearDup(maxBandSize = 5)`): an 8-bit band has only 256
+    * values, so buckets are structurally hot at corpus scale; buckets
+    * above the cap are dropped before the self-join — OUTPUT-VISIBLE at
+    * this sf (the band occupancy histogram reaches 9; cap 5 prunes 15
+    * buckets, and some of their pairs pass the 0.2 verify, so a no-op
+    * cap cannot hash-match). Oracle = q52's baked-hyperplane replay
+    * plus the occupancy filter. */
+  val q225_cosine_bandcap: Q = Q(
+    (s, d) =>
+      Similarity.cosineNearDup(table(s, d, "embeddings"), dim = 64,
+          threshold = 0.2, maxBandSize = 5)
+        .orderBy("d1", "d2"),
+    Some {
+      val planes = Similarity.hyperplanes(nBits = 16, dim = 64, seed = 42L)
+      val sig = planes.zipWithIndex.map { case (p, i) =>
+        val lst = p.map(OracleSql.slit).mkString("[", ", ", "]")
+        s"CASE WHEN list_inner_product(CAST(embedding AS DOUBLE[]), $lst) >= 0 THEN CAST(${1L << i} AS BIGINT) ELSE CAST(0 AS BIGINT) END"
+      }.mkString(" + ")
+      s"""WITH sigs AS (SELECT vec_id, $sig AS sig FROM embeddings),
+      bands AS (SELECT vec_id, bi.i AS band_idx, (sig // (CASE bi.i WHEN 0 THEN 1 ELSE 256 END)) % 256 AS band
+                FROM sigs CROSS JOIN (VALUES (0), (1)) bi(i)),
+      keptb AS (SELECT band_idx, band FROM bands GROUP BY 1, 2 HAVING COUNT(*) <= 5),
+      kb AS (SELECT bands.* FROM bands JOIN keptb USING (band_idx, band)),
+      cand AS (SELECT DISTINCT a.vec_id AS d1, b.vec_id AS d2
+               FROM kb a JOIN kb b
+                 ON a.band_idx = b.band_idx AND a.band = b.band AND a.vec_id < b.vec_id),
+      vv AS (SELECT c.d1, c.d2,
+               ROUND(list_cosine_similarity(CAST(e1.embedding AS DOUBLE[]), CAST(e2.embedding AS DOUBLE[])), 6) AS sim
+             FROM cand c JOIN embeddings e1 ON e1.vec_id = c.d1 JOIN embeddings e2 ON e2.vec_id = c.d2)
+      SELECT d1, d2, sim FROM vv WHERE sim >= 0.2 ORDER BY d1, d2"""
+    })
+
   // -------------------------------------------------------------- registry
 
   val all: Seq[(String, Q)] = Seq(
@@ -7195,5 +7228,6 @@ object Queries {
     "q221_image_dup_classes" -> q221_image_dup_classes,
     "q222_fp_capped" -> q222_fp_capped,
     "q223_ivf_range_indexed" -> q223_ivf_range_indexed,
-    "q224_fp_index" -> q224_fp_index)
+    "q224_fp_index" -> q224_fp_index,
+    "q225_cosine_bandcap" -> q225_cosine_bandcap)
 }
