@@ -1041,7 +1041,14 @@ object Similarity {
         .select(explode(array(subStructs: _*)).as("s"))
         .select(col("s.mi"), col("s.code"), posexplode(col("s.sv")).as(Seq("pos", "x")))
         .groupBy("mi", "code", "pos")
-        .agg(sum("x").as("sx"), count(lit(1)).as("n"))
+        // decimal-sum discipline (the library-wide rule for reproducible
+        // aggregates): double partial sums depend on partition order, so
+        // the trained books would differ run-to-run under a different
+        // layout — decimal addition is exact, making train-on-sample a
+        // DETERMINISTIC model fit (pinned by AnnRecallSpec's
+        // repartition-invariance check)
+        .agg(sum(col("x").cast(org.apache.spark.sql.types.DecimalType(28, 14)))
+          .cast("double").as("sx"), count(lit(1)).as("n"))
         .collect()
         .groupBy(r => (r.getInt(0), r.getInt(1)))
       books = Array.tabulate(m, ksub) { (mi, j) =>

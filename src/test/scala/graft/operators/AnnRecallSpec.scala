@@ -107,6 +107,12 @@ class AnnRecallSpec extends SparkSpec {
       f"trained codebooks must beat donor rows on flat PQ: $rPqT%.3f <= $rPq%.3f")
     assert(rIvfPqT2 > rIvfPq2,
       f"trained codebooks must beat donor rows on IVF-PQ: $rIvfPqT2%.3f <= $rIvfPq2%.3f")
+    // training is a DETERMINISTIC model fit (decimal re-centering): the
+    // same sample under a different partitioning yields bit-identical
+    // books — the reproducibility a frozen production model requires
+    val booksT2 = Similarity.pqCodebooksTrained(c.repartition(7), m = 8, ksub = 16, iters = 5)
+    assert(booksT.flatten.flatten.toSeq === booksT2.flatten.flatten.toSeq,
+      "trained codebooks must be partition-order invariant")
   }
 
   test("cosineNearDup: planted near-duplicates are recalled ~fully; weak-pair tail is knob-monotone") {
