@@ -205,7 +205,13 @@ object Similarity {
         .withColumn("cid", array_min(array(cStructs: _*)).getField("cid"))
         .select(col("cid"), posexplode(col("_v")).as(Seq("pos", "x")))
         .groupBy("cid", "pos")
-        .agg(sum("x").as("sx"), count(lit(1)).as("n"))
+        // decimal-sum discipline (r12, the pqCodebooksTrained fix): double
+        // partial sums depend on partition order, so the trained centroids
+        // would differ run-to-run under a different layout — exact decimal
+        // addition makes the fit deterministic (KmeansSpec pins
+        // repartition invariance)
+        .agg(sum(col("x").cast(org.apache.spark.sql.types.DecimalType(28, 14)))
+          .cast("double").as("sx"), count(lit(1)).as("n"))
         .collect()
         .groupBy(_.getInt(0))
       centroids = centroids.zipWithIndex.map { case (old, i) =>

@@ -33,6 +33,12 @@ class KmeansSpec extends SparkSpec {
     got.foreach { c =>
       assert(c.max > 9.0 && c.sorted.init.forall(_ < 1.0), c.mkString(","))
     }
+    // deterministic model fit (r12, decimal re-centering): the same
+    // sample under a different partitioning yields bit-identical
+    // centroids
+    val got2 = Similarity.kmeansCentroids(items.repartition(7), k = 3, iters = 4)
+    assert(got.flatten.toSeq === got2.flatten.toSeq,
+      "trained centroids must be partition-order invariant")
   }
 
   test("assignClusters routes each point to its dominant-axis centroid") {
