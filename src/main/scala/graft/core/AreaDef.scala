@@ -237,6 +237,59 @@ final case class AreaDef(
   def overlapRate(other: AreaDef): Double =
     boundaryPolygon().overlapRate(other.boundaryPolygon())
 
+  /** Plain-text repr in the reference `AreaDefinition.__str__` layout
+    * (`geometry.py:1987-2003`; golden strings in
+    * `test/test_area_config.py:44-63`): Area ID, Description, optional
+    * Projection ID, Projection as the SORTED quoted param dict, Number
+    * of columns/rows, Area extent rounded to 4 decimals. r13 — the
+    * lib-independent core of the reference's repr surface ("What's
+    * missing #2"); the HTML attrs flavour is [[describeHtml]].
+    *
+    * The Projection line prints THIS engine's parsed params with
+    * numeric values canonicalized the way pyproj round-trips them
+    * (integral floats print bare: '6371228.0' → '6371228', '-90' stays
+    * '-90'); pyproj's CRS-expansion artifacts (`'type': 'crs'`,
+    * `'no_defs': 'None'`, a=b → R) are deliberately not synthesized —
+    * they are pyproj version quirks, not area semantics. */
+  def describe(description: String = "", projId: String = ""): String = {
+    val desc = if (description.isEmpty) id else description
+    val third = if (projId.isEmpty) "" else s"Projection ID: $projId\n"
+    s"Area ID: $id\nDescription: $desc\n$third" +
+      s"Projection: $projDictStr\nNumber of columns: $width\nNumber of rows: $height\n" +
+      s"Area extent: $extentStr"
+  }
+
+  /** HTML attrs section in the reference `_formatting_html.py:176-211`
+    * (proj_area_attrs_section) layout — the xarray/cartopy-independent
+    * core: a definition list of name, description, projection dict,
+    * width/height, x/y resolution (1-dp, in projection units), extent. */
+  def describeHtml(description: String = ""): String = {
+    val desc = if (description.isEmpty) id else description
+    val units = crs.params.getOrElse("units", if (crs.isLonLat) "degrees" else "")
+    val res = s"${round1(math.abs(pixelSizeX))}/${round1(math.abs(pixelSizeY))}"
+    val resName = if (crs.params.get("proj").contains("geos")) "Resolution x/y (SSP)"
+      else "Resolution x/y"
+    "<dl>" +
+      s"<dt>Area name</dt><dd>$id</dd>" +
+      s"<dt>Description</dt><dd>$desc</dd>" +
+      s"<dt>Projection</dt><dd>$projDictStr</dd>" +
+      s"<dt>Width/Height</dt><dd>$width/$height Pixel</dd>" +
+      s"<dt>$resName</dt><dd>$res $units</dd>" +
+      s"<dt>Extent (ll_x, ll_y, ur_x, ur_y)</dt><dd>$extentStr</dd>" +
+      "</dl>"
+  }
+
+  private def projDictStr: String =
+    crs.params.toSeq.sortBy(_._1)
+      .map { case (k, v) => s"'$k': '${AreaDef.canonNum(v)}'" }
+      .mkString("{", ", ", "}")
+
+  private def extentStr: String =
+    Seq(xLL, yLL, xUR, yUR).map(v => round4(v).toString).mkString("(", ", ", ")")
+
+  private def round4(v: Double): Double = math.rint(v * 10000.0) / 10000.0
+  private def round1(v: Double): Double = math.rint(v * 10.0) / 10.0
+
   /** Semantic hash for LUT cache keys (`geometry.py:129-140`). */
   def semanticHash: String = {
     val s = s"${crs.proj4}|$width|$height|$xLL|$yLL|$xUR|$yUR"
@@ -249,6 +302,14 @@ final case class AreaDef(
 }
 
 object AreaDef {
+  /** pyproj-style canonical print of a param value: integral numerics
+    * print bare ('6371228.0' → '6371228'), everything else verbatim. */
+  private[core] def canonNum(v: String): String =
+    try {
+      val d = v.toDouble
+      if (d == math.rint(d) && math.abs(d) < 1e15) d.toLong.toString else v
+    } catch { case _: NumberFormatException => v }
+
   /** Smallest area covering several same-CRS areas —
     * `geometry.py:3106-3143` (enclose_areas). */
   def enclose(areas: Seq[AreaDef]): AreaDef = {

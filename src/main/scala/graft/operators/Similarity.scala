@@ -549,7 +549,8 @@ object Similarity {
     * are DROPPED before the join (output-visible). A hot bucket's
     * members are hyperplane-side-identical — raise nBits or route such
     * classes through exact/SemDeDup stages rather than enumerate them.
-    * Default = no cap (bit-compatible). */
+    * Default = `Dedup.DefaultMaxBucket` (r13); pass `Dedup.Uncapped`
+    * for the bit-exact uncapped form. */
   def cosineNearDup(
       items: DataFrame,
       dim: Int,
@@ -558,7 +559,7 @@ object Similarity {
       seed: Long = 42L,
       idCol: String = "vec_id",
       vecCol: String = "embedding",
-      maxBandSize: Int = Int.MaxValue): DataFrame = {
+      maxBandSize: Int = Dedup.DefaultMaxBucket): DataFrame = {
     require(maxBandSize >= 2, "maxBandSize < 2 would drop every candidate pair")
     val nBands = nBits / 8
     val sig = withLshSignature(items.select(col(idCol), col(vecCol)), dim, nBits, seed, vecCol)

@@ -660,7 +660,8 @@ object Queries {
             FROM cand c JOIN ws w1 ON w1.doc_id = c.d1 JOIN ws w2 ON w2.doc_id = c.d2)"""
 
   val q25_minhash_lsh: Q = Q(
-    (s, d) => Dedup.minhashLsh(docsRebalanced(s, d)).orderBy("d1", "d2"),
+    (s, d) => Dedup.minhashLsh(docsRebalanced(s, d), maxBandSize = Dedup.Uncapped)
+      .orderBy("d1", "d2"),
     // Row-local oracle form (same allocator discipline as q54-q58): the
     // per-doc bigram SET is one list column; each minhash is a
     // list_transform fold over it, and the Jaccard verify intersects the
@@ -673,7 +674,8 @@ object Queries {
       ORDER BY d1, d2"""))
 
   val q26_ngram_jaccard: Q = Q(
-    (s, d) => Dedup.ngramJaccard(table(s, d, "documents"), Seq("lang", "n_chars"))
+    (s, d) => Dedup.ngramJaccard(table(s, d, "documents"), Seq("lang", "n_chars"),
+        maxBlockSize = Dedup.Uncapped)
       .orderBy("d1", "d2"),
     Some(s"""WITH $blockedJaccardPairsSql
       SELECT d1, d2, CAST(i AS DOUBLE) / CAST(sz1 + sz2 - i AS DOUBLE) AS jaccard
@@ -944,19 +946,23 @@ object Queries {
       WHERE d.doc_id NOT IN (SELECT doc_id FROM bad)
       ORDER BY d.doc_id"""))
 
-  /** Transitive near-dup clustering (`Dedup.nearDupClusters`): connected
-    * components by iterative min-id label propagation over the q26
-    * blocked-Jaccard pair table — the cluster-canonical policy that keeps
-    * exactly one doc per component where pairwise keep-first can drop a
-    * whole chain. The oracle replays the same pair table and closes it
-    * with a recursive CTE: `walk` enumerates every (vertex, reachable
+  /** Transitive near-dup clustering (`Dedup.ngramNearDupClusters`, r13):
+    * connected components by iterative min-id label propagation over the
+    * q26 blocked-Jaccard pair graph — computed via the exact-class
+    * COLLAPSE (`ngramClusterLabels`): identical (block, word-set) docs
+    * reduce to one representative before pair generation, components run
+    * over reps, membership expands back — bit-identical to the direct
+    * `nearDupClusters(docs, ngramJaccard(docs, ...))` form
+    * (NgramCollapseSpec) while the pair shuffle scales with distinct
+    * content. The oracle replays the UNCOLLAPSED pair table and closes
+    * it with a recursive CTE: `walk` enumerates every (vertex, reachable
     * label) and the min per vertex is the component minimum — fixpoint
     * semantics identical to the propagation loop. */
   val q64_neardup_clusters: Q = Q(
     (s, d) => {
       val docs = table(s, d, "documents")
-      val pairs = Dedup.ngramJaccard(docs, Seq("lang", "n_chars")).select("d1", "d2")
-      Dedup.nearDupClusters(docs, pairs)
+      Dedup.ngramNearDupClusters(docs, Seq("lang", "n_chars"),
+          maxBlockSize = Dedup.Uncapped)
         .select("doc_id", "cluster_id", "keep")
         .orderBy("doc_id")
     },
@@ -2278,8 +2284,8 @@ object Queries {
   val q114_canonical_cluster: Q = Q(
     (s, d) => {
       val docs = table(s, d, "documents")
-      val pairs = Dedup.ngramJaccard(docs, Seq("lang", "n_chars")).select("d1", "d2")
-      Dedup.nearDupCanonical(docs, pairs, "n_chars")
+      Dedup.ngramNearDupCanonical(docs, Seq("lang", "n_chars"), "n_chars",
+          maxBlockSize = Dedup.Uncapped)
         .select("doc_id", "cluster_id", "n_chars", "keep")
         .orderBy("doc_id")
     },
@@ -2752,7 +2758,8 @@ object Queries {
       FROM piv ORDER BY dst_id"""))
 
   val q43_simhash_neardup: Q = Q(
-    (s, d) => Dedup.simhashNearDup(table(s, d, "documents")).orderBy("d1", "d2"),
+    (s, d) => Dedup.simhashNearDup(table(s, d, "documents"),
+        maxBandSize = Dedup.Uncapped).orderBy("d1", "d2"),
     Some {
       val bits = Dedup.SimhashBits
       val bitSums = (0 until bits)
@@ -2921,8 +2928,8 @@ object Queries {
   val q118_cluster_report: Q = Q(
     (s, d) => {
       val docs = table(s, d, "documents")
-      val pairs = Dedup.ngramJaccard(docs, Seq("lang", "n_chars")).select("d1", "d2")
-      Dedup.nearDupClusters(docs, pairs)
+      Dedup.ngramClusterLabels(docs, Seq("lang", "n_chars"),
+          maxBlockSize = Dedup.Uncapped)
         .groupBy("cluster_id").agg(count(lit(1)).as("sz"))
         .groupBy("sz").agg(count(lit(1)).as("n_clusters"))
         .orderBy("sz")
@@ -3185,9 +3192,10 @@ object Queries {
   val q127_dedup_eval: Q = Q(
     (s, d) => {
       val docs = docsRebalanced(s, d)
-      val truth = Dedup.ngramJaccard(docs, Seq("lang", "n_chars"), threshold = 0.4, shingleN = 2)
+      val truth = Dedup.ngramJaccard(docs, Seq("lang", "n_chars"), threshold = 0.4,
+        shingleN = 2, maxBlockSize = Dedup.Uncapped)
         .select(col("d1"), col("d2"), lit(1L).as("_t"))
-      val pred = Dedup.minhashLsh(docs, threshold = 0.4)
+      val pred = Dedup.minhashLsh(docs, threshold = 0.4, maxBandSize = Dedup.Uncapped)
         .select(col("d1"), col("d2"), lit(1L).as("_p"))
       truth.join(pred, Seq("d1", "d2"), "full_outer")
         .agg(
@@ -3350,7 +3358,7 @@ object Queries {
     * float PageRank's sum-order nondeterminism never appears). */
   val q133_pagerank: Q = Q(
     (s, d) => Graph.pageRankInt(
-        Dedup.minhashLsh(docsRebalanced(s, d)), iters = 3)
+        Dedup.minhashLsh(docsRebalanced(s, d), maxBandSize = Dedup.Uncapped), iters = 3)
       .orderBy("id"),
     Some {
       val rounds = (1 to 3).map { i =>
@@ -3398,7 +3406,8 @@ object Queries {
     * bounded O(√m) by the orientation, counts exact, clustering one
     * long/long division. */
   val q136_triangles: Q = Q(
-    (s, d) => Graph.triangleStats(Dedup.minhashLsh(docsRebalanced(s, d)))
+    (s, d) => Graph.triangleStats(
+        Dedup.minhashLsh(docsRebalanced(s, d), maxBandSize = Dedup.Uncapped))
       .orderBy("id"),
     Some(s"""WITH $minhashPairCtes,
       p AS MATERIALIZED (SELECT d1, d2 FROM v
@@ -3488,7 +3497,8 @@ object Queries {
     * graph: Newman 2002 r over exact decimal cross-moments — mesh vs
     * hub-and-spoke in one number. */
   val q140_assortativity: Q = Q(
-    (s, d) => Graph.assortativity(Dedup.minhashLsh(docsRebalanced(s, d))),
+    (s, d) => Graph.assortativity(
+        Dedup.minhashLsh(docsRebalanced(s, d), maxBandSize = Dedup.Uncapped)),
     Some(s"""WITH $minhashPairCtes,
       p AS MATERIALIZED (SELECT d1, d2 FROM v
             WHERE CAST(i AS DOUBLE) / CAST(sz1 + sz2 - i AS DOUBLE) >= 0.4),
@@ -3540,7 +3550,8 @@ object Queries {
     * no-ops. Separates cohesive duplicate clusters from incidental
     * pairwise collisions. */
   val q142_kcore: Q = Q(
-    (s, d) => Graph.kCore(Dedup.minhashLsh(docsRebalanced(s, d)), k = 2)
+    (s, d) => Graph.kCore(
+        Dedup.minhashLsh(docsRebalanced(s, d), maxBandSize = Dedup.Uncapped), k = 2)
       .orderBy("id"),
     Some {
       val rounds = (1 to 6).map { i =>
@@ -4430,7 +4441,8 @@ object Queries {
     * q44, plus the verify filter. */
   val q52_cosine_neardup: Q = Q(
     (s, d) =>
-      Similarity.cosineNearDup(table(s, d, "embeddings"), dim = 64, threshold = 0.2)
+      Similarity.cosineNearDup(table(s, d, "embeddings"), dim = 64, threshold = 0.2,
+          maxBandSize = Dedup.Uncapped)
         .orderBy("d1", "d2"),
     Some {
       val planes = Similarity.hyperplanes(nBits = 16, dim = 64, seed = 42L)
@@ -4789,7 +4801,8 @@ object Queries {
   val q167_bfs_hops: Q = Q(
     (s, d) => {
       val docs = table(s, d, "documents")
-      val pairs = Dedup.ngramJaccard(docs, Seq("lang", "n_chars")).select("d1", "d2")
+      val pairs = Dedup.ngramJaccard(docs, Seq("lang", "n_chars"),
+        maxBlockSize = Dedup.Uncapped).select("d1", "d2")
       Graph.bfsHops(pairs, docs.filter(col("doc_id") % 97 === 0)
         .select(col("doc_id").as("id")))
     },
@@ -5561,7 +5574,8 @@ object Queries {
   val q189_weighted_hops: Q = Q(
     (s, d) => {
       val docs = table(s, d, "documents")
-      val pairs = Dedup.ngramJaccard(docs, Seq("lang", "n_chars"))
+      val pairs = Dedup.ngramJaccard(docs, Seq("lang", "n_chars"),
+        maxBlockSize = Dedup.Uncapped)
       val edges = pairs.select(col("d1"), col("d2"),
         (lit(1000001L) - floor(col("jaccard") * 1e6).cast("long")).as("w"))
       Graph.weightedHops(edges,
@@ -6478,7 +6492,8 @@ object Queries {
   val q212_image_neardup: Q = Q(
     (s, d) => {
       val withPayload = bmpFixture(table(s, d, "documents"))
-      Multimodal.imageNearDup(withPayload, maxDist = 4).orderBy("d1", "d2")
+      Multimodal.imageNearDup(withPayload, maxDist = 4,
+        maxBandSize = Dedup.Uncapped, maxClassSize = Dedup.Uncapped).orderBy("d1", "d2")
     },
     Some(s"""WITH $bmpAhashCtes,
       bands AS (SELECT doc_id, ahash, b, (ahash >> (13 * b)) & 8191 AS band
@@ -6595,7 +6610,8 @@ object Queries {
       val payload = unhex(concat(lit(header), expr(
         s"""array_join(transform(sequence(0, 255),
            |  i -> concat(substring($le16, 3, 2), substring($le16, 1, 2))), '')""".stripMargin)))
-      Multimodal.audioNearDup(docs.withColumn("payload", payload), maxDist = 4)
+      Multimodal.audioNearDup(docs.withColumn("payload", payload), maxDist = 4,
+          maxBandSize = Dedup.Uncapped, maxClassSize = Dedup.Uncapped)
         .orderBy("d1", "d2")
     },
     Some("""WITH sm AS (SELECT doc_id, i,
@@ -6677,8 +6693,9 @@ object Queries {
   val q216_cluster_split: Q = Q(
     (s, d) => {
       val docs = table(s, d, "documents")
-      val pairs = Dedup.ngramJaccard(docs, Seq("lang", "n_chars")).select("d1", "d2")
-      Selection.splitByCluster(docs, pairs)
+      Selection.splitWithClusterLabels(docs,
+          Dedup.ngramClusterLabels(docs, Seq("lang", "n_chars"),
+            maxBlockSize = Dedup.Uncapped))
         .select("doc_id", "cluster_id", "split")
         .orderBy("doc_id")
     },

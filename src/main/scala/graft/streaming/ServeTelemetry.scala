@@ -48,6 +48,16 @@ object ServeTelemetry {
 
   private val log =
     new java.util.concurrent.ConcurrentHashMap[(String, Long), ProbeStats]()
+  // insertion-order key queue for bounded FIFO eviction (r13 advice: the
+  // log previously grew one entry per micro-batch forever — a
+  // long-running serve stream leaked driver memory without bound). 1024
+  // retained batches is far beyond any listener's consumption lag.
+  // NOTE: the key is (indexDir, batchId) — the foreachBatch-compatible
+  // identity. Two CONCURRENT streams serving the SAME index directory
+  // overwrite each other's rows; give each stream its own index dir (or
+  // manifest generation) if both need independent telemetry.
+  private val order = new java.util.concurrent.ConcurrentLinkedQueue[(String, Long)]()
+  private val MaxEntries = 1024
 
   /** The recorded stats for (indexDir, batchId), if that batch probed. */
   def statsFor(indexDir: String, batchId: Long): Option[ProbeStats] =
@@ -55,28 +65,39 @@ object ServeTelemetry {
 
   /** Collect scan metrics for `out`'s executed plan and file a
     * [[ProbeStats]] row. Call only AFTER the sink materialized `out`
-    * (the metrics are the execution's own accumulators). */
+    * THROUGH THAT SAME DataFrame (collect/count/foreach): a write-style
+    * sink (`out.write.parquet`) plans a fresh QueryExecution, leaving
+    * these scans' accumulators at zero — such batches are SKIPPED rather
+    * than recorded as a bogus "read nothing, pruned everything" row
+    * (r13 advice). */
   private[streaming] def record(out: DataFrame, indexDir: String, batchId: Long): Unit = {
     val spark = out.sparkSession
     val live = graft.operators.IndexMaintenance.resolveLive(spark, indexDir)
     val livePath = new org.apache.hadoop.fs.Path(live).toUri.getPath
     // data scans only: the tombstone-set scan also roots under the index
-    // dir but is bookkeeping, not probe bandwidth
+    // dir but is bookkeeping, not probe bandwidth. Root matching is
+    // boundary-exact (r13 advice): a sibling dir sharing the prefix
+    // (/tmp/idx_backup vs /tmp/idx) must not count as index bandwidth.
     val scans = allScans(out.queryExecution.executedPlan).filter { f =>
       val roots = f.relation.location.rootPaths.map(_.toUri.getPath)
       // NOT a bare "_graft_" test: generation DIRS are _graft_gen_* and
       // hold the data itself — only the tombstone set is bookkeeping
-      roots.exists(_.startsWith(livePath)) &&
+      roots.exists(r => r == livePath || r.startsWith(livePath + "/")) &&
         !roots.exists(_.contains("/_graft_tombstones"))
     }
     if (scans.isEmpty) return
     def metric(name: String): Long =
       scans.flatMap(_.metrics.get(name)).map(_.value).sum
     val read = metric("numFiles")
+    // all-zero scan metrics == the plan was never actioned through this
+    // Dataset (or the batch pruned to nothing) — nothing trustworthy to
+    // file; recording would read as "perfect pruning"
+    if (read == 0 && metric("filesSize") == 0 && metric("numPartitions") == 0) return
     val total = dataFileCount(spark, live)
     val pending = graft.operators.IndexMaintenance.tombstones(spark, indexDir)
       .map(_.count()).getOrElse(0L)
-    log.put((indexDir, batchId), ProbeStats(
+    val key = (indexDir, batchId)
+    if (log.put(key, ProbeStats(
       indexDir = indexDir,
       batchId = batchId,
       // which generation served this batch — "flat" for a non-manifest
@@ -89,7 +110,15 @@ object ServeTelemetry {
       filesPruned = math.max(0L, total - read),
       partitionsRead = metric("numPartitions"),
       bytesRead = metric("filesSize"),
-      pendingTombstones = pending))
+      pendingTombstones = pending)) == null) {
+      // new key (not an in-place update): enter the eviction queue and
+      // drop the oldest entries beyond the retention bound
+      order.add(key)
+      while (log.size > MaxEntries) {
+        val oldest = order.poll()
+        if (oldest == null) return else log.remove(oldest)
+      }
+    }
   }
 
   /** Count of the live layout's data files (excludes `_`/`.`-prefixed

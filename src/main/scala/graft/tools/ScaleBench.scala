@@ -83,12 +83,15 @@ object ScaleBench {
     // orders is the newest table in the layout — checking it (not just
     // documents) forces a rebuild of scale dirs created by older versions
     // that lacked the pass-through dimension copies
-    // SPARK_GRAFT_SCALE_TABLES=docs builds ONLY the documents blow-up —
-    // the 50x stress mode (r12): the dedup/components/index families
-    // touch documents alone, and a 50x lineitem/events build would cost
-    // more than the measurements it feeds
-    val docsOnly = sys.env.get("SPARK_GRAFT_SCALE_TABLES").contains("docs")
-    if (!docsOnly && (!new java.io.File(s"$out/documents.parquet").exists() ||
+    // SPARK_GRAFT_SCALE_TABLES=docs,emb builds ONLY the named blow-ups —
+    // the 50x stress mode (r12, extended r13): the dedup/components/index
+    // families touch documents alone, the ANN families embeddings alone,
+    // and a 50x lineitem/events build would cost more than the
+    // measurements it feeds. Values: docs, emb, events, all (default).
+    val tables = sys.env.get("SPARK_GRAFT_SCALE_TABLES")
+      .map(_.split(",").map(_.trim).toSet).getOrElse(Set("all"))
+    def wants(t: String) = tables.contains("all") || tables.contains(t)
+    if (wants("all") && (!new java.io.File(s"$out/documents.parquet").exists() ||
         !new java.io.File(s"$out/orders.parquet").exists())) {
       System.err.println(s"[scale] building ${factor}x blow-up at $out")
       blowUpKeys(spark, base, out, "lineitem",
@@ -98,17 +101,31 @@ object ScaleBench {
       for (t <- Seq("customer", "orders", "nation", "region", "supplier", "part"))
         spark.read.parquet(s"$base/$t.parquet")
           .write.mode("overwrite").parquet(s"$out/$t.parquet")
+    }
+    if (wants("docs") && !new java.io.File(s"$out/documents.parquet").exists()) {
+      System.err.println(s"[scale] building ${factor}x documents blow-up at $out")
       blowUpDocs(spark, base, out, factor)
     }
-    if (docsOnly && !new java.io.File(s"$out/documents.parquet").exists()) {
-      System.err.println(s"[scale] building ${factor}x DOCS-ONLY blow-up at $out")
-      blowUpDocs(spark, base, out, factor)
+    // dupdocs (r13): VERBATIM copies — ids shift, text/n_chars unchanged,
+    // so every exact-duplicate class grows ×factor and the near-dup pair
+    // table grows ×factor² in the uncollapsed formulation. This is the
+    // adversarial replicated-corpus workload the exact-class collapse
+    // (Dedup.ngramClusterLabels) exists for: collapsed, the rep set —
+    // hence pair generation and label propagation — stays EXACTLY the
+    // base corpus's regardless of factor.
+    if (wants("dupdocs") && !new java.io.File(s"$out/documents.parquet").exists()) {
+      System.err.println(s"[scale] building ${factor}x VERBATIM documents blow-up at $out")
+      val src = spark.read.parquet(s"$base/documents.parquet")
+      val off = src.agg(max(col("doc_id"))).head().getLong(0) + 1L
+      (0 until factor).map(i => src.withColumn("doc_id", col("doc_id") + lit(i * off)))
+        .reduce(_ unionByName _)
+        .write.mode("overwrite").parquet(s"$out/documents.parquet")
     }
-    if (!docsOnly && !new java.io.File(s"$out/embeddings.parquet").exists()) {
+    if (wants("emb") && !new java.io.File(s"$out/embeddings.parquet").exists()) {
       System.err.println(s"[scale] building ${factor}x embeddings blow-up at $out")
       blowUpEmbeddings(spark, base, out, factor)
     }
-    if (!docsOnly && !new java.io.File(s"$out/events.parquet").exists()) {
+    if (wants("events") && !new java.io.File(s"$out/events.parquet").exists()) {
       System.err.println(s"[scale] building ${factor}x events blow-up at $out")
       blowUpEvents(spark, base, out, factor)
     }
@@ -118,11 +135,12 @@ object ScaleBench {
     // 300 ms settle after each timed run lets the async bus drain —
     // approximate by a few stages at worst, plenty for growth SHAPE
     val shuffleBytes = new java.util.concurrent.atomic.AtomicLong
-    spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
+    val shuffleListener = new org.apache.spark.scheduler.SparkListener {
       override def onStageCompleted(
           sc: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit =
         shuffleBytes.addAndGet(sc.stageInfo.taskMetrics.shuffleWriteMetrics.bytesWritten)
-    })
+    }
+    spark.sparkContext.addSparkListener(shuffleListener)
 
     def time(dir: String, name: String): (Double, Long) = {
       val fn = graft.SparkEntry.queries(name)
@@ -139,7 +157,9 @@ object ScaleBench {
         Thread.sleep(300)
         (t, shuffleBytes.get() - sw0)
       }
-      (runs.map(_._1).min, runs.last._2)
+      // report the shuffle bytes OF THE RUN whose time is reported (r13
+      // advice: min-time paired with last-run bytes could mix two runs)
+      runs.minBy(_._1)
     }
     // dev aid: SPARK_GRAFT_SCALE_ONLY=q175,q183 limits to matching name
     // prefixes — resolved against ALL registered queries, so off-sweep
@@ -162,6 +182,7 @@ object ScaleBench {
         s""""shuffle_mb_1":${f"${sw1 / 1048576.0}%.1f"},"shuffle_mb_$factor":${f"${swN / 1048576.0}%.1f"}}"""
     }
     println(s"""{"metric":"scale","factor":$factor,"iters":$iters,"queries":{${rows.mkString(",")}}}""")
+    spark.sparkContext.removeSparkListener(shuffleListener)
     spark.stop()
   }
 

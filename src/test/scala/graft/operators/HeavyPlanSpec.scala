@@ -74,10 +74,13 @@ class HeavyPlanSpec extends SparkSpec {
     assert(count(p, "Scan ExistingRDD") >= 1)
   }
 
-  test("q118 cluster report: one corpus scan; labels from the checkpointed loop") {
+  test("q118 cluster report: zero corpus scans; labels from the checkpointed collapse") {
+    // r13: the report reads ngramClusterLabels directly — the class table
+    // is eagerly checkpointed and the component labels come from the
+    // checkpointed loop, so the final plan never touches parquet at all
     val p = plan(Queries.q118_cluster_report)
-    assert(count(p, "Scan parquet") === 1,
-      s"expected exactly the docs-side scan, labels from ExistingRDD:\n${p.take(1500)}")
+    assert(count(p, "Scan parquet") === 0,
+      s"expected labels from ExistingRDD only:\n${p.take(1500)}")
     assert(count(p, "Scan ExistingRDD") >= 1)
   }
 

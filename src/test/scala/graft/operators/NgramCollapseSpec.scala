@@ -1,0 +1,106 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** r13 exact-class collapse (`Dedup.ngramClusterLabels` and friends):
+  * pins the verdict's "expanded clusters ≡ the uncollapsed form"
+  * contract — the collapsed pipeline (classes → reps → pairs →
+  * components → expand) must be BIT-IDENTICAL to
+  * `nearDupClusters(docs, ngramJaccard(docs, ...))` under an uncapped
+  * block guard, including every guard case: permuted word order (same
+  * word set, different text), cross-class chains that merge only
+  * transitively, null text, null block keys, empty shingle sets under
+  * n=2, and same-content docs in different blocks. */
+class NgramCollapseSpec extends SparkSpec {
+
+  private lazy val docs: DataFrame = {
+    val s = spark
+    import s.implicits._
+    Seq[(Long, String, String)](
+      // class A: three identical docs + one word-order permutation
+      (1L, "alpha beta gamma delta", "en"),
+      (2L, "alpha beta gamma delta", "en"),
+      (3L, "alpha beta gamma delta", "en"),
+      (4L, "delta gamma beta alpha", "en"),
+      // near-dup of class A (jaccard 3/5 = 0.6), chaining the component
+      (5L, "alpha beta gamma epsilon", "en"),
+      // chains to 5 (jaccard 2/6 = 0.33) but NOT directly to class A —
+      // reaches the component only transitively through 5
+      (6L, "alpha epsilon zeta eta", "en"),
+      // class B: two identicals + one near-dup
+      (10L, "one two three four", "en"),
+      (11L, "one two three four", "en"),
+      (12L, "one two three five", "en"),
+      // singleton
+      (20L, "zzz yyy xxx www", "en"),
+      // null text: null class fingerprint, must stay a singleton
+      (21L, null, "en"),
+      // identical text but NULL block key: the pair join can never match
+      // them, so the collapse must NOT merge them either
+      (22L, "same words here", null),
+      (23L, "same words here", null),
+      // same word set as class A but a different block: never merged
+      (30L, "alpha beta gamma delta", "de"),
+      // single-word docs: empty bigram-shingle set under n=2 (must stay
+      // singletons there), identical word set under n=1 (merged there)
+      (40L, "solo", "en"),
+      (41L, "solo", "en"))
+      .toDF("doc_id", "text", "lang")
+      .withColumn("n_chars", length(col("text")).cast("long"))
+  }
+
+  private def baselinePairs(shingleN: Int): DataFrame =
+    Dedup.ngramJaccard(docs, Seq("lang"), threshold = 0.3, shingleN = shingleN,
+      maxBlockSize = Dedup.Uncapped).select("d1", "d2")
+
+  private def rows(df: DataFrame, cols: String*): Set[Seq[Any]] =
+    df.select(cols.map(col): _*).collect().map(_.toSeq).toSet
+
+  for (n <- Seq(1, 2)) {
+    test(s"collapsed cluster labels == uncollapsed nearDupClusters (shingleN=$n)") {
+      val base = Dedup.nearDupClusters(docs, baselinePairs(n))
+      val collapsed = Dedup.ngramNearDupClusters(docs, Seq("lang"),
+        threshold = 0.3, shingleN = n, maxBlockSize = Dedup.Uncapped)
+      assert(rows(collapsed, "doc_id", "cluster_id", "keep") ===
+        rows(base, "doc_id", "cluster_id", "keep"))
+    }
+  }
+
+  test("collapsed labels: expected component structure (sanity, not just equivalence)") {
+    val got = Dedup.ngramClusterLabels(docs, Seq("lang"),
+        maxBlockSize = Dedup.Uncapped)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // A-chain merges 1,2,3,4 (class), 5 (direct near-dup), 6 (transitive)
+    assert(Seq(1L, 2L, 3L, 4L, 5L, 6L).forall(got(_) == 1L))
+    // B merges to its own min
+    assert(Seq(10L, 11L, 12L).forall(got(_) == 10L))
+    // singletons: plain, null text, null block keys, cross-block twin
+    assert(Seq(20L, 21L, 22L, 23L, 30L).forall(id => got(id) == id))
+    // identical single-word docs merge under n=1 (word-set class)
+    assert(got(40L) == 40L && got(41L) == 40L)
+  }
+
+  test("collapsed canonical == uncollapsed nearDupCanonical (quality survivor)") {
+    val base = Dedup.nearDupCanonical(docs, baselinePairs(1), "n_chars")
+    val collapsed = Dedup.ngramNearDupCanonical(docs, Seq("lang"), "n_chars",
+      threshold = 0.3, maxBlockSize = Dedup.Uncapped)
+    assert(rows(collapsed, "doc_id", "cluster_id", "n_chars", "keep") ===
+      rows(base, "doc_id", "cluster_id", "n_chars", "keep"))
+  }
+
+  test("splitWithClusterLabels over collapsed labels == splitByCluster over pairs") {
+    val base = Selection.splitByCluster(docs, baselinePairs(1))
+    val collapsed = Selection.splitWithClusterLabels(docs,
+      Dedup.ngramClusterLabels(docs, Seq("lang"), maxBlockSize = Dedup.Uncapped))
+    assert(rows(collapsed, "doc_id", "cluster_id", "split") ===
+      rows(base, "doc_id", "cluster_id", "split"))
+  }
+
+  test("threshold > 1 is rejected (would break the identical-docs-pair invariant)") {
+    intercept[IllegalArgumentException] {
+      Dedup.ngramClusterLabels(docs, Seq("lang"), threshold = 1.5)
+    }
+  }
+}
