@@ -624,24 +624,29 @@ object Dedup {
     require(threshold <= 1.0,
       "threshold > 1 would break the collapse invariant (identical docs must pair)")
     val sh = shingleArray(textCol, shingleN)
-    // "\u0001"-joined sorted shingles: a separator that cannot collide with
-    // the space inside n>=2 shingles, so digest equality == set equality
+    // ONE digest folds the block keys AND the "\u0001"-joined sorted
+    // shingle set (separators that cannot collide with the space inside
+    // n>=2 shingles or with realistic key values), so digest equality ==
+    // (block, shingle-set) equality and every downstream shuffle/join
+    // keys on a single 32-char column instead of (keys..., fp)
     val classFp = when(
       blockKeys.map(col(_).isNotNull).foldLeft(size(sh) > 0)(_ && _),
-      md5(array_join(array_sort(sh), "\u0001")))
-    // slim (id, block keys, class fp), materialized ONCE: it feeds the
-    // class aggregate, the membership join, and (via classes) the rep
+      md5(concat(
+        blockKeys.flatMap(k => Seq(col(k).cast("string"), lit("\u0000"))) :+
+          array_join(array_sort(sh), "\u0001"): _*)))
+    // slim (id, class fp), materialized ONCE: it feeds the class
+    // aggregate, the membership join, and (via classes) the rep
     // semi-join — without the checkpoint each consumer re-runs the corpus
     // scan + shingle sort + md5 (the minhashLsh signature discipline)
     val keyed = docs
-      .select((col(idCol) +: blockKeys.map(col)) :+ classFp.as("_fp"): _*)
+      .select(col(idCol), classFp.as("_fp"))
       .localCheckpoint(true)
     val classes = keyed.filter(col("_fp").isNotNull)
-      .groupBy(blockKeys.map(col) :+ col("_fp"): _*)
+      .groupBy(col("_fp"))
       .agg(min(col(idCol)).as("_rep"))
     // doc -> class representative; null-fp / null-key docs rep themselves
     val mapping = keyed
-      .join(classes, blockKeys :+ "_fp", "left")
+      .join(classes, Seq("_fp"), "left")
       .select(col(idCol), coalesce(col("_rep"), col(idCol)).as("_rep"))
     val repDocs = docs.join(
       classes.select(col("_rep").as(idCol)), Seq(idCol), "left_semi")
