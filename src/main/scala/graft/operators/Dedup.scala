@@ -634,26 +634,80 @@ object Dedup {
       md5(concat(
         blockKeys.flatMap(k => Seq(col(k).cast("string"), lit("\u0000"))) :+
           array_join(array_sort(sh), "\u0001"): _*)))
-    // slim (id, class fp), materialized ONCE: it feeds the class
-    // aggregate, the membership join, and (via classes) the rep
-    // semi-join — without the checkpoint each consumer re-runs the corpus
-    // scan + shingle sort + md5 (the minhashLsh signature discipline)
+    collapsedClusterLabels(docs, classFp, idCol, maxIters)(repDocs =>
+      ngramJaccard(repDocs, blockKeys, textCol, idCol, threshold, shingleN, maxBlockSize))
+  }
+
+  /** The exact-class collapse of [[ngramClusterLabels]] on the MINHASH
+    * plane: classes are shingle-set digests alone (no structural block
+    * keys — [[minhashLsh]] bands ARE the blocking), [[minhashLsh]] +
+    * [[connectedComponents]] run over one min-id representative per
+    * class, membership expands back. Bit-identical to
+    * `nearDupClusters(docs, minhashLsh(docs, ...))` under an uncapped
+    * band guard (NgramCollapseSpec): identical shingle sets give
+    * identical signatures (same bands, Jaccard-1 intra-class pairs) and
+    * identical Jaccard against any third doc. */
+  def minhashClusterLabels(
+      docs: DataFrame,
+      textCol: String = "text",
+      idCol: String = "doc_id",
+      numHashes: Int = 8,
+      rowsPerBand: Int = 2,
+      threshold: Double = 0.4,
+      shingleN: Int = 2,
+      maxBandSize: Int = DefaultMaxBucket,
+      maxIters: Int = 20): DataFrame = {
+    require(threshold <= 1.0,
+      "threshold > 1 would break the collapse invariant (identical docs must pair)")
+    val sh = shingleArray(textCol, shingleN)
+    val classFp = when(size(sh) > 0, md5(array_join(array_sort(sh), "\u0001")))
+    collapsedClusterLabels(docs, classFp, idCol, maxIters)(repDocs =>
+      minhashLsh(repDocs, textCol, idCol, numHashes, rowsPerBand, threshold,
+        shingleN, maxBandSize))
+  }
+
+  /** [[nearDupClusters]] over [[minhashLsh]] pairs via
+    * [[minhashClusterLabels]] — docs + `cluster_id` + `keep`. */
+  def minhashNearDupClusters(
+      docs: DataFrame,
+      textCol: String = "text",
+      idCol: String = "doc_id",
+      numHashes: Int = 8,
+      rowsPerBand: Int = 2,
+      threshold: Double = 0.4,
+      shingleN: Int = 2,
+      maxBandSize: Int = DefaultMaxBucket,
+      maxIters: Int = 20): DataFrame =
+    docs
+      .join(minhashClusterLabels(docs, textCol, idCol, numHashes, rowsPerBand,
+        threshold, shingleN, maxBandSize, maxIters), Seq(idCol))
+      .withColumn("keep", col("cluster_id") === col(idCol))
+
+  /** Shared collapse engine behind [[ngramClusterLabels]] and
+    * [[minhashClusterLabels]]: classes from a null-guarded class digest
+    * (null ⇒ the doc can never pair ⇒ singleton), min-id reps, `pairGen`
+    * over the rep corpus, component labels expanded back through the
+    * membership mapping. The slim (id, fp) table is materialized ONCE —
+    * without the checkpoint each consumer re-runs the corpus scan +
+    * shingle sort + md5 (the minhashLsh signature discipline). */
+  private def collapsedClusterLabels(
+      docs: DataFrame,
+      classFp: org.apache.spark.sql.Column,
+      idCol: String,
+      maxIters: Int)(pairGen: DataFrame => DataFrame): DataFrame = {
     val keyed = docs
       .select(col(idCol), classFp.as("_fp"))
       .localCheckpoint(true)
     val classes = keyed.filter(col("_fp").isNotNull)
       .groupBy(col("_fp"))
       .agg(min(col(idCol)).as("_rep"))
-    // doc -> class representative; null-fp / null-key docs rep themselves
+    // doc -> class representative; null-fp docs rep themselves
     val mapping = keyed
       .join(classes, Seq("_fp"), "left")
       .select(col(idCol), coalesce(col("_rep"), col(idCol)).as("_rep"))
     val repDocs = docs.join(
       classes.select(col("_rep").as(idCol)), Seq(idCol), "left_semi")
-    val pairs = ngramJaccard(
-        repDocs, blockKeys, textCol, idCol, threshold, shingleN, maxBlockSize)
-      .select("d1", "d2")
-    val cc = connectedComponents(pairs, maxIters)
+    val cc = connectedComponents(pairGen(repDocs).select("d1", "d2"), maxIters)
       .select(col("id").as("_rep"), col("cluster_id").as("_cl"))
     mapping.join(cc, Seq("_rep"), "left")
       .select(col(idCol), coalesce(col("_cl"), col("_rep")).as("cluster_id"))

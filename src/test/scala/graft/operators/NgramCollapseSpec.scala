@@ -102,5 +102,18 @@ class NgramCollapseSpec extends SparkSpec {
     intercept[IllegalArgumentException] {
       Dedup.ngramClusterLabels(docs, Seq("lang"), threshold = 1.5)
     }
+    intercept[IllegalArgumentException] {
+      Dedup.minhashClusterLabels(docs, threshold = 1.5)
+    }
+  }
+
+  test("minhash-plane collapse == uncollapsed nearDupClusters over minhashLsh pairs") {
+    val base = Dedup.nearDupClusters(docs,
+      Dedup.minhashLsh(docs, threshold = 0.3, maxBandSize = Dedup.Uncapped)
+        .select("d1", "d2"))
+    val collapsed = Dedup.minhashNearDupClusters(docs, threshold = 0.3,
+      maxBandSize = Dedup.Uncapped)
+    assert(rows(collapsed, "doc_id", "cluster_id", "keep") ===
+      rows(base, "doc_id", "cluster_id", "keep"))
   }
 }
