@@ -7020,6 +7020,36 @@ object Queries {
       SELECT d1, d2, sim FROM vv WHERE sim >= 0.2 ORDER BY d1, d2"""
     })
 
+  /** Transitive near-dup clustering on the MINHASH plane
+    * (`Dedup.minhashNearDupClusters`, r13): q64's component semantics
+    * with q25's banded-LSH pair generator, computed via the exact-class
+    * collapse (`minhashClusterLabels` — reps by shingle-set digest,
+    * components over reps, membership expanded back). The oracle replays
+    * the UNCOLLAPSED form — q25's row-local minhash pair CTEs feeding
+    * q64's recursive-CTE closure — which the collapse must reproduce
+    * bit-for-bit (NgramCollapseSpec pins the same equivalence on crafted
+    * corpora). */
+  val q226_minhash_clusters: Q = Q(
+    (s, d) => Dedup.minhashNearDupClusters(docsRebalanced(s, d),
+        threshold = 0.4, maxBandSize = Dedup.Uncapped)
+      .select("doc_id", "cluster_id", "keep")
+      .orderBy("doc_id"),
+    Some(s"""WITH RECURSIVE $minhashPairCtes,
+      pairs AS MATERIALIZED (SELECT d1, d2 FROM v
+                WHERE CAST(i AS DOUBLE) / CAST(sz1 + sz2 - i AS DOUBLE) >= 0.4),
+      verts(id) AS (SELECT d1 FROM pairs UNION SELECT d2 FROM pairs),
+      edges AS (SELECT d1 AS src, d2 AS dst FROM pairs
+                UNION ALL SELECT d2 AS src, d1 AS dst FROM pairs),
+      walk(id, label) AS (
+        SELECT id, id FROM verts
+        UNION
+        SELECT e.src, w.label FROM edges e JOIN walk w ON w.id = e.dst),
+      lab AS (SELECT id, MIN(label) AS cluster_id FROM walk GROUP BY id)
+      SELECT d.doc_id, COALESCE(l.cluster_id, d.doc_id) AS cluster_id,
+        (COALESCE(l.cluster_id, d.doc_id) = d.doc_id) AS keep
+      FROM documents d LEFT JOIN lab l ON l.id = d.doc_id
+      ORDER BY d.doc_id"""))
+
   // -------------------------------------------------------------- registry
 
   val all: Seq[(String, Q)] = Seq(
@@ -7246,5 +7276,6 @@ object Queries {
     "q222_fp_capped" -> q222_fp_capped,
     "q223_ivf_range_indexed" -> q223_ivf_range_indexed,
     "q224_fp_index" -> q224_fp_index,
-    "q225_cosine_bandcap" -> q225_cosine_bandcap)
+    "q225_cosine_bandcap" -> q225_cosine_bandcap,
+    "q226_minhash_clusters" -> q226_minhash_clusters)
 }
