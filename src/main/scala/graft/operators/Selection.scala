@@ -670,6 +670,15 @@ object Selection {
     docs.join(labels.select(col(idCol), col("cluster_id")), Seq(idCol))
       .withColumn("split", clusterSplitExpr(cuts))
 
+  /** The zero-join form of [[splitWithClusterLabels]] for callers that
+    * only need (id, cluster_id, split): the draw is a per-row map over
+    * the label table itself (labels cover every doc), so the corpus is
+    * never rejoined. */
+  def splitClusterLabels(
+      labels: DataFrame,
+      cuts: Seq[(String, Double)] = Seq("train" -> 0.8, "valid" -> 0.9, "test" -> 1.0)): DataFrame =
+    labels.withColumn("split", clusterSplitExpr(cuts))
+
   /** The shared cluster-keyed split draw: hash the CLUSTER label with the
     * library's mantissa-exact uniform, fold the cut points. */
   private def clusterSplitExpr(cuts: Seq[(String, Double)]): Column = {

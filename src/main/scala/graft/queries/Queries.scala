@@ -961,8 +961,11 @@ object Queries {
   val q64_neardup_clusters: Q = Q(
     (s, d) => {
       val docs = table(s, d, "documents")
-      Dedup.ngramNearDupClusters(docs, Seq("lang", "n_chars"),
+      // labels cover EVERY doc (singletons label as themselves), so the
+      // keep flag derives without joining the corpus back at all
+      Dedup.ngramClusterLabels(docs, Seq("lang", "n_chars"),
           maxBlockSize = Dedup.Uncapped)
+        .withColumn("keep", col("cluster_id") === col("doc_id"))
         .select("doc_id", "cluster_id", "keep")
         .orderBy("doc_id")
     },
@@ -6693,7 +6696,7 @@ object Queries {
   val q216_cluster_split: Q = Q(
     (s, d) => {
       val docs = table(s, d, "documents")
-      Selection.splitWithClusterLabels(docs,
+      Selection.splitClusterLabels(
           Dedup.ngramClusterLabels(docs, Seq("lang", "n_chars"),
             maxBlockSize = Dedup.Uncapped))
         .select("doc_id", "cluster_id", "split")
@@ -7030,8 +7033,9 @@ object Queries {
     * bit-for-bit (NgramCollapseSpec pins the same equivalence on crafted
     * corpora). */
   val q226_minhash_clusters: Q = Q(
-    (s, d) => Dedup.minhashNearDupClusters(docsRebalanced(s, d),
+    (s, d) => Dedup.minhashClusterLabels(docsRebalanced(s, d),
         threshold = 0.4, maxBandSize = Dedup.Uncapped)
+      .withColumn("keep", col("cluster_id") === col("doc_id"))
       .select("doc_id", "cluster_id", "keep")
       .orderBy("doc_id"),
     Some(s"""WITH RECURSIVE $minhashPairCtes,

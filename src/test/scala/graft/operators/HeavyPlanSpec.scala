@@ -33,10 +33,12 @@ class HeavyPlanSpec extends SparkSpec {
     assert(count(p, "Scan ExistingRDD") >= 3)
   }
 
-  test("q64 near-dup clusters: one corpus scan; labels come from the checkpointed loop") {
+  test("q64 near-dup clusters: zero corpus scans; labels from the checkpointed collapse") {
+    // r13: keep derives from the label table itself (labels cover every
+    // doc), so the final plan reads only the eager checkpoints
     val p = plan(Queries.q64_neardup_clusters)
-    assert(count(p, "Scan parquet") === 1,
-      s"expected exactly the docs-side scan, labels from ExistingRDD:\n${p.take(1500)}")
+    assert(count(p, "Scan parquet") === 0,
+      s"expected labels from ExistingRDD only:\n${p.take(1500)}")
     assert(count(p, "Scan ExistingRDD") >= 1)
   }
 

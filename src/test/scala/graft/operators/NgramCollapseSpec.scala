@@ -92,9 +92,12 @@ class NgramCollapseSpec extends SparkSpec {
 
   test("splitWithClusterLabels over collapsed labels == splitByCluster over pairs") {
     val base = Selection.splitByCluster(docs, baselinePairs(1))
-    val collapsed = Selection.splitWithClusterLabels(docs,
-      Dedup.ngramClusterLabels(docs, Seq("lang"), maxBlockSize = Dedup.Uncapped))
+    val labels = Dedup.ngramClusterLabels(docs, Seq("lang"), maxBlockSize = Dedup.Uncapped)
+    val collapsed = Selection.splitWithClusterLabels(docs, labels)
     assert(rows(collapsed, "doc_id", "cluster_id", "split") ===
+      rows(base, "doc_id", "cluster_id", "split"))
+    // the zero-join form draws the identical split per doc
+    assert(rows(Selection.splitClusterLabels(labels), "doc_id", "cluster_id", "split") ===
       rows(base, "doc_id", "cluster_id", "split"))
   }
 
