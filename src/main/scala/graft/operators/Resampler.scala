@@ -261,8 +261,9 @@ object GeometryOps {
     * widths / centreline height with the 1.1 margin and int() truncation
     * (`_compute_uniform_shape`); extent frozen from the projected swath
     * EDGE points treated as pixel centres (`compute_domain`:1168-1177).
-    * Driver-side work is bounded: one centreline collect + one grid-edge
-    * collect. */
+    * Driver-side work is O(1): a 3-row centreline pick, a ≤4-row corner
+    * fetch, and one projected-extent aggregate (r13 — no collect scales
+    * with the grid). */
   def computeOptimalBbAreaRef(
       swath: DataFrame, // (y, x, lon, lat) gridded
       resolutionMetres: Option[Double] = None,
@@ -279,15 +280,21 @@ object GeometryOps {
       "proj" -> "omerc", "lonc" -> lonc.toString, "lat_0" -> lat0.toString,
       "alpha" -> alpha.toString, "a" -> ell.a.toString, "b" -> ell.b.toString))
 
-    // grid bounds + edge rows/columns (bounded collect: 2(rows+cols) points)
+    // grid bounds; the only rows the DRIVER needs are the four corners
+    // (r13 — the centrelinePicks discipline applied to the edge walk: the
+    // old form collected the whole 2(rows+cols)-point perimeter, which is
+    // O(√pixels) and input-proportional again at a 100k×100k grid)
     val Row(yLo: Int, yHi: Int, xLo: Int, xHi: Int) =
       swathD.agg(min("y"), max("y"), min("x"), max("x")).head()
-    val edge = swathD
+    val edgeDf = swathD
       .filter(col("y") === yLo || col("y") === yHi || col("x") === xLo || col("x") === xHi)
       .filter(legalLonLat(col("lon"), col("lat")))
-      .select("y", "x", "lon", "lat").collect()
+    val corners = edgeDf
+      .filter((col("y") === yLo || col("y") === yHi) &&
+        (col("x") === xLo || col("x") === xHi))
+      .select("y", "x", "lon", "lat").collect() // ≤ 4 rows
     def pointAt(yv: Int, xv: Int): Option[(Double, Double)] =
-      edge.find(r => r.getInt(0) == yv && r.getInt(1) == xv)
+      corners.find(r => r.getInt(0) == yv && r.getInt(1) == xv)
         .map(r => (r.getDouble(2), r.getDouble(3)))
 
     // _compute_uniform_shape: geodesic widths of the first/last rows, height
@@ -307,15 +314,24 @@ object GeometryOps {
     val wPix = math.max(2, (width * 1.1 / res).toInt)
     val hPix = math.max(2, (height * 1.1 / res).toInt)
 
-    // freeze over the projected edge points as pixel centres
-    val pts = edge.map(r => crs.forward(r.getDouble(2), r.getDouble(3)))
-      .filterNot(p => p._1.isNaN || p._2.isNaN)
-    require(pts.nonEmpty, "no projectable edge points")
-    val xs = pts.map(_._1); val ys = pts.map(_._2)
-    val xres = (xs.max - xs.min) / (wPix - 1)
-    val yres = (ys.max - ys.min) / (hPix - 1)
+    // freeze over the projected edge points as pixel centres — a
+    // data-plane min/max aggregate over the SAME point set the driver
+    // loop used to fold (native codegen ProjectExpr applies the identical
+    // Crs.forward doubles, and min/max are order-independent, so the
+    // extents are bit-identical to the collected form — OmercRefSpec's
+    // goldens pin this); NaNs are filtered explicitly because Spark's
+    // max() would otherwise absorb them (NaN sorts greatest)
+    val projEdge = withProjected(edgeDf, crs)
+      .filter(!isnan(col("proj_x")) && !isnan(col("proj_y")))
+      .agg(min(col("proj_x")), max(col("proj_x")), min(col("proj_y")), max(col("proj_y")))
+      .head()
+    require(!projEdge.isNullAt(0), "no projectable edge points")
+    val (x0, x1) = (projEdge.getDouble(0), projEdge.getDouble(1))
+    val (y0, y1) = (projEdge.getDouble(2), projEdge.getDouble(3))
+    val xres = (x1 - x0) / (wPix - 1)
+    val yres = (y1 - y0) / (hPix - 1)
     AreaDef(id, crs, wPix, hPix,
-      xs.min - xres / 2, ys.min - yres / 2, xs.max + xres / 2, ys.max + yres / 2)
+      x0 - xres / 2, y0 - yres / 2, x1 + xres / 2, y1 + yres / 2)
   }
 
   /** geocentric_resolution (`geometry.py:2691-2765` / `:702-763`): modal
