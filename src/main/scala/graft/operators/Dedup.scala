@@ -683,6 +683,47 @@ object Dedup {
         threshold, shingleN, maxBandSize, maxIters), Seq(idCol))
       .withColumn("keep", col("cluster_id") === col(idCol))
 
+  /** INCREMENTAL transitive clustering — the clustering analog of the
+    * persisted-index append lifecycle (`writeMinhashIndex` →
+    * `appendMinhashIndex`): merge the near-dup pairs of a NEW ingest
+    * batch into an existing (id, cluster_id) label table WITHOUT
+    * re-generating or re-propagating the old corpus's pairs.
+    *
+    * Correctness: a min-id label table is a STAR compression of its pair
+    * graph — every old component is exactly reconstructed by the (id →
+    * cluster_id) edges, and the star centre is a member id (the
+    * component minimum), so running [[connectedComponents]] over
+    * star-edges ∪ newPairs yields the same components, with the same
+    * min-id labels, as a full rebuild over oldPairs ∪ newPairs
+    * (IncrementalClusterSpec pins incremental ≡ rebuild; q227 pins it
+    * against q64's full-closure oracle at sf scale).
+    *
+    * Scale shape: the star table is O(corpus) SLIM rows — independent of
+    * the old PAIR count — so a daily ingest pays pair generation only
+    * for pairs touching new docs plus one label-propagation run over
+    * stars + new pairs; the 100 TB reference corpus is never rescanned.
+    * `labels` must be min-id labels ([[nearDupClusters]] /
+    * [[ngramClusterLabels]] output); returns (id, cluster_id) covering
+    * every id in `labels` or `newPairs`. */
+  def updateClusterLabels(
+      labels: DataFrame,
+      newPairs: DataFrame,
+      maxIters: Int = 20): DataFrame = {
+    val stars = labels
+      .select(col("id").as("d1"), col("cluster_id").as("d2"))
+      .filter(col("d1") =!= col("d2")) // singleton self-loops carry no info
+    val cc = connectedComponents(
+      stars.unionByName(newPairs.select(col("d1"), col("d2"))), maxIters)
+    // old singletons untouched by newPairs have no edge at all: restore
+    // them (and any still-isolated id) with a left join + self-label
+    val ids = labels.select(col("id"))
+      .unionByName(newPairs.select(col("d1").as("id")))
+      .unionByName(newPairs.select(col("d2").as("id")))
+      .distinct()
+    ids.join(cc, Seq("id"), "left")
+      .select(col("id"), coalesce(col("cluster_id"), col("id")).as("cluster_id"))
+  }
+
   /** Shared collapse engine behind [[ngramClusterLabels]] and
     * [[minhashClusterLabels]]: classes from a null-guarded class digest
     * (null ⇒ the doc can never pair ⇒ singleton), min-id reps, `pairGen`

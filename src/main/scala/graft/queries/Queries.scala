@@ -7054,6 +7054,35 @@ object Queries {
       FROM documents d LEFT JOIN lab l ON l.id = d.doc_id
       ORDER BY d.doc_id"""))
 
+  /** Incremental cluster maintenance (`Dedup.updateClusterLabels`, r13):
+    * "yesterday's corpus" (doc_id % 3 ≠ 0) is clustered first; "today's
+    * ingest" (doc_id % 3 = 0) arrives as the pairs touching any new doc,
+    * and the update merges them into the old label table via star-edge
+    * propagation — WITHOUT re-generating or re-propagating the old
+    * corpus's pairs. The oracle is q64's full-closure SQL verbatim: the
+    * incremental result must be indistinguishable from clustering the
+    * whole corpus from scratch. */
+  val q227_incremental_clusters: Q = Q(
+    (s, d) => {
+      val docs = table(s, d, "documents")
+      val oldLabels = Dedup.ngramClusterLabels(
+          docs.filter(col("doc_id") % 3 =!= 0), Seq("lang", "n_chars"),
+          maxBlockSize = Dedup.Uncapped)
+        .select(col("doc_id").as("id"), col("cluster_id"))
+      val newPairs = Dedup.ngramJaccard(docs, Seq("lang", "n_chars"),
+          maxBlockSize = Dedup.Uncapped)
+        .filter(col("d1") % 3 === 0 || col("d2") % 3 === 0)
+        .select("d1", "d2")
+      docs
+        .join(Dedup.updateClusterLabels(oldLabels, newPairs)
+          .withColumnRenamed("id", "doc_id"), Seq("doc_id"), "left")
+        .withColumn("cluster_id", coalesce(col("cluster_id"), col("doc_id")))
+        .withColumn("keep", col("cluster_id") === col("doc_id"))
+        .select("doc_id", "cluster_id", "keep")
+        .orderBy("doc_id")
+    },
+    q64_neardup_clusters.sql)
+
   // -------------------------------------------------------------- registry
 
   val all: Seq[(String, Q)] = Seq(
@@ -7281,5 +7310,6 @@ object Queries {
     "q223_ivf_range_indexed" -> q223_ivf_range_indexed,
     "q224_fp_index" -> q224_fp_index,
     "q225_cosine_bandcap" -> q225_cosine_bandcap,
-    "q226_minhash_clusters" -> q226_minhash_clusters)
+    "q226_minhash_clusters" -> q226_minhash_clusters,
+    "q227_incremental_clusters" -> q227_incremental_clusters)
 }
