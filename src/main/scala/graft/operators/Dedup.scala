@@ -724,6 +724,49 @@ object Dedup {
       .select(col("id"), coalesce(col("cluster_id"), col("id")).as("cluster_id"))
   }
 
+  // ------------------- persisted cluster labels (r13)
+
+  /** Materialize a min-id cluster label table as a MANIFEST-generation
+    * parquet layout (`IndexMaintenance.enableManifest`) — the persisted
+    * state behind [[mergeClusterLabels]] and
+    * `StreamingOps.clusterMaintain`: updates land as fresh generations
+    * with an atomic pointer swap, so a concurrent reader always resolves
+    * a complete, consistent label table (the `writeMinhashIndex` /
+    * `writeIvfPqIndex` lifecycle, on the clustering plane). */
+  def writeClusterLabels(labels: DataFrame, dir: String): Unit = {
+    labels.select(col("id"), col("cluster_id"))
+      .write.mode("overwrite").parquet(dir)
+    IndexMaintenance.enableManifest(labels.sparkSession, dir)
+  }
+
+  /** The live generation's label table. Resolves per call, so a reader
+    * picks up a concurrent [[mergeClusterLabels]] swap on its next read
+    * with zero restart. */
+  def readClusterLabels(spark: org.apache.spark.sql.SparkSession, dir: String): DataFrame =
+    spark.read.parquet(IndexMaintenance.resolveLive(spark, dir))
+
+  /** Merge an ingest batch's near-dup pairs into the persisted label
+    * table ([[updateClusterLabels]] over the live generation), written
+    * as a new generation with an atomic manifest swap — zero absent-path
+    * window for concurrent readers (the superseded generation is
+    * retained for in-flight scans). Mutator op: the index planes'
+    * single-mutator contract applies. Returns the new live path. */
+  def mergeClusterLabels(
+      spark: org.apache.spark.sql.SparkSession,
+      dir: String,
+      newPairs: DataFrame,
+      maxIters: Int = 20): String = {
+    require(IndexMaintenance.hasManifest(spark, dir),
+      s"mergeClusterLabels: $dir must carry the manifest layout — build it with writeClusterLabels")
+    // materialize BEFORE the generation write: the update plan reads the
+    // CURRENT live generation, and an eager checkpoint pins that read to
+    // this side of the swap (and avoids re-running the propagation loop
+    // into the parquet writer)
+    val updated = updateClusterLabels(readClusterLabels(spark, dir), newPairs, maxIters)
+      .localCheckpoint(true)
+    IndexMaintenance.rebuild(spark, dir)(gen => updated.write.parquet(gen))
+  }
+
   /** Shared collapse engine behind [[ngramClusterLabels]] and
     * [[minhashClusterLabels]]: classes from a null-guarded class digest
     * (null ⇒ the doc can never pair ⇒ singleton), min-id reps, `pairGen`

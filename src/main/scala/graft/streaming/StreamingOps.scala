@@ -617,4 +617,33 @@ object StreamingOps {
         ServeTelemetry.record(out, indexDir, batchId) // r12 observability
       }
       .start()
+
+  /** Streaming INCREMENTAL CLUSTER MAINTENANCE (r13): each micro-batch's
+    * near-dup pairs (from `pairsForBatch` — typically an index probe
+    * plus intra-batch banding) merge into the PERSISTED label table at
+    * `labelsDir` (`Dedup.writeClusterLabels` layout) via
+    * `Dedup.mergeClusterLabels`: star-edge propagation over O(corpus)
+    * slim rows, a fresh generation, an atomic manifest swap. The old
+    * corpus's pairs are never regenerated, concurrent readers always
+    * resolve a complete table, and `sink` receives the post-merge live
+    * labels each batch. The batch IS the mutation, so this stream is the
+    * label dir's SINGLE MUTATOR (the index planes' contract); empty pair
+    * batches skip the generation write entirely (no churn).
+    * ClusterMaintainSpec pins streamed merges ≡ one-shot rebuild. */
+  def clusterMaintain(
+      docStream: DataFrame,
+      labelsDir: String)(
+      pairsForBatch: DataFrame => DataFrame)(
+      sink: DataFrame => Unit): org.apache.spark.sql.streaming.StreamingQuery =
+    docStream.writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val spark = batch.sparkSession
+        // materialize pairs ONCE: they feed both the emptiness probe and
+        // the merge, and must not re-run the probe after the swap
+        val pairs = pairsForBatch(batch).localCheckpoint(true)
+        if (!pairs.isEmpty)
+          graft.operators.Dedup.mergeClusterLabels(spark, labelsDir, pairs)
+        sink(graft.operators.Dedup.readClusterLabels(spark, labelsDir))
+      }
+      .start()
 }

@@ -1,0 +1,78 @@
+package graft.streaming
+
+import graft.SparkSpec
+import graft.operators.{Dedup, IndexMaintenance}
+import org.apache.spark.sql.functions._
+
+/** `StreamingOps.clusterMaintain` + the persisted label table
+  * (`Dedup.writeClusterLabels` / `mergeClusterLabels`, r13): streamed
+  * per-batch merges must converge to EXACTLY the labels a one-shot
+  * rebuild over all pairs produces, each merge must land as a fresh
+  * manifest generation (atomic swap, zero absent-path window), and an
+  * empty pair batch must NOT churn a generation. */
+class ClusterMaintainSpec extends SparkSpec {
+
+  test("streamed merges == one-shot rebuild; generations swap per merge; empty batch no-op") {
+    val s = spark
+    import s.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sq = s.sqlContext
+
+    // yesterday's corpus: {1,2} and {3,4} clustered, 5 and 6 singletons
+    val oldDocs = (1L to 6L).toDF("doc_id")
+    val oldPairs = Seq((1L, 2L), (3L, 4L)).toDF("d1", "d2")
+    val dir = java.nio.file.Files.createTempDirectory("labels_maint").toString
+    Dedup.writeClusterLabels(
+      Dedup.nearDupClusters(oldDocs, oldPairs)
+        .select(col("doc_id").as("id"), col("cluster_id")), dir)
+    val gen0 = IndexMaintenance.resolveLive(spark, dir)
+
+    // per-batch pair generator: ids below 50 pair with (id - 8); 100+
+    // produce no pairs at all (the empty-batch path)
+    def pairsFor(b: org.apache.spark.sql.DataFrame) = b
+      .filter(col("doc_id") < 50)
+      .select(col("doc_id").as("d1"), (col("doc_id") - 8).as("d2"))
+
+    val snapshots = scala.collection.mutable.Buffer.empty[Map[Long, Long]]
+    val mem = MemoryStream[Long]
+    val query = StreamingOps.clusterMaintain(
+      mem.toDF.toDF("doc_id"), dir)(pairsFor) { labels =>
+      snapshots.synchronized {
+        snapshots += labels.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      }
+    }
+    try {
+      mem.addData(10L, 11L) // pairs (10,2), (11,3): join both old clusters
+      query.processAllAvailable()
+      val gen1 = IndexMaintenance.resolveLive(spark, dir)
+      assert(gen1 != gen0, "a merging batch must swap in a new generation")
+
+      mem.addData(12L) // pair (12,4): extends cluster {3,4,11}
+      query.processAllAvailable()
+      val gen2 = IndexMaintenance.resolveLive(spark, dir)
+      assert(gen2 != gen1)
+
+      mem.addData(100L) // no pairs: must NOT write a generation
+      query.processAllAvailable()
+      assert(IndexMaintenance.resolveLive(spark, dir) == gen2,
+        "an empty pair batch must not churn a generation")
+    } finally query.stop()
+
+    val live = Dedup.readClusterLabels(spark, dir)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // one-shot rebuild over everything the stream ever merged
+    val allPairs = oldPairs.unionByName(
+      Seq((10L, 2L), (11L, 3L), (12L, 4L)).toDF("d1", "d2"))
+    val rebuilt = Dedup.nearDupClusters(
+        (Seq(1L, 2L, 3L, 4L, 5L, 6L, 10L, 11L, 12L)).toDF("doc_id"), allPairs)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(live === rebuilt)
+    assert(Seq(1L, 2L, 10L).forall(live(_) == 1L))
+    assert(Seq(3L, 4L, 11L, 12L).forall(live(_) == 3L))
+    assert(live(5L) == 5L && live(6L) == 6L)
+    // every sink snapshot was a COMPLETE consistent table (no torn reads
+    // across the swap): sizes only grow, labels only merge downward
+    val sizes = snapshots.synchronized(snapshots.map(_.size).toList)
+    assert(sizes == sizes.sorted, s"snapshots must grow monotonically: $sizes")
+  }
+}
