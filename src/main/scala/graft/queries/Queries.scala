@@ -7065,14 +7065,17 @@ object Queries {
   val q227_incremental_clusters: Q = Q(
     (s, d) => {
       val docs = table(s, d, "documents")
-      val oldLabels = Dedup.ngramClusterLabels(
-          docs.filter(col("doc_id") % 3 =!= 0), Seq("lang", "n_chars"),
+      // ONE pair-generation pass, checkpointed, split into "yesterday"
+      // (both ends old) and "today's ingest" (touching a new doc) — the
+      // corpus is never re-paired for the update
+      val pairs = Dedup.ngramJaccard(docs, Seq("lang", "n_chars"),
           maxBlockSize = Dedup.Uncapped)
+        .select("d1", "d2").localCheckpoint(true)
+      val oldLabels = Dedup.nearDupClusters(
+          docs.filter(col("doc_id") % 3 =!= 0).select("doc_id"),
+          pairs.filter(col("d1") % 3 =!= 0 && col("d2") % 3 =!= 0))
         .select(col("doc_id").as("id"), col("cluster_id"))
-      val newPairs = Dedup.ngramJaccard(docs, Seq("lang", "n_chars"),
-          maxBlockSize = Dedup.Uncapped)
-        .filter(col("d1") % 3 === 0 || col("d2") % 3 === 0)
-        .select("d1", "d2")
+      val newPairs = pairs.filter(col("d1") % 3 === 0 || col("d2") % 3 === 0)
       docs
         .join(Dedup.updateClusterLabels(oldLabels, newPairs)
           .withColumnRenamed("id", "doc_id"), Seq("doc_id"), "left")
