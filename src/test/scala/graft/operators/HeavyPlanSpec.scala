@@ -86,6 +86,27 @@ class HeavyPlanSpec extends SparkSpec {
     assert(count(p, "Scan ExistingRDD") >= 1)
   }
 
+  test("q226 minhash clusters: zero corpus scans; labels from the checkpointed collapse") {
+    val p = plan(Queries.q226_minhash_clusters)
+    assert(count(p, "Scan parquet") === 0,
+      s"expected labels from ExistingRDD only:\n${p.take(1500)}")
+    assert(count(p, "Scan ExistingRDD") >= 1)
+    assert(count(p, "CartesianProduct") + count(p, "BroadcastNestedLoopJoin") === 0)
+  }
+
+  test("q227 incremental clusters: two slim id-only docs scans, components from checkpoints") {
+    val p = plan(Queries.q227_incremental_clusters)
+    // the old-labels id projection + the final docs join side — both
+    // doc_id-only column-pruned scans; pair generation and both
+    // propagation loops live behind the eager checkpoints
+    assert(count(p, "Scan parquet") === 2,
+      s"expected the two id-only docs scans:\n${p.take(1500)}")
+    assert(count(p, "ReadSchema: struct<doc_id:bigint>") === 2,
+      s"both corpus scans must prune to doc_id alone:\n${p.take(1500)}")
+    assert(count(p, "Scan ExistingRDD") >= 1)
+    assert(count(p, "CartesianProduct") + count(p, "BroadcastNestedLoopJoin") === 0)
+  }
+
   test("q25 minhash LSH: signature aggregation stays on HashAggregate, no cartesian") {
     // Dedup.signature scaladoc: min over LONG hashes keeps the mutable
     // fast path; min(STRING) silently degrades the explode output to a
