@@ -285,7 +285,7 @@ final case class AreaDef(
       .mkString("{", ", ", "}")
 
   private def extentStr: String =
-    Seq(xLL, yLL, xUR, yUR).map(v => round4(v).toString).mkString("(", ", ", ")")
+    Seq(xLL, yLL, xUR, yUR).map(v => AreaDef.pyFloat(round4(v))).mkString("(", ", ", ")")
 
   private def round4(v: Double): Double = math.rint(v * 10000.0) / 10000.0
   private def round1(v: Double): Double = math.rint(v * 10.0) / 10.0
@@ -307,8 +307,33 @@ object AreaDef {
   private[core] def canonNum(v: String): String =
     try {
       val d = v.toDouble
-      if (d == math.rint(d) && math.abs(d) < 1e15) d.toLong.toString else v
+      if (d == math.rint(d) && math.abs(d) < 1e15) d.toLong.toString
+      // scientific-notation input would print verbatim and diverge from
+      // Python's plain-decimal float repr — normalize it; plain-decimal
+      // input passes through untouched (no repr normalization)
+      else if (v.exists(c => c == 'E' || c == 'e')) pyFloat(d)
+      else v
     } catch { case _: NumberFormatException => v }
+
+  /** Python-float-repr plain decimal: `Double.toString` switches to
+    * scientific notation at |v| ≥ 1e7 — a web-mercator extent
+    * (±20037508.34) would print as '-2.003750834E7' where the
+    * reference's `__str__` (Python float repr, `geometry.py`) stays
+    * plain-decimal until 1e16. Format through BigDecimal, strip the
+    * expansion's trailing zeros, and restore the trailing '.0' Python
+    * keeps on integral floats. */
+  private[core] def pyFloat(v: Double): String = {
+    val s = java.lang.Double.toString(v)
+    if (!s.contains("E")) s
+    else {
+      val plain = new java.math.BigDecimal(s).toPlainString
+      val stripped =
+        if (plain.contains('.'))
+          plain.reverse.dropWhile(_ == '0').reverse.stripSuffix(".")
+        else plain
+      if (stripped.contains('.')) stripped else stripped + ".0"
+    }
+  }
 
   /** Smallest area covering several same-CRS areas —
     * `geometry.py:3106-3143` (enclose_areas). */

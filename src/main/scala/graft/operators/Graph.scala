@@ -152,15 +152,14 @@ object Graph {
     var done = false
     while (!done && i < maxIters) {
       val deg = edges.groupBy(col("src").as("id")).agg(count(lit(1)).as("degree"))
-      val keep = deg.filter(col("degree") >= k).localCheckpoint()
+      val keep = Checkpoints.loopBarrier(deg.filter(col("degree") >= k))
       val n = keep.count()
       if (n == nVertices) { done = true } // fixpoint: last filter changed nothing
       else {
         nVertices = n
-        edges = edges
+        edges = Checkpoints.loopBarrier(edges
           .join(keep.select(col("id").as("src")), "src", "left_semi")
-          .join(keep.select(col("id").as("dst")), "dst", "left_semi")
-          .localCheckpoint()
+          .join(keep.select(col("id").as("dst")), "dst", "left_semi"))
         i += 1
       }
     }

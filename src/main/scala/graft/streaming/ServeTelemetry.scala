@@ -44,7 +44,16 @@ object ServeTelemetry {
       filesPruned: Long,
       partitionsRead: Long,
       bytesRead: Long,
-      pendingTombstones: Long)
+      pendingTombstones: Long,
+      // All scan metrics were zero when recorded (r14, advice): either
+      // the batch legitimately pruned EVERY file (a perfect-prune
+      // probe), or the sink materialized through a fresh plan instead
+      // of this Dataset and the accumulators never moved. The two are
+      // indistinguishable from the executed plan alone, so the row is
+      // filed — full-prune batches stay observable — but marked;
+      // consumers measuring pruning health should treat it as
+      // "read nothing", not as evidence the plan executed.
+      zeroScanAmbiguous: Boolean = false)
 
   private val log =
     new java.util.concurrent.ConcurrentHashMap[(String, Long), ProbeStats]()
@@ -89,10 +98,12 @@ object ServeTelemetry {
     def metric(name: String): Long =
       scans.flatMap(_.metrics.get(name)).map(_.value).sum
     val read = metric("numFiles")
-    // all-zero scan metrics == the plan was never actioned through this
-    // Dataset (or the batch pruned to nothing) — nothing trustworthy to
-    // file; recording would read as "perfect pruning"
-    if (read == 0 && metric("filesSize") == 0 && metric("numPartitions") == 0) return
+    // all-zero scan metrics: the plan was never actioned through this
+    // Dataset, OR the batch legitimately pruned every file. Filed with
+    // zeroScanAmbiguous=true rather than skipped (r14 advice) — a
+    // perfect-prune batch stays observable, and the marker keeps the
+    // row from reading as trusted "perfect pruning" evidence
+    val allZero = read == 0 && metric("filesSize") == 0 && metric("numPartitions") == 0
     val total = dataFileCount(spark, live)
     val pending = graft.operators.IndexMaintenance.tombstones(spark, indexDir)
       .map(_.count()).getOrElse(0L)
@@ -110,7 +121,8 @@ object ServeTelemetry {
       filesPruned = math.max(0L, total - read),
       partitionsRead = metric("numPartitions"),
       bytesRead = metric("filesSize"),
-      pendingTombstones = pending)) == null) {
+      pendingTombstones = pending,
+      zeroScanAmbiguous = allZero)) == null) {
       // new key (not an in-place update): enter the eviction queue and
       // drop the oldest entries beyond the retention bound
       order.add(key)

@@ -91,7 +91,36 @@ object ScaleBench {
     // measurements it feeds. Values: docs, emb, events, all (default).
     val tables = sys.env.get("SPARK_GRAFT_SCALE_TABLES")
       .map(_.split(",").map(_.trim).toSet).getOrElse(Set("all"))
+    // loud input validation (r13 advice): an unknown table name would
+    // silently build nothing and measure the wrong workload
+    val knownTables = Set("all", "docs", "dupdocs", "emb", "events")
+    require(tables.subsetOf(knownTables),
+      s"SPARK_GRAFT_SCALE_TABLES: unknown ${tables.diff(knownTables).mkString(",")} — " +
+        s"valid values: ${knownTables.toSeq.sorted.mkString(",")}")
+    require(!(tables.contains("dupdocs") && (tables.contains("docs") || tables.contains("all"))),
+      "docs/all and dupdocs build documents.parquet with DIFFERENT contents — " +
+        "build them into separate SPARK_GRAFT_SCALE_DIRs")
     def wants(t: String) = tables.contains("all") || tables.contains(t)
+    // documents.parquet is mode-stamped: 'docs' (key-shifted blow-up) and
+    // 'dupdocs' (verbatim replication) share the filename, so a skip on
+    // an existing file from the OTHER mode would silently measure the
+    // wrong workload (r13 advice) — fail loudly on mode mismatch instead
+    val docsStamp = new java.io.File(s"$out/_graft_docs_mode")
+    def writeDocsStamp(mode: String): Unit = {
+      new java.io.File(out).mkdirs()
+      val w = new java.io.PrintWriter(docsStamp, "UTF-8")
+      try w.print(mode) finally w.close()
+    }
+    def requireDocsMode(mode: String): Unit =
+      if (new java.io.File(s"$out/documents.parquet").exists()) {
+        val stored =
+          if (docsStamp.exists())
+            scala.io.Source.fromFile(docsStamp, "UTF-8").mkString.trim
+          else "docs" // pre-stamp dirs only ever held the plain blow-up
+        require(stored == mode,
+          s"$out/documents.parquet was built in mode '$stored' but this run wants " +
+            s"'$mode' — point SPARK_GRAFT_SCALE_DIR elsewhere or delete $out")
+      }
     if (wants("all") && (!new java.io.File(s"$out/documents.parquet").exists() ||
         !new java.io.File(s"$out/orders.parquet").exists())) {
       System.err.println(s"[scale] building ${factor}x blow-up at $out")
@@ -103,9 +132,13 @@ object ScaleBench {
         spark.read.parquet(s"$base/$t.parquet")
           .write.mode("overwrite").parquet(s"$out/$t.parquet")
     }
-    if (wants("docs") && !new java.io.File(s"$out/documents.parquet").exists()) {
-      System.err.println(s"[scale] building ${factor}x documents blow-up at $out")
-      blowUpDocs(spark, base, out, factor)
+    if (wants("docs")) {
+      requireDocsMode("docs")
+      if (!new java.io.File(s"$out/documents.parquet").exists()) {
+        System.err.println(s"[scale] building ${factor}x documents blow-up at $out")
+        blowUpDocs(spark, base, out, factor)
+        writeDocsStamp("docs")
+      }
     }
     // dupdocs (r13): VERBATIM copies — ids shift, text/n_chars unchanged,
     // so every exact-duplicate class grows ×factor and the near-dup pair
@@ -114,13 +147,17 @@ object ScaleBench {
     // (Dedup.ngramClusterLabels) exists for: collapsed, the rep set —
     // hence pair generation and label propagation — stays EXACTLY the
     // base corpus's regardless of factor.
-    if (wants("dupdocs") && !new java.io.File(s"$out/documents.parquet").exists()) {
-      System.err.println(s"[scale] building ${factor}x VERBATIM documents blow-up at $out")
-      val src = spark.read.parquet(s"$base/documents.parquet")
-      val off = src.agg(max(col("doc_id"))).head().getLong(0) + 1L
-      (0 until factor).map(i => src.withColumn("doc_id", col("doc_id") + lit(i * off)))
-        .reduce(_ unionByName _)
-        .write.mode("overwrite").parquet(s"$out/documents.parquet")
+    if (wants("dupdocs")) {
+      requireDocsMode("dupdocs")
+      if (!new java.io.File(s"$out/documents.parquet").exists()) {
+        System.err.println(s"[scale] building ${factor}x VERBATIM documents blow-up at $out")
+        val src = spark.read.parquet(s"$base/documents.parquet")
+        val off = src.agg(max(col("doc_id"))).head().getLong(0) + 1L
+        (0 until factor).map(i => src.withColumn("doc_id", col("doc_id") + lit(i * off)))
+          .reduce(_ unionByName _)
+          .write.mode("overwrite").parquet(s"$out/documents.parquet")
+        writeDocsStamp("dupdocs")
+      }
     }
     if (wants("emb") && !new java.io.File(s"$out/embeddings.parquet").exists()) {
       System.err.println(s"[scale] building ${factor}x embeddings blow-up at $out")

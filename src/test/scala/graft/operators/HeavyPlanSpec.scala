@@ -231,4 +231,33 @@ class HeavyPlanSpec extends SparkSpec {
     // labels come from the checkpointed propagation loop, not a re-run
     assert(count(p, "Scan ExistingRDD") >= 1)
   }
+
+  // ---- r14: default-cap stage audit (verdict item 6)
+
+  test("default caps add ZERO parquet scans: occupancy reads the checkpointed band/slim tables") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    def scans(df: org.apache.spark.sql.DataFrame): (Int, Int) = {
+      val p = df.queryExecution.executedPlan.toString
+      (count(p, "Scan parquet"), count(p, "Scan ExistingRDD"))
+    }
+    // minhash plane: the band-occupancy guard reads the checkpointed
+    // band table (`mat`), so capped and uncapped plans scan the corpus
+    // identically — the cap is never a second corpus pass
+    val (mhCap, mhCapRdd) = scans(Dedup.minhashLsh(docs))
+    val (mhUncap, _) = scans(Dedup.minhashLsh(docs, maxBandSize = Dedup.Uncapped))
+    assert(mhCap === mhUncap,
+      s"minhash cap added corpus scans: capped $mhCap vs uncapped $mhUncap")
+    assert(mhCapRdd >= 3,
+      "occupancy + both band self-join sides must read the checkpointed band table")
+    // ngram plane (r14): the capped branch derives occupancy AND both
+    // candidate sides from one slim (id, keys) checkpoint — strictly
+    // FEWER corpus scans than the uncapped self-join, never more
+    val (ngCap, ngCapRdd) = scans(Dedup.ngramJaccard(docs, Seq("lang", "n_chars")))
+    val (ngUncap, _) = scans(
+      Dedup.ngramJaccard(docs, Seq("lang", "n_chars"), maxBlockSize = Dedup.Uncapped))
+    assert(ngCap <= ngUncap,
+      s"ngram cap must not add corpus scans: capped $ngCap vs uncapped $ngUncap")
+    assert(ngCapRdd >= 3,
+      "occupancy + both candidate self-join sides must read the slim checkpoint")
+  }
 }

@@ -39,6 +39,26 @@ class IncrementalClusterSpec extends SparkSpec {
     assert(updated(30L) == 30L && updated(50L) == 50L && updated(51L) == 50L)
   }
 
+  test("untouched components never move: frontier-bounded update is byte-stable outside the batch") {
+    val s = spark
+    import s.implicits._
+    // a large label table with many components; the batch touches ONE
+    val labels = (1L to 1000L).map(i => (i, i - (i % 4))).filter(_._2 > 0)
+      .toDF("id", "cluster_id")
+    val newPairs = Seq((4L, 8L)).toDF("d1", "d2") // merges components 4 and 8
+    val before = labels.collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    val after = Dedup.updateClusterLabels(labels, newPairs)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(after.keySet === before.keySet)
+    val touched = before.filter { case (_, c) => c == 4L || c == 8L }.keySet
+    // every untouched row identical; every touched row remapped to the
+    // merged minimum (4)
+    before.foreach { case (id, c) =>
+      if (touched(id)) assert(after(id) === 4L, s"id $id")
+      else assert(after(id) === c, s"id $id moved without cause")
+    }
+  }
+
   test("update with empty newPairs is the identity on the label table") {
     val s = spark
     import s.implicits._

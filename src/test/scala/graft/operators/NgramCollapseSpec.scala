@@ -110,6 +110,65 @@ class NgramCollapseSpec extends SparkSpec {
     }
   }
 
+  test("all-singleton classes (zero exact dups): the skip path == uncollapsed form") {
+    val s = spark
+    import s.implicits._
+    // every text distinct -> every class a singleton -> the r14 no-op
+    // branch (corpus never shuffles through a class expansion) must
+    // still produce the uncollapsed labels bit-exactly, chains included
+    val distinctDocs = Seq[(Long, String, String)](
+      (1L, "alpha beta gamma delta", "en"),
+      (2L, "alpha beta gamma epsilon", "en"), // near-dup of 1
+      (3L, "alpha epsilon zeta eta", "en"), // transitive via 2
+      (10L, "one two three four", "en"),
+      (11L, "one two three five", "en"),
+      (20L, "zzz yyy xxx www", "en"),
+      (21L, null, "en"),
+      (22L, "same words here", null))
+      .toDF("doc_id", "text", "lang")
+    val base = Dedup.nearDupClusters(distinctDocs,
+      Dedup.ngramJaccard(distinctDocs, Seq("lang"), threshold = 0.3, shingleN = 1,
+        maxBlockSize = Dedup.Uncapped).select("d1", "d2"))
+    val collapsed = Dedup.ngramNearDupClusters(distinctDocs, Seq("lang"),
+      threshold = 0.3, shingleN = 1, maxBlockSize = Dedup.Uncapped)
+    assert(rows(collapsed, "doc_id", "cluster_id", "keep") ===
+      rows(base, "doc_id", "cluster_id", "keep"))
+    val mhBase = Dedup.nearDupClusters(distinctDocs,
+      Dedup.minhashLsh(distinctDocs, threshold = 0.3, maxBandSize = Dedup.Uncapped)
+        .select("d1", "d2"))
+    val mhCollapsed = Dedup.minhashNearDupClusters(distinctDocs, threshold = 0.3,
+      maxBandSize = Dedup.Uncapped)
+    assert(rows(mhCollapsed, "doc_id", "cluster_id", "keep") ===
+      rows(mhBase, "doc_id", "cluster_id", "keep"))
+  }
+
+  test("class digest is injective: separator characters embedded in content cannot merge classes") {
+    val s = spark
+    import s.implicits._
+    // r13's bare-separator encoding ('\u0000' after keys, '\u0001'
+    // between shingles) collided the word SET {"y\u0001z"} with
+    // {"y", "z"}: both joined to "y\u0001z", one md5, two docs with
+    // ZERO Jaccard silently merged into one class. The length-prefixed
+    // digest must keep them apart -- each stays its own singleton
+    // cluster. Same trick through a block key: '\u0000' embedded in the
+    // key value must not alias the key boundary.
+    val tricky = Seq[(Long, String, String)](
+      (1L, "y\u0001z", "en"),
+      (2L, "y z", "en"),
+      (3L, "w", "a\u0000b"),
+      (4L, "b\u0000w", "a"))
+      .toDF("doc_id", "text", "lang")
+    val got = Dedup.ngramClusterLabels(tricky, Seq("lang"), shingleN = 1,
+        maxBlockSize = Dedup.Uncapped)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got === Map(1L -> 1L, 2L -> 2L, 3L -> 3L, 4L -> 4L))
+    // the minhash-plane digest (no block keys) shares the encoding
+    val mh = Dedup.minhashClusterLabels(tricky, shingleN = 1, threshold = 0.9,
+        maxBandSize = Dedup.Uncapped)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(mh(1L) === 1L && mh(2L) === 2L)
+  }
+
   test("minhash-plane collapse == uncollapsed nearDupClusters over minhashLsh pairs") {
     val base = Dedup.nearDupClusters(docs,
       Dedup.minhashLsh(docs, threshold = 0.3, maxBandSize = Dedup.Uncapped)
