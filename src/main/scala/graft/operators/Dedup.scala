@@ -726,8 +726,8 @@ object Dedup {
     * O(|batch|) vertices and edges, NOT O(corpus) star edges (the r13
     * form propagated over the full star table every merge; the r14
     * verdict item). The corpus-sized label table is touched exactly
-    * twice, both as streaming map-side passes: one semi-filtered scan to
-    * look up the batch endpoints' roots, and one relabel scan joined
+    * twice, both as streaming map-side passes: one root lookup for the
+    * batch's endpoints (checkpointed once), and one relabel scan joined
     * against the batch-sized root remap (AQE broadcasts it). Components
     * untouched by the batch never shuffle and their rows are emitted
     * byte-stable. `labels` must be min-id labels ([[nearDupClusters]] /
@@ -741,16 +741,15 @@ object Dedup {
     val pairIds = newPairs.select(col("d1").as("id"))
       .unionByName(newPairs.select(col("d2").as("id")))
       .distinct()
-    // current root of every endpoint the label table knows (one
-    // semi-filtered scan of labels; the probe side is batch-sized so
-    // AQE broadcasts it) — endpoints absent from labels are brand-new
-    // docs and root themselves
-    val knownRoots = labels.join(pairIds, Seq("id"), "left_semi")
-      .select(col("id"), col("cluster_id").as("_root"))
-      .localCheckpoint(true) // feeds rootOf and the new-id anti join
-    val rootOf = pairIds.join(knownRoots.select(col("id"), col("_root")), Seq("id"), "left")
-      .select(col("id"), coalesce(col("_root"), col("id")).as("_root"))
-      .localCheckpoint(true) // feeds both contracted-edge join sides
+    // current root of every endpoint: ONE pass over the label table
+    // (batch-sized probe side), checkpointed once — endpoints absent
+    // from labels are brand-new docs, root themselves, and carry
+    // _known=false for the new-row emission below
+    val rootOf = pairIds
+      .join(labels.select(col("id"), col("cluster_id")), Seq("id"), "left")
+      .select(col("id"), coalesce(col("cluster_id"), col("id")).as("_root"),
+        col("cluster_id").isNotNull.as("_known"))
+      .localCheckpoint(true) // feeds both contracted-edge sides + new-id rows
     // contract: new pairs with both ends replaced by their roots; edges
     // inside one old component contract to self-loops and vanish
     val rootEdges = newPairs
@@ -770,8 +769,7 @@ object Dedup {
       .select(col("id"), coalesce(col("_new"), col("cluster_id")).as("cluster_id"))
     // brand-new ids (in pairs but not in labels): their root is
     // themselves; remapped if their component merged, else self-labelled
-    val newRows = rootOf
-      .join(knownRoots.select(col("id")), Seq("id"), "left_anti")
+    val newRows = rootOf.filter(!col("_known"))
       .join(remap, Seq("_root"), "left")
       .select(col("id"), coalesce(col("_new"), col("_root")).as("cluster_id"))
     relabeled.unionByName(newRows)
