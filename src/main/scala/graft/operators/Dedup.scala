@@ -737,6 +737,42 @@ object Dedup {
       labels: DataFrame,
       newPairs: DataFrame,
       maxIters: Int = 20): DataFrame = {
+    val (remap, newRows) = updateRemap(labels, newPairs, maxIters)
+    // relabel the corpus: rows whose component root was remapped move,
+    // everything else is emitted byte-stable (remap is batch-sized —
+    // AQE broadcasts; the label table never shuffles)
+    labels.select(col("id"), col("cluster_id"))
+      .join(remap, col("cluster_id") === col("_root"), "left")
+      .select(col("id"), coalesce(col("_new"), col("cluster_id")).as("cluster_id"))
+      .unionByName(newRows)
+  }
+
+  /** Only the rows [[updateClusterLabels]] CHANGES: members of
+    * components whose minimum moved (their root's remap differs from
+    * the root), plus brand-new ids — the slice a delta-mode
+    * [[mergeClusterLabels]] writes. Every row absent here is emitted
+    * byte-stable by the full update, so older generations overlaid with
+    * this delta (newest wins per id) resolve to exactly the full
+    * updated table (ClusterMaintainSpec pins chain reads ≡ rebuild). */
+  def updateClusterLabelsDelta(
+      labels: DataFrame,
+      newPairs: DataFrame,
+      maxIters: Int = 20): DataFrame = {
+    val (remap, newRows) = updateRemap(labels, newPairs, maxIters)
+    labels.select(col("id"), col("cluster_id"))
+      .join(remap.filter(col("_new") =!= col("_root")),
+        col("cluster_id") === col("_root"))
+      .select(col("id"), col("_new").as("cluster_id"))
+      .unionByName(newRows)
+  }
+
+  /** Shared contraction behind [[updateClusterLabels]] /
+    * [[updateClusterLabelsDelta]]: the batch endpoints' root lookup,
+    * the contracted-graph propagation, and the brand-new-id rows. */
+  private def updateRemap(
+      labels: DataFrame,
+      newPairs: DataFrame,
+      maxIters: Int): (DataFrame, DataFrame) = {
     // endpoints of the batch's pairs — O(|batch|) rows
     val pairIds = newPairs.select(col("d1").as("id"))
       .unionByName(newPairs.select(col("d2").as("id")))
@@ -761,18 +797,12 @@ object Dedup {
     // merged component's new minimum (which may be a brand-new id)
     val remap = connectedComponents(rootEdges, maxIters)
       .select(col("id").as("_root"), col("cluster_id").as("_new"))
-    // relabel the corpus: rows whose component root was remapped move,
-    // everything else is emitted byte-stable (remap is batch-sized —
-    // AQE broadcasts; the label table never shuffles)
-    val relabeled = labels.select(col("id"), col("cluster_id"))
-      .join(remap, col("cluster_id") === col("_root"), "left")
-      .select(col("id"), coalesce(col("_new"), col("cluster_id")).as("cluster_id"))
     // brand-new ids (in pairs but not in labels): their root is
     // themselves; remapped if their component merged, else self-labelled
     val newRows = rootOf.filter(!col("_known"))
       .join(remap, Seq("_root"), "left")
       .select(col("id"), coalesce(col("_new"), col("_root")).as("cluster_id"))
-    relabeled.unionByName(newRows)
+    (remap, newRows)
   }
 
   // ------------------- persisted cluster labels (r13)
@@ -790,32 +820,111 @@ object Dedup {
     IndexMaintenance.enableManifest(labels.sparkSession, dir)
   }
 
-  /** The live generation's label table. Resolves per call, so a reader
-    * picks up a concurrent [[mergeClusterLabels]] swap on its next read
-    * with zero restart. */
-  def readClusterLabels(spark: org.apache.spark.sql.SparkSession, dir: String): DataFrame =
-    spark.read.parquet(IndexMaintenance.resolveLive(spark, dir))
+  /** Parent-pointer sidecar a DELTA label generation carries: its
+    * content names the generation the delta overlays. A generation
+    * without it is a full BASE table. */
+  private val LabelParentFile = "_graft_label_parent"
+
+  /** The live label chain, newest first, ending at its base generation
+    * — `[live]` for a full live generation, `[liveDelta, ..., base]`
+    * after delta-mode merges. */
+  private def labelChain(
+      spark: org.apache.spark.sql.SparkSession, dir: String): Seq[String] = {
+    val liveName = new org.apache.hadoop.fs.Path(
+      IndexMaintenance.resolveLive(spark, dir)).getName
+    @scala.annotation.tailrec
+    def walk(gen: String, acc: Vector[String]): Vector[String] =
+      IndexMaintenance.readParamsSidecar(
+        spark, new org.apache.hadoop.fs.Path(dir, gen).toString, LabelParentFile) match {
+        case Some(parent) => walk(parent, acc :+ gen)
+        case None => acc :+ gen
+      }
+    walk(liveName, Vector.empty)
+  }
+
+  /** The label table a reader sees: the live generation, overlaid with
+    * any delta chain (newest generation wins per id). A single full
+    * generation — the non-delta lifecycle — reads as a plain parquet
+    * scan with zero overhead; a delta chain resolves with one id-keyed
+    * `max_by` aggregate. Resolves per call, so a reader picks up a
+    * concurrent [[mergeClusterLabels]] swap on its next read with zero
+    * restart. */
+  def readClusterLabels(spark: org.apache.spark.sql.SparkSession, dir: String): DataFrame = {
+    if (!IndexMaintenance.hasManifest(spark, dir))
+      return spark.read.parquet(dir)
+    val chain = labelChain(spark, dir)
+    if (chain.lengthCompare(1) == 0)
+      spark.read.parquet(new org.apache.hadoop.fs.Path(dir, chain.head).toString)
+    else {
+      // precedence = position from the base (larger = newer); gen
+      // numbers would work too but the chain order is the contract
+      val n = chain.length
+      chain.zipWithIndex.map { case (g, i) =>
+        spark.read.parquet(new org.apache.hadoop.fs.Path(dir, g).toString)
+          .select(col("id"), col("cluster_id"), lit(n - i).as("_gen"))
+      }.reduce(_ unionByName _)
+        .groupBy(col("id"))
+        .agg(max_by(col("cluster_id"), col("_gen")).as("cluster_id"))
+    }
+  }
 
   /** Merge an ingest batch's near-dup pairs into the persisted label
-    * table ([[updateClusterLabels]] over the live generation), written
-    * as a new generation with an atomic manifest swap — zero absent-path
-    * window for concurrent readers (the superseded generation is
-    * retained for in-flight scans). Mutator op: the index planes'
-    * single-mutator contract applies. Returns the new live path. */
+    * table ([[updateClusterLabels]] over the live chain), written as a
+    * new generation with an atomic manifest swap — zero absent-path
+    * window for concurrent readers (the superseded generation CHAIN is
+    * retained for in-flight scans and reaped by the next merge that no
+    * longer depends on it).
+    *
+    * `delta = true` (r14): write only the CHANGED rows
+    * ([[updateClusterLabelsDelta]]) as a delta generation carrying a
+    * parent pointer — per-merge write cost drops from O(corpus) to
+    * O(touched), the high-frequency-cadence shape; readers overlay the
+    * chain (newest wins). When the chain would exceed `maxChain`, the
+    * merge writes a full base instead, folding the chain — amortized
+    * write cost O(corpus / maxChain) per merge with read fan-in bounded
+    * by `maxChain`. [[compactClusterLabels]] folds explicitly.
+    *
+    * Mutator op: the index planes' single-mutator contract applies.
+    * Returns the new live path. */
   def mergeClusterLabels(
       spark: org.apache.spark.sql.SparkSession,
       dir: String,
       newPairs: DataFrame,
-      maxIters: Int = 20): String = {
+      maxIters: Int = 20,
+      delta: Boolean = false,
+      maxChain: Int = 64): String = {
     require(IndexMaintenance.hasManifest(spark, dir),
       s"mergeClusterLabels: $dir must carry the manifest layout — build it with writeClusterLabels")
+    require(maxChain >= 1, "maxChain must be positive")
+    val chain = labelChain(spark, dir)
+    val labels = readClusterLabels(spark, dir)
+    val writeDelta = delta && chain.lengthCompare(maxChain) < 0
     // materialize BEFORE the generation write: the update plan reads the
-    // CURRENT live generation, and an eager checkpoint pins that read to
+    // CURRENT live chain, and an eager checkpoint pins that read to
     // this side of the swap (and avoids re-running the propagation loop
     // into the parquet writer)
-    val updated = updateClusterLabels(readClusterLabels(spark, dir), newPairs, maxIters)
+    val out = (if (writeDelta) updateClusterLabelsDelta(labels, newPairs, maxIters)
+               else updateClusterLabels(labels, newPairs, maxIters))
       .localCheckpoint(true)
-    IndexMaintenance.rebuild(spark, dir)(gen => updated.write.parquet(gen))
+    // the superseded chain (not just the superseded live generation)
+    // survives this swap for in-flight readers; a delta generation also
+    // keeps its ancestry alive until a fold supersedes the whole chain
+    IndexMaintenance.rebuild(spark, dir, alsoKeep = chain.toSet) { gen =>
+      out.write.parquet(gen)
+      if (writeDelta)
+        IndexMaintenance.writeParamsSidecar(spark, gen, LabelParentFile, chain.head)
+    }
+  }
+
+  /** Fold a delta chain into one full base generation (labels
+    * unchanged) — the periodic compaction for delta-mode merges. The
+    * folded-away chain is retained for in-flight readers and reaped by
+    * the next merge. */
+  def compactClusterLabels(
+      spark: org.apache.spark.sql.SparkSession, dir: String): String = {
+    val empty = spark.range(0)
+      .select(col("id").as("d1"), col("id").as("d2"))
+    mergeClusterLabels(spark, dir, empty)
   }
 
   /** Shared collapse engine behind [[ngramClusterLabels]] and

@@ -133,6 +133,13 @@ object IndexMaintenance {
     try out.write(content.getBytes("UTF-8")) finally out.close()
   }
 
+  /** The content of sidecar `<dir>/<name>`, when present. */
+  def readParamsSidecar(spark: SparkSession, dir: String, name: String): Option[String] = {
+    val p = new Path(dir, name)
+    val fs = fileSystem(spark, dir)
+    if (fs.exists(p)) Some(readSmall(fs, p)) else None
+  }
+
   /** Throws when `dir` carries sidecar `name` with content other than
     * `expected` — the shared guard that keeps probe/append parameters
     * consistent with the build's. Absent sidecar passes unchecked
@@ -162,7 +169,8 @@ object IndexMaintenance {
     * reference population outright (exclude deleted content from the
     * rebuild input). Mutator op — single-mutator contract applies.
     * Returns the new live generation's path. */
-  def rebuild(spark: SparkSession, dir: String)(writeGen: String => Unit): String = {
+  def rebuild(spark: SparkSession, dir: String, alsoKeep: Set[String] = Set.empty)(
+      writeGen: String => Unit): String = {
     val fs = fileSystem(spark, dir)
     val root = fs.makeQualified(new Path(dir))
     require(fs.exists(new Path(root, ManifestFile)),
@@ -177,9 +185,13 @@ object IndexMaintenance {
     writeGen(next.toString)
     writeManifest(spark, root, next.getName)
     fs.delete(new Path(root, TombstoneDir), true)
+    // `alsoKeep` (r14): generations a layered layout still depends on —
+    // the label planes' delta chains — survive the reap alongside the
+    // superseded live generation
     fs.listStatus(root).map(_.getPath)
       .filter(p => p.getName.startsWith(GenPrefix) &&
-        p.getName != next.getName && p.getName != liveGenName)
+        p.getName != next.getName && p.getName != liveGenName &&
+        !alsoKeep.contains(p.getName))
       .foreach(p => fs.delete(p, true))
     next.toString
   }

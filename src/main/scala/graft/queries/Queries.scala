@@ -7086,6 +7086,49 @@ object Queries {
     },
     q64_neardup_clusters.sql)
 
+  /** Delta-generation cluster maintenance (r14): q227's incremental
+    * scenario driven THROUGH the persisted label plane in DELTA mode —
+    * "yesterday" lands as a full base generation, "today's ingest"
+    * merges in three delta batches (`mergeClusterLabels(delta = true,
+    * maxChain = 3)`: two O(touched) delta writes, then the third merge
+    * auto-folds the chain into a fresh full base), and the final chain
+    * read must STILL be byte-indistinguishable from clustering the whole
+    * corpus from scratch (q64's full-closure oracle, verbatim). The
+    * label dir is rebuilt fresh per run — chain shape is part of what
+    * this query exercises. */
+  val q228_delta_clusters: Q = Q(
+    (s, d) => {
+      val docs = table(s, d, "documents")
+      val pairs = Dedup.ngramJaccard(docs, Seq("lang", "n_chars"),
+          maxBlockSize = Dedup.Uncapped)
+        .select("d1", "d2").localCheckpoint(true)
+      val oldLabels = Dedup.nearDupClusters(
+          docs.filter(col("doc_id") % 3 =!= 0).select("doc_id"),
+          pairs.filter(col("d1") % 3 =!= 0 && col("d2") % 3 =!= 0))
+        .select(col("doc_id").as("id"), col("cluster_id"))
+      val dir = s"target/tmp/labels_delta_${new java.io.File(d).getName}"
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) f.listFiles().foreach(rm)
+        f.delete(); ()
+      }
+      rm(new java.io.File(dir))
+      Dedup.writeClusterLabels(oldLabels, dir)
+      val newPairs = pairs.filter(col("d1") % 3 === 0 || col("d2") % 3 === 0)
+      // each ingest pair lands in exactly one of three batches
+      for (b <- 0 until 3)
+        Dedup.mergeClusterLabels(s, dir,
+          newPairs.filter(pmod(col("d1") + col("d2"), lit(3)) === b),
+          delta = true, maxChain = 3)
+      docs
+        .join(Dedup.readClusterLabels(s, dir)
+          .withColumnRenamed("id", "doc_id"), Seq("doc_id"), "left")
+        .withColumn("cluster_id", coalesce(col("cluster_id"), col("doc_id")))
+        .withColumn("keep", col("cluster_id") === col("doc_id"))
+        .select("doc_id", "cluster_id", "keep")
+        .orderBy("doc_id")
+    },
+    q64_neardup_clusters.sql)
+
   // -------------------------------------------------------------- registry
 
   val all: Seq[(String, Q)] = Seq(
@@ -7314,5 +7357,6 @@ object Queries {
     "q224_fp_index" -> q224_fp_index,
     "q225_cosine_bandcap" -> q225_cosine_bandcap,
     "q226_minhash_clusters" -> q226_minhash_clusters,
-    "q227_incremental_clusters" -> q227_incremental_clusters)
+    "q227_incremental_clusters" -> q227_incremental_clusters,
+    "q228_delta_clusters" -> q228_delta_clusters)
 }

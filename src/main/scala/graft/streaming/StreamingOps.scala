@@ -622,17 +622,25 @@ object StreamingOps {
     * near-dup pairs (from `pairsForBatch` — typically an index probe
     * plus intra-batch banding) merge into the PERSISTED label table at
     * `labelsDir` (`Dedup.writeClusterLabels` layout) via
-    * `Dedup.mergeClusterLabels`: star-edge propagation over O(corpus)
-    * slim rows, a fresh generation, an atomic manifest swap. The old
+    * `Dedup.mergeClusterLabels`: propagation over the batch-contracted
+    * graph (r14 frontier-bounded form), a fresh generation, an atomic
+    * manifest swap. The old
     * corpus's pairs are never regenerated, concurrent readers always
     * resolve a complete table, and `sink` receives the post-merge live
     * labels each batch. The batch IS the mutation, so this stream is the
     * label dir's SINGLE MUTATOR (the index planes' contract); empty pair
     * batches skip the generation write entirely (no churn).
+    * `delta = true` (r14) is the per-micro-batch cadence shape: each
+    * merge writes only the touched rows as a delta generation (parent
+    * pointer; readers overlay the chain) and the chain auto-folds into
+    * a full base every `maxChain` merges — O(touched) per batch instead
+    * of a full O(corpus) label rewrite.
     * ClusterMaintainSpec pins streamed merges ≡ one-shot rebuild. */
   def clusterMaintain(
       docStream: DataFrame,
-      labelsDir: String)(
+      labelsDir: String,
+      delta: Boolean = false,
+      maxChain: Int = 64)(
       pairsForBatch: DataFrame => DataFrame)(
       sink: DataFrame => Unit): org.apache.spark.sql.streaming.StreamingQuery =
     docStream.writeStream
@@ -642,7 +650,8 @@ object StreamingOps {
         // the merge, and must not re-run the probe after the swap
         val pairs = pairsForBatch(batch).localCheckpoint(true)
         if (!pairs.isEmpty)
-          graft.operators.Dedup.mergeClusterLabels(spark, labelsDir, pairs)
+          graft.operators.Dedup.mergeClusterLabels(spark, labelsDir, pairs,
+            delta = delta, maxChain = maxChain)
         sink(graft.operators.Dedup.readClusterLabels(spark, labelsDir))
       }
       .start()

@@ -116,4 +116,80 @@ class ClusterMaintainSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
     assert(live === rebuilt)
   }
+
+  test("delta-mode merges: O(touched) writes, chain reads == rebuild, auto-fold at maxChain") {
+    val s = spark
+    import s.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("labels_delta").toString
+    val docs = (1L to 40L).toDF("doc_id")
+    Dedup.writeClusterLabels(
+      Dedup.nearDupClusters(docs, Seq((1L, 2L)).toDF("d1", "d2"))
+        .select(col("doc_id").as("id"), col("cluster_id")), dir)
+    def genRows(name: String) = spark.read.parquet(s"$dir/$name").count()
+    def liveGen() = new java.io.File(
+      IndexMaintenance.resolveLive(spark, dir)).getName
+    def readAll() = Dedup.readClusterLabels(spark, dir)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    def rebuilt(allDocs: org.apache.spark.sql.DataFrame,
+        pairs: Seq[(Long, Long)]) =
+      Dedup.nearDupClusters(allDocs, pairs.toDF("d1", "d2"))
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+
+    // merge 1 (delta): pair (3,4) merges two singletons — only id 4
+    // changes, so the delta generation holds EXACTLY one row
+    Dedup.mergeClusterLabels(spark, dir, Seq((3L, 4L)).toDF("d1", "d2"),
+      delta = true, maxChain = 3)
+    assert(liveGen() === "_graft_gen_00001")
+    assert(genRows("_graft_gen_00001") === 1L,
+      "a delta generation must hold only the touched rows")
+    assert(readAll() === rebuilt(docs, Seq((1L, 2L), (3L, 4L))))
+
+    // merge 2 (delta): brand-new id 100 joins {3,4} — again one row
+    Dedup.mergeClusterLabels(spark, dir, Seq((4L, 100L)).toDF("d1", "d2"),
+      delta = true, maxChain = 3)
+    assert(genRows("_graft_gen_00002") === 1L)
+    val all41 = docs.unionByName(Seq(100L).toDF("doc_id"))
+    assert(readAll() === rebuilt(all41, Seq((1L, 2L), (3L, 4L), (4L, 100L))))
+
+    // merge 3: the chain is at maxChain — this merge must AUTO-FOLD
+    // into a full base (41 rows, no parent pointer)
+    Dedup.mergeClusterLabels(spark, dir, Seq((5L, 6L)).toDF("d1", "d2"),
+      delta = true, maxChain = 3)
+    assert(liveGen() === "_graft_gen_00003")
+    assert(genRows("_graft_gen_00003") === 41L,
+      "reaching maxChain must fold the chain into a full base")
+    assert(!new java.io.File(s"$dir/_graft_gen_00003/_graft_label_parent").exists())
+    // the superseded CHAIN (base + both deltas) is retained for
+    // in-flight readers
+    def gens() = new java.io.File(dir).listFiles()
+      .map(_.getName).filter(_.startsWith("_graft_gen_")).toSet
+    assert(gens() === Set("_graft_gen_00000", "_graft_gen_00001",
+      "_graft_gen_00002", "_graft_gen_00003"))
+    assert(readAll() === rebuilt(all41,
+      Seq((1L, 2L), (3L, 4L), (4L, 100L), (5L, 6L))))
+
+    // the next merge no longer depends on the folded chain: reaped
+    Dedup.mergeClusterLabels(spark, dir, Seq((7L, 8L)).toDF("d1", "d2"),
+      delta = true, maxChain = 3)
+    assert(gens() === Set("_graft_gen_00003", "_graft_gen_00004"),
+      s"folded-away chain must be reaped by the next merge: ${gens()}")
+    assert(readAll() === rebuilt(all41,
+      Seq((1L, 2L), (3L, 4L), (4L, 100L), (5L, 6L), (7L, 8L))))
+
+    // explicit compaction folds without a label change
+    Dedup.compactClusterLabels(spark, dir)
+    assert(genRows(liveGen()) === 41L)
+    assert(readAll() === rebuilt(all41,
+      Seq((1L, 2L), (3L, 4L), (4L, 100L), (5L, 6L), (7L, 8L))))
+
+    // an in-flight reader that resolved a delta chain BEFORE a fold
+    // completes its scan (the retained-chain contract) — build a fresh
+    // two-delta chain, pin a reader, fold, then finish the read
+    Dedup.mergeClusterLabels(spark, dir, Seq((9L, 10L)).toDF("d1", "d2"),
+      delta = true, maxChain = 3)
+    val pinned = Dedup.readClusterLabels(spark, dir)
+    Dedup.compactClusterLabels(spark, dir)
+    assert(pinned.count() === 41L,
+      "a reader holding a superseded chain must complete after the fold")
+  }
 }
