@@ -94,14 +94,23 @@ object MaintScale {
         val mrg = timed {
           graft.operators.Dedup.mergeClusterLabels(spark, labDir, newPairs); ()
         }
-        (upd, mrg)
+        // delta mode (r14): same merge, only the touched rows written
+        val deltaDir = java.nio.file.Files.createTempDirectory(s"maintd_${tag}_$i").toString
+        graft.operators.Dedup.writeClusterLabels(oldLabels, deltaDir)
+        val dlt = timed {
+          graft.operators.Dedup.mergeClusterLabels(spark, deltaDir, newPairs,
+            delta = true); ()
+        }
+        (upd, mrg, dlt)
       }
-      Map("update" -> runs.map(_._1).minBy(_._1), "merge" -> runs.map(_._2).minBy(_._1))
+      Map("update" -> runs.map(_._1).minBy(_._1),
+        "merge" -> runs.map(_._2).minBy(_._1),
+        "merge_delta" -> runs.map(_._3).minBy(_._1))
     }
 
     val small = measure(base, "base")
     val large = measure(big, s"${factor}x")
-    val rows = Seq("update", "merge").map { k =>
+    val rows = Seq("update", "merge", "merge_delta").map { k =>
       val (t1, s1) = small(k); val (tN, sN) = large(k)
       val exp = math.log(tN / t1) / math.log(factor)
       System.err.println(f"[maint] $k%-7s t1=$t1%6.2fs t$factor=$tN%6.2fs exp=$exp%5.2f " +
