@@ -76,9 +76,10 @@ object ServeTelemetry {
     * [[ProbeStats]] row. Call only AFTER the sink materialized `out`
     * THROUGH THAT SAME DataFrame (collect/count/foreach): a write-style
     * sink (`out.write.parquet`) plans a fresh QueryExecution, leaving
-    * these scans' accumulators at zero — such batches are SKIPPED rather
-    * than recorded as a bogus "read nothing, pruned everything" row
-    * (r13 advice). */
+    * these scans' accumulators at zero — such batches are recorded with
+    * `zeroScanAmbiguous = true` (r14 advice: a legitimate perfect-prune
+    * batch is indistinguishable from an un-actioned plan, and dropping
+    * the row — the r13 behavior — made full-prune batches invisible). */
   private[streaming] def record(out: DataFrame, indexDir: String, batchId: Long): Unit = {
     val spark = out.sparkSession
     val live = graft.operators.IndexMaintenance.resolveLive(spark, indexDir)
