@@ -282,9 +282,17 @@ object Dedup {
       w: DataFrame, idCol: String, cand: DataFrame, threshold: Double,
       sizesOpt: Option[DataFrame] = None): DataFrame = {
     val sizes = sizesOpt.getOrElse(w.groupBy(col(idCol)).agg(count(lit(1)).as("sz")))
+    // shingles cross the intersection join as 60-bit md5 longs, not
+    // strings (the prefixFilteredJaccard fingerprint idiom, r14): the
+    // (id, shingle) table is the pair plane's dominant shuffle at scale
+    // and a fixed 8-byte key more than halves it vs n-gram text; the
+    // hash is computed map-side before the exchange, distinct shingles
+    // stay distinct (60-bit space), so the intersection COUNT — hence
+    // the exact Jaccard — is unchanged
+    val wh = w.select(col(idCol), Selection.md5Long(col("word")).as("_h"))
     val inter = cand
-      .join(w.select(col(idCol).as("d1"), col("word").as("wa")), "d1")
-      .join(w.select(col(idCol).as("_d2b"), col("word").as("wb")),
+      .join(wh.select(col(idCol).as("d1"), col("_h").as("wa")), "d1")
+      .join(wh.select(col(idCol).as("_d2b"), col("_h").as("wb")),
         col("d2") === col("_d2b") && col("wb") === col("wa"))
       .groupBy("d1", "d2")
       .agg(count(lit(1)).as("inter"))

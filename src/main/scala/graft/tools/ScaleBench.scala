@@ -55,7 +55,8 @@ object ScaleBench {
       "q216_cluster_split", "q217_ivf_range", "q218_pipeline_report",
       "q219_lsh_bandcap", "q220_index_delete",
       "q221_image_dup_classes", "q222_fp_capped", "q223_ivf_range_indexed", "q224_fp_index", "q225_cosine_bandcap",
-      "q226_minhash_clusters", "q227_incremental_clusters")
+      "q226_minhash_clusters", "q227_incremental_clusters",
+      "q228_delta_clusters")
   // q100_margin_mine is deliberately NOT in the default sweep: both its
   // sides scale with embeddings, so the exact cross join is O(100x) at a
   // 10x blow-up — the measured quadratic is recorded once in SCALING.md
