@@ -20,14 +20,23 @@ import org.apache.spark.sql.DataFrame
 object Checkpoints {
   val ConfKey = "spark.graft.reliableCheckpointDir"
 
+  // the configured root we last passed to setCheckpointDir — the
+  // resolved checkpoint dir is root/<uuid> and may be URI-qualified, so
+  // comparing against the raw conf value is the only reliable "already
+  // set" test (a prefix test against the resolved path misfires on
+  // scheme qualification and would mint a fresh UUID dir per barrier)
+  @volatile private var configuredRoot: Option[String] = None
+
   def loopBarrier(df: DataFrame, eager: Boolean = true): DataFrame =
     df.sparkSession.conf.getOption(ConfKey).filter(_.nonEmpty) match {
       case Some(dir) =>
         val sc = df.sparkSession.sparkContext
-        // setCheckpointDir appends a per-call UUID subdir — only (re)set
-        // when the configured root actually changed
-        if (!sc.getCheckpointDir.exists(_.startsWith(dir)))
-          sc.setCheckpointDir(dir)
+        synchronized {
+          if (!configuredRoot.contains(dir) || sc.getCheckpointDir.isEmpty) {
+            sc.setCheckpointDir(dir)
+            configuredRoot = Some(dir)
+          }
+        }
         df.checkpoint(eager)
       case None => df.localCheckpoint(eager)
     }

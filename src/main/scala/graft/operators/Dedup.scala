@@ -841,12 +841,17 @@ object Dedup {
     val liveName = new org.apache.hadoop.fs.Path(
       IndexMaintenance.resolveLive(spark, dir)).getName
     @scala.annotation.tailrec
-    def walk(gen: String, acc: Vector[String]): Vector[String] =
+    def walk(gen: String, acc: Vector[String]): Vector[String] = {
+      // loud guard: a corrupted/hand-edited parent pointer forming a
+      // cycle must fail, not hang the reader
+      require(!acc.contains(gen),
+        s"labelChain: parent-pointer cycle at $gen in $dir — the chain is corrupt")
       IndexMaintenance.readParamsSidecar(
         spark, new org.apache.hadoop.fs.Path(dir, gen).toString, LabelParentFile) match {
         case Some(parent) => walk(parent, acc :+ gen)
         case None => acc :+ gen
       }
+    }
     walk(liveName, Vector.empty)
   }
 
