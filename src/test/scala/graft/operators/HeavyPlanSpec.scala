@@ -232,6 +232,19 @@ class HeavyPlanSpec extends SparkSpec {
     assert(count(p, "Scan ExistingRDD") >= 1)
   }
 
+  test("q228 delta clusters: final read is docs + one label-generation scan, no cartesian") {
+    val p = plan(Queries.q228_delta_clusters)
+    // the last merge folded the chain, so the served table is ONE full
+    // generation: the final plan is the docs join side + the labels
+    // parquet scan — no chain-overlay aggregate, no cartesian
+    assert(count(p, "CartesianProduct") + count(p, "BroadcastNestedLoopJoin") === 0,
+      s"labels attach by equi-join:\n${p.take(1500)}")
+    assert(count(p, "Scan parquet") === 2,
+      s"expected docs + folded label generation only:\n${p.take(1500)}")
+    assert(count(p, "max_by") === 0,
+      s"a folded (single-generation) chain must read WITHOUT the overlay aggregate:\n${p.take(1500)}")
+  }
+
   // ---- r14: default-cap stage audit (verdict item 6)
 
   test("default caps add ZERO parquet scans: occupancy reads the checkpointed band/slim tables") {
