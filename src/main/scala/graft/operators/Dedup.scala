@@ -340,9 +340,14 @@ object Dedup {
     * the dedup aggregate), then a per-pair `array_intersect` of the two
     * sorted hash arrays — codegen, no relational join-back, no second
     * pass over the corpus. Shuffle keys: gram, doc, prefix-gram —
-    * never a cross join. The prefix table is explicitly rebalanced:
-    * it is compact enough that AQE would coalesce it to one partition
-    * and serialize the high-fan-out self-join (the q81 lesson).
+    * never a cross join. Every candidate-sized exchange is explicitly
+    * repartitioned to a SPILL-AWARE width derived from the exact
+    * candidate volume (r14 — see the `candVolume` note below): the
+    * session's shuffle width is tuned for the session's typical data,
+    * and a candidate stream 50× that size otherwise sort-spills tens of
+    * GB through the pair aggregates. Explicit widths also stop AQE from
+    * coalescing the compact prefix table to one partition and
+    * serializing the high-fan-out self-join (the q81 lesson).
     *
     * Defaults match q25's MinHash predicate (bigram shingles, J ≥ 2/5)
     * — this operator is its EXACT counterpart, so the pair makes
@@ -383,11 +388,33 @@ object Dedup {
       .withColumn("p",
         (col("sz") - expr(s"(($tNum * sz + ${tDen - 1}) div $tDen)") + 1).cast("int"))
       .localCheckpoint()
-    val prefix = ranked
+    val prefixRaw = ranked
       .select(col(idCol), col("sz"),
         posexplode(expr("slice(hs, 1, p)")).as(Seq("pos0", "h")))
       .withColumn("pos", col("pos0") + 1).drop("pos0")
-      .repartition(spark.sparkContext.defaultParallelism)
+    // SPILL-AWARE partition sizing (r14): the candidate join emits
+    // Σ_bucket k(k−1)/2 rows, and at corpus scale that stream crushed
+    // the session's (local-tuned) fixed shuffle width — at 50× the two
+    // pair aggregates each spilled ~58 GB to disk and wall went
+    // super-linear with perfectly linear row counts. The exact candidate
+    // volume is one map-side-combining histogram over the slim prefix
+    // table (ranked is already checkpointed, so this costs one cheap
+    // job, one row to the driver), and every wide exchange below is
+    // explicitly repartitioned so each task's share stays in memory at
+    // ANY corpus size. AQE never coalesces user-specified widths, so the
+    // q81 single-partition-serialization lesson is preserved too.
+    val candVolume = prefixRaw.groupBy(col("h"))
+      .agg(count(lit(1)).as("_n"))
+      .agg(sum((col("_n") * (col("_n") - 1) / 2)
+        .cast(org.apache.spark.sql.types.DecimalType(28, 0))))
+      .head().getDecimal(0)
+    val rowsPerTask = 2000000L
+    val width = math.min(4096L, math.max(
+      spark.sparkContext.defaultParallelism.toLong,
+      if (candVolume == null) 0L
+      else candVolume.divide(java.math.BigDecimal.valueOf(rowsPerTask),
+        java.math.RoundingMode.CEILING).longValueExact())).toInt
+    val prefix = prefixRaw.repartition(width, col("h"))
     // candidate pairs: shared prefix gram + size filter + positional
     // filter (first-shared-token overlap upper bound, Xiao et al. 2008)
     val alpha = // ⌈tNum(sz1+sz2)/(tNum+tDen)⌉ as integer ceil-div
@@ -406,6 +433,11 @@ object Dedup {
       // (P1, P2) in BOTH arrays — overlap ≤ c + min(sz1−P1, sz2−P2).
       // Same (d1,d2) shuffle a distinct() would pay, strictly fewer
       // pairs reach the array-attach joins and the per-pair verify.
+      // The explicit width replaces both the (near-useless here — most
+      // pairs share ONE prefix token) map-side partial aggregate and the
+      // session-width exchange: raw candidate rows ship once into
+      // in-memory-sized tasks instead of spilling through two aggregates
+      .repartition(width, col("d1"), col("d2"))
       .groupBy("d1", "d2")
       .agg(count(lit(1)).as("_c"), max("_p1").as("_P1"), max("_p2").as("_P2"),
         max("_sz1").as("_sz1"), max("_sz2").as("_sz2"))
@@ -423,9 +455,23 @@ object Dedup {
     val arrs = ranked.select(col(idCol), array_sort(col("hs")).as("hsn"), col("sz"))
     val alphaPair = // ⌈tNum(n1+n2)/(tNum+tDen)⌉: overlap needed to pass
       expr(s"($tNum * (n1 + n2) + ${tNum + tDen - 1}) div ${tNum + tDen}")
-    cand
-      .join(arrs.select(col(idCol).as("d1"), col("hsn").as("_h1"), col("sz").as("n1")), "d1")
-      .join(arrs.select(col(idCol).as("d2"), col("hsn").as("_h2"), col("sz").as("n2")), "d2")
+    // the surviving pair stream is still candidate-sized. The arrs side
+    // is doc-count-sized with ~sub-KB array payloads: while it fits a
+    // broadcast (≤500k docs ≈ ≤350 MB), broadcast-hash both attach
+    // joins — the candidate stream then never shuffles or sorts at all
+    // (at 50× the alternative SMJ sorted 240M rows through the session
+    // width and spilled); beyond that, ship it through the same
+    // spill-aware width as the pair aggregate. The doc count is one
+    // cheap job over the checkpointed ranked frame — size-based physical
+    // choice AQE can't make itself because the checkpoint hides the
+    // stats.
+    val attachBroadcast = ranked.count() <= 500000L
+    def attach(c: DataFrame, side: String, hCol: String, nCol: String): DataFrame = {
+      val a = arrs.select(col(idCol).as(side), col("hsn").as(hCol), col("sz").as(nCol))
+      if (attachBroadcast) c.join(broadcast(a), side)
+      else c.repartition(width, col(side)).join(a, side)
+    }
+    attach(attach(cand, "d1", "_h1", "n1"), "d2", "_h2", "n2")
       .withColumn("inter", graft.functions.VectorExpr.sortedIntersectAtLeast(
         col("_h1"), col("_h2"), alphaPair))
       .filter(col("inter") * tDen >= (col("n1") + col("n2") - col("inter")) * tNum)
