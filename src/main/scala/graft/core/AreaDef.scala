@@ -315,23 +315,40 @@ object AreaDef {
       else v
     } catch { case _: NumberFormatException => v }
 
-  /** Python-float-repr plain decimal: `Double.toString` switches to
+  /** Python-float-repr formatting: `Double.toString` switches to
     * scientific notation at |v| ≥ 1e7 — a web-mercator extent
     * (±20037508.34) would print as '-2.003750834E7' where the
     * reference's `__str__` (Python float repr, `geometry.py`) stays
-    * plain-decimal until 1e16. Format through BigDecimal, strip the
-    * expansion's trailing zeros, and restore the trailing '.0' Python
-    * keeps on integral floats. */
+    * plain-decimal until 1e16. Mirror Python's BOTH thresholds (r14
+    * advice): plain decimal exactly for 1e-4 ≤ |v| < 1e16 (and 0.0),
+    * Python-style exponent notation outside ('1e-05', '2e+16' — no
+    * trailing '.0' on the mantissa, signed exponent padded to two
+    * digits), so '1e-10' never expands to '0.0000000001' and 2e16 never
+    * prints '20000000000000000.0'. */
   private[core] def pyFloat(v: Double): String = {
-    val s = java.lang.Double.toString(v)
-    if (!s.contains("E")) s
-    else {
-      val plain = new java.math.BigDecimal(s).toPlainString
-      val stripped =
-        if (plain.contains('.'))
-          plain.reverse.dropWhile(_ == '0').reverse.stripSuffix(".")
-        else plain
-      if (stripped.contains('.')) stripped else stripped + ".0"
+    val a = math.abs(v)
+    if (v != 0.0 && (a < 1e-4 || a >= 1e16)) {
+      // Java prints scientific for this whole range (its own switch
+      // points are 1e-3 / 1e7), mantissa normalized to [1, 10) — same
+      // exponent Python uses
+      val s = java.lang.Double.toString(v)
+      val i = s.indexOf('E')
+      val mRaw = s.substring(0, i)
+      val e = s.substring(i + 1).toInt
+      val m = if (mRaw.endsWith(".0")) mRaw.dropRight(2) else mRaw
+      val sign = if (e < 0) "-" else "+"
+      f"${m}e$sign${math.abs(e)}%02d"
+    } else {
+      val s = java.lang.Double.toString(v)
+      if (!s.contains("E")) s
+      else {
+        val plain = new java.math.BigDecimal(s).toPlainString
+        val stripped =
+          if (plain.contains('.'))
+            plain.reverse.dropWhile(_ == '0').reverse.stripSuffix(".")
+          else plain
+        if (stripped.contains('.')) stripped else stripped + ".0"
+      }
     }
   }
 

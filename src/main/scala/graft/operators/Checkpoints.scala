@@ -16,7 +16,13 @@ import org.apache.spark.sql.DataFrame
   * `SparkContext.setCheckpointDir` + `Dataset.checkpoint`, which
   * survives executor loss at the cost of one distributed write per
   * round. Unset (the default) = `localCheckpoint`, the local-mode fast
-  * path. ReliableCheckpointSpec exercises the reliable route. */
+  * path. ReliableCheckpointSpec exercises the reliable route.
+  *
+  * Contract: ONE reliable root per SparkContext, for the context's
+  * lifetime (a conflicting value fails loudly — see loopBarrier), and
+  * `spark.cleaner.referenceTracking.cleanCheckpoints=true` should be set
+  * in SparkConf at context start so superseded round checkpoints are
+  * reclaimed (warned once otherwise). */
 object Checkpoints {
   val ConfKey = "spark.graft.reliableCheckpointDir"
 
@@ -26,18 +32,64 @@ object Checkpoints {
   // set" test (a prefix test against the resolved path misfires on
   // scheme qualification and would mint a fresh UUID dir per barrier)
   @volatile private var configuredRoot: Option[String] = None
+  @volatile private var warnedCleaner = false
+
+  /** Tests only: forget the configured root so a later suite can use a
+    * fresh temp dir without tripping the one-root contract. Production
+    * code must never call this — concurrent barriers racing different
+    * roots is exactly the data-loss scenario the contract prevents. */
+  private[graft] def resetConfiguredRootForTests(): Unit =
+    synchronized { configuredRoot = None }
 
   def loopBarrier(df: DataFrame, eager: Boolean = true): DataFrame =
     df.sparkSession.conf.getOption(ConfKey).filter(_.nonEmpty) match {
       case Some(dir) =>
         val sc = df.sparkSession.sparkContext
         synchronized {
-          if (!configuredRoot.contains(dir) || sc.getCheckpointDir.isEmpty) {
+          // ONE reliable root per SparkContext (r14 advice): the
+          // checkpoint dir is SparkContext-scoped while this conf key is
+          // session-scoped, and `df.checkpoint` runs outside this lock —
+          // two concurrent loops racing different roots would thrash
+          // setCheckpointDir and a barrier could land its files under
+          // the OTHER job's root, whose cleanup then silently destroys
+          // live checkpoint data. Fail loudly on a conflicting value
+          // instead of racing.
+          require(configuredRoot.forall(_ == dir),
+            s"$ConfKey=$dir conflicts with the reliable root already configured " +
+              s"for this SparkContext (${configuredRoot.getOrElse("")}): the " +
+              "checkpoint dir is SparkContext-scoped — one reliable root per " +
+              "context, for the lifetime of the context")
+          if (configuredRoot.isEmpty || sc.getCheckpointDir.isEmpty) {
             sc.setCheckpointDir(dir)
             configuredRoot = Some(dir)
+          }
+          // space reclamation (r14 advice): reliable checkpoint files are
+          // reclaimed by the ContextCleaner only when
+          // spark.cleaner.referenceTracking.cleanCheckpoints is true — and
+          // that knob is read at CONTEXT START, so it cannot be set here.
+          // A multi-hour loop writes one full table per round; without the
+          // cleaner the root grows O(rounds × table size), unbounded across
+          // invocations. Warn once, loudly.
+          if (!warnedCleaner && !sc.getConf.getBoolean(
+              "spark.cleaner.referenceTracking.cleanCheckpoints", defaultValue = false)) {
+            warnedCleaner = true
+            Console.err.println(s"[graft] $ConfKey is set but " +
+              "spark.cleaner.referenceTracking.cleanCheckpoints is false: superseded " +
+              "loop-round checkpoints under the reliable root are never reclaimed. " +
+              "Enable it in SparkConf at context start to bound checkpoint-dir growth.")
           }
         }
         df.checkpoint(eager)
       case None => df.localCheckpoint(eager)
     }
+
+  /** Chain syntax for one-shot materialization barriers:
+    * `df.barrier()` ≡ `loopBarrier(df)` — every data-plane
+    * materialization (not just loop rounds) routes through the same
+    * reliable-vs-local decision, so `spark.graft.reliableCheckpointDir`
+    * covers the whole operator, not only its iteration (r14 verdict
+    * "What's wrong #3"). */
+  implicit final class BarrierSyntax(private val df: DataFrame) extends AnyVal {
+    def barrier(eager: Boolean = true): DataFrame = loopBarrier(df, eager)
+  }
 }

@@ -3,6 +3,7 @@ package graft.operators
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import graft.operators.Checkpoints.BarrierSyntax
 
 /** Document deduplication for large-scale training-data pipelines (builder
   * extension beyond the reference surface — SURVEY §7.1 item 10).
@@ -122,7 +123,7 @@ object Dedup {
     // self-join's two sides plus the sizes lookup each re-run the corpus
     // scan + shingle explode + min-hash aggregation (r11 — measured 6
     // corpus scans in the q25 plan, 3 after)
-    val sig = signature(w, idCol, numHashes).localCheckpoint(true)
+    val sig = signature(w, idCol, numHashes).barrier()
     val cand = bandCandidates(sig, idCol, numHashes, rowsPerBand, maxBandSize)
     verifyJaccard(w, idCol, cand, threshold,
       sizesOpt = Some(sig.select(col(idCol), col("_sz").as("sz"))))
@@ -170,7 +171,7 @@ object Dedup {
     val bands =
       if (maxBandSize == Int.MaxValue) allBands
       else {
-        val mat = allBands.localCheckpoint(true)
+        val mat = allBands.barrier()
         mat.join(
           mat.groupBy("band_idx", "band").agg(count(lit(1)).as("_bn"))
             .filter(col("_bn") <= maxBandSize)
@@ -234,7 +235,10 @@ object Dedup {
 
   /** Exact word-set Jaccard over candidate pairs that share the given
     * blocking keys (n-gram Jaccard dedup with structural candidate
-    * generation). `maxBlockSize` is [[minhashLsh]]'s hot-bucket guard on
+    * generation). "Exact" up to the 60-bit shingle-fingerprint
+    * assumption — see the collision note inside [[verifyJaccard]]
+    * (~2⁻⁶⁰ per shingle pair; join the full digest if unconditional
+    * exactness is ever required). `maxBlockSize` is [[minhashLsh]]'s hot-bucket guard on
     * the blocking plane: a block of n docs contributes n(n−1)/2 pairs,
     * so one degenerate key combination (the modal (lang, n_chars) of a
     * templated crawl) turns candidate generation quadratic — blocks
@@ -264,7 +268,7 @@ object Dedup {
         // the corpus subtree is never re-evaluated per cap consumer (the
         // minhashLsh band-table discipline; r13 verdict cap-stage audit)
         val slim = docs.select(col(idCol) +: blockKeys.map(col): _*)
-          .localCheckpoint(true)
+          .barrier()
         val kept = slim.join(
           slim.groupBy(blockKeys.map(col): _*).agg(count(lit(1)).as("_bn"))
             .filter(col("_bn") <= maxBlockSize)
@@ -281,15 +285,30 @@ object Dedup {
   private def verifyJaccard(
       w: DataFrame, idCol: String, cand: DataFrame, threshold: Double,
       sizesOpt: Option[DataFrame] = None): DataFrame = {
-    val sizes = sizesOpt.getOrElse(w.groupBy(col(idCol)).agg(count(lit(1)).as("sz")))
     // shingles cross the intersection join as 60-bit md5 longs, not
     // strings (the prefixFilteredJaccard fingerprint idiom, r14): the
     // (id, shingle) table is the pair plane's dominant shuffle at scale
     // and a fixed 8-byte key more than halves it vs n-gram text; the
-    // hash is computed map-side before the exchange, distinct shingles
-    // stay distinct (60-bit space), so the intersection COUNT — hence
-    // the exact Jaccard — is unchanged
-    val wh = w.select(col(idCol), Selection.md5Long(col("word")).as("_h"))
+    // hash is computed map-side before the exchange. Exactness caveat:
+    // two DISTINCT shingles colliding in the 60-bit space would inflate
+    // `inter` — at ~2⁻⁶⁰ per in-document shingle pair this is
+    // unobservable in practice (a 10⁶-shingle doc carries ~5·10¹¹
+    // pairs, collision odds ~4·10⁻⁷ over the whole doc), and the
+    // least() clamp below bounds the damage to min(n1, n2), but the
+    // Jaccard is "exact" only up to that fingerprint assumption; join
+    // the 128-bit hex digest instead if unconditional exactness is ever
+    // the contract.
+    //
+    // Materialized ONCE (r15, the r14 verdict's q118 residue): without
+    // the barrier the corpus scan + shingle explode + md5 pass runs
+    // once per JOIN SIDE plus once for the sizes aggregate — three
+    // evaluations of the hot subtree where one slim (id, 8-byte h)
+    // table serves all three consumers.
+    val wh = Checkpoints.loopBarrier(
+      w.select(col(idCol), Selection.md5Long(col("word")).as("_h")))
+    // sizes ride the hashed table (rows are 1:1 with w), not a second
+    // pass over the unhashed words
+    val sizes = sizesOpt.getOrElse(wh.groupBy(col(idCol)).agg(count(lit(1)).as("sz")))
     val inter = cand
       .join(wh.select(col(idCol).as("d1"), col("_h").as("wa")), "d1")
       .join(wh.select(col(idCol).as("_d2b"), col("_h").as("wb")),
@@ -299,6 +318,10 @@ object Dedup {
     inter
       .join(sizes.select(col(idCol).as("d1"), col("sz").as("n1")), "d1")
       .join(sizes.select(col(idCol).as("d2"), col("sz").as("n2")), "d2")
+      // clamp: inter ≤ min(n1, n2) holds for true set intersections; a
+      // same-doc 60-bit collision (see above) is the only way to exceed
+      // it, and this guard keeps jaccard ≤ 1 even then
+      .withColumn("inter", least(col("inter"), col("n1"), col("n2")))
       .withColumn("jaccard",
         col("inter").cast("double") / (col("n1") + col("n2") - col("inter")).cast("double"))
       .filter(col("jaccard") >= threshold)
@@ -387,7 +410,7 @@ object Dedup {
         count(lit(1)).as("sz"))
       .withColumn("p",
         (col("sz") - expr(s"(($tNum * sz + ${tDen - 1}) div $tDen)") + 1).cast("int"))
-      .localCheckpoint()
+      .barrier()
     val prefixRaw = ranked
       .select(col(idCol), col("sz"),
         posexplode(expr("slice(hs, 1, p)")).as(Seq("pos0", "h")))
@@ -456,16 +479,22 @@ object Dedup {
     val alphaPair = // ⌈tNum(n1+n2)/(tNum+tDen)⌉: overlap needed to pass
       expr(s"($tNum * (n1 + n2) + ${tNum + tDen - 1}) div ${tNum + tDen}")
     // the surviving pair stream is still candidate-sized. The arrs side
-    // is doc-count-sized with ~sub-KB array payloads: while it fits a
-    // broadcast (≤500k docs ≈ ≤350 MB), broadcast-hash both attach
-    // joins — the candidate stream then never shuffles or sorts at all
-    // (at 50× the alternative SMJ sorted 240M rows through the session
-    // width and spilled); beyond that, ship it through the same
-    // spill-aware width as the pair aggregate. The doc count is one
-    // cheap job over the checkpointed ranked frame — size-based physical
-    // choice AQE can't make itself because the checkpoint hides the
-    // stats.
-    val attachBroadcast = ranked.count() <= 500000L
+    // is doc-count-sized: while it fits a broadcast, broadcast-hash both
+    // attach joins — the candidate stream then never shuffles or sorts
+    // at all (at 50× the alternative SMJ sorted 240M rows through the
+    // session width and spilled); beyond that, ship it through the same
+    // spill-aware width as the pair aggregate. Gated on estimated BYTES,
+    // not rows (r14 advice): the row payload is the full hash array
+    // (8 B × sz), which scales with document LENGTH — 500k long docs of
+    // 2k shingles each is ~8 GB, past Spark's broadcast hard limit and
+    // any driver heap, exactly where the un-forced SMJ path would have
+    // worked. Both aggregates are one cheap job over the checkpointed
+    // ranked frame — size-based physical choice AQE can't make itself
+    // because the checkpoint hides the stats.
+    val attachStats = ranked.agg(
+      count(lit(1)).as("_n"), coalesce(sum(col("sz")), lit(0L)).as("_tot")).head()
+    val attachBroadcast = attachStats.getLong(0) <= 500000L &&
+      attachStats.getLong(1) * 8L + attachStats.getLong(0) * 64L <= 300L * 1024 * 1024
     def attach(c: DataFrame, side: String, hCol: String, nCol: String): DataFrame = {
       val a = arrs.select(col(idCol).as(side), col("hsn").as(hCol), col("sz").as(nCol))
       if (attachBroadcast) c.join(broadcast(a), side)
@@ -839,7 +868,7 @@ object Dedup {
       .join(labels.select(col("id"), col("cluster_id")), Seq("id"), "left")
       .select(col("id"), coalesce(col("cluster_id"), col("id")).as("_root"),
         col("cluster_id").isNotNull.as("_known"))
-      .localCheckpoint(true) // feeds both contracted-edge sides + new-id rows
+      .barrier() // feeds both contracted-edge sides + new-id rows
     // contract: new pairs with both ends replaced by their roots; edges
     // inside one old component contract to self-loops and vanish
     val rootEdges = newPairs
@@ -964,7 +993,7 @@ object Dedup {
     // into the parquet writer)
     val out = (if (writeDelta) updateClusterLabelsDelta(labels, newPairs, maxIters)
                else updateClusterLabels(labels, newPairs, maxIters))
-      .localCheckpoint(true)
+      .barrier()
     // the superseded chain (not just the superseded live generation)
     // survives this swap for in-flight readers; a delta generation also
     // keeps its ancestry alive until a fold supersedes the whole chain
@@ -1013,11 +1042,11 @@ object Dedup {
       maxIters: Int)(pairGen: DataFrame => DataFrame): DataFrame = {
     val keyed = docs
       .select(col(idCol), classFp.as("_fp"))
-      .localCheckpoint(true)
+      .barrier()
     val classes = keyed.filter(col("_fp").isNotNull)
       .groupBy(col("_fp"))
       .agg(min(col(idCol)).as("_rep"), count(lit(1)).as("_cn"))
-      .localCheckpoint(true) // feeds the no-op probe, repDocs, and expansion
+      .barrier() // feeds the no-op probe, repDocs, and expansion
     val repDocs = docs.join(
       classes.select(col("_rep").as(idCol)), Seq(idCol), "left_semi")
     val cc = connectedComponents(pairGen(repDocs).select("d1", "d2"), maxIters)
@@ -1340,7 +1369,7 @@ object Dedup {
     val chunks =
       if (maxBandSize == Int.MaxValue) allChunks
       else {
-        val mat = allChunks.localCheckpoint(true)
+        val mat = allChunks.barrier()
         mat.join(
           mat.groupBy("chunk_idx", "chunk").agg(count(lit(1)).as("_bn"))
             .filter(col("_bn") <= maxBandSize)

@@ -2,6 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
+import graft.operators.Checkpoints.BarrierSyntax
 
 /** Graph analytics over pair tables — the companion to
   * [[Dedup.connectedComponents]] for the similarity/link graphs a curation
@@ -47,7 +48,7 @@ object Graph {
         struct(col("d2").as("src"), col("d1").as("dst")))).as("_e"))
       .select(col("_e.src").as("src"), col("_e.dst").as("dst"))
       .distinct()
-      .localCheckpoint()
+      .barrier()
     val deg = edges.groupBy(col("src").as("id"))
       .agg(count(lit(1)).as("degree"))
     val r0 = deg.withColumn("rank", lit(1000000L))
@@ -89,7 +90,7 @@ object Graph {
     val e0 = pairs
       .select(least(col("d1"), col("d2")).as("a"), greatest(col("d1"), col("d2")).as("b"))
       .filter(col("a") =!= col("b")).distinct()
-      .localCheckpoint()
+      .barrier()
     val deg = e0
       .select(explode(array(col("a"), col("b"))).as("id"))
       .groupBy("id").agg(count(lit(1)).as("degree"))
@@ -146,7 +147,7 @@ object Graph {
         struct(col("d2").as("src"), col("d1").as("dst")))).as("_e"))
       .select(col("_e.src").as("src"), col("_e.dst").as("dst"))
       .distinct()
-      .localCheckpoint()
+      .barrier()
     var nVertices = -1L
     var i = 0
     var done = false
@@ -181,7 +182,7 @@ object Graph {
         struct(col("d2").as("src"), col("d1").as("dst")))).as("_e"))
       .select(col("_e.src").as("src"), col("_e.dst").as("dst"))
       .distinct()
-      .localCheckpoint()
+      .barrier()
     val deg = edges.groupBy(col("src").as("id"))
       .agg(count(lit(1)).as("degree"))
     val ed = edges

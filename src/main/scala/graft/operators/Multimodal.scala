@@ -2,6 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
+import graft.operators.Checkpoints.BarrierSyntax
 import org.apache.spark.sql.types._
 
 /** Multimodal column handling for training-data pipelines (builder
@@ -292,14 +293,14 @@ object Multimodal {
       .withColumn("_fp", fp)
       .filter(col("_fp").isNotNull)
       .select(col(idCol), col("_fp"))
-      .localCheckpoint()
+      .barrier()
     // distinct-fp class table: slim (fp, population) — checkpointed once,
     // it feeds the class gate, both banding sides, and the occupancy cap
     val allClasses = hashed.groupBy("_fp").agg(count(lit(1)).as("_n"))
     val classes =
       (if (maxClassSize == Int.MaxValue) allClasses
        else allClasses.filter(col("_n") <= maxClassSize))
-        .localCheckpoint(true)
+        .barrier()
     val kept =
       if (maxClassSize == Int.MaxValue) hashed
       else hashed.join(classes.select("_fp"), Seq("_fp"), "left_semi")

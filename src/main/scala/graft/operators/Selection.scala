@@ -6,6 +6,7 @@ import java.security.MessageDigest
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import graft.operators.Checkpoints.BarrierSyntax
 
 /** Data-selection operators for training-pipeline curation (builder
   * extension): DSIR-style importance weighting (Xie et al. 2023 — hashed
@@ -807,7 +808,7 @@ object Selection {
       .agg(
         sum(when(col(groupCol) === groupA, 1L).otherwise(0L)).as("_c1"),
         sum(when(col(groupCol) === groupB, 1L).otherwise(0L)).as("_c2"))
-      .localCheckpoint(true)
+      .barrier()
     val nDistinct = per.count()
     require(nDistinct <= maxDistinct,
       s"ksTest: $nDistinct distinct values exceed maxDistinct=$maxDistinct — the " +

@@ -5,6 +5,7 @@ import graft.functions.TopKNearest
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import graft.operators.Checkpoints.BarrierSyntax
 
 /** Similarity search over an embedding column (builder extension).
   *
@@ -577,7 +578,7 @@ object Similarity {
     val bands =
       if (maxBandSize == Int.MaxValue) allBands
       else {
-        val mat = allBands.localCheckpoint(true)
+        val mat = allBands.barrier()
         mat.join(
           mat.groupBy("band_idx", "band").agg(count(lit(1)).as("_bn"))
             .filter(col("_bn") <= maxBandSize)

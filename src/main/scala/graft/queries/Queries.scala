@@ -7,6 +7,7 @@ import graft.sources.Tiled
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import graft.operators.Checkpoints.BarrierSyntax
 import org.apache.spark.sql.types.DecimalType
 
 /** The driver-facing query surface: one entry per SURVEY §2 operator, each
@@ -7070,7 +7071,7 @@ object Queries {
       // corpus is never re-paired for the update
       val pairs = Dedup.ngramJaccard(docs, Seq("lang", "n_chars"),
           maxBlockSize = Dedup.Uncapped)
-        .select("d1", "d2").localCheckpoint(true)
+        .select("d1", "d2").barrier()
       val oldLabels = Dedup.nearDupClusters(
           docs.filter(col("doc_id") % 3 =!= 0).select("doc_id"),
           pairs.filter(col("d1") % 3 =!= 0 && col("d2") % 3 =!= 0))
@@ -7108,7 +7109,7 @@ object Queries {
       if (!new java.io.File(s"$fix/old_labels.parquet/_SUCCESS").exists()) {
         val p = Dedup.ngramJaccard(docs, Seq("lang", "n_chars"),
             maxBlockSize = Dedup.Uncapped)
-          .select("d1", "d2").localCheckpoint(true)
+          .select("d1", "d2").barrier()
         p.write.mode("overwrite").parquet(s"$fix/pairs.parquet")
         Dedup.nearDupClusters(
             docs.filter(col("doc_id") % 3 =!= 0).select("doc_id"),

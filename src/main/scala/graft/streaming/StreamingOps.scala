@@ -4,6 +4,7 @@ import graft.core.AreaDef
 import graft.operators.BucketResampler
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
+import graft.operators.Checkpoints.BarrierSyntax
 
 /** Structured Streaming surface (SURVEY §2.10). The reference is
   * batch-only; these operators extend the engine to incremental swath
@@ -648,7 +649,7 @@ object StreamingOps {
         val spark = batch.sparkSession
         // materialize pairs ONCE: they feed both the emptiness probe and
         // the merge, and must not re-run the probe after the swap
-        val pairs = pairsForBatch(batch).localCheckpoint(true)
+        val pairs = pairsForBatch(batch).barrier()
         if (!pairs.isEmpty)
           graft.operators.Dedup.mergeClusterLabels(spark, labelsDir, pairs,
             delta = delta, maxChain = maxChain)

@@ -68,4 +68,25 @@ class DescribeSpec extends AnyFunSuite {
     assert(AreaDef.canonNum("0.9996") == "0.9996")
     assert(AreaDef.canonNum("m") == "m")
   }
+
+  test("pyFloat mirrors Python repr at both thresholds (r14 advice): plain only in [1e-4, 1e16)") {
+    // inside the plain-decimal window — unchanged behavior
+    assert(AreaDef.pyFloat(20037508.34) == "20037508.34")
+    assert(AreaDef.pyFloat(0.0001) == "0.0001")  // repr(1e-4) = '0.0001'
+    assert(AreaDef.pyFloat(0.0) == "0.0")
+    assert(AreaDef.pyFloat(-5326849.0625) == "-5326849.0625")
+    // below 1e-4: Python switches to exponent notation, two-digit pad
+    assert(AreaDef.pyFloat(1e-10) == "1e-10")    // repr(1e-10)
+    assert(AreaDef.pyFloat(1e-5) == "1e-05")     // repr(1e-5) pads: '1e-05'
+    assert(AreaDef.pyFloat(9.999e-5) == "9.999e-05")
+    assert(AreaDef.pyFloat(-2.5e-7) == "-2.5e-07")
+    // at/above 1e16: positive exponent carries '+'
+    assert(AreaDef.pyFloat(2e16) == "2e+16")     // repr(2e16)
+    assert(AreaDef.pyFloat(1e16) == "1e+16")
+    assert(AreaDef.pyFloat(1.5e23) == "1.5e+23")
+    // the scientific-INPUT normalization path agrees end-to-end
+    assert(AreaDef.canonNum("1e-10") == "1e-10")
+    assert(AreaDef.canonNum("2E16") == "2e+16")
+    assert(AreaDef.canonNum("1.25e-3") == "0.00125")
+  }
 }
