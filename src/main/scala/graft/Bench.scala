@@ -238,6 +238,10 @@ object Bench {
         s""","suite_rerun":{"pass0_px":${"%.4f".formatLocal(java.util.Locale.ROOT, pass1.probeMax)},"pass1_px":${"%.4f".formatLocal(java.util.Locale.ROOT, p2.probeMax)},"shipped":$which}"""
       case None => ""
     }
+    // both-passes-loaded flag (r14 verdict #5): a reader (driver, judge)
+    // should treat the WHOLE artifact as unadjudicated when no quiet
+    // pass existed, instead of decoding that from 30 per-query suspects
+    val runLoaded = BenchSentinel.runLoaded(pass1.suiteSpike, rerun.map(_.suiteSpike))
     def fmt(v: Double): String = "%.4f".formatLocal(java.util.Locale.ROOT, v)
     // contract line uses 2 decimals: at 143+ queries the 3-decimal form
     // (~13.5 chars/query) would overflow the driver's 2000-char stdout
@@ -268,7 +272,7 @@ object Bench {
     // a meaningful regression, every query still contributes to value,
     // and 4-decimal medians for all of them stay on the detail line
     val suspectFull = results.filter(_.suspect).map("\"" + _.name + "\"").mkString("[", ",", "]")
-    println(s"""{"metric":"detail","iters":$iters,"probe_med":${fmt(ps(ps.length / 2))},"probe_max":${fmt(ps.last)},"suspect":$suspectFull,"retried":$retriedJson,"queries_ext":${jmap(identity, _.ext)},"queries_min":${jmap(identity, _.min)},"queries_med_full":${jmap(identity, _.med)}$suiteRerunJson}""")
+    println(s"""{"metric":"detail","iters":$iters,"probe_med":${fmt(ps(ps.length / 2))},"probe_max":${fmt(ps.last)},"suspect":$suspectFull,"retried":$retriedJson,"queries_ext":${jmap(identity, _.ext)},"queries_min":${jmap(identity, _.min)},"queries_med_full":${jmap(identity, _.med)},"run_loaded":${if (runLoaded) 1 else 0}$suiteRerunJson}""")
     def fmt1(v: Double): String = "%.1f".formatLocal(java.util.Locale.ROOT, v)
     def contractLine(nKeep: Int): String = {
       val bySlow = results.sortBy(-_.med)
@@ -282,7 +286,7 @@ object Bench {
       // quiet (never truncated — it is the honesty signal of the line)
       val susp = results.filter(_.suspect)
         .map("\"" + _.name.split("_").head.drop(1) + "\"").mkString("[", ",", "]")
-      s"""{"metric":"total","value":${fmt3(total)},"unit":"sec","queries":$qs,"qtrunc":${dropped.size},"qtmax":${fmt3(qtmax)},"pm":${fmt3(ps(ps.length / 2))},"px":${fmt3(ps.last)},"xx":${fmt3(extMax)},"nr":$flaggedCount,"ss":${if (suiteSpike) 1 else 0},"suspect":$susp,"sf":"$sfName"}"""
+      s"""{"metric":"total","value":${fmt3(total)},"unit":"sec","queries":$qs,"qtrunc":${dropped.size},"qtmax":${fmt3(qtmax)},"pm":${fmt3(ps(ps.length / 2))},"px":${fmt3(ps.last)},"xx":${fmt3(extMax)},"nr":$flaggedCount,"ss":${if (suiteSpike) 1 else 0},"rl":${if (runLoaded) 1 else 0},"suspect":$susp,"sf":"$sfName"}"""
     }
     var nKeep = results.size
     var line = contractLine(nKeep)

@@ -19,6 +19,16 @@ object BenchSentinel {
   /** Short contract-line key of a query name ("q45_bilinear_stere" -> "45"). */
   def shortKey(name: String): String = name.split("_").head.drop(1)
 
+  /** Top-level "this whole artifact is unadjudicated" flag (r14 verdict
+    * "What's wrong #5"): when pass 0's run-level probe spiked AND the
+    * suite-level rerun could not find a quiet window either, per-query
+    * `suspect` marks under-state the problem — every number in the file
+    * was measured under load. `rerunSpike` is None when no rerun was
+    * recorded; with a pass-0 spike that defensively reads as loaded
+    * (the rerun should always fire on a spike). */
+  def runLoaded(pass0Spike: Boolean, rerunSpike: Option[Boolean]): Boolean =
+    pass0Spike && rerunSpike.getOrElse(true)
+
   /** Parse the short-key -> median map (and the sf tag) out of a driver
     * BENCH_r{N}.json archive — the stdout tail holds the contract line;
     * quotes arrive backslash-escaped inside the JSON string. Returns the

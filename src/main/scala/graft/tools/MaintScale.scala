@@ -119,6 +119,89 @@ object MaintScale {
         s""""shuffle_mb_1":${f"${s1 / 1048576.0}%.1f"},"shuffle_mb_$factor":${f"${sN / 1048576.0}%.1f"}}"""
     }
     println(s"""{"metric":"maint_scale","factor":$factor,"batch":$batchSize,${rows.mkString(",")}}""")
+
+    // ---- chain-read cost at chain length K (r15, r14 verdict item 3):
+    // the serving-side read between folds. A fresh label dir gets a full
+    // base + (K−1) tiny delta merges (fresh-id pairs, no fold), then
+    // readClusterLabels().count() is timed — wall must stay ~flat in
+    // corpus size (the broadcast-overlay read never shuffles the base)
+    // and bounded in K.
+    def chainRead(dir: String, tag: String, k: Int): (Double, Long) = {
+      val docs = spark.read.parquet(s"$dir/documents.parquet")
+      val labels = graft.operators.Dedup.exact(docs)
+        .select(col("keep_id").as("id"), col("keep_id").as("cluster_id"))
+      val labDir = java.nio.file.Files.createTempDirectory(s"maintk_${tag}_$k").toString
+      graft.operators.Dedup.writeClusterLabels(labels, labDir)
+      (1 until k).foreach { j =>
+        val a = 10000000000L + 2L * j
+        val p = spark.range(1).select(lit(a).as("d1"), lit(a + 1).as("d2"))
+        graft.operators.Dedup.mergeClusterLabels(spark, labDir, p,
+          delta = true, maxChain = k + 1)
+      }
+      val runs = (1 to iters).map { _ =>
+        spark.catalog.clearCache()
+        timed { graft.operators.Dedup.readClusterLabels(spark, labDir).count(); () }
+      }
+      runs.minBy(_._1)
+    }
+    val readRows = for (k <- Seq(1, 8, 64)) yield {
+      val (t1, s1) = chainRead(base, "base", k)
+      val (tN, sN) = chainRead(big, s"${factor}x", k)
+      val exp = math.log(tN / t1) / math.log(factor)
+      System.err.println(f"[maint] read K=$k%-3d t1=$t1%6.2fs t$factor=$tN%6.2fs exp=$exp%5.2f " +
+        f"sw1=${s1 / 1048576.0}%7.1fMB sw$factor=${sN / 1048576.0}%7.1fMB")
+      s""""read_k$k":{"t1":${f"$t1%.2f"},"t$factor":${f"$tN%.2f"},"exp":${f"$exp%.2f"},""" +
+        s""""shuffle_mb_1":${f"${s1 / 1048576.0}%.1f"},"shuffle_mb_$factor":${f"${sN / 1048576.0}%.1f"}}"""
+    }
+    println(s"""{"metric":"maint_read","factor":$factor,${readRows.mkString(",")}}""")
+
+    // ---- streaming twin at scale (r15, r14 verdict item 5): the
+    // per-micro-batch wall and write volume of
+    // StreamingOps.clusterMaintain(delta = true) over the big corpus,
+    // with a fixed micro-batch cadence. Pairs come from a precomputed
+    // pool keyed by batch index, the realistic "today's ingest" shape.
+    def streamMaint(dir: String, tag: String, nBatches: Int): (Double, Double, Long) = {
+      val docs = spark.read.parquet(s"$dir/documents.parquet")
+      val labels = graft.operators.Dedup.exact(docs)
+        .select(col("keep_id").as("id"), col("keep_id").as("cluster_id"))
+      val labDir = java.nio.file.Files.createTempDirectory(s"maints_$tag").toString
+      graft.operators.Dedup.writeClusterLabels(labels, labDir)
+      import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+      implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+      import spark.implicits._
+      val in = MemoryStream[Long]
+      val q = graft.streaming.StreamingOps.clusterMaintain(
+        in.toDF().withColumnRenamed("value", "batch_id"),
+        labDir, delta = true, maxChain = nBatches + 2) { batch =>
+        // fixed-size synthetic ingest per batch: 20 fresh-id pairs
+        val ids = batch.select(col("batch_id")).collect().map(_.getLong(0))
+        val b = ids.headOption.getOrElse(0L)
+        spark.range(20).select(
+          (lit(20000000000L) + b * 100 + col("id") * 2).as("d1"),
+          (lit(20000000000L) + b * 100 + col("id") * 2 + 1).as("d2"))
+      } { _ => () }
+      val walls = (1 to nBatches).map { i =>
+        val t0 = System.nanoTime()
+        in.addData(i.toLong)
+        q.processAllAvailable()
+        (System.nanoTime() - t0) / 1e9
+      }
+      q.stop()
+      // write volume: total bytes across delta generations (excl. gen 0)
+      val genBytes = Option(new java.io.File(labDir).listFiles()).toSeq.flatten
+        .filter(f => f.getName.startsWith("_graft_gen_") && f.getName != "_graft_gen_00000")
+        .flatMap(d => Option(d.listFiles()).toSeq.flatten)
+        .map(_.length()).sum
+      (walls.sum / walls.length, walls.sorted.apply(walls.length / 2), genBytes)
+    }
+    val (avg1, med1, by1) = streamMaint(base, "base", 5)
+    val (avgN, medN, byN) = streamMaint(big, s"${factor}x", 5)
+    System.err.println(f"[maint] stream_delta base avg=$avg1%5.2fs med=$med1%5.2fs " +
+      f"bytes=${by1 / 1024.0}%9.1fKB | ${factor}x avg=$avgN%5.2fs med=$medN%5.2fs " +
+      f"bytes=${byN / 1024.0}%9.1fKB exp=${math.log(medN / med1) / math.log(factor)}%5.2f")
+    println(s"""{"metric":"maint_stream","factor":$factor,"batches":5,""" +
+      s""""base":{"avg":${f"$avg1%.2f"},"med":${f"$med1%.2f"},"delta_kb":${f"${by1 / 1024.0}%.1f"}},""" +
+      s""""big":{"avg":${f"$avgN%.2f"},"med":${f"$medN%.2f"},"delta_kb":${f"${byN / 1024.0}%.1f"}}}""")
     spark.stop()
   }
 }

@@ -94,4 +94,15 @@ class BenchSentinelSpec extends AnyFunSuite {
       Option(dir.listFiles()).foreach(_.foreach(_.delete())); dir.delete()
     }
   }
+
+  test("run_loaded: set only when pass 0 spiked and the rerun could not find quiet (r14 verdict #5)") {
+    // quiet run, no rerun fired
+    assert(!BenchSentinel.runLoaded(pass0Spike = false, rerunSpike = None))
+    // pass 0 spiked, rerun ran quiet — the artifact is adjudicated
+    assert(!BenchSentinel.runLoaded(pass0Spike = true, rerunSpike = Some(false)))
+    // both passes spiked — the whole artifact is unadjudicated
+    assert(BenchSentinel.runLoaded(pass0Spike = true, rerunSpike = Some(true)))
+    // defensive: a spike with no rerun recorded reads as loaded
+    assert(BenchSentinel.runLoaded(pass0Spike = true, rerunSpike = None))
+  }
 }

@@ -192,4 +192,36 @@ class ClusterMaintainSpec extends SparkSpec {
     assert(pinned.count() === 41L,
       "a reader holding a superseded chain must complete after the fold")
   }
+
+  test("chain reads never shuffle the corpus: base left-joins a broadcast touched-rows overlay (r15, r14 verdict #2)") {
+    val s = spark
+    import s.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("labels_chainread").toString
+    val docs = (1L to 60L).toDF("doc_id")
+    Dedup.writeClusterLabels(
+      Dedup.nearDupClusters(docs, Seq((1L, 2L)).toDF("d1", "d2"))
+        .select(col("doc_id").as("id"), col("cluster_id")), dir)
+    // two delta merges, no fold: one changed row + one brand-new id
+    Dedup.mergeClusterLabels(spark, dir, Seq((3L, 4L)).toDF("d1", "d2"),
+      delta = true, maxChain = 10)
+    Dedup.mergeClusterLabels(spark, dir, Seq((4L, 200L)).toDF("d1", "d2"),
+      delta = true, maxChain = 10)
+    val df = Dedup.readClusterLabels(spark, dir)
+    val got = df.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val expect = Dedup.nearDupClusters(
+        docs.unionByName(Seq(200L).toDF("doc_id")),
+        Seq((1L, 2L), (3L, 4L), (4L, 200L)).toDF("d1", "d2"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(got === expect, "chain read must equal the from-scratch rebuild")
+    // the 100 TB property: the corpus-sized BASE generation is consumed
+    // by a broadcast-overlay left join — the only exchanges in the plan
+    // carry the TOUCHED-rows delta union, never the corpus (the r14
+    // overlay ran union → groupBy(id) → max_by over base + deltas: one
+    // full-corpus shuffle per read, per caller)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"),
+      s"overlay must attach by broadcast:\n${plan.take(1500)}")
+    assert(!plan.contains("SortMergeJoin") && !plan.contains("CartesianProduct"),
+      s"a chain read must not shuffle or cross the corpus:\n${plan.take(1500)}")
+  }
 }
