@@ -7142,6 +7142,55 @@ object Queries {
     },
     q64_neardup_clusters.sql)
 
+  /** Chain-STATE read (r15): q228's lifecycle with `maxChain` high
+    * enough that the two delta merges never fold — the final read is
+    * the live-chain shape a serving-side consumer sees between folds
+    * (base + two touched-rows deltas overlaid via ONE broadcast left
+    * join; the corpus-sized base never shuffles — ClusterMaintainSpec
+    * pins the plan, MaintScale measured 0.0 MB exchange at K=64 and
+    * 50× corpus). Must still be byte-indistinguishable from clustering
+    * the whole corpus from scratch (q64's full-closure oracle,
+    * verbatim). Shares q228's cached "yesterday" fixture. */
+  val q229_chain_read: Q = Q(
+    (s, d) => {
+      val docs = table(s, d, "documents")
+      val fix = s"target/tmp/labels_delta_fix_${new java.io.File(d).getName}_" +
+        srcContentSig(d, "documents.parquet")
+      if (!new java.io.File(s"$fix/old_labels.parquet/_SUCCESS").exists()) {
+        val p = Dedup.ngramJaccard(docs, Seq("lang", "n_chars"),
+            maxBlockSize = Dedup.Uncapped)
+          .select("d1", "d2").barrier()
+        p.write.mode("overwrite").parquet(s"$fix/pairs.parquet")
+        Dedup.nearDupClusters(
+            docs.filter(col("doc_id") % 3 =!= 0).select("doc_id"),
+            p.filter(col("d1") % 3 =!= 0 && col("d2") % 3 =!= 0))
+          .select(col("doc_id").as("id"), col("cluster_id"))
+          .write.mode("overwrite").parquet(s"$fix/old_labels.parquet")
+      }
+      val pairs = s.read.parquet(s"$fix/pairs.parquet")
+      val oldLabels = s.read.parquet(s"$fix/old_labels.parquet")
+      val dir = s"target/tmp/labels_chain_${new java.io.File(d).getName}"
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) f.listFiles().foreach(rm)
+        f.delete(); ()
+      }
+      rm(new java.io.File(dir))
+      Dedup.writeClusterLabels(oldLabels, dir)
+      val newPairs = pairs.filter(col("d1") % 3 === 0 || col("d2") % 3 === 0)
+      for (b <- 0 until 2)
+        Dedup.mergeClusterLabels(s, dir,
+          newPairs.filter(pmod(col("d1") + col("d2"), lit(2)) === b),
+          delta = true, maxChain = 16) // never folds: the read IS the chain
+      docs
+        .join(Dedup.readClusterLabels(s, dir)
+          .withColumnRenamed("id", "doc_id"), Seq("doc_id"), "left")
+        .withColumn("cluster_id", coalesce(col("cluster_id"), col("doc_id")))
+        .withColumn("keep", col("cluster_id") === col("doc_id"))
+        .select("doc_id", "cluster_id", "keep")
+        .orderBy("doc_id")
+    },
+    q64_neardup_clusters.sql)
+
   // -------------------------------------------------------------- registry
 
   val all: Seq[(String, Q)] = Seq(
@@ -7371,5 +7420,6 @@ object Queries {
     "q225_cosine_bandcap" -> q225_cosine_bandcap,
     "q226_minhash_clusters" -> q226_minhash_clusters,
     "q227_incremental_clusters" -> q227_incremental_clusters,
-    "q228_delta_clusters" -> q228_delta_clusters)
+    "q228_delta_clusters" -> q228_delta_clusters,
+    "q229_chain_read" -> q229_chain_read)
 }

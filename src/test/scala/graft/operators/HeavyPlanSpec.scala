@@ -245,6 +245,28 @@ class HeavyPlanSpec extends SparkSpec {
       s"a folded (single-generation) chain must read WITHOUT the overlay aggregate:\n${p.take(1500)}")
   }
 
+  test("q229 chain read: docs + base + two delta scans, overlay never crosses the corpus") {
+    val p = plan(Queries.q229_chain_read)
+    assert(count(p, "CartesianProduct") + count(p, "BroadcastNestedLoopJoin") === 0,
+      s"labels attach by equi-join:\n${p.take(1500)}")
+    // the live-chain read: docs and the corpus-sized BASE generation
+    // scan exactly once; the two TOUCHED-ROWS deltas are scanned twice
+    // (the overlay union feeds both the join side and the new-id append
+    // — KB-sized files, two scans are cheaper than materializing a
+    // barrier inside every serving read), so 1 + 1 + 2×2 = 6 scans.
+    // ClusterMaintainSpec pins the BroadcastHashJoin/no-SortMergeJoin
+    // shape of the bare read; here the outer docs join may
+    // legitimately SMJ.
+    assert(count(p, "Scan parquet") === 6,
+      s"expected docs + base + 2 deltas x2:\n${p.take(1500)}")
+    assert(count(p, "_graft_gen_00000") === 1,
+      s"the corpus-sized base generation must scan exactly ONCE:\n${p.take(1500)}")
+    assert(count(p, "documents.parquet") === 1,
+      s"docs must scan exactly once:\n${p.take(1500)}")
+    assert(count(p, "max_by") >= 1,
+      "the newest-wins overlay aggregates the touched-rows deltas")
+  }
+
   // ---- r14: default-cap stage audit (verdict item 6)
 
   test("default caps add ZERO parquet scans: occupancy reads the checkpointed band/slim tables") {
