@@ -63,13 +63,13 @@ object Checkpoints {
             sc.setCheckpointDir(dir)
             configuredRoot = Some(dir)
           }
-          // space reclamation (r14 advice): reliable checkpoint files are
-          // reclaimed by the ContextCleaner only when
-          // spark.cleaner.referenceTracking.cleanCheckpoints is true — and
-          // that knob is read at CONTEXT START, so it cannot be set here.
-          // A multi-hour loop writes one full table per round; without the
-          // cleaner the root grows O(rounds × table size), unbounded across
-          // invocations. Warn once, loudly.
+          // space reclamation (r14 advice): the iterative loops reap their
+          // own superseded rounds (reapBarrier below), but ONE-SHOT
+          // barriers' files live until their Dataset is GC'd — and the
+          // ContextCleaner removes checkpoint files only when
+          // spark.cleaner.referenceTracking.cleanCheckpoints is true, a
+          // knob read at CONTEXT START that cannot be set here. Warn once,
+          // loudly, so a long-running deployment bounds root growth.
           if (!warnedCleaner && !sc.getConf.getBoolean(
               "spark.cleaner.referenceTracking.cleanCheckpoints", defaultValue = false)) {
             warnedCleaner = true
@@ -81,6 +81,27 @@ object Checkpoints {
         }
         df.checkpoint(eager)
       case None => df.localCheckpoint(eager)
+    }
+
+  /** Best-effort space reclamation for a SUPERSEDED loop-round barrier
+    * (r14 advice): deletes the reliable checkpoint files backing `df`.
+    * No-op in localCheckpoint mode (the ContextCleaner owns those
+    * blocks) and for frames that are not checkpoint results. Only for
+    * frames the loop itself created and has fully replaced — the next
+    * round's EAGER checkpoint is self-contained, so the superseded
+    * round's files can never be read again. Without this, a multi-hour
+    * connectedComponents/kCore run leaks O(rounds × table size) under
+    * the reliable root even with the ContextCleaner enabled (the loop
+    * variable keeps each round's Dataset reachable until the loop
+    * exits). */
+  def reapBarrier(df: DataFrame): Unit =
+    df.queryExecution.analyzed.collectFirst {
+      case lr: org.apache.spark.sql.execution.LogicalRDD => lr.rdd
+    }.flatMap(_.getCheckpointFile).foreach { path =>
+      val p = new org.apache.hadoop.fs.Path(path)
+      val fs = p.getFileSystem(df.sparkSession.sparkContext.hadoopConfiguration)
+      fs.delete(p, true)
+      ()
     }
 
   /** Chain syntax for one-shot materialization barriers:

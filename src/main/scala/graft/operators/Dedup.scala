@@ -122,7 +122,14 @@ object Dedup {
     // numHashes longs + the size), and without the checkpoint the band
     // self-join's two sides plus the sizes lookup each re-run the corpus
     // scan + shingle explode + min-hash aggregation (r11 — measured 6
-    // corpus scans in the q25 plan, 3 after)
+    // corpus scans in the q25 plan, 3 after).
+    // Note the signature pass CANNOT read verifyJaccard's hashed
+    // (id, h) table: the min-hash family is min over md5(word || "#i")
+    // — per-i salted digests of the RAW shingle, not derivable from
+    // md5Long(word) — and that family is the oracle contract (every
+    // cluster-plane DuckDB oracle replays it verbatim). The shared
+    // table the r14 verdict suggested lives where it is derivable:
+    // verify's two join sides + sizes all read one materialized pass.
     val sig = signature(w, idCol, numHashes).barrier()
     val cand = bandCandidates(sig, idCol, numHashes, rowsPerBand, maxBandSize)
     verifyJaccard(w, idCol, cand, threshold,
@@ -626,6 +633,12 @@ object Dedup {
       val s = labelSum(next)
       converged = s == prevSum
       prevSum = s
+      // `next` is eagerly materialized and self-contained: the
+      // superseded round frames (both loop-created) can reclaim their
+      // reliable checkpoint files NOW instead of at loop exit — a
+      // multi-hour run holds at most two live rounds on disk
+      Checkpoints.reapBarrier(oneHop)
+      Checkpoints.reapBarrier(labels)
       labels = next
       i += 1
     }

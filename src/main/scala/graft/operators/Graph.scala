@@ -155,12 +155,19 @@ object Graph {
       val deg = edges.groupBy(col("src").as("id")).agg(count(lit(1)).as("degree"))
       val keep = Checkpoints.loopBarrier(deg.filter(col("degree") >= k))
       val n = keep.count()
-      if (n == nVertices) { done = true } // fixpoint: last filter changed nothing
-      else {
+      if (n == nVertices) {
+        Checkpoints.reapBarrier(keep) // loop-owned, result reads edges only
+        done = true // fixpoint: last filter changed nothing
+      } else {
         nVertices = n
-        edges = Checkpoints.loopBarrier(edges
+        val nextEdges = Checkpoints.loopBarrier(edges
           .join(keep.select(col("id").as("src")), "src", "left_semi")
           .join(keep.select(col("id").as("dst")), "dst", "left_semi"))
+        // nextEdges is eager and self-contained — reclaim the superseded
+        // round's reliable checkpoint files now (bounded-disk loop)
+        Checkpoints.reapBarrier(keep)
+        Checkpoints.reapBarrier(edges)
+        edges = nextEdges
         i += 1
       }
     }

@@ -99,4 +99,43 @@ class ReliableCheckpointSpec extends SparkSpec {
       Checkpoints.resetConfiguredRootForTests()
     }
   }
+
+  test("reapBarrier reclaims superseded round files; loops stay disk-bounded across rounds (r14 advice)") {
+    val s = spark
+    import s.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_reliable_reap").toString
+    def rddDirs(): Set[String] = {
+      def walk(f: java.io.File): Seq[java.io.File] =
+        if (f.isDirectory) f +: Option(f.listFiles()).toSeq.flatten.flatMap(walk) else Seq(f)
+      walk(new java.io.File(dir)).filter(f => f.isDirectory && f.getName.startsWith("rdd-"))
+        .map(_.getAbsolutePath).toSet
+    }
+    spark.conf.set(Checkpoints.ConfKey, dir)
+    try {
+      val a = Checkpoints.loopBarrier(Seq((1L, 2L)).toDF("x", "y"))
+      val b = Checkpoints.loopBarrier(Seq((3L, 4L)).toDF("x", "y"))
+      assert(rddDirs().size === 2)
+      Checkpoints.reapBarrier(a)
+      assert(rddDirs().size === 1, "only the reaped barrier's files may vanish")
+      assert(b.collect().map(r => (r.getLong(0), r.getLong(1))).toSeq === Seq((3L, 4L)),
+        "the surviving barrier must stay readable")
+      // reaping a non-checkpoint frame is a safe no-op
+      Checkpoints.reapBarrier(Seq((9L, 9L)).toDF("x", "y"))
+      assert(rddDirs().size === 1)
+      // a multi-round loop leaves exactly ONE live round on disk (the
+      // returned labels), however many rounds it ran — without reaping
+      // this grows O(rounds) (init + 2 barriers per round)
+      val before = rddDirs()
+      val chain = (1L to 9L).sliding(2).map(w => (w(0), w(1))).toSeq.toDF("d1", "d2")
+      val labels = Dedup.connectedComponents(chain)
+      assert(labels.select(max(col("cluster_id"))).head().getLong(0) === 1L,
+        "8-edge chain collapses to one component")
+      val added = rddDirs() -- before
+      assert(added.size === 1,
+        s"a reaping loop must leave exactly the final round's files, got ${added.size}")
+    } finally {
+      spark.conf.unset(Checkpoints.ConfKey)
+      Checkpoints.resetConfiguredRootForTests()
+    }
+  }
 }
