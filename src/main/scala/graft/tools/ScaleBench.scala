@@ -56,7 +56,7 @@ object ScaleBench {
       "q219_lsh_bandcap", "q220_index_delete",
       "q221_image_dup_classes", "q222_fp_capped", "q223_ivf_range_indexed", "q224_fp_index", "q225_cosine_bandcap",
       "q226_minhash_clusters", "q227_incremental_clusters",
-      "q228_delta_clusters")
+      "q228_delta_clusters", "q229_chain_read")
   // q100_margin_mine is deliberately NOT in the default sweep: both its
   // sides scale with embeddings, so the exact cross join is O(100x) at a
   // 10x blow-up — the measured quadratic is recorded once in SCALING.md
