@@ -149,4 +149,57 @@ class DedupPropertySpec extends SparkSpec {
       }
     }
   }
+
+  test("random delta-merge sequences: chain reads == from-scratch rebuild at every step (r15 overlay)") {
+    val s = spark
+    import s.implicits._
+    // driver-side union-find oracle (min-id labels over all pairs so far)
+    def rebuild(ids: Set[Long], pairs: Seq[(Long, Long)]): Map[Long, Long] = {
+      val parent = scala.collection.mutable.Map[Long, Long]()
+      def find(x: Long): Long = {
+        val p = parent.getOrElse(x, x)
+        if (p == x) x else { val r = find(p); parent(x) = r; r }
+      }
+      def union(a: Long, b: Long): Unit = {
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) { val m = math.min(ra, rb); parent(math.max(ra, rb)) = m }
+        ()
+      }
+      pairs.foreach { case (a, b) => union(a, b) }
+      (ids ++ pairs.flatMap(p => Seq(p._1, p._2))).map(x => x -> find(x)).toMap
+    }
+    for (seed <- Seq(7L, 31L)) {
+      val rnd = new scala.util.Random(seed)
+      val baseIds = (1L to 50L).toSet
+      val basePairs = Seq.fill(8)((rnd.nextInt(50) + 1L, rnd.nextInt(50) + 1L))
+        .filter(p => p._1 != p._2)
+      val dir = java.nio.file.Files.createTempDirectory(s"labels_prop_$seed").toString
+      Dedup.writeClusterLabels(
+        Dedup.nearDupClusters(baseIds.toSeq.toDF("doc_id"), basePairs.toDF("d1", "d2"))
+          .select(col("doc_id").as("id"), col("cluster_id")), dir)
+      var allPairs = basePairs
+      val maxChain = 2 + rnd.nextInt(5) // folds happen mid-sequence too
+      for (step <- 1 to 6) {
+        // batch mixes: old-old merges, old-new, new-new (fresh ids)
+        val batch = Seq.fill(1 + rnd.nextInt(3)) {
+          val a = if (rnd.nextBoolean()) rnd.nextInt(50) + 1L
+                  else 1000L + rnd.nextInt(20) * 2L + step * 100L
+          val b = if (rnd.nextBoolean()) rnd.nextInt(50) + 1L
+                  else 1000L + rnd.nextInt(20) * 2L + 1L + step * 100L
+          (a, b)
+        }.filter(p => p._1 != p._2)
+        if (batch.nonEmpty) {
+          Dedup.mergeClusterLabels(spark, dir, batch.toDF("d1", "d2"),
+            delta = true, maxChain = maxChain)
+          allPairs ++= batch
+        }
+        val got = Dedup.readClusterLabels(spark, dir)
+          .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+        val want = rebuild(baseIds, allPairs)
+        assert(got === want,
+          s"seed=$seed step=$step maxChain=$maxChain: " +
+            s"diff=${(got.toSet -- want.toSet).take(3)} / ${(want.toSet -- got.toSet).take(3)}")
+      }
+    }
+  }
 }
