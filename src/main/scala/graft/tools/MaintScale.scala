@@ -2,6 +2,7 @@ package graft.tools
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import graft.operators.Checkpoints.BarrierSyntax
 
 /** 50× measurement of the INCREMENTAL cluster-maintenance plane (r14,
   * verdict item 5): holds the ingest batch size FIXED while the old
@@ -70,15 +71,15 @@ object MaintScale {
       // ONE pair pass over the full corpus, split old/ingest (the q227
       // shape) — setup for the measurement, shared by every iteration
       val pairs = graft.operators.Dedup.ngramJaccard(docs, Seq("lang", "n_chars"))
-        .select("d1", "d2").localCheckpoint(true)
+        .select("d1", "d2").barrier()
       val inB = (c: org.apache.spark.sql.Column) => c.isInCollection(batchIds)
       val oldPairs = pairs.filter(!inB(col("d1")) && !inB(col("d2")))
       val newPairs = pairs.filter(inB(col("d1")) || inB(col("d2")))
-        .localCheckpoint(true)
+        .barrier()
       val oldLabels = graft.operators.Dedup.nearDupClusters(
           docs.filter(!isBatch).select("doc_id"), oldPairs)
         .select(col("doc_id").as("id"), col("cluster_id"))
-        .localCheckpoint(true)
+        .barrier()
       val nNew = newPairs.count()
       System.err.println(s"[maint] $tag: ${oldLabels.count()} old labels, $nNew ingest pairs")
 
