@@ -26,12 +26,18 @@ import org.apache.spark.sql.DataFrame
 object Checkpoints {
   val ConfKey = "spark.graft.reliableCheckpointDir"
 
-  // the configured root we last passed to setCheckpointDir — the
-  // resolved checkpoint dir is root/<uuid> and may be URI-qualified, so
-  // comparing against the raw conf value is the only reliable "already
-  // set" test (a prefix test against the resolved path misfires on
-  // scheme qualification and would mint a fresh UUID dir per barrier)
-  @volatile private var configuredRoot: Option[String] = None
+  // (owning applicationId, root) we last passed to setCheckpointDir —
+  // the resolved checkpoint dir is root/<uuid> and may be URI-qualified,
+  // so comparing against the raw conf value is the only reliable
+  // "already set" test (a prefix test against the resolved path misfires
+  // on scheme qualification and would mint a fresh UUID dir per
+  // barrier). The owner id scopes the contract to ONE SparkContext
+  // (r15 advice): applicationId is minted per context, so after the
+  // recorded owner stops and a new context starts in the same JVM
+  // (sequential jobs, notebook restarts), a mismatch means no live
+  // conflict exists and the stale record must not reject the new job's
+  // first barrier.
+  @volatile private var configuredRoot: Option[(String, String)] = None
   @volatile private var warnedCleaner = false
 
   /** Tests only: forget the configured root so a later suite can use a
@@ -41,11 +47,25 @@ object Checkpoints {
   private[graft] def resetConfiguredRootForTests(): Unit =
     synchronized { configuredRoot = None }
 
+  /** Tests only: plant a fake owner so the stale-context reset path is
+    * testable without stopping the shared test SparkContext. */
+  private[graft] def plantConfiguredRootForTests(appId: String, root: String): Unit =
+    synchronized { configuredRoot = Some((appId, root)) }
+
   def loopBarrier(df: DataFrame, eager: Boolean = true): DataFrame =
     df.sparkSession.conf.getOption(ConfKey).filter(_.nonEmpty) match {
       case Some(dir) =>
         val sc = df.sparkSession.sparkContext
         synchronized {
+          // stale-owner reset (r15 advice): the record belongs to the
+          // context that set it. A different applicationId means that
+          // context is gone (one active context per JVM) — drop the
+          // record and re-arm the cleaner warning, since the new
+          // context's conf may differ.
+          if (configuredRoot.exists(_._1 != sc.applicationId)) {
+            configuredRoot = None
+            warnedCleaner = false
+          }
           // ONE reliable root per SparkContext (r14 advice): the
           // checkpoint dir is SparkContext-scoped while this conf key is
           // session-scoped, and `df.checkpoint` runs outside this lock —
@@ -54,14 +74,14 @@ object Checkpoints {
           // the OTHER job's root, whose cleanup then silently destroys
           // live checkpoint data. Fail loudly on a conflicting value
           // instead of racing.
-          require(configuredRoot.forall(_ == dir),
+          require(configuredRoot.forall(_._2 == dir),
             s"$ConfKey=$dir conflicts with the reliable root already configured " +
-              s"for this SparkContext (${configuredRoot.getOrElse("")}): the " +
+              s"for this SparkContext (${configuredRoot.map(_._2).getOrElse("")}): the " +
               "checkpoint dir is SparkContext-scoped — one reliable root per " +
               "context, for the lifetime of the context")
           if (configuredRoot.isEmpty || sc.getCheckpointDir.isEmpty) {
             sc.setCheckpointDir(dir)
-            configuredRoot = Some(dir)
+            configuredRoot = Some((sc.applicationId, dir))
           }
           // space reclamation (r14 advice): the iterative loops reap their
           // own superseded rounds (reapBarrier below), but ONE-SHOT
@@ -79,9 +99,48 @@ object Checkpoints {
               "Enable it in SparkConf at context start to bound checkpoint-dir growth.")
           }
         }
-        df.checkpoint(eager)
+        val out = df.checkpoint(eager)
+        // record for an enclosing reapScope (if any): the scope owner
+        // reaps every barrier its body created once the body's result is
+        // fully externalized
+        Option(activeScope.get()).foreach(_.add(out))
+        out
       case None => df.localCheckpoint(eager)
     }
+
+  // barriers created while a scope is active on this thread — see
+  // reapScope. Thread-local: an operator body (including a streaming
+  // foreachBatch body) runs on one thread, and eager checkpoints block
+  // on that thread, so registration is race-free.
+  private val activeScope = new ThreadLocal[java.util.ArrayList[DataFrame]]()
+
+  /** Run `body`, then reap EVERY reliable barrier it created on this
+    * thread (r15 advice: without this, each `mergeClusterLabels` call —
+    * hence each micro-batch of a long-running
+    * `StreamingOps.clusterMaintain` — leaks its internal barriers under
+    * the reliable root until the Dataset is GC'd, and forever when
+    * `spark.cleaner.referenceTracking.cleanCheckpoints` is off).
+    *
+    * ONLY for bodies whose result is fully externalized before
+    * returning (written to parquet, collected to the driver): no frame
+    * created inside may ever be read again, because its checkpoint
+    * files are gone when this returns. Nested scopes compose (the inner
+    * scope reaps its own barriers first; re-reaping is a no-op), and a
+    * body that throws still has its orphaned barriers reclaimed.
+    * No-op shaping in localCheckpoint mode: nothing registers. */
+  def reapScope[T](body: => T): T = {
+    val saved = activeScope.get()
+    val buf = new java.util.ArrayList[DataFrame]()
+    activeScope.set(buf)
+    try body
+    finally {
+      activeScope.set(saved)
+      buf.forEach { df =>
+        try reapBarrier(df)
+        catch { case scala.util.control.NonFatal(_) => () } // best-effort
+      }
+    }
+  }
 
   /** Best-effort space reclamation for a SUPERSEDED loop-round barrier
     * (r14 advice): deletes the reliable checkpoint files backing `df`.
@@ -93,15 +152,25 @@ object Checkpoints {
     * connectedComponents/kCore run leaks O(rounds × table size) under
     * the reliable root even with the ContextCleaner enabled (the loop
     * variable keeps each round's Dataset reachable until the loop
-    * exits). */
+    * exits).
+    *
+    * Enforced no-op for DERIVED frames (r15 advice): only a frame whose
+    * analyzed plan ROOT is the checkpoint's own `LogicalRDD` — i.e. the
+    * exact Dataset a barrier returned — is reaped. A frame merely built
+    * on top of a live barrier (`barrier.select(...)`) contains that
+    * LogicalRDD deeper in its plan, and reaping it would delete the
+    * LIVE checkpoint's files out from under every other consumer; such
+    * frames now no-op instead of relying on call-site discipline. */
   def reapBarrier(df: DataFrame): Unit =
-    df.queryExecution.analyzed.collectFirst {
-      case lr: org.apache.spark.sql.execution.LogicalRDD => lr.rdd
-    }.flatMap(_.getCheckpointFile).foreach { path =>
-      val p = new org.apache.hadoop.fs.Path(path)
-      val fs = p.getFileSystem(df.sparkSession.sparkContext.hadoopConfiguration)
-      fs.delete(p, true)
-      ()
+    df.queryExecution.analyzed match {
+      case lr: org.apache.spark.sql.execution.LogicalRDD =>
+        lr.rdd.getCheckpointFile.foreach { path =>
+          val p = new org.apache.hadoop.fs.Path(path)
+          val fs = p.getFileSystem(df.sparkSession.sparkContext.hadoopConfiguration)
+          fs.delete(p, true)
+          ()
+        }
+      case _ => () // derived or non-checkpoint frame: never reap upstream
     }
 
   /** Chain syntax for one-shot materialization barriers:

@@ -1053,23 +1053,32 @@ object Dedup {
     require(IndexMaintenance.hasManifest(spark, dir),
       s"mergeClusterLabels: $dir must carry the manifest layout — build it with writeClusterLabels")
     require(maxChain >= 1, "maxChain must be positive")
-    val chain = labelChain(spark, dir)
-    val labels = readClusterLabels(spark, dir)
-    val writeDelta = delta && chain.lengthCompare(maxChain) < 0
-    // materialize BEFORE the generation write: the update plan reads the
-    // CURRENT live chain, and an eager checkpoint pins that read to
-    // this side of the swap (and avoids re-running the propagation loop
-    // into the parquet writer)
-    val out = (if (writeDelta) updateClusterLabelsDeltaFlagged(labels, newPairs, maxIters)
-               else updateClusterLabels(labels, newPairs, maxIters))
-      .barrier()
-    // the superseded chain (not just the superseded live generation)
-    // survives this swap for in-flight readers; a delta generation also
-    // keeps its ancestry alive until a fold supersedes the whole chain
-    IndexMaintenance.rebuild(spark, dir, alsoKeep = chain.toSet) { gen =>
-      out.write.parquet(gen)
-      if (writeDelta)
-        IndexMaintenance.writeParamsSidecar(spark, gen, LabelParentFile, chain.head)
+    // the merge's result is fully externalized (the generation parquet +
+    // manifest swap) before this returns, so every barrier the body
+    // creates — the root lookup, the contracted propagation's rounds,
+    // the pre-swap materialization — is transient: reap them all on the
+    // way out (r15 advice: a long-running clusterMaintain stream
+    // otherwise grows the reliable root per micro-batch, unboundedly
+    // when the ContextCleaner's cleanCheckpoints is off)
+    Checkpoints.reapScope {
+      val chain = labelChain(spark, dir)
+      val labels = readClusterLabels(spark, dir)
+      val writeDelta = delta && chain.lengthCompare(maxChain) < 0
+      // materialize BEFORE the generation write: the update plan reads the
+      // CURRENT live chain, and an eager checkpoint pins that read to
+      // this side of the swap (and avoids re-running the propagation loop
+      // into the parquet writer)
+      val out = (if (writeDelta) updateClusterLabelsDeltaFlagged(labels, newPairs, maxIters)
+                 else updateClusterLabels(labels, newPairs, maxIters))
+        .barrier()
+      // the superseded chain (not just the superseded live generation)
+      // survives this swap for in-flight readers; a delta generation also
+      // keeps its ancestry alive until a fold supersedes the whole chain
+      IndexMaintenance.rebuild(spark, dir, alsoKeep = chain.toSet) { gen =>
+        out.write.parquet(gen)
+        if (writeDelta)
+          IndexMaintenance.writeParamsSidecar(spark, gen, LabelParentFile, chain.head)
+      }
     }
   }
 

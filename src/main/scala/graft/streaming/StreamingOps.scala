@@ -653,6 +653,13 @@ object StreamingOps {
         if (!pairs.isEmpty)
           graft.operators.Dedup.mergeClusterLabels(spark, labelsDir, pairs,
             delta = delta, maxChain = maxChain)
+        // the merge fully consumed the eager checkpoint — reclaim its
+        // reliable files NOW (r15 advice: the merge reap-scopes its own
+        // internals, so with this the stream's per-batch reliable-root
+        // growth is exactly zero; without it a long-running stream leaks
+        // one checkpoint per micro-batch unless the ContextCleaner's
+        // cleanCheckpoints was enabled at context start)
+        graft.operators.Checkpoints.reapBarrier(pairs)
         sink(graft.operators.Dedup.readClusterLabels(spark, labelsDir))
       }
       .start()

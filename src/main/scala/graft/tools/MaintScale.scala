@@ -50,6 +50,18 @@ object MaintScale {
         shuffleBytes.addAndGet(sc.stageInfo.taskMetrics.shuffleWriteMetrics.bytesWritten)
     })
 
+    // every label dir this tool mints is scratch: delete it as soon as
+    // its timed reads complete (r15 advice — at factor 50 each holds a
+    // corpus-sized base generation, and repeated runs otherwise
+    // accumulate full-corpus parquet copies in /tmp)
+    def deleteRec(dir: String): Unit = {
+      def walk(f: java.io.File): Unit = {
+        Option(f.listFiles()).toSeq.flatten.foreach(walk)
+        f.delete(); ()
+      }
+      walk(new java.io.File(dir))
+    }
+
     def timed(body: => Unit): (Double, Long) = {
       Thread.sleep(300)
       val sw0 = shuffleBytes.get()
@@ -91,17 +103,21 @@ object MaintScale {
         // persisted plane: fresh dir per iteration so every merge does
         // identical work (build gen0, merge writes gen1)
         val labDir = java.nio.file.Files.createTempDirectory(s"maint_${tag}_$i").toString
-        graft.operators.Dedup.writeClusterLabels(oldLabels, labDir)
-        val mrg = timed {
-          graft.operators.Dedup.mergeClusterLabels(spark, labDir, newPairs); ()
-        }
+        val mrg = try {
+          graft.operators.Dedup.writeClusterLabels(oldLabels, labDir)
+          timed {
+            graft.operators.Dedup.mergeClusterLabels(spark, labDir, newPairs); ()
+          }
+        } finally deleteRec(labDir)
         // delta mode (r14): same merge, only the touched rows written
         val deltaDir = java.nio.file.Files.createTempDirectory(s"maintd_${tag}_$i").toString
-        graft.operators.Dedup.writeClusterLabels(oldLabels, deltaDir)
-        val dlt = timed {
-          graft.operators.Dedup.mergeClusterLabels(spark, deltaDir, newPairs,
-            delta = true); ()
-        }
+        val dlt = try {
+          graft.operators.Dedup.writeClusterLabels(oldLabels, deltaDir)
+          timed {
+            graft.operators.Dedup.mergeClusterLabels(spark, deltaDir, newPairs,
+              delta = true); ()
+          }
+        } finally deleteRec(deltaDir)
         (upd, mrg, dlt)
       }
       Map("update" -> runs.map(_._1).minBy(_._1),
@@ -132,18 +148,20 @@ object MaintScale {
       val labels = graft.operators.Dedup.exact(docs)
         .select(col("keep_id").as("id"), col("keep_id").as("cluster_id"))
       val labDir = java.nio.file.Files.createTempDirectory(s"maintk_${tag}_$k").toString
-      graft.operators.Dedup.writeClusterLabels(labels, labDir)
-      (1 until k).foreach { j =>
-        val a = 10000000000L + 2L * j
-        val p = spark.range(1).select(lit(a).as("d1"), lit(a + 1).as("d2"))
-        graft.operators.Dedup.mergeClusterLabels(spark, labDir, p,
-          delta = true, maxChain = k + 1)
-      }
-      val runs = (1 to iters).map { _ =>
-        spark.catalog.clearCache()
-        timed { graft.operators.Dedup.readClusterLabels(spark, labDir).count(); () }
-      }
-      runs.minBy(_._1)
+      try {
+        graft.operators.Dedup.writeClusterLabels(labels, labDir)
+        (1 until k).foreach { j =>
+          val a = 10000000000L + 2L * j
+          val p = spark.range(1).select(lit(a).as("d1"), lit(a + 1).as("d2"))
+          graft.operators.Dedup.mergeClusterLabels(spark, labDir, p,
+            delta = true, maxChain = k + 1)
+        }
+        val runs = (1 to iters).map { _ =>
+          spark.catalog.clearCache()
+          timed { graft.operators.Dedup.readClusterLabels(spark, labDir).count(); () }
+        }
+        runs.minBy(_._1)
+      } finally deleteRec(labDir)
     }
     val readRows = for (k <- Seq(1, 8, 64)) yield {
       val (t1, s1) = chainRead(base, "base", k)
@@ -166,6 +184,7 @@ object MaintScale {
       val labels = graft.operators.Dedup.exact(docs)
         .select(col("keep_id").as("id"), col("keep_id").as("cluster_id"))
       val labDir = java.nio.file.Files.createTempDirectory(s"maints_$tag").toString
+      try {
       graft.operators.Dedup.writeClusterLabels(labels, labDir)
       import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
       implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
@@ -194,6 +213,7 @@ object MaintScale {
         .flatMap(d => Option(d.listFiles()).toSeq.flatten)
         .map(_.length()).sum
       (walls.sum / walls.length, walls.sorted.apply(walls.length / 2), genBytes)
+      } finally deleteRec(labDir)
     }
     val (avg1, med1, by1) = streamMaint(base, "base", 5)
     val (avgN, medN, byN) = streamMaint(big, s"${factor}x", 5)

@@ -81,13 +81,18 @@ class ReliableCheckpointSpec extends SparkSpec {
       val nAfterLsh = files(new java.io.File(dir)).size
       assert(nAfterLsh > 0,
         "minhashLsh's one-shot barriers must write under the reliable root")
-      // mergeClusterLabels: root lookup + pre-swap materialization reliable
+      // mergeClusterLabels: root lookup + pre-swap materialization route
+      // through the reliable dir but are TRANSIENT (r15): the merge's
+      // result is fully externalized to the generation parquet before it
+      // returns, so its reap-scope reclaims every internal barrier —
+      // zero net growth under the root (the reapScope test below pins
+      // the during/after routing directly)
       Dedup.mergeClusterLabels(spark, labDir, Seq((3L, 4L)).toDF("d1", "d2"))
       val merged = Dedup.readClusterLabels(spark, labDir)
         .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
       assert(merged === Map(1L -> 1L, 2L -> 1L, 3L -> 3L, 4L -> 3L, 5L -> 5L))
-      assert(files(new java.io.File(dir)).size > nAfterLsh,
-        "mergeClusterLabels' barriers must write under the reliable root")
+      assert(files(new java.io.File(dir)).size === nAfterLsh,
+        "mergeClusterLabels must reclaim its transient barriers before returning")
       // conflicting root fails loudly (one root per SparkContext)
       spark.conf.set(Checkpoints.ConfKey, dir + "_other")
       val ex = intercept[IllegalArgumentException] {
@@ -122,6 +127,14 @@ class ReliableCheckpointSpec extends SparkSpec {
       // reaping a non-checkpoint frame is a safe no-op
       Checkpoints.reapBarrier(Seq((9L, 9L)).toDF("x", "y"))
       assert(rddDirs().size === 1)
+      // ENFORCED no-op for derived frames (r15 advice): a frame merely
+      // built on top of a live barrier must never reap that barrier's
+      // files out from under its other consumers
+      Checkpoints.reapBarrier(b.select(col("x")))
+      Checkpoints.reapBarrier(b.filter(col("x") > 0))
+      assert(rddDirs().size === 1,
+        "reaping a frame DERIVED from a live barrier must not delete its files")
+      assert(b.collect().map(r => (r.getLong(0), r.getLong(1))).toSeq === Seq((3L, 4L)))
       // a multi-round loop leaves exactly ONE live round on disk (the
       // returned labels), however many rounds it ran — without reaping
       // this grows O(rounds) (init + 2 barriers per round)
@@ -133,6 +146,121 @@ class ReliableCheckpointSpec extends SparkSpec {
       val added = rddDirs() -- before
       assert(added.size === 1,
         s"a reaping loop must leave exactly the final round's files, got ${added.size}")
+    } finally {
+      spark.conf.unset(Checkpoints.ConfKey)
+      Checkpoints.resetConfiguredRootForTests()
+    }
+  }
+
+  test("reapScope: barriers inside the scope route to the reliable root, live through the body, and are reclaimed at scope end (r15 advice)") {
+    val s = spark
+    import s.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_reliable_scope").toString
+    def rddDirs(): Int = {
+      def walk(f: java.io.File): Seq[java.io.File] =
+        if (f.isDirectory) f +: Option(f.listFiles()).toSeq.flatten.flatMap(walk) else Seq(f)
+      walk(new java.io.File(dir)).count(f => f.isDirectory && f.getName.startsWith("rdd-"))
+    }
+    spark.conf.set(Checkpoints.ConfKey, dir)
+    try {
+      var during = -1
+      var collected: Seq[(Long, Long)] = Nil
+      Checkpoints.reapScope {
+        val x = Checkpoints.loopBarrier(Seq((1L, 2L)).toDF("x", "y"))
+        val y = Checkpoints.loopBarrier(Seq((3L, 4L)).toDF("x", "y"))
+        during = rddDirs()
+        collected = x.unionByName(y).collect()
+          .map(r => (r.getLong(0), r.getLong(1))).toSeq.sorted
+      }
+      assert(during === 2, "scope barriers must write under the reliable root")
+      assert(rddDirs() === 0, "scope end must reclaim every barrier it created")
+      assert(collected === Seq((1L, 2L), (3L, 4L)))
+      // a body that throws still has its orphaned barriers reclaimed
+      intercept[RuntimeException] {
+        Checkpoints.reapScope {
+          Checkpoints.loopBarrier(Seq((5L, 6L)).toDF("x", "y"))
+          throw new RuntimeException("boom")
+        }
+      }
+      assert(rddDirs() === 0, "a throwing body must not orphan its barriers")
+      // barriers created OUTSIDE any scope are untouched (one-shot
+      // semantics unchanged): only reapBarrier/ContextCleaner reclaim
+      val z = Checkpoints.loopBarrier(Seq((7L, 8L)).toDF("x", "y"))
+      assert(rddDirs() === 1)
+      Checkpoints.reapBarrier(z)
+      assert(rddDirs() === 0)
+    } finally {
+      spark.conf.unset(Checkpoints.ConfKey)
+      Checkpoints.resetConfiguredRootForTests()
+    }
+  }
+
+  test("one root per SparkContext, not per JVM (r15 advice): a stale record from a stopped context never rejects the next context's first barrier") {
+    val s = spark
+    import s.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_reliable_owner").toString
+    // simulate the sequential-jobs / notebook-restart shape: a PRIOR
+    // context (different applicationId, now stopped) recorded a
+    // different root in this JVM
+    Checkpoints.plantConfiguredRootForTests("app-that-stopped", dir + "_stale")
+    spark.conf.set(Checkpoints.ConfKey, dir)
+    try {
+      // must NOT throw: the recorded owner is not the live context, so
+      // no live conflict exists — the stale record is discarded
+      val a = Checkpoints.loopBarrier(Seq((1L, 2L)).toDF("x", "y"))
+      assert(a.collect().map(r => (r.getLong(0), r.getLong(1))).toSeq === Seq((1L, 2L)))
+      // and the LIVE context now owns `dir`: a conflicting root on the
+      // same context still fails loudly (the r14 contract, unchanged)
+      spark.conf.set(Checkpoints.ConfKey, dir + "_other")
+      val ex = intercept[IllegalArgumentException] {
+        Checkpoints.loopBarrier(Seq((3L, 4L)).toDF("x", "y"))
+      }
+      assert(ex.getMessage.contains("one reliable root per"))
+    } finally {
+      spark.conf.unset(Checkpoints.ConfKey)
+      Checkpoints.resetConfiguredRootForTests()
+    }
+  }
+
+  test("reapScope + per-batch reap: a clusterMaintain stream's reliable-root growth is exactly ZERO per micro-batch (r15 advice)") {
+    val s = spark
+    import s.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sq = s.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("graft_reliable_stream").toString
+    val labDir = java.nio.file.Files.createTempDirectory("graft_reliable_stream_lab").toString
+    Dedup.writeClusterLabels(
+      (1L to 6L).toDF("id").withColumn("cluster_id", col("id")), labDir)
+    def rddDirs(): Int = {
+      def walk(f: java.io.File): Seq[java.io.File] =
+        if (f.isDirectory) f +: Option(f.listFiles()).toSeq.flatten.flatMap(walk) else Seq(f)
+      walk(new java.io.File(dir)).count(f => f.isDirectory && f.getName.startsWith("rdd-"))
+    }
+    spark.conf.set(Checkpoints.ConfKey, dir)
+    try {
+      val counts = scala.collection.mutable.Buffer.empty[Int]
+      val mem = MemoryStream[Long]
+      val q = graft.streaming.StreamingOps.clusterMaintain(
+        mem.toDF.toDF("doc_id"), labDir, delta = true, maxChain = 10) { b =>
+        // fresh-id pairs per batch (the MaintScale streaming-twin shape)
+        b.select(col("doc_id").as("d1"), (col("doc_id") + 1000).as("d2"))
+      } { _ => () }
+      try {
+        (1 to 3).foreach { i =>
+          mem.addData(100L * i)
+          q.processAllAvailable()
+          counts += rddDirs()
+        }
+      } finally q.stop()
+      // the pairs barrier is reaped per batch and the merge reap-scopes
+      // every internal barrier (root lookup, propagation rounds,
+      // pre-swap materialization): nothing survives a batch
+      assert(counts.toList === List(0, 0, 0),
+        s"per-batch reliable checkpoints must all be reclaimed, got $counts")
+      // and the merges actually happened
+      val live = Dedup.readClusterLabels(spark, labDir)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(live(1100L) === 100L && live(1200L) === 200L && live(1300L) === 300L)
     } finally {
       spark.conf.unset(Checkpoints.ConfKey)
       Checkpoints.resetConfiguredRootForTests()
