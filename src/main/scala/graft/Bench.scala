@@ -272,7 +272,8 @@ object Bench {
     // a meaningful regression, every query still contributes to value,
     // and 4-decimal medians for all of them stay on the detail line
     val suspectFull = results.filter(_.suspect).map("\"" + _.name + "\"").mkString("[", ",", "]")
-    println(s"""{"metric":"detail","iters":$iters,"probe_med":${fmt(ps(ps.length / 2))},"probe_max":${fmt(ps.last)},"suspect":$suspectFull,"retried":$retriedJson,"queries_ext":${jmap(identity, _.ext)},"queries_min":${jmap(identity, _.min)},"queries_med_full":${jmap(identity, _.med)},"run_loaded":${if (runLoaded) 1 else 0}$suiteRerunJson}""")
+    val detailLine = s"""{"metric":"detail","iters":$iters,"probe_med":${fmt(ps(ps.length / 2))},"probe_max":${fmt(ps.last)},"suspect":$suspectFull,"retried":$retriedJson,"queries_ext":${jmap(identity, _.ext)},"queries_min":${jmap(identity, _.min)},"queries_med_full":${jmap(identity, _.med)},"run_loaded":${if (runLoaded) 1 else 0}$suiteRerunJson}"""
+    println(detailLine)
     def fmt1(v: Double): String = "%.1f".formatLocal(java.util.Locale.ROOT, v)
     def contractLine(nKeep: Int): String = {
       val bySlow = results.sortBy(-_.med)
@@ -295,6 +296,17 @@ object Bench {
       line = contractLine(nKeep)
     }
     println(line)
+    // machine-readable artifact sink (r15 verdict blemish: quiet
+    // re-measurements lived only in SCALING.md prose): SPARK_GRAFT_BENCH_OUT
+    // writes the detail line plus the UNTRUNCATED contract line (a file
+    // has no 2000-char stdout-tail limit) to the named path, so an
+    // adjudicated quiet run ships as a checked-in JSONL artifact instead
+    // of prose
+    sys.env.get("SPARK_GRAFT_BENCH_OUT").filter(_.nonEmpty).foreach { path =>
+      java.nio.file.Files.write(java.nio.file.Paths.get(path),
+        (detailLine + "\n" + contractLine(results.size) + "\n").getBytes("UTF-8"))
+      System.err.println(s"[bench] wrote $path")
+    }
     spark.stop()
   }
 }

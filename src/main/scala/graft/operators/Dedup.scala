@@ -592,6 +592,20 @@ object Dedup {
     * cluster-durable multi-hour loops) so round N doesn't replay rounds
     * 1..N-1.
     *
+    * Small-graph fast path (r16): when the symmetrized edge table fits
+    * the driver comfortably (≤ `spark.graft.cc.localThreshold` directed
+    * rows, default 200k), the closure is solved as a driver-local
+    * union-find instead of the distributed loop — one cached count +
+    * one collect instead of O(log diameter) rounds of 3-4 Spark jobs
+    * each. This is the batch-maintenance shape: [[updateRemap]]'s
+    * CONTRACTED graph is O(|ingest batch|) by design at any corpus
+    * size, so every incremental merge (and every
+    * `StreamingOps.clusterMaintain` micro-batch) rides it, while a
+    * corpus-scale closure blows past the gate and runs the unchanged
+    * distributed loop — the same size-adaptive strategy switch as AQE's
+    * broadcast-join conversion. Set the threshold to 0 to force the
+    * distributed path.
+    *
     * Returns (id, cluster_id) for every vertex that appears in a pair. */
   def connectedComponents(pairs: DataFrame, maxIters: Int = 20): DataFrame = {
     // symmetrize via explode, not union: a union's two branches would
@@ -604,6 +618,25 @@ object Dedup {
       .select(col("_e.src").as("src"), col("_e.dst").as("dst"))
       .distinct()
       .persist()
+    val localMax = pairs.sparkSession.conf
+      .getOption("spark.graft.cc.localThreshold").map(_.toLong).getOrElse(200000L)
+    // gate on the PERSISTED edge count, never a probe of the raw pair
+    // plan: the count materializes the cache the loop would build
+    // anyway, so a large graph pays one cached count, not a second
+    // evaluation of a possibly-expensive upstream pair generator.
+    // Long-id schema only — the local solve must not change the result
+    // schema for exotic id types.
+    if (localMax > 0 &&
+        edges.schema.fields.forall(_.dataType == org.apache.spark.sql.types.LongType) &&
+        edges.count() <= localMax) {
+      localUnionFind(edges) match {
+        case Some(out) =>
+          edges.unpersist()
+          return out
+        case None => () // null ids present: the distributed loop's
+        // null-key join semantics are the contract — fall through
+      }
+    }
     var labels = Checkpoints.loopBarrier(
       edges.select(col("src").as("id")).distinct()
         .withColumn("label", col("id")))
@@ -653,6 +686,51 @@ object Dedup {
           "labels are an upper bound — raise maxIters for longer chains")
     }
     labels.select(col("id"), col("label").as("cluster_id"))
+  }
+
+  /** Driver-local transitive closure for a small symmetrized edge table
+    * (the [[connectedComponents]] fast path): one collect, then
+    * union-find with union-by-min-root + path compression, so the final
+    * root of every set IS the component's minimum id — bit-identical
+    * labels to the distributed min-propagation loop. Returns None when
+    * any id is null (the distributed loop's null-join semantics — null
+    * never matches, the vertex keeps a null label — are the contract,
+    * and a driver map keyed by Long can't represent them). */
+  private def localUnionFind(edges: DataFrame): Option[DataFrame] = {
+    val spark = edges.sparkSession
+    val rows = edges.collect()
+    if (rows.exists(r => r.isNullAt(0) || r.isNullAt(1))) return None
+    val parent = new java.util.HashMap[Long, Long](rows.length * 2)
+    def find(x: Long): Long = {
+      var r = x
+      while (parent.get(r) != r) r = parent.get(r)
+      // path compression: point every node on the walk straight at the root
+      var c = x
+      while (c != r) { val nxt = parent.get(c); parent.put(c, r); c = nxt }
+      r
+    }
+    rows.foreach { r =>
+      val a = r.getLong(0); val b = r.getLong(1)
+      parent.putIfAbsent(a, a)
+      parent.putIfAbsent(b, b)
+      val ra = find(a); val rb = find(b)
+      // min root wins: after all unions, every set's root is its min id
+      if (ra < rb) parent.put(rb, ra)
+      else if (rb < ra) parent.put(ra, rb)
+    }
+    val out = new scala.collection.mutable.ArrayBuffer[org.apache.spark.sql.Row](parent.size)
+    parent.keySet().forEach(id => out += org.apache.spark.sql.Row(id.longValue(), find(id)))
+    // same schema (names, LongType, nullability) as the distributed
+    // loop's result so downstream plans and written parquet are
+    // indistinguishable: `id` inherits the symmetrized edge column's
+    // nullability, `cluster_id` is nullable (the loop's min-aggregate
+    // makes it so)
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("id", org.apache.spark.sql.types.LongType,
+        nullable = edges.schema.head.nullable),
+      org.apache.spark.sql.types.StructField("cluster_id", org.apache.spark.sql.types.LongType)))
+    Some(spark.createDataFrame(
+      spark.sparkContext.parallelize(out.toSeq, 1), schema))
   }
 
   /** Cluster-canonical near-dup policy: every doc tagged with its

@@ -104,7 +104,11 @@ object IndexMaintenance {
   /** Atomically (re)point `<root>/_graft_manifest` at `genName`: write a
     * temp file, then FileContext rename with OVERWRITE — atomic on HDFS
     * and on posix local filesystems, so a reader sees either the old or
-    * the new generation name, never a partial file and never no file. */
+    * the new generation name, never a partial file and never no file.
+    * (Local-fs caveat: the checksummed LocalFileSystem renames the
+    * `.crc` sidecar as a SECOND step, so a racing read can throw
+    * ChecksumException for a few microseconds — [[readSmall]] absorbs
+    * that with a bounded retry; the data file itself is never torn.) */
   private def writeManifest(spark: SparkSession, root: Path, genName: String): Unit = {
     val fs = fileSystem(spark, root.toString)
     val tmp = new Path(root, ManifestFile + ".tmp")
@@ -116,9 +120,30 @@ object IndexMaintenance {
       org.apache.hadoop.fs.Options.Rename.OVERWRITE)
   }
 
+  /** Read a tiny control file (manifest / sidecar) whole. Retries
+    * ChecksumException: on Hadoop's checksummed LOCAL filesystem a
+    * rename moves the data file and its `.crc` sidecar in two steps, so
+    * a reader racing [[writeManifest]]'s atomic swap can transiently
+    * observe new data under the old checksum (r16 — surfaced as a
+    * once-per-hundreds flake in ManifestSwapSpec's compaction race).
+    * HDFS keeps checksums server-side and has no such window; locally
+    * the pair settles within the writer's next instruction, so a short
+    * bounded retry restores the "old or new, never torn" contract. */
   private def readSmall(fs: org.apache.hadoop.fs.FileSystem, p: Path): String = {
-    val in = fs.open(p)
-    try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim finally in.close()
+    var attempt = 0
+    while (true) {
+      try {
+        val in = fs.open(p)
+        try return scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim
+        finally in.close()
+      } catch {
+        case e: org.apache.hadoop.fs.ChecksumException =>
+          attempt += 1
+          if (attempt >= 8) throw e
+          Thread.sleep(5L * attempt)
+      }
+    }
+    throw new IllegalStateException("unreachable")
   }
 
   /** Write a one-line parameter sidecar `<dir>/<name>` (the

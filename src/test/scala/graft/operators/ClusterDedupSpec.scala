@@ -92,4 +92,43 @@ class ClusterDedupSpec extends SparkSpec {
       (1L, 1L, false), (2L, 1L, true), (3L, 1L, false),
       (4L, 4L, true), (5L, 4L, false), (6L, 6L, true)))
   }
+
+  test("small-graph fast path ≡ distributed loop: identical labels and schema on a random graph (r16)") {
+    val s = spark
+    import s.implicits._
+    // deterministic pseudo-random graph: mixes chains, cliques, isolated
+    // pairs, sparse ids, and both edge orders
+    val rnd = new scala.util.Random(42)
+    val pairs = (Seq.tabulate(400) { _ =>
+      (rnd.nextLong(5000), rnd.nextLong(5000))
+    }.filter { case (a, b) => a != b } ++
+      (900L until 950L).map(i => (i + 1, i)) // 50-long reversed chain
+    ).toDF("d1", "d2")
+    val local = Dedup.connectedComponents(pairs) // default threshold: local path
+    spark.conf.set("spark.graft.cc.localThreshold", "0")
+    try {
+      val dist = Dedup.connectedComponents(pairs)
+      assert(local.schema === dist.schema, "fast path must not change the result schema")
+      val lm = local.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val dm = dist.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(lm === dm, "driver union-find must be bit-identical to the distributed loop")
+      assert(lm.nonEmpty)
+      // min-id invariant holds on the local path too
+      lm.groupBy(_._2).foreach { case (label, members) =>
+        assert(members.keys.min === label, s"label $label must be its component's min id")
+      }
+    } finally spark.conf.unset("spark.graft.cc.localThreshold")
+  }
+
+  test("fast path gate: null ids fall through to the distributed loop's null semantics") {
+    val s = spark
+    import s.implicits._
+    val pairs = Seq((Some(1L), Some(2L)), (None, Some(3L))).toDF("d1", "d2")
+    val out = Dedup.connectedComponents(pairs)
+    val m = out.collect().map(r => (if (r.isNullAt(0)) None else Some(r.getLong(0))) ->
+      (if (r.isNullAt(1)) None else Some(r.getLong(1)))).toMap
+    // 1-2 still resolves; the null-keyed edge behaves exactly as the
+    // distributed join path dictates (null never matches an equi-join)
+    assert(m(Some(1L)) === Some(1L) && m(Some(2L)) === Some(1L))
+  }
 }

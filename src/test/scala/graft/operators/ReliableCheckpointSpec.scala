@@ -18,6 +18,9 @@ class ReliableCheckpointSpec extends SparkSpec {
     val s = spark
     import s.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft_reliable_cp").toString
+    // force the distributed loop: this spec pins the LOOP's barrier
+    // routing, which the small-graph driver-local fast path would skip
+    spark.conf.set("spark.graft.cc.localThreshold", "0")
     val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L), (20L, 21L), (21L, 22L), (22L, 20L))
       .toDF("d1", "d2")
     val baseline = Dedup.connectedComponents(pairs)
@@ -43,6 +46,7 @@ class ReliableCheckpointSpec extends SparkSpec {
         "reliable mode must write checkpoint files under the configured dir")
     } finally {
       spark.conf.unset(Checkpoints.ConfKey)
+      spark.conf.unset("spark.graft.cc.localThreshold")
       Checkpoints.resetConfiguredRootForTests()
     }
 
@@ -93,7 +97,9 @@ class ReliableCheckpointSpec extends SparkSpec {
       assert(merged === Map(1L -> 1L, 2L -> 1L, 3L -> 3L, 4L -> 3L, 5L -> 5L))
       assert(files(new java.io.File(dir)).size === nAfterLsh,
         "mergeClusterLabels must reclaim its transient barriers before returning")
-      // conflicting root fails loudly (one root per SparkContext)
+      // conflicting root fails loudly (one root per SparkContext) —
+      // force the distributed loop so CC actually reaches a barrier
+      spark.conf.set("spark.graft.cc.localThreshold", "0")
       spark.conf.set(Checkpoints.ConfKey, dir + "_other")
       val ex = intercept[IllegalArgumentException] {
         Dedup.connectedComponents(Seq((1L, 2L)).toDF("d1", "d2")).collect()
@@ -101,6 +107,7 @@ class ReliableCheckpointSpec extends SparkSpec {
       assert(ex.getMessage.contains("one reliable root per"))
     } finally {
       spark.conf.unset(Checkpoints.ConfKey)
+      spark.conf.unset("spark.graft.cc.localThreshold")
       Checkpoints.resetConfiguredRootForTests()
     }
   }
@@ -140,6 +147,7 @@ class ReliableCheckpointSpec extends SparkSpec {
       // this grows O(rounds) (init + 2 barriers per round)
       val before = rddDirs()
       val chain = (1L to 9L).sliding(2).map(w => (w(0), w(1))).toSeq.toDF("d1", "d2")
+      spark.conf.set("spark.graft.cc.localThreshold", "0") // pin the LOOP's reaping
       val labels = Dedup.connectedComponents(chain)
       assert(labels.select(max(col("cluster_id"))).head().getLong(0) === 1L,
         "8-edge chain collapses to one component")
@@ -148,6 +156,7 @@ class ReliableCheckpointSpec extends SparkSpec {
         s"a reaping loop must leave exactly the final round's files, got ${added.size}")
     } finally {
       spark.conf.unset(Checkpoints.ConfKey)
+      spark.conf.unset("spark.graft.cc.localThreshold")
       Checkpoints.resetConfiguredRootForTests()
     }
   }
