@@ -148,6 +148,22 @@ object Graph {
       .select(col("_e.src").as("src"), col("_e.dst").as("dst"))
       .distinct()
       .barrier()
+    // small-graph fast path (r16, the [[Dedup.connectedComponents]]
+    // adaptive switch, same `spark.graft.cc.localThreshold` gate): a
+    // peel below the threshold solves on the driver in one collect —
+    // round-synchronous, so labels AND the maxIters truncation behave
+    // exactly like the distributed loop. The count reads the barrier
+    // the loop would materialize anyway.
+    val localMax = pairs.sparkSession.conf
+      .getOption("spark.graft.cc.localThreshold").map(_.toLong).getOrElse(200000L)
+    if (localMax > 0 &&
+        edges.schema.fields.forall(_.dataType == org.apache.spark.sql.types.LongType) &&
+        edges.count() <= localMax) {
+      localKCore(edges, k, maxIters) match {
+        case Some(out) => return out
+        case None => () // null ids: distributed join semantics are the contract
+      }
+    }
     var nVertices = -1L
     var i = 0
     var done = false
@@ -172,6 +188,56 @@ object Graph {
       }
     }
     edges.groupBy(col("src").as("id")).agg(count(lit(1)).as("core_degree"))
+  }
+
+  /** Driver-local k-core peel for a small symmetrized edge table — the
+    * [[kCore]] fast path. ROUND-synchronous like the distributed loop
+    * (each round removes every vertex whose CURRENT degree < k at
+    * once, at most `maxIters` rounds), so a maxIters-truncated result
+    * is also bit-identical. Returns None when any id is null. */
+  private def localKCore(edges: DataFrame, k: Int, maxIters: Int): Option[DataFrame] = {
+    val spark = edges.sparkSession
+    val rows = edges.collect()
+    if (rows.exists(r => r.isNullAt(0) || r.isNullAt(1))) return None
+    // adjacency over the DIRECTED (symmetrized) rows: degree of v = its
+    // out-list length, exactly the distributed groupBy("src") count
+    val adj = new java.util.HashMap[Long, java.util.ArrayList[Long]]()
+    rows.foreach { r =>
+      adj.computeIfAbsent(r.getLong(0), _ => new java.util.ArrayList[Long]()).add(r.getLong(1))
+    }
+    val alive = new java.util.HashSet[Long](adj.keySet())
+    def degree(v: Long): Int = {
+      var d = 0
+      val it = adj.get(v).iterator()
+      while (it.hasNext) if (alive.contains(it.next())) d += 1
+      d
+    }
+    var i = 0
+    var done = false
+    var nVertices = -1L
+    while (!done && i < maxIters) {
+      val keep = new java.util.ArrayList[Long]()
+      alive.forEach(v => if (degree(v) >= k) keep.add(v))
+      if (keep.size().toLong == nVertices) done = true
+      else {
+        nVertices = keep.size().toLong
+        alive.clear(); keep.forEach(v => { alive.add(v); () })
+        i += 1
+      }
+    }
+    val out = new scala.collection.mutable.ArrayBuffer[org.apache.spark.sql.Row]()
+    alive.forEach { v =>
+      val d = degree(v)
+      if (d > 0) out += org.apache.spark.sql.Row(v.longValue(), d.toLong)
+    }
+    // distributed twin: groupBy(src).count over surviving edges — a
+    // survivor with zero surviving edges has no row there either
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("id", org.apache.spark.sql.types.LongType,
+        nullable = edges.schema.head.nullable),
+      org.apache.spark.sql.types.StructField("core_degree", org.apache.spark.sql.types.LongType,
+        nullable = false)))
+    Some(spark.createDataFrame(spark.sparkContext.parallelize(out.toSeq, 1), schema))
   }
 
   /** Degree assortativity of an undirected graph: the Pearson correlation

@@ -81,6 +81,30 @@ class GraphSpec extends SparkSpec {
     assert(Graph.kCore(g, k = 1).count() == 5)
   }
 
+  test("kCore small-graph fast path ≡ distributed loop (incl. maxIters truncation)") {
+    val s = spark
+    import s.implicits._
+    // deterministic random graph + a long pendant chain off a clique so
+    // the peel needs many cascading rounds
+    val rnd = new scala.util.Random(7)
+    val clique = for (a <- 0L to 4L; b <- (a + 1) to 4L) yield (a, b)
+    val chain = (4L until 40L).map(i => (i, i + 1))
+    val noise = Seq.tabulate(150)(_ => (rnd.nextLong(60), rnd.nextLong(60)))
+      .filter { case (a, b) => a != b }
+    val g = (clique ++ chain ++ noise).toDF("d1", "d2")
+    for (k <- Seq(1, 2, 3); mi <- Seq(2, 50)) { // mi=2 pins truncation parity
+      val localR = Graph.kCore(g, k, maxIters = mi)
+      spark.conf.set("spark.graft.cc.localThreshold", "0")
+      val distR =
+        try Graph.kCore(g, k, maxIters = mi)
+        finally spark.conf.unset("spark.graft.cc.localThreshold")
+      assert(localR.schema === distR.schema, s"schema parity (k=$k, maxIters=$mi)")
+      val lm = localR.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val dm = distR.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(lm === dm, s"fast path must match the distributed peel (k=$k, maxIters=$mi)")
+    }
+  }
+
   test("assortativity: star graph is exactly -1, regular graph undefined") {
     // star 1-{2,3,4}: every directed edge pairs degree 3 with degree 1
     val out = Graph.assortativity(Seq((1L, 2L), (1L, 3L), (1L, 4L)).toDF("d1", "d2")).head()
