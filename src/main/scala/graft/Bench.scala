@@ -71,10 +71,20 @@ object Bench {
     // Its dispersion makes external machine load visible IN the artifact —
     // r5's driver run benched under concurrent load and four healthy
     // queries read as 3-4x regressions with nothing in the JSON to say why.
+    // MIN of two back-to-back samples (r16): the probe estimates machine
+    // CAPACITY, and a single sample is at the mercy of one GC pause from
+    // the preceding query's garbage — r16's quiet full run showed 0.28 s
+    // blips (4.3× the 0.08 s probe median) with measured external CPU
+    // 0.00 across BOTH suite passes, flagging the whole artifact loaded
+    // on GC luck. Sustained co-tenant load still trips the sentinel: it
+    // slows both samples, min included.
     def probeSec(): Double = {
-      val t0 = System.nanoTime()
-      spark.range(4000000L).selectExpr("sum(id)").collect()
-      (System.nanoTime() - t0) / 1e9
+      def one(): Double = {
+        val t0 = System.nanoTime()
+        spark.range(4000000L).selectExpr("sum(id)").collect()
+        (System.nanoTime() - t0) / 1e9
+      }
+      math.min(one(), one())
     }
     probeSec() // compile/warm the probe itself before sampling
     // within-query external-load sampler: system minus process CPU share,

@@ -3,6 +3,7 @@ package graft.operators
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import graft.operators.Checkpoints.BarrierSyntax
 
 /** BM25 full-text retrieval over a document corpus (builder extension —
   * the classic inverted-index ranking function, Robertson & Zaragoza 2009,
@@ -101,10 +102,15 @@ object Retrieval {
     * retrieval where thousands of queries rank against the corpus at
     * once. The inverted index is the (doc, term, tf) table itself:
     *
-    *   - corpus side: one explode → (doc, term, tf) aggregate that also
-    *     carries `dl` (constant per doc, rides the grouping key); per-term
-    *     `df` via a term-partitioned WINDOW over that same table — the
-    *     q70 discipline, one corpus pass, no second aggregate;
+    *   - corpus side: one explode, semi-join-pruned to the QUERIED
+    *     vocabulary (df per term is invariant under dropping other
+    *     terms' rows, so pruning before tf/df/scoring is
+    *     result-identical — only queried postings are ever aggregated
+    *     or scored; broadcast when the measured term-set bytes allow),
+    *     then the (doc, term, tf) aggregate that also carries `dl`
+    *     (constant per doc, rides the grouping key); per-term `df` via a
+    *     term-partitioned WINDOW over that same table — the q70
+    *     discipline, one corpus pass, no second aggregate;
     *   - corpus scalars (N, avgdl): a one-row column-pruned aggregate
     *     broadcast into the scoring join (the second, cheap scan);
     *   - query side: distinct (qid, term) — duplicate query words score
@@ -133,18 +139,34 @@ object Retrieval {
       idCol: String = "doc_id",
       qidCol: String = "qid"): DataFrame = {
     Similarity.requireIntegralId(corpus, idCol, "bm25Batch")
-    val ct = corpus
+    val qt = queries
+      .select(col(qidCol), explode(split(col(textCol), " ")).as("term"))
+      .distinct()
+    // query-vocabulary pruning (r16): postings for terms NO query asks
+    // about never contribute — they die in the inner scoring join — yet
+    // they dominated the tf aggregate, the df window, and the
+    // transcendental scoring pass (the corpus vocabulary vs the queried
+    // one). df per term is a count WITHIN the term, invariant under
+    // dropping other terms' rows, so semi-joining the exploded corpus
+    // down to queried terms BEFORE tf/df/scoring is result-identical —
+    // the standard inverted-index discipline of touching only queried
+    // postings. Deliberately UNHINTED and UNMATERIALIZED: AQE broadcasts
+    // the term set when its runtime size allows and keeps the shuffle
+    // semi-join for genuinely huge query batches — a paired A/B showed
+    // every forced form (eager qt barrier, persisted qt, gated
+    // broadcast) COSTS 0.2-0.6 s here in serial driver jobs, while the
+    // plain declarative semi-join folds into the existing DAG.
+    val qTerms = qt.select("term").distinct()
+    val ct0 = corpus
       .select(col(idCol), size(split(col(textCol), " ")).cast("long").as("dl"),
         explode(split(col(textCol), " ")).as("term"))
+    val ct = ct0.join(qTerms, Seq("term"), "left_semi")
       .groupBy(col(idCol), col("dl"), col("term"))
       .agg(count(lit(1)).as("tf"))
       .withColumn("df", count(lit(1)).over(Window.partitionBy("term")))
     val stats = corpus.agg(
       count(lit(1)).as("n_docs"),
       sum(size(split(col(textCol), " ")).cast("long")).as("sum_dl"))
-    val qt = queries
-      .select(col(qidCol), explode(split(col(textCol), " ")).as("term"))
-      .distinct()
     val avgdl = col("sum_dl").cast("double") / col("n_docs")
     val idf = round(log(lit(1.0) +
       (col("n_docs").cast("double") - col("df") + lit(0.5)) / (col("df") + lit(0.5))), 6)
