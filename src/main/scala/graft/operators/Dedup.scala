@@ -594,7 +594,8 @@ object Dedup {
     *
     * Small-graph fast path (r16): when the symmetrized edge table fits
     * the driver comfortably (≤ `spark.graft.cc.localThreshold` directed
-    * rows, default 200k), the closure is solved as a driver-local
+    * rows, default 1M — the measured crossover on local[32] is past 4M,
+    * see SCALING "Small-graph fast path"), the closure is solved as a driver-local
     * union-find instead of the distributed loop — one cached count +
     * one collect instead of O(log diameter) rounds of 3-4 Spark jobs
     * each. This is the batch-maintenance shape: [[updateRemap]]'s
@@ -619,7 +620,7 @@ object Dedup {
       .distinct()
       .persist()
     val localMax = pairs.sparkSession.conf
-      .getOption("spark.graft.cc.localThreshold").map(_.toLong).getOrElse(200000L)
+      .getOption("spark.graft.cc.localThreshold").map(_.toLong).getOrElse(1000000L)
     // gate on the PERSISTED edge count, never a probe of the raw pair
     // plan: the count materializes the cache the loop would build
     // anyway, so a large graph pays one cached count, not a second

@@ -155,7 +155,7 @@ object Graph {
     // exactly like the distributed loop. The count reads the barrier
     // the loop would materialize anyway.
     val localMax = pairs.sparkSession.conf
-      .getOption("spark.graft.cc.localThreshold").map(_.toLong).getOrElse(200000L)
+      .getOption("spark.graft.cc.localThreshold").map(_.toLong).getOrElse(1000000L)
     if (localMax > 0 &&
         edges.schema.fields.forall(_.dataType == org.apache.spark.sql.types.LongType) &&
         edges.count() <= localMax) {
