@@ -49,20 +49,82 @@ object Graph {
       .select(col("_e.src").as("src"), col("_e.dst").as("dst"))
       .distinct()
       .barrier()
-    val deg = edges.groupBy(col("src").as("id"))
-      .agg(count(lit(1)).as("degree"))
-    val r0 = deg.withColumn("rank", lit(1000000L))
-    (1 to iters).foldLeft(r0) { (r, _) =>
-      val contrib = edges
-        .join(r.select(col("id").as("src"), expr("rank div degree").as("_c")), "src")
-        .groupBy(col("dst").as("id"))
-        .agg(sum(col("_c")).as("_in"))
-      // every node has degree >= 1, so the contrib join always rebuilds
-      // the full node set; inner join back to deg re-attaches the degree
-      deg.join(contrib, "id")
-        .withColumn("rank", lit(150000L) + expr("(85 * _in) div 100"))
-        .select(col("id"), col("degree"), col("rank"))
+    def distributed(): DataFrame = {
+      val deg = edges.groupBy(col("src").as("id"))
+        .agg(count(lit(1)).as("degree"))
+      val r0 = deg.withColumn("rank", lit(1000000L))
+      (1 to iters).foldLeft(r0) { (r, _) =>
+        val contrib = edges
+          .join(r.select(col("id").as("src"), expr("rank div degree").as("_c")), "src")
+          .groupBy(col("dst").as("id"))
+          .agg(sum(col("_c")).as("_in"))
+        // every node has degree >= 1, so the contrib join always rebuilds
+        // the full node set; inner join back to deg re-attaches the degree
+        deg.join(contrib, "id")
+          .withColumn("rank", lit(150000L) + expr("(85 * _in) div 100"))
+          .select(col("id"), col("degree"), col("rank"))
+      }
     }
+    // small-graph fast path (r16, the CC/kCore adaptive switch): the
+    // 3-round integer recurrence is a driver loop over the collected
+    // edge list. Integer sums are order-free, so the micro-unit ranks
+    // are bit-identical; the result schema is TAKEN from the
+    // distributed plan (analysis only, nothing executes), so parity is
+    // by construction.
+    if (smallGraph(edges)) {
+      localLongRows(edges).foreach { rows =>
+        val adj = adjacency(rows)
+        val rank = new java.util.HashMap[Long, Long]()
+        adj.keySet().forEach(v => { rank.put(v, 1000000L); () })
+        (1 to iters).foreach { _ =>
+          val in = new java.util.HashMap[Long, Long]()
+          adj.forEach { (u, dsts) =>
+            val c = rank.get(u) / dsts.size() // rank div degree, once per node
+            dsts.forEach(v => { in.merge(v, c, (a, b) => a + b); () })
+          }
+          adj.keySet().forEach(v =>
+            { rank.put(v, 150000L + (85L * in.get(v)) / 100L); () })
+        }
+        val out = new scala.collection.mutable.ArrayBuffer[org.apache.spark.sql.Row](adj.size)
+        adj.forEach((v, dsts) => out += org.apache.spark.sql.Row(v, dsts.size().toLong, rank.get(v)))
+        return edges.sparkSession.createDataFrame(
+          edges.sparkSession.sparkContext.parallelize(out.toSeq, 1), distributed().schema)
+      }
+    }
+    distributed()
+  }
+
+  // ------------------- small-graph fast-path plumbing (r16)
+
+  /** Gate shared by every graph operator's driver-local twin: LongType
+    * columns only and at most `spark.graft.cc.localThreshold` rows
+    * (default 1M — see SCALING "Small-graph fast path" for the measured
+    * crossover). The count reads the barrier/persisted table the
+    * distributed plan was about to materialize anyway. */
+  private def smallGraph(edges: DataFrame, cap: Long = Long.MaxValue): Boolean = {
+    val localMax = math.min(edges.sparkSession.conf
+      .getOption("spark.graft.cc.localThreshold").map(_.toLong).getOrElse(1000000L), cap)
+    localMax > 0 &&
+      edges.schema.fields.forall(_.dataType == org.apache.spark.sql.types.LongType) &&
+      edges.count() <= localMax
+  }
+
+  /** Collected rows, or None when any value is null (the distributed
+    * null-join semantics are the contract and a Long map can't hold
+    * them). */
+  private def localLongRows(df: DataFrame): Option[Array[org.apache.spark.sql.Row]] = {
+    val rows = df.collect()
+    if (rows.exists(r => (0 until r.length).exists(r.isNullAt))) None else Some(rows)
+  }
+
+  /** src -> dst list over directed (symmetrized) 2-column rows. */
+  private def adjacency(
+      rows: Array[org.apache.spark.sql.Row]): java.util.HashMap[Long, java.util.ArrayList[Long]] = {
+    val adj = new java.util.HashMap[Long, java.util.ArrayList[Long]]()
+    rows.foreach { r =>
+      adj.computeIfAbsent(r.getLong(0), _ => new java.util.ArrayList[Long]()).add(r.getLong(1))
+    }
+    adj
   }
 
   /** Exact triangle counts + local clustering coefficient per vertex —
@@ -91,6 +153,66 @@ object Graph {
       .select(least(col("d1"), col("d2")).as("a"), greatest(col("d1"), col("d2")).as("b"))
       .filter(col("a") =!= col("b")).distinct()
       .barrier()
+    // small-graph fast path (r16): same orientation + wedge-closure
+    // algorithm on the driver. Capped tighter than the shared threshold
+    // because the wedge count is O(m^1.5) (the orientation's bound),
+    // not O(m) — 200k edges is ~10^8 wedge checks worst-case,
+    // single-threaded-comfortable; past that the distributed self-join
+    // spreads exactly that work across the cluster.
+    if (smallGraph(e0, cap = 200000L)) {
+      localLongRows(e0).foreach { rows =>
+        val deg = new java.util.HashMap[Long, Long]()
+        rows.foreach { r =>
+          deg.merge(r.getLong(0), 1L, (x, y) => x + y)
+          deg.merge(r.getLong(1), 1L, (x, y) => x + y)
+        }
+        // orient each edge from its (degree, id)-smaller endpoint; out
+        // lists sorted by the wedge order key (dd, dst)
+        val out = new java.util.HashMap[Long, java.util.ArrayList[(Long, Long)]]()
+        val oriented = new java.util.HashSet[(Long, Long)]()
+        rows.foreach { r =>
+          val a = r.getLong(0); val b = r.getLong(1)
+          val da = deg.get(a); val db = deg.get(b)
+          val (s, d, dd) = if (da < db || (da == db && a < b)) (a, b, db) else (b, a, da)
+          out.computeIfAbsent(s, _ => new java.util.ArrayList[(Long, Long)]()).add((dd, d))
+          oriented.add((s, d)); ()
+        }
+        val tri = new java.util.HashMap[Long, Long]()
+        out.forEach { (s, lst) =>
+          val arr = new Array[(Long, Long)](lst.size())
+          lst.toArray(arr)
+          java.util.Arrays.sort(arr, Ordering.Tuple2[Long, Long])
+          var i = 0
+          while (i < arr.length) {
+            var j = i + 1
+            while (j < arr.length) {
+              val b = arr(i)._2; val c = arr(j)._2
+              if (oriented.contains((b, c))) {
+                tri.merge(s, 1L, (x, y) => x + y)
+                tri.merge(b, 1L, (x, y) => x + y)
+                tri.merge(c, 1L, (x, y) => x + y)
+              }
+              j += 1
+            }
+            i += 1
+          }
+        }
+        val res = new scala.collection.mutable.ArrayBuffer[org.apache.spark.sql.Row](deg.size)
+        deg.forEach { (v, d) =>
+          val t = tri.getOrDefault(v, 0L)
+          val clustering: Any =
+            if (d >= 2) (t * 2).toDouble / (d * (d - 1)).toDouble else null
+          res += org.apache.spark.sql.Row(v, d, t, clustering)
+        }
+        return e0.sparkSession.createDataFrame(
+          e0.sparkSession.sparkContext.parallelize(res.toSeq, 1),
+          distributedTriangleStats(e0).schema)
+      }
+    }
+    distributedTriangleStats(e0)
+  }
+
+  private def distributedTriangleStats(e0: DataFrame): DataFrame = {
     val deg = e0
       .select(explode(array(col("a"), col("b"))).as("id"))
       .groupBy("id").agg(count(lit(1)).as("degree"))
@@ -154,11 +276,7 @@ object Graph {
     // round-synchronous, so labels AND the maxIters truncation behave
     // exactly like the distributed loop. The count reads the barrier
     // the loop would materialize anyway.
-    val localMax = pairs.sparkSession.conf
-      .getOption("spark.graft.cc.localThreshold").map(_.toLong).getOrElse(1000000L)
-    if (localMax > 0 &&
-        edges.schema.fields.forall(_.dataType == org.apache.spark.sql.types.LongType) &&
-        edges.count() <= localMax) {
+    if (smallGraph(edges)) {
       localKCore(edges, k, maxIters) match {
         case Some(out) => return out
         case None => () // null ids: distributed join semantics are the contract
@@ -295,18 +413,58 @@ object Graph {
       .select(col("e.u"), col("e.v"))
       .distinct()
       .persist()
-    val seed0 = seeds.select(col("id"), lit(0).as("dist"))
-    val frontiers = (1 to maxDepth).scanLeft(seed0) { (frontier, depth) =>
-      // distinct per round: frontier rows stay bounded by NODE count, not
-      // by the (possibly exponential) count of length-d walks
-      edges.join(frontier.select(col("id").as("u")), Seq("u"))
-        .select(col("v").as("id")).distinct()
-        .select(col("id"), lit(depth).as("dist"))
+    def distributed(): DataFrame = {
+      val seed0 = seeds.select(col("id"), lit(0).as("dist"))
+      val frontiers = (1 to maxDepth).scanLeft(seed0) { (frontier, depth) =>
+        // distinct per round: frontier rows stay bounded by NODE count, not
+        // by the (possibly exponential) count of length-d walks
+        edges.join(frontier.select(col("id").as("u")), Seq("u"))
+          .select(col("v").as("id")).distinct()
+          .select(col("id"), lit(depth).as("dist"))
+      }
+      frontiers.reduce(_ unionByName _)
+        .groupBy("id")
+        .agg(min("dist").as("dist"))
+        .orderBy("id")
     }
-    frontiers.reduce(_ unionByName _)
-      .groupBy("id")
-      .agg(min("dist").as("dist"))
-      .orderBy("id")
+    // small-graph fast path (r16): plain BFS on the driver. The round-d
+    // frontier of the declarative chain is the full neighbor set of
+    // round d-1 and the final min(dist) resolves multi-path visits, so
+    // min-over-rounds IS the shortest hop distance — which is exactly
+    // what BFS computes; equivalence is the standard induction (spec-
+    // pinned against the forced-distributed chain).
+    if (smallGraph(edges) &&
+        seeds.schema.fields.forall(_.dataType == org.apache.spark.sql.types.LongType)) {
+      (localLongRows(edges), localLongRows(seeds.select("id"))) match {
+        case (Some(erows), Some(srows)) =>
+          val adj = adjacency(erows)
+          val dist = new java.util.LinkedHashMap[Long, Int]()
+          var frontier = new java.util.ArrayList[Long]()
+          srows.foreach { r =>
+            val s = r.getLong(0)
+            if (!dist.containsKey(s)) { dist.put(s, 0); frontier.add(s); () }
+          }
+          var d = 1
+          while (d <= maxDepth && !frontier.isEmpty) {
+            val next = new java.util.ArrayList[Long]()
+            frontier.forEach { u =>
+              val dsts = adj.get(u)
+              if (dsts != null) dsts.forEach { v =>
+                if (!dist.containsKey(v)) { dist.put(v, d); next.add(v); () }
+              }
+            }
+            frontier = next
+            d += 1
+          }
+          val out = new scala.collection.mutable.ArrayBuffer[org.apache.spark.sql.Row](dist.size)
+          dist.forEach((v, dd) => out += org.apache.spark.sql.Row(v, dd))
+          return edges.sparkSession.createDataFrame(
+            edges.sparkSession.sparkContext.parallelize(out.toSeq, 1),
+            distributed().schema).orderBy("id")
+        case _ => () // nulls: distributed join semantics are the contract
+      }
+    }
+    distributed()
   }
 
   /** Bounded Bellman-Ford: cheapest path cost (integer weights) from any
@@ -332,13 +490,45 @@ object Graph {
       .select(col("e.u"), col("e.v"), col("e.w"))
       .distinct()
       .persist()
-    val seed0 = seeds.select(col("id"), lit(0L).as("dist"))
-    val best = (1 to rounds).foldLeft(seed0) { (b, _) =>
-      val relaxed = und.join(b.select(col("id").as("u"), col("dist")), Seq("u"))
-        .select(col("v").as("id"), (col("dist") + col("w")).as("dist"))
-      b.unionByName(relaxed).groupBy("id").agg(min("dist").as("dist"))
+    def distributed(): DataFrame = {
+      val seed0 = seeds.select(col("id"), lit(0L).as("dist"))
+      val best = (1 to rounds).foldLeft(seed0) { (b, _) =>
+        val relaxed = und.join(b.select(col("id").as("u"), col("dist")), Seq("u"))
+          .select(col("v").as("id"), (col("dist") + col("w")).as("dist"))
+        b.unionByName(relaxed).groupBy("id").agg(min("dist").as("dist"))
+      }
+      best.orderBy("id")
     }
-    best.orderBy("id")
+    // small-graph fast path (r16): synchronous Bellman-Ford on the
+    // driver — each round relaxes every edge against the PREVIOUS
+    // round's best map (a snapshot, exactly the declarative fold's
+    // semantics), then merges with min. Integer arithmetic end-to-end.
+    if (smallGraph(und) &&
+        seeds.schema.fields.forall(_.dataType == org.apache.spark.sql.types.LongType)) {
+      (localLongRows(und), localLongRows(seeds.select("id"))) match {
+        case (Some(erows), Some(srows)) =>
+          var best = new java.util.HashMap[Long, Long]()
+          srows.foreach(r => { best.put(r.getLong(0), 0L); () })
+          (1 to rounds).foreach { _ =>
+            val next = new java.util.HashMap[Long, Long](best)
+            erows.foreach { r =>
+              val u = r.getLong(0)
+              if (best.containsKey(u)) {
+                val cand = best.get(u) + r.getLong(2)
+                next.merge(r.getLong(1), cand, (a, b) => math.min(a, b)); ()
+              }
+            }
+            best = next
+          }
+          val out = new scala.collection.mutable.ArrayBuffer[org.apache.spark.sql.Row](best.size)
+          best.forEach((v, dd) => out += org.apache.spark.sql.Row(v, dd))
+          return und.sparkSession.createDataFrame(
+            und.sparkSession.sparkContext.parallelize(out.toSeq, 1),
+            distributed().schema).orderBy("id")
+        case _ => () // nulls: distributed join semantics are the contract
+      }
+    }
+    distributed()
   }
 
 }

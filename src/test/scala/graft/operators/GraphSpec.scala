@@ -2,6 +2,7 @@ package graft.operators
 
 import graft.SparkSpec
 import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions.{col, lit, pmod}
 
 /** `Graph.pageRankInt` against the hand-run integer recurrence, plus the
   * determinism-under-partitioning property the integer formulation
@@ -79,6 +80,36 @@ class GraphSpec extends SparkSpec {
       Seq((1L, 2L), (2L, 2L), (3L, 2L)))
     // k=1 keeps everything edge-incident
     assert(Graph.kCore(g, k = 1).count() == 5)
+  }
+
+  test("pageRank/bfs/weighted/triangles fast paths ≡ distributed plans on a random graph (r16)") {
+    val s = spark
+    import s.implicits._
+    val rnd = new scala.util.Random(99)
+    val pairs = (Seq.tabulate(300)(_ => (rnd.nextLong(400), rnd.nextLong(400)))
+      .filter { case (a, b) => a != b } ++ (50L until 90L).map(i => (i, i + 1)))
+      .toDF("d1", "d2")
+    val weighted = pairs.withColumn("w", pmod(col("d1") * 7 + col("d2") * 3, lit(9L)) + 1)
+    val seeds = Seq(3L, 77L, 200L, 399L).toDF("id")
+    def both(name: String)(f: => org.apache.spark.sql.DataFrame)
+        : (org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame) = {
+      val local = f
+      spark.conf.set("spark.graft.cc.localThreshold", "0")
+      val dist = try f finally spark.conf.unset("spark.graft.cc.localThreshold")
+      assert(local.schema === dist.schema, s"$name: schema parity")
+      (local, dist)
+    }
+    def rowsOf(df: org.apache.spark.sql.DataFrame): Set[Seq[Any]] =
+      df.collect().map(_.toSeq).toSet
+    val (prL, prD) = both("pageRank")(Graph.pageRankInt(pairs, iters = 3))
+    assert(rowsOf(prL) === rowsOf(prD), "pageRankInt parity")
+    val (bfL, bfD) = both("bfs")(Graph.bfsHops(pairs, seeds, maxDepth = 3))
+    assert(rowsOf(bfL) === rowsOf(bfD), "bfsHops parity")
+    val (whL, whD) = both("weighted")(Graph.weightedHops(weighted, seeds, rounds = 3))
+    assert(rowsOf(whL) === rowsOf(whD), "weightedHops parity")
+    val (trL, trD) = both("triangles")(Graph.triangleStats(pairs))
+    assert(rowsOf(trL) === rowsOf(trD), "triangleStats parity")
+    assert(trL.collect().exists(r => !r.isNullAt(3)), "graph dense enough to exercise clustering")
   }
 
   test("kCore small-graph fast path ≡ distributed loop (incl. maxIters truncation)") {
