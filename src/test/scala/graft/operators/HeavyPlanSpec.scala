@@ -18,15 +18,23 @@ class HeavyPlanSpec extends SparkSpec {
   private def count(plan: String, needle: String): Int =
     needle.r.findAllIn(plan).length
 
+  // q133/q136 pin the DISTRIBUTED plan shape — force past the r16
+  // small-graph fast path (which replaces these plans wholesale below
+  // the threshold; its parity has its own GraphSpec net)
+  private def distributedPlan(q: Queries.Q): String = {
+    spark.conf.set("spark.graft.cc.localThreshold", "0")
+    try plan(q) finally spark.conf.unset("spark.graft.cc.localThreshold")
+  }
+
   test("q133 pagerank: checkpointed edges, zero source scans in the final plan") {
-    val p = plan(Queries.q133_pagerank)
+    val p = distributedPlan(Queries.q133_pagerank)
     assert(count(p, "Scan parquet") === 0,
       s"LSH pair pipeline must run once at checkpoint time:\n${p.take(1500)}")
     assert(count(p, "Scan ExistingRDD") >= 4, "deg + 3 iteration joins read the checkpoint")
   }
 
   test("q136 triangles: checkpointed edge list feeds orientation + wedge joins") {
-    val p = plan(Queries.q136_triangles)
+    val p = distributedPlan(Queries.q136_triangles)
     assert(count(p, "Scan parquet") === 0,
       s"LSH pair pipeline must run once at checkpoint time:\n${p.take(1500)}")
     // degree attach (x2), wedge self-join sides and closure read e0
