@@ -312,10 +312,18 @@ object Bench {
     // has no 2000-char stdout-tail limit) to the named path, so an
     // adjudicated quiet run ships as a checked-in JSONL artifact instead
     // of prose
+    // best-effort: the stdout artifact above is already emitted, so an
+    // unwritable/typo'd path must not fail the whole (half-hour) run
+    // after the fact or skip spark.stop()
     sys.env.get("SPARK_GRAFT_BENCH_OUT").filter(_.nonEmpty).foreach { path =>
-      java.nio.file.Files.write(java.nio.file.Paths.get(path),
-        (detailLine + "\n" + contractLine(results.size) + "\n").getBytes("UTF-8"))
-      System.err.println(s"[bench] wrote $path")
+      try {
+        java.nio.file.Files.write(java.nio.file.Paths.get(path),
+          (detailLine + "\n" + contractLine(results.size) + "\n").getBytes("UTF-8"))
+        System.err.println(s"[bench] wrote $path")
+      } catch {
+        case scala.util.control.NonFatal(e) =>
+          System.err.println(s"[bench] WARNING: could not write SPARK_GRAFT_BENCH_OUT=$path: $e")
+      }
     }
     spark.stop()
   }

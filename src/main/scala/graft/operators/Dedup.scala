@@ -607,6 +607,17 @@ object Dedup {
     * broadcast-join conversion. Set the threshold to 0 to force the
     * distributed path.
     *
+    * `maxIters` caveat (r17, advisor): the fast path always reaches the
+    * EXACT fixpoint — union-find has no notion of rounds — while the
+    * distributed loop truncates (loudly) when `maxIters` is hit before
+    * convergence. The hop+jump convergence bound makes that divergence
+    * unreachable in practice (a graph needing > 20 rounds has diameter
+    * > 2^20 under pointer jumping), but a caller that sets a tiny
+    * `maxIters` EXPECTING truncated labels gets exact labels below the
+    * gate: the fast path supersedes the truncation contract, it does
+    * not emulate it (unlike [[localKCore]]'s round-synchronous peel,
+    * where truncation parity is cheap and preserved).
+    *
     * Returns (id, cluster_id) for every vertex that appears in a pair. */
   def connectedComponents(pairs: DataFrame, maxIters: Int = 20): DataFrame = {
     // symmetrize via explode, not union: a union's two branches would
@@ -619,8 +630,7 @@ object Dedup {
       .select(col("_e.src").as("src"), col("_e.dst").as("dst"))
       .distinct()
       .persist()
-    val localMax = pairs.sparkSession.conf
-      .getOption("spark.graft.cc.localThreshold").map(_.toLong).getOrElse(1000000L)
+    val localMax = Graph.ccLocalThreshold(pairs.sparkSession)
     // gate on the PERSISTED edge count, never a probe of the raw pair
     // plan: the count materializes the cache the loop would build
     // anyway, so a large graph pays one cached count, not a second
@@ -731,7 +741,7 @@ object Dedup {
         nullable = edges.schema.head.nullable),
       org.apache.spark.sql.types.StructField("cluster_id", org.apache.spark.sql.types.LongType)))
     Some(spark.createDataFrame(
-      spark.sparkContext.parallelize(out.toSeq, 1), schema))
+      spark.sparkContext.parallelize(out.toSeq, Graph.localResultSlices(out.size)), schema))
   }
 
   /** Cluster-canonical near-dup policy: every doc tagged with its
@@ -1015,7 +1025,12 @@ object Dedup {
   def writeClusterLabels(labels: DataFrame, dir: String): Unit = {
     labels.select(col("id"), col("cluster_id"))
       .write.mode("overwrite").parquet(dir)
-    IndexMaintenance.enableManifest(labels.sparkSession, dir)
+    val spark = labels.sparkSession
+    val gen0 = IndexMaintenance.enableManifest(spark, dir)
+    // single-generation chain sidecar: the first read after the initial
+    // write already resolves in O(1) FS calls (see LabelChainFile)
+    IndexMaintenance.writeParamsSidecar(spark, gen0, LabelChainFile,
+      s"${new org.apache.hadoop.fs.Path(gen0).getName}\t${genDataBytes(spark, gen0)}")
   }
 
   /** Parent-pointer sidecar a DELTA label generation carries: its
@@ -1023,26 +1038,89 @@ object Dedup {
     * without it is a full BASE table. */
   private val LabelParentFile = "_graft_label_parent"
 
+  /** Full-chain sidecar (r17, one-read resolution): every generation a
+    * [[mergeClusterLabels]] writes carries the COMPLETE chain from
+    * itself down to its base — one `<genName>\t<dataBytes>` line per
+    * generation, newest first — so a reader resolves the chain with
+    * O(1) driver FS calls (manifest + this file) instead of one
+    * parent-pointer read per generation: K round-trips is fine on HDFS
+    * but chatty on object stores at high read cadence. `dataBytes` is
+    * the generation's parquet data-file footprint recorded at write
+    * time, feeding [[readClusterLabels]]' overlay broadcast gate for
+    * free. Generations written before r17 lack the file; the reader
+    * falls back to the parent-pointer walk (and one listing per delta),
+    * so mixed-age chains stay readable. */
+  private val LabelChainFile = "_graft_label_chain"
+
+  /** Resolved chain: generation names newest-first ending at the base,
+    * with each generation's recorded (or legacy-listed) data-file
+    * bytes. */
+  private case class LabelChainInfo(gens: Seq[String], bytes: Seq[Long]) {
+    def head: String = gens.head
+    /** On-disk bytes of the DELTA generations — the overlay build side's
+      * size estimate (the base, `gens.last`, never enters the overlay). */
+    def deltaBytes: Long = bytes.init.sum
+    /** The sidecar content a CHILD generation of `newGen` prepends to. */
+    def lines: Seq[String] =
+      gens.lazyZip(bytes).map((g, b) => s"$g\t$b").toSeq
+  }
+
+  /** Sum of the parquet data-file lengths directly under `genDir`
+    * (sidecars/`_SUCCESS`/checksums excluded) — one driver listing. */
+  private def genDataBytes(
+      spark: org.apache.spark.sql.SparkSession, genDir: String): Long = {
+    val p = new org.apache.hadoop.fs.Path(genDir)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.listStatus(p)
+      .filter(f => f.isFile &&
+        !f.getPath.getName.startsWith("_") && !f.getPath.getName.startsWith("."))
+      .map(_.getLen).sum
+  }
+
   /** The live label chain, newest first, ending at its base generation
     * — `[live]` for a full live generation, `[liveDelta, ..., base]`
-    * after delta-mode merges. */
+    * after delta-mode merges. One manifest read + one chain-sidecar
+    * read on the current layout; the parent-pointer walk only runs for
+    * pre-r17 generations. */
   private def labelChain(
-      spark: org.apache.spark.sql.SparkSession, dir: String): Seq[String] = {
+      spark: org.apache.spark.sql.SparkSession, dir: String): LabelChainInfo = {
     val liveName = new org.apache.hadoop.fs.Path(
       IndexMaintenance.resolveLive(spark, dir)).getName
-    @scala.annotation.tailrec
-    def walk(gen: String, acc: Vector[String]): Vector[String] = {
-      // loud guard: a corrupted/hand-edited parent pointer forming a
-      // cycle must fail, not hang the reader
-      require(!acc.contains(gen),
-        s"labelChain: parent-pointer cycle at $gen in $dir — the chain is corrupt")
-      IndexMaintenance.readParamsSidecar(
-        spark, new org.apache.hadoop.fs.Path(dir, gen).toString, LabelParentFile) match {
-        case Some(parent) => walk(parent, acc :+ gen)
-        case None => acc :+ gen
-      }
+    IndexMaintenance.readParamsSidecar(
+        spark, new org.apache.hadoop.fs.Path(dir, liveName).toString, LabelChainFile) match {
+      case Some(content) =>
+        val parsed = content.split("\n").toSeq.map(_.trim).filter(_.nonEmpty).map { line =>
+          line.split("\t") match {
+            case Array(g, b) => (g, b.toLongOption.getOrElse(
+              throw new IllegalStateException(
+                s"labelChain: corrupt chain sidecar line '$line' in $dir/$liveName")))
+            case _ => throw new IllegalStateException(
+              s"labelChain: corrupt chain sidecar line '$line' in $dir/$liveName")
+          }
+        }
+        require(parsed.nonEmpty && parsed.head._1 == liveName,
+          s"labelChain: chain sidecar in $dir/$liveName does not start with itself — corrupt")
+        LabelChainInfo(parsed.map(_._1), parsed.map(_._2))
+      case None =>
+        // legacy walk (pre-r17 generations): one sidecar read per
+        // generation, then one listing per generation for the bytes the
+        // broadcast gate needs
+        @scala.annotation.tailrec
+        def walk(gen: String, acc: Vector[String]): Vector[String] = {
+          // loud guard: a corrupted/hand-edited parent pointer forming a
+          // cycle must fail, not hang the reader
+          require(!acc.contains(gen),
+            s"labelChain: parent-pointer cycle at $gen in $dir — the chain is corrupt")
+          IndexMaintenance.readParamsSidecar(
+            spark, new org.apache.hadoop.fs.Path(dir, gen).toString, LabelParentFile) match {
+            case Some(parent) => walk(parent, acc :+ gen)
+            case None => acc :+ gen
+          }
+        }
+        val gens = walk(liveName, Vector.empty)
+        LabelChainInfo(gens, gens.map(g =>
+          genDataBytes(spark, new org.apache.hadoop.fs.Path(dir, g).toString)))
     }
-    walk(liveName, Vector.empty)
   }
 
   /** The label table a reader sees: the live generation, overlaid with
@@ -1052,17 +1130,34 @@ object Dedup {
     * `max_by` aggregate. Resolves per call, so a reader picks up a
     * concurrent [[mergeClusterLabels]] swap on its next read with zero
     * restart. */
+  /** On-disk byte budget for broadcasting the overlay in
+    * [[readClusterLabels]] (`spark.graft.labels.overlayBroadcastBytes`,
+    * default 64 MB of delta parquet). Slim (id, cluster_id, _new) rows
+    * expand roughly 4-6× from compressed parquet to an in-memory
+    * HashedRelation, so the default keeps the broadcast well under
+    * ~400 MB — comfortably inside any executor/driver budget and far
+    * from Spark's 8 GB broadcast hard limit — while staying far above
+    * any sane un-folded chain (deltas are O(touched rows) by
+    * construction). */
+  private def overlayBroadcastBudget(
+      spark: org.apache.spark.sql.SparkSession): Long =
+    spark.conf.getOption("spark.graft.labels.overlayBroadcastBytes") match {
+      case None => 64L * 1024 * 1024
+      case Some(v) => v.trim.toLongOption.getOrElse(throw new IllegalArgumentException(
+        s"spark.graft.labels.overlayBroadcastBytes must be a byte count, got '$v'"))
+    }
+
   def readClusterLabels(spark: org.apache.spark.sql.SparkSession, dir: String): DataFrame = {
     if (!IndexMaintenance.hasManifest(spark, dir))
       return spark.read.parquet(dir)
     val chain = labelChain(spark, dir)
-    if (chain.lengthCompare(1) == 0)
+    if (chain.gens.lengthCompare(1) == 0)
       spark.read.parquet(new org.apache.hadoop.fs.Path(dir, chain.head).toString)
     else {
       // precedence = position from the base (larger = newer); gen
       // numbers would work too but the chain order is the contract
-      val n = chain.length
-      val deltaFrames = chain.init.map { g =>
+      val n = chain.gens.length
+      val deltaFrames = chain.gens.init.map { g =>
         spark.read.parquet(new org.apache.hadoop.fs.Path(dir, g).toString)
       }
       if (deltaFrames.forall(_.columns.contains("_new"))) {
@@ -1070,14 +1165,13 @@ object Dedup {
         // newest-wins is resolved among the TOUCHED-rows deltas only
         // (their union is O(touched × chain), never the corpus), then
         // attached to the corpus-sized base with one left join whose
-        // build side is that small overlay (AQE broadcasts it) — the
-        // base never shuffles, per read, at any corpus size. Ids born
-        // after the base carry the `_new` flag written at merge time,
-        // so they append WITHOUT an anti-join against the base (the
-        // previous overlay ran union → groupBy(id) → max_by across
-        // base + deltas: one full-corpus exchange per read, per
-        // caller — the wrong shape for a serving-side consumer reading
-        // between folds).
+        // build side is that small overlay — the base never shuffles,
+        // per read, at any corpus size. Ids born after the base carry
+        // the `_new` flag written at merge time, so they append WITHOUT
+        // an anti-join against the base (the previous overlay ran
+        // union → groupBy(id) → max_by across base + deltas: one
+        // full-corpus exchange per read, per caller — the wrong shape
+        // for a serving-side consumer reading between folds).
         val overlay = deltaFrames.zipWithIndex.map { case (df, i) =>
           df.select(col("id"), col("cluster_id"), lit(n - i).as("_gen"), col("_new"))
         }.reduce(_ unionByName _)
@@ -1085,8 +1179,21 @@ object Dedup {
           .agg(max_by(col("cluster_id"), col("_gen")).as("_ov"),
             max(col("_new")).as("_isnew"))
         val base = spark.read.parquet(
-          new org.apache.hadoop.fs.Path(dir, chain.last).toString)
-        base.join(overlay.select(col("id"), col("_ov")), Seq("id"), "left")
+          new org.apache.hadoop.fs.Path(dir, chain.gens.last).toString)
+        // explicit byte-gated broadcast (r17, two-round verdict item):
+        // the delta bytes were recorded at write time, so the gate costs
+        // zero jobs and zero FS calls. Trusting AQE alone silently
+        // degrades to a corpus-shuffling sort-merge join the moment the
+        // overlay estimate crosses autoBroadcastJoinThreshold — the
+        // exact shape this overlay read exists to kill. Past the budget
+        // (a pathologically un-folded chain) the plain join is the
+        // documented fall-through: degraded to one base shuffle, still
+        // correct — compactClusterLabels is the remedy.
+        val attach = overlay.select(col("id"), col("_ov"))
+        val attachB =
+          if (chain.deltaBytes <= overlayBroadcastBudget(spark)) broadcast(attach)
+          else attach
+        base.join(attachB, Seq("id"), "left")
           .select(col("id"), coalesce(col("_ov"), col("cluster_id")).as("cluster_id"))
           .unionByName(overlay.filter(col("_isnew"))
             .select(col("id"), col("_ov").as("cluster_id")))
@@ -1094,7 +1201,7 @@ object Dedup {
         // legacy chain (deltas written before the `_new` flag existed):
         // the corpus-wide newest-wins aggregate is the only correct read
         (deltaFrames :+ spark.read.parquet(
-            new org.apache.hadoop.fs.Path(dir, chain.last).toString))
+            new org.apache.hadoop.fs.Path(dir, chain.gens.last).toString))
           .zipWithIndex.map { case (df, i) =>
             df.select(col("id"), col("cluster_id"), lit(n - i).as("_gen"))
           }.reduce(_ unionByName _)
@@ -1142,7 +1249,7 @@ object Dedup {
     Checkpoints.reapScope {
       val chain = labelChain(spark, dir)
       val labels = readClusterLabels(spark, dir)
-      val writeDelta = delta && chain.lengthCompare(maxChain) < 0
+      val writeDelta = delta && chain.gens.lengthCompare(maxChain) < 0
       // materialize BEFORE the generation write: the update plan reads the
       // CURRENT live chain, and an eager checkpoint pins that read to
       // this side of the swap (and avoids re-running the propagation loop
@@ -1153,10 +1260,22 @@ object Dedup {
       // the superseded chain (not just the superseded live generation)
       // survives this swap for in-flight readers; a delta generation also
       // keeps its ancestry alive until a fold supersedes the whole chain
-      IndexMaintenance.rebuild(spark, dir, alsoKeep = chain.toSet) { gen =>
+      IndexMaintenance.rebuild(spark, dir, alsoKeep = chain.gens.toSet) { gen =>
         out.write.parquet(gen)
-        if (writeDelta)
+        val genName = new org.apache.hadoop.fs.Path(gen).getName
+        val myLine = s"$genName\t${genDataBytes(spark, gen)}"
+        if (writeDelta) {
           IndexMaintenance.writeParamsSidecar(spark, gen, LabelParentFile, chain.head)
+          // one-read chain resolution (r17): the new generation carries
+          // the FULL chain (itself + its ancestry) with per-generation
+          // data bytes, so readers resolve in O(1) FS calls and the
+          // overlay broadcast gate is free
+          IndexMaintenance.writeParamsSidecar(spark, gen, LabelChainFile,
+            (myLine +: chain.lines).mkString("\n"))
+        } else {
+          // full base: the chain is just itself
+          IndexMaintenance.writeParamsSidecar(spark, gen, LabelChainFile, myLine)
+        }
       }
     }
   }

@@ -88,7 +88,7 @@ object Graph {
         val out = new scala.collection.mutable.ArrayBuffer[org.apache.spark.sql.Row](adj.size)
         adj.forEach((v, dsts) => out += org.apache.spark.sql.Row(v, dsts.size().toLong, rank.get(v)))
         return edges.sparkSession.createDataFrame(
-          edges.sparkSession.sparkContext.parallelize(out.toSeq, 1), distributed().schema)
+          edges.sparkSession.sparkContext.parallelize(out.toSeq, localResultSlices(out.size)), distributed().schema)
       }
     }
     distributed()
@@ -96,14 +96,31 @@ object Graph {
 
   // ------------------- small-graph fast-path plumbing (r16)
 
+  /** `spark.graft.cc.localThreshold` parsed loudly: a malformed conf
+    * value must name the key instead of surfacing as a bare
+    * NumberFormatException deep inside a graph operator. Shared with
+    * `Dedup.connectedComponents`' twin gate. */
+  private[operators] def ccLocalThreshold(spark: org.apache.spark.sql.SparkSession): Long =
+    spark.conf.getOption("spark.graft.cc.localThreshold") match {
+      case None => 1000000L
+      case Some(v) => v.trim.toLongOption.getOrElse(throw new IllegalArgumentException(
+        s"spark.graft.cc.localThreshold must be an integer edge count, got '$v'"))
+    }
+
+  /** Slice count for a driver-local fast-path result: threshold-sized
+    * results (~1M rows at the default gate) should not land in ONE task
+    * for the first downstream stage, but tiny results should not pay 32
+    * empty partitions either — ~64k rows per slice, capped at 8. */
+  private[operators] def localResultSlices(rows: Int): Int =
+    math.max(1, math.min(8, rows / 65536))
+
   /** Gate shared by every graph operator's driver-local twin: LongType
     * columns only and at most `spark.graft.cc.localThreshold` rows
     * (default 1M — see SCALING "Small-graph fast path" for the measured
     * crossover). The count reads the barrier/persisted table the
     * distributed plan was about to materialize anyway. */
   private def smallGraph(edges: DataFrame, cap: Long = Long.MaxValue): Boolean = {
-    val localMax = math.min(edges.sparkSession.conf
-      .getOption("spark.graft.cc.localThreshold").map(_.toLong).getOrElse(1000000L), cap)
+    val localMax = math.min(ccLocalThreshold(edges.sparkSession), cap)
     localMax > 0 &&
       edges.schema.fields.forall(_.dataType == org.apache.spark.sql.types.LongType) &&
       edges.count() <= localMax
@@ -355,7 +372,7 @@ object Graph {
         nullable = edges.schema.head.nullable),
       org.apache.spark.sql.types.StructField("core_degree", org.apache.spark.sql.types.LongType,
         nullable = false)))
-    Some(spark.createDataFrame(spark.sparkContext.parallelize(out.toSeq, 1), schema))
+    Some(spark.createDataFrame(spark.sparkContext.parallelize(out.toSeq, localResultSlices(out.size)), schema))
   }
 
   /** Degree assortativity of an undirected graph: the Pearson correlation
@@ -459,7 +476,7 @@ object Graph {
           val out = new scala.collection.mutable.ArrayBuffer[org.apache.spark.sql.Row](dist.size)
           dist.forEach((v, dd) => out += org.apache.spark.sql.Row(v, dd))
           return edges.sparkSession.createDataFrame(
-            edges.sparkSession.sparkContext.parallelize(out.toSeq, 1),
+            edges.sparkSession.sparkContext.parallelize(out.toSeq, localResultSlices(out.size)),
             distributed().schema).orderBy("id")
         case _ => () // nulls: distributed join semantics are the contract
       }
@@ -523,7 +540,7 @@ object Graph {
           val out = new scala.collection.mutable.ArrayBuffer[org.apache.spark.sql.Row](best.size)
           best.forEach((v, dd) => out += org.apache.spark.sql.Row(v, dd))
           return und.sparkSession.createDataFrame(
-            und.sparkSession.sparkContext.parallelize(out.toSeq, 1),
+            und.sparkSession.sparkContext.parallelize(out.toSeq, localResultSlices(out.size)),
             distributed().schema).orderBy("id")
         case _ => () // nulls: distributed join semantics are the contract
       }

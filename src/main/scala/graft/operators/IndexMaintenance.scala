@@ -48,6 +48,63 @@ object IndexMaintenance {
   private val ManifestFile = "_graft_manifest"
   private val GenPrefix = "_graft_gen_"
 
+  /** Driver FS control-file reads performed through [[readSmall]]
+    * (manifest resolutions + sidecar reads) — test instrumentation for
+    * the O(1)-reads-per-resolve contracts (r17: `Dedup.labelChain`'s
+    * one-read chain sidecar). Monotonic; specs assert deltas. */
+  private[graft] val controlReads = new java.util.concurrent.atomic.AtomicLong
+
+  // ------------------------------------------------- rename atomicity
+
+  /** Filesystems whose single-file rename-overwrite IS atomic — the
+    * property [[writeManifest]]'s pointer swap and [[compact]]'s
+    * directory swap rely on. abfs/abfss = ADLS Gen2 with hierarchical
+    * namespace (atomic rename is the feature); o3fs/ofs = Ozone. */
+  private val AtomicRenameSchemes =
+    Set("file", "local", "hdfs", "viewfs", "webhdfs", "hopsfs", "o3fs", "ofs", "abfs", "abfss")
+
+  /** Object stores whose "rename" is copy+delete (or eventually
+    * consistent): a manifest swap there can be observed TORN or
+    * half-applied by a concurrent reader — silently, which is worse
+    * than not working at all. */
+  private val NonAtomicRenameSchemes =
+    Set("s3", "s3a", "s3n", "gs", "wasb", "wasbs", "swift", "oss", "cos", "cosn", "obs")
+
+  /** Escape hatch for stores fronted by a consistency layer that makes
+    * rename atomic (e.g. an HDFS-compatible gateway keeping its own
+    * scheme name). */
+  val AssumeAtomicRenameConf = "spark.graft.manifest.assumeAtomicRename"
+
+  private val warnedSchemes = java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+
+  /** Loud guard (r17, two-round verdict item — the r16 `.crc` rename
+    * race proved the hazard class is real even locally): refuse to run
+    * an atomic-swap lifecycle on a filesystem known to lack atomic
+    * rename, instead of silently tearing under concurrent readers.
+    * Unknown schemes get a one-time stderr warning (fail-open: a
+    * denylist can't enumerate every HDFS-compatible FS). */
+  private[graft] def requireAtomicRename(
+      spark: SparkSession, fs: org.apache.hadoop.fs.FileSystem, api: String): Unit = {
+    val scheme = Option(fs.getUri.getScheme).getOrElse("file").toLowerCase
+    if (NonAtomicRenameSchemes.contains(scheme)) {
+      if (!spark.conf.getOption(AssumeAtomicRenameConf).exists(_.trim.equalsIgnoreCase("true")))
+        throw new IllegalStateException(
+          s"$api: filesystem scheme '$scheme' does not provide atomic rename — the " +
+            "manifest pointer swap would be silently torn under concurrent readers. " +
+            "Use the blue/green form instead (compact(swap = false) and repoint serving " +
+            "at the returned staging path), or set " +
+            s"$AssumeAtomicRenameConf=true if this store is fronted by a consistency " +
+            "layer that makes rename atomic.")
+    } else if (!AtomicRenameSchemes.contains(scheme) &&
+        !spark.conf.getOption(AssumeAtomicRenameConf).exists(_.trim.equalsIgnoreCase("true")) &&
+        warnedSchemes.add(scheme)) {
+      System.err.println(
+        s"[graft] $api: unrecognized filesystem scheme '$scheme' — the manifest swap " +
+          "assumes atomic single-file rename-overwrite; verify your store provides it " +
+          s"(or silence this with $AssumeAtomicRenameConf=true)")
+    }
+  }
+
   // ------------------------------------------------- manifest generations
 
   /** True when `dir` carries the manifest-pointer layout. */
@@ -85,6 +142,9 @@ object IndexMaintenance {
     * deletes and are materialized+cleared by the next compaction. */
   def enableManifest(spark: SparkSession, dir: String): String = {
     val fs = fileSystem(spark, dir)
+    // fail BEFORE any file moves: enabling the pointer layout on a
+    // store that can't swap the pointer atomically is a setup error
+    requireAtomicRename(spark, fs, "enableManifest")
     val root = fs.makeQualified(new Path(dir))
     require(fs.exists(root), s"enableManifest: no index at $dir")
     require(!fs.exists(new Path(root, ManifestFile)),
@@ -111,6 +171,7 @@ object IndexMaintenance {
     * that with a bounded retry; the data file itself is never torn.) */
   private def writeManifest(spark: SparkSession, root: Path, genName: String): Unit = {
     val fs = fileSystem(spark, root.toString)
+    requireAtomicRename(spark, fs, "manifest swap")
     val tmp = new Path(root, ManifestFile + ".tmp")
     val out = fs.create(tmp, true)
     try out.write(genName.getBytes("UTF-8")) finally out.close()
@@ -130,6 +191,7 @@ object IndexMaintenance {
     * the pair settles within the writer's next instruction, so a short
     * bounded retry restores the "old or new, never torn" contract. */
   private def readSmall(fs: org.apache.hadoop.fs.FileSystem, p: Path): String = {
+    controlReads.incrementAndGet()
     var attempt = 0
     while (true) {
       try {
@@ -304,6 +366,9 @@ object IndexMaintenance {
     val live = new Path(dir)
     val fs = live.getFileSystem(spark.sparkContext.hadoopConfiguration)
     require(fs.exists(live), s"compact: no index at $dir")
+    // fail BEFORE the staging rewrite: an in-place swap on a
+    // non-atomic-rename store is the documented swap=false case
+    if (swap) requireAtomicRename(spark, fs, "compact")
     if (fs.exists(new Path(live, ManifestFile)))
       return compactGeneration(spark, dir, partitionCol, tombstoneIdCol)
     val staging = new Path(dir + "__compacting")

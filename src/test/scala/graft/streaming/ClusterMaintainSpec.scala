@@ -224,4 +224,69 @@ class ClusterMaintainSpec extends SparkSpec {
     assert(!plan.contains("SortMergeJoin") && !plan.contains("CartesianProduct"),
       s"a chain read must not shuffle or cross the corpus:\n${plan.take(1500)}")
   }
+
+  test("overlay past the broadcast budget degrades to a shuffle join but stays bit-exact (r17, byte gate)") {
+    val s = spark
+    import s.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("labels_pastbudget").toString
+    val docs = (1L to 60L).toDF("doc_id")
+    Dedup.writeClusterLabels(
+      Dedup.nearDupClusters(docs, Seq((1L, 2L)).toDF("d1", "d2"))
+        .select(col("doc_id").as("id"), col("cluster_id")), dir)
+    Dedup.mergeClusterLabels(spark, dir, Seq((3L, 4L)).toDF("d1", "d2"),
+      delta = true, maxChain = 10)
+    Dedup.mergeClusterLabels(spark, dir, Seq((4L, 200L)).toDF("d1", "d2"),
+      delta = true, maxChain = 10)
+    // budget 0 => any real delta bytes overflow it; kill Spark's own
+    // broadcast estimate too, so the plan we pin is the genuine
+    // past-threshold fall-through (one base shuffle, never a forced or
+    // AQE-rescued broadcast)
+    spark.conf.set("spark.graft.labels.overlayBroadcastBytes", "0")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val df = Dedup.readClusterLabels(spark, dir)
+      val got = df.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val expect = Dedup.nearDupClusters(
+          docs.unionByName(Seq(200L).toDF("doc_id")),
+          Seq((1L, 2L), (3L, 4L), (4L, 200L)).toDF("d1", "d2"))
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+      assert(got === expect, "degraded chain read must still equal the rebuild")
+      val plan = df.queryExecution.executedPlan.toString
+      assert(!plan.contains("BroadcastHashJoin"),
+        s"past the budget the overlay must NOT be force-broadcast:\n${plan.take(1500)}")
+      assert(plan.contains("SortMergeJoin") || plan.contains("ShuffledHashJoin"),
+        s"expected the documented shuffle-join fall-through:\n${plan.take(1500)}")
+    } finally {
+      spark.conf.unset("spark.graft.labels.overlayBroadcastBytes")
+      spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+    }
+  }
+
+  test("chain resolution costs O(1) driver FS reads regardless of chain depth (r17, chain sidecar)") {
+    val s = spark
+    import s.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("labels_onread").toString
+    val docs = (1L to 40L).toDF("doc_id")
+    Dedup.writeClusterLabels(
+      Dedup.nearDupClusters(docs, Seq((1L, 2L)).toDF("d1", "d2"))
+        .select(col("doc_id").as("id"), col("cluster_id")), dir)
+    // depth-8 delta chain
+    (1 to 8).foreach { i =>
+      Dedup.mergeClusterLabels(spark, dir,
+        Seq((i * 3L, i * 3L + 1L)).toDF("d1", "d2"), delta = true, maxChain = 20)
+    }
+    val before = IndexMaintenance.controlReads.get()
+    val df = Dedup.readClusterLabels(spark, dir)
+    val reads = IndexMaintenance.controlReads.get() - before
+    // one manifest resolve + one chain-sidecar read — NOT one
+    // parent-pointer read per generation (K round-trips is the
+    // object-store-hostile shape the chain sidecar removes)
+    assert(reads <= 3, s"chain resolution did $reads control-file reads for a depth-9 chain")
+    // and the read is still the overlay plan, bit-equal to the rebuild
+    val got = df.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val allPairs = Seq((1L, 2L)) ++ (1 to 8).map(i => (i * 3L, i * 3L + 1L))
+    val expect = Dedup.nearDupClusters(docs, allPairs.toDF("d1", "d2"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(got === expect)
+  }
 }
