@@ -118,22 +118,33 @@ object Dedup {
     require(numHashes % rowsPerBand == 0, "numHashes must be divisible by rowsPerBand")
     require(maxBandSize >= 2, "maxBandSize < 2 would drop every candidate pair")
     val w = words(docs, textCol, idCol, shingleN)
-    // the signature table is checkpointed ONCE: it is slim (id +
-    // numHashes longs + the size), and without the checkpoint the band
-    // self-join's two sides plus the sizes lookup each re-run the corpus
-    // scan + shingle explode + min-hash aggregation (r11 — measured 6
-    // corpus scans in the q25 plan, 3 after).
-    // Note the signature pass CANNOT read verifyJaccard's hashed
-    // (id, h) table: the min-hash family is min over md5(word || "#i")
-    // — per-i salted digests of the RAW shingle, not derivable from
-    // md5Long(word) — and that family is the oracle contract (every
-    // cluster-plane DuckDB oracle replays it verbatim). The shared
-    // table the r14 verdict suggested lives where it is derivable:
-    // verify's two join sides + sizes all read one materialized pass.
-    val sig = signature(w, idCol, numHashes).barrier()
+    // ONE corpus pass for BOTH hash families (r17): each exploded
+    // shingle row carries the verify plane's 60-bit md5Long fingerprint
+    // AND the numHashes salted min-hash digests, checkpointed once —
+    // the signature aggregate and verifyJaccard's two intersect-join
+    // sides all read this table. The pre-r17 shape ran the corpus
+    // scan + shingle explode TWICE (once into the sig barrier, once
+    // into verifyJaccard's hashed barrier) because the min-hash family
+    // (min over md5(word || "#i"), the oracle contract) is not derivable
+    // from md5Long(word) — but both families CAN be computed side by
+    // side on one exploded row, which is what this table does.
+    // The signature table itself stays checkpointed too: it is slim
+    // (id + numHashes longs + the size) and the band self-join's two
+    // sides plus the sizes lookup would otherwise re-aggregate the
+    // shingle table per consumer (r11 — measured 6 corpus scans in the
+    // q25 plan before these barriers, 3 after; 2 scans → 1 now).
+    val hx = w.select(
+      col(idCol) +: Selection.md5Long(col("word")).as("_h") +:
+        (1 to numHashes).map(i => saltedHash(col("word"), i).as(s"_s$i")): _*)
+      .barrier()
+    val sigCols = (1 to numHashes).map(i => min(col(s"_s$i")).as(s"h$i")) :+
+      count(lit(1)).as("_sz") // |shingle set| rides the same agg (hx is
+    // distinct per doc) — verifyJaccard's sizes without a third pass
+    val sig = hx.groupBy(col(idCol)).agg(sigCols.head, sigCols.tail: _*).barrier()
     val cand = bandCandidates(sig, idCol, numHashes, rowsPerBand, maxBandSize)
     verifyJaccard(w, idCol, cand, threshold,
-      sizesOpt = Some(sig.select(col(idCol), col("_sz").as("sz"))))
+      sizesOpt = Some(sig.select(col(idCol), col("_sz").as("sz"))),
+      hashedOpt = Some(hx.select(col(idCol), col("_h"))))
   }
 
   /** Per-doc minhash signature (h1..hk) over a (id, word) table.
@@ -143,10 +154,14 @@ object Dedup {
     * explode output to a SortAggregate. Equal-length hex compares
     * lexicographically == numerically, so the argmin (hence the banding)
     * is the same hash family as the string form. */
+  /** The salted min-hash input: 60-bit md5-prefix of `word || "#i"` —
+    * the hash family every cluster-plane oracle replays verbatim. */
+  private def saltedHash(word: org.apache.spark.sql.Column, i: Int): org.apache.spark.sql.Column =
+    conv(substring(md5(concat(word, lit(s"#$i"))), 1, 15), 16, 10).cast("long")
+
   private def signature(w: DataFrame, idCol: String, numHashes: Int): DataFrame = {
     val sigCols = (1 to numHashes).map { i =>
-      min(conv(substring(md5(concat(col("word"), lit(s"#$i"))), 1, 15), 16, 10).cast("long"))
-        .as(s"h$i")
+      min(saltedHash(col("word"), i)).as(s"h$i")
     } :+ count(lit(1)).as("_sz") // |shingle set| rides the same agg (w is
     // distinct per doc) — verifyJaccard's sizes without a third w pass
     w.groupBy(col(idCol)).agg(sigCols.head, sigCols.tail: _*)
@@ -297,7 +312,8 @@ object Dedup {
   private def verifyJaccard(
       w: DataFrame, idCol: String, cand: DataFrame, threshold: Double,
       sizesOpt: Option[DataFrame] = None,
-      materializeHashed: Boolean = true): DataFrame = {
+      materializeHashed: Boolean = true,
+      hashedOpt: Option[DataFrame] = None): DataFrame = {
     // shingles cross the intersection join as 60-bit md5 longs, not
     // strings (the prefixFilteredJaccard fingerprint idiom, r14): the
     // (id, shingle) table is the pair plane's dominant shuffle at scale
@@ -321,8 +337,13 @@ object Dedup {
     // plan (whose four sig consumers already collapse through AQE
     // exchange reuse) measured 1.41× SLOWER with it, so that one caller
     // opts out (the same measured split as its sig non-checkpoint).
-    val whRaw = w.select(col(idCol), Selection.md5Long(col("word")).as("_h"))
-    val wh = if (materializeHashed) Checkpoints.loopBarrier(whRaw) else whRaw
+    // hashedOpt (r17): a caller that already materialized the
+    // (id, 60-bit h) rows — e.g. minhashLsh's fused one-pass table —
+    // hands them in and the corpus is never re-scanned here
+    val wh = hashedOpt.getOrElse {
+      val whRaw = w.select(col(idCol), Selection.md5Long(col("word")).as("_h"))
+      if (materializeHashed) Checkpoints.loopBarrier(whRaw) else whRaw
+    }
     // sizes ride the hashed table (rows are 1:1 with w), not a second
     // pass over the unhashed words
     val sizes = sizesOpt.getOrElse(wh.groupBy(col(idCol)).agg(count(lit(1)).as("sz")))
@@ -375,11 +396,13 @@ object Dedup {
     * prefix-gram equi-join with BOTH the size filter
     * tNum·max(sz) ≤ tDen·min(sz) AND the PPJoin positional filter
     * min(sz1−i1, sz2−i2)+1 ≥ ⌈tNum(sz1+sz2)/(tNum+tDen)⌉ inside the
-    * join condition, a pair-grouped PPJoin+ cumulative positional
-    * filter (c shared prefix tokens + min suffix length ≥ α, fused into
-    * the dedup aggregate), then a per-pair `array_intersect` of the two
-    * sorted hash arrays — codegen, no relational join-back, no second
-    * pass over the corpus. Shuffle keys: gram, doc, prefix-gram —
+    * join condition, then a per-pair early-exit sorted-merge intersect
+    * of the two hash arrays — codegen, no relational join-back, no
+    * second pass over the corpus, with duplicate candidates (a pair
+    * sharing m prefix tokens) deduplicated on the OUTPUT-sized stream
+    * after the threshold filter (r17 — the former candidate-keyed dedup
+    * aggregate measured ~0% reduction for a full extra exchange).
+    * Shuffle keys: gram, doc, prefix-gram —
     * never a cross join. Every candidate-sized exchange is explicitly
     * repartitioned to a SPILL-AWARE width derived from the exact
     * candidate volume (r14 — see the `candVolume` note below): the
@@ -459,6 +482,21 @@ object Dedup {
     // filter (first-shared-token overlap upper bound, Xiao et al. 2008)
     val alpha = // ⌈tNum(sz1+sz2)/(tNum+tDen)⌉ as integer ceil-div
       expr(s"($tNum * (_sz1 + _sz2) + ${tNum + tDen - 1}) div ${tNum + tDen}")
+    // candidate rows flow STRAIGHT to the verify (r17): the previous
+    // shape deduplicated (d1, d2) through a pair-grouped aggregate whose
+    // count doubled as the PPJoin+ cumulative positional filter — but at
+    // sf0.1 that stage was a 511 MB exchange plus 52 s of aggregate task
+    // time (avg hash probes in the hundreds) for a measured ~0% row
+    // reduction AND ~0% cumulative-filter pruning: almost every pair
+    // shares exactly ONE prefix token, so the dedup deduped nothing and
+    // the filter (count + min-suffix ≥ α) never fired. Verifying the
+    // raw candidate stream instead is safe in both directions: a pair
+    // sharing m prefix tokens is verified m times, but m is bounded by
+    // the prefix length, FAILING pairs (the dominant class) abandon in
+    // the early-exit merge after a handful of steps — cheaper than the
+    // aggregate row they used to cost — and duplicate SURVIVORS collapse
+    // in the output-sized distinct below. The per-row size + positional
+    // filters stay inside the join condition.
     val cand = prefix.select(col(idCol).as("d1"), col("sz").as("_sz1"),
         col("pos").as("_p1"), col("h"))
       .join(prefix.select(col(idCol).as("d2"), col("sz").as("_sz2"),
@@ -466,22 +504,6 @@ object Dedup {
       .filter(col("d1") < col("d2") &&
         least(col("_sz1"), col("_sz2")) * tDen >= greatest(col("_sz1"), col("_sz2")) * tNum &&
         least(col("_sz1") - col("_p1"), col("_sz2") - col("_p2")) + 1 >= alpha)
-      // pair dedup doubles as the PPJoin+ CUMULATIVE positional filter
-      // (Xiao et al. 2008 §4): with both arrays sorted under one global
-      // order, shared-token positions are co-monotone, so every shared
-      // token NOT among the c counted prefix matches lies strictly after
-      // (P1, P2) in BOTH arrays — overlap ≤ c + min(sz1−P1, sz2−P2).
-      // Same (d1,d2) shuffle a distinct() would pay, strictly fewer
-      // pairs reach the array-attach joins and the per-pair verify.
-      // The explicit width replaces both the (near-useless here — most
-      // pairs share ONE prefix token) map-side partial aggregate and the
-      // session-width exchange: raw candidate rows ship once into
-      // in-memory-sized tasks instead of spilling through two aggregates
-      .repartition(width, col("d1"), col("d2"))
-      .groupBy("d1", "d2")
-      .agg(count(lit(1)).as("_c"), max("_p1").as("_P1"), max("_p2").as("_P2"),
-        max("_sz1").as("_sz1"), max("_sz2").as("_sz2"))
-      .filter(col("_c") + least(col("_sz1") - col("_P1"), col("_sz2") - col("_P2")) >= alpha)
       .select("d1", "d2")
     // verify: one EARLY-EXIT sorted-merge intersect per pair (native
     // codegen kernel) over NUMERICALLY sorted hash arrays — the rank
@@ -524,6 +546,10 @@ object Dedup {
       .withColumn("jaccard",
         col("inter").cast("double") / (col("n1") + col("n2") - col("inter")).cast("double"))
       .select("d1", "d2", "jaccard")
+      // candidates are verified raw (see above), so a pair sharing m
+      // prefix tokens survives m times with the identical jaccard —
+      // dedup on the OUTPUT-sized stream, not the candidate-sized one
+      .distinct()
   }
 
   /** Fuzzy record-linkage pairs: blocked candidates scored by LEVENSHTEIN
@@ -620,34 +646,43 @@ object Dedup {
     *
     * Returns (id, cluster_id) for every vertex that appears in a pair. */
   def connectedComponents(pairs: DataFrame, maxIters: Int = 20): DataFrame = {
+    val localMax = Graph.ccLocalThreshold(pairs.sparkSession)
+    // r17: the gate runs on the RAW pair table (persisted — the count
+    // materializes the slim (d1, d2) cache the symmetrize below would
+    // re-read anyway), not on the symmetrized+distinct edge table: a
+    // small graph then never pays the explode + distinct exchange at
+    // all, and the fast-path collect ships n pair rows instead of up to
+    // 2n directed rows. Union-find is direction- and duplicate-
+    // insensitive, so raw pairs are exactly as good as distinct directed
+    // edges — and `2 * pairs` is a conservative upper bound on the old
+    // distinct-directed-row gate, so nothing that used to run
+    // distributed can now collect MORE than the threshold allowed
+    // (duplicate-heavy pair tables may now run distributed where they
+    // used to dedup under the gate; the collect-size bound is what the
+    // threshold protects). Long-id schema only — the local solve must
+    // not change the result schema for exotic id types.
+    val pairsSlim = pairs.select(col("d1"), col("d2")).persist()
+    if (localMax > 0 &&
+        pairsSlim.schema.fields.forall(_.dataType == org.apache.spark.sql.types.LongType) &&
+        pairsSlim.count() * 2 <= localMax) {
+      localUnionFind(pairsSlim) match {
+        case Some(out) =>
+          pairsSlim.unpersist()
+          return out
+        case None => () // null ids present: the distributed loop's
+        // null-key join semantics are the contract — fall through
+      }
+    }
     // symmetrize via explode, not union: a union's two branches would
     // each re-evaluate the (potentially expensive) upstream pair plan —
-    // explode reads it once
-    val edges = pairs
+    // explode reads it once (from the persisted slim pair cache)
+    val edges = pairsSlim
       .select(explode(array(
         struct(col("d1").as("src"), col("d2").as("dst")),
         struct(col("d2").as("src"), col("d1").as("dst")))).as("_e"))
       .select(col("_e.src").as("src"), col("_e.dst").as("dst"))
       .distinct()
       .persist()
-    val localMax = Graph.ccLocalThreshold(pairs.sparkSession)
-    // gate on the PERSISTED edge count, never a probe of the raw pair
-    // plan: the count materializes the cache the loop would build
-    // anyway, so a large graph pays one cached count, not a second
-    // evaluation of a possibly-expensive upstream pair generator.
-    // Long-id schema only — the local solve must not change the result
-    // schema for exotic id types.
-    if (localMax > 0 &&
-        edges.schema.fields.forall(_.dataType == org.apache.spark.sql.types.LongType) &&
-        edges.count() <= localMax) {
-      localUnionFind(edges) match {
-        case Some(out) =>
-          edges.unpersist()
-          return out
-        case None => () // null ids present: the distributed loop's
-        // null-key join semantics are the contract — fall through
-      }
-    }
     var labels = Checkpoints.loopBarrier(
       edges.select(col("src").as("id")).distinct()
         .withColumn("label", col("id")))
@@ -687,6 +722,7 @@ object Dedup {
       i += 1
     }
     edges.unpersist()
+    pairsSlim.unpersist()
     if (!converged) {
       // adversarially long chains (diameter > maxIters) stop short of the
       // fixpoint: some vertices keep a non-minimal label, so a caller
@@ -699,14 +735,17 @@ object Dedup {
     labels.select(col("id"), col("label").as("cluster_id"))
   }
 
-  /** Driver-local transitive closure for a small symmetrized edge table
+  /** Driver-local transitive closure for a small 2-column edge/pair table
     * (the [[connectedComponents]] fast path): one collect, then
     * union-find with union-by-min-root + path compression, so the final
     * root of every set IS the component's minimum id — bit-identical
-    * labels to the distributed min-propagation loop. Returns None when
-    * any id is null (the distributed loop's null-join semantics — null
-    * never matches, the vertex keeps a null label — are the contract,
-    * and a driver map keyed by Long can't represent them). */
+    * labels to the distributed min-propagation loop. Union-find is
+    * direction- and duplicate-insensitive, so the RAW (d1, d2) pair
+    * table works as well as symmetrized distinct edges (r17 — the fast
+    * path no longer pays the explode + distinct exchange). Returns None
+    * when any id is null (the distributed loop's null-join semantics —
+    * null never matches, the vertex keeps a null label — are the
+    * contract, and a driver map keyed by Long can't represent them). */
   private def localUnionFind(edges: DataFrame): Option[DataFrame] = {
     val spark = edges.sparkSession
     val rows = edges.collect()
@@ -733,12 +772,13 @@ object Dedup {
     parent.keySet().forEach(id => out += org.apache.spark.sql.Row(id.longValue(), find(id)))
     // same schema (names, LongType, nullability) as the distributed
     // loop's result so downstream plans and written parquet are
-    // indistinguishable: `id` inherits the symmetrized edge column's
-    // nullability, `cluster_id` is nullable (the loop's min-aggregate
-    // makes it so)
+    // indistinguishable: `id` inherits the nullability a symmetrized
+    // src column would have (either input column may feed it, so the
+    // union of the two — the input here may be the raw pair table),
+    // `cluster_id` is nullable (the loop's min-aggregate makes it so)
     val schema = org.apache.spark.sql.types.StructType(Seq(
       org.apache.spark.sql.types.StructField("id", org.apache.spark.sql.types.LongType,
-        nullable = edges.schema.head.nullable),
+        nullable = edges.schema.fields.exists(_.nullable)),
       org.apache.spark.sql.types.StructField("cluster_id", org.apache.spark.sql.types.LongType)))
     Some(spark.createDataFrame(
       spark.sparkContext.parallelize(out.toSeq, Graph.localResultSlices(out.size)), schema))

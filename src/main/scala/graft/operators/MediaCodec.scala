@@ -27,6 +27,15 @@ import javax.imageio.ImageIO
   */
 object MediaCodec {
 
+  // ImageIO's default ImageInputStream is FILE-cache backed: every
+  // ImageIO.read/write creates (and deletes) a temp file on disk even for
+  // an in-memory ByteArrayInputStream. A per-row decode pass pays that
+  // syscall churn once per payload — measured 60-77 µs/decode with the
+  // cache vs 10-19 µs without on the 8×8 BMP fixtures (r17 probe). The
+  // payloads here are always in-memory byte arrays, so the memory-backed
+  // stream is strictly better at any scale.
+  javax.imageio.ImageIO.setUseCache(false)
+
   /** Parsed header: format plus dimensions (negative = unknown). */
   final case class Meta(format: String, width: Int, height: Int)
 

@@ -197,7 +197,27 @@ object Retrieval {
     // partial phase ships <= k rows per query into the qid exchange — the
     // full (qid, doc) score table is never sorted. n_terms rides as an
     // exact double payload (counts << 2^53).
+    //
+    // ONE qid-keyed exchange for the whole scoring tail (r17): the
+    // Σ df·qf fan-out rows hash-partition by qid straight off the join,
+    // and then the (qid, doc) sum, the per-qid heap, and its final merge
+    // all run exchange-free (HashPartitioning(qid) satisfies both
+    // groupings). The previous shape paid a (qid, doc)-keyed exchange
+    // plus a second qid exchange — and its map-side partial aggregate
+    // was structurally useless at ANY scale: a (qid, doc) duplicate
+    // needs the same doc to match two DIFFERENT terms of the query, and
+    // those rows live in different term partitions by construction
+    // (measured 3.12M→2.97M, a 5% reduction, for 10.6 s of task time at
+    // sf0.1). Shuffling the raw (qid, doc, _m) rows is also narrower
+    // than the partial-agg rows were. qid cardinality scales with the
+    // query batch, so the partitioning stays uniform at corpus scale.
+    // explicit width: an unsized repartition(col) is AQE-coalescible,
+    // and the compact fan-out bytes coalesce under the advisory size —
+    // which would serialize this whole aggregate+heap tail into one or
+    // two tasks (measured: q90 +1.0 s). User-specified widths are never
+    // coalesced (the q81/prefix-join lesson).
     qt.join(scored, "term")
+      .repartition(ct.sparkSession.sparkContext.defaultParallelism, col(qidCol))
       .groupBy(col(qidCol), col(idCol))
       .agg(sum("_m").as("_sm"), count(lit(1)).as("n_terms"))
       .withColumn("score", col("_sm").cast("double") / lit(1e6))

@@ -757,26 +757,42 @@ object Similarity {
     * by the exact and IVF-composed miners so the two differ ONLY in
     * which pairs exist.
     *
-    * Deliberately the WINDOW formulation, not heap aggregates (tried in
-    * r10 and reverted): both side-sums AND the per-pair margin need the
-    * pair table, so heap-aggregate side-sums joined back force THREE
-    * evaluations of the expensive upstream (the cosine-scoring join) —
-    * where the window chain evaluates it ONCE and sorts only the slim
-    * (qid, cid, _sm) rows, with rank+sum sharing each side's exchange.
-    * Recompute of corpus-scale scoring costs more than sorts of slim
-    * integers; the q100 plan pin (one cross join) enforces this. */
+    * Shape (r17): the pair table is materialized ONCE (eager barrier —
+    * side-sums and per-pair scoring both need it; the r10 un-barriered
+    * heap attempt re-ran the cosine-scoring join three times, which is
+    * why the window chain held until now), then each side's top-k sum is
+    * a bounded-memory [[graft.functions.TopKNearest]] heap aggregate
+    * (≤ k rows per key cross its exchange) joined back onto the pairs —
+    * the models are |Q|- and |C|-sized, so AQE broadcasts them while
+    * they fit and the pair table itself is never exchanged for scoring.
+    * The window form instead SORTED the full pair table through two
+    * keyed exchanges (measured at sf0.1: 2 × 1M-row exchanges + 3.2 s +
+    * 0.7 s of sort task-time on q100). Heap order asc (−_sm, id) == the
+    * old rank window's (_sm desc, id asc) including tiebreaks, and the
+    * top-k sum is a ≤ k-term sum of exact integer-valued doubles
+    * (|_sm| ≤ 1e6 micro) — bit-identical to the window's long sum.
+    * Null _sm rows are filtered from the heap inputs only: the old
+    * row_number ranked them last (desc ⇒ nulls last) and the
+    * conditional sum skipped them, so they never contributed either.
+    * The final best-candidate pick stays a rank WINDOW: it gets the
+    * map-side WindowGroupLimit pushdown (≤ 1 row per qid per partition
+    * crosses its exchange) and is NaN-total where a heap key is not.
+    * MiningSpec pins heap ≡ window on randomized pairs. */
   private def marginFromPairs(pairs: DataFrame, k: Int, threshold: Double): DataFrame = {
-    val wq = Window.partitionBy("qid").orderBy(col("_sm").desc, col("cid").asc)
-    val wc = Window.partitionBy("cid").orderBy(col("_sm").desc, col("qid").asc)
-    val scored = pairs
-      .withColumn("_rq", row_number().over(wq))
-      .withColumn("_sq",
-        sum(when(col("_rq") <= k, col("_sm")).otherwise(0L))
-          .over(Window.partitionBy("qid")))
-      .withColumn("_rc", row_number().over(wc))
-      .withColumn("_sc",
-        sum(when(col("_rc") <= k, col("_sm")).otherwise(0L))
-          .over(Window.partitionBy("cid")))
+    requireIntegralId(pairs, "qid", "marginFromPairs")
+    requireIntegralId(pairs, "cid", "marginFromPairs")
+    val p = Checkpoints.loopBarrier(pairs.select("qid", "cid", "_sm"))
+    def topkSum(key: String, other: String, out: String): DataFrame =
+      p.filter(col("_sm").isNotNull)
+        .groupBy(key)
+        .agg(graft.functions.TopKNearest.topkNearest(
+          struct((-col("_sm")).cast("double").as("dist2"),
+            col(other).cast("long").as("src_id")), k).as("_top"))
+        .select(col(key),
+          expr("CAST(-aggregate(_top, 0D, (a, x) -> a + x.dist2) AS BIGINT)").as(out))
+    val scored = p
+      .join(topkSum("qid", "cid", "_sq"), "qid")
+      .join(topkSum("cid", "qid", "_sc"), "cid")
       .withColumn("margin",
         (col("_sm") * lit(2L * k)).cast("double") / (col("_sq") + col("_sc")))
     val best = Window.partitionBy("qid").orderBy(col("margin").desc, col("cid").asc)

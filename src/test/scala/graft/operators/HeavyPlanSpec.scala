@@ -65,13 +65,20 @@ class HeavyPlanSpec extends SparkSpec {
     assert(df.count() > 0)
   }
 
-  test("q100 margin mining: exactly one (documented) cross join, broadcast side") {
+  test("q100 margin mining: pair table checkpointed once, side-sums on heap aggregates") {
     val df = Queries.q100_margin_mine.build(spark, sf)
     val p = df.queryExecution.executedPlan.toString
-    val nlj = count(p, "BroadcastNestedLoopJoin") + count(p, "CartesianProduct")
-    assert(nlj === 1,
-      s"the exact-baseline cross join must stay single and broadcast-shaped:\n${p.take(1500)}")
-    assert(count(p, "CartesianProduct") === 0, "cross join must broadcast the query side")
+    // r17: the (documented, single) cross join runs exactly once — at
+    // pair-table checkpoint time — so the final plan reads the barrier,
+    // never the embeddings parquet, and carries no cross join at all
+    assert(count(p, "BroadcastNestedLoopJoin") + count(p, "CartesianProduct") === 0,
+      s"the cross join must live behind the pair-table barrier:\n${p.take(1500)}")
+    assert(count(p, "Scan parquet") === 0,
+      s"expected the checkpointed pair table to replace all source scans:\n${p.take(1500)}")
+    assert(count(p, "Scan ExistingRDD") >= 3,
+      "per-pair scoring + both side-sum heap aggregates read the checkpoint")
+    assert(count(p, "ObjectHashAggregate") >= 2,
+      s"both side-sums must plan as the bounded-memory heap aggregate:\n${p.take(1500)}")
     assert(df.count() > 0)
   }
 

@@ -49,6 +49,51 @@ class MiningSpec extends SparkSpec {
     assert(Similarity.marginMine(qs, cs, k = 2, threshold = 0.999).count() == 2)
   }
 
+  test("marginMine: heap side-sums ≡ the window formulation on randomized pairs (r17)") {
+    val s = spark
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    // deterministic pseudo-random embeddings with deliberate hub/tie
+    // structure; k chosen to hit both partial (< k neighbours) and full
+    // heaps. The reference is the pre-r17 window chain, inlined.
+    def vec(seed: Long): Seq[Float] = {
+      val r = new scala.util.Random(seed)
+      Seq.fill(5)(r.nextDouble().toFloat - 0.5f)
+    }
+    val qs = (1L to 17L).map(i => (i, vec(i))).toDF("qid", "embedding")
+    val cs = (101L to 140L).map(i => (i, vec(i * 7))).toDF("cid", "embedding")
+    var anyMined = 0
+    for (k <- Seq(1, 3, 8); threshold <- Seq(0.8, 1.0)) {
+      val got = Similarity.marginMine(qs, cs, k = k, threshold = threshold)
+        .orderBy("qid").collect().toSeq
+      val pairs = qs.select(col("qid"), col("embedding").as("_qv"))
+        .crossJoin(cs.select(col("cid"), col("embedding").as("_cv")))
+        .withColumn("_sm", round(round(graft.functions.GeoFunctions.cosineSimilarity(
+          col("_qv"), col("_cv")), 6) * 1000000L).cast("long"))
+        .drop("_qv", "_cv")
+      val wq = Window.partitionBy("qid").orderBy(col("_sm").desc, col("cid").asc)
+      val wc = Window.partitionBy("cid").orderBy(col("_sm").desc, col("qid").asc)
+      val best = Window.partitionBy("qid").orderBy(col("margin").desc, col("cid").asc)
+      val want = pairs
+        .withColumn("_rq", row_number().over(wq))
+        .withColumn("_sq", sum(when(col("_rq") <= k, col("_sm")).otherwise(0L))
+          .over(Window.partitionBy("qid")))
+        .withColumn("_rc", row_number().over(wc))
+        .withColumn("_sc", sum(when(col("_rc") <= k, col("_sm")).otherwise(0L))
+          .over(Window.partitionBy("cid")))
+        .withColumn("margin",
+          (col("_sm") * lit(2L * k)).cast("double") / (col("_sq") + col("_sc")))
+        .withColumn("_rank", row_number().over(best))
+        .filter(col("_rank") === 1 && col("margin") > threshold)
+        .select(col("qid"), col("cid"), round(col("margin"), 6).as("margin"),
+          (col("_sm").cast("double") / 1000000L).as("sim"))
+        .orderBy("qid").collect().toSeq
+      assert(got === want, s"heap/window divergence at k=$k threshold=$threshold")
+      anyMined += got.size
+    }
+    assert(anyMined > 0, "vacuous parity: no (k, threshold) combination mined anything")
+  }
+
   test("marginMineWith: full probe budget reproduces the exact miner bit-for-bit") {
     val s = spark
     import s.implicits._
