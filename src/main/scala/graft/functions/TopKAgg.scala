@@ -53,10 +53,21 @@ case class TopKNearest(
 
   override def createAggregationBuffer(): Heap = new Heap(k, pw)
 
+  // The hot path: update runs once per INPUT row (candidate-sized), and
+  // TypedImperativeAggregate updates are never whole-stage-codegen'd —
+  // `child.eval` walks the CreateNamedStruct tree interpreted, boxing
+  // every field (measured ~7-18 µs/row on the knn/bm25 heaps, r17). A
+  // generated UnsafeProjection compiles the struct evaluation once per
+  // task (Janino, cached by generated source) and writes a reused
+  // buffer row — same values, same null semantics (the projected field
+  // is null exactly when child.eval would return null).
+  @transient private lazy val evalProj =
+    org.apache.spark.sql.catalyst.expressions.UnsafeProjection.create(Seq(child))
+
   override def update(buf: Heap, input: InternalRow): Heap = {
-    val v = child.eval(input)
-    if (v != null) {
-      val row = v.asInstanceOf[InternalRow]
+    val projected = evalProj(input)
+    if (!projected.isNullAt(0)) {
+      val row = projected.getStruct(0, 2 + pw)
       var nulls = 0L
       var i = 0
       while (i < pw) {

@@ -185,6 +185,30 @@ object KnnResample {
     * using the algebraic decomposition of `:821-859`:
     *   stddev = sqrt( v1/(v1^2 - v2) * (sum(w*x^2) - (sum(w*x))^2/v1) )
     * (pure partial sums -> single hash aggregation, no second pass). */
+  /** Bit-exact replica of `sum(term)` over the slot terms in rank order,
+    * as a pure codegen expression chain (r17): Spark's Sum starts from a
+    * NULL buffer and, per NON-NULL input in row order, assigns
+    * `coalesce(buf, 0.0) + x` — null terms are skipped entirely (never
+    * added as 0, which would flip a −0.0 partial), and an all-null group
+    * yields null. The folded chain reproduces exactly that, so replacing
+    * the explode + re-aggregate with a per-row fold over the heap's
+    * rank-ordered candidate array is IEEE-identical. */
+  private def foldSum(terms: Seq[Column]): Column =
+    terms.foldLeft(lit(null).cast("double")) { (a, t) =>
+      when(t.isNull, a).otherwise(coalesce(a, lit(0.0)) + t)
+    }
+
+  /** k fixed slots of the rank-ordered `cand` array (1-based
+    * try_element_at — null past the array end, ANSI-safe), with the
+    * weight null-guarded so a missing slot can never contribute even
+    * under a non-null-propagating custom weight function. */
+  private def candSlots(k: Int, weight: Column => Column): Seq[(Column, Column)] =
+    (1 to k).map { i =>
+      val s = try_element_at(col("cand"), lit(i))
+      (when(s.isNull, lit(null).cast("double"))
+        .otherwise(weight(s.getField("dist2"))), s)
+    }
+
   def weighted(
       source: DataFrame,
       target: DataFrame,
@@ -195,32 +219,32 @@ object KnnResample {
       uncertainty: Boolean = false,
       planar: Boolean = false): DataFrame = {
 
-    val idx = neighbours(source, target, radius, k, planar, carry = Seq(valueCol))
-    val joined = idx
-      .withColumn("_v", col(valueCol))
-      .withColumn("_w", weight(col("dist2")))
-
-    val agg = joined
-      .groupBy("dst_id")
-      .agg(
-        sum(col("_w") * col("_v")).as("_swv"),
-        sum(col("_w")).as("_sw"),
-        sum(col("_w") * col("_w")).as("_sw2"),
-        sum(col("_w") * col("_v") * col("_v")).as("_swv2"),
-        count(lit(1)).as("n"))
-
-    val mean = col("_swv") / col("_sw")
-    val base = agg.withColumn(valueCol, mean)
-    val out =
-      if (!uncertainty) base.select("dst_id", valueCol)
-      else {
-        val v1 = col("_sw"); val v2 = col("_sw2")
-        val wvar = col("_swv2") - (col("_swv") * col("_swv")) / v1
-        base
-          .withColumn("stddev", sqrt((v1 / (v1 * v1 - v2)) * wvar))
-          .select("dst_id", valueCol, "stddev", "n")
-      }
-    out
+    // r17: the heap aggregation already grouped by dst_id and produced
+    // the rank-ordered <=k candidate array — the weighted sums are a
+    // row-local fold over that array's fixed slots, not a second
+    // explode + hash aggregation over k× the rows (measured at sf0.1 on
+    // q17: the re-aggregate was 12.3 s of task time). foldSum replicates
+    // Sum's null-skip and accumulation order bit-exactly, and the whole
+    // merge stays inside one whole-stage-codegen projection.
+    val agg = neighboursAgg(source, target, radius, k, planar, carry = Seq(valueCol))
+    val slots = candSlots(k, weight)
+    val wv = slots.map { case (w, s) => (w, s.getField(valueCol)) }
+    val base = agg.select(
+      col("dst_id"),
+      foldSum(wv.map { case (w, v) => w * v }).as("_swv"),
+      foldSum(wv.map { case (w, _) => w }).as("_sw"),
+      foldSum(wv.map { case (w, _) => w * w }).as("_sw2"),
+      foldSum(wv.map { case (w, v) => w * v * v }).as("_swv2"),
+      size(col("cand")).cast("long").as("n"))
+      .withColumn(valueCol, col("_swv") / col("_sw"))
+    if (!uncertainty) base.select("dst_id", valueCol)
+    else {
+      val v1 = col("_sw"); val v2 = col("_sw2")
+      val wvar = col("_swv2") - (col("_swv") * col("_swv")) / v1
+      base
+        .withColumn("stddev", sqrt((v1 / (v1 * v1 - v2)) * wvar))
+        .select("dst_id", valueCol, "stddev", "n")
+    }
   }
 
   /** Multi-channel weighted merge (`kd_tree.py:607-615`: trailing channel
@@ -252,40 +276,42 @@ object KnnResample {
       weight: Column => Column,
       planar: Boolean = false,
       uncertainty: Boolean = false): DataFrame = {
-    val idx = neighbours(source, target, radius, k, planar, carry = valueCols)
-    val joined = idx
-      .withColumn("_w", weight(col("dist2")))
-    // a null/NaN channel value must not poison that cell's mean/stddev for
-    // the channel, and must not count as a used neighbour — mask every
-    // per-channel partial (values AND weights) on the channel's validity,
-    // exactly what the reference's masked arrays do (`kd_tree.py:821-859`)
-    def valid(c: String): Column = col(c).isNotNull && !isnan(col(c).cast("double"))
-    if (!uncertainty) {
-      val aggs = valueCols.map { c =>
-        (sum(when(valid(c), col("_w") * col(c))) / sum(when(valid(c), col("_w")))).as(c)
+    // r17: row-local fixed-slot folds over the heap's candidate array
+    // (see [[weighted]]) — one codegen projection instead of a second
+    // explode + hash aggregation. A null/NaN channel value must not
+    // poison that cell's mean/stddev for the channel, and must not count
+    // as a used neighbour — mask every per-channel term (values AND
+    // weights) on the channel's slot validity, exactly what the
+    // reference's masked arrays do (`kd_tree.py:821-859`).
+    val agg = neighboursAgg(source, target, radius, k, planar, carry = valueCols)
+    val slots = candSlots(k, weight)
+    def vOf(c: String): Seq[Column] = slots.map(_._2.getField(c))
+    def validOf(c: String): Seq[Column] =
+      vOf(c).map(v => v.isNotNull && !isnan(v.cast("double")))
+    def masked(c: String, term: (Column, Column) => Column): Seq[Column] =
+      slots.zip(vOf(c)).zip(validOf(c)).map { case (((w, _), v), ok) =>
+        when(ok, term(w, v))
       }
-      joined.groupBy("dst_id").agg(aggs.head, aggs.tail: _*)
+    if (!uncertainty) {
+      val cols = valueCols.map { c =>
+        (foldSum(masked(c, (w, v) => w * v)) / foldSum(masked(c, (w, _) => w))).as(c)
+      }
+      agg.select(col("dst_id") +: cols: _*)
     } else {
-      val perChannel = valueCols.flatMap { c =>
-        Seq(
-          sum(when(valid(c), col("_w"))).as(s"_sw_$c"),
-          sum(when(valid(c), col("_w") * col("_w"))).as(s"_sw2_$c"),
-          sum(when(valid(c), col("_w") * col(c))).as(s"_swv_$c"),
-          sum(when(valid(c), col("_w") * col(c) * col(c))).as(s"_swvv_$c"),
-          count(when(valid(c), lit(1))).as(s"n_$c"))
-      } :+ count(lit(1)).as("n")
-      val agg = joined.groupBy("dst_id").agg(perChannel.head, perChannel.tail: _*)
       val outCols = valueCols.flatMap { c =>
-        val v1 = col(s"_sw_$c"); val v2 = col(s"_sw2_$c")
-        val swv = col(s"_swv_$c"); val swvv = col(s"_swvv_$c")
+        val v1 = foldSum(masked(c, (w, _) => w))
+        val v2 = foldSum(masked(c, (w, _) => w * w))
+        val swv = foldSum(masked(c, (w, v) => w * v))
+        val swvv = foldSum(masked(c, (w, v) => w * v * v))
+        val nC = validOf(c).map(ok => when(ok, lit(1L)).otherwise(0L)).reduce(_ + _)
         Seq((swv / v1).as(c),
           // < 2 valid neighbours: the decomposition divides by v1^2 - v2 = 0
           // (0.0 or NaN slips out of greatest) — report NULL instead
-          when(col(s"n_$c") >= 2,
+          when(nC >= 2,
             sqrt(greatest((v1 / (v1 * v1 - v2)) * (swvv - (swv * swv) / v1), lit(0.0))))
             .as(s"stddev_$c"),
-          col(s"n_$c"))
-      } :+ col("n")
+          nC.as(s"n_$c"))
+      } :+ size(col("cand")).cast("long").as("n")
       agg.select(col("dst_id") +: outCols: _*)
     }
   }
@@ -300,12 +326,16 @@ object KnnResample {
       k: Int,
       channels: Seq[(String, Column => Column)],
       planar: Boolean = false): DataFrame = {
-    val joined = neighbours(source, target, radius, k, planar, carry = channels.map(_._1))
+    // r17: same row-local fixed-slot fold as [[weighted]], one weight
+    // chain per channel
+    val agg = neighboursAgg(source, target, radius, k, planar, carry = channels.map(_._1))
     val aggs = channels.map { case (c, wf) =>
-      val w = wf(col("dist2"))
-      (sum(w * col(c)) / sum(w)).as(c)
+      val slots = candSlots(k, wf)
+      val wv = slots.map { case (w, s) => (w, s.getField(c)) }
+      (foldSum(wv.map { case (w, v) => w * v }) /
+        foldSum(wv.map { case (w, _) => w })).as(c)
     }
-    joined.groupBy("dst_id").agg(aggs.head, aggs.tail: _*)
+    agg.select(col("dst_id") +: aggs: _*)
   }
 
   /** Gaussian weighting (`kd_tree.py:113-189`): sigma from sigmas param. */
