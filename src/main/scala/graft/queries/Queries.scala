@@ -336,19 +336,33 @@ object Queries {
     Some(s"""WITH $swathSql, $tgtSql, $knnRankedSql
       SELECT dst_id, src_id, dist2, value FROM ranked WHERE rank = 1 ORDER BY dst_id"""))
 
-  /** Fixed-order pivot sum over k ranks: exact double addition order. */
-  private def pivotAgg(nbrs: DataFrame, k: Int, extra: Boolean): DataFrame = {
-    val aggs = (1 to k).flatMap { i =>
-      Seq(
-        max(when(col("rank") === i, col("w") * col("value"))).as(s"wv$i"),
-        max(when(col("rank") === i, col("w"))).as(s"w$i")) ++
-        (if (extra)
-          Seq(
-            max(when(col("rank") === i, col("w") * col("value") * col("value"))).as(s"wvv$i"),
-            max(when(col("rank") === i, col("w") * col("w"))).as(s"ww$i"))
-        else Nil)
+  /** Rank-slot view of `neighboursAgg`'s candidate array (r17): slot i =
+    * try_element_at(cand, i) — null past the array end — with the weight
+    * null-guarded so a missing rank contributes null exactly like the
+    * old pivot. Replaces the explode + `max(when(rank === i, expr))`
+    * pivot AGGREGATION bit-exactly: rank i names at most ONE row, so the
+    * max over the group is that row's expression (or null) — which is
+    * precisely slot i's expression. The whole pivot becomes one codegen
+    * projection; the Generate + 16-32-buffer double HashAggregate
+    * disappear from the q15/q16/q17/q42/q50 plans (measured 12.3 s of
+    * aggregate task time on q17 at sf0.1). */
+  private def rankSlots(k: Int, wOf: Column => Column): Seq[(Column, Column)] =
+    (1 to k).map { i =>
+      val s = try_element_at(col("cand"), lit(i))
+      (when(s.isNull, lit(null).cast("double")).otherwise(wOf(s.getField("dist2"))), s)
     }
-    nbrs.groupBy("dst_id").agg(aggs.head, aggs.tail: _*)
+
+  /** The q16/q17 pivot columns (wv_i, w_i [, wvv_i, ww_i]) over rank
+    * slots — same names and values as the old pivot aggregate. */
+  private def pivotAgg(
+      agg: DataFrame, k: Int, wOf: Column => Column, extra: Boolean): DataFrame = {
+    val cols = rankSlots(k, wOf).zipWithIndex.flatMap { case ((w, s), i0) =>
+      val i = i0 + 1
+      val v = s.getField("value")
+      Seq((w * v).as(s"wv$i"), w.as(s"w$i")) ++
+        (if (extra) Seq((w * v * v).as(s"wvv$i"), (w * w).as(s"ww$i")) else Nil)
+    }
+    agg.select(col("dst_id") +: cols: _*)
   }
   private def fixedSum(prefix: String, k: Int): Column =
     (1 to k).map(i => coalesce(col(s"$prefix$i"), lit(0.0))).reduce(_ + _)
@@ -371,9 +385,9 @@ object Queries {
   val q15_knn_custom: Q = Q(
     (s, d) => {
       val src = srcForKnn(s, d)
-      val nbrs = KnnResample.neighbours(src, tgt(s, d), 2.0, 5, planar = true, carry = Seq("value"))
-        .withColumn("w", lit(4.5) - col("dist2"))
-      pivotAgg(nbrs, 5, extra = false)
+      val agg = KnnResample.neighboursAgg(src, tgt(s, d), 2.0, 5, planar = true,
+        carry = Seq("value"))
+      pivotAgg(agg, 5, d2 => lit(4.5) - d2, extra = false)
         .select(col("dst_id"), (fixedSum("wv", 5) / fixedSum("w", 5)).as("custom_v"))
         .orderBy("dst_id")
     },
@@ -384,9 +398,9 @@ object Queries {
   val q16_knn_gauss: Q = Q(
     (s, d) => {
       val src = srcForKnn(s, d)
-      val nbrs = KnnResample.neighbours(src, tgt(s, d), 2.0, 8, planar = true, carry = Seq("value"))
-        .withColumn("w", round(exp(-col("dist2") / lit(2.25)), 7))
-      pivotAgg(nbrs, 8, extra = false)
+      val agg = KnnResample.neighboursAgg(src, tgt(s, d), 2.0, 8, planar = true,
+        carry = Seq("value"))
+      pivotAgg(agg, 8, d2 => round(exp(-d2 / lit(2.25)), 7), extra = false)
         .select(col("dst_id"), (fixedSum("wv", 8) / fixedSum("w", 8)).as("gauss_v"))
         .orderBy("dst_id")
     },
@@ -398,9 +412,9 @@ object Queries {
   val q17_knn_uncertainty: Q = Q(
     (s, d) => {
       val src = srcForKnn(s, d)
-      val nbrs = KnnResample.neighbours(src, tgt(s, d), 2.0, 8, planar = true, carry = Seq("value"))
-        .withColumn("w", round(exp(-col("dist2") / lit(2.25)), 7))
-      val g = pivotAgg(nbrs, 8, extra = true)
+      val agg = KnnResample.neighboursAgg(src, tgt(s, d), 2.0, 8, planar = true,
+        carry = Seq("value"))
+      val g = pivotAgg(agg, 8, d2 => round(exp(-d2 / lit(2.25)), 7), extra = true)
       val v1 = fixedSum("w", 8); val v2 = fixedSum("ww", 8)
       val swv = fixedSum("wv", 8); val swvv = fixedSum("wvv", 8)
       val n = (1 to 8).map(i => when(col(s"w$i").isNotNull, 1L).otherwise(0L)).reduce(_ + _)
@@ -434,19 +448,22 @@ object Queries {
   val q50_multi_uncertainty: Q = Q(
     (s, d) => {
       val src = srcForKnn(s, d)
-      val nbrs = KnnResample.neighbours(src, tgt(s, d), 2.0, 8, planar = true,
-          carry = Seq("value", "value2"))
-        .withColumn("w", round(exp(-col("dist2") / lit(2.25)), 7))
-      val aggs = (1 to 8).flatMap { i =>
-        Seq(
-          max(when(col("rank") === i, col("w"))).as(s"w$i"),
-          max(when(col("rank") === i, col("w") * col("w"))).as(s"ww$i"),
-          max(when(col("rank") === i, col("w") * col("value"))).as(s"wva$i"),
-          max(when(col("rank") === i, col("w") * col("value") * col("value"))).as(s"wvva$i"),
-          max(when(col("rank") === i, col("w") * col("value2"))).as(s"wvb$i"),
-          max(when(col("rank") === i, col("w") * col("value2") * col("value2"))).as(s"wvvb$i"))
-      }
-      val g = nbrs.groupBy("dst_id").agg(aggs.head, aggs.tail: _*)
+      val agg = KnnResample.neighboursAgg(src, tgt(s, d), 2.0, 8, planar = true,
+        carry = Seq("value", "value2"))
+      // rank-slot pivot (see pivotAgg): same columns, one codegen projection
+      val cols = rankSlots(8, d2 => round(exp(-d2 / lit(2.25)), 7)).zipWithIndex
+        .flatMap { case ((w, sl), i0) =>
+          val i = i0 + 1
+          val va = sl.getField("value"); val vb = sl.getField("value2")
+          Seq(
+            w.as(s"w$i"),
+            (w * w).as(s"ww$i"),
+            (w * va).as(s"wva$i"),
+            (w * va * va).as(s"wvva$i"),
+            (w * vb).as(s"wvb$i"),
+            (w * vb * vb).as(s"wvvb$i"))
+        }
+      val g = agg.select(col("dst_id") +: cols: _*)
       val v1 = fixedSum("w", 8); val v2 = fixedSum("ww", 8)
       val swva = fixedSum("wva", 8); val swvva = fixedSum("wvva", 8)
       val swvb = fixedSum("wvb", 8); val swvvb = fixedSum("wvvb", 8)
@@ -2749,10 +2766,9 @@ object Queries {
       val src = DataReduce.reduceToArea(
         srcForKnnRebalanced(s, d), area, 50000.0)
       val target = area.grid(s, withLonLat = true).select(col("cell").as("dst_id"), col("lon"), col("lat"))
-      val nbrs = KnnResample.neighbours(src, target, 50000.0, 8, quantize = Some(0),
-          carry = Seq("value"))
-        .withColumn("w", round(exp(-col("dist2") / lit(25000.0 * 25000.0)), 7))
-      pivotAgg(nbrs, 8, extra = false)
+      val agg = KnnResample.neighboursAgg(src, target, 50000.0, 8, quantize = Some(0),
+        carry = Seq("value"))
+      pivotAgg(agg, 8, d2 => round(exp(-d2 / lit(25000.0 * 25000.0)), 7), extra = false)
         .select(col("dst_id"), (fixedSum("wv", 8) / fixedSum("w", 8)).as("gauss_v"))
         .orderBy("dst_id")
     },
