@@ -11,6 +11,15 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Bench driver contract (r18): the driver archives a 2000-char stdout TAIL
+// and parses the LAST line as JSON. The default forked-process output
+// strategy routes the child's stdout through sbt's logger, which prefixes
+// every line with "[info] " — that prefix corrupted the contract line in
+// every prior round's BENCH artifact ("parsed": null). StdoutOutput makes
+// the forked JVM inherit raw stdout, so the contract line lands unprefixed.
+run / outputStrategy := Some(StdoutOutput)
+Compile / run / outputStrategy := Some(StdoutOutput)
+Compile / runMain / outputStrategy := Some(StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -38,9 +38,11 @@ import org.apache.spark.sql.SparkSession
   *
   * Output is TWO JSON lines: a "detail" line (full query names, per-query
   * minima and medians, per-query retry evidence) and, LAST, the contract
-  * "total" line with medians under short keys plus the load-probe
-  * dispersion — the driver archives a 2000-char stdout tail, and the last
-  * line is sized to survive it. */
+  * "total" line with ALL medians under short keys as integer deciseconds
+  * ("qunit":"ds", r18) plus the probe max and suspect list — the driver
+  * archives a 2000-char stdout tail, and the last line is sized to
+  * survive it untruncated (build.sbt routes the forked JVM's stdout raw,
+  * so no sbt "[info] " prefix corrupts it). */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -253,9 +255,9 @@ object Bench {
     // pass existed, instead of decoding that from 30 per-query suspects
     val runLoaded = BenchSentinel.runLoaded(pass1.suiteSpike, rerun.map(_.suiteSpike))
     def fmt(v: Double): String = "%.4f".formatLocal(java.util.Locale.ROOT, v)
-    // contract line uses 2 decimals: at 143+ queries the 3-decimal form
-    // (~13.5 chars/query) would overflow the driver's 2000-char stdout
-    // tail; the clippable detail line keeps 4-decimal medians
+    // 2-decimal form for the contract line's scalar fields (total, probe
+    // max); per-query medians are integer deciseconds there (see below),
+    // the clippable detail line keeps 4-decimal medians
     def fmt3(v: Double): String = "%.2f".formatLocal(java.util.Locale.ROOT, v)
     def jmap(key: String => String, f: R => Double, fm: Double => String = fmt): String =
       results.map { r => "\"" + key(r.name) + "\":" + fm(f(r)) }.mkString("{", ",", "}")
@@ -282,22 +284,33 @@ object Bench {
     // a meaningful regression, every query still contributes to value,
     // and 4-decimal medians for all of them stay on the detail line
     val suspectFull = results.filter(_.suspect).map("\"" + _.name + "\"").mkString("[", ",", "]")
-    val detailLine = s"""{"metric":"detail","iters":$iters,"probe_med":${fmt(ps(ps.length / 2))},"probe_max":${fmt(ps.last)},"suspect":$suspectFull,"retried":$retriedJson,"queries_ext":${jmap(identity, _.ext)},"queries_min":${jmap(identity, _.min)},"queries_med_full":${jmap(identity, _.med)},"run_loaded":${if (runLoaded) 1 else 0}$suiteRerunJson}"""
+    val detailLine = s"""{"metric":"detail","iters":$iters,"probe_med":${fmt(ps(ps.length / 2))},"probe_max":${fmt(ps.last)},"ext_max":${fmt(extMax)},"n_retried":$flaggedCount,"suite_spike":${if (suiteSpike) 1 else 0},"suspect":$suspectFull,"retried":$retriedJson,"queries_ext":${jmap(identity, _.ext)},"queries_min":${jmap(identity, _.min)},"queries_med_full":${jmap(identity, _.med)},"run_loaded":${if (runLoaded) 1 else 0}$suiteRerunJson}"""
     println(detailLine)
-    def fmt1(v: Double): String = "%.1f".formatLocal(java.util.Locale.ROOT, v)
+    // r18 (measurement-artifact fix, verdict item 1): per-query medians in
+    // the contract line are INTEGER DECISECONDS ("qunit":"ds" — value 12 =
+    // 1.2 s) so ALL queries fit one <=1900-char line inside the driver's
+    // 2000-char stdout tail. The 1-decimal seconds map needed ~2180 chars
+    // for 228 queries and self-truncated the 48 fastest every round, which
+    // (with the sbt "[info] " prefix, fixed in build.sbt) left 17 rounds of
+    // BENCH artifacts unparseable. The suite total stays in true seconds
+    // ("value"/"unit":"sec"); full 4-decimal seconds medians stay on the
+    // detail line (queries_med_full). qtmax/pm/px/xx/nr/ss also live on the
+    // detail line now; rl + suspect stay here as the honesty signals.
     def contractLine(nKeep: Int): String = {
       val bySlow = results.sortBy(-_.med)
       val kept = bySlow.take(nKeep).map(_.name).toSet
       val dropped = bySlow.drop(nKeep)
-      val qtmax = if (dropped.isEmpty) 0.0 else dropped.map(_.med).max
       val qs = results.filter(r => kept(r.name))
-        .map(r => "\"" + r.name.split("_").head.drop(1) + "\":" + fmt1(r.med))
+        .map(r => "\"" + r.name.split("_").head.drop(1) + "\":" + math.round(r.med * 10))
         .mkString("{", ",", "}")
+      // truncation fallback only (a pathologically loaded run could still
+      // overflow the tail): dropped fastest-first, count recorded
+      val trunc = if (dropped.isEmpty) "" else s""","qtrunc":${dropped.size}"""
       // suspect: short query keys whose kept median was never measured
       // quiet (never truncated — it is the honesty signal of the line)
       val susp = results.filter(_.suspect)
         .map("\"" + _.name.split("_").head.drop(1) + "\"").mkString("[", ",", "]")
-      s"""{"metric":"total","value":${fmt3(total)},"unit":"sec","queries":$qs,"qtrunc":${dropped.size},"qtmax":${fmt3(qtmax)},"pm":${fmt3(ps(ps.length / 2))},"px":${fmt3(ps.last)},"xx":${fmt3(extMax)},"nr":$flaggedCount,"ss":${if (suiteSpike) 1 else 0},"rl":${if (runLoaded) 1 else 0},"suspect":$susp,"sf":"$sfName"}"""
+      s"""{"metric":"total","value":${fmt3(total)},"unit":"sec","qunit":"ds","queries":$qs$trunc,"px":${fmt3(ps.last)},"rl":${if (runLoaded) 1 else 0},"suspect":$susp,"sf":"$sfName"}"""
     }
     var nKeep = results.size
     var line = contractLine(nKeep)

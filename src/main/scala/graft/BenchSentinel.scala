@@ -43,8 +43,20 @@ object BenchSentinel {
     val j = archiveText.indexOf('}', i)
     if (j < 0) return (Map.empty, None)
     val body = archiveText.substring(i, j)
+    // r18 contract lines mark the per-query unit as deciseconds
+    // ("qunit":"ds", emitted just before the queries map); pre-r18
+    // archives carried 1-decimal seconds. Normalize to seconds so the
+    // regression sentinel compares like with like across the format
+    // change.
+    val prefix = archiveText.substring(math.max(0, i - 80), i)
+    val deci =
+      prefix.contains("\\\"qunit\\\":\\\"ds\\\"") || prefix.contains("\"qunit\":\"ds\"")
     val re = """\\?"(\d+)\\?":([0-9.]+)""".r
-    val meds = re.findAllMatchIn(body).map(m => m.group(1) -> m.group(2).toDouble).toMap
+    val meds = re.findAllMatchIn(body)
+      .map { m =>
+        val v = m.group(2).toDouble
+        m.group(1) -> (if (deci) v / 10.0 else v)
+      }.toMap
     val sfRe = """\\?"sf\\?":\\?"(sf[0-9.]+)\\?"""".r
     val sf = sfRe.findAllMatchIn(archiveText.substring(j)).map(_.group(1)).toSeq.lastOption
     (meds, sf)

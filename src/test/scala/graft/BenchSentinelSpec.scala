@@ -82,6 +82,17 @@ class BenchSentinelSpec extends AnyFunSuite {
     }
   }
 
+  test("archive parsing: r18 decisecond contract lines normalize to seconds") {
+    val tail = """{"n": 18, "tail": "{\"metric\":\"total\",\"value\":123.77,\"unit\":\"sec\",\"qunit\":\"ds\",\"queries\":{\"01\":9,\"100\":49,\"45\":25},\"px\":0.10,\"rl\":0,\"suspect\":[],\"sf\":\"sf0.1\"}\n"}"""
+    val (meds, sf) = BenchSentinel.parsePrevMedians(tail)
+    assert(meds === Map("01" -> 0.9, "100" -> 4.9, "45" -> 2.5))
+    assert(sf === Some("sf0.1"))
+    // unescaped (BENCH_QUIET jsonl) form too
+    val raw = """{"metric":"total","value":1.2,"unit":"sec","qunit":"ds","queries":{"01":12},"px":0.1,"rl":0,"suspect":[],"sf":"sf0.01"}"""
+    val (m2, sf2) = BenchSentinel.parsePrevMedians(raw)
+    assert(m2 === Map("01" -> 1.2) && sf2 === Some("sf0.01"))
+  }
+
   test("newestPrevFile picks the highest round number") {
     val dir = java.nio.file.Files.createTempDirectory("benchsent").toFile
     try {
