@@ -145,3 +145,89 @@ case class AudioFpExpr(child: Expression) extends UnaryExpression {
 object AudioFpExpr {
   def column(payload: Column): Column = Bridge.column(AudioFpExpr(Bridge.expression(payload)))
 }
+
+/** Canonical 8 kHz mono 16-bit PCM WAV encoder — the ENCODE twin of
+  * [[AudioFpExpr]]'s decode, executed in codegen: a 44-byte RIFF/WAVE
+  * header (sizes computed from the element count) followed by each
+  * sample's low 16 bits little-endian (two's complement). Byte-for-byte
+  * identical to the hex-transform chain
+  * `unhex(concat(header, array_join(transform(samples, LE16-hex), '')))`
+  * for any BIGINT samples (PcmWavSpec pins the parity), without the
+  * per-sample hex/lpad/substring/concat string machinery. Null when the
+  * array is null or contains a null element (such payloads never decode
+  * under [[AudioFpExpr]] either way). */
+case class PcmWavExpr(child: Expression) extends UnaryExpression {
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(LongType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"$prettyName requires array<bigint>, got ${other.catalogString} " +
+            "(the column() builder casts for you)")
+    }
+  override def dataType: DataType = BinaryType
+  override def nullable: Boolean = true
+  override def prettyName: String = "pcm_wav_8k_mono16"
+
+  override def nullSafeEval(a: Any): Any =
+    PcmWavExpr.encode(a.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a => {
+      s"""
+         |${ev.value} = graft.functions.PcmWavExpr.encode($a);
+         |${ev.isNull} = ${ev.value} == null;
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object PcmWavExpr {
+  private val SampleRate = 8000
+
+  /** Static entry for interpreted eval AND generated code. */
+  def encode(samples: org.apache.spark.sql.catalyst.util.ArrayData): Array[Byte] = {
+    val n = samples.numElements()
+    val dataBytes = 2 * n
+    val out = new Array[Byte](44 + dataBytes)
+    def ascii(off: Int, s: String): Unit = {
+      var i = 0
+      while (i < s.length) { out(off + i) = s.charAt(i).toByte; i += 1 }
+    }
+    def le32(off: Int, v: Int): Unit = {
+      out(off) = (v & 0xFF).toByte
+      out(off + 1) = ((v >> 8) & 0xFF).toByte
+      out(off + 2) = ((v >> 16) & 0xFF).toByte
+      out(off + 3) = ((v >> 24) & 0xFF).toByte
+    }
+    def le16(off: Int, v: Int): Unit = {
+      out(off) = (v & 0xFF).toByte
+      out(off + 1) = ((v >> 8) & 0xFF).toByte
+    }
+    ascii(0, "RIFF"); le32(4, 36 + dataBytes); ascii(8, "WAVE")
+    ascii(12, "fmt "); le32(16, 16)
+    le16(20, 1) // integer PCM
+    le16(22, 1) // mono
+    le32(24, SampleRate)
+    le32(28, SampleRate * 2) // byte rate = rate * blockAlign
+    le16(32, 2) // blockAlign = nCh * 2
+    le16(34, 16) // bits per sample
+    ascii(36, "data"); le32(40, dataBytes)
+    var i = 0
+    while (i < n) {
+      if (samples.isNullAt(i)) return null
+      val v = samples.getLong(i).toInt & 0xFFFF
+      out(44 + 2 * i) = (v & 0xFF).toByte
+      out(45 + 2 * i) = ((v >> 8) & 0xFF).toByte
+      i += 1
+    }
+    out
+  }
+
+  def column(samples: Column): Column =
+    Bridge.column(PcmWavExpr(Bridge.expression(samples.cast("array<bigint>"))))
+}

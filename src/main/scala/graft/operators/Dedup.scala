@@ -1094,8 +1094,13 @@ object Dedup {
 
   /** Resolved chain: generation names newest-first ending at the base,
     * with each generation's recorded (or legacy-listed) data-file
-    * bytes. */
-  private case class LabelChainInfo(gens: Seq[String], bytes: Seq[Long]) {
+    * bytes. `fromSidecar` marks an r17+ chain (resolved from the
+    * one-read chain sidecar): every delta generation of such a chain
+    * was written by [[updateClusterLabelsDeltaFlagged]] and carries the
+    * `_new` column with one shared schema, so the overlay may read all
+    * deltas in ONE `spark.read` (r18) instead of one per generation. */
+  private case class LabelChainInfo(
+      gens: Seq[String], bytes: Seq[Long], fromSidecar: Boolean = false) {
     def head: String = gens.head
     /** On-disk bytes of the DELTA generations — the overlay build side's
       * size estimate (the base, `gens.last`, never enters the overlay). */
@@ -1140,7 +1145,7 @@ object Dedup {
         }
         require(parsed.nonEmpty && parsed.head._1 == liveName,
           s"labelChain: chain sidecar in $dir/$liveName does not start with itself — corrupt")
-        LabelChainInfo(parsed.map(_._1), parsed.map(_._2))
+        LabelChainInfo(parsed.map(_._1), parsed.map(_._2), fromSidecar = true)
       case None =>
         // legacy walk (pre-r17 generations): one sidecar read per
         // generation, then one listing per generation for the bytes the
@@ -1197,9 +1202,26 @@ object Dedup {
       // precedence = position from the base (larger = newer); gen
       // numbers would work too but the chain order is the contract
       val n = chain.gens.length
-      val deltaFrames = chain.gens.init.map { g =>
-        spark.read.parquet(new org.apache.hadoop.fs.Path(dir, g).toString)
-      }
+      // ONE spark.read of every delta generation (r18, sidecar-resolved
+      // chains only — their shared (id, cluster_id, _new) schema is
+      // guaranteed by the r17+ writer): precedence is derived from the
+      // source file's generation directory, so a K-delta chain costs one
+      // listing + one scan node instead of K reads unioned. Legacy
+      // chains (parent-pointer walk) keep the per-generation reads and
+      // the schema checks below.
+      val deltaFrames =
+        if (chain.fromSidecar) {
+          val dirs = chain.gens.init.map(g => new org.apache.hadoop.fs.Path(dir, g).toString)
+          val one = spark.read.parquet(dirs: _*)
+          val genOf = chain.gens.init.zipWithIndex
+            .map { case (g, i) => (g, n - i) }
+            .foldLeft(lit(null).cast("int")) { case (acc, (g, v)) =>
+              when(input_file_name().contains(s"/$g/"), lit(v)).otherwise(acc)
+            }
+          Seq(one.withColumn("_gen0", genOf))
+        } else chain.gens.init.map { g =>
+          spark.read.parquet(new org.apache.hadoop.fs.Path(dir, g).toString)
+        }
       if (deltaFrames.forall(_.columns.contains("_new"))) {
         // partition-local overlay (r15, r14 verdict "What's wrong #2"):
         // newest-wins is resolved among the TOUCHED-rows deltas only
@@ -1213,7 +1235,8 @@ object Dedup {
         // full-corpus exchange per read, per caller — the wrong shape
         // for a serving-side consumer reading between folds).
         val overlay = deltaFrames.zipWithIndex.map { case (df, i) =>
-          df.select(col("id"), col("cluster_id"), lit(n - i).as("_gen"), col("_new"))
+          val gen = if (df.columns.contains("_gen0")) col("_gen0") else lit(n - i)
+          df.select(col("id"), col("cluster_id"), gen.as("_gen"), col("_new"))
         }.reduce(_ unionByName _)
           .groupBy(col("id"))
           .agg(max_by(col("cluster_id"), col("_gen")).as("_ov"),
@@ -1239,11 +1262,17 @@ object Dedup {
             .select(col("id"), col("_ov").as("cluster_id")))
       } else {
         // legacy chain (deltas written before the `_new` flag existed):
-        // the corpus-wide newest-wins aggregate is the only correct read
+        // the corpus-wide newest-wins aggregate is the only correct read.
+        // (A sidecar-resolved single-read delta frame carries _gen0; the
+        // base, appended last, overlays at precedence 1 as before.)
         (deltaFrames :+ spark.read.parquet(
             new org.apache.hadoop.fs.Path(dir, chain.gens.last).toString))
           .zipWithIndex.map { case (df, i) =>
-            df.select(col("id"), col("cluster_id"), lit(n - i).as("_gen"))
+            val gen =
+              if (df.columns.contains("_gen0")) col("_gen0")
+              else if (i == deltaFrames.length) lit(1) // the base
+              else lit(n - i)
+            df.select(col("id"), col("cluster_id"), gen.as("_gen"))
           }.reduce(_ unionByName _)
           .groupBy(col("id"))
           .agg(max_by(col("cluster_id"), col("_gen")).as("cluster_id"))
@@ -1290,13 +1319,19 @@ object Dedup {
       val chain = labelChain(spark, dir)
       val labels = readClusterLabels(spark, dir)
       val writeDelta = delta && chain.gens.lengthCompare(maxChain) < 0
-      // materialize BEFORE the generation write: the update plan reads the
-      // CURRENT live chain, and an eager checkpoint pins that read to
-      // this side of the swap (and avoids re-running the propagation loop
-      // into the parquet writer)
-      val out = (if (writeDelta) updateClusterLabelsDeltaFlagged(labels, newPairs, maxIters)
-                 else updateClusterLabels(labels, newPairs, maxIters))
-        .barrier()
+      // NO eager pre-write barrier (r18): the generation write below is
+      // the plan's single evaluation — it completes before the manifest
+      // swap, and rebuild's reap keeps every generation the plan reads
+      // (alsoKeep = the whole superseded chain), so there is no re-read
+      // on the far side of the swap to pin against. Everything iterative
+      // inside the update is already materialized (rootOf's barrier, the
+      // propagation loop's per-round checkpoints / the driver-local
+      // union-find rows), so the writer re-runs nothing. The r15-r17
+      // shape checkpointed the result and then wrote the checkpoint back
+      // out — one extra block-store pass plus a driver round-trip per
+      // merge, per micro-batch, for no added safety.
+      val out = if (writeDelta) updateClusterLabelsDeltaFlagged(labels, newPairs, maxIters)
+                else updateClusterLabels(labels, newPairs, maxIters)
       // the superseded chain (not just the superseded live generation)
       // survives this swap for in-flight readers; a delta generation also
       // keeps its ancestry alive until a fold supersedes the whole chain

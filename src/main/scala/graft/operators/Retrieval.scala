@@ -198,28 +198,35 @@ object Retrieval {
     // full (qid, doc) score table is never sorted. n_terms rides as an
     // exact double payload (counts << 2^53).
     //
-    // ONE qid-keyed exchange for the whole scoring tail (r17): the
-    // Σ df·qf fan-out rows hash-partition by qid straight off the join,
-    // and then the (qid, doc) sum, the per-qid heap, and its final merge
-    // all run exchange-free (HashPartitioning(qid) satisfies both
-    // groupings). The previous shape paid a (qid, doc)-keyed exchange
-    // plus a second qid exchange — and its map-side partial aggregate
-    // was structurally useless at ANY scale: a (qid, doc) duplicate
-    // needs the same doc to match two DIFFERENT terms of the query, and
-    // those rows live in different term partitions by construction
-    // (measured 3.12M→2.97M, a 5% reduction, for 10.6 s of task time at
-    // sf0.1). Shuffling the raw (qid, doc, _m) rows is also narrower
-    // than the partial-agg rows were. qid cardinality scales with the
-    // query batch, so the partitioning stays uniform at corpus scale.
+    // SALTED (qid, doc-hash) exchange for the scoring tail (r18, the r17
+    // verdict's skew item): r17's qid-only exchange ran the sum + heap
+    // exchange-free but concentrated each query's ENTIRE posting fan-out
+    // (Σ df·qf rows for that qid — potentially corpus-scale for one hot
+    // query) in a single task; a 1-query batch over the sf0.1 corpus
+    // measured 4.8 s vs 3.2 s for a 16-query batch (R18Probe bm25hot).
+    // The salt is a DETERMINISTIC function of the doc id, so
+    // (qid, _salt, doc) groups ≡ (qid, doc) groups — the sum is
+    // result-identical (integer micros, order-free) — while the exchange
+    // spreads one query's fan-out over the full width (guide §2.5
+    // two-level aggregation; deterministic key per §2.5's rand() retry
+    // hazard). The per-qid heap then pays one extra tiny exchange
+    // (partial heaps ship ≤ k rows per (qid, partition)) instead of
+    // riding the sum's partitioning. The map-side partial-agg analysis
+    // from r17 still holds: a (qid, doc) duplicate needs one doc to
+    // match two DIFFERENT terms, and those rows live in different term
+    // partitions by construction, so no pre-exchange combine is planted.
     // explicit width: an unsized repartition(col) is AQE-coalescible,
     // and the compact fan-out bytes coalesce under the advisory size —
     // which would serialize this whole aggregate+heap tail into one or
     // two tasks (measured: q90 +1.0 s). User-specified widths are never
     // coalesced (the q81/prefix-join lesson).
+    val w = ct.sparkSession.sparkContext.defaultParallelism
     qt.join(scored, "term")
-      .repartition(ct.sparkSession.sparkContext.defaultParallelism, col(qidCol))
-      .groupBy(col(qidCol), col(idCol))
+      .withColumn("_salt", pmod(xxhash64(col(idCol)), lit(w.toLong)))
+      .repartition(w, col(qidCol), col("_salt"))
+      .groupBy(col(qidCol), col("_salt"), col(idCol))
       .agg(sum("_m").as("_sm"), count(lit(1)).as("n_terms"))
+      .drop("_salt")
       .withColumn("score", col("_sm").cast("double") / lit(1e6))
       .groupBy(qidCol)
       .agg(graft.functions.TopKNearest.topkNearest(

@@ -702,8 +702,18 @@ object Similarity {
       k: Int,
       threshold: Double = 1.0,
       vecCol: String = "embedding"): DataFrame = {
-    val pairs = queries.select(col("qid"), col(vecCol).as("_qv"))
-      .crossJoin(candidates.select(col("cid"), col(vecCol).as("_cv")))
+    // rebalance BOTH (bounded — this operator's documented contract)
+    // inputs before the cross join (r18): the nested-loop join's output
+    // parallelism is its stream side's, and a compact vector table read
+    // from one parquet file serializes the |Q|·|C| cosine scoring into
+    // 1-2 tasks (measured: q100's pair materialization was a 1.85 s
+    // single-stage job at sf0.1, ~95% of it in one task). Whichever side
+    // the planner streams is now defaultParallelism-wide; the two
+    // row-count-sized round-robin exchanges are noise next to the
+    // quadratic scoring they spread.
+    val w = queries.sparkSession.sparkContext.defaultParallelism
+    val pairs = queries.select(col("qid"), col(vecCol).as("_qv")).repartition(w)
+      .crossJoin(candidates.select(col("cid"), col(vecCol).as("_cv")).repartition(w))
       .withColumn("_sm",
         round(round(cosineSimilarity(col("_qv"), col("_cv")), 6) * marginMicro).cast("long"))
       .drop("_qv", "_cv")

@@ -6612,24 +6612,24 @@ object Queries {
   val q214_audio_neardup: Q = Q(
     (s, d) => {
       val docs = table(s, d, "documents")
-      // canonical 44-byte header: RIFF(548) WAVE fmt(PCM,1ch,8kHz,16bit) data(512)
-      val header = "524946462402000057415645666D7420100000000100010040" +
-        "1F0000803E0000020010006461746100020000"
       // ONE higher-order transform over sequence(0,255) instead of 256
       // per-sample expression columns: the column-per-sample form was a
       // ~2,000-node projection that fell out of whole-stage codegen
       // (7.5 s at sf0.1); the lambda loop keeps the fixture build
-      // codegen'd (0.9 s). Little-endian int16 hex = two's-complement
-      // low 16 bits, byte-swapped.
+      // codegen'd. The 556-byte payload (canonical RIFF(548) WAVE
+      // fmt(PCM,1ch,8kHz,16bit) data(512) header + 256 LE int16 frames)
+      // is then assembled by ONE native encode call (r18): the previous
+      // hex-string chain (hex → lpad → substring×2 → concat →
+      // array_join → unhex) evaluated the sample expression twice per
+      // sample and built ~1 KB of intermediate string per doc —
+      // PcmWavSpec pins byte-for-byte parity with that chain.
       val sample =
         """((doc_id % 100) * 31 + i * 17) % 2048 - 1024 +
           |  CASE WHEN i = 0   THEN (doc_id DIV 100) % 5 * 5
           |       WHEN i = 128 THEN (doc_id DIV 100) % 5 * 7
           |       ELSE 0 END""".stripMargin
-      val le16 = s"lpad(hex(pmod($sample, 65536)), 4, '0')"
-      val payload = unhex(concat(lit(header), expr(
-        s"""array_join(transform(sequence(0, 255),
-           |  i -> concat(substring($le16, 3, 2), substring($le16, 1, 2))), '')""".stripMargin)))
+      val payload = graft.functions.PcmWavExpr.column(
+        expr(s"transform(sequence(0, 255), i -> $sample)"))
       Multimodal.audioNearDup(docs.withColumn("payload", payload), maxDist = 4,
           maxBandSize = Dedup.Uncapped, maxClassSize = Dedup.Uncapped)
         .orderBy("d1", "d2")

@@ -64,11 +64,25 @@ object R17Probe {
     spark.range(1000000).selectExpr("sum(id)").collect()
     spark.read.parquet(s"$sfDir/documents.parquet").count()
     val starts = new java.util.concurrent.ConcurrentHashMap[Int, (Long, String)]()
+    val execDesc = new java.util.concurrent.ConcurrentHashMap[Long, String]()
     @volatile var record = false
     spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
+      override def onOtherEvent(e: org.apache.spark.scheduler.SparkListenerEvent): Unit =
+        e match {
+          case s: org.apache.spark.sql.execution.ui.SparkListenerSQLExecutionStart =>
+            // root node name of the physical plan = the action shape
+            val head = s.physicalPlanDescription.linesIterator
+              .find(l => l.nonEmpty && !l.startsWith("==")).getOrElse("").trim.take(60)
+            execDesc.put(s.executionId, s"${s.description.linesIterator.next().take(40)} | $head")
+          case _ => ()
+        }
       override def onJobStart(js: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
-        if (record) starts.put(js.jobId,
-          (System.nanoTime(), Option(js.properties.getProperty("callSite.short")).getOrElse("?")))
+        if (record) {
+          val site = Option(js.properties.getProperty("spark.sql.execution.id"))
+            .map(id => s"ex$id " + Option(execDesc.get(id.toLong)).getOrElse(""))
+            .getOrElse("(non-sql)")
+          starts.put(js.jobId, (System.nanoTime(), site))
+        }
       override def onJobEnd(je: org.apache.spark.scheduler.SparkListenerJobEnd): Unit = {
         val s = starts.remove(je.jobId)
         if (s != null) println(f"[job] ${je.jobId}%4d ${(System.nanoTime() - s._1) / 1e9}%7.3f s  ${s._2}")

@@ -265,15 +265,19 @@ class HeavyPlanSpec extends SparkSpec {
     assert(count(p, "CartesianProduct") + count(p, "BroadcastNestedLoopJoin") === 0,
       s"labels attach by equi-join:\n${p.take(1500)}")
     // the live-chain read: docs and the corpus-sized BASE generation
-    // scan exactly once; the two TOUCHED-ROWS deltas are scanned twice
-    // (the overlay union feeds both the join side and the new-id append
-    // — KB-sized files, two scans are cheaper than materializing a
-    // barrier inside every serving read), so 1 + 1 + 2×2 = 6 scans.
-    // ClusterMaintainSpec pins the BroadcastHashJoin/no-SortMergeJoin
-    // shape of the bare read; here the outer docs join may
-    // legitimately SMJ.
-    assert(count(p, "Scan parquet") === 6,
-      s"expected docs + base + 2 deltas x2:\n${p.take(1500)}")
+    // scan exactly once; the TOUCHED-ROWS deltas are read as ONE
+    // multi-directory scan (r18 — precedence from the source file's
+    // generation dir, so a K-delta chain costs one scan node, not K)
+    // that is evaluated twice (the overlay union feeds both the join
+    // side and the new-id append — KB-sized files, two scans are
+    // cheaper than materializing a barrier inside every serving read):
+    // 1 + 1 + 1×2 = 4 scans. ClusterMaintainSpec pins the
+    // BroadcastHashJoin/no-SortMergeJoin shape of the bare read; here
+    // the outer docs join may legitimately SMJ.
+    assert(count(p, "Scan parquet") === 4,
+      s"expected docs + base + combined-deltas x2:\n${p.take(1500)}")
+    assert(count(p, "_graft_gen_00001") >= 1 && count(p, "_graft_gen_00002") >= 1,
+      s"both delta generations must feed the combined scan:\n${p.take(1500)}")
     assert(count(p, "_graft_gen_00000") === 1,
       s"the corpus-sized base generation must scan exactly ONCE:\n${p.take(1500)}")
     assert(count(p, "documents.parquet") === 1,
